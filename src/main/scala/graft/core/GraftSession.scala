@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table access helpers shared by the query API, Verify and Bench.
+  *
+  * Design notes (100 TB posture):
+  *  - AQE on: runtime coalescing, broadcast conversion and skew-join
+  *    splitting replace the reference's hand-placed SQLite indexes
+  *    (SURVEY §4.2).
+  *  - shuffle.partitions defaults to the local core count here; on a real
+  *    cluster this is set per-job to ~2-3x total cores (AQE coalesces down).
+  */
+object GraftSession {
+
+  /** Build a local session with the settings every entry point shares. */
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // parquet timestamps as int64 micros: portable to DuckDB/Arrow readers
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.ts is TIMESTAMP(NANOS) which Spark has no native type for;
+      // read it as long nanos and convert explicitly (tsToTimestamp)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one of the driver-generated test tables (TESTDATA.md). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.ts arrives as long nanos (see nanosAsLong above); convert to a
+    * proper timestamp column with microsecond truncation. */
+  def nanosToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      (c / org.apache.spark.sql.functions.lit(1000L)).cast("long"))
+}
