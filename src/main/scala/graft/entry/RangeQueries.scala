@@ -1,0 +1,136 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.ranges.{Intervals, RangeJoin}
+
+/** Interval-join operator coverage (SURVEY §2.3 J6–J9) over deterministic
+  * integer intervals derived from the test tables. The Spark side runs the
+  * binned [[RangeJoin]] (the scale path); the oracle is the naive θ-join —
+  * equal results prove the binning + canonical-bin dedup exact.
+  *
+  * Operator map: J6 → q09 (overlap), q25 (containment); J7 → q10
+  * (tolerance); J8/C5 → q11 (reciprocal overlap fraction).
+  */
+object RangeQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  /** orders → intervals: chrom 0-4, start in [0,5000), length 1-41. */
+  private def orderIntervals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      (col("o_orderkey") % 5).as("chrom"),
+      ((col("o_orderkey") * 7) % 5000).as("s1"),
+      ((col("o_orderkey") * 7) % 5000 + 1 + col("o_orderkey") % 40).as("e1"),
+      col("o_orderkey"))
+
+  /** events → intervals: chrom 0-4, start in [0,5000), length 1-26. */
+  private def eventIntervals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      (col("event_id") % 5).as("chrom"),
+      ((col("event_id") * 13) % 5000).as("s2"),
+      ((col("event_id") * 13) % 5000 + 1 + col("event_id") % 25).as("e2"),
+      col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J6: interval-overlap join via binned equi-join (the junctions ×
+    // genes overlap of junction.py:159-164 at scale).
+    "q09_interval_join" -> ((s, dir) => {
+      RangeJoin.overlapJoin(
+        orderIntervals(s, dir), eventIntervals(s, dir),
+        keys = Seq("chrom"), "s1", "e1", "s2", "e2", width = 64L)
+        .select("chrom", "o_orderkey", "event_id")
+        .orderBy("chrom", "o_orderkey", "event_id")
+    }),
+
+    // J7: banded tolerance join — same-type event pairs with values
+    // within ±0.5 (junction.py:285-290's ±bp slack, generalized).
+    "q10_tolerance_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.select(col("event_type"), col("event_id").as("e1"),
+        col("value").as("v1"))
+      val b = ev.select(col("event_type"), col("event_id").as("e2"),
+        col("value").as("v2"))
+      RangeJoin.toleranceJoin(a, b, Seq("event_type"), "v1", "v2", 0.5)
+        .filter(col("e1") < col("e2"))
+        .select("event_type", "e1", "e2")
+        .orderBy("event_type", "e1", "e2")
+    }),
+
+    // J8/C5: reciprocal overlap-fraction join (Junction.samples overlap
+    // mode, junction.py:294-318 + utils.py:7-25) — the reference's
+    // client-side Python loop becomes a binned join + codegen'd fraction.
+    "q11_overlap_fraction" -> ((s, dir) => {
+      val a = orderIntervals(s, dir)
+      val b = orderIntervals(s, dir).select(
+        col("chrom"), col("s1").as("s2"), col("e1").as("e2"),
+        col("o_orderkey").as("o_orderkey2"))
+      RangeJoin.overlapJoin(a, b, Seq("chrom"), "s1", "e1", "s2", "e2", 64L)
+        .filter(col("o_orderkey") < col("o_orderkey2"))
+        .withColumn("frac12",
+          Intervals.overlapFraction(col("s1"), col("e1"), col("s2"), col("e2")))
+        .withColumn("frac21",
+          Intervals.overlapFraction(col("s2"), col("e2"), col("s1"), col("e1")))
+        .filter(col("frac12") >= 0.5 && col("frac21") >= 0.5)
+        .select("chrom", "o_orderkey", "o_orderkey2", "frac12", "frac21")
+        .orderBy("chrom", "o_orderkey", "o_orderkey2")
+    }),
+
+    // J6 (point form) + J9: containment join classifying points into a
+    // small interval dimension (the intron/exon membership test of
+    // junction.py:229-263).
+    "q25_membership" -> ((s, dir) => {
+      val bins = s.range(50).select(
+        (col("id") % 5).as("chrom"),
+        (col("id") / 5).cast("long").as("bin_id"),
+        ((col("id") / 5).cast("long") * 500).as("lo"),
+        ((col("id") / 5).cast("long") * 500 + 499).as("hi"))
+      val points = t(s, dir, "events").select(
+        (col("event_id") % 5).as("chrom"),
+        ((col("event_id") * 13) % 5000).as("p"),
+        col("event_id"))
+      RangeJoin.containmentJoin(points, bins, Seq("chrom"), "p", "lo", "hi", 500L)
+        .groupBy("chrom", "bin_id").agg(count(lit(1)).as("n"))
+        .orderBy("chrom", "bin_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q09_interval_join" ->
+      """WITH a AS (SELECT o_orderkey%5 AS chrom, (o_orderkey*7)%5000 AS s1,
+        |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e1, o_orderkey FROM orders),
+        | b AS (SELECT event_id%5 AS chrom, (event_id*13)%5000 AS s2,
+        |  (event_id*13)%5000 + 1 + event_id%25 AS e2, event_id FROM events)
+        |SELECT chrom, o_orderkey, event_id FROM a JOIN b USING (chrom)
+        |WHERE s1 <= e2 AND s2 <= e1
+        |ORDER BY chrom, o_orderkey, event_id""".stripMargin,
+    "q10_tolerance_join" ->
+      """SELECT a.event_type, a.event_id AS e1, b.event_id AS e2
+        |FROM events a JOIN events b ON a.event_type = b.event_type
+        |WHERE abs(a.value - b.value) <= 0.5 AND a.event_id < b.event_id
+        |ORDER BY a.event_type, e1, e2""".stripMargin,
+    "q11_overlap_fraction" ->
+      """WITH iv AS (SELECT o_orderkey%5 AS chrom, (o_orderkey*7)%5000 AS s,
+        |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e, o_orderkey FROM orders)
+        |SELECT a.chrom, a.o_orderkey, b.o_orderkey AS o_orderkey2,
+        |  CAST(GREATEST(0, LEAST(a.e,b.e)-GREATEST(a.s,b.s)+1) AS DOUBLE)
+        |    / CAST(a.e-a.s+1 AS DOUBLE) AS frac12,
+        |  CAST(GREATEST(0, LEAST(a.e,b.e)-GREATEST(a.s,b.s)+1) AS DOUBLE)
+        |    / CAST(b.e-b.s+1 AS DOUBLE) AS frac21
+        |FROM iv a JOIN iv b ON a.chrom=b.chrom
+        |WHERE a.s <= b.e AND b.s <= a.e AND a.o_orderkey < b.o_orderkey
+        |  AND CAST(GREATEST(0, LEAST(a.e,b.e)-GREATEST(a.s,b.s)+1) AS DOUBLE)
+        |    / CAST(a.e-a.s+1 AS DOUBLE) >= 0.5
+        |  AND CAST(GREATEST(0, LEAST(a.e,b.e)-GREATEST(a.s,b.s)+1) AS DOUBLE)
+        |    / CAST(b.e-b.s+1 AS DOUBLE) >= 0.5
+        |ORDER BY a.chrom, a.o_orderkey, o_orderkey2""".stripMargin,
+    "q25_membership" ->
+      """WITH bins AS (SELECT i%5 AS chrom, i//5 AS bin_id,
+        |  (i//5)*500 AS lo, (i//5)*500+499 AS hi FROM range(50) t(i)),
+        | p AS (SELECT event_id%5 AS chrom, (event_id*13)%5000 AS p FROM events)
+        |SELECT chrom, bin_id, COUNT(*) AS n
+        |FROM p JOIN bins USING (chrom)
+        |WHERE p BETWEEN lo AND hi
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+}
