@@ -1,0 +1,191 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.ext.{Dedup, TextAnalysis}
+
+/** Training-data text-pipeline operators (BASELINE.json north star) over
+  * the `documents` table: exact/canonical dedup, MinHash+LSH, n-gram
+  * jaccard, SimHash, fingerprinting, language ID, quality, token counts.
+  *
+  * All hashes are md5-derived so every pipeline — including the full
+  * MinHash banding construction — is replicated verbatim in the DuckDB
+  * oracle; the driver's hash-compare certifies the whole algorithm, not
+  * just row counts.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "documents")
+
+  /** Marker-word table drawn from the synthetic corpus vocabulary (the
+    * real-stopword table in TextAnalysis.DefaultMarkers would be constant
+    * over this corpus). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "key", "fast"),
+    "es" -> Seq("data", "row", "table", "scan"),
+    "fr" -> Seq("join", "merge", "sort", "agg"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on content digest (group key = md5, 16 bytes shuffled
+    // per doc regardless of document size).
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_copies")).cast("long").as("n_docs"),
+          sum(when(col("n_copies") > 1, 1).otherwise(0)).cast("long")
+            .as("n_dup_groups"))
+    }),
+
+    // Token counting: whitespace + BPE-ish pre-tokenization.
+    "q31_token_count" -> ((s, dir) => {
+      TextAnalysis.withTokenCounts(docs(s, dir), "text")
+        .select("doc_id", "n_tokens", "n_bpe_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: argmax of marker-word hits.
+    "q32_lang_id" -> ((s, dir) => {
+      TextAnalysis.withLangId(docs(s, dir), "text", markers)
+        .select("doc_id", "lang_guess")
+        .orderBy("doc_id")
+    }),
+
+    // Quality signals: exact integer counts + single-division ratios.
+    "q33_quality" -> ((s, dir) => {
+      TextAnalysis.withQualitySignals(docs(s, dir), "text")
+        .select("doc_id", "n_chars", "n_tokens", "alpha_ratio",
+          "mean_token_len")
+        .orderBy("doc_id")
+    }),
+
+    // Rolling-window content fingerprint (min-md5 over 8-gram shingles).
+    "q34_fingerprint" -> ((s, dir) => {
+      TextAnalysis.withFingerprint(docs(s, dir), "text")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash(12) + LSH(4 bands × 3 rows) near-dup pairs, jaccard-verified
+    // at 0.5 — finds the corpus's planted near-duplicate pairs. The oracle
+    // replicates the complete LSH pipeline, so band-construction down to
+    // seed strings is certified.
+    "q35_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashNearDup(docs(s, dir), "doc_id", "text",
+          shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Ground-truth n-gram jaccard (no LSH): pairs sharing >=1 shingle,
+    // exact jaccard >= 0.5.
+    "q36_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash(60-bit) near-dups via 4×15-bit pigeonhole banding,
+    // Hamming <= 3.
+    "q37_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Canonicalized (5-token-prefix) dedup — groups with >1 member.
+    "q38_dedup_prefix" -> ((s, dir) => {
+      Dedup.byPrefix(docs(s, dir), "doc_id", "text", nTokens = 5)
+        .filter(col("n_copies") > 1)
+        .orderBy("prefix_hash")
+    }))
+
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') s
+      |       FROM toks, unnest(generate_series(1, len(t)-2)) u(i))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN n_copies>1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+        |FROM (SELECT md5(text) h, COUNT(*) AS n_copies FROM documents GROUP BY 1)""".stripMargin,
+    "q31_token_count" ->
+      """SELECT doc_id,
+        | len(string_split_regex(text,'\s+')) AS n_tokens,
+        | len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_lang_id" ->
+      """WITH c AS (SELECT doc_id,
+        | len(list_intersect(string_split_regex(text,'\s+'), ['the','a','key','fast'])) c_en,
+        | len(list_intersect(string_split_regex(text,'\s+'), ['data','row','table','scan'])) c_es,
+        | len(list_intersect(string_split_regex(text,'\s+'), ['join','merge','sort','agg'])) c_fr
+        |FROM documents)
+        |SELECT doc_id, CASE WHEN c_en>=c_es AND c_en>=c_fr THEN 'en'
+        |  WHEN c_es>=c_fr THEN 'es' ELSE 'fr' END AS lang_guess
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q33_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        | len(string_split_regex(text,'\s+')) AS n_tokens,
+        | CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |   / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        | CAST(length(text) - len(string_split_regex(text,'\s+')) + 1 AS DOUBLE)
+        |   / CAST(len(string_split_regex(text,'\s+')) AS DOUBLE) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') s
+        |       FROM toks, unnest(generate_series(1, len(t)-7)) u(i))
+        |SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q35_minhash_lsh" -> (shingleCte + """,
+        |sig AS (SELECT doc_id,
+        | min(substr(md5('0_'||s),1,16)) m0, min(substr(md5('1_'||s),1,16)) m1,
+        | min(substr(md5('2_'||s),1,16)) m2, min(substr(md5('3_'||s),1,16)) m3,
+        | min(substr(md5('4_'||s),1,16)) m4, min(substr(md5('5_'||s),1,16)) m5,
+        | min(substr(md5('6_'||s),1,16)) m6, min(substr(md5('7_'||s),1,16)) m7,
+        | min(substr(md5('8_'||s),1,16)) m8, min(substr(md5('9_'||s),1,16)) m9,
+        | min(substr(md5('10_'||s),1,16)) m10, min(substr(md5('11_'||s),1,16)) m11
+        | FROM sh GROUP BY 1),
+        |bands AS (
+        | SELECT doc_id, 0 AS band, md5(m0||','||m1||','||m2) AS bkey FROM sig UNION ALL
+        | SELECT doc_id, 1, md5(m3||','||m4||','||m5) FROM sig UNION ALL
+        | SELECT doc_id, 2, md5(m6||','||m7||','||m8) FROM sig UNION ALL
+        | SELECT doc_id, 3, md5(m9||','||m10||','||m11) FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM bands x
+        |         JOIN bands y ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a_id, b_id, count(*) i FROM cand
+        |          JOIN sh sa ON sa.doc_id=a_id
+        |          JOIN sh sb ON sb.doc_id=b_id AND sa.s=sb.s
+        |          GROUP BY 1,2)
+        |SELECT a_id, b_id, CAST(i AS DOUBLE)/(sa.n+sb.n-i) AS jaccard
+        |FROM inter JOIN sizes sa ON a_id=sa.doc_id JOIN sizes sb ON b_id=sb.doc_id
+        |WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin),
+    "q36_ngram_jaccard" -> (shingleCte + """,
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+        |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id
+        |          GROUP BY 1,2)
+        |SELECT a_id, b_id, CAST(i AS DOUBLE)/(sa.n+sb.n-i) AS jaccard
+        |FROM inter JOIN sizes sa ON a_id=sa.doc_id JOIN sizes sb ON b_id=sb.doc_id
+        |WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin),
+    "q37_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) tok FROM documents),
+        |th AS (SELECT doc_id, CAST(concat('0x',substr(md5(tok),1,15)) AS BIGINT) h FROM toks),
+        |bits AS (SELECT doc_id, i, SUM(((h >> i) & 1)*2 - 1) v
+        |         FROM th, unnest(generate_series(0,59)) u(i) GROUP BY 1,2),
+        |sims AS (SELECT doc_id, CAST(SUM(CASE WHEN v>0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) sim
+        |         FROM bits GROUP BY 1),
+        |chunks AS (SELECT doc_id, sim, c, (sim >> (15*c)) & 32767 AS v
+        |           FROM sims, unnest(generate_series(0,3)) u(c)),
+        |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id, x.sim sa, y.sim sb
+        |         FROM chunks x JOIN chunks y ON x.c=y.c AND x.v=y.v AND x.doc_id<y.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(sa,sb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa,sb))<=3 ORDER BY a_id, b_id""".stripMargin,
+    "q38_dedup_prefix" ->
+      """SELECT md5(array_to_string(string_split_regex(text,'\s+')[1:5],' ')) AS prefix_hash,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING COUNT(*)>1 ORDER BY prefix_hash""".stripMargin)
+}

@@ -1,0 +1,79 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.ext.{Dedup, Similarity}
+import graft.functions.VectorFunctions
+
+/** Embedding similarity-search operators over the `embeddings` table
+  * (`array<float>[64]` vectors): exact brute-force top-k ANN baseline,
+  * deterministic random-hyperplane LSH bucketing (the scale path), and
+  * cosine near-duplicate pairs.
+  *
+  * Float outputs are avoided: queries emit ids/ranks/buckets, so the
+  * driver's hash compare is insensitive to sub-ULP engine differences in
+  * float summation order while still certifying the ranking/threshold
+  * semantics end-to-end.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact ANN baseline: top-5 cosine neighbors for 10 query vectors.
+    // Plan: one corpus scan × broadcast queries; no corpus shuffle.
+    "q40_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Deterministic hyperplane LSH bucket assignment (8 bits): the ANN
+    // pre-partitioner. md5-derived hyperplanes regenerate identically on
+    // every executor and in the oracle.
+    "q41_lsh_buckets" -> ((s, dir) => {
+      emb(s, dir).select(col("vec_id"),
+          VectorFunctions.lshBucket(col("embedding"), 8).as("bucket"))
+        .orderBy("vec_id")
+    }),
+
+    // Embedding near-dup pairs: same-label partition, cosine >= 0.4.
+    "q42_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding",
+          "label", threshold = 0.4)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id<10),
+        |sc AS (SELECT q_id, vec_id AS n_id, list_cosine_similarity(qv, embedding) AS cos
+        |       FROM embeddings, q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+        |      FROM sc)
+        |SELECT q_id, n_id, rank FROM r WHERE rank<=5 ORDER BY q_id, rank""".stripMargin,
+    "q41_lsh_buckets" ->
+      """WITH comp AS (SELECT p, i,
+        |  CAST(concat('0x',substr(md5('hp'||p||'_'||CAST(i AS VARCHAR)),1,6)) AS BIGINT)
+        |    / 16777216.0 - 0.5 AS c
+        | FROM unnest(generate_series(0,7)) a(p), unnest(generate_series(0,63)) b(i)),
+        |ev AS (SELECT vec_id, unnest(embedding) AS e,
+        |       generate_subscripts(embedding,1) - 1 AS i FROM embeddings),
+        |proj AS (SELECT vec_id, p, SUM(CAST(e AS DOUBLE) * c) AS pr
+        |         FROM ev JOIN comp USING (i) GROUP BY 1,2),
+        |bits AS (SELECT vec_id, p, CASE WHEN pr>=0 THEN (1::BIGINT << p) ELSE 0 END AS b
+        |         FROM proj)
+        |SELECT vec_id, CAST(SUM(b) AS BIGINT) AS bucket FROM bits
+        |GROUP BY 1 ORDER BY vec_id""".stripMargin,
+    "q42_embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label=b.label AND a.vec_id<b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin)
+}

@@ -1,0 +1,151 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus deduplication at 100 TB scale (BASELINE.json north star).
+  *
+  * Every method returns a lazy DataFrame; nothing collects. The shuffle
+  * structure is the whole design:
+  *  - exact / canonical dedup: one hash-partitioned aggregation on a
+  *    64/128-bit digest — never on the raw text (shuffle bytes ∝ digest,
+  *    not document);
+  *  - minhash LSH: explode to (band, key) → one shuffle groups candidates
+  *    into buckets; candidate pairs are generated per bucket, so cost is
+  *    Σ|bucket|², never |corpus|²;
+  *  - simhash: pigeonhole banding on 15-bit chunks, same property.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct content digest with the canonical
+    * (minimum) id and multiplicity. Group key is md5(text) — shuffling
+    * 16 bytes per doc, not the document. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Canonicalized (prefix) dedup: documents agreeing on their first
+    * `nTokens` tokens form a group — the cheap URL/boilerplate-style
+    * normalization pass that runs before minhash. */
+  def byPrefix(df: DataFrame, idCol: String, textCol: String,
+      nTokens: Int): DataFrame =
+    df.groupBy(
+      md5(array_join(slice(tokens(col(textCol)), 1, nTokens), " "))
+        .as("prefix_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs for a corpus. */
+  def shingled(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      explode(shingles(tokens(col(textCol)), n)).as("__shingle"))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle → k-minhash signature → `bands` band keys → bucket-join →
+    * exact jaccard verification of candidates only. Returns
+    * (a_id, b_id, jaccard) with a_id < b_id, jaccard >= `threshold`.
+    *
+    * The verification join computes jaccard from distinct-shingle
+    * intersection counts grouped per candidate pair — the corpus-wide
+    * shingle join only materializes pairs that already collided in a
+    * band, so the quadratic term is bounded by bucket sizes.
+    */
+  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sh = shingled(df, idCol, textCol, shingleN)
+
+    val sig = df.select(col(idCol).as("__id"),
+      minhashSignature(shingles(tokens(col(textCol)), shingleN), k).as("sig"))
+    val bk = sig.select(col("__id"),
+      explode(bandKeys(col("sig"), bands, rows)).as("b"))
+      .select(col("__id"), col("b.band"), col("b.bkey"))
+
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+      .distinct()
+
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("__id").as("a_id"), col("__shingle")), "a_id")
+      .join(sh.select(col("__id").as("b_id"), col("__shingle")),
+        Seq("b_id", "__shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.select(col("__id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("__id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Exact n-gram jaccard over all pairs sharing at least one shingle —
+    * the ground-truth (no-LSH) near-dup pass. Quadratic only within
+    * shingle groups; use [[minhashNearDup]] at corpus scale. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("__id").as("a_id"), col("__shingle"))
+      .join(sh.select(col("__id").as("b_id"), col("__shingle")),
+        Seq("__shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("__id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: 60-bit signatures, candidates via
+    * 4×15-bit pigeonhole banding, verified at Hamming distance <=
+    * `maxHamming` (pigeonhole: distance <= 3 ⇒ some chunk equal). */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"),
+      simhash60(tokens(col(textCol))).as("sim"))
+    val chunks = sigs.select(col("__id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), simhashChunk(col("sim"), c).as("v"))): _*))
+        .as("ch"))
+      .select(col("__id"), col("sim"), col("ch.c"), col("ch.v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Embedding near-duplicates: same-`partitionCol` pairs with cosine >=
+    * `threshold`. The partition column (cluster id, LSH bucket, shard key)
+    * bounds the pair space; compose with
+    * [[graft.functions.VectorFunctions.lshBucket]] when no natural
+    * partition exists. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      partitionCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(partitionCol).as("__part"), col(idCol).as("__id"),
+      col(vecCol).as("__vec"))
+    v.as("x").join(v.as("y"),
+        col("x.__part") === col("y.__part") && col("x.__id") < col("y.__id"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("x.__vec"), col("y.__vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"), col("cos"))
+  }
+}

