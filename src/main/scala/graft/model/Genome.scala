@@ -1,0 +1,94 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.TableCatalog
+
+/** Genome-annotation adapter — our equivalent of the external pytxdb
+  * `Genome` the reference consumes (`/root/reference/readme.md:53-68`,
+  * used at `junction.py:159,196-198,240-243,351-374`).
+  *
+  * Annotation lives in Parquet tables:
+  *   genes(id, chrom, start, end, strand, name, description, biotype)
+  *   transcripts(id, gene, chrom, start, end, strand, biotype)
+  *   exons(transcript, rank, chrom, start, end, strand)
+  * Introns are derived from exon gaps, not stored — one window pass.
+  *
+  * Sequence extraction reads a FASTA into an in-memory map (fixture
+  * scale); a production deployment would broadcast an indexed FASTA.
+  * Coordinates are 1-based closed, like the reference's pyranges use.
+  */
+final class Genome(catalog: TableCatalog, fastaPath: Option[String] = None) {
+
+  def genes: DataFrame = catalog.read("genes")
+  def transcripts: DataFrame = catalog.read("transcripts")
+  def exons: DataFrame = catalog.read("exons")
+
+  /** Introns per transcript: gaps between consecutive exons (ordered by
+    * start within transcript — a genuine window use, SURVEY §2.5 W3). */
+  def introns: DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("transcript").orderBy("start")
+    exons
+      .withColumn("next_start", lead(col("start"), 1).over(w))
+      .filter(col("next_start").isNotNull)
+      .select(col("transcript"), col("chrom"), col("strand"),
+        (col("end") + 1).as("start"), (col("next_start") - 1).as("end"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("transcript").orderBy("start")))
+  }
+
+  // --- sequence extraction (driver-side utility, not data-plane) ---
+
+  private lazy val fasta: Map[String, String] = fastaPath match {
+    case None => Map.empty
+    case Some(p) =>
+      val src = scala.io.Source.fromFile(p)
+      try {
+        val chunks = scala.collection.mutable.Map[String, StringBuilder]()
+        var cur: StringBuilder = null
+        src.getLines().foreach { line =>
+          if (line.startsWith(">")) {
+            cur = new StringBuilder
+            chunks(line.drop(1).split("\\s+").head) = cur
+          } else if (cur != null) cur.append(line.trim)
+        }
+        chunks.view.mapValues(_.toString).toMap
+      } finally src.close()
+  }
+
+  private val comp = Map('A' -> 'T', 'T' -> 'A', 'G' -> 'C', 'C' -> 'G',
+    'N' -> 'N', 'a' -> 't', 't' -> 'a', 'g' -> 'c', 'c' -> 'g', 'n' -> 'n')
+
+  def reverseComplement(s: String): String =
+    s.reverse.map(c => comp.getOrElse(c, 'N'))
+
+  /** 1-based closed-interval sequence; minus strand returns the reverse
+    * complement (`Genome.get_sequence` surface). */
+  def getSequence(chrom: String, start: Long, end: Long,
+      strand: String = "+"): String = {
+    val seq = fasta.getOrElse(chrom,
+      throw new NoSuchElementException(s"chrom $chrom not in FASTA"))
+    val sub = seq.substring((start - 1).toInt, end.toInt)
+    if (strand == "-") reverseComplement(sub) else sub
+  }
+
+  /** Standard-code translation of a nucleotide sequence (the `aa` mode of
+    * `get_sequence`, `junction.py:374`). Stops render as '*'. */
+  def translate(nuc: String): String =
+    nuc.toUpperCase.grouped(3).takeWhile(_.length == 3)
+      .map(c => Genome.CodonTable.getOrElse(c, 'X')).mkString
+}
+
+object Genome {
+  val CodonTable: Map[String, Char] = {
+    val bases = "TCAG"
+    val aas = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+    (for {
+      (b1, i) <- bases.zipWithIndex
+      (b2, j) <- bases.zipWithIndex
+      (b3, k) <- bases.zipWithIndex
+    } yield s"$b1$b2$b3" -> aas(i * 16 + j * 4 + k)).toMap
+  }
+}

@@ -1,0 +1,86 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.TableCatalog
+import graft.ranges.Intervals
+
+/** Table-level junction queries
+  * (`/root/reference/clinpy/assays/junction.py:14-130`).
+  *
+  * Every method returns an unexecuted DataFrame (the reference's lazy
+  * SQLAlchemy Select, kept lazy all the way to the caller's action).
+  */
+final class Junctions(catalog: TableCatalog, project: Project) {
+
+  def dim(filtered: Boolean = true): DataFrame =
+    catalog.read(catalog.junctionTable(filtered))
+
+  def bridge(filtered: Boolean = true): DataFrame =
+    catalog.read(catalog.junctionBridge(filtered))
+
+  /** `Junctions.select` (`junction.py:14-72`): junction coordinates,
+    * optionally with per-sample read support, restricted by cohort and/or
+    * sample list via chained semi-joins (J1/J10). */
+  def select(cohorts: Seq[String] = Nil, samples: Seq[String] = Nil,
+      uniq: Boolean = false, filtered: Boolean = true): DataFrame = {
+    val j = dim(filtered)
+    if (uniq) {
+      // junctions only — membership via semi-joins on the bridge
+      var ids = bridge(filtered)
+      if (samples.nonEmpty)
+        ids = ids.filter(col("samplename").isin(samples: _*))
+      if (cohorts.nonEmpty) {
+        val coh = project.samples(cohorts, expandMeta = false)
+          .select(col("sample_id").as("samplename"))
+        ids = ids.join(broadcast(coh), Seq("samplename"), "left_semi")
+      }
+      if (samples.isEmpty && cohorts.isEmpty) j
+      else j.join(ids.select(col("junction").as("id")), Seq("id"), "left_semi")
+    } else {
+      var b = bridge(filtered)
+      if (samples.nonEmpty)
+        b = b.filter(col("samplename").isin(samples: _*))
+      if (cohorts.nonEmpty) {
+        val coh = project.samples(cohorts, expandMeta = false)
+          .select(col("sample_id").as("samplename"))
+        b = b.join(broadcast(coh), Seq("samplename"), "left_semi")
+      }
+      j.join(b, j("id") === b("junction"), "inner").drop("junction")
+    }
+  }
+
+  /** Region search (`junction.py:74-111`): junctions overlapping
+    * [start, end] on chrom (+strand), optionally with read support.
+    * chrom partition pruning + min/max stats make this a localized scan. */
+  def search(chrom: String, start: Long, end: Long,
+      strand: Option[String] = None, uniq: Boolean = false,
+      filtered: Boolean = true): DataFrame = {
+    var j = dim(filtered).filter(col("chrom") === chrom &&
+      Intervals.overlaps(col("start"), col("end"), lit(start), lit(end)))
+    strand.foreach(s => j = j.filter(col("strand") === s))
+    if (uniq) j
+    else j.join(bridge(filtered),
+      j("id") === col("junction"), "inner").drop("junction")
+  }
+
+  /** E10: per-sample user-defined junction filter — the reference's
+    * planned `filter_junctions` surface (`junction.py:113-130`,
+    * readme:109-111). Applies `f` to the (dim ⋈ bridge) rows of each
+    * sample and writes the kept junction ids as the filtered pair of
+    * tables. `f` is an ordinary DataFrame transform. */
+  def filterJunctions(f: DataFrame => DataFrame, overwrite: Boolean): Unit = {
+    val all = select(filtered = false)
+    val kept = f(all)
+    val keptDim = dim(filtered = false)
+      .join(kept.select(col("id")).distinct(), Seq("id"), "left_semi")
+    // per-sample semantics: only the (junction, sample) pairs that passed
+    val keptBridge = bridge(filtered = false)
+      .join(kept.select(col("id").as("junction"), col("samplename")).distinct(),
+        Seq("junction", "samplename"), "left_semi")
+    val mode = if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+      else org.apache.spark.sql.SaveMode.ErrorIfExists
+    catalog.write(keptDim, catalog.junctionTable(true), Seq("chrom"), mode)
+    catalog.write(keptBridge, catalog.junctionBridge(true), Nil, mode)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+class ExtSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog again and again"), // near dup of 0
+    (3L, "completely different content about spark and parquet tables"),
+    (4L, "another unrelated short text")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val g = Dedup.exact(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    val dup = g.filter($"n_copies" === 2).head()
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH finds the near-dup pair and not the unrelated docs") {
+    val pairs = Dedup.minhashNearDup(docs, "doc_id", "text",
+      shingleN = 2, k = 12, bands = 4, threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0") {
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", 2, 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(j.exists(r => r._1 == 0L && r._2 == 1L && r._3 == 1.0))
+  }
+
+  test("simhash: identical docs at hamming 0") {
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("quality signals + filter") {
+    val q = TextAnalysis.withQualitySignals(docs, "text")
+    val r0 = q.filter($"doc_id" === 0).head()
+    assert(r0.getAs[Int]("n_tokens") == 12)
+    assert(r0.getAs[Double]("alpha_ratio") > 0.8)
+    assert(q.filter(TextAnalysis.qualityFilter(minChars = 30)).count() == 4)
+  }
+
+  test("brute-force topk: exact self-similarity excluded, ranks dense") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)) }
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 4)
+    assert(top.count() == 12)
+    assert(top.filter($"q_id" === $"n_id").count() == 0)
+    val ranks = top.filter($"q_id" === 0).select("rank")
+      .as[Int].collect().sorted.toSeq
+    assert(ranks == Seq(1, 2, 3, 4))
+  }
+
+  test("lsh topk: bucketed candidates are a subset of brute force ranking") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d * 7).toFloat)) }
+      .toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", nBits = 2, k = 3)
+    assert(lsh.count() > 0)
+    assert(lsh.filter($"q_id" === $"n_id").count() == 0)
+  }
+}

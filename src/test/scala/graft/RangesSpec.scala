@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ranges.{Intervals, RangeJoin}
+
+class RangesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("overlapFraction: the five analytic branches of calc_overlap") {
+    // evaluated through the engine on a 1-row frame
+    def frac(s1: Long, e1: Long, s2: Long, e2: Long): Double =
+      Seq((s1, e1, s2, e2)).toDF("s1", "e1", "s2", "e2")
+        .select(Intervals.overlapFraction($"s1", $"e1", $"s2", $"e2"))
+        .head().getDouble(0)
+    assert(frac(10, 19, 30, 40) == 0.0)              // disjoint
+    assert(frac(10, 19, 5, 40) == 1.0)               // containment
+    assert(frac(10, 19, 10, 19) == 1.0)              // identity
+    assert(frac(10, 19, 15, 40) == 0.5)              // right partial
+    assert(frac(10, 19, 0, 14) == 0.5)               // left partial
+  }
+
+  test("overlapFraction properties: bounds, containment, disjointness (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val iv = for {
+      s <- Gen.chooseNum(0L, 1000L); len <- Gen.chooseNum(0L, 120L)
+    } yield (s, s + len)
+    // evaluate the whole random batch through the engine in one plan
+    val cases = Gen.listOfN(300, Gen.zip(iv, iv)).sample.get
+    val rows = cases.map { case ((s1, e1), (s2, e2)) => (s1, e1, s2, e2) }
+      .toDF("s1", "e1", "s2", "e2")
+      .withColumn("f", Intervals.overlapFraction($"s1", $"e1", $"s2", $"e2"))
+      .collect()
+    rows.foreach { r =>
+      val (s1, e1, s2, e2, f) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(f >= 0.0 && f <= 1.0)
+      if (e2 < s1 || e1 < s2) assert(f == 0.0) else assert(f > 0.0)
+      if (s2 <= s1 && e1 <= e2) assert(f == 1.0)
+    }
+    // pure-expression symmetry property checked via ScalaCheck directly:
+    // overlap length is symmetric in the two intervals
+    val sym = Prop.forAll(iv, iv) { (a: (Long, Long), b: (Long, Long)) =>
+      def len(x: (Long, Long), y: (Long, Long)) =
+        math.max(0L, math.min(x._2, y._2) - math.max(x._1, y._1) + 1)
+      len(a, b) == len(b, a)
+    }
+    assert(SCTest.check(SCTest.Parameters.default, sym).passed)
+  }
+
+  test("binned overlapJoin == naive theta join, each pair exactly once") {
+    val r = new scala.util.Random(7)
+    val left = (0 until 400).map { i =>
+      val s = r.nextInt(2000).toLong
+      (i.toLong, s"c${i % 3}", s, s + r.nextInt(150)) }
+      .toDF("lid", "k", "ls", "le")
+    val right = (0 until 400).map { i =>
+      val s = r.nextInt(2000).toLong
+      (i.toLong, s"c${i % 3}", s, s + r.nextInt(90)) }
+      .toDF("rid", "k", "rs", "re")
+    for (width <- Seq(16L, 64L, 1024L)) {
+      val got = RangeJoin.overlapJoin(left, right, Seq("k"),
+        "ls", "le", "rs", "re", width)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      val want = left.join(right, Seq("k"))
+        .filter($"ls" <= $"re" && $"rs" <= $"le")
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == want.sorted, s"width=$width")
+      assert(got.size == got.distinct.size, s"width=$width dup pairs")
+    }
+  }
+
+  test("containmentJoin == naive point-in-interval join") {
+    val pts = (0 until 300).map(i => (i.toLong, s"c${i % 2}", (i * 37 % 900).toLong))
+      .toDF("pid", "k", "p")
+    val ivs = (0 until 80).map { i =>
+      val s = (i * 29 % 800).toLong; (i.toLong, s"c${i % 2}", s, s + 45) }
+      .toDF("iid", "k", "s", "e")
+    val got = RangeJoin.containmentJoin(pts, ivs, Seq("k"), "p", "s", "e", 32L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    val want = pts.join(ivs, Seq("k")).filter($"s" <= $"p" && $"p" <= $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+  }
+
+  test("toleranceJoin == naive |a-b| <= tol join") {
+    val r = new scala.util.Random(11)
+    val a = (0 until 300).map(i => (i.toLong, s"g${i % 2}", r.nextDouble() * 50))
+      .toDF("aid", "k", "av")
+    val b = (0 until 300).map(i => (i.toLong, s"g${i % 2}", r.nextDouble() * 50))
+      .toDF("bid", "k", "bv")
+    val got = RangeJoin.toleranceJoin(a, b, Seq("k"), "av", "bv", 0.75)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    val want = a.join(b, Seq("k")).filter(abs($"av" - $"bv") <= 0.75)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+  }
+}
