@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming pipelines over the `events` shape (event_id, ts,
+  * user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY §1.2: "no streams");
+  * these are the scale-out extensions a continuously-ingested project
+  * needs: the same transforms run identically on `spark.read` (backfill)
+  * and `spark.readStream` (live), which is the point of the DataFrame
+  * abstraction.
+  */
+object EventStreams {
+
+  /** Tumbling/sliding windowed aggregation with a watermark: event counts
+    * and value sums per (window, event_type). Works on batch or streaming
+    * frames — pass either. */
+  def windowedCounts(events: DataFrame, window_ : String = "5 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("total"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, total: Double,
+      lastTs: Long)
+  final case class UserSession(user_id: Long, nEvents: Long, total: Double)
+
+  /** Custom stateful sessionization via mapGroupsWithState: per-user
+    * running aggregates with a processing-time idle timeout.
+    * `idleTimeoutMs <= 0` disables the timeout (finite/backfill streams:
+    * with a processing-time timeout the engine schedules empty
+    * micro-batches forever, so `processAllAvailable` never settles). */
+  def sessionize(events: Dataset[Event],
+      idleTimeoutMs: Long = 30 * 60 * 1000): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val conf = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSession](conf) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserSession(user, s.nEvents, s.total)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var n = prev.nEvents; var tot = prev.total; var last = prev.lastTs
+            batch.foreach { e =>
+              n += 1; tot += e.value; last = math.max(last, e.ts.getTime)
+            }
+            state.update(SessionState(n, tot, last))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            UserSession(user, n, tot)
+          }
+      }
+  }
+
+  /** Run a streaming query over a batch of files synchronously into an
+    * in-memory sink (local smoke path): returns the materialized result
+    * table. */
+  def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = streaming.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

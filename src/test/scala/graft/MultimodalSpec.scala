@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.asMedia(
+    Seq((1L, "abcdefghij"), (2L, "xyz"), (3L, "")).toDF("id", "blob"),
+    "id", "blob", "image")
+
+  test("asMedia: binary payload + metadata columns") {
+    val r = media.orderBy("id").collect()
+    assert(media.schema("payload").dataType.typeName == "binary")
+    assert(r(0).getAs[Int]("n_bytes") == 10)
+    assert(r(2).getAs[Int]("n_bytes") == 0)
+    // checksum matches md5 of the text bytes
+    val want = Seq((1L, "abcdefghij"), (2L, "xyz")).toDF("id", "t")
+      .select($"id", md5($"t").as("m")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(0).getAs[String]("checksum") == want(1L))
+  }
+
+  test("decodeFeatures: mapPartitions batch decode, deterministic stub") {
+    val f = Multimodal.decodeFeatures(media).collect()
+      .map(x => x.id -> x).toMap
+    assert(f(1L).n_bytes == 10 && f(1L).feature.length == 8)
+    assert(f(1L).checksum == media.filter($"id" === 1)
+      .select("checksum").head().getString(0))
+    // deterministic: same input → same features on re-run
+    val again = Multimodal.decodeFeatures(media).collect().map(x => x.id -> x).toMap
+    assert(f(1L).feature.toSeq == again(1L).feature.toSeq)
+    assert(f(3L).n_bytes == 0) // empty payload handled
+  }
+
+  test("sampleFrames: explode shape with stride") {
+    val frames = Multimodal.sampleFrames(media.filter($"id" === 1), 3, 2)
+    val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(idx == Seq(0, 2)) // 10 bytes / 3 = 3 frames, stride 2 → 0, 2
+    val f0 = frames.filter($"frame_idx" === 0).select("frame").head()
+      .getAs[Array[Byte]](0)
+    assert(new String(f0) == "abc")
+  }
+}

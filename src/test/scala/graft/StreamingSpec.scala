@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.GraftSession
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def batchEvents = GraftSession.table(spark, sf, "events")
+    .withColumn("ts", GraftSession.nanosToTimestamp(col("ts")))
+
+  test("windowed aggregation: streaming result == batch result") {
+    // batch ground truth
+    val batch = EventStreams.windowedCounts(batchEvents)
+      .orderBy("window_start", "event_type").collect()
+
+    // same frame through a real streaming source (file stream over a
+    // parquet copy) into a memory sink. Complete mode: on a finite
+    // stream, append mode would withhold windows past the watermark.
+    val dir = tmpDir("stream-in")
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val got = EventStreams.runToMemory(spark,
+        EventStreams.windowedCounts(stream), "win_counts",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy("window_start", "event_type").collect()
+
+    assert(batch.length > 0)
+    assert(got.length == batch.length && got.sameElements(batch))
+  }
+
+  test("stateful sessionization via mapGroupsWithState") {
+    val events = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventStreams.Event]
+
+    val dir = tmpDir("sess-in")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+      .as[EventStreams.Event]
+
+    val sessions = EventStreams.sessionize(stream, idleTimeoutMs = 0)
+    val q = sessions.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("sessions").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sessions")
+      .groupBy("user_id").agg(max("nEvents").as("nEvents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = events.groupBy("user_id").agg(count(lit(1)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}
