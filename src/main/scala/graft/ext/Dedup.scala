@@ -59,10 +59,19 @@ object Dedup {
     val rows = k / bands
     val sh = shingled(df, idCol, textCol, shingleN)
 
-    val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(shingles(tokens(col(textCol)), shingleN), k).as("sig"))
-    val bk = sig.select(col("__id"),
-      explode(bandKeys(col("sig"), bands, rows)).as("b"))
+    // signature in ONE aggregation pass over the exploded shingles
+    // (k min-aggregates, map-side partial) — the per-row
+    // minhashSignature() expression re-evaluates the shingle array per
+    // hash family, k× slower; value-identical otherwise.
+    val aggs = (0 until k).map(i =>
+      min(substring(md5(concat(lit(s"${i}_"), col("__shingle"))), 1, 16))
+        .as(s"m$i"))
+    val sig = sh.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val bandCols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), md5(concat_ws(",", bandCols: _*)).as("bkey"))
+    }
+    val bk = sig.select(col("__id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("__id"), col("b.band"), col("b.bkey"))
 
     val cand = bk.as("x").join(bk.as("y"),
@@ -113,8 +122,21 @@ object Dedup {
     * `maxHamming` (pigeonhole: distance <= 3 ⇒ some chunk equal). */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"),
-      simhash60(tokens(col(textCol))).as("sim"))
+    // one md5 per token (explode), then 60 codegen'd integer vote sums in
+    // a single aggregation — the per-row simhash60() expression
+    // re-evaluates the token-hash array per bit (60× the md5 work);
+    // value-identical otherwise.
+    val tok = df.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("__tok"))
+      .withColumn("__h",
+        conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map(i =>
+      sum(shiftright(col("__h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$i"))
+    val sigs = tok.groupBy("__id").agg(votes.head, votes.tail: _*)
+      .select(col("__id"),
+        (0 until 60).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
     val chunks = sigs.select(col("__id"), col("sim"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), simhashChunk(col("sim"), c).as("v"))): _*))
@@ -144,7 +166,7 @@ object Dedup {
     v.as("x").join(v.as("y"),
         col("x.__part") === col("y.__part") && col("x.__id") < col("y.__id"))
       .withColumn("cos",
-        graft.functions.VectorFunctions.cosine(col("x.__vec"), col("y.__vec")))
+        graft.functions.VectorFunctions.cosineFast(col("x.__vec"), col("y.__vec")))
       .filter(col("cos") >= threshold)
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"), col("cos"))
   }

@@ -29,7 +29,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", cosineFast(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -42,14 +42,14 @@ object Similarity {
     * Multi-probe (flipping each single bit) can be layered by exploding
     * buckets — kept single-probe here for determinism. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, k: Int): DataFrame = {
+      nBits: Int, k: Int, dims: Int = 64): DataFrame = {
     val b = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-      lshBucket(col(vecCol), nBits).as("__bucket"))
+      lshBucket(col(vecCol), nBits, dims).as("__bucket"))
     val pairs = b.as("x").join(b.as("y"),
         col("x.__bucket") === col("y.__bucket") &&
           col("x.__id") =!= col("y.__id"))
       .select(col("x.__id").as("q_id"), col("y.__id").as("n_id"),
-        cosine(col("x.__vec"), col("y.__vec")).as("cos"))
+        cosineFast(col("x.__vec"), col("y.__vec")).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     pairs.withColumn("rank", row_number().over(w))
