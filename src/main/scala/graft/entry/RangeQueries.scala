@@ -78,6 +78,22 @@ object RangeQueries {
         .orderBy("chrom", "o_orderkey", "o_orderkey2")
     }),
 
+    // As-of join (absent from the reference, SURVEY §2.3; added as a
+    // first-class time-series operator): for each purchase, the latest
+    // click at-or-before it per user. One shuffle + sort, no join node.
+    "q26_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events") // ts read as long nanos (nanosAsLong)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("tsn"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("tsn"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsofJoin.backward(purchases, clicks,
+          Seq("user_id"), "tsn", "tsn")
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    }),
+
     // J6 (point form) + J9: containment join classifying points into a
     // small interval dimension (the intron/exon membership test of
     // junction.py:229-263).
@@ -125,6 +141,14 @@ object RangeQueries {
         |  AND CAST(GREATEST(0, LEAST(a.e,b.e)-GREATEST(a.s,b.s)+1) AS DOUBLE)
         |    / CAST(b.e-b.s+1 AS DOUBLE) >= 0.5
         |ORDER BY a.chrom, a.o_orderkey, o_orderkey2""".stripMargin,
+    "q26_asof" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events
+        |           WHERE event_type='purchase'),
+        | r AS (SELECT user_id, epoch_ns(ts) AS tsn, MAX(event_id) AS click_id
+        |       FROM events WHERE event_type='click' GROUP BY 1,2)
+        |SELECT l.event_id, l.user_id, r.click_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsn >= r.tsn
+        |ORDER BY l.event_id""".stripMargin,
     "q25_membership" ->
       """WITH bins AS (SELECT i%5 AS chrom, i//5 AS bin_id,
         |  (i//5)*500 AS lo, (i//5)*500+499 AS hi FROM range(50) t(i)),

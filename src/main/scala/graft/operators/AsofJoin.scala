@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed backward as-of join: for every left row, the most recent
+  * right row with `rightTs <= leftTs` within the same key group.
+  *
+  * Not in the reference (SURVEY §2.3 notes its absence) — added as a
+  * first-class time-series operator for event/feature alignment.
+  *
+  * Implementation is the union-tag trick, which Spark executes as ONE
+  * shuffle + sort over the combined stream (no join at all):
+  * right rows and left rows interleave in (key, ts) order; a running
+  * `last(right_payload, ignoreNulls)` window carries the latest right
+  * payload forward onto each left row. At 100 TB this is
+  * shuffle-by-key + in-partition sort — the minimal possible movement
+  * for this semantics, with no risk of the O(|L|·|R|) blowup a naive
+  * `ts_r <= ts_l` range join has.
+  *
+  * Equal timestamps: right rows sort BEFORE left rows, so a right row at
+  * exactly leftTs matches (>= semantics). Right rows must be unique per
+  * (keys, ts) — pre-aggregate duplicates or results are tie-broken by
+  * window order of the duplicates.
+  */
+object AsofJoin {
+
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    val rightPayloadCols = right.columns.filterNot(c =>
+      keys.contains(c) || c == rightTs)
+    val payload = struct(rightPayloadCols.map(col): _*)
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), payload.as("__r"),
+        lit(0).as("__src")): _*)
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"),
+        lit(null).cast(taggedRight.schema("__r").dataType).as("__r"),
+        lit(1).as("__src")) ++ leftCols.map(col): _*)
+
+    // pad the right stream with the left's columns so the union lines up
+    val paddedRight = leftCols.foldLeft(taggedRight)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedLeft.unionByName(paddedRight)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .drop("__r", "__src")
+      .withColumnRenamed("__ts", leftTs)
+      .select((keys.map(col) :+ col(leftTs)) ++
+        leftCols.map(col) ++
+        rightPayloadCols.map(c => col("__match").getField(c).as(c)): _*)
+  }
+
+  /** As-of join with a tolerance window: match only if the right row is
+    * within `maxGap` time units before the left row. */
+  def backwardWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, maxGap: Long,
+      rightTsOut: String = "matched_ts"): DataFrame = {
+    val r2 = right.withColumn(rightTsOut, col(rightTs))
+    val joined = backward(left, r2, keys, leftTs, rightTs)
+    val within = col(rightTsOut).isNotNull &&
+      (col(leftTs) - col(rightTsOut)) <= maxGap
+    val outCols = r2.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    outCols.foldLeft(joined)((df, c) =>
+      df.withColumn(c, when(within, col(c))))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.AsofJoin
+
+class AsofSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    ("u1", 100L, "p1"), ("u1", 205L, "p2"), ("u1", 50L, "p0"),
+    ("u2", 300L, "p3")).toDF("user", "ts", "purchase")
+  private lazy val right = Seq(
+    ("u1", 90L, "c1"), ("u1", 100L, "c2"), ("u1", 200L, "c3"),
+    ("u2", 400L, "c4")).toDF("user", "ts", "click")
+
+  test("backward asof: latest right at-or-before each left") {
+    val got = AsofJoin.backward(left, right, Seq("user"), "ts", "ts")
+      .select("user", "ts", "purchase", "click")
+      .as[(String, Long, String, Option[String])].collect().toSet
+    assert(got == Set(
+      ("u1", 50L, "p0", None),          // nothing at or before 50
+      ("u1", 100L, "p1", Some("c2")),   // equal ts matches (>=)
+      ("u1", 205L, "p2", Some("c3")),
+      ("u2", 300L, "p3", None)))        // u2's only click is later
+  }
+
+  test("backwardWithin: matches outside the gap are nulled") {
+    val got = AsofJoin.backwardWithin(left, right, Seq("user"), "ts", "ts",
+        maxGap = 10L)
+      .select("user", "ts", "click")
+      .as[(String, Long, Option[String])].collect().toSet
+    assert(got == Set(
+      ("u1", 50L, None),
+      ("u1", 100L, Some("c2")),
+      ("u1", 205L, Some("c3")),        // gap 5 <= 10
+      ("u2", 300L, None)))
+  }
+
+  test("asof plan has no join node — one shuffle + window") {
+    val plan = AsofJoin.backward(left, right, Seq("user"), "ts", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"))
+  }
+}
