@@ -41,6 +41,15 @@ object Dedup {
     df.select(col(idCol).as("__id"),
       explode(shingles(tokens(col(textCol)), n)).as("__shingle"))
 
+  /** (id, xxhash64(shingle)) — the join/agg representation: set
+    * intersections over 8-byte keys instead of shingle strings (same
+    * counts; 64-bit collisions are ~1e-8 at corpus scale and only the
+    * intersection COUNT is consumed). */
+  private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingled(df, idCol, textCol, n)
+      .select(col("__id"), xxhash64(col("__shingle")).as("__sh"))
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle → k-minhash signature → `bands` band keys → bucket-join →
@@ -80,11 +89,12 @@ object Dedup {
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
       .distinct()
 
-    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    val shh = shingleHashes(df, idCol, textCol, shingleN)
+    val sizes = shh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.select(col("__id").as("a_id"), col("__shingle")), "a_id")
-      .join(sh.select(col("__id").as("b_id"), col("__shingle")),
-        Seq("b_id", "__shingle"))
+      .join(shh.select(col("__id").as("a_id"), col("__sh")), "a_id")
+      .join(shh.select(col("__id").as("b_id"), col("__sh")),
+        Seq("b_id", "__sh"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
 
     inter
@@ -101,11 +111,11 @@ object Dedup {
     * shingle groups; use [[minhashNearDup]] at corpus scale. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(df, idCol, textCol, shingleN)
+    val sh = shingleHashes(df, idCol, textCol, shingleN)
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("__id").as("a_id"), col("__shingle"))
-      .join(sh.select(col("__id").as("b_id"), col("__shingle")),
-        Seq("__shingle"))
+    val inter = sh.select(col("__id").as("a_id"), col("__sh"))
+      .join(sh.select(col("__id").as("b_id"), col("__sh")),
+        Seq("__sh"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     inter
