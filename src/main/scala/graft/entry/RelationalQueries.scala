@@ -243,6 +243,31 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Sketch aggregates (SURVEY §7: scale-out replacement for exact A2
+    // where exactness isn't required). No DuckDB oracle — sketch values
+    // are engine-specific; the driver records the rows-only check.
+    "q27_sketches" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"))
+        .orderBy("event_type")
+    }),
+
+    // Two-phase salted aggregation for skewed group keys (ext/Skew):
+    // 5 giant groups spread over (key, salt) reducers first. Result is
+    // identical to the plain GROUP BY — only the shuffle shape differs.
+    "q28_salted_agg" -> ((s, dir) => {
+      graft.ext.Skew.saltedSumAgg(t(s, dir, "events"),
+          keys = Seq("event_type"), salts = 8,
+          aggs = Seq("n" -> count(lit(1)),
+            "total" -> sum(col("value").cast("decimal(18,6)"))))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("event_type")
+    }),
+
     // A8/C11: single-row summary; timestamps cast to DATE at the edge.
     "q24_minmax_dates" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -352,6 +377,10 @@ object RelationalQueries {
         |WHERE o_orderstatus='F' AND o_orderpriority IN ('1-URGENT','2-HIGH')
         |  AND o_totalprice >= 50000.0
         |ORDER BY o_orderkey""".stripMargin,
+    "q28_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_minmax_dates" ->
       """SELECT CAST(MIN(o_orderdate) AS DATE) AS first_date,
         | CAST(MAX(o_orderdate) AS DATE) AS last_date, COUNT(*) AS n

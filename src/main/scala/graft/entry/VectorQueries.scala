@@ -46,12 +46,24 @@ object VectorQueries {
           "label", threshold = 0.4)
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
+    }),
+
+    // IVF ANN: coarse-quantize to the 8 lowest-id vectors as centroids,
+    // single-probe top-3 within the query's own cell.
+    "q43_ivf_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", cents,
+          col("vec_id") < 10, k = 3)
+        .orderBy("q_id", "rank")
     }))
 
   val oracleSql: Map[String, String] = Map(
     "q40_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id<10),
-        |sc AS (SELECT q_id, vec_id AS n_id, list_cosine_similarity(qv, embedding) AS cos
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id<10),
+        |sc AS (SELECT q_id, vec_id AS n_id,
+        |         list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
         |       FROM embeddings, q WHERE vec_id <> q_id),
         |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
         |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
@@ -74,6 +86,23 @@ object VectorQueries {
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM embeddings a JOIN embeddings b
         |  ON a.label=b.label AND a.vec_id<b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin)
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q43_ivf_ann" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        |              FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, embedding, cid FROM (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec), c.cid) AS rn
+        |  FROM embeddings e, cent c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, cid
+        |      FROM asg WHERE vec_id < 10),
+        |sc AS (SELECT q.q_id, a.vec_id AS n_id,
+        |        list_cosine_similarity(q.qv, a.embedding::DOUBLE[]) AS cos
+        |       FROM q JOIN asg a USING (cid) WHERE a.vec_id <> q.q_id),
+        |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+        |      FROM sc)
+        |SELECT q_id, n_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
 }

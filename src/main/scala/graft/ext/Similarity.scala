@@ -37,6 +37,41 @@ object Similarity {
       .select("q_id", "n_id", "rank")
   }
 
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * centroid (broadcast; argmin L2 with centroid-id tiebreak). The cell
+    * id is the ANN partition key — at corpus scale this is the standard
+    * inverted-file layout: cluster once, write partitioned by cell, and
+    * every query probes one (or nProbe) cells instead of the corpus. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2sq(col(vecCol), col("cvec")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__d").asc, col("cid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__d", "__rn", "cvec")
+  }
+
+  /** Single-probe IVF top-k: queries search only their own cell.
+    * `centroids` must have columns (cid, cvec). */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val q = assigned.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("__qv"), col("cid"))
+    val scored = assigned
+      .select(col(idCol).as("n_id"), col(vecCol).as("__cv"), col("cid"))
+      .join(q, Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosineFast(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
   /** LSH-bucketed candidate scoring: rows are assigned an `nBits`
     * hyperplane bucket; pairs within a bucket are scored and ranked.
     * Multi-probe (flipping each single bit) can be layered by exploding
