@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class VcfSourceSpec extends SparkSpecBase {
+
+  test("DSv2 vcf source: short name, schema, record parse") {
+    val df = spark.read.format("vcf").load(fixture("s1.vcf"))
+    assert(df.columns.toSeq == Seq("chrom", "pos", "id", "ref", "alt",
+      "qual", "filter", "info", "format", "sample0", "samplename"))
+    val rows = df.orderBy("pos").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "chr1" && rows(0).getLong(1) == 100L)
+    assert(rows(0).getString(2) == "rs1")
+    // first-alt truncation + first-FILTER + '.' qual -> null
+    assert(rows(1).isNullAt(2))
+    assert(rows(1).getString(4) == "C")
+    assert(rows(1).getString(6) == "PASS")
+    assert(rows(1).isNullAt(5))
+    assert(rows(0).getAs[String]("samplename") == "s1")
+  }
+
+  test("multi-file load: one partition per file, samplename per file") {
+    val df = spark.read.format("vcf")
+      .load(fixture("s1.vcf"), fixture("s2.vcf"))
+    assert(df.rdd.getNumPartitions == 2)
+    val bySample = df.groupBy("samplename").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySample == Map("s1" -> 2L, "s2" -> 2L))
+  }
+
+  test("filters and projection compose on the source") {
+    val df = spark.read.format("vcf")
+      .load(fixture("s1.vcf"), fixture("s2.vcf"))
+      .filter(col("chrom") === "chr1" && col("pos") === 100L)
+      .select("samplename", "ref", "alt")
+    assert(df.count() == 2)
+    assert(df.select("ref").distinct().head().getString(0) == "A")
+  }
+}
