@@ -13,11 +13,20 @@ import org.apache.spark.sql.functions._
   * lands in the Parquet scan, not in a post-read stage.
   */
 final case class FilterSpec(field: String, op: String, value: Any = null) {
+
+  /** Scalar → lit; Seq → array literal (genotype specs like `gt = [0,1]`
+    * compare against array columns). */
+  private def valueLit(v: Any): Column = v match {
+    case s: Seq[_]   => array(s.map(x => lit(x)): _*)
+    case a: Array[_] => array(a.toSeq.map(x => lit(x)): _*)
+    case other       => lit(other)
+  }
+
   def toColumn: Column = {
     val c = col(field)
     op.toLowerCase match {
-      case "==" | "=" | "eq"        => c === lit(value)
-      case "!=" | "<>" | "ne"       => c =!= lit(value)
+      case "==" | "=" | "eq"        => c === valueLit(value)
+      case "!=" | "<>" | "ne"       => c =!= valueLit(value)
       case ">" | "gt"               => c > lit(value)
       case ">=" | "ge" | "gte"      => c >= lit(value)
       case "<" | "lt"               => c < lit(value)

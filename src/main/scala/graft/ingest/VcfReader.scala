@@ -74,23 +74,15 @@ object VcfReader {
       impactFields: Seq[(String, String)],
       formatKeys: Seq[String]): DataFrame = {
     val hdr = readHeader(path)
-    val c = split(col("value"), "\t")
 
-    val base = spark.read.text(path)
-      .filter(!col("value").startsWith("#"))
-      .select(
-        element_at(c, 1).as("chrom"),
-        element_at(c, 2).cast("long").as("pos"),
-        nullif(element_at(c, 3), lit(".")).as("id"),
-        element_at(c, 4).as("ref"),
-        // multi-allelic truncation: first alt only
-        element_at(split(element_at(c, 5), ","), 1).as("alt"),
-        nullif(element_at(c, 6), lit(".")).cast("double").as("qual"),
-        // first FILTER entry only
-        element_at(split(element_at(c, 7), ";"), 1).as("filter"),
-        element_at(c, 8).as("__info"),
-        split(element_at(c, 9), ":").as("__fmtkeys"),
-        split(element_at(c, 10), ":").as("__smp0"))
+    // record-level parse via the DSv2 source (graft.sources.VcfDataSource):
+    // mandatory fields pre-parsed, INFO/FORMAT/sample payloads raw
+    val base = spark.read.format("vcf").load(path)
+      .select(col("chrom"), col("pos"), col("id"), col("ref"), col("alt"),
+        col("qual"), col("filter"),
+        col("info").as("__info"),
+        split(col("format"), ":").as("__fmtkeys"),
+        split(col("sample0"), ":").as("__smp0"))
 
     // FORMAT fields of sample 0, positional per record.
     val withFormat = formatKeys.foldLeft(base) { (df, k) =>
