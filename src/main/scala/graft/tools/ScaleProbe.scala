@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.ext.{Dedup, Similarity}
+import graft.ranges.RangeJoin
+
+/** Local scale stress: replicate the sf tables N× (ids offset per copy)
+  * and time the scale-path operators. `runMain graft.tools.ScaleProbe
+  * [sfDir] [copies]`. Near-dup pairs multiply by copies (each copy
+  * repeats the planted pairs) and cross-copy exact duplicates appear —
+  * intentionally: the point is candidate-generation cost, which is the
+  * term that explodes when an algorithm is quadratic. */
+object ScaleProbe {
+
+  private def time[T](name: String)(f: => T): Unit = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+  }
+
+  def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame = {
+    val step = 10000000L
+    (0 until copies).map(i =>
+      df.withColumn(idCol, col(idCol) + lit(i * step)))
+      .reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = GraftSession.local()
+    import spark.implicits._
+
+    val docs = replicate(GraftSession.table(spark, sfDir, "documents")
+      .select("doc_id", "text"), "doc_id", copies).cache()
+    val emb = replicate(GraftSession.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label"), "vec_id", copies).cache()
+    println(s"[probe] docs=${docs.count()} vectors=${emb.count()} (copies=$copies)")
+
+    time("exact_dedup")(Dedup.exact(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).count())
+    time("minhash_lsh_raw")(Dedup.minhashNearDup(docs, "doc_id", "text",
+      3, 12, 4, 0.5).count())
+    // production order: exact dedup BEFORE minhash — LSH candidate cost
+    // is Σ|bucket|², and exact-duplicate groups are degenerate buckets
+    val deduped = docs.join(
+      Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .cache()
+    time("minhash_after_dedup")(Dedup.minhashNearDup(deduped, "doc_id",
+      "text", 3, 12, 4, 0.5).count())
+    time("simhash")(Dedup.simhashNearDup(docs, "doc_id", "text", 3).count())
+    time("ann_topk_bruteforce")(Similarity.bruteForceTopK(emb,
+      emb.filter($"vec_id" < 10), "vec_id", "embedding", 5).count())
+    time("ann_lsh_buckets")(emb.select(
+      graft.functions.VectorFunctions.lshBucket($"embedding", 8))
+      .distinct().count())
+
+    val iv = replicate(GraftSession.table(spark, sfDir, "orders")
+      .select("o_orderkey"), "o_orderkey", copies)
+      .select((col("o_orderkey") % 5).as("chrom"),
+        ((col("o_orderkey") * 7) % 500000).as("s1"),
+        ((col("o_orderkey") * 7) % 500000 + 1 + col("o_orderkey") % 40).as("e1"),
+        col("o_orderkey"))
+    val iv2 = iv.select(col("chrom"), col("s1").as("s2"), col("e1").as("e2"),
+      col("o_orderkey").as("k2"))
+    time("interval_selfjoin")(RangeJoin.overlapJoin(iv, iv2,
+      Seq("chrom"), "s1", "e1", "s2", "e2", 64L).count())
+
+    spark.stop()
+  }
+}
