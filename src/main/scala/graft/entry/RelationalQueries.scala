@@ -268,6 +268,22 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Deterministic stratified sampling (ext/Sampling): per-event-type
+    // quota of 20, hash-ordered so any engine/run selects the same rows.
+    "q29_stratified_sample" -> ((s, dir) => {
+      graft.ext.Sampling.stratified(t(s, dir, "events"),
+          strata = Seq("event_type"), keyCol = "event_id", n = 20)
+        .select("event_type", "event_id")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Deterministic fraction sampling — map-only, no shuffle.
+    "q44_fraction_sample" -> ((s, dir) => {
+      graft.ext.Sampling.byFraction(t(s, dir, "events"), "event_id", 0.1)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    }),
+
     // A8/C11: single-row summary; timestamps cast to DATE at the edge.
     "q24_minmax_dates" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -381,6 +397,18 @@ object RelationalQueries {
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_stratified_sample" ->
+      """SELECT event_type, event_id FROM (
+        |  SELECT event_type, event_id, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 20 ORDER BY event_type, event_id""".stripMargin,
+    "q44_fraction_sample" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),1,8)) AS BIGINT)
+        |      < 429496729
+        |ORDER BY event_id""".stripMargin,
     "q24_minmax_dates" ->
       """SELECT CAST(MIN(o_orderdate) AS DATE) AS first_date,
         | CAST(MAX(o_orderdate) AS DATE) AS last_date, COUNT(*) AS n

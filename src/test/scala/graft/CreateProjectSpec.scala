@@ -44,6 +44,15 @@ class CreateProjectSpec extends SparkSpecBase {
          |      manifest:
          |        s1: ${f("s1.vcf")}
          |        s2: ${f("s2.vcf")}
+         |  rna_snps:
+         |    vcf:
+         |      policy: intersection
+         |      format_keys: [GT]
+         |      fields:
+         |        consequence: str
+         |        af: float
+         |      manifest:
+         |        s1: ${f("s1.vcf")}
          |""".stripMargin
     val p = java.nio.file.Files.createTempFile("graft-cfg", ".yaml")
     java.nio.file.Files.writeString(p, yaml)
@@ -71,6 +80,13 @@ class CreateProjectSpec extends SparkSpecBase {
     assert(cat.read("transcript_expression").count() == 2)
     assert(variants.dim.count() == 3)
     assert(variants.sampleVariants.count() == 4)
+
+    // rna family lives under the prefix matrix, independent of dna
+    val rnaVariants = new Variants(cat, rna = true)
+    assert(cat.exists("rna_variants"))
+    assert(rnaVariants.dim.count() == 2)          // s1's two variants
+    assert(rnaVariants.sampleVariants.count() == 2)
+    assert(rnaVariants.impacts.columns.contains("consequence"))
 
     // re-run: everything idempotent, nothing duplicated
     CreateProject.run(spark, cfg)

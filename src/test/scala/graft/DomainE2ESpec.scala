@@ -36,14 +36,21 @@ class DomainE2ESpec extends SparkSpecBase {
     Normalize.normalizeVariants(c, vcf,
       impactCols = Seq("consequence", "impact", "gene", "af", "canonical"),
       formatCols = Seq("gt", "gt_raw", "dp"), rna = false, filtered = false)
-    // genome annotation: g1 on chr1(+): t1 exons (1,30),(61,100)
-    c.write(Seq(("g1", "chr1", 1L, 100L, "+", "GENE1", "test gene", "protein_coding"))
+    // genome annotation: g1 on chr1(+): t1 exons (1,30),(61,100);
+    // gm on chr2(-): tm exons (1,30),(61,100)
+    c.write(Seq(
+      ("g1", "chr1", 1L, 100L, "+", "GENE1", "test gene", "protein_coding"),
+      ("gm", "chr2", 1L, 100L, "-", "GENE2", "minus gene", "protein_coding"))
       .toDF("id", "chrom", "start", "end", "strand", "name", "description", "biotype"),
       "genes")
-    c.write(Seq(("t1", "g1", "chr1", 1L, 100L, "+", "protein_coding"))
+    c.write(Seq(
+      ("t1", "g1", "chr1", 1L, 100L, "+", "protein_coding"),
+      ("tm", "gm", "chr2", 1L, 100L, "-", "protein_coding"))
       .toDF("id", "gene", "chrom", "start", "end", "strand", "biotype"),
       "transcripts")
-    c.write(Seq(("t1", 1, "chr1", 1L, 30L, "+"), ("t1", 2, "chr1", 61L, 100L, "+"))
+    c.write(Seq(
+      ("t1", 1, "chr1", 1L, 30L, "+"), ("t1", 2, "chr1", 61L, 100L, "+"),
+      ("tm", 1, "chr2", 1L, 30L, "-"), ("tm", 2, "chr2", 61L, 100L, "-"))
       .toDF("transcript", "rank", "chrom", "start", "end", "strand"),
       "exons")
     c
@@ -158,8 +165,9 @@ class DomainE2ESpec extends SparkSpecBase {
 
   test("Genome: introns derived from exon gaps; sequence + translation") {
     val in = genome.introns.collect()
-    assert(in.length == 1)
-    assert(in.head.getAs[Long]("start") == 31 && in.head.getAs[Long]("end") == 60)
+    assert(in.length == 2) // one gap per transcript (t1, tm)
+    assert(in.forall(r => r.getAs[Long]("start") == 31 &&
+      r.getAs[Long]("end") == 60))
     // chr1 = "ACGT"*30 → 1-based [1,4] = ACGT; minus strand = revcomp
     assert(genome.getSequence("chr1", 1, 4) == "ACGT")
     assert(genome.getSequence("chr1", 1, 4, "-") == "ACGT") // revcomp of ACGT
@@ -179,5 +187,18 @@ class DomainE2ESpec extends SparkSpecBase {
     val j3 = Junction("chr1", 25, 65, "+")
     val (nuc3, _) = j3.newTranscript(genome, "t1")
     assert(nuc3 == chr1.substring(0, 25) + chr1.substring(64, 100))
+  }
+
+  test("Junction.newTranscript on the minus strand: stitch then revcomp") {
+    val jm = Junction("chr2", 31, 60, "-")
+    assert(jm.genes(genome).select("id").head().getString(0) == "gm")
+    val fm = jm.features(genome).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(fm == Set(("start", "intron"), ("end", "intron")))
+    val (nuc, aa) = jm.newTranscript(genome, "tm")
+    val chr2 = "GGCCA" * 24
+    val plus = chr2.substring(0, 30) + chr2.substring(60, 100)
+    assert(nuc == genome.reverseComplement(plus))
+    assert(aa == genome.translate(nuc))
   }
 }
