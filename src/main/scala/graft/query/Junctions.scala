@@ -64,6 +64,15 @@ final class Junctions(catalog: TableCatalog, project: Project) {
       j("id") === col("junction"), "inner").drop("junction")
   }
 
+  /** Reify query results as entity objects (the reference's
+    * `df=False` mode, `junction.py:63-72` — returning the full list, not
+    * just the first row as the buggy original did). Driver-side by
+    * nature; intended for small result sets. */
+  def toEntities(df: org.apache.spark.sql.DataFrame): Seq[graft.model.Junction] =
+    df.select("chrom", "start", "end", "strand").distinct()
+      .collect().toSeq.map(r => graft.model.Junction(
+        r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
   /** E10: per-sample user-defined junction filter — the reference's
     * planned `filter_junctions` surface (`junction.py:113-130`,
     * readme:109-111). Applies `f` to the (dim ⋈ bridge) rows of each

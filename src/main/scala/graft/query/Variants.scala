@@ -54,4 +54,13 @@ final class Variants(catalog: TableCatalog, rna: Boolean = false,
       countDistinct(col("samplename")).as("n_samples"),
       countDistinct(col("variant_id")).as("n_variants"),
       count(lit(1)).as("n_observations"))
+
+  /** Human-readable summary (the reference's `__str__`, which built the
+    * string but forgot to return it — SURVEY §2.10). */
+  def summaryString: String = {
+    val r = summary.head()
+    s"${r.getLong(1)} variants across ${r.getLong(0)} samples " +
+      s"(${r.getLong(2)} observations, " +
+      s"family=${catalog.variantTable("variants", rna, filtered)})"
+  }
 }

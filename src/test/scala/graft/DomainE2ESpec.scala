@@ -82,6 +82,18 @@ class DomainE2ESpec extends SparkSpecBase {
     assert(junctions.select(filtered = false).count() == 5)
   }
 
+  test("Junctions.toEntities reifies distinct junction rows") {
+    val es = junctions.toEntities(junctions.select(cohorts = Seq("a"),
+      filtered = false))
+    assert(es.size == 3 && es.contains(Junction("chr1", 31, 60, "+")))
+  }
+
+  test("Variants.summaryString formats the A2 summary") {
+    val s = new Variants(cat).summaryString
+    assert(s.contains("3 variants") && s.contains("2 samples") &&
+      s.contains("family=variants"))
+  }
+
   test("Junctions.search: region + strand") {
     assert(junctions.search("chr1", 1, 40, filtered = false, uniq = true).count() == 3)
     assert(junctions.search("chr2", 550, 560, filtered = false, uniq = true).count() == 1)
