@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -67,28 +67,62 @@ private class VcfTable(paths: Seq[String]) extends Table with SupportsRead {
     new VcfScanBuilder(paths)
 }
 
-private class VcfScanBuilder(paths: Seq[String]) extends ScanBuilder {
-  override def build(): Scan = new VcfScan(paths)
+/** Column pruning + chrom/pos filter pushdown: unprojected payload
+  * columns are never materialized (INFO strings dominate VCF bytes), and
+  * pushed chrom/pos predicates skip records before row construction. */
+private class VcfScanBuilder(paths: Seq[String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = VcfDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source field order; empty projections (count(*)) keep none
+    required = StructType(VcfDataSource.schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("chrom", _: String) => true
+      case In("chrom", _)              => true
+      case EqualTo("pos", _: Long) | GreaterThan("pos", _: Long) |
+           GreaterThanOrEqual("pos", _: Long) | LessThan("pos", _: Long) |
+           LessThanOrEqual("pos", _: Long) => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected // pushed filters are also re-applied by Spark only if returned; we fully evaluate ours
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new VcfScan(paths, required, pushed)
 }
 
-private class VcfScan(paths: Seq[String]) extends Scan with Batch {
-  override def readSchema(): StructType = VcfDataSource.schema
+private class VcfScan(paths: Seq[String], required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => VcfInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new VcfReaderFactory
+    new VcfReaderFactory(required.fieldNames, pushed)
+  override def description(): String =
+    s"VcfScan PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
 }
 
 private case class VcfInputPartition(path: String) extends InputPartition
 
-private class VcfReaderFactory extends PartitionReaderFactory {
+private class VcfReaderFactory(fields: Array[String], pushed: Array[Filter])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new VcfPartitionReader(p.asInstanceOf[VcfInputPartition].path)
+    new VcfPartitionReader(p.asInstanceOf[VcfInputPartition].path, fields,
+      pushed)
 }
 
-private class VcfPartitionReader(path: String)
-    extends PartitionReader[InternalRow] {
+private class VcfPartitionReader(path: String, fields: Array[String],
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
 
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(
@@ -102,10 +136,33 @@ private class VcfPartitionReader(path: String)
 
   override def next(): Boolean = {
     var line = reader.readLine()
-    while (line != null && (line.startsWith("#") || line.isEmpty))
+    while (line != null &&
+        (line.startsWith("#") || line.isEmpty || !passes(line)))
       line = reader.readLine()
     if (line == null) { row = null; false }
     else { row = parse(line); true }
+  }
+
+  /** Pushed chrom/pos predicate evaluation on the raw line — records are
+    * skipped before any UTF8String/row allocation. */
+  private def passes(line: String): Boolean = {
+    if (pushed.isEmpty) return true
+    val t1 = line.indexOf('\t')
+    if (t1 < 0) return true
+    val t2 = line.indexOf('\t', t1 + 1)
+    if (t2 < 0) return true
+    val chrom = line.substring(0, t1)
+    lazy val pos = java.lang.Long.parseLong(line.substring(t1 + 1, t2))
+    pushed.forall {
+      case EqualTo("chrom", v: String)        => chrom == v
+      case In("chrom", vs)                    => vs.contains(chrom)
+      case EqualTo("pos", v: Long)            => pos == v
+      case GreaterThan("pos", v: Long)        => pos > v
+      case GreaterThanOrEqual("pos", v: Long) => pos >= v
+      case LessThan("pos", v: Long)           => pos < v
+      case LessThanOrEqual("pos", v: Long)    => pos <= v
+      case _                                  => true
+    }
   }
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
@@ -113,18 +170,24 @@ private class VcfPartitionReader(path: String)
   private def parse(line: String): InternalRow = {
     val f = line.split("\t", -1)
     def at(i: Int): String = if (i < f.length) f(i) else ""
-    val id = at(2)
-    val qual = at(5)
-    InternalRow(
-      s(at(0)),
-      java.lang.Long.parseLong(at(1)),
-      if (id == "." || id.isEmpty) null else s(id),
-      s(at(3)),
-      s(at(4).split(",", 2)(0)),              // first alt
-      if (qual == "." || qual.isEmpty) null
-      else java.lang.Double.parseDouble(qual),
-      s(at(6).split(";", 2)(0)),              // first FILTER
-      s(at(7)), s(at(8)), s(at(9)), s(sample))
+    val values: Array[Any] = fields.map {
+      case "chrom" => s(at(0))
+      case "pos"   => java.lang.Long.parseLong(at(1))
+      case "id" =>
+        val id = at(2); if (id == "." || id.isEmpty) null else s(id)
+      case "ref"   => s(at(3))
+      case "alt"   => s(at(4).split(",", 2)(0))      // first alt
+      case "qual" =>
+        val q = at(5)
+        if (q == "." || q.isEmpty) null else java.lang.Double.parseDouble(q)
+      case "filter" => s(at(6).split(";", 2)(0))     // first FILTER
+      case "info"   => s(at(7))
+      case "format" => s(at(8))
+      case "sample0" => s(at(9))
+      case "samplename" => s(sample)
+      case other => throw new IllegalStateException(s"unknown field $other")
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
   }
 
   override def get(): InternalRow = row

@@ -65,6 +65,47 @@ object EventStreams {
       }
   }
 
+  final case class ClosedSession(user_id: Long, nEvents: Long,
+      total: Double, firstTs: Long, lastTs: Long)
+  final case class GapState(nEvents: Long, total: Double,
+      firstTs: Long, lastTs: Long)
+
+  /** Event-time gap sessionization: a user's session closes when no event
+    * arrives within `gapMs` of EVENT time — driven by the watermark, so
+    * late data and wall-clock stalls don't corrupt sessions (unlike the
+    * processing-time variant). Emits each session exactly once, on close.
+    */
+  def sessionizeByGap(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[GapState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.nEvents, s.total, s.firstTs,
+              s.lastTs))
+          } else {
+            val prev = state.getOption
+              .getOrElse(GapState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            var n = prev.nEvents; var tot = prev.total
+            var first = prev.firstTs; var last = prev.lastTs
+            batch.foreach { e =>
+              n += 1; tot += e.value
+              first = math.min(first, e.ts.getTime)
+              last = math.max(last, e.ts.getTime)
+            }
+            state.update(GapState(n, tot, first, last))
+            state.setTimeoutTimestamp(last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Run a streaming query over a batch of files synchronously into an
     * in-memory sink (local smoke path): returns the materialized result
     * table. */

@@ -34,6 +34,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.length == batch.length && got.sameElements(batch))
   }
 
+  test("event-time gap sessionization closes sessions via the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionizeByGap(mem.toDS(),
+      gapMs = 10 * 60 * 1000) // 10-minute gap
+    val q = sessions.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("gap_sessions").start()
+    try {
+      def ev(id: Long, user: Long, minute: Long) = EventStreams.Event(
+        id, new java.sql.Timestamp(minute * 60000), user, "click", 1.0)
+      // (timestamps start at minute 60: a row exactly at the initial
+      // watermark of 0 would be discarded as late)
+      mem.addData(ev(1, 1, 60), ev(2, 1, 65)) // u1 session
+      q.processAllAvailable()
+      mem.addData(ev(3, 2, 180)) // advances watermark to 65
+      q.processAllAvailable()
+      mem.addData(ev(4, 3, 240)) // watermark 180 > u1 timeout 75 → u1 closes
+      q.processAllAvailable()
+      mem.addData(ev(5, 4, 400)) // watermark 240 > u2 timeout 190 → u2 closes
+      q.processAllAvailable()
+      val closed = spark.table("gap_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      assert(closed.contains((1L, 2L, 60 * 60000L, 65 * 60000L)))
+      assert(closed.contains((2L, 1L, 180 * 60000L, 180 * 60000L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     val events = batchEvents
       .select(col("event_id"), col("ts"), col("user_id"),

@@ -29,6 +29,20 @@ class VcfSourceSpec extends SparkSpecBase {
     assert(bySample == Map("s1" -> 2L, "s2" -> 2L))
   }
 
+  test("column pruning and chrom/pos pushdown") {
+    val df = spark.read.format("vcf")
+      .load(fixture("s1.vcf"), fixture("s2.vcf"))
+    // empty projection (count) and narrow projection both work pruned
+    assert(df.count() == 4)
+    assert(df.select("pos").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(100L, 100L, 200L, 300L))
+    // pushed predicate: only chr2 rows surface; filter evaluated in-source
+    val chr2 = df.filter(col("chrom") === "chr2" && col("pos") >= 250L)
+    assert(chr2.count() == 1)
+    val scanDesc = chr2.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("EqualTo(chrom,chr2)"), scanDesc)
+  }
+
   test("filters and projection compose on the source") {
     val df = spark.read.format("vcf")
       .load(fixture("s1.vcf"), fixture("s2.vcf"))
