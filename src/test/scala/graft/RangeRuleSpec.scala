@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.BinnedRangeJoinRule
+
+/** The transparent binned range-join optimizer rule: plans change, results
+  * don't. */
+class RangeRuleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def intervals(n: Int, seed: Int, keyMod: Int) = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val s = r.nextInt(5000).toLong
+      (i.toLong, (i % keyMod).toLong, s, s + r.nextInt(300))
+    }
+  }
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations =
+      Seq(BinnedRangeJoinRule)
+    try f finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("overlap join rewritten to binned form, results identical") {
+    val a = intervals(500, 1, 4).toDF("ida", "ka", "sa", "ea")
+    val b = intervals(500, 2, 4).toDF("idb", "kb", "sb", "eb")
+    def q = a.join(b,
+      $"ka" === $"kb" && $"sa" <= $"eb" && $"sb" <= $"ea")
+      .select("ida", "idb")
+    val want = q.as[(Long, Long)].collect().toSeq.sorted
+    val (got, plan) = withRule {
+      spark.conf.set("spark.graft.rangejoin.binwidth", "128")
+      val df = q
+      (df.as[(Long, Long)].collect().toSeq.sorted,
+        df.queryExecution.optimizedPlan.toString)
+    }
+    assert(plan.contains(BinnedRangeJoinRule.BinName), plan)
+    assert(got == want)
+    assert(got.size == got.distinct.size)
+  }
+
+  test("pure range join (no equi keys) also rewrites — kills the cartesian") {
+    val a = intervals(200, 3, 1).toDF("ida", "ka", "sa", "ea").drop("ka")
+    val b = intervals(200, 4, 1).toDF("idb", "kb", "sb", "eb").drop("kb")
+    def q = a.join(b, $"sa" <= $"eb" && $"sb" <= $"ea").select("ida", "idb")
+    val want = q.as[(Long, Long)].collect().toSeq.sorted
+    val (got, plan) = withRule {
+      (q.as[(Long, Long)].collect().toSeq.sorted,
+        q.queryExecution.optimizedPlan.toString)
+    }
+    assert(plan.contains(BinnedRangeJoinRule.BinName), plan)
+    assert(got == want)
+  }
+
+  test("rule is idempotent and leaves non-range joins alone") {
+    withRule {
+      val a = intervals(100, 5, 3).toDF("ida", "ka", "sa", "ea")
+      val b = intervals(100, 6, 3).toDF("idb", "kb", "sb", "eb")
+      val ranged = a.join(b,
+        $"ka" === $"kb" && $"sa" <= $"eb" && $"sb" <= $"ea")
+      val plan = ranged.queryExecution.optimizedPlan.toString
+      // exactly one Generate per side — no repeated rewrite in the
+      // fixed-point batch
+      assert(plan.sliding("Generate".length).count(_ == "Generate") == 2, plan)
+
+      val equiOnly = a.join(b, $"ka" === $"kb").select("ida", "idb")
+      val equiPlan = equiOnly.queryExecution.optimizedPlan.toString
+      assert(!equiPlan.contains(BinnedRangeJoinRule.BinName), equiPlan)
+      assert(equiOnly.count() ==
+        a.groupBy("ka").count().as[(Long, Long)].collect()
+          .map { case (k, n) => n * b.filter($"kb" === k).count() }.sum)
+    }
+  }
+
+  test("library RangeJoin plans are not double-binned by the rule") {
+    withRule {
+      val a = intervals(100, 7, 2).toDF("ida", "k", "sa", "ea")
+      val b = intervals(100, 8, 2).toDF("idb", "k", "sb", "eb")
+      val lib = graft.ranges.RangeJoin.overlapJoin(a, b, Seq("k"),
+        "sa", "ea", "sb", "eb", 64L).select("ida", "idb")
+      val plan = lib.queryExecution.optimizedPlan.toString
+      assert(!plan.contains(BinnedRangeJoinRule.BinName), plan)
+      val naive = a.join(b, Seq("k"))
+        .filter($"sa" <= $"eb" && $"sb" <= $"ea").select("ida", "idb")
+      assert(lib.as[(Long, Long)].collect().toSeq.sorted ==
+        naive.as[(Long, Long)].collect().toSeq.sorted)
+    }
+  }
+}
