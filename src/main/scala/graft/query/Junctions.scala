@@ -19,6 +19,22 @@ final class Junctions(catalog: TableCatalog, project: Project) {
   def bridge(filtered: Boolean = true): DataFrame =
     catalog.read(catalog.junctionBridge(filtered))
 
+  /** Typed views of the fixed-schema cores (SURVEY §1.5). */
+  def dimTyped(filtered: Boolean = true): org.apache.spark.sql.Dataset[graft.model.Rows.JunctionRow] = {
+    val spark = catalog.spark
+    import spark.implicits._
+    dim(filtered).select("id", "chrom", "start", "end", "strand")
+      .as[graft.model.Rows.JunctionRow]
+  }
+
+  def bridgeTyped(filtered: Boolean = true): org.apache.spark.sql.Dataset[graft.model.Rows.JunctionSupport] = {
+    val spark = catalog.spark
+    import spark.implicits._
+    bridge(filtered)
+      .select("samplename", "junction", "uniq_map", "multi_map")
+      .as[graft.model.Rows.JunctionSupport]
+  }
+
   /** `Junctions.select` (`junction.py:14-72`): junction coordinates,
     * optionally with per-sample read support, restricted by cohort and/or
     * sample list via chained semi-joins (J1/J10). */

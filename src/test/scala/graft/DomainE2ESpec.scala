@@ -82,6 +82,13 @@ class DomainE2ESpec extends SparkSpecBase {
     assert(junctions.select(filtered = false).count() == 5)
   }
 
+  test("typed Dataset views of the fixed cores") {
+    val d = junctions.dimTyped(filtered = false)
+    assert(d.filter(_.chrom == "chr1").count() == 3)
+    val b = junctions.bridgeTyped(filtered = false)
+    assert(b.filter(_.samplename == "s1").map(_.uniq_map).collect().sum == 40)
+  }
+
   test("Junctions.toEntities reifies distinct junction rows") {
     val es = junctions.toEntities(junctions.select(cohorts = Seq("a"),
       filtered = false))
