@@ -38,8 +38,11 @@ object GraftSession {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.ts arrives as long nanos (see nanosAsLong above); convert to a
-    * proper timestamp column with microsecond truncation. */
-  def nanosToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros(
-      (c / org.apache.spark.sql.functions.lit(1000L)).cast("long"))
+    * proper timestamp column with microsecond truncation. Division goes
+    * through decimal: a double `/ 1000` has 256 ns of ulp at 2024-epoch
+    * nanos and lands microseconds off by one. */
+  def nanosToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    timestamp_micros(floor(c.cast("decimal(38,0)") / lit(1000)).cast("long"))
+  }
 }

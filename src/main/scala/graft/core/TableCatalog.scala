@@ -33,8 +33,16 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
   def junctionBridge(filtered: Boolean): String =
     if (filtered) "sample_to_junction" else "sample_to_alljunction"
 
-  def exists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+  private def fs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Filesystem-agnostic (local, HDFS, object stores) via the Hadoop FS
+    * API — a java.io check would report false on any remote root and make
+    * mergeDim overwrite instead of append. */
+  def exists(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    fs(p).exists(p)
+  }
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
@@ -55,6 +63,7 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     val tmp = path(s"__tmp_$table")
     f(read(table)).write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(table))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    fs(p).delete(p, true)
   }
 }

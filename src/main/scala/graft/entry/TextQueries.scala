@@ -100,10 +100,16 @@ object TextQueries {
         .orderBy("prefix_hash")
     }))
 
+  // short-doc fallback branch mirrors TextFunctions.shingles: documents
+  // with < n tokens collapse to one whole-doc shingle (without it, the
+  // oracle would yield zero shingles for short docs and diverge)
   private val shingleCte =
     """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') s
-      |       FROM toks, unnest(generate_series(1, len(t)-2)) u(i))""".stripMargin
+      |       FROM toks, unnest(generate_series(1, len(t)-2)) u(i)
+      |       WHERE len(t) >= 3
+      |       UNION ALL
+      |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 3)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -135,7 +141,10 @@ object TextQueries {
     "q34_fingerprint" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') s
-        |       FROM toks, unnest(generate_series(1, len(t)-7)) u(i))
+        |       FROM toks, unnest(generate_series(1, len(t)-7)) u(i)
+        |       WHERE len(t) >= 8
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 8)
         |SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q35_minhash_lsh" -> (shingleCte + """,
         |sig AS (SELECT doc_id,

@@ -91,18 +91,20 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
-  @volatile private var registered = false
 
   /** Register as SQL temp functions (Spark 4 removed public
     * Expression→Column construction; the registry + call_function is the
-    * supported route). Idempotent. */
+    * supported route). Idempotent per session — the registry belongs to
+    * the session, so the existence check must too. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_cosine",
-      exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    registered = true
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"))) {
+      reg.createOrReplaceTempFunction("graft_cosine",
+        exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("graft_dot",
+        exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    }
   }
 
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {

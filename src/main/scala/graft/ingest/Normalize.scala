@@ -29,13 +29,20 @@ object Normalize {
 
   /** Merge the distinct natural keys of `staged` into dimension `table`
     * (create or append-new-only), returning the dim as stored.
-    * Dim rows carry `idCol` = xxhash64(natural key). */
+    * Dim rows carry `idCol` = xxhash64(natural key). `carryCols` are
+    * non-key attributes stored on the dim (e.g. the variant rsID),
+    * reduced deterministically per key via min. */
   def mergeDim(catalog: TableCatalog, staged: DataFrame, table: String,
       keyCols: Seq[String], idCol: String,
-      partitionCols: Seq[String] = Nil): DataFrame = {
-    val keys = surrogateId(
-      staged.select(keyCols.map(col): _*).dropDuplicates(keyCols),
-      keyCols, idCol)
+      partitionCols: Seq[String] = Nil,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val perKey =
+      if (carryCols.isEmpty)
+        staged.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+      else staged.groupBy(keyCols.map(col): _*)
+        .agg(min(col(carryCols.head)).as(carryCols.head),
+          carryCols.tail.map(c => min(col(c)).as(c)): _*)
+    val keys = surrogateId(perKey, keyCols, idCol)
     if (!catalog.exists(table)) {
       catalog.write(keys, table, partitionCols, SaveMode.Overwrite)
     } else {
@@ -89,10 +96,9 @@ object Normalize {
     val svTable = catalog.variantTable("sample_variants", rna, filtered)
     val viTable = catalog.variantTable("variant_impacts", rna, filtered)
 
-    val dimCols = key ++ Seq("id") // id = rsID string column from VCF col 3
-    val dim = mergeDim(catalog,
-      staged.select(dimCols.map(col): _*).dropDuplicates(key),
-      dimTable, key, "variant_id", partitionCols = Seq("chrom"))
+    // rsID (VCF col 3) rides along on the dim, min-reduced per key
+    val dim = mergeDim(catalog, staged, dimTable, key, "variant_id",
+      partitionCols = Seq("chrom"), carryCols = Seq("id"))
 
     val bridge = buildBridge(catalog,
       staged.dropDuplicates(Seq("samplename") ++ key),

@@ -91,7 +91,9 @@ object Readers {
     * One union'd source; Spark schedules splits across executors — the
     * scalable replacement for the reference's sequential loop. */
   def sjOutAll(spark: SparkSession, manifest: Seq[(String, String)],
-      minReads: Int): DataFrame =
+      minReads: Int): DataFrame = {
+    require(manifest.nonEmpty, "sjOutAll: empty sample manifest")
     manifest.map { case (sample, p) => sjOut(spark, p, sample, minReads) }
       .reduce(_ unionByName _)
+  }
 }

@@ -72,8 +72,14 @@ object VcfReader {
     */
   def read(spark: SparkSession, path: String, sample: String,
       impactFields: Seq[(String, String)],
-      formatKeys: Seq[String]): DataFrame = {
-    val hdr = readHeader(path)
+      formatKeys: Seq[String]): DataFrame =
+    read(spark, path, sample, impactFields, formatKeys, readHeader(path))
+
+  /** Variant taking a pre-parsed header (readAll already holds them —
+    * avoids scanning every file's header twice on the driver). */
+  def read(spark: SparkSession, path: String, sample: String,
+      impactFields: Seq[(String, String)],
+      formatKeys: Seq[String], hdr: VcfHeader): DataFrame = {
 
     // record-level parse via the DSv2 source (graft.sources.VcfDataSource):
     // mandatory fields pre-parsed, INFO/FORMAT/sample payloads raw
@@ -124,12 +130,13 @@ object VcfReader {
   def readAll(spark: SparkSession, manifest: Seq[(String, String)],
       vcfFieldTypes: Map[String, String], policy: String,
       formatKeys: Seq[String]): DataFrame = {
+    require(manifest.nonEmpty, "readAll: empty VCF manifest")
     val headers = manifest.map { case (_, p) => readHeader(p) }
     val fields = reconcileCsq(headers, policy)
       .filter(f => vcfFieldTypes.contains(f)) // ignore-undeclared policy
       .map(f => f -> vcfFieldTypes(f))
-    manifest.map { case (sample, p) =>
-      read(spark, p, sample, fields, formatKeys)
+    manifest.zip(headers).map { case ((sample, p), hdr) =>
+      read(spark, p, sample, fields, formatKeys, hdr)
     }.reduce(_ unionByName _)
   }
 }

@@ -30,6 +30,11 @@ object AsofJoin {
       leftTs: String, rightTs: String): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == rightTs)
+    val clash = rightPayloadCols.toSet
+      .intersect(left.columns.filterNot(keys.contains).toSet)
+    require(clash.isEmpty,
+      s"asof join: right payload columns collide with left columns " +
+        s"(${clash.mkString(", ")}) — rename one side first")
     val payload = struct(rightPayloadCols.map(col): _*)
 
     val taggedRight = right.select(

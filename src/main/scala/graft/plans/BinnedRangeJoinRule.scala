@@ -49,8 +49,12 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       rewrite(j, cond)
   }
 
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.rangejoin.enabled", "true").toBoolean
+
   private def eligible(j: Join, cond: Expression): Boolean =
-    !cond.references.exists(a => a.name == BinName || a.name == LibBinName) &&
+    enabled &&
+      !cond.references.exists(a => a.name == BinName || a.name == LibBinName) &&
       extractOverlap(j, cond).isDefined
 
   /** Find `ls <= re AND rs <= le` (attrs, integral type, opposite sides).
@@ -73,11 +77,17 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       integral(x.dataType) && integral(y.dataType) &&
         (for (sx <- side(x); sy <- side(y)) yield sx != sy).getOrElse(false)
     }
-    // one candidate starting on each side makes an overlap pattern
-    val lStart = les.find { case (x, _) => side(x).contains(true) }
-    val rStart = les.find { case (x, _) => side(x).contains(false) }
-    for ((ls, re) <- lStart; (rs, le) <- rStart)
-      yield (ls, le, rs, re)
+    // one candidate starting on each side makes an overlap pattern; the
+    // four attributes must be DISTINCT (a real interval overlap uses a
+    // start and an end per side — accepting e.g. `a.ts <= b.ts AND
+    // b.qty <= a.bytes` style coincidences risks exploding unrelated
+    // wide-range columns into huge bin arrays)
+    val lStart = les.filter { case (x, _) => side(x).contains(true) }
+    val rStart = les.filter { case (x, _) => side(x).contains(false) }
+    (for {
+      (ls, re) <- lStart; (rs, le) <- rStart
+      if Seq(ls, le, rs, re).map(_.exprId).distinct.size == 4
+    } yield (ls, le, rs, re)).headOption
   }
 
   private def integral(t: DataType): Boolean = t match {

@@ -27,9 +27,13 @@ final class Project(catalog: TableCatalog) {
     if (!expandMeta || !base.columns.contains("sample_meta")) base
     else {
       val m = from_json(col("sample_meta"), MapType(StringType, StringType))
-      // key set discovered from data (project.py:14-17) — one tiny scan
+      // key set discovered from data (project.py:14-17) — one tiny scan.
+      // Keys shadowing real columns (a meta blob containing "cohort")
+      // are skipped: base columns win, silently replacing them would
+      // corrupt every downstream cohort filter.
       val keys = base.select(explode(map_keys(m)).as("k"))
         .distinct().collect().map(_.getString(0)).sorted
+        .filterNot(base.columns.contains)
       keys.foldLeft(base)((df, k) => df.withColumn(k, m.getItem(k)))
     }
   }

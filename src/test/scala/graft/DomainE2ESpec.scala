@@ -132,6 +132,9 @@ class DomainE2ESpec extends SparkSpecBase {
   test("Variants: denormalized join, spec filter, region search, summary") {
     val v = new Variants(cat)
     assert(v.dim.count() == 3) // chr1:100, chr1:200, chr2:300
+    // rsID rides along on the dim (carry column)
+    assert(v.dim.filter($"pos" === 100).select("id").head().getString(0) == "rs1")
+    assert(v.dim.filter($"pos" === 200).select("id").head() == org.apache.spark.sql.Row(null))
     // shared variant appears once in dim, twice in bridge
     assert(v.sampleVariants.count() == 4)
     val hits = v.filter(impactSpecs = Seq(FilterSpec("impact", "in",
