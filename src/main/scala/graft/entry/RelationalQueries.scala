@@ -284,6 +284,48 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Full outer join (beyond the reference's join family — completes
+    // the engine's join-type coverage): order revenue vs a derived
+    // high-value dimension; unmatched sides surface with nulls.
+    "q45_full_outer" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
+        .filter(col("revenue") > 100000.0)
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      rev.join(urgent, col("l_orderkey") === col("o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("l_orderkey"), col("o_orderkey")).as("orderkey"),
+          col("revenue"), col("o_totalprice"))
+        .orderBy("orderkey")
+    }),
+
+    // Window family beyond row_number: lag + unbounded running sum.
+    "q46_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select("o_custkey", "o_orderkey", "prev_price", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Hierarchical aggregation (rollup) — subtotal/total rows for
+    // curation reporting; not in the reference, standard engine surface.
+    "q47_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
     // A8/C11: single-row summary; timestamps cast to DATE at the edge.
     "q24_minmax_dates" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -409,6 +451,32 @@ object RelationalQueries {
         |WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),1,8)) AS BIGINT)
         |      < 429496729
         |ORDER BY event_id""".stripMargin,
+    "q45_full_outer" ->
+      """SELECT COALESCE(r.l_orderkey, u.o_orderkey) AS orderkey,
+        | r.revenue, u.o_totalprice
+        |FROM (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |      FROM lineitem GROUP BY 1
+        |      HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > 100000.0) r
+        |FULL OUTER JOIN (SELECT o_orderkey, o_totalprice FROM orders
+        |                 WHERE o_orderpriority='1-URGENT') u
+        |  ON r.l_orderkey = u.o_orderkey
+        |ORDER BY orderkey""".stripMargin,
+    "q46_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | LAG(o_totalprice, 1) OVER w AS prev_price,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q47_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q24_minmax_dates" ->
       """SELECT CAST(MIN(o_orderdate) AS DATE) AS first_date,
         | CAST(MAX(o_orderdate) AS DATE) AS last_date, COUNT(*) AS n
