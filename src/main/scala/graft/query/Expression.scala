@@ -39,6 +39,15 @@ final class Expression(catalog: TableCatalog, project: Project) {
     df.select((featureCol(genes) +: "samplename" +: what).map(col): _*)
   }
 
+  /** Typed view of the gene-expression core (SURVEY §1.5). */
+  def genesTyped: org.apache.spark.sql.Dataset[graft.model.Rows.GeneExpressionRow] = {
+    val spark = catalog.spark
+    import spark.implicits._
+    table(genes = true)
+      .select("gene", "samplename", "expected_count", "tpm", "fpkm")
+      .as[graft.model.Rows.GeneExpressionRow]
+  }
+
   /** Wide matrix: rows = features, columns = samples, values = `what`
     * (A4 pivot, `expression.py:53-61`). Sample list enumerated up front
     * (from the samples dim, not a distinct scan) → single-pass pivot with

@@ -80,6 +80,19 @@ final class Junctions(catalog: TableCatalog, project: Project) {
       j("id") === col("junction"), "inner").drop("junction")
   }
 
+  /** Bulk region search: join the junction dim against a whole frame of
+    * (chrom, start, end) query regions at once via the binned range join
+    * — the scale path when there are thousands of regions (a per-region
+    * loop over [[search]] would launch one job each). Output: region
+    * columns + matching junction rows. */
+  def searchRegions(regions: DataFrame, filtered: Boolean = true): DataFrame = {
+    val j = dim(filtered).withColumnRenamed("start", "j_start")
+      .withColumnRenamed("end", "j_end")
+    graft.ranges.RangeJoin.overlapJoin(
+      regions, j, keys = Seq("chrom"),
+      "start", "end", "j_start", "j_end")
+  }
+
   /** Reify query results as entity objects (the reference's
     * `df=False` mode, `junction.py:63-72` — returning the full list, not
     * just the first row as the buggy original did). Driver-side by

@@ -108,6 +108,24 @@ class DomainE2ESpec extends SparkSpecBase {
       filtered = false, uniq = true).count() == 0)
   }
 
+  test("Junctions.searchRegions: bulk region query via the binned join") {
+    val regions = Seq(("r1", "chr1", 1L, 40L), ("r2", "chr2", 550L, 560L),
+      ("r3", "chr2", 1L, 10L))
+      .toDF("region_id", "chrom", "start", "end")
+    val hits = junctions.searchRegions(regions, filtered = false)
+      .select("region_id", "id")
+    val byRegion = hits.collect().groupBy(_.getString(0)).view
+      .mapValues(_.length).toMap
+    assert(byRegion("r1") == 3)          // j1, j2, j3 overlap [1,40]
+    assert(byRegion("r2") == 1)          // j4
+    assert(!byRegion.contains("r3"))
+  }
+
+  test("Expression.genesTyped typed view") {
+    val expr = new Expression(cat, project)
+    assert(expr.genesTyped.filter(_.gene == "g1").count() == 2)
+  }
+
   test("Junctions.filterJunctions (E10): user df→df filter creates filtered pair") {
     junctions.filterJunctions(df => df.filter(col("uniq_map") >= 20),
       overwrite = true)
