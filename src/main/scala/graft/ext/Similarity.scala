@@ -72,10 +72,33 @@ object Similarity {
       .select("q_id", "n_id", "rank")
   }
 
+  /** Multi-probe LSH top-k: queries probe their own bucket plus every
+    * bucket at Hamming distance 1 (each hyperplane bit flipped once) —
+    * the standard recall lever: candidates grow ×(nBits+1) while the
+    * corpus stays bucketed once. Deterministic (no RNG anywhere). */
+  def lshTopKMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, k: Int, dims: Int = 64): DataFrame = {
+    val b = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+      lshBucket(col(vecCol), nBits, dims).as("__bucket"))
+    val probes = b.withColumn("__probe",
+      explode(array(col("__bucket") +:
+        (0 until nBits).map(i =>
+          col("__bucket").bitwiseXOR(lit(1L << i))): _*)))
+    val pairs = probes.as("x").join(b.as("y"),
+        col("x.__probe") === col("y.__bucket") &&
+          col("x.__id") =!= col("y.__id"))
+      .select(col("x.__id").as("q_id"), col("y.__id").as("n_id"),
+        cosineFast(col("x.__vec"), col("y.__vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
   /** LSH-bucketed candidate scoring: rows are assigned an `nBits`
     * hyperplane bucket; pairs within a bucket are scored and ranked.
-    * Multi-probe (flipping each single bit) can be layered by exploding
-    * buckets — kept single-probe here for determinism. */
+    * Single-probe; see [[lshTopKMultiProbe]] for the recall lever. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       nBits: Int, k: Int, dims: Int = 64): DataFrame = {
     val b = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"),

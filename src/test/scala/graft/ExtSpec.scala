@@ -62,6 +62,27 @@ class ExtSpec extends SparkSpecBase {
     assert(ranks == Seq(1, 2, 3, 4))
   }
 
+  test("multi-probe LSH recall >= single-probe recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteForceTopK(emb, emb,
+      "vec_id", "embedding", 5))
+    val single = topSets(Similarity.lshTopK(emb, "vec_id", "embedding",
+      nBits = 4, k = 5))
+    val multi = topSets(Similarity.lshTopKMultiProbe(emb, "vec_id",
+      "embedding", nBits = 4, k = 5))
+    def recall(got: Map[Long, Set[Long]]) =
+      brute.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / brute.size
+    val (rs, rm) = (recall(single), recall(multi))
+    info(f"recall single-probe=$rs%.3f multi-probe=$rm%.3f")
+    assert(rm >= rs)
+    assert(rm > 0.2, s"multi-probe recall too low: $rm")
+  }
+
   test("lsh topk: bucketed candidates are a subset of brute force ranking") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d * 7).toFloat)) }
