@@ -93,6 +93,17 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Redaction scrub (emails/URLs/digit runs → placeholders): map-only
+    // pass; output hashed so the compare certifies the transform without
+    // shipping full texts.
+    "q39_redact" -> ((s, dir) => {
+      TextAnalysis.withRedaction(docs(s, dir), "text")
+        .select(col("doc_id"), md5(col("text_redacted")).as("redacted_hash"),
+          (length(col("text")) - length(col("text_redacted")))
+            .as("chars_removed"))
+        .orderBy("doc_id")
+    }),
+
     // Canonicalized (5-token-prefix) dedup — groups with >1 member.
     "q38_dedup_prefix" -> ((s, dir) => {
       Dedup.byPrefix(docs(s, dir), "doc_id", "text", nTokens = 5)
@@ -193,6 +204,17 @@ object TextQueries {
         |         FROM chunks x JOIN chunks y ON x.c=y.c AND x.v=y.v AND x.doc_id<y.doc_id)
         |SELECT a_id, b_id, CAST(bit_count(xor(sa,sb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sa,sb))<=3 ORDER BY a_id, b_id""".stripMargin,
+    "q39_redact" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |   '[0-9]{6,}', '<NUM>', 'g')) AS redacted_hash,
+        | length(text) - length(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |   '[0-9]{6,}', '<NUM>', 'g')) AS chars_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q38_dedup_prefix" ->
       """SELECT md5(array_to_string(string_split_regex(text,'\s+')[1:5],' ')) AS prefix_hash,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -58,4 +58,19 @@ object TextAnalysis {
   /** Rolling-window content fingerprint per document. */
   def withFingerprint(df: DataFrame, textCol: String, n: Int = 8): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol), n))
+
+  /** Scrub pass: replace email-like tokens, long digit runs (ids/phones)
+    * and URLs with typed placeholders — the standard pre-training
+    * redaction sweep. Pure regexp_replace chain: map-only, codegen'd,
+    * no shuffle. */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9]{6,}", "<NUM>")
+  }
+
+  def withRedaction(df: DataFrame, textCol: String,
+      out: String = "text_redacted"): DataFrame =
+    df.withColumn(out, redact(col(textCol)))
 }

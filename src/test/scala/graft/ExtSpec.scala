@@ -41,6 +41,14 @@ class ExtSpec extends SparkSpecBase {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
 
+  test("redaction scrubs emails, urls, digit runs") {
+    val got = TextAnalysis.withRedaction(
+      Seq((1L, "mail bob@example.com visit https://x.io/a?b=1 id 1234567 ok 123"))
+        .toDF("doc_id", "text"), "text")
+      .select("text_redacted").head().getString(0)
+    assert(got == "mail <EMAIL> visit <URL> id <NUM> ok 123")
+  }
+
   test("quality signals + filter") {
     val q = TextAnalysis.withQualitySignals(docs, "text")
     val r0 = q.filter($"doc_id" === 0).head()
