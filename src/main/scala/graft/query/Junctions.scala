@@ -93,6 +93,35 @@ final class Junctions(catalog: TableCatalog, project: Project) {
       "start", "end", "j_start", "j_end")
   }
 
+  /** Bulk endpoint classification (J9 at corpus scale): every junction's
+    * start/end tested for exon/intron membership across ALL transcripts
+    * in one binned containment join — the whole-corpus form of
+    * `Junction.features`, which classifies one entity. Output:
+    * (id, chrom, strand, end_type, p, transcript, feature). */
+  def classifyEndpoints(genome: graft.model.Genome,
+      filtered: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val endpoints = dim(filtered).select(col("id"), col("chrom"),
+        col("strand"),
+        explode(array(
+          struct(lit("start").as("end_type"), col("start").as("p")),
+          struct(lit("end").as("end_type"), col("end").as("p")))).as("e"))
+      .select(col("id"), col("chrom"), col("strand"),
+        col("e.end_type"), col("e.p"))
+    val feats = genome.exons
+      .select(col("transcript"), col("chrom"), col("strand"),
+        col("start").as("f_start"), col("end").as("f_end"),
+        lit("exon").as("feature"))
+      .unionByName(genome.introns
+        .select(col("transcript"), col("chrom"), col("strand"),
+          col("start").as("f_start"), col("end").as("f_end"),
+          lit("intron").as("feature")))
+    graft.ranges.RangeJoin.containmentJoin(endpoints, feats,
+      Seq("chrom", "strand"), "p", "f_start", "f_end")
+      .select("id", "chrom", "strand", "end_type", "p", "transcript",
+        "feature")
+  }
+
   /** Reify query results as entity objects (the reference's
     * `df=False` mode, `junction.py:63-72` — returning the full list, not
     * just the first row as the buggy original did). Driver-side by

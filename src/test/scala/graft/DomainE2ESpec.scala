@@ -126,6 +126,23 @@ class DomainE2ESpec extends SparkSpecBase {
     assert(expr.genesTyped.filter(_.gene == "g1").count() == 2)
   }
 
+  test("Junctions.classifyEndpoints: corpus-wide J9 in one binned join") {
+    val cls = junctions.classifyEndpoints(genome, filtered = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getString(6)))
+    val byJunction = cls.groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    val idOf = junctions.dimTyped(filtered = false).collect()
+      .map(j => (j.chrom, j.start) -> j.id).toMap
+    // j1 (31,60): both endpoints intronic; j3 (25,65): both exonic
+    assert(byJunction(idOf(("chr1", 31L))) ==
+      Set(("start", "intron"), ("end", "intron")))
+    assert(byJunction(idOf(("chr1", 25L))) ==
+      Set(("start", "exon"), ("end", "exon")))
+    // j4 (chr2 500-600, minus strand) lies beyond tm's span: no rows
+    assert(!byJunction.contains(idOf(("chr2", 500L))))
+  }
+
   test("Junctions.filterJunctions (E10): user df→df filter creates filtered pair") {
     junctions.filterJunctions(df => df.filter(col("uniq_map") >= 20),
       overwrite = true)
