@@ -58,11 +58,7 @@ final class Genome(catalog: TableCatalog, fastaPath: Option[String] = None) {
       } finally src.close()
   }
 
-  private val comp = Map('A' -> 'T', 'T' -> 'A', 'G' -> 'C', 'C' -> 'G',
-    'N' -> 'N', 'a' -> 't', 't' -> 'a', 'g' -> 'c', 'c' -> 'g', 'n' -> 'n')
-
-  def reverseComplement(s: String): String =
-    s.reverse.map(c => comp.getOrElse(c, 'N'))
+  def reverseComplement(s: String): String = Genome.reverseComplement(s)
 
   /** 1-based closed-interval sequence; minus strand returns the reverse
     * complement (`Genome.get_sequence` surface). */
@@ -79,9 +75,37 @@ final class Genome(catalog: TableCatalog, fastaPath: Option[String] = None) {
   def translate(nuc: String): String =
     nuc.toUpperCase.grouped(3).takeWhile(_.length == 3)
       .map(c => Genome.CodonTable.getOrElse(c, 'X')).mkString
+
+  /** Executor-side bulk sequence extraction: the FASTA is broadcast once
+    * and every interval row gets its (strand-aware) sequence appended in
+    * parallel — the distributed form of [[getSequence]] for motif/feature
+    * pipelines over millions of intervals. (At true reference-genome
+    * scale, swap the broadcast payload for an indexed FASTA reader; the
+    * API shape stays.) */
+  def withSequences(df: DataFrame, chromCol: String = "chrom",
+      startCol: String = "start", endCol: String = "end",
+      strandCol: String = "strand", out: String = "seq"): DataFrame = {
+    val fastaB = catalog.spark.sparkContext.broadcast(fasta)
+    val extract = udf { (chrom: String, s: Long, e: Long, strand: String) =>
+      fastaB.value.get(chrom)
+        .filter(seq => s >= 1 && e <= seq.length && s <= e)
+        .map { seq =>
+          val sub = seq.substring((s - 1).toInt, e.toInt)
+          if (strand == "-") Genome.reverseComplement(sub) else sub
+        }.orNull
+    }
+    df.withColumn(out,
+      extract(col(chromCol), col(startCol), col(endCol), col(strandCol)))
+  }
 }
 
 object Genome {
+  private val Comp = Map('A' -> 'T', 'T' -> 'A', 'G' -> 'C', 'C' -> 'G',
+    'N' -> 'N', 'a' -> 't', 't' -> 'a', 'g' -> 'c', 'c' -> 'g', 'n' -> 'n')
+
+  def reverseComplement(s: String): String =
+    s.reverse.map(c => Comp.getOrElse(c, 'N'))
+
   val CodonTable: Map[String, Char] = {
     val bases = "TCAG"
     val aas = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"

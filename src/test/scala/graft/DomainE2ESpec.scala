@@ -246,6 +246,20 @@ class DomainE2ESpec extends SparkSpecBase {
     assert(nuc3 == chr1.substring(0, 25) + chr1.substring(64, 100))
   }
 
+  test("Genome.withSequences: broadcast bulk extraction, strand-aware") {
+    val seqs = genome.withSequences(genome.exons)
+      .select("transcript", "rank", "seq").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val chr1 = "ACGT" * 30; val chr2 = "GGCCA" * 24
+    assert(seqs(("t1", 1)) == chr1.substring(0, 30))
+    assert(seqs(("t1", 2)) == chr1.substring(60, 100))
+    assert(seqs(("tm", 1)) == genome.reverseComplement(chr2.substring(0, 30)))
+    // out-of-range interval yields null, not an exception
+    val bad = genome.withSequences(
+      Seq(("chrX", 1L, 5L, "+")).toDF("chrom", "start", "end", "strand"))
+    assert(bad.select("seq").head().isNullAt(0))
+  }
+
   test("Junction.newTranscript on the minus strand: stitch then revcomp") {
     val jm = Junction("chr2", 31, 60, "-")
     assert(jm.genes(genome).select("id").head().getString(0) == "gm")
