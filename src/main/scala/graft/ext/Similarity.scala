@@ -20,6 +20,18 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Shared ranking tail: per-query cosine ranking with the canonical
+    * (cos desc, n_id asc) tie-break, top-k. Every ANN path funnels
+    * through this so k/tie-break semantics can never diverge. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
+
   /** Exact top-k: for every row of `queries`, the k nearest corpus rows by
     * cosine. Output: (q_id, n_id, rank), rank 1..k, self-matches excluded.
     */
@@ -30,11 +42,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", cosineFast(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest
@@ -65,11 +73,7 @@ object Similarity {
       .join(q, Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", cosineFast(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** Multi-probe LSH top-k: queries probe their own bucket plus every
@@ -89,11 +93,7 @@ object Similarity {
           col("x.__id") =!= col("y.__id"))
       .select(col("x.__id").as("q_id"), col("y.__id").as("n_id"),
         cosineFast(col("x.__vec"), col("y.__vec")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank")
+    rankTopK(pairs, k)
   }
 
   /** LSH-bucketed candidate scoring: rows are assigned an `nBits`
@@ -108,10 +108,6 @@ object Similarity {
           col("x.__id") =!= col("y.__id"))
       .select(col("x.__id").as("q_id"), col("y.__id").as("n_id"),
         cosineFast(col("x.__vec"), col("y.__vec")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank")
+    rankTopK(pairs, k)
   }
 }

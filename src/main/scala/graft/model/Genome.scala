@@ -82,10 +82,15 @@ final class Genome(catalog: TableCatalog, fastaPath: Option[String] = None) {
     * pipelines over millions of intervals. (At true reference-genome
     * scale, swap the broadcast payload for an indexed FASTA reader; the
     * API shape stays.) */
+  // one broadcast per Genome instance — re-broadcasting per call would
+  // re-ship the genome every batch and leak broadcast blocks
+  private lazy val fastaBroadcast =
+    catalog.spark.sparkContext.broadcast(fasta)
+
   def withSequences(df: DataFrame, chromCol: String = "chrom",
       startCol: String = "start", endCol: String = "end",
       strandCol: String = "strand", out: String = "seq"): DataFrame = {
-    val fastaB = catalog.spark.sparkContext.broadcast(fasta)
+    val fastaB = fastaBroadcast
     val extract = udf { (chrom: String, s: Long, e: Long, strand: String) =>
       fastaB.value.get(chrom)
         .filter(seq => s >= 1 && e <= seq.length && s <= e)

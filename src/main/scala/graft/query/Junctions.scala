@@ -88,6 +88,10 @@ final class Junctions(catalog: TableCatalog, project: Project) {
   def searchRegions(regions: DataFrame, filtered: Boolean = true): DataFrame = {
     val j = dim(filtered).withColumnRenamed("start", "j_start")
       .withColumnRenamed("end", "j_end")
+    val clash = regions.columns.toSet.intersect(j.columns.toSet) - "chrom"
+    require(clash.isEmpty,
+      s"searchRegions: region columns collide with junction columns " +
+        s"(${clash.mkString(", ")}) — rename them first")
     graft.ranges.RangeJoin.overlapJoin(
       regions, j, keys = Seq("chrom"),
       "start", "end", "j_start", "j_end")
@@ -100,7 +104,6 @@ final class Junctions(catalog: TableCatalog, project: Project) {
     * (id, chrom, strand, end_type, p, transcript, feature). */
   def classifyEndpoints(genome: graft.model.Genome,
       filtered: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions._
     val endpoints = dim(filtered).select(col("id"), col("chrom"),
         col("strand"),
         explode(array(
