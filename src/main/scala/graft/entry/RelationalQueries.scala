@@ -326,6 +326,23 @@ object RelationalQueries {
           asc_nulls_first("o_orderpriority"))
     }),
 
+    // Data-plane set operations (INTERSECT/EXCEPT — absent from the
+    // reference, SURVEY §2.6; completes the engine's set-op family):
+    // users who clicked AND purchased, minus users who ever errored.
+    // Grain: (user, k-bucket) — plain user_id sets are degenerate at
+    // small SF (every user does every event type).
+    "q48_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def grain(kind: String) =
+        ev.filter(col("event_type") === kind)
+          .select(col("user_id"),
+            (get_json_object(col("props"), "$.k").cast("long") % 20)
+              .as("kb"))
+      grain("click").intersect(grain("purchase"))
+        .except(grain("error"))
+        .orderBy("user_id", "kb")
+    }),
+
     // A8/C11: single-row summary; timestamps cast to DATE at the edge.
     "q24_minmax_dates" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -477,6 +494,17 @@ object RelationalQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q48_setops" ->
+      """SELECT user_id, kb FROM (
+        |  SELECT user_id, CAST(json_extract_string(props,'$.k') AS BIGINT)%20 AS kb
+        |  FROM events WHERE event_type='click'
+        |  INTERSECT
+        |  SELECT user_id, CAST(json_extract_string(props,'$.k') AS BIGINT)%20
+        |  FROM events WHERE event_type='purchase'
+        |  EXCEPT
+        |  SELECT user_id, CAST(json_extract_string(props,'$.k') AS BIGINT)%20
+        |  FROM events WHERE event_type='error')
+        |ORDER BY user_id, kb""".stripMargin,
     "q24_minmax_dates" ->
       """SELECT CAST(MIN(o_orderdate) AS DATE) AS first_date,
         | CAST(MAX(o_orderdate) AS DATE) AS last_date, COUNT(*) AS n
