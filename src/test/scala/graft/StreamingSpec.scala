@@ -63,6 +63,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("event-time sessions run on the RocksDB state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    // large keyed state belongs off-heap: RocksDB provider (NOTES #3).
+    // Session conf, not a sink option — sink options don't reach the
+    // state store machinery.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = EventStreams.sessionizeByGap(mem.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("rocks_sessions").start()
+    try {
+      def ev(id: Long, user: Long, minute: Long) = EventStreams.Event(
+        id, new java.sql.Timestamp(minute * 60000), user, "click", 1.0)
+      mem.addData(ev(1, 1, 60), ev(2, 1, 65))
+      q.processAllAvailable()
+      mem.addData(ev(3, 2, 180)); q.processAllAvailable()
+      mem.addData(ev(4, 3, 240)); q.processAllAvailable()
+      val closed = spark.table("rocks_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(closed.contains((1L, 2L)))
+      assert(q.lastProgress.stateOperators(0).customMetrics
+        .containsKey("rocksdbFilesCopied"),
+        "state store is not RocksDB-backed")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     val events = batchEvents
       .select(col("event_id"), col("ts"), col("user_id"),
