@@ -25,13 +25,16 @@ final class Genome(catalog: TableCatalog, fastaPath: Option[String] = None) {
   def exons: DataFrame = catalog.read("exons")
 
   /** Introns per transcript: gaps between consecutive exons (ordered by
-    * start within transcript — a genuine window use, SURVEY §2.5 W3). */
+    * start within transcript — a genuine window use, SURVEY §2.5 W3).
+    * Abutting or overlapping exon pairs (next_start <= end + 1) leave no
+    * gap and emit nothing — otherwise they'd produce inverted intervals
+    * that inflate the table and shift intron rank numbering. */
   def introns: DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("transcript").orderBy("start")
     exons
       .withColumn("next_start", lead(col("start"), 1).over(w))
-      .filter(col("next_start").isNotNull)
+      .filter(col("next_start") > col("end") + 1)
       .select(col("transcript"), col("chrom"), col("strand"),
         (col("end") + 1).as("start"), (col("next_start") - 1).as("end"))
       .withColumn("rank",

@@ -65,14 +65,20 @@ object AsofJoin {
   }
 
   /** As-of join with a tolerance window: match only if the right row is
-    * within `maxGap` time units before the left row. */
+    * within `maxGap` time units before the left row.
+    *
+    * Gap units: both timestamps are cast to long before differencing, so
+    * numeric timestamp columns (epoch nanos/millis/…) keep their native
+    * unit and `TimestampType` columns compare in whole SECONDS (long cast
+    * truncates sub-second precision) — without the cast, timestamp
+    * subtraction yields a day-time interval that can't compare to a long. */
   def backwardWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, maxGap: Long,
       rightTsOut: String = "matched_ts"): DataFrame = {
     val r2 = right.withColumn(rightTsOut, col(rightTs))
     val joined = backward(left, r2, keys, leftTs, rightTs)
     val within = col(rightTsOut).isNotNull &&
-      (col(leftTs) - col(rightTsOut)) <= maxGap
+      (col(leftTs).cast("long") - col(rightTsOut).cast("long")) <= maxGap
     val outCols = r2.columns.filterNot(c => keys.contains(c) || c == rightTs)
     outCols.foldLeft(joined)((df, c) =>
       df.withColumn(c, when(within, col(c))))

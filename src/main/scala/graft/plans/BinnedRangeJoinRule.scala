@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule making the binned interval join (ranges/RangeJoin)
@@ -32,6 +33,24 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, 
   *    skipped, which also makes the rule idempotent under the fixed-point
   *    optimizer batch.
   *
+  * Wide-row safety: a row spanning many bins would make `Sequence`
+  * allocate a huge array AND explode into that many output rows — over a
+  * nanosecond-coordinate domain a 1-hour interval is 3.6e8 bins, an OOM.
+  * Rows whose own bin count exceeds `spark.graft.rangejoin.maxbins`
+  * (default 512) are therefore routed around the binned path entirely:
+  *
+  * {{{
+  *   narrow(L) ⋈binned narrow(R)   ∪   wide(L) ⋈ R   ∪   narrow(L) ⋈ wide(R)
+  * }}}
+  *
+  * The three branches partition the pair space exactly, the fallback
+  * branches keep the ORIGINAL join (correct for any data, merely
+  * un-accelerated), and per-row bin fanout is bounded by maxbins. Wide
+  * rows are rare by construction when width suits the data, so the
+  * fallback joins see few rows. Fallback joins are tagged (and carry a
+  * recognizable span-guard Filter on a child) so the rule never re-fires
+  * on its own output.
+  *
   * Bin width: `spark.graft.rangejoin.binwidth` (default 10000). Install
   * via `spark.experimental.extraOptimizations` or the
   * [[GraftExtensions]] session extension.
@@ -41,8 +60,16 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val BinName = "__graft_bin"
   private val LibBinName = "__bin"
 
+  /** Marks fallback joins this rule created, so the fixed-point batch
+    * never rewrites its own output (the fallback condition is the
+    * original overlap pattern and would otherwise re-match). */
+  private val SkipTag = TreeNodeTag[Unit]("graft.rangejoin.skip")
+
   private def width: Long =
     conf.getConfString("spark.graft.rangejoin.binwidth", "10000").toLong
+
+  private def maxBins: Long =
+    conf.getConfString("spark.graft.rangejoin.maxbins", "512").toLong
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(_, _, Inner, Some(cond), _) if eligible(j, cond) =>
@@ -54,7 +81,9 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def eligible(j: Join, cond: Expression): Boolean =
     enabled &&
+      j.getTagValue(SkipTag).isEmpty &&
       !cond.references.exists(a => a.name == BinName || a.name == LibBinName) &&
+      !hasSpanGuard(j.left) && !hasSpanGuard(j.right) &&
       extractOverlap(j, cond).isDefined
 
   /** Find `ls <= re AND rs <= le` (attrs, integral type, opposite sides).
@@ -98,6 +127,36 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def floorDiv(x: Expression): Expression =
     Cast(Floor(Divide(Cast(x, DoubleType), Literal(width.toDouble))), LongType)
 
+  /** bins(row) - 1, i.e. floor(hi/w) - floor(lo/w). */
+  private def spanBins(s: Expression, e: Expression): Expression =
+    Subtract(floorDiv(Greatest(Seq(s, e))), floorDiv(Least(Seq(s, e))))
+
+  /** True when the row's bin fanout is acceptable (NULL spans drop on
+    * both the narrow and the wide side — they can't satisfy the original
+    * overlap predicate anyway). */
+  private def narrowGuard(s: Expression, e: Expression): Expression =
+    LessThan(spanBins(s, e), Literal(maxBins))
+
+  /** Structural re-entry protection, robust to other rules rebuilding the
+    * fallback Join node (which loses the tag): a subtree containing a
+    * Filter that compares a difference of two floor(cast(_)/_) bin
+    * indices is one of our span guards. */
+  private def hasSpanGuard(plan: LogicalPlan): Boolean = plan.exists {
+    case f: Filter => f.condition.exists {
+      case s: Subtract => isFloorDiv(s.left) && isFloorDiv(s.right)
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def isFloorDiv(e: Expression): Boolean = e match {
+    case c: Cast if c.dataType == LongType => c.child match {
+      case f: Floor => f.child.isInstanceOf[Divide]
+      case _ => false
+    }
+    case _ => false
+  }
+
   private def binsOf(s: Expression, e: Expression): Expression =
     // timeZoneId must be set by hand: Sequence is TimeZoneAwareExpression
     // and no analyzer pass will fill it inside the optimizer
@@ -107,16 +166,34 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, cond: Expression): LogicalPlan = {
     val Some((ls, le, rs, re)) = extractOverlap(j, cond)
+    val lNarrowPred = narrowGuard(ls, le)
+    val rNarrowPred = narrowGuard(rs, re)
+    val lNarrow = Filter(lNarrowPred, j.left)
+    val rNarrow = Filter(rNarrowPred, j.right)
+
+    // binned fast path over bounded-fanout rows
     val lBin = AttributeReference(BinName, LongType, nullable = false)()
     val rBin = AttributeReference(BinName, LongType, nullable = false)()
     val lGen = Generate(Explode(binsOf(ls, le)), Nil, outer = false, None,
-      Seq(lBin), j.left)
+      Seq(lBin), lNarrow)
     val rGen = Generate(Explode(binsOf(rs, re)), Nil, outer = false, None,
-      Seq(rBin), j.right)
-    val newJoin = Join(lGen, rGen, Inner,
+      Seq(rBin), rNarrow)
+    val binnedJoin = Join(lGen, rGen, Inner,
       Some(And(cond, EqualTo(lBin, rBin))), j.hint)
     val canonical = EqualTo(lBin, floorDiv(Greatest(Seq(ls, rs))))
-    Project(j.output, Filter(canonical, newJoin))
+    val narrow = Project(j.output, Filter(canonical, binnedJoin))
+
+    // fail-soft path: wide rows keep the ORIGINAL (un-binned) join; the
+    // two branches partition the remaining pair space exactly
+    def fallback(l: LogicalPlan, r: LogicalPlan): LogicalPlan = {
+      val fj = Join(l, r, Inner, Some(cond), j.hint)
+      fj.setTagValue(SkipTag, ())
+      Project(j.output, fj)
+    }
+    Union(Seq(
+      narrow,
+      fallback(Filter(Not(lNarrowPred), j.left), j.right),
+      fallback(lNarrow, Filter(Not(rNarrowPred), j.right))))
   }
 }
 

@@ -49,12 +49,32 @@ object VcfDataSource {
     val props = properties.asScala
     props.get("paths")
       .map { js => // JSON array of paths for multi-path load(...)
-        js.stripPrefix("[").stripSuffix("]").split(",")
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-          .filter(_.nonEmpty)
+        org.json4s.jackson.JsonMethods.parse(js) match {
+          case org.json4s.JArray(vs) =>
+            vs.collect { case org.json4s.JString(s) => s }
+          case org.json4s.JString(s) => Seq(s)
+          case _ => Seq.empty
+        }
       }
       .orElse(props.get("path").map(Seq(_)))
       .getOrElse(Seq.empty)
+  }
+}
+
+/** Hadoop `Configuration` isn't java-serializable; ship it to executors
+  * via its own `write`/`readFields` (same trick as Spark's internal
+  * `SerializableConfiguration`, which is `private[spark]`). */
+private class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -106,7 +126,9 @@ private class VcfScan(paths: Seq[String], required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => VcfInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new VcfReaderFactory(required.fieldNames, pushed)
+    new VcfReaderFactory(required.fieldNames, pushed,
+      new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf()))
   override def description(): String =
     s"VcfScan PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
@@ -114,21 +136,25 @@ private class VcfScan(paths: Seq[String], required: StructType,
 
 private case class VcfInputPartition(path: String) extends InputPartition
 
-private class VcfReaderFactory(fields: Array[String], pushed: Array[Filter])
-    extends PartitionReaderFactory {
+private class VcfReaderFactory(fields: Array[String], pushed: Array[Filter],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new VcfPartitionReader(p.asInstanceOf[VcfInputPartition].path, fields,
-      pushed)
+      pushed, conf)
 }
 
 private class VcfPartitionReader(path: String, fields: Array[String],
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
 
+  // Hadoop-FS open so file:/, hdfs:/, s3a:/ URIs all work — consistent
+  // with TableCatalog's Hadoop-FS-everywhere design
+  private val hadoopPath = new org.apache.hadoop.fs.Path(path)
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(
-      new java.io.FileInputStream(path), "UTF-8"))
+      hadoopPath.getFileSystem(conf.value).open(hadoopPath), "UTF-8"))
   private val sample = {
-    val base = new java.io.File(path).getName
+    val base = hadoopPath.getName
     base.substring(0, base.indexOf('.') match {
       case -1 => base.length; case i => i })
   }

@@ -35,6 +35,20 @@ class AsofSpec extends SparkSpecBase {
       ("u2", 300L, None)))
   }
 
+  test("backwardWithin on TimestampType columns (gap unit = seconds)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(("u1", ts("2024-01-01 00:00:30"), "p1"),
+      ("u1", ts("2024-01-01 00:05:00"), "p2"))
+      .toDF("user", "ts", "purchase")
+    val r = Seq(("u1", ts("2024-01-01 00:00:00"), "c1"))
+      .toDF("user", "ts", "click")
+    val got = AsofJoin.backwardWithin(l, r, Seq("user"), "ts", "ts",
+        maxGap = 60L)
+      .select("user", "purchase", "click")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got == Set(("u1", "p1", Some("c1")), ("u1", "p2", None)))
+  }
+
   test("backward asof == brute force on random data") {
     val rnd = new scala.util.Random(42)
     val l = (0 until 400).map(i =>

@@ -232,6 +232,21 @@ class DomainE2ESpec extends SparkSpecBase {
     assert(genome.translate("ATGGCCTAA") == "MA*")
   }
 
+  test("Genome.introns: abutting/overlapping exons leave no gap row") {
+    val c2 = new TableCatalog(spark, tmpDir("gaps"))
+    c2.write(Seq(
+      ("tx", 1, "chr1", 1L, 30L, "+"),    // abuts next (starts 31)
+      ("tx", 2, "chr1", 31L, 60L, "+"),   // overlaps next (starts 50)
+      ("tx", 3, "chr1", 50L, 80L, "+"),   // real gap to next
+      ("tx", 4, "chr1", 101L, 120L, "+"))
+      .toDF("transcript", "rank", "chrom", "start", "end", "strand"), "exons")
+    val in = new Genome(c2).introns.collect()
+    assert(in.length == 1) // abutting/overlapping pairs emit nothing
+    assert(in.head.getAs[Long]("start") == 81L &&
+      in.head.getAs[Long]("end") == 100L)
+    assert(in.head.getAs[Int]("rank") == 1)
+  }
+
   test("Junction.newTranscript: flanking-exon truncation + stitch (W3)") {
     val j1 = Junction("chr1", 31, 60, "+")
     val (nuc, aa) = j1.newTranscript(genome, "t1")

@@ -73,6 +73,36 @@ class RangeRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("wide rows bypass binning — bounded fanout, same results") {
+    // one pathological row spanning ~6e7 bins at width 16: without the
+    // maxbins guard, Sequence would allocate that array per evaluation
+    val a = (Seq((0L, 0L, 0L, 1000000000L)) ++
+      intervals(200, 9, 1).map { case (i, k, s, e) => (i + 1, k, s, e) })
+      .toDF("ida", "ka", "sa", "ea")
+    val b = (Seq((500L, 0L, 10L, 900000000L)) ++
+      intervals(200, 10, 1).map { case (i, k, s, e) => (i + 1 + 500, k, s, e) })
+      .toDF("idb", "kb", "sb", "eb")
+    def q = a.join(b, $"ka" === $"kb" && $"sa" <= $"eb" && $"sb" <= $"ea")
+      .select("ida", "idb")
+    val want = q.as[(Long, Long)].collect().toSeq.sorted
+    val (got, plan) = withRule {
+      spark.conf.set("spark.graft.rangejoin.binwidth", "16")
+      spark.conf.set("spark.graft.rangejoin.maxbins", "64")
+      try {
+        val df = q
+        (df.as[(Long, Long)].collect().toSeq.sorted,
+          df.queryExecution.optimizedPlan.toString)
+      } finally {
+        spark.conf.unset("spark.graft.rangejoin.maxbins")
+        spark.conf.unset("spark.graft.rangejoin.binwidth")
+      }
+    }
+    assert(plan.contains(BinnedRangeJoinRule.BinName), plan) // binned fast path
+    assert(plan.contains("Union"), plan)                     // wide-row fallback
+    assert(got == want)
+    assert(got.size == got.distinct.size)
+  }
+
   test("library RangeJoin plans are not double-binned by the rule") {
     withRule {
       val a = intervals(100, 7, 2).toDF("ida", "k", "sa", "ea")

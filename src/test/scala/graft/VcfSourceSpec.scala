@@ -29,6 +29,15 @@ class VcfSourceSpec extends SparkSpecBase {
     assert(bySample == Map("s1" -> 2L, "s2" -> 2L))
   }
 
+  test("URI-scheme paths open via Hadoop FS; multi-path JSON parse") {
+    val df = spark.read.format("vcf")
+      .load("file:" + fixture("s1.vcf"), "file:" + fixture("s2.vcf"))
+    assert(df.count() == 4)
+    val samples = df.select("samplename").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(samples == Set("s1", "s2"))
+  }
+
   test("column pruning and chrom/pos pushdown") {
     val df = spark.read.format("vcf")
       .load(fixture("s1.vcf"), fixture("s2.vcf"))
