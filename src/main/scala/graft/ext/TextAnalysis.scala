@@ -55,9 +55,12 @@ object TextAnalysis {
     col("n_chars").between(minChars, maxChars) &&
       col("alpha_ratio") >= minAlphaRatio
 
-  /** Rolling-window content fingerprint per document. */
+  /** Rolling-window content fingerprint per document (native one-pass
+    * shingler; value-identical to `TextFunctions.fingerprint`). */
   def withFingerprint(df: DataFrame, textCol: String, n: Int = 8): DataFrame =
-    df.withColumn("fingerprint", fingerprint(col(textCol), n))
+    df.withColumn("fingerprint",
+      array_min(transform(graft.functions.expressions.TextExpressions
+        .wordShingles(df.sparkSession, col(textCol), n), s => md5(s))))
 
   /** Scrub pass: replace email-like tokens, long digit runs (ids/phones)
     * and URLs with typed placeholders — the standard pre-training
