@@ -37,6 +37,23 @@ object GraftSession {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a LOCAL single-split scan across the session's cores.
+    *
+    * The driver's tables are single-row-group parquet files, which Spark
+    * cannot split: the scan and every narrow stage above it (explode
+    * fanout, broadcast-join probe) runs on one core. For most queries the
+    * single-threaded shuffle write costs more than it saves (measured:
+    * blanket spreading regressed the bench 48.8 → 133.7 s), so this is
+    * applied ONLY where heavy per-row fanout sits above the scan — the
+    * binned range-join inputs. On a production cluster the scan has
+    * thousands of splits and no spread is needed; this is a small-SF
+    * artifact adapter, which is why it lives with the entry queries and
+    * not inside the RangeJoin library. */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (cores > 1) df.repartition(cores) else df
+  }
+
   /** events.ts arrives as long nanos (see nanosAsLong above); convert to a
     * proper timestamp column with microsecond truncation. Division goes
     * through decimal: a double `/ 1000` has 256 ns of ulp at 2024-epoch

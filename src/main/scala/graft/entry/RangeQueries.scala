@@ -18,9 +18,12 @@ object RangeQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
-  /** orders → intervals: chrom 0-4, start in [0,5000), length 1-41. */
+  /** orders → intervals: chrom 0-4, start in [0,5000), length 1-41.
+    * Spread: the binned join probes millions of candidate pairs per input
+    * row above this scan; a local single-split file would run that on one
+    * core (GraftSession.spread). */
   private def orderIntervals(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders").select(
+    GraftSession.spread(t(s, dir, "orders")).select(
       (col("o_orderkey") % 5).as("chrom"),
       ((col("o_orderkey") * 7) % 5000).as("s1"),
       ((col("o_orderkey") * 7) % 5000 + 1 + col("o_orderkey") % 40).as("e1"),
@@ -28,7 +31,7 @@ object RangeQueries {
 
   /** events → intervals: chrom 0-4, start in [0,5000), length 1-26. */
   private def eventIntervals(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+    GraftSession.spread(t(s, dir, "events")).select(
       (col("event_id") % 5).as("chrom"),
       ((col("event_id") * 13) % 5000).as("s2"),
       ((col("event_id") * 13) % 5000 + 1 + col("event_id") % 25).as("e2"),
@@ -48,7 +51,7 @@ object RangeQueries {
     // J7: banded tolerance join — same-type event pairs with values
     // within ±0.5 (junction.py:285-290's ±bp slack, generalized).
     "q10_tolerance_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = GraftSession.spread(t(s, dir, "events"))
       val a = ev.select(col("event_type"), col("event_id").as("e1"),
         col("value").as("v1"))
       val b = ev.select(col("event_type"), col("event_id").as("e2"),
