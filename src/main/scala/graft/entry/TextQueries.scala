@@ -19,6 +19,13 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     GraftSession.table(s, dir, "documents")
 
+  /** Spread variant for the near-dup pipelines: their shingle/token md5
+    * fanout (~130 rows per doc) sits above the scan, and the local
+    * single-split file would run it on one core (GraftSession.spread).
+    * Map-only queries keep the plain scan — no fanout to parallelize. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    GraftSession.spread(docs(s, dir))
+
   /** Marker-word table drawn from the synthetic corpus vocabulary (the
     * real-stopword table in TextAnalysis.DefaultMarkers would be constant
     * over this corpus). */
@@ -72,7 +79,7 @@ object TextQueries {
     // replicates the complete LSH pipeline, so band-construction down to
     // seed strings is certified.
     "q35_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashNearDup(docs(s, dir), "doc_id", "text",
+      Dedup.minhashNearDup(docsSpread(s, dir), "doc_id", "text",
           shingleN = 3, k = 12, bands = 4, threshold = 0.5)
         .orderBy("a_id", "b_id")
     }),
@@ -80,7 +87,7 @@ object TextQueries {
     // Ground-truth n-gram jaccard (no LSH): pairs sharing >=1 shingle,
     // exact jaccard >= 0.5.
     "q36_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
+      Dedup.ngramJaccard(docsSpread(s, dir), "doc_id", "text",
           shingleN = 3, threshold = 0.5)
         .orderBy("a_id", "b_id")
     }),
@@ -88,7 +95,7 @@ object TextQueries {
     // SimHash(60-bit) near-dups via 4×15-bit pigeonhole banding,
     // Hamming <= 3.
     "q37_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashNearDup(docsSpread(s, dir), "doc_id", "text", maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("a_id", "b_id")
     }),
