@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RangeQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++
+      AnalyticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ RangeQueries.oracleSql ++
-      TextQueries.oracleSql ++ VectorQueries.oracleSql
+      TextQueries.oracleSql ++ VectorQueries.oracleSql ++
+      AnalyticQueries.oracleSql
 }

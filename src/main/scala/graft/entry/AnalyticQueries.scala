@@ -1,0 +1,184 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+
+/** Round-2 analytic operator coverage: multi-dimensional aggregation
+  * (CUBE), the full window-rank family, decorrelated scalar subqueries,
+  * latest-per-key compaction, batch sessionization, ordered collection
+  * aggregates, and dimension-wise vector aggregation.
+  *
+  * Determinism: same rules as RelationalQueries — DECIMAL sums for
+  * anything summed in floating point, total ORDER BY with unique
+  * tiebreakers, longs for every count-like output.
+  */
+object AnalyticQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CUBE: all four grouping combinations in one pass (Spark expands to
+    // grouping sets, one shuffle). NULLS FIRST ordering matches DuckDB's
+    // explicit NULLS FIRST.
+    "q49_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // Window-rank family over a total (tie-free) order: rank/dense_rank/
+    // ntile/percent_rank/cume_dist in one window pass.
+    "q50_window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Correlated scalar subquery, decorrelated the Spark way: the
+    // per-segment aggregate joins back (broadcast — 5 rows). The
+    // comparison is sum-based (balance * n > segment_sum) so it stays in
+    // exact DECIMAL arithmetic: an avg in double would make boundary rows
+    // engine-dependent.
+    "q51_above_segment_avg" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val seg = cust.groupBy("c_mktsegment")
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("seg_sum"),
+          count(lit(1)).as("seg_n"))
+      cust.join(broadcast(seg), "c_mktsegment")
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("seg_n") >
+          col("seg_sum"))
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Latest-per-key compaction (CDC/dedup-keep-newest): one shuffle +
+    // in-partition sort, rank 1 kept. The training-pipeline "newest crawl
+    // snapshot wins" primitive.
+    "q52_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // Batch gap sessionization (operators/Sessionize): lag + running sum
+    // + rollup, all on one shuffle. Gap = 8h. events.ts is
+    // TIMESTAMP(NANOS) read as long nanos, but the oracle's reader only
+    // sees microseconds — quantize to micros (exact integer div) on our
+    // side so both engines sessionize the identical integer timeline.
+    "q53_sessionize" -> ((s, dir) => {
+      graft.operators.Sessionize.sessions(
+          t(s, dir, "events")
+            .select(col("user_id"), col("event_id"),
+              expr("ts div 1000").as("ts_us")),
+          keys = Seq("user_id"), tsCol = "ts_us", gap = 28800000000L,
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("session_seq"),
+          col("n_events"), col("start_ts").as("start_us"),
+          col("end_ts").as("end_us"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // Ordered collection aggregate: set-collect, sort, join — the
+    // listagg/string_agg surface with deterministic element order.
+    "q54_array_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Dimension-wise centroid per label: posexplode + grouped exact sum
+    // — the distributed "mean embedding" primitive (no collect, no UDAF;
+    // shuffle carries (label, dim) keys). The sum runs over
+    // floor(x*1e7 + 0.5) BIGINTs: double→decimal casts round differently
+    // across engines (Spark goes through the shortest string repr), but
+    // mul/add/floor are IEEE-identical everywhere, so the quantized sum
+    // is bit-reproducible under any partial-aggregation order.
+    "q55_dim_centroid" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg((sum(floor(col("col").cast("double") * lit(1e7) + lit(0.5)))
+            .cast("double") / (count(lit(1)) * lit(1e7))).as("centroid"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("centroid"))
+        .orderBy("label", "pos")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q49_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q50_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(rank() OVER w AS BIGINT) AS rk,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q51_above_segment_avg" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |  (SELECT COUNT(*) FROM customer c2
+        |   WHERE c2.c_mktsegment = c.c_mktsegment)
+        |  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+        |     WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
+    "q52_latest_per_key" ->
+      """SELECT user_id, event_id AS last_event_id, event_type FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q53_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn FROM events),
+        |g AS (SELECT user_id, event_id, tn,
+        |  CASE WHEN tn - lag(tn) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) > 28800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (SELECT user_id, tn,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        | MIN(tn) AS start_us, MAX(tn) AS end_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    "q54_array_agg" ->
+      """SELECT o_orderpriority,
+        | array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q55_dim_centroid" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        | CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e7 + 0.5)
+        |           AS BIGINT)) AS DOUBLE)
+        |   / (COUNT(*) * 1e7) AS centroid
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)
+}

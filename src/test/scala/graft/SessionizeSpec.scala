@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Sessionize
+
+class SessionizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // u1: runs {10,20,25}, {100,105}, {200}; u2: one run {10, 15}
+  private lazy val events = Seq(
+    ("u1", 1L, 10L), ("u1", 2L, 20L), ("u1", 3L, 25L),
+    ("u1", 4L, 100L), ("u1", 5L, 105L), ("u1", 6L, 200L),
+    ("u2", 7L, 10L), ("u2", 8L, 15L)
+  ).toDF("user", "event", "ts")
+
+  test("byGap numbers sessions per key from 0, breaking on gap > g") {
+    val got = Sessionize.byGap(events, Seq("user"), "ts", gap = 20L,
+        tieBreak = Seq("event"))
+      .select("user", "event", "session_seq")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("u1", 1L, 0L), ("u1", 2L, 0L), ("u1", 3L, 0L),
+      ("u1", 4L, 1L), ("u1", 5L, 1L), ("u1", 6L, 2L),
+      ("u2", 7L, 0L), ("u2", 8L, 0L)))
+  }
+
+  test("gap boundary: difference exactly == gap does NOT break") {
+    val df = Seq(("k", 1L, 0L), ("k", 2L, 20L), ("k", 3L, 41L))
+      .toDF("user", "event", "ts")
+    val got = Sessionize.byGap(df, Seq("user"), "ts", gap = 20L)
+      .select("event", "session_seq").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L), (2L, 0L), (3L, 1L)))
+  }
+
+  test("sessions rollup: counts and spans per session") {
+    val got = Sessionize.sessions(events, Seq("user"), "ts", gap = 20L,
+        tieBreak = Seq("event"))
+      .select("user", "session_seq", "n_events", "start_ts", "end_ts")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("u1", 0L, 3L, 10L, 25L),
+      ("u1", 1L, 2L, 100L, 105L),
+      ("u1", 2L, 1L, 200L, 200L),
+      ("u2", 0L, 2L, 10L, 15L)))
+  }
+
+  test("plan shape: one exchange feeds both window passes and the rollup") {
+    val plan = Sessionize.sessions(events, Seq("user"), "ts", gap = 20L)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected a single shuffle, got:\n$plan")
+    assert(!plan.contains("Join"), "sessionization must not plan a join")
+  }
+}
