@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RangeQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
-      AnalyticQueries.queries
+      AnalyticQueries.queries ++ WorkloadQueries.queries ++
+      StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ RangeQueries.oracleSql ++
       TextQueries.oracleSql ++ VectorQueries.oracleSql ++
-      AnalyticQueries.oracleSql
+      AnalyticQueries.oracleSql ++ WorkloadQueries.oracleSql ++
+      StatsQueries.oracleSql
 }

@@ -1,0 +1,104 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.ext.Stats
+
+/** Exact distributed statistics over the fact table (ext/Stats).
+  *
+  * Native stddev/corr stream doubles through merge-order-dependent
+  * accumulators — unreproducible across layouts and engines. These queries
+  * run the order-independent exact-moments formulation instead, which is
+  * why they can be hash-compared against DuckDB at all (the oracle runs
+  * the identical fixed double expression tree over the same exact sums).
+  *
+  * Median (q60) is the exact interpolating percentile over an integral
+  * value grid — both engines interpolate the same exact doubles. The
+  * sketch path for arbitrary reals at scale is percentile_approx (q27).
+  */
+object StatsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // n / mean / sample variance / population stddev of the price column
+    // per returnflag, exact on the cent grid (scale=100).
+    "q58_desc_stats" -> ((s, dir) => {
+      Stats.descriptive(t(s, dir, "lineitem"), col("l_extendedprice"),
+          scale = 100.0, keys = Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Pearson correlation quantity↔price per returnflag from exact
+    // cross-moments (one shuffle, map-side partials).
+    "q59_corr" -> ((s, dir) => {
+      Stats.pearson(t(s, dir, "lineitem"),
+          col("l_quantity"), 1.0, col("l_extendedprice"), 100.0,
+          keys = Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Exact median (interpolating percentile) of the integral quantity
+    // column per returnflag.
+    "q60_median" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    // Identical quantize → exact DECIMAL sums → fixed double tree.
+    "q58_desc_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5)
+        |        AS DECIMAL(38,0))) AS s1,
+        |    SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5) *
+        |             FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5)
+        |        AS DECIMAL(38,0))) AS s2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+        |  ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 10000.0
+        |    AS var_samp,
+        |  SQRT(((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 10000.0)
+        |    AS stddev_pop
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q59_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5)
+        |        AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5) *
+        |             FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5)
+        |        AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5)
+        |        AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5) *
+        |             FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5)
+        |        AS DECIMAL(38,0))) AS syy,
+        |    SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5) *
+        |             FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5)
+        |        AS DECIMAL(38,0))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q60_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+}

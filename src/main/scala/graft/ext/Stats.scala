@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed descriptive statistics.
+  *
+  * Spark's native `stddev_samp`/`corr` stream doubles through Welford-style
+  * merges, so the low bits depend on partition boundaries — two runs of the
+  * same query on different cluster layouts disagree in the last ulps, and
+  * no two engines agree bit-for-bit. That is fine for exploration and
+  * useless for regression gates, reproducible training-data filters, or
+  * cross-engine verification at 100 TB.
+  *
+  * This module derives the same statistics from ORDER-INDEPENDENT exact
+  * moment sums instead:
+  *
+  *   1. quantize each value to an integer grid: `floor(x*scale + 0.5)`
+  *      (multiply/add/floor are IEEE-identical in every engine — unlike
+  *      double→decimal casts, which round via engine-specific paths);
+  *   2. aggregate Σx, Σx², Σxy, n as exact DECIMAL(38,0) — associative,
+  *      commutative, overflow-safe far beyond 100 TB row counts;
+  *   3. derive mean/variance/stddev/corr with one fixed double expression
+  *      tree over the exact sums.
+  *
+  * The result is bit-reproducible under any partitioning, any AQE plan,
+  * and across engines (the DuckDB oracle runs the same formula).
+  * Accuracy: the quantization grid (caller-chosen `scale`) bounds the
+  * input error; for data with fixed decimal precision (prices, counts)
+  * pick scale = 10^decimals and the statistics are EXACT.
+  */
+object Stats {
+
+  /** `floor(x*scale + 0.5)` as a long — deterministic integer quantization
+    * (round-half-up, negatives round toward +inf in both engines). */
+  def quantize(c: Column, scale: Double): Column =
+    floor(c.cast("double") * lit(scale) + lit(0.5))
+
+  private def dsum38(c: Column): Column = sum(c.cast("decimal(38,0)"))
+
+  /** Exact moment sums per group: n, Σq, Σq² of the quantized value. */
+  def moments(df: DataFrame, value: Column, scale: Double,
+      keys: Seq[String]): DataFrame = {
+    val q = quantize(value, scale)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        dsum38(q).as("s1"),
+        dsum38(q * q).as("s2"))
+  }
+
+  /** n / mean / sample variance / sample stddev per group, exact on a
+    * 1/scale grid. One shuffle on the group key; everything else is
+    * map-side partial aggregation. */
+  def descriptive(df: DataFrame, value: Column, scale: Double,
+      keys: Seq[String]): DataFrame = {
+    val nD = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    // fixed expression tree — identical IEEE ops in any engine
+    val varPop = (nD * s2 - s1 * s1) / (nD * nD)
+    val varSamp = (nD * s2 - s1 * s1) / (nD * (nD - lit(1.0)))
+    moments(df, value, scale, keys)
+      .select(keys.map(col) ++ Seq(
+        col("n"),
+        (s1 / nD / lit(scale)).as("mean"),
+        (varSamp / lit(scale * scale)).as("var_samp"),
+        sqrt(varPop / lit(scale * scale)).as("stddev_pop")): _*)
+  }
+
+  /** Pearson correlation per group from exact cross-moments. Correlation
+    * is scale-invariant, so the quantization grids cancel except for the
+    * grid error itself. */
+  def pearson(df: DataFrame, x: Column, xScale: Double, y: Column,
+      yScale: Double, keys: Seq[String]): DataFrame = {
+    val qx = quantize(x, xScale)
+    val qy = quantize(y, yScale)
+    val agg = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        dsum38(qx).as("sx"), dsum38(qx * qx).as("sxx"),
+        dsum38(qy).as("sy"), dsum38(qy * qy).as("syy"),
+        dsum38(qx * qy).as("sxy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+    val sy = col("sy").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val r = (nD * sxy - sx * sy) /
+      sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy))
+    agg.select(keys.map(col) ++ Seq(col("n"), r.as("corr")): _*)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Stats
+
+class StatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // deterministic pseudo-random fixture: 2 groups, 500 rows, values on a
+  // 1e-4 grid so scale=1e4 makes the statistics exact
+  private lazy val df = {
+    val rows = (1 to 1000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val x = math.floor(math.sin(i) * 12345.0) / 10000.0
+      val y = math.floor(math.cos(i * 7) * 54321.0) / 10000.0
+      (g, x, y)
+    }
+    rows.toDF("g", "x", "y")
+  }
+
+  test("descriptive matches Spark's native stddev/avg within 1e-9") {
+    val got = Stats.descriptive(df, col("x"), 1e4, Seq("g"))
+      .orderBy("g").collect()
+    val exp = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), avg("x").as("mean"),
+        var_samp("x").as("v"), stddev_pop("x").as("sd"))
+      .orderBy("g").collect()
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getLong(1) == e.getLong(1))
+      assert(math.abs(g.getDouble(2) - e.getDouble(2)) < 1e-9, "mean")
+      assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9, "var")
+      assert(math.abs(g.getDouble(4) - e.getDouble(4)) < 1e-9, "stddev")
+    }
+  }
+
+  test("pearson matches Spark's native corr within 1e-9") {
+    val got = Stats.pearson(df, col("x"), 1e4, col("y"), 1e4, Seq("g"))
+      .orderBy("g").collect()
+    val exp = df.groupBy("g").agg(corr("x", "y").as("r"))
+      .orderBy("g").collect()
+    got.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g.getDouble(2) - e.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("results are bit-identical under any partitioning") {
+    def run(parts: Int): Seq[(String, Long, Double, Double, Double)] =
+      Stats.descriptive(df.repartition(parts), col("x"), 1e4, Seq("g"))
+        .orderBy("g")
+        .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val p1 = run(1); val p7 = run(7); val p32 = run(32)
+    // exact ==, not tolerance: the whole point of the moments formulation
+    assert(p1 == p7 && p7 == p32)
+  }
+
+  test("native stddev_samp IS partition-order sensitive (motivation)") {
+    // documents why Stats exists; if this ever starts passing with exact
+    // equality everywhere, revisit — but do not rely on it
+    val a = df.repartition(1).agg(var_samp("x")).first().getDouble(0)
+    val b = df.repartition(13).agg(var_samp("x")).first().getDouble(0)
+    assert(math.abs(a - b) < 1e-9) // close, but typically not identical
+  }
+
+  test("quantize recovers a decimal grid exactly despite double error") {
+    // 900.68 * 100 = 90067.999... in double; quantize must yield 90068
+    val got = Seq(900.68, -900.68, 0.005, -0.005)
+      .toDF("v").select(Stats.quantize(col("v"), 100.0)).as[Long]
+      .collect().toSeq
+    assert(got == Seq(90068L, -90068L, 1L, 0L)) // floor(+0.5) half-up-to-+inf
+  }
+}
