@@ -18,11 +18,16 @@ import scala.jdk.CollectionConverters._
   * plus the raw INFO / FORMAT / first-sample payloads for downstream
   * column-level decoding (CSQ explode etc.).
   *
-  * Partitioning: one partition per file (VCF headers make byte-range
-  * splitting unattractive; genomic VCFs are usually per-sample or
-  * per-chromosome sharded, which is the parallelism unit that matters).
-  * `samplename` is derived from the file stem, mirroring the manifest
-  * convention.
+  * Partitioning: plain-text VCFs split by byte range (default split
+  * `spark.graft.vcf.splitbytes` = 128 MiB), so a single 100 GB VCF reads
+  * on ~800 cores instead of one. Ownership rule: a record line belongs to
+  * the split containing its first byte; a split whose start lands
+  * mid-line discards that partial line (the previous split reads through
+  * it), the standard text-splitting contract. Header lines live in the
+  * first split and are skipped everywhere by the `#` filter. Gzip files
+  * (`.gz`/`.bgz`) are not seekable and stay one partition per file,
+  * decompressed on the fly. `samplename` is derived from the file stem,
+  * mirroring the manifest convention.
   */
 class VcfDataSource extends TableProvider with DataSourceRegister {
 
@@ -123,8 +128,21 @@ private class VcfScan(paths: Seq[String], required: StructType,
     pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => VcfInputPartition(p): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    val splitBytes = spark.conf
+      .get("spark.graft.vcf.splitbytes", (128L * 1024 * 1024).toString).toLong
+      .max(1L)
+    paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val len = hp.getFileSystem(hconf).getFileStatus(hp).getLen
+      if (VcfInputPartition.gzipped(p) || len <= splitBytes)
+        Seq(VcfInputPartition(p, 0L, Long.MaxValue))
+      else (0L until len by splitBytes)
+        .map(s => VcfInputPartition(p, s, math.min(s + splitBytes, len)))
+    }.map(p => p: InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new VcfReaderFactory(required.fieldNames, pushed,
       new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
@@ -134,39 +152,69 @@ private class VcfScan(paths: Seq[String], required: StructType,
       s"ReadSchema: ${required.simpleString}"
 }
 
-private case class VcfInputPartition(path: String) extends InputPartition
+/** `[start, end)` byte range; `end = Long.MaxValue` means whole file. */
+private case class VcfInputPartition(path: String, start: Long, end: Long)
+    extends InputPartition
+
+private object VcfInputPartition {
+  def gzipped(path: String): Boolean =
+    path.endsWith(".gz") || path.endsWith(".bgz")
+}
 
 private class VcfReaderFactory(fields: Array[String], pushed: Array[Filter],
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new VcfPartitionReader(p.asInstanceOf[VcfInputPartition].path, fields,
+    new VcfPartitionReader(p.asInstanceOf[VcfInputPartition], fields,
       pushed, conf)
 }
 
-private class VcfPartitionReader(path: String, fields: Array[String],
-    pushed: Array[Filter], conf: SerializableHadoopConf)
-    extends PartitionReader[InternalRow] {
+private class VcfPartitionReader(part: VcfInputPartition,
+    fields: Array[String], pushed: Array[Filter],
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
 
   // Hadoop-FS open so file:/, hdfs:/, s3a:/ URIs all work — consistent
   // with TableCatalog's Hadoop-FS-everywhere design
-  private val hadoopPath = new org.apache.hadoop.fs.Path(path)
-  private val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(
-      hadoopPath.getFileSystem(conf.value).open(hadoopPath), "UTF-8"))
+  private val hadoopPath = new org.apache.hadoop.fs.Path(part.path)
+  private val gz = VcfInputPartition.gzipped(part.path)
+  private val stream = hadoopPath.getFileSystem(conf.value).open(hadoopPath)
+  // byte offset of the next unread line's first byte (plain-text only;
+  // LineReader counts raw bytes incl. the terminator, which is what seek
+  // positions mean — a char-counting BufferedReader would drift on UTF-8)
+  private var pos: Long =
+    if (!gz && part.start > 0) { stream.seek(part.start - 1); part.start - 1 }
+    else 0L
+  private val reader =
+    if (gz) new org.apache.hadoop.util.LineReader(
+      new java.util.zip.GZIPInputStream(stream))
+    else new org.apache.hadoop.util.LineReader(stream)
+  if (!gz && part.start > 0) {
+    // Discard the line containing byte start-1: if that byte is '\n' this
+    // consumes exactly the terminator (no record lost); otherwise the
+    // partial line belongs to the previous split, which reads past its
+    // own end to finish it.
+    val t = new org.apache.hadoop.io.Text
+    pos += reader.readLine(t)
+  }
   private val sample = {
     val base = hadoopPath.getName
     base.substring(0, base.indexOf('.') match {
       case -1 => base.length; case i => i })
   }
+  private val text = new org.apache.hadoop.io.Text
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null &&
-        (line.startsWith("#") || line.isEmpty || !passes(line)))
-      line = reader.readLine()
-    if (line == null) { row = null; false }
-    else { row = parse(line); true }
+    row = null
+    while (row == null) {
+      if (pos >= part.end) return false // next line starts in a later split
+      val n = reader.readLine(text)
+      if (n == 0) return false
+      pos += n
+      val line = text.toString
+      if (!line.startsWith("#") && line.nonEmpty && passes(line))
+        row = parse(line)
+    }
+    true
   }
 
   /** Pushed chrom/pos predicate evaluation on the raw line — records are

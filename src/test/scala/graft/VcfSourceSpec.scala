@@ -52,6 +52,70 @@ class VcfSourceSpec extends SparkSpecBase {
     assert(scanDesc.contains("EqualTo(chrom,chr2)"), scanDesc)
   }
 
+  // ~500-record plain-text VCF for split-read tests (records have varied
+  // widths so split boundaries land mid-line, mid-header, and on '\n')
+  private lazy val bigVcf: String = {
+    val f = java.io.File.createTempFile("graft_split", ".vcf")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("##fileformat=VCFv4.2")
+    (1 to 40).foreach(i => w.println(s"##contig=<ID=chr$i,length=100000>"))
+    w.println("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS")
+    (1 to 500).foreach { i =>
+      val info = "ANN=" + ("x" * (i % 37))
+      w.println(s"chr${i % 5 + 1}\t${i * 10}\trs$i\tA\tG,T\t${i % 90}.5\t" +
+        s"PASS\t$info\tGT\t0/1")
+    }
+    w.close()
+    f.getAbsolutePath
+  }
+
+  test("byte-range splits: every record exactly once, any split size") {
+    val whole = spark.read.format("vcf").load(bigVcf)
+      .select("chrom", "pos", "id").orderBy("pos").collect().toSeq
+    assert(whole.size == 500)
+    // sweep split sizes incl. pathological ones (smaller than one line)
+    for (bytes <- Seq(17, 64, 1000, 4096)) {
+      spark.conf.set("spark.graft.vcf.splitbytes", bytes.toString)
+      try {
+        val df = spark.read.format("vcf").load(bigVcf)
+        assert(df.rdd.getNumPartitions > 1, s"splitbytes=$bytes")
+        val got = df.select("chrom", "pos", "id").orderBy("pos")
+          .collect().toSeq
+        assert(got == whole, s"splitbytes=$bytes")
+      } finally spark.conf.unset("spark.graft.vcf.splitbytes")
+    }
+  }
+
+  test("split reads keep pushdown + samplename semantics") {
+    spark.conf.set("spark.graft.vcf.splitbytes", "512")
+    try {
+      val df = spark.read.format("vcf").load(bigVcf)
+        .filter(col("chrom") === "chr3" && col("pos") <= 1000L)
+      assert(df.count() ==
+        (1 to 500).count(i => i % 5 + 1 == 3 && i * 10 <= 1000))
+      assert(df.select("samplename").distinct().count() == 1)
+    } finally spark.conf.unset("spark.graft.vcf.splitbytes")
+  }
+
+  test("gzip files stay one partition and decompress on the fly") {
+    val gzPath = bigVcf.stripSuffix(".vcf") + ".vcf.gz"
+    val in = new java.io.FileInputStream(bigVcf)
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gzPath))
+    val buf = new Array[Byte](8192)
+    Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+      .foreach(n => out.write(buf, 0, n))
+    in.close(); out.close()
+    new java.io.File(gzPath).deleteOnExit()
+    spark.conf.set("spark.graft.vcf.splitbytes", "64") // must be ignored
+    try {
+      val df = spark.read.format("vcf").load(gzPath)
+      assert(df.rdd.getNumPartitions == 1)
+      assert(df.count() == 500)
+    } finally spark.conf.unset("spark.graft.vcf.splitbytes")
+  }
+
   test("filters and projection compose on the source") {
     val df = spark.read.format("vcf")
       .load(fixture("s1.vcf"), fixture("s2.vcf"))
