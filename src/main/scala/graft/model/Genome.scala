@@ -14,9 +14,12 @@ import graft.core.TableCatalog
   *   exons(transcript, rank, chrom, start, end, strand)
   * Introns are derived from exon gaps, not stored — one window pass.
   *
-  * Sequence extraction reads a FASTA into an in-memory map (fixture
-  * scale); a production deployment would broadcast an indexed FASTA.
-  * Coordinates are 1-based closed, like the reference's pyranges use.
+  * Sequence extraction has two forms: a whole-FASTA in-memory map
+  * (fixture scale, [[withSequences]]/[[getSequence]]) and a broadcast
+  * faidx index with executor-side positioned range reads
+  * ([[withSequencesIndexed]] via [[FastaIndex]] — reference-genome
+  * scale). Coordinates are 1-based closed, like the reference's
+  * pyranges use.
   */
 final class Genome(catalog: TableCatalog, fastaPath: Option[String] = None) {
 
@@ -99,6 +102,33 @@ final class Genome(catalog: TableCatalog, fastaPath: Option[String] = None) {
         .filter(seq => s >= 1 && e <= seq.length && s <= e)
         .map { seq =>
           val sub = seq.substring((s - 1).toInt, e.toInt)
+          if (strand == "-") Genome.reverseComplement(sub) else sub
+        }.orNull
+    }
+    df.withColumn(out,
+      extract(col(chromCol), col(startCol), col(endCol), col(strandCol)))
+  }
+
+  /** Reference-genome-scale form of [[withSequences]]: broadcast only the
+    * faidx-style index (~KB), leave the FASTA on shared storage, and do a
+    * positioned range read per interval on the executors ([[FastaIndex]]).
+    * Row cost is one pread of exactly the interval's bytes — no genome in
+    * memory anywhere, so a 3 GB FASTA and a billion intervals both fit. */
+  def withSequencesIndexed(df: DataFrame, chromCol: String = "chrom",
+      startCol: String = "start", endCol: String = "end",
+      strandCol: String = "strand", out: String = "seq"): DataFrame = {
+    val path = fastaPath.getOrElse(
+      throw new IllegalStateException("Genome built without a FASTA path"))
+    val conf = new graft.core.SerializableHadoopConf(
+      catalog.spark.sessionState.newHadoopConf())
+    val idx = catalog.spark.sparkContext
+      .broadcast(FastaIndex.forFasta(conf.value, path))
+    val extract = udf { (chrom: String, s: Long, e: Long, strand: String) =>
+      idx.value.get(chrom)
+        .filter(en => s >= 1 && e <= en.length && s <= e)
+        .map { en =>
+          val sub = FastaIndex.readRange(
+            FastaIndex.stream(conf.value, path), en, s, e)
           if (strand == "-") Genome.reverseComplement(sub) else sub
         }.orNull
     }

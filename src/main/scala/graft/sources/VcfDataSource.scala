@@ -66,22 +66,7 @@ object VcfDataSource {
   }
 }
 
-/** Hadoop `Configuration` isn't java-serializable; ship it to executors
-  * via its own `write`/`readFields` (same trick as Spark's internal
-  * `SerializableConfiguration`, which is `private[spark]`). */
-private class SerializableHadoopConf(
-    @transient var value: org.apache.hadoop.conf.Configuration)
-    extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new org.apache.hadoop.conf.Configuration(false)
-    value.readFields(in)
-  }
-}
+import graft.core.SerializableHadoopConf
 
 private class VcfTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"vcf(${paths.mkString(",")})"

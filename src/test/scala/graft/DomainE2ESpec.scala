@@ -275,6 +275,22 @@ class DomainE2ESpec extends SparkSpecBase {
     assert(bad.select("seq").head().isNullAt(0))
   }
 
+  test("Genome.withSequencesIndexed == withSequences (index range reads)") {
+    val cols = Seq("transcript", "rank", "seq")
+    val viaMap = genome.withSequences(genome.exons)
+      .select(cols.head, cols.tail: _*).orderBy("transcript", "rank")
+      .collect().toSeq
+    val viaIndex = genome.withSequencesIndexed(genome.exons)
+      .select(cols.head, cols.tail: _*).orderBy("transcript", "rank")
+      .collect().toSeq
+    assert(viaIndex == viaMap && viaIndex.nonEmpty)
+    // unknown chrom / out-of-range yield null, matching the map form
+    val bad = genome.withSequencesIndexed(
+      Seq(("chrX", 1L, 5L, "+"), ("chr1", 100L, 500L, "+"))
+        .toDF("chrom", "start", "end", "strand"))
+    assert(bad.select("seq").collect().forall(_.isNullAt(0)))
+  }
+
   test("Junction.newTranscript on the minus strand: stitch then revcomp") {
     val jm = Junction("chr2", 31, 60, "-")
     assert(jm.genes(genome).select("id").head().getString(0) == "gm")
