@@ -21,7 +21,7 @@ object SparkEntry {
     RelationalQueries.queries ++ RangeQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
       AnalyticQueries.queries ++ WorkloadQueries.queries ++
-      StatsQueries.queries
+      StatsQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ RangeQueries.oracleSql ++
       TextQueries.oracleSql ++ VectorQueries.oracleSql ++
       AnalyticQueries.oracleSql ++ WorkloadQueries.oracleSql ++
-      StatsQueries.oracleSql
+      StatsQueries.oracleSql ++ CurationQueries.oracleSql
 }

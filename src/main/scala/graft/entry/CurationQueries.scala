@@ -1,0 +1,80 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.ext.{Curation, TextAnalysis}
+
+/** Training-data curation surface (ext/Curation + the repetition filter):
+  * reproducible epoch shuffles, sharded export assignment, weighted
+  * corpus mixing, duplicate-n-gram quality scoring. All decisions are
+  * md5(seed,id)-derandomized, which is what lets DuckDB replicate them
+  * bit-for-bit. */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic epoch shuffle + 8-way shard assignment: the corpus in
+    // seed-'ep1' order with each row's export shard. Range-partitioned
+    // sort on the hash — the 100 TB shuffle plan.
+    "q61_det_shuffle" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          Curation.shuffleKey("ep1", col("doc_id")).as("skey"),
+          Curation.shard("ep1", col("doc_id"), 8).as("shard"))
+        .orderBy("skey", "doc_id")
+    }),
+
+    // Duplicate-bigram repetition score (boilerplate/repetition quality
+    // filter): exact distinct-vs-total gram counts, map-only.
+    "q62_repetition" -> ((s, dir) => {
+      TextAnalysis.withRepetitionScore(docs(s, dir), "text", n = 2)
+        .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
+        .orderBy("doc_id")
+    }),
+
+    // Weighted corpus mix: per-source keep rates (src0 all, src1 half,
+    // src2 quarter, src3 a tenth, everything else dropped), one filter
+    // pass, exact integer thresholds.
+    "q63_corpus_mix" -> ((s, dir) => {
+      Curation.mixSources(docs(s, dir), "source", "doc_id",
+          Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+          seed = "mix1")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q61_det_shuffle" ->
+      """SELECT doc_id,
+        | md5(concat('ep1','#',CAST(doc_id AS VARCHAR))) AS skey,
+        | CAST(concat('0x', substr(md5(concat('ep1','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) % 8 AS shard
+        |FROM documents ORDER BY skey, doc_id""".stripMargin,
+    "q62_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(t[i:i+1],' ') s
+        |       FROM toks, unnest(generate_series(1, len(t)-1)) u(i)
+        |       WHERE len(t) >= 2),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_grams,
+        |               COUNT(DISTINCT s) AS n_distinct_grams
+        |        FROM sh GROUP BY 1)
+        |SELECT t.doc_id,
+        | COALESCE(a.n_grams, 0) AS n_grams,
+        | COALESCE(a.n_distinct_grams, 0) AS n_distinct_grams,
+        | CASE WHEN a.n_grams IS NULL THEN 0.0
+        |      ELSE 1.0 - CAST(a.n_distinct_grams AS DOUBLE)
+        |                 / CAST(a.n_grams AS DOUBLE) END AS dup_gram_ratio
+        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "q63_corpus_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(concat('mix1','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT)
+        |  < CASE source WHEN 'src0' THEN 4294967296
+        |                WHEN 'src1' THEN 2147483648
+        |                WHEN 'src2' THEN 1073741824
+        |                WHEN 'src3' THEN 429496729
+        |                ELSE 0 END
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation passes: deterministic global shuffle, sharded
+  * export, and weighted corpus mixing.
+  *
+  * Everything is hash-derandomized (md5 over seed + row id, like
+  * [[Sampling]]): the "random" order and the sampling decisions are pure
+  * functions of (seed, id), so any engine, any partitioning, and any
+  * re-run produce the SAME dataset — which is what makes a training run
+  * reproducible and these operators oracle-checkable.
+  */
+object Curation {
+
+  /** Engine-portable shuffle rank for (seed, id): md5 of `"seed#id"`.
+    * Changing the seed re-permutes the corpus (new epoch order). */
+  def shuffleKey(seed: String, id: Column): Column =
+    md5(concat_ws("#", lit(seed), id.cast("string")))
+
+  /** The first 8 hex digits of the shuffle key as a uniform long in
+    * [0, 2^32) — the sampling/sharding coordinate. */
+  def hashU32(seed: String, id: Column): Column =
+    conv(substring(shuffleKey(seed, id), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic global shuffle: total order by hash rank (id as
+    * tiebreak). Plans as one range-partitioned sort — the scalable way
+    * to permute 100 TB (sample-based range boundaries, no single-point
+    * bottleneck), and every epoch's order is reproducible from the
+    * seed. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: String): DataFrame =
+    df.orderBy(shuffleKey(seed, col(idCol)).asc, col(idCol).asc)
+
+  /** Shard assignment in [0, nShards) — stable bucketing for sharded
+    * training export (each shard is itself hash-shuffled). */
+  def shard(seed: String, id: Column, nShards: Int): Column =
+    pmod(hashU32(seed, id), lit(nShards.toLong))
+
+  /** Weighted corpus mixing: keep each row of stratum `sourceCol` with
+    * its configured probability (unlisted sources drop). Map-only — the
+    * mix of a 100 TB corpus is one filter pass, no shuffle; thresholds
+    * are fixed longs so the selection is exact, not approximate. */
+  def mixSources(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Seq[(String, Double)], seed: String): DataFrame = {
+    require(weights.forall { case (_, w) => w >= 0.0 && w <= 1.0 },
+      "mix weights must be in [0, 1]")
+    val threshold = weights.foldLeft(lit(0L)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit((w * (1L << 32)).toLong)).otherwise(acc)
+    }
+    df.filter(hashU32(seed, col(idCol)) < threshold)
+  }
+}

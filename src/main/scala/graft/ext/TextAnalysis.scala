@@ -62,6 +62,26 @@ object TextAnalysis {
       array_min(transform(graft.functions.expressions.TextExpressions
         .wordShingles(df.sparkSession, col(textCol), n), s => md5(s))))
 
+  /** Intra-document repetition score (the Gopher/C4-style duplicate
+    * n-gram filter): fraction of word n-grams that are repeats of an
+    * earlier gram in the same document. Total grams is just
+    * `n_tokens - n + 1` (no materialization); distinct grams reuses the
+    * one-pass native shingler — so the whole signal is a map-only pass.
+    * Documents with fewer than n tokens score 0 (nothing can repeat). */
+  def withRepetitionScore(df: DataFrame, textCol: String,
+      n: Int = 2): DataFrame = {
+    val total = size(tokens(col(textCol))) - lit(n) + lit(1)
+    val distinct = size(graft.functions.expressions.TextExpressions
+      .wordShingles(df.sparkSession, col(textCol), n))
+    df.withColumn("n_grams", greatest(total, lit(0)).cast("long"))
+      .withColumn("n_distinct_grams",
+        when(total >= 1, distinct.cast("long")).otherwise(lit(0L)))
+      .withColumn("dup_gram_ratio",
+        when(total >= 1, lit(1.0) -
+          distinct.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Scrub pass: replace email-like tokens, long digit runs (ids/phones)
     * and URLs with typed placeholders — the standard pre-training
     * redaction sweep. Pure regexp_replace chain: map-only, codegen'd,

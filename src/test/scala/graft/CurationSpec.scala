@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Curation, TextAnalysis}
+
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val corpus =
+    (1L to 400L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+
+  test("deterministicShuffle: same order under any input partitioning") {
+    def run(parts: Int): Seq[Long] =
+      Curation.deterministicShuffle(corpus.repartition(parts), "id", "ep1")
+        .select("id").as[Long].collect().toSeq
+    val once = run(1)
+    assert(once.sorted == (1L to 400L)) // a permutation, nothing lost
+    assert(once != (1L to 400L)) // and actually permuted
+    assert(run(7) == once && run(32) == once)
+  }
+
+  test("different seeds give different permutations; same seed repeats") {
+    def perm(seed: String): Seq[Long] =
+      Curation.deterministicShuffle(corpus, "id", seed)
+        .select("id").as[Long].collect().toSeq
+    assert(perm("ep1") == perm("ep1"))
+    assert(perm("ep1") != perm("ep2"))
+  }
+
+  test("shard: stable, in-range, roughly balanced") {
+    val shards = corpus
+      .select(Curation.shard("ep1", col("id"), 8).as("shard"))
+      .groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shards.keySet.forall(s => s >= 0 && s < 8))
+    assert(shards.size == 8)
+    assert(shards.values.forall(c => c > 20 && c < 80)) // ~50 each
+  }
+
+  test("mixSources: exact weights 1.0 and 0.0; rate within tolerance") {
+    val kept = Curation.mixSources(corpus, "source", "id",
+      Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), "mix1")
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 100L) // weight 1.0 keeps everything
+    assert(!bySrc.contains("src2")) // weight 0.0 drops everything
+    assert(!bySrc.contains("src3")) // unlisted drops everything
+    assert(bySrc("src1") > 30L && bySrc("src1") < 70L) // ~50
+    // decisions are per-(seed,id): rerun selects the identical subset
+    val again = Curation.mixSources(corpus, "source", "id",
+      Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), "mix1")
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("withRepetitionScore: exact gram accounting") {
+    val df = Seq(
+      (1L, "a b a b a"),        // grams: ab ba ab ba -> 4 total, 2 distinct
+      (2L, "w x y z"),          // all distinct -> ratio 0.0
+      (3L, "q q q q q"),        // one distinct gram -> 4 total, 1 distinct
+      (4L, "solo")              // < n tokens -> zeros
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetitionScore(df, "text", n = 2)
+      .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5)))
+    assert(got(2L) == ((3L, 3L, 0.0)))
+    assert(got(3L) == ((4L, 1L, 0.75)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+}
