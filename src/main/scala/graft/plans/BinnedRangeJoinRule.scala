@@ -51,8 +51,12 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, 
   * recognizable span-guard Filter on a child) so the rule never re-fires
   * on its own output.
   *
-  * Bin width: `spark.graft.rangejoin.binwidth` (default 10000). Install
-  * via `spark.experimental.extraOptimizations` or the
+  * Bin width resolution order: explicit `spark.graft.rangejoin.binwidth`
+  * conf; else, when CBO column stats exist for all four bound columns
+  * (ANALYZE TABLE ... FOR COLUMNS), `domain / spark.graft.rangejoin
+  * .targetbins` (default 2^20) — so nanosecond-scale domains get
+  * proportionally wide bins instead of millions per row; else 10000.
+  * Install via `spark.experimental.extraOptimizations` or the
   * [[GraftExtensions]] session extension.
   */
 object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
@@ -65,8 +69,51 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * original overlap pattern and would otherwise re-match). */
   private val SkipTag = TreeNodeTag[Unit]("graft.rangejoin.skip")
 
-  private def width: Long =
-    conf.getConfString("spark.graft.rangejoin.binwidth", "10000").toLong
+  private val DefaultWidth = 10000L
+
+  /** Explicit user width wins; otherwise CBO column stats (when the
+    * tables are ANALYZEd) size the width to the coordinate domain so a
+    * nanosecond-scale domain doesn't get base-pair-scale bins; plain
+    * DataFrames with no stats fall back to the default. */
+  private def width(j: Join,
+      attrs: (Attribute, Attribute, Attribute, Attribute)): Long =
+    confWidth.orElse(statsWidth(j, attrs)).getOrElse(DefaultWidth)
+
+  private def confWidth: Option[Long] =
+    if (conf.contains("spark.graft.rangejoin.binwidth"))
+      Some(conf.getConfString("spark.graft.rangejoin.binwidth").toLong)
+    else None
+
+  /** `domain / targetbins` from column min/max stats: the bin count over
+    * the whole coordinate space stays near the target regardless of the
+    * domain's absolute scale. */
+  private def statsWidth(j: Join,
+      attrs: (Attribute, Attribute, Attribute, Attribute)): Option[Long] = {
+    val (ls, le, rs, re) = attrs
+    def bound(plan: LogicalPlan, a: Attribute, lo: Boolean): Option[Long] =
+      for {
+        cs <- plan.stats.attributeStats.get(a)
+        v <- if (lo) cs.min else cs.max
+        l <- v match {
+          case l: Long => Some(l)
+          case i: Int => Some(i.toLong)
+          case s: Short => Some(s.toLong)
+          case b: Byte => Some(b.toLong)
+          case _ => None
+        }
+      } yield l
+    for {
+      lsMin <- bound(j.left, ls, lo = true)
+      rsMin <- bound(j.right, rs, lo = true)
+      leMax <- bound(j.left, le, lo = false)
+      reMax <- bound(j.right, re, lo = false)
+    } yield {
+      val domain = math.max(leMax, reMax) - math.min(lsMin, rsMin)
+      val target = conf.getConfString("spark.graft.rangejoin.targetbins",
+        (1L << 20).toString).toLong
+      math.max(1L, domain / math.max(1L, target))
+    }
+  }
 
   private def maxBins: Long =
     conf.getConfString("spark.graft.rangejoin.maxbins", "512").toLong
@@ -124,18 +171,18 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  private def floorDiv(x: Expression): Expression =
-    Cast(Floor(Divide(Cast(x, DoubleType), Literal(width.toDouble))), LongType)
+  private def floorDiv(x: Expression, w: Long): Expression =
+    Cast(Floor(Divide(Cast(x, DoubleType), Literal(w.toDouble))), LongType)
 
   /** bins(row) - 1, i.e. floor(hi/w) - floor(lo/w). */
-  private def spanBins(s: Expression, e: Expression): Expression =
-    Subtract(floorDiv(Greatest(Seq(s, e))), floorDiv(Least(Seq(s, e))))
+  private def spanBins(s: Expression, e: Expression, w: Long): Expression =
+    Subtract(floorDiv(Greatest(Seq(s, e)), w), floorDiv(Least(Seq(s, e)), w))
 
   /** True when the row's bin fanout is acceptable (NULL spans drop on
     * both the narrow and the wide side — they can't satisfy the original
     * overlap predicate anyway). */
-  private def narrowGuard(s: Expression, e: Expression): Expression =
-    LessThan(spanBins(s, e), Literal(maxBins))
+  private def narrowGuard(s: Expression, e: Expression, w: Long): Expression =
+    LessThan(spanBins(s, e, w), Literal(maxBins))
 
   /** Structural re-entry protection, robust to other rules rebuilding the
     * fallback Join node (which loses the tag): a subtree containing a
@@ -157,30 +204,31 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  private def binsOf(s: Expression, e: Expression): Expression =
+  private def binsOf(s: Expression, e: Expression, w: Long): Expression =
     // timeZoneId must be set by hand: Sequence is TimeZoneAwareExpression
     // and no analyzer pass will fill it inside the optimizer
     Sequence(
-      floorDiv(Least(Seq(s, e))), floorDiv(Greatest(Seq(s, e))),
+      floorDiv(Least(Seq(s, e)), w), floorDiv(Greatest(Seq(s, e)), w),
       Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
 
   private def rewrite(j: Join, cond: Expression): LogicalPlan = {
     val Some((ls, le, rs, re)) = extractOverlap(j, cond)
-    val lNarrowPred = narrowGuard(ls, le)
-    val rNarrowPred = narrowGuard(rs, re)
+    val w = width(j, (ls, le, rs, re))
+    val lNarrowPred = narrowGuard(ls, le, w)
+    val rNarrowPred = narrowGuard(rs, re, w)
     val lNarrow = Filter(lNarrowPred, j.left)
     val rNarrow = Filter(rNarrowPred, j.right)
 
     // binned fast path over bounded-fanout rows
     val lBin = AttributeReference(BinName, LongType, nullable = false)()
     val rBin = AttributeReference(BinName, LongType, nullable = false)()
-    val lGen = Generate(Explode(binsOf(ls, le)), Nil, outer = false, None,
+    val lGen = Generate(Explode(binsOf(ls, le, w)), Nil, outer = false, None,
       Seq(lBin), lNarrow)
-    val rGen = Generate(Explode(binsOf(rs, re)), Nil, outer = false, None,
+    val rGen = Generate(Explode(binsOf(rs, re, w)), Nil, outer = false, None,
       Seq(rBin), rNarrow)
     val binnedJoin = Join(lGen, rGen, Inner,
       Some(And(cond, EqualTo(lBin, rBin))), j.hint)
-    val canonical = EqualTo(lBin, floorDiv(Greatest(Seq(ls, rs))))
+    val canonical = EqualTo(lBin, floorDiv(Greatest(Seq(ls, rs)), w))
     val narrow = Project(j.output, Filter(canonical, binnedJoin))
 
     // fail-soft path: wide rows keep the ORIGINAL (un-binned) join; the

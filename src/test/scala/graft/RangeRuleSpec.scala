@@ -103,6 +103,45 @@ class RangeRuleSpec extends SparkSpecBase {
     assert(got.size == got.distinct.size)
   }
 
+  test("CBO column stats size the bin width to the coordinate domain") {
+    spark.conf.unset("spark.graft.rangejoin.binwidth") // stats must decide
+    val a = intervals(300, 11, 2).toDF("ida", "ka", "sa", "ea")
+    val b = intervals(300, 12, 2).toDF("idb", "kb", "sb", "eb")
+    a.write.mode("overwrite").saveAsTable("rr_stats_a")
+    b.write.mode("overwrite").saveAsTable("rr_stats_b")
+    spark.sql("ANALYZE TABLE rr_stats_a COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql("ANALYZE TABLE rr_stats_b COMPUTE STATISTICS FOR ALL COLUMNS")
+    val ta = spark.table("rr_stats_a"); val tb = spark.table("rr_stats_b")
+    def q = ta.join(tb,
+      col("ka") === col("kb") && col("sa") <= col("eb") &&
+        col("sb") <= col("ea"))
+      .select("ida", "idb")
+    val want = q.as[(Long, Long)].collect().toSeq.sorted
+    // the width the rule should derive from the same min/max stats
+    val domain =
+      math.max(ta.agg(max("ea")).head().getLong(0),
+        tb.agg(max("eb")).head().getLong(0)) -
+      math.min(ta.agg(min("sa")).head().getLong(0),
+        tb.agg(min("sb")).head().getLong(0))
+    val expectedW = math.max(1L, domain / 64)
+    val (got, plan) = withRule {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.graft.rangejoin.targetbins", "64")
+      try {
+        val df = q
+        (df.as[(Long, Long)].collect().toSeq.sorted,
+          df.queryExecution.optimizedPlan.toString)
+      } finally {
+        spark.conf.unset("spark.graft.rangejoin.targetbins")
+        spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+    assert(plan.contains(BinnedRangeJoinRule.BinName), plan)
+    assert(plan.contains(s"/ $expectedW.0"),
+      s"expected stats-derived width $expectedW in plan:\n$plan")
+    assert(got == want)
+  }
+
   test("library RangeJoin plans are not double-binned by the rule") {
     withRule {
       val a = intervals(100, 7, 2).toDF("ida", "k", "sa", "ea")
