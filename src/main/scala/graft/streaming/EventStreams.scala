@@ -106,6 +106,28 @@ object EventStreams {
       }
   }
 
+  /** At-least-once ingest dedup: drops rows whose key was already seen
+    * within the watermark horizon. Unlike plain `dropDuplicates` on a
+    * stream (whose key state grows forever), per-key state is evicted
+    * once the watermark passes it — bounded state at any ingest volume,
+    * which is the only form that survives an unbounded 100 TB/day feed.
+    * A duplicate arriving after its key's state was evicted re-emits;
+    * size the watermark to the source's redelivery window. */
+  def dedupWithinWatermark(events: DataFrame,
+      idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-static enrichment: join the live stream against a static
+    * dimension table. Stateless (no watermark, no state store) — the dim
+    * broadcasts into every micro-batch, so the stream side never
+    * shuffles; re-read the dim table per restart to pick up slowly
+    * changing dimensions. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "left"): DataFrame =
+    events.join(broadcast(dim), Seq(key), joinType)
+
   /** Run a streaming query over a batch of files synchronously into an
     * in-memory sink (local smoke path): returns the materialized result
     * table. */

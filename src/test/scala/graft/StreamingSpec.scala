@@ -100,6 +100,56 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("watermarked streaming dedup: bounded state, dupes dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val deduped = EventStreams.dedupWithinWatermark(
+      mem.toDS().toDF(), Seq("event_id"), watermark = "10 minutes")
+    val q = deduped.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      def ev(id: Long, minute: Long) = EventStreams.Event(
+        id, new java.sql.Timestamp(minute * 60000), 1L, "click", 1.0)
+      mem.addData(ev(1, 60), ev(1, 60), ev(2, 61)) // in-batch dup of id 1
+      q.processAllAvailable()
+      mem.addData(ev(1, 62)) // cross-batch dup, watermark not yet past
+      q.processAllAvailable()
+      mem.addData(ev(3, 500)) // advances watermark far past id 1's state
+      q.processAllAvailable()
+      mem.addData(ev(1, 501)) // state evicted → re-emits (documented)
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids.count(_ == 1L) == 2, ids.mkString(",")) // once per horizon
+      assert(ids.count(_ == 2L) == 1 && ids.count(_ == 3L) == 1)
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join == batch join; stream side stateless") {
+    val dim = Seq(("click", 2.0), ("view", 0.5))
+      .toDF("event_type", "weight")
+    val batch = EventStreams.enriched(batchEvents, dim, "event_type")
+      .select(col("event_id"), col("weight"))
+      .orderBy("event_id").collect()
+
+    val dir = tmpDir("enrich-in")
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val got = EventStreams.runToMemory(spark,
+        EventStreams.enriched(stream, dim, "event_type")
+          .select(col("event_id"), col("weight")), "enriched_stream")
+      .orderBy("event_id").collect()
+
+    assert(batch.length > 0 && got.length == batch.length)
+    assert(got.sameElements(batch))
+    // unmatched types survive the left join with null weight
+    assert(batch.exists(_.isNullAt(1)) ==
+      batchEvents.join(dim, Seq("event_type"), "left_anti").count() > 0)
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     val events = batchEvents
       .select(col("event_id"), col("ts"), col("user_id"),
