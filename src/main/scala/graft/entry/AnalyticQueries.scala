@@ -67,10 +67,14 @@ object AnalyticQueries {
 
     // Latest-per-key compaction (CDC/dedup-keep-newest): one shuffle +
     // in-partition sort, rank 1 kept. The training-pipeline "newest crawl
-    // snapshot wins" primitive.
+    // snapshot wins" primitive. Rank on MICROsecond-truncated ts (exact
+    // integer div, same as q53): the oracle's reader only sees micros, so
+    // ranking on raw nanos could keep a different row whenever two events
+    // collide within one micro — both engines must break that tie by
+    // event_id on the identical integer timeline.
     "q52_latest_per_key" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
+        .orderBy(expr("ts div 1000").desc, col("event_id").desc)
       t(s, dir, "events")
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)

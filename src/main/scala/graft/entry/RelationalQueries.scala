@@ -28,7 +28,7 @@ object RelationalQueries {
 
   /** Exact decimal sum of a double expression, emitted as double. */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+    EntryExprs.dsum(c, scale)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: the reference's flagship shape — grouped aggregate over the fact

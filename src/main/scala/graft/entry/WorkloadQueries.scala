@@ -22,11 +22,7 @@ object WorkloadQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
-  private def dsum(c: Column, scale: Int = 2) =
-    sum(c.cast(s"decimal(18,$scale)")).cast("double")
-
-  private def revenue: Column =
-    dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+  private def revenue: Column = EntryExprs.revenue
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q3 shape: selective dim filter (1/5 of customers) broadcast

@@ -70,6 +70,10 @@ object TextAnalysis {
     * Documents with fewer than n tokens score 0 (nothing can repeat). */
   def withRepetitionScore(df: DataFrame, textCol: String,
       n: Int = 2): DataFrame = {
+    // two regex passes per doc (size(split) + the shingler's own split);
+    // folding the token count into the native shingler would save one,
+    // but at ~0.3 s/sf0.1 the pass is nowhere near the cost of widening
+    // the expression's contract — revisit only if corpora get 100× longer
     val total = size(tokens(col(textCol))) - lit(n) + lit(1)
     val distinct = size(graft.functions.expressions.TextExpressions
       .wordShingles(df.sparkSession, col(textCol), n))

@@ -19,9 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * array in ONE pass over the text.
   *
   * Value-identical to the composition it replaces (and therefore to the
-  * DuckDB oracle CTE): whitespace regex split with Java `-1` limit
-  * semantics, space-joined n-gram windows, first-occurrence-order
-  * distinct, whole-doc fallback shingle for documents with < n tokens.
+  * DuckDB oracle CTE) for NON-NULL text: whitespace regex split with
+  * Java `-1` limit semantics, space-joined n-gram windows,
+  * first-occurrence-order distinct, whole-doc fallback shingle for
+  * documents with < n tokens. NULL text differs deliberately: this
+  * expression null-propagates (standard Spark unary semantics — the row
+  * contributes no shingles downstream), where the old composition
+  * produced the single-element array `[null]`, grouping all null-text
+  * docs under one null shingle in dedup pipelines.
   */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 

@@ -27,19 +27,24 @@ final class Genome(catalog: TableCatalog, fastaPath: Option[String] = None) {
   def transcripts: DataFrame = catalog.read("transcripts")
   def exons: DataFrame = catalog.read("exons")
 
-  /** Introns per transcript: gaps between consecutive exons (ordered by
-    * start within transcript — a genuine window use, SURVEY §2.5 W3).
-    * Abutting or overlapping exon pairs (next_start <= end + 1) leave no
-    * gap and emit nothing — otherwise they'd produce inverted intervals
-    * that inflate the table and shift intron rank numbering. */
+  /** Introns per transcript: gaps in exon coverage (ordered by start
+    * within transcript — a genuine window use, SURVEY §2.5 W3). The gap
+    * is measured from the RUNNING MAX of exon ends, not the immediate
+    * predecessor's end: with a contained exon ([1,100] ⊃ [10,20]) the
+    * pairwise form would emit [21,149] as "intron" even though bases
+    * 21..100 are exonic. Abutting/overlapping coverage (next_start <=
+    * cum_end + 1) leaves no gap and emits nothing. */
   def introns: DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("transcript").orderBy("start")
+      .partitionBy("transcript").orderBy("start", "end")
     exons
+      .withColumn("cum_end", max(col("end")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
       .withColumn("next_start", lead(col("start"), 1).over(w))
-      .filter(col("next_start") > col("end") + 1)
+      .filter(col("next_start") > col("cum_end") + 1)
       .select(col("transcript"), col("chrom"), col("strand"),
-        (col("end") + 1).as("start"), (col("next_start") - 1).as("end"))
+        (col("cum_end") + 1).as("start"), (col("next_start") - 1).as("end"))
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("transcript").orderBy("start")))

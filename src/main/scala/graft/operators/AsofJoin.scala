@@ -67,18 +67,26 @@ object AsofJoin {
   /** As-of join with a tolerance window: match only if the right row is
     * within `maxGap` time units before the left row.
     *
-    * Gap units: both timestamps are cast to long before differencing, so
-    * numeric timestamp columns (epoch nanos/millis/…) keep their native
-    * unit and `TimestampType` columns compare in whole SECONDS (long cast
-    * truncates sub-second precision) — without the cast, timestamp
-    * subtraction yields a day-time interval that can't compare to a long. */
+    * Gap units: `TimestampType` columns are cast to long before
+    * differencing (whole SECONDS — without the cast, timestamp
+    * subtraction yields a day-time interval that can't compare to a
+    * long). Numeric timestamp columns (epoch nanos/millis/fractional
+    * units) difference in their NATIVE type — no cast, so fractional
+    * gaps are not silently truncated into the window. */
   def backwardWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, maxGap: Long,
       rightTsOut: String = "matched_ts"): DataFrame = {
     val r2 = right.withColumn(rightTsOut, col(rightTs))
     val joined = backward(left, r2, keys, leftTs, rightTs)
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val needsCast = left.schema(leftTs).dataType match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def ts(c: org.apache.spark.sql.Column) =
+      if (needsCast) c.cast("long") else c
     val within = col(rightTsOut).isNotNull &&
-      (col(leftTs).cast("long") - col(rightTsOut).cast("long")) <= maxGap
+      (ts(col(leftTs)) - ts(col(rightTsOut))) <= maxGap
     val outCols = r2.columns.filterNot(c => keys.contains(c) || c == rightTs)
     outCols.foldLeft(joined)((df, c) =>
       df.withColumn(c, when(within, col(c))))

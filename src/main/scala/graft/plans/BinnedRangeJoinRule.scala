@@ -51,6 +51,12 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, 
   * recognizable span-guard Filter on a child) so the rule never re-fires
   * on its own output.
   *
+  * The Union re-scans each input once per branch, so a side whose column
+  * stats PROVE it cannot hold a wide row (side extent / width < maxbins)
+  * drops its guard and its fallback branch; with stats on both sides of
+  * a typical ANALYZEd table the plan collapses to the single binned
+  * join — one scan per input.
+  *
   * Bin width resolution order: explicit `spark.graft.rangejoin.binwidth`
   * conf; else, when CBO column stats exist for all four bound columns
   * (ANALYZE TABLE ... FOR COLUMNS), `domain / spark.graft.rangejoin
@@ -84,35 +90,53 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       Some(conf.getConfString("spark.graft.rangejoin.binwidth").toLong)
     else None
 
+  /** CBO column-stat bound (min when `lo`, else max) for an integral
+    * attribute, when the plan carries one. */
+  private def statBound(plan: LogicalPlan, a: Attribute,
+      lo: Boolean): Option[Long] =
+    for {
+      cs <- plan.stats.attributeStats.get(a)
+      v <- if (lo) cs.min else cs.max
+      l <- v match {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case s: Short => Some(s.toLong)
+        case b: Byte => Some(b.toLong)
+        case _ => None
+      }
+    } yield l
+
   /** `domain / targetbins` from column min/max stats: the bin count over
     * the whole coordinate space stays near the target regardless of the
     * domain's absolute scale. */
   private def statsWidth(j: Join,
       attrs: (Attribute, Attribute, Attribute, Attribute)): Option[Long] = {
     val (ls, le, rs, re) = attrs
-    def bound(plan: LogicalPlan, a: Attribute, lo: Boolean): Option[Long] =
-      for {
-        cs <- plan.stats.attributeStats.get(a)
-        v <- if (lo) cs.min else cs.max
-        l <- v match {
-          case l: Long => Some(l)
-          case i: Int => Some(i.toLong)
-          case s: Short => Some(s.toLong)
-          case b: Byte => Some(b.toLong)
-          case _ => None
-        }
-      } yield l
     for {
-      lsMin <- bound(j.left, ls, lo = true)
-      rsMin <- bound(j.right, rs, lo = true)
-      leMax <- bound(j.left, le, lo = false)
-      reMax <- bound(j.right, re, lo = false)
+      lsMin <- statBound(j.left, ls, lo = true)
+      rsMin <- statBound(j.right, rs, lo = true)
+      leMax <- statBound(j.left, le, lo = false)
+      reMax <- statBound(j.right, re, lo = false)
     } yield {
       val domain = math.max(leMax, reMax) - math.min(lsMin, rsMin)
       val target = conf.getConfString("spark.graft.rangejoin.targetbins",
         (1L << 20).toString).toLong
       math.max(1L, domain / math.max(1L, target))
     }
+  }
+
+  /** False only when column stats PROVE no row of `plan` can span
+    * `maxBins` bins (the side's whole coordinate extent fits under the
+    * guard) — then that side's span guard and fallback branch are dead
+    * and elided, saving one full re-scan of each input per elided
+    * branch. No stats ⇒ true (assume wide rows possible). */
+  private def canHaveWide(plan: LogicalPlan, s: Attribute, e: Attribute,
+      w: Long): Boolean = {
+    val maxSpanBins = for {
+      sMin <- statBound(plan, s, lo = true)
+      eMax <- statBound(plan, e, lo = false)
+    } yield (eMax - sMin) / w + 1 // floor-pair difference upper bound
+    maxSpanBins.forall(_ >= maxBins)
   }
 
   private def maxBins: Long =
@@ -214,10 +238,12 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(j: Join, cond: Expression): LogicalPlan = {
     val Some((ls, le, rs, re)) = extractOverlap(j, cond)
     val w = width(j, (ls, le, rs, re))
+    val lWide = canHaveWide(j.left, ls, le, w)
+    val rWide = canHaveWide(j.right, rs, re, w)
     val lNarrowPred = narrowGuard(ls, le, w)
     val rNarrowPred = narrowGuard(rs, re, w)
-    val lNarrow = Filter(lNarrowPred, j.left)
-    val rNarrow = Filter(rNarrowPred, j.right)
+    val lNarrow = if (lWide) Filter(lNarrowPred, j.left) else j.left
+    val rNarrow = if (rWide) Filter(rNarrowPred, j.right) else j.right
 
     // binned fast path over bounded-fanout rows
     val lBin = AttributeReference(BinName, LongType, nullable = false)()
@@ -238,10 +264,12 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       fj.setTagValue(SkipTag, ())
       Project(j.output, fj)
     }
-    Union(Seq(
-      narrow,
-      fallback(Filter(Not(lNarrowPred), j.left), j.right),
-      fallback(lNarrow, Filter(Not(rNarrowPred), j.right))))
+    val branches = Seq(narrow) ++
+      (if (lWide) Seq(fallback(Filter(Not(lNarrowPred), j.left), j.right))
+       else Nil) ++
+      (if (rWide) Seq(fallback(lNarrow, Filter(Not(rNarrowPred), j.right)))
+       else Nil)
+    if (branches.size == 1) branches.head else Union(branches)
   }
 }
 

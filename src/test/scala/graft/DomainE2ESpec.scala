@@ -247,6 +247,20 @@ class DomainE2ESpec extends SparkSpecBase {
     assert(in.head.getAs[Int]("rank") == 1)
   }
 
+  test("Genome.introns: contained exons don't fake a gap (running max)") {
+    val c3 = new TableCatalog(spark, tmpDir("contained"))
+    c3.write(Seq(
+      ("tx", 1, "chr1", 1L, 100L, "+"),   // spans past the next exon
+      ("tx", 2, "chr1", 10L, 20L, "+"),   // fully contained in exon 1
+      ("tx", 3, "chr1", 150L, 200L, "+")) // real gap starts after 100
+      .toDF("transcript", "rank", "chrom", "start", "end", "strand"), "exons")
+    val in = new Genome(c3).introns.collect()
+    // pairwise lead(end) would emit [21,149] — exonic bases 21..100
+    assert(in.length == 1)
+    assert(in.head.getAs[Long]("start") == 101L &&
+      in.head.getAs[Long]("end") == 149L)
+  }
+
   test("Junction.newTranscript: flanking-exon truncation + stitch (W3)") {
     val j1 = Junction("chr1", 31, 60, "+")
     val (nuc, aa) = j1.newTranscript(genome, "t1")

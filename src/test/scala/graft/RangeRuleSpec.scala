@@ -139,6 +139,9 @@ class RangeRuleSpec extends SparkSpecBase {
     assert(plan.contains(BinnedRangeJoinRule.BinName), plan)
     assert(plan.contains(s"/ $expectedW.0"),
       s"expected stats-derived width $expectedW in plan:\n$plan")
+    // stats prove both sides narrow (extent/width < maxbins): the wide
+    // fallback branches and their re-scans must be elided entirely
+    assert(!plan.contains("Union"), plan)
     assert(got == want)
   }
 
