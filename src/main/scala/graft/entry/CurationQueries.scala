@@ -44,6 +44,23 @@ object CurationQueries {
           seed = "mix1")
         .select("doc_id", "source")
         .orderBy("doc_id")
+    }),
+
+    // Benchmark-contamination scan: docs 0-9 stand in as the held-out
+    // eval set; every other doc reports what fraction of its distinct
+    // trigrams appear in that set. Eval vocabulary broadcasts.
+    "q64_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contamination(d.filter(col("doc_id") >= 10),
+          d.filter(col("doc_id") < 10), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Top TF-IDF term per document (rational idf — see
+    // TextAnalysis.topTfidfTerm for why not log).
+    "q65_tfidf" -> ((s, dir) => {
+      TextAnalysis.topTfidfTerm(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -76,5 +93,32 @@ object CurationQueries {
         |                WHEN 'src2' THEN 1073741824
         |                WHEN 'src3' THEN 429496729
         |                ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+    "q64_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') s
+        |       FROM toks, unnest(generate_series(1, len(t)-2)) u(i)
+        |       WHERE len(t) >= 3
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 3),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10)
+        |SELECT d.doc_id, COUNT(*) AS n_shingles,
+        | SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+        | CAST(SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE) AS contamination
+        |FROM sh d LEFT JOIN ev ON d.s = ev.s
+        |WHERE d.doc_id >= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q65_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1,2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |       CAST(tf.tf*(n.n+1) AS DOUBLE)/CAST(dfreq.df+1 AS DOUBLE) AS score
+        |      FROM tf, dfreq, n WHERE tf.term = dfreq.term)
+        |SELECT doc_id, term AS top_term, tf, df, score FROM s
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, term ASC) = 1
         |ORDER BY doc_id""".stripMargin)
 }

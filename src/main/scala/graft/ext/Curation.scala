@@ -38,6 +38,30 @@ object Curation {
   def shard(seed: String, id: Column, nShards: Int): Column =
     pmod(hashU32(seed, id), lit(nShards.toLong))
 
+  /** Benchmark-contamination check: per corpus document, the fraction of
+    * its distinct word n-gram shingles that also occur anywhere in
+    * `evalSet` (the held-out benchmark corpus). The eval shingle
+    * vocabulary BROADCASTS — an eval suite is KBs–MBs of shingles
+    * against a 100 TB corpus, so the corpus side never shuffles; the
+    * whole check is scan + broadcast-probe + per-doc partial agg. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    def shingled(df: DataFrame) = df.select(col(idCol),
+      explode(graft.functions.expressions.TextExpressions
+        .wordShingles(spark, col(textCol), n)).as("__sh"))
+    val evalSh = shingled(evalSet).select("__sh").distinct()
+      .withColumn("__hit", lit(1L))
+    shingled(corpus)
+      .join(broadcast(evalSh), Seq("__sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double"))
+  }
+
   /** Weighted corpus mixing: keep each row of stratum `sourceCol` with
     * its configured probability (unlisted sources drop). Map-only — the
     * mix of a 100 TB corpus is one filter pass, no shuffle; thresholds

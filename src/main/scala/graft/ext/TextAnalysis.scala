@@ -86,6 +86,30 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Top TF-IDF term per document. The IDF factor is the RATIONAL
+    * `(N+1)/(df+1)` rather than its logarithm: the ranking inside a
+    * document is what matters, log is monotone over it, and a single
+    * division of exact integer counts is bit-identical across engines
+    * where `ln` is not (libm vs java.lang.Math differ in final ulps).
+    * Plan shape: one explode, tf agg on (doc,term), df agg on term,
+    * shuffle join on term, broadcast scalar N, top-1 window per doc. */
+  def topTfidfTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("term").agg(countDistinct(idCol).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * (col("n") + 1)).cast("double") /
+        (col("df") + 1).cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("term").as("top_term"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** Scrub pass: replace email-like tokens, long digit runs (ids/phones)
     * and URLs with typed placeholders — the standard pre-training
     * redaction sweep. Pure regexp_replace chain: map-only, codegen'd,

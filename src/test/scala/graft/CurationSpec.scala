@@ -53,6 +53,32 @@ class CurationSpec extends SparkSpecBase {
       again.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("contamination: shingle-overlap fraction against a broadcast eval set") {
+    val eval = Seq((100L, "a b c d")).toDF("doc_id", "text") // "a b c","b c d"
+    val corpus = Seq(
+      (1L, "a b c x"),   // trigrams: "a b c" (hit), "b c x" -> 1/2
+      (2L, "p q r s t"), // no overlap -> 0/3
+      (3L, "b c d z b c d") // "b c d" hit, others not -> check exact set
+    ).toDF("doc_id", "text")
+    val got = Curation.contamination(corpus, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    // doc 3 distinct trigrams: "b c d","c d z","d z b","z b c" -> 1 hit
+    assert(got(3L) == ((4L, 1L, 0.25)))
+  }
+
+  test("topTfidfTerm: rational idf ranks rare-but-frequent terms first") {
+    val df = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z q"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topTfidfTerm(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "x") // tf 2, df 1: score 2*4/2 = 4.0
+    assert(got(2L) == "y") // y and z tie at 4/3 — term asc breaks it
+    assert(got(3L) == "z") // tf 2 beats rarer q (8/3 > 2)
+  }
+
   test("withRepetitionScore: exact gram accounting") {
     val df = Seq(
       (1L, "a b a b a"),        // grams: ab ba ab ba -> 4 total, 2 distinct
