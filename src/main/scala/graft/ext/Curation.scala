@@ -38,6 +38,22 @@ object Curation {
   def shard(seed: String, id: Column, nShards: Int): Column =
     pmod(hashU32(seed, id), lit(nShards.toLong))
 
+  /** Sharded training export: writes `shard=0 .. shard=n-1` parquet
+    * directories, each shard holding its hash-assigned rows in
+    * seed-deterministic shuffle order. One shuffle total: rows hash to
+    * their shard's partition and are sorted (shard, key) within it — the
+    * leading shard sort also satisfies the dynamic-partition writer's
+    * required ordering, so no second sort is inserted. Each shard is one
+    * file written by one task; re-running with the same seed reproduces
+    * the byte-identical dataset layout. */
+  def exportShards(df: DataFrame, idCol: String, seed: String,
+      nShards: Int, path: String): Unit =
+    df.withColumn("shard", shard(seed, col(idCol), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"),
+        shuffleKey(seed, col(idCol)), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Benchmark-contamination check: per corpus document, the fraction of
     * its distinct word n-gram shingles that also occur anywhere in
     * `evalSet` (the held-out benchmark corpus). The eval shingle

@@ -53,6 +53,27 @@ class CurationSpec extends SparkSpecBase {
       again.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("exportShards: complete, disjoint, per-shard deterministic order") {
+    val dir = tmpDir("shards")
+    Curation.exportShards(corpus, "id", "ep1", 4, dir)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    val all = scala.collection.mutable.ArrayBuffer[Long]()
+    for (s <- 0 until 4) {
+      // no trailing sort: row order must be exactly as the writer left it
+      val ids = spark.read.parquet(s"$dir/shard=$s")
+        .select("id").as[Long].collect().toSeq
+      val expected = corpus
+        .filter(Curation.shard("ep1", col("id"), 4) === s)
+        .orderBy(Curation.shuffleKey("ep1", col("id")), col("id"))
+        .select("id").as[Long].collect().toSeq
+      assert(ids == expected, s"shard $s order/content")
+      all ++= ids
+    }
+    assert(all.sorted.toSeq == (1L to 400L)) // complete and disjoint
+  }
+
   test("contamination: shingle-overlap fraction against a broadcast eval set") {
     val eval = Seq((100L, "a b c d")).toDF("doc_id", "text") // "a b c","b c d"
     val corpus = Seq(
