@@ -24,10 +24,13 @@ import scala.jdk.CollectionConverters._
   * the split containing its first byte; a split whose start lands
   * mid-line discards that partial line (the previous split reads through
   * it), the standard text-splitting contract. Header lines live in the
-  * first split and are skipped everywhere by the `#` filter. Gzip files
-  * (`.gz`/`.bgz`) are not seekable and stay one partition per file,
-  * decompressed on the fly. `samplename` is derived from the file stem,
-  * mirroring the manifest convention.
+  * first split and are skipped everywhere by the `#` filter. Compressed
+  * files are sniffed: BGZF (blocked gzip, the tabix/`.bgz` framing) also
+  * splits by byte range, resolved to block boundaries by `BgzfLines`;
+  * plain gzip is unsplittable and stays one partition per file,
+  * decompressed on the fly. Paths may be files, directories, or Hadoop
+  * globs. `samplename` is derived from the file stem, mirroring the
+  * manifest convention.
   */
 class VcfDataSource extends TableProvider with DataSourceRegister {
 
@@ -64,6 +67,35 @@ object VcfDataSource {
       .orElse(props.get("path").map(Seq(_)))
       .getOrElse(Seq.empty)
   }
+
+  /** Glob/directory expansion via Hadoop FS, so a directory, a glob
+    * pattern ("runs", "runs" + "/&#42;.vcf.gz"), or explicit files all
+    * work on any scheme.
+    * Directories contribute their visible VCF-suffixed children (names
+    * starting with `_`/`.` are writer metadata, skipped); glob matches
+    * and explicit files pass through as-is. Missing/unmatched paths fail
+    * loudly. Returns (path, fileLength) to avoid a second stat at split
+    * planning. */
+  private[sources] def expand(paths: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] =
+    paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      val statuses = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      if (statuses.isEmpty)
+        throw new java.io.FileNotFoundException(s"vcf source: no files match $p")
+      statuses.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(c => c.isFile && visibleVcf(c.getPath.getName))
+        else Seq(st)
+      }.map(st => (st.getPath.toString, st.getLen))
+    }
+
+  private def visibleVcf(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".") &&
+      (name.endsWith(".vcf") || name.endsWith(".vcf.gz") ||
+        name.endsWith(".vcf.bgz"))
 }
 
 import graft.core.SerializableHadoopConf
@@ -119,11 +151,19 @@ private class VcfScan(paths: Seq[String], required: StructType,
     val splitBytes = spark.conf
       .get("spark.graft.vcf.splitbytes", (128L * 1024 * 1024).toString).toLong
       .max(1L)
-    paths.flatMap { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val len = hp.getFileSystem(hconf).getFileStatus(hp).getLen
-      if (VcfInputPartition.gzipped(p) || len <= splitBytes)
-        Seq(VcfInputPartition(p, 0L, Long.MaxValue))
+    VcfDataSource.expand(paths, hconf).flatMap { case (p, len) =>
+      if (VcfInputPartition.gzipped(p)) {
+        // content-based BGZF detection: blocked gzip splits at block
+        // boundaries; plain gzip is unsplittable (one sequential stream)
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hconf)
+        val bgzf = { val s = fs.open(hp); try Bgzf.isBgzf(s, len) finally s.close() }
+        if (!bgzf) Seq(VcfInputPartition(p, 0L, Long.MaxValue))
+        else if (len <= splitBytes)
+          Seq(VcfInputPartition(p, 0L, Long.MaxValue, bgzf = true))
+        else (0L until len by splitBytes).map(s =>
+          VcfInputPartition(p, s, math.min(s + splitBytes, len), bgzf = true))
+      } else if (len <= splitBytes) Seq(VcfInputPartition(p, 0L, Long.MaxValue))
       else (0L until len by splitBytes)
         .map(s => VcfInputPartition(p, s, math.min(s + splitBytes, len)))
     }.map(p => p: InputPartition).toArray
@@ -137,9 +177,11 @@ private class VcfScan(paths: Seq[String], required: StructType,
       s"ReadSchema: ${required.simpleString}"
 }
 
-/** `[start, end)` byte range; `end = Long.MaxValue` means whole file. */
-private case class VcfInputPartition(path: String, start: Long, end: Long)
-    extends InputPartition
+/** `[start, end)` byte range; `end = Long.MaxValue` means whole file.
+  * `bgzf` ranges are compressed offsets, resolved to block boundaries by
+  * the reader (`BgzfLines` ownership contract). */
+private case class VcfInputPartition(path: String, start: Long, end: Long,
+    bgzf: Boolean = false) extends InputPartition
 
 private object VcfInputPartition {
   def gzipped(path: String): Boolean =
@@ -160,19 +202,30 @@ private class VcfPartitionReader(part: VcfInputPartition,
   // Hadoop-FS open so file:/, hdfs:/, s3a:/ URIs all work — consistent
   // with TableCatalog's Hadoop-FS-everywhere design
   private val hadoopPath = new org.apache.hadoop.fs.Path(part.path)
-  private val gz = VcfInputPartition.gzipped(part.path)
+  private val gz = !part.bgzf && VcfInputPartition.gzipped(part.path)
   private val stream = hadoopPath.getFileSystem(conf.value).open(hadoopPath)
+  // BGZF splits decompress block-at-a-time via positioned reads; the
+  // seek-based LineReader below is never constructed for them
+  private val bgzfLines: BgzfLines =
+    if (part.bgzf) {
+      val len = hadoopPath.getFileSystem(conf.value)
+        .getFileStatus(hadoopPath).getLen
+      new BgzfLines(stream, len, part.start,
+        if (part.end == Long.MaxValue) len else part.end)
+    } else null
   // byte offset of the next unread line's first byte (plain-text only;
   // LineReader counts raw bytes incl. the terminator, which is what seek
   // positions mean — a char-counting BufferedReader would drift on UTF-8)
   private var pos: Long =
-    if (!gz && part.start > 0) { stream.seek(part.start - 1); part.start - 1 }
-    else 0L
+    if (!gz && !part.bgzf && part.start > 0) {
+      stream.seek(part.start - 1); part.start - 1
+    } else 0L
   private val reader =
-    if (gz) new org.apache.hadoop.util.LineReader(
+    if (part.bgzf) null
+    else if (gz) new org.apache.hadoop.util.LineReader(
       new java.util.zip.GZIPInputStream(stream))
     else new org.apache.hadoop.util.LineReader(stream)
-  if (!gz && part.start > 0) {
+  if (!gz && !part.bgzf && part.start > 0) {
     // Discard the line containing byte start-1: if that byte is '\n' this
     // consumes exactly the terminator (no record lost); otherwise the
     // partial line belongs to the previous split, which reads past its
@@ -190,6 +243,15 @@ private class VcfPartitionReader(part: VcfInputPartition,
 
   override def next(): Boolean = {
     row = null
+    if (bgzfLines != null) {
+      while (row == null) {
+        if (!bgzfLines.hasNext) return false
+        val line = bgzfLines.next()
+        if (!line.startsWith("#") && line.nonEmpty && passes(line))
+          row = parse(line)
+      }
+      return true
+    }
     while (row == null) {
       if (pos >= part.end) return false // next line starts in a later split
       val n = reader.readLine(text)
@@ -250,5 +312,6 @@ private class VcfPartitionReader(part: VcfInputPartition,
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = reader.close()
+  override def close(): Unit =
+    if (reader != null) reader.close() else stream.close()
 }

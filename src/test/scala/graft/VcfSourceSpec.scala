@@ -116,6 +116,99 @@ class VcfSourceSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.vcf.splitbytes")
   }
 
+  test("directory and glob paths expand via Hadoop FS") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcfdir").toFile
+    dir.deleteOnExit()
+    def put(name: String, src: String): Unit = {
+      val p = new java.io.File(dir, name)
+      p.deleteOnExit()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), p.toPath)
+    }
+    put("a.vcf", fixture("s1.vcf"))
+    put("b.vcf", fixture("s2.vcf"))
+    put("_committing.vcf", fixture("s1.vcf")) // writer metadata: skipped
+    put("notes.txt", fixture("s1.vcf"))       // wrong suffix: skipped
+    val fromDir = spark.read.format("vcf").load(dir.getAbsolutePath)
+    assert(fromDir.count() == 4)
+    assert(fromDir.select("samplename").distinct().collect()
+      .map(_.getString(0)).toSet == Set("a", "b"))
+    val fromGlob = spark.read.format("vcf")
+      .load(dir.getAbsolutePath + "/a.vc*")
+    assert(fromGlob.count() == 2)
+    val missing = intercept[Exception] {
+      spark.read.format("vcf").load(dir.getAbsolutePath + "/zzz*.vcf").count()
+    }
+    assert(missing.toString.contains("no files match") ||
+      Option(missing.getCause).exists(_.toString.contains("no files match")))
+  }
+
+  // bigVcf compressed as BGZF with small blocks so splits land mid-block,
+  // on block boundaries, and inside the header region
+  private lazy val bigBgzf: String = {
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(bigVcf))
+    val p = bigVcf.stripSuffix(".vcf") + ".vcf.bgz"
+    val out = new java.io.FileOutputStream(p)
+    try graft.sources.Bgzf.write(out, raw, 512) finally out.close()
+    new java.io.File(p).deleteOnExit()
+    p
+  }
+
+  test("bgzf: block boundaries round-trip through the scanner") {
+    val raw = "x" * 3000
+    val bos = new java.io.ByteArrayOutputStream()
+    val offsets = graft.sources.Bgzf.write(bos,
+      raw.getBytes("UTF-8"), 700)
+    val bytes = bos.toByteArray
+    // every written offset parses as a block; chained sizes reproduce them
+    var off = 0L
+    val found = Seq.newBuilder[Long]
+    while (off < bytes.length) {
+      val bs = graft.sources.Bgzf.blockSize(bytes, off.toInt,
+        bytes.length - off.toInt)
+      assert(bs > 0, s"offset $off")
+      found += off
+      off += bs
+    }
+    // write() returns data-block offsets plus the EOF block's offset
+    assert(found.result() == offsets)
+    assert(offsets.last == bytes.length - 28L)
+  }
+
+  test("bgzf splits: every record exactly once, any split size") {
+    val whole = spark.read.format("vcf").load(bigVcf)
+      .select("chrom", "pos", "id").orderBy("pos").collect().toSeq
+    // whole-file bgzf read (single partition) matches plain text
+    val one = spark.read.format("vcf").load(bigBgzf)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.select("chrom", "pos", "id").orderBy("pos").collect().toSeq
+      == whole)
+    // sweep compressed split sizes: smaller than one block, mid-block,
+    // multi-block
+    for (bytes <- Seq(100, 700, 4096)) {
+      spark.conf.set("spark.graft.vcf.splitbytes", bytes.toString)
+      try {
+        val df = spark.read.format("vcf").load(bigBgzf)
+        assert(df.rdd.getNumPartitions > 1, s"splitbytes=$bytes")
+        val got = df.select("chrom", "pos", "id").orderBy("pos")
+          .collect().toSeq
+        assert(got == whole, s"splitbytes=$bytes")
+      } finally spark.conf.unset("spark.graft.vcf.splitbytes")
+    }
+  }
+
+  test("bgzf splits keep pushdown + samplename semantics") {
+    spark.conf.set("spark.graft.vcf.splitbytes", "700")
+    try {
+      val df = spark.read.format("vcf").load(bigBgzf)
+        .filter(col("chrom") === "chr3" && col("pos") <= 1000L)
+      assert(df.count() ==
+        (1 to 500).count(i => i % 5 + 1 == 3 && i * 10 <= 1000))
+      assert(df.select("samplename").distinct().head().getString(0)
+        == bigBgzf.split('/').last.takeWhile(_ != '.'))
+    } finally spark.conf.unset("spark.graft.vcf.splitbytes")
+  }
+
   test("filters and projection compose on the source") {
     val df = spark.read.format("vcf")
       .load(fixture("s1.vcf"), fixture("s2.vcf"))
