@@ -62,6 +62,12 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, 
   * (ANALYZE TABLE ... FOR COLUMNS), `domain / spark.graft.rangejoin
   * .targetbins` (default 2^20) — so nanosecond-scale domains get
   * proportionally wide bins instead of millions per row; else 10000.
+  *
+  * When CBO stats additionally prove that an accompanying equi key is so
+  * selective the per-key pair space is already trivial (a unique-id join
+  * that happens to carry a range residual), the rewrite is skipped
+  * entirely — see [[equiKeyBoundsPairs]].
+  *
   * Install via `spark.experimental.extraOptimizations` or the
   * [[GraftExtensions]] session extension.
   */
@@ -142,6 +148,49 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def maxBins: Long =
     conf.getConfString("spark.graft.rangejoin.maxbins", "512").toLong
 
+  /** True when CBO stats PROVE an equi conjunct already bounds the
+    * candidate pair space: estimated pairs per equi-key group
+    * `|L|·|R| / ndv²` at or under `spark.graft.rangejoin.maxpairsperkey`
+    * (default 4096) means the per-group quadratic predicate check is
+    * trivial and the bin fanout (explode + wider shuffle rows) is pure
+    * overhead — e.g. an overlap join that also equi-joins on a unique
+    * id. With several equi conjuncts the largest single-conjunct ndv is
+    * used (conservative: underestimates combined selectivity, so the
+    * rewrite still fires unless ONE key alone is selective). No stats ⇒
+    * false (rewrite as usual). */
+  private def equiKeyBoundsPairs(j: Join, cond: Expression): Boolean = {
+    val perKey = for {
+      lRows <- j.left.stats.rowCount
+      rRows <- j.right.stats.rowCount
+      ndv <- bestEquiNdv(j, cond)
+      if ndv > 0
+    } yield BigDecimal(lRows) * BigDecimal(rRows) /
+      (BigDecimal(ndv) * BigDecimal(ndv))
+    val threshold = BigDecimal(conf.getConfString(
+      "spark.graft.rangejoin.maxpairsperkey", "4096").toLong)
+    perKey.exists(_ <= threshold)
+  }
+
+  /** Largest `max(ndv_left, ndv_right)` over the equi conjuncts of the
+    * join condition — the most selective single key with stats. */
+  private def bestEquiNdv(j: Join, cond: Expression): Option[BigInt] = {
+    val keyPairs = splitConjunctivePredicates(cond).collect {
+      case EqualTo(x: Attribute, y: Attribute)
+        if j.left.outputSet.contains(x) && j.right.outputSet.contains(y) =>
+        (x, y)
+      case EqualTo(x: Attribute, y: Attribute)
+        if j.right.outputSet.contains(x) && j.left.outputSet.contains(y) =>
+        (y, x)
+    }
+    val ndvs = keyPairs.flatMap { case (lk, rk) =>
+      for {
+        nl <- j.left.stats.attributeStats.get(lk).flatMap(_.distinctCount)
+        nr <- j.right.stats.attributeStats.get(rk).flatMap(_.distinctCount)
+      } yield nl.max(nr)
+    }
+    if (ndvs.isEmpty) None else Some(ndvs.max)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(_, _, Inner, Some(cond), _) if eligible(j, cond) =>
       rewrite(j, cond)
@@ -155,6 +204,7 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       j.getTagValue(SkipTag).isEmpty &&
       !cond.references.exists(a => a.name == BinName || a.name == LibBinName) &&
       !hasSpanGuard(j.left) && !hasSpanGuard(j.right) &&
+      !equiKeyBoundsPairs(j, cond) &&
       extractOverlap(j, cond).isDefined
 
   /** Find `ls <= re AND rs <= le` (attrs, integral type, opposite sides).

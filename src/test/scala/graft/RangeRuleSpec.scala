@@ -145,6 +145,37 @@ class RangeRuleSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("selective equi key (CBO) suppresses the rewrite; results identical") {
+    // same ANALYZEd tables as the width test, but joined on the UNIQUE id
+    // (ndv = rows): per-key pair space is 1, so binning is pure overhead
+    val a = intervals(300, 11, 2).toDF("ida", "ka", "sa", "ea")
+    val b = intervals(300, 12, 2).toDF("idb", "kb", "sb", "eb")
+    a.write.mode("overwrite").saveAsTable("rr_sel_a")
+    b.write.mode("overwrite").saveAsTable("rr_sel_b")
+    spark.sql("ANALYZE TABLE rr_sel_a COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql("ANALYZE TABLE rr_sel_b COMPUTE STATISTICS FOR ALL COLUMNS")
+    val ta = spark.table("rr_sel_a"); val tb = spark.table("rr_sel_b")
+    def q = ta.join(tb,
+      col("ida") === col("idb") && col("sa") <= col("eb") &&
+        col("sb") <= col("ea"))
+      .select("ida", "idb")
+    val want = q.as[(Long, Long)].collect().toSeq.sorted
+    withRule {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val plan = q.queryExecution.optimizedPlan.toString
+        assert(!plan.contains(BinnedRangeJoinRule.BinName), plan)
+        assert(q.as[(Long, Long)].collect().toSeq.sorted == want)
+        // threshold 0 disables the gate: the rewrite fires again
+        spark.conf.set("spark.graft.rangejoin.maxpairsperkey", "0")
+        try {
+          val forced = q.queryExecution.optimizedPlan.toString
+          assert(forced.contains(BinnedRangeJoinRule.BinName), forced)
+        } finally spark.conf.unset("spark.graft.rangejoin.maxpairsperkey")
+      } finally spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("library RangeJoin plans are not double-binned by the rule") {
     withRule {
       val a = intervals(100, 7, 2).toDF("ida", "k", "sa", "ea")
