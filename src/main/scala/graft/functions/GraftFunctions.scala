@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.expressions.{CosineSimilarity, DotProduct, WordShingles}
+
+/** The engine's SQL function surface, one list consumed two ways:
+  *
+  *  - [[graft.plans.GraftExtensions]] `injectFunction`s it, so ANY
+  *    session built with `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (thriftserver, pure-SQL apps, `GraftSession.local`) can call the
+  *    codegen'd hot-path expressions from plain SQL with no library
+  *    import;
+  *  - [[register]] installs the same builders as session temp functions
+  *    for sessions created without the extension (the route the Column
+  *    helpers in VectorExpressions/TextExpressions use, since Spark 4
+  *    removed public Expression→Column construction).
+  *
+  * Both routes resolve to the same Catalyst expressions, so DataFrame and
+  * SQL callers get identical semantics and identical codegen.
+  */
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def arity(name: String, n: Int)(b: Builder): Builder = exprs => {
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${exprs.length}")
+    b(exprs)
+  }
+
+  private def intLiteral(name: String, e: Expression): Int = e.eval() match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  /** Closed-end overlap length, 0 when disjoint — the expression-level
+    * mirror of `ranges/Intervals.overlapLength` (analyzer coercion
+    * handles int/long operand mixes). */
+  private def overlapLength(s1: Expression, e1: Expression,
+      s2: Expression, e2: Expression): Expression =
+    Greatest(Seq(Literal(0L),
+      Add(Subtract(Least(Seq(e1, e2)), Greatest(Seq(s1, s2))), Literal(1L))))
+
+  private def entry(name: String, usage: String, b: Builder)
+      : (FunctionIdentifier, ExpressionInfo, Builder) =
+    // the simple ExpressionInfo ctor: richer ones assert a _FUNC_-templated
+    // usage format; the doc string here serves the reader, not DESCRIBE
+    (FunctionIdentifier(name), new ExpressionInfo(getClass.getName, name), b)
+
+  /** (identifier, info, builder) triples in `injectFunction` shape. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    entry("graft_cosine",
+      "graft_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) - cosine similarity",
+      arity("graft_cosine", 2)(e => CosineSimilarity(e(0), e(1)))),
+    entry("graft_dot",
+      "graft_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) - dot product",
+      arity("graft_dot", 2)(e => DotProduct(e(0), e(1)))),
+    entry("graft_shingles",
+      "graft_shingles(text STRING, n INT) - distinct word n-gram shingles",
+      arity("graft_shingles", 2)(e =>
+        WordShingles(e(0), intLiteral("graft_shingles", e(1))))),
+    entry("graft_overlap_length",
+      "graft_overlap_length(s1, e1, s2, e2) - closed-end interval overlap" +
+        " length, 0 when disjoint",
+      arity("graft_overlap_length", 4)(e =>
+        overlapLength(e(0), e(1), e(2), e(3)))),
+    entry("graft_overlap_fraction",
+      "graft_overlap_fraction(s1, e1, s2, e2) - fraction of [s1,e1]" +
+        " covered by [s2,e2]",
+      arity("graft_overlap_fraction", 4)(e =>
+        Divide(Cast(overlapLength(e(0), e(1), e(2), e(3)), DoubleType),
+          Cast(Add(Subtract(e(1), e(0)), Literal(1L)), DoubleType)))))
+
+  /** Temp-function registration for sessions built without the extension;
+    * idempotent (keyed on the first name). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(all.head._1))
+      all.foreach { case (id, _, b) =>
+        reg.createOrReplaceTempFunction(id.funcName, b, "built-in")
+      }
+  }
+}

@@ -93,21 +93,10 @@ object TextExprHelpers {
 object TextExpressions {
 
   /** Register as SQL temp functions (same route as VectorExpressions:
-    * Spark 4 removed public Expression→Column construction). */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"))) {
-      reg.createOrReplaceTempFunction("graft_shingles",
-        exprs => WordShingles(exprs.head,
-          exprs(1).eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"shingle size must be an integer literal, got $other")
-          }), "built-in")
-    }
-  }
+    * Spark 4 removed public Expression→Column construction). Delegates to
+    * the shared GraftFunctions list. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
 
   def wordShingles(spark: SparkSession, text: Column, n: Int): Column = {
     ensureRegistered(spark)

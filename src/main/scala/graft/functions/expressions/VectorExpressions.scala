@@ -94,18 +94,10 @@ object VectorExpressions {
 
   /** Register as SQL temp functions (Spark 4 removed public
     * Expression→Column construction; the registry + call_function is the
-    * supported route). Idempotent per session — the registry belongs to
-    * the session, so the existence check must too. */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"))) {
-      reg.createOrReplaceTempFunction("graft_cosine",
-        exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("graft_dot",
-        exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    }
-  }
+    * supported route). Delegates to the shared GraftFunctions list so
+    * DataFrame helpers and injected-extension sessions stay in sync. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
 
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)

@@ -199,13 +199,16 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rangejoin.enabled", "true").toBoolean
 
+  // ordered cheapest-first: the rule sees EVERY inner join in every
+  // optimizer batch iteration, so the conjunct-split pattern probe must
+  // run before the whole-subtree guard scans and the stats computation
   private def eligible(j: Join, cond: Expression): Boolean =
     enabled &&
       j.getTagValue(SkipTag).isEmpty &&
       !cond.references.exists(a => a.name == BinName || a.name == LibBinName) &&
+      extractOverlap(j, cond).isDefined &&
       !hasSpanGuard(j.left) && !hasSpanGuard(j.right) &&
-      !equiKeyBoundsPairs(j, cond) &&
-      extractOverlap(j, cond).isDefined
+      !equiKeyBoundsPairs(j, cond)
 
   /** Find `ls <= re AND rs <= le` (attrs, integral type, opposite sides).
     * Returns (ls, le, rs, re). */
@@ -324,9 +327,13 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — installs the
-  * transparent range-join rule (and is the hook for future strategies). */
+  * transparent range-join rule and the engine's SQL function surface
+  * (graft_cosine / graft_dot / graft_shingles / graft_overlap_*), so a
+  * pure-SQL session gets the accelerated operators with no library
+  * imports. `GraftSession.local` sets this by default. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BinnedRangeJoinRule)
+    graft.functions.GraftFunctions.all.foreach(e.injectFunction)
   }
 }

@@ -38,6 +38,56 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("GraftExtensions session: functions + transparent range rule, pure SQL") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // same SparkContext, fresh session state WITH the extension installed
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    try {
+      // every injected function resolves with zero library calls
+      val r = s2.sql(
+        """SELECT graft_overlap_length(0L, 9L, 5L, 100L)   AS len,
+          |       graft_overlap_fraction(0L, 9L, 5L, 100L) AS frac,
+          |       graft_shingles('a b c', 2)               AS sh,
+          |       graft_cosine(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+          |                    CAST(array(2.0, 4.0) AS ARRAY<DOUBLE>)) AS c
+          |""".stripMargin).head()
+      assert(r.getLong(0) == 5L)
+      assert(r.getDouble(1) == 0.5)
+      assert(r.getSeq[String](2) == Seq("a b", "b c"))
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+      // the range rule fires on a plain SQL join with no session fiddling
+      val rnd = new scala.util.Random(42)
+      val rows = (0 until 300).map { i =>
+        val s = rnd.nextInt(5000).toLong; (i.toLong, s, s + rnd.nextInt(300))
+      }
+      import s2.implicits._
+      rows.toDF("ida", "sa", "ea").createOrReplaceTempView("ga")
+      rows.map { case (i, s, e) => (i + 1000, s, e) }
+        .toDF("idb", "sb", "eb").createOrReplaceTempView("gb")
+      val q = s2.sql(
+        "SELECT ida, idb FROM ga JOIN gb ON sa <= eb AND sb <= ea")
+      assert(q.queryExecution.optimizedPlan.toString
+        .contains(graft.plans.BinnedRangeJoinRule.BinName))
+      val naive = rows.flatMap { case (i, s, e) =>
+        rows.collect { case (j, s2_, e2) if s <= e2 && s2_ <= e =>
+          (i, j + 1000) }
+      }.sorted
+      assert(q.as[(Long, Long)].collect().toSeq.sorted == naive)
+    } finally {
+      // s2 shares the context — never stop() it; just restore the session
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("FilterSpec array values compare against array columns") {
     val df = Seq((1L, Seq(0, 1)), (2L, Seq(1, 1)), (3L, Seq(0, 0)))
       .toDF("id", "gt")
