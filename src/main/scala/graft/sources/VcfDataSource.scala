@@ -159,15 +159,59 @@ private class VcfScan(paths: Seq[String], required: StructType,
         val fs = hp.getFileSystem(hconf)
         val bgzf = { val s = fs.open(hp); try Bgzf.isBgzf(s, len) finally s.close() }
         if (!bgzf) Seq(VcfInputPartition(p, 0L, Long.MaxValue))
-        else if (len <= splitBytes)
-          Seq(VcfInputPartition(p, 0L, Long.MaxValue, bgzf = true))
-        else (0L until len by splitBytes).map(s =>
-          VcfInputPartition(p, s, math.min(s + splitBytes, len), bgzf = true))
+        else tabixRanges(hp, len, hconf).flatMap { case (s0, e0) =>
+          (s0 until e0 by splitBytes).map(s =>
+            VcfInputPartition(p, s, math.min(s + splitBytes, e0), bgzf = true))
+        }
       } else if (len <= splitBytes) Seq(VcfInputPartition(p, 0L, Long.MaxValue))
       else (0L until len by splitBytes)
         .map(s => VcfInputPartition(p, s, math.min(s + splitBytes, len)))
     }.map(p => p: InputPartition).toArray
   }
+  /** Compressed ranges of a BGZF file worth reading: when the pushed
+    * filters pin a single chrom (plus optional pos bounds) AND a sibling
+    * `.tbi` tabix index exists, only the index's chunk ranges for that
+    * region are planned — a single-gene query on a 100 GB cohort VCF
+    * reads megabytes, not the file. Falls back to the whole file when
+    * there is no region, no index, or the index fails to parse; the
+    * reader's pushed-predicate evaluation keeps results exact either
+    * way. */
+  private def tabixRanges(hp: org.apache.hadoop.fs.Path, len: Long,
+      hconf: org.apache.hadoop.conf.Configuration): Seq[(Long, Long)] = {
+    val whole = Seq((0L, len))
+    pushedRegion match {
+      case None => whole
+      case Some((chrom, beg0, end0)) =>
+        val tbi = hp.suffix(".tbi")
+        val fs = hp.getFileSystem(hconf)
+        if (!fs.exists(tbi)) whole
+        else try {
+          if (end0 <= beg0) Nil // contradictory pos bounds: provably empty
+          else Tabix.read(tbi, hconf).regionRanges(chrom, beg0, end0)
+            .map { case (s, e) => (s, math.min(e, len)) }
+            .filter { case (s, e) => s < e }
+        } catch { case scala.util.control.NonFatal(_) => whole }
+    }
+  }
+
+  /** Single chrom + 0-based half-open pos interval when the pushed
+    * filters determine one. */
+  private def pushedRegion: Option[(String, Long, Long)] = {
+    val chroms = pushed.collect { case EqualTo("chrom", v: String) => v }
+    if (chroms.size != 1) return None
+    var lo = 1L // 1-based inclusive POS bounds
+    var hi = 1L << 29 // tabix binning coordinate ceiling
+    pushed.foreach {
+      case EqualTo("pos", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
+      case GreaterThan("pos", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("pos", v: Long) => lo = math.max(lo, v)
+      case LessThan("pos", v: Long) => hi = math.min(hi, v - 1)
+      case LessThanOrEqual("pos", v: Long) => hi = math.min(hi, v)
+      case _ =>
+    }
+    Some((chroms.head, lo - 1, hi))
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new VcfReaderFactory(required.fieldNames, pushed,
       new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active

@@ -209,6 +209,63 @@ class VcfSourceSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.vcf.splitbytes")
   }
 
+  // coordinate-sorted 1000-record bgzf (5 chroms x 200) with a built
+  // .tbi — the tabix pruning fixture
+  private lazy val sortedBgzf: String = {
+    val f = java.io.File.createTempFile("graft_tabix", ".vcf.bgz")
+    val sb = new StringBuilder
+    sb.append("##fileformat=VCFv4.2\n")
+    sb.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+    for (c <- 1 to 5; i <- 1 to 200) {
+      val pad = "x" * (i % 29)
+      sb.append(s"chr$c\t${i * 7}\trs${c}_$i\tACGT\tA\t50\tPASS\t" +
+        s"ANN=$pad\tGT\t0/1\n")
+    }
+    val out = new java.io.FileOutputStream(f)
+    try graft.sources.Bgzf.write(out, sb.toString.getBytes("UTF-8"), 512)
+    finally out.close()
+    graft.sources.Tabix.buildForVcf(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      spark.sessionState.newHadoopConf())
+    f.deleteOnExit()
+    new java.io.File(f.getAbsolutePath + ".tbi").deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  test("tabix index roundtrip: names and region chunk ranges") {
+    val idx = graft.sources.Tabix.read(
+      new org.apache.hadoop.fs.Path(sortedBgzf + ".tbi"),
+      spark.sessionState.newHadoopConf())
+    assert(idx.names == (1 to 5).map(c => s"chr$c"))
+    assert(idx.regionRanges("chrX", 0, 1000).isEmpty)
+    val r = idx.regionRanges("chr3", 0, 2000)
+    assert(r.nonEmpty && r.forall { case (s, e) => s < e })
+  }
+
+  test("tabix region pruning: fewer splits planned, exact rows") {
+    spark.conf.set("spark.graft.vcf.splitbytes", "600")
+    try {
+      val df = spark.read.format("vcf").load(sortedBgzf)
+      val fullParts = df.rdd.getNumPartitions
+      assert(fullParts > 5, s"fixture too small: $fullParts")
+      assert(df.count() == 1000)
+      val q = df.filter(col("chrom") === "chr4" &&
+        col("pos") >= 700L && col("pos") <= 1000L)
+      assert(q.select("pos").collect().map(_.getLong(0)).sorted.toSeq ==
+        (100 to 142).map(_ * 7L))
+      assert(q.rdd.getNumPartitions < fullParts,
+        s"pruned=${q.rdd.getNumPartitions} full=$fullParts")
+      // contradictions and unknown sequences plan ZERO partitions
+      val none = df.filter(col("chrom") === "chr4" &&
+        col("pos") > 5000L && col("pos") < 4000L)
+      assert(none.rdd.getNumPartitions == 0)
+      assert(none.count() == 0)
+      val nochrom = df.filter(col("chrom") === "chrX")
+      assert(nochrom.rdd.getNumPartitions == 0)
+      assert(nochrom.count() == 0)
+    } finally spark.conf.unset("spark.graft.vcf.splitbytes")
+  }
+
   test("filters and projection compose on the source") {
     val df = spark.read.format("vcf")
       .load(fixture("s1.vcf"), fixture("s2.vcf"))
