@@ -40,16 +40,19 @@ object Curation {
 
   /** Sharded training export: writes `shard=0 .. shard=n-1` parquet
     * directories, each shard holding its hash-assigned rows in
-    * seed-deterministic shuffle order. One shuffle total: rows hash to
-    * their shard's partition and are sorted (shard, key) within it — the
-    * leading shard sort also satisfies the dynamic-partition writer's
-    * required ordering, so no second sort is inserted. Each shard is one
-    * file written by one task; re-running with the same seed reproduces
-    * the byte-identical dataset layout. */
+    * seed-deterministic shuffle order. One shuffle total: rows
+    * range-partition on the shard value (a range over n distinct ints
+    * maps ~one shard per task — hash-repartition would collide shard
+    * values and leave ~1/e of tasks empty while others write several
+    * shards sequentially) and are sorted (shard, key) within each task;
+    * the leading shard sort also satisfies the dynamic-partition
+    * writer's required ordering, so no second sort is inserted.
+    * Re-running with the same seed reproduces the same per-shard row
+    * content and order. */
   def exportShards(df: DataFrame, idCol: String, seed: String,
       nShards: Int, path: String): Unit =
     df.withColumn("shard", shard(seed, col(idCol), nShards))
-      .repartition(nShards, col("shard"))
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"),
         shuffleKey(seed, col(idCol)), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
@@ -59,16 +62,18 @@ object Curation {
     * `evalSet` (the held-out benchmark corpus). The eval shingle
     * vocabulary BROADCASTS — an eval suite is KBs–MBs of shingles
     * against a 100 TB corpus, so the corpus side never shuffles; the
-    * whole check is scan + broadcast-probe + per-doc partial agg. */
+    * whole check is scan + broadcast-probe + per-doc partial agg.
+    * `evalSet` only needs `textCol`. NULL-text corpus docs shingle to
+    * NULL and are absent from the output (they can't be contaminated;
+    * count docs, not output rows, for denominator-style metrics). */
   def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
-    def shingled(df: DataFrame) = df.select(col(idCol),
-      explode(graft.functions.expressions.TextExpressions
-        .wordShingles(spark, col(textCol), n)).as("__sh"))
-    val evalSh = shingled(evalSet).select("__sh").distinct()
+    def sh(c: Column) = explode(graft.functions.expressions.TextExpressions
+      .wordShingles(spark, c, n)).as("__sh")
+    val evalSh = evalSet.select(sh(col(textCol))).distinct()
       .withColumn("__hit", lit(1L))
-    shingled(corpus)
+    corpus.select(col(idCol), sh(col(textCol)))
       .join(broadcast(evalSh), Seq("__sh"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shingles"),

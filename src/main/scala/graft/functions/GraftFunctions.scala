@@ -33,11 +33,16 @@ object GraftFunctions {
     b(exprs)
   }
 
-  private def intLiteral(name: String, e: Expression): Int = e.eval() match {
-    case i: Int  => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"$name expects an integer literal, got $other")
+  private def intLiteral(name: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$name expects an integer literal, got expression $e")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name expects an integer literal, got $other")
+    }
   }
 
   /** Closed-end overlap length, 0 when disjoint — the expression-level
@@ -78,13 +83,15 @@ object GraftFunctions {
         Divide(Cast(overlapLength(e(0), e(1), e(2), e(3)), DoubleType),
           Cast(Add(Subtract(e(1), e(0)), Literal(1L)), DoubleType)))))
 
-  /** Temp-function registration for sessions built without the extension;
-    * idempotent (keyed on the first name). */
+  /** Temp-function registration for sessions built without the extension.
+    * Each function registers independently (an all-or-nothing guard on
+    * one name would leave the rest unregistered if the user dropped or
+    * shadowed it); createOrReplace makes repeat calls cheap no-ops and
+    * asserts the library's ownership of the graft_* names. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(all.head._1))
-      all.foreach { case (id, _, b) =>
-        reg.createOrReplaceTempFunction(id.funcName, b, "built-in")
-      }
+    all.foreach { case (id, _, b) =>
+      reg.createOrReplaceTempFunction(id.funcName, b, "built-in")
+    }
   }
 }

@@ -150,30 +150,32 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** True when CBO stats PROVE an equi conjunct already bounds the
     * candidate pair space: estimated pairs per equi-key group
-    * `|L|·|R| / ndv²` at or under `spark.graft.rangejoin.maxpairsperkey`
-    * (default 4096) means the per-group quadratic predicate check is
-    * trivial and the bin fanout (explode + wider shuffle rows) is pure
-    * overhead — e.g. an overlap join that also equi-joins on a unique
-    * id. With several equi conjuncts the largest single-conjunct ndv is
-    * used (conservative: underestimates combined selectivity, so the
-    * rewrite still fires unless ONE key alone is selective). No stats ⇒
-    * false (rewrite as usual). */
+    * `|L|·|R| / (ndv_l·ndv_r)` at or under
+    * `spark.graft.rangejoin.maxpairsperkey` (default 4096) means the
+    * per-group quadratic predicate check is trivial and the bin fanout
+    * (explode + wider shuffle rows) is pure overhead — e.g. an overlap
+    * join that also equi-joins on a unique id. With several equi
+    * conjuncts the largest single-conjunct ndv product is used
+    * (conservative: underestimates combined selectivity, so the rewrite
+    * still fires unless ONE key alone is selective). No stats ⇒ false
+    * (rewrite as usual). */
   private def equiKeyBoundsPairs(j: Join, cond: Expression): Boolean = {
     val perKey = for {
       lRows <- j.left.stats.rowCount
       rRows <- j.right.stats.rowCount
-      ndv <- bestEquiNdv(j, cond)
-      if ndv > 0
-    } yield BigDecimal(lRows) * BigDecimal(rRows) /
-      (BigDecimal(ndv) * BigDecimal(ndv))
+      ndvProduct <- bestEquiNdvProduct(j, cond)
+      if ndvProduct > 0
+    } yield BigDecimal(lRows) * BigDecimal(rRows) / BigDecimal(ndvProduct)
     val threshold = BigDecimal(conf.getConfString(
       "spark.graft.rangejoin.maxpairsperkey", "4096").toLong)
     perKey.exists(_ <= threshold)
   }
 
-  /** Largest `max(ndv_left, ndv_right)` over the equi conjuncts of the
-    * join condition — the most selective single key with stats. */
-  private def bestEquiNdv(j: Join, cond: Expression): Option[BigInt] = {
+  /** Largest `ndv_left · ndv_right` over the equi conjuncts of the join
+    * condition — expected pairs per key group is
+    * `(|L|/ndv_l)·(|R|/ndv_r)`, so this is the denominator of the most
+    * selective single key with stats on both sides. */
+  private def bestEquiNdvProduct(j: Join, cond: Expression): Option[BigInt] = {
     val keyPairs = splitConjunctivePredicates(cond).collect {
       case EqualTo(x: Attribute, y: Attribute)
         if j.left.outputSet.contains(x) && j.right.outputSet.contains(y) =>
@@ -182,13 +184,13 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         if j.right.outputSet.contains(x) && j.left.outputSet.contains(y) =>
         (y, x)
     }
-    val ndvs = keyPairs.flatMap { case (lk, rk) =>
+    val products = keyPairs.flatMap { case (lk, rk) =>
       for {
         nl <- j.left.stats.attributeStats.get(lk).flatMap(_.distinctCount)
         nr <- j.right.stats.attributeStats.get(rk).flatMap(_.distinctCount)
-      } yield nl.max(nr)
+      } yield nl * nr
     }
-    if (ndvs.isEmpty) None else Some(ndvs.max)
+    if (products.isEmpty) None else Some(products.max)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -129,8 +129,13 @@ object Bgzf {
     0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
     0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
 
-  /** Writes one BGZF block holding `raw(off until off+len)`. */
+  /** Writes one BGZF block holding `raw(off until off+len)`. The RAW
+    * payload must fit one block too (spec ISIZE ≤ 64 KiB): intra-block
+    * offsets feed 16-bit virtual-offset uoffsets (Tabix), which a larger
+    * payload would silently corrupt. */
   def writeBlock(out: OutputStream, raw: Array[Byte], off: Int, len: Int): Int = {
+    require(len <= MaxBlockSize,
+      s"raw payload of $len bytes exceeds the 64 KiB BGZF block limit")
     val bos = new ByteArrayOutputStream(len / 2 + 32)
     val dos = new DeflaterOutputStream(bos,
       new Deflater(Deflater.DEFAULT_COMPRESSION, true))

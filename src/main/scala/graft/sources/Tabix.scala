@@ -143,6 +143,11 @@ object Tabix {
               val ref = names.getOrElseUpdate(f(0), names.size)
               val beg0 = java.lang.Long.parseLong(f(1)) - 1
               val end0 = beg0 + math.max(1, f(3).length)
+              // the binning scheme covers [0, 2^29); indexing a bigger
+              // contig would silently drop its tail from every query
+              require(beg0 >= 0 && end0 <= (1L << 29),
+                s"record at ${f(0)}:${f(1)} outside the tabix" +
+                  " coordinate space [1, 2^29]")
               recs += Rec(ref, beg0, end0, lineVoff, voffEnd)
             }
             line.reset()

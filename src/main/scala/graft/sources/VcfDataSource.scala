@@ -161,7 +161,8 @@ private class VcfScan(paths: Seq[String], required: StructType,
         if (!bgzf) Seq(VcfInputPartition(p, 0L, Long.MaxValue))
         else tabixRanges(hp, len, hconf).flatMap { case (s0, e0) =>
           (s0 until e0 by splitBytes).map(s =>
-            VcfInputPartition(p, s, math.min(s + splitBytes, e0), bgzf = true))
+            VcfInputPartition(p, s, math.min(s + splitBytes, e0),
+              bgzf = true, fileLen = len))
         }
       } else if (len <= splitBytes) Seq(VcfInputPartition(p, 0L, Long.MaxValue))
       else (0L until len by splitBytes)
@@ -181,26 +182,44 @@ private class VcfScan(paths: Seq[String], required: StructType,
     val whole = Seq((0L, len))
     pushedRegion match {
       case None => whole
-      case Some((chrom, beg0, end0)) =>
+      case Some((chroms, beg0, end0)) =>
         val tbi = hp.suffix(".tbi")
         val fs = hp.getFileSystem(hconf)
         if (!fs.exists(tbi)) whole
         else try {
-          if (end0 <= beg0) Nil // contradictory pos bounds: provably empty
-          else Tabix.read(tbi, hconf).regionRanges(chrom, beg0, end0)
-            .map { case (s, e) => (s, math.min(e, len)) }
-            .filter { case (s, e) => s < e }
+          if (end0 <= beg0 || chroms.isEmpty) Nil // provably empty filters
+          else {
+            val idx = Tabix.read(tbi, hconf)
+            val rs = chroms.toSeq.flatMap(idx.regionRanges(_, beg0, end0))
+              .map { case (s, e) => (s, math.min(e, len)) }
+              .filter { case (s, e) => s < e }
+              .sortBy(_._1)
+            // per-chrom ranges can touch: merge before chopping to splits
+            rs.foldLeft(List.empty[(Long, Long)]) {
+              case ((ms, me) :: t, (s, e)) if s <= me =>
+                (ms, math.max(me, e)) :: t
+              case (acc, r) => r :: acc
+            }.reverse
+          }
         } catch { case scala.util.control.NonFatal(_) => whole }
     }
   }
 
-  /** Single chrom + 0-based half-open pos interval when the pushed
-    * filters determine one. */
-  private def pushedRegion: Option[(String, Long, Long)] = {
-    val chroms = pushed.collect { case EqualTo("chrom", v: String) => v }
-    if (chroms.size != 1) return None
+  /** Chrom set + 0-based half-open pos interval when the pushed filters
+    * determine them (EqualTo or In on chrom; pos bounds shared). Regions
+    * reaching past the tabix coordinate space (2^29) return None — an
+    * index cannot speak for such positions, so the scan must not be
+    * pruned by it. */
+  private def pushedRegion: Option[(Set[String], Long, Long)] = {
+    val chromSets = pushed.collect {
+      case EqualTo("chrom", v: String) => Set(v)
+      case In("chrom", vs) => vs.collect { case s: String => s }.toSet
+    }
+    if (chromSets.isEmpty) return None
+    val chroms = chromSets.reduce(_ intersect _)
+    val maxCoord = 1L << 29 // tabix binning coordinate ceiling
     var lo = 1L // 1-based inclusive POS bounds
-    var hi = 1L << 29 // tabix binning coordinate ceiling
+    var hi = maxCoord
     pushed.foreach {
       case EqualTo("pos", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
       case GreaterThan("pos", v: Long) => lo = math.max(lo, v + 1)
@@ -209,7 +228,7 @@ private class VcfScan(paths: Seq[String], required: StructType,
       case LessThanOrEqual("pos", v: Long) => hi = math.min(hi, v)
       case _ =>
     }
-    Some((chroms.head, lo - 1, hi))
+    if (lo > maxCoord) None else Some((chroms, lo - 1, math.min(hi, maxCoord)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -223,9 +242,10 @@ private class VcfScan(paths: Seq[String], required: StructType,
 
 /** `[start, end)` byte range; `end = Long.MaxValue` means whole file.
   * `bgzf` ranges are compressed offsets, resolved to block boundaries by
-  * the reader (`BgzfLines` ownership contract). */
+  * the reader (`BgzfLines` ownership contract); `fileLen` rides along
+  * from planning so hundreds of tasks per file skip a per-task stat. */
 private case class VcfInputPartition(path: String, start: Long, end: Long,
-    bgzf: Boolean = false) extends InputPartition
+    bgzf: Boolean = false, fileLen: Long = -1L) extends InputPartition
 
 private object VcfInputPartition {
   def gzipped(path: String): Boolean =
@@ -252,8 +272,10 @@ private class VcfPartitionReader(part: VcfInputPartition,
   // seek-based LineReader below is never constructed for them
   private val bgzfLines: BgzfLines =
     if (part.bgzf) {
-      val len = hadoopPath.getFileSystem(conf.value)
-        .getFileStatus(hadoopPath).getLen
+      val len =
+        if (part.fileLen >= 0) part.fileLen
+        else hadoopPath.getFileSystem(conf.value)
+          .getFileStatus(hadoopPath).getLen
       new BgzfLines(stream, len, part.start,
         if (part.end == Long.MaxValue) len else part.end)
     } else null

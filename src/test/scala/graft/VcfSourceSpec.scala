@@ -255,6 +255,11 @@ class VcfSourceSpec extends SparkSpecBase {
         (100 to 142).map(_ * 7L))
       assert(q.rdd.getNumPartitions < fullParts,
         s"pruned=${q.rdd.getNumPartitions} full=$fullParts")
+      // IN-list chrom filters prune too (Spark's OR-chain rewrite)
+      val inQ = df.filter(col("chrom").isin("chr4", "chr5") &&
+        col("pos") <= 70L)
+      assert(inQ.rdd.getNumPartitions < fullParts)
+      assert(inQ.count() == 20)
       // contradictions and unknown sequences plan ZERO partitions
       val none = df.filter(col("chrom") === "chr4" &&
         col("pos") > 5000L && col("pos") < 4000L)
