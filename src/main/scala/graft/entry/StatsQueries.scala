@@ -48,6 +48,17 @@ object StatsQueries {
         .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    }),
+
+    // PORTABLE distinct sketch: bottom-64 KMV over md5-u32 hashes —
+    // unlike HLL (q27, engine-specific, rows-only check) the estimate is
+    // a pure hash function, so the oracle matches it bit-for-bit while
+    // the Spark side keeps sketch economics (64-long bounded state,
+    // map-side partials, one tiny shuffle).
+    "q66_kmv_distinct" -> ((s, dir) => {
+      graft.ext.Sketches.kmvDistinct(t(s, dir, "lineitem"),
+          "l_returnflag", "l_partkey", k = 64)
+        .orderBy("l_returnflag")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -100,5 +111,26 @@ object StatsQueries {
     "q60_median" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         | COUNT(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // Same KMV estimator replicated relationally: distinct u32 hashes,
+    // rank within group, (k-1)*2^32 / kth-min (exact count under k).
+    "q66_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag AS grp,
+        |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)),1,8)) AS BIGINT) AS hv
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |r AS (SELECT grp, hv,
+        |    row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS cnt
+        |  FROM h),
+        |e AS (SELECT l_returnflag AS grp,
+        |    COUNT(DISTINCT l_partkey) AS exact_distinct
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+        |SELECT r.grp AS l_returnflag,
+        |  CASE WHEN MAX(r.cnt) < 64 THEN CAST(MAX(r.cnt) AS DOUBLE)
+        |       ELSE 270582939648.0
+        |            / CAST(MAX(CASE WHEN r.rn = 64 THEN r.hv END) AS DOUBLE)
+        |  END AS kmv_distinct,
+        |  MAX(e.exact_distinct) AS exact_distinct
+        |FROM r JOIN e ON r.grp = e.grp
+        |GROUP BY r.grp ORDER BY l_returnflag""".stripMargin)
 }

@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Portable sketches: approximations that are exact functions of md5
+  * hashes, so ANY engine — including the DuckDB oracle — reproduces them
+  * bit-for-bit, while keeping sketch scaling properties (bounded state,
+  * map-side partial aggregation, one shuffle of ≤k values per group).
+  *
+  * Spark's built-in sketches (HLL++ `approx_count_distinct`, KLL
+  * `percentile_approx`) are engine-specific in both binary format and
+  * estimate, which is why q27 is a rows-only check; the KMV sketch here
+  * trades their tighter constants for cross-engine reproducibility —
+  * the property the whole verification pipeline is built on.
+  */
+object Sketches {
+
+  /** Uniform u32 from any value via md5 — the same engine-portable
+    * hashing idiom as [[Curation.hashU32]]/[[Sampling]]. */
+  def hashU32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Bottom-k aggregator: keeps the k smallest DISTINCT longs in a
+    * sorted array. Bounded state, associative, commutative and
+    * duplicate-insensitive — the partial state of a KMV sketch, safe
+    * under any partitioning and merge order. */
+  class BottomK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, "bottom-k needs k >= 2")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], v: Long): Array[Long] = {
+      val idx = java.util.Arrays.binarySearch(buf, v)
+      if (idx >= 0) buf // already present
+      else {
+        val ins = -idx - 1
+        if (buf.length == k && ins == k) buf // above the current kth min
+        else {
+          val n = math.min(k, buf.length + 1)
+          val out = new Array[Long](n)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = v
+          System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var n = 0
+      var last = 0L; var first = true
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+            val t = a(i); i += 1; t
+          } else { val t = b(j); j += 1; t }
+        if (first || v != last) { out(n) = v; n += 1; last = v; first = false }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** KMV distinct-count estimate per group: with U(k) the k-th smallest
+    * of the distinct u32 hashes, estimate `(k-1) · 2^32 / U(k)`; exact
+    * when a group has fewer than k distinct hashes. Output columns
+    * `(groupCol, kmv_distinct, exact_distinct)` — the exact count rides
+    * along for error inspection. Standard error is ~1/√(k-2). */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val bottomK = udaf(new BottomK(k), Encoders.scalaLong)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), hashU32(col(valueCol)).as("__hv"),
+        col(valueCol).as("__v"))
+      .groupBy(groupCol)
+      .agg(bottomK(col("__hv")).as("__mins"),
+        countDistinct(col("__v")).as("exact_distinct"))
+      .withColumn("kmv_distinct",
+        when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+            element_at(col("__mins"), k).cast("double")))
+      .select(col(groupCol), col("kmv_distinct"), col("exact_distinct"))
+  }
+}

@@ -68,4 +68,30 @@ class StatsSpec extends SparkSpecBase {
       .collect().toSeq
     assert(got == Seq(90068L, -90068L, 1L, 0L)) // floor(+0.5) half-up-to-+inf
   }
+
+  test("kmv sketch: exact under k, stable under dups and partitioning") {
+    import graft.ext.Sketches
+    val small = (1 to 40).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val exact = Sketches.kmvDistinct(small, "grp", "v", k = 64).first()
+    assert(exact.getDouble(1) == 40.0) // below k: estimate IS the count
+    assert(exact.getLong(2) == 40L)
+
+    val big = (1 to 5000).map(i => ("g", i.toLong)) ++
+      (1 to 5000).map(i => ("h", (i % 700).toLong + 1))
+    val df = big.toDF("grp", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvDistinct(d, "grp", "v", k = 64)
+        .orderBy("grp").collect().toSeq.map(r =>
+          (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val base = run(df)
+    // duplicate rows don't move a distinct sketch
+    assert(run(df.union(df)) == base)
+    // merge order / partitioning doesn't either (associative partials)
+    assert(run(df.repartition(7)) == base)
+    assert(run(df.repartition(1)) == base)
+    // ~1/sqrt(k-2) standard error; 4 sigma bound keeps the test stable
+    val Seq((_, estG, 5000L), (_, estH, 700L)) = base
+    assert(math.abs(estG - 5000.0) / 5000.0 < 0.5, s"estG=$estG")
+    assert(math.abs(estH - 700.0) / 700.0 < 0.5, s"estH=$estH")
+  }
 }
