@@ -59,6 +59,22 @@ object StatsQueries {
       graft.ext.Sketches.kmvDistinct(t(s, dir, "lineitem"),
           "l_returnflag", "l_partkey", k = 64)
         .orderBy("l_returnflag")
+    }),
+
+    // Sketch-grade quantile, reproducibly: exact median of a
+    // DETERMINISTIC 2% hash sample (md5 row key < 0.02*2^32). The sample
+    // is a map-side filter — no sketch merge, no full sort — and the
+    // hash makes the "random" subset identical in any engine. Price on
+    // the cent grid so interpolation stays exact.
+    "q67_sampled_quantile" -> ((s, dir) => {
+      val rowKey = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .filter(graft.ext.Sketches.hashU32(rowKey) < lit(85899345L))
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)" +
+            "*100.0 + 0.5) AS BIGINT), 0.5)").as("median_price_cents"),
+          count(lit(1)).as("n_sampled"))
+        .orderBy("l_returnflag")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -132,5 +148,15 @@ object StatsQueries {
         |  END AS kmv_distinct,
         |  MAX(e.exact_distinct) AS exact_distinct
         |FROM r JOIN e ON r.grp = e.grp
-        |GROUP BY r.grp ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY r.grp ORDER BY l_returnflag""".stripMargin,
+    "q67_sampled_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0
+        |    + 0.5) AS BIGINT), 0.5) AS median_price_cents,
+        |  COUNT(*) AS n_sampled
+        |FROM lineitem
+        |WHERE CAST(concat('0x', substr(md5(concat(
+        |    CAST(l_orderkey AS VARCHAR), '-',
+        |    CAST(l_linenumber AS VARCHAR))),1,8)) AS BIGINT) < 85899345
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
 }

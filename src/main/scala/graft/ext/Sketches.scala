@@ -68,6 +68,12 @@ object Sketches {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   }
 
+  /** The estimator over a bottom-k array (scala side — shared with the
+    * streaming sketch): exact size under k, else `(k-1)·2^32 / U(k)`. */
+  def estimate(mins: Array[Long], k: Int): Double =
+    if (mins.length < k) mins.length.toDouble
+    else (k - 1).toDouble * 4294967296.0 / mins(k - 1).toDouble
+
   /** KMV distinct-count estimate per group: with U(k) the k-th smallest
     * of the distinct u32 hashes, estimate `(k-1) · 2^32 / U(k)`; exact
     * when a group has fewer than k distinct hashes. Output columns

@@ -128,6 +128,36 @@ object EventStreams {
       joinType: String = "left"): DataFrame =
     events.join(broadcast(dim), Seq(key), joinType)
 
+  final case class KmvEstimate(key: Long, kmv_distinct: Double)
+
+  /** Streaming cardinality: a running per-key distinct-count estimate
+    * with BOUNDED state — the KMV sketch ([[graft.ext.Sketches]]) as
+    * mapGroupsWithState state, k longs per key forever, where an exact
+    * streaming distinct would grow with the value universe. Emits each
+    * key's updated estimate every micro-batch, and because the sketch is
+    * a pure function of md5 hashes the streaming estimate equals the
+    * batch `Sketches.kmvDistinct` on the same prefix of the stream. */
+  def streamingDistinct(events: Dataset[Event], k: Int = 64)
+      : Dataset[KmvEstimate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    val sketch = new graft.ext.Sketches.BottomK(k)
+    events
+      .select(col("user_id"),
+        graft.ext.Sketches.hashU32(col("event_id")).as("hv"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], KmvEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[(Long, Long)],
+            state: GroupState[Array[Long]]) =>
+          var mins = state.getOption.getOrElse(Array.emptyLongArray)
+          batch.foreach { case (_, hv) => mins = sketch.reduce(mins, hv) }
+          state.update(mins)
+          KmvEstimate(key, graft.ext.Sketches.estimate(mins, k))
+      }
+  }
+
   /** Run a streaming query over a batch of files synchronously into an
     * in-memory sink (local smoke path): returns the materialized result
     * table. */

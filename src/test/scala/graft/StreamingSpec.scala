@@ -127,6 +127,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct == batch sketch; k longs of state per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.streamingDistinct(mem.toDS(), k = 16).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("kmv_stream").start()
+    def ev(id: Long, user: Long) = EventStreams.Event(
+      id, new java.sql.Timestamp(id * 60000), user, "click", 1.0)
+    val batch1 = (1L to 40L).map(ev(_, 1L)) ++ (1L to 5L).map(ev(_, 2L))
+    val batch2 = (30L to 90L).map(ev(_, 1L)) ++ Seq(ev(3L, 2L)) // overlaps
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // adding values never shrinks a KMV estimate, so last == max
+      val streamed = spark.table("kmv_stream")
+        .groupBy("key").agg(max("kmv_distinct").as("kmv_distinct"))
+        .orderBy("key").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val all = (batch1 ++ batch2).map(e => (e.user_id, e.event_id))
+        .toDF("key", "event_id")
+      val batch = graft.ext.Sketches.kmvDistinct(all, "key", "event_id", 16)
+        .orderBy("key").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // under k: exact — 5 distinct ids (batch2's id 3 is a duplicate)
+      assert(batch.find(_._1 == 2L).get._2 == 5.0)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join == batch join; stream side stateless") {
     val dim = Seq(("click", 2.0), ("view", 0.5))
       .toDF("event_type", "weight")
