@@ -22,6 +22,13 @@ object StatsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
+  /** One k for BOTH q66 sides — the oracle SQL interpolates it, so the
+    * sketch size can't drift between Spark and DuckDB. */
+  private val KmvK = 64
+
+  /** Shared 2% sampling threshold for q67: floor(0.02 · 2^32). */
+  private val SampleThreshold = (0.02 * 4294967296.0).toLong
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // n / mean / sample variance / population stddev of the price column
     // per returnflag, exact on the cent grid (scale=100).
@@ -57,7 +64,7 @@ object StatsQueries {
     // map-side partials, one tiny shuffle).
     "q66_kmv_distinct" -> ((s, dir) => {
       graft.ext.Sketches.kmvDistinct(t(s, dir, "lineitem"),
-          "l_returnflag", "l_partkey", k = 64)
+          "l_returnflag", "l_partkey", k = KmvK, withExact = true)
         .orderBy("l_returnflag")
     }),
 
@@ -69,7 +76,7 @@ object StatsQueries {
     "q67_sampled_quantile" -> ((s, dir) => {
       val rowKey = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
       t(s, dir, "lineitem")
-        .filter(graft.ext.Sketches.hashU32(rowKey) < lit(85899345L))
+        .filter(graft.ext.Sketches.hashU32(rowKey) < lit(SampleThreshold))
         .groupBy("l_returnflag")
         .agg(expr("percentile(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)" +
             "*100.0 + 0.5) AS BIGINT), 0.5)").as("median_price_cents"),
@@ -84,9 +91,8 @@ object StatsQueries {
         |  SELECT l_returnflag, COUNT(*) AS n,
         |    SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5)
         |        AS DECIMAL(38,0))) AS s1,
-        |    SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5) *
-        |             FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5)
-        |        AS DECIMAL(38,0))) AS s2
+        |    SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5) AS DECIMAL(19,0)) *
+        |             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5) AS DECIMAL(19,0))) AS s2
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
@@ -104,17 +110,14 @@ object StatsQueries {
         |  SELECT l_returnflag, COUNT(*) AS n,
         |    SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5)
         |        AS DECIMAL(38,0))) AS sx,
-        |    SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5) *
-        |             FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5)
-        |        AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5) AS DECIMAL(19,0)) *
+        |             CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5) AS DECIMAL(19,0))) AS sxx,
         |    SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5)
         |        AS DECIMAL(38,0))) AS sy,
-        |    SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5) *
-        |             FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5)
-        |        AS DECIMAL(38,0))) AS syy,
-        |    SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5) *
-        |             FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5)
-        |        AS DECIMAL(38,0))) AS sxy
+        |    SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5) AS DECIMAL(19,0)) *
+        |             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5) AS DECIMAL(19,0))) AS syy,
+        |    SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE)*1.0 + 0.5) AS DECIMAL(19,0)) *
+        |             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5) AS DECIMAL(19,0))) AS sxy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -131,7 +134,7 @@ object StatsQueries {
     // Same KMV estimator replicated relationally: distinct u32 hashes,
     // rank within group, (k-1)*2^32 / kth-min (exact count under k).
     "q66_kmv_distinct" ->
-      """WITH h AS (SELECT DISTINCT l_returnflag AS grp,
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS grp,
         |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)),1,8)) AS BIGINT) AS hv
         |  FROM lineitem WHERE l_partkey IS NOT NULL),
         |r AS (SELECT grp, hv,
@@ -142,21 +145,22 @@ object StatsQueries {
         |    COUNT(DISTINCT l_partkey) AS exact_distinct
         |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
         |SELECT r.grp AS l_returnflag,
-        |  CASE WHEN MAX(r.cnt) < 64 THEN CAST(MAX(r.cnt) AS DOUBLE)
-        |       ELSE 270582939648.0
-        |            / CAST(MAX(CASE WHEN r.rn = 64 THEN r.hv END) AS DOUBLE)
+        |  CASE WHEN MAX(r.cnt) < $KmvK THEN CAST(MAX(r.cnt) AS DOUBLE)
+        |       ELSE ${(KmvK - 1).toLong * 4294967296L}.0
+        |            / CAST(MAX(CASE WHEN r.rn = $KmvK THEN r.hv END) AS DOUBLE)
         |  END AS kmv_distinct,
         |  MAX(e.exact_distinct) AS exact_distinct
-        |FROM r JOIN e ON r.grp = e.grp
+        |FROM r JOIN e ON r.grp IS NOT DISTINCT FROM e.grp
         |GROUP BY r.grp ORDER BY l_returnflag""".stripMargin,
     "q67_sampled_quantile" ->
-      """SELECT l_returnflag,
+      s"""SELECT l_returnflag,
         |  quantile_cont(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)*100.0
         |    + 0.5) AS BIGINT), 0.5) AS median_price_cents,
         |  COUNT(*) AS n_sampled
         |FROM lineitem
-        |WHERE CAST(concat('0x', substr(md5(concat(
-        |    CAST(l_orderkey AS VARCHAR), '-',
-        |    CAST(l_linenumber AS VARCHAR))),1,8)) AS BIGINT) < 85899345
+        |WHERE CAST(concat('0x', substr(md5(concat_ws('-',
+        |    CAST(l_orderkey AS VARCHAR),
+        |    CAST(l_linenumber AS VARCHAR))),1,8)) AS BIGINT)
+        |  < $SampleThreshold
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
 }

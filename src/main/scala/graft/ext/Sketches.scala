@@ -76,22 +76,30 @@ object Sketches {
 
   /** KMV distinct-count estimate per group: with U(k) the k-th smallest
     * of the distinct u32 hashes, estimate `(k-1) · 2^32 / U(k)`; exact
-    * when a group has fewer than k distinct hashes. Output columns
-    * `(groupCol, kmv_distinct, exact_distinct)` — the exact count rides
-    * along for error inspection. Standard error is ~1/√(k-2). */
+    * when a group has fewer than k distinct hashes. Standard error is
+    * ~1/√(k-2). Output `(groupCol, kmv_distinct)` — and with
+    * `withExact`, an `exact_distinct` column for error inspection.
+    * `withExact` is OPT-IN because the exact count is a full distinct
+    * aggregation whose state grows with the value universe; the default
+    * keeps the sketch economics (k longs per group, map-side partials,
+    * one tiny shuffle) the sketch exists for. */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int): DataFrame = {
+      k: Int, withExact: Boolean = false): DataFrame = {
     val bottomK = udaf(new BottomK(k), Encoders.scalaLong)
-    df.filter(col(valueCol).isNotNull)
+    val hashed = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), hashU32(col(valueCol)).as("__hv"),
         col(valueCol).as("__v"))
-      .groupBy(groupCol)
-      .agg(bottomK(col("__hv")).as("__mins"),
-        countDistinct(col("__v")).as("exact_distinct"))
+    val aggs =
+      if (withExact) Seq(countDistinct(col("__v")).as("exact_distinct"))
+      else Nil
+    val out = Seq(col(groupCol), col("kmv_distinct")) ++
+      (if (withExact) Seq(col("exact_distinct")) else Nil)
+    hashed.groupBy(groupCol)
+      .agg(bottomK(col("__hv")).as("__mins"), aggs: _*)
       .withColumn("kmv_distinct",
         when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
           .otherwise(lit((k - 1).toDouble * 4294967296.0) /
             element_at(col("__mins"), k).cast("double")))
-      .select(col(groupCol), col("kmv_distinct"), col("exact_distinct"))
+      .select(out: _*)
   }
 }

@@ -38,6 +38,14 @@ object Stats {
 
   private def dsum38(c: Column): Column = sum(c.cast("decimal(38,0)"))
 
+  /** Product in DECIMAL space: `floor` yields LONG, and a long×long
+    * product wraps silently past 2^63 (quantized epoch-millis squared,
+    * for instance) — cast each factor to DECIMAL(19,0) FIRST so the
+    * product carries full precision into the DECIMAL(38,0) sum. The
+    * oracle does the same cast-then-multiply. */
+  private def dprod(a: Column, b: Column): Column =
+    a.cast("decimal(19,0)") * b.cast("decimal(19,0)")
+
   /** Exact moment sums per group: n, Σq, Σq² of the quantized value. */
   def moments(df: DataFrame, value: Column, scale: Double,
       keys: Seq[String]): DataFrame = {
@@ -45,7 +53,7 @@ object Stats {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         dsum38(q).as("s1"),
-        dsum38(q * q).as("s2"))
+        dsum38(dprod(q, q)).as("s2"))
   }
 
   /** n / mean / sample variance / sample stddev per group, exact on a
@@ -76,9 +84,9 @@ object Stats {
     val qy = quantize(y, yScale)
     val agg = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        dsum38(qx).as("sx"), dsum38(qx * qx).as("sxx"),
-        dsum38(qy).as("sy"), dsum38(qy * qy).as("syy"),
-        dsum38(qx * qy).as("sxy"))
+        dsum38(qx).as("sx"), dsum38(dprod(qx, qx)).as("sxx"),
+        dsum38(qy).as("sy"), dsum38(dprod(qy, qy)).as("syy"),
+        dsum38(dprod(qx, qy)).as("sxy"))
     val nD = col("n").cast("double")
     val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
     val sy = col("sy").cast("double"); val syy = col("syy").cast("double")

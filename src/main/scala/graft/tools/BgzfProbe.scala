@@ -23,14 +23,18 @@ object BgzfProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val rows = args.headOption.map(_.toInt).getOrElse(2000000)
+    val rows = args.headOption.map(_.toLong).getOrElse(2000000L)
+    // fail BEFORE minutes of generation: positions are i*50 per chrom and
+    // must stay inside the tabix coordinate space
+    require(rows / 25 * 50 <= (1L << 29),
+      s"$rows rows would exceed the tabix 2^29 coordinate ceiling")
     val spark = GraftSession.local()
 
     val dir = java.nio.file.Files.createTempDirectory("graft_bgzfprobe")
     val bgzPath = s"$dir/probe.vcf.bgz"
     val gzPath = s"$dir/probe.vcf.gz"
     val chroms = 25
-    val perChrom = rows / chroms
+    val perChrom = (rows / chroms).toInt
 
     val t0 = System.nanoTime()
     val bgzOut = new FileOutputStream(bgzPath)
@@ -78,13 +82,10 @@ object BgzfProbe {
     time("bgzf_split_agg")(vcf(bgzPath)
       .groupBy("chrom").agg(max("pos")).count())
     val mid = perChrom / 2 * 50L
-    time("tabix_region_query")(vcf(bgzPath)
-      .filter(col("chrom") === "chr13" &&
-        col("pos") >= mid && col("pos") <= mid + 50000L).count())
-    println(s"[probe] region partitions=${vcf(bgzPath)
-      .filter(col("chrom") === "chr13" &&
-        col("pos") >= mid && col("pos") <= mid + 50000L)
-      .rdd.getNumPartitions}")
+    val region = vcf(bgzPath).filter(col("chrom") === "chr13" &&
+      col("pos") >= mid && col("pos") <= mid + 50000L)
+    time("tabix_region_query")(region.count())
+    println(s"[probe] region partitions=${region.rdd.getNumPartitions}")
 
     spark.stop()
   }

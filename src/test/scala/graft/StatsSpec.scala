@@ -72,7 +72,7 @@ class StatsSpec extends SparkSpecBase {
   test("kmv sketch: exact under k, stable under dups and partitioning") {
     import graft.ext.Sketches
     val small = (1 to 40).map(i => ("g", i.toLong)).toDF("grp", "v")
-    val exact = Sketches.kmvDistinct(small, "grp", "v", k = 64).first()
+    val exact = Sketches.kmvDistinct(small, "grp", "v", k = 64, withExact = true).first()
     assert(exact.getDouble(1) == 40.0) // below k: estimate IS the count
     assert(exact.getLong(2) == 40L)
 
@@ -80,7 +80,7 @@ class StatsSpec extends SparkSpecBase {
       (1 to 5000).map(i => ("h", (i % 700).toLong + 1))
     val df = big.toDF("grp", "v")
     def run(d: org.apache.spark.sql.DataFrame) =
-      Sketches.kmvDistinct(d, "grp", "v", k = 64)
+      Sketches.kmvDistinct(d, "grp", "v", k = 64, withExact = true)
         .orderBy("grp").collect().toSeq.map(r =>
           (r.getString(0), r.getDouble(1), r.getLong(2)))
     val base = run(df)
