@@ -97,6 +97,22 @@ object RangeQueries {
         .orderBy("event_id")
     }),
 
+    // The forward direction of q26: each purchase aligned to the NEXT
+    // click at-or-after it (same one-shuffle union-tag plan, window
+    // order reversed).
+    "q68_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("tsn"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("tsn"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsofJoin.forward(purchases, clicks,
+          Seq("user_id"), "tsn", "tsn")
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    }),
+
     // J6 (point form) + J9: containment join classifying points into a
     // small interval dimension (the intron/exon membership test of
     // junction.py:229-263).
@@ -151,6 +167,14 @@ object RangeQueries {
         |       FROM events WHERE event_type='click' GROUP BY 1,2)
         |SELECT l.event_id, l.user_id, r.click_id
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsn >= r.tsn
+        |ORDER BY l.event_id""".stripMargin,
+    "q68_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events
+        |           WHERE event_type='purchase'),
+        | r AS (SELECT user_id, epoch_ns(ts) AS tsn, MAX(event_id) AS click_id
+        |       FROM events WHERE event_type='click' GROUP BY 1,2)
+        |SELECT l.event_id, l.user_id, r.click_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsn <= r.tsn
         |ORDER BY l.event_id""".stripMargin,
     "q25_membership" ->
       """WITH bins AS (SELECT i%5 AS chrom, i//5 AS bin_id,

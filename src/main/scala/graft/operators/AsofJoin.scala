@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed backward as-of join: for every left row, the most recent
-  * right row with `rightTs <= leftTs` within the same key group.
+/** Distributed as-of join, backward (for every left row, the most recent
+  * right row with `rightTs <= leftTs`) and forward (the earliest right
+  * row with `rightTs >= leftTs`), within the same key group.
   *
   * Not in the reference (SURVEY §2.3 notes its absence) — added as a
   * first-class time-series operator for event/feature alignment.
@@ -27,7 +28,19 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, forward = false)
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * `rightTs >= leftTs` in the same key group (the "next event"
+    * alignment). Same one-shuffle union-tag plan as [[backward]], with
+    * the window order reversed; a right row at exactly leftTs matches. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, forward: Boolean): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == rightTs)
     val clash = rightPayloadCols.toSet
@@ -50,8 +63,13 @@ object AsofJoin {
     val paddedRight = leftCols.foldLeft(taggedRight)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
+    // backward walks time ascending (latest right ≤ leftTs wins);
+    // forward walks it descending (earliest right ≥ leftTs wins). In
+    // both, right (__src=0) sorts before left at equal ts, so an
+    // exactly-simultaneous right row matches.
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__src").asc)
+      .orderBy(tsOrder, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedLeft.unionByName(paddedRight)

@@ -73,6 +73,30 @@ class AsofSpec extends SparkSpecBase {
     }
   }
 
+  test("forward asof == brute force on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = (0 until 400).map(i =>
+      (s"u${rnd.nextInt(8)}", rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("user", "ts", "lid")
+    val rRows = (0 until 400).map(i =>
+      (s"u${rnd.nextInt(8)}", rnd.nextInt(1000).toLong, i.toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val r = rRows.toDF("user", "ts", "rid")
+
+    val got = AsofJoin.forward(l, r, Seq("user"), "ts", "ts")
+      .select("user", "ts", "lid", "rid")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(x => x._3 -> x._4).toMap
+
+    val byUser = rRows.groupBy(_._1)
+    l.as[(String, Long, Long)].collect().foreach { case (u, ts, lid) =>
+      // earliest right at-or-after ts; equal-ts right matches
+      val want = byUser.getOrElse(u, Seq.empty)
+        .filter(_._2 >= ts).sortBy(x => (x._2, -x._3)).headOption.map(_._3)
+      assert(got(lid) == want, s"lid=$lid user=$u ts=$ts")
+    }
+  }
+
   test("asof plan has no join node — one shuffle + window") {
     val plan = AsofJoin.backward(left, right, Seq("user"), "ts", "ts")
       .queryExecution.executedPlan.toString
