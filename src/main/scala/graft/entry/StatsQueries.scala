@@ -82,6 +82,19 @@ object StatsQueries {
             "*100.0 + 0.5) AS BIGINT), 0.5)").as("median_price_cents"),
           count(lit(1)).as("n_sampled"))
         .orderBy("l_returnflag")
+    }),
+
+    // Bounded-state grouped top-k: the 5 highest-quantity parts per
+    // returnflag. A window row_number would sort every (flag, part)
+    // group row; the TopK aggregator's partials shuffle at most 5 pairs
+    // per flag per partition.
+    "q69_grouped_topk" -> ((s, dir) => {
+      val sums = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      graft.ext.Sketches.groupedTopK(sums, "l_returnflag", "l_partkey",
+          "qty", k = 5)
+        .orderBy("l_returnflag", "rank")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -162,5 +175,16 @@ object StatsQueries {
         |    CAST(l_orderkey AS VARCHAR),
         |    CAST(l_linenumber AS VARCHAR))),1,8)) AS BIGINT)
         |  < $SampleThreshold
-        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q69_grouped_topk" ->
+      """WITH s AS (SELECT l_returnflag, l_partkey,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_partkey, qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY qty DESC, l_partkey ASC) AS rank
+        |  FROM s)
+        |SELECT l_returnflag, rank, l_partkey, qty FROM r
+        |WHERE rank <= 5
+        |ORDER BY l_returnflag, rank""".stripMargin)
 }

@@ -5,10 +5,12 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Portable sketches: approximations that are exact functions of md5
-  * hashes, so ANY engine — including the DuckDB oracle — reproduces them
-  * bit-for-bit, while keeping sketch scaling properties (bounded state,
-  * map-side partial aggregation, one shuffle of ≤k values per group).
+/** Bounded-state aggregations: portable sketches (approximations that
+  * are exact functions of md5 hashes, so ANY engine — including the
+  * DuckDB oracle — reproduces them bit-for-bit) and exact bounded
+  * aggregators (grouped top-k), all sharing the sketch scaling
+  * properties: bounded state, map-side partial aggregation, one shuffle
+  * of ≤k values per group.
   *
   * Spark's built-in sketches (HLL++ `approx_count_distinct`, KLL
   * `percentile_approx`) are engine-specific in both binary format and
@@ -66,6 +68,47 @@ object Sketches {
     override def finish(r: Array[Long]): Array[Long] = r
     override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** Bounded grouped top-k: keeps the k largest `(score, id)` pairs,
+    * ordered score DESC then id ASC (the deterministic tie-break). The
+    * scale path for "top k per group": a window `row_number` shuffles
+    * and sorts EVERY row of every group, while this aggregator's
+    * map-side partials shuffle at most k pairs per group per partition —
+    * at 100 TB the difference is the whole job. */
+  class TopK(k: Int) extends Aggregator[(Long, Long), Seq[(Long, Long)],
+      Seq[(Long, Long)]] {
+    require(k >= 1, "top-k needs k >= 1")
+
+    // better (a beats b) = higher score, then lower id
+    private def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: Seq[(Long, Long)] = Seq.empty
+
+    override def reduce(buf: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] =
+      if (buf.length == k && !beats(v, buf.last)) buf
+      else ((buf :+ v).sortBy { case (s, id) => (-s, id) }).take(k)
+
+    override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      (a ++ b).sortBy { case (s, id) => (-s, id) }.take(k)
+
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+  }
+
+  /** Top `k` ids per group by a long score (ties broken by smaller id):
+    * output `(groupCol, rank, id, score)`, one row per kept pair. */
+  def groupedTopK(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val topK = udaf(new TopK(k), Encoders.product[(Long, Long)])
+    df.groupBy(groupCol)
+      .agg(topK(col(scoreCol).cast("long"),
+        col(idCol).cast("long")).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol), (col("pos") + 1).as("rank"),
+        col("col._2").as(idCol), col("col._1").as(scoreCol))
   }
 
   /** The estimator over a bottom-k array (scala side — shared with the

@@ -94,4 +94,26 @@ class StatsSpec extends SparkSpecBase {
     assert(math.abs(estG - 5000.0) / 5000.0 < 0.5, s"estG=$estG")
     assert(math.abs(estH - 700.0) / 700.0 < 0.5, s"estH=$estH")
   }
+
+  test("grouped top-k == window row_number, any partitioning") {
+    import graft.ext.Sketches
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 3000).map { i =>
+      (s"g${i % 4}", i.toLong, rnd.nextInt(50).toLong) // many score ties
+    }.toDF("grp", "id", "score")
+    def expected = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("grp")
+        .orderBy(col("score").desc, col("id").asc)
+      df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 7)
+        .select("grp", "rank", "id", "score")
+        .orderBy("grp", "rank").collect().toSeq
+    }
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Sketches.groupedTopK(d, "grp", "id", "score", k = 7)
+        .orderBy("grp", "rank").collect().toSeq
+    assert(got(df) == expected)
+    assert(got(df.repartition(13)) == expected) // merge-order independent
+  }
 }
