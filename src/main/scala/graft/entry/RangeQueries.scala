@@ -15,6 +15,27 @@ import graft.ranges.{Intervals, RangeJoin}
   */
 object RangeQueries {
 
+  /** q26/q68 shared construction: purchases as-of-aligned to clicks.
+    * Clicks pre-aggregate to one row per (user_id, ts) — AsofJoin's
+    * uniqueness precondition — in BOTH directions. */
+  private def asofAlign(s: SparkSession, dir: String,
+      forward: Boolean): DataFrame = {
+    val ev = t(s, dir, "events") // ts read as long nanos (nanosAsLong)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("tsn"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("tsn"))
+      .agg(max(col("event_id")).as("click_id"))
+    val aligned =
+      if (forward)
+        graft.operators.AsofJoin.forward(purchases, clicks,
+          Seq("user_id"), "tsn", "tsn")
+      else
+        graft.operators.AsofJoin.backward(purchases, clicks,
+          Seq("user_id"), "tsn", "tsn")
+    aligned.select("event_id", "user_id", "click_id").orderBy("event_id")
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
@@ -84,34 +105,12 @@ object RangeQueries {
     // As-of join (absent from the reference, SURVEY §2.3; added as a
     // first-class time-series operator): for each purchase, the latest
     // click at-or-before it per user. One shuffle + sort, no join node.
-    "q26_asof" -> ((s, dir) => {
-      val ev = t(s, dir, "events") // ts read as long nanos (nanosAsLong)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts").as("tsn"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts").as("tsn"))
-        .agg(max(col("event_id")).as("click_id"))
-      graft.operators.AsofJoin.backward(purchases, clicks,
-          Seq("user_id"), "tsn", "tsn")
-        .select("event_id", "user_id", "click_id")
-        .orderBy("event_id")
-    }),
+    "q26_asof" -> ((s, dir) => asofAlign(s, dir, forward = false)),
 
     // The forward direction of q26: each purchase aligned to the NEXT
     // click at-or-after it (same one-shuffle union-tag plan, window
     // order reversed).
-    "q68_asof_forward" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts").as("tsn"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts").as("tsn"))
-        .agg(max(col("event_id")).as("click_id"))
-      graft.operators.AsofJoin.forward(purchases, clicks,
-          Seq("user_id"), "tsn", "tsn")
-        .select("event_id", "user_id", "click_id")
-        .orderBy("event_id")
-    }),
+    "q68_asof_forward" -> ((s, dir) => asofAlign(s, dir, forward = true)),
 
     // J6 (point form) + J9: containment join classifying points into a
     // small interval dimension (the intron/exon membership test of

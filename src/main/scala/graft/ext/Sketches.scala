@@ -86,12 +86,14 @@ object Sketches {
 
     override def zero: Seq[(Long, Long)] = Seq.empty
 
+    // sortWith(beats), never sortBy(-score): negating Long.MinValue
+    // overflows to itself and would rank the worst score first
     override def reduce(buf: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] =
       if (buf.length == k && !beats(v, buf.last)) buf
-      else ((buf :+ v).sortBy { case (s, id) => (-s, id) }).take(k)
+      else ((buf :+ v).sortWith(beats)).take(k)
 
     override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-      (a ++ b).sortBy { case (s, id) => (-s, id) }.take(k)
+      (a ++ b).sortWith(beats).take(k)
 
     override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
     override def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
@@ -99,11 +101,14 @@ object Sketches {
   }
 
   /** Top `k` ids per group by a long score (ties broken by smaller id):
-    * output `(groupCol, rank, id, score)`, one row per kept pair. */
+    * output `(groupCol, rank, id, score)`, one row per kept pair. Rows
+    * with a NULL id or score are ignored (they can't be ranked, and a
+    * NULL would break the non-nullable tuple encoder). */
   def groupedTopK(df: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val topK = udaf(new TopK(k), Encoders.product[(Long, Long)])
-    df.groupBy(groupCol)
+    df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(groupCol)
       .agg(topK(col(scoreCol).cast("long"),
         col(idCol).cast("long")).as("__top"))
       .select(col(groupCol), posexplode(col("__top")))

@@ -97,12 +97,15 @@ object AsofJoin {
     val r2 = right.withColumn(rightTsOut, col(rightTs))
     val joined = backward(left, r2, keys, leftTs, rightTs)
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val needsCast = left.schema(leftTs).dataType match {
-      case TimestampType | TimestampNTZType => true
-      case _ => false
-    }
     def ts(c: org.apache.spark.sql.Column) =
-      if (needsCast) c.cast("long") else c
+      left.schema(leftTs).dataType match {
+        case TimestampType => c.cast("long")
+        // NTZ→long is not a valid cast; route through TimestampType
+        // (session-tz interpretation — consistent on both sides of the
+        // difference, so the gap is unaffected)
+        case TimestampNTZType => c.cast("timestamp").cast("long")
+        case _ => c
+      }
     val within = col(rightTsOut).isNotNull &&
       (ts(col(leftTs)) - ts(col(rightTsOut))) <= maxGap
     val outCols = r2.columns.filterNot(c => keys.contains(c) || c == rightTs)
