@@ -95,6 +95,17 @@ object StatsQueries {
       graft.ext.Sketches.groupedTopK(sums, "l_returnflag", "l_partkey",
           "qty", k = 5)
         .orderBy("l_returnflag", "rank")
+    }),
+
+    // Two-pass exact heavy hitters: Misra-Gries bounded-state candidates
+    // (256 counters, map-side partials), then exact counts of only those
+    // candidates. Exact output from sketch-sized state — one full-scan
+    // pass more than a sketch, one full GROUP BY less than the naive
+    // plan.
+    "q70_heavy_hitters" -> ((s, dir) => {
+      graft.ext.Sketches.heavyHitters(t(s, dir, "lineitem"),
+          "l_quantity", phi = 0.015, k = 256)
+        .orderBy("l_quantity")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -186,5 +197,12 @@ object StatsQueries {
         |  FROM s)
         |SELECT l_returnflag, rank, l_partkey, qty FROM r
         |WHERE rank <= 5
-        |ORDER BY l_returnflag, rank""".stripMargin)
+        |ORDER BY l_returnflag, rank""".stripMargin,
+    "q70_heavy_hitters" ->
+      """SELECT CAST(l_quantity AS BIGINT) AS l_quantity, COUNT(*) AS cnt
+        |FROM lineitem WHERE l_quantity IS NOT NULL
+        |GROUP BY 1
+        |HAVING COUNT(*) >= CEIL(0.015 *
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NOT NULL))
+        |ORDER BY l_quantity""".stripMargin)
 }

@@ -116,6 +116,68 @@ object Sketches {
         col("col._2").as(idCol), col("col._1").as(scoreCol))
   }
 
+  /** Misra-Gries frequent-items candidates: at most `k` counters of
+    * state, guaranteed to RETAIN every item with frequency > n/k (the
+    * classic bound survives arbitrary partial merges). Counts are
+    * order-dependent and therefore never exposed — only the candidate
+    * key set is, for an exact second pass. */
+  class MisraGries(k: Int) extends Aggregator[Long, Map[Long, Long], Seq[Long]] {
+    require(k >= 1, "misra-gries needs k >= 1")
+
+    override def zero: Map[Long, Long] = Map.empty
+
+    override def reduce(buf: Map[Long, Long], v: Long): Map[Long, Long] =
+      if (buf.contains(v) || buf.size < k) buf.updated(v, buf.getOrElse(v, 0L) + 1)
+      else buf.collect { case (x, c) if c > 1 => (x, c - 1) } // decrement-all
+
+    override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+      val sum = b.foldLeft(a) { case (m, (x, c)) =>
+        m.updated(x, m.getOrElse(x, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from everyone; ≤k survive
+        val d = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.collect { case (x, c) if c > d => (x, c - d) }
+      }
+    }
+
+    override def finish(r: Map[Long, Long]): Seq[Long] = r.keys.toSeq.sorted
+    override def bufferEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** EXACT heavy hitters with bounded state: items of `valueCol`
+    * occurring in at least `phi` fraction of rows, with their exact
+    * counts. Pass 1 runs Misra-Gries with `k > 1/phi` counters (bounded
+    * state, map-side partials — the superset guarantee makes the
+    * order-dependence of MG counts irrelevant); pass 2 exact-counts ONLY
+    * the ≤k candidates via a broadcast semi-filter and applies the
+    * threshold. Output `(valueCol, cnt)`, exact and deterministic —
+    * unlike one-pass approximate counts, this is oracle-checkable. */
+  def heavyHitters(df: DataFrame, valueCol: String, phi: Double,
+      k: Int = 256): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, "phi must be in (0, 1]")
+    require(k > (1.0 / phi).toInt, s"need k > 1/phi counters for the " +
+      s"retention guarantee (k=$k, 1/phi=${1.0 / phi})")
+    val mg = udaf(new MisraGries(k), Encoders.scalaLong)
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as(valueCol))
+    // pass 1: one job for candidates AND n (no separate count action)
+    val first = vals.agg(mg(col(valueCol)).as("cand"),
+      count(lit(1)).as("n")).head()
+    val candidates = first.getSeq[Long](0)
+    val threshold = math.ceil(phi * first.getLong(1)).toLong
+    // pass 2: exact counts of the ≤k candidates only (literal IN-list —
+    // no join, no shuffle beyond the tiny candidate aggregation). MG's
+    // order-dependent EXTRA candidates are harmless: their exact counts
+    // fall under the threshold, so the final rows are deterministic.
+    vals.filter(col(valueCol).isin(candidates: _*))
+      .groupBy(valueCol)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   /** The estimator over a bottom-k array (scala side — shared with the
     * streaming sketch): exact size under k, else `(k-1)·2^32 / U(k)`. */
   def estimate(mins: Array[Long], k: Int): Double =

@@ -95,6 +95,23 @@ class StatsSpec extends SparkSpecBase {
     assert(math.abs(estH - 700.0) / 700.0 < 0.5, s"estH=$estH")
   }
 
+  test("heavy hitters: exact counts, skew found, any partitioning") {
+    import graft.ext.Sketches
+    // 3 heavy values on a long uniform tail
+    val rows = Seq.fill(2000)(7L) ++ Seq.fill(1500)(13L) ++
+      Seq.fill(900)(99L) ++ (1 to 5600).map(i => (i % 1400).toLong + 1000)
+    val df = rows.toDF("v")
+    val n = rows.length // 10000
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.heavyHitters(d, "v", phi = 0.05, k = 64)
+        .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exact: 7 and 13 are >= 5%; 99 (9%... 900/10000) also
+    val expected = Seq((7L, 2000L), (13L, 1500L), (99L, 900L))
+    assert(run(df) == expected)
+    assert(run(df.repartition(17)) == expected) // merge-order independent
+    // tail items (each 4 occurrences) never appear
+  }
+
   test("grouped top-k == window row_number, any partitioning") {
     import graft.ext.Sketches
     val rnd = new scala.util.Random(11)
