@@ -158,6 +158,38 @@ object EventStreams {
       }
   }
 
+  final case class TopEvent(key: Long, rank: Int, event_id: Long,
+      score_cents: Long)
+
+  /** Running per-key top-k: each micro-batch emits the key's current k
+    * highest-value events (value in exact cents; ties broken by smaller
+    * event id). State is the [[graft.ext.Sketches.TopK]] buffer — k
+    * (score, id) pairs per key forever, where a naive streaming rank
+    * would have to retain every event seen. The running result always
+    * equals the batch `Sketches.groupedTopK` over the stream's prefix. */
+  def streamingTopK(events: Dataset[Event], k: Int = 5)
+      : Dataset[TopEvent] = {
+    import events.sparkSession.implicits._
+    val agg = new graft.ext.Sketches.TopK(k)
+    events
+      .map(e => (e.user_id, math.floor(e.value * 100.0 + 0.5).toLong,
+        e.event_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long)], TopEvent](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[(Long, Long, Long)],
+            state: GroupState[Seq[(Long, Long)]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty)
+          batch.foreach { case (_, score, id) =>
+            buf = agg.reduce(buf, (score, id))
+          }
+          state.update(buf)
+          buf.iterator.zipWithIndex.map { case ((s, id), i) =>
+            TopEvent(key, i + 1, id, s)
+          }
+      }
+  }
+
   /** Run a streaming query over a batch of files synchronously into an
     * in-memory sink (local smoke path): returns the materialized result
     * table. */

@@ -159,6 +159,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming top-k == batch groupedTopK on the stream's events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.streamingTopK(mem.toDS(), k = 3).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("topk_stream").start()
+    def ev(id: Long, user: Long, value: Double) = EventStreams.Event(
+      id, new java.sql.Timestamp(id * 1000), user, "click", value)
+    try {
+      mem.addData((1L to 20L).map(i => ev(i, i % 2, i * 1.5)): _*)
+      q.processAllAvailable()
+      mem.addData(ev(21L, 0L, 99.0), ev(22L, 1L, 0.01))
+      q.processAllAvailable()
+      // per key, the LAST emitted batch is the running top-k: compare to
+      // the batch aggregator over all events
+      val batchDf = ((1L to 20L).map(i => (i % 2, i,
+        math.floor(i * 1.5 * 100.0 + 0.5).toLong)) ++
+        Seq((0L, 21L, 9900L), (1L, 22L, 1L)))
+        .toDF("key", "event_id", "score_cents")
+      val expected = graft.ext.Sketches.groupedTopK(batchDf, "key",
+          "event_id", "score_cents", k = 3)
+        .orderBy("key", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+          r.getLong(3))).toSeq
+      // memory sink accumulates every update; keep the final state: for
+      // each (key, rank) the LAST row written
+      val rows = spark.table("topk_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val last = rows.zipWithIndex
+        .groupBy { case ((key, rank, _, _), _) => (key, rank) }
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }
+        .toSeq.sortBy(v => (v._1, v._2))
+        .map(v => (v._1, v._2.toLong, v._3, v._4))
+      assert(last == expected, s"last=$last expected=$expected")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join == batch join; stream side stateless") {
     val dim = Seq(("click", 2.0), ("view", 0.5))
       .toDF("event_type", "weight")
