@@ -103,7 +103,7 @@ object CurationQueries {
         |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 3),
         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10)
         |SELECT d.doc_id, COUNT(*) AS n_shingles,
-        | SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+        | CAST(SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
         | CAST(SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |   / CAST(COUNT(*) AS DOUBLE) AS contamination
         |FROM sh d LEFT JOIN ev ON d.s = ev.s

@@ -189,7 +189,7 @@ object StatsQueries {
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q69_grouped_topk" ->
       """WITH s AS (SELECT l_returnflag, l_partkey,
-        |    SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |  FROM lineitem GROUP BY 1, 2),
         |r AS (SELECT l_returnflag, l_partkey, qty,
         |    row_number() OVER (PARTITION BY l_returnflag

@@ -46,18 +46,33 @@ object Similarity {
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest
-    * centroid (broadcast; argmin L2 with centroid-id tiebreak). The cell
-    * id is the ANN partition key — at corpus scale this is the standard
+    * centroid (argmin L2 with centroid-id tiebreak). The cell id is the
+    * ANN partition key — at corpus scale this is the standard
     * inverted-file layout: cluster once, write partitioned by cell, and
-    * every query probes one (or nProbe) cells instead of the corpus. */
+    * every query probes one (or nProbe) cells instead of the corpus.
+    *
+    * Map-only by construction: the centroid set (bounded — IVF uses
+    * ~√corpus cells, a driver-sized table by definition) is collected
+    * once, ordered by cid, and shipped as a single literal matrix into a
+    * codegen'd argmin kernel ([[graft.functions.expressions.NearestCentroid]]).
+    * The corpus is never joined, windowed, or shuffled — the round-2
+    * formulation (crossJoin + Window argmin) shuffled corpus×|centroids|
+    * rows and sorted per vector, which at 100 TB is the whole job.
+    *
+    * `centroids` must have numeric (cid, cvec) columns; cids are emitted
+    * as LONG.
+    */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__d", l2sq(col(vecCol), col("cvec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__d").asc, col("cid").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__d", "__rn", "cvec")
+    val rows = centroids
+      .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
+      .orderBy(col("cid").asc)
+      .collect()
+    val cids: Seq[Long] = rows.map(_.getLong(0)).toSeq
+    val matrix: Seq[Seq[Double]] = rows.map(_.getSeq[Double](1)).toSeq
+    corpus.withColumn("cid",
+      element_at(typedLit(cids),
+        nearestCentroid(col(vecCol), matrix) + lit(1)))
   }
 
   /** Single-probe IVF top-k: queries search only their own cell.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct, WordShingles}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, NearestCentroid, WordShingles}
 
 /** The engine's SQL function surface, one list consumed two ways:
   *
@@ -67,6 +67,10 @@ object GraftFunctions {
     entry("graft_dot",
       "graft_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) - dot product",
       arity("graft_dot", 2)(e => DotProduct(e(0), e(1)))),
+    entry("graft_nearest_centroid",
+      "graft_nearest_centroid(v ARRAY<DOUBLE>, m ARRAY<ARRAY<DOUBLE>>) -" +
+        " 0-based index of the L2-nearest centroid row (first-wins ties)",
+      arity("graft_nearest_centroid", 2)(e => NearestCentroid(e(0), e(1)))),
     entry("graft_shingles",
       "graft_shingles(text STRING, n INT) - distinct word n-gram shingles",
       arity("graft_shingles", 2)(e =>

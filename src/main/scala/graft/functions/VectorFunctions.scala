@@ -32,6 +32,15 @@ object VectorFunctions {
       org.apache.spark.sql.SparkSession.active,
       a.cast("array<double>"), b.cast("array<double>"))
 
+  /** Codegen'd argmin centroid index (0-based, first-wins ties) of `vec`
+    * against a literal centroid matrix ordered by the caller. Map-only:
+    * the matrix ships once as a literal reference, the corpus never
+    * shuffles. */
+  def nearestCentroid(vec: Column, matrix: Seq[Seq[Double]]): Column =
+    graft.functions.expressions.VectorExpressions.nearestCentroid(
+      org.apache.spark.sql.SparkSession.active,
+      vec.cast("array<double>"), typedLit(matrix))
+
   /** Codegen'd dot product over array<double>. */
   def dotFast(a: Column, b: Column): Column =
     graft.functions.expressions.VectorExpressions.dot(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the dense-vector hot loops (SURVEY §4.4
   * preference order: custom `Expression` with codegen before anything
@@ -90,6 +90,74 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Argmin centroid index: `left` is an array<double> vector, `right` a
+  * (foldable, broadcast-as-literal) array<array<double>> centroid matrix.
+  * Returns the 0-based index of the centroid with the smallest squared L2
+  * distance; ties keep the first (lowest) index, so callers that order the
+  * matrix by centroid id ascending get the canonical (distance, cid)
+  * tiebreak. Null vector or empty matrix → null.
+  *
+  * This is the map-only IVF coarse-quantization kernel: one tight
+  * |centroids|×dims loop per row inside whole-stage codegen, no join, no
+  * window, no shuffle — the corpus never moves (reference: clinpy has no
+  * ANN; this serves the training-pipeline brief).
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = b.asInstanceOf[ArrayData]
+    val k = m.numElements()
+    if (k == 0) return null
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < k) {
+      val c = m.getArray(j)
+      val n = math.min(v.numElements(), c.numElements())
+      var d = 0.0; var i = 0
+      while (i < n) {
+        val t = v.getDouble(i) - c.getDouble(i)
+        d += t * t; i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int k = $b.numElements();
+         |if (k == 0) { ${ev.isNull} = true; }
+         |else {
+         |  int best = -1;
+         |  double bestD = Double.POSITIVE_INFINITY;
+         |  for (int j = 0; j < k; j++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData c = $b.getArray(j);
+         |    int n = java.lang.Math.min($a.numElements(), c.numElements());
+         |    double d = 0.0;
+         |    for (int i = 0; i < n; i++) {
+         |      double t = $a.getDouble(i) - c.getDouble(i);
+         |      d += t * t;
+         |    }
+         |    if (d < bestD) { bestD = d; best = j; }
+         |  }
+         |  ${ev.value} = best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object VectorExpressions {
 
   /** Register as SQL temp functions (Spark 4 removed public
@@ -107,5 +175,11 @@ object VectorExpressions {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_dot", a, b)
+  }
+
+  def nearestCentroid(spark: SparkSession, vec: Column,
+      matrix: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_nearest_centroid", vec, matrix)
   }
 }

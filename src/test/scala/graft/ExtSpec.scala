@@ -91,6 +91,32 @@ class ExtSpec extends SparkSpecBase {
     assert(rm > 0.2, s"multi-probe recall too low: $rm")
   }
 
+  test("ivf assign: matches naive window-argmin, plan is map-only") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.l2sq
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 5 + d * 3).toFloat)) }
+      .toDF("vec_id", "embedding")
+    val cents = vecs.filter($"vec_id" < 6)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val fast = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+    // naive reference: cross join + per-vector argmin window
+    val naive = vecs.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+      .withColumn("__d", l2sq($"embedding", $"cvec"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"__d".asc, $"cid".asc)))
+      .filter($"__rn" === 1)
+      .select($"vec_id", $"cid".cast("long").as("cid"))
+    val got = fast.select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val want = naive.as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // the whole point: no join, no window, no shuffle — corpus never moves
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in IVF assign plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"exchange in IVF assign plan:\n$plan")
+    assert(!plan.contains("Join"), s"join in IVF assign plan:\n$plan")
+  }
+
   test("lsh topk: bucketed candidates are a subset of brute force ranking") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d * 7).toFloat)) }
