@@ -244,14 +244,33 @@ object RelationalQueries {
     }),
 
     // Sketch aggregates (SURVEY §7: scale-out replacement for exact A2
-    // where exactness isn't required). No DuckDB oracle — sketch values
-    // are engine-specific; the driver records the rows-only check.
+    // where exactness isn't required), PORTABLE edition: engine-specific
+    // HLL++/KLL estimates can't be adjudicated by any oracle, so this
+    // runs the same sketch economics (bounded state, map-side partials,
+    // ONE shuffle — distinct sketch, row count and sampled quantile all
+    // share a single groupBy) with estimates that are pure md5-hash
+    // functions DuckDB replays bit-for-bit. KMV distinct of user_id
+    // (k=64, ~13% σ) + exact median of a deterministic 2% hash sample
+    // of value on the micro grid.
     "q27_sketches" -> ((s, dir) => {
+      import graft.ext.Sketches
+      val k = 64
+      val bottomK = udaf(new Sketches.BottomK(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val sampled = when(
+        Sketches.hashU32(col("event_id")) < lit((0.02 * 4294967296.0).toLong),
+        expr("CAST(FLOOR(CAST(value AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)"))
       t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(
+          bottomK(coalesce(Sketches.hashU32(col("user_id")), lit(-1L)))
+            .as("__mins"),
           count(lit(1)).as("n"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"))
+          percentile(sampled, lit(0.5)).as("p50_value_micros"),
+          count(sampled).as("n_sampled"))
+        .select(col("event_type"),
+          Sketches.kmvEstimate(col("__mins"), k).as("kmv_users"),
+          col("n"), col("p50_value_micros"), col("n_sampled"))
         .orderBy("event_type")
     }),
 
@@ -452,6 +471,36 @@ object RelationalQueries {
         |WHERE o_orderstatus='F' AND o_orderpriority IN ('1-URGENT','2-HIGH')
         |  AND o_totalprice >= 50000.0
         |ORDER BY o_orderkey""".stripMargin,
+    // Portable-sketch replay: KMV (rank-64 of distinct md5-u32 hashes)
+    // + exact quantile of the same deterministic 2% hash sample. The
+    // constants mirror the Spark side: 63*2^32 = 270582939648,
+    // floor(0.02*2^32) = 85899345.
+    "q27_sketches" ->
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT grp, hv,
+        |    row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS cnt
+        |  FROM h),
+        |k AS (SELECT grp,
+        |    CASE WHEN MAX(cnt) < 64 THEN CAST(MAX(cnt) AS DOUBLE)
+        |         ELSE 270582939648.0
+        |              / CAST(MAX(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+        |    END AS kmv_users
+        |  FROM r GROUP BY grp),
+        |b AS (SELECT event_type, COUNT(*) AS n,
+        |    quantile_cont(CAST(FLOOR(CAST(value AS DOUBLE)*1000000.0 + 0.5) AS BIGINT), 0.5)
+        |      FILTER (WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) < 85899345)
+        |      AS p50_value_micros,
+        |    COUNT(CAST(FLOOR(CAST(value AS DOUBLE)*1000000.0 + 0.5) AS BIGINT))
+        |      FILTER (WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) < 85899345)
+        |      AS n_sampled
+        |  FROM events GROUP BY 1)
+        |SELECT b.event_type, COALESCE(k.kmv_users, 0.0) AS kmv_users,
+        |  b.n, b.p50_value_micros, b.n_sampled
+        |FROM b LEFT JOIN k ON b.event_type = k.grp
+        |ORDER BY event_type""".stripMargin,
     "q28_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Spark's built-in sketches (HLL++ `approx_count_distinct`, KLL
   * `percentile_approx`) are engine-specific in both binary format and
-  * estimate, which is why q27 is a rows-only check; the KMV sketch here
-  * trades their tighter constants for cross-engine reproducibility —
-  * the property the whole verification pipeline is built on.
+  * estimate — no other engine can adjudicate them. The sketches here
+  * trade their tighter constants for cross-engine reproducibility (the
+  * property the whole verification pipeline is built on): every
+  * estimate is an exact function of md5 hashes, so the DuckDB oracle
+  * replays it bit-for-bit (q27, q66, q67).
   */
 object Sketches {
 
@@ -28,13 +30,18 @@ object Sketches {
   /** Bottom-k aggregator: keeps the k smallest DISTINCT longs in a
     * sorted array. Bounded state, associative, commutative and
     * duplicate-insensitive — the partial state of a KMV sketch, safe
-    * under any partitioning and merge order. */
+    * under any partitioning and merge order. Negative inputs are
+    * ignored: u32 hashes are always non-negative, so callers can encode
+    * SQL NULL as -1 (`coalesce(hash, -1)`) instead of pre-filtering —
+    * which matters when the sketch shares a groupBy with aggregates
+    * that must still see every row. */
   class BottomK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
     require(k >= 2, "bottom-k needs k >= 2")
 
     override def zero: Array[Long] = Array.emptyLongArray
 
     override def reduce(buf: Array[Long], v: Long): Array[Long] = {
+      if (v < 0) return buf // NULL sentinel
       val idx = java.util.Arrays.binarySearch(buf, v)
       if (idx >= 0) buf // already present
       else {
@@ -184,6 +191,13 @@ object Sketches {
     if (mins.length < k) mins.length.toDouble
     else (k - 1).toDouble * 4294967296.0 / mins(k - 1).toDouble
 
+  /** The same estimator as a Column over a [[BottomK]] result, for
+    * queries that embed the sketch in a wider aggregation (q27). */
+  def kmvEstimate(mins: Column, k: Int): Column =
+    when(size(mins) < k, size(mins).cast("double"))
+      .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+        element_at(mins, k).cast("double"))
+
   /** KMV distinct-count estimate per group: with U(k) the k-th smallest
     * of the distinct u32 hashes, estimate `(k-1) · 2^32 / U(k)`; exact
     * when a group has fewer than k distinct hashes. Standard error is
@@ -206,10 +220,7 @@ object Sketches {
       (if (withExact) Seq(col("exact_distinct")) else Nil)
     hashed.groupBy(groupCol)
       .agg(bottomK(col("__hv")).as("__mins"), aggs: _*)
-      .withColumn("kmv_distinct",
-        when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
-          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
-            element_at(col("__mins"), k).cast("double")))
+      .withColumn("kmv_distinct", kmvEstimate(col("__mins"), k))
       .select(out: _*)
   }
 }
