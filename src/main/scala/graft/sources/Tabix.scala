@@ -66,6 +66,44 @@ object Tabix {
 
   // ---- reading ----
 
+  /** Driver-side LRU of parsed indexes, keyed by (path, mtime, length).
+    * Parsing a .tbi costs a full read + BGZF inflate of the index file;
+    * a cohort query touches every file's index at PLANNING time, and a
+    * session typically re-plans the same files across many region
+    * queries — so the parse must amortize. Keying on (mtime, length)
+    * makes a rewritten file a natural miss, upgrading the "stale index
+    * is the caller's problem" contract to automatic within one driver.
+    * Access-ordered with a 256-entry cap: a parsed index is a few KB–MB
+    * (driver-sized by construction), so the cap bounds worst-case
+    * memory at cohort scale without evicting under normal use. */
+  private val MaxCached = 256
+  private val cache =
+    new java.util.LinkedHashMap[(String, Long, Long), TabixIndex](
+        32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), TabixIndex]): Boolean =
+        size() > MaxCached
+    }
+  private val loads = new java.util.concurrent.atomic.AtomicLong
+  /** Number of cold .tbi parses since JVM start (cache-hit observability;
+    * specs assert one load per distinct file version). */
+  def indexLoads: Long = loads.get
+
+  /** [[read]] through the driver-side cache. */
+  def readCached(path: Path, conf: Configuration): TabixIndex = {
+    val st = path.getFileSystem(conf).getFileStatus(path)
+    val key = (path.toString, st.getModificationTime, st.getLen)
+    val hit = cache.synchronized(Option(cache.get(key)))
+    hit.getOrElse {
+      // parse outside the lock: planning threads for other files
+      // shouldn't serialize behind one index inflate
+      val idx = read(path, conf)
+      loads.incrementAndGet()
+      cache.synchronized(cache.put(key, idx))
+      idx
+    }
+  }
+
   /** Parse `path` (BGZF-compressed binary index). */
   def read(path: Path, conf: Configuration): TabixIndex = {
     val fs = path.getFileSystem(conf)

@@ -189,7 +189,7 @@ private class VcfScan(paths: Seq[String], required: StructType,
         else try {
           if (end0 <= beg0 || chroms.isEmpty) Nil // provably empty filters
           else {
-            val idx = Tabix.read(tbi, hconf)
+            val idx = Tabix.readCached(tbi, hconf)
             val rs = chroms.toSeq.flatMap(idx.regionRanges(_, beg0, end0))
               .map { case (s, e) => (s, math.min(e, len)) }
               .filter { case (s, e) => s < e }

@@ -271,6 +271,39 @@ class VcfSourceSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.vcf.splitbytes")
   }
 
+  test("tabix index cache: one parse per file version across queries") {
+    import graft.sources.Tabix
+    spark.conf.set("spark.graft.vcf.splitbytes", "600")
+    try {
+      val df = spark.read.format("vcf").load(sortedBgzf)
+      def regionCount(c: String) =
+        df.filter(col("chrom") === c && col("pos") <= 700L).count()
+      assert(regionCount("chr2") == 100) // warm the cache
+      val before = Tabix.indexLoads
+      assert(regionCount("chr3") == 100)
+      assert(regionCount("chr4") == 100)
+      assert(Tabix.indexLoads == before,
+        "repeated region queries must reuse the parsed index")
+      // rewriting the file (new mtime/length) must miss and reparse
+      val p = new org.apache.hadoop.fs.Path(sortedBgzf + ".tbi")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val bytes = {
+        val in = fs.open(p)
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf); buf
+        } finally in.close()
+      }
+      Thread.sleep(1100) // local-FS mtime granularity can be 1s
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+      assert(regionCount("chr5") == 100)
+      assert(Tabix.indexLoads == before + 1,
+        "a rewritten index file must be reparsed exactly once")
+    } finally spark.conf.unset("spark.graft.vcf.splitbytes")
+  }
+
   test("filters and projection compose on the source") {
     val df = spark.read.format("vcf")
       .load(fixture("s1.vcf"), fixture("s2.vcf"))
