@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * parquet-native representation that scales: bytes stay columnar,
   * metadata prunes, and decode happens inside executor partitions.
   *
-  * The decode step itself is STUBBED with a deterministic fake (the
-  * container ships no image/audio codecs — see the builder brief); the
-  * Spark-side contract is real: schema, batch iteration shape
-  * (`mapPartitions`, the Scala analogue of `mapInPandas` batches),
-  * partition sizing, and the metadata/feature schema are what a codec
-  * would plug into.
+  * Decode is two-tier: payloads the in-JDK `javax.imageio` codecs
+  * recognize (PNG/JPEG/GIF/BMP) decode for REAL — true pixel
+  * dimensions plus an 8-bin luminance histogram feature; everything
+  * else (audio/video/opaque bytes — the container ships no codecs for
+  * those) falls back to a deterministic fake so the pipeline shape
+  * stays testable end-to-end. The Spark-side contract is real
+  * throughout: schema, batch iteration shape (`mapPartitions`, the
+  * Scala analogue of `mapInPandas` batches), partition sizing, and the
+  * metadata/feature schema are exactly what further codecs plug into.
   */
 object Multimodal {
 
@@ -30,20 +33,67 @@ object Multimodal {
       .withColumn("n_bytes", length(col("payload")))
       .withColumn("checksum", md5(col("payload")))
 
-  /** STUB decode: a real deployment swaps `decodeOne` for a codec call
-    * (JNI/libjpeg, ffmpeg, ...). The fake is deterministic from the
-    * payload bytes so tests are stable. */
+  /** Decode one payload: real `javax.imageio` decode when an installed
+    * reader recognizes the bytes, deterministic fake otherwise (audio/
+    * video codecs aren't in the JDK — a deployment adds them here). */
   private[ext] def decodeOne(r: MediaRow): MediaFeatures = {
     val bytes = r.payload
     val n = bytes.length
-    // ??? <- real codec goes here; deterministic fake below
-    val w = 1 + (math.abs(bytes.headOption.getOrElse(0: Byte).toInt) % 64)
-    val h = 1 + (n % 64)
-    val feat = Array.tabulate(8)(i =>
-      (if (n == 0) 0f else bytes(i % n).toFloat / 128f))
+    val (w, h, feat) = decodeImage(bytes).getOrElse {
+      // deterministic fake, stable across re-runs for testability
+      val fw = 1 + (math.abs(bytes.headOption.getOrElse(0: Byte).toInt) % 64)
+      val fh = 1 + (n % 64)
+      (fw, fh, Array.tabulate(8)(i =>
+        (if (n == 0) 0f else bytes(i % n).toFloat / 128f)))
+    }
     MediaFeatures(r.id, r.modality, n,
       java.security.MessageDigest.getInstance("MD5").digest(bytes)
         .map("%02x".format(_)).mkString, w, h, feat)
+  }
+
+  /** In-JDK image decode (PNG/JPEG/GIF/BMP/WBMP): true dimensions plus
+    * an 8-bin normalized luminance histogram sampled on a ≤64×64 grid —
+    * bounded work per image regardless of resolution. Returns None when
+    * no installed reader claims the bytes (magic-sniff via
+    * `getImageReaders`, cheap for non-image payloads) or the decode
+    * fails, so corrupt files degrade to the fake instead of failing the
+    * partition. */
+  private[ext] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes.length < 8) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        val stepX = math.max(1, w / 64)
+        val stepY = math.max(1, h / 64)
+        val hist = new Array[Float](8)
+        var total = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            hist(math.min(7, lum >> 5)) += 1f
+            total += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        if (total > 0) { var i = 0; while (i < 8) { hist(i) /= total; i += 1 } }
+        Some((w, h, hist))
+      } finally reader.dispose()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally iis.close()
   }
 
   /** Partition-batched decode/feature-extract — executors iterate rows in

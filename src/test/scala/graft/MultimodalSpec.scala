@@ -34,6 +34,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f(3L).n_bytes == 0) // empty payload handled
   }
 
+  test("decodeFeatures: real PNG/JPEG decode via javax.imageio") {
+    // 37x19 PNG: left half black, right half white → bimodal histogram
+    def png(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(37, 19, "png")), (2L, png(64, 48, "jpg")),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(rows.toDF("id", "blob"), "id", "blob", "image")
+    val f = Multimodal.decodeFeatures(media).collect().map(x => x.id -> x).toMap
+    assert(f(1L).width == 37 && f(1L).height == 19)
+    assert(f(2L).width == 64 && f(2L).height == 48)
+    // black|white split → mass concentrated in the darkest + brightest bins
+    val hist = f(1L).feature
+    assert(math.abs(hist.sum - 1f) < 1e-5f)
+    assert(hist(0) > 0.4f && hist(7) > 0.4f)
+    // non-image bytes degrade to the deterministic fake, not a failure
+    assert(f(3L).n_bytes == 19 && f(3L).feature.length == 8)
+  }
+
   test("sampleFrames: explode shape with stride") {
     val frames = Multimodal.sampleFrames(media.filter($"id" === 1), 3, 2)
     val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
