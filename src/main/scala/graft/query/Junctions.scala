@@ -125,6 +125,85 @@ final class Junctions(catalog: TableCatalog, project: Project) {
         "feature")
   }
 
+  /** Corpus-scale form of [[graft.model.Junction.newTranscript]]
+    * (`junction.py:342-376`): for EVERY (junction, overlapping
+    * transcript) pair in one plan, the hypothetical spliced transcript
+    * the junction induces — exons fully inside the junction spliced
+    * out, flanking exons truncated at the junction coordinates, pieces
+    * stitched in exon order, minus strand reverse-complemented, then
+    * translated. The entity method stays for the one-junction case;
+    * this is what a cohort-wide novel-splice screen runs.
+    *
+    * `junctions` needs (chrom, start, end, strand). Pairing matches the
+    * entity chain exactly: genes whose span contains either junction
+    * endpoint (same chrom+strand, binned containment join), their
+    * transcripts overlapping the junction. Sequence extraction is the
+    * broadcast-FASTA executor path ([[graft.model.Genome.withSequences]];
+    * intervals outside the FASTA contribute nothing, where the
+    * fail-fast entity throws); stitching is one groupBy over the
+    * trimmed exon pieces. Output: (chrom, start, end, strand,
+    * transcript, nuc, aa) — one row per pair, `nuc = ""` when every
+    * exon is spliced out. */
+  def newTranscripts(genome: graft.model.Genome,
+      junctions: DataFrame): DataFrame = {
+    val j = junctions.select(col("chrom"), col("strand"),
+      col("start").as("j_start"), col("end").as("j_end")).distinct()
+    val endpoints = j.select(col("chrom"), col("strand"), col("j_start"),
+      col("j_end"), explode(array(col("j_start"), col("j_end"))).as("p"))
+    val genes = genome.genes.select(col("id").as("gene"), col("chrom"),
+      col("strand"), col("start").as("g_start"), col("end").as("g_end"))
+    val jGenes = graft.ranges.RangeJoin.containmentJoin(endpoints, genes,
+        Seq("chrom", "strand"), "p", "g_start", "g_end")
+      .select("chrom", "strand", "j_start", "j_end", "gene").distinct()
+    val tx = genome.transcripts.select(col("id").as("transcript"),
+      col("gene"), col("start").as("t_start"), col("end").as("t_end"))
+    val pairs = jGenes.join(tx, Seq("gene"))
+      .filter(Intervals.overlaps(col("t_start"), col("t_end"),
+        col("j_start"), col("j_end")))
+      .select("chrom", "strand", "j_start", "j_end", "transcript").distinct()
+
+    // entity trim rules, same branch order (Junction.newTranscript)
+    val ex = genome.exons.select(col("transcript"),
+      col("start").as("e_start"), col("end").as("e_end"))
+    val leftFlank =
+      col("e_start") < col("j_start") && col("e_end") >= col("j_start")
+    val rightFlank =
+      col("e_start") <= col("j_end") && col("e_end") > col("j_end")
+    val trimmed = pairs.join(ex, Seq("transcript"))
+      .filter(col("e_end") >= col("e_start"))
+      .filter(!(col("e_start") >= col("j_start") &&
+        col("e_end") <= col("j_end"))) // spliced out
+      .withColumn("k_start",
+        when(leftFlank, col("e_start"))
+          .when(rightFlank, col("j_end")).otherwise(col("e_start")))
+      .withColumn("k_end",
+        when(leftFlank, col("j_start"))
+          .when(rightFlank, col("e_end")).otherwise(col("e_end")))
+    val withSeq = genome.withSequences(
+      trimmed.withColumn("__plus", lit("+")),
+      chromCol = "chrom", startCol = "k_start", endCol = "k_end",
+      strandCol = "__plus", out = "__seq")
+    val stitched = withSeq
+      .groupBy("chrom", "strand", "j_start", "j_end", "transcript")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("e_start"), col("__seq")))),
+        x => x.getField("__seq")), "").as("__nuc0"))
+    val finish = udf { (nuc0: String, strand: String) =>
+      val nuc = if (strand == "-")
+        graft.model.Genome.reverseComplement(nuc0) else nuc0
+      val aa = nuc.toUpperCase.grouped(3).takeWhile(_.length == 3)
+        .map(c => graft.model.Genome.CodonTable.getOrElse(c, 'X')).mkString
+      (nuc, aa)
+    }
+    pairs
+      .join(stitched,
+        Seq("chrom", "strand", "j_start", "j_end", "transcript"), "left")
+      .withColumn("__r", finish(coalesce(col("__nuc0"), lit("")), col("strand")))
+      .select(col("chrom"), col("j_start").as("start"),
+        col("j_end").as("end"), col("strand"), col("transcript"),
+        col("__r._1").as("nuc"), col("__r._2").as("aa"))
+  }
+
   /** Reify query results as entity objects (the reference's
     * `df=False` mode, `junction.py:63-72` — returning the full list, not
     * just the first row as the buggy original did). Driver-side by

@@ -305,6 +305,32 @@ class DomainE2ESpec extends SparkSpecBase {
     assert(bad.select("seq").collect().forall(_.isNullAt(0)))
   }
 
+  test("Junctions.newTranscripts: batch == entity on every fixture pair") {
+    val js = Seq(
+      ("chr1", 31L, 60L, "+"), ("chr1", 25L, 65L, "+"),
+      ("chr2", 31L, 60L, "-"),
+      ("chr1", 1L, 100L, "+")) // splices out every exon piece it covers
+      .toDF("chrom", "start", "end", "strand")
+    val got = junctions.newTranscripts(genome, js)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)) -> (r.getString(5), r.getString(6))).toMap
+    // entity pairing: every junction overlaps exactly its chrom's one
+    // transcript; batch must find the same pairs
+    assert(got.keySet == Set(
+      ("chr1", 31L, 60L, "+", "t1"), ("chr1", 25L, 65L, "+", "t1"),
+      ("chr2", 31L, 60L, "-", "tm"), ("chr1", 1L, 100L, "+", "t1")))
+    for (((chrom, s, e, strand, txId), batchOut) <- got
+         if !(s == 1L && e == 100L)) {
+      val entity = Junction(chrom, s, e, strand).newTranscript(genome, txId)
+      assert(batchOut == entity, s"pair ($chrom,$s,$e,$strand,$txId)")
+    }
+    // the all-covering junction splices out every exon: entity returns
+    // ("", ""), batch's left join must preserve the pair, not drop it
+    val entityWide = Junction("chr1", 1L, 100L, "+").newTranscript(genome, "t1")
+    assert(got(("chr1", 1L, 100L, "+", "t1")) == entityWide)
+  }
+
   test("Junction.newTranscript on the minus strand: stitch then revcomp") {
     val jm = Junction("chr2", 31, 60, "-")
     assert(jm.genes(genome).select("id").head().getString(0) == "gm")
