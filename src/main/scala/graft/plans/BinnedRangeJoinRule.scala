@@ -154,16 +154,14 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * `spark.graft.rangejoin.maxpairsperkey` (default 4096) means the
     * per-group quadratic predicate check is trivial and the bin fanout
     * (explode + wider shuffle rows) is pure overhead — e.g. an overlap
-    * join that also equi-joins on a unique id. With several equi
-    * conjuncts the largest single-conjunct ndv product is used
-    * (conservative: underestimates combined selectivity, so the rewrite
-    * still fires unless ONE key alone is selective). No stats ⇒ false
-    * (rewrite as usual). */
+    * join that also equi-joins on a unique id, or on a composite key
+    * whose parts are only jointly selective. No stats ⇒ false (rewrite
+    * as usual). */
   private def equiKeyBoundsPairs(j: Join, cond: Expression): Boolean = {
     val perKey = for {
       lRows <- j.left.stats.rowCount
       rRows <- j.right.stats.rowCount
-      ndvProduct <- bestEquiNdvProduct(j, cond)
+      ndvProduct <- combinedEquiNdvProduct(j, cond)
       if ndvProduct > 0
     } yield BigDecimal(lRows) * BigDecimal(rRows) / BigDecimal(ndvProduct)
     val threshold = BigDecimal(conf.getConfString(
@@ -171,11 +169,18 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     perKey.exists(_ <= threshold)
   }
 
-  /** Largest `ndv_left · ndv_right` over the equi conjuncts of the join
-    * condition — expected pairs per key group is
-    * `(|L|/ndv_l)·(|R|/ndv_r)`, so this is the denominator of the most
-    * selective single key with stats on both sides. */
-  private def bestEquiNdvProduct(j: Join, cond: Expression): Option[BigInt] = {
+  /** Combined `ndv_left · ndv_right` over ALL equi conjuncts of the
+    * join condition carrying stats on both sides — expected pairs per
+    * COMPOSITE key group is `(|L|·|R|) / (ndv_l·ndv_r)` with each
+    * side's combined ndv the product of its per-key NDVs (attribute
+    * independence, the standard CBO assumption) capped at the side's
+    * row count (a side can't have more distinct key tuples than rows —
+    * the cap keeps correlated keys from inflating the estimate).
+    * Conjuncts missing stats on either side contribute nothing
+    * (conservative: the estimate only grows with evidence, so the
+    * rewrite still fires unless the KNOWN keys suppress it). None when
+    * no conjunct has stats on both sides. */
+  private def combinedEquiNdvProduct(j: Join, cond: Expression): Option[BigInt] = {
     val keyPairs = splitConjunctivePredicates(cond).collect {
       case EqualTo(x: Attribute, y: Attribute)
         if j.left.outputSet.contains(x) && j.right.outputSet.contains(y) =>
@@ -184,13 +189,19 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         if j.right.outputSet.contains(x) && j.left.outputSet.contains(y) =>
         (y, x)
     }
-    val products = keyPairs.flatMap { case (lk, rk) =>
+    val perKey = keyPairs.flatMap { case (lk, rk) =>
       for {
         nl <- j.left.stats.attributeStats.get(lk).flatMap(_.distinctCount)
         nr <- j.right.stats.attributeStats.get(rk).flatMap(_.distinctCount)
-      } yield nl * nr
+      } yield (nl, nr)
     }
-    if (products.isEmpty) None else Some(products.max)
+    if (perKey.isEmpty) None
+    else {
+      def cap(ndv: BigInt, rows: Option[BigInt]): BigInt =
+        rows.fold(ndv)(ndv.min)
+      Some(cap(perKey.map(_._1).product, j.left.stats.rowCount) *
+        cap(perKey.map(_._2).product, j.right.stats.rowCount))
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -176,6 +176,45 @@ class RangeRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("composite equi key (CBO) suppresses the rewrite only jointly") {
+    // two keys of ndv 4 each: alone, pairs/key = 300·300/16 = 5625 >
+    // 4096 (not selective enough — the old best-single-key gate would
+    // rewrite); combined, 300·300/256 = 351 <= 4096 → suppress
+    val mk = (n: Int, off: Int) => (0 until n).map { i =>
+      (i.toLong + off, (i % 4).toLong, ((i / 4) % 4).toLong,
+        i * 5L, i * 5L + 12L)
+    }
+    mk(300, 0).toDF("ida", "k1a", "k2a", "sa", "ea")
+      .write.mode("overwrite").saveAsTable("rr_comp_a")
+    mk(300, 7).toDF("idb", "k1b", "k2b", "sb", "eb")
+      .write.mode("overwrite").saveAsTable("rr_comp_b")
+    spark.sql("ANALYZE TABLE rr_comp_a COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql("ANALYZE TABLE rr_comp_b COMPUTE STATISTICS FOR ALL COLUMNS")
+    val ta = spark.table("rr_comp_a"); val tb = spark.table("rr_comp_b")
+    def q = ta.join(tb,
+      col("k1a") === col("k1b") && col("k2a") === col("k2b") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("ida", "idb")
+    val want = q.as[(Long, Long)].collect().toSeq.sorted
+    withRule {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val plan = q.queryExecution.optimizedPlan.toString
+        assert(!plan.contains(BinnedRangeJoinRule.BinName), plan)
+        assert(q.as[(Long, Long)].collect().toSeq.sorted == want)
+        // tighten the threshold below the combined estimate (351): the
+        // gate re-opens, proving it uses the combined product, not a
+        // single key
+        spark.conf.set("spark.graft.rangejoin.maxpairsperkey", "300")
+        try {
+          val forced = q.queryExecution.optimizedPlan.toString
+          assert(forced.contains(BinnedRangeJoinRule.BinName), forced)
+          assert(q.as[(Long, Long)].collect().toSeq.sorted == want)
+        } finally spark.conf.unset("spark.graft.rangejoin.maxpairsperkey")
+      } finally spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("library RangeJoin plans are not double-binned by the rule") {
     withRule {
       val a = intervals(100, 7, 2).toDF("ida", "k", "sa", "ea")
