@@ -61,6 +61,29 @@ object CurationQueries {
     "q65_tfidf" -> ((s, dir) => {
       TextAnalysis.topTfidfTerm(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // Sequence packing: seed-shuffled per-shard document streams cut
+    // into 1024-token training sequences — per doc, the pack its first
+    // token lands in and the offset inside it. One shuffle (hash by
+    // shard) + per-shard window; shard-partitioned so no single-task
+    // global cumsum.
+    "q71_pack_sequences" -> ((s, dir) => {
+      val d = TextAnalysis.withTokenCounts(docs(s, dir), "text")
+      Curation.packSequences(d, "doc_id", "n_tokens",
+          budget = 1024L, seed = "ep2", nShards = 8)
+        .select("doc_id", "shard", "n_tokens", "pack", "pack_offset")
+        .orderBy("doc_id")
+    }),
+
+    // First-failing-rule quality verdict: keep, or the name of the
+    // first gate failed (too_short -> low_alpha -> high_punct ->
+    // repetitive). Map-only; the verdict histogram is the filter-tuning
+    // signal.
+    "q72_quality_verdict" -> ((s, dir) => {
+      TextAnalysis.qualityVerdict(docs(s, dir), "text")
+        .select("doc_id", "verdict")
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -120,5 +143,47 @@ object CurationQueries {
         |SELECT doc_id, term AS top_term, tf, df, score FROM s
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |                           ORDER BY score DESC, term ASC) = 1
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // Same md5 shard/order derivation as q61; CAST the window SUM to
+    // BIGINT (DuckDB HUGEINT otherwise lands as float64 and breaks the
+    // hash against Spark's int64).
+    "q71_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |   len(string_split_regex(text,'\s+')) AS n_tokens,
+        |   md5(concat('ep2','#',CAST(doc_id AS VARCHAR))) AS skey,
+        |   CAST(concat('0x', substr(md5(concat('ep2','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) % 8 AS shard
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |   CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     - n_tokens AS strt
+        | FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  strt // 1024 AS pack,
+        |  strt % 1024 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q72_quality_verdict" ->
+      """WITH toks AS (SELECT doc_id, text, string_split_regex(text,'\s+') t FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(t[i:i+1],' ') s
+        |       FROM toks, unnest(generate_series(1, len(t)-1)) u(i)
+        |       WHERE len(t) >= 2),
+        |rep AS (SELECT doc_id,
+        |         1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        |        FROM sh GROUP BY 1),
+        |sig AS (SELECT k.doc_id,
+        |   len(k.t) AS n_tokens,
+        |   CAST(length(regexp_replace(k.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |     / CAST(length(k.text) AS DOUBLE) AS alpha_ratio,
+        |   CAST(length(regexp_replace(k.text,'[A-Za-z0-9\s]','','g')) AS DOUBLE)
+        |     / CAST(length(k.text) AS DOUBLE) AS punct_ratio,
+        |   COALESCE(r.dup_ratio, 0.0) AS dup_gram_ratio
+        | FROM toks k LEFT JOIN rep r ON k.doc_id = r.doc_id)
+        |SELECT doc_id,
+        | CASE WHEN n_tokens < 5 THEN 'too_short'
+        |      WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+        |      WHEN punct_ratio > 0.2 THEN 'high_punct'
+        |      WHEN dup_gram_ratio > 0.2 THEN 'repetitive'
+        |      ELSE 'keep' END AS verdict
+        |FROM sig ORDER BY doc_id""".stripMargin)
 }

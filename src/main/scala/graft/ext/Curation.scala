@@ -57,6 +57,39 @@ object Curation {
         shuffleKey(seed, col(idCol)), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Sequence packing for causal-LM training: documents concatenate in
+    * seed-deterministic shuffle order within each shard, and every
+    * `budget` tokens starts a new training sequence. Emits, per
+    * document: its shard, the pack (training sequence) its FIRST token
+    * lands in, and its token offset within that pack — the layout a
+    * chunked-concatenation data loader consumes (a document may
+    * straddle a pack boundary; the loader's chunking spills its tail
+    * into the next sequence, which is why only the start position needs
+    * materializing).
+    *
+    * Scale: packing is per-shard (`PARTITION BY shard`) — a GLOBAL
+    * running sum over an unpartitioned window would execute on a single
+    * task, the classic window scale-killer; per-shard streams are also
+    * the real training layout (each data-loader worker owns whole
+    * shards). Plan: one hash shuffle on shard + one in-partition sort —
+    * and every value is a pure function of (seed, id, token counts), so
+    * re-runs and other engines reproduce it bit-for-bit. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, seed: String, nShards: Int): DataFrame = {
+    require(budget >= 1, "pack budget must be >= 1 token")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__skey"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("shard", shard(seed, col(idCol), nShards))
+      .withColumn("__skey", shuffleKey(seed, col(idCol)))
+      .withColumn("__start",
+        sum(col(tokensCol).cast("long")).over(w) - col(tokensCol).cast("long"))
+      .withColumn("pack", expr(s"__start div $budget"))
+      .withColumn("pack_offset", col("__start") % budget)
+      .drop("__skey", "__start")
+  }
+
   /** Benchmark-contamination check: per corpus document, the fraction of
     * its distinct word n-gram shingles that also occur anywhere in
     * `evalSet` (the held-out benchmark corpus). The eval shingle

@@ -86,6 +86,26 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** First-failing-rule quality verdict (the Dolma/FineWeb-style
+    * filter-pipeline report): every document gets a verdict — `keep`,
+    * or the NAME of the first gate it fails, in fixed rule order
+    * (too_short → low_alpha → high_punct → repetitive). Reporting the
+    * reason, not just a boolean, is what makes large-scale filter
+    * tuning possible (the rejection histogram IS the tuning signal).
+    * Composes the existing one-pass signals; still map-only, no
+    * shuffle. */
+  def qualityVerdict(df: DataFrame, textCol: String,
+      minTokens: Int = 5, minAlphaRatio: Double = 0.5,
+      maxPunctRatio: Double = 0.2, maxDupRatio: Double = 0.2,
+      out: String = "verdict"): DataFrame =
+    withRepetitionScore(withQualitySignals(df, textCol), textCol, n = 2)
+      .withColumn(out,
+        when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("alpha_ratio") < minAlphaRatio, lit("low_alpha"))
+          .when(col("punct_ratio") > maxPunctRatio, lit("high_punct"))
+          .when(col("dup_gram_ratio") > maxDupRatio, lit("repetitive"))
+          .otherwise(lit("keep")))
+
   /** Top TF-IDF term per document. The IDF factor is the RATIONAL
     * `(N+1)/(df+1)` rather than its logarithm: the ranking inside a
     * document is what matters, log is monotone over it, and a single

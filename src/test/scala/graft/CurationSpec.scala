@@ -100,6 +100,60 @@ class CurationSpec extends SparkSpecBase {
     assert(got(3L) == "z") // tf 2 beats rarer q (8/3 > 2)
   }
 
+  test("packSequences: per-shard contiguous fill == sequential simulation") {
+    val docs = (1L to 300L).map(i => (i, 1 + (i % 37).toInt))
+      .toDF("id", "toks")
+    val packed = Curation.packSequences(docs, "id", "toks",
+      budget = 64L, seed = "ep9", nShards = 4)
+      .select("id", "toks", "shard", "pack", "pack_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(packed.length == 300)
+    assert(packed.map(_._3).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // simulate the contiguous fill per shard in plain Scala
+    def skey(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s"ep9#$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val byShard = packed.groupBy(_._3)
+    for ((shard, rows) <- byShard) {
+      val ordered = rows.sortBy { case (id, _, _, _, _) => (skey(id), id) }
+      var cum = 0L
+      for ((id, toks, _, pack, off) <- ordered) {
+        assert(pack == cum / 64, s"doc $id in shard $shard")
+        assert(off == cum % 64, s"doc $id in shard $shard")
+        assert(off >= 0 && off < 64)
+        cum += toks
+      }
+    }
+    // re-run, any partitioning: bit-identical assignment
+    val again = Curation.packSequences(docs.repartition(13), "id", "toks",
+      budget = 64L, seed = "ep9", nShards = 4)
+      .select("id", "toks", "shard", "pack", "pack_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq == packed.sortBy(_._1).toSeq)
+  }
+
+  test("qualityVerdict: first failing gate names the verdict") {
+    val docs = Seq(
+      (1L, "one two three"),                                 // < 5 tokens
+      (2L, "@@ ## $$ %% ^^ && ** (("),                       // short-circuit: too_short beats low_alpha? 8 tokens, alpha 0
+      (3L, "ok ok ok ok ok ok ok ok ok ok"),                 // repetitive
+      (4L, "a perfectly ordinary sentence with seven words entirely fine here"),
+      (5L, "good words then !!! ??? *** ### %%% mixed in heavily padding tokens"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityVerdict(docs, "text")
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "too_short")
+    assert(got(2L) == "low_alpha") // 8 tokens, fails alpha first
+    assert(got(3L) == "repetitive")
+    assert(got(4L) == "keep")
+    assert(got(5L) == "high_punct")
+  }
+
   test("withRepetitionScore: exact gram accounting") {
     val df = Seq(
       (1L, "a b a b a"),        // grams: ab ba ab ba -> 4 total, 2 distinct
