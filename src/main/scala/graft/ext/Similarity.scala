@@ -64,15 +64,63 @@ object Similarity {
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
+    val (cids, matrix) = collectCentroids(centroids)
+    corpus.withColumn("cid",
+      element_at(typedLit(cids),
+        nearestCentroid(col(vecCol), matrix) + lit(1)))
+  }
+
+  /** Centroid table → (cids, matrix) ordered by cid; driver-sized by
+    * the IVF contract (~√corpus cells). */
+  private def collectCentroids(
+      centroids: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
     val rows = centroids
       .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
       .orderBy(col("cid").asc)
       .collect()
-    val cids: Seq[Long] = rows.map(_.getLong(0)).toSeq
-    val matrix: Seq[Seq[Double]] = rows.map(_.getSeq[Double](1)).toSeq
-    corpus.withColumn("cid",
-      element_at(typedLit(cids),
-        nearestCentroid(col(vecCol), matrix) + lit(1)))
+    (rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Double](1)).toSeq)
+  }
+
+  /** The `nProbe` nearest centroid cids for a vector, as an array column
+    * over the same literal centroid matrix as [[ivfAssign]] — same L2
+    * metric, same cid tiebreak (array_sort on (dist, cid) structs), so
+    * probe 1 is always the vector's own cell. Higher-order builtins
+    * (transform/zip_with/aggregate), interpreted not codegen'd — meant
+    * for the QUERY side, which is small; the corpus keeps the codegen'd
+    * single-cell assign. */
+  private def probeCells(vec: org.apache.spark.sql.Column, cids: Seq[Long],
+      matrix: Seq[Seq[Double]], nProbe: Int): org.apache.spark.sql.Column = {
+    val cents = typedLit(cids.zip(matrix.map(_.toArray)))
+    val scored = transform(cents, c => struct(
+      aggregate(
+        zip_with(c.getField("_2"), vec.cast("array<double>"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x).as("d"),
+      c.getField("_1").as("cid")))
+    transform(slice(array_sort(scored), 1, nProbe), s => s.getField("cid"))
+  }
+
+  /** Multi-probe IVF top-k: the corpus stays single-cell (one map-only
+    * codegen assign, exactly [[ivfAssign]]); each QUERY fans out to its
+    * `nProbe` nearest cells — the standard IVF recall lever: candidates
+    * grow ×nProbe while the corpus is never re-bucketed or re-shuffled,
+    * so cell-boundary neighbors stop being missed. `nProbe = 1` is
+    * [[ivfTopK]]. */
+  def ivfTopKProbed(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val (cids, matrix) = collectCentroids(centroids)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val q = assigned.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
+        explode(probeCells(col(vecCol), cids, matrix, nProbe)).as("cid"))
+    val scored = assigned
+      .select(col(idCol).as("n_id"), col(vecCol).as("__cv"), col("cid"))
+      .join(q, Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosineFast(col("__qv"), col("__cv")))
+    rankTopK(scored, k)
   }
 
   /** Single-probe IVF top-k: queries search only their own cell.

@@ -117,6 +117,33 @@ class ExtSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"join in IVF assign plan:\n$plan")
   }
 
+  test("multi-probe IVF: probe-1 == ivfTopK, recall rises with nProbe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // centroids: every 25th vector (deterministic, spread over the space)
+    val cents = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val isQuery = $"vec_id" < 50
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val p1 = topSets(Similarity.ivfTopKProbed(emb, "vec_id", "embedding",
+      cents, isQuery, k = 5, nProbe = 1))
+    val p1Single = topSets(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      cents, isQuery, k = 5))
+    assert(p1 == p1Single, "nProbe=1 must equal the single-probe path")
+    val p3 = topSets(Similarity.ivfTopKProbed(emb, "vec_id", "embedding",
+      cents, isQuery, k = 5, nProbe = 3))
+    val brute = topSets(Similarity.bruteForceTopK(emb,
+      emb.filter(isQuery), "vec_id", "embedding", 5))
+    def recall(got: Map[Long, Set[Long]]) =
+      brute.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / brute.size
+    val (r1, r3) = (recall(p1), recall(p3))
+    info(f"ivf recall nProbe=1: $r1%.3f  nProbe=3: $r3%.3f")
+    assert(r3 > r1, s"probing must lift recall: $r1 -> $r3")
+  }
+
   test("lsh topk: bucketed candidates are a subset of brute force ranking") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d * 7).toFloat)) }
