@@ -57,6 +57,20 @@ object VectorQueries {
       Similarity.ivfTopK(e, "vec_id", "embedding", cents,
           col("vec_id") < 10, k = 3)
         .orderBy("q_id", "rank")
+    }),
+
+    // Near-dup pairs -> dedup CLUSTERS: connected components over the
+    // q42 edge list (min-label propagation, lineage-checkpointed
+    // iterations); cluster = min reachable vec_id, is_rep marks the
+    // copy to keep.
+    "q73_dedup_clusters" -> ((s, dir) => {
+      import graft.ext.Dedup
+      val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.4)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("id").as("vec_id"), col("comp").as("cluster"),
+          (col("id") === col("comp")).cast("int").as("is_rep"))
+        .orderBy("vec_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -104,5 +118,22 @@ object VectorQueries {
         |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
         |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
         |      FROM sc)
-        |SELECT q_id, n_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+        |SELECT q_id, n_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // q42's edge list + a recursive min-reachable closure (tiny graph:
+    // the verified near-dup pairs), grouped to (vertex, min reachable).
+    "q73_dedup_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label=b.label AND a.vec_id<b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+        |sym AS (SELECT a_id AS v, b_id AS u FROM e
+        |        UNION SELECT b_id, a_id FROM e),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+        |  UNION
+        |  SELECT s.v, reach.r FROM sym s JOIN reach ON s.u = reach.v)
+        |SELECT v AS vec_id, MIN(r) AS cluster,
+        |  CASE WHEN MIN(r) = v THEN 1 ELSE 0 END AS is_rep
+        |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin)
 }

@@ -183,4 +183,53 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"), col("cos"))
   }
+
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup PAIRS (minhash/simhash/embedding) into dedup
+    * CLUSTERS: `comp` is the minimum id reachable from each vertex, so
+    * `id == comp` marks the cluster representative to keep.
+    *
+    * Min-label propagation: each iteration every vertex takes the min
+    * of its own and its neighbors' labels — one join + one groupBy
+    * (both hash-partitioned on vertex id, so AQE coalesces them onto
+    * one exchange pair), `localCheckpoint` truncating the lineage each
+    * round, converging in diameter(G) iterations. Dedup graphs are
+    * shallow by construction (near-dup clusters are quasi-cliques), so
+    * diameter is small; for adversarially long path graphs swap in a
+    * star-contraction variant — the API contract (id → min-reachable
+    * comp) wouldn't change. Convergence is checked with an any-change
+    * probe per round; `maxIter` bounds the worst case.
+    *
+    * Output: (id, comp), one row per vertex that appears in any edge.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("id"), col(dstCol).as("__n"))
+      .union(edges.select(col(dstCol).as("id"), col(srcCol).as("__n")))
+      .filter(col("id") =!= col("__n"))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("__n"), col("comp")), Seq("__n"))
+        .select(col("id"), col("comp"))
+      val next = labels.union(neighborMin)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
+        .filter(col("comp") =!= col("__old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

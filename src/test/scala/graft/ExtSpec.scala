@@ -144,6 +144,28 @@ class ExtSpec extends SparkSpecBase {
     assert(r3 > r1, s"probing must lift recall: $r1 -> $r3")
   }
 
+  test("connectedComponents: chains, cliques, isolated pairs, determinism") {
+    import graft.ext.Dedup
+    // a 7-vertex path (diameter 6 — forces multiple propagation
+    // rounds), a triangle, an isolated pair
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 31L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 7L).forall(got(_) == 1L))
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got.size == 12)
+    // edge direction and input partitioning are irrelevant
+    val flipped = Dedup.connectedComponents(
+      edges.select($"b".as("a"), $"a".as("b")).repartition(7), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(flipped == got)
+  }
+
   test("lsh topk: bucketed candidates are a subset of brute force ranking") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d * 7).toFloat)) }
