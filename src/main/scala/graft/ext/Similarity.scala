@@ -139,6 +139,76 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Deterministic distributed k-means (Lloyd) bootstrapping the IVF
+    * centroid table from the corpus itself — closes the IVF loop
+    * (callers previously had to supply centroids).
+    *
+    *  - init: farthest-point traversal over a deterministic hash
+    *    sample — ONE corpus pass collects the `sampleSize` vectors
+    *    whose ids md5-hash smallest (TakeOrdered: no full sort
+    *    materializes), then the driver greedily picks the sample
+    *    vector farthest from the chosen set, k times. No RNG anywhere;
+    *    unlike naive uniform seeding this cannot put two seeds in one
+    *    tight cluster while missing another (the k-means++ failure
+    *    Lloyd can't undo);
+    *  - each iteration: assign every vector with the map-only codegen'd
+    *    kernel ([[ivfAssign]] — the corpus never shuffles for
+    *    assignment), then recompute cell means per dimension with ONE
+    *    bounded aggregation (posexplode → groupBy(cid, pos), ≤ k·dims
+    *    output rows, driver-sized by the IVF contract). Quantized
+    *    integer sums keep the means bit-deterministic under any
+    *    partial-aggregation order;
+    *  - cells that lose every member keep their previous centroid.
+    *
+    * Per iteration the cluster does one corpus scan + one k·dims-row
+    * shuffle — the 100 TB-safe Lloyd shape. Returns (cid, cvec), cids
+    * 0..k-1 in init-hash order, ready for [[ivfAssign]]/[[ivfTopK]]/
+    * [[ivfTopKProbed]]. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3, sampleSize: Int = 4096): DataFrame = {
+    require(k >= 1 && iters >= 0, "need k >= 1 and iters >= 0")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Seq[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("cvec"),
+        md5(concat(lit("kmeans#"), col(idCol).cast("string"))).as("__h"))
+      .orderBy("__h").limit(math.max(k, sampleSize))
+      .collect().map(_.getSeq[Double](0))
+    require(sample.nonEmpty, "cannot train centroids on an empty corpus")
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // farthest-point traversal; minD(i) = distance to nearest chosen seed
+    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minD = sample.map(d2(_, sample(0)))
+    while (chosen.length < math.min(k, sample.length)) {
+      val next = minD.indices.maxBy(i => (minD(i), -i)) // tie → first
+      chosen += sample(next)
+      var i = 0
+      while (i < sample.length) {
+        minD(i) = math.min(minD(i), d2(sample(i), sample(next))); i += 1
+      }
+    }
+    var cents: Seq[(Long, Seq[Double])] =
+      chosen.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    for (_ <- 1 to iters) {
+      val means = ivfAssign(corpus, idCol, vecCol, cents.toDF("cid", "cvec"))
+        .select(col("cid"), posexplode(col(vecCol).cast("array<double>")))
+        .groupBy("cid", "pos")
+        .agg((sum(floor(col("col") * lit(1e7) + lit(0.5))).cast("double") /
+          (count(lit(1)) * lit(1e7))).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents.toDF("cid", "cvec")
+  }
+
   /** Multi-probe LSH top-k: queries probe their own bucket plus every
     * bucket at Hamming distance 1 (each hyperplane bit flipped once) —
     * the standard recall lever: candidates grow ×(nBits+1) while the

@@ -144,6 +144,34 @@ class ExtSpec extends SparkSpecBase {
     assert(r3 > r1, s"probing must lift recall: $r1 -> $r3")
   }
 
+  test("trainCentroids: recovers well-separated clusters, deterministic") {
+    // 3 tight clusters far apart in 4-d
+    val centers = Seq(
+      Array(0.0, 0.0, 0.0, 0.0), Array(10.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 10.0))
+    val vecs = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (v, d) =>
+        v + 0.1 * math.sin(i * 7 + d) })  // small deterministic jitter
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, "vec_id", "embedding",
+      k = 3, iters = 4)
+    assert(cents.count() == 3)
+    // every true cluster lands wholly in one learned cell
+    val asg = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .select("vec_id", "cid").as[(Long, Long)].collect()
+    val byTrue = asg.groupBy(_._1 % 3).view.mapValues(_.map(_._2).toSet)
+    assert(byTrue.values.forall(_.size == 1), s"split cluster: $byTrue")
+    assert(byTrue.values.flatten.toSet.size == 3, "cells collapsed")
+    // bit-deterministic across runs and input partitioning
+    val again = Similarity.trainCentroids(vecs.repartition(11), "vec_id",
+      "embedding", k = 3, iters = 4)
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val first = cents.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(again.toSeq == first.toSeq)
+  }
+
   test("connectedComponents: chains, cliques, isolated pairs, determinism") {
     import graft.ext.Dedup
     // a 7-vertex path (diameter 6 — forces multiple propagation
