@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.GraftSession
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Curation, Dedup, Similarity, TextAnalysis}
 import graft.ranges.RangeJoin
 
 /** Local scale stress: replicate the sf tables N× (ids offset per copy)
@@ -57,6 +57,24 @@ object ScaleProbe {
     time("ann_lsh_buckets")(emb.select(
       graft.functions.VectorFunctions.lshBucket($"embedding", 8))
       .distinct().count())
+
+    // round-3 ops: packing (shard-partitioned window), clustering
+    // (iterative CC over the cross-copy near-dup graph), k-means
+    time("pack_sequences")(Curation.packSequences(
+      TextAnalysis.withTokenCounts(docs, "text"), "doc_id", "n_tokens",
+      budget = 2048L, seed = "ep1", nShards = 64)
+      .groupBy("shard").agg(max("pack")).count())
+    val ccEdges = Dedup.exact(docs, "doc_id", "text")
+      .filter($"n_copies" > 1)
+      .join(docs.select(md5($"text").as("content_hash"), $"doc_id"),
+        Seq("content_hash"))
+      .select($"keep_id".as("a"), $"doc_id".as("b"))
+      .filter($"a" =!= $"b")
+    time("connected_components")(
+      Dedup.connectedComponents(ccEdges, "a", "b")
+        .select(countDistinct("comp")).head().getLong(0))
+    time("kmeans_train_16x2")(Similarity.trainCentroids(emb, "vec_id",
+      "embedding", k = 16, iters = 2).count())
 
     val iv = replicate(GraftSession.table(spark, sfDir, "orders")
       .select("o_orderkey"), "o_orderkey", copies)
