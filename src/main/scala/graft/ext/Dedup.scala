@@ -195,10 +195,10 @@ object Dedup {
     * one exchange pair), `localCheckpoint` truncating the lineage each
     * round, converging in diameter(G) iterations. Dedup graphs are
     * shallow by construction (near-dup clusters are quasi-cliques), so
-    * diameter is small; for adversarially long path graphs swap in a
-    * star-contraction variant — the API contract (id → min-reachable
-    * comp) wouldn't change. Convergence is checked with an any-change
-    * probe per round; `maxIter` bounds the worst case.
+    * diameter is small; for graphs with long chains use
+    * [[connectedComponentsStar]] (O(log²) rounds regardless of
+    * diameter). Convergence is checked with an any-change probe per
+    * round; `maxIter` bounds the worst case.
     *
     * Output: (id, comp), one row per vertex that appears in any edge.
     */
@@ -231,5 +231,76 @@ object Dedup {
     }
     sym.unpersist()
     labels
+  }
+
+  /** [[connectedComponents]] by alternating star contraction (the
+    * MapReduce CC algorithm of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond"): rounds are O(log²|V|) REGARDLESS of
+    * graph diameter, where min-propagation needs diameter(G) rounds —
+    * the variant to use when components can be long chains (linked
+    * page graphs, reference chains), not the quasi-cliques of near-dup
+    * dedup.
+    *
+    * Each round runs two halves over the current edge set, each one
+    * aggregation + one join, hash-partitioned on the center vertex:
+    *  - large-star: every vertex connects its LARGER neighbors to its
+    *    minimum neighborhood member (keeps components connected,
+    *    strictly reduces large-vertex depth);
+    *  - small-star: every vertex connects its smaller-or-equal
+    *    neighbors (and itself) to that minimum (contracts toward the
+    *    root).
+    * At fixpoint the edges form stars rooted at each component's
+    * minimum id; the root maps to itself in the output. Same contract
+    * as [[connectedComponents]]: (id, comp) for every vertex in any
+    * edge. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 50): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("__v"), col("__u")).toDF("__u", "__v"))
+    // m(u) = min(N(u) ∪ {u}) per center vertex
+    def minNbr(s: DataFrame): DataFrame =
+      s.groupBy("__u").agg(min(col("__v")).as("__mn"))
+        .select(col("__u"), least(col("__mn"), col("__u")).as("__m"))
+    def clean(e: DataFrame): DataFrame =
+      e.filter(col("__u") =!= col("__v")).distinct()
+    // large-star: {(v, m(u)) : v ∈ N(u), v > u}
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      clean(s.join(minNbr(s), Seq("__u"))
+        .filter(col("__v") > col("__u"))
+        .select(col("__v").as("__u"), col("__m").as("__v")))
+    }
+    // small-star: {(v, m(u)) : v ∈ N(u), v ≤ u} ∪ {(u, m(u))} — the
+    // center MUST attach itself or a two-vertex component disconnects
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = minNbr(s)
+      clean(s.join(m, Seq("__u"))
+        .filter(col("__v") <= col("__u"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .union(m.select(col("__u"), col("__m").as("__v"))))
+    }
+    var e = clean(edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("__u"), col(dstCol).as("__v")))
+      .localCheckpoint()
+    val vertices = sym(e).select(col("__u").as("id")).distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixpoint: the edge set stopped changing (star edges map to
+      // themselves through both halves)
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    // stars: every remaining edge points v -> root; roots self-map
+    vertices
+      .join(sym(e).groupBy(col("__u").as("id"))
+        .agg(min(col("__v")).as("__nbr")), Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("__nbr"), col("id"))).as("comp"))
   }
 }

@@ -194,6 +194,35 @@ class ExtSpec extends SparkSpecBase {
     assert(flipped == got)
   }
 
+  test("connectedComponentsStar == min-propagation on adversarial graphs") {
+    import graft.ext.Dedup
+    def cc(e: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(e, "a", "b", maxIter = 200)
+        .as[(Long, Long)].collect().toMap
+    def ccStar(e: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponentsStar(e, "a", "b")
+        .as[(Long, Long)].collect().toMap
+    // a 60-vertex path — diameter 59; star contraction must solve it
+    // in far fewer rounds than propagation needs
+    val path = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(ccStar(path) == cc(path))
+    assert(ccStar(path).values.toSet == Set(1L))
+    // deterministic pseudo-random graph: 120 vertices, 140 edges
+    val rnd = (0 until 140).map { i =>
+      val a = (i * 7919L) % 120; val b = (i * 104729L + 13) % 120
+      (a, b)
+    }.filter(p => p._1 != p._2).toDF("a", "b")
+    assert(ccStar(rnd) == cc(rnd))
+    // two-vertex components (the small-star center-attachment edge
+    // case) and a high-degree star
+    val mixed = (Seq((5L, 3L), (101L, 100L)) ++
+      (1L to 30L).map(i => (200L, 200L + i))).toDF("a", "b")
+    val got = ccStar(mixed)
+    assert(got == cc(mixed))
+    assert(got(5L) == 3L && got(3L) == 3L && got(101L) == 100L)
+    assert((200L to 230L).forall(got(_) == 200L))
+  }
+
   test("lsh topk: bucketed candidates are a subset of brute force ranking") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d * 7).toFloat)) }
