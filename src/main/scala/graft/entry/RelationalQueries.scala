@@ -499,8 +499,8 @@ object RelationalQueries {
         |  FROM events GROUP BY 1)
         |SELECT b.event_type, COALESCE(k.kmv_users, 0.0) AS kmv_users,
         |  b.n, b.p50_value_micros, b.n_sampled
-        |FROM b LEFT JOIN k ON b.event_type = k.grp
-        |ORDER BY event_type""".stripMargin,
+        |FROM b LEFT JOIN k ON b.event_type IS NOT DISTINCT FROM k.grp
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q28_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

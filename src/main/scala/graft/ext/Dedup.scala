@@ -226,10 +226,19 @@ object Dedup {
         .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
         .filter(col("comp") =!= col("__old"))
         .isEmpty
+      labels.unpersist() // next is materialized; drop the old checkpoint
       labels = next
       iter += 1
     }
     sym.unpersist()
+    // partially-propagated labels are silently WRONG (one cluster
+    // reported as several, each with its own "representative") — a
+    // dedup pass must fail loudly instead of keeping duplicates
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter): raise maxIter or use " +
+          "connectedComponentsStar, whose rounds are diameter-independent")
     labels
   }
 
@@ -293,9 +302,15 @@ object Dedup {
       // fixpoint: the edge set stopped changing (star edges map to
       // themselves through both halves)
       converged = next.count() == e.count() && next.except(e).isEmpty
+      e.unpersist() // next is materialized; drop the old checkpoint
       e = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds " +
+          "— raise maxIter (rounds are O(log^2 |V|), so this points at " +
+          "a pathological or enormous graph)")
     // stars: every remaining edge points v -> root; roots self-map
     vertices
       .join(sym(e).groupBy(col("__u").as("id"))

@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Decode ceiling (~64 MP ≈ 256 MB RGBA raster): payloads declaring
+    * larger dimensions degrade to the deterministic fake. */
+  private val MaxDecodePixels = 64L * 1024 * 1024
+
   final case class MediaRow(id: Long, modality: String, payload: Array[Byte])
   final case class MediaFeatures(id: Long, modality: String, n_bytes: Int,
       checksum: String, width: Int, height: Int, feature: Array[Float])
@@ -58,7 +62,7 @@ object Multimodal {
     * `getImageReaders`, cheap for non-image payloads) or the decode
     * fails, so corrupt files degrade to the fake instead of failing the
     * partition. */
-  private[ext] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
     if (bytes.length < 8) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -68,6 +72,12 @@ object Multimodal {
       val reader = readers.next()
       try {
         reader.setInput(iis)
+        // header-declared dimensions gate the decode: a few-KB
+        // decompression-bomb PNG declaring 50000x50000 would allocate a
+        // ~10 GB raster in read(0) and OOM the executor (an Error, not
+        // caught by NonFatal) instead of degrading to the fake
+        val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
+        if (dw.toLong * dh > MaxDecodePixels) return None
         val img = reader.read(0)
         val w = img.getWidth
         val h = img.getHeight

@@ -65,10 +65,14 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val (cids, matrix) = collectCentroids(centroids)
+    assignWith(corpus, vecCol, cids, matrix)
+  }
+
+  private def assignWith(corpus: DataFrame, vecCol: String,
+      cids: Seq[Long], matrix: Seq[Seq[Double]]): DataFrame =
     corpus.withColumn("cid",
       element_at(typedLit(cids),
         nearestCentroid(col(vecCol), matrix) + lit(1)))
-  }
 
   /** Centroid table → (cids, matrix) ordered by cid; driver-sized by
     * the IVF contract (~√corpus cells). */
@@ -111,7 +115,7 @@ object Similarity {
       k: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1, "nProbe must be >= 1")
     val (cids, matrix) = collectCentroids(centroids)
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val assigned = assignWith(corpus, vecCol, cids, matrix)
     val q = assigned.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
         explode(probeCells(col(vecCol), cids, matrix, nProbe)).as("cid"))
@@ -194,10 +198,15 @@ object Similarity {
     var cents: Seq[(Long, Seq[Double])] =
       chosen.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
     for (_ <- 1 to iters) {
-      val means = ivfAssign(corpus, idCol, vecCol, cents.toDF("cid", "cvec"))
+      // DECIMAL(38,0) partial sums: a LONG sum of 1e7-quantized values
+      // wraps silently past ~9e18 (a billion-member cell of 1e3-scale
+      // components), corrupting the centroid with no error
+      val means = assignWith(corpus, vecCol,
+          cents.map(_._1), cents.map(_._2))
         .select(col("cid"), posexplode(col(vecCol).cast("array<double>")))
         .groupBy("cid", "pos")
-        .agg((sum(floor(col("col") * lit(1e7) + lit(0.5))).cast("double") /
+        .agg((sum(floor(col("col") * lit(1e7) + lit(0.5))
+            .cast("decimal(38,0)")).cast("double") /
           (count(lit(1)) * lit(1e7))).as("m"))
         .collect()
         .groupBy(_.getLong(0))

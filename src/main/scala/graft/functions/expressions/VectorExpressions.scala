@@ -95,7 +95,10 @@ case class DotProduct(left: Expression, right: Expression)
   * Returns the 0-based index of the centroid with the smallest squared L2
   * distance; ties keep the first (lowest) index, so callers that order the
   * matrix by centroid id ascending get the canonical (distance, cid)
-  * tiebreak. Null vector or empty matrix → null.
+  * tiebreak. Null vector or empty matrix → null. A vector whose every
+  * distance is NaN/Infinite (a NaN component, or an overflow to ∞)
+  * deterministically lands in cell 0 — one dirty embedding must not be
+  * able to return an out-of-range index and fail a 100 TB assign job.
   *
   * This is the map-only IVF coarse-quantization kernel: one tight
   * |centroids|×dims loop per row inside whole-stage codegen, no join, no
@@ -114,7 +117,7 @@ case class NearestCentroid(left: Expression, right: Expression)
     val m = b.asInstanceOf[ArrayData]
     val k = m.numElements()
     if (k == 0) return null
-    var best = -1
+    var best = 0 // NaN/Inf-everywhere rows stay in-range (cell 0)
     var bestD = Double.PositiveInfinity
     var j = 0
     while (j < k) {
@@ -137,7 +140,7 @@ case class NearestCentroid(left: Expression, right: Expression)
          |int k = $b.numElements();
          |if (k == 0) { ${ev.isNull} = true; }
          |else {
-         |  int best = -1;
+         |  int best = 0;
          |  double bestD = Double.POSITIVE_INFINITY;
          |  for (int j = 0; j < k; j++) {
          |    org.apache.spark.sql.catalyst.util.ArrayData c = $b.getArray(j);

@@ -189,18 +189,23 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         if j.right.outputSet.contains(x) && j.left.outputSet.contains(y) =>
         (y, x)
     }
-    val perKey = keyPairs.flatMap { case (lk, rk) =>
+    val withStats = keyPairs.flatMap { case (lk, rk) =>
       for {
         nl <- j.left.stats.attributeStats.get(lk).flatMap(_.distinctCount)
         nr <- j.right.stats.attributeStats.get(rk).flatMap(_.distinctCount)
-      } yield (nl, nr)
+      } yield (lk, nl, rk, nr)
     }
-    if (perKey.isEmpty) None
+    if (withStats.isEmpty) None
     else {
+      // dedupe per side by attribute: `a.k = b.k1 AND a.k = b.k2` uses
+      // ndv(a.k) once — multiplying it per conjunct would square it and
+      // wrongly suppress the rewrite
       def cap(ndv: BigInt, rows: Option[BigInt]): BigInt =
         rows.fold(ndv)(ndv.min)
-      Some(cap(perKey.map(_._1).product, j.left.stats.rowCount) *
-        cap(perKey.map(_._2).product, j.right.stats.rowCount))
+      val lNdv = withStats.groupBy(_._1.exprId).values.map(_.head._2).product
+      val rNdv = withStats.groupBy(_._3.exprId).values.map(_.head._4).product
+      Some(cap(lNdv, j.left.stats.rowCount) *
+        cap(rNdv, j.right.stats.rowCount))
     }
   }
 

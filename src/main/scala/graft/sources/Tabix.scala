@@ -89,18 +89,28 @@ object Tabix {
     * specs assert one load per distinct file version). */
   def indexLoads: Long = loads.get
 
-  /** [[read]] through the driver-side cache. */
+  // per-key parse latches: concurrent planners of the SAME cold file
+  // wait for one parse (keeping the one-load-per-version contract the
+  // spec asserts) without serializing behind other files' inflates
+  private val inflight =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Object]
+
+  /** [[read]] through the driver-side cache; cold parses are
+    * single-flight per file version. */
   def readCached(path: Path, conf: Configuration): TabixIndex = {
     val st = path.getFileSystem(conf).getFileStatus(path)
     val key = (path.toString, st.getModificationTime, st.getLen)
     val hit = cache.synchronized(Option(cache.get(key)))
     hit.getOrElse {
-      // parse outside the lock: planning threads for other files
-      // shouldn't serialize behind one index inflate
-      val idx = read(path, conf)
-      loads.incrementAndGet()
-      cache.synchronized(cache.put(key, idx))
-      idx
+      val latch = inflight.computeIfAbsent(key, _ => new Object)
+      try latch.synchronized {
+        cache.synchronized(Option(cache.get(key))).getOrElse {
+          val idx = read(path, conf)
+          loads.incrementAndGet()
+          cache.synchronized(cache.put(key, idx))
+          idx
+        }
+      } finally inflight.remove(key)
     }
   }
 

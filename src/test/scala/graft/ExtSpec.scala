@@ -172,6 +172,29 @@ class ExtSpec extends SparkSpecBase {
     assert(again.toSeq == first.toSeq)
   }
 
+  test("ivf assign: NaN/Inf vectors land in cell 0, never out-of-range") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(5.0f, 5.0f)),
+      (2L, Array(Float.NaN, 1.0f)),                 // NaN distance to all
+      (3L, Array(Float.MaxValue, Float.MaxValue)))  // d overflows to Inf
+      .toDF("vec_id", "embedding")
+    val cents = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val got = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(got(2L) == 0L, "NaN row must deterministically take cell 0")
+    assert(got(3L) == 0L, "Inf-distance row must take cell 0")
+    assert(got(0L) == 0L && got(1L) == 1L)
+  }
+
+  test("connectedComponents: non-convergence throws, never silent") {
+    import graft.ext.Dedup
+    val path = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(path, "a", "b", maxIter = 3))
+    assert(e.getMessage.contains("connectedComponentsStar"))
+  }
+
   test("connectedComponents: chains, cliques, isolated pairs, determinism") {
     import graft.ext.Dedup
     // a 7-vertex path (diameter 6 — forces multiple propagation

@@ -60,6 +60,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f(3L).n_bytes == 19 && f(3L).feature.length == 8)
   }
 
+  test("decodeImage: decompression-bomb headers degrade, never decode") {
+    // real PNG with the IHDR width/height bytes patched to 50000x50000:
+    // the header-declared raster (~10 GB) must be rejected BEFORE
+    // read(0) allocates it
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    val big = 50000
+    for (i <- 0 until 4) { // IHDR: width at offset 16, height at 20
+      bytes(16 + i) = ((big >> (24 - 8 * i)) & 0xff).toByte
+      bytes(20 + i) = ((big >> (24 - 8 * i)) & 0xff).toByte
+    }
+    assert(Multimodal.decodeImage(bytes).isEmpty)
+    // and the row-level decode falls back to the fake instead of OOMing
+    val f = Multimodal.decodeFeatures(Multimodal.asMedia(
+      Seq((9L, bytes)).toDF("id", "blob"), "id", "blob", "image"))
+      .collect().head
+    assert(f.feature.length == 8 && f.width <= 64)
+  }
+
   test("sampleFrames: explode shape with stride") {
     val frames = Multimodal.sampleFrames(media.filter($"id" === 1), 3, 2)
     val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
