@@ -24,6 +24,20 @@ object Curation {
   def hashU32(seed: String, id: Column): Column =
     conv(substring(shuffleKey(seed, id), 1, 8), 16, 10).cast("long")
 
+  /** JVM-side twins of [[shuffleKey]]/[[hashU32]]/[[shard]] for state
+    * code (streaming packing) that must agree bit-for-bit with the
+    * column forms. */
+  def shuffleKeyJvm(seed: String, id: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed#$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def hashU32Jvm(seed: String, id: String): Long =
+    java.lang.Long.parseLong(shuffleKeyJvm(seed, id).substring(0, 8), 16)
+
+  def shardJvm(seed: String, id: String, nShards: Int): Long =
+    hashU32Jvm(seed, id) % nShards
+
   /** Deterministic global shuffle: total order by hash rank (id as
     * tiebreak). Plans as one range-partitioned sort — the scalable way
     * to permute 100 TB (sample-based range boundaries, no single-point

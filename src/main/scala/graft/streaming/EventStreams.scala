@@ -158,6 +158,50 @@ object EventStreams {
       }
   }
 
+  final case class PackedDoc(doc_id: Long, shard: Long, pack: Long,
+      pack_offset: Long)
+
+  /** Streaming sequence packing — the online form of
+    * [[graft.ext.Curation.packSequences]]: documents arriving on a
+    * stream are laid out into fixed token-budget training sequences
+    * per shard, with ONE Long of state per shard (the running token
+    * count) forever — where a batch repack would re-scan the corpus,
+    * the stream extends the layout incrementally.
+    *
+    * Order contract: within a micro-batch, documents pack in the same
+    * seed-deterministic hash order as the batch operator (so a
+    * single-batch stream reproduces `packSequences` bit-for-bit —
+    * spec-asserted); across micro-batches, in arrival order (an online
+    * packer cannot reorder what it already emitted). Shard assignment
+    * is the identical md5 derivation, via the JVM twins
+    * ([[graft.ext.Curation.shardJvm]]). */
+  def streamingPack(docs: Dataset[(Long, Long)], budget: Long,
+      seed: String, nShards: Int): Dataset[PackedDoc] = {
+    require(budget >= 1, "pack budget must be >= 1 token")
+    import docs.sparkSession.implicits._
+    import graft.ext.Curation
+    docs
+      .map { case (id, toks) =>
+        (Curation.shardJvm(seed, id.toString, nShards),
+          Curation.shuffleKeyJvm(seed, id.toString), id, toks)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, batch: Iterator[(Long, String, Long, Long)],
+            state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.sortBy { case (_, skey, id, _) => (skey, id) }
+            .map { case (_, _, id, toks) =>
+              val start = cum
+              cum += toks
+              PackedDoc(id, shard, start / budget, start % budget)
+            }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   final case class TopEvent(key: Long, rank: Int, event_id: Long,
       score_cents: Long)
 

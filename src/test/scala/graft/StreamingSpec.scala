@@ -243,4 +243,72 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("streaming pack: single batch == batch packSequences; state carries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Curation
+    implicit val sc = spark.sqlContext
+    val docs1 = (1L to 120L).map(i => (i, 1 + (i % 29)))
+    val docs2 = (121L to 160L).map(i => (i, 1 + (i % 29)))
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.streamingPack(mem.toDS(), budget = 64L,
+        seed = "sp1", nShards = 4).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("pack_stream").start()
+    try {
+      mem.addData(docs1: _*)
+      q.processAllAvailable()
+      // batch-1 output must equal the batch operator bit-for-bit
+      val streamed1 = spark.table("pack_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val batch1 = Curation.packSequences(
+        docs1.toDF("doc_id", "toks"), "doc_id", "toks",
+          budget = 64L, seed = "sp1", nShards = 4)
+        .select("doc_id", "shard", "pack", "pack_offset")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(streamed1 == batch1)
+      // batch 2 continues each shard's stream from its running count
+      mem.addData(docs2: _*)
+      q.processAllAvailable()
+      val all = spark.table("pack_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(all.length == 160)
+      // reference: fold batch-2 docs in hash order on top of batch-1
+      // per-shard totals
+      val cum = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      docs1.foreach { case (id, t) =>
+        cum(Curation.shardJvm("sp1", id.toString, 4)) += t }
+      val want2 = docs2
+        .map { case (id, t) => (Curation.shardJvm("sp1", id.toString, 4),
+          Curation.shuffleKeyJvm("sp1", id.toString), id, t) }
+        .sortBy { case (_, skey, id, _) => (skey, id) }
+        .map { case (shard, _, id, t) =>
+          val start = cum(shard); cum(shard) += t
+          (id, shard, start / 64, start % 64)
+        }.sortBy(_._1)
+      val got2 = all.filter(_._1 > 120L).sortBy(_._1).toSeq
+      assert(got2 == want2)
+    } finally q.stop()
+  }
+
+  test("JVM hash twins equal the SQL column forms") {
+    import graft.ext.Curation
+    val ids = Seq(1L, 42L, 999999L, 7L)
+    val sqlSide = ids.toDF("id")
+      .select(col("id"), Curation.shuffleKey("tw", col("id")).as("k"),
+        Curation.hashU32("tw", col("id")).as("h"),
+        Curation.shard("tw", col("id"), 8).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    ids.foreach { id =>
+      assert(sqlSide(id) == ((Curation.shuffleKeyJvm("tw", id.toString),
+        Curation.hashU32Jvm("tw", id.toString),
+        Curation.shardJvm("tw", id.toString, 8))), s"id=$id")
+    }
+  }
 }
