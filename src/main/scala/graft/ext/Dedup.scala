@@ -202,6 +202,20 @@ object Dedup {
     *
     * Output: (id, comp), one row per vertex that appears in any edge.
     */
+  /** Materialize `df` with its lineage cut, returning the rebuilt frame
+    * plus the checkpointed RDD handle. The handle matters:
+    * `Dataset.unpersist` on a localCheckpoint'd frame is a NO-OP (it
+    * only uncaches CacheManager entries, and the checkpoint blocks were
+    * persisted directly on the RDD), so iterative algorithms must hold
+    * the RDD to actually release the previous round's blocks. */
+  private def materialize(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
     val sym = edges
@@ -211,23 +225,23 @@ object Dedup {
       .filter(col("id") =!= col("__n"))
       .distinct()
       .persist()
-    var labels = sym.select(col("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    var (labels, labelsRdd) = materialize(sym.select(col("id")).distinct()
+      .withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = sym
         .join(labels.select(col("id").as("__n"), col("comp")), Seq("__n"))
         .select(col("id"), col("comp"))
-      val next = labels.union(neighborMin)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      val (next, nextRdd) = materialize(labels.union(neighborMin)
+        .groupBy("id").agg(min("comp").as("comp")))
       converged = next
         .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
         .filter(col("comp") =!= col("__old"))
         .isEmpty
-      labels.unpersist() // next is materialized; drop the old checkpoint
+      labelsRdd.unpersist() // next is materialized; drop the old blocks
       labels = next
+      labelsRdd = nextRdd
       iter += 1
     }
     sym.unpersist()
@@ -289,21 +303,21 @@ object Dedup {
         .select(col("__v").as("__u"), col("__m").as("__v"))
         .union(m.select(col("__u"), col("__m").as("__v"))))
     }
-    var e = clean(edges
+    var (e, eRdd) = materialize(clean(edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
-      .select(col(srcCol).as("__u"), col(dstCol).as("__v")))
-      .localCheckpoint()
-    val vertices = sym(e).select(col("__u").as("id")).distinct()
-      .localCheckpoint()
+      .select(col(srcCol).as("__u"), col(dstCol).as("__v"))))
+    val (vertices, _) = materialize(
+      sym(e).select(col("__u").as("id")).distinct())
     var iter = 0
     var converged = e.isEmpty
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val (next, nextRdd) = materialize(smallStar(largeStar(e)))
       // fixpoint: the edge set stopped changing (star edges map to
       // themselves through both halves)
       converged = next.count() == e.count() && next.except(e).isEmpty
-      e.unpersist() // next is materialized; drop the old checkpoint
+      eRdd.unpersist() // next is materialized; drop the old blocks
       e = next
+      eRdd = nextRdd
       iter += 1
     }
     if (!converged)

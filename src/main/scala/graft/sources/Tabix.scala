@@ -110,7 +110,8 @@ object Tabix {
           cache.synchronized(cache.put(key, idx))
           idx
         }
-      } finally inflight.remove(key)
+      } finally inflight.remove(key, latch) // conditional: a stale
+      // waiter must not delete a newer parser's latch (eviction race)
     }
   }
 

@@ -182,8 +182,10 @@ object EventStreams {
     import graft.ext.Curation
     docs
       .map { case (id, toks) =>
-        (Curation.shardJvm(seed, id.toString, nShards),
-          Curation.shuffleKeyJvm(seed, id.toString), id, toks)
+        // one digest per doc: the shard is a pure function of the key
+        val skey = Curation.shuffleKeyJvm(seed, id.toString)
+        (java.lang.Long.parseLong(skey.substring(0, 8), 16) % nShards,
+          skey, id, toks)
       }
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, PackedDoc](

@@ -174,9 +174,9 @@ class ExtSpec extends SparkSpecBase {
 
   test("ivf assign: NaN/Inf vectors land in cell 0, never out-of-range") {
     val vecs = Seq(
-      (0L, Array(0.0f, 0.0f)), (1L, Array(5.0f, 5.0f)),
-      (2L, Array(Float.NaN, 1.0f)),                 // NaN distance to all
-      (3L, Array(Float.MaxValue, Float.MaxValue)))  // d overflows to Inf
+      (0L, Array(0.0, 0.0)), (1L, Array(5.0, 5.0)),
+      (2L, Array(Double.NaN, 1.0)), // NaN distance to all
+      (3L, Array(1e200, 1e200)))    // (1e200)^2 overflows: d = Inf to all
       .toDF("vec_id", "embedding")
     val cents = vecs.filter($"vec_id" < 2)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"))
