@@ -104,6 +104,21 @@ object Curation {
       .drop("__skey", "__start")
   }
 
+  /** Packed training export: [[packSequences]] written as the on-disk
+    * artifact a data loader consumes — `shard=N` parquet directories
+    * with rows in (pack, pack_offset) order, so a sequential read of a
+    * shard IS the concatenated token stream. Same one-shuffle plan as
+    * [[exportShards]] (range partition on shard, in-task sort that also
+    * satisfies the dynamic-partition writer); same seed ⇒ byte-identical
+    * re-runs. */
+  def exportPacked(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, seed: String, nShards: Int, path: String): Unit =
+    packSequences(df, idCol, tokensCol, budget, seed, nShards)
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pack"), col("pack_offset"),
+        col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Benchmark-contamination check: per corpus document, the fraction of
     * its distinct word n-gram shingles that also occur anywhere in
     * `evalSet` (the held-out benchmark corpus). The eval shingle

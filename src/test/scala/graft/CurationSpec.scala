@@ -74,6 +74,37 @@ class CurationSpec extends SparkSpecBase {
     assert(all.sorted.toSeq == (1L to 400L)) // complete and disjoint
   }
 
+  test("exportPacked: shard files are the concatenated token stream") {
+    val docs = (1L to 200L).map(i => (i, 1 + (i % 23).toInt))
+      .toDF("id", "toks")
+    val dir = tmpDir("packed")
+    Curation.exportPacked(docs, "id", "toks", budget = 32L,
+      seed = "pk1", nShards = 4, path = dir)
+    for (s <- 0 until 4) {
+      // no trailing sort: the written order IS the stream order
+      val rows = spark.read.parquet(s"$dir/shard=$s")
+        .select("id", "toks", "pack", "pack_offset")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(rows.nonEmpty)
+      // sequential read reproduces the running token count exactly
+      var cum = 0L
+      rows.foreach { case (id, toks, pack, off) =>
+        assert(pack == cum / 32 && off == cum % 32, s"doc $id shard $s")
+        cum += toks
+      }
+    }
+    // byte-identical re-run (same seed → same artifact)
+    val first = (0 until 4).map(s => spark.read
+      .parquet(s"$dir/shard=$s").select("id").as[Long].collect().toSeq)
+    Curation.exportPacked(docs.repartition(7), "id", "toks", budget = 32L,
+      seed = "pk1", nShards = 4, path = dir)
+    val again = (0 until 4).map(s => spark.read
+      .parquet(s"$dir/shard=$s").select("id").as[Long].collect().toSeq)
+    assert(again == first)
+  }
+
   test("contamination: shingle-overlap fraction against a broadcast eval set") {
     val eval = Seq((100L, "a b c d")).toDF("doc_id", "text") // "a b c","b c d"
     val corpus = Seq(
