@@ -84,6 +84,20 @@ object CurationQueries {
       TextAnalysis.qualityVerdict(docs(s, dir), "text")
         .select("doc_id", "verdict")
         .orderBy("doc_id")
+    }),
+
+    // Per-source quality quota (curriculum selection): the 20 highest-
+    // alpha-ratio docs of each source via the bounded-state grouped
+    // top-k — <=k pairs per group per partition shuffle, never a full
+    // per-source sort. Scores quantized to exact longs for
+    // engine-stable ordering.
+    "q74_quality_quota" -> ((s, dir) => {
+      val sig = TextAnalysis.withQualitySignals(docs(s, dir), "text")
+        .withColumn("q_score",
+          floor(col("alpha_ratio") * lit(1e9) + lit(0.5)).cast("long"))
+      graft.ext.Sketches.groupedTopK(sig, "source", "doc_id", "q_score",
+          k = 20)
+        .orderBy("source", "rank")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -185,5 +199,16 @@ object CurationQueries {
         |      WHEN punct_ratio > 0.2 THEN 'high_punct'
         |      WHEN dup_gram_ratio > 0.2 THEN 'repetitive'
         |      ELSE 'keep' END AS verdict
-        |FROM sig ORDER BY doc_id""".stripMargin)
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    "q74_quality_quota" ->
+      """WITH s AS (SELECT source, doc_id,
+        |    CAST(FLOOR(CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS q_score
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, q_score,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY q_score DESC, doc_id ASC) AS rank
+        |  FROM s)
+        |SELECT source, rank, doc_id, q_score FROM r WHERE rank <= 20
+        |ORDER BY source, rank""".stripMargin)
 }
