@@ -187,10 +187,12 @@ object CurationQueries {
         |        FROM sh GROUP BY 1),
         |sig AS (SELECT k.doc_id,
         |   len(k.t) AS n_tokens,
-        |   CAST(length(regexp_replace(k.text,'[^A-Za-z]','','g')) AS DOUBLE)
-        |     / CAST(length(k.text) AS DOUBLE) AS alpha_ratio,
-        |   CAST(length(regexp_replace(k.text,'[A-Za-z0-9\s]','','g')) AS DOUBLE)
-        |     / CAST(length(k.text) AS DOUBLE) AS punct_ratio,
+        |   CASE WHEN length(k.text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(k.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |             / CAST(length(k.text) AS DOUBLE) END AS alpha_ratio,
+        |   CASE WHEN length(k.text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(k.text,'[A-Za-z0-9\s]','','g')) AS DOUBLE)
+        |             / CAST(length(k.text) AS DOUBLE) END AS punct_ratio,
         |   COALESCE(r.dup_ratio, 0.0) AS dup_gram_ratio
         | FROM toks k LEFT JOIN rep r ON k.doc_id = r.doc_id)
         |SELECT doc_id,
@@ -202,8 +204,9 @@ object CurationQueries {
         |FROM sig ORDER BY doc_id""".stripMargin,
     "q74_quality_quota" ->
       """WITH s AS (SELECT source, doc_id,
-        |    CAST(FLOOR(CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
-        |         / CAST(length(text) AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS q_score
+        |    CASE WHEN length(text) = 0 THEN 0
+        |         ELSE CAST(FLOOR(CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END AS q_score
         |  FROM documents),
         |r AS (SELECT source, doc_id, q_score,
         |    row_number() OVER (PARTITION BY source

@@ -151,8 +151,9 @@ object TextQueries {
     "q33_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
         | len(string_split_regex(text,'\s+')) AS n_tokens,
-        | CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
-        |   / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        | CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |           / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
         | CAST(length(text) - len(string_split_regex(text,'\s+')) + 1 AS DOUBLE)
         |   / CAST(len(string_split_regex(text,'\s+')) AS DOUBLE) AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,

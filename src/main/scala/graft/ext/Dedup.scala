@@ -207,21 +207,28 @@ object Dedup {
     * `Dataset.unpersist` on a localCheckpoint'd frame is a NO-OP (it
     * only uncaches CacheManager entries, and the checkpoint blocks were
     * persisted directly on the RDD), so iterative algorithms must hold
-    * the RDD to actually release the previous round's blocks. */
+    * the RDD to actually release the previous round's blocks.
+    *
+    * Delegates to [[org.apache.spark.sql.graftshim.CheckpointShim]] so
+    * rows stay in Tungsten format end to end — the earlier
+    * `df.rdd`/`createDataFrame` formulation deserialized and re-encoded
+    * every row every round, a 2x serialization tax on each CC iteration. */
   private def materialize(df: DataFrame)
-      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    val rdd = df.rdd
-    rdd.localCheckpoint()
-    rdd.count()
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
-  }
+      : (DataFrame,
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) =
+    org.apache.spark.sql.graftshim.CheckpointShim.materialize(df)
 
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    // symmetrize in ONE scan: union(edges, edges.flipped) would evaluate
+    // the (possibly expensive — a whole near-dup join in q73) edge plan
+    // twice, once per union branch
     val sym = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
-      .select(col(srcCol).as("id"), col(dstCol).as("__n"))
-      .union(edges.select(col(dstCol).as("id"), col(srcCol).as("__n")))
+      .select(explode(array(
+        struct(col(srcCol).as("id"), col(dstCol).as("__n")),
+        struct(col(dstCol).as("id"), col(srcCol).as("__n")))).as("__e"))
+      .select(col("__e.id").as("id"), col("__e.__n").as("__n"))
       .filter(col("id") =!= col("__n"))
       .distinct()
       .persist()
@@ -230,17 +237,27 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // min neighbor label per vertex, then fold into the own label with
+      // a left join (vertices with no smaller neighbor keep theirs). The
+      // __chg flag rides along so the checkpointing action doubles as
+      // the convergence probe — one job per round, no separate
+      // next-vs-old join
       val neighborMin = sym
-        .join(labels.select(col("id").as("__n"), col("comp")), Seq("__n"))
-        .select(col("id"), col("comp"))
-      val (next, nextRdd) = materialize(labels.union(neighborMin)
-        .groupBy("id").agg(min("comp").as("comp")))
-      converged = next
-        .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
-        .filter(col("comp") =!= col("__old"))
-        .isEmpty
+        .join(labels.select(col("id").as("__n"), col("comp").as("__c")),
+          Seq("__n"))
+        .groupBy("id").agg(min("__c").as("__nmin"))
+      val cand = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nmin"), col("comp")))
+            .as("comp"),
+          coalesce((col("__nmin") < col("comp")).cast("int"), lit(0))
+            .as("__chg"))
+      val (next, nextRdd, changed) =
+        org.apache.spark.sql.graftshim.CheckpointShim
+          .materializeSummingInt(cand, "__chg")
+      converged = changed == 0L
       labelsRdd.unpersist() // next is materialized; drop the old blocks
-      labels = next
+      labels = next.select("id", "comp")
       labelsRdd = nextRdd
       iter += 1
     }

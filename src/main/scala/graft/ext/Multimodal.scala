@@ -66,6 +66,9 @@ object Multimodal {
     if (bytes.length < 8) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    // documented no-SPI case returns null; the finally's close() would
+    // then NPE and fail the partition instead of degrading to the fake
+    if (iis == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return None
@@ -81,8 +84,10 @@ object Multimodal {
         val img = reader.read(0)
         val w = img.getWidth
         val h = img.getHeight
-        val stepX = math.max(1, w / 64)
-        val stepY = math.max(1, h / 64)
+        // ceil division: floor (w/64) gives up to 127 samples per axis
+        // for 65..127-px dimensions — ~4x the documented 64x64 bound
+        val stepX = math.max(1, (w + 63) / 64)
+        val stepY = math.max(1, (h + 63) / 64)
         val hist = new Array[Float](8)
         var total = 0
         var y = 0

@@ -82,6 +82,9 @@ object Similarity {
       .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
       .orderBy(col("cid").asc)
       .collect()
+    // an empty matrix would make nearestCentroid emit NULL cids for the
+    // whole corpus — downstream joins then silently drop everything
+    require(rows.nonEmpty, "centroid table is empty; IVF needs >= 1 centroid")
     (rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Double](1)).toSeq)
   }
 
@@ -178,7 +181,10 @@ object Similarity {
         md5(concat(lit("kmeans#"), col(idCol).cast("string"))).as("__h"))
       .orderBy("__h").limit(math.max(k, sampleSize))
       .collect().map(_.getSeq[Double](0))
-    require(sample.nonEmpty, "cannot train centroids on an empty corpus")
+    require(sample.length >= k,
+      s"corpus has ${sample.length} vectors, cannot seed k=$k centroids; " +
+        "note: if the sample holds < k DISTINCT vectors, farthest-point " +
+        "seeding repeats a duplicate and its cell stays empty")
     def d2(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }

@@ -41,10 +41,15 @@ object TextAnalysis {
     val nAlpha = length(regexp_replace(t, "[^A-Za-z]", ""))
     val nPunct = length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
     val toks = tokens(t)
+    // empty text would be 0/0 = NaN, and a downstream floor(...).cast(long)
+    // silently turns NaN into 0 — pin the contract to ratio = 0.0 instead
+    val zeroGuard = nChars === 0
     df.withColumn("n_chars", nChars)
       .withColumn("n_tokens", size(toks))
-      .withColumn("alpha_ratio", nAlpha.cast("double") / nChars.cast("double"))
-      .withColumn("punct_ratio", nPunct.cast("double") / nChars.cast("double"))
+      .withColumn("alpha_ratio", when(zeroGuard, 0.0)
+        .otherwise(nAlpha.cast("double") / nChars.cast("double")))
+      .withColumn("punct_ratio", when(zeroGuard, 0.0)
+        .otherwise(nPunct.cast("double") / nChars.cast("double")))
       .withColumn("mean_token_len",
         (nChars - size(toks) + 1).cast("double") / size(toks).cast("double"))
   }

@@ -217,6 +217,21 @@ class ExtSpec extends SparkSpecBase {
     assert(flipped == got)
   }
 
+  test("connectedComponents: superseded rounds release checkpoint blocks") {
+    import graft.ext.Dedup
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // diameter-9 path => >= 9 propagation rounds, each one materialize
+    val path = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(got(_) == 1L))
+    // every intermediate round's blocks were unpersisted: only the final
+    // labels RDD (backing the returned frame) may remain
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
+  }
+
   test("connectedComponentsStar == min-propagation on adversarial graphs") {
     import graft.ext.Dedup
     def cc(e: org.apache.spark.sql.DataFrame) =
