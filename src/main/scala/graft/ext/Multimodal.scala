@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * parquet-native representation that scales: bytes stay columnar,
   * metadata prunes, and decode happens inside executor partitions.
   *
-  * Decode is two-tier: payloads the in-JDK `javax.imageio` codecs
+  * Decode is three-tier: payloads the in-JDK `javax.imageio` codecs
   * recognize (PNG/JPEG/GIF/BMP) decode for REAL — true pixel
-  * dimensions plus an 8-bin luminance histogram feature; everything
-  * else (audio/video/opaque bytes — the container ships no codecs for
-  * those) falls back to a deterministic fake so the pipeline shape
-  * stays testable end-to-end. The Spark-side contract is real
-  * throughout: schema, batch iteration shape (`mapPartitions`, the
+  * dimensions plus an 8-bin luminance histogram feature; payloads the
+  * in-JDK `javax.sound.sampled` providers recognize (WAV/AIFF/AU)
+  * decode for real too — true sample rate/channels/duration plus an
+  * 8-bin RMS envelope; everything else (video/opaque bytes — the JDK
+  * ships no video codec) falls back to a deterministic fake so the
+  * pipeline shape stays testable end-to-end. The Spark-side contract is
+  * real throughout: schema, batch iteration shape (`mapPartitions`, the
   * Scala analogue of `mapInPandas` batches), partition sizing, and the
   * metadata/feature schema are exactly what further codecs plug into.
   */
@@ -26,8 +28,15 @@ object Multimodal {
   private val MaxDecodePixels = 64L * 1024 * 1024
 
   final case class MediaRow(id: Long, modality: String, payload: Array[Byte])
+
+  /** One feature row per payload. Modality decides which fields are
+    * live: images fill (width, height), audio fills (sample_rate,
+    * n_channels, duration_ms); the other group stays 0. `feature` is
+    * the 8-bin modality feature — luminance histogram for images, RMS
+    * envelope (one bin per temporal eighth) for audio. */
   final case class MediaFeatures(id: Long, modality: String, n_bytes: Int,
-      checksum: String, width: Int, height: Int, feature: Array[Float])
+      checksum: String, width: Int, height: Int, sample_rate: Int,
+      n_channels: Int, duration_ms: Long, feature: Array[Float])
 
   /** Wrap a text/binary source column as a media payload with metadata. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
@@ -37,22 +46,33 @@ object Multimodal {
       .withColumn("n_bytes", length(col("payload")))
       .withColumn("checksum", md5(col("payload")))
 
-  /** Decode one payload: real `javax.imageio` decode when an installed
-    * reader recognizes the bytes, deterministic fake otherwise (audio/
-    * video codecs aren't in the JDK — a deployment adds them here). */
+  /** Decode one payload, trying each real in-JDK codec tier in turn:
+    * `javax.imageio` (PNG/JPEG/GIF/BMP), then `javax.sound.sampled`
+    * (WAV/AIFF/AU). Payloads neither tier recognizes (video — the JDK
+    * ships no video codec — and opaque bytes) fall back to a
+    * deterministic fake so the pipeline shape stays testable. */
   private[ext] def decodeOne(r: MediaRow): MediaFeatures = {
     val bytes = r.payload
     val n = bytes.length
-    val (w, h, feat) = decodeImage(bytes).getOrElse {
-      // deterministic fake, stable across re-runs for testability
-      val fw = 1 + (math.abs(bytes.headOption.getOrElse(0: Byte).toInt) % 64)
-      val fh = 1 + (n % 64)
-      (fw, fh, Array.tabulate(8)(i =>
-        (if (n == 0) 0f else bytes(i % n).toFloat / 128f)))
+    val checksum = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    decodeImage(bytes) match {
+      case Some((w, h, feat)) =>
+        return MediaFeatures(r.id, r.modality, n, checksum, w, h, 0, 0, 0L, feat)
+      case None =>
     }
-    MediaFeatures(r.id, r.modality, n,
-      java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        .map("%02x".format(_)).mkString, w, h, feat)
+    decodeAudio(bytes) match {
+      case Some((rate, chans, durMs, feat)) =>
+        return MediaFeatures(r.id, r.modality, n, checksum, 0, 0,
+          rate, chans, durMs, feat)
+      case None =>
+    }
+    // deterministic fake, stable across re-runs for testability
+    val fw = 1 + (math.abs(bytes.headOption.getOrElse(0: Byte).toInt) % 64)
+    val fh = 1 + (n % 64)
+    val feat = Array.tabulate(8)(i =>
+      (if (n == 0) 0f else bytes(i % n).toFloat / 128f))
+    MediaFeatures(r.id, r.modality, n, checksum, fw, fh, 0, 0, 0L, feat)
   }
 
   /** In-JDK image decode (PNG/JPEG/GIF/BMP/WBMP): true dimensions plus
@@ -109,6 +129,88 @@ object Multimodal {
     } catch {
       case scala.util.control.NonFatal(_) => None
     } finally iis.close()
+  }
+
+  /** Decode ceiling for audio PCM payloads (~200 MB of decoded PCM):
+    * like MaxDecodePixels, bounds what one row may allocate. */
+  private val MaxDecodeAudioBytes = 200L * 1024 * 1024
+
+  /** In-JDK audio decode (`javax.sound.sampled`: WAV/AIFF/AU): true
+    * (sample_rate_hz, n_channels, duration_ms) plus an 8-bin RMS
+    * envelope — bin i is the root-mean-square amplitude (0..1) of the
+    * i-th temporal eighth, channels mixed. Non-PCM encodings the JDK
+    * can convert (U-law/A-law) are converted to 16-bit PCM first.
+    * Returns None when no installed provider claims the bytes (the
+    * magic sniff throws UnsupportedAudioFileException, cheap for
+    * non-audio payloads) or the decode fails, so corrupt files degrade
+    * to the fake instead of failing the partition. */
+  private[graft] def decodeAudio(
+      bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
+    if (bytes.length < 12) return None
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt0 = raw.getFormat
+        val pcm = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt0.getSampleRate, 16, fmt0.getChannels,
+          2 * fmt0.getChannels, fmt0.getSampleRate, false)
+        val in =
+          if (fmt0.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt0.getSampleSizeInBits == 16 && !fmt0.isBigEndian) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, raw)
+        val fmt = in.getFormat
+        val frameSize = fmt.getFrameSize
+        // a declared frame count gates allocation like the image-bomb
+        // check; AU streams may declare NOT_SPECIFIED (-1) and are then
+        // bounded by the read cap below
+        val declared = in.getFrameLength
+        if (declared > 0 && declared * frameSize > MaxDecodeAudioBytes)
+          return None
+        val pcmBytes = readAtMost(in, MaxDecodeAudioBytes)
+        val nFrames = pcmBytes.length / frameSize
+        if (nFrames == 0) return None
+        val chans = fmt.getChannels
+        val nSamples = nFrames * chans
+        // 8 temporal eighths; sum of squares per bin, 16-bit LE signed
+        val sumSq = new Array[Double](8)
+        val cnt = new Array[Long](8)
+        var i = 0
+        while (i < nSamples) {
+          val lo = pcmBytes(2 * i) & 0xff
+          val hi = pcmBytes(2 * i + 1).toInt
+          val s = ((hi << 8) | lo) / 32768.0
+          val bin = math.min(7, (i / chans) * 8L / nFrames).toInt
+          sumSq(bin) += s * s
+          cnt(bin) += 1
+          i += 1
+        }
+        val feat = Array.tabulate(8)(b =>
+          if (cnt(b) == 0) 0f
+          else math.sqrt(sumSq(b) / cnt(b)).toFloat)
+        val durMs = math.round(nFrames * 1000.0 / fmt.getSampleRate)
+        Some((math.round(fmt.getSampleRate), chans, durMs, feat))
+      } finally raw.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Read up to `cap` bytes from the stream (bounded allocation). */
+  private def readAtMost(in: java.io.InputStream, cap: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0 && total < cap) {
+      out.write(buf, 0, math.min(n.toLong, cap - total).toInt)
+      total += n
+      n = in.read(buf)
+    }
+    out.toByteArray
   }
 
   /** Partition-batched decode/feature-extract — executors iterate rows in

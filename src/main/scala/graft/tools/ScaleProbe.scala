@@ -14,10 +14,16 @@ import graft.ranges.RangeJoin
   * term that explodes when an algorithm is quadratic. */
 object ScaleProbe {
 
+  /** Optional substring filter (3rd CLI arg): only probes whose name
+    * contains it run — so a 100x run doesn't pay for every row. */
+  private var nameFilter: Option[String] = None
+
   private def time[T](name: String)(f: => T): Unit = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+    if (nameFilter.forall(name.contains)) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+    }
   }
 
   def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame = {
@@ -30,6 +36,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(20)
+    nameFilter = args.lift(2)
     val spark = GraftSession.local()
     import spark.implicits._
 
@@ -75,6 +82,41 @@ object ScaleProbe {
         .select(countDistinct("comp")).head().getLong(0))
     time("kmeans_train_16x2")(Similarity.trainCentroids(emb, "vec_id",
       "embedding", k = 16, iters = 2).count())
+
+    // multimodal partition sizing: ~1 MB real PNG payloads through the
+    // full decode path. One noise PNG is built once and shipped by
+    // broadcast (the DECODE cost is identical per row; generating 2 GB
+    // of distinct PNGs would just measure the generator). Decode work
+    // is bounded per row (<=64x64 luminance grid), so the variable
+    // under test is rows-per-partition — i.e. how many 1 MB payloads an
+    // executor thread holds at once.
+    {
+      val img = new java.awt.image.BufferedImage(650, 650,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new java.util.Random(42)
+      for (y <- 0 until 650; x <- 0 until 650)
+        img.setRGB(x, y, rnd.nextInt()) // noise defeats PNG compression
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val payload = bos.toByteArray
+      println(f"[probe] media payload bytes = ${payload.length}")
+      val bc = spark.sparkContext.broadcast(payload)
+      val nRows = 2000
+      for (rowsPerPart <- Seq(8, 64, 500)) {
+        val media = spark.range(nRows.toLong)
+          .repartition(nRows / rowsPerPart)
+          .select(col("id"), lit("img").as("modality"))
+          .withColumn("payload", lit(Array.emptyByteArray))
+        import org.apache.spark.sql.{Encoders, Row}
+        implicit val enc = Encoders.product[graft.ext.Multimodal.MediaRow]
+        val withBytes = media.map((r: Row) =>
+          graft.ext.Multimodal.MediaRow(r.getLong(0), r.getString(1),
+            bc.value))
+        time(s"media_decode_1mb_rpp$rowsPerPart")(
+          graft.ext.Multimodal.decodeFeatures(withBytes.toDF())
+            .agg(sum(col("n_bytes"))).head().getLong(0) / (1 << 20))
+      }
+    }
 
     val iv = replicate(GraftSession.table(spark, sfDir, "orders")
       .select("o_orderkey"), "o_orderkey", copies)

@@ -82,6 +82,51 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f.feature.length == 8 && f.width <= 64)
   }
 
+  test("decodeAudio: real WAV decode via javax.sound.sampled") {
+    // 0.5 s, 8 kHz mono 16-bit PCM sine at full scale: RMS = 1/sqrt(2)
+    def wav(rateHz: Int, seconds: Double, amp: Double,
+        silentSecondHalf: Boolean): Array[Byte] = {
+      val n = (rateHz * seconds).toInt
+      val pcm = new Array[Byte](2 * n)
+      for (i <- 0 until n) {
+        val live = !silentSecondHalf || i < n / 2
+        val s = if (live)
+          (amp * 32767 * math.sin(2 * math.Pi * 440 * i / rateHz)).toInt
+        else 0
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, wav(8000, 0.5, 1.0, silentSecondHalf = false)),
+      (2L, wav(16000, 0.25, 0.5, silentSecondHalf = true)),
+      (3L, "definitely not audio".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(rows.toDF("id", "blob"), "id", "blob", "audio")
+    val f = Multimodal.decodeFeatures(media).collect().map(x => x.id -> x).toMap
+    // true header values, not fakes
+    assert(f(1L).sample_rate == 8000 && f(1L).n_channels == 1)
+    assert(math.abs(f(1L).duration_ms - 500L) <= 1)
+    assert(f(2L).sample_rate == 16000 && f(2L).duration_ms == 250L)
+    // full-scale sine RMS ~ 0.707 in every eighth
+    assert(f(1L).feature.forall(v => math.abs(v - 0.707f) < 0.02f))
+    // envelope localizes energy: first half live, second half silent
+    val env = f(2L).feature
+    assert(env.take(4).forall(_ > 0.3f) && env.drop(4).forall(_ < 0.01f))
+    // audio rows leave image fields at 0; non-audio degrades to the fake
+    assert(f(1L).width == 0 && f(1L).height == 0)
+    assert(f(3L).sample_rate == 0 && f(3L).feature.length == 8)
+    // determinism across re-runs
+    val again = Multimodal.decodeFeatures(media).collect().map(x => x.id -> x).toMap
+    assert(f(1L).feature.toSeq == again(1L).feature.toSeq)
+  }
+
   test("sampleFrames: explode shape with stride") {
     val frames = Multimodal.sampleFrames(media.filter($"id" === 1), 3, 2)
     val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
