@@ -204,6 +204,80 @@ object EventStreams {
       }
   }
 
+  /** Watermark-buffered [[streamingPack]] — restores the batch
+    * operator's hash order across micro-batches within a bounded
+    * lateness window.
+    *
+    * [[streamingPack]] packs in arrival order across micro-batches by
+    * contract (an online packer cannot reorder what it already
+    * emitted), so a stream whose batches arrive out of hash order
+    * diverges from `packSequences` even on identical documents. This
+    * variant holds documents in per-shard state and only packs a
+    * document once the event-time watermark (input ts minus
+    * `lateness`) passes its timestamp — every release tranche is
+    * sorted by the batch operator's (shuffle_key, doc_id) order, and
+    * tranches release in watermark order. Consequences:
+    *  - any set of documents whose timestamps all fall inside one
+    *    lateness window is packed in EXACTLY the batch hash order,
+    *    regardless of arrival order or micro-batch boundaries
+    *    (spec: 3-batch out-of-order stream == `packSequences`
+    *    bit-for-bit);
+    *  - each document is emitted exactly once (Append mode), when its
+    *    tranche releases — vs. streamingPack's immediate Update;
+    *  - state per shard is the running token count plus the documents
+    *    still inside the lateness window — bounded by lateness x
+    *    per-shard arrival rate, the price of reordering. The
+    *    one-Long-state arrival-order packer remains the unbounded-
+    *    lateness choice.
+    */
+  def streamingPackWatermarked(docs: DataFrame, idCol: String,
+      tokensCol: String, tsCol: String, budget: Long, seed: String,
+      nShards: Int, lateness: String): Dataset[PackedDoc] = {
+    require(budget >= 1, "pack budget must be >= 1 token")
+    import docs.sparkSession.implicits._
+    import graft.ext.Curation
+    // shard/skey via the COLUMN twins, not a typed .map: a map would
+    // strip the event-time attribute and EventTimeTimeout then fails
+    // analysis ("Event-time timeout not supported without watermark")
+    docs
+      .select(
+        Curation.shard(seed, col(idCol).cast("long"), nShards).as("_1"),
+        Curation.shuffleKey(seed, col(idCol).cast("long")).as("_2"),
+        col(idCol).cast("long").as("_3"),
+        col(tokensCol).cast("long").as("_4"),
+        col(tsCol).cast("timestamp").as("_5"))
+      .withWatermark("_5", lateness)
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(String, Long, Long, Long)]),
+          PackedDoc](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (shard: Long,
+            batch: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Seq[(String, Long, Long, Long)])]) =>
+          // same code path for data and timeout wake-ups: fold new rows
+          // into the buffer, release everything the watermark passed
+          val (cum0, buf0) = state.getOption.getOrElse(
+            (0L, Seq.empty[(String, Long, Long, Long)]))
+          val buf = buf0 ++ batch.map { case (_, skey, id, toks, ts) =>
+            (skey, id, toks, ts.getTime)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (release, keep) = buf.partition(_._4 <= wm)
+          var cum = cum0
+          val out = release.sortBy { case (skey, id, _, _) => (skey, id) }
+            .map { case (_, id, toks, _) =>
+              val start = cum
+              cum += toks
+              PackedDoc(id, shard, start / budget, start % budget)
+            }
+          state.update((cum, keep))
+          // wake when the watermark reaches the oldest buffered doc
+          // (all kept rows have ts > wm, so the timestamp is valid)
+          if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_._4).min)
+          out.iterator
+      }
+  }
+
   final case class TopEvent(key: Long, rank: Int, event_id: Long,
       score_cents: Long)
 

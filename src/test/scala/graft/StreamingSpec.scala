@@ -295,6 +295,52 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("watermark-buffered pack: 3-batch out-of-order stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Curation
+    implicit val sc = spark.sqlContext
+    // 90 docs, timestamps all inside one 10-minute lateness window,
+    // arriving in three micro-batches in NEITHER hash NOR time order
+    val all = (1L to 90L).map(i =>
+      (i, 1 + (i % 17), new java.sql.Timestamp(3600_000L + (i % 7) * 60_000L)))
+    val batches = Seq(
+      all.filter(_._1 % 3 == 2), // arbitrary interleaving
+      all.filter(_._1 % 3 == 0).reverse,
+      all.filter(_._1 % 3 == 1))
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventStreams.streamingPackWatermarked(
+        mem.toDF().toDF("doc_id", "toks", "ts"), "doc_id", "toks", "ts",
+        budget = 64L, seed = "wp1", nShards = 4, lateness = "10 minutes")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("wpack_stream").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // nothing may release yet: the watermark (maxTs - 10 min) has not
+      // passed any document inside the window
+      assert(spark.table("wpack_stream").isEmpty)
+      // a sentinel far past the window pushes the watermark over every
+      // real doc -> ONE release tranche in full (skey, id) hash order
+      mem.addData((1000L, 1L,
+        new java.sql.Timestamp(3600_000L + 60L * 60_000L)))
+      q.processAllAvailable()
+      mem.addData((1001L, 1L,
+        new java.sql.Timestamp(3600_000L + 61L * 60_000L)))
+      q.processAllAvailable()
+      val streamed = spark.table("wpack_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 <= 90L).sortBy(_._1).toSeq
+      val batch = Curation.packSequences(
+        all.map(d => (d._1, d._2)).toDF("doc_id", "toks"), "doc_id",
+          "toks", budget = 64L, seed = "wp1", nShards = 4)
+        .select("doc_id", "shard", "pack", "pack_offset")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("JVM hash twins equal the SQL column forms") {
     import graft.ext.Curation
     val ids = Seq(1L, 42L, 999999L, 7L)
