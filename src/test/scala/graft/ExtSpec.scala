@@ -144,6 +144,31 @@ class ExtSpec extends SparkSpecBase {
     assert(r3 > r1, s"probing must lift recall: $r1 -> $r3")
   }
 
+  test("IVF operating point: trained cells + multi-probe hit recall >= 0.6") {
+    // pins one point from the published recall-vs-cost curve (BENCH.md):
+    // k-means-trained 16 cells, nProbe=4 => each query scans 4/16 of the
+    // corpus's cells (bounded cost) and must keep recall@5 >= 0.6 vs
+    // brute force. Everything is hash-deterministic, so this is a fixed
+    // number (0.628 at HEAD), not a flaky statistical bound.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .cache()
+    val isQuery = $"vec_id" < 50
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteForceTopK(emb,
+      emb.filter(isQuery), "vec_id", "embedding", 5))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 2)
+    val got = topSets(Similarity.ivfTopKProbed(emb, "vec_id", "embedding",
+      cents, isQuery, k = 5, nProbe = 4))
+    val recall = brute.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / brute.size
+    info(f"ivf trained recall@5 (16 cells, 2 iters, nProbe=4): $recall%.3f")
+    assert(recall >= 0.6, f"expected recall >= 0.6, got $recall%.3f")
+  }
+
   test("trainCentroids: recovers well-separated clusters, deterministic") {
     // 3 tight clusters far apart in 4-d
     val centers = Seq(
