@@ -116,6 +116,19 @@ object TextQueries {
       Dedup.byPrefix(docs(s, dir), "doc_id", "text", nTokens = 5)
         .filter(col("n_copies") > 1)
         .orderBy("prefix_hash")
+    }),
+
+    // Substring-level duplicate spans (Lee et al. suffix-array dedup as a
+    // distributed hashed-gram pipeline): per doc, the number of maximal
+    // char spans duplicated verbatim in >= 1 other document and the char
+    // count they cover. Only span EXTENTS shuffle — never gram text.
+    "q75_dup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(docsSpread(s, dir), "doc_id", "text", gramLen = 20)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("span_end") - col("span_start") + 1).cast("long")
+            .as("dup_chars"))
+        .orderBy("doc_id")
     }))
 
   // short-doc fallback branch mirrors TextFunctions.shingles: documents
@@ -226,5 +239,26 @@ object TextQueries {
     "q38_dedup_prefix" ->
       """SELECT md5(array_to_string(string_split_regex(text,'\s+')[1:5],' ')) AS prefix_hash,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 HAVING COUNT(*)>1 ORDER BY prefix_hash""".stripMargin)
+        |FROM documents GROUP BY 1 HAVING COUNT(*)>1 ORDER BY prefix_hash""".stripMargin,
+    // grams group by VALUE here (Spark groups their xxhash64 — same
+    // counts barring ~1e-8 64-bit collisions); span merge is the same
+    // running-max-end window on both sides
+    "q75_dup_spans" ->
+      """WITH g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |             substr(text, CAST(i AS INTEGER), 20) AS gr
+        |           FROM documents, unnest(generate_series(1, length(text)-19)) u(i)),
+        |d AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, pos FROM g JOIN d USING (gr)),
+        |s AS (SELECT doc_id, pos,
+        |       CASE WHEN pos > COALESCE(MAX(pos+19) OVER (PARTITION BY doc_id
+        |              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |            THEN 1 ELSE 0 END AS isnew
+        |      FROM m),
+        |sp AS (SELECT doc_id, pos, SUM(isnew) OVER (PARTITION BY doc_id
+        |         ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |       FROM s),
+        |spans AS (SELECT doc_id, gid, MIN(pos) AS st, MAX(pos)+19 AS en
+        |          FROM sp GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_dup_spans, CAST(SUM(en-st+1) AS BIGINT) AS dup_chars
+        |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin)
 }

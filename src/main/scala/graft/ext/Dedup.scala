@@ -167,6 +167,98 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Cross-document duplicate-SPAN detection — the substring-level dedup
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499), re-expressed as a distributed
+    * hashed-gram pipeline instead of a single-machine suffix array:
+    *
+    *  1. every char `gramLen`-gram of every document becomes
+    *     (id, pos, xxhash64(gram)) — the corpus never ships gram TEXT,
+    *     only 8-byte hashes (64-bit collisions ~1e-8 at corpus scale and
+    *     only span extents are consumed);
+    *  2. one hash-partitioned aggregation finds grams occurring in >= 2
+    *     DISTINCT documents; the gram stream semi-joins against it on
+    *     the same key, so AQE reuses the exchange — one shuffle pays for
+    *     both sides;
+    *  3. per document, overlapping duplicated gram positions merge into
+    *     maximal spans with the running-max-end window idiom (the same
+    *     shape as Genome.introns): a gram opens a new span iff its start
+    *     lies past every previous gram's end.
+    *
+    * Returns (idCol, span_start, span_end) — 1-based inclusive char
+    * extents of every maximal duplicated span. Docs shorter than
+    * `gramLen` emit nothing (whole-document duplicates below the gram
+    * size are [[exact]]'s job; spans can't be shorter than a gram).
+    *
+    * Scale: the shuffle carries one 20-byte row per char position.
+    * `winnowW > 1` thins it by WINNOWING (Schleimer et al., "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): only
+    * grams whose hash is the minimum of their trailing `winnowW`-gram
+    * window ship. Selection is content-defined, hence ALIGNMENT-
+    * INVARIANT — both copies of a duplicated span select the same gram
+    * offsets no matter where the span sits in each document, so every
+    * span of length >= gramLen + winnowW - 1 is still detected (a fixed
+    * position stride has no such guarantee: copies collide only when
+    * their start offsets agree modulo the stride). Reported extents
+    * snap to selected grams, under-covering each span end by < winnowW
+    * chars. winnowW = 1 is exact.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 20, winnowW: Int = 1): DataFrame = {
+    require(gramLen >= 2, "gramLen must be >= 2")
+    require(winnowW >= 1, "winnowW must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val wDoc = W.partitionBy("__id").orderBy("__pos")
+    val g0 = df
+      .filter(length(col(textCol)) >= gramLen)
+      .select(col(idCol).as("__id"),
+        explode(transform(
+          sequence(lit(1), length(col(textCol)) - gramLen + 1),
+          i => struct(i.as("pos"),
+            xxhash64(col(textCol).substr(i, lit(gramLen))).as("gh"))))
+          .as("__g"))
+      .select(col("__id"), col("__g.pos").as("__pos"), col("__g.gh").as("__gh"))
+    // winnowing selection: every w-gram window contributes its minimum
+    // (position-tiebroken) — the set with the gap-<=-w guarantee. NOT
+    // "keep grams that minimize their own trailing window": that rule
+    // selects nothing across a long run of increasing hashes and loses
+    // the guarantee. A selected gram's occurrences in the running-min
+    // stream are consecutive (windows containing its position are), so
+    // a lag-dedup recovers the selected set in the SAME per-doc sort —
+    // the stream thins ~w/2x before anything shuffles.
+    val g =
+      if (winnowW == 1) g0
+      else {
+        val m = min(struct(col("__gh"), col("__pos")))
+          .over(wDoc.rowsBetween(-(winnowW - 1), 0))
+        g0.withColumn("__m", m)
+          .withColumn("__lag", lag(col("__m"), 1).over(wDoc))
+          .filter(col("__lag").isNull || col("__m") =!= col("__lag"))
+          .select(col("__id"), col("__m.__pos").as("__pos"),
+            col("__m.__gh").as("__gh"))
+      }
+    val dup = g.groupBy("__gh")
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("__gh")
+    // consecutive selected grams inside one duplicated span are at most
+    // winnowW positions apart, so spans merge across gaps of winnowW-1
+    // (winnowW = 1 degenerates to plain overlap merging)
+    g.join(dup, Seq("__gh"), "leftsemi")
+      .withColumn("__new",
+        when(col("__pos") >
+          coalesce(max(col("__pos") + gramLen - 1)
+            .over(wDoc.rowsBetween(W.unboundedPreceding, -1)), lit(-1))
+            + (winnowW - 1), 1)
+          .otherwise(0))
+      .withColumn("__span", sum(col("__new"))
+        .over(wDoc.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("__id"), col("__span"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + gramLen - 1).as("span_end"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"))
+  }
+
   /** Embedding near-duplicates: same-`partitionCol` pairs with cosine >=
     * `threshold`. The partition column (cluster id, LSH bucket, shard key)
     * bounds the pair space; compose with

@@ -286,6 +286,62 @@ class ExtSpec extends SparkSpecBase {
     assert((200L to 230L).forall(got(_) == 200L))
   }
 
+  test("duplicate spans: cross-doc substrings merge to maximal extents") {
+    val shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123" // 30 chars
+    val d = Seq(
+      (0L, s"xxxx${shared}yyyyyyyy"),
+      (1L, s"zzzzzzzz${shared}wwww"),
+      (2L, "totally unrelated text with no repeats at all in here"),
+      (3L, "short")) // below gramLen: must emit nothing
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", gramLen = 20)
+      .as[(Long, Int, Int)].collect().toSet
+    // doc0: 20-grams fully inside `shared` start at 5..15 -> span 5..34
+    // (exactly the shared chars); doc1 likewise at 9..38
+    assert(spans == Set((0L, 5, 34), (1L, 9, 38)))
+  }
+
+  test("duplicate spans: two separate spans per doc stay separate") {
+    val s1 = "AAAAAAAAAABBBBBBBBBBCCCC" // 24 chars
+    val s2 = "111111111122222222223333" // 24 chars
+    val d = Seq(
+      (0L, s"${s1}__gap-gap-gap-gap__${s2}"),
+      (1L, s"pre $s1 post"),
+      (2L, s"intro $s2 outro"))
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.duplicateSpans(d, "doc_id", "text", gramLen = 20)
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    assert(byDoc(0L).length == 2, s"expected 2 spans in doc0: ${byDoc(0L).toSeq}")
+    assert(byDoc(0L).map(s => s._3 - s._2 + 1).forall(_ == 24))
+    assert(byDoc(1L).length == 1 && byDoc(2L).length == 1)
+  }
+
+  test("duplicate spans: winnowing detects spans at ANY alignment") {
+    val shared = "The winnowing guarantee says any span of length " +
+      "gramLen plus window minus one survives selection."
+    // the same span planted at every alignment offset 0..6 against a
+    // fixed reference doc — a positional stride would miss the
+    // misaligned copies; content-defined selection cannot
+    val docsShifted = (0 to 6).map(k =>
+      (k.toLong, ("z" * k) + shared + "_tail")) :+
+      (99L, s"reference left $shared right")
+    val d = docsShifted.toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(d, "doc_id", "text",
+      gramLen = 20, winnowW = 4)
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    (0 to 6).foreach(k => assert(got.contains(k.toLong),
+      s"winnowed span missed at alignment $k"))
+    // extents under-cover by < winnowW at each end, never over-cover
+    val exact = Dedup.duplicateSpans(d, "doc_id", "text", gramLen = 20)
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    got.foreach { case (id, sp) =>
+      val (_, es, ee) = exact(id).head
+      val (_, ws, we) = sp.head
+      assert(ws >= es && we <= ee, s"winnowed span over-covers: doc $id")
+      assert(ws - es < 4 && ee - we < 4, s"under-coverage >= w: doc $id")
+    }
+  }
+
   test("lsh topk: bucketed candidates are a subset of brute force ranking") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d * 7).toFloat)) }
