@@ -118,6 +118,20 @@ object TextQueries {
         .orderBy("prefix_hash")
     }),
 
+    // Incremental-snapshot dedup: docs 100+ arriving against the 0-99
+    // snapshot, keyed on the canonical 5-token prefix. Bloom-prefiltered
+    // so neither side shuffles (negative probes skip the join entirely);
+    // semantics are exactly the left-anti join the oracle runs.
+    "q76_incremental_new" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val key = md5(array_join(
+        slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5), " "))
+      Dedup.newRowsBloom(d.filter(col("doc_id") >= 100),
+          d.filter(col("doc_id") < 100), key)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Substring-level duplicate spans (Lee et al. suffix-array dedup as a
     // distributed hashed-gram pipeline): per doc, the number of maximal
     // char spans duplicated verbatim in >= 1 other document and the char
@@ -240,6 +254,13 @@ object TextQueries {
       """SELECT md5(array_to_string(string_split_regex(text,'\s+')[1:5],' ')) AS prefix_hash,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING COUNT(*)>1 ORDER BY prefix_hash""".stripMargin,
+    "q76_incremental_new" ->
+      """SELECT n.doc_id, n.source FROM documents n
+        |WHERE n.doc_id >= 100 AND NOT EXISTS (
+        |  SELECT 1 FROM documents e WHERE e.doc_id < 100
+        |  AND md5(array_to_string(string_split_regex(e.text,'\s+')[1:5],' ')) =
+        |      md5(array_to_string(string_split_regex(n.text,'\s+')[1:5],' ')))
+        |ORDER BY n.doc_id""".stripMargin,
     // grams group by VALUE here (Spark groups their xxhash64 — same
     // counts barring ~1e-8 64-bit collisions); span merge is the same
     // running-max-end window on both sides

@@ -276,6 +276,48 @@ object Dedup {
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"), col("cos"))
   }
 
+  /** Incremental-snapshot dedup: rows of `newDf` whose `key` does NOT
+    * occur in `existing` — semantically a plain left-anti join, planned
+    * so that NEITHER corpus shuffles:
+    *
+    *  1. a Bloom filter builds over the existing keys (one scan, one
+    *     tiny word aggregation — [[Sketches.buildBloomBits]]);
+    *  2. new rows probe it in-scan (codegen'd
+    *     [[graft.functions.expressions.BloomMightContain]]): a negative
+    *     probe is DEFINITE absence, so those rows are new with no join
+    *     at all — at typical delta-vs-corpus overlap that is almost
+    *     every row;
+    *  3. only bloom-hit candidates (true duplicates + the fpp sliver)
+    *     are exact-checked: their keys broadcast to a semi-scan of
+    *     `existing`, the matched key set (bounded by the candidate set)
+    *     broadcasts back for the anti join.
+    *
+    * The classic shuffle anti-join moves BOTH datasets; here the only
+    * broadcast state is bloom-candidate-sized, so a 100 TB corpus is
+    * scanned twice and moved never. False positives cost an exact
+    * check, never a wrong answer.
+    *
+    * `key` must be an unresolved column expression (built from column
+    * names present in both frames), e.g. `md5(col("text"))` or the
+    * canonical prefix hash. */
+  def newRowsBloom(newDf: DataFrame, existing: DataFrame,
+      key: org.apache.spark.sql.Column, fpp: Double = 0.01): DataFrame = {
+    val spark = newDf.sparkSession
+    val nExisting = math.max(1L, existing.count())
+    val (bits, k) = Sketches.buildBloomBits(
+      existing.select(xxhash64(key).as("__k")), "__k", nExisting, fpp)
+    val probe = Sketches.bloomMightContain(spark, xxhash64(key), bits, k)
+    val definiteNew = newDf.filter(!probe)
+    val cand = newDf.filter(probe)
+    val candKeys = cand.select(key.as("__h")).distinct()
+    val matched = existing
+      .join(broadcast(candKeys), key === col("__h"), "leftsemi")
+      .select(key.as("__h")).distinct()
+    val confirmedNew = cand
+      .join(broadcast(matched), key === col("__h"), "leftanti")
+    definiteNew.unionByName(confirmedNew)
+  }
+
   /** Connected components over an undirected edge list — the step that
     * turns near-dup PAIRS (minhash/simhash/embedding) into dedup
     * CLUSTERS: `comp` is the minimum id reachable from each vertex, so

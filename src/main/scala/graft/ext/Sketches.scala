@@ -198,6 +198,58 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble * 4294967296.0) /
         element_at(mins, k).cast("double"))
 
+  /** Build a Bloom-filter bitmap over `keyCol` (a BIGINT column —
+    * callers hash arbitrary values with `xxhash64(...)`). Sized from
+    * `(expectedItems, fpp)` by the standard formulas, m rounded up to
+    * whole 64-bit words so build and probe agree on m exactly.
+    *
+    * The build is pure built-in columns — each key explodes to its k
+    * bit indexes via the chained `xxhash64(key, i)` family, indexes
+    * fold to (word, or-mask) pairs, and ONE hash aggregation with
+    * map-side partials produces ≤ m/64 word rows: the corpus is
+    * scanned, never shuffled (the shuffle carries at most
+    * words × partitions rows). The probe side
+    * ([[graft.functions.expressions.BloomMightContain]]) replays the
+    * same family inside whole-stage codegen.
+    *
+    * The bitmap ships to probes as a plan literal, like the IVF
+    * centroid matrix — sized for reference sets (eval suites, snapshot
+    * digest sets), not for hundred-billion-key corpora; the guard caps
+    * it at 128 MB. Returns (bits, k). */
+  def buildBloomBits(keys: DataFrame, keyCol: String, expectedItems: Long,
+      fpp: Double): (Array[Long], Int) = {
+    require(expectedItems >= 1, "expectedItems must be >= 1")
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    val ln2 = math.log(2.0)
+    val mExact = math.ceil(-expectedItems.toDouble * math.log(fpp) /
+      (ln2 * ln2)).toLong
+    val words = ((mExact + 63) / 64).toInt
+    require(words >= 1 && words <= (1 << 24),
+      s"bloom bitmap would be $words words; the plan-literal contract " +
+        "caps it at 16M words (128 MB) — lower expectedItems or raise fpp")
+    val m = words.toLong * 64L
+    val k = math.max(1,
+      math.round(m.toDouble / expectedItems.toDouble * ln2).toInt)
+    val wordRows = keys
+      .filter(col(keyCol).isNotNull)
+      .select(explode(array((0 until k).map(i =>
+        pmod(xxhash64(col(keyCol), lit(i.toLong)), lit(m))): _*)).as("__idx"))
+      .select(expr("CAST(__idx DIV 64 AS INT)").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__idx % 64 AS INT))").as("__b"))
+      .groupBy("__w").agg(expr("bit_or(__b)").as("__word"))
+      .collect()
+    val bits = new Array[Long](words)
+    wordRows.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    (bits, k)
+  }
+
+  /** Probe column for a [[buildBloomBits]] bitmap: false = definitely
+    * absent, true = present-or-false-positive. */
+  def bloomMightContain(spark: org.apache.spark.sql.SparkSession,
+      key: Column, bits: Array[Long], k: Int): Column =
+    graft.functions.expressions.SketchExpressions.bloomMightContain(
+      spark, key, typedLit(bits.toSeq), lit(k))
+
   /** KMV distinct-count estimate per group: with U(k) the k-th smallest
     * of the distinct u32 hashes, estimate `(k-1) · 2^32 / U(k)`; exact
     * when a group has fewer than k distinct hashes. Standard error is

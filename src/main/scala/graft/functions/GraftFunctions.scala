@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct, NearestCentroid, WordShingles}
+import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, NearestCentroid, WordShingles}
 
 /** The engine's SQL function surface, one list consumed two ways:
   *
@@ -75,6 +75,11 @@ object GraftFunctions {
       "graft_shingles(text STRING, n INT) - distinct word n-gram shingles",
       arity("graft_shingles", 2)(e =>
         WordShingles(e(0), intLiteral("graft_shingles", e(1))))),
+    entry("graft_bloom_might_contain",
+      "graft_bloom_might_contain(key BIGINT, bits ARRAY<BIGINT>, k INT) -" +
+        " Bloom probe: false = definitely absent, true = maybe present",
+      arity("graft_bloom_might_contain", 3)(e =>
+        BloomMightContain(e(0), e(1), e(2)))),
     entry("graft_overlap_length",
       "graft_overlap_length(s1, e1, s2, e2) - closed-end interval overlap" +
         " length, 0 when disjoint",

@@ -342,6 +342,44 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom filter: no false negatives, fpp near nominal") {
+    import graft.ext.Sketches
+    val members = (0L until 2000L).map(i => i * 31 + 7)
+    val keysDf = members.toDF("v").select(xxhash64($"v").as("k"))
+    val (bits, k) = Sketches.buildBloomBits(keysDf, "k", 2000, 0.01)
+    assert(k > 1)
+    // probe the members themselves and 18k guaranteed non-members
+    val probed = (0L until 2000L).map(i => i * 31 + 7)
+      .++((0L until 18000L).map(i => -1000000L - i))
+      .toDF("v")
+      .select($"v", Sketches.bloomMightContain(spark, xxhash64($"v"), bits, k)
+        .as("hit"))
+      .as[(Long, Boolean)].collect()
+    val (mem, non) = probed.partition(_._1 >= 0)
+    assert(mem.forall(_._2), "bloom false negative — contract violation")
+    val fp = non.count(_._2).toDouble / non.length
+    info(f"bloom fpp measured: $fp%.4f (nominal 0.01)")
+    assert(fp < 0.05, s"false-positive rate way off nominal: $fp")
+  }
+
+  test("newRowsBloom == plain anti join; confirm joins broadcast") {
+    import graft.ext.Dedup
+    val existing = (0L until 300L).map(i => (i, s"doc number ${i % 120} body"))
+      .toDF("id", "text") // 120 distinct texts
+    val newDf = (1000L until 1200L).map(i => (i, s"doc number ${i - 1000} body"))
+      .toDF("id", "text") // ids 1000..1119 collide with existing texts
+    val key = md5($"text")
+    val got = Dedup.newRowsBloom(newDf, existing, key)
+    val want = newDf.join(existing.select(md5($"text").as("__eh")).distinct(),
+      md5($"text") === $"__eh", "leftanti")
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      want.select("id").as[Long].collect().sorted.toSeq)
+    assert(got.count() == 80) // 1120..1199 are genuinely new
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"bloom-prefiltered dedup must not shuffle-join:\n$plan")
+  }
+
   test("lsh topk: bucketed candidates are a subset of brute force ranking") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d * 7).toFloat)) }
