@@ -21,6 +21,18 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     GraftSession.table(s, dir, "embeddings")
 
+  /** Deterministic PQ codebooks for the oracle-checked queries: 8
+    * subspaces of 8 dims, codewords = subvectors of the 16 lowest-id
+    * embeddings (cid = vec_id). [[Similarity.pqTrain]] is the trained
+    * path (spec-verified); a k-means loop is not SQL-replicable, so the
+    * hash-checked queries pin the codebooks instead. */
+  private def fixedCodebooks(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        posexplode(array((0 until 8).map(s =>
+          slice(col("embedding").cast("array<double>"), s * 8 + 1, 8)): _*)))
+      .select(col("pos").as("sub"), col("cid"), col("col").as("cvec"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact ANN baseline: top-5 cosine neighbors for 10 query vectors.
     // Plan: one corpus scan × broadcast queries; no corpus shuffle.
@@ -59,6 +71,29 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Product-quantization encode: 8 subspaces x 8 dims, codewords = the
+    // 16 lowest-id vectors' subvectors (deterministic, so the oracle can
+    // rebuild the exact codebooks). Map-only: one codegen argmin per
+    // subspace over a literal codebook; the corpus never shuffles.
+    "q77_pq_encode" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqEncode(e, "vec_id", "embedding", fixedCodebooks(e))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("pq_code"), _.cast("string")))
+            .as("pq_code"))
+        .orderBy("vec_id")
+    }),
+
+    // PQ asymmetric-distance top-3 for 10 queries: per query an 8x16
+    // exact LUT, per corpus row 8 table lookups over its 8-byte code --
+    // the scan reads codes, not vectors (32x compression at this shape).
+    "q78_pq_adc_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopKAdc(e, "vec_id", "embedding", fixedCodebooks(e),
+          col("vec_id") < 10, k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // Near-dup pairs -> dedup CLUSTERS: connected components over the
     // q42 edge list (min-label propagation, lineage-checkpointed
     // iterations); cluster = min reachable vec_id, is_rep marks the
@@ -72,6 +107,28 @@ object VectorQueries {
           (col("id") === col("comp")).cast("int").as("is_rep"))
         .orderBy("vec_id")
     }))
+
+  /** Shared PQ oracle prefix: per-subspace codebooks from the 16
+    * lowest-id vectors, per-(vector, subspace) argmin assignment with
+    * the (distance, cid) tiebreak — mirrors NearestCentroid over
+    * cid-ordered codebooks exactly. */
+  private val pqAsgCte =
+    """WITH sub AS (SELECT UNNEST(generate_series(0,7)) AS s),
+      |cw AS (SELECT sub.s, e.vec_id AS cid,
+      |        list_transform(generate_series(1,8),
+      |          i -> CAST(e.embedding[sub.s*8+i] AS DOUBLE)) AS cv
+      |       FROM embeddings e, sub WHERE e.vec_id < 16),
+      |ev AS (SELECT e.vec_id, sub.s,
+      |        list_transform(generate_series(1,8),
+      |          i -> CAST(e.embedding[sub.s*8+i] AS DOUBLE)) AS sv
+      |       FROM embeddings e, sub),
+      |asg AS (SELECT vec_id, s, cid FROM (
+      |   SELECT ev.vec_id, ev.s, cw.cid,
+      |     ROW_NUMBER() OVER (PARTITION BY ev.vec_id, ev.s ORDER BY
+      |       list_sum(list_transform(generate_series(1,8),
+      |         i -> (ev.sv[i]-cw.cv[i])*(ev.sv[i]-cw.cv[i]))), cw.cid) AS rn
+      |   FROM ev JOIN cw ON ev.s = cw.s) WHERE rn = 1)
+      |""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q40_cosine_topk" ->
@@ -119,6 +176,30 @@ object VectorQueries {
         |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
         |      FROM sc)
         |SELECT q_id, n_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // PQ: both oracles rebuild the codebooks from the 16 lowest-id
+    // vectors' subvector slices. Squared distances are computed as
+    // list_sum(list_transform(...)) — an in-order left fold over
+    // dimensions, bit-identical to the codegen kernels' loops (plain
+    // SUM/list_distance would aggregate in unspecified order / via
+    // sqrt and drift in final ulps).
+    "q77_pq_encode" ->
+      (pqAsgCte +
+        """SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS pq_code
+          |FROM asg GROUP BY 1 ORDER BY vec_id""".stripMargin),
+    "q78_pq_adc_topk" ->
+      (pqAsgCte + """,
+        |ncv AS (SELECT a.vec_id, a.s, cw.cv FROM asg a
+        |        JOIN cw ON a.s = cw.s AND a.cid = cw.cid),
+        |q AS (SELECT vec_id AS q_id, s, sv FROM ev WHERE vec_id < 10),
+        |ps AS (SELECT q.q_id, n.vec_id AS n_id, q.s,
+        |        list_sum(list_transform(generate_series(1,8),
+        |          i -> (q.sv[i]-n.cv[i])*(q.sv[i]-n.cv[i]))) AS d
+        |       FROM q JOIN ncv n ON q.s = n.s WHERE n.vec_id <> q.q_id),
+        |dist AS (SELECT q_id, n_id, list_sum(list(d ORDER BY s)) AS dist
+        |         FROM ps GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY dist ASC, n_id ASC) AS INTEGER) AS rank FROM dist)
+        |SELECT q_id, n_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
     // q42's edge list + a recursive min-reachable closure (tiny graph:
     // the verified near-dup pairs), grouped to (vertex, min reachable).
     "q73_dedup_clusters" ->

@@ -185,22 +185,7 @@ object Similarity {
       s"corpus has ${sample.length} vectors, cannot seed k=$k centroids; " +
         "note: if the sample holds < k DISTINCT vectors, farthest-point " +
         "seeding repeats a duplicate and its cell stays empty")
-    def d2(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    // farthest-point traversal; minD(i) = distance to nearest chosen seed
-    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
-    val minD = sample.map(d2(_, sample(0)))
-    while (chosen.length < math.min(k, sample.length)) {
-      val next = minD.indices.maxBy(i => (minD(i), -i)) // tie → first
-      chosen += sample(next)
-      var i = 0
-      while (i < sample.length) {
-        minD(i) = math.min(minD(i), d2(sample(i), sample(next))); i += 1
-      }
-    }
+    val chosen = farthestPointSeeds(sample, k)
     var cents: Seq[(Long, Seq[Double])] =
       chosen.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
     for (_ <- 1 to iters) {
@@ -222,6 +207,231 @@ object Similarity {
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
     cents.toDF("cid", "cvec")
+  }
+
+  /** Product quantization (Jégou, Douze, Schmid, TPAMI 2011): split the
+    * embedding into `m` contiguous subspaces, quantize each subvector
+    * against its own `ksub`-codeword codebook, and search with
+    * asymmetric distance (ADC) — per query, one m×ksub lookup table of
+    * exact subvector-to-codeword distances; per corpus row, m table
+    * lookups. The corpus scan touches an m-byte CODE instead of the
+    * full vector: at m=8, ksub=256 over 64 float dims that is 8 bytes
+    * vs 256 — a 32× memory/IO compression, which is what makes
+    * billion-vector ANN storable at all.
+    *
+    * Codebook contract mirrors IVF: `codebooks` has (sub, cid, cvec)
+    * rows, driver-sized (m × ksub × subdim doubles), collected once and
+    * shipped as literals into codegen kernels; the corpus is never
+    * joined or shuffled for encode or scoring. */
+  private def collectCodebooks(
+      codebooks: DataFrame): Seq[(Seq[Long], Seq[Seq[Double]])] = {
+    val rows = codebooks
+      .select(col("sub").cast("int"), col("cid").cast("long"),
+        col("cvec").cast("array<double>"))
+      .orderBy(col("sub").asc, col("cid").asc)
+      .collect()
+    require(rows.nonEmpty, "PQ codebook table is empty")
+    val bySub = rows.groupBy(_.getInt(0))
+    val subs = bySub.keys.toSeq.sorted
+    require(subs == (0 until subs.length),
+      s"PQ codebooks must cover subspaces 0..m-1 contiguously, got $subs")
+    subs.map { s =>
+      val e = bySub(s).sortBy(_.getLong(1))
+      (e.map(_.getLong(1)).toSeq, e.map(_.getSeq[Double](2)).toSeq)
+    }
+  }
+
+  /** Per-subspace codeword-INDEX columns (the map-only encode kernel:
+    * one codegen'd argmin per subspace over a literal codebook). */
+  private def encodeIndexCols(vecCol: String,
+      cbs: Seq[(Seq[Long], Seq[Seq[Double]])]): Seq[org.apache.spark.sql.Column] = {
+    val subdim = cbs.head._2.head.length
+    cbs.zipWithIndex.map { case ((_, matrix), s) =>
+      require(matrix.forall(_.length == subdim),
+        s"subspace $s codewords disagree on dimensionality")
+      nearestCentroid(
+        slice(col(vecCol).cast("array<double>"), s * subdim + 1, subdim),
+        matrix)
+    }
+  }
+
+  /** PQ-encode the corpus: adds `pq_code`, the array of per-subspace
+    * codeword cids (cid order within a subspace defines the index the
+    * ADC kernel uses). Map-only — no join, no shuffle, same plan shape
+    * as [[ivfAssign]]. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    val codes = encodeIndexCols(vecCol, cbs).zip(cbs).map {
+      case (idx, (cids, _)) => element_at(typedLit(cids), idx + lit(1))
+    }
+    corpus.withColumn("pq_code", array(codes: _*))
+  }
+
+  /** ADC top-k: every corpus row is scored against each query with m
+    * table lookups over its PQ code ([[graft.functions.expressions.PqAdcDistance]]);
+    * the query set (with its per-query LUTs) broadcasts, so the corpus
+    * is scanned once, never shuffled, and never touches full vectors.
+    * Output (q_id, n_id, rank), rank by approximate distance ASC with
+    * the canonical n_id tiebreak; self-matches excluded. Approximate by
+    * construction — recall depends on codebook quality (see
+    * [[pqTrain]] and the BENCH.md curve). */
+  def pqTopKAdc(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val cbs = collectCodebooks(codebooks)
+    val subdim = cbs.head._2.head.length
+    // corpus side: index codes (NOT cids — the LUT is index-addressed)
+    val enc = corpus.withColumn("__code",
+      array(encodeIndexCols(vecCol, cbs).map(_.cast("long")): _*))
+    // query side: LUT[s][j] = ||q_sub(s) - codeword_j(s)||², computed
+    // once per query row (interpreted HOFs are fine on the small side)
+    val lut = array(cbs.zipWithIndex.map { case ((_, matrix), s) =>
+      transform(typedLit(matrix),
+        cw => aggregate(
+          zip_with(slice(col("__qv"), s * subdim + 1, subdim), cw,
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+    }: _*)
+    val q = enc.filter(queryPred)
+      .select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__lut", lut)
+      .select("q_id", "__lut")
+    val scored = enc.select(col(idCol).as("n_id"), col("__code"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("dist", graft.functions.expressions.VectorExpressions
+        .pqAdcDistance(spark, col("__code"), col("__lut")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
+  /** PQ with exact re-ranking — the standard production pairing: ADC
+    * over codes produces a `shortlist`-deep candidate set per query
+    * (cheap, compressed scan of the WHOLE corpus), then only those
+    * shortlist vectors are fetched and re-ranked with exact squared L2.
+    * Recall@k approaches ADC recall@shortlist, which is far higher than
+    * ADC recall@k (quantization error re-orders neighbors locally, it
+    * rarely expels them from a deep shortlist).
+    *
+    * Scale shape: the corpus is scanned once over m-byte codes; the
+    * only full vectors that move are the |queries|×shortlist fetch,
+    * via a broadcast semi-filter — the corpus is never shuffled. */
+  def pqTopKRerank(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val cand = pqTopKAdc(corpus, idCol, vecCol, codebooks, queryPred,
+      shortlist)
+    val vecs = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val q = corpus.filter(queryPred)
+      .select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+    // shortlist ids broadcast twice (they are |q|*shortlist rows): the
+    // corpus-side vector fetch stays a broadcast join, no corpus shuffle
+    val fetched = vecs.join(broadcast(cand), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("__d", graft.functions.VectorFunctions
+        .l2sqFast(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__d").asc, col("n_id").asc)
+    fetched.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
+  /** Train PQ codebooks: ONE corpus pass collects the deterministic
+    * hash sample (the same TakeOrdered idiom as [[trainCentroids]]),
+    * then each subspace runs farthest-point-seeded Lloyd on its sample
+    * SLICE driver-side — the standard PQ practice (FAISS trains
+    * codebooks on a sample): running m distributed Lloyd jobs instead
+    * would scan the corpus m×iters times for codebooks that a few
+    * thousand sample vectors already determine. Fully deterministic
+    * (hash sample order, fixed-order sums). Returns (sub, cid, cvec)
+    * with cids 0..ksub-1 per subspace, ready for
+    * [[pqEncode]]/[[pqTopKAdc]]/[[pqTopKRerank]]. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int, iters: Int = 3, sampleSize: Int = 4096): DataFrame = {
+    require(m >= 1, "need m >= 1 subspaces")
+    require(ksub >= 1 && iters >= 0, "need ksub >= 1 and iters >= 0")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Seq[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"),
+        md5(concat(lit("pq#"), col(idCol).cast("string"))).as("__h"))
+      .orderBy("__h").limit(math.max(ksub, sampleSize))
+      .collect().map(_.getSeq[Double](0))
+    require(sample.length >= ksub,
+      s"corpus has ${sample.length} vectors, cannot seed ksub=$ksub codewords")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subdim = dims / m
+    (0 until m).flatMap { s =>
+      val sliced = sample.map(v => v.slice(s * subdim, (s + 1) * subdim))
+      lloydOnSample(sliced, ksub, iters).zipWithIndex.map {
+        case (c, i) => (s, i.toLong, c)
+      }
+    }.toDF("sub", "cid", "cvec")
+  }
+
+  private def d2(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Farthest-point traversal over a deterministic sample: greedy pick
+    * of the vector farthest from the chosen set, first-index ties —
+    * the shared seeding for [[trainCentroids]] and [[pqTrain]]. */
+  private def farthestPointSeeds(sample: Array[Seq[Double]],
+      k: Int): scala.collection.mutable.ArrayBuffer[Seq[Double]] = {
+    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minD = sample.map(d2(_, sample(0)))
+    while (chosen.length < math.min(k, sample.length)) {
+      val next = minD.indices.maxBy(i => (minD(i), -i)) // tie → first
+      chosen += sample(next)
+      var i = 0
+      while (i < sample.length) {
+        minD(i) = math.min(minD(i), d2(sample(i), sample(next))); i += 1
+      }
+    }
+    chosen
+  }
+
+  /** Deterministic driver-side Lloyd over a sample slice — the PQ
+    * codebook trainer. Sums run in fixed sample order, so the result is
+    * a pure function of the sample; cells that lose every member keep
+    * their previous centroid (same contract as [[trainCentroids]]). */
+  private def lloydOnSample(pts: Array[Seq[Double]], k: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    val dims = pts.head.length
+    var cents: Seq[Seq[Double]] = farthestPointSeeds(pts, k).toSeq
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val cnt = new Array[Long](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.PositiveInfinity; var j = 0
+        while (j < cents.length) {
+          val dd = d2(p, cents(j))
+          if (dd < bestD) { bestD = dd; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += p(i); i += 1 }
+        cnt(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (cnt(j) == 0L) old
+        else sums(j).map(_ / cnt(j)).toSeq
+      }
+    }
+    cents
   }
 
   /** Multi-probe LSH top-k: queries probe their own bucket plus every

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, NearestCentroid, WordShingles}
+import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, L2Squared, NearestCentroid, PqAdcDistance, WordShingles}
 
 /** The engine's SQL function surface, one list consumed two ways:
   *
@@ -75,6 +75,13 @@ object GraftFunctions {
       "graft_shingles(text STRING, n INT) - distinct word n-gram shingles",
       arity("graft_shingles", 2)(e =>
         WordShingles(e(0), intLiteral("graft_shingles", e(1))))),
+    entry("graft_l2sq",
+      "graft_l2sq(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) - squared L2 distance",
+      arity("graft_l2sq", 2)(e => L2Squared(e(0), e(1)))),
+    entry("graft_pq_adc",
+      "graft_pq_adc(code ARRAY<BIGINT>, lut ARRAY<ARRAY<DOUBLE>>) -" +
+        " PQ asymmetric distance: sum of per-subspace LUT lookups",
+      arity("graft_pq_adc", 2)(e => PqAdcDistance(e(0), e(1)))),
     entry("graft_bloom_might_contain",
       "graft_bloom_might_contain(key BIGINT, bits ARRAY<BIGINT>, k INT) -" +
         " Bloom probe: false = definitely absent, true = maybe present",

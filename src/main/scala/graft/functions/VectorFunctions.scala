@@ -51,6 +51,12 @@ object VectorFunctions {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
+  /** Codegen'd squared L2 (same element order as [[l2sq]]). */
+  def l2sqFast(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.l2Squared(
+      org.apache.spark.sql.SparkSession.active,
+      a.cast("array<double>"), b.cast("array<double>"))
+
   /** Deterministic pseudo-random hyperplane component for plane `p`,
     * dimension `i`: md5-derived value in [-0.5, 0.5). Lets every executor
     * (and any other engine) regenerate identical hyperplanes without

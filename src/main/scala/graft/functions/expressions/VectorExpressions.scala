@@ -90,6 +90,47 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Squared L2 distance, same contract as [[CosineSimilarity]]; the
+  * element order of the summation matches the interpreted
+  * `aggregate(zip_with(...))` form in VectorFunctions.l2sq exactly. */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_squared"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var i = 0
+    while (i < n) {
+      val t = x.getDouble(i) - y.getDouble(i); d += t * t; i += 1
+    }
+    java.lang.Double.valueOf(d)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("l2N")
+      val d = ctx.freshName("l2D")
+      val i = ctx.freshName("l2I")
+      val t = ctx.freshName("l2T")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $t = $a.getDouble($i) - $b.getDouble($i);
+         |  $d += $t * $t;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 /** Argmin centroid index: `left` is an array<double> vector, `right` a
   * (foldable, broadcast-as-literal) array<array<double>> centroid matrix.
   * Returns the 0-based index of the centroid with the smallest squared L2
@@ -161,6 +202,65 @@ case class NearestCentroid(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Product-quantization asymmetric-distance (ADC) kernel: `left` is a
+  * PQ code (array<bigint> of per-subspace codeword INDEXES), `right` the
+  * query's lookup table (array<array<double>>: per subspace, the
+  * precomputed squared L2 distance from the query's subvector to every
+  * codeword). The approximate distance is m table lookups summed in
+  * subspace order — no vector math touches the corpus row at all, which
+  * is the entire point of PQ (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011): the scan
+  * reads an 8-byte code instead of a 256-byte embedding.
+  *
+  * A code outside its subspace table (corrupt input) yields null rather
+  * than an arbitrary distance — one dirty row must not rank. */
+case class PqAdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_distance"
+
+  override def nullSafeEval(codeA: Any, lutA: Any): Any = {
+    val code = codeA.asInstanceOf[ArrayData]
+    val lut = lutA.asInstanceOf[ArrayData]
+    val m = math.min(code.numElements(), lut.numElements())
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      val c = code.getLong(s)
+      val l = lut.getArray(s)
+      if (c < 0 || c >= l.numElements()) return null
+      d += l.getDouble(c.toInt)
+      s += 1
+    }
+    java.lang.Double.valueOf(d)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (code, lut) => {
+      val m = ctx.freshName("pqM")
+      val d = ctx.freshName("pqD")
+      val s = ctx.freshName("pqS")
+      val c = ctx.freshName("pqC")
+      val l = ctx.freshName("pqL")
+      s"""
+         |int $m = java.lang.Math.min($code.numElements(), $lut.numElements());
+         |double $d = 0.0;
+         |for (int $s = 0; !${ev.isNull} && $s < $m; $s++) {
+         |  long $c = $code.getLong($s);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $l = $lut.getArray($s);
+         |  if ($c < 0 || $c >= $l.numElements()) { ${ev.isNull} = true; }
+         |  else { $d += $l.getDouble((int) $c); }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object VectorExpressions {
 
   /** Register as SQL temp functions (Spark 4 removed public
@@ -184,5 +284,15 @@ object VectorExpressions {
       matrix: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_nearest_centroid", vec, matrix)
+  }
+
+  def pqAdcDistance(spark: SparkSession, code: Column, lut: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_pq_adc", code, lut)
+  }
+
+  def l2Squared(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_l2sq", a, b)
   }
 }

@@ -82,6 +82,14 @@ object ScaleProbe {
         .select(countDistinct("comp")).head().getLong(0))
     time("kmeans_train_16x2")(Similarity.trainCentroids(emb, "vec_id",
       "embedding", k = 16, iters = 2).count())
+    // PQ: train 16x32 codebooks, encode the corpus (map-only), ADC-score
+    // 10 queries over codes — the compressed-scan ANN path
+    time("pq_train_encode_adc")({
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 16, ksub = 32, iters = 1)
+      Similarity.pqTopKAdc(emb, "vec_id", "embedding", cb,
+        $"vec_id" < 10, 5).count()
+    })
 
     // multimodal partition sizing: ~1 MB real PNG payloads through the
     // full decode path. One noise PNG is built once and shipped by
