@@ -9,17 +9,20 @@ import org.apache.spark.sql.functions._
   * parquet-native representation that scales: bytes stay columnar,
   * metadata prunes, and decode happens inside executor partitions.
   *
-  * Decode is three-tier: payloads the in-JDK `javax.imageio` codecs
+  * Decode is four-tier: payloads the in-JDK `javax.imageio` codecs
   * recognize (PNG/JPEG/GIF/BMP) decode for REAL — true pixel
   * dimensions plus an 8-bin luminance histogram feature; payloads the
   * in-JDK `javax.sound.sampled` providers recognize (WAV/AIFF/AU)
   * decode for real too — true sample rate/channels/duration plus an
-  * 8-bin RMS envelope; everything else (video/opaque bytes — the JDK
-  * ships no video codec) falls back to a deterministic fake so the
-  * pipeline shape stays testable end-to-end. The Spark-side contract is
-  * real throughout: schema, batch iteration shape (`mapPartitions`, the
-  * Scala analogue of `mapInPandas` batches), partition sizing, and the
-  * metadata/feature schema are exactly what further codecs plug into.
+  * 8-bin RMS envelope; video CONTAINERS parse for real (MP4/ISO BMFF
+  * and RIFF AVI headers are public specs — true dimensions, duration,
+  * track count), while video FRAME decode needs a codec the JDK does
+  * not ship and stays stubbed ([[sampleFrames]]); anything else falls
+  * back to a deterministic fake so the pipeline shape stays testable
+  * end-to-end. The Spark-side contract is real throughout: schema,
+  * batch iteration shape (`mapPartitions`, the Scala analogue of
+  * `mapInPandas` batches), partition sizing, and the metadata/feature
+  * schema are exactly what further codecs plug into.
   */
 object Multimodal {
 
@@ -31,9 +34,11 @@ object Multimodal {
 
   /** One feature row per payload. Modality decides which fields are
     * live: images fill (width, height), audio fills (sample_rate,
-    * n_channels, duration_ms); the other group stays 0. `feature` is
-    * the 8-bin modality feature — luminance histogram for images, RMS
-    * envelope (one bin per temporal eighth) for audio. */
+    * n_channels, duration_ms), video containers fill (width, height,
+    * duration_ms) plus n_channels = declared track/stream count; the
+    * rest stays 0. `feature` is the 8-bin modality feature — luminance
+    * histogram for images, RMS envelope (one bin per temporal eighth)
+    * for audio, container byte-value histogram for video. */
   final case class MediaFeatures(id: Long, modality: String, n_bytes: Int,
       checksum: String, width: Int, height: Int, sample_rate: Int,
       n_channels: Int, duration_ms: Long, feature: Array[Float])
@@ -46,11 +51,11 @@ object Multimodal {
       .withColumn("n_bytes", length(col("payload")))
       .withColumn("checksum", md5(col("payload")))
 
-  /** Decode one payload, trying each real in-JDK codec tier in turn:
-    * `javax.imageio` (PNG/JPEG/GIF/BMP), then `javax.sound.sampled`
-    * (WAV/AIFF/AU). Payloads neither tier recognizes (video — the JDK
-    * ships no video codec — and opaque bytes) fall back to a
-    * deterministic fake so the pipeline shape stays testable. */
+  /** Decode one payload, trying each real tier in turn: `javax.imageio`
+    * (PNG/JPEG/GIF/BMP), `javax.sound.sampled` (WAV/AIFF/AU), then the
+    * video container header parse (MP4/AVI). Payloads no tier
+    * recognizes fall back to a deterministic fake so the pipeline shape
+    * stays testable. */
   private[ext] def decodeOne(r: MediaRow): MediaFeatures = {
     val bytes = r.payload
     val n = bytes.length
@@ -65,6 +70,12 @@ object Multimodal {
       case Some((rate, chans, durMs, feat)) =>
         return MediaFeatures(r.id, r.modality, n, checksum, 0, 0,
           rate, chans, durMs, feat)
+      case None =>
+    }
+    decodeVideoMeta(bytes) match {
+      case Some((w, h, tracks, durMs, feat)) =>
+        return MediaFeatures(r.id, r.modality, n, checksum, w, h,
+          0, tracks, durMs, feat)
       case None =>
     }
     // deterministic fake, stable across re-runs for testability
@@ -198,6 +209,151 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
   }
+
+  // ---- video container metadata (pure header parse — no JDK video
+  // codec exists, but the CONTAINER formats are public specs: ISO BMFF
+  // / ISO 14496-12 for MP4, Microsoft RIFF AVI. Dimensions, duration
+  // and track count come from the headers; frame DECODE stays stubbed.)
+
+  private def u32be(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  private def u32le(b: Array[Byte], p: Int): Long =
+    ((b(p + 3) & 0xffL) << 24) | ((b(p + 2) & 0xffL) << 16) |
+      ((b(p + 1) & 0xffL) << 8) | (b(p) & 0xffL)
+
+  private def fourcc(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** ISO-BMFF box walk over [start, end): (type, payloadStart,
+    * payloadEnd) triples. Defensive: bounded box count, 64-bit and
+    * to-end sizes handled, malformed sizes terminate the walk. */
+  private def mp4Boxes(b: Array[Byte], start: Int,
+      end: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var p = start
+    var guard = 0
+    while (p + 8 <= end && guard < 128) {
+      val size32 = u32be(b, p)
+      val typ = fourcc(b, p + 4)
+      val (payload, boxEnd): (Int, Long) =
+        if (size32 == 0L) (p + 8, end.toLong) // box extends to end
+        else if (size32 == 1L) { // 64-bit largesize
+          if (p + 16 > end) return out.toSeq
+          val sz = (u32be(b, p + 8) << 32) | u32be(b, p + 12)
+          (p + 16, p + sz)
+        } else (p + 8, p + size32)
+      if (size32 != 0L && size32 != 1L && size32 < 8L) return out.toSeq
+      if (boxEnd > end || boxEnd < payload) return out.toSeq
+      out += ((typ, payload, boxEnd.toInt))
+      p = boxEnd.toInt
+      guard += 1
+    }
+    out.toSeq
+  }
+
+  /** MP4/ISO-BMFF: (width, height, n_tracks, duration_ms) from
+    * moov/mvhd + moov/trak/tkhd. Width/height are the maxima over
+    * tracks (video tracks declare nonzero 16.16 fixed-point dims;
+    * audio-only tracks declare 0×0). */
+  private def decodeMp4(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes.length < 16) return None
+    val top = mp4Boxes(bytes, 0, bytes.length)
+    // magic gate: a real BMFF file leads with ftyp (or at least has moov)
+    if (!top.exists(t => t._1 == "ftyp" || t._1 == "moov")) return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    val kids = mp4Boxes(bytes, moov._2, moov._3)
+    var timescale = 0L; var duration = 0L
+    kids.find(_._1 == "mvhd").foreach { case (_, p, e) =>
+      if (p + 4 <= e) {
+        val v = bytes(p) & 0xff
+        if (v == 1 && p + 28 <= e) {
+          timescale = u32be(bytes, p + 20)
+          duration = (u32be(bytes, p + 24) << 32) | u32be(bytes, p + 28)
+        } else if (v == 0 && p + 20 <= e) {
+          timescale = u32be(bytes, p + 12)
+          duration = u32be(bytes, p + 16)
+        }
+      }
+    }
+    var w = 0; var h = 0; var tracks = 0
+    kids.filter(_._1 == "trak").foreach { case (_, tp, te) =>
+      tracks += 1
+      mp4Boxes(bytes, tp, te).find(_._1 == "tkhd").foreach { case (_, p, e) =>
+        val off = if ((bytes(p) & 0xff) == 1) 88 else 76
+        if (p + off + 8 <= e) {
+          w = math.max(w, (u32be(bytes, p + off) >> 16).toInt)
+          h = math.max(h, (u32be(bytes, p + off + 4) >> 16).toInt)
+        }
+      }
+    }
+    if (tracks == 0 && timescale == 0L) return None
+    val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+    Some((w, h, tracks, durMs))
+  }
+
+  /** RIFF AVI: (width, height, n_streams, duration_ms) from the avih
+    * main header inside LIST hdrl. All fields little-endian. */
+  private def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes.length < 24) return None
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
+    var p = 12
+    var guard = 0
+    while (p + 8 <= bytes.length && guard < 64) {
+      val id = fourcc(bytes, p)
+      val sz = u32le(bytes, p + 4)
+      if (sz < 0 || p + 8 + sz > bytes.length) return None
+      if (id == "LIST" && sz >= 4 && fourcc(bytes, p + 8) == "hdrl") {
+        // scan hdrl children for avih
+        var q = p + 12
+        val end = p + 8 + sz.toInt
+        var g2 = 0
+        while (q + 8 <= end && g2 < 64) {
+          val cid = fourcc(bytes, q)
+          val csz = u32le(bytes, q + 4).toInt
+          if (csz < 0 || q + 8 + csz > end) return None
+          if (cid == "avih" && csz >= 40) {
+            val d = q + 8
+            val usPerFrame = u32le(bytes, d)
+            val totalFrames = u32le(bytes, d + 16)
+            val streams = u32le(bytes, d + 24).toInt
+            val w = u32le(bytes, d + 32).toInt
+            val h = u32le(bytes, d + 36).toInt
+            return Some((w, h, streams, usPerFrame * totalFrames / 1000L))
+          }
+          q += 8 + csz + (csz & 1) // RIFF chunks pad to even
+          g2 += 1
+        }
+        return None
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1)
+      guard += 1
+    }
+    None
+  }
+
+  /** Video-container metadata decode: MP4 then AVI; plus an 8-bin
+    * byte-value histogram over (a bounded sample of) the payload as the
+    * container feature. Frame decode needs a codec the JDK doesn't
+    * ship — [[sampleFrames]] remains the documented stub for that. */
+  private[graft] def decodeVideoMeta(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Long, Array[Float])] =
+    try decodeMp4(bytes).orElse(decodeAvi(bytes)).map {
+      case (w, h, tracks, durMs) =>
+        val hist = new Array[Float](8)
+        val step = math.max(1, bytes.length / 65536)
+        var i = 0; var total = 0
+        while (i < bytes.length) {
+          hist((bytes(i) >> 5) & 7) += 1f
+          total += 1
+          i += step
+        }
+        if (total > 0) { var j = 0; while (j < 8) { hist(j) /= total; j += 1 } }
+        (w, h, tracks, durMs, hist)
+    } catch {
+      case scala.util.control.NonFatal(_) => None // malformed → fake
+    }
 
   /** Read up to `cap` bytes from the stream (bounded allocation). */
   private def readAtMost(in: java.io.InputStream, cap: Long): Array[Byte] = {

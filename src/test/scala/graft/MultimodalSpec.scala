@@ -127,6 +127,71 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f(1L).feature.toSeq == again(1L).feature.toSeq)
   }
 
+  test("decodeVideoMeta: real MP4 (ISO BMFF) header parse") {
+    // hand-built per ISO 14496-12: ftyp + moov(mvhd + video trak +
+    // audio trak) + mdat — we control the writer, so every expected
+    // value is known exactly
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes("US-ASCII")); bb.put(payload)
+      bb.array
+    }
+    val mvhd = java.nio.ByteBuffer.allocate(100) // v0 layout
+    mvhd.putInt(12, 1000) // timescale
+    mvhd.putInt(16, 5000) // duration → 5000 ms
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(84) // v0 layout
+      b.putInt(76, w << 16) // 16.16 fixed
+      b.putInt(80, h << 16)
+      box("tkhd", b.array)
+    }
+    val mp4 = box("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", mvhd.array) ++
+        box("trak", tkhd(640, 360)) ++ box("trak", tkhd(0, 0))) ++
+      box("mdat", Array.tabulate(300)(_.toByte))
+    val rows = Seq((1L, mp4),
+      (2L, mp4.take(40)), // truncated: no moov → fake
+      (3L, "certainly not a video container".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(rows.toDF("id", "blob"), "id", "blob", "video")
+    val f = Multimodal.decodeFeatures(media).collect().map(x => x.id -> x).toMap
+    assert(f(1L).width == 640 && f(1L).height == 360)
+    assert(f(1L).duration_ms == 5000L)
+    assert(f(1L).n_channels == 2) // declared track count
+    assert(f(1L).sample_rate == 0)
+    assert(math.abs(f(1L).feature.sum - 1f) < 1e-4f)
+    // malformed / non-container bytes degrade to the deterministic fake
+    assert(f(2L).duration_ms == 0L && f(3L).duration_ms == 0L)
+    val again = Multimodal.decodeFeatures(media).collect().map(x => x.id -> x).toMap
+    assert(f(1L).feature.toSeq == again(1L).feature.toSeq)
+  }
+
+  test("decodeVideoMeta: real AVI (RIFF) header parse") {
+    def le(i: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(i); b.array
+    }
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(0, 40000)  // us/frame (25 fps)
+    avih.putInt(16, 250)   // frames → 10 s
+    avih.putInt(24, 2)     // streams
+    avih.putInt(32, 320)   // width
+    avih.putInt(36, 240)   // height
+    val avihChunk = "avih".getBytes("US-ASCII") ++ le(56) ++ avih.array
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le(4 + avihChunk.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avihChunk
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl
+    val avi = "RIFF".getBytes("US-ASCII") ++ le(body.length) ++ body
+    val f = Multimodal.decodeFeatures(Multimodal.asMedia(
+      Seq((7L, avi)).toDF("id", "blob"), "id", "blob", "video"))
+      .collect().head
+    assert(f.width == 320 && f.height == 240)
+    assert(f.duration_ms == 10000L)
+    assert(f.n_channels == 2)
+  }
+
   test("sampleFrames: explode shape with stride") {
     val frames = Multimodal.sampleFrames(media.filter($"id" === 1), 3, 2)
     val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
