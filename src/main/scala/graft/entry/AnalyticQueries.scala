@@ -33,6 +33,24 @@ object AnalyticQueries {
           col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Time-RANGE window frame: per customer, the rolling 30-day order
+    // revenue and count — RANGE BETWEEN over day offsets (value-based
+    // peers), not ROWS. One hash shuffle on the customer key + one
+    // in-partition sort; exact DECIMAL window sums for hash parity.
+    "q79_rolling_window" -> ((s, dir) => {
+      val days = datediff(to_date(col("o_orderdate")),
+        lit("1990-01-01").cast("date"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("__d"))
+        .rangeBetween(-29, 0)
+      t(s, dir, "orders")
+        .withColumn("__d", days)
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("rolling_revenue"),
+          count(lit(1)).over(w).as("rolling_orders"))
+        .orderBy("o_orderkey")
+    }),
+
     // Window-rank family over a total (tie-free) order: rank/dense_rank/
     // ntile/percent_rank/cume_dist in one window pass.
     "q50_window_ranks" -> ((s, dir) => {
@@ -131,6 +149,17 @@ object AnalyticQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q79_rolling_window" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |  CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS d FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(p) OVER win AS DOUBLE) AS rolling_revenue,
+        |  COUNT(*) OVER win AS rolling_orders
+        |FROM o
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY d
+        |               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q49_cube" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

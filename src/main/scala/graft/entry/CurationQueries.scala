@@ -86,6 +86,15 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus-conditional bigram familiarity (the self-trained
+    // "perplexity filter" shape): per doc, the exact-integer sum of
+    // quantized conditional bigram probabilities under the corpus's own
+    // bigram table. Low scores = out-of-domain / scrambled text.
+    "q80_bigram_familiarity" -> ((s, dir) => {
+      TextAnalysis.bigramFamiliarity(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Per-source quality quota (curriculum selection): the 20 highest-
     // alpha-ratio docs of each source via the bounded-state grouped
     // top-k — <=k pairs per group per partition shuffle, never a full
@@ -202,6 +211,21 @@ object CurationQueries {
         |      WHEN dup_gram_ratio > 0.2 THEN 'repetitive'
         |      ELSE 'keep' END AS verdict
         |FROM sig ORDER BY doc_id""".stripMargin,
+    // same (1e9*c)/cp double op order as the Spark column, quantized to
+    // BIGINT per bigram BEFORE the per-doc sum (integer summation is
+    // order-free; a double sum would not hash-match)
+    "q80_bigram_familiarity" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM toks, unnest(generate_series(1, len(t)-1)) u(i)
+        |       WHERE len(t) >= 2),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |cp AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cp FROM cb GROUP BY 1)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CAST(FLOOR(1e9 * cb.c / cp.cp + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS familiarity
+        |FROM bg b JOIN cb USING (w1, w2) JOIN cp USING (w1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q74_quality_quota" ->
       """WITH s AS (SELECT source, doc_id,
         |    CASE WHEN length(text) = 0 THEN 0

@@ -135,6 +135,45 @@ object TextAnalysis {
         col("df"), col("score"))
   }
 
+  /** Corpus-conditional bigram familiarity — the language-model-flavored
+    * quality signal that needs no external model: train a bigram table
+    * on the corpus itself (c(w1,w2) and its prefix marginal c(w1) =
+    * Σ_w2 c(w1,w2)), then score every document by how predictable its
+    * own bigrams are under that table. In-domain boilerplate scores
+    * high, out-of-domain or shuffled-word text scores low — the classic
+    * "perplexity filter" shape with the corpus as its own LM.
+    *
+    * Parity device: each bigram contributes the QUANTIZED conditional
+    * probability `floor(1e9 · c/cp + 0.5)` as an exact long, so the
+    * per-doc sum is integer arithmetic — order-free and engine-portable
+    * (a double sum would depend on aggregation order). `familiarity` is
+    * that sum; divide by `n_bigrams` for a per-token score.
+    *
+    * Plan: one explode + count aggregation builds the table (the prefix
+    * marginal reuses the same shuffle partitioning), one join scores
+    * occurrences, one per-doc aggregation. All keys are token pairs —
+    * text never shuffles whole. */
+  def bigramFamiliarity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bg = df
+      .filter(size(toks) >= 2)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1))).as("__bg"))
+      .select(col(idCol), col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
+    val cb = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c"))
+    val cp = cb.groupBy("__w1").agg(sum(col("__c")).as("__cp"))
+    bg.join(cb, Seq("__w1", "__w2"))
+      .join(cp, Seq("__w1"))
+      .withColumn("__q",
+        floor(lit(1e9) * col("__c") / col("__cp") + lit(0.5)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__q")).cast("long").as("familiarity"))
+  }
+
   /** Scrub pass: replace email-like tokens, long digit runs (ids/phones)
     * and URLs with typed placeholders — the standard pre-training
     * redaction sweep. Pure regexp_replace chain: map-only, codegen'd,

@@ -82,6 +82,11 @@ object ScaleProbe {
         .select(countDistinct("comp")).head().getLong(0))
     time("kmeans_train_16x2")(Similarity.trainCentroids(emb, "vec_id",
       "embedding", k = 16, iters = 2).count())
+    // duplicate spans: winnowing selection thins the gram shuffle ~w/2x
+    // (w=1 is exact); detection still guaranteed for spans >= 20+w-1
+    for (w <- Seq(1, 4, 8))
+      time(s"dup_spans_w$w")(Dedup.duplicateSpans(docs, "doc_id", "text",
+        gramLen = 20, winnowW = w).count())
     // PQ: train 16x32 codebooks, encode the corpus (map-only), ADC-score
     // 10 queries over codes — the compressed-scan ANN path
     time("pq_train_encode_adc")({

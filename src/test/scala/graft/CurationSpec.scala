@@ -185,6 +185,30 @@ class CurationSpec extends SparkSpecBase {
     assert(got(5L) == "high_punct")
   }
 
+  test("bigramFamiliarity: in-domain text outscores scrambled text") {
+    // 20 docs repeating the same phrase patterns + one doc of the SAME
+    // vocabulary in a never-seen order: the corpus-conditional bigram
+    // score must separate them (the self-trained perplexity-filter
+    // property)
+    val normal = (0 until 20).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog run $i"))
+    val scrambled = (99L, "dog the over quick lazy brown jumps fox the run")
+    val df = (normal :+ scrambled).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFamiliarity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2).toDouble / r.getLong(1))).toMap
+    val normalAvg = normal.map(n => got(n._1)).sum / normal.length
+    assert(got(99L) < normalAvg / 2,
+      s"scrambled ${got(99L)} vs normal avg $normalAvg")
+    // exact-integer scores: same input, any partitioning, same sums
+    val again = TextAnalysis.bigramFamiliarity(df.repartition(7),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val first = TextAnalysis.bigramFamiliarity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == first)
+  }
+
   test("withRepetitionScore: exact gram accounting") {
     val df = Seq(
       (1L, "a b a b a"),        // grams: ab ba ab ba -> 4 total, 2 distinct
