@@ -119,6 +119,35 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-vs-snapshot dedup — the online form of
+    * [[graft.ext.Dedup.newRowsBloom]]: pass only stream rows whose
+    * `key` does NOT exist in a static snapshot. The snapshot's Bloom
+    * bitmap is built ONCE at plan time and rides into every micro-batch
+    * as a plan literal; a negative probe is definite absence, so those
+    * rows pass with zero join work (at typical delta-vs-corpus overlap,
+    * almost every row). Only bloom-hit candidates anti-join the
+    * broadcast snapshot key set — stateless (no state store, no
+    * watermark), exactly the stream-static join contract.
+    *
+    * Contract: the snapshot KEY SET must be broadcastable (its bitmap
+    * already is, 128 MB guard) — for snapshots whose keys are not,
+    * accept the configured fpp and drop the confirm join instead.
+    * `key` must be an unresolved column expression valid on both
+    * frames. */
+  def streamNewRows(stream: DataFrame, snapshot: DataFrame,
+      key: org.apache.spark.sql.Column, fpp: Double = 0.01): DataFrame = {
+    val spark = snapshot.sparkSession
+    val n = math.max(1L, snapshot.count())
+    val (bits, k) = graft.ext.Sketches.buildBloomBits(
+      snapshot.select(xxhash64(key).as("__k")), "__k", n, fpp)
+    val probe = graft.ext.Sketches.bloomMightContain(
+      spark, xxhash64(key), bits, k)
+    val snapKeys = snapshot.select(key.as("__h")).distinct()
+    stream.filter(probe)
+      .join(broadcast(snapKeys), key === col("__h"), "leftanti")
+      .unionByName(stream.filter(!probe))
+  }
+
   /** Stream-static enrichment: join the live stream against a static
     * dimension table. Stateless (no watermark, no state store) — the dim
     * broadcasts into every micro-batch, so the stream side never

@@ -220,6 +220,31 @@ class StreamingSpec extends SparkSpecBase {
       batchEvents.join(dim, Seq("event_type"), "left_anti").count() > 0)
   }
 
+  test("streamNewRows: stream-vs-snapshot bloom dedup == batch anti join") {
+    // snapshot = docs 0..99; stream = the whole corpus arriving as files
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select("doc_id", "text")
+    // canonical 5-token-prefix key: cross-boundary prefix dups exist at
+    // this sf, so the dedup genuinely removes rows
+    val key = md5(array_join(
+      slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5), " "))
+    val snapshot = docs.filter(col("doc_id") < 100)
+    val newDocs = docs.filter(col("doc_id") >= 100)
+    val want = graft.ext.Dedup.newRowsBloom(newDocs, snapshot, key)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    val dir = tmpDir("bloom-stream-in")
+    newDocs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val got = EventStreams.runToMemory(spark,
+        EventStreams.streamNewRows(stream, snapshot, key), "bloom_new")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    assert(want.nonEmpty && got == want)
+    assert(got.length < newDocs.count(), "dedup must remove the planted dups")
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     val events = batchEvents
       .select(col("event_id"), col("ts"), col("user_id"),
