@@ -132,6 +132,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus vocabulary with Zipf ranks + cumulative coverage (the
+    // tokenizer-vocab sizing table). Vocab-sized global sort only; the
+    // corpus-sized stage is one map-side-combined count.
+    "q81_vocabulary" -> ((s, dir) => {
+      TextAnalysis.vocabulary(docs(s, dir), "text")
+        .orderBy("rank")
+    }),
+
     // Substring-level duplicate spans (Lee et al. suffix-array dedup as a
     // distributed hashed-gram pipeline): per doc, the number of maximal
     // char spans duplicated verbatim in >= 1 other document and the char
@@ -254,6 +262,16 @@ object TextQueries {
       """SELECT md5(array_to_string(string_split_regex(text,'\s+')[1:5],' ')) AS prefix_hash,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING COUNT(*)>1 ORDER BY prefix_hash""".stripMargin,
+    "q81_vocabulary" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(text,'\s+')) AS term FROM documents),
+        |v AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v)
+        |SELECT term, cnt,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank,
+        |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(t.total AS DOUBLE) AS coverage
+        |FROM v, t ORDER BY rank""".stripMargin,
     "q76_incremental_new" ->
       """SELECT n.doc_id, n.source FROM documents n
         |WHERE n.doc_id >= 100 AND NOT EXISTS (

@@ -94,6 +94,19 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-PQ (the FAISS IVFPQ layout): coarse cells (q43's 8 pinned
+    // centroids) x PQ codes (q77's pinned codebooks); queries ADC-score
+    // only their own cell's codes. Both map-only kernels on the corpus;
+    // probe list + LUT broadcast.
+    "q82_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", cents,
+          fixedCodebooks(e), col("vec_id") < 10, k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // Near-dup pairs -> dedup CLUSTERS: connected components over the
     // q42 edge list (min-label propagation, lineage-checkpointed
     // iterations); cluster = min reachable vec_id, is_rep marks the
@@ -195,6 +208,30 @@ object VectorQueries {
         |        list_sum(list_transform(generate_series(1,8),
         |          i -> (q.sv[i]-n.cv[i])*(q.sv[i]-n.cv[i]))) AS d
         |       FROM q JOIN ncv n ON q.s = n.s WHERE n.vec_id <> q.q_id),
+        |dist AS (SELECT q_id, n_id, list_sum(list(d ORDER BY s)) AS dist
+        |         FROM ps GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY dist ASC, n_id ASC) AS INTEGER) AS rank FROM dist)
+        |SELECT q_id, n_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+    "q82_ivfpq_topk" ->
+      (pqAsgCte + """,
+        |cent AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS cvec
+        |         FROM embeddings WHERE vec_id < 8),
+        |cell AS (SELECT vec_id, ccid FROM (
+        |   SELECT e.vec_id, c.ccid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec), c.ccid) AS rn
+        |   FROM embeddings e, cent c) WHERE rn = 1),
+        |ncv AS (SELECT a.vec_id, a.s, cw.cv FROM asg a
+        |        JOIN cw ON a.s = cw.s AND a.cid = cw.cid),
+        |q AS (SELECT ev.vec_id AS q_id, ev.s, ev.sv, cell.ccid
+        |      FROM ev JOIN cell ON ev.vec_id = cell.vec_id
+        |      WHERE ev.vec_id < 10),
+        |ps AS (SELECT q.q_id, n.vec_id AS n_id, q.s,
+        |        list_sum(list_transform(generate_series(1,8),
+        |          i -> (q.sv[i]-n.cv[i])*(q.sv[i]-n.cv[i]))) AS d
+        |       FROM q JOIN ncv n ON q.s = n.s
+        |       JOIN cell nc ON nc.vec_id = n.vec_id AND nc.ccid = q.ccid
+        |       WHERE n.vec_id <> q.q_id),
         |dist AS (SELECT q_id, n_id, list_sum(list(d ORDER BY s)) AS dist
         |         FROM ps GROUP BY 1, 2),
         |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id

@@ -346,6 +346,53 @@ object Similarity {
       .select("q_id", "n_id", "rank")
   }
 
+  /** IVF-PQ — the billion-scale ANN layout (FAISS IVFPQ): the corpus
+    * is coarse-quantized into IVF cells AND stored as m-byte PQ codes;
+    * a query probes its `nProbe` nearest cells and ADC-scores ONLY
+    * those cells' codes. Both reductions compose: the cell probe cuts
+    * the candidate set to nProbe/cells of the corpus, the codes cut
+    * bytes-per-candidate ~16-32×. Everything on the corpus side is the
+    * same two map-only codegen kernels as [[ivfAssign]]/[[pqEncode]];
+    * the query side (probe list + LUT) broadcasts — the corpus never
+    * shuffles. Compose with a [[pqTopKRerank]]-style exact re-rank for
+    * recall-critical use. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, codebooks: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val spark = corpus.sparkSession
+    val (cids, matrix) = collectCentroids(centroids)
+    val cbs = collectCodebooks(codebooks)
+    val subdim = cbs.head._2.head.length
+    val enc = assignWith(corpus, vecCol, cids, matrix)
+      .withColumn("__code",
+        array(encodeIndexCols(vecCol, cbs).map(_.cast("long")): _*))
+    val lut = array(cbs.zipWithIndex.map { case ((_, cwm), s) =>
+      transform(typedLit(cwm),
+        cw => aggregate(
+          zip_with(slice(col("__qv"), s * subdim + 1, subdim), cw,
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+    }: _*)
+    val q = enc.filter(queryPred)
+      .select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("cid", explode(probeCells(col("__qv"), cids, matrix, nProbe)))
+      .withColumn("__lut", lut)
+      .select("q_id", "cid", "__lut")
+    val scored = enc.select(col(idCol).as("n_id"), col("cid"), col("__code"))
+      .join(broadcast(q), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("dist", graft.functions.expressions.VectorExpressions
+        .pqAdcDistance(spark, col("__code"), col("__lut")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
   /** Train PQ codebooks: ONE corpus pass collects the deterministic
     * hash sample (the same TakeOrdered idiom as [[trainCentroids]]),
     * then each subspace runs farthest-point-seeded Lloyd on its sample

@@ -135,6 +135,30 @@ object TextAnalysis {
         col("df"), col("score"))
   }
 
+  /** Corpus vocabulary with Zipf ranks and cumulative coverage — the
+    * tokenizer-vocab-building primitive: every distinct token with its
+    * count, its frequency rank (count desc, term asc), and the fraction
+    * of ALL token occurrences covered by ranks 1..r. `coverage` answers
+    * "how big must the vocab be to cover X% of the corpus" directly.
+    *
+    * Scale: the heavy stage is the explode + count aggregation, which
+    * map-side combines; the rank/coverage windows run over the VOCAB
+    * (≪ corpus) — a deliberate vocab-sized global sort, the same class
+    * as every oracle ORDER BY. Total-count joins in by broadcast. */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val v = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = v.agg(sum(col("cnt")).as("__total"))
+    val wOrd = W.orderBy(col("cnt").desc, col("term").asc)
+    v.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(wOrd).cast("long"))
+      .withColumn("coverage",
+        sum(col("cnt")).over(wOrd.rowsBetween(W.unboundedPreceding,
+          W.currentRow)).cast("double") / col("__total").cast("double"))
+      .select("term", "cnt", "rank", "coverage")
+  }
+
   /** Corpus-conditional bigram familiarity — the language-model-flavored
     * quality signal that needs no external model: train a bigram table
     * on the corpus itself (c(w1,w2) and its prefix marginal c(w1) =

@@ -418,6 +418,34 @@ class ExtSpec extends SparkSpecBase {
     assert(again == rerank)
   }
 
+  test("ivfpq: probing every cell == plain ADC; single probe cell-bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .cache()
+    val isQuery = $"vec_id" < 20
+    val cents = emb.filter($"vec_id" % 60 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val nCells = cents.count().toInt
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 16, ksub = 16, iters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().toSet
+    // probing ALL cells must reduce IVFPQ to the full-corpus ADC scan
+    val full = rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      cents, cb, isQuery, k = 3, nProbe = nCells))
+    val adc = rows(Similarity.pqTopKAdc(emb, "vec_id", "embedding",
+      cb, isQuery, k = 3))
+    assert(full == adc)
+    // single probe: every returned neighbor shares the query's own cell
+    val single = rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      cents, cb, isQuery, k = 3, nProbe = 1))
+    val cellOf = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    single.foreach { case (q, n, _) =>
+      assert(cellOf(q) == cellOf(n), s"pair ($q,$n) crosses cells")
+    }
+    assert(single.nonEmpty)
+  }
+
   test("bloom filter: no false negatives, fpp near nominal") {
     import graft.ext.Sketches
     val members = (0L until 2000L).map(i => i * 31 + 7)
