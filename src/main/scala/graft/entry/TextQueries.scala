@@ -140,6 +140,19 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // Tokenizer-apply: docs encoded as vocab-rank id arrays (q81's
+    // vocabulary as a literal map, map-only transform — no corpus join).
+    // Output hashed as a comma string so the compare certifies every id.
+    "q83_encode_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.encodeTokens(d, "text",
+          TextAnalysis.vocabulary(d, "text"))
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("token_ids"), _.cast("string")))
+            .as("ids"))
+        .orderBy("doc_id")
+    }),
+
     // Substring-level duplicate spans (Lee et al. suffix-array dedup as a
     // distributed hashed-gram pipeline): per doc, the number of maximal
     // char spans duplicated verbatim in >= 1 other document and the char
@@ -262,6 +275,17 @@ object TextQueries {
       """SELECT md5(array_to_string(string_split_regex(text,'\s+')[1:5],' ')) AS prefix_hash,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING COUNT(*)>1 ORDER BY prefix_hash""".stripMargin,
+    "q83_encode_tokens" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(text,'\s+')) AS term FROM documents),
+        |v AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |r AS (SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank FROM v),
+        |dt AS (SELECT t.doc_id, u.i, t.t[u.i] AS term
+        |       FROM (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents) t,
+        |            unnest(generate_series(1, len(t.t))) u(i))
+        |SELECT dt.doc_id,
+        |  string_agg(CAST(COALESCE(r.rank, 0) AS VARCHAR), ',' ORDER BY dt.i) AS ids
+        |FROM dt LEFT JOIN r USING (term)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q81_vocabulary" ->
       """WITH tok AS (SELECT unnest(string_split_regex(text,'\s+')) AS term FROM documents),
         |v AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),

@@ -159,6 +159,23 @@ object TextAnalysis {
       .select("term", "cnt", "rank", "coverage")
   }
 
+  /** Tokenizer-apply: encode every document as its array of vocabulary
+    * token ids (= [[vocabulary]] ranks; out-of-vocab tokens map to
+    * `unkId`, default 0). The vocab ships as a literal map into a
+    * map-only `transform` — no join touches the corpus, the same
+    * driver-sized-table contract as IVF centroids (a tokenizer vocab is
+    * 32k–256k entries by construction). This is the last step before
+    * [[Curation.packSequences]]: text → ids → packed shards. */
+  def encodeTokens(df: DataFrame, textCol: String, vocab: DataFrame,
+      unkId: Long = 0L, out: String = "token_ids"): DataFrame = {
+    val entries = vocab.select(col("term"), col("rank").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = typedLit(entries)
+    df.withColumn(out,
+      transform(tokens(col(textCol)),
+        t => coalesce(element_at(m, t), lit(unkId))))
+  }
+
   /** Corpus-conditional bigram familiarity — the language-model-flavored
     * quality signal that needs no external model: train a bigram table
     * on the corpus itself (c(w1,w2) and its prefix marginal c(w1) =

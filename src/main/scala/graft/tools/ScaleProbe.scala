@@ -95,6 +95,16 @@ object ScaleProbe {
       Similarity.pqTopKAdc(emb, "vec_id", "embedding", cb,
         $"vec_id" < 10, 5).count()
     })
+    // IVFPQ: trained cells x trained codes, 3-probe queries — both
+    // corpus kernels map-only, candidates = 3/16 of the corpus
+    time("ivfpq_3probe")({
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 1)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 16, ksub = 32, iters = 1)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb,
+        $"vec_id" < 10, k = 5, nProbe = 3).count()
+    })
 
     // multimodal partition sizing: ~1 MB real PNG payloads through the
     // full decode path. One noise PNG is built once and shipped by

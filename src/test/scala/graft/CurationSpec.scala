@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.core.GraftSession
 import graft.ext.{Curation, TextAnalysis}
 
 class CurationSpec extends SparkSpecBase {
@@ -183,6 +184,44 @@ class CurationSpec extends SparkSpecBase {
     assert(got(3L) == "repetitive")
     assert(got(4L) == "keep")
     assert(got(5L) == "high_punct")
+  }
+
+  test("end-to-end curation pipeline: gate -> dedup -> decontaminate -> mix -> pack, reproducible") {
+    // the full pre-training data path composed from the shipped
+    // operators, run twice from scratch — every stage is
+    // hash-derandomized, so the SECOND run must be bit-identical
+    import graft.ext.Dedup
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "text", "source")
+    def pipeline(): Array[(Long, Long, Long, Long)] = {
+      val kept = TextAnalysis.qualityVerdict(docs, "text")
+        .filter($"verdict" === "keep").select("doc_id", "text", "source")
+      val reps = kept.join(
+        Dedup.exact(kept, "doc_id", "text").select($"keep_id".as("doc_id")),
+        Seq("doc_id"), "leftsemi")
+      val evalSet = docs.filter($"doc_id" < 10)
+      val contaminated = Curation.contamination(reps, evalSet,
+        "doc_id", "text", n = 3)
+        .filter($"contamination" > 0.5).select("doc_id")
+      val clean = reps.join(contaminated, Seq("doc_id"), "leftanti")
+      val mixed = Curation.mixSources(clean, "source", "doc_id",
+        Seq("src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.5),
+        seed = "e2e")
+      val packed = Curation.packSequences(
+        TextAnalysis.withTokenCounts(mixed, "text"),
+        "doc_id", "n_tokens", budget = 512L, seed = "e2e", nShards = 4)
+      packed.select($"doc_id", $"shard", $"pack", $"pack_offset")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    }
+    val first = pipeline()
+    assert(first.length > 50, s"pipeline kept only ${first.length} docs")
+    // structural invariants: offsets within budget, shards in range,
+    // no document packed twice
+    assert(first.forall(r => r._4 >= 0 && r._4 < 512))
+    assert(first.forall(r => r._2 >= 0 && r._2 < 4))
+    assert(first.map(_._1).distinct.length == first.length)
+    // bit-identical re-run (fresh plans, same seeds)
+    assert(pipeline().toSeq == first.toSeq)
   }
 
   test("bigramFamiliarity: in-domain text outscores scrambled text") {
