@@ -209,34 +209,19 @@ object Dedup {
     require(winnowW >= 1, "winnowW must be >= 1")
     val W = org.apache.spark.sql.expressions.Window
     val wDoc = W.partitionBy("__id").orderBy("__pos")
-    val g0 = df
+    // gram hashing AND winnowing selection run inside ONE codegen'd
+    // expression per document row (every w-gram window contributes its
+    // min — the gap-<=-w guarantee), so the stream thins ~w/2x BEFORE
+    // anything leaves the scan task. The earlier formulation selected
+    // via Window.partitionBy(doc), which shuffled the entire unthinned
+    // gram stream just to regroup rows that were born together — the
+    // shuffle meter showed winnowing saving nothing at all that way.
+    val g = df
       .filter(length(col(textCol)) >= gramLen)
       .select(col(idCol).as("__id"),
-        explode(transform(
-          sequence(lit(1), length(col(textCol)) - gramLen + 1),
-          i => struct(i.as("pos"),
-            xxhash64(col(textCol).substr(i, lit(gramLen))).as("gh"))))
-          .as("__g"))
+        explode(graft.functions.expressions.TextExpressions.winnowedGrams(
+          df.sparkSession, col(textCol), gramLen, winnowW)).as("__g"))
       .select(col("__id"), col("__g.pos").as("__pos"), col("__g.gh").as("__gh"))
-    // winnowing selection: every w-gram window contributes its minimum
-    // (position-tiebroken) — the set with the gap-<=-w guarantee. NOT
-    // "keep grams that minimize their own trailing window": that rule
-    // selects nothing across a long run of increasing hashes and loses
-    // the guarantee. A selected gram's occurrences in the running-min
-    // stream are consecutive (windows containing its position are), so
-    // a lag-dedup recovers the selected set in the SAME per-doc sort —
-    // the stream thins ~w/2x before anything shuffles.
-    val g =
-      if (winnowW == 1) g0
-      else {
-        val m = min(struct(col("__gh"), col("__pos")))
-          .over(wDoc.rowsBetween(-(winnowW - 1), 0))
-        g0.withColumn("__m", m)
-          .withColumn("__lag", lag(col("__m"), 1).over(wDoc))
-          .filter(col("__lag").isNull || col("__m") =!= col("__lag"))
-          .select(col("__id"), col("__m.__pos").as("__pos"),
-            col("__m.__gh").as("__gh"))
-      }
     val dup = g.groupBy("__gh")
       .agg(countDistinct(col("__id")).as("__nd"))
       .filter(col("__nd") >= 2)

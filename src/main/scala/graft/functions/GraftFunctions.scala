@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, L2Squared, NearestCentroid, PqAdcDistance, WordShingles}
+import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, L2Squared, NearestCentroid, PqAdcDistance, WinnowedGrams, WordShingles}
 
 /** The engine's SQL function surface, one list consumed two ways:
   *
@@ -75,6 +75,12 @@ object GraftFunctions {
       "graft_shingles(text STRING, n INT) - distinct word n-gram shingles",
       arity("graft_shingles", 2)(e =>
         WordShingles(e(0), intLiteral("graft_shingles", e(1))))),
+    entry("graft_winnowed_grams",
+      "graft_winnowed_grams(text STRING, gramLen INT, w INT) - winnowed" +
+        " char-gram (pos, hash) stream for substring dedup",
+      arity("graft_winnowed_grams", 3)(e =>
+        WinnowedGrams(e(0), intLiteral("graft_winnowed_grams", e(1)),
+          intLiteral("graft_winnowed_grams", e(2))))),
     entry("graft_l2sq",
       "graft_l2sq(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) - squared L2 distance",
       arity("graft_l2sq", 2)(e => L2Squared(e(0), e(1)))),

@@ -47,8 +47,92 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowed char-gram stream for substring-level dedup
+  * ([[graft.ext.Dedup.duplicateSpans]]): every char `gramLen`-gram of
+  * the text is hashed, and the minimum (hash, pos) of every trailing
+  * `w`-gram window is selected (Schleimer et al. winnowing — w = 1
+  * keeps every gram). Returns array<struct<pos int, gh bigint>> with
+  * 1-based char positions, selected-position order.
+  *
+  * The POINT of doing this inside one expression: selection is per
+  * document, and a document's grams are born in one row — computing the
+  * same selection with a `Window.partitionBy(doc)` first SHUFFLES the
+  * entire unthinned gram stream to group what was never apart (measured:
+  * winnowing behind a window saved no shuffle bytes at all). Here the
+  * stream thins ~w/2× before anything leaves the scan task.
+  *
+  * Positions count Java chars (identical to SQL `substr` for all of
+  * BMP; supplementary-plane text may differ by code-unit counting —
+  * extents stay self-consistent either way). */
+case class WinnowedGrams(child: Expression, gramLen: Int, w: Int)
+    extends UnaryExpression {
+
+  require(gramLen >= 2, "gramLen must be >= 2")
+  require(w >= 1, "winnow window must be >= 1")
+
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("gh", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnowed_grams"
+
+  override def nullSafeEval(s: Any): Any =
+    TextExprHelpers.winnowedGrams(s.asInstanceOf[UTF8String], gramLen, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExprHelpers" +
+        s".winnowedGrams($c, $gramLen, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static helpers callable from generated code. */
 object TextExprHelpers {
+
+  /** One pass: hash every gram, then a monotonic-deque sliding minimum
+    * over (hash, pos) — O(n) total, equal hashes keep the earlier
+    * position (the struct-min tie rule). Consecutive duplicate
+    * selections collapse (a window min's occurrences are consecutive). */
+  def winnowedGrams(text: UTF8String, gramLen: Int, w: Int)
+      : ArrayData = {
+    val s = text.toString
+    val n = s.length - gramLen + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val gh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      gh(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(s.substring(i, i + gramLen)), 42L)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](
+      math.min(n, n / math.max(1, w / 2) + 2))
+    def row(p: Int): Any =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](p + 1, gh(p))) // 1-based char position
+    if (w <= 1) {
+      var p = 0
+      while (p < n) { out += row(p); p += 1 }
+    } else {
+      // deque of indices with strictly increasing (gh, pos); popping on
+      // '>' (not '>=') keeps the earliest position among equal hashes
+      val dq = new java.util.ArrayDeque[Integer](w + 1)
+      var last = -1
+      var p = 0
+      while (p < n) {
+        while (!dq.isEmpty && gh(dq.peekLast) > gh(p)) dq.pollLast()
+        dq.addLast(p)
+        if (dq.peekFirst < p - w + 1) dq.pollFirst()
+        val m = dq.peekFirst
+        if (m != last) { out += row(m); last = m }
+        p += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
@@ -101,5 +185,13 @@ object TextExpressions {
   def wordShingles(spark: SparkSession, text: Column, n: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def winnowedGrams(spark: SparkSession, text: Column, gramLen: Int,
+      w: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_winnowed_grams", text,
+      org.apache.spark.sql.functions.lit(gramLen),
+      org.apache.spark.sql.functions.lit(w))
   }
 }

@@ -18,11 +18,26 @@ object ScaleProbe {
     * contains it run — so a 100x run doesn't pay for every row. */
   private var nameFilter: Option[String] = None
 
+  /** Shuffle bytes written across all stages — the DETERMINISTIC cost
+    * axis: local[32] wall-clock swings 2× with machine noise (see
+    * BENCH.md round-2 history), but the bytes a plan shuffles are a
+    * pure function of the plan and the data. */
+  private val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      shuffleBytes.addAndGet(
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
   private def time[T](name: String)(f: => T): Unit = {
     if (nameFilter.forall(name.contains)) {
+      val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val r = f
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mb = (shuffleBytes.get() - b0) / 1e6
+      println(f"[probe] $name%-28s $secs%8.2f s  $mb%9.1f MB shuffled  ($r)")
     }
   }
 
@@ -38,6 +53,7 @@ object ScaleProbe {
     val copies = args.lift(1).map(_.toInt).getOrElse(20)
     nameFilter = args.lift(2)
     val spark = GraftSession.local()
+    spark.sparkContext.addSparkListener(new ShuffleMeter)
     import spark.implicits._
 
     val docs = replicate(GraftSession.table(spark, sfDir, "documents")

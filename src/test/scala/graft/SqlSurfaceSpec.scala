@@ -38,6 +38,35 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("round-4 codegen expressions are callable from SQL") {
+    graft.functions.expressions.VectorExpressions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT graft_l2sq(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |                  CAST(array(4.0, 6.0) AS ARRAY<DOUBLE>)) AS d2,
+        |       graft_pq_adc(CAST(array(1, 0) AS ARRAY<BIGINT>),
+        |                    CAST(array(array(10.0, 20.0),
+        |                               array(30.0, 40.0)) AS ARRAY<ARRAY<DOUBLE>>)) AS adc,
+        |       graft_nearest_centroid(
+        |         CAST(array(0.9, 0.0) AS ARRAY<DOUBLE>),
+        |         CAST(array(array(0.0, 0.0), array(1.0, 0.0))
+        |              AS ARRAY<ARRAY<DOUBLE>>)) AS cell""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 25.0) // 9 + 16
+    assert(r.getDouble(1) == 50.0) // lut[0][1] + lut[1][0] = 20 + 30
+    assert(r.getInt(2) == 1)
+    // bloom round-trip entirely in SQL: bits built via the same chained
+    // xxhash64 family the probe replays
+    val keys = spark.range(100).selectExpr("xxhash64(id) AS k")
+    keys.createOrReplaceTempView("bloom_keys")
+    val (bits, k) = graft.ext.Sketches.buildBloomBits(keys, "k", 100, 0.01)
+    val bitsSql = bits.mkString("array(", "L,", "L)")
+    val hit = spark.sql(
+      s"""SELECT graft_bloom_might_contain(xxhash64(42L),
+         |  CAST($bitsSql AS ARRAY<BIGINT>), $k) AS present""".stripMargin)
+      .head().getBoolean(0)
+    assert(hit) // 42 is one of the 100 inserted keys
+  }
+
   test("GraftExtensions session: functions + transparent range rule, pure SQL") {
     import org.apache.spark.sql.SparkSession
     val old = spark
