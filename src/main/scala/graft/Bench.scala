@@ -27,12 +27,13 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-footer warmup on the same data
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => }
-    // optional comma-separated name filter for focused re-measurement
-    // (e.g. SPARK_GRAFT_BENCH_ONLY=q54_array_agg,q73_dedup_clusters)
+    // optional comma-separated name filter for focused re-measurement;
+    // substring match, same semantics as SPARK_GRAFT_VERIFY_ONLY
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q54,q73_dedup_clusters)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(_.exists(n.contains)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).flatMap { _ =>

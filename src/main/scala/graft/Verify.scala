@@ -18,7 +18,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter for focused local runs (the
-    // driver never sets it); substring match like Bench's BENCH_ONLY
+    // driver never sets it); substring match, same as BENCH_ONLY
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     SparkEntry.queries

@@ -269,13 +269,13 @@ object Dedup {
     *     tiny word aggregation — [[Sketches.buildBloomBits]]);
     *  2. new rows probe it in-scan (codegen'd
     *     [[graft.functions.expressions.BloomMightContain]]): a negative
-    *     probe is DEFINITE absence, so those rows are new with no join
-    *     at all — at typical delta-vs-corpus overlap that is almost
-    *     every row;
-    *  3. only bloom-hit candidates (true duplicates + the fpp sliver)
-    *     are exact-checked: their keys broadcast to a semi-scan of
-    *     `existing`, the matched key set (bounded by the candidate set)
-    *     broadcasts back for the anti join.
+    *     probe is DEFINITE absence, so only bloom-hit candidates (true
+    *     duplicates + the fpp sliver) need exact checking — at typical
+    *     delta-vs-corpus overlap that excludes almost every row;
+    *  3. the candidate keys broadcast to a semi-scan of `existing`; the
+    *     matched key set (bounded by the candidate set) broadcasts back
+    *     for one anti join over the delta — a bloom-miss row can never
+    *     match it, so no separate definite-new branch is needed.
     *
     * The classic shuffle anti-join moves BOTH datasets; here the only
     * broadcast state is bloom-candidate-sized, so a 100 TB corpus is
@@ -292,15 +292,15 @@ object Dedup {
     val (bits, k) = Sketches.buildBloomBits(
       existing.select(xxhash64(key).as("__k")), "__k", nExisting, fpp)
     val probe = Sketches.bloomMightContain(spark, xxhash64(key), bits, k)
-    val definiteNew = newDf.filter(!probe)
-    val cand = newDf.filter(probe)
-    val candKeys = cand.select(key.as("__h")).distinct()
+    val candKeys = newDf.filter(probe).select(key.as("__h")).distinct()
     val matched = existing
       .join(broadcast(candKeys), key === col("__h"), "leftsemi")
       .select(key.as("__h")).distinct()
-    val confirmedNew = cand
-      .join(broadcast(matched), key === col("__h"), "leftanti")
-    definiteNew.unionByName(confirmedNew)
+    // one anti join of the UNFILTERED delta suffices: `matched` is a
+    // subset of the bloom-hit keys, so a bloom-miss row can never match
+    // it — splitting into definite/candidate branches and unioning would
+    // just probe every row twice more
+    newDf.join(broadcast(matched), key === col("__h"), "leftanti")
   }
 
   /** Connected components over an undirected edge list — the step that

@@ -268,7 +268,7 @@ object Multimodal {
     kids.find(_._1 == "mvhd").foreach { case (_, p, e) =>
       if (p + 4 <= e) {
         val v = bytes(p) & 0xff
-        if (v == 1 && p + 28 <= e) {
+        if (v == 1 && p + 32 <= e) { // duration reads bytes p+24..p+31
           timescale = u32be(bytes, p + 20)
           duration = (u32be(bytes, p + 24) << 32) | u32be(bytes, p + 28)
         } else if (v == 0 && p + 20 <= e) {
@@ -320,7 +320,11 @@ object Multimodal {
             val streams = u32le(bytes, d + 24).toInt
             val w = u32le(bytes, d + 32).toInt
             val h = u32le(bytes, d + 36).toInt
-            return Some((w, h, streams, usPerFrame * totalFrames / 1000L))
+            // both fields are untrusted u32s; their product can pass
+            // Long.MaxValue (~1.8e19 > 9.2e18) and wrap negative
+            val durMs = BigInt(usPerFrame) * BigInt(totalFrames) / 1000
+            if (!durMs.isValidLong) return None
+            return Some((w, h, streams, durMs.toLong))
           }
           q += 8 + csz + (csz & 1) // RIFF chunks pad to even
           g2 += 1

@@ -378,8 +378,9 @@ object Similarity {
     val q = enc.filter(queryPred)
       .select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__lut", lut) // BEFORE the probe explode, or the
+      // m×ksub×subdim LUT is recomputed nProbe times per query
       .withColumn("cid", explode(probeCells(col("__qv"), cids, matrix, nProbe)))
-      .withColumn("__lut", lut)
       .select("q_id", "cid", "__lut")
     val scored = enc.select(col(idCol).as("n_id"), col("cid"), col("__code"))
       .join(broadcast(q), Seq("cid"))

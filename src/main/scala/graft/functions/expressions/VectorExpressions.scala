@@ -90,19 +90,23 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
-/** Squared L2 distance, same contract as [[CosineSimilarity]]; the
-  * element order of the summation matches the interpreted
-  * `aggregate(zip_with(...))` form in VectorFunctions.l2sq exactly. */
+/** Squared L2 distance; summation element order matches the interpreted
+  * `aggregate(zip_with(...))` form in VectorFunctions.l2sq. Length
+  * mismatch yields NULL (zip_with null-pads and the interpreted sum
+  * nulls out) — a truncated/dirty vector must not rank with an
+  * artificially small partial distance (the PqAdcDistance stance). */
 case class L2Squared(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "l2_squared"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var d = 0.0; var i = 0
     while (i < n) {
       val t = x.getDouble(i) - y.getDouble(i); d += t * t; i += 1
@@ -117,13 +121,16 @@ case class L2Squared(left: Expression, right: Expression)
       val i = ctx.freshName("l2I")
       val t = ctx.freshName("l2T")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $d = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $t = $a.getDouble($i) - $b.getDouble($i);
-         |  $d += $t * $t;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = $a.getDouble($i) - $b.getDouble($i);
+         |    $d += $t * $t;
+         |  }
+         |  ${ev.value} = $d;
          |}
-         |${ev.value} = $d;
        """.stripMargin
     })
 

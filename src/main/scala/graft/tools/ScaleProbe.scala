@@ -30,12 +30,21 @@ object ScaleProbe {
         sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
 
+  /** Set in main; lets time() drain the async listener bus so the byte
+    * counter reflects every completed stage of THIS probe (listener
+    * events are delivered on a separate thread — reading the counter
+    * right after the action would misattribute in-flight events to the
+    * next probe). */
+  private var sparkCtx: Option[org.apache.spark.SparkContext] = None
+
   private def time[T](name: String)(f: => T): Unit = {
     if (nameFilter.forall(name.contains)) {
+      sparkCtx.foreach(org.apache.spark.graftshim.ListenerShim.drain)
       val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val r = f
       val secs = (System.nanoTime() - t0) / 1e9
+      sparkCtx.foreach(org.apache.spark.graftshim.ListenerShim.drain)
       val mb = (shuffleBytes.get() - b0) / 1e6
       println(f"[probe] $name%-28s $secs%8.2f s  $mb%9.1f MB shuffled  ($r)")
     }
@@ -54,6 +63,7 @@ object ScaleProbe {
     nameFilter = args.lift(2)
     val spark = GraftSession.local()
     spark.sparkContext.addSparkListener(new ShuffleMeter)
+    sparkCtx = Some(spark.sparkContext)
     import spark.implicits._
 
     val docs = replicate(GraftSession.table(spark, sfDir, "documents")
