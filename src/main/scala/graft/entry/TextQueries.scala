@@ -118,6 +118,20 @@ object TextQueries {
         .orderBy("prefix_hash")
     }),
 
+    // Incremental minhash near-dup: docs 250+ arriving against the
+    // 0-249 snapshot's SAVED band table — no old×old candidate is ever
+    // generated, verification scans only candidate-touched docs. Work
+    // scales with the delta, not the corpus.
+    "q84_minhash_delta" -> ((s, dir) => {
+      val d = docsSpread(s, dir)
+      val snap = d.filter(col("doc_id") < 250)
+      Dedup.minhashNearDupDelta(d.filter(col("doc_id") >= 250), snap,
+          Dedup.minhashBands(snap, "doc_id", "text", 3, 12, 4),
+          "doc_id", "text", shingleN = 3, k = 12, bands = 4,
+          threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Incremental-snapshot dedup: docs 100+ arriving against the 0-99
     // snapshot, keyed on the canonical 5-token prefix. Bloom-prefiltered
     // so neither side shuffles (negative probes skip the join entirely);
@@ -177,6 +191,37 @@ object TextQueries {
       |       UNION ALL
       |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 3)""".stripMargin
 
+  /** The complete MinHash+LSH oracle pipeline (q35); `extraWhere`
+    * restricts the emitted pairs (q84's delta form — band construction,
+    * candidates and jaccard values are identical by design, so one SQL
+    * body serves both). */
+  private def minhashSql(extraWhere: String): String =
+    shingleCte + s""",
+      |sig AS (SELECT doc_id,
+      | min(substr(md5('0_'||s),1,16)) m0, min(substr(md5('1_'||s),1,16)) m1,
+      | min(substr(md5('2_'||s),1,16)) m2, min(substr(md5('3_'||s),1,16)) m3,
+      | min(substr(md5('4_'||s),1,16)) m4, min(substr(md5('5_'||s),1,16)) m5,
+      | min(substr(md5('6_'||s),1,16)) m6, min(substr(md5('7_'||s),1,16)) m7,
+      | min(substr(md5('8_'||s),1,16)) m8, min(substr(md5('9_'||s),1,16)) m9,
+      | min(substr(md5('10_'||s),1,16)) m10, min(substr(md5('11_'||s),1,16)) m11
+      | FROM sh GROUP BY 1),
+      |bands AS (
+      | SELECT doc_id, 0 AS band, md5(m0||','||m1||','||m2) AS bkey FROM sig UNION ALL
+      | SELECT doc_id, 1, md5(m3||','||m4||','||m5) FROM sig UNION ALL
+      | SELECT doc_id, 2, md5(m6||','||m7||','||m8) FROM sig UNION ALL
+      | SELECT doc_id, 3, md5(m9||','||m10||','||m11) FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM bands x
+      |         JOIN bands y ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (SELECT a_id, b_id, count(*) i FROM cand
+      |          JOIN sh sa ON sa.doc_id=a_id
+      |          JOIN sh sb ON sb.doc_id=b_id AND sa.s=sb.s
+      |          GROUP BY 1,2)
+      |SELECT a_id, b_id, CAST(i AS DOUBLE)/(sa.n+sb.n-i) AS jaccard
+      |FROM inter JOIN sizes sa ON a_id=sa.doc_id JOIN sizes sb ON b_id=sb.doc_id
+      |WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) >= 0.5 $extraWhere
+      |ORDER BY a_id, b_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
@@ -213,31 +258,10 @@ object TextQueries {
         |       UNION ALL
         |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 8)
         |SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    "q35_minhash_lsh" -> (shingleCte + """,
-        |sig AS (SELECT doc_id,
-        | min(substr(md5('0_'||s),1,16)) m0, min(substr(md5('1_'||s),1,16)) m1,
-        | min(substr(md5('2_'||s),1,16)) m2, min(substr(md5('3_'||s),1,16)) m3,
-        | min(substr(md5('4_'||s),1,16)) m4, min(substr(md5('5_'||s),1,16)) m5,
-        | min(substr(md5('6_'||s),1,16)) m6, min(substr(md5('7_'||s),1,16)) m7,
-        | min(substr(md5('8_'||s),1,16)) m8, min(substr(md5('9_'||s),1,16)) m9,
-        | min(substr(md5('10_'||s),1,16)) m10, min(substr(md5('11_'||s),1,16)) m11
-        | FROM sh GROUP BY 1),
-        |bands AS (
-        | SELECT doc_id, 0 AS band, md5(m0||','||m1||','||m2) AS bkey FROM sig UNION ALL
-        | SELECT doc_id, 1, md5(m3||','||m4||','||m5) FROM sig UNION ALL
-        | SELECT doc_id, 2, md5(m6||','||m7||','||m8) FROM sig UNION ALL
-        | SELECT doc_id, 3, md5(m9||','||m10||','||m11) FROM sig),
-        |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM bands x
-        |         JOIN bands y ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id),
-        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        |inter AS (SELECT a_id, b_id, count(*) i FROM cand
-        |          JOIN sh sa ON sa.doc_id=a_id
-        |          JOIN sh sb ON sb.doc_id=b_id AND sa.s=sb.s
-        |          GROUP BY 1,2)
-        |SELECT a_id, b_id, CAST(i AS DOUBLE)/(sa.n+sb.n-i) AS jaccard
-        |FROM inter JOIN sizes sa ON a_id=sa.doc_id JOIN sizes sb ON b_id=sb.doc_id
-        |WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin),
+    "q35_minhash_lsh" -> minhashSql(""),
+    // same full pipeline; a pair involves a new (id >= 250) doc exactly
+    // when its LARGER id is new
+    "q84_minhash_delta" -> minhashSql("AND b_id >= 250 "),
     "q36_ngram_jaccard" -> (shingleCte + """,
         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i

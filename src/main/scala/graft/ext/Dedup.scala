@@ -64,13 +64,16 @@ object Dedup {
     * shingle join only materializes pairs that already collided in a
     * band, so the quadratic term is bounded by bucket sizes.
     */
-  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+  /** LSH band table for a corpus: (\_\_id, band, bkey) — the persistable
+    * near-dup INDEX artifact. One aggregation pass computes all k
+    * minhashes (map-side partial); band keys are md5 over row groups,
+    * identical to the [[minhashNearDup]] pipeline (this IS its first
+    * half, split out so snapshots can precompute and save it). */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val sh = shingled(df, idCol, textCol, shingleN)
-
     // signature in ONE aggregation pass over the exploded shingles
     // (k min-aggregates, map-side partial) — the per-row
     // minhashSignature() expression re-evaluates the shingle array per
@@ -83,23 +86,24 @@ object Dedup {
       val bandCols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
       struct(lit(b).as("band"), md5(concat_ws(",", bandCols: _*)).as("bkey"))
     }
-    val bk = sig.select(col("__id"), explode(array(bandStructs: _*)).as("b"))
+    sig.select(col("__id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("__id"), col("b.band"), col("b.bkey"))
+  }
 
-    val cand = bk.as("x").join(bk.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
-      .distinct()
-
-    val shh = shingleHashes(df, idCol, textCol, shingleN)
+  /** Exact-jaccard verification of candidate pairs over a corpus:
+    * intersection counts from the 8-byte shingle-hash streams, sizes
+    * joined per side, threshold applied. Shared tail of
+    * [[minhashNearDup]] / [[minhashNearDupDelta]]. */
+  private def verifyJaccard(cand: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleN: Int,
+      threshold: Double): DataFrame = {
+    val shh = shingleHashes(corpus, idCol, textCol, shingleN)
     val sizes = shh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shh.select(col("__id").as("a_id"), col("__sh")), "a_id")
       .join(shh.select(col("__id").as("b_id"), col("__sh")),
         Seq("b_id", "__sh"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-
     inter
       .join(sizes.select(col("__id").as("a_id"), col("n").as("na")), "a_id")
       .join(sizes.select(col("__id").as("b_id"), col("n").as("nb")), "b_id")
@@ -107,6 +111,51 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val bk = minhashBands(df, idCol, textCol, shingleN, k, bands)
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, df, idCol, textCol, shingleN, threshold)
+  }
+
+  /** Incremental near-dup: pairs involving at least one NEW document —
+    * the delta form of [[minhashNearDup]] for snapshot-grown corpora.
+    * `snapshotBands` is the saved [[minhashBands]] artifact of the
+    * existing corpus (recompute it here only if you must); candidates
+    * come from joining the NEW band table against snapshot ∪ new bands,
+    * so no old×old candidate is ever generated — the work scales with
+    * the delta, not the corpus. Verification reads only documents that
+    * appear in some candidate pair (semi-join-pruned scan). Same
+    * (a_id < b_id, jaccard >= threshold) contract as the full pass;
+    * old×old pairs are by definition already in the snapshot's own
+    * result. */
+  def minhashNearDupDelta(newDf: DataFrame, snapshot: DataFrame,
+      snapshotBands: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val nb = minhashBands(newDf, idCol, textCol, shingleN, k, bands)
+    val allB = snapshotBands.unionByName(nb)
+    // every candidate has its NEW side on x — old×old never pairs
+    val cand = nb.as("x").join(allB.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.__id") =!= col("y.__id"))
+      .select(least(col("x.__id"), col("y.__id")).as("a_id"),
+        greatest(col("x.__id"), col("y.__id")).as("b_id"))
+      .distinct()
+    val corpus = snapshot.select(col(idCol), col(textCol))
+      .unionByName(newDf.select(col(idCol), col(textCol)))
+    // verification scans only docs that occur in some candidate
+    val touched = cand.select(col("a_id").as(idCol))
+      .unionByName(cand.select(col("b_id").as(idCol))).distinct()
+    verifyJaccard(cand, corpus.join(touched, Seq(idCol), "leftsemi"),
+      idCol, textCol, shingleN, threshold)
   }
 
   /** Exact n-gram jaccard over all pairs sharing at least one shingle —

@@ -286,6 +286,25 @@ class ExtSpec extends SparkSpecBase {
     assert((200L to 230L).forall(got(_) == 200L))
   }
 
+  test("minhash delta == full near-dup restricted to new-doc pairs") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val snap = corpus.filter($"doc_id" < 250)
+    val newD = corpus.filter($"doc_id" >= 250)
+    // with a < b and new ids above the boundary, "involves a new doc"
+    // is exactly b_id >= 250
+    val full = Dedup.minhashNearDup(corpus, "doc_id", "text", 3, 12, 4, 0.5)
+      .filter($"b_id" >= 250)
+      .as[(Long, Long, Double)].collect().toSet
+    val delta = Dedup.minhashNearDupDelta(newD, snap,
+        Dedup.minhashBands(snap, "doc_id", "text", 3, 12, 4),
+        "doc_id", "text", 3, 12, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(delta == full)
+    assert(delta.nonEmpty, "corpus should plant near-dup pairs across the boundary")
+    assert(delta.forall(_._2 >= 250))
+  }
+
   test("duplicate spans: cross-doc substrings merge to maximal extents") {
     val shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123" // 30 chars
     val d = Seq(
