@@ -306,7 +306,10 @@ object Similarity {
         .pqAdcDistance(spark, col("__code"), col("__lut")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("dist").asc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    // ASC sorts NULLS FIRST: a null distance (corrupt code or
+    // truncated vector) would take rank 1 — exclude it instead
+    scored.filter(col("dist").isNotNull)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank")
   }
@@ -341,7 +344,9 @@ object Similarity {
         .l2sqFast(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("__d").asc, col("n_id").asc)
-    fetched.withColumn("rank", row_number().over(w))
+    // see pqTopKAdc: null L2 (length-mismatched vector) must not rank
+    fetched.filter(col("__d").isNotNull)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank")
   }
@@ -389,7 +394,10 @@ object Similarity {
         .pqAdcDistance(spark, col("__code"), col("__lut")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("dist").asc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    // ASC sorts NULLS FIRST: a null distance (corrupt code or
+    // truncated vector) would take rank 1 — exclude it instead
+    scored.filter(col("dist").isNotNull)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank")
   }

@@ -437,6 +437,23 @@ class ExtSpec extends SparkSpecBase {
     assert(again == rerank)
   }
 
+  test("pq rerank: a truncated corpus vector never ranks") {
+    // 7 clean 8-dim vectors + one truncated 5-dim row: the dirty row's
+    // exact re-rank L2 is NULL (length mismatch) and ASC sorts NULLS
+    // FIRST — without the null guard it would take rank 1 everywhere
+    val vecs = ((0 until 7).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 3 + d)))) :+
+      (99L, Array.tabulate(5)(d => math.sin(d).toDouble)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs.filter($"vec_id" < 7), "vec_id",
+      "embedding", m = 4, ksub = 4, iters = 1)
+    val got = Similarity.pqTopKRerank(vecs, "vec_id", "embedding", cb,
+      $"vec_id" < 3, k = 3, shortlist = 7)
+      .as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(_._2 == 99L), s"truncated vector ranked: ${got.toSeq}")
+  }
+
   test("ivfpq: probing every cell == plain ADC; single probe cell-bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .cache()
