@@ -490,6 +490,143 @@ object Similarity {
     cents
   }
 
+  /** OPQ rotation (Ge, He, Ke, Sun, "Optimized Product Quantization",
+    * CVPR 2013 — the parametric/PCA variant): learn an orthogonal
+    * rotation that makes the PQ subspace split respect the data, then
+    * run the UNCHANGED PQ machinery on rotated vectors.
+    *
+    *  - PCA over the deterministic hash sample (same one-scan sample as
+    *    [[pqTrain]]): covariance → cyclic-Jacobi eigendecomposition
+    *    (fixed sweep order, so the rotation is a pure function of the
+    *    sample);
+    *  - eigenvalue ALLOCATION: principal directions are dealt to the m
+    *    subspaces greedily, each to the subspace with the smallest
+    *    running variance product — the OPQ-P balance criterion. Without
+    *    it, plain PCA stacks all variance into subspace 0 and the
+    *    remaining codebooks quantize noise.
+    *
+    * Returns the row-major rotation matrix (rows = reordered principal
+    * directions); apply with [[rotate]] — one codegen mat-vec per row,
+    * map-only — and feed the rotated column to
+    * [[pqTrain]]/[[pqEncode]]/[[pqTopKAdc]]/[[pqTopKRerank]]. Gains are
+    * data-dependent: large when dimensions are correlated or variance
+    * is skewed, nil on isotropic data (see ExtSpec's anisotropic
+    * construction). */
+  def opqRotation(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      sampleSize: Int = 4096): Seq[Seq[Double]] = {
+    require(m >= 1, "need m >= 1 subspaces")
+    val sample: Array[Seq[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"),
+        md5(concat(lit("opq#"), col(idCol).cast("string"))).as("__h"))
+      .orderBy("__h").limit(math.max(2, sampleSize))
+      .collect().map(_.getSeq[Double](0))
+    require(sample.nonEmpty, "corpus is empty")
+    val d = sample.head.length
+    require(d % m == 0, s"dims=$d not divisible by m=$m subspaces")
+    // covariance of the sample (fixed accumulation order)
+    val mean = new Array[Double](d)
+    sample.foreach { v => var i = 0; while (i < d) { mean(i) += v(i); i += 1 } }
+    var mi = 0
+    while (mi < d) { mean(mi) /= sample.length; mi += 1 }
+    val cov = Array.fill(d)(new Array[Double](d))
+    sample.foreach { v =>
+      var i = 0
+      while (i < d) {
+        val xi = v(i) - mean(i)
+        var j = i
+        while (j < d) { cov(i)(j) += xi * (v(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    var ci = 0
+    while (ci < d) {
+      var j = ci
+      while (j < d) {
+        cov(ci)(j) /= sample.length; cov(j)(ci) = cov(ci)(j); j += 1
+      }
+      ci += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // deal principal directions (variance desc) to the subspace with the
+    // smallest running log-variance product; ties to the lowest subspace
+    val order = eigVals.indices.sortBy(i => (-eigVals(i), i))
+    val subDims = d / m
+    val logProd = new Array[Double](m)
+    val counts = new Array[Int](m)
+    val alloc = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.foreach { e =>
+      val s = (0 until m).filter(counts(_) < subDims)
+        .minBy(s => (logProd(s), s))
+      alloc(s) += e
+      logProd(s) += math.log(math.max(eigVals(e), 1e-300))
+      counts(s) += 1
+    }
+    // rotation rows: subspace 0's directions first, then subspace 1's, …
+    alloc.flatten.map(e => eigVecs(e).toSeq).toSeq
+  }
+
+  /** Apply a rotation to a vector column: one codegen mat-vec per row,
+    * map-only. Compose the result with any PQ/IVF operator. */
+  def rotate(df: DataFrame, vecCol: String, rotation: Seq[Seq[Double]],
+      out: String): DataFrame =
+    df.withColumn(out, graft.functions.expressions.VectorExpressions.matVec(
+      df.sparkSession, typedLit(rotation.map(_.toArray)),
+      col(vecCol).cast("array<double>")))
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic (fixed (p,q) sweep order, fixed iteration cap).
+    * Returns (eigenvalues, eigenvectors as rows), unsorted. */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // theta == 0 → 45° rotation (t = 1), else the smaller root
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(p)(i); val viq = v(q)(i)
+              v(p)(i) = c * vip - s * viq
+              v(q)(i) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   /** Multi-probe LSH top-k: queries probe their own bucket plus every
     * bucket at Hamming distance 1 (each hyperplane bit flipped once) —
     * the standard recall lever: candidates grow ×(nBits+1) while the

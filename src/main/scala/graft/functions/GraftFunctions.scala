@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, L2Squared, NearestCentroid, PqAdcDistance, WinnowedGrams, WordShingles}
+import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, L2Squared, MatVec, NearestCentroid, PqAdcDistance, WinnowedGrams, WordShingles}
 
 /** The engine's SQL function surface, one list consumed two ways:
   *
@@ -75,6 +75,10 @@ object GraftFunctions {
       "graft_shingles(text STRING, n INT) - distinct word n-gram shingles",
       arity("graft_shingles", 2)(e =>
         WordShingles(e(0), intLiteral("graft_shingles", e(1))))),
+    entry("graft_mat_vec",
+      "graft_mat_vec(m ARRAY<ARRAY<DOUBLE>>, v ARRAY<DOUBLE>) - row-major" +
+        " matrix-vector product (the OPQ rotation kernel)",
+      arity("graft_mat_vec", 2)(e => MatVec(e(0), e(1)))),
     entry("graft_winnowed_grams",
       "graft_winnowed_grams(text STRING, gramLen INT, w INT) - winnowed" +
         " char-gram (pos, hash) stream for substring dedup",

@@ -209,6 +209,56 @@ case class NearestCentroid(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Dense matrix-vector product: `left` a (foldable, broadcast-as-
+  * literal) row-major matrix array<array<double>>, `right` the vector.
+  * Returns array<double> of rows·vec — the rotation kernel for OPQ
+  * (every row is R_i · x). One tight rows×dims loop in codegen; like
+  * NearestCentroid, the matrix ships once as a literal reference and
+  * the corpus never shuffles. Row/vector length mismatch → null (a
+  * truncated vector must not silently rotate into garbage). */
+case class MatVec(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mat_vec"
+
+  override def nullSafeEval(m: Any, v: Any): Any =
+    VectorExprHelpers.matVec(m.asInstanceOf[ArrayData],
+      v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, v) =>
+      s"""
+         |${ev.value} = graft.functions.expressions.VectorExprHelpers
+         |  .matVec($m, $v);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+/** Static helpers callable from generated code. */
+object VectorExprHelpers {
+  def matVec(m: ArrayData, v: ArrayData): ArrayData = {
+    val rows = m.numElements()
+    val n = v.numElements()
+    val out = new Array[Any](rows)
+    var r = 0
+    while (r < rows) {
+      val row = m.getArray(r)
+      if (row.numElements() != n) return null
+      var d = 0.0; var i = 0
+      while (i < n) { d += row.getDouble(i) * v.getDouble(i); i += 1 }
+      out(r) = d
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Product-quantization asymmetric-distance (ADC) kernel: `left` is a
   * PQ code (array<bigint> of per-subspace codeword INDEXES), `right` the
   * query's lookup table (array<array<double>>: per subspace, the
@@ -301,5 +351,10 @@ object VectorExpressions {
   def l2Squared(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_l2sq", a, b)
+  }
+
+  def matVec(spark: SparkSession, matrix: Column, vec: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_mat_vec", matrix, vec)
   }
 }
