@@ -21,7 +21,8 @@ object SparkEntry {
     RelationalQueries.queries ++ RangeQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
       AnalyticQueries.queries ++ WorkloadQueries.queries ++
-      StatsQueries.queries ++ CurationQueries.queries
+      StatsQueries.queries ++ CurationQueries.queries ++
+      SearchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ RangeQueries.oracleSql ++
       TextQueries.oracleSql ++ VectorQueries.oracleSql ++
       AnalyticQueries.oracleSql ++ WorkloadQueries.oracleSql ++
-      StatsQueries.oracleSql ++ CurationQueries.oracleSql
+      StatsQueries.oracleSql ++ CurationQueries.oracleSql ++
+      SearchQueries.oracleSql
 }

@@ -35,6 +35,27 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test split (80/10/10): fixed-point hash
+    // intervals, map-only, stable under corpus growth — a doc keeps its
+    // split forever regardless of what arrives later.
+    "q87_split_assign" -> ((s, dir) => {
+      Curation.assignSplits(docs(s, dir), "doc_id", "sp1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
+    // Epoch-weighted UP-sampling (the complement of q63's thinning):
+    // src0 ×2.5 (2 copies + hash-coin half copy), src1 dropped, src2 ×3
+    // exactly, every other source ×1. Map-only explode fanout — the
+    // copies are born in the scan, nothing shuffles.
+    "q88_upsample_mix" -> ((s, dir) => {
+      Curation.upsampleSources(docs(s, dir), "source", "doc_id",
+          Seq("src0" -> 2.5, "src1" -> 0.0, "src2" -> 3.0), seed = "mix2")
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    }),
+
     // Weighted corpus mix: per-source keep rates (src0 all, src1 half,
     // src2 quarter, src3 a tenth, everything else dropped), one filter
     // pass, exact integer thresholds.
@@ -131,6 +152,27 @@ object CurationQueries {
         |                 / CAST(a.n_grams AS DOUBLE) END AS dup_gram_ratio
         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // bounds = cumulative fixed-point fractions: 0.8*2^32 = 3435973836,
+    // + 0.1*2^32 = 3865470565; 'test' takes the remainder
+    "q87_split_assign" ->
+      """SELECT doc_id, CASE
+        | WHEN CAST(concat('0x', substr(md5(concat('sp1','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) < 3435973836 THEN 'train'
+        | WHEN CAST(concat('0x', substr(md5(concat('sp1','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) < 3865470565 THEN 'val'
+        | ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // whole copies by source; the fractional src0 half-copy flips on the
+    // 'up#mix2' hash coin (threshold 0.5*2^32 = 2147483648)
+    "q88_upsample_mix" ->
+      """WITH n AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+        |              WHEN 'src2' THEN 3 ELSE 1 END
+        |  + CASE WHEN source = 'src0' AND
+        |      CAST(concat('0x', substr(md5(concat('up#mix2','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT)
+        |        < 2147483648 THEN 1 ELSE 0 END AS c
+        | FROM documents)
+        |SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy
+        |FROM n, unnest(generate_series(0, c-1)) u(copy)
+        |ORDER BY doc_id, copy""".stripMargin,
     "q63_corpus_mix" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST(concat('0x', substr(md5(concat('mix1','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT)

@@ -1,0 +1,75 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.ext.Search
+
+/** Corpus retrieval operators over `documents`: BM25 ranked scoring
+  * (rational-idf variant — see [[graft.ext.Search.bm25]] for why the
+  * logarithm is dropped) and inverted-index conjunctive search.
+  *
+  * The scale contracts under test: BM25 never shuffles the corpus
+  * (in-scan per-term tf + one broadcast stats row); conjunctive search
+  * touches only the asked-for terms' postings.
+  */
+object SearchQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    GraftSession.table(s, dir, "documents")
+
+  private val queryTerms = Seq("window", "customer", "scan")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-20 BM25 docs for a 3-term query. Every score component is
+    // +/x/÷ over exact counts in a pinned fold order, so the DOUBLE
+    // scores hash-match the oracle bit for bit.
+    "q85_bm25" -> ((s, dir) => {
+      Search.bm25(docs(s, dir), "doc_id", "text", queryTerms)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Conjunctive (AND) search: docs containing all three terms, via the
+    // posting table. total_tf is the crude rank signal.
+    "q86_keyword_search" -> ((s, dir) => {
+      Search.conjunctive(
+          Search.buildPostings(docs(s, dir), "doc_id", "text"), queryTerms)
+        .orderBy("doc_id")
+    }))
+
+  // tf per term is len(list_filter(...)) — the in-scan counting the
+  // Spark side does with size(filter(tokens, _ == term)); all BM25
+  // arithmetic below mirrors Search.bm25's fold order token for token
+  // (left-assoc, same literals: 2.5 = k1+1, 1.5 = k1, 0.25 = 1-b,
+  // 0.75 = b — every one exactly representable, so no folding drift).
+  val oracleSql: Map[String, String] = Map(
+    "q85_bm25" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split_regex(text,'\s+')) AS dl,
+        |  len(list_filter(string_split_regex(text,'\s+'), x -> x = 'window')) AS tf1,
+        |  len(list_filter(string_split_regex(text,'\s+'), x -> x = 'customer')) AS tf2,
+        |  len(list_filter(string_split_regex(text,'\s+'), x -> x = 'scan')) AS tf3
+        | FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS sumdl,
+        |  CAST(SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |  CAST(SUM(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        | FROM t),
+        |sc AS (SELECT doc_id, dl, tf1, tf2, tf3,
+        |  (n - df1 + 0.5)/(df1 + 0.5) * (CAST(tf1 AS DOUBLE) * 2.5)
+        |    / (CAST(tf1 AS DOUBLE) + 1.5*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n))))
+        |  + (n - df2 + 0.5)/(df2 + 0.5) * (CAST(tf2 AS DOUBLE) * 2.5)
+        |    / (CAST(tf2 AS DOUBLE) + 1.5*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n))))
+        |  + (n - df3 + 0.5)/(df3 + 0.5) * (CAST(tf3 AS DOUBLE) * 2.5)
+        |    / (CAST(tf3 AS DOUBLE) + 1.5*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) AS score
+        | FROM t, st)
+        |SELECT doc_id, dl, tf1, tf2, tf3, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q86_keyword_search" ->
+      """WITH p AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS term FROM documents),
+        |pt AS (SELECT term, doc_id, COUNT(*) AS tf FROM p GROUP BY 1,2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf FROM pt
+        |WHERE term IN ('window','customer','scan')
+        |GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id""".stripMargin)
+}

@@ -178,6 +178,18 @@ object TextQueries {
           sum(col("span_end") - col("span_start") + 1).cast("long")
             .as("dup_chars"))
         .orderBy("doc_id")
+    }),
+
+    // The dedup POLICY layer end to end: q35's near-dup pairs -> CC
+    // clusters -> keep the best copy per cluster by alpha_ratio (tie:
+    // lowest id). "Drop duplicates" in production means "keep the best
+    // copy" — this is that operator; singletons are their own cluster.
+    "q90_canonical_keep" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDup(docsSpread(s, dir), "doc_id",
+        "text", shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+      val scored = TextAnalysis.withQualitySignals(docs(s, dir), "text")
+      Dedup.keepBestPerCluster(scored, pairs, "doc_id", "alpha_ratio")
+        .orderBy("doc_id")
     }))
 
   // short-doc fallback branch mirrors TextFunctions.shingles: documents
@@ -191,12 +203,11 @@ object TextQueries {
       |       UNION ALL
       |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 3)""".stripMargin
 
-  /** The complete MinHash+LSH oracle pipeline (q35); `extraWhere`
-    * restricts the emitted pairs (q84's delta form — band construction,
-    * candidates and jaccard values are identical by design, so one SQL
-    * body serves both). */
-  private def minhashSql(extraWhere: String): String =
-    shingleCte + s""",
+  /** The MinHash+LSH pipeline CTEs up to the per-candidate-pair shingle
+    * intersection — shared by q35/q84 (pair emission) and q90 (cluster
+    * closure over the verified pairs). */
+  private val minhashCoreCte =
+    shingleCte + """,
       |sig AS (SELECT doc_id,
       | min(substr(md5('0_'||s),1,16)) m0, min(substr(md5('1_'||s),1,16)) m1,
       | min(substr(md5('2_'||s),1,16)) m2, min(substr(md5('3_'||s),1,16)) m3,
@@ -216,7 +227,14 @@ object TextQueries {
       |inter AS (SELECT a_id, b_id, count(*) i FROM cand
       |          JOIN sh sa ON sa.doc_id=a_id
       |          JOIN sh sb ON sb.doc_id=b_id AND sa.s=sb.s
-      |          GROUP BY 1,2)
+      |          GROUP BY 1,2)""".stripMargin
+
+  /** The complete MinHash+LSH oracle pipeline (q35); `extraWhere`
+    * restricts the emitted pairs (q84's delta form — band construction,
+    * candidates and jaccard values are identical by design, so one SQL
+    * body serves both). */
+  private def minhashSql(extraWhere: String): String =
+    minhashCoreCte + s"""
       |SELECT a_id, b_id, CAST(i AS DOUBLE)/(sa.n+sb.n-i) AS jaccard
       |FROM inter JOIN sizes sa ON a_id=sa.doc_id JOIN sizes sb ON b_id=sb.doc_id
       |WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) >= 0.5 $extraWhere
@@ -327,6 +345,36 @@ object TextQueries {
         |  AND md5(array_to_string(string_split_regex(e.text,'\s+')[1:5],' ')) =
         |      md5(array_to_string(string_split_regex(n.text,'\s+')[1:5],' ')))
         |ORDER BY n.doc_id""".stripMargin,
+    // the full minhash pipeline + q73's recursive min-reachable closure
+    // over the verified pairs + the per-cluster (alpha_ratio DESC, id)
+    // argmax window; alpha_ratio is one exact-integer division (q33's
+    // device), so the DOUBLE column hash-matches
+    "q90_canonical_keep" ->
+      (minhashCoreCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |pr AS (SELECT a_id, b_id
+        |       FROM inter JOIN sizes sa ON a_id=sa.doc_id
+        |                  JOIN sizes sb ON b_id=sb.doc_id
+        |       WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) >= 0.5),
+        |sym AS (SELECT a_id AS v, b_id AS u FROM pr
+        |        UNION SELECT b_id, a_id FROM pr),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+        |  UNION
+        |  SELECT s.v, reach.r FROM sym s JOIN reach ON s.u = reach.v),
+        |cc AS (SELECT v, MIN(r) AS comp FROM reach GROUP BY v),
+        |q AS (SELECT doc_id,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |                 / CAST(length(text) AS DOUBLE) END AS alpha_ratio
+        |      FROM documents),
+        |j AS (SELECT q.doc_id, COALESCE(cc.comp, q.doc_id) AS cluster,
+        |             q.alpha_ratio
+        |      FROM q LEFT JOIN cc ON q.doc_id = cc.v)
+        |SELECT doc_id, cluster, alpha_ratio,
+        |  CASE WHEN ROW_NUMBER() OVER (PARTITION BY cluster
+        |         ORDER BY alpha_ratio DESC, doc_id ASC) = 1
+        |       THEN 1 ELSE 0 END AS is_kept
+        |FROM j ORDER BY doc_id""".stripMargin),
     // grams group by VALUE here (Spark groups their xxhash64 — same
     // counts barring ~1e-8 64-bit collisions); span merge is the same
     // running-max-end window on both sides

@@ -107,6 +107,20 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // SemDeDup-shaped semantic near-dup: coarse k-means cells (the q43
+    // pinned centroids) bound the pair space on an UNLABELED corpus;
+    // same-cell pairs with cosine >= 0.4. Corpus never shuffles for the
+    // bucketing (map-only codegen assign); only ids cross the pair join.
+    "q89_semantic_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Dedup.semanticNearDup(e, "vec_id", "embedding", cents,
+          threshold = 0.4)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }),
+
     // Near-dup pairs -> dedup CLUSTERS: connected components over the
     // q42 edge list (min-label propagation, lineage-checkpointed
     // iterations); cluster = min reachable vec_id, is_rep marks the
@@ -237,6 +251,20 @@ object VectorQueries {
         |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |        ORDER BY dist ASC, n_id ASC) AS INTEGER) AS rank FROM dist)
         |SELECT q_id, n_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+    // q43's cell-assign CTE (L2 argmin with the (dist, cid) tiebreak of
+    // NearestCentroid) + the same-cell cosine pair join.
+    "q89_semantic_neardup" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        |              FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, embedding, cid FROM (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec), c.cid) AS rn
+        |  FROM embeddings e, cent c) WHERE rn = 1)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
     // q42's edge list + a recursive min-reachable closure (tiny graph:
     // the verified near-dup pairs), grouped to (vertex, min reachable).
     "q73_dedup_clusters" ->

@@ -158,4 +158,64 @@ object Curation {
     }
     df.filter(hashU32(seed, col(idCol)) < threshold)
   }
+
+  /** Deterministic train/val/test assignment: each row lands in the
+    * split whose cumulative hash interval contains its u32 coordinate.
+    * Map-only (one filter-free scan), reproducible across engines,
+    * partitionings and re-runs, and STABLE UNDER CORPUS GROWTH — a
+    * document keeps its split when new data arrives, which is the
+    * property that keeps eval sets from leaking into training between
+    * refreshes (a row_number-based split reassigns everything on every
+    * insert). Fractions are fixed-point longs over 2^32, so boundaries
+    * are exact, not float-accumulated. */
+  def assignSplits(df: DataFrame, idCol: String, seed: String,
+      splits: Seq[(String, Double)], out: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0.0), "split fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + (f * (1L << 32)).toLong
+    }.tail
+    val u = hashU32(seed, col(idCol))
+    // the last split takes the remainder, so rounding never drops a row
+    val expr = splits.init.zip(bounds).reverse.foldLeft(
+        lit(splits.last._1)) { case (acc, ((name, _), bound)) =>
+      when(u < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn(out, expr)
+  }
+
+  /** Epoch-weighted UP-sampling mix — the complement of [[mixSources]]
+    * (which can only thin): a source with weight w is replicated
+    * `floor(w)` times plus one more copy with probability `frac(w)`,
+    * hash-derandomized per row. Emits a `copy` index (0-based) so
+    * output rows stay distinct and a downstream
+    * [[deterministicShuffle]] by (id, copy) spreads the replicas
+    * through the epoch instead of leaving them adjacent.
+    *
+    * Map-only fanout: `explode(sequence(...))` inside the scan — no
+    * shuffle, no join; upweighting a 100 TB source is one pass writing
+    * w× the bytes (which is the floor for any engine — the copies must
+    * exist in the epoch stream). Unlisted sources default to weight 1.
+    * Integer weights replicate exactly; the fractional copy reuses the
+    * [[hashU32]] coordinate with a dedicated "up" seed so it is
+    * independent of any [[mixSources]] decision on the same seed. */
+  def upsampleSources(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Seq[(String, Double)], seed: String): DataFrame = {
+    require(weights.forall(_._2 >= 0.0), "upsample weights must be >= 0")
+    val whole = weights.foldLeft(lit(1L)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(w.toLong)).otherwise(acc)
+    }
+    val fracThreshold = weights.foldLeft(lit(0L)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src,
+        lit(((w - w.toLong) * (1L << 32)).toLong)).otherwise(acc)
+    }
+    val extra = (hashU32(s"up#$seed", col(idCol)) < fracThreshold)
+      .cast("long")
+    val nCopies = whole + extra
+    df.withColumn("copy", explode_outer(
+        when(nCopies > 0, sequence(lit(0L), nCopies - 1))))
+      .filter(col("copy").isNotNull)
+  }
 }

@@ -310,6 +310,50 @@ object Dedup {
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"), col("cos"))
   }
 
+  /** Semantic near-duplicate pairs, SemDeDup-shaped (Abbas et al. 2023):
+    * coarse-quantize every embedding to its nearest centroid (the same
+    * map-only codegen assign as [[Similarity.ivfAssign]] — the corpus
+    * never shuffles for the bucketing), then emit same-cell pairs with
+    * cosine >= `threshold`. The cell bounds the pair space to
+    * Σ|cell|² exactly like the label partition in [[embeddingNearDup]],
+    * but works on UNLABELED corpora — the cells come from k-means
+    * ([[Similarity.trainCentroids]]) or any pinned centroid table.
+    *
+    * Cross-cell near-duplicates are missed by construction (that is the
+    * SemDeDup trade: recall for a corpus-scale-safe candidate space);
+    * raise the centroid count for smaller cells, or run twice with two
+    * centroid seeds and union, when tighter recall matters. */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
+    embeddingNearDup(assigned, idCol, vecCol, "cid", threshold)
+  }
+
+  /** Canonical-document selection: given near-dup `pairs` over `docs`,
+    * keep the best row of each duplicate cluster by `scoreCol` (ties to
+    * the smallest id — deterministic). Returns every doc with its
+    * cluster id and `is_kept`; singletons (docs in no pair) are their
+    * own cluster and always kept.
+    *
+    * This is the policy layer production dedup actually wants — "drop
+    * duplicates" really means "keep the best copy": near-dup pairs →
+    * [[connectedComponents]] clusters → one window argmax per cluster.
+    * Plan: the CC rounds dominate; the final pick is one hash exchange
+    * on the cluster id over (id, cluster, score) triples — never full
+    * documents. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", idCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.join(cc, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("comp"), col(idCol)))
+      .withColumn("is_kept",
+        (row_number().over(w) === 1).cast("int"))
+      .select(col(idCol), col("cluster"), col(scoreCol), col("is_kept"))
+  }
+
   /** Incremental-snapshot dedup: rows of `newDf` whose `key` does NOT
     * occur in `existing` — semantically a plain left-anti join, planned
     * so that NEITHER corpus shuffles:

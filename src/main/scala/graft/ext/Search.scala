@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Corpus retrieval operators: BM25 ranked scoring and inverted-index
+  * conjunctive (AND) keyword search.
+  *
+  * Both are designed around the 100 TB asymmetry of retrieval: the query
+  * is a handful of terms, the corpus is the world. BM25 never shuffles
+  * the corpus at all (per-term tf is computed in-scan; the only moving
+  * data is ONE stats row broadcast back). Conjunctive search runs
+  * against a SAVED posting table so per-query work is proportional to
+  * the matched postings — Σ|postings(term)| — not the corpus.
+  */
+object Search {
+
+  /** BM25 relevance of every document against a literal term list —
+    * Robertson/Sparck-Jones BM25 with one deliberate substitution: the
+    * idf factor is the RATIONAL core `(N - df + 0.5)/(df + 0.5)` rather
+    * than its logarithm. Same device as
+    * [[TextAnalysis.topTfidfTerm]]: +, ×, / on IEEE doubles are
+    * correctly rounded and therefore bit-identical across engines,
+    * while `ln` differs in final ulps between libm implementations.
+    * The substitution is order-preserving per term (exp is monotone) —
+    * multi-term rankings can differ from log-BM25 where a rare term's
+    * contribution would have been damped, which is acceptable for a
+    * dedup/curation relevance gate and what makes the operator
+    * oracle-checkable end to end.
+    *
+    * Plan shape (the part that matters at scale):
+    *  1. per-term tf via `size(filter(tokens, _ == term))` — computed
+    *     INSIDE the scan projection, no explode, no shuffle;
+    *  2. ONE single-row aggregate (N, Σdl, per-term df) broadcast back;
+    *  3. the score is a map-only arithmetic pass.
+    *  The corpus is read twice and shuffled never; at 100 TB both reads
+    *  run at storage bandwidth and the broadcast is one row.
+    *
+    * `k1 = 1.5` and `b = 0.75` are the classic defaults chosen here
+    * also because both (and k1+1) are exactly representable doubles —
+    * no cross-engine constant-folding hazard. Docs matching no term
+    * score 0 and are filtered out. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct == terms, "duplicate query terms would double-count")
+    val toks = tokens(col(textCol))
+    def tfCol(i: Int): String = s"__tf$i"
+    val withTf = terms.zipWithIndex.foldLeft(
+        df.withColumn("__dl", size(toks))) { case (d, (t, i)) =>
+      d.withColumn(tfCol(i), size(filter(toks, x => x === lit(t))))
+    }
+    val statsAggs =
+      (count(lit(1)).cast("double").as("__n")) +:
+      (sum(col("__dl")).cast("double").as("__sumdl")) +:
+      terms.indices.map(i =>
+        sum((col(tfCol(i)) > 0).cast("long")).cast("double").as(s"__df$i"))
+    val stats = withTf.agg(statsAggs.head, statsAggs.tail: _*)
+    // score = Σ_i idf_i · tf_i(k1+1) / (tf_i + k1(1 - b + b·dl/avgdl)),
+    // summed in term-list order so the fold is reproducible bit-for-bit
+    val scored = withTf.crossJoin(broadcast(stats)).withColumn("score", {
+      val avgdl = col("__sumdl") / col("__n")
+      val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / avgdl))
+      terms.indices.map { i =>
+        val tf = col(tfCol(i)).cast("double")
+        val idf = (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5))
+        idf * (tf * lit(k1 + 1.0)) / (tf + lenNorm)
+      }.reduceLeft(_ + _)
+    })
+    val outCols = col(idCol) +: col("__dl").as("dl") +:
+      (terms.indices.map(i => col(tfCol(i)).as(s"tf${i + 1}")) :+ col("score"))
+    scored.filter(col("score") > 0.0).select(outCols: _*)
+  }
+
+  /** Inverted-index build: one posting row per distinct (term, doc),
+    * carrying the term frequency. This is the INDEXING pass — one
+    * explode + one (term, doc) aggregation; persist it partitioned (or
+    * bucketed) BY TERM so query-time scans prune to the asked-for terms
+    * and a conjunctive query never touches the corpus again. */
+  def buildPostings(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Conjunctive (AND) keyword search against a saved posting table:
+    * documents containing EVERY query term, with the summed tf as a
+    * crude rank signal. The `term IN (...)` filter pushes into the
+    * posting scan (partition pruning when the table is written
+    * partitioned by term), so work is Σ|postings(term)| over the asked
+    * terms — independent of corpus size; the groupBy shuffles only
+    * those matched postings. */
+  def conjunctive(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "conjunctive search needs at least one term")
+    val distinctTerms = terms.distinct
+    postings.filter(col("term").isin(distinctTerms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms") === distinctTerms.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.GraftSession
-import graft.ext.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Search, Similarity, TextAnalysis}
 import graft.ranges.RangeJoin
 
 /** Local scale stress: replicate the sf tables N× (ids offset per copy)
@@ -130,6 +130,30 @@ object ScaleProbe {
         m = 16, ksub = 32, iters = 1)
       Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb,
         $"vec_id" < 10, k = 5, nProbe = 3).count()
+    })
+
+    // round-4b retrieval/curation: BM25 (scan-bound, zero corpus
+    // shuffle expected in the meter), posting build+AND search, splits,
+    // upsampling fanout, and SemDeDup with TRAINED cells at the
+    // practical cell count (~sqrt(N) keeps the pair space Σ|cell|²
+    // near-linear)
+    time("bm25_3terms")(Search.bm25(docs, "doc_id", "text",
+      Seq("window", "customer", "scan")).count())
+    time("postings_build_and_and3")({
+      val p = Search.buildPostings(docs, "doc_id", "text")
+      Search.conjunctive(p, Seq("window", "customer", "scan")).count()
+    })
+    time("split_assign")(Curation.assignSplits(docs, "doc_id", "sp1",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().count())
+    time("upsample_2p5x")(Curation.upsampleSources(
+      docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+      "source", "doc_id", Seq("src0" -> 2.5, "src1" -> 0.0, "src2" -> 3.0),
+      "mix2").count())
+    time("semantic_neardup_k256")({
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 256, iters = 1)
+      Dedup.semanticNearDup(emb, "vec_id", "embedding", cents, 0.95).count()
     })
 
     // multimodal partition sizing: ~1 MB real PNG payloads through the

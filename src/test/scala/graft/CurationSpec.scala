@@ -54,6 +54,52 @@ class CurationSpec extends SparkSpecBase {
       again.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("assignSplits: exhaustive, stable under growth, fractions near-exact") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Curation.assignSplits(corpus, "id", "sp1", splits)
+    val byS = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row lands somewhere; fractions approximate at n=400
+    assert(byS.values.sum == 400L)
+    assert(byS("train") > 280L && byS("train") < 360L)
+    assert(byS("val") > 15L && byS("val") < 70L)
+    assert(byS("test") > 15L && byS("test") < 70L)
+    // the growth-stability contract: assignment is a pure function of
+    // (seed, id) — computing on HALF the corpus gives every surviving
+    // row the identical split (row_number-based splits fail this)
+    val half = Curation.assignSplits(
+      corpus.filter(col("id") <= 200), "id", "sp1", splits)
+    val full = assigned.filter(col("id") <= 200)
+    assert(half.exceptAll(full).isEmpty && full.exceptAll(half).isEmpty)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(corpus, "id", "sp1", Seq("a" -> 0.5))
+    }
+  }
+
+  test("upsampleSources: integer weights exact, fractional rate, zero drops") {
+    val up = Curation.upsampleSources(corpus, "source", "id",
+      Seq("src0" -> 2.5, "src1" -> 0.0, "src2" -> 3.0), "mix2").cache()
+    val byS = up.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("src2") == 300L)        // x3 exactly (100 docs)
+    assert(!byS.contains("src1"))      // weight 0 drops the source
+    assert(byS("src3") == 100L)        // unlisted defaults to x1
+    assert(byS("src0") > 220L && byS("src0") < 280L) // 2.5x of 100 ~ 250
+    // (id, copy) is a key: replicas are distinguishable rows
+    assert(up.select("id", "copy").distinct().count() == up.count())
+    // copy indices are dense 0..n-1 per row
+    val maxByid = up.filter(col("source") === "src2")
+      .groupBy("id").agg(countDistinct("copy").as("n"), max("copy").as("m"))
+      .filter(col("n") =!= 3 || col("m") =!= 2).count()
+    assert(maxByid == 0)
+    // hash-derandomized: a re-run is the identical multiset
+    val again = Curation.upsampleSources(corpus, "source", "id",
+      Seq("src0" -> 2.5, "src1" -> 0.0, "src2" -> 3.0), "mix2")
+    assert(up.exceptAll(again).isEmpty && again.exceptAll(up).isEmpty)
+    up.unpersist()
+  }
+
   test("exportShards: complete, disjoint, per-shard deterministic order") {
     val dir = tmpDir("shards")
     Curation.exportShards(corpus, "id", "ep1", 4, dir)

@@ -512,6 +512,58 @@ class ExtSpec extends SparkSpecBase {
     assert(rOpq > rPq)
   }
 
+  test("semanticNearDup == all-pairs ground truth restricted to same cell") {
+    // two tight clusters around orthogonal axes + one isolated vector;
+    // centroids pinned at the axes so the cell split is unambiguous
+    def v(axis: Int, eps: Double, dims: Int = 8): Array[Double] = {
+      val a = Array.fill(dims)(eps); a(axis) = 1.0; a
+    }
+    val vecs = Seq(
+      (10L, v(0, 0.01)), (11L, v(0, 0.02)), (12L, v(0, 0.03)),
+      (20L, v(3, 0.01)), (21L, v(3, 0.02)),
+      (30L, v(6, 0.4))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, v(0, 0.0)), (1L, v(3, 0.0)), (2L, v(6, 0.0)))
+      .toDF("cid", "cvec")
+    val got = Dedup.semanticNearDup(vecs, "vec_id", "embedding", cents, 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // ground truth: same-cell pairs with cosine >= 0.9, computed from
+    // the SAME assignment the operator uses
+    val asg = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val raw = vecs.as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (for {
+      (ia, va) <- raw; (ib, vb) <- raw
+      if ia < ib && asg(ia) == asg(ib) && cos(va, vb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    // the clusters actually paired up, and never across cells
+    assert(want.contains((10L, 11L)) && want.contains((20L, 21L)))
+    assert(got.forall { case (a, b) => asg(a) == asg(b) })
+    assert(!got.exists { case (a, b) => a == 30L || b == 30L })
+  }
+
+  test("keepBestPerCluster: best score wins, ties to lowest id, singletons kept") {
+    val docs = Seq(
+      (1L, 0.30), (2L, 0.90), (3L, 0.50), // cluster {1,2,3} via 1-2, 2-3
+      (4L, 0.70), (5L, 0.70),             // cluster {4,5}, tied score
+      (6L, 0.10)                          // singleton
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val r = Dedup.keepBestPerCluster(docs, pairs, "doc_id", "q")
+      .select("doc_id", "cluster", "is_kept")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(r.map(x => x._1 -> x._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    val kept = r.filter(_._3 == 1).map(_._1).toSet
+    assert(kept == Set(2L, 4L, 6L)) // 2 by score; 4 by tie->lowest id; 6 singleton
+    // exactly one keeper per cluster
+    assert(r.groupBy(_._2).forall(_._2.count(_._3 == 1) == 1))
+  }
+
   test("pq rerank: a truncated corpus vector never ranks") {
     // 7 clean 8-dim vectors + one truncated 5-dim row: the dirty row's
     // exact re-rank L2 is NULL (length mismatch) and ASC sorts NULLS

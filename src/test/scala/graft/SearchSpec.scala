@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Search
+
+/** Retrieval operators: BM25 scoring semantics and conjunctive search
+  * vs a filter-based ground truth. */
+class SearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark spark spark shuffle"),            // high tf of 'spark', short
+    (2L, "spark shuffle join window merge sort"), // one 'spark', longer
+    (3L, "shuffle join window merge sort scan"),  // no 'spark'
+    (4L, "spark"),                                // tf 1, shortest doc
+    (5L, "rare spark rare rare rare rare rare rare rare rare rare rare")
+  ).toDF("doc_id", "text")
+
+  test("bm25: tf saturation, length norm, and zero-score exclusion") {
+    val r = Search.bm25(corpus, "doc_id", "text", Seq("spark"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    // doc 3 matches no term -> excluded entirely
+    assert(!r.map(_._1).contains(3L))
+    // repeated-term doc beats single-occurrence docs
+    assert(r.head._1 == 1L)
+    // among tf=1 docs, the shorter doc scores higher (length norm)
+    val byId = r.toMap
+    assert(byId(4L) > byId(2L))
+    assert(byId(2L) > byId(5L))
+    // saturation: tf=3 scores less than 3x the tf=1 score at equal dl
+    // (the k1 denominator bends the curve)
+    assert(byId(1L) < 3.0 * byId(4L))
+    // every emitted score is strictly positive
+    assert(r.forall(_._2 > 0.0))
+  }
+
+  test("bm25: rare terms outweigh common ones (idf)") {
+    // 'rare' occurs in 1 of 5 docs, 'spark' in 4 of 5: with one
+    // occurrence of each at the same dl, the rare term must dominate
+    val r = Search.bm25(corpus, "doc_id", "text", Seq("rare", "spark"))
+    val row5 = r.filter(col("doc_id") === 5L).select("score").as[Double].head()
+    val row1 = r.filter(col("doc_id") === 1L).select("score").as[Double].head()
+    assert(row5 > row1, s"rare-term doc must outrank: $row5 vs $row1")
+  }
+
+  test("bm25: multi-term score is the sum of single-term scores") {
+    val both = Search.bm25(corpus, "doc_id", "text", Seq("spark", "shuffle"))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val a = Search.bm25(corpus, "doc_id", "text", Seq("spark"))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val b = Search.bm25(corpus, "doc_id", "text", Seq("shuffle"))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // df/avgdl stats are corpus-global, so term scores add exactly
+    // (up to one double addition, which is what the engine does too)
+    both.foreach { case (id, s) =>
+      val expect = a.getOrElse(id, 0.0) + b.getOrElse(id, 0.0)
+      assert(math.abs(s - expect) < 1e-12, s"doc $id: $s vs $expect")
+    }
+  }
+
+  test("bm25: corpus never shuffles (no Exchange below the stats join)") {
+    val plan = Search.bm25(corpus, "doc_id", "text", Seq("spark"))
+      .queryExecution.executedPlan.toString
+    // the single-row stats aggregate is the only exchange source; the
+    // corpus side must reach the broadcast join without repartitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 0,
+      s"bm25 must not hash-partition the corpus:\n$plan")
+  }
+
+  test("conjunctive search == filter-based ground truth") {
+    val terms = Seq("shuffle", "spark")
+    val postings = Search.buildPostings(corpus, "doc_id", "text")
+    val got = Search.conjunctive(postings, terms)
+      .select("doc_id", "total_tf").as[(Long, Long)].collect().sortBy(_._1)
+    val toks = corpus.select(col("doc_id"),
+      split(col("text"), "\\s+").as("t"))
+    val want = toks
+      .filter(terms.map(t => array_contains(col("t"), t)).reduce(_ && _))
+      .select(col("doc_id"),
+        aggregate(filter(col("t"), x => x.isin(terms: _*)),
+          lit(0L), (acc, _) => acc + 1L).as("total_tf"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(want))
+    // duplicate query terms must not change the required match count
+    val dup = Search.conjunctive(postings, terms ++ terms)
+      .select("doc_id", "total_tf").as[(Long, Long)].collect().sortBy(_._1)
+    assert(dup.sameElements(got))
+  }
+
+  test("conjunctive search: term filter prunes before the aggregate") {
+    val postings = Search.buildPostings(corpus, "doc_id", "text")
+    val plan = Search.conjunctive(postings, Seq("spark"))
+      .queryExecution.optimizedPlan.toString
+    // the IN filter must sit BELOW the doc_id aggregate (deeper in the
+    // tree = later in the print), not re-filter its output — that is
+    // the "work proportional to matched postings" contract
+    val aggIdx = plan.indexOf("Aggregate [doc_id")
+    val termFilterIdx = plan.indexOf("(term")
+    assert(aggIdx >= 0 && termFilterIdx >= 0, s"plan shape changed:\n$plan")
+    assert(termFilterIdx > aggIdx,
+      s"term filter must be below the doc aggregate:\n$plan")
+  }
+}
