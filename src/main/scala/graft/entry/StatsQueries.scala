@@ -106,9 +106,31 @@ object StatsQueries {
       graft.ext.Sketches.heavyHitters(t(s, dir, "lineitem"),
           "l_quantity", phi = 0.015, k = 256)
         .orderBy("l_quantity")
+    }),
+
+    // One-pass table profile (ANALYZE shape): nulls / exact distincts /
+    // native-typed min-max per column, long form. A single Aggregate
+    // over the table; the pivot to rows is a literal-struct explode of
+    // the one result row.
+    "q92_profile" -> ((s, dir) => {
+      Stats.profile(t(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // one SELECT per profiled column, min/max on the native type then
+    // rendered VARCHAR — mirrors min(col).cast(string)
+    "q92_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(MIN($c) AS VARCHAR) AS min_val,
+           | CAST(MAX($c) AS VARCHAR) AS max_val FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     // Identical quantize → exact DECIMAL sums → fixed double tree.
     "q58_desc_stats" ->
       """WITH m AS (

@@ -180,6 +180,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Overlapping token-window chunking (RAG / context-window prep):
+    // 32-token chunks, 8-token overlap (stride 24); redundant tails
+    // dropped, coverage exact. Map-only — chunks are born in the scan.
+    "q91_chunk_tokens" -> ((s, dir) => {
+      TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // The dedup POLICY layer end to end: q35's near-dup pairs -> CC
     // clusters -> keep the best copy per cluster by alpha_ratio (tie:
     // lowest id). "Drop duplicates" in production means "keep the best
@@ -345,6 +354,20 @@ object TextQueries {
         |  AND md5(array_to_string(string_split_regex(e.text,'\s+')[1:5],' ')) =
         |      md5(array_to_string(string_split_regex(n.text,'\s+')[1:5],' ')))
         |ORDER BY n.doc_id""".stripMargin,
+    // same fixed-stride starts with the same tail-drop rule; DuckDB
+    // slices are 1-based inclusive, so tk[s:s+31] is Spark's
+    // slice(t, s, 32)
+    "q91_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents),
+        |st AS (SELECT doc_id, tk, CAST(u.s AS INTEGER) AS s
+        |       FROM t, unnest(generate_series(1, len(tk), 24)) u(s)
+        |       WHERE u.s = 1 OR u.s + 8 <= len(tk))
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INTEGER) AS chunk_id,
+        |  s AS start_token,
+        |  len(tk[s:s+31]) AS n_tokens,
+        |  md5(array_to_string(tk[s:s+31],' ')) AS chunk_hash
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     // the full minhash pipeline + q73's recursive min-reachable closure
     // over the verified pairs + the per-cluster (alpha_ratio DESC, id)
     // argmax window; alpha_ratio is one exact-integer division (q33's

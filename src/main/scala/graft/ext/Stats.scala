@@ -95,4 +95,38 @@ object Stats {
       sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy))
     agg.select(keys.map(col) ++ Seq(col("n"), r.as("corr")): _*)
   }
+
+  /** One-pass table profile (the ANALYZE/data-quality primitive): for
+    * each named column — row count, null count, exact distinct count,
+    * and min/max (computed on the NATIVE type, then rendered as string
+    * so one long-form schema fits every column). Output one row per
+    * column: (col_name, n_rows, n_nulls, n_distinct, min_val, max_val).
+    *
+    * Plan: ONE Aggregate over the table. Multiple exact countDistincts
+    * make Catalyst plan an Expand (one duplicated stream per distinct
+    * column) — exact is the oracle-checkable default; pass
+    * `exact = false` to profile 100 TB with `approx_count_distinct`
+    * (HLL, single stream, no Expand) when ±2% is acceptable. The
+    * long-form pivot is driver-free: one literal-struct array inlined
+    * over the single aggregate row. */
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    def cnt(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"__nul_$c"),
+      cnt(c).as(s"__dst_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__rows").as("n_rows"),
+        col(s"__nul_$c").as("n_nulls"),
+        col(s"__dst_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))): _*)).as("__p"))
+      .select("__p.*")
+  }
 }

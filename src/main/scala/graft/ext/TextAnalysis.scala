@@ -159,6 +159,39 @@ object TextAnalysis {
       .select("term", "cnt", "rank", "coverage")
   }
 
+  /** Overlapping token-window chunking (the RAG / context-window prep
+    * pass): cut each document's token stream into `chunkSize`-token
+    * windows advancing by `chunkSize - overlap`. Emits (chunk_id,
+    * start_token, n_tokens, chunk_hash) per chunk; the final partial
+    * window is kept only when it contributes tokens no earlier chunk
+    * covered (see the drop rule below — coverage is exact, padding is
+    * never emitted).
+    *
+    * Map-only: starts are computed per row and exploded inside the
+    * scan stage — no shuffle, no join; chunking 100 TB is one pass
+    * writing ≈ (1 + overlap/stride)× the tokens, which is the floor
+    * for any overlapping chunker. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      "need chunkSize > overlap >= 0 (stride = chunkSize - overlap)")
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val step = chunkSize - overlap
+    // fixed-stride starts 1, 1+step, 1+2·step …; a tail start s > 1 with
+    // s + overlap > n is DROPPED — the previous chunk already covers
+    // tokens s‥s+overlap-1 ⊇ s‥n, so the tail would carry no new token
+    val starts = filter(sequence(lit(1), n, lit(step)),
+      s => (s === 1) || (s + lit(overlap) <= n))
+    df.select(col(idCol), t.as("__tk"),
+        posexplode(starts).as(Seq("chunk_id", "start_token")))
+      .withColumn("__chunk",
+        slice(col("__tk"), col("start_token"), lit(chunkSize)))
+      .select(col(idCol), col("chunk_id"), col("start_token"),
+        size(col("__chunk")).as("n_tokens"),
+        md5(array_join(col("__chunk"), " ")).as("chunk_hash"))
+  }
+
   /** Tokenizer-apply: encode every document as its array of vocabulary
     * token ids (= [[vocabulary]] ranks; out-of-vocab tokens map to
     * `unkId`, default 0). The vocab ships as a literal map into a

@@ -150,6 +150,8 @@ object ScaleProbe {
       docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))),
       "source", "doc_id", Seq("src0" -> 2.5, "src1" -> 0.0, "src2" -> 3.0),
       "mix2").count())
+    time("chunk_32_8")(TextAnalysis.chunkTokens(docs, "doc_id", "text",
+      chunkSize = 32, overlap = 8).count())
     time("semantic_neardup_k256")({
       val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
         k = 256, iters = 1)

@@ -564,6 +564,35 @@ class ExtSpec extends SparkSpecBase {
     assert(r.groupBy(_._2).forall(_._2.count(_._3 == 1) == 1))
   }
 
+  test("chunkTokens: exact coverage, tail-drop rule, dense ids") {
+    // token counts straddling every boundary case for chunk=5/overlap=2
+    // (stride 3): below one chunk, exactly one, one+overlap edge, …
+    val docs = Seq(1, 4, 5, 6, 7, 8, 12, 13).map { n =>
+      (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+      chunkSize = 5, overlap = 2)
+      .select("doc_id", "chunk_id", "start_token", "n_tokens")
+      .as[(Long, Int, Int, Int)].collect().groupBy(_._1)
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val cs = chunks(id).sortBy(_._2)
+      // chunk ids dense from 0; starts at fixed stride 3
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+      assert(cs.forall { case (_, cid, s, _) => s == 1 + 3 * cid })
+      // every token covered exactly: union of [s, s+len-1] == [1, n]
+      val covered = cs.flatMap { case (_, _, s, len) => s until (s + len) }.toSet
+      assert(covered == (1 to n).toSet, s"doc $id coverage hole")
+      // tail-drop: every chunk past the first contributes a NEW token
+      // (its end exceeds the previous chunk's end)
+      val ends = cs.map { case (_, _, s, len) => s + len - 1 }
+      assert(ends.sliding(2).forall(p => p.length < 2 || p(1) > p(0)),
+        s"doc $id has a redundant tail chunk")
+      // short docs collapse to exactly one chunk
+      if (n <= 5) assert(cs.length == 1)
+    }
+  }
+
   test("pq rerank: a truncated corpus vector never ranks") {
     // 7 clean 8-dim vectors + one truncated 5-dim row: the dirty row's
     // exact re-rank L2 is NULL (length mismatch) and ASC sorts NULLS
