@@ -89,6 +89,29 @@ class SearchSpec extends SparkSpecBase {
     assert(dup.sameElements(got))
   }
 
+  test("saved posting table: round-trip equality + partition pruning") {
+    // the production shape: index once, persist partitioned BY TERM,
+    // query forever — per-query work is the asked-for terms' postings
+    val dir = tmpDir("postings")
+    Search.buildPostings(corpus, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("term").parquet(dir)
+    val saved = spark.read.parquet(dir)
+    val q = Search.conjunctive(saved, Seq("spark", "shuffle"))
+    val got = q.select("doc_id", "total_tf").as[(Long, Long)].collect().toSet
+    val mem = Search.conjunctive(
+        Search.buildPostings(corpus, "doc_id", "text"), Seq("spark", "shuffle"))
+      .select("doc_id", "total_tf").as[(Long, Long)].collect().toSet
+    assert(got == mem && got.nonEmpty)
+    // the IN filter must land as a PARTITION filter on the saved index —
+    // the scan lists only the two term directories, never the corpus.
+    // (string match: AQE wraps the plan, so node-collect misses the scan)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*term".r.findFirstIn(plan).isDefined,
+      s"term IN (...) did not become partition pruning:\n$plan")
+    assert(!plan.contains("PushedFilters: [In(term"),
+      s"term filter should prune partitions, not rows:\n$plan")
+  }
+
   test("conjunctive search: term filter prunes before the aggregate") {
     val postings = Search.buildPostings(corpus, "doc_id", "text")
     val plan = Search.conjunctive(postings, Seq("spark"))

@@ -366,6 +366,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stateless curation ops stream as-is: chunk/split/upsample == batch") {
+    // chunkTokens, assignSplits and upsampleSources are pure per-row
+    // column pipelines — they run UNCHANGED on a stream in append mode
+    // with no watermark and no state. This pins that contract (a later
+    // "optimization" that sneaks in an aggregate or window would break
+    // the streaming plan loudly here).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.{Curation, TextAnalysis}
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      (1L, "a b c d e f g h i j", "src0"),
+      (2L, "k l m", "src1"),
+      (3L, "n o p q r s t u v w x y z a b", "src2"),
+      (4L, "one two", "src3"))
+    val mem = MemoryStream[(Long, String, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text", "source")
+    def ops(df: org.apache.spark.sql.DataFrame) = {
+      val split = Curation.assignSplits(df, "doc_id", "sp1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val up = Curation.upsampleSources(split, "source", "doc_id",
+        Seq("src0" -> 2.0, "src1" -> 0.0), "mix2")
+      TextAnalysis.chunkTokens(up.withColumn("text",
+          concat_ws(" ", col("split"), col("text"), col("copy"))),
+        "doc_id", "text", chunkSize = 4, overlap = 1)
+    }
+    mem.addData(rows.take(2): _*)
+    mem.addData(rows.drop(2): _*)
+    val streamed = EventStreams.runToMemory(spark, ops(sdf), "curation_ops")
+      .collect().map(_.toSeq).toSet
+    val batch = ops(rows.toDF("doc_id", "text", "source"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("JVM hash twins equal the SQL column forms") {
     import graft.ext.Curation
     val ids = Seq(1L, 42L, 999999L, 7L)
