@@ -71,5 +71,5 @@ object SearchQueries {
         |pt AS (SELECT term, doc_id, COUNT(*) AS tf FROM p GROUP BY 1,2)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf FROM pt
         |WHERE term IN ('window','customer','scan')
-        |GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3 ORDER BY doc_id""".stripMargin)
 }

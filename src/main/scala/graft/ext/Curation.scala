@@ -214,8 +214,9 @@ object Curation {
     val extra = (hashU32(s"up#$seed", col(idCol)) < fracThreshold)
       .cast("long")
     val nCopies = whole + extra
-    df.withColumn("copy", explode_outer(
-        when(nCopies > 0, sequence(lit(0L), nCopies - 1))))
-      .filter(col("copy").isNotNull)
+    // explode (not _outer) already drops the weight-0 rows: their
+    // sequence column is null
+    df.withColumn("copy",
+      explode(when(nCopies > 0, sequence(lit(0L), nCopies - 1))))
   }
 }

@@ -95,9 +95,13 @@ object Search {
   def conjunctive(postings: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "conjunctive search needs at least one term")
     val distinctTerms = terms.distinct
+    // countDistinct, not count: a posting table with duplicated
+    // (term, doc) rows (re-indexed batch appended twice) must neither
+    // fake a conjunction out of repeats nor overshoot the gate
     postings.filter(col("term").isin(distinctTerms: _*))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("total_tf"))
       .filter(col("n_terms") === distinctTerms.size)
       .select(col("doc_id"), col("total_tf"))
   }

@@ -515,13 +515,19 @@ object Similarity {
   def opqRotation(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       sampleSize: Int = 4096): Seq[Seq[Double]] = {
     require(m >= 1, "need m >= 1 subspaces")
-    val sample: Array[Seq[Double]] = corpus
+    val rawSample: Array[Seq[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("__v"),
         md5(concat(lit("opq#"), col(idCol).cast("string"))).as("__h"))
+      .filter(col("__v").isNotNull)
       .orderBy("__h").limit(math.max(2, sampleSize))
       .collect().map(_.getSeq[Double](0))
-    require(sample.nonEmpty, "corpus is empty")
-    val d = sample.head.length
+    require(rawSample.nonEmpty, "corpus is empty")
+    val d = rawSample.head.length
+    // drop length-mismatched (truncated/dirty) rows rather than indexing
+    // past their end — the same rows MatVec/L2 null at scoring time
+    val sample = rawSample.filter(_.length == d)
+    require(sample.length >= 2,
+      s"need >= 2 sampled vectors of dims=$d to estimate covariance")
     require(d % m == 0, s"dims=$d not divisible by m=$m subspaces")
     // covariance of the sample (fixed accumulation order)
     val mean = new Array[Double](d)
@@ -547,16 +553,21 @@ object Similarity {
       ci += 1
     }
     val (eigVals, eigVecs) = jacobiEigen(cov)
-    // deal principal directions (variance desc) to the subspace with the
-    // smallest running log-variance product; ties to the lowest subspace
+    // deal principal directions (variance desc) round-robin by FILL
+    // COUNT first, breaking ties by smallest running log-variance
+    // product (then lowest subspace). Count-first keeps the deal
+    // scale-invariant and one-per-bucket-per-round: a pure
+    // least-product greedy degenerates to contiguous PCA stacking
+    // whenever eigenvalues sit below 1 (unit-norm embeddings —
+    // trace ≤ 1), which is exactly the imbalance this deal exists to
+    // prevent.
     val order = eigVals.indices.sortBy(i => (-eigVals(i), i))
     val subDims = d / m
     val logProd = new Array[Double](m)
     val counts = new Array[Int](m)
     val alloc = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
     order.foreach { e =>
-      val s = (0 until m).filter(counts(_) < subDims)
-        .minBy(s => (logProd(s), s))
+      val s = (0 until m).minBy(s => (counts(s), logProd(s), s))
       alloc(s) += e
       logProd(s) += math.log(math.max(eigVals(e), 1e-300))
       counts(s) += 1

@@ -249,7 +249,9 @@ object VectorExprHelpers {
     var r = 0
     while (r < rows) {
       val row = m.getArray(r)
-      if (row.numElements() != n) return null
+      // null row or length mismatch -> null result, never a crash or a
+      // silent partial rotation
+      if (row == null || row.numElements() != n) return null
       var d = 0.0; var i = 0
       while (i < n) { d += row.getDouble(i) * v.getDouble(i); i += 1 }
       out(r) = d

@@ -446,35 +446,14 @@ class ExtSpec extends SparkSpecBase {
     // paper's own objective — quantization DISTORTION — because at this
     // code budget recall@5 is a noisy proxy (gain +0.080 at HEAD,
     // asserted only directionally below).
+    // corpus + distortion metric are SHARED with tools/OpqProbe (one
+    // definition — BENCH.md's probe numbers can't drift from these)
     val d = 32; val m = 4; val ksub = 16
-    val mix = Array.tabulate(d, d)((i, j) => math.sin(i * d + j + 1) / 2.0)
-    val scales = Array.tabulate(d)(i => math.pow(0.4, i)) // steep spectrum
-    val vecs = (0 until 600).map { r =>
-      val z = Array.tabulate(d)(i => math.sin(r * 37 + i * 11 + 0.5) +
-        math.sin(r * 101 + i * 29))
-      val x = Array.tabulate(d)(i =>
-        (0 until d).map(j => mix(i)(j) * scales(j) * z(j)).sum)
-      (r.toLong, x)
-    }.toDF("vec_id", "embedding").cache()
-    // mean squared reconstruction error of a trained codebook over the
-    // corpus (the OPQ objective)
+    val vecs = graft.tools.OpqProbe.anisotropicVecs(600, d, decay = 0.4)
+      .toDF("vec_id", "embedding").cache()
     def distortion(df: org.apache.spark.sql.DataFrame, vcol: String,
-        cb: org.apache.spark.sql.DataFrame): Double = {
-      val cbm = cb.collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
-        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
-      val sub = d / m
-      Similarity.pqEncode(df, "vec_id", vcol, cb)
-        .select(col(vcol).cast("array<double>"), col("pq_code"))
-        .collect()
-        .map { r =>
-          val x = r.getSeq[Double](0); val code = r.getSeq[Long](1)
-          (0 until m).map { s =>
-            val cw = cbm(s)(code(s).toInt)
-            (0 until sub).map(i => { val t = x(s * sub + i) - cw(i); t * t }).sum
-          }.sum
-        }.sum / df.count()
-    }
+        cb: org.apache.spark.sql.DataFrame): Double =
+      graft.tools.OpqProbe.distortion(df, vcol, cb, d, m)
     val cb = Similarity.pqTrain(vecs, "vec_id", "embedding",
       m = m, ksub = ksub, iters = 2)
     val dPq = distortion(vecs, "embedding", cb)
@@ -510,6 +489,30 @@ class ExtSpec extends SparkSpecBase {
       "rvec", cbR, isQuery, k = 5)))
     info(f"recall@5: pq=$rPq%.3f opq=$rOpq%.3f")
     assert(rOpq > rPq)
+  }
+
+  test("opq allocation stays balanced on unit-norm vectors (all eigenvalues < 1)") {
+    // L2-normalized embeddings are the dominant real case: trace(Cov)
+    // <= 1, every eigen-log negative — a pure least-product greedy deal
+    // degenerates there to contiguous PCA stacking (subspace 0 takes
+    // all top variance). The count-first deal must keep the rotation
+    // helpful, not harmful, in this regime.
+    val d = 32; val m = 4
+    val unit = graft.tools.OpqProbe.anisotropicVecs(600, d, decay = 0.4)
+      .map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum); (id, v.map(_ / n))
+      }.toDF("vec_id", "embedding").cache()
+    val cb = Similarity.pqTrain(unit, "vec_id", "embedding",
+      m = m, ksub = 16, iters = 2)
+    val dPq = graft.tools.OpqProbe.distortion(unit, "embedding", cb, d, m)
+    val rot = Similarity.opqRotation(unit, "vec_id", "embedding", m = m)
+    val rotated = Similarity.rotate(unit, "embedding", rot, "rvec").cache()
+    val cbR = Similarity.pqTrain(rotated, "vec_id", "rvec",
+      m = m, ksub = 16, iters = 2)
+    val dOpq = graft.tools.OpqProbe.distortion(rotated, "rvec", cbR, d, m)
+    info(f"unit-norm distortion: pq=$dPq%.6f opq=$dOpq%.6f (ratio ${dOpq / dPq}%.3f)")
+    assert(dOpq < 0.3 * dPq, // 0.171 at HEAD — same ~6x cut as unnormalized
+      f"rotation must keep helping on normalized vectors: $dPq%.6f -> $dOpq%.6f")
   }
 
   test("semanticNearDup == all-pairs ground truth restricted to same cell") {

@@ -89,6 +89,20 @@ class SearchSpec extends SparkSpecBase {
     assert(dup.sameElements(got))
   }
 
+  test("conjunctive gate survives duplicated posting rows") {
+    // a re-indexed batch appended twice: repeats must neither fake a
+    // conjunction (doc 3 has 'shuffle' but no 'spark') nor overshoot
+    // the n_terms gate for docs that do match
+    val postings = Search.buildPostings(corpus, "doc_id", "text")
+    val dup = postings.unionAll(postings.filter(col("term") === "shuffle"))
+    val got = Search.conjunctive(dup, Seq("spark", "shuffle"))
+      .select("doc_id").as[Long].collect().toSet
+    val want = Search.conjunctive(postings, Seq("spark", "shuffle"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+    assert(!got.contains(3L))
+  }
+
   test("saved posting table: round-trip equality + partition pruning") {
     // the production shape: index once, persist partitioned BY TERM,
     // query forever — per-query work is the asked-for terms' postings

@@ -67,6 +67,25 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(hit) // 42 is one of the 100 inserted keys
   }
 
+  test("graft_mat_vec: rotates from SQL; null row / length mismatch -> null") {
+    graft.functions.expressions.VectorExpressions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT graft_mat_vec(CAST(array(array(0.0, 1.0), array(1.0, 0.0))
+        |                          AS ARRAY<ARRAY<DOUBLE>>),
+        |                     CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS swap,
+        |       graft_mat_vec(CAST(array(array(1.0, 2.0),
+        |                                CAST(NULL AS ARRAY<DOUBLE>))
+        |                          AS ARRAY<ARRAY<DOUBLE>>),
+        |                     CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS nullrow,
+        |       graft_mat_vec(CAST(array(array(1.0, 2.0, 3.0))
+        |                          AS ARRAY<ARRAY<DOUBLE>>),
+        |                     CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS short""".stripMargin)
+      .head()
+    assert(r.getSeq[Double](0) == Seq(4.0, 3.0))
+    assert(r.isNullAt(1)) // null row degrades to null, never an NPE
+    assert(r.isNullAt(2)) // length mismatch likewise
+  }
+
   test("GraftExtensions session: functions + transparent range rule, pure SQL") {
     import org.apache.spark.sql.SparkSession
     val old = spark
