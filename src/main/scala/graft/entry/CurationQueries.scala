@@ -35,6 +35,14 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source dataset card: doc/token/char counts, corpus-level
+    // alpha ratio (ONE division of exact sums), exact-dup doc count.
+    // Digests shuffle, text never does.
+    "q93_dataset_card" -> ((s, dir) => {
+      Curation.datasetCard(docs(s, dir), "source", "text")
+        .orderBy("source")
+    }),
+
     // Deterministic train/val/test split (80/10/10): fixed-point hash
     // intervals, map-only, stable under corpus growth — a doc keeps its
     // split forever regardless of what arrives later.
@@ -152,6 +160,20 @@ object CurationQueries {
         |                 / CAST(a.n_grams AS DOUBLE) END AS dup_gram_ratio
         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q93_dataset_card" ->
+      """WITH h AS (SELECT source, md5(text) AS hh,
+        |             len(string_split_regex(text,'\s+')) AS ntok,
+        |             length(text) AS nch,
+        |             length(regexp_replace(text,'[^A-Za-z]','','g')) AS nal
+        |           FROM documents),
+        |c AS (SELECT hh, COUNT(*) AS copies FROM h GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(nch) AS BIGINT) AS n_chars,
+        |  CAST(SUM(nal) AS DOUBLE)/CAST(SUM(nch) AS DOUBLE) AS alpha_ratio,
+        |  CAST(SUM(CASE WHEN copies>1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |FROM h JOIN c USING (hh)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // bounds = cumulative fixed-point fractions: 0.8*2^32 = 3435973836,
     // + 0.1*2^32 = 3865470565; 'test' takes the remainder
     "q87_split_assign" ->

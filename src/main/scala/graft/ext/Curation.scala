@@ -159,6 +159,36 @@ object Curation {
     df.filter(hashU32(seed, col(idCol)) < threshold)
   }
 
+  /** Per-source dataset card — the corpus report a training run is
+    * configured from: document/token/char counts, corpus-level alpha
+    * ratio, and the number of docs that are exact duplicates of ANY
+    * corpus doc (cross-source: boilerplate shared between sources shows
+    * up in both rows). Every statistic is an exact integer sum or ONE
+    * division of two exact sums — bit-reproducible under any
+    * partitioning, no order-dependent double accumulation.
+    *
+    * Plan: one 16-byte-digest aggregation + a digest join (never the
+    * text), then a per-source aggregation — three shuffles total,
+    * each over slim rows. */
+  def datasetCard(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val base = df.select(col(sourceCol), t.as("__t"),
+      md5(t).as("__h"),
+      size(graft.functions.TextFunctions.tokens(t)).cast("long").as("__ntok"),
+      length(t).cast("long").as("__nch"),
+      length(regexp_replace(t, "[^A-Za-z]", "")).cast("long").as("__nal"))
+    val copies = base.groupBy("__h").agg(count(lit(1)).as("__copies"))
+    base.join(copies, Seq("__h"))
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nch")).as("n_chars"),
+        (sum(col("__nal")).cast("double") /
+          sum(col("__nch")).cast("double")).as("alpha_ratio"),
+        sum((col("__copies") > 1).cast("long")).as("dup_docs"))
+  }
+
   /** Deterministic train/val/test assignment: each row lands in the
     * split whose cumulative hash interval contains its u32 coordinate.
     * Map-only (one filter-free scan), reproducible across engines,

@@ -54,6 +54,23 @@ class CurationSpec extends SparkSpecBase {
       again.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("datasetCard: exact per-source counts; dup detection is cross-source") {
+    import org.apache.spark.sql.Row
+    val docs = Seq(
+      ("web",  "aa bb"),     // dup of the wiki doc (cross-source!)
+      ("web",  "cc dd ee"),
+      ("web",  "cc dd ee"),  // dup within web
+      ("wiki", "aa bb"),     // dup of web's first doc
+      ("wiki", "x1 y2?")     // unique; 2 alpha of 6 chars
+    ).toDF("source", "text")
+    val card = Curation.datasetCard(docs, "source", "text")
+      .orderBy("source").collect()
+    // web: 3 docs, 8 tokens, 5+8+8=21 chars, alpha 4+6+6=16/21, all 3 dup
+    assert(card(0) == Row("web", 3L, 8L, 21L, 16.0 / 21.0, 3L))
+    // wiki: 2 docs, 4 tokens, 5+6=11 chars, alpha 4+2=6/11, 1 dup
+    assert(card(1) == Row("wiki", 2L, 4L, 11L, 6.0 / 11.0, 1L))
+  }
+
   test("assignSplits: exhaustive, stable under growth, fractions near-exact") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val assigned = Curation.assignSplits(corpus, "id", "sp1", splits)

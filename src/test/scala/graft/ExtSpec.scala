@@ -491,6 +491,33 @@ class ExtSpec extends SparkSpecBase {
     assert(rOpq > rPq)
   }
 
+  test("ANN index artifacts survive a parquet round-trip bit-for-bit") {
+    // production lifecycle: train once, persist, serve forever — the
+    // reloaded centroid/codebook tables must reproduce the in-memory
+    // assignment and codes exactly (q84 already proves this for the
+    // minhash band table)
+    val vecs = graft.tools.OpqProbe.anisotropicVecs(200, 16, decay = 0.6)
+      .toDF("vec_id", "embedding").cache()
+    val cents = Similarity.trainCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val cb = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2)
+    val cDir = tmpDir("cents"); val cbDir = tmpDir("codebook")
+    cents.write.mode("overwrite").parquet(cDir)
+    cb.write.mode("overwrite").parquet(cbDir)
+    val cents2 = spark.read.parquet(cDir)
+    val cb2 = spark.read.parquet(cbDir)
+    def asg(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssign(vecs, "vec_id", "embedding", c)
+        .select("vec_id", "cid").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    def codes(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(vecs, "vec_id", "embedding", c)
+        .select(col("vec_id"), col("pq_code").cast("array<string>"))
+        .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(asg(cents2) == asg(cents))
+    assert(codes(cb2) == codes(cb))
+  }
+
   test("opq allocation stays balanced on unit-norm vectors (all eigenvalues < 1)") {
     // L2-normalized embeddings are the dominant real case: trace(Cov)
     // <= 1, every eigen-log negative — a pure least-product greedy deal
@@ -565,6 +592,37 @@ class ExtSpec extends SparkSpecBase {
     assert(kept == Set(2L, 4L, 6L)) // 2 by score; 4 by tie->lowest id; 6 singleton
     // exactly one keeper per cluster
     assert(r.groupBy(_._2).forall(_._2.count(_._3 == 1) == 1))
+  }
+
+  test("chunkTokens property: coverage and tail-drop hold for arbitrary shapes") {
+    import org.scalacheck.Gen
+    // random (n, chunkSize, overlap) shapes, one Spark job per distinct
+    // (chunkSize, overlap) config (docs with the same config batch up)
+    val shapes = Gen.listOfN(25, for {
+      n <- Gen.chooseNum(1, 120)
+      c <- Gen.chooseNum(2, 40)
+      o <- Gen.chooseNum(0, c - 1)
+    } yield (n, c, o)).sample.get.distinct
+    shapes.groupBy { case (_, c, o) => (c, o) }.foreach {
+      case ((c, o), group) =>
+        val docs = group.zipWithIndex.map { case ((n, _, _), i) =>
+          (i.toLong, (1 to n).map(t => s"w$t").mkString(" "), n)
+        }.toDF("doc_id", "text", "n")
+        val byDoc = TextAnalysis.chunkTokens(docs, "doc_id", "text", c, o)
+          .select("doc_id", "chunk_id", "start_token", "n_tokens")
+          .as[(Long, Int, Int, Int)].collect().groupBy(_._1)
+        group.zipWithIndex.foreach { case ((n, _, _), i) =>
+          val cs = byDoc(i.toLong).sortBy(_._2)
+          val covered = cs.flatMap { case (_, _, s, len) =>
+            s until (s + len) }.toSet
+          assert(covered == (1 to n).toSet,
+            s"coverage hole at n=$n c=$c o=$o")
+          val ends = cs.map { case (_, _, s, len) => s + len - 1 }
+          assert(ends.toSeq == ends.sorted.distinct.toSeq,
+            s"redundant tail at n=$n c=$c o=$o")
+          assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+        }
+    }
   }
 
   test("chunkTokens: exact coverage, tail-drop rule, dense ids") {
