@@ -160,17 +160,19 @@ object CurationQueries {
         |                 / CAST(a.n_grams AS DOUBLE) END AS dup_gram_ratio
         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // same null-text sentinel + zero-chars guard as datasetCard
     "q93_dataset_card" ->
-      """WITH h AS (SELECT source, md5(text) AS hh,
-        |             len(string_split_regex(text,'\s+')) AS ntok,
-        |             length(text) AS nch,
-        |             length(regexp_replace(text,'[^A-Za-z]','','g')) AS nal
+      """WITH h AS (SELECT source, COALESCE(md5(text), 'null') AS hh,
+        |             COALESCE(len(string_split_regex(text,'\s+')), 0) AS ntok,
+        |             COALESCE(length(text), 0) AS nch,
+        |             COALESCE(length(regexp_replace(text,'[^A-Za-z]','','g')), 0) AS nal
         |           FROM documents),
         |c AS (SELECT hh, COUNT(*) AS copies FROM h GROUP BY 1)
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
         |  CAST(SUM(nch) AS BIGINT) AS n_chars,
-        |  CAST(SUM(nal) AS DOUBLE)/CAST(SUM(nch) AS DOUBLE) AS alpha_ratio,
+        |  CASE WHEN SUM(nch) = 0 THEN 0.0
+        |       ELSE CAST(SUM(nal) AS DOUBLE)/CAST(SUM(nch) AS DOUBLE) END AS alpha_ratio,
         |  CAST(SUM(CASE WHEN copies>1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
         |FROM h JOIN c USING (hh)
         |GROUP BY source ORDER BY source""".stripMargin,

@@ -173,19 +173,27 @@ object Curation {
   def datasetCard(df: DataFrame, sourceCol: String,
       textCol: String): DataFrame = {
     val t = col(textCol)
-    val base = df.select(col(sourceCol), t.as("__t"),
-      md5(t).as("__h"),
-      size(graft.functions.TextFunctions.tokens(t)).cast("long").as("__ntok"),
-      length(t).cast("long").as("__nch"),
-      length(regexp_replace(t, "[^A-Za-z]", "")).cast("long").as("__nal"))
+    // NULL text must still count as a document: null md5 keys would
+    // vanish in the equi-join (and so would the doc) — key them to a
+    // sentinel that no 32-hex digest can collide with, and count them
+    // with 0 tokens/chars
+    val base = df.select(col(sourceCol),
+      coalesce(md5(t), lit("null")).as("__h"),
+      coalesce(size(graft.functions.TextFunctions.tokens(t)).cast("long"),
+        lit(0L)).as("__ntok"),
+      coalesce(length(t).cast("long"), lit(0L)).as("__nch"),
+      coalesce(graft.functions.TextFunctions.alphaChars(t).cast("long"),
+        lit(0L)).as("__nal"))
     val copies = base.groupBy("__h").agg(count(lit(1)).as("__copies"))
     base.join(copies, Seq("__h"))
       .groupBy(sourceCol)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__ntok")).as("n_tokens"),
         sum(col("__nch")).as("n_chars"),
-        (sum(col("__nal")).cast("double") /
-          sum(col("__nch")).cast("double")).as("alpha_ratio"),
+        // all-empty source: pin to 0.0 (the q33 contract), not NULL/NaN
+        when(sum(col("__nch")) === 0, lit(0.0))
+          .otherwise(sum(col("__nal")).cast("double") /
+            sum(col("__nch")).cast("double")).as("alpha_ratio"),
         sum((col("__copies") > 1).cast("long")).as("dup_docs"))
   }
 

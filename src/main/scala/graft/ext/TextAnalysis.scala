@@ -38,7 +38,7 @@ object TextAnalysis {
   def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
-    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val nAlpha = alphaChars(t)
     val nPunct = length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
     val toks = tokens(t)
     // empty text would be 0/0 = NaN, and a downstream floor(...).cast(long)

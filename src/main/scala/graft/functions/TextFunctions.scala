@@ -17,6 +17,12 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** Count of alphabetic chars — the ONE definition of "alpha" shared
+    * by the quality signals (q33) and the dataset card (q93), so the
+    * two can never drift on what alpha means. */
+  def alphaChars(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+
   /** BPE-ish pre-tokenization: letter runs, digit runs, single other
     * non-space chars — the usual GPT-style regex family, simplified. */
   def bpeTokens(text: Column): Column =

@@ -69,6 +69,14 @@ class CurationSpec extends SparkSpecBase {
     assert(card(0) == Row("web", 3L, 8L, 21L, 16.0 / 21.0, 3L))
     // wiki: 2 docs, 4 tokens, 5+6=11 chars, alpha 4+2=6/11, 1 dup
     assert(card(1) == Row("wiki", 2L, 4L, 11L, 6.0 / 11.0, 1L))
+    // null text still counts as a document (0 tokens/chars), and an
+    // all-empty source pins alpha_ratio to 0.0 instead of NULL/NaN
+    val withNull = Seq(("n1", Option("x")), ("n1", None),
+      ("n2", Option("")), ("n2", Option(""))).toDF("source", "text")
+    val c2 = Curation.datasetCard(withNull, "source", "text")
+      .orderBy("source").collect()
+    assert(c2(0) == Row("n1", 2L, 1L, 1L, 1.0, 0L))
+    assert(c2(1) == Row("n2", 2L, 2L, 0L, 0.0, 2L))
   }
 
   test("assignSplits: exhaustive, stable under growth, fractions near-exact") {

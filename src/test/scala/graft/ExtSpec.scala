@@ -596,13 +596,16 @@ class ExtSpec extends SparkSpecBase {
 
   test("chunkTokens property: coverage and tail-drop hold for arbitrary shapes") {
     import org.scalacheck.Gen
-    // random (n, chunkSize, overlap) shapes, one Spark job per distinct
-    // (chunkSize, overlap) config (docs with the same config batch up)
-    val shapes = Gen.listOfN(25, for {
+    // random (n, chunkSize, overlap) shapes under a FIXED seed — a
+    // failing shape must reproduce on the next run; one Spark job per
+    // distinct (chunkSize, overlap) config (same-config docs batch up)
+    val gen = Gen.listOfN(25, for {
       n <- Gen.chooseNum(1, 120)
       c <- Gen.chooseNum(2, 40)
       o <- Gen.chooseNum(0, c - 1)
-    } yield (n, c, o)).sample.get.distinct
+    } yield (n, c, o))
+    val shapes = gen(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(20260813L)).get.distinct
     shapes.groupBy { case (_, c, o) => (c, o) }.foreach {
       case ((c, o), group) =>
         val docs = group.zipWithIndex.map { case ((n, _, _), i) =>
