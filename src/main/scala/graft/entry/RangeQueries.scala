@@ -59,6 +59,23 @@ object RangeQueries {
       col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Interval-set union (bedtools merge): maximal merged intervals per
+    // chrom via the running-max-end window — one key shuffle, work in
+    // interval count, never genome length.
+    "q94_interval_merge" -> ((s, dir) => {
+      graft.ranges.IntervalSets.mergeOverlapping(
+          orderIntervals(s, dir), Seq("chrom"), "s1", "e1")
+        .orderBy("chrom", "m_start")
+    }),
+
+    // Coverage depth (bedtools genomecov shape): constant-depth
+    // segments from the +1/-1 endpoint sweep; work ∝ endpoints.
+    "q95_coverage_depth" -> ((s, dir) => {
+      graft.ranges.IntervalSets.coverageDepth(
+          orderIntervals(s, dir), Seq("chrom"), "s1", "e1")
+        .orderBy("chrom", "seg_start")
+    }),
+
     // J6: interval-overlap join via binned equi-join (the junctions ×
     // genes overlap of junction.py:159-164 at scale).
     "q09_interval_join" -> ((s, dir) => {
@@ -131,6 +148,36 @@ object RangeQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // running-max-end island window — aggregates per island are
+    // invariant to tie order within equal (s, e), so no extra tiebreak
+    "q94_interval_merge" ->
+      """WITH iv AS (SELECT o_orderkey%5 AS chrom, (o_orderkey*7)%5000 AS s,
+        |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e FROM orders),
+        |m AS (SELECT chrom, s, e,
+        |  CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY chrom ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+        |       THEN 1 ELSE 0 END AS isnew FROM iv),
+        |g AS (SELECT chrom, s, e, SUM(isnew) OVER (PARTITION BY chrom ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM m)
+        |SELECT chrom, MIN(s) AS m_start, MAX(e) AS m_end, COUNT(*) AS n_merged
+        |FROM g GROUP BY chrom, gid ORDER BY chrom, m_start""".stripMargin,
+    // +1/-1 endpoint sweep; positions unique per chrom after the delta
+    // groupBy, so the running sum and lead are order-deterministic
+    "q95_coverage_depth" ->
+      """WITH iv AS (SELECT o_orderkey%5 AS chrom, (o_orderkey*7)%5000 AS s,
+        |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e FROM orders),
+        |ev AS (SELECT chrom, s AS pos, 1 AS d FROM iv
+        |       UNION ALL SELECT chrom, e+1, -1 FROM iv),
+        |p AS (SELECT chrom, pos, SUM(d) AS delta FROM ev GROUP BY 1, 2
+        |      HAVING SUM(d) <> 0),
+        |w AS (SELECT chrom, pos,
+        |        CAST(SUM(delta) OVER (PARTITION BY chrom ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth,
+        |        LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) - 1 AS seg_end
+        |      FROM p)
+        |SELECT chrom, pos AS seg_start, seg_end, depth
+        |FROM w WHERE seg_end IS NOT NULL
+        |ORDER BY chrom, seg_start""".stripMargin,
     "q09_interval_join" ->
       """WITH a AS (SELECT o_orderkey%5 AS chrom, (o_orderkey*7)%5000 AS s1,
         |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e1, o_orderkey FROM orders),

@@ -203,6 +203,12 @@ object ScaleProbe {
       col("o_orderkey").as("k2"))
     time("interval_selfjoin")(RangeJoin.overlapJoin(iv, iv2,
       Seq("chrom"), "s1", "e1", "s2", "e2", 64L).count())
+    // interval-set sweeps: one key shuffle + ordered window; work in
+    // interval endpoints, never genome length
+    time("interval_merge")(graft.ranges.IntervalSets.mergeOverlapping(
+      iv, Seq("chrom"), "s1", "e1").count())
+    time("coverage_depth")(graft.ranges.IntervalSets.coverageDepth(
+      iv, Seq("chrom"), "s1", "e1").count())
 
     spark.stop()
   }

@@ -94,4 +94,81 @@ class RangesSpec extends SparkSpecBase {
       .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
     assert(got == want)
   }
+
+  test("mergeOverlapping == naive union; gap=1 merges book-ends") {
+    import graft.ranges.IntervalSets
+    // fixed-seed random closed intervals over 2 keys
+    val rnd = new scala.util.Random(7)
+    val ivs = (0 until 300).map { _ =>
+      val s = rnd.nextInt(2000).toLong
+      (rnd.nextInt(2).toLong, s, s + rnd.nextInt(30).toLong)
+    }
+    def naive(gap: Long): Seq[(Long, Long, Long, Long)] =
+      ivs.groupBy(_._1).toSeq.flatMap { case (k, group) =>
+        val sorted = group.map(i => (i._2, i._3)).sortBy(identity)
+        val islands = sorted.tail.foldLeft(
+          List((sorted.head._1, sorted.head._2, 1L))) {
+          case ((ms, me, n) :: rest, (s, e)) =>
+            if (s <= me + gap) (ms, math.max(me, e), n + 1) :: rest
+            else (s, e, 1L) :: (ms, me, n) :: rest
+          case (Nil, _) => Nil
+        }.reverse
+        islands.map(i => (k, i._1, i._2, i._3))
+      }.sorted
+    for (gap <- Seq(0L, 1L, 5L)) {
+      val got = IntervalSets.mergeOverlapping(
+          ivs.toDF("k", "s", "e"), Seq("k"), "s", "e", gap)
+        .select("k", "m_start", "m_end", "n_merged")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == naive(gap), s"gap=$gap")
+      // islands are disjoint with > gap separation, counts sum to input
+      got.groupBy(_._1).foreach { case (_, g) =>
+        g.sortBy(_._2).sliding(2).foreach {
+          case Seq(a, b) => assert(b._2 > a._3 + gap)
+          case _ =>
+        }
+      }
+      assert(got.map(_._4).sum == ivs.size)
+    }
+    // explicit book-end case: [1,10] + [11,20] merge only at gap >= 1
+    val be = Seq((0L, 1L, 10L), (0L, 11L, 20L)).toDF("k", "s", "e")
+    assert(IntervalSets.mergeOverlapping(be, Seq("k"), "s", "e", 0).count() == 2)
+    assert(IntervalSets.mergeOverlapping(be, Seq("k"), "s", "e", 1).count() == 1)
+  }
+
+  test("coverageDepth == per-base brute force; segments tile the span") {
+    import graft.ranges.IntervalSets
+    val rnd = new scala.util.Random(11)
+    val ivs = (0 until 120).map { _ =>
+      val s = rnd.nextInt(500).toLong
+      (rnd.nextInt(2).toLong, s, s + rnd.nextInt(40).toLong)
+    }
+    val segs = IntervalSets.coverageDepth(
+        ivs.toDF("k", "s", "e"), Seq("k"), "s", "e")
+      .select("k", "seg_start", "seg_end", "depth")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // per-base ground truth over each segment
+    segs.foreach { case (k, ss, se, d) =>
+      (ss to se).foreach { p =>
+        val want = ivs.count(i => i._1 == k && i._2 <= p && p <= i._3)
+        assert(want == d, s"k=$k pos=$p: depth $d, brute $want")
+      }
+    }
+    // segments tile [min start, max end] per key with no gap or overlap
+    segs.groupBy(_._1).foreach { case (k, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._2 == ivs.filter(_._1 == k).map(_._2).min)
+      assert(sorted.last._3 == ivs.filter(_._1 == k).map(_._3).max)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 == a._3 + 1)
+        case _ =>
+      }
+      // depth actually changes at every boundary (segments are maximal)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 != b._4,
+          s"k=$k: non-maximal segment at ${b._2}")
+        case _ =>
+      }
+    }
+  }
 }
