@@ -209,6 +209,9 @@ object ScaleProbe {
       iv, Seq("chrom"), "s1", "e1").count())
     time("coverage_depth")(graft.ranges.IntervalSets.coverageDepth(
       iv, Seq("chrom"), "s1", "e1").count())
+    // bucketed sweep: 5 chroms x 10 buckets = 50 windows instead of 5
+    time("coverage_depth_bucketed")(graft.ranges.IntervalSets
+      .coverageDepthBucketed(iv, Seq("chrom"), "s1", "e1", 500L).count())
 
     spark.stop()
   }

@@ -136,6 +136,26 @@ class RangesSpec extends SparkSpecBase {
     assert(IntervalSets.mergeOverlapping(be, Seq("k"), "s", "e", 1).count() == 1)
   }
 
+  test("coverageDepthBucketed == coverageDepth for any bucket width") {
+    import graft.ranges.IntervalSets
+    val rnd = new scala.util.Random(13)
+    val ivs = (0 until 150).map { _ =>
+      val s = rnd.nextInt(800).toLong
+      (rnd.nextInt(2).toLong, s, s + rnd.nextInt(50).toLong)
+    }.toDF("k", "s", "e")
+    val want = IntervalSets.coverageDepth(ivs, Seq("k"), "s", "e")
+      .select("k", "seg_start", "seg_end", "depth")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // widths straddling: sub-interval, typical, range-sized (degenerate
+    // single bucket ≡ the unbucketed sweep), and 1 (every pos a bucket)
+    for (w <- Seq(1L, 7L, 64L, 10000L)) {
+      val got = IntervalSets.coverageDepthBucketed(ivs, Seq("k"), "s", "e", w)
+        .select("k", "seg_start", "seg_end", "depth")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"bucketWidth=$w diverged")
+    }
+  }
+
   test("coverageDepth == per-base brute force; segments tile the span") {
     import graft.ranges.IntervalSets
     val rnd = new scala.util.Random(11)
