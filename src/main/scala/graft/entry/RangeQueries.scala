@@ -148,16 +148,22 @@ object RangeQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
-    // running-max-end island window — aggregates per island are
-    // invariant to tie order within equal (s, e), so no extra tiebreak
+    // running-max-end island window. The ORDER BY carries o_orderkey as
+    // a UNIQUE tiebreaker: isnew and the gid running sum are two
+    // separate window passes here, and with duplicate (s, e) rows the
+    // engine may order ties differently in each pass — the isnew=1 row
+    // of a tie group can land mid-group in the second pass, splitting
+    // an island inconsistently (seen at sf0.1: overlapping "islands").
+    // Spark needs no tiebreak only because both expressions share ONE
+    // Window operator and therefore one physical sort.
     "q94_interval_merge" ->
       """WITH iv AS (SELECT o_orderkey%5 AS chrom, (o_orderkey*7)%5000 AS s,
-        |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e FROM orders),
-        |m AS (SELECT chrom, s, e,
-        |  CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY chrom ORDER BY s, e
+        |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e, o_orderkey AS k FROM orders),
+        |m AS (SELECT chrom, s, e, k,
+        |  CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY chrom ORDER BY s, e, k
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
         |       THEN 1 ELSE 0 END AS isnew FROM iv),
-        |g AS (SELECT chrom, s, e, SUM(isnew) OVER (PARTITION BY chrom ORDER BY s, e
+        |g AS (SELECT chrom, s, e, SUM(isnew) OVER (PARTITION BY chrom ORDER BY s, e, k
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM m)
         |SELECT chrom, MIN(s) AS m_start, MAX(e) AS m_end, COUNT(*) AS n_merged
         |FROM g GROUP BY chrom, gid ORDER BY chrom, m_start""".stripMargin,

@@ -34,7 +34,13 @@ object IntervalSets {
     val ord = part.orderBy(col(startCol).asc, col(endCol).asc)
     // new island iff this start clears every earlier end (running max);
     // the isnew running sum is the island id — same device as the
-    // duplicate-span merge (Dedup.duplicateSpans)
+    // duplicate-span merge (Dedup.duplicateSpans). Both window
+    // expressions share ONE spec, so Catalyst plans them in a single
+    // Window operator over one physical sort — with duplicate (s, e)
+    // rows the two passes therefore see the SAME tie order, which is
+    // what keeps islands consistent (an engine running them as two
+    // independent sorts must add a unique tiebreaker; see the q94
+    // oracle SQL)
     val prevMax = max(col(endCol)).over(
       ord.rowsBetween(Window.unboundedPreceding, -1))
     val isnew = when(

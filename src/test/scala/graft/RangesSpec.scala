@@ -134,6 +134,16 @@ class RangesSpec extends SparkSpecBase {
     val be = Seq((0L, 1L, 10L), (0L, 11L, 20L)).toDF("k", "s", "e")
     assert(IntervalSets.mergeOverlapping(be, Seq("k"), "s", "e", 0).count() == 2)
     assert(IntervalSets.mergeOverlapping(be, Seq("k"), "s", "e", 1).count() == 1)
+    // duplicate-heavy shape (the sf0.1 q94 regression): every interval
+    // x20 — tie groups must never split an island across the isnew and
+    // gid window passes
+    val dup = ivs.flatMap(i => Seq.fill(20)(i))
+    val gotDup = IntervalSets.mergeOverlapping(
+        dup.toDF("k", "s", "e"), Seq("k"), "s", "e", 0)
+      .select("k", "m_start", "m_end", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val wantDup = naive(0).map(x => (x._1, x._2, x._3, x._4 * 20)).sorted
+    assert(gotDup == wantDup)
   }
 
   test("coverageDepthBucketed == coverageDepth for any bucket width") {
