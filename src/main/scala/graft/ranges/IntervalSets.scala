@@ -1,6 +1,6 @@
 package graft.ranges
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Both operators shuffle once (hash by key) and then run an ordered
   * window within each key — the same shape as sessionization. Window
-  * parallelism equals the number of distinct keys: for genomic data
-  * that is chromosomes (fine up to human-scale), for a few-key corpus
-  * at extreme scale the sweep generalizes to two passes (per-bucket
-  * partial sums, then broadcast cumulative offsets across range
-  * buckets) — documented here as the known scale path, not implemented
-  * until a workload needs it.
+  * parallelism equals the number of distinct keys (chromosomes); for a
+  * few-key corpus at extreme scale use [[coverageDepthBucketed]].
+  *
+  * Coordinates are cast to LONG at the edge (so arithmetic like
+  * `end + 1` cannot wrap an IntegerType column at Int.MaxValue), and an
+  * inverted interval (start > end) raises at evaluation time — the
+  * check rides inside a load-bearing expression, so the optimizer
+  * cannot prune it, and a silent wrong merge/coverage becomes a
+  * diagnosable failure.
   *
   * Reference semantics: clinpy's junction/region tables treat intervals
   * as closed on both ends (see ranges/Intervals.scala); merge joins
@@ -23,36 +26,63 @@ import org.apache.spark.sql.functions._
   */
 object IntervalSets {
 
+  /** End coordinate as long, validated against start — evaluating it
+    * throws on an inverted interval instead of sweeping garbage. Used
+    * wherever the end enters arithmetic, so the check cannot be pruned. */
+  private def checkedEnd(startCol: String, endCol: String): Column =
+    when(col(endCol) >= col(startCol), col(endCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"inverted interval: $startCol > $endCol: "),
+        col(startCol).cast("string"), lit(" > "),
+        col(endCol).cast("string"))).cast("long"))
+
   /** Union of overlapping closed intervals per key: each output row is
     * one maximal merged interval with its member count. `gap` extends
     * merging across separations of up to that many positions
-    * (gap = 1 merges book-ended intervals like bedtools merge). */
+    * (gap = 1 merges book-ended intervals like bedtools merge).
+    * `m_start`/`m_end` are LONG regardless of the input column type. */
   def mergeOverlapping(df: DataFrame, keys: Seq[String], startCol: String,
       endCol: String, gap: Long = 0L): DataFrame = {
     require(gap >= 0, "gap must be >= 0")
+    val s = col(startCol).cast("long")
+    val withE = df.withColumn("__s", s).withColumn("__e",
+      checkedEnd(startCol, endCol))
     val part = Window.partitionBy(keys.map(col): _*)
-    val ord = part.orderBy(col(startCol).asc, col(endCol).asc)
+    val ord = part.orderBy(col("__s").asc, col("__e").asc)
     // new island iff this start clears every earlier end (running max);
     // the isnew running sum is the island id — same device as the
-    // duplicate-span merge (Dedup.duplicateSpans). Both window
-    // expressions share ONE spec, so Catalyst plans them in a single
-    // Window operator over one physical sort — with duplicate (s, e)
-    // rows the two passes therefore see the SAME tie order, which is
-    // what keeps islands consistent (an engine running them as two
-    // independent sorts must add a unique tiebreaker; see the q94
-    // oracle SQL)
-    val prevMax = max(col(endCol)).over(
+    // duplicate-span merge (Dedup.duplicateSpans). The two windows
+    // share one spec: they plan as two Window operators, but the
+    // second's required (partition, order) is satisfied by the first's
+    // output ordering, so no re-sort happens in between and duplicate
+    // (s, e) rows keep ONE tie order through both passes — the
+    // consistency the duplicate-heavy spec case pins. An engine
+    // sorting each pass independently must add a unique tiebreaker
+    // (see the q94 oracle SQL). `__s - gap` (not `prevMax + gap`)
+    // keeps ends near Long.MaxValue from wrapping.
+    val prevMax = max(col("__e")).over(
       ord.rowsBetween(Window.unboundedPreceding, -1))
-    val isnew = when(
-      col(startCol) > coalesce(prevMax + lit(gap), lit(Long.MinValue)),
+    val isnew = when(prevMax.isNull || (col("__s") - lit(gap)) > prevMax,
       1L).otherwise(0L)
-    df.withColumn("__new", isnew)
+    withE.withColumn("__new", isnew)
       .withColumn("__island", sum(col("__new")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy((keys.map(col) :+ col("__island")): _*)
-      .agg(min(col(startCol)).as("m_start"), max(col(endCol)).as("m_end"),
+      .agg(min(col("__s")).as("m_start"), max(col("__e")).as("m_end"),
         count(lit(1)).as("n_merged"))
       .drop("__island")
+  }
+
+  /** The +1/−1 endpoint event stream: one +1 at start, one −1 just past
+    * the (validated) end, both in LONG coordinates. */
+  private def endpointEvents(df: DataFrame, keys: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    val kc = keys.map(col)
+    df.select((kc :+ explode(array(
+      struct(col(startCol).cast("long").as("pos"), lit(1L).as("d")),
+      struct((checkedEnd(startCol, endCol) + 1).as("pos"),
+        lit(-1L).as("d")))).as("__e")): _*)
+      .select((kc :+ col("__e.pos").as("pos") :+ col("__e.d").as("d")): _*)
   }
 
   /** Per-position coverage depth as maximal constant-depth segments —
@@ -65,18 +95,15 @@ object IntervalSets {
   def coverageDepth(df: DataFrame, keys: Seq[String], startCol: String,
       endCol: String): DataFrame = {
     val kc = keys.map(col)
-    val events = df.select((kc :+ explode(array(
-      struct(col(startCol).cast("long").as("pos"), lit(1L).as("d")),
-      struct((col(endCol) + 1).cast("long").as("pos"),
-        lit(-1L).as("d")))).as("__e")): _*)
-      .select((kc :+ col("__e.pos").as("pos") :+ col("__e.d").as("d")): _*)
     // combine same-position deltas first: positions become unique per
     // key, so the running sum and lead below are order-deterministic.
     // Zero-net positions (an end meeting a start) change nothing and
     // would split a constant-depth run — drop them so segments are
-    // MAXIMAL. A key's first position can never net to zero (an end
-    // event at p implies a start before p), so no key disappears.
-    val deltas = events.groupBy((kc :+ col("pos")): _*)
+    // MAXIMAL. A key's first position can never net to zero (with
+    // start <= end enforced, an end event at p implies a start before
+    // p), so no key disappears.
+    val deltas = endpointEvents(df, keys, startCol, endCol)
+      .groupBy((kc :+ col("pos")): _*)
       .agg(sum(col("d")).as("delta"))
       .filter(col("delta") =!= 0)
     val ord = Window.partitionBy(kc: _*).orderBy(col("pos").asc)
@@ -98,7 +125,7 @@ object IntervalSets {
     * the buckets:
     *
     *  1. per-(key, bucket) delta sums + first/last event positions
-    *     (a tiny table: occupied buckets only);
+    *     (one row per OCCUPIED bucket);
     *  2. a window over THAT table yields each bucket's entering depth
     *     (prefix sum of earlier buckets) and the cross-boundary
     *     "bridge" segment from its last event to the next occupied
@@ -109,22 +136,22 @@ object IntervalSets {
     *
     * Same output contract as [[coverageDepth]]. Pick `bucketWidth` so
     * keys × (range/bucketWidth) stays in the thousands–millions: for a
-    * human genome at 1 Mb buckets that is ~3200 windows. */
+    * human genome at 1 Mb buckets that is ~3200 windows. The bucket
+    * summary joins back WITHOUT a broadcast hint — at the bucket
+    * counts this function exists for, forcing a broadcast is exactly
+    * the wrong call; both sides are already clustered on the key, and
+    * Spark may still choose to broadcast a small summary on its own. */
   def coverageDepthBucketed(df: DataFrame, keys: Seq[String],
       startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
     val kc = keys.map(col)
-    val events = df.select((kc :+ explode(array(
-      struct(col(startCol).cast("long").as("pos"), lit(1L).as("d")),
-      struct((col(endCol) + 1).cast("long").as("pos"),
-        lit(-1L).as("d")))).as("__e")): _*)
-      .select((kc :+ col("__e.pos").as("pos") :+ col("__e.d").as("d")): _*)
-    val deltas = events.groupBy((kc :+ col("pos")): _*)
+    val deltas = endpointEvents(df, keys, startCol, endCol)
+      .groupBy((kc :+ col("pos")): _*)
       .agg(sum(col("d")).as("delta"))
       .filter(col("delta") =!= 0)
       .withColumn("__b", floor(col("pos") / bucketWidth))
-    // pass 1: occupied-bucket summaries (tiny), stitched by a window
-    // over buckets: entering depth + the bridge to the next bucket
+    // pass 1: occupied-bucket summaries, stitched by a window over
+    // buckets: entering depth + the bridge to the next bucket
     val bOrd = Window.partitionBy(kc: _*).orderBy(col("__b").asc)
     val buckets = deltas.groupBy((kc :+ col("__b")): _*)
       .agg(sum(col("delta")).as("__bsum"), min(col("pos")).as("__first"),
@@ -140,7 +167,7 @@ object IntervalSets {
     val wOrd = Window.partitionBy((kc :+ col("__b")): _*)
       .orderBy(col("pos").asc)
     val within = deltas
-      .join(broadcast(buckets.select((kc :+ col("__b") :+ col("__enter")): _*)),
+      .join(buckets.select((kc :+ col("__b") :+ col("__enter")): _*),
         keys :+ "__b")
       .withColumn("depth", col("__enter") + sum(col("delta")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -209,7 +209,8 @@ object ScaleProbe {
       iv, Seq("chrom"), "s1", "e1").count())
     time("coverage_depth")(graft.ranges.IntervalSets.coverageDepth(
       iv, Seq("chrom"), "s1", "e1").count())
-    // bucketed sweep: 5 chroms x 10 buckets = 50 windows instead of 5
+    // bucketed sweep: positions span [0, 500000), so W=500 gives ~1000
+    // occupied buckets/chrom -> ~5000 (key, bucket) windows vs 5
     time("coverage_depth_bucketed")(graft.ranges.IntervalSets
       .coverageDepthBucketed(iv, Seq("chrom"), "s1", "e1", 500L).count())
 

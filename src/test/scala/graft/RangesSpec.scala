@@ -146,6 +146,28 @@ class RangesSpec extends SparkSpecBase {
     assert(gotDup == wantDup)
   }
 
+  test("interval ops: inverted intervals raise; IntegerType ends do not wrap") {
+    import graft.ranges.IntervalSets
+    val bad = Seq((0L, 5L, 3L)).toDF("k", "s", "e")
+    intercept[Exception] {
+      IntervalSets.coverageDepth(bad, Seq("k"), "s", "e").collect()
+    }
+    intercept[Exception] {
+      IntervalSets.mergeOverlapping(bad, Seq("k"), "s", "e").collect()
+    }
+    // an IntegerType end at Int.MaxValue: e+1 must move to long, not
+    // wrap to a huge negative position
+    val maxed = Seq((0, Int.MaxValue - 2, Int.MaxValue))
+      .toDF("k", "s", "e")
+    val segs = IntervalSets.coverageDepth(maxed, Seq("k"), "s", "e")
+      .select("seg_start", "seg_end", "depth")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(segs == Seq((Int.MaxValue - 2L, Int.MaxValue.toLong, 1L)))
+    val merged = IntervalSets.mergeOverlapping(maxed, Seq("k"), "s", "e")
+      .select("m_start", "m_end").as[(Long, Long)].head()
+    assert(merged == (Int.MaxValue - 2L, Int.MaxValue.toLong))
+  }
+
   test("coverageDepthBucketed == coverageDepth for any bucket width") {
     import graft.ranges.IntervalSets
     val rnd = new scala.util.Random(13)
