@@ -76,6 +76,16 @@ object RangeQueries {
         .orderBy("chrom", "seg_start")
     }),
 
+    // Interval-set subtraction (bedtools subtract): regions covered by
+    // order-intervals but by NO event-interval — two running depths in
+    // one sweep, remnants welded by the gap-1 island merge.
+    "q96_interval_subtract" -> ((s, dir) => {
+      graft.ranges.IntervalSets.subtract(
+          orderIntervals(s, dir), eventIntervals(s, dir),
+          Seq("chrom"), "s1", "e1", "s2", "e2")
+        .orderBy("chrom", "m_start")
+    }),
+
     // J6: interval-overlap join via binned equi-join (the junctions ×
     // genes overlap of junction.py:159-164 at scale).
     "q09_interval_join" -> ((s, dir) => {
@@ -148,6 +158,39 @@ object RangeQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // two-depth sweep + gap-1 island weld. Positions are UNIQUE per
+    // chrom after the delta groupBy, and the island windows run over
+    // disjoint segments ordered by unique seg_start — so every window
+    // ORDER BY here is total without extra tiebreakers (the q94
+    // two-pass tie hazard cannot arise).
+    "q96_interval_subtract" ->
+      """WITH a AS (SELECT o_orderkey%5 AS chrom, (o_orderkey*7)%5000 AS s,
+        |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e FROM orders),
+        |b AS (SELECT event_id%5 AS chrom, (event_id*13)%5000 AS s,
+        |  (event_id*13)%5000 + 1 + event_id%25 AS e FROM events),
+        |ev AS (SELECT chrom, s AS pos, 1 AS da, 0 AS db FROM a
+        |  UNION ALL SELECT chrom, e+1, -1, 0 FROM a
+        |  UNION ALL SELECT chrom, s, 0, 1 FROM b
+        |  UNION ALL SELECT chrom, e+1, 0, -1 FROM b),
+        |p AS (SELECT chrom, pos, SUM(da) AS dA, SUM(db) AS dB
+        |      FROM ev GROUP BY 1, 2),
+        |w AS (SELECT chrom, pos,
+        |        SUM(dA) OVER (PARTITION BY chrom ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ad,
+        |        SUM(dB) OVER (PARTITION BY chrom ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bd,
+        |        LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) - 1 AS seg_end
+        |      FROM p),
+        |segs AS (SELECT chrom, pos AS ss, seg_end AS se FROM w
+        |         WHERE seg_end IS NOT NULL AND ad > 0 AND bd = 0),
+        |m AS (SELECT chrom, ss, se,
+        |  CASE WHEN ss > COALESCE(MAX(se) OVER (PARTITION BY chrom ORDER BY ss
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808) + 1
+        |       THEN 1 ELSE 0 END AS isnew FROM segs),
+        |g AS (SELECT chrom, ss, se, SUM(isnew) OVER (PARTITION BY chrom ORDER BY ss
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM m)
+        |SELECT chrom, MIN(ss) AS m_start, MAX(se) AS m_end, COUNT(*) AS n_merged
+        |FROM g GROUP BY chrom, gid ORDER BY chrom, m_start""".stripMargin,
     // running-max-end island window. The ORDER BY carries o_orderkey as
     // a UNIQUE tiebreaker: isnew and the gid running sum are two
     // separate window passes here, and with duplicate (s, e) rows the

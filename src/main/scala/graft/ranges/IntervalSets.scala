@@ -116,6 +116,42 @@ object IntervalSets {
         (col("__next") - 1).as("seg_end") :+ col("depth")): _*)
   }
 
+  /** Interval-set subtraction (bedtools subtract, set form): the
+    * maximal regions covered by at least one `a` interval and by NO
+    * `b` interval, per key. Both sides join one +1/−1 event stream
+    * (tagged by side), one sweep carries TWO running depths, and kept
+    * segments (aDepth > 0, bDepth = 0) re-merge across their shared
+    * boundaries with the gap-1 island device — so the whole operator
+    * is the same one-key-shuffle window shape as [[coverageDepth]]
+    * plus a segment-count-sized merge. `n_merged` reports how many
+    * sweep segments each remnant region absorbed. */
+  def subtract(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aStart: String, aEnd: String, bStart: String,
+      bEnd: String): DataFrame = {
+    val kc = keys.map(col)
+    val events = endpointEvents(a, keys, aStart, aEnd)
+      .select((kc :+ col("pos") :+ col("d").as("da") :+ lit(0L).as("db")): _*)
+      .unionByName(endpointEvents(b, keys, bStart, bEnd)
+        .select((kc :+ col("pos") :+ lit(0L).as("da") :+
+          col("d").as("db")): _*))
+    val deltas = events.groupBy((kc :+ col("pos")): _*)
+      .agg(sum(col("da")).as("dA"), sum(col("dB")).as("dB"))
+    val ord = Window.partitionBy(kc: _*).orderBy(col("pos").asc)
+    val segs = deltas
+      .withColumn("__a", sum(col("dA")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__b", sum(col("dB")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__next", lead(col("pos"), 1).over(ord))
+      .filter(col("__next").isNotNull &&
+        col("__a") > 0 && col("__b") === 0)
+      .select((kc :+ col("pos").as("seg_start") :+
+        (col("__next") - 1).as("seg_end")): _*)
+    // kept segments are disjoint; gap=1 welds the ones that share a
+    // boundary (a depth change inside a kept run) into maximal regions
+    mergeOverlapping(segs, keys, "seg_start", "seg_end", gap = 1L)
+  }
+
   /** [[coverageDepth]] for FEW keys at extreme scale — the two-pass
     * bucketed sweep. [[coverageDepth]]'s window parallelism equals the
     * key count (chromosomes), which caps a 1000-executor cluster at

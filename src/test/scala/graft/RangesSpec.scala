@@ -188,6 +188,38 @@ class RangesSpec extends SparkSpecBase {
     }
   }
 
+  test("subtract == per-base brute force (A-covered, B-free, maximal regions)") {
+    import graft.ranges.IntervalSets
+    val rnd = new scala.util.Random(17)
+    def mk(n: Int, maxLen: Int) = (0 until n).map { _ =>
+      val s = rnd.nextInt(600).toLong
+      (rnd.nextInt(2).toLong, s, s + rnd.nextInt(maxLen).toLong)
+    }
+    val a = mk(80, 40); val b = mk(40, 25)
+    val got = IntervalSets.subtract(a.toDF("k", "s", "e"),
+        b.toDF("k", "s", "e"), Seq("k"), "s", "e", "s", "e")
+      .select("k", "m_start", "m_end")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // brute force: per key, the sorted base positions covered by A and
+    // not B, run-length encoded
+    val want = (0L to 1L).flatMap { k =>
+      val inA = (0L to 700L).filter(p =>
+        a.exists(i => i._1 == k && i._2 <= p && p <= i._3) &&
+        !b.exists(i => i._1 == k && i._2 <= p && p <= i._3))
+      if (inA.isEmpty) Seq.empty
+      else inA.tail.foldLeft(List((inA.head, inA.head))) {
+        case ((s0, e0) :: rest, p) =>
+          if (p == e0 + 1) (s0, p) :: rest else (p, p) :: (s0, e0) :: rest
+        case (Nil, _) => Nil
+      }.reverse.map(r => (k, r._1, r._2))
+    }.sorted
+    assert(got == want && want.nonEmpty)
+    // remnants never touch B, and every remnant base is A-covered
+    got.foreach { case (k, s, e) =>
+      assert(!b.exists(i => i._1 == k && i._2 <= e && s <= i._3))
+    }
+  }
+
   test("coverageDepth == per-base brute force; segments tile the span") {
     import graft.ranges.IntervalSets
     val rnd = new scala.util.Random(11)
