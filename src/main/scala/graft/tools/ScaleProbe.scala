@@ -209,6 +209,12 @@ object ScaleProbe {
       iv, Seq("chrom"), "s1", "e1").count())
     time("coverage_depth")(graft.ranges.IntervalSets.coverageDepth(
       iv, Seq("chrom"), "s1", "e1").count())
+    // B thinned to 2% — the full event set blankets [0, 500k) and the
+    // subtraction is correctly empty, which probes nothing
+    time("interval_subtract")(graft.ranges.IntervalSets.subtract(
+      iv, iv2.filter(col("k2") % 50 === 0)
+        .select(col("chrom"), col("s2"), col("e2")),
+      Seq("chrom"), "s1", "e1", "s2", "e2").count())
     // bucketed sweep: positions span [0, 500000), so W=500 gives ~1000
     // occupied buckets/chrom -> ~5000 (key, bucket) windows vs 5
     time("coverage_depth_bucketed")(graft.ranges.IntervalSets
