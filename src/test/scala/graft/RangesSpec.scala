@@ -217,6 +217,10 @@ class RangesSpec extends SparkSpecBase {
     // remnants never touch B, and every remnant base is A-covered
     got.foreach { case (k, s, e) =>
       assert(!b.exists(i => i._1 == k && i._2 <= e && s <= i._3))
+      (s to e).foreach { p =>
+        assert(a.exists(i => i._1 == k && i._2 <= p && p <= i._3),
+          s"remnant base $p on key $k not covered by A")
+      }
     }
   }
 
