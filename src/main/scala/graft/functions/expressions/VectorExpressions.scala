@@ -283,7 +283,11 @@ case class PqAdcDistance(left: Expression, right: Expression)
   override def nullSafeEval(codeA: Any, lutA: Any): Any = {
     val code = codeA.asInstanceOf[ArrayData]
     val lut = lutA.asInstanceOf[ArrayData]
-    val m = math.min(code.numElements(), lut.numElements())
+    // a truncated/overlong code (subspace count != LUT's) is as corrupt
+    // as an out-of-range index: a partial sum would rank artificially
+    // LOW, so the row must not rank at all
+    if (code.numElements() != lut.numElements()) return null
+    val m = code.numElements()
     var d = 0.0
     var s = 0
     while (s < m) {
@@ -304,7 +308,8 @@ case class PqAdcDistance(left: Expression, right: Expression)
       val c = ctx.freshName("pqC")
       val l = ctx.freshName("pqL")
       s"""
-         |int $m = java.lang.Math.min($code.numElements(), $lut.numElements());
+         |int $m = $code.numElements();
+         |if ($m != $lut.numElements()) { ${ev.isNull} = true; }
          |double $d = 0.0;
          |for (int $s = 0; !${ev.isNull} && $s < $m; $s++) {
          |  long $c = $code.getLong($s);

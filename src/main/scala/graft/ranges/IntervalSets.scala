@@ -30,7 +30,13 @@ object IntervalSets {
     * throws on an inverted interval instead of sweeping garbage. Used
     * wherever the end enters arithmetic, so the check cannot be pruned. */
   private def checkedEnd(startCol: String, endCol: String): Column =
-    when(col(endCol) >= col(startCol), col(endCol).cast("long"))
+    // nulls get their own branch: a null coordinate would otherwise
+    // fall through the (null) comparison into the inverted-interval
+    // error with a misleading "null > null" diagnosis
+    when(col(startCol).isNull || col(endCol).isNull,
+      raise_error(lit(s"null interval coordinate in ($startCol, $endCol)"))
+        .cast("long"))
+      .when(col(endCol) >= col(startCol), col(endCol).cast("long"))
       .otherwise(raise_error(concat(
         lit(s"inverted interval: $startCol > $endCol: "),
         col(startCol).cast("string"), lit(" > "),

@@ -143,9 +143,14 @@ object EventStreams {
     val probe = graft.ext.Sketches.bloomMightContain(
       spark, xxhash64(key), bits, k)
     val snapKeys = snapshot.select(key.as("__h")).distinct()
-    stream.filter(probe)
+    // a null probe (possible only if a caller-supplied key expression
+    // reaches the null-intolerant probe un-hashed) must land in the
+    // definite-new branch, matching batch newRowsBloom, where the anti
+    // join KEEPS null-key rows — a bare `!probe` would drop them from
+    // both branches
+    stream.filter(coalesce(probe, lit(false)))
       .join(broadcast(snapKeys), key === col("__h"), "leftanti")
-      .unionByName(stream.filter(!probe))
+      .unionByName(stream.filter(!coalesce(probe, lit(false))))
   }
 
   /** Stream-static enrichment: join the live stream against a static

@@ -155,6 +155,16 @@ class RangesSpec extends SparkSpecBase {
     intercept[Exception] {
       IntervalSets.mergeOverlapping(bad, Seq("k"), "s", "e").collect()
     }
+    // a NULL coordinate gets its own diagnosis, not "inverted: null > null"
+    val nul = Seq((0L, Some(5L), Option.empty[Long])).toDF("k", "s", "e")
+    val ex = intercept[Exception] {
+      IntervalSets.coverageDepth(nul, Seq("k"), "s", "e").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null interval coordinate")),
+      s"expected the null-coordinate diagnosis, got: ${messages(ex)}")
     // an IntegerType end at Int.MaxValue: e+1 must move to long, not
     // wrap to a huge negative position
     val maxed = Seq((0, Int.MaxValue - 2, Int.MaxValue))

@@ -67,6 +67,31 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(hit) // 42 is one of the 100 inserted keys
   }
 
+  test("graft_pq_adc: subspace-count mismatch -> null in both paths") {
+    graft.functions.expressions.VectorExpressions.ensureRegistered(spark)
+    // codegen path: a 1-subspace code against a 2-subspace LUT is as
+    // corrupt as an out-of-range index — a partial sum would rank
+    // artificially LOW, so the row must not rank at all
+    val r = spark.sql(
+      """SELECT graft_pq_adc(CAST(array(1) AS ARRAY<BIGINT>),
+        |                    CAST(array(array(10.0, 20.0),
+        |                               array(30.0, 40.0)) AS ARRAY<ARRAY<DOUBLE>>)) AS adc"""
+        .stripMargin).head()
+    assert(r.isNullAt(0), "truncated PQ code must yield null, not a partial sum")
+    // interpreted path: eval the expression directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val code = Literal.create(Array(1L), ArrayType(LongType))
+    val lut = Literal.create(Array(Array(10.0, 20.0), Array(30.0, 40.0)),
+      ArrayType(ArrayType(DoubleType)))
+    val e = graft.functions.expressions.PqAdcDistance(code, lut)
+    assert(e.eval(null) == null)
+    // and an equal-length code still sums
+    val ok = graft.functions.expressions.PqAdcDistance(
+      Literal.create(Array(1L, 0L), ArrayType(LongType)), lut)
+    assert(ok.eval(null) == 50.0)
+  }
+
   test("graft_mat_vec: rotates from SQL; null row / length mismatch -> null") {
     graft.functions.expressions.VectorExpressions.ensureRegistered(spark)
     val r = spark.sql(
