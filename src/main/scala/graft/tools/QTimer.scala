@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Bench-move adjudicator: re-times named queries at n warm iterations
+  * and prints min/median — the q54/q64 "did the plan regress or was it
+  * machine noise" protocol (VERDICT r3/r4). Usage:
+  *   runMain graft.tools.QTimer <sfDir> <n> <query> [<query> ...]
+  */
+object QTimer {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: QTimer <sfDir> <n> <query>...")
+    val sfDir = args(0)
+    val n = args(1).toInt
+    val names = args.drop(2).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { q =>
+      SparkEntry.queries(q)(spark, sfDir).count() // warm: plan + IO cache
+      val ts = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[qtimer] $q%-28s n=$n min=${ts.head}%.3f " +
+        f"med=${ts(n / 2)}%.3f max=${ts.last}%.3f")
+    }
+    spark.stop()
+  }
+}
