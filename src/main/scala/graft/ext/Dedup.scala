@@ -377,11 +377,21 @@ object Dedup {
     *
     * `key` must be an unresolved column expression (built from column
     * names present in both frames), e.g. `md5(col("text"))` or the
-    * canonical prefix hash. */
+    * canonical prefix hash.
+    *
+    * `expectedItems` sizes the Bloom filter WITHOUT counting `existing`
+    * first — callers usually know the snapshot cardinality (a saved
+    * artifact carries it; a warehouse table has stats). Supplying it
+    * removes a full extra pass over the snapshot: the two documented
+    * scans (bloom build, confirm semi-scan) are then the only ones. An
+    * underestimate only raises the effective fpp (more exact checks),
+    * never wrongness; the count fallback keeps the zero-knowledge call
+    * working. */
   def newRowsBloom(newDf: DataFrame, existing: DataFrame,
-      key: org.apache.spark.sql.Column, fpp: Double = 0.01): DataFrame = {
+      key: org.apache.spark.sql.Column, fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
     val spark = newDf.sparkSession
-    val nExisting = math.max(1L, existing.count())
+    val nExisting = math.max(1L, expectedItems.getOrElse(existing.count()))
     val (bits, k) = Sketches.buildBloomBits(
       existing.select(xxhash64(key).as("__k")), "__k", nExisting, fpp)
     val probe = Sketches.bloomMightContain(spark, xxhash64(key), bits, k)

@@ -135,9 +135,11 @@ object EventStreams {
     * `key` must be an unresolved column expression valid on both
     * frames. */
   def streamNewRows(stream: DataFrame, snapshot: DataFrame,
-      key: org.apache.spark.sql.Column, fpp: Double = 0.01): DataFrame = {
+      key: org.apache.spark.sql.Column, fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
     val spark = snapshot.sparkSession
-    val n = math.max(1L, snapshot.count())
+    // the hint removes the plan-time snapshot count, as in newRowsBloom
+    val n = math.max(1L, expectedItems.getOrElse(snapshot.count()))
     val (bits, k) = graft.ext.Sketches.buildBloomBits(
       snapshot.select(xxhash64(key).as("__k")), "__k", n, fpp)
     val probe = graft.ext.Sketches.bloomMightContain(

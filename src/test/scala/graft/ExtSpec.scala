@@ -740,6 +740,35 @@ class ExtSpec extends SparkSpecBase {
       s"bloom-prefiltered dedup must not shuffle-join:\n$plan")
   }
 
+  test("newRowsBloom expectedItems hint: no plan-time snapshot count job") {
+    import graft.ext.Dedup
+    val existing = (0L until 300L).map(i => (i, s"doc number ${i % 120} body"))
+      .toDF("id", "text")
+    val newDf = (1000L until 1200L).map(i => (i, s"doc number ${i - 1000} body"))
+      .toDF("id", "text")
+    val key = md5($"text")
+    // tick an accumulator once per snapshot row scanned: plan
+    // construction with the hint reads the snapshot exactly once (the
+    // bloom build); the count fallback reads it twice. A filter (not a
+    // projected column) so column pruning cannot elide the tick.
+    val scans = spark.sparkContext.longAccumulator("snapScan")
+    val tick = udf { (_: Long) => { scans.add(1L); true } }.asNondeterministic()
+    val snap = existing.filter(tick($"id"))
+    Dedup.newRowsBloom(newDf, snap, key, expectedItems = Some(120L))
+    val hinted = scans.value
+    scans.reset()
+    Dedup.newRowsBloom(newDf, snap, key)
+    val counted = scans.value
+    assert(hinted == 300L,
+      s"hinted plan-time work must be the one bloom-build scan: $hinted")
+    assert(counted == 600L,
+      s"fallback must cost exactly one extra snapshot pass: $counted")
+    // and the hinted result is the same anti-join answer
+    val got = Dedup.newRowsBloom(newDf, existing, key,
+      expectedItems = Some(120L))
+    assert(got.count() == 80)
+  }
+
   test("lsh topk: bucketed candidates are a subset of brute force ranking") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d * 7).toFloat)) }
