@@ -158,6 +158,176 @@ object IntervalSets {
     mergeOverlapping(segs, keys, "seg_start", "seg_end", gap = 1L)
   }
 
+  /** [[mergeOverlapping]] for FEW keys at extreme scale — the same
+    * bucketed two-pass escape hatch as [[coverageDepthBucketed]].
+    * [[mergeOverlapping]]'s window parallelism equals the key count
+    * (~25 chromosomes caps a 1000-executor cluster at 25 tasks); here
+    * intervals bucket by START position, the island device runs per
+    * (key, bucket), and a bucket-summary pass welds islands that cross
+    * bucket boundaries:
+    *
+    *  1. local pass — the [[mergeOverlapping]] window per (key,
+    *     bucket) yields LOCAL islands (min start, max end, count);
+    *  2. bucket summary — per occupied bucket, the max island end;
+    *     a window over THAT table (one row per occupied bucket) gives
+    *     each bucket's entering running max `enterMax`;
+    *  3. weld — a local island is globally ROOTED iff its start clears
+    *     `enterMax` by more than `gap`. (Locally each island start
+    *     already clears every earlier local end, so the global isnew
+    *     test reduces to the single `enterMax` comparison.) Welded
+    *     islands always form a PREFIX of their bucket — an island
+    *     starting past `enterMax + gap` forces every later start in
+    *     the bucket past it too — and a weld admits no rooted island
+    *     between the `enterMax`-achiever and itself (that root would
+    *     need a start both > enterMax + gap and < the welded start,
+    *     which bucketing by start forbids). So the global island id is
+    *     `rooted islands in earlier buckets + rooted at-or-before me
+    *     in mine`: one tiny prefix sum over the bucket summary plus a
+    *     per-(key, bucket) running count, no per-key window anywhere.
+    *
+    * Output contract identical to [[mergeOverlapping]] (m_start,
+    * m_end LONG, n_merged counts ORIGINAL intervals). The trade is a
+    * LOSS until per-key intervals exceed one task — the island rows
+    * take two extra hash shuffles ((key, bucket, island) group and the
+    * final (key, gid) group) that the single-window form never pays;
+    * use it when keys are few and interval counts are billions. */
+  def mergeOverlappingBucketed(df: DataFrame, keys: Seq[String],
+      startCol: String, endCol: String, bucketWidth: Long,
+      gap: Long = 0L): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    require(gap >= 0, "gap must be >= 0")
+    val kc = keys.map(col)
+    val withE = df.withColumn("__s", col(startCol).cast("long"))
+      .withColumn("__e", checkedEnd(startCol, endCol))
+      .withColumn("__b", floor(col("__s") / bucketWidth))
+    // 1. local islands, the mergeOverlapping device per (key, bucket)
+    val wOrd = Window.partitionBy((kc :+ col("__b")): _*)
+      .orderBy(col("__s").asc, col("__e").asc)
+    val prevMax = max(col("__e")).over(
+      wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val isnewL = when(prevMax.isNull || (col("__s") - lit(gap)) > prevMax,
+      1L).otherwise(0L)
+    // the island table feeds two consumers (bucket summary + weld
+    // join); materialize it ONCE in Tungsten format — column pruning
+    // gives each consumer a differently-shaped subtree, so exchange
+    // reuse can never dedup them and the full input pipeline would run
+    // twice. Islands are the POST-collapse rows, far smaller than the
+    // input; this also makes the operator eager, like
+    // connectedComponents (the CC materialization precedent).
+    val (locals, _) = org.apache.spark.sql.graftshim.CheckpointShim
+      .materialize(withE.withColumn("__ln", isnewL)
+        .withColumn("__lid", sum(col("__ln")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy((kc :+ col("__b") :+ col("__lid")): _*)
+        .agg(min(col("__s")).as("l_start"), max(col("__e")).as("l_end"),
+          count(lit(1)).as("l_n")))
+    // 2. bucket summary: entering running-max end per occupied bucket.
+    // The summary RE-PARTITIONS back to (key, bucket) after its per-key
+    // stitch window: its partitioning after the window is (key), which
+    // does not co-partition with the island table's (key, bucket) —
+    // without the (tiny) summary-side exchange, the join would
+    // re-exchange the BIG side instead.
+    val bOrd = Window.partitionBy(kc: _*).orderBy(col("__b").asc)
+    val summary = locals.groupBy((kc :+ col("__b")): _*)
+      .agg(max(col("l_end")).as("__bmax"))
+      .withColumn("__enter", max(col("__bmax")).over(
+        bOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .select((kc :+ col("__b") :+ col("__enter")): _*)
+      .repartition((kc :+ col("__b")): _*)
+    // 3. root test + in-bucket rooted rank (island starts are strictly
+    // increasing within a bucket, so the order is deterministic); no
+    // broadcast hint for the same reason as coverageDepthBucketed —
+    // AQE may still broadcast a small summary on its own
+    val lOrd = Window.partitionBy((kc :+ col("__b")): _*)
+      .orderBy(col("l_start").asc)
+    // rooted likewise feeds two consumers (per-bucket root counts +
+    // the final gid join) — same materialization, same reasoning
+    val (rooted, _) = org.apache.spark.sql.graftshim.CheckpointShim
+      .materialize(locals.join(summary, keys :+ "__b")
+        .withColumn("__root", when(col("__enter").isNull ||
+          (col("l_start") - lit(gap)) > col("__enter"), 1L).otherwise(0L))
+        .withColumn("__rIn", sum(col("__root")).over(
+          lOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val bRoots = rooted.groupBy((kc :+ col("__b")): _*)
+      .agg(sum(col("__root")).as("__nr"))
+      .withColumn("__rBefore", coalesce(sum(col("__nr")).over(
+        bOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((kc :+ col("__b") :+ col("__rBefore")): _*)
+      .repartition((kc :+ col("__b")): _*)
+    // welded prefix islands carry __rIn = 0, so their gid lands on the
+    // most recent rooted island — exactly the weld target
+    rooted.join(bRoots, keys :+ "__b")
+      .withColumn("__gid", col("__rBefore") + col("__rIn"))
+      .groupBy((kc :+ col("__gid")): _*)
+      .agg(min(col("l_start")).as("m_start"), max(col("l_end")).as("m_end"),
+        sum(col("l_n")).as("n_merged"))
+      .drop("__gid")
+  }
+
+  /** [[subtract]] for FEW keys at extreme scale: the
+    * [[coverageDepthBucketed]] two-pass sweep carrying BOTH running
+    * depths (the bucket summary accumulates per-side delta sums, so
+    * each bucket's window enters with its (aDepth, bDepth) offsets),
+    * then the remnant weld runs through [[mergeOverlappingBucketed]] —
+    * no stage anywhere runs a per-key window. Segment boundaries are
+    * identical to [[subtract]]'s (bridges span whole inter-bucket
+    * runs, adding no extra cut points), so `n_merged` matches the
+    * simple form exactly, not just the merged extents. */
+  def subtractBucketed(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val kc = keys.map(col)
+    val events = endpointEvents(a, keys, aStart, aEnd)
+      .select((kc :+ col("pos") :+ col("d").as("da") :+ lit(0L).as("db")): _*)
+      .unionByName(endpointEvents(b, keys, bStart, bEnd)
+        .select((kc :+ col("pos") :+ lit(0L).as("da") :+
+          col("d").as("db")): _*))
+    // pin the delta table to (key, bucket) partitioning and MATERIALIZE
+    // it (Tungsten-format localCheckpoint): both consumers (the bucket
+    // summary and the per-bucket window join) then read the collapsed
+    // deltas with no further exchange of the big side, instead of each
+    // recomputing the event explode + aggregation from scratch
+    val (deltas, _) = org.apache.spark.sql.graftshim.CheckpointShim
+      .materialize(events.groupBy((kc :+ col("pos")): _*)
+        .agg(sum(col("da")).as("dA"), sum(col("db")).as("dB"))
+        .withColumn("__b", floor(col("pos") / bucketWidth))
+        .repartition((kc :+ col("__b")): _*))
+    val bOrd = Window.partitionBy(kc: _*).orderBy(col("__b").asc)
+    val buckets = deltas.groupBy((kc :+ col("__b")): _*)
+      .agg(sum(col("dA")).as("__sa"), sum(col("dB")).as("__sb"),
+        min(col("pos")).as("__first"), max(col("pos")).as("__last"))
+      .withColumn("__ea", coalesce(sum(col("__sa")).over(
+        bOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__eb", coalesce(sum(col("__sb")).over(
+        bOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__nextFirst", lead(col("__first"), 1).over(bOrd))
+    // bridge segments: from a bucket's last event to the next occupied
+    // bucket's first — ONE segment, exactly as the unbucketed sweep
+    // emits it, with the depths that exit the bucket
+    val bridges = buckets.filter(col("__nextFirst").isNotNull &&
+        (col("__ea") + col("__sa")) > 0 && (col("__eb") + col("__sb")) === 0)
+      .select((kc :+ col("__last").as("seg_start") :+
+        (col("__nextFirst") - 1).as("seg_end")): _*)
+    val wOrd = Window.partitionBy((kc :+ col("__b")): _*)
+      .orderBy(col("pos").asc)
+    val within = deltas
+      .join(buckets.select((kc :+ col("__b") :+ col("__ea") :+
+        col("__eb")): _*)
+        .repartition((kc :+ col("__b")): _*), keys :+ "__b")
+      .withColumn("__a", col("__ea") + sum(col("dA")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__bd", col("__eb") + sum(col("dB")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__next", lead(col("pos"), 1).over(wOrd))
+      .filter(col("__next").isNotNull &&
+        col("__a") > 0 && col("__bd") === 0)
+      .select((kc :+ col("pos").as("seg_start") :+
+        (col("__next") - 1).as("seg_end")): _*)
+    mergeOverlappingBucketed(within.unionByName(bridges), keys,
+      "seg_start", "seg_end", bucketWidth, gap = 1L)
+  }
+
   /** [[coverageDepth]] for FEW keys at extreme scale — the two-pass
     * bucketed sweep. [[coverageDepth]]'s window parallelism equals the
     * key count (chromosomes), which caps a 1000-executor cluster at

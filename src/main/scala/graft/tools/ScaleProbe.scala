@@ -23,11 +23,21 @@ object ScaleProbe {
     * BENCH.md round-2 history), but the bytes a plan shuffles are a
     * pure function of the plan and the data. */
   private val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+  /** Longest single task since the last reset — the CLUSTER-truth axis
+    * for few-key windows: local[32] wall-clock hides a serialized sort
+    * (31 idle cores cost nothing here, everything on a real cluster),
+    * but a probe whose longest task ~= its wall-clock is running on
+    * one core no matter how many the cluster has. */
+  private val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
       shuffleBytes.addAndGet(
         sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (te.taskInfo != null) maxTaskMs.getAndAccumulate(
+        te.taskInfo.duration, Math.max(_, _))
   }
 
   /** Set in main; lets time() drain the async listener bus so the byte
@@ -41,12 +51,14 @@ object ScaleProbe {
     if (nameFilter.forall(name.contains)) {
       sparkCtx.foreach(org.apache.spark.graftshim.ListenerShim.drain)
       val b0 = shuffleBytes.get()
+      maxTaskMs.set(0L)
       val t0 = System.nanoTime()
       val r = f
       val secs = (System.nanoTime() - t0) / 1e9
       sparkCtx.foreach(org.apache.spark.graftshim.ListenerShim.drain)
       val mb = (shuffleBytes.get() - b0) / 1e6
-      println(f"[probe] $name%-28s $secs%8.2f s  $mb%9.1f MB shuffled  ($r)")
+      val mt = maxTaskMs.get() / 1e3
+      println(f"[probe] $name%-28s $secs%8.2f s  $mb%9.1f MB shuffled  maxTask $mt%6.2f s  ($r)")
     }
   }
 
@@ -219,6 +231,48 @@ object ScaleProbe {
     // occupied buckets/chrom -> ~5000 (key, bucket) windows vs 5
     time("coverage_depth_bucketed")(graft.ranges.IntervalSets
       .coverageDepthBucketed(iv, Seq("chrom"), "s1", "e1", 500L).count())
+    // same escape hatch for merge and subtract: the few-key window cap
+    // broken at the same W=500 bucketing
+    time("interval_merge_bucketed")(graft.ranges.IntervalSets
+      .mergeOverlappingBucketed(iv, Seq("chrom"), "s1", "e1", 500L).count())
+    time("interval_subtract_bucketed")(graft.ranges.IntervalSets
+      .subtractBucketed(iv, iv2.filter(col("k2") % 50 === 0)
+        .select(col("chrom"), col("s2"), col("e2")),
+      Seq("chrom"), "s1", "e1", "s2", "e2", 500L).count())
+    // the few-key bottleneck itself: ONE key = the simple window runs
+    // on a single task of 32; bucketing is the only source of
+    // parallelism. This is the regime the bucketed variants exist for.
+    // Inputs are CACHED and pre-materialized so the rows time the
+    // operator, not the input build both forms share. The multiplier is
+    // a crossJoin (not the N-way union replicate) so `copies` can reach
+    // 667 (10M intervals) without a 667-branch plan; `__r` is unique
+    // per (orderkey, copy) and ×7919 is injective mod 5e7, so starts
+    // stay distinct as n grows (the union replicate's +10M offsets
+    // collapsed to 5 distinct shifts mod the 50M span — a lesson:
+    // check the generator's image, not just its row count). Short
+    // lengths (1–3) keep coverage < 1 so the island structure is real
+    // (~40% of starts root an island) rather than one merged span.
+    val iv1 = GraftSession.table(spark, sfDir, "orders")
+      .select("o_orderkey")
+      .crossJoin(spark.range(copies.toLong).select(col("id").as("__c")))
+      .withColumn("__r", col("o_orderkey") * copies + col("__c"))
+      .select(lit(0L).as("chrom"),
+        ((col("__r") * 7919) % 50000000L).as("s1"),
+        ((col("__r") * 7919) % 50000000L + 1 + col("__r") % 3).as("e1"))
+      .cache()
+    val b1 = iv1.filter(col("s1") % 37 === 0)
+      .select(col("chrom"), col("s1").as("s2"), col("e1").as("e2")).cache()
+    println(s"[probe] 1key intervals=${iv1.count()} b=${b1.count()}")
+    time("interval_merge_1key")(graft.ranges.IntervalSets
+      .mergeOverlapping(iv1, Seq("chrom"), "s1", "e1").count())
+    time("interval_merge_1key_bucketed")(graft.ranges.IntervalSets
+      .mergeOverlappingBucketed(iv1, Seq("chrom"), "s1", "e1", 50000L)
+      .count())
+    time("interval_subtract_1key")(graft.ranges.IntervalSets
+      .subtract(iv1, b1, Seq("chrom"), "s1", "e1", "s2", "e2").count())
+    time("interval_subtract_1key_bucketed")(graft.ranges.IntervalSets
+      .subtractBucketed(iv1, b1, Seq("chrom"), "s1", "e1", "s2", "e2",
+        50000L).count())
 
     spark.stop()
   }

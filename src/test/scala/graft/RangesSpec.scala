@@ -234,6 +234,69 @@ class RangesSpec extends SparkSpecBase {
     }
   }
 
+  test("mergeOverlappingBucketed == mergeOverlapping at any width and gap") {
+    import graft.ranges.IntervalSets
+    val rnd = new scala.util.Random(29)
+    // every 17th interval is a LONG span crossing many buckets — the
+    // case that stresses the weld: its end dominates enterMax for
+    // bucket after bucket, so whole buckets become welded prefixes
+    val ivs = (0 until 200).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      val len = if (i % 17 == 0) 3000L + rnd.nextInt(2000)
+                else rnd.nextInt(40).toLong
+      (rnd.nextInt(2).toLong, s, s + len)
+    }
+    val df = ivs.toDF("k", "s", "e")
+    for (gap <- Seq(0L, 1L, 5L)) {
+      val want = IntervalSets.mergeOverlapping(df, Seq("k"), "s", "e", gap)
+        .select("k", "m_start", "m_end", "n_merged")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      // widths: every position its own bucket / sub-island / typical /
+      // single degenerate bucket (≡ the unbucketed form)
+      for (w <- Seq(1L, 7L, 64L, 10000L)) {
+        val got = IntervalSets.mergeOverlappingBucketed(
+            df, Seq("k"), "s", "e", w, gap)
+          .select("k", "m_start", "m_end", "n_merged")
+          .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+        assert(got == want, s"w=$w gap=$gap")
+      }
+    }
+    // duplicate-heavy shape (the q94 tie-order regression class)
+    val dup = ivs.flatMap(i => Seq.fill(10)(i)).toDF("k", "s", "e")
+    val wantDup = IntervalSets.mergeOverlapping(dup, Seq("k"), "s", "e", 0)
+      .select("k", "m_start", "m_end", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val gotDup = IntervalSets.mergeOverlappingBucketed(
+        dup, Seq("k"), "s", "e", 64L, 0)
+      .select("k", "m_start", "m_end", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(gotDup == wantDup)
+  }
+
+  test("subtractBucketed == subtract at any width, n_merged included") {
+    import graft.ranges.IntervalSets
+    val rnd = new scala.util.Random(31)
+    def mk(n: Int, maxLen: Int, longEvery: Int) = (0 until n).map { i =>
+      val s = rnd.nextInt(900).toLong
+      val len = if (longEvery > 0 && i % longEvery == 0)
+        2000L + rnd.nextInt(1500) else rnd.nextInt(35).toLong
+      (rnd.nextInt(2).toLong, s, s + len)
+    }
+    val a = mk(120, 40, 19).toDF("k", "s", "e")
+    val b = mk(50, 25, 23).toDF("k", "s", "e")
+    val want = IntervalSets.subtract(a, b, Seq("k"), "s", "e", "s", "e")
+      .select("k", "m_start", "m_end", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty)
+    for (w <- Seq(1L, 7L, 64L, 10000L)) {
+      val got = IntervalSets.subtractBucketed(
+          a, b, Seq("k"), "s", "e", "s", "e", w)
+        .select("k", "m_start", "m_end", "n_merged")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"w=$w")
+    }
+  }
+
   test("coverageDepth == per-base brute force; segments tile the span") {
     import graft.ranges.IntervalSets
     val rnd = new scala.util.Random(11)
