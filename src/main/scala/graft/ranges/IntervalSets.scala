@@ -158,6 +158,46 @@ object IntervalSets {
     mergeOverlapping(segs, keys, "seg_start", "seg_end", gap = 1L)
   }
 
+  /** Derive a `bucketWidth` for the bucketed operators from the data —
+    * the same stats-driven sizing [[graft.plans.BinnedRangeJoinRule]]
+    * applies to bin width, done directly (one aggregate scan over the
+    * two coordinate columns) because callers hand these operators plain
+    * DataFrames that rarely carry CBO column stats. The width targets
+    * `targetRowsPerBucket` rows per (key, bucket) window in the worst
+    * (single-key) case: buckets = max(256, rows / target) over the
+    * combined coordinate domain, so
+    *  - small inputs still spread across ≥256 windows (task-sized, and
+    *    cheap — empty buckets cost nothing, only OCCUPIED buckets get
+    *    summary rows);
+    *  - at billions of rows the per-window sort stays bounded at
+    *    ~`targetRowsPerBucket` rows while the bucket-summary table —
+    *    the single-task stitch window — stays rows/target, i.e. 4-5
+    *    orders of magnitude smaller than the input.
+    * Width only affects PERFORMANCE, never results (the bucketed specs
+    * prove ≡ at widths from 1 to 10000). Empty input derives width 1. */
+  def deriveBucketWidth(df: DataFrame, startCol: String, endCol: String,
+      targetRowsPerBucket: Long = 32768L): Long = {
+    require(targetRowsPerBucket >= 1, "targetRowsPerBucket must be >= 1")
+    val r = df.agg(min(col(startCol).cast("long")).as("lo"),
+      max(col(endCol).cast("long")).as("hi"),
+      count(lit(1)).as("n")).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) 1L
+    else {
+      val domain = math.max(1L, r.getLong(1) - r.getLong(0) + 1)
+      val nBuckets = math.max(256L, r.getLong(2) / targetRowsPerBucket)
+      math.max(1L, domain / nBuckets)
+    }
+  }
+
+  /** [[mergeOverlappingBucketed]] with [[deriveBucketWidth]]'s width —
+    * the width-free form for callers who don't know the coordinate
+    * domain. Costs one extra aggregate scan of the two coordinate
+    * columns before the operator runs. */
+  def mergeOverlappingBucketed(df: DataFrame, keys: Seq[String],
+      startCol: String, endCol: String): DataFrame =
+    mergeOverlappingBucketed(df, keys, startCol, endCol,
+      deriveBucketWidth(df, startCol, endCol))
+
   /** [[mergeOverlapping]] for FEW keys at extreme scale — the same
     * bucketed two-pass escape hatch as [[coverageDepthBucketed]].
     * [[mergeOverlapping]]'s window parallelism equals the key count
@@ -185,12 +225,23 @@ object IntervalSets {
     *     in mine`: one tiny prefix sum over the bucket summary plus a
     *     per-(key, bucket) running count, no per-key window anywhere.
     *
-    * Output contract identical to [[mergeOverlapping]] (m_start,
-    * m_end LONG, n_merged counts ORIGINAL intervals). The trade is a
-    * LOSS until per-key intervals exceed one task — the island rows
-    * take two extra hash shuffles ((key, bucket, island) group and the
-    * final (key, gid) group) that the single-window form never pays;
-    * use it when keys are few and interval counts are billions. */
+    * Output contract identical to [[mergeOverlapping]] in VALUES
+    * (m_start, m_end LONG, n_merged counts ORIGINAL intervals) — but
+    * not in execution: unlike the lazy single-window form, this
+    * operator is EAGER ([[org.apache.spark.sql.graftshim.CheckpointShim]]
+    * materializes the island and root tables with Spark jobs at call
+    * time, because each feeds two differently-pruned consumers), and
+    * the returned DataFrame is backed by localCheckpointed RDDs that
+    * CANNOT be recomputed after executor loss — on failure, re-run the
+    * operator from its source (the [[graft.ext.Dedup.connectedComponents]]
+    * durability contract). The trade is a LOSS until per-key intervals
+    * exceed one task — the island rows take two extra hash shuffles
+    * ((key, bucket, island) group and the final (key, gid) group) that
+    * the single-window form never pays; use it when keys are few and
+    * interval counts are billions (ScaleProbe, BENCH.md round 6: at
+    * 10M single-key intervals the simple form's longest task is 87% of
+    * its wall-clock — one core no matter the cluster — vs maxTask 5×
+    * smaller and falling for the bucketed form). */
   def mergeOverlappingBucketed(df: DataFrame, keys: Seq[String],
       startCol: String, endCol: String, bucketWidth: Long,
       gap: Long = 0L): DataFrame = {
@@ -272,7 +323,26 @@ object IntervalSets {
     * no stage anywhere runs a per-key window. Segment boundaries are
     * identical to [[subtract]]'s (bridges span whole inter-bucket
     * runs, adding no extra cut points), so `n_merged` matches the
-    * simple form exactly, not just the merged extents. */
+    * simple form exactly, not just the merged extents.
+    *
+    * Same execution caveats as [[mergeOverlappingBucketed]]: EAGER
+    * (the collapsed delta table and the weld's island tables
+    * materialize via CheckpointShim at call time) and the result is
+    * backed by localCheckpointed RDDs that cannot be recomputed after
+    * executor loss — re-run from source on failure. */
+  /** [[subtractBucketed]] with [[deriveBucketWidth]]'s width, derived
+    * over BOTH sides' coordinates (b's events land in buckets too, and
+    * may extend past a's domain). */
+  def subtractBucketed(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aStart: String, aEnd: String, bStart: String,
+      bEnd: String): DataFrame =
+    subtractBucketed(a, b, keys, aStart, aEnd, bStart, bEnd,
+      deriveBucketWidth(
+        a.select(col(aStart).cast("long").as("s"),
+          col(aEnd).cast("long").as("e"))
+          .unionByName(b.select(col(bStart).cast("long").as("s"),
+            col(bEnd).cast("long").as("e"))), "s", "e"))
+
   def subtractBucketed(a: DataFrame, b: DataFrame, keys: Seq[String],
       aStart: String, aEnd: String, bStart: String, bEnd: String,
       bucketWidth: Long): DataFrame = {
@@ -353,6 +423,12 @@ object IntervalSets {
     * counts this function exists for, forcing a broadcast is exactly
     * the wrong call; both sides are already clustered on the key, and
     * Spark may still choose to broadcast a small summary on its own. */
+  /** [[coverageDepthBucketed]] with [[deriveBucketWidth]]'s width. */
+  def coverageDepthBucketed(df: DataFrame, keys: Seq[String],
+      startCol: String, endCol: String): DataFrame =
+    coverageDepthBucketed(df, keys, startCol, endCol,
+      deriveBucketWidth(df, startCol, endCol))
+
   def coverageDepthBucketed(df: DataFrame, keys: Seq[String],
       startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")

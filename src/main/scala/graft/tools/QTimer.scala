@@ -28,8 +28,12 @@ object QTimer {
         SparkEntry.queries(q)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // true median for even n (the documented protocol is odd n=5,
+      // but a mislabeled upper-middle would skew an even-n run)
+      val med = if (n % 2 == 1) ts(n / 2)
+        else (ts(n / 2 - 1) + ts(n / 2)) / 2.0
       println(f"[qtimer] $q%-28s n=$n min=${ts.head}%.3f " +
-        f"med=${ts(n / 2)}%.3f max=${ts.last}%.3f")
+        f"med=$med%.3f max=${ts.last}%.3f")
     }
     spark.stop()
   }

@@ -47,8 +47,10 @@ object ScaleProbe {
     * next probe). */
   private var sparkCtx: Option[org.apache.spark.SparkContext] = None
 
+  private def wanted(name: String): Boolean = nameFilter.forall(name.contains)
+
   private def time[T](name: String)(f: => T): Unit = {
-    if (nameFilter.forall(name.contains)) {
+    if (wanted(name)) {
       sparkCtx.foreach(org.apache.spark.graftshim.ListenerShim.drain)
       val b0 = shuffleBytes.get()
       maxTaskMs.set(0L)
@@ -78,6 +80,19 @@ object ScaleProbe {
     sparkCtx = Some(spark.sparkContext)
     import spark.implicits._
 
+    // Cache+count of the replicated doc/vector corpora is itself a
+    // multi-second cost at high `copies`; skip it entirely when the
+    // name filter selects none of the probes that read them (e.g. an
+    // interval-only run at copies=67).
+    val docProbes = Seq("exact_dedup", "minhash_lsh_raw",
+      "minhash_after_dedup", "simhash", "ann_topk_bruteforce",
+      "ann_lsh_buckets", "pack_sequences", "connected_components",
+      "kmeans_train_16x2", "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
+      "pq_train_encode_adc", "ivfpq_3probe", "bm25_3terms",
+      "postings_build_and_and3", "split_assign", "upsample_2p5x",
+      "chunk_32_8", "semantic_neardup_k256", "media_decode_1mb_rpp8",
+      "media_decode_1mb_rpp64", "media_decode_1mb_rpp500")
+    if (docProbes.exists(wanted)) {
     val docs = replicate(GraftSession.table(spark, sfDir, "documents")
       .select("doc_id", "text"), "doc_id", copies).cache()
     val emb = replicate(GraftSession.table(spark, sfDir, "embeddings")
@@ -204,6 +219,7 @@ object ScaleProbe {
             .agg(sum(col("n_bytes"))).head().getLong(0) / (1 << 20))
       }
     }
+    } // docProbes guard
 
     val iv = replicate(GraftSession.table(spark, sfDir, "orders")
       .select("o_orderkey"), "o_orderkey", copies)
@@ -244,14 +260,23 @@ object ScaleProbe {
     // parallelism. This is the regime the bucketed variants exist for.
     // Inputs are CACHED and pre-materialized so the rows time the
     // operator, not the input build both forms share. The multiplier is
-    // a crossJoin (not the N-way union replicate) so `copies` can reach
-    // 667 (10M intervals) without a 667-branch plan; `__r` is unique
-    // per (orderkey, copy) and ×7919 is injective mod 5e7, so starts
-    // stay distinct as n grows (the union replicate's +10M offsets
-    // collapsed to 5 distinct shifts mod the 50M span — a lesson:
-    // check the generator's image, not just its row count). Short
-    // lengths (1–3) keep coverage < 1 so the island structure is real
-    // (~40% of starts root an island) rather than one merged span.
+    // a crossJoin (not the N-way union replicate) so high `copies`
+    // doesn't build an N-branch plan; `__r` is unique per (orderkey,
+    // copy), and since ×7919 is a bijection on Z_5e7, starts stay
+    // DISTINCT exactly while max(__r) = maxOrderkey×copies + copies-1
+    // < 5e7 — at sf0.1 (max o_orderkey 600k) that is copies ≤ 83,
+    // i.e. 12.5M intervals. Beyond that __r wraps mod 5e7 and starts
+    // are only mostly distinct (~10% collisions at copies=667), which
+    // densifies islands but keeps the structure real. (The union
+    // replicate's +10M offsets collapsed to 5 distinct shifts mod the
+    // 50M span — the lesson: check the generator's image, not just its
+    // row count.) Short lengths (1–3) keep coverage < 1 so the island
+    // structure is real (~40% of starts root an island) rather than
+    // one merged span.
+    if (Seq("interval_merge_1key", "interval_merge_1key_bucketed",
+        "interval_subtract_1key", "interval_subtract_1key_bucketed",
+        "interval_merge_1key_bucketedauto",
+        "interval_subtract_1key_bucketedauto").exists(wanted)) {
     val iv1 = GraftSession.table(spark, sfDir, "orders")
       .select("o_orderkey")
       .crossJoin(spark.range(copies.toLong).select(col("id").as("__c")))
@@ -273,6 +298,22 @@ object ScaleProbe {
     time("interval_subtract_1key_bucketed")(graft.ranges.IntervalSets
       .subtractBucketed(iv1, b1, Seq("chrom"), "s1", "e1", "s2", "e2",
         50000L).count())
+    // width-free overloads: deriveBucketWidth's one extra aggregate
+    // scan + the operator at the derived width (reported in the probe
+    // line so BENCH.md can record where the heuristic landed)
+    time("interval_merge_1key_bucketedauto")({
+      val w = graft.ranges.IntervalSets.deriveBucketWidth(iv1, "s1", "e1")
+      val n = graft.ranges.IntervalSets
+        .mergeOverlappingBucketed(iv1, Seq("chrom"), "s1", "e1", w).count()
+      s"n=$n derivedW=$w"
+    })
+    time("interval_subtract_1key_bucketedauto")({
+      val n = graft.ranges.IntervalSets
+        .subtractBucketed(iv1, b1, Seq("chrom"), "s1", "e1", "s2", "e2")
+        .count()
+      s"n=$n"
+    })
+    } // 1-key guard
 
     spark.stop()
   }

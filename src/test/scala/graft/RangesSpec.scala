@@ -297,6 +297,63 @@ class RangesSpec extends SparkSpecBase {
     }
   }
 
+  test("deriveBucketWidth: heuristic band; width-free overloads == simple forms") {
+    import graft.ranges.IntervalSets
+    val rnd = new scala.util.Random(37)
+    val ivs = (0 until 300).map { _ =>
+      val s = rnd.nextInt(5000).toLong
+      (rnd.nextInt(2).toLong, s, s + rnd.nextInt(60).toLong)
+    }
+    val df = ivs.toDF("k", "s", "e")
+    // the heuristic, verbatim: buckets = max(256, n/target) over the
+    // combined coordinate domain
+    val domain = ivs.map(_._3).max - ivs.map(_._2).min + 1
+    assert(IntervalSets.deriveBucketWidth(df, "s", "e") ==
+      math.max(1L, domain / 256L))
+    // with target 1 row/bucket, n rows win over the 256 floor
+    assert(IntervalSets.deriveBucketWidth(df, "s", "e", 1L) ==
+      math.max(1L, domain / 300L))
+    // the derived width on the driver's q94 interval construction lands
+    // in band: >= 1 and at most domain/256 (never a one-bucket collapse)
+    val orders = graft.core.GraftSession.table(spark,
+      "/root/testdata/sf0.001", "orders")
+      .select((col("o_orderkey") % 5).as("k"),
+        ((col("o_orderkey") * 7) % 5000).as("s"),
+        ((col("o_orderkey") * 7) % 5000 + 1 + col("o_orderkey") % 40).as("e"))
+    val wOrders = IntervalSets.deriveBucketWidth(orders, "s", "e")
+    assert(wOrders >= 1L && wOrders <= 5041L / 256L, s"wOrders=$wOrders")
+    // width-free overloads: identical values to the simple forms
+    val wantM = IntervalSets.mergeOverlapping(df, Seq("k"), "s", "e")
+      .select("k", "m_start", "m_end", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val gotM = IntervalSets.mergeOverlappingBucketed(df, Seq("k"), "s", "e")
+      .select("k", "m_start", "m_end", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(gotM == wantM && wantM.nonEmpty)
+    val wantC = IntervalSets.coverageDepth(df, Seq("k"), "s", "e")
+      .select("k", "seg_start", "seg_end", "depth")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val gotC = IntervalSets.coverageDepthBucketed(df, Seq("k"), "s", "e")
+      .select("k", "seg_start", "seg_end", "depth")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(gotC == wantC)
+    val b = (0 until 60).map { _ =>
+      val s = rnd.nextInt(5200).toLong
+      (rnd.nextInt(2).toLong, s, s + rnd.nextInt(30).toLong)
+    }.toDF("k", "s", "e")
+    val wantS = IntervalSets.subtract(df, b, Seq("k"), "s", "e", "s", "e")
+      .select("k", "m_start", "m_end", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val gotS = IntervalSets.subtractBucketed(df, b, Seq("k"), "s", "e",
+        "s", "e")
+      .select("k", "m_start", "m_end", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(gotS == wantS && wantS.nonEmpty)
+    // empty input: width 1, not a crash or a zero
+    assert(IntervalSets.deriveBucketWidth(
+      df.filter(col("s") < 0), "s", "e") == 1L)
+  }
+
   test("coverageDepth == per-base brute force; segments tile the span") {
     import graft.ranges.IntervalSets
     val rnd = new scala.util.Random(11)

@@ -245,6 +245,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.length < newDocs.count(), "dedup must remove the planted dups")
   }
 
+  test("streamNewRows: null-key stream row lands in the output exactly once") {
+    // a RAW column key (no hash wrapper) so the null-text row carries a
+    // genuinely null key into the probe and the confirm anti join — the
+    // branch the round-5 `coalesce(probe, false)` fix routes to the
+    // definite-new side, matching batch newRowsBloom (whose anti join
+    // keeps null-key rows: null === anything is never true)
+    val snapshot = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newRows = Seq((10L, "alpha"), (11L, "delta"),
+      (12L, null.asInstanceOf[String]), (13L, "beta"))
+      .toDF("doc_id", "text")
+    val key = col("text")
+    val want = graft.ext.Dedup.newRowsBloom(newRows, snapshot, key)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(want == Seq(11L, 12L),
+      s"batch twin must keep the genuinely-new and the null-key row: $want")
+
+    val dir = tmpDir("bloom-null-in")
+    newRows.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val got = EventStreams.runToMemory(spark,
+        EventStreams.streamNewRows(stream, snapshot, key), "bloom_null_new")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want, s"stream=$got batch=$want")
+    assert(got.count(_ == 12L) == 1, "null-key row must appear exactly once")
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     val events = batchEvents
       .select(col("event_id"), col("ts"), col("user_id"),
