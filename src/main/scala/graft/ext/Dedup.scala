@@ -135,7 +135,17 @@ object Dedup {
     * appear in some candidate pair (semi-join-pruned scan). Same
     * (a_id < b_id, jaccard >= threshold) contract as the full pass;
     * old×old pairs are by definition already in the snapshot's own
-    * result. */
+    * result.
+    *
+    * Execution note: the candidate pairs and the candidate-pruned
+    * corpus are EAGERLY materialized (CheckpointShim jobs run at call
+    * time) — both are delta-sized, and each is consumed by three
+    * differently-keyed verification joins, so leaving them lazy
+    * re-executes the band join + semi-join subplan 3-4× (ScaleProbe
+    * 20×: 10.1 s → sub-second fixed cost after materializing). Like
+    * [[connectedComponents]], the result is backed by localCheckpointed
+    * RDDs that cannot be recomputed after executor loss — re-run from
+    * source on failure. */
   def minhashNearDupDelta(newDf: DataFrame, snapshot: DataFrame,
       snapshotBands: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
@@ -143,19 +153,23 @@ object Dedup {
     val nb = minhashBands(newDf, idCol, textCol, shingleN, k, bands)
     val allB = snapshotBands.unionByName(nb)
     // every candidate has its NEW side on x — old×old never pairs
-    val cand = nb.as("x").join(allB.as("y"),
+    val (cand, _) = materialize(nb.as("x").join(allB.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.__id") =!= col("y.__id"))
       .select(least(col("x.__id"), col("y.__id")).as("a_id"),
         greatest(col("x.__id"), col("y.__id")).as("b_id"))
-      .distinct()
+      .distinct())
     val corpus = snapshot.select(col(idCol), col(textCol))
       .unionByName(newDf.select(col(idCol), col(textCol)))
     // verification scans only docs that occur in some candidate
     val touched = cand.select(col("a_id").as(idCol))
       .unionByName(cand.select(col("b_id").as(idCol))).distinct()
-    verifyJaccard(cand, corpus.join(touched, Seq(idCol), "leftsemi"),
-      idCol, textCol, shingleN, threshold)
+    // the pruned corpus is candidate-sized; materializing it means the
+    // three shingle-stream evaluations in verifyJaccard re-explode a
+    // tiny table instead of re-running the corpus semi-join three times
+    val (pruned, _) = materialize(
+      corpus.join(touched, Seq(idCol), "leftsemi"))
+    verifyJaccard(cand, pruned, idCol, textCol, shingleN, threshold)
   }
 
   /** Exact n-gram jaccard over all pairs sharing at least one shingle —

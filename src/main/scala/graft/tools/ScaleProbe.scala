@@ -221,6 +221,63 @@ object ScaleProbe {
     }
     } // docProbes guard
 
+    // VERDICT r5 Next #4: the ARTIFACT-LOADED minhash delta. Production
+    // saves minhashBands(snapshot) once; re-ingest pays only the delta
+    // (ext/Dedup.scala minhashNearDupDelta docs). The q84 bench shape
+    // inline-builds the snapshot band table twice, so the "work ∝ delta"
+    // claim has never been measured against the artifact path. Split a
+    // replicated corpus 99%/1% by id, persist the snapshot band table
+    // as the parquet artifact, then time (a) the one-time build+save,
+    // (b) the delta query against the LOADED artifact. The claim is the
+    // RATIO: at a 1% delta, row (b) must be far below row (a) on wall,
+    // bytes, and maxTask — re-ingest cost tracks the delta, not the
+    // corpus.
+    if (Seq("minhash_bands_artifact_build", "minhash_delta_artifact",
+        "minhash_bands_artifact_build_dd", "minhash_delta_artifact_dd",
+        "minhash_full_dd").exists(wanted)) {
+      val corpus = replicate(GraftSession.table(spark, sfDir, "documents")
+        .select("doc_id", "text"), "doc_id", copies).cache()
+      val nAll = corpus.count()
+      val snap = corpus.filter(pmod(col("doc_id"), lit(100)) =!= 37).cache()
+      val delta = corpus.filter(pmod(col("doc_id"), lit(100)) === 37).cache()
+      println(s"[probe] artifact split: corpus=$nAll " +
+        s"snapshot=${snap.count()} delta=${delta.count()}")
+      val bandsPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_bands").getPath
+      time("minhash_bands_artifact_build")(
+        Dedup.minhashBands(snap, "doc_id", "text", 3, 12, 4)
+          .write.mode("overwrite").parquet(bandsPath))
+      val loaded = spark.read.parquet(bandsPath)
+      time("minhash_delta_artifact")(
+        Dedup.minhashNearDupDelta(delta, snap, loaded, "doc_id", "text",
+          3, 12, 4, 0.5).count())
+      // the PRODUCTION regime: exact dedup BEFORE minhash (the recorded
+      // 20× lesson — raw 78.7 s vs deduped 2.9 s). The replicated raw
+      // corpus gives every doc ~copies-1 identical twins, so even a 1%
+      // delta drags thousands of true pairs through exact-jaccard
+      // verification; after exact dedup the near-dup density is the
+      // planted one and the delta's wall collapses with its pair count.
+      val dd = corpus.join(
+        Dedup.exact(corpus, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .cache()
+      val snapDd = dd.filter(pmod(col("doc_id"), lit(100)) =!= 37).cache()
+      val deltaDd = dd.filter(pmod(col("doc_id"), lit(100)) === 37).cache()
+      println(s"[probe] artifact split (deduped): corpus=${dd.count()} " +
+        s"snapshot=${snapDd.count()} delta=${deltaDd.count()}")
+      val ddPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_bands_dd").getPath
+      time("minhash_bands_artifact_build_dd")(
+        Dedup.minhashBands(snapDd, "doc_id", "text", 3, 12, 4)
+          .write.mode("overwrite").parquet(ddPath))
+      val loadedDd = spark.read.parquet(ddPath)
+      time("minhash_delta_artifact_dd")(
+        Dedup.minhashNearDupDelta(deltaDd, snapDd, loadedDd, "doc_id",
+          "text", 3, 12, 4, 0.5).count())
+      time("minhash_full_dd")(Dedup.minhashNearDup(dd, "doc_id", "text",
+        3, 12, 4, 0.5).count())
+    } // artifact guard
+
     val iv = replicate(GraftSession.table(spark, sfDir, "orders")
       .select("o_orderkey"), "o_orderkey", copies)
       .select((col("o_orderkey") % 5).as("chrom"),
