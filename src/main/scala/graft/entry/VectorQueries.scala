@@ -33,7 +33,46 @@ object VectorQueries {
           slice(col("embedding").cast("array<double>"), s * 8 + 1, 8)): _*)))
       .select(col("pos").as("sub"), col("cid"), col("col").as("cvec"))
 
+  /** Pinned OPQ-style rotation for the oracle-checked q97 — the
+    * pinned-centroid device applied to [[Similarity.opqRotation]]'s
+    * output position: a trained rotation is not SQL-replicable (driver
+    * Jacobi eigendecomposition), so the hash-checked query pins an
+    * exactly-orthogonal literal instead and certifies the COMPOSITION
+    * rotate → encode → ADC end-to-end. Dim i pairs with dim i+32
+    * through a 2×2 Givens block [[0.6, 0.8], [-0.8, 0.6]] (rows
+    * orthonormal: 0.36+0.64=1): a genuine dimension-mixing rotation,
+    * yet each output dim is a two-term product sum the oracle can
+    * rebuild bit-for-bit (zero-product additions are exact identities
+    * in the MatVec accumulation, so the 64-term kernel sum equals the
+    * oracle's two-term expression). */
+  private val pinnedRotation: Seq[Seq[Double]] = (0 until 64).map { i =>
+    val row = Array.fill(64)(0.0)
+    if (i < 32) { row(i) = 0.6; row(i + 32) = 0.8 }
+    else { row(i - 32) = -0.8; row(i) = 0.6 }
+    row.toSeq
+  }
+
+  /** [[fixedCodebooks]] over a rotated (already-double) vector column. */
+  private def rotatedCodebooks(r: DataFrame, vecCol: String): DataFrame =
+    r.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        posexplode(array((0 until 8).map(s =>
+          slice(col(vecCol), s * 8 + 1, 8)): _*)))
+      .select(col("pos").as("sub"), col("cid"), col("col").as("cvec"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // OPQ composition end-to-end: rotate (codegen MatVec over a pinned
+    // orthogonal literal) -> PQ-encode in the rotated space (codebooks =
+    // rotated subvectors of the 16 lowest-id vectors) -> ADC top-3.
+    // Same map-only shape as q78; the rotation adds one codegen mat-vec
+    // per corpus row, no new shuffle or join.
+    "q97_opq_adc_topk" -> ((s, dir) => {
+      val r = Similarity.rotate(emb(s, dir), "embedding", pinnedRotation,
+        "rvec")
+      Similarity.pqTopKAdc(r, "vec_id", "rvec",
+          rotatedCodebooks(r, "rvec"), col("vec_id") < 10, k = 3)
+        .orderBy("q_id", "rank")
+    }),
     // Exact ANN baseline: top-5 cosine neighbors for 10 query vectors.
     // Plan: one corpus scan × broadcast queries; no corpus shuffle.
     "q40_cosine_topk" -> ((s, dir) => {
@@ -209,6 +248,45 @@ object VectorQueries {
     // dimensions, bit-identical to the codegen kernels' loops (plain
     // SUM/list_distance would aggregate in unspecified order / via
     // sqrt and drift in final ulps).
+    // OPQ: the rotation is re-applied per dimension as a two-term
+    // product sum (each output dim mixes exactly two input dims in the
+    // pinned Givens-block literal; the MatVec kernel's 64-term
+    // accumulation equals it exactly because zero-product additions are
+    // identities), then the q78 ADC pipeline runs over the rotated
+    // space verbatim.
+    "q97_opq_adc_topk" ->
+      """WITH rv AS (SELECT vec_id, list_transform(generate_series(1,64),
+        |        i -> CASE WHEN i <= 32
+        |             THEN 0.6*CAST(embedding[i] AS DOUBLE)
+        |                + 0.8*CAST(embedding[i+32] AS DOUBLE)
+        |             ELSE -0.8*CAST(embedding[i-32] AS DOUBLE)
+        |                + 0.6*CAST(embedding[i] AS DOUBLE) END) AS rv
+        |       FROM embeddings),
+        |sub AS (SELECT UNNEST(generate_series(0,7)) AS s),
+        |cw AS (SELECT sub.s, r.vec_id AS cid,
+        |        list_transform(generate_series(1,8), i -> r.rv[sub.s*8+i]) AS cv
+        |       FROM rv r, sub WHERE r.vec_id < 16),
+        |ev AS (SELECT r.vec_id, sub.s,
+        |        list_transform(generate_series(1,8), i -> r.rv[sub.s*8+i]) AS sv
+        |       FROM rv r, sub),
+        |asg AS (SELECT vec_id, s, cid FROM (
+        |   SELECT ev.vec_id, ev.s, cw.cid,
+        |     ROW_NUMBER() OVER (PARTITION BY ev.vec_id, ev.s ORDER BY
+        |       list_sum(list_transform(generate_series(1,8),
+        |         i -> (ev.sv[i]-cw.cv[i])*(ev.sv[i]-cw.cv[i]))), cw.cid) AS rn
+        |   FROM ev JOIN cw ON ev.s = cw.s) WHERE rn = 1),
+        |ncv AS (SELECT a.vec_id, a.s, cw.cv FROM asg a
+        |        JOIN cw ON a.s = cw.s AND a.cid = cw.cid),
+        |q AS (SELECT vec_id AS q_id, s, sv FROM ev WHERE vec_id < 10),
+        |ps AS (SELECT q.q_id, n.vec_id AS n_id, q.s,
+        |        list_sum(list_transform(generate_series(1,8),
+        |          i -> (q.sv[i]-n.cv[i])*(q.sv[i]-n.cv[i]))) AS d
+        |       FROM q JOIN ncv n ON q.s = n.s WHERE n.vec_id <> q.q_id),
+        |dist AS (SELECT q_id, n_id, list_sum(list(d ORDER BY s)) AS dist
+        |         FROM ps GROUP BY 1, 2),
+        |rr AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY dist ASC, n_id ASC) AS INTEGER) AS rank FROM dist)
+        |SELECT q_id, n_id, rank FROM rr WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "q77_pq_encode" ->
       (pqAsgCte +
         """SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS pq_code
