@@ -100,6 +100,26 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // DCT perceptual-hash near-dup: the IMAGE dedup pipeline with the
+    // decode step swapped for the md5-synthesized grid device (image
+    // decode is not SQL-expressible; Multimodal.syntheticGrid gives
+    // both engines the same post-decode 32x32 luminance grid, and the
+    // real javax.imageio path is certified by the PNG-fixture spec).
+    // Integer fixed-point DCT -> 63-bit hash (mapPartitions, map-only)
+    // -> 4x16-bit pigeonhole banding -> hamming <= 3. The hash step
+    // scans once and shuffles 8-byte signatures, never pixels.
+    "q98_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id,
+          graft.ext.Multimodal.phashFromGrid(
+            graft.ext.Multimodal.syntheticGrid(id)))))
+        .toDF("doc_id", "phash")
+      Dedup.hammingNearDup(hashed, "doc_id", "phash", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Redaction scrub (emails/URLs/digit runs → placeholders): map-only
     // pass; output hashed so the compare certifies the transform without
     // shipping full texts.
@@ -249,6 +269,16 @@ object TextQueries {
       |WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) >= 0.5 $extraWhere
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** The q98 oracle's DCT basis: the SAME integers
+    * [[graft.ext.Multimodal.phashBasis]] holds, rendered as a VALUES
+    * list — generated from one source so Scala and SQL cannot drift. */
+  private val phashBasisSql: String =
+    graft.ext.Multimodal.phashBasis.zipWithIndex.flatMap {
+      case (row, u) => row.zipWithIndex.map {
+        case (w, x) => s"($u,$x,$w)"
+      }
+    }.mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
@@ -298,6 +328,49 @@ object TextQueries {
         |FROM inter JOIN sizes sa ON a_id=sa.doc_id JOIN sizes sb ON b_id=sb.doc_id
         |WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin),
+    // q98: replays Multimodal.phashFromGrid over the synthetic grids in
+    // pure integer SQL — grid bytes from the same md5 chain, the 8x32
+    // fixed-point DCT basis embedded as the SAME integers the Scala
+    // side computed (phashBasisSql), lower-median threshold, 4x16-bit
+    // chunk banding, bit_count(xor) verification. Integer arithmetic
+    // end to end: no float cos, no summation-order sensitivity.
+    "q98_phash_neardup" ->
+      (s"""WITH bas AS (SELECT * FROM (VALUES $phashBasisSql) AS t(u, x, w)),
+        |ids AS (SELECT doc_id, doc_id // 2 * 2 AS g FROM documents),
+        |bb AS (SELECT UNNEST(generate_series(0,63)) AS b),
+        |jj AS (SELECT UNNEST(generate_series(0,15)) AS j),
+        |px0 AS (SELECT i.doc_id, bb.b*16 + jj.j AS p,
+        |         CAST(concat('0x', substr(md5(concat(CAST(i.g AS VARCHAR),
+        |           '#', CAST(bb.b AS VARCHAR))), jj.j*2+1, 2)) AS BIGINT) AS v
+        |        FROM ids i, bb, jj),
+        |px AS (SELECT doc_id, p,
+        |        CASE WHEN doc_id % 2 = 1 AND p = doc_id % 1024
+        |             THEN (v + 40) % 256 ELSE v END AS v
+        |       FROM px0),
+        |t AS (SELECT px.doc_id, bas.u, px.p % 32 AS c, SUM(bas.w * px.v) AS tv
+        |      FROM px JOIN bas ON bas.x = px.p // 32
+        |      GROUP BY 1, 2, 3),
+        |coef AS (SELECT t.doc_id, t.u, b2.u AS v, SUM(b2.w * t.tv) AS cf
+        |         FROM t JOIN bas b2 ON b2.x = t.c
+        |         GROUP BY 1, 2, 3),
+        |ac AS (SELECT doc_id, u*8 + v - 1 AS i, cf FROM coef
+        |       WHERE NOT (u = 0 AND v = 0)),
+        |med AS (SELECT doc_id, list_sort(list(cf))[32] AS m FROM ac GROUP BY 1),
+        |sg AS (SELECT a.doc_id,
+        |        CAST(SUM(CASE WHEN a.cf > m.m THEN (1::BIGINT << a.i)
+        |                 ELSE 0 END) AS BIGINT) AS sig
+        |       FROM ac a JOIN med m USING (doc_id) GROUP BY 1),
+        |ch AS (SELECT doc_id, cc.c, (sg.sig >> (cc.c*16)) & 65535 AS cv
+        |       FROM sg, (SELECT UNNEST(generate_series(0,3)) AS c) cc),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM ch x JOIN ch y
+        |           ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id)
+        |SELECT cand.a_id, cand.b_id,
+        |  CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+        |FROM cand JOIN sg sa ON sa.doc_id = cand.a_id
+        |          JOIN sg sb ON sb.doc_id = cand.b_id
+        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+        |ORDER BY a_id, b_id""").stripMargin,
     "q37_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) tok FROM documents),
         |th AS (SELECT doc_id, CAST(concat('0x',substr(md5(tok),1,15)) AS BIGINT) h FROM toks),

@@ -230,6 +230,39 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Hamming near-duplicate pairs over a caller-supplied ≤64-bit
+    * signature column — [[simhashNearDup]]'s pigeonhole banding
+    * machinery generalized to precomputed signatures (e.g.
+    * [[graft.ext.Multimodal.phashFromGrid]] DCT perceptual hashes):
+    * 4×16-bit chunks, so Hamming distance ≤ 3 guarantees at least one
+    * equal chunk and the band join finds EVERY qualifying pair (the
+    * spec proves banded ≡ all-pairs); `maxHamming` is capped at 3
+    * because 4 bands pigeonhole no further. Candidates are Σ|chunk
+    * bucket|², bucket-local — the corpus never all-pairs. Output
+    * (a_id, b_id, hamming), a_id < b_id. */
+  def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
+    val sigs = df.select(col(idCol).as("__id"),
+      col(hashCol).cast("long").as("__sig"))
+    val chunks = sigs.select(col("__id"), col("__sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), shiftrightunsigned(col("__sig"), c * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ch"))
+      .select(col("__id"), col("__sig"), col("ch.c"), col("ch.v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"),
+        col("x.__sig").as("sig_a"), col("y.__sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** Cross-document duplicate-SPAN detection — the substring-level dedup
     * of Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (arXiv:2107.06499), re-expressed as a distributed

@@ -383,6 +383,161 @@ object Multimodal {
       .mapPartitions(_.map(decodeOne))
   }
 
+  // ---- DCT perceptual hash (pHash) ----
+
+  /** Fixed-point DCT-II basis for the 32→8 pHash transform:
+    * `B(u)(x) = round(cos((2x+1)·u·π/64) · 2^14)`. INTEGER by design:
+    * float `cos` differs in final ulps across libms (JVM vs DuckDB vs
+    * a C++ executor), which would flip bits near the median threshold;
+    * integer products and sums are exact in every engine — the same
+    * reason H.264 specifies an integer transform instead of the real
+    * DCT. Scale 2^14 keeps the full 2-D accumulation ≤ 2^46, far
+    * inside Long. */
+  private[graft] val phashBasis: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      math.round(math.cos((2 * x + 1) * u * math.Pi / 64) * (1 << 14)))
+
+  /** 63-bit DCT perceptual hash of a 32×32 luminance grid (row-major,
+    * values 0..255): separable integer DCT, keep the 8×8 low-frequency
+    * block, drop DC (it encodes brightness, not structure), and set
+    * bit `u*8+v-1` iff `coeff(u)(v)` exceeds the lower median (sorted
+    * index 31 of the 63 AC coefficients). Deterministic and
+    * engine-exact — the q98 oracle replays it in SQL from the same
+    * integer basis. */
+  def phashFromGrid(grid: Array[Int]): Long = {
+    require(grid.length == 1024, s"need a 32x32 grid, got ${grid.length}")
+    // t(u)(c) = Σ_r B(u)(r) · g(r)(c)
+    val t = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var c = 0
+      while (c < 32) {
+        var s = 0L; var r = 0
+        while (r < 32) { s += phashBasis(u)(r) * grid(r * 32 + c); r += 1 }
+        t(u)(c) = s; c += 1
+      }
+      u += 1
+    }
+    // coeff(u)(v) = Σ_c B(v)(c) · t(u)(c); AC flattened DC-excluded
+    val ac = new Array[Long](63)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0L; var c = 0
+          while (c < 32) { s += phashBasis(v)(c) * t(u)(c); c += 1 }
+          ac(u * 8 + v - 1) = s
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val med = ac.sorted.apply(31)
+    var bits = 0L
+    var i = 0
+    while (i < 63) { if (ac(i) > med) bits |= 1L << i; i += 1 }
+    bits
+  }
+
+  /** Deterministic 32×32 luminance grid for a document id — the q98
+    * oracle parity device (the pinned-centroid family): image DECODE is
+    * not SQL-expressible, so the hash-checked query synthesizes the
+    * post-decode grid from md5 bytes both engines can compute
+    * identically, and the real-decode path ([[phash64]]) is certified
+    * by the PNG-fixture spec instead. Structure: consecutive ids share
+    * a base grid (`id / 2 * 2` seeds 64 md5 calls, 16 pixels each);
+    * odd ids get one pixel nudged by +40 mod 256 — a perceptual
+    * near-twin whose Hamming distance to its even partner lands in the
+    * banding's candidate range. */
+  private[graft] def syntheticGrid(docId: Long): Array[Int] = {
+    val g = docId / 2 * 2
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grid = new Array[Int](1024)
+    var b = 0
+    while (b < 64) {
+      val h = md.digest(s"$g#$b".getBytes("UTF-8"))
+      var j = 0
+      while (j < 16) { grid(b * 16 + j) = h(j) & 0xff; j += 1 }
+      b += 1
+    }
+    if (docId % 2 == 1) {
+      val p = (docId % 1024).toInt
+      grid(p) = (grid(p) + 40) % 256
+    }
+    grid
+  }
+
+  /** Real-image perceptual hash: decode via `javax.imageio`,
+    * area-average luminance onto a 32×32 grid (averaging, not point
+    * sampling, so a resized twin lands on nearly the same grid), then
+    * [[phashFromGrid]]. None when no installed reader claims the bytes,
+    * the decode fails, or the header declares a decompression bomb —
+    * same degradation contract as [[decodeImage]]. */
+  def phash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes.length < 8) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
+        if (dw.toLong * dh > MaxDecodePixels) return None
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        val grid = new Array[Int](1024)
+        var r = 0
+        while (r < 32) {
+          val rLo = r * h / 32
+          val rHi = math.max(rLo + 1, (r + 1) * h / 32)
+          var c = 0
+          while (c < 32) {
+            val cLo = c * w / 32
+            val cHi = math.max(cLo + 1, (c + 1) * w / 32)
+            var sum = 0L; var n = 0
+            var y = rLo
+            while (y < rHi) {
+              var x = cLo
+              while (x < cHi) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            grid(r * 32 + c) = (sum / n).toInt
+            c += 1
+          }
+          r += 1
+        }
+        Some(phashFromGrid(grid))
+      } finally reader.dispose()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally iis.close()
+  }
+
+  /** Per-partition pHash column over a media frame: (id, phash), rows
+    * whose payload no image reader claims are dropped (they have no
+    * perceptual identity; exact byte dedup already covers them via
+    * `checksum`). Same mapPartitions batch shape as [[decodeFeatures]];
+    * feed the result to [[Dedup.hammingNearDup]] for near-dup pairs. */
+  def withPhash(media: DataFrame): DataFrame = {
+    implicit val encIn = Encoders.product[MediaRow]
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    media.select("id", "modality", "payload").as[MediaRow]
+      .mapPartitions(_.flatMap(r =>
+        phash64(r.payload).map(h => (r.id, h))))
+      .toDF("id", "phash")
+  }
+
   /** Frame-sample stub for video-like payloads: every k-th chunk of the
     * payload becomes a "frame" row (explode shape of real frame
     * sampling). */

@@ -278,6 +278,24 @@ object ScaleProbe {
         3, 12, 4, 0.5).count())
     } // artifact guard
 
+    // pHash near-dup: per-row integer DCT hash (mapPartitions, map-only
+    // — the image-decode cost center at production is the codec, which
+    // this grid-synthesis shape stands in for) + 4x16-bit band join.
+    // Only 8-byte signatures shuffle, never grids/pixels.
+    if (Seq("phash_hash_band").exists(wanted)) {
+      val ids = replicate(GraftSession.table(spark, sfDir, "documents")
+        .select("doc_id"), "doc_id", copies).cache()
+      println(s"[probe] phash ids=${ids.count()}")
+      time("phash_hash_band")({
+        val hashed = ids.select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.ext.Multimodal.phashFromGrid(
+              graft.ext.Multimodal.syntheticGrid(id)))))
+          .toDF("doc_id", "phash")
+        Dedup.hammingNearDup(hashed, "doc_id", "phash").count()
+      })
+    }
+
     val iv = replicate(GraftSession.table(spark, sfDir, "orders")
       .select("o_orderkey"), "o_orderkey", copies)
       .select((col("o_orderkey") % 5).as("chrom"),

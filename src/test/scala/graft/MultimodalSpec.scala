@@ -60,6 +60,89 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f(3L).n_bytes == 19 && f(3L).feature.length == 8)
   }
 
+  test("phash64: twins/resized/perturbed pair, distinct images don't") {
+    // smooth multi-frequency luminance field: faithful under resize
+    // (area-averaging on both sizes sees the same underlying signal)
+    // yet structured enough that distinct phases give distinct hashes
+    def scene(w: Int, h: Int, phase: Double, tweak: Int = 0): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val u = x.toDouble / w; val v = y.toDouble / h
+        val l0 = 128 + 55 * math.sin(6.2 * u + phase) *
+          math.cos(4.4 * v - phase) + 35 * math.sin(11.0 * (u + v) + 2 * phase)
+        val l = math.max(0, math.min(255, l0.toInt +
+          (if (tweak != 0 && x < 3 && y < 3) tweak else 0)))
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (10L, scene(128, 96, 0.0)),           // original
+      (11L, scene(128, 96, 0.0)),           // byte-identical twin
+      (12L, scene(256, 192, 0.0)),          // 2x-resized twin
+      (13L, scene(128, 96, 0.0, tweak = 60)), // corner-perturbed
+      (20L, scene(128, 96, 2.1)),           // distinct scene
+      (21L, scene(128, 96, 4.0)),           // distinct scene
+      (30L, "definitely not an image".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(rows.toDF("id", "blob"), "id", "blob",
+      "image")
+    val hashed = Multimodal.withPhash(media)
+    val hs = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // non-image rows drop (no perceptual identity)
+    assert(!hs.contains(30L) && hs.size == 6)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(10L), hs(11L)) == 0, "identical twin must hash equal")
+    assert(ham(hs(10L), hs(12L)) <= 3,
+      s"resized twin must stay in band: ${ham(hs(10L), hs(12L))}")
+    assert(ham(hs(10L), hs(13L)) <= 3,
+      s"small perturbation must stay in band: ${ham(hs(10L), hs(13L))}")
+    assert(ham(hs(10L), hs(20L)) > 3 && ham(hs(10L), hs(21L)) > 3 &&
+      ham(hs(20L), hs(21L)) > 3, "distinct scenes must not pair")
+    // end-to-end pairs: the twin cluster {10,11,12,13}, nothing else
+    val pairs = graft.ext.Dedup.hammingNearDup(hashed, "id", "phash")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)) && pairs.contains((10L, 12L)) &&
+      pairs.contains((10L, 13L)))
+    assert(pairs.forall { case (a, b) => Set(10L, 11L, 12L, 13L)(a) &&
+      Set(10L, 11L, 12L, 13L)(b) }, s"unexpected pairs: $pairs")
+  }
+
+  test("hammingNearDup: banded == all-pairs; phashFromGrid properties") {
+    // banding completeness/soundness vs brute force over random sigs
+    // (63-bit like phash; planted near-twins at hamming 1..4)
+    val rnd = new scala.util.Random(41)
+    val base = (0 until 80).map(i => (i.toLong, rnd.nextLong() >>> 1))
+    val twins = base.take(20).zipWithIndex.map { case ((id, sig), i) =>
+      val flips = 1 + i % 4 // hamming 1..4 — 4 lands OUTSIDE the band
+      var s = sig
+      (0 until flips).foreach(f => s ^= 1L << ((i * 7 + f * 13) % 63))
+      (1000L + id, s)
+    }
+    val df = (base ++ twins).toDF("id", "sig")
+    val got = graft.ext.Dedup.hammingNearDup(df, "id", "sig", 3)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val all = (base ++ twins)
+    val want = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want && want.nonEmpty,
+      s"banded=${got.size} brute=${want.size}")
+    assert(want.exists(_._3 == 3) || twins.nonEmpty)
+    // flat grid: zero AC energy -> hash 0
+    assert(Multimodal.phashFromGrid(Array.fill(1024)(77)) == 0L)
+    // syntheticGrid: deterministic, twins share base, odd differs in
+    // exactly one pixel from its even partner
+    val g4 = Multimodal.syntheticGrid(4L)
+    assert(g4.toSeq == Multimodal.syntheticGrid(4L).toSeq)
+    val g5 = Multimodal.syntheticGrid(5L)
+    assert(g4.indices.count(i => g4(i) != g5(i)) == 1)
+  }
+
   test("decodeImage: decompression-bomb headers degrade, never decode") {
     // real PNG with the IHDR width/height bytes patched to 50000x50000:
     // the header-declared raster (~10 GB) must be rejected BEFORE
