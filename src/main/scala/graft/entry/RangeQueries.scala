@@ -86,6 +86,32 @@ object RangeQueries {
         .orderBy("chrom", "m_start")
     }),
 
+    // q94/q95/q96's bucketed two-pass twins, width auto-derived from
+    // the data (deriveBucketWidth) — the few-key 100-TB escape hatch
+    // oracle-certified end to end, not just spec-≡. The driver tables'
+    // 5-key regime is the documented LOSS regime for these forms
+    // (BENCH.md round 6); the queries certify VALUES, the ScaleProbe
+    // 1-key rows certify the scale claim.
+    "q99_interval_merge_bucketed" -> ((s, dir) => {
+      graft.ranges.IntervalSets.mergeOverlappingBucketed(
+          orderIntervals(s, dir), Seq("chrom"), "s1", "e1")
+        .select("chrom", "m_start", "m_end", "n_merged")
+        .orderBy("chrom", "m_start")
+    }),
+    "q100_coverage_depth_bucketed" -> ((s, dir) => {
+      graft.ranges.IntervalSets.coverageDepthBucketed(
+          orderIntervals(s, dir), Seq("chrom"), "s1", "e1")
+        .select("chrom", "seg_start", "seg_end", "depth")
+        .orderBy("chrom", "seg_start")
+    }),
+    "q101_interval_subtract_bucketed" -> ((s, dir) => {
+      graft.ranges.IntervalSets.subtractBucketed(
+          orderIntervals(s, dir), eventIntervals(s, dir),
+          Seq("chrom"), "s1", "e1", "s2", "e2")
+        .select("chrom", "m_start", "m_end", "n_merged")
+        .orderBy("chrom", "m_start")
+    }),
+
     // J6: interval-overlap join via binned equi-join (the junctions ×
     // genes overlap of junction.py:159-164 at scale).
     "q09_interval_join" -> ((s, dir) => {
@@ -157,7 +183,7 @@ object RangeQueries {
         .orderBy("chrom", "bin_id")
     }))
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     // two-depth sweep + gap-1 island weld. Positions are UNIQUE per
     // chrom after the delta groupBy, and the island windows run over
     // disjoint segments ordered by unique seg_start — so every window
@@ -279,4 +305,16 @@ object RangeQueries {
         |FROM p JOIN bins USING (chrom)
         |WHERE p BETWEEN lo AND hi
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+
+  /** The bucketed twins produce VALUES identical to the simple forms
+    * (the RangesSpec ≡ property at many widths/gaps), so they share
+    * their oracles verbatim — the driver certifies the bucketed
+    * execution path against the same ground truth. */
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q99_interval_merge_bucketed" ->
+      oracleSqlBase("q94_interval_merge"),
+    "q100_coverage_depth_bucketed" ->
+      oracleSqlBase("q95_coverage_depth"),
+    "q101_interval_subtract_bucketed" ->
+      oracleSqlBase("q96_interval_subtract"))
 }
