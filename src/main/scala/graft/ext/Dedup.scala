@@ -145,7 +145,11 @@ object Dedup {
     * 20×: 10.1 s → sub-second fixed cost after materializing). Like
     * [[connectedComponents]], the result is backed by localCheckpointed
     * RDDs that cannot be recomputed after executor loss — re-run from
-    * source on failure. */
+    * source on failure. The checkpoint blocks are delta-sized and live
+    * until their RDDs are garbage-collected (`Dataset.unpersist` is a
+    * no-op on localCheckpoint'd frames — see [[materialize]]); repeated
+    * calls in one session accumulate blocks until GC, which is the
+    * accepted trade for a result that stays consumable after return. */
   def minhashNearDupDelta(newDf: DataFrame, snapshot: DataFrame,
       snapshotBands: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
@@ -212,20 +216,32 @@ object Dedup {
       .select(col("__id"),
         (0 until 60).map(i =>
           when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sim"))
-    val chunks = sigs.select(col("__id"), col("sim"),
+          .reduce(_ + _).as("__sig"))
+    bandedHammingPairs(sigs, chunkBits = 15, maxHamming)
+  }
+
+  /** Shared banding/verify tail of [[simhashNearDup]] and
+    * [[hammingNearDup]]: explode each (__id, __sig) row into 4
+    * `chunkBits`-bit band values, self-join on (band, value, id<id),
+    * verify candidates with `bit_count(xor)`. Pigeonhole over 4 chunks:
+    * hamming ≤ 3 ⇒ some chunk equal, so the join is COMPLETE for the
+    * default threshold regardless of chunk width. */
+  private def bandedHammingPairs(sigs: DataFrame, chunkBits: Int,
+      maxHamming: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
+    val chunks = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"), simhashChunk(col("sim"), c).as("v"))): _*))
-        .as("ch"))
-      .select(col("__id"), col("sim"), col("ch.c"), col("ch.v"))
+        struct(lit(c).as("c"), shiftrightunsigned(col("__sig"), c * chunkBits)
+          .bitwiseAND(lit(mask)).as("v"))): _*)).as("ch"))
+      .select(col("__id"), col("__sig"), col("ch.c"), col("ch.v"))
     chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"),
-        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+        col("x.__sig").as("sig_a"), col("y.__sig").as("sig_b"))
       .distinct()
       .withColumn("hamming",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
@@ -244,23 +260,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
-    val sigs = df.select(col(idCol).as("__id"),
-      col(hashCol).cast("long").as("__sig"))
-    val chunks = sigs.select(col("__id"), col("__sig"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"), shiftrightunsigned(col("__sig"), c * 16)
-          .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ch"))
-      .select(col("__id"), col("__sig"), col("ch.c"), col("ch.v"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-          col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"),
-        col("x.__sig").as("sig_a"), col("y.__sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+    bandedHammingPairs(df.select(col(idCol).as("__id"),
+      col(hashCol).cast("long").as("__sig")), chunkBits = 16, maxHamming)
   }
 
   /** Cross-document duplicate-SPAN detection — the substring-level dedup

@@ -315,6 +315,19 @@ object IntervalSets {
       .drop("__gid")
   }
 
+  /** [[subtractBucketed]] with [[deriveBucketWidth]]'s width, derived
+    * over BOTH sides' coordinates (b's events land in buckets too, and
+    * may extend past a's domain). */
+  def subtractBucketed(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aStart: String, aEnd: String, bStart: String,
+      bEnd: String): DataFrame =
+    subtractBucketed(a, b, keys, aStart, aEnd, bStart, bEnd,
+      deriveBucketWidth(
+        a.select(col(aStart).cast("long").as("s"),
+          col(aEnd).cast("long").as("e"))
+          .unionByName(b.select(col(bStart).cast("long").as("s"),
+            col(bEnd).cast("long").as("e"))), "s", "e"))
+
   /** [[subtract]] for FEW keys at extreme scale: the
     * [[coverageDepthBucketed]] two-pass sweep carrying BOTH running
     * depths (the bucket summary accumulates per-side delta sums, so
@@ -330,19 +343,6 @@ object IntervalSets {
     * materialize via CheckpointShim at call time) and the result is
     * backed by localCheckpointed RDDs that cannot be recomputed after
     * executor loss — re-run from source on failure. */
-  /** [[subtractBucketed]] with [[deriveBucketWidth]]'s width, derived
-    * over BOTH sides' coordinates (b's events land in buckets too, and
-    * may extend past a's domain). */
-  def subtractBucketed(a: DataFrame, b: DataFrame, keys: Seq[String],
-      aStart: String, aEnd: String, bStart: String,
-      bEnd: String): DataFrame =
-    subtractBucketed(a, b, keys, aStart, aEnd, bStart, bEnd,
-      deriveBucketWidth(
-        a.select(col(aStart).cast("long").as("s"),
-          col(aEnd).cast("long").as("e"))
-          .unionByName(b.select(col(bStart).cast("long").as("s"),
-            col(bEnd).cast("long").as("e"))), "s", "e"))
-
   def subtractBucketed(a: DataFrame, b: DataFrame, keys: Seq[String],
       aStart: String, aEnd: String, bStart: String, bEnd: String,
       bucketWidth: Long): DataFrame = {
@@ -398,6 +398,12 @@ object IntervalSets {
       "seg_start", "seg_end", bucketWidth, gap = 1L)
   }
 
+  /** [[coverageDepthBucketed]] with [[deriveBucketWidth]]'s width. */
+  def coverageDepthBucketed(df: DataFrame, keys: Seq[String],
+      startCol: String, endCol: String): DataFrame =
+    coverageDepthBucketed(df, keys, startCol, endCol,
+      deriveBucketWidth(df, startCol, endCol))
+
   /** [[coverageDepth]] for FEW keys at extreme scale — the two-pass
     * bucketed sweep. [[coverageDepth]]'s window parallelism equals the
     * key count (chromosomes), which caps a 1000-executor cluster at
@@ -423,12 +429,6 @@ object IntervalSets {
     * counts this function exists for, forcing a broadcast is exactly
     * the wrong call; both sides are already clustered on the key, and
     * Spark may still choose to broadcast a small summary on its own. */
-  /** [[coverageDepthBucketed]] with [[deriveBucketWidth]]'s width. */
-  def coverageDepthBucketed(df: DataFrame, keys: Seq[String],
-      startCol: String, endCol: String): DataFrame =
-    coverageDepthBucketed(df, keys, startCol, endCol,
-      deriveBucketWidth(df, startCol, endCol))
-
   def coverageDepthBucketed(df: DataFrame, keys: Seq[String],
       startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")

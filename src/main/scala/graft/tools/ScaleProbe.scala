@@ -49,8 +49,21 @@ object ScaleProbe {
 
   private def wanted(name: String): Boolean = nameFilter.forall(name.contains)
 
+  /** Probes actually timed this run — a filter that matches nothing
+    * (typo, or a probe name missing from its block's guard list) would
+    * otherwise finish silently and a bench round would read the absent
+    * row as "never requested". */
+  private var ranCount = 0
+
+  /** Setup steps that must RUN regardless of the name filter (artifact
+    * builds feeding later probes) but should only be TIMED when
+    * selected. */
+  private def timeOrRun[T](name: String)(f: => T): Unit =
+    if (wanted(name)) time(name)(f) else { f; () }
+
   private def time[T](name: String)(f: => T): Unit = {
     if (wanted(name)) {
+      ranCount += 1
       sparkCtx.foreach(org.apache.spark.graftshim.ListenerShim.drain)
       val b0 = shuffleBytes.get()
       maxTaskMs.set(0L)
@@ -244,7 +257,11 @@ object ScaleProbe {
         s"snapshot=${snap.count()} delta=${delta.count()}")
       val bandsPath = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_probe_bands").getPath
-      time("minhash_bands_artifact_build")(
+      // the build must RUN even when the name filter deselects its
+      // timing row — a delta-only run would otherwise crash on a
+      // missing artifact, or worse, silently probe a STALE one from an
+      // earlier run at different copies/sfDir
+      timeOrRun("minhash_bands_artifact_build")(
         Dedup.minhashBands(snap, "doc_id", "text", 3, 12, 4)
           .write.mode("overwrite").parquet(bandsPath))
       val loaded = spark.read.parquet(bandsPath)
@@ -267,7 +284,7 @@ object ScaleProbe {
         s"snapshot=${snapDd.count()} delta=${deltaDd.count()}")
       val ddPath = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_probe_bands_dd").getPath
-      time("minhash_bands_artifact_build_dd")(
+      timeOrRun("minhash_bands_artifact_build_dd")(
         Dedup.minhashBands(snapDd, "doc_id", "text", 3, 12, 4)
           .write.mode("overwrite").parquet(ddPath))
       val loadedDd = spark.read.parquet(ddPath)
@@ -390,6 +407,9 @@ object ScaleProbe {
     })
     } // 1-key guard
 
+    if (nameFilter.nonEmpty && ranCount == 0)
+      println(s"[probe] WARNING: filter '${nameFilter.get}' matched no " +
+        "probe — check the name against the guard lists in ScaleProbe")
     spark.stop()
   }
 }

@@ -759,12 +759,13 @@ class ExtSpec extends SparkSpecBase {
     scans.reset()
     Dedup.newRowsBloom(newDf, snap, key)
     val counted = scans.value
-    // >= not ==: accumulator ticks double-count under task retry or
-    // speculative execution. The CONTRACT is the relative cost — the
-    // fallback pays exactly one extra snapshot pass over the hinted
-    // plan — so assert the 2:1 ratio, with the lower bounds proving
-    // each path scanned the snapshot at all. (Clean local runs see
-    // exactly 300/600.)
+    // The CONTRACT is the relative cost — the fallback pays exactly one
+    // extra snapshot pass over the hinted plan — so assert the 2:1
+    // ratio rather than the absolute 300/600, which couples the test to
+    // the fixture size. (Honesty note: this is NOT retry-proof — a task
+    // retry would inflate ONE run's accumulator and break the ratio
+    // too; local-mode runs don't retry or speculate, which is what the
+    // determinism here actually rests on.)
     assert(hinted >= 300L,
       s"hinted plan-time work must include the one bloom-build scan: $hinted")
     assert(counted == 2 * hinted,
