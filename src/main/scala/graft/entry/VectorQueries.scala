@@ -3,7 +3,7 @@ package graft.entry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.GraftSession
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Curation, Dedup, Similarity}
 import graft.functions.VectorFunctions
 
 /** Embedding similarity-search operators over the `embeddings` table
@@ -158,6 +158,21 @@ object VectorQueries {
           threshold = 0.4)
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
+    }),
+
+    // Cluster-balanced diversity subsample (the DataComp-style curation
+    // cap): q43's 8 pinned centroids bucket the corpus map-only, then
+    // every cell keeps at most 8 rows by ascending hash rank. The
+    // selection is the bounded TopK aggregator — each task's partial
+    // state is <= quota per cell, so the one shuffle moves candidate
+    // triples, never the corpus, and no full-cell sort exists anywhere.
+    "q102_cluster_sample" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Curation.clusterBalancedSample(e, "vec_id", "embedding", cents,
+          quota = 8, seed = "cb1")
+        .orderBy("vec_id")
     }),
 
     // Near-dup pairs -> dedup CLUSTERS: connected components over the
@@ -343,6 +358,25 @@ object VectorQueries {
         |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // q43's cell-assign CTE + the hashU32 rank device (q87's fixed-point
+    // hash as a sort key): per-cell ROW_NUMBER over (hash, id) replays
+    // the TopK aggregator's (ascending hash, lower-id tiebreak) order.
+    "q102_cluster_sample" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        |              FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec), c.cid) AS rn
+        |  FROM embeddings e, cent c) WHERE rn = 1),
+        |r AS (SELECT vec_id, cid,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
+        |         CAST(concat('0x', substr(md5(concat('cb1', '#',
+        |           CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT),
+        |         vec_id) AS INTEGER) AS rk
+        |      FROM asg)
+        |SELECT vec_id, cid AS cell, rk FROM r WHERE rk <= 8
+        |ORDER BY vec_id""".stripMargin,
     // q42's edge list + a recursive min-reachable closure (tiny graph:
     // the verified near-dup pairs), grouped to (vertex, min reachable).
     "q73_dedup_clusters" ->

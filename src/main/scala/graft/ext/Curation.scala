@@ -257,4 +257,40 @@ object Curation {
     df.withColumn("copy",
       explode(when(nCopies > 0, sequence(lit(0L), nCopies - 1))))
   }
+
+  /** Cluster-balanced (diversity) subsample: quantize every embedding
+    * to its nearest centroid ([[Similarity.ivfAssign]] — the same
+    * map-only codegen pass SemDeDup uses for its cells), then keep at
+    * most `quota` rows PER CELL, chosen by the [[hashU32]] coordinate
+    * (ascending hash, id tiebreak). Capping every cell at the same
+    * quota is the standard diversity-preserving subsample: dominant
+    * clusters (boilerplate, near-identical web pages) stop drowning out
+    * rare ones, and the within-cell choice is hash-derandomized so any
+    * engine, partitioning, or re-run keeps the SAME rows. (Stability is
+    * re-RUN stability, not growth stability: a newly arrived row with a
+    * smaller hash can displace a kept one — rank within a cell is
+    * relative, unlike [[assignSplits]]' absolute hash intervals.)
+    *
+    * Plan shape: the corpus never shuffles for the assignment (broadcast
+    * centroid matrix, codegen nearest-centroid), and the per-cell
+    * selection runs through [[Sketches.groupedTopK]]'s bounded
+    * aggregator — every map task keeps at most `quota` candidates per
+    * cell (partial aggregation), so the one shuffle moves
+    * ≤ quota × cells × partitions candidate triples, NOT the corpus,
+    * and no per-cell sort of the full cell ever happens. That is the
+    * 100 TB shape: a giant cell costs what a small one costs beyond
+    * the scan. (A window `row_number` formulation would sort whole
+    * cells — exactly the few-key ceiling the interval operators had.)
+    *
+    * Output: (idCol, cell, rk) — rk 1-based in hash order. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, quota: Int, seed: String): DataFrame = {
+    require(quota >= 1, "quota must be >= 1")
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
+      // negate: TopK keeps HIGHEST score first (ties -> lower id), so
+      // -hash ranks ascending hash; hashU32 < 2^32 never overflows
+      .withColumn("__nh", -hashU32(seed, col(idCol)))
+    Sketches.groupedTopK(assigned, "cid", idCol, "__nh", quota)
+      .select(col(idCol), col("cid").as("cell"), col("rank").as("rk"))
+  }
 }

@@ -335,4 +335,32 @@ class CurationSpec extends SparkSpecBase {
     assert(got(3L) == ((4L, 1L, 0.75)))
     assert(got(4L) == ((0L, 0L, 0.0)))
   }
+
+  test("clusterBalancedSample: per-cell cap, hash order, partition-invariant") {
+    // 100 points hugging centroid 0 (the dominant cluster) vs 5 at
+    // centroid 1 — the shape the cap exists for
+    val rows = (0L until 100L).map(i => (i, Array(0.1f * (i % 7), 1.0f))) ++
+      (100L until 105L).map(i => (i, Array(10f, 10f)))
+    val df = rows.toDF("id", "vec")
+    val cents = Seq((0L, Array(0f, 1f)), (1L, Array(10f, 10f)))
+      .toDF("cid", "cvec")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.clusterBalancedSample(d, "id", "vec", cents,
+          quota = 10, seed = "s1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = run(df)
+    // dominant cell capped at quota; small cell keeps everything
+    assert(got.count(_._2 == 0L) == 10, "cell 0 must cap at quota")
+    assert(got.count(_._2 == 1L) == 5, "cell 1 has < quota, keeps all")
+    // the kept set and ranks ARE the (ascending hashU32, id) order —
+    // replayed driver-side through the JVM twin
+    def naive(ids: Seq[Long], cell: Long): Set[(Long, Long, Int)] =
+      ids.sortBy(i => (Curation.hashU32Jvm("s1", i.toString), i))
+        .take(10).zipWithIndex
+        .map { case (i, r) => (i, cell, r + 1) }.toSet
+    assert(got == naive(0L until 100L, 0L) ++ naive(100L until 105L, 1L))
+    // same rows and ranks under any input partitioning (the bounded
+    // aggregator's merges land in the same total order)
+    assert(run(df.repartition(7)) == got)
+  }
 }
