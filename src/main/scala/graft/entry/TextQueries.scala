@@ -120,6 +120,25 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Energy-delta audio fingerprint near-dup: the AUDIO dedup pipeline
+    // with the decode step swapped for the md5-synthesized envelope
+    // device (audio decode is not SQL-expressible; the real
+    // javax.sound path is certified by the WAV-fixture spec).
+    // Derivative-sign bits (volume-invariant) -> the same 4x16-bit
+    // pigeonhole banding as q98 -> hamming <= 3. Map-only hash; only
+    // 8-byte signatures shuffle, never PCM.
+    "q103_audio_fp_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val fp = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id,
+          graft.ext.Multimodal.fingerprintFromEnvelope(
+            graft.ext.Multimodal.syntheticEnvelope(id).map(_.toDouble)))))
+        .toDF("doc_id", "afp")
+      Dedup.hammingNearDup(fp, "doc_id", "afp", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Redaction scrub (emails/URLs/digit runs → placeholders): map-only
     // pass; output hashed so the compare certifies the transform without
     // shipping full texts.
@@ -279,6 +298,22 @@ object TextQueries {
       }
     }.mkString(", ")
 
+  /** Shared banding/verify tail of the q98/q103 oracles — the SQL twin
+    * of [[graft.ext.Dedup.hammingNearDup]]'s 4×16-bit pigeonhole
+    * banding. Expects an upstream CTE `sg(doc_id, sig)`. */
+  private val hammingBandTailSql: String =
+    """ch AS (SELECT doc_id, cc.c, (sg.sig >> (cc.c*16)) & 65535 AS cv
+      |       FROM sg, (SELECT UNNEST(generate_series(0,3)) AS c) cc),
+      |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |         FROM ch x JOIN ch y
+      |           ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id)
+      |SELECT cand.a_id, cand.b_id,
+      |  CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+      |FROM cand JOIN sg sa ON sa.doc_id = cand.a_id
+      |          JOIN sg sb ON sb.doc_id = cand.b_id
+      |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
@@ -335,7 +370,7 @@ object TextQueries {
     // chunk banding, bit_count(xor) verification. Integer arithmetic
     // end to end: no float cos, no summation-order sensitivity.
     "q98_phash_neardup" ->
-      (s"""WITH bas AS (SELECT * FROM (VALUES $phashBasisSql) AS t(u, x, w)),
+      ((s"""WITH bas AS (SELECT * FROM (VALUES $phashBasisSql) AS t(u, x, w)),
         |ids AS (SELECT doc_id, doc_id // 2 * 2 AS g FROM documents),
         |bb AS (SELECT UNNEST(generate_series(0,63)) AS b),
         |jj AS (SELECT UNNEST(generate_series(0,15)) AS j),
@@ -360,17 +395,31 @@ object TextQueries {
         |        CAST(SUM(CASE WHEN a.cf > m.m THEN (1::BIGINT << a.i)
         |                 ELSE 0 END) AS BIGINT) AS sig
         |       FROM ac a JOIN med m USING (doc_id) GROUP BY 1),
-        |ch AS (SELECT doc_id, cc.c, (sg.sig >> (cc.c*16)) & 65535 AS cv
-        |       FROM sg, (SELECT UNNEST(generate_series(0,3)) AS c) cc),
-        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        |         FROM ch x JOIN ch y
-        |           ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id)
-        |SELECT cand.a_id, cand.b_id,
-        |  CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
-        |FROM cand JOIN sg sa ON sa.doc_id = cand.a_id
-        |          JOIN sg sb ON sb.doc_id = cand.b_id
-        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
-        |ORDER BY a_id, b_id""").stripMargin,
+        |""").stripMargin + hammingBandTailSql),
+    // q103: replays Multimodal.syntheticEnvelope +
+    // fingerprintFromEnvelope in SQL — envelope bytes from the same
+    // md5 chain ('g@b' seeds), the odd-id +40 nudge, derivative-sign
+    // bits (b.p = a.p + 1 join), then the SAME banding tail as q98.
+    // Integer comparisons end to end.
+    "q103_audio_fp_neardup" ->
+      (("""WITH ids AS (SELECT doc_id, doc_id // 2 * 2 AS g FROM documents),
+        |bb AS (SELECT UNNEST(generate_series(0,3)) AS b),
+        |jj AS (SELECT UNNEST(generate_series(0,15)) AS j),
+        |env0 AS (SELECT i.doc_id, bb.b*16 + jj.j AS p,
+        |          CAST(concat('0x', substr(md5(concat(CAST(i.g AS VARCHAR),
+        |            '@', CAST(bb.b AS VARCHAR))), jj.j*2+1, 2)) AS BIGINT) AS v
+        |         FROM ids i, bb, jj),
+        |env AS (SELECT doc_id, p,
+        |         CASE WHEN doc_id % 2 = 1 AND p = doc_id % 64
+        |              THEN (v + 40) % 256 ELSE v END AS v
+        |        FROM env0),
+        |sg AS (SELECT a.doc_id,
+        |        CAST(SUM(CASE WHEN b.v > a.v THEN (1::BIGINT << a.p)
+        |                 ELSE 0 END) AS BIGINT) AS sig
+        |       FROM env a JOIN env b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |       WHERE a.p < 63
+        |       GROUP BY 1),
+        |""").stripMargin + hammingBandTailSql),
     "q37_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) tok FROM documents),
         |th AS (SELECT doc_id, CAST(concat('0x',substr(md5(tok),1,15)) AS BIGINT) h FROM toks),

@@ -86,14 +86,13 @@ object Multimodal {
     MediaFeatures(r.id, r.modality, n, checksum, fw, fh, 0, 0, 0L, feat)
   }
 
-  /** In-JDK image decode (PNG/JPEG/GIF/BMP/WBMP): true dimensions plus
-    * an 8-bin normalized luminance histogram sampled on a ≤64×64 grid —
-    * bounded work per image regardless of resolution. Returns None when
-    * no installed reader claims the bytes (magic-sniff via
-    * `getImageReaders`, cheap for non-image payloads) or the decode
-    * fails, so corrupt files degrade to the fake instead of failing the
-    * partition. */
-  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  /** Shared `javax.imageio` scaffolding for [[decodeImage]] and
+    * [[phash64]]: magic-sniff reader lookup, the decompression-bomb
+    * header gate, and the dispose/close/NonFatal degradation contract
+    * live HERE once — a fix to the decode contract must not need
+    * applying in two places. */
+  private def withDecodedImage[T](bytes: Array[Byte])(
+      f: java.awt.image.BufferedImage => T): Option[T] = {
     if (bytes.length < 8) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -112,51 +111,60 @@ object Multimodal {
         // caught by NonFatal) instead of degrading to the fake
         val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
         if (dw.toLong * dh > MaxDecodePixels) return None
-        val img = reader.read(0)
-        val w = img.getWidth
-        val h = img.getHeight
-        // ceil division: floor (w/64) gives up to 127 samples per axis
-        // for 65..127-px dimensions — ~4x the documented 64x64 bound
-        val stepX = math.max(1, (w + 63) / 64)
-        val stepY = math.max(1, (h + 63) / 64)
-        val hist = new Array[Float](8)
-        var total = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 +
-              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            hist(math.min(7, lum >> 5)) += 1f
-            total += 1
-            x += stepX
-          }
-          y += stepY
-        }
-        if (total > 0) { var i = 0; while (i < 8) { hist(i) /= total; i += 1 } }
-        Some((w, h, hist))
+        Some(f(reader.read(0)))
       } finally reader.dispose()
     } catch {
       case scala.util.control.NonFatal(_) => None
     } finally iis.close()
   }
 
+  /** In-JDK image decode (PNG/JPEG/GIF/BMP/WBMP): true dimensions plus
+    * an 8-bin normalized luminance histogram sampled on a ≤64×64 grid —
+    * bounded work per image regardless of resolution. Returns None when
+    * no installed reader claims the bytes (magic-sniff via
+    * `getImageReaders`, cheap for non-image payloads) or the decode
+    * fails, so corrupt files degrade to the fake instead of failing the
+    * partition. */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    withDecodedImage(bytes) { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      // ceil division: floor (w/64) gives up to 127 samples per axis
+      // for 65..127-px dimensions — ~4x the documented 64x64 bound
+      val stepX = math.max(1, (w + 63) / 64)
+      val stepY = math.max(1, (h + 63) / 64)
+      val hist = new Array[Float](8)
+      var total = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          hist(math.min(7, lum >> 5)) += 1f
+          total += 1
+          x += stepX
+        }
+        y += stepY
+      }
+      if (total > 0) { var i = 0; while (i < 8) { hist(i) /= total; i += 1 } }
+      (w, h, hist)
+    }
+
   /** Decode ceiling for audio PCM payloads (~200 MB of decoded PCM):
     * like MaxDecodePixels, bounds what one row may allocate. */
   private val MaxDecodeAudioBytes = 200L * 1024 * 1024
 
-  /** In-JDK audio decode (`javax.sound.sampled`: WAV/AIFF/AU): true
-    * (sample_rate_hz, n_channels, duration_ms) plus an 8-bin RMS
-    * envelope — bin i is the root-mean-square amplitude (0..1) of the
-    * i-th temporal eighth, channels mixed. Non-PCM encodings the JDK
-    * can convert (U-law/A-law) are converted to 16-bit PCM first.
-    * Returns None when no installed provider claims the bytes (the
-    * magic sniff throws UnsupportedAudioFileException, cheap for
-    * non-audio payloads) or the decode fails, so corrupt files degrade
-    * to the fake instead of failing the partition. */
-  private[graft] def decodeAudio(
-      bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
+  /** Shared `javax.sound.sampled` scaffolding for [[decodeAudio]] and
+    * [[audioFingerprint64]] (the audio twin of [[withDecodedImage]]):
+    * magic-sniff stream open, conversion to 16-bit little-endian signed
+    * PCM (U-law/A-law and other JDK-convertible encodings included),
+    * the declared-frame-count allocation gate, and the close/NonFatal
+    * degradation contract. `f` receives the converted format and the
+    * raw PCM bytes. */
+  private def withPcm16[T](bytes: Array[Byte])(
+      f: (javax.sound.sampled.AudioFormat, Array[Byte]) => T): Option[T] = {
     if (bytes.length < 12) return None
     try {
       val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -173,41 +181,96 @@ object Multimodal {
               fmt0.getSampleSizeInBits == 16 && !fmt0.isBigEndian) raw
           else javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, raw)
         val fmt = in.getFormat
-        val frameSize = fmt.getFrameSize
         // a declared frame count gates allocation like the image-bomb
         // check; AU streams may declare NOT_SPECIFIED (-1) and are then
         // bounded by the read cap below
         val declared = in.getFrameLength
-        if (declared > 0 && declared * frameSize > MaxDecodeAudioBytes)
+        if (declared > 0 && declared * fmt.getFrameSize > MaxDecodeAudioBytes)
           return None
         val pcmBytes = readAtMost(in, MaxDecodeAudioBytes)
-        val nFrames = pcmBytes.length / frameSize
-        if (nFrames == 0) return None
-        val chans = fmt.getChannels
-        val nSamples = nFrames * chans
-        // 8 temporal eighths; sum of squares per bin, 16-bit LE signed
-        val sumSq = new Array[Double](8)
-        val cnt = new Array[Long](8)
-        var i = 0
-        while (i < nSamples) {
-          val lo = pcmBytes(2 * i) & 0xff
-          val hi = pcmBytes(2 * i + 1).toInt
-          val s = ((hi << 8) | lo) / 32768.0
-          val bin = math.min(7, (i / chans) * 8L / nFrames).toInt
-          sumSq(bin) += s * s
-          cnt(bin) += 1
-          i += 1
-        }
-        val feat = Array.tabulate(8)(b =>
-          if (cnt(b) == 0) 0f
-          else math.sqrt(sumSq(b) / cnt(b)).toFloat)
-        val durMs = math.round(nFrames * 1000.0 / fmt.getSampleRate)
-        Some((math.round(fmt.getSampleRate), chans, durMs, feat))
+        if (pcmBytes.length / fmt.getFrameSize == 0) return None
+        Some(f(fmt, pcmBytes))
       } finally raw.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case scala.util.control.NonFatal(_) => None
     }
+  }
+
+  /** `nBins`-bin RMS amplitude envelope (0..1 per bin, channels mixed)
+    * of 16-bit little-endian signed PCM — bin i covers the i-th
+    * temporal `1/nBins` of the clip. */
+  private def rmsEnvelope(fmt: javax.sound.sampled.AudioFormat,
+      pcmBytes: Array[Byte], nBins: Int): Array[Double] = {
+    val nFrames = pcmBytes.length / fmt.getFrameSize
+    val chans = fmt.getChannels
+    val nSamples = nFrames * chans
+    val sumSq = new Array[Double](nBins)
+    val cnt = new Array[Long](nBins)
+    var i = 0
+    while (i < nSamples) {
+      val lo = pcmBytes(2 * i) & 0xff
+      val hi = pcmBytes(2 * i + 1).toInt
+      val s = ((hi << 8) | lo) / 32768.0
+      val bin = math.min(nBins - 1, ((i / chans) * nBins.toLong / nFrames).toInt)
+      sumSq(bin) += s * s
+      cnt(bin) += 1
+      i += 1
+    }
+    Array.tabulate(nBins)(b =>
+      if (cnt(b) == 0) 0.0 else math.sqrt(sumSq(b) / cnt(b)))
+  }
+
+  /** In-JDK audio decode (`javax.sound.sampled`: WAV/AIFF/AU): true
+    * (sample_rate_hz, n_channels, duration_ms) plus an 8-bin RMS
+    * envelope. Returns None when no installed provider claims the bytes
+    * (the magic sniff throws UnsupportedAudioFileException, cheap for
+    * non-audio payloads) or the decode fails, so corrupt files degrade
+    * to the fake instead of failing the partition. */
+  private[graft] def decodeAudio(
+      bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+    withPcm16(bytes) { (fmt, pcmBytes) =>
+      val nFrames = pcmBytes.length / fmt.getFrameSize
+      val feat = rmsEnvelope(fmt, pcmBytes, 8).map(_.toFloat)
+      val durMs = math.round(nFrames * 1000.0 / fmt.getSampleRate)
+      (math.round(fmt.getSampleRate), fmt.getChannels, durMs, feat)
+    }
+
+  /** 63-bit energy-delta acoustic fingerprint of a 64-value envelope:
+    * bit i is set iff `env(i+1) > env(i)` — the sign of the envelope
+    * derivative (the energy-band core of the Haitsma–Kalker audio
+    * fingerprint, collapsed to one band). Comparing, not measuring,
+    * makes the bits invariant under volume scaling (positive scaling
+    * preserves every strict inequality) and robust to codec-level
+    * amplitude noise; feed to [[Dedup.hammingNearDup]] for near-dup
+    * pairs. Bit 63 stays 0, so the value is non-negative — the same
+    * signed-BIGINT safety margin [[phashFromGrid]] keeps. */
+  def fingerprintFromEnvelope(env: Array[Double]): Long = {
+    require(env.length == 64, s"need a 64-bin envelope, got ${env.length}")
+    var bits = 0L
+    var i = 0
+    while (i < 63) { if (env(i + 1) > env(i)) bits |= 1L << i; i += 1 }
+    bits
+  }
+
+  /** Real-audio fingerprint: decode via `javax.sound.sampled`, 64-bin
+    * RMS envelope, [[fingerprintFromEnvelope]]. None on undecodable
+    * bytes — same degradation contract as [[decodeAudio]]. */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    withPcm16(bytes) { (fmt, pcmBytes) =>
+      fingerprintFromEnvelope(rmsEnvelope(fmt, pcmBytes, 64))
+    }
+
+  /** Per-partition audio-fingerprint column over a media frame:
+    * (id, afp); rows no audio provider claims are dropped — the audio
+    * twin of [[withPhash]]. */
+  def withAudioFingerprint(media: DataFrame): DataFrame = {
+    implicit val encIn = Encoders.product[MediaRow]
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    media.select("id", "modality", "payload").as[MediaRow]
+      .mapPartitions(_.flatMap(r =>
+        audioFingerprint64(r.payload).map(h => (r.id, h))))
+      .toDF("id", "afp")
   }
 
   // ---- video container metadata (pure header parse — no JDK video
@@ -440,6 +503,14 @@ object Multimodal {
     bits
   }
 
+  /** Reused digest: syntheticGrid runs once per corpus row inside
+    * mapPartitions loops, and MessageDigest.getInstance is a provider
+    * lookup + allocation per call; digest() resets the instance, so a
+    * thread-local one is safe across rows. */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** Deterministic 32×32 luminance grid for a document id — the q98
     * oracle parity device (the pinned-centroid family): image DECODE is
     * not SQL-expressible, so the hash-checked query synthesizes the
@@ -452,7 +523,7 @@ object Multimodal {
     * banding's candidate range. */
   private[graft] def syntheticGrid(docId: Long): Array[Int] = {
     val g = docId / 2 * 2
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val grid = new Array[Int](1024)
     var b = 0
     while (b < 64) {
@@ -468,61 +539,77 @@ object Multimodal {
     grid
   }
 
+  /** Deterministic 64-bin envelope for a document id — q103's oracle
+    * parity device, the audio twin of [[syntheticGrid]]: audio DECODE
+    * is not SQL-expressible, so the hash-checked query synthesizes the
+    * post-decode RMS envelope from md5 bytes both engines can compute
+    * identically, and the real-decode path ([[audioFingerprint64]]) is
+    * certified by the WAV-fixture spec instead. Same twin structure:
+    * consecutive ids share a base envelope (`id / 2 * 2` seeds 4 md5
+    * calls of 16 values each, seed string `"g@b"` so grids and
+    * envelopes never coincide); odd ids get ONE bin nudged +40 mod 256,
+    * which flips at most the two derivative bits comparing that bin to
+    * its neighbors — hamming ≤ 2, inside the banding's ≤ 3 range. */
+  private[graft] def syntheticEnvelope(docId: Long): Array[Int] = {
+    val g = docId / 2 * 2
+    val md = md5Local.get()
+    val env = new Array[Int](64)
+    var b = 0
+    while (b < 4) {
+      val h = md.digest(s"$g@$b".getBytes("UTF-8"))
+      var j = 0
+      while (j < 16) { env(b * 16 + j) = h(j) & 0xff; j += 1 }
+      b += 1
+    }
+    if (docId % 2 == 1) {
+      val p = (docId % 64).toInt
+      env(p) = (env(p) + 40) % 256
+    }
+    env
+  }
+
   /** Real-image perceptual hash: decode via `javax.imageio`,
     * area-average luminance onto a 32×32 grid (averaging, not point
     * sampling, so a resized twin lands on nearly the same grid), then
     * [[phashFromGrid]]. None when no installed reader claims the bytes,
     * the decode fails, or the header declares a decompression bomb —
     * same degradation contract as [[decodeImage]]. */
-  def phash64(bytes: Array[Byte]): Option[Long] = {
-    if (bytes.length < 8) return None
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    if (iis == null) return None
-    try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
-      try {
-        reader.setInput(iis)
-        val (dw, dh) = (reader.getWidth(0), reader.getHeight(0))
-        if (dw.toLong * dh > MaxDecodePixels) return None
-        val img = reader.read(0)
-        val w = img.getWidth
-        val h = img.getHeight
-        val grid = new Array[Int](1024)
-        var r = 0
-        while (r < 32) {
-          val rLo = r * h / 32
-          val rHi = math.max(rLo + 1, (r + 1) * h / 32)
-          var c = 0
-          while (c < 32) {
-            val cLo = c * w / 32
-            val cHi = math.max(cLo + 1, (c + 1) * w / 32)
-            var sum = 0L; var n = 0
-            var y = rLo
-            while (y < rHi) {
-              var x = cLo
-              while (x < cHi) {
-                val rgb = img.getRGB(x, y)
-                sum += (((rgb >> 16) & 0xff) * 299 +
-                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-                n += 1
-                x += 1
-              }
-              y += 1
+  def phash64(bytes: Array[Byte]): Option[Long] =
+    withDecodedImage(bytes) { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val grid = new Array[Int](1024)
+      var r = 0
+      while (r < 32) {
+        // Long bounds math: (r+1)*h overflows Int at h = 2^26 (a 1×64M
+        // strip passes the pixel gate exactly), collapsing the last
+        // blocks to single rows and silently changing the hash
+        val rLo = (r.toLong * h / 32).toInt
+        val rHi = math.max(rLo + 1, ((r + 1).toLong * h / 32).toInt)
+        var c = 0
+        while (c < 32) {
+          val cLo = (c.toLong * w / 32).toInt
+          val cHi = math.max(cLo + 1, ((c + 1).toLong * w / 32).toInt)
+          var sum = 0L; var n = 0
+          var y = rLo
+          while (y < rHi) {
+            var x = cLo
+            while (x < cHi) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              n += 1
+              x += 1
             }
-            grid(r * 32 + c) = (sum / n).toInt
-            c += 1
+            y += 1
           }
-          r += 1
+          grid(r * 32 + c) = (sum / n).toInt
+          c += 1
         }
-        Some(phashFromGrid(grid))
-      } finally reader.dispose()
-    } catch {
-      case scala.util.control.NonFatal(_) => None
-    } finally iis.close()
-  }
+        r += 1
+      }
+      phashFromGrid(grid)
+    }
 
   /** Per-partition pHash column over a media frame: (id, phash), rows
     * whose payload no image reader claims are dropped (they have no

@@ -132,7 +132,10 @@ class MultimodalSpec extends SparkSpecBase {
     } yield (a, b, h)).toSet
     assert(got == want && want.nonEmpty,
       s"banded=${got.size} brute=${want.size}")
-    assert(want.exists(_._3 == 3) || twins.nonEmpty)
+    // the boundary case must actually be exercised: a pair at hamming
+    // exactly 3 (the maxHamming edge the pigeonhole guarantee covers)
+    assert(want.exists(_._3 == 3),
+      "generator must plant a hamming-3 pair at the band edge")
     // flat grid: zero AC energy -> hash 0
     assert(Multimodal.phashFromGrid(Array.fill(1024)(77)) == 0L)
     // syntheticGrid: deterministic, twins share base, odd differs in
@@ -208,6 +211,69 @@ class MultimodalSpec extends SparkSpecBase {
     // determinism across re-runs
     val again = Multimodal.decodeFeatures(media).collect().map(x => x.id -> x).toMap
     assert(f(1L).feature.toSeq == again(1L).feature.toSeq)
+  }
+
+  test("audioFingerprint64: volume-invariant envelope-delta bits on real WAVs") {
+    // amplitude-MODULATED carrier: the 64-bin RMS envelope rises and
+    // falls with the modulator, giving well-separated derivative signs
+    def wav(amp: Double, modCycles: Double, phase: Double): Array[Byte] = {
+      val rateHz = 8000; val n = 4000
+      val pcm = new Array[Byte](2 * n)
+      for (i <- 0 until n) {
+        val m = 0.55 + 0.45 * math.sin(2 * math.Pi * modCycles * i / n + phase)
+        val s = (amp * m * 32767 * math.sin(2 * math.Pi * 440 * i / rateHz)).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.audioFingerprint64(wav(0.9, 3, 0)).get
+    // volume-scaled twin: strict RMS inequalities survive positive
+    // scaling up to 16-bit quantization at the modulator's flat spots
+    val half = Multimodal.audioFingerprint64(wav(0.45, 3, 0)).get
+    assert(ham(base, half) <= 3, s"volume twin hamming ${ham(base, half)}")
+    // a different modulation shape is a different clip
+    val other = Multimodal.audioFingerprint64(wav(0.9, 7, 1.3)).get
+    assert(ham(base, other) > 3, s"distinct clip hamming ${ham(base, other)}")
+    assert(Multimodal.audioFingerprint64("not audio".getBytes("UTF-8")).isEmpty)
+    // envelope-delta bit semantics, exactly
+    assert(Multimodal.fingerprintFromEnvelope(
+      Array.tabulate(64)(_.toDouble)) == Long.MaxValue) // bits 0..62 set
+    assert(Multimodal.fingerprintFromEnvelope(
+      Array.tabulate(64)(i => (64 - i).toDouble)) == 0L)
+    intercept[IllegalArgumentException](
+      Multimodal.fingerprintFromEnvelope(new Array[Double](8)))
+  }
+
+  test("syntheticEnvelope: deterministic twins land inside the band range") {
+    import graft.ext.Dedup
+    def fp(id: Long) = Multimodal.fingerprintFromEnvelope(
+      Multimodal.syntheticEnvelope(id).map(_.toDouble))
+    // deterministic; odd twin differs from its even base in <= 2 bits
+    // (the +40 nudge moves ONE bin, touching two neighbor comparisons)
+    assert(fp(6L) == fp(6L))
+    (0L until 20L by 2).foreach { g =>
+      val d = java.lang.Long.bitCount(fp(g) ^ fp(g + 1))
+      assert(d <= 2, s"twin pair $g hamming $d")
+    }
+    // end-to-end through the generic banding: every twin pair whose
+    // fingerprints differ surfaces as a near-dup candidate
+    val ids = (0L until 40L)
+    val df = ids.map(i => (i, fp(i))).toDF("id", "afp")
+    val got = Dedup.hammingNearDup(df, "id", "afp", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got == want && want.nonEmpty, s"banded=${got.size} brute=${want.size}")
   }
 
   test("decodeVideoMeta: real MP4 (ISO BMFF) header parse") {
