@@ -36,6 +36,17 @@ object SearchQueries {
       Search.conjunctive(
           Search.buildPostings(docs(s, dir), "doc_id", "text"), queryTerms)
         .orderBy("doc_id")
+    }),
+
+    // Top-20 SMART nnc.ntc cosine docs for a 3-term query — the
+    // vector-space complement of q85's probabilistic ranking. Document
+    // norm is an exact integer computed in-scan; same zero-corpus-
+    // shuffle contract as BM25.
+    "q104_vsm_topk" -> ((s, dir) => {
+      Search.vsmCosine(docs(s, dir), "doc_id", "text",
+          Seq("join", "table", "fast"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
     }))
 
   // tf per term is len(list_filter(...)) — the in-scan counting the
@@ -71,5 +82,36 @@ object SearchQueries {
         |pt AS (SELECT term, doc_id, COUNT(*) AS tf FROM p GROUP BY 1,2)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf FROM pt
         |WHERE term IN ('window','customer','scan')
-        |GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3 ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3 ORDER BY doc_id""".stripMargin,
+    // q104 mirrors Search.vsmCosine's fold order exactly: numerator
+    // terms are tf·(idf quotient) with the quotient parenthesized
+    // (tf*(a/b), not (tf*a)/b — different roundings), the doc norm is
+    // √ of an exact integer Σtf² over the doc's distinct terms, and the
+    // query norm folds idf² in term order.
+    "q104_vsm_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_sum(list_transform(
+        |    list_transform(list_distinct(string_split_regex(text,'\s+')),
+        |      u -> len(list_filter(string_split_regex(text,'\s+'), x -> x = u))),
+        |    c -> c*c)) AS normsq,
+        |  len(list_filter(string_split_regex(text,'\s+'), x -> x = 'join')) AS tf1,
+        |  len(list_filter(string_split_regex(text,'\s+'), x -> x = 'table')) AS tf2,
+        |  len(list_filter(string_split_regex(text,'\s+'), x -> x = 'fast')) AS tf3
+        | FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |  CAST(SUM(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        | FROM t),
+        |sc AS (SELECT doc_id, tf1, tf2, tf3,
+        |  (CAST(tf1 AS DOUBLE) * ((n - df1 + 0.5)/(df1 + 0.5))
+        |   + CAST(tf2 AS DOUBLE) * ((n - df2 + 0.5)/(df2 + 0.5))
+        |   + CAST(tf3 AS DOUBLE) * ((n - df3 + 0.5)/(df3 + 0.5)))
+        |  / (sqrt(CAST(normsq AS DOUBLE)) *
+        |     sqrt(((n - df1 + 0.5)/(df1 + 0.5)) * ((n - df1 + 0.5)/(df1 + 0.5))
+        |        + ((n - df2 + 0.5)/(df2 + 0.5)) * ((n - df2 + 0.5)/(df2 + 0.5))
+        |        + ((n - df3 + 0.5)/(df3 + 0.5)) * ((n - df3 + 0.5)/(df3 + 0.5)))) AS score
+        | FROM t, st)
+        |SELECT doc_id, tf1, tf2, tf3, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
 }

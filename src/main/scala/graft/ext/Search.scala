@@ -73,6 +73,60 @@ object Search {
     scored.filter(col("score") > 0.0).select(outCols: _*)
   }
 
+  /** SMART `nnc.ntc` vector-space cosine retrieval (Salton/Buckley
+    * weighting triples): document side weights terms by raw tf and
+    * cosine-normalizes over ALL its terms; query side weights by
+    * tf × idf — with the same rational idf core as [[bm25]] (`(N - df
+    * + 0.5)/(df + 0.5)`, no logarithm) for the same reason: every
+    * operation in the score is +, ×, ÷, √ on IEEE doubles, all
+    * correctly rounded, so the DOUBLE scores are bit-identical across
+    * engines. The document norm is √ of an exact INTEGER (Σ tf² over
+    * the doc's distinct terms), so even the norm has no
+    * summation-order hazard.
+    *
+    * Same 100 TB shape as [[bm25]]: per-term tf AND the full-document
+    * norm are computed inside the scan projection (the norm via
+    * `aggregate(array_distinct(tokens), ...)` — O(|d|·|vocab(d)|) per
+    * document, fine for natural text; an explode+agg pass computes the
+    * same norm in O(|d|) if a corpus of pathological single-doc
+    * vocabularies ever needs it), ONE single-row stats aggregate
+    * (N, per-term df) broadcasts back, and scoring is map-only. The
+    * corpus is scanned twice and shuffled never. Docs matching no
+    * query term score 0 and are filtered out. */
+  def vsmCosine(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "vsm needs at least one query term")
+    require(terms.distinct == terms, "duplicate query terms would double-count")
+    val toks = tokens(col(textCol))
+    def tfCol(i: Int): String = s"__tf$i"
+    val withTf = terms.zipWithIndex.foldLeft(
+        df.withColumn("__normsq",
+          aggregate(array_distinct(toks), lit(0L), (acc, t) => {
+            val c = size(filter(toks, x => x === t)).cast("long")
+            acc + c * c
+          }))) { case (d, (t, i)) =>
+      d.withColumn(tfCol(i), size(filter(toks, x => x === lit(t))))
+    }
+    val statsAggs =
+      (count(lit(1)).cast("double").as("__n")) +:
+      terms.indices.map(i =>
+        sum((col(tfCol(i)) > 0).cast("long")).cast("double").as(s"__df$i"))
+    val stats = withTf.agg(statsAggs.head, statsAggs.tail: _*)
+    // score = Σ_i tf_i·idf_i / (√normsq · √Σ_i idf_i²), folds in
+    // term-list order so every double op is reproducible bit-for-bit
+    val scored = withTf.crossJoin(broadcast(stats)).withColumn("score", {
+      def idf(i: Int): Column =
+        (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5))
+      val num = terms.indices.map(i =>
+        col(tfCol(i)).cast("double") * idf(i)).reduceLeft(_ + _)
+      val qnorm = sqrt(terms.indices.map(i => idf(i) * idf(i)).reduceLeft(_ + _))
+      num / (sqrt(col("__normsq").cast("double")) * qnorm)
+    })
+    val outCols = col(idCol) +:
+      (terms.indices.map(i => col(tfCol(i)).as(s"tf${i + 1}")) :+ col("score"))
+    scored.filter(col("score") > 0.0).select(outCols: _*)
+  }
+
   /** Inverted-index build: one posting row per distinct (term, doc),
     * carrying the term frequency. This is the INDEXING pass — one
     * explode + one (term, doc) aggregation; persist it partitioned (or

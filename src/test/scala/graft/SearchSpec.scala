@@ -69,6 +69,50 @@ class SearchSpec extends SparkSpecBase {
       s"bm25 must not hash-partition the corpus:\n$plan")
   }
 
+  test("vsmCosine: exact nnc.ntc cosine against a driver-side fold") {
+    val texts = Map(
+      1L -> "spark spark spark shuffle",
+      2L -> "spark shuffle join window merge sort",
+      3L -> "shuffle join window merge sort scan",
+      4L -> "spark",
+      5L -> "rare spark rare rare rare rare rare rare rare rare rare rare")
+    def toks(id: Long) = texts(id).split("\\s+").toSeq
+    def tf(id: Long, w: String) = toks(id).count(_ == w).toDouble
+    val terms = Seq("spark", "shuffle")
+    val n = 5.0
+    val df1 = texts.keys.count(tf(_, "spark") > 0).toDouble   // 4
+    val df2 = texts.keys.count(tf(_, "shuffle") > 0).toDouble // 3
+    val idf1 = (n - df1 + 0.5) / (df1 + 0.5)
+    val idf2 = (n - df2 + 0.5) / (df2 + 0.5)
+    def want(id: Long): Double = {
+      val normSq = toks(id).distinct.map(w => { val c = toks(id).count(_ == w).toLong; c * c }).sum
+      (tf(id, "spark") * idf1 + tf(id, "shuffle") * idf2) /
+        (math.sqrt(normSq.toDouble) * math.sqrt(idf1 * idf1 + idf2 * idf2))
+    }
+    val got = Search.vsmCosine(corpus, "doc_id", "text", terms)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L)) // all match some term
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) < 1e-12, s"doc $id: $s vs ${want(id)}")
+    }
+    // a doc that IS the (single-term) query is cosine-identical to it
+    val pure = Search.vsmCosine(corpus, "doc_id", "text", Seq("spark"))
+      .filter(col("doc_id") === 4L).select("score").as[Double].head()
+    assert(pure == 1.0, s"pure single-term doc must score exactly 1: $pure")
+    // docs matching no term are excluded
+    val rare = Search.vsmCosine(corpus, "doc_id", "text", Seq("rare"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rare == Set(5L))
+  }
+
+  test("vsmCosine: corpus never shuffles (same contract as bm25)") {
+    val plan = Search.vsmCosine(corpus, "doc_id", "text", Seq("spark"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 0,
+      s"vsm must not hash-partition the corpus:\n$plan")
+  }
+
   test("conjunctive search == filter-based ground truth") {
     val terms = Seq("shuffle", "spark")
     val postings = Search.buildPostings(corpus, "doc_id", "text")
