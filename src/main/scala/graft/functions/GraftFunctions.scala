@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, L2Squared, MatVec, NearestCentroid, PqAdcDistance, WinnowedGrams, WordShingles}
+import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, L2Squared, MatVec, NearestCentroid, PqAdcDistance, TfNormSq, WinnowedGrams, WordShingles}
 
 /** The engine's SQL function surface, one list consumed two ways:
   *
@@ -85,6 +85,10 @@ object GraftFunctions {
       arity("graft_winnowed_grams", 3)(e =>
         WinnowedGrams(e(0), intLiteral("graft_winnowed_grams", e(1)),
           intLiteral("graft_winnowed_grams", e(2))))),
+    entry("graft_tf_norm_sq",
+      "graft_tf_norm_sq(text STRING) - sum of squared per-token counts" +
+        " over whitespace tokens (the VSM document norm, exact integer)",
+      arity("graft_tf_norm_sq", 1)(e => TfNormSq(e(0)))),
     entry("graft_l2sq",
       "graft_l2sq(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) - squared L2 distance",
       arity("graft_l2sq", 2)(e => L2Squared(e(0), e(1)))),

@@ -89,6 +89,35 @@ case class WinnowedGrams(child: Expression, gramLen: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Per-document squared tf norm for vector-space cosine retrieval
+  * ([[graft.ext.Search.vsmCosine]]): Σ tf(t)² over the distinct
+  * whitespace tokens of `text`, as one hash-count pass — O(|d|).
+  *
+  * The composition it replaces,
+  * `aggregate(array_distinct(split(text)), acc + size(filter(toks, _ ==
+  * t))²)`, is O(|d|·|vocab(d)|) AND interpreted (higher-order array
+  * expressions are CodegenFallback); probe-measured it made the norm
+  * ~3× the cost of the entire rest of the query at 100k docs.
+  * Value-identical for non-null text (exact integer, order-free); null
+  * text null-propagates. */
+case class TfNormSq(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "tf_norm_sq"
+
+  override def nullSafeEval(s: Any): Any =
+    TextExprHelpers.tfNormSq(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExprHelpers" +
+        s".tfNormSq($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static helpers callable from generated code. */
 object TextExprHelpers {
 
@@ -135,6 +164,26 @@ object TextExprHelpers {
   }
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Σ count(t)² over the distinct tokens of `text` — one split, one
+    * hash-count pass, exact integer. Same `-1`-limit split semantics as
+    * [[wordShingles]] (leading empty token kept), so it matches
+    * `aggregate(array_distinct(split(text,'\\s+')), ...)` and the
+    * DuckDB `list_distinct`/`list_filter` fold exactly. */
+  def tfNormSq(text: UTF8String): Long = {
+    val toks = Ws.split(text.toString, -1)
+    val counts = new java.util.HashMap[String, Long](
+      math.max(8, toks.length * 2))
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); sum += c * c }
+    sum
+  }
 
   /** Distinct space-joined word n-grams of `text`; < n tokens collapse to
     * one whole-doc shingle. Identical to
@@ -193,5 +242,10 @@ object TextExpressions {
     call_function("graft_winnowed_grams", text,
       org.apache.spark.sql.functions.lit(gramLen),
       org.apache.spark.sql.functions.lit(w))
+  }
+
+  def tfNormSq(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_tf_norm_sq", text)
   }
 }

@@ -101,7 +101,8 @@ object ScaleProbe {
       "minhash_after_dedup", "simhash", "ann_topk_bruteforce",
       "ann_lsh_buckets", "pack_sequences", "connected_components",
       "kmeans_train_16x2", "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
-      "pq_train_encode_adc", "ivfpq_3probe", "bm25_3terms",
+      "pq_train_encode_adc", "ivfpq_3probe", "bm25_3terms", "vsm_3terms",
+      "cluster_sample_k256_q32",
       "postings_build_and_and3", "split_assign", "upsample_2p5x",
       "chunk_32_8", "semantic_neardup_k256", "media_decode_1mb_rpp8",
       "media_decode_1mb_rpp64", "media_decode_1mb_rpp500")
@@ -179,6 +180,19 @@ object ScaleProbe {
     // near-linear)
     time("bm25_3terms")(Search.bm25(docs, "doc_id", "text",
       Seq("window", "customer", "scan")).count())
+    // VSM: same zero-corpus-shuffle contract as bm25 plus the in-scan
+    // integer norm (aggregate over the doc's distinct terms)
+    time("vsm_3terms")(Search.vsmCosine(docs, "doc_id", "text",
+      Seq("window", "customer", "scan")).count())
+    // cluster-balanced subsample at the practical cell count: trained
+    // cells + the bounded per-cell TopK selection (state <= quota/cell
+    // per task; the corpus shuffles only into the selection agg)
+    time("cluster_sample_k256_q32")({
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 256, iters = 1)
+      Curation.clusterBalancedSample(emb, "vec_id", "embedding", cents,
+        quota = 32, seed = "cb1").count()
+    })
     time("postings_build_and_and3")({
       val p = Search.buildPostings(docs, "doc_id", "text")
       Search.conjunctive(p, Seq("window", "customer", "scan")).count()
@@ -299,7 +313,7 @@ object ScaleProbe {
     // — the image-decode cost center at production is the codec, which
     // this grid-synthesis shape stands in for) + 4x16-bit band join.
     // Only 8-byte signatures shuffle, never grids/pixels.
-    if (Seq("phash_hash_band").exists(wanted)) {
+    if (Seq("phash_hash_band", "audio_fp_band").exists(wanted)) {
       val ids = replicate(GraftSession.table(spark, sfDir, "documents")
         .select("doc_id"), "doc_id", copies).cache()
       println(s"[probe] phash ids=${ids.count()}")
@@ -310,6 +324,16 @@ object ScaleProbe {
               graft.ext.Multimodal.syntheticGrid(id)))))
           .toDF("doc_id", "phash")
         Dedup.hammingNearDup(hashed, "doc_id", "phash").count()
+      })
+      // audio twin: envelope synthesis + derivative bits per row
+      // (map-only; production pays the audio codec here), same banding
+      time("audio_fp_band")({
+        val fp = ids.select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.ext.Multimodal.fingerprintFromEnvelope(
+              graft.ext.Multimodal.syntheticEnvelope(id).map(_.toDouble)))))
+          .toDF("doc_id", "afp")
+        Dedup.hammingNearDup(fp, "doc_id", "afp").count()
       })
     }
 

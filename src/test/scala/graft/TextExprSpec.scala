@@ -42,6 +42,38 @@ class TextExprSpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
+  test("tfNormSq == aggregate(array_distinct) composition, in codegen") {
+    val df = cases.toDF("text")
+    val got = df.select(TextExpressions.tfNormSq(spark, col("text")))
+      .as[Long].collect().toSeq
+    val toks = TextFunctions.tokens(col("text"))
+    val want = df.select(
+        aggregate(array_distinct(toks), lit(0L), (acc, t) => {
+          val c = size(filter(toks, x => x === t)).cast("long")
+          acc + c * c
+        })).as[Long].collect().toSeq
+    assert(got == want)
+    // hand value: 5x 'dup' -> 25; 3 distinct tokens x3 each -> 27
+    val m = cases.zip(got).toMap
+    assert(m("dup dup dup dup dup") == 25L)
+    assert(m("x y z x y z x y z") == 27L)
+    assert(m("") == 1L) // split("") keeps one empty token, like the SQL
+    // null text null-propagates (unary null semantics)
+    val n = Seq[Option[String]](None, Some("a a")).toDF("text")
+      .select(TextExpressions.tfNormSq(spark, col("text")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(n.toSet == Set(None, Some(4L)))
+    // stays inside whole-stage codegen (no CodegenFallback wrapper) —
+    // repartition first: a bare local relation constant-folds the
+    // projection into a LocalTableScan and shows no stage at all
+    val q = df.repartition(2)
+      .select(TextExpressions.tfNormSq(spark, col("text")))
+    q.collect() // AQE prints codegen stages only in the FINAL plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(raw"\*\(\d+\) Project \[tf_norm_sq".r.findFirstIn(plan).isDefined,
+      plan)
+  }
+
   test("Dedup.shingled emits one row per distinct shingle") {
     val df = Seq(("d1", "a b c d"), ("d2", "a b")).toDF("doc_id", "text")
     val got = graft.ext.Dedup.shingled(df, "doc_id", "text", 3)
