@@ -219,6 +219,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The rewrite half of q75 (Lee et al. substring dedup APPLIED):
+    // every duplicated span cut from every document, surviving segments
+    // re-joined in order. Output hashed so the compare certifies the
+    // rewritten text without shipping it.
+    "q105_remove_dup_spans" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(docsSpread(s, dir), "doc_id", "text",
+          gramLen = 20)
+        .orderBy("doc_id")
+    }),
+
     // Overlapping token-window chunking (RAG / context-window prep):
     // 32-token chunks, 8-token overlap (stride 24); redundant tails
     // dropped, coverage exact. Map-only — chunks are born in the scan.
@@ -297,6 +307,26 @@ object TextQueries {
         case (w, x) => s"($u,$x,$w)"
       }
     }.mkString(", ")
+
+  /** q75/q105 shared prefix: duplicated 20-grams → merged maximal spans
+    * (the running-max-end island idiom; the second window's gid chain is
+    * safe because `pos` is unique per doc — the NOTES sort-key rule). */
+  private val dupSpanCte: String =
+    """WITH g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+      |             substr(text, CAST(i AS INTEGER), 20) AS gr
+      |           FROM documents, unnest(generate_series(1, length(text)-19)) u(i)),
+      |d AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(DISTINCT doc_id) >= 2),
+      |m AS (SELECT doc_id, pos FROM g JOIN d USING (gr)),
+      |s AS (SELECT doc_id, pos,
+      |       CASE WHEN pos > COALESCE(MAX(pos+19) OVER (PARTITION BY doc_id
+      |              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |            THEN 1 ELSE 0 END AS isnew
+      |      FROM m),
+      |sp AS (SELECT doc_id, pos, SUM(isnew) OVER (PARTITION BY doc_id
+      |         ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      |       FROM s),
+      |spans AS (SELECT doc_id, gid, MIN(pos) AS st, MAX(pos)+19 AS en
+      |          FROM sp GROUP BY 1, 2)""".stripMargin
 
   /** Shared banding/verify tail of the q98/q103 oracles — the SQL twin
     * of [[graft.ext.Dedup.hammingNearDup]]'s 4×16-bit pigeonhole
@@ -524,21 +554,36 @@ object TextQueries {
     // counts barring ~1e-8 64-bit collisions); span merge is the same
     // running-max-end window on both sides
     "q75_dup_spans" ->
-      """WITH g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
-        |             substr(text, CAST(i AS INTEGER), 20) AS gr
-        |           FROM documents, unnest(generate_series(1, length(text)-19)) u(i)),
-        |d AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(DISTINCT doc_id) >= 2),
-        |m AS (SELECT doc_id, pos FROM g JOIN d USING (gr)),
-        |s AS (SELECT doc_id, pos,
-        |       CASE WHEN pos > COALESCE(MAX(pos+19) OVER (PARTITION BY doc_id
-        |              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |            THEN 1 ELSE 0 END AS isnew
-        |      FROM m),
-        |sp AS (SELECT doc_id, pos, SUM(isnew) OVER (PARTITION BY doc_id
-        |         ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
-        |       FROM s),
-        |spans AS (SELECT doc_id, gid, MIN(pos) AS st, MAX(pos)+19 AS en
-        |          FROM sp GROUP BY 1, 2)
+      (dupSpanCte + """
         |SELECT doc_id, COUNT(*) AS n_dup_spans, CAST(SUM(en-st+1) AS BIGINT) AS dup_chars
-        |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin)
+        |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    // q105: q75's span table complemented into kept segments (LAG over
+    // the disjoint sorted spans + a max-end tail), re-joined in order
+    // with an ORDER BY'd string_agg — mirrors removeDuplicateSpans'
+    // sort_array/concat_ws reassembly. Span-free docs pass through;
+    // fully-duplicated docs hash the empty string.
+    "q105_remove_dup_spans" ->
+      (dupSpanCte + """,
+        |lens AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |heads AS (SELECT doc_id,
+        |           COALESCE(LAG(en) OVER (PARTITION BY doc_id ORDER BY st), 0) + 1 AS ks,
+        |           st - 1 AS ke
+        |          FROM spans),
+        |tails AS (SELECT doc_id, MAX(en) + 1 AS ks, NULL AS ke
+        |          FROM spans GROUP BY doc_id),
+        |seg AS (SELECT u.doc_id, u.ks, COALESCE(u.ke, l.len) AS ke, l.text
+        |        FROM (SELECT * FROM heads UNION ALL SELECT * FROM tails) u
+        |        JOIN lens l USING (doc_id)),
+        |kept AS (SELECT doc_id,
+        |          string_agg(substr(text, ks, ke - ks + 1), '' ORDER BY ks) AS cleaned
+        |         FROM seg WHERE ke >= ks GROUP BY doc_id),
+        |hassp AS (SELECT DISTINCT doc_id FROM spans)
+        |SELECT l.doc_id,
+        |  md5(CASE WHEN h.doc_id IS NULL THEN l.text
+        |      ELSE COALESCE(k.cleaned, '') END) AS clean_hash,
+        |  CAST(l.len - CASE WHEN h.doc_id IS NULL THEN l.len
+        |               ELSE COALESCE(length(k.cleaned), 0) END AS BIGINT) AS chars_removed
+        |FROM lens l LEFT JOIN hassp h USING (doc_id)
+        |LEFT JOIN kept k ON k.doc_id = l.doc_id
+        |ORDER BY l.doc_id""".stripMargin))
 }

@@ -341,6 +341,79 @@ object Dedup {
       .select(col("__id").as(idCol), col("span_start"), col("span_end"))
   }
 
+  /** The REWRITE half of substring dedup (Lee et al. apply the found
+    * spans by cutting them from the corpus): every maximal duplicated
+    * span from [[duplicateSpans]] is removed from every document that
+    * contains it, and the surviving segments are re-joined in order.
+    * This is the aggressive both-copies mode — deterministic and
+    * corpus-order-independent (keep-one-occurrence needs an ownership
+    * choice; for WHOLE-document duplicates that is
+    * [[keepBestPerCluster]]'s job).
+    *
+    * Output: (idCol, clean_hash = md5 of the rewritten text,
+    * chars_removed). Documents with no duplicated span pass through
+    * (chars_removed = 0); a fully-duplicated document rewrites to the
+    * empty string.
+    *
+    * Plan: span extents (few rows per doc) window-complement into kept
+    * segments; the text joins in ONCE (hash join on id) and the
+    * per-doc reassembly groupBy reuses the join's partitioning. Only
+    * extents and rewritten segments move beyond [[duplicateSpans]]'
+    * gram aggregation. EAGER like [[minhashNearDupDelta]]: the span
+    * table fans out to three consumers, so it CheckpointShim-
+    * materializes at call time (Spark jobs run here, and the result is
+    * backed by localCheckpointed RDDs that cannot be recomputed after
+    * executor loss — re-run from source on failure). */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 20, winnowW: Int = 1): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy("st")
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    // the span table fans out to THREE consumers (heads, tails, the
+    // span-doc marker); left lazy, each re-reads the whole gram-stream
+    // exchange — probe-measured 3747 MB shuffled vs 1373 for the finder
+    // alone at 20×. Extents are tiny (few rows/doc), so materialize
+    // once (minhashNearDupDelta precedent; same localCheckpoint
+    // durability trade, documented there).
+    val (sp, _) = materialize(
+      duplicateSpans(df, idCol, textCol, gramLen, winnowW)
+        .select(col(idCol).as("__id"), col("span_start").as("st"),
+          col("span_end").as("en")))
+    // kept segments: the complement of the (sorted, disjoint) spans —
+    // [prev_end+1, start-1] before each span, [max_end+1, len] after
+    // the last (span starts are unique per doc, so the lag is total)
+    val heads = sp
+      .withColumn("ks", coalesce(lag(col("en"), 1).over(W) + 1, lit(1)))
+      .withColumn("ke", col("st") - 1)
+      .select("__id", "ks", "ke")
+    val tails = sp.groupBy("__id")
+      .agg((max(col("en")) + 1).as("ks"))
+      .withColumn("ke", lit(null).cast("int")) // null -> doc length
+      .select("__id", "ks", "ke")
+    val cleaned = heads.unionByName(tails)
+      .join(base, Seq("__id"))
+      .withColumn("ke", coalesce(col("ke"), length(col("__text"))))
+      .filter(col("ke") >= col("ks"))
+      .select(col("__id"),
+        struct(col("ks"),
+          col("__text").substr(col("ks"),
+            col("ke") - col("ks") + 1).as("seg")).as("__s"))
+      .groupBy("__id")
+      .agg(concat_ws("", transform(sort_array(collect_list(col("__s"))),
+        x => x.getField("seg"))).as("__cleaned"))
+    base
+      .join(sp.select("__id").distinct().withColumn("__has", lit(1)),
+        Seq("__id"), "left")
+      .join(cleaned, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        md5(when(col("__has").isNull, col("__text"))
+          .otherwise(coalesce(col("__cleaned"), lit("")))).as("clean_hash"),
+        (length(col("__text")) -
+          when(col("__has").isNull, length(col("__text")))
+            .otherwise(coalesce(length(col("__cleaned")), lit(0))))
+          .cast("long").as("chars_removed"))
+  }
+
   /** Embedding near-duplicates: same-`partitionCol` pairs with cosine >=
     * `threshold`. The partition column (cluster id, LSH bucket, shard key)
     * bounds the pair space; compose with

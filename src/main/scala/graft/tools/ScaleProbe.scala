@@ -101,6 +101,7 @@ object ScaleProbe {
       "minhash_after_dedup", "simhash", "ann_topk_bruteforce",
       "ann_lsh_buckets", "pack_sequences", "connected_components",
       "kmeans_train_16x2", "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
+      "remove_dup_spans_w1", "remove_dup_spans_w8",
       "pq_train_encode_adc", "ivfpq_3probe", "bm25_3terms", "vsm_3terms",
       "cluster_sample_k256_q32",
       "postings_build_and_and3", "split_assign", "upsample_2p5x",
@@ -154,6 +155,12 @@ object ScaleProbe {
     for (w <- Seq(1, 4, 8))
       time(s"dup_spans_w$w")(Dedup.duplicateSpans(docs, "doc_id", "text",
         gramLen = 20, winnowW = w).count())
+    // the rewrite adds one text join + a partition-reusing reassembly
+    // groupBy on top of the span pipeline
+    for (w <- Seq(1, 8))
+      time(s"remove_dup_spans_w$w")(Dedup.removeDuplicateSpans(docs,
+        "doc_id", "text", gramLen = 20, winnowW = w)
+        .agg(sum("chars_removed")).head())
     // PQ: train 16x32 codebooks, encode the corpus (map-only), ADC-score
     // 10 queries over codes — the compressed-scan ANN path
     time("pq_train_encode_adc")({

@@ -361,6 +361,48 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("removeDuplicateSpans: rewrite matches the span finder exactly") {
+    val a = "A" * 25
+    val inputs = Seq(
+      (1L, s"left context here! $a right context here"),
+      (2L, s"$a completely different tail"),
+      (3L, "no duplication in this document at all, none"),
+      (4L, "exactly the same documents!!"), // whole-doc dup pair ->
+      (5L, "exactly the same documents!!")) //   both rewrite to ""
+    val df = inputs.toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", gramLen = 20)
+      .as[(Long, Int, Int)].collect()
+    def cleanOf(id: Long, text: String): String = {
+      val sp = spans.filter(_._1 == id).sortBy(_._2)
+      val sb = new StringBuilder
+      var prev = 0
+      sp.foreach { case (_, s, e) =>
+        sb.append(text.substring(prev, s - 1)); prev = e }
+      sb.append(text.substring(prev)).toString
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", gramLen = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    inputs.foreach { case (id, text) =>
+      val want = cleanOf(id, text)
+      assert(got(id)._1 == md5hex(want), s"doc $id hash")
+      assert(got(id)._2 == (text.length - want.length).toLong, s"doc $id removed")
+    }
+    // untouched doc passes through; whole-doc dups rewrite to ""
+    assert(got(3L)._2 == 0L)
+    assert(got(4L)._1 == md5hex("") && got(5L)._1 == md5hex(""))
+    assert(got(4L)._2 == inputs(3)._2.length.toLong)
+    // the aggressive mode's fixpoint: re-running the finder on the
+    // cleaned corpus finds nothing (every copy of every span is gone)
+    val cleaned = inputs.map { case (id, t) => (id, cleanOf(id, t)) }
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(cleaned, "doc_id", "text", gramLen = 20)
+      .count() == 0L)
+  }
+
   test("pq encode: matches naive per-subspace argmin; plan is map-only") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.l2sq
