@@ -155,6 +155,65 @@ object EventStreams {
       .unionByName(stream.filter(!coalesce(probe, lit(false))))
   }
 
+  /** Streaming minhash near-dup vs a static snapshot — the online form
+    * of [[graft.ext.Dedup.minhashNearDupDelta]]: arriving documents
+    * emit (a_id, b_id, jaccard) pairs against the snapshot corpus,
+    * using the SAVED [[graft.ext.Dedup.minhashBands]] artifact for
+    * candidates. Entirely STATELESS (no state store, no watermark):
+    * the k-minhash signature and band keys compute per row (the
+    * map-only `minhashSignature` formulation — value-identical to the
+    * batch aggregation pass), candidates come from a stream-static
+    * equality join on (band, bkey), and verification is a per-pair
+    * SCALAR jaccard over the two distinct-shingle arrays — no
+    * streaming aggregation anywhere, so the plan is append-mode legal
+    * and per-batch work is ∝ the batch's band collisions.
+    *
+    * Contracts: (1) at-least-once per pair — a pair colliding in
+    * several bands emits once per colliding band; key the sink on
+    * (a_id, b_id) or set-dedupe downstream (the batch twin emits each
+    * pair once). (2) stream×stream pairs are out of scope (two new
+    * docs arriving near in time pair up at the next snapshot
+    * compaction — [[graft.ext.Dedup.minhashNearDupDelta]]'s job).
+    * (3) pass CACHED or artifact-loaded `snapshot`/`snapshotBands`
+    * frames: static sides of stream-static joins re-evaluate per
+    * micro-batch. */
+  def streamMinhashNearDup(stream: DataFrame, snapshot: DataFrame,
+      snapshotBands: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val spark = snapshot.sparkSession
+    import graft.functions.TextFunctions.{bandKeys, minhashSignature}
+    def shArr(c: org.apache.spark.sql.Column) =
+      graft.functions.expressions.TextExpressions.wordShingles(
+        spark, c, shingleN)
+    val withBands = stream
+      .select(col(idCol).as("__sid"), shArr(col(textCol)).as("__sharr"))
+      .select(col("__sid"), col("__sharr"),
+        explode(bandKeys(minhashSignature(col("__sharr"), k), bands, rows))
+          .as("__b"))
+      .select(col("__sid"), col("__sharr"),
+        col("__b.band").as("band"), col("__b.bkey").as("bkey"))
+    // one static row per band key -> a stream band row matches at most
+    // once; snapshot ids fan back out AFTER the join
+    val byKey = snapshotBands.groupBy("band", "bkey")
+      .agg(collect_list(col("__id")).as("__oids"))
+    val snapSh = snapshot.select(col(idCol).as("__oid"),
+      shArr(col(textCol)).as("__osharr"))
+    withBands.join(byKey, Seq("band", "bkey"))
+      .select(col("__sid"), col("__sharr"), explode(col("__oids")).as("__oid"))
+      .filter(col("__sid") =!= col("__oid"))
+      .join(snapSh, Seq("__oid"))
+      .withColumn("__inter",
+        size(array_intersect(col("__sharr"), col("__osharr"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__sharr")) + size(col("__osharr")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("__sid"), col("__oid")).as("a_id"),
+        greatest(col("__sid"), col("__oid")).as("b_id"), col("jaccard"))
+  }
+
   /** Stream-static enrichment: join the live stream against a static
     * dimension table. Stateless (no watermark, no state store) — the dim
     * broadcasts into every micro-batch, so the stream side never

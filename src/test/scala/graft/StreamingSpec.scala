@@ -428,6 +428,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streamMinhashNearDup: streamed pairs == batch delta's cross pairs") {
+    // sf0.001 plants near-dups across the 250 boundary (the q84 shape)
+    val d = GraftSession.spread(GraftSession.table(spark, sf, "documents"))
+      .select("doc_id", "text")
+    val snapshot = d.filter(col("doc_id") < 250).cache()
+    val newDocs = d.filter(col("doc_id") >= 250)
+    val bands = graft.ext.Dedup.minhashBands(
+      snapshot, "doc_id", "text", 3, 12, 4).cache()
+    // ground truth: the batch delta restricted to cross-boundary pairs
+    // (stream×stream is out of the streaming operator's scope — a_id is
+    // the LEAST id, so a snapshot-side id marks a cross pair)
+    val want = graft.ext.Dedup.minhashNearDupDelta(newDocs, snapshot,
+        bands, "doc_id", "text", 3, 12, 4, 0.5)
+      .filter(col("a_id") < 250)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val dir = tmpDir("stream-neardup-in")
+    newDocs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1) // force MULTIPLE micro-batches
+      .parquet(dir)
+    // set compare: the streaming contract is at-least-once per pair
+    // (multi-band collisions re-emit); values must match exactly —
+    // the scalar array_intersect jaccard equals the batch count join
+    val got = EventStreams.runToMemory(spark,
+        EventStreams.streamMinhashNearDup(stream, snapshot, bands,
+          "doc_id", "text"), "neardup_stream")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "fixture must plant cross-boundary near-dups")
+    assert(got == want)
+  }
+
   test("JVM hash twins equal the SQL column forms") {
     import graft.ext.Curation
     val ids = Seq(1L, 42L, 999999L, 7L)
