@@ -38,6 +38,17 @@ object SearchQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact phrase search over the positional index: docs containing
+    // "the table" as consecutive tokens, with match counts. One pruned
+    // index scan feeds the position-chain joins — work ∝ the phrase
+    // words' postings, never the corpus.
+    "q106_phrase_search" -> ((s, dir) => {
+      Search.phraseSearch(
+          Search.buildPositionalPostings(docs(s, dir), "doc_id", "text"),
+          Seq("the", "table"))
+        .orderBy("doc_id")
+    }),
+
     // Top-20 SMART nnc.ntc cosine docs for a 3-term query — the
     // vector-space complement of q85's probabilistic ranking. Document
     // norm is an exact integer computed in-scan; same zero-corpus-
@@ -83,6 +94,16 @@ object SearchQueries {
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf FROM pt
         |WHERE term IN ('window','customer','scan')
         |GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3 ORDER BY doc_id""".stripMargin,
+    // q106: consecutive-token check straight over the token array —
+    // count i where t[i]='the' AND t[i+1]='table'.
+    "q106_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |        len(list_filter(generate_series(1, len(t) - 1),
+        |          i -> t[i] = 'the' AND t[i+1] = 'table')) AS n_matches
+        |      FROM t)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY doc_id""".stripMargin,
     // q104 mirrors Search.vsmCosine's fold order exactly: numerator
     // terms are tf·(idf quotient) with the quotient parenthesized
     // (tf*(a/b), not (tf*a)/b — different roundings), the doc norm is

@@ -142,6 +142,45 @@ object Search {
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
 
+  /** Positional inverted-index build: one row per (term, doc,
+    * position) — [[buildPostings]] with 1-based token positions kept,
+    * the index shape PHRASE queries need. Map-only (posexplode in the
+    * scan); persist partitioned (or bucketed) by term like the plain
+    * posting table. ~|corpus tokens| rows: positions cost index bytes,
+    * not query time — phrase work stays ∝ the queried terms' postings. */
+  def buildPositionalPostings(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos0", "term")))
+      .select(col("term"), col("doc_id"), (col("pos0") + 1).as("pos"))
+
+  /** Exact phrase search against a saved positional posting table:
+    * documents containing the words of `phrase` CONSECUTIVELY, with the
+    * match count. The classic positional-index phrase plan (the
+    * Manning/Raghavan/Schütze IR-book construction): anchor on the
+    * first word's postings, then one equi-join per later word on
+    * (doc_id, pos = anchor + offset) — every join is a hash join on
+    * keys the `term IN (...)` scan filter already pruned to the
+    * phrase's own postings, so work is Σ|postings(word)| over the
+    * phrase, independent of corpus size. Repeated words in the phrase
+    * are fine (each occupies its own offset). */
+  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one word")
+    // one IN filter for the whole phrase: a single pruned scan of the
+    // saved index feeds every join (partition pruning when term-
+    // partitioned), rather than one scan per word
+    val pruned = postings.filter(col("term").isin(phrase.distinct: _*))
+    val anchor = pruned.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("__p"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (w, i)) =>
+        acc.join(pruned.filter(col("term") === w)
+            .select(col("doc_id"), (col("pos") - i).as("__p")),
+          Seq("doc_id", "__p"))
+    }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Conjunctive (AND) keyword search against a saved posting table:
     * documents containing EVERY query term, with the summed tf as a
     * crude rank signal. The `term IN (...)` filter pushes into the

@@ -104,7 +104,8 @@ object ScaleProbe {
       "remove_dup_spans_w1", "remove_dup_spans_w8",
       "pq_train_encode_adc", "ivfpq_3probe", "bm25_3terms", "vsm_3terms",
       "cluster_sample_k256_q32",
-      "postings_build_and_and3", "split_assign", "upsample_2p5x",
+      "postings_build_and_and3", "phrase_build_and_search",
+      "split_assign", "upsample_2p5x",
       "chunk_32_8", "semantic_neardup_k256", "media_decode_1mb_rpp8",
       "media_decode_1mb_rpp64", "media_decode_1mb_rpp500")
     if (docProbes.exists(wanted)) {
@@ -203,6 +204,10 @@ object ScaleProbe {
     time("postings_build_and_and3")({
       val p = Search.buildPostings(docs, "doc_id", "text")
       Search.conjunctive(p, Seq("window", "customer", "scan")).count()
+    })
+    time("phrase_build_and_search")({
+      val pp = Search.buildPositionalPostings(docs, "doc_id", "text")
+      Search.phraseSearch(pp, Seq("the", "table")).count()
     })
     time("split_assign")(Curation.assignSplits(docs, "doc_id", "sp1",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

@@ -133,6 +133,29 @@ class SearchSpec extends SparkSpecBase {
     assert(dup.sameElements(got))
   }
 
+  test("phraseSearch: consecutive-token matches, overlaps and repeats included") {
+    val postings = Search.buildPositionalPostings(corpus, "doc_id", "text")
+    def run(phrase: String*) =
+      Search.phraseSearch(postings, phrase)
+        .as[(Long, Long)].collect().toMap
+    // "spark shuffle" consecutively: doc1 at pos 3, doc2 at pos 1
+    assert(run("spark", "shuffle") == Map(1L -> 1L, 2L -> 1L))
+    // repeated word in the phrase; overlapping matches both count
+    // (doc1 "spark spark spark ..." matches at pos 1 AND 2)
+    assert(run("spark", "spark") == Map(1L -> 2L))
+    // word order matters: "shuffle spark" never occurs
+    assert(run("shuffle", "spark").isEmpty)
+    // three-word chain crossing both joins
+    assert(run("shuffle", "join", "window") == Map(2L -> 1L, 3L -> 1L))
+    // ground truth independent of the index: slide over token arrays
+    val want = corpus.as[(Long, String)].collect().flatMap { case (id, t) =>
+      val w = t.split("\\s+")
+      val n = w.sliding(2).count(p => p.sameElements(Array("spark", "shuffle")))
+      if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+    assert(run("spark", "shuffle") == want)
+  }
+
   test("conjunctive gate survives duplicated posting rows") {
     // a re-indexed batch appended twice: repeats must neither fake a
     // conjunction (doc 3 has 'shuffle' but no 'spark') nor overshoot
