@@ -228,6 +228,11 @@ object Dedup {
     * default threshold regardless of chunk width. */
   private def bandedHammingPairs(sigs: DataFrame, chunkBits: Int,
       maxHamming: Int): DataFrame = {
+    // hoisted guard for BOTH public entry points: above 3, two
+    // signatures can differ in all four chunks and the join silently
+    // drops the pair — an incomplete result must be a loud error
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk banding is complete only for maxHamming <= 3, got $maxHamming")
     val mask = (1L << chunkBits) - 1
     val chunks = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(c =>
@@ -363,9 +368,18 @@ object Dedup {
     * table fans out to three consumers, so it CheckpointShim-
     * materializes at call time (Spark jobs run here, and the result is
     * backed by localCheckpointed RDDs that cannot be recomputed after
-    * executor loss — re-run from source on failure). */
+    * executor loss — re-run from source on failure).
+    *
+    * Unit-system note: extents are applied with the code-UNIT
+    * `charUnitSubstr`/`charUnitLength` expressions, the same UTF-16
+    * units [[duplicateSpans]]' positions count — `substring`/`length`
+    * count codepoints and would mis-slice documents containing
+    * supplementary-plane chars. `chars_removed` therefore counts code
+    * units too (identical for BMP text, the oracle-parity regime). */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       gramLen: Int = 20, winnowW: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import graft.functions.expressions.TextExpressions.{charUnitLength, charUnitSubstr}
     val W = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy("st")
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
@@ -392,12 +406,13 @@ object Dedup {
       .select("__id", "ks", "ke")
     val cleaned = heads.unionByName(tails)
       .join(base, Seq("__id"))
-      .withColumn("ke", coalesce(col("ke"), length(col("__text"))))
+      .withColumn("ke",
+        coalesce(col("ke"), charUnitLength(spark, col("__text"))))
       .filter(col("ke") >= col("ks"))
       .select(col("__id"),
         struct(col("ks"),
-          col("__text").substr(col("ks"),
-            col("ke") - col("ks") + 1).as("seg")).as("__s"))
+          charUnitSubstr(spark, col("__text"), col("ks"), col("ke"))
+            .as("seg")).as("__s"))
       .groupBy("__id")
       .agg(concat_ws("", transform(sort_array(collect_list(col("__s"))),
         x => x.getField("seg"))).as("__cleaned"))
@@ -408,9 +423,10 @@ object Dedup {
       .select(col("__id").as(idCol),
         md5(when(col("__has").isNull, col("__text"))
           .otherwise(coalesce(col("__cleaned"), lit("")))).as("clean_hash"),
-        (length(col("__text")) -
-          when(col("__has").isNull, length(col("__text")))
-            .otherwise(coalesce(length(col("__cleaned")), lit(0))))
+        (charUnitLength(spark, col("__text")) -
+          when(col("__has").isNull, charUnitLength(spark, col("__text")))
+            .otherwise(coalesce(charUnitLength(spark, col("__cleaned")),
+              lit(0))))
           .cast("long").as("chars_removed"))
   }
 

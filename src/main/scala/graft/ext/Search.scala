@@ -85,14 +85,14 @@ object Search {
     * summation-order hazard.
     *
     * Same 100 TB shape as [[bm25]]: per-term tf AND the full-document
-    * norm are computed inside the scan projection (the norm via
-    * `aggregate(array_distinct(tokens), ...)` — O(|d|·|vocab(d)|) per
-    * document, fine for natural text; an explode+agg pass computes the
-    * same norm in O(|d|) if a corpus of pathological single-doc
-    * vocabularies ever needs it), ONE single-row stats aggregate
-    * (N, per-term df) broadcasts back, and scoring is map-only. The
-    * corpus is scanned twice and shuffled never. Docs matching no
-    * query term score 0 and are filtered out. */
+    * norm are computed inside the scan projection — the norm through
+    * the codegen one-pass
+    * [[graft.functions.expressions.TfNormSq]] hash count, O(|d|) per
+    * document (see that expression for why the lambda composition it
+    * replaced was both interpreted and quadratic) — ONE single-row
+    * stats aggregate (N, per-term df) broadcasts back, and scoring is
+    * map-only. The corpus is scanned twice and shuffled never. Docs
+    * matching no query term score 0 and are filtered out. */
   def vsmCosine(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "vsm needs at least one query term")
@@ -168,8 +168,11 @@ object Search {
     require(phrase.nonEmpty, "phrase search needs at least one word")
     // one IN filter for the whole phrase: a single pruned scan of the
     // saved index feeds every join (partition pruning when term-
-    // partitioned), rather than one scan per word
+    // partitioned), rather than one scan per word. distinct for the
+    // same reason conjunctive countDistincts: a doubled index (batch
+    // re-appended) would otherwise multiply n_matches 2^|phrase|-fold
     val pruned = postings.filter(col("term").isin(phrase.distinct: _*))
+      .select("term", "doc_id", "pos").distinct()
     val anchor = pruned.filter(col("term") === phrase.head)
       .select(col("doc_id"), col("pos").as("__p"))
     val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, L2Squared, MatVec, NearestCentroid, PqAdcDistance, TfNormSq, WinnowedGrams, WordShingles}
+import graft.functions.expressions.{BloomMightContain, CharUnitLength, CharUnitSubstr, CosineSimilarity, DotProduct, L2Squared, MatVec, NearestCentroid, PqAdcDistance, TfNormSq, WinnowedGrams, WordShingles}
 
 /** The engine's SQL function surface, one list consumed two ways:
   *
@@ -89,6 +89,15 @@ object GraftFunctions {
       "graft_tf_norm_sq(text STRING) - sum of squared per-token counts" +
         " over whitespace tokens (the VSM document norm, exact integer)",
       arity("graft_tf_norm_sq", 1)(e => TfNormSq(e(0)))),
+    entry("graft_char_unit_length",
+      "graft_char_unit_length(text STRING) - UTF-16 code-unit length" +
+        " (the unit WinnowedGrams positions count)",
+      arity("graft_char_unit_length", 1)(e => CharUnitLength(e(0)))),
+    entry("graft_char_unit_substr",
+      "graft_char_unit_substr(text STRING, start INT, end INT) -" +
+        " code-unit substring, 1-based inclusive bounds, clamped",
+      arity("graft_char_unit_substr", 3)(e =>
+        CharUnitSubstr(e(0), e(1), e(2)))),
     entry("graft_l2sq",
       "graft_l2sq(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) - squared L2 distance",
       arity("graft_l2sq", 2)(e => L2Squared(e(0), e(1)))),

@@ -118,8 +118,62 @@ case class TfNormSq(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Code-UNIT (UTF-16) string length — the unit system [[WinnowedGrams]]
+  * positions count. `length()`/`substring()` count codepoints on
+  * UTF8String, so applying gram extents with them mis-slices any text
+  * containing supplementary-plane chars; these expressions keep the
+  * whole substring-dedup family (find AND rewrite) in one unit system.
+  * For BMP-only text the two systems coincide (the oracle-parity
+  * regime, as documented on WinnowedGrams). */
+case class CharUnitLength(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "char_unit_length"
+  override def nullSafeEval(s: Any): Any =
+    TextExprHelpers.charUnitLength(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExprHelpers" +
+        s".charUnitLength($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Code-unit substring, 1-based INCLUSIVE [start, end] — the companion
+  * of [[CharUnitLength]] for applying [[WinnowedGrams]] extents.
+  * Out-of-range bounds clamp; an empty range yields "". */
+case class CharUnitSubstr(str: Expression, startPos: Expression,
+    endPos: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = str
+  override def second: Expression = startPos
+  override def third: Expression = endPos
+  override def dataType: DataType = StringType
+  override def prettyName: String = "char_unit_substr"
+  override def nullSafeEval(s: Any, a: Any, b: Any): Any =
+    TextExprHelpers.charUnitSubstr(s.asInstanceOf[UTF8String],
+      a.asInstanceOf[Int], b.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, a, b) =>
+      s"${ev.value} = graft.functions.expressions.TextExprHelpers" +
+        s".charUnitSubstr($s, $a, $b);")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(str = newFirst, startPos = newSecond, endPos = newThird)
+}
+
 /** Static helpers callable from generated code. */
 object TextExprHelpers {
+
+  def charUnitLength(text: UTF8String): Int = text.toString.length
+
+  def charUnitSubstr(text: UTF8String, start: Int, end: Int): UTF8String = {
+    val s = text.toString
+    val from = math.min(math.max(start - 1, 0), s.length)
+    val to = math.min(math.max(end, 0), s.length)
+    if (to <= from) UTF8String.EMPTY_UTF8
+    else UTF8String.fromString(s.substring(from, to))
+  }
 
   /** One pass: hash every gram, then a monotonic-deque sliding minimum
     * over (hash, pos) — O(n) total, equal hashes keep the earlier
@@ -247,5 +301,16 @@ object TextExpressions {
   def tfNormSq(spark: SparkSession, text: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_tf_norm_sq", text)
+  }
+
+  def charUnitLength(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_char_unit_length", text)
+  }
+
+  def charUnitSubstr(spark: SparkSession, text: Column, start: Column,
+      end: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_char_unit_substr", text, start, end)
   }
 }

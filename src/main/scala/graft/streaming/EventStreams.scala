@@ -174,9 +174,14 @@ object EventStreams {
     * pair once). (2) stream×stream pairs are out of scope (two new
     * docs arriving near in time pair up at the next snapshot
     * compaction — [[graft.ext.Dedup.minhashNearDupDelta]]'s job).
-    * (3) pass CACHED or artifact-loaded `snapshot`/`snapshotBands`
-    * frames: static sides of stream-static joins re-evaluate per
-    * micro-batch. */
+    * (3) the DERIVED static frames (the per-key grouped band table and
+    * the snapshot shingle arrays) are `.cache()`d here — static sides
+    * of stream-static joins re-evaluate per micro-batch, and caching
+    * only the caller's input rows would still re-pay a full-snapshot
+    * aggregation + shingle pass per batch; first batch materializes
+    * them, later batches reuse (MEMORY_AND_DISK, so an oversized
+    * snapshot spills rather than OOMs). They live in the CacheManager
+    * until `spark.catalog.clearCache()` or session end. */
   def streamMinhashNearDup(stream: DataFrame, snapshot: DataFrame,
       snapshotBands: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
@@ -196,11 +201,13 @@ object EventStreams {
       .select(col("__sid"), col("__sharr"),
         col("__b.band").as("band"), col("__b.bkey").as("bkey"))
     // one static row per band key -> a stream band row matches at most
-    // once; snapshot ids fan back out AFTER the join
+    // once; snapshot ids fan back out AFTER the join. Both derived
+    // frames cache (scaladoc point 3): per-batch work must be ∝ the
+    // batch's collisions, not a re-run of the snapshot aggregation
     val byKey = snapshotBands.groupBy("band", "bkey")
-      .agg(collect_list(col("__id")).as("__oids"))
+      .agg(collect_list(col("__id")).as("__oids")).cache()
     val snapSh = snapshot.select(col(idCol).as("__oid"),
-      shArr(col(textCol)).as("__osharr"))
+      shArr(col(textCol)).as("__osharr")).cache()
     withBands.join(byKey, Seq("band", "bkey"))
       .select(col("__sid"), col("__sharr"), explode(col("__oids")).as("__oid"))
       .filter(col("__sid") =!= col("__oid"))

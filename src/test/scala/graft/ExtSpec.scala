@@ -39,6 +39,10 @@ class ExtSpec extends SparkSpecBase {
     val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+    // above 3 the 4-chunk pigeonhole is incomplete (a pair can differ
+    // in all four chunks) — must refuse, not silently under-report
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 4))
   }
 
   test("redaction scrubs emails, urls, digit runs") {
@@ -363,12 +367,16 @@ class ExtSpec extends SparkSpecBase {
 
   test("removeDuplicateSpans: rewrite matches the span finder exactly") {
     val a = "A" * 25
+    val clef = "𝄞" // 𝄞: TWO code units — the find step
+    // positions in code units, so the rewrite must slice in them too
     val inputs = Seq(
       (1L, s"left context here! $a right context here"),
       (2L, s"$a completely different tail"),
       (3L, "no duplication in this document at all, none"),
       (4L, "exactly the same documents!!"), // whole-doc dup pair ->
-      (5L, "exactly the same documents!!")) //   both rewrite to ""
+      (5L, "exactly the same documents!!"), //   both rewrite to ""
+      (6L, s"$clef$clef prefix! ${a}B$a suffix after"), // dup span AFTER
+      (7L, s"${a}B$a some other ending entirely"))      // non-BMP chars
     val df = inputs.toDF("doc_id", "text")
     val spans = Dedup.duplicateSpans(df, "doc_id", "text", gramLen = 20)
       .as[(Long, Int, Int)].collect()
@@ -395,6 +403,10 @@ class ExtSpec extends SparkSpecBase {
     assert(got(3L)._2 == 0L)
     assert(got(4L)._1 == md5hex("") && got(5L)._1 == md5hex(""))
     assert(got(4L)._2 == inputs(3)._2.length.toLong)
+    // the supplementary-plane prefix shifts code units vs codepoints;
+    // cleanOf slices with Java (code-unit) substring, so agreement
+    // here proves the rewrite applies extents in the finder's units
+    assert(got(6L)._1 == md5hex(cleanOf(6L, inputs(5)._2)), "non-BMP slice")
     // the aggressive mode's fixpoint: re-running the finder on the
     // cleaned corpus finds nothing (every copy of every span is gone)
     val cleaned = inputs.map { case (id, t) => (id, cleanOf(id, t)) }

@@ -154,6 +154,11 @@ class SearchSpec extends SparkSpecBase {
       if (n > 0) Some(id -> n.toLong) else None
     }.toMap
     assert(run("spark", "shuffle") == want)
+    // a doubled index (batch re-appended) must not multiply matches —
+    // the same hardening conjunctive has (2-word phrase would go 4x)
+    val doubled = postings.unionAll(postings)
+    assert(Search.phraseSearch(doubled, Seq("spark", "shuffle"))
+      .as[(Long, Long)].collect().toMap == want)
   }
 
   test("conjunctive gate survives duplicated posting rows") {

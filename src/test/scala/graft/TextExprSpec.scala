@@ -74,6 +74,33 @@ class TextExprSpec extends SparkSpecBase {
       plan)
   }
 
+  test("charUnitSubstr/charUnitLength: code-unit semantics, clamped bounds") {
+    // BMP text: identical to the codepoint builtins
+    val df = Seq("hello world").toDF("text")
+    val bmp = df.select(
+        TextExpressions.charUnitSubstr(spark, col("text"), lit(3), lit(7)),
+        TextExpressions.charUnitLength(spark, col("text")),
+        substring(col("text"), 3, 5), length(col("text")))
+      .collect().head
+    assert(bmp.getString(0) == bmp.getString(2) && bmp.getString(0) == "llo w")
+    assert(bmp.getInt(1) == bmp.getInt(3))
+    // supplementary plane: 𝄞 is TWO code units — the unit system
+    // WinnowedGrams positions count, where length() sees one codepoint
+    val g = Seq("a𝄞b").toDF("text")
+    val sp = g.select(
+        TextExpressions.charUnitLength(spark, col("text")),
+        length(col("text")),
+        TextExpressions.charUnitSubstr(spark, col("text"), lit(2), lit(3)),
+        // clamping: bounds past either end never throw
+        TextExpressions.charUnitSubstr(spark, col("text"), lit(-5), lit(99)),
+        TextExpressions.charUnitSubstr(spark, col("text"), lit(3), lit(2)))
+      .collect().head
+    assert(sp.getInt(0) == 4 && sp.getInt(1) == 3)
+    assert(sp.getString(2) == "𝄞")
+    assert(sp.getString(3) == "a𝄞b")
+    assert(sp.getString(4) == "")
+  }
+
   test("Dedup.shingled emits one row per distinct shingle") {
     val df = Seq(("d1", "a b c d"), ("d2", "a b")).toDF("doc_id", "text")
     val got = graft.ext.Dedup.shingled(df, "doc_id", "text", 3)
