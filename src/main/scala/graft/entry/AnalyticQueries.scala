@@ -119,6 +119,21 @@ object AnalyticQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // First-touch strict-order conversion funnel view -> click ->
+    // purchase: per user, when each step FIRST happened (strictly
+    // after the previous step) and how deep the journey got. One
+    // pushed-filter scan + one user-keyed agg per step; work ∝ the
+    // step types' events. Same micros quantization as q53.
+    "q107_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.funnel(
+          t(s, dir, "events")
+            .select(col("user_id"), col("event_type"),
+              expr("ts div 1000").as("ts_us")),
+          "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
     // Ordered collection aggregate: set-collect, sort, join — the
     // listagg/string_agg surface with deterministic element order.
     "q54_array_agg" -> ((s, dir) => {
@@ -202,6 +217,22 @@ object AnalyticQueries {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         | MIN(tn) AS start_us, MAX(tn) AS end_us
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    // q107: the staged MIN chain replayed in SQL — each step joins the
+    // previous stage and takes the earliest strictly-later event.
+    // step_reached as a sum of non-null flags == the Spark fold.
+    "q107_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events),
+        |s1 AS (SELECT user_id, MIN(tn) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.tn) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tn > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.tn) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tn > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+        |     + (s3.t3 IS NOT NULL)::INT AS INTEGER) AS step_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q54_array_agg" ->
       """SELECT o_orderpriority,
         | array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,

@@ -321,6 +321,19 @@ object ScaleProbe {
         3, 12, 4, 0.5).count())
     } // artifact guard
 
+    // funnel over a user-replicated event log: user count scales with
+    // copies (replicate offsets user_id), events/user constant — the
+    // growth axis a real log has
+    if (Seq("funnel_3step").exists(wanted)) {
+      val ev = replicate(GraftSession.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us")), "user_id", copies).cache()
+      println(s"[probe] funnel events=${ev.count()}")
+      time("funnel_3step")(graft.operators.Funnel.funnel(ev, "user_id",
+          "event_type", "ts_us", Seq("view", "click", "purchase"))
+        .agg(sum("step_reached")).head())
+    }
+
     // pHash near-dup: per-row integer DCT hash (mapPartitions, map-only
     // — the image-decode cost center at production is the codec, which
     // this grid-synthesis shape stands in for) + 4x16-bit band join.

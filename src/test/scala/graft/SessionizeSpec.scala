@@ -50,4 +50,36 @@ class SessionizeSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected a single shuffle, got:\n$plan")
     assert(!plan.contains("Join"), "sessionization must not plan a join")
   }
+
+  test("funnel: first-touch strict-order semantics, horizon, non-entrants") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // u1 full journey; the ts=5 purchase precedes the view -> ignored
+      (1L, "purchase", 5L), (1L, "view", 10L),
+      (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2 stalls at step 1: its only click is BEFORE the view
+      (2L, "click", 5L), (2L, "view", 10L),
+      // u3: same-ts click does not advance (strict >); the later click
+      // does; the purchase sits between view and that click -> stalls
+      (3L, "view", 10L), (3L, "click", 10L),
+      (3L, "click", 15L), (3L, "purchase", 12L),
+      // u4 never enters the funnel (no view) -> absent from output
+      (4L, "click", 1L), (4L, "purchase", 2L)
+    ).toDF("user_id", "event_type", "ts")
+    def run(h: Option[Long]) =
+      Funnel.funnel(ev, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), horizon = h)
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+            r.getInt(4)))).toMap
+    val got = run(None)
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L), 3)))
+    assert(got(2L) == ((Some(10L), None, None, 1)))
+    assert(got(3L) == ((Some(10L), Some(15L), None, 2)))
+    // horizon 15 from t1: u1's click (20 <= 25) survives, the
+    // purchase (30 > 25) falls outside the journey window
+    val bounded = run(Some(15L))
+    assert(bounded(1L) == ((Some(10L), Some(20L), None, 2)))
+  }
 }
