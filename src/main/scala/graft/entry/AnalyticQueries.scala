@@ -134,6 +134,19 @@ object AnalyticQueries {
         .orderBy("user_id")
     }),
 
+    // Weekly cohort retention matrix (operators/Retention, the fourth
+    // event-analytics member): users bucketed by the week of their
+    // first event, then counted again at each later active week. The
+    // event log collapses to distinct (user, week) pairs map-side
+    // before anything shuffles. Same micros quantization as q53.
+    "q108_retention" -> ((s, dir) => {
+      graft.operators.Retention.cohortMatrix(
+          t(s, dir, "events")
+            .select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          "user_id", "ts_us", bucketWidth = 604800000000L)
+        .orderBy("cohort", "bucket_offset")
+    }),
+
     // Ordered collection aggregate: set-collect, sort, join — the
     // listagg/string_agg surface with deterministic element order.
     "q54_array_agg" -> ((s, dir) => {
@@ -233,6 +246,19 @@ object AnalyticQueries {
         |     + (s3.t3 IS NOT NULL)::INT AS INTEGER) AS step_reached
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // q108: the same three-stage shape — distinct pairs, per-user window
+    // min, (cohort, offset) roll-up, retention via the offset-0 peer.
+    "q108_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS b FROM events),
+        |d AS (SELECT DISTINCT user_id, b FROM e),
+        |c AS (SELECT user_id, b, MIN(b) OVER (PARTITION BY user_id) AS cohort FROM d),
+        |m AS (SELECT cohort, b - cohort AS bucket_offset, COUNT(*) AS n_users
+        |      FROM c GROUP BY 1, 2)
+        |SELECT cohort, bucket_offset, n_users,
+        |  CAST(n_users AS DOUBLE) /
+        |  CAST(MAX(CASE WHEN bucket_offset = 0 THEN n_users END)
+        |       OVER (PARTITION BY cohort) AS DOUBLE) AS retention
+        |FROM m ORDER BY cohort, bucket_offset""".stripMargin,
     "q54_array_agg" ->
       """SELECT o_orderpriority,
         | array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,

@@ -51,6 +51,35 @@ class SessionizeSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), "sessionization must not plan a join")
   }
 
+  test("retention: cohort = first-activity bucket, offsets dedup per bucket") {
+    import graft.operators.Retention
+    val ev = Seq(
+      // u1 cohort 0, active in buckets {0, 1, 3}
+      (1L, 5L), (1L, 12L), (1L, 35L),
+      // u2 cohort 1: two events in bucket 1 count ONCE; active {1, 2}
+      (2L, 15L), (2L, 18L), (2L, 22L),
+      // u3 cohort 0, only its first bucket
+      (3L, 3L)
+    ).toDF("user_id", "ts")
+    val got = Retention.cohortMatrix(ev, "user_id", "ts", bucketWidth = 10L)
+      .select("cohort", "bucket_offset", "n_users", "retention")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5), (0L, 3L, 1L, 0.5),
+      (1L, 0L, 1L, 1.0), (1L, 1L, 1L, 1.0)))
+  }
+
+  test("retention plan: join-free, shuffles only shrunken streams") {
+    import graft.operators.Retention
+    val ev = Seq((1L, 5L), (2L, 15L)).toDF("user_id", "ts")
+    val plan = Retention.cohortMatrix(ev, "user_id", "ts", 10L)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"retention must not plan a join:\n$plan")
+    // distinct pairs + per-user window + roll-up + per-cohort window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"expected at most 4 exchanges, got:\n$plan")
+  }
+
   test("funnel: first-touch strict-order semantics, horizon, non-entrants") {
     import graft.operators.Funnel
     val ev = Seq(
