@@ -334,6 +334,19 @@ object ScaleProbe {
         .agg(sum("step_reached")).head())
     }
 
+    // cohort retention over the same user-replicated log (q108 shape):
+    // the log collapses to distinct (user, bucket) pairs map-side, so
+    // shuffle bytes scale with users x active-buckets, not raw events
+    if (Seq("retention_weekly").exists(wanted)) {
+      val ev = replicate(GraftSession.table(spark, sfDir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us")),
+        "user_id", copies).cache()
+      println(s"[probe] retention events=${ev.count()}")
+      time("retention_weekly")(graft.operators.Retention.cohortMatrix(
+          ev, "user_id", "ts_us", bucketWidth = 604800000000L)
+        .agg(sum("n_users")).head())
+    }
+
     // pHash near-dup: per-row integer DCT hash (mapPartitions, map-only
     // — the image-decode cost center at production is the codec, which
     // this grid-synthesis shape stands in for) + 4x16-bit band join.
