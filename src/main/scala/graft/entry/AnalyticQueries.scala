@@ -147,6 +147,18 @@ object AnalyticQueries {
         .orderBy("cohort", "bucket_offset")
     }),
 
+    // Rolling 7-day active users (operators/Retention.rollingActive):
+    // distinct (user, day) pairs fanned out to the 7 window-ends each
+    // supports, then an exact count-distinct per window-end. The raw
+    // log never shuffles; bytes ∝ pairs × 7.
+    "q109_rolling_active" -> ((s, dir) => {
+      graft.operators.Retention.rollingActive(
+          t(s, dir, "events")
+            .select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          "user_id", "ts_us", bucketWidth = 86400000000L, window = 7)
+        .orderBy("bucket")
+    }),
+
     // Ordered collection aggregate: set-collect, sort, join — the
     // listagg/string_agg surface with deterministic element order.
     "q54_array_agg" -> ((s, dir) => {
@@ -259,6 +271,15 @@ object AnalyticQueries {
         |  CAST(MAX(CASE WHEN bucket_offset = 0 THEN n_users END)
         |       OVER (PARTITION BY cohort) AS DOUBLE) AS retention
         |FROM m ORDER BY cohort, bucket_offset""".stripMargin,
+    // q109: the same fan-out — each distinct (user, day) pair supports
+    // the 7 window-ends d..d+6; exact distinct count per window-end.
+    "q109_rolling_active" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+        |d AS (SELECT DISTINCT user_id, b FROM e),
+        |x AS (SELECT user_id, b + o.o AS bucket
+        |      FROM d, (SELECT UNNEST(range(0, 7)) AS o) o)
+        |SELECT bucket, COUNT(DISTINCT user_id) AS active_users
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_array_agg" ->
       """SELECT o_orderpriority,
         | array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,

@@ -52,4 +52,36 @@ object Retention {
         max(when(col("bucket_offset") === 0, col("n_users")))
           .over(w).cast("double"))
   }
+
+  /** Rolling active-user counts (the DAU/WAU/MAU family): for each
+    * bucket, how many distinct users were active in the trailing
+    * `window` buckets (that bucket included)?
+    *
+    * Rather than a distinct-over-range window (which Spark cannot
+    * evaluate incrementally — and which degenerates to one task per
+    * frame), each distinct (user, bucket) activity pair is fanned out
+    * to the `window` bucket-ends it supports; an exact count-distinct
+    * per bucket-end then closes the query. Work and shuffle bytes are
+    * ∝ pairs × window — the raw log never shuffles (the distinct
+    * collapses it map-side), and every stage is keyed by (bucket, user)
+    * or bucket, so parallelism never drops to the frame count.
+    *
+    * Trailing edge: bucket-ends up to `window − 1` past a user's last
+    * activity still count that user (the window still covers them);
+    * bucket-ends beyond the corpus's last activity are emitted for the
+    * same reason, so the curve decays to zero over the final `window`
+    * buckets instead of cutting off. */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+      bucketWidth: Long, window: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(window > 0, s"window must be positive: $window")
+    events
+      .select(col(userCol),
+        expr(s"CAST(`$tsCol` AS BIGINT) div ${bucketWidth}L").as("__bucket"))
+      .distinct()
+      .select(col(userCol), explode(sequence(col("__bucket"),
+        col("__bucket") + lit(window - 1L))).as("bucket"))
+      .groupBy("bucket")
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
 }

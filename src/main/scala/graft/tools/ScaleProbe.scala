@@ -337,7 +337,7 @@ object ScaleProbe {
     // cohort retention over the same user-replicated log (q108 shape):
     // the log collapses to distinct (user, bucket) pairs map-side, so
     // shuffle bytes scale with users x active-buckets, not raw events
-    if (Seq("retention_weekly").exists(wanted)) {
+    if (Seq("retention_weekly", "rolling_active_7d").exists(wanted)) {
       val ev = replicate(GraftSession.table(spark, sfDir, "events")
         .select(col("user_id"), expr("ts div 1000").as("ts_us")),
         "user_id", copies).cache()
@@ -345,6 +345,9 @@ object ScaleProbe {
       time("retention_weekly")(graft.operators.Retention.cohortMatrix(
           ev, "user_id", "ts_us", bucketWidth = 604800000000L)
         .agg(sum("n_users")).head())
+      time("rolling_active_7d")(graft.operators.Retention.rollingActive(
+          ev, "user_id", "ts_us", bucketWidth = 86400000000L, window = 7)
+        .agg(sum("active_users")).head())
     }
 
     // pHash near-dup: per-row integer DCT hash (mapPartitions, map-only

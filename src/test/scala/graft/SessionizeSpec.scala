@@ -80,6 +80,36 @@ class SessionizeSpec extends SparkSpecBase {
     assert(exchanges <= 4, s"expected at most 4 exchanges, got:\n$plan")
   }
 
+  test("rolling active: trailing-window distinct users, dedup within bucket") {
+    import graft.operators.Retention
+    val ev = Seq(
+      // u1 active buckets {0, 2}; two events in bucket 0 count once
+      (1L, 1L), (1L, 7L), (1L, 25L),
+      // u2 active bucket {1} only
+      (2L, 12L)
+    ).toDF("user_id", "ts")
+    val got = Retention.rollingActive(ev, "user_id", "ts",
+        bucketWidth = 10L, window = 3)
+      .as[(Long, Long)].collect().toMap
+    // bucket-end b counts users active in [b-2, b]
+    assert(got == Map(
+      0L -> 1L,            // u1
+      1L -> 2L, 2L -> 2L,  // u1 (b0 or b2) + u2 (b1)
+      3L -> 2L,            // u1 (b2) + u2 (b1)
+      4L -> 1L))           // u1 (b2) trailing edge
+  }
+
+  test("rolling active plan: join-free, only pair streams shuffle") {
+    import graft.operators.Retention
+    val ev = Seq((1L, 5L), (2L, 15L)).toDF("user_id", "ts")
+    val plan = Retention.rollingActive(ev, "user_id", "ts", 10L, 7)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"rollingActive must not plan a join:\n$plan")
+    // pair distinct + the count-distinct expand's two agg exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected at most 3 exchanges, got:\n$plan")
+  }
+
   test("funnel: first-touch strict-order semantics, horizon, non-entrants") {
     import graft.operators.Funnel
     val ev = Seq(
