@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session + table access helpers shared by the query API, Verify and Bench.
   *
@@ -27,8 +28,11 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // parquet timestamps as int64 micros: portable to DuckDB/Arrow readers
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // events.ts is TIMESTAMP(NANOS) which Spark has no native type for;
-      // read it as long nanos and convert explicitly (tsToTimestamp)
+      // events.ts physical type has drifted across driver rounds
+      // (TIMESTAMP(NANOS) in r1-r5, timestamp[us] from r6). nanosAsLong
+      // makes the NANOS case readable at all (Spark has no nanos type);
+      // micros reads as a timestamp regardless. All consumers go through
+      // the schema-adaptive tsMicros/tsTimestamp helpers below.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,12 +60,52 @@ object GraftSession {
     if (cores > 1) df.repartition(cores) else df
   }
 
-  /** events.ts arrives as long nanos (see nanosAsLong above); convert to a
-    * proper timestamp column with microsecond truncation. Division goes
+  /** Long nanos → timestamp with microsecond truncation. Division goes
     * through decimal: a double `/ 1000` has 256 ns of ulp at 2024-epoch
     * nanos and lands microseconds off by one. */
-  def nanosToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def nanosToTimestamp(c: Column): Column = {
     import org.apache.spark.sql.functions._
     timestamp_micros(floor(c.cast("decimal(38,0)") / lit(1000)).cast("long"))
   }
+
+  /** The ONE entry point onto the events.ts integer-microsecond timeline.
+    *
+    * The driver has shipped `events.parquet` with `ts` as parquet
+    * TIMESTAMP(NANOS) (read as long nanos under nanosAsLong) in rounds
+    * 1-5 and as timestamp[us] (read as TIMESTAMP_NTZ) from round 6 — so
+    * the physical type is a moving target. Every event-analytics query
+    * (q52/q53/q107/q108/q109, ScaleProbe) derives its timeline from this
+    * helper: a future regeneration flips a branch here instead of
+    * breaking five queries at analysis time. The DuckDB oracle side
+    * (`epoch_us(ts)`) is physical-type-independent already.
+    *
+    * The NTZ→TZ cast is exact because the session TZ is pinned UTC
+    * (config above); `unix_micros` then yields the same integers DuckDB's
+    * `epoch_us` sees. The long branch keeps exact integer division —
+    * never a double path. */
+  def tsMicros(df: DataFrame, c: String = "ts"): Column = {
+    import org.apache.spark.sql.functions._
+    df.schema(c).dataType match {
+      case LongType                        => expr(s"`$c` div 1000")
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events timeline column `$c` has unsupported type $other " +
+          "(expected long nanos or a timestamp)")
+    }
+  }
+
+  /** Schema-adaptive `ts` → proper TimestampType frame (the streaming
+    * entry shape: watermarks and window() need a real timestamp column).
+    * Same drift rationale as [[tsMicros]]. */
+  def tsTimestamp(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, nanosToTimestamp(df(c)))
+      case TimestampType    => df
+      case TimestampNTZType =>
+        df.withColumn(c, df(c).cast(TimestampType)) // exact: session TZ UTC
+      case other => throw new IllegalArgumentException(
+        s"events timeline column `$c` has unsupported type $other " +
+          "(expected long nanos or a timestamp)")
+    }
 }

@@ -85,15 +85,15 @@ object AnalyticQueries {
 
     // Latest-per-key compaction (CDC/dedup-keep-newest): one shuffle +
     // in-partition sort, rank 1 kept. The training-pipeline "newest crawl
-    // snapshot wins" primitive. Rank on MICROsecond-truncated ts (exact
-    // integer div, same as q53): the oracle's reader only sees micros, so
-    // ranking on raw nanos could keep a different row whenever two events
-    // collide within one micro — both engines must break that tie by
+    // snapshot wins" primitive. Rank on the schema-adaptive microsecond
+    // timeline (GraftSession.tsMicros — exact integer everywhere): the
+    // oracle's reader sees micros, so both engines must break ties by
     // event_id on the identical integer timeline.
     "q52_latest_per_key" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
       val w = Window.partitionBy("user_id")
-        .orderBy(expr("ts div 1000").desc, col("event_id").desc)
-      t(s, dir, "events")
+        .orderBy(GraftSession.tsMicros(ev).desc, col("event_id").desc)
+      ev
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("user_id"), col("event_id").as("last_event_id"),
@@ -102,15 +102,14 @@ object AnalyticQueries {
     }),
 
     // Batch gap sessionization (operators/Sessionize): lag + running sum
-    // + rollup, all on one shuffle. Gap = 8h. events.ts is
-    // TIMESTAMP(NANOS) read as long nanos, but the oracle's reader only
-    // sees microseconds — quantize to micros (exact integer div) on our
-    // side so both engines sessionize the identical integer timeline.
+    // + rollup, all on one shuffle. Gap = 8h. Both engines sessionize the
+    // identical integer-microsecond timeline (GraftSession.tsMicros,
+    // schema-adaptive against testdata type drift).
     "q53_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
       graft.operators.Sessionize.sessions(
-          t(s, dir, "events")
-            .select(col("user_id"), col("event_id"),
-              expr("ts div 1000").as("ts_us")),
+          ev.select(col("user_id"), col("event_id"),
+              GraftSession.tsMicros(ev).as("ts_us")),
           keys = Seq("user_id"), tsCol = "ts_us", gap = 28800000000L,
           tieBreak = Seq("event_id"))
         .select(col("user_id"), col("session_seq"),
@@ -125,10 +124,10 @@ object AnalyticQueries {
     // pushed-filter scan + one user-keyed agg per step; work ∝ the
     // step types' events. Same micros quantization as q53.
     "q107_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
       graft.operators.Funnel.funnel(
-          t(s, dir, "events")
-            .select(col("user_id"), col("event_type"),
-              expr("ts div 1000").as("ts_us")),
+          ev.select(col("user_id"), col("event_type"),
+              GraftSession.tsMicros(ev).as("ts_us")),
           "user_id", "event_type", "ts_us",
           Seq("view", "click", "purchase"))
         .orderBy("user_id")
@@ -140,9 +139,9 @@ object AnalyticQueries {
     // event log collapses to distinct (user, week) pairs map-side
     // before anything shuffles. Same micros quantization as q53.
     "q108_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
       graft.operators.Retention.cohortMatrix(
-          t(s, dir, "events")
-            .select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          ev.select(col("user_id"), GraftSession.tsMicros(ev).as("ts_us")),
           "user_id", "ts_us", bucketWidth = 604800000000L)
         .orderBy("cohort", "bucket_offset")
     }),
@@ -152,9 +151,9 @@ object AnalyticQueries {
     // supports, then an exact count-distinct per window-end. The raw
     // log never shuffles; bytes ∝ pairs × 7.
     "q109_rolling_active" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
       graft.operators.Retention.rollingActive(
-          t(s, dir, "events")
-            .select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          ev.select(col("user_id"), GraftSession.tsMicros(ev).as("ts_us")),
           "user_id", "ts_us", bucketWidth = 86400000000L, window = 7)
         .orderBy("bucket")
     }),

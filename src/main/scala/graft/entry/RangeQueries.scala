@@ -20,7 +20,9 @@ object RangeQueries {
     * uniqueness precondition — in BOTH directions. */
   private def asofAlign(s: SparkSession, dir: String,
       forward: Boolean): DataFrame = {
-    val ev = t(s, dir, "events") // ts read as long nanos (nanosAsLong)
+    // ts used opaquely (both sides + oracle compare the same raw values),
+    // so q26/q68 are robust to the events.ts physical-type drift
+    val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts").as("tsn"))
     val clicks = ev.filter(col("event_type") === "click")

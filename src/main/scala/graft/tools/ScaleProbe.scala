@@ -325,9 +325,10 @@ object ScaleProbe {
     // copies (replicate offsets user_id), events/user constant — the
     // growth axis a real log has
     if (Seq("funnel_3step").exists(wanted)) {
-      val ev = replicate(GraftSession.table(spark, sfDir, "events")
+      val evRaw = GraftSession.table(spark, sfDir, "events")
+      val ev = replicate(evRaw
         .select(col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us")), "user_id", copies).cache()
+          GraftSession.tsMicros(evRaw).as("ts_us")), "user_id", copies).cache()
       println(s"[probe] funnel events=${ev.count()}")
       time("funnel_3step")(graft.operators.Funnel.funnel(ev, "user_id",
           "event_type", "ts_us", Seq("view", "click", "purchase"))
@@ -338,8 +339,9 @@ object ScaleProbe {
     // the log collapses to distinct (user, bucket) pairs map-side, so
     // shuffle bytes scale with users x active-buckets, not raw events
     if (Seq("retention_weekly", "rolling_active_7d").exists(wanted)) {
-      val ev = replicate(GraftSession.table(spark, sfDir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us")),
+      val evRaw = GraftSession.table(spark, sfDir, "events")
+      val ev = replicate(evRaw
+        .select(col("user_id"), GraftSession.tsMicros(evRaw).as("ts_us")),
         "user_id", copies).cache()
       println(s"[probe] retention events=${ev.count()}")
       time("retention_weekly")(graft.operators.Retention.cohortMatrix(

@@ -110,6 +110,38 @@ class SessionizeSpec extends SparkSpecBase {
     assert(exchanges <= 3, s"expected at most 3 exchanges, got:\n$plan")
   }
 
+  test("rolling active approx: HLL curve tracks exact on driver events") {
+    import graft.core.GraftSession
+    import graft.operators.Retention
+    import org.apache.spark.sql.functions.col
+    val raw = GraftSession.table(spark, "/root/testdata/sf0.001", "events")
+    val ev = raw.select(col("user_id"),
+      GraftSession.tsMicros(raw).as("ts_us"))
+    def run(exact: Boolean) = Retention.rollingActive(ev, "user_id",
+        "ts_us", bucketWidth = 86400000000L, window = 7, exact = exact)
+      .as[(Long, Long)].collect().toMap
+    val ex = run(exact = true)
+    val ap = run(exact = false)
+    // identical bucket set (approx changes counts, never the row set)
+    assert(ap.keySet == ex.keySet)
+    // every bucket-end within 4x the configured 2.3% rsd (driver events
+    // have tens-to-hundreds of actives per window — small-cardinality
+    // HLL is bias-corrected, so 4 sigma is a stable bound, not a wish)
+    for ((b, n) <- ex) {
+      val a = ap(b).toDouble
+      assert(math.abs(a - n) <= math.max(2.0, 4 * 0.023 * n),
+        s"bucket $b: approx $a vs exact $n drifts past 4x rsd")
+    }
+    // the sketch path must NOT pay the pair-collapsing distinct: one
+    // partial_approx agg straight over the scan, no extra exchange
+    val plan = Retention.rollingActive(ev, "user_id", "ts_us",
+        86400000000L, 7, exact = false)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"approx path must shuffle only HLL registers (1 exchange):\n$plan")
+  }
+
   test("funnel: first-touch strict-order semantics, horizon, non-entrants") {
     import graft.operators.Funnel
     val ev = Seq(

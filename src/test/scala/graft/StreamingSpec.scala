@@ -10,8 +10,8 @@ class StreamingSpec extends SparkSpecBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def batchEvents = GraftSession.table(spark, sf, "events")
-    .withColumn("ts", GraftSession.nanosToTimestamp(col("ts")))
+  private def batchEvents =
+    GraftSession.tsTimestamp(GraftSession.table(spark, sf, "events"))
 
   test("windowed aggregation: streaming result == batch result") {
     // batch ground truth
