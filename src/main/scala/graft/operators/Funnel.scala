@@ -64,4 +64,78 @@ object Funnel {
         steps.indices.map(i => col(s"t${i + 1}").isNotNull.cast("int"))
           .reduce(_ + _))
   }
+
+  /** Single-pass [[funnel]]: the identical first-touch strict-order
+    * result from ONE shuffle — a per-user state machine via
+    * `flatMapGroups` — where the staged form pays one user-keyed
+    * aggregation round per step. The long-step-list / few-steps-types
+    * trade:
+    *  - staged form: K join+agg rounds, but every stage is Catalyst
+    *    codegen with pushed type filters — the oracle-checkable
+    *    default, and the faster one for the classic 3-step funnel;
+    *  - this form: the step-type IN-filter still pushes to the scan,
+    *    then exactly one hash exchange on the user key; per-user work
+    *    is a sort + walk of that user's step-type events. Use it when
+    *    `steps` is long (a 12-step onboarding journey = 12 shuffle
+    *    rounds staged, still 1 here).
+    *
+    * Memory contract: each task buffers ONE user's step-type events
+    * (the journey, not the log) — bounded by the busiest user's funnel
+    * activity, the same per-group bound every sessionizer accepts.
+    *
+    * Type contract: `userCol` must be integral (the event-log shape;
+    * hash or dictionary-encode string keys first) and `tsCol` an
+    * integer timeline ([[graft.core.GraftSession.tsMicros]]). Walk
+    * correctness: events sort by ts; a step-i event advances the
+    * machine only when strictly later than step i-1's time (same-ts
+    * ties never advance, matching the staged `>`), so the first
+    * accepted step-i event IS the minimum strictly-after candidate. */
+  def funnelSinglePass(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      horizon: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps,
+      "repeated step types are ambiguous — strict-after semantics" +
+        " already handle re-occurrence")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val n = steps.length
+    val NONE = Long.MinValue // sentinel: encoder-friendly missing marker
+    val typed = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long"), col(typeCol),
+        col(tsCol).cast("long"))
+      .as[(Long, String, Long)]
+    val walked = typed.groupByKey(_._1).flatMapGroups {
+      (user: Long, it: Iterator[(Long, String, Long)]) =>
+        val journey = it.map { case (_, t, ts) => (stepIdx(t), ts) }.toArray
+        java.util.Arrays.sort(journey,
+          Ordering.by[(Int, Long), Long](_._2))
+        val times = Array.fill(n)(NONE)
+        var cur = 0
+        var t1 = 0L
+        var tcur = 0L
+        var i = 0
+        while (i < journey.length && cur < n) {
+          val (si, ts) = journey(i)
+          if (si == cur &&
+              (cur == 0 || (ts > tcur && horizon.forall(ts <= t1 + _)))) {
+            times(cur) = ts
+            if (cur == 0) t1 = ts
+            tcur = ts
+            cur += 1
+          }
+          i += 1
+        }
+        if (times(0) == NONE) Iterator.empty // never entered the funnel
+        else Iterator((user, times.toSeq, cur))
+    }
+    walked.toDF(userCol, "__times", "__reached")
+      .select(col(userCol) +:
+        steps.indices.map { i =>
+          val c = col("__times")(i)
+          when(c =!= NONE, c).as(s"t${i + 1}")
+        } :+ col("__reached").cast("int").as("step_reached"): _*)
+  }
 }

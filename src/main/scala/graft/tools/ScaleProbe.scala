@@ -338,7 +338,8 @@ object ScaleProbe {
     // cohort retention over the same user-replicated log (q108 shape):
     // the log collapses to distinct (user, bucket) pairs map-side, so
     // shuffle bytes scale with users x active-buckets, not raw events
-    if (Seq("retention_weekly", "rolling_active_7d").exists(wanted)) {
+    if (Seq("retention_weekly", "rolling_active_7d",
+        "rolling_active_7d_approx").exists(wanted)) {
       val evRaw = GraftSession.table(spark, sfDir, "events")
       val ev = replicate(evRaw
         .select(col("user_id"), GraftSession.tsMicros(evRaw).as("ts_us")),
@@ -349,6 +350,15 @@ object ScaleProbe {
         .agg(sum("n_users")).head())
       time("rolling_active_7d")(graft.operators.Retention.rollingActive(
           ev, "user_id", "ts_us", bucketWidth = 86400000000L, window = 7)
+        .agg(sum("active_users")).head())
+      // the exact=false escape hatch: no pair distinct, no ×7 pair
+      // fan-out through the shuffle — only per-task HLL registers per
+      // bucket-end move, so the bytes row must be ~flat in copies
+      // where the exact row grows ∝ pairs
+      time("rolling_active_7d_approx")(
+        graft.operators.Retention.rollingActive(
+          ev, "user_id", "ts_us", bucketWidth = 86400000000L, window = 7,
+          exact = false)
         .agg(sum("active_users")).head())
     }
 

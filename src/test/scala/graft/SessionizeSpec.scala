@@ -173,4 +173,48 @@ class SessionizeSpec extends SparkSpecBase {
     val bounded = run(Some(15L))
     assert(bounded(1L) == ((Some(10L), Some(20L), None, 2)))
   }
+
+  test("funnelSinglePass == staged funnel (fixture + driver events)") {
+    import graft.core.GraftSession
+    import graft.operators.Funnel
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    def rows(df: DataFrame) = df
+      .collect().map(r => (r.getLong(0), (0 until r.length - 1).drop(1)
+        .map(i => Option(r.get(i))), r.getInt(r.length - 1))).toSet
+    // the adversarial fixture from the staged test: out-of-order stall,
+    // strict same-ts, non-entrants
+    val ev = Seq(
+      (1L, "purchase", 5L), (1L, "view", 10L),
+      (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 10L), (3L, "click", 10L),
+      (3L, "click", 15L), (3L, "purchase", 12L),
+      (4L, "click", 1L), (4L, "purchase", 2L)
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    for (h <- Seq(None, Some(15L))) {
+      val staged = rows(Funnel.funnel(ev, "user_id", "event_type", "ts",
+        steps, horizon = h))
+      val single = rows(Funnel.funnelSinglePass(ev, "user_id",
+        "event_type", "ts", steps, horizon = h))
+      assert(single == staged, s"horizon=$h single-pass diverges")
+    }
+    // and on the real driver log (sf0.001, micros timeline)
+    val raw = GraftSession.table(spark, "/root/testdata/sf0.001", "events")
+    val dev = raw.select(col("user_id"), col("event_type"),
+      GraftSession.tsMicros(raw).as("ts_us"))
+    val staged = rows(Funnel.funnel(dev, "user_id", "event_type",
+      "ts_us", steps))
+    val single = rows(Funnel.funnelSinglePass(dev, "user_id",
+      "event_type", "ts_us", steps))
+    assert(staged.nonEmpty && single == staged)
+    // plan contract: exactly one hash exchange (the user-key shuffle),
+    // step-type IN filter pushed to the scan
+    val plan = Funnel.funnelSinglePass(dev, "user_id", "event_type",
+      "ts_us", steps).queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"single-pass funnel must shuffle once:\n$plan")
+    assert(!plan.contains("Join"), "single-pass funnel must not join")
+  }
 }
