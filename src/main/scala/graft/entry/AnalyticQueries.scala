@@ -158,6 +158,54 @@ object AnalyticQueries {
         .orderBy("bucket")
     }),
 
+    // Markov transition matrix over the event log (the fifth
+    // event-analytics member): how often does event type A follow
+    // event type B for the same user, and with what probability? One
+    // user-keyed window (lead over the micros timeline, event_id
+    // tiebreak) pairs each event with its successor; the (from, to)
+    // roll-up then groups a |types|²-sized stream — the log shuffles
+    // once, the matrix is tiny. Probability = exact long counts
+    // divided once at the end (IEEE-identical across engines).
+    "q110_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val paired = ev
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          GraftSession.tsMicros(ev).as("ts_us"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val m = paired
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      m.withColumn("p", col("n_transitions").cast("double") /
+          sum(col("n_transitions"))
+            .over(Window.partitionBy(col("from_type"))).cast("double"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Inter-event think-time distribution: per event type, a histogram
+    // of log2-bucketed gaps since the user's previous event — the
+    // bot/burst-detection signal a curation pipeline reads before
+    // trusting engagement counts. The bucket is length(bin(gap)) =
+    // floor(log2)+1 computed in INTEGER space on both engines (a float
+    // log2 would flip at exact powers of two); same single user-keyed
+    // window as q110, then a (type, bucket)-sized roll-up.
+    "q111_interevent_hist" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          GraftSession.tsMicros(ev).as("ts_us"))
+        .withColumn("__gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("__gap").isNotNull)
+        .withColumn("gap_bucket", length(bin(col("__gap"))).cast("long"))
+        .groupBy("event_type", "gap_bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "gap_bucket")
+    }),
+
     // Ordered collection aggregate: set-collect, sort, join — the
     // listagg/string_agg surface with deterministic element order.
     "q54_array_agg" -> ((s, dir) => {
@@ -279,6 +327,33 @@ object AnalyticQueries {
         |      FROM d, (SELECT UNNEST(range(0, 7)) AS o) o)
         |SELECT bucket, COUNT(DISTINCT user_id) AS active_users
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q110: the identical lead-pair + roll-up, probability from the
+    // same exact long counts
+    "q110_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS tn FROM events),
+        |n AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) AS to_type FROM e),
+        |m AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+        |      FROM n WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE) /
+        |  CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // q111: integer log2 bucket via length(bin(gap)) on both engines —
+    // no float log anywhere
+    "q111_interevent_hist" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS tn FROM events),
+        |g AS (SELECT event_type,
+        |  tn - lag(tn) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) AS gap FROM e)
+        |SELECT event_type, CAST(length(bin(gap)) AS BIGINT) AS gap_bucket,
+        |  COUNT(*) AS n
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, gap_bucket""".stripMargin,
     "q54_array_agg" ->
       """SELECT o_orderpriority,
         | array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,

@@ -167,6 +167,20 @@ object RangeQueries {
     // order reversed).
     "q68_asof_forward" -> ((s, dir) => asofAlign(s, dir, forward = true)),
 
+    // Nearest-feature join (bedtools closest; ranges/Closest): each
+    // query interval's closest event-interval — binned overlap ∪ two
+    // as-of alignments ∪ integer argmin, no all-pairs stage. The query
+    // side subsets to 1% so the ORACLE's naive θ-join stays checkable;
+    // the Spark plan is identical at any query count.
+    "q112_closest" -> ((s, dir) => {
+      graft.ranges.Closest.closest(
+          orderIntervals(s, dir).filter(col("o_orderkey") % 100 === 7),
+          eventIntervals(s, dir), Seq("chrom"),
+          "s1", "e1", "s2", "e2", "event_id", width = 64L)
+        .select("chrom", "o_orderkey", "closest_id", "distance")
+        .orderBy("o_orderkey")
+    }),
+
     // J6 (point form) + J9: containment join classifying points into a
     // small interval dimension (the intron/exon membership test of
     // junction.py:229-263).
@@ -186,6 +200,27 @@ object RangeQueries {
     }))
 
   private val oracleSqlBase: Map[String, String] = Map(
+    // the naive per-chrom θ-join ground truth for q112: every
+    // (query, feature) pair scored by the same integer distance, the
+    // (distance, id) argmin kept. Checkable only because the query
+    // side is the 1% subset — which is the point of the comparison:
+    // the Spark side never builds these pairs.
+    "q112_closest" ->
+      """WITH q AS (SELECT o_orderkey%5 AS chrom, (o_orderkey*7)%5000 AS s1,
+        |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e1, o_orderkey
+        |  FROM orders WHERE o_orderkey % 100 = 7),
+        |f AS (SELECT event_id%5 AS chrom, (event_id*13)%5000 AS s2,
+        |  (event_id*13)%5000 + 1 + event_id%25 AS e2, event_id FROM events),
+        |c AS (SELECT q.chrom, q.o_orderkey, f.event_id,
+        |        CAST(CASE WHEN f.s2 <= q.e1 AND f.e2 >= q.s1 THEN 0
+        |             WHEN f.e2 < q.s1 THEN q.s1 - f.e2
+        |             ELSE f.s2 - q.e1 END AS BIGINT) AS dist
+        |      FROM q JOIN f ON q.chrom = f.chrom)
+        |SELECT chrom, o_orderkey, event_id AS closest_id, dist AS distance
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY o_orderkey
+        |                           ORDER BY dist, event_id) = 1
+        |ORDER BY o_orderkey""".stripMargin,
     // two-depth sweep + gap-1 island weld. Positions are UNIQUE per
     // chrom after the delta groupBy, and the island windows run over
     // disjoint segments ordered by unique seg_start — so every window

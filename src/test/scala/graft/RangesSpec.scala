@@ -69,6 +69,64 @@ class RangesSpec extends SparkSpecBase {
     }
   }
 
+  test("closest == naive per-key argmin; edge cases pinned") {
+    import graft.ranges.Closest
+    // randomized equivalence: closest via the 3-candidate plan must
+    // equal the brute-force (distance, id) argmin over all same-key
+    // pairs, at several bin widths
+    val r = new scala.util.Random(23)
+    val qs = (0 until 200).map { i =>
+      val s = r.nextInt(2000).toLong
+      (i.toLong, s"c${i % 3}", s, s + r.nextInt(80)) }
+      .toDF("qid", "k", "qs", "qe")
+    val fs = (0 until 150).map { i =>
+      val s = r.nextInt(2000).toLong
+      (i.toLong, s"c${i % 3}", s, s + r.nextInt(60)) }
+      .toDF("fid", "k", "fs", "fe")
+    def naive = {
+      val pairs = qs.join(fs, Seq("k")).select($"qid", $"fid",
+        when($"fs" <= $"qe" && $"fe" >= $"qs", 0L)
+          .when($"fe" < $"qs", $"qs" - $"fe")
+          .otherwise($"fs" - $"qe").as("d"))
+      pairs.groupBy("qid")
+        .agg(min(struct($"d", $"fid")).as("b"))
+        .select($"qid", $"b.fid", $"b.d")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    for (width <- Seq(16L, 64L, 1024L)) {
+      val got = Closest.closest(qs, fs, Seq("k"), "qs", "qe",
+          "fs", "fe", "fid", width)
+        .select($"qid", $"closest_id", $"distance")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == naive, s"width=$width")
+    }
+    // pinned edges: overlap beats any gap; equal left/right gaps tie
+    // to the smaller id; equal ends tie to the smaller id; a key with
+    // no features is absent
+    val q2 = Seq((1L, "a", 100L, 110L), (2L, "b", 50L, 60L))
+      .toDF("qid", "k", "qs", "qe")
+    val f2 = Seq(
+      (10L, "a", 108L, 120L), // overlaps q1 -> distance 0
+      (11L, "a", 90L, 95L),   // gap 5 left — loses to the overlap
+      (12L, "a", 115L, 130L), // gap 5 right — loses too
+      (20L, "a", 80L, 95L),   // same end as 21: id tie -> 20... but
+      (21L, "a", 85L, 95L))   // both lose to the overlap anyway
+      .toDF("fid", "k", "fs", "fe")
+    val got2 = Closest.closest(q2, f2, Seq("k"), "qs", "qe",
+        "fs", "fe", "fid")
+      .select($"qid", $"closest_id", $"distance")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 10L, 0L))) // q2 ("b") has no features: absent
+    // equidistant left/right around a gap query: min id wins
+    val q3 = Seq((1L, "a", 100L, 100L)).toDF("qid", "k", "qs", "qe")
+    val f3 = Seq((7L, "a", 104L, 110L), (3L, "a", 90L, 96L))
+      .toDF("fid", "k", "fs", "fe")
+    val got3 = Closest.closest(q3, f3, Seq("k"), "qs", "qe",
+        "fs", "fe", "fid")
+      .select($"closest_id", $"distance").as[(Long, Long)].collect().toSet
+    assert(got3 == Set((3L, 4L))) // both at distance 4; 3 < 7
+  }
+
   test("containmentJoin == naive point-in-interval join") {
     val pts = (0 until 300).map(i => (i.toLong, s"c${i % 2}", (i * 37 % 900).toLong))
       .toDF("pid", "k", "p")
