@@ -362,6 +362,34 @@ object ScaleProbe {
         .agg(sum("active_users")).head())
     }
 
+    // closest-interval join (q112 shape): fixed query set, features
+    // replicated — the growth axis is the annotation corpus. The plan
+    // must stay ∝ features (two as-of shuffles over collapsed
+    // (key, coord) streams + the binned overlap join); an all-pairs
+    // regression would show as quadratic bytes
+    if (Seq("closest_join").exists(wanted)) {
+      val qs = GraftSession.table(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 100 === 7).select(
+          (col("o_orderkey") % 5).as("chrom"),
+          ((col("o_orderkey") * 7) % 5000).as("s1"),
+          ((col("o_orderkey") * 7) % 5000 + 1 + col("o_orderkey") % 40)
+            .as("e1"),
+          col("o_orderkey")).cache()
+      val fs = replicate(GraftSession.table(spark, sfDir, "events")
+        .select("event_id"), "event_id", copies)
+        .select(
+          (col("event_id") % 5).as("chrom"),
+          ((col("event_id") * 13) % 50000).as("s2"),
+          ((col("event_id") * 13) % 50000 + 1 + col("event_id") % 25)
+            .as("e2"),
+          col("event_id")).cache()
+      println(s"[probe] closest queries=${qs.count()} features=${fs.count()}")
+      time("closest_join")(graft.ranges.Closest.closest(
+          qs, fs, Seq("chrom"), "s1", "e1", "s2", "e2", "event_id",
+          width = 64L)
+        .agg(sum("distance")).head())
+    }
+
     // pHash near-dup: per-row integer DCT hash (mapPartitions, map-only
     // — the image-decode cost center at production is the codec, which
     // this grid-synthesis shape stands in for) + 4x16-bit band join.
