@@ -380,6 +380,69 @@ object EventStreams {
       }
   }
 
+  final case class FunnelUpdate(user_id: Long, step_reached: Int,
+      step_ts: Seq[Long])
+
+  /** Online conversion funnel — the streaming twin of
+    * [[graft.operators.Funnel.funnelSinglePass]]: each micro-batch
+    * emits the updated funnel position of every user it touched, with
+    * ONE fixed-size state row per user forever (the n step times,
+    * `Long.MinValue` = unreached) — an online funnel never re-scans
+    * history, where the batch operator re-reads the log per run.
+    *
+    * Order contract (the [[streamingPack]] convention): within a
+    * micro-batch events apply in (ts, then arrival) order, so a
+    * single-batch stream reproduces the batch funnel exactly
+    * (spec-asserted), and any stream whose batch boundaries respect
+    * event-time order does too. Cross-batch OUT-OF-ORDER events meet
+    * first-touch semantics: a step event arriving after a later-ts
+    * event already advanced the machine cannot retroactively lower a
+    * step time (the machine never rewinds) — bounded lateness needs a
+    * watermark buffer, the [[streamingPackWatermarked]] device, at the
+    * price of lateness × rate state. Same-user step ties never advance
+    * (strict `>`), matching both batch forms. */
+  def streamingFunnel(events: Dataset[Event], steps: Seq[String],
+      horizon: Option[Long] = None): Dataset[FunnelUpdate] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "repeated step types are ambiguous")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val n = steps.length
+    val NONE = Long.MinValue
+    events
+      .filter(e => stepIdx.contains(e.event_type))
+      .map(e => (e.user_id, stepIdx(e.event_type), e.ts.getTime))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], FunnelUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, Int, Long)],
+            state: GroupState[Array[Long]]) =>
+          val times = state.getOption.getOrElse(Array.fill(n)(NONE))
+          var reached = times.indexOf(NONE) match {
+            case -1 => n
+            case i  => i
+          }
+          val sorted = batch.map { case (_, si, ts) => (si, ts) }
+            .toArray.sortBy(_._2)
+          var i = 0
+          while (i < sorted.length && reached < n) {
+            val (si, ts) = sorted(i)
+            if (si == reached &&
+                (reached == 0 || (ts > times(reached - 1) &&
+                  horizon.forall(ts <= times(0) + _)))) {
+              times(reached) = ts
+              reached += 1
+            }
+            i += 1
+          }
+          if (reached == 0) Iterator.empty // never entered the funnel
+          else {
+            state.update(times)
+            Iterator(FunnelUpdate(user, reached, times.toSeq))
+          }
+      }
+  }
+
   final case class TopEvent(key: Long, rank: Int, event_id: Long,
       score_cents: Long)
 

@@ -100,6 +100,45 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streamingFunnel: time-ordered batches reproduce the batch funnel") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    // the SessionizeSpec adversarial fixture (ties, out-of-order,
+    // non-entrants) in milliseconds, split into 3 time-ordered batches
+    val fixture = Seq(
+      (1L, "purchase", 5L), (1L, "view", 10L), (2L, "click", 5L),
+      (3L, "view", 10L), (3L, "click", 10L), (4L, "click", 1L),
+      (2L, "view", 10L), (3L, "purchase", 12L), (4L, "purchase", 2L),
+      (1L, "click", 20L), (1L, "purchase", 30L), (3L, "click", 15L))
+    val batches = Seq(fixture.filter(_._3 <= 10),
+      fixture.filter(e => e._3 > 10 && e._3 <= 15), fixture.filter(_._3 > 15))
+    def ev(t: (Long, String, Long)) = EventStreams.Event(
+      t._3 * 100 + t._1, new java.sql.Timestamp(t._3), t._1, t._2, 1.0)
+    val mem = MemoryStream[EventStreams.Event]
+    val steps = Seq("view", "click", "purchase")
+    val q = EventStreams.streamingFunnel(mem.toDS(), steps).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      batches.foreach { b => mem.addData(b.map(ev): _*); q.processAllAvailable() }
+      // latest update per user == the batch operator's final row
+      val got = spark.table("funnel_stream")
+        .groupByKey(_.getLong(0)).mapGroups { (u, it) =>
+          val last = it.toSeq.maxBy(_.getInt(1)) // funnel only advances
+          (u, last.getInt(1), last.getSeq[Long](2).map(t =>
+            if (t == Long.MinValue) None else Some(t)))
+        }.collect().toSet
+      val want = graft.operators.Funnel.funnelSinglePass(
+          fixture.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps)
+        .collect().map(r => (r.getLong(0), r.getInt(4),
+          (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))))
+        .toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup: bounded state, dupes dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
