@@ -206,6 +206,39 @@ object AnalyticQueries {
         .orderBy("event_type", "gap_bucket")
     }),
 
+    // Per-type hourly burst z-scores (bot/scrape detection — the
+    // anomaly signal a curation pipeline checks before trusting
+    // engagement counts): each (type, hour) count scored against the
+    // type's own mean/std over hours. Determinism device (q55/q59
+    // family): every aggregate is an exact LONG sum (n, n², bucket
+    // count); mean/var/z then derive through the IDENTICAL
+    // double-expression tree on both engines — IEEE ops on identical
+    // inputs, no sum-order dependence anywhere. Two tiny shuffles:
+    // the (type, hour) roll-up and the per-type stats window over the
+    // bucket stream.
+    "q113_burst_zscore" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val counts = ev
+        .select(col("event_type"), GraftSession.tsMicros(ev).as("ts_us"))
+        .select(col("event_type"),
+          expr("ts_us div 3600000000").as("bucket")) // exact integer div
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+      val stats = counts
+        .withColumn("__sn", sum(col("n")).over(w))
+        .withColumn("__sq", sum(col("n") * col("n")).over(w))
+        .withColumn("__c", count(lit(1)).over(w))
+      val mean = col("__sn").cast("double") / col("__c")
+      val varr = greatest(
+        col("__sq").cast("double") / col("__c") - mean * mean, lit(0.0))
+      stats
+        .withColumn("z", when(varr > 0,
+          (col("n").cast("double") - mean) / sqrt(varr)).otherwise(0.0))
+        .select("event_type", "bucket", "n", "z")
+        .orderBy("event_type", "bucket")
+    }),
+
     // Ordered collection aggregate: set-collect, sort, join — the
     // listagg/string_agg surface with deterministic element order.
     "q54_array_agg" -> ((s, dir) => {
@@ -342,6 +375,22 @@ object AnalyticQueries {
         |  CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
         |    AS p
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // q113: the identical long-sum → double-derivation tree — operand
+    // order mirrored expression by expression
+    "q113_burst_zscore" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |  COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, bucket, n,
+        |  SUM(n) OVER w AS sn, SUM(n*n) OVER w AS sq, COUNT(*) OVER w AS c
+        |  FROM c WINDOW w AS (PARTITION BY event_type))
+        |SELECT event_type, bucket, n,
+        |  CASE WHEN greatest(CAST(sq AS DOUBLE)/c -
+        |         (CAST(sn AS DOUBLE)/c)*(CAST(sn AS DOUBLE)/c), 0.0) > 0
+        |    THEN (CAST(n AS DOUBLE) - CAST(sn AS DOUBLE)/c) /
+        |      sqrt(greatest(CAST(sq AS DOUBLE)/c -
+        |        (CAST(sn AS DOUBLE)/c)*(CAST(sn AS DOUBLE)/c), 0.0))
+        |    ELSE 0.0 END AS z
+        |FROM s ORDER BY event_type, bucket""".stripMargin,
     // q111: integer log2 bucket via length(bin(gap)) on both engines —
     // no float log anywhere
     "q111_interevent_hist" ->
