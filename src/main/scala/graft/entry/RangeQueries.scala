@@ -167,6 +167,33 @@ object RangeQueries {
     // order reversed).
     "q68_asof_forward" -> ((s, dir) => asofAlign(s, dir, forward = true)),
 
+    // Last-touch attribution (AsofJoin.backwardWithin first-classed):
+    // each purchase credits the user's latest click within the 1-hour
+    // window before it — the marketing/causality primitive. Same
+    // one-shuffle union-tag as-of plan as q26, plus the gap predicate
+    // nulling matches outside the window; value rides through
+    // UNTOUCHED (no float arithmetic → hash-stable).
+    "q114_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("event_id"), col("user_id"),
+        col("event_type"), GraftSession.tsMicros(ev).as("ts_us"),
+        col("value"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("value"))
+      val clicks = base.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsofJoin.backwardWithin(purchases, clicks,
+          Seq("user_id"), "ts_us", "cts", maxGap = 3600000000L,
+          rightTsOut = "click_ts")
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          col("click_ts"),
+          when(col("click_id").isNotNull, col("value"))
+            .as("attributed_value"))
+        .orderBy("event_id")
+    }),
+
     // Nearest-feature join (bedtools closest; ranges/Closest): each
     // query interval's closest event-interval — binned overlap ∪ two
     // as-of alignments ∪ integer argmin, no all-pairs stage. The query
@@ -200,6 +227,20 @@ object RangeQueries {
     }))
 
   private val oracleSqlBase: Map[String, String] = Map(
+    // q114: DuckDB's native ASOF LEFT JOIN + the same gap CASE — the
+    // window nulling replicated column by column
+    "q114_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tn, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ctn, MAX(event_id) AS cid
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN p.tn - c.ctn <= 3600000000 THEN c.cid END AS click_id,
+        |  CASE WHEN p.tn - c.ctn <= 3600000000 THEN c.ctn END AS click_ts,
+        |  CASE WHEN p.tn - c.ctn <= 3600000000 THEN p.value
+        |       END AS attributed_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tn >= c.ctn
+        |ORDER BY p.event_id""".stripMargin,
     // the naive per-chrom θ-join ground truth for q112: every
     // (query, feature) pair scored by the same integer distance, the
     // (distance, id) argmin kept. Checkable only because the query
