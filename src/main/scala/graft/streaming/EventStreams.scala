@@ -443,6 +443,61 @@ object EventStreams {
       }
   }
 
+  final case class TransitionDelta(from_type: String, to_type: String,
+      delta: Long)
+
+  /** Online event-transition counting — the streaming twin of the
+    * batch transition matrix (entry q110): each micro-batch emits
+    * per-(from, to) COUNT DELTAS for the user transitions it
+    * completed, with ONE (type, ts, id) triple of state per user
+    * forever — the previous event, which seeds the first transition of
+    * the next batch. A downstream rolling sum (or the memory-sink
+    * aggregation in the spec) reconstructs the full matrix; emitting
+    * deltas keeps the operator append-friendly and the state bounded
+    * where a stateful matrix per key would grow with |types|².
+    *
+    * Order contract (the [[streamingFunnel]] convention): in-batch
+    * events pair in (ts, event_id) order seeded by the carried state,
+    * so time-ordered batches reproduce the batch matrix exactly
+    * (spec-asserted); cross-batch late events pair in arrival order. */
+  /** Exact epoch micros from a Timestamp — `getTime` alone is millis
+    * and would tie-break same-millisecond events differently than the
+    * batch micros timeline (GraftSession.tsMicros). */
+  private def exactMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  def streamingTransitions(events: Dataset[Event])
+      : Dataset[TransitionDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .map(e => (e.user_id, e.event_type, exactMicros(e.ts), e.event_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Long), TransitionDelta](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, String, Long, Long)],
+            state: GroupState[(String, Long, Long)]) =>
+          val sorted = batch.map { case (_, t, ts, id) => (t, ts, id) }
+            .toArray.sortBy { case (_, ts, id) => (ts, id) }
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val deltas = scala.collection.mutable.Map
+              .empty[(String, String), Long]
+            var prev = state.getOption.map(_._1)
+            sorted.foreach { case (t, _, _) =>
+              prev.foreach { p =>
+                deltas((p, t)) = deltas.getOrElse((p, t), 0L) + 1L
+              }
+              prev = Some(t)
+            }
+            val lastRow = sorted.last
+            state.update(lastRow)
+            deltas.iterator.map { case ((f, t), d) =>
+              TransitionDelta(f, t, d)
+            }
+          }
+      }
+  }
+
   final case class TopEvent(key: Long, rank: Int, event_id: Long,
       score_cents: Long)
 

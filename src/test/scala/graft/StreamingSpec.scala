@@ -139,6 +139,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingTransitions: summed deltas == batch transition matrix") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    // the real driver log (sf0.001), streamed in 3 time-ordered batches
+    val rows = batchEvents
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.streamingTransitions(mem.toDS()).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("trans_stream").start()
+    try {
+      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table("trans_stream")
+        .groupBy("from_type", "to_type")
+        .agg(org.apache.spark.sql.functions.sum("delta").as("n"))
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      // ground truth: the batch q110 counts over the same log
+      val want = graft.SparkEntry.queries("q110_transitions")(
+          spark, "/root/testdata/sf0.001")
+        .select("from_type", "to_type", "n_transitions")
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup: bounded state, dupes dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
