@@ -335,6 +335,30 @@ object ScaleProbe {
         .agg(sum("step_reached")).head())
     }
 
+    // staged vs single-pass funnel at a LONG step list (the
+    // Funnel.funnelSinglePass trade claim): 12 synthetic step types
+    // (s0..s11 from event_id mod 12) so the staged form pays 12
+    // join+agg rounds while the single-pass form pays its one user-key
+    // shuffle + per-user sort. Most users stall early under random
+    // type order — realistic for deep funnels, and identical work for
+    // both forms by construction (spec'd equal in SessionizeSpec).
+    if (Seq("funnel_12step_staged", "funnel_12step_single")
+        .exists(wanted)) {
+      val evRaw = GraftSession.table(spark, sfDir, "events")
+      val ev = replicate(evRaw.select(col("user_id"),
+          concat(lit("s"), pmod(col("event_id"), lit(12))).as("etype"),
+          GraftSession.tsMicros(evRaw).as("ts_us")),
+        "user_id", copies).cache()
+      println(s"[probe] funnel12 events=${ev.count()}")
+      val steps12 = (0 until 12).map(i => s"s$i")
+      time("funnel_12step_staged")(graft.operators.Funnel.funnel(
+          ev, "user_id", "etype", "ts_us", steps12)
+        .agg(sum("step_reached")).head())
+      time("funnel_12step_single")(graft.operators.Funnel.funnelSinglePass(
+          ev, "user_id", "etype", "ts_us", steps12)
+        .agg(sum("step_reached")).head())
+    }
+
     // cohort retention over the same user-replicated log (q108 shape):
     // the log collapses to distinct (user, bucket) pairs map-side, so
     // shuffle bytes scale with users x active-buckets, not raw events
