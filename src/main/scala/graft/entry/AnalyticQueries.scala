@@ -133,6 +133,21 @@ object AnalyticQueries {
         .orderBy("user_id")
     }),
 
+    // q107's single-pass twin, oracle-certified on its own: the
+    // flatMapGroups state machine (operators/Funnel.funnelSinglePass)
+    // against the SAME staged-MIN-chain SQL — the only oracle row
+    // exercising a typed per-group walk, where off-by-one tie/horizon
+    // bugs would hide from plan-level checks.
+    "q115_funnel_single" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Funnel.funnelSinglePass(
+          ev.select(col("user_id"), col("event_type"),
+              GraftSession.tsMicros(ev).as("ts_us")),
+          "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
     // Weekly cohort retention matrix (operators/Retention, the fourth
     // event-analytics member): users bucketed by the week of their
     // first event, then counted again at each later active week. The
@@ -268,7 +283,7 @@ object AnalyticQueries {
         .orderBy("label", "pos")
     }))
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q79_rolling_window" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS p,
@@ -415,4 +430,9 @@ object AnalyticQueries {
         |   / (COUNT(*) * 1e7) AS centroid
         |FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)
+
+  /** q115 is funnelSinglePass against q107's OWN ground truth — one
+    * SQL text, two independent Spark implementations checked. */
+  val oracleSql: Map[String, String] =
+    oracleSqlBase + ("q115_funnel_single" -> oracleSqlBase("q107_funnel"))
 }
