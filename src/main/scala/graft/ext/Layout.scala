@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout (Z-order clustering) — the write-side
+  * half of scan pruning at 100 TB.
+  *
+  * A table range-sorted on ONE column gives parquet tight per-row-group
+  * min/max stats on that column only: predicates on any other column
+  * read everything. Interleaving the bits of 2-3 bucketized columns
+  * into one Morton (Z) value and range-writing on IT keeps every
+  * clustered column's values locally dense per file/row group, so
+  * min/max stats prune scans on ANY of them — the standard lakehouse
+  * layout device (public Delta/Iceberg OPTIMIZE ZORDER semantics),
+  * re-derived here over plain parquet with no table format needed.
+  *
+  * Scale shape: one tiny min/max aggregate per clustered column (a
+  * single driver-side row — the bounded-collect contract), then a
+  * map-only bucketize + bit-interleave expression (codegen'd integer
+  * ops, no UDF), then ONE range exchange on the z-value — the same
+  * shuffle a plain sorted write pays. Nothing here touches query
+  * results: layout only affects which row groups a later scan skips.
+  */
+object Layout {
+
+  /** Morton/Z value over `cols`, each bucketized to `bits` bits via
+    * min/max normalization (the one driver-visible aggregate). NULLs
+    * bucket to 0 — they cluster together at the low end, which is what
+    * a pruning layout wants. Constant columns (min == max) contribute
+    * bucket 0 everywhere and drop out of the interleave harmlessly. */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+    require(cols.size >= 2 && cols.size <= 3,
+      s"z-order interleave supports 2-3 columns, got ${cols.size}")
+    require(bits >= 4 && bits <= 20, s"bits out of range: $bits")
+    // one aggregate pass: per-column min/max as doubles
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxBucket = (1L << bits) - 1
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val mn = Option(row.get(2 * i)).fold(0.0)(_.asInstanceOf[Double])
+      val mx = Option(row.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double])
+      if (mx > mn)
+        least(lit(maxBucket), greatest(lit(0L),
+          floor((col(c).cast("double") - lit(mn)) / lit(mx - mn)
+            * lit(maxBucket.toDouble)).cast("long")))
+      else lit(0L) // constant or all-null column
+    }.map(b => coalesce(b, lit(0L)))
+    val n = cols.size
+    // interleave: bit i of column j lands at position i*n + (n-1-j)
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a.bitwiseOR(shiftleft(
+          b.bitwiseAND(lit(1L << i)), i * (n - 1) + (n - 1 - j)))
+      }
+    }
+  }
+
+  /** Range-write `df` into `numFiles` parquet files clustered by the
+    * Z-order of `cols`: one range exchange + in-partition sort on the
+    * z-value, which parquet then turns into tight min/max stats for
+    * EVERY clustered column. The helper column never reaches disk. */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    df.withColumn("__z", zValue(df, cols, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -33,6 +33,55 @@ class ScaleLayoutSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-order layout prunes scans on BOTH clustered dimensions") {
+    import graft.ext.Layout
+    // two independent uniform dims: a single-dim sort can serve only
+    // one of them; z-order must serve both
+    val n = 200000L
+    val df = spark.range(n).select(col("id"),
+      pmod(hash(col("id")), lit(100000)).cast("long").as("a"),
+      pmod(hash(col("id") * 7 + 3), lit(100000)).cast("long").as("b"))
+    val zdir = tmpDir("zorder")
+    val ldir = tmpDir("linear")
+    // granularity = the file count here (each small file is one row
+    // group): a 1-D slab predicate intersects ~sqrt(F) of F files
+    // under 2-D z-order, so F=64 → ~1/8 of the data per dim
+    Layout.writeZOrdered(df, Seq("a", "b"), zdir, numFiles = 64)
+    df.repartitionByRange(64, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(ldir)
+
+    // rows DECODED by the scan (post row-group/page pruning, pre
+    // residual filter) — the metric min/max stats actually move
+    def scannedRows(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(dir).filter(pred)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val predA = col("a") between (41000, 42000)
+    val predB = col("b") between (41000, 42000)
+    // same answers under every layout, first
+    val wantA = df.filter(predA).count()
+    val wantB = df.filter(predB).count()
+    assert(spark.read.parquet(zdir).filter(predA).count() == wantA)
+    assert(spark.read.parquet(zdir).filter(predB).count() == wantB)
+    // the linear layout prunes its sort dim but reads ~everything for
+    // the other; z-order must prune BOTH well below the linear b-scan
+    val zA = scannedRows(zdir, predA)
+    val zB = scannedRows(zdir, predB)
+    val lB = scannedRows(ldir, predB)
+    assert(lB > n / 2,
+      s"control broken: linear-by-a should scan ~all rows for b ($lB)")
+    // margins are deliberately loose: (1) the low-order interleave dim
+    // (b here) is inherently the weaker prune — its slab crosses ~2x
+    // the z-segments of the high-order dim (measured ~31k vs ~52k of
+    // 200k at 64 files); (2) repartitionByRange samples with an
+    // rddId-seeded RNG, so file boundaries (and exact scan counts)
+    // jitter a few percent run to run. 3x-on-both is the stable claim.
+    assert(zA < lB / 3 && zB < lB / 3,
+      s"z-order must prune both dims: zA=$zA zB=$zB vs linear-b=$lB")
+  }
+
   test("salted aggregation == plain aggregation") {
     val df = spark.range(20000)
       .select((col("id") % 3).cast("string").as("k"),
