@@ -498,6 +498,57 @@ object EventStreams {
       }
   }
 
+  final case class RetentionDelta(cohort: Long, bucket_offset: Long,
+      delta: Long)
+
+  /** Online cohort-retention counting — the streaming twin of
+    * [[graft.operators.Retention.cohortMatrix]], completing the online
+    * event-analytics family (sessions, funnel, transitions): each
+    * micro-batch emits (cohort, bucket_offset) COUNT DELTAS for the
+    * (user, bucket) activity pairs it saw FIRST, so a downstream
+    * rolling sum reconstructs the cohort matrix's n_users at any
+    * point. State per user = its cohort bucket + the set of buckets
+    * already counted — bounded by the user's distinct active buckets
+    * (the same per-user bound the batch operator's window groups by),
+    * NOT by event volume: duplicate activity in a seen bucket is
+    * absorbed statefully and emits nothing.
+    *
+    * Order contract: a user's cohort pins to the first bucket that
+    * ARRIVES for it (in-batch, the minimum bucket of the batch — the
+    * batch semantics); a strictly earlier bucket arriving in a LATER
+    * batch cannot re-cohort the user retroactively (the already-
+    * emitted deltas stand) — it counts at its offset from the pinned
+    * cohort, floored at 0. Time-ordered batches therefore reproduce
+    * the batch matrix exactly (spec-asserted); late data degrades to
+    * arrival-order cohorts, the price every online counter pays. */
+  def streamingRetention(events: Dataset[Event], bucketWidthMs: Long)
+      : Dataset[RetentionDelta] = {
+    require(bucketWidthMs > 0, s"bucketWidthMs must be positive")
+    import events.sparkSession.implicits._
+    events
+      .map(e => (e.user_id, Math.floorDiv(e.ts.getTime, bucketWidthMs)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Set[Long]), RetentionDelta](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, Long)],
+            state: GroupState[(Long, Set[Long])]) =>
+          val bs = batch.map(_._2).toArray
+          if (bs.isEmpty) Iterator.empty
+          else {
+            val (cohort, seen0) = state.getOption
+              .getOrElse((bs.min, Set.empty[Long]))
+            var seen = seen0
+            val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
+            bs.sorted.foreach { b =>
+              if (!seen.contains(b)) { seen += b; fresh += b }
+            }
+            state.update((cohort, seen))
+            fresh.iterator.map(b =>
+              RetentionDelta(cohort, math.max(0L, b - cohort), 1L))
+          }
+      }
+  }
+
   final case class TopEvent(key: Long, rank: Int, event_id: Long,
       score_cents: Long)
 

@@ -169,6 +169,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingRetention: summed deltas == batch cohort matrix") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val week = 604800000L // ms
+    val rows = batchEvents
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.streamingRetention(mem.toDS(), week).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("ret_stream").start()
+    try {
+      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table("ret_stream")
+        .groupBy("cohort", "bucket_offset")
+        .agg(org.apache.spark.sql.functions.sum("delta").as("n"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      val want = graft.operators.Retention.cohortMatrix(
+          batchEvents.select(col("user_id"),
+            org.apache.spark.sql.functions.unix_millis(col("ts")).as("ms")),
+          "user_id", "ms", bucketWidth = week)
+        .select("cohort", "bucket_offset", "n_users")
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup: bounded state, dupes dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
