@@ -45,9 +45,20 @@ import graft.operators.AsofJoin
   */
 object Closest {
 
+  /** @param maxDist  when set, candidates farther than this are
+    *                  dropped BEFORE the argmin — a query whose nearest
+    *                  feature exceeds the bound counts as unmatched
+    *                  (bedtools-closest-with-a-horizon semantics)
+    * @param keepUnmatched  when true, queries with no (surviving)
+    *                  candidate are emitted with NULL closest_id and
+    *                  distance instead of being dropped — the
+    *                  left-join form downstream enrichment wants */
   def closest(queries: DataFrame, features: DataFrame, keys: Seq[String],
       qStart: String, qEnd: String, fStart: String, fEnd: String,
-      fId: String, width: Long = 10000L): DataFrame = {
+      fId: String, width: Long = 10000L,
+      maxDist: Option[Long] = None,
+      keepUnmatched: Boolean = false): DataFrame = {
+    require(maxDist.forall(_ >= 0), s"maxDist must be >= 0: $maxDist")
     val kc = keys.map(col)
     val qCols = queries.columns.map(col).toSeq
 
@@ -78,10 +89,16 @@ object Closest {
         (col("__fcoord") - col(qEnd)).cast("long").as("__dist"): _*)
 
     // integer-exact argmin per query: lexicographic (distance, id)
-    over.unionByName(left).unionByName(right)
+    val candidates = over.unionByName(left).unionByName(right)
+    val bounded = maxDist.fold(candidates)(d =>
+      candidates.filter(col("__dist") <= d))
+    val resolved = bounded
       .groupBy(qCols: _*)
       .agg(min(struct(col("__dist"), col("__fid"))).as("__best"))
       .select(qCols :+ col("__best.__fid").as("closest_id") :+
         col("__best.__dist").as("distance"): _*)
+    if (!keepUnmatched) resolved
+    else queries.join(resolved,
+      queries.columns.toSeq, "left") // null id/distance for unmatched
   }
 }

@@ -125,6 +125,19 @@ class RangesSpec extends SparkSpecBase {
         "fs", "fe", "fid")
       .select($"closest_id", $"distance").as[(Long, Long)].collect().toSet
     assert(got3 == Set((3L, 4L))) // both at distance 4; 3 < 7
+    // maxDist: nearest at distance 4 > bound 3 -> unmatched (absent,
+    // or NULL-filled under keepUnmatched, which also restores the
+    // featureless "b" query)
+    assert(Closest.closest(q3, f3, Seq("k"), "qs", "qe", "fs", "fe",
+      "fid", maxDist = Some(3L)).count() == 0)
+    val kept = Closest.closest(q2, f2, Seq("k"), "qs", "qe", "fs", "fe",
+        "fid", keepUnmatched = true)
+      .select($"qid", $"closest_id", $"distance")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(kept == Set(
+      (1L, Some(10L), Some(0L)),
+      (2L, None, None))) // the featureless key rides through as NULLs
   }
 
   test("containmentJoin == naive point-in-interval join") {
