@@ -210,7 +210,7 @@ object AnalyticQueries {
       val ev = t(s, dir, "events")
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts_us").asc, col("event_id").asc)
-      t(s, dir, "events")
+      ev
         .select(col("user_id"), col("event_id"), col("event_type"),
           GraftSession.tsMicros(ev).as("ts_us"))
         .withColumn("__gap", col("ts_us") - lag(col("ts_us"), 1).over(w))

@@ -411,7 +411,10 @@ object EventStreams {
     val NONE = Long.MinValue
     events
       .filter(e => stepIdx.contains(e.event_type))
-      .map(e => (e.user_id, stepIdx(e.event_type), e.ts.getTime))
+      // exactMicros, not getTime: same-millisecond steps differing in
+      // micros must advance the strict > machine exactly as the batch
+      // micros timeline does (step_ts is therefore epoch MICROS)
+      .map(e => (e.user_id, stepIdx(e.event_type), exactMicros(e.ts)))
       .groupByKey(_._1)
       .flatMapGroupsWithState[Array[Long], FunnelUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -517,10 +520,13 @@ object EventStreams {
     * ARRIVES for it (in-batch, the minimum bucket of the batch — the
     * batch semantics); a strictly earlier bucket arriving in a LATER
     * batch cannot re-cohort the user retroactively (the already-
-    * emitted deltas stand) — it counts at its offset from the pinned
-    * cohort, floored at 0. Time-ordered batches therefore reproduce
-    * the batch matrix exactly (spec-asserted); late data degrades to
-    * arrival-order cohorts, the price every online counter pays. */
+    * emitted deltas stand) and is absorbed SILENTLY — it joins `seen`
+    * but emits nothing, because its honest offset is negative and
+    * counting it at offset 0 would double-count the user in the
+    * cohort-size denominator. Time-ordered batches therefore
+    * reproduce the batch matrix exactly (spec-asserted); late data
+    * degrades to arrival-order cohorts minus pre-cohort activity,
+    * the price every online counter pays. */
   def streamingRetention(events: Dataset[Event], bucketWidthMs: Long)
       : Dataset[RetentionDelta] = {
     require(bucketWidthMs > 0, s"bucketWidthMs must be positive")
@@ -540,11 +546,17 @@ object EventStreams {
             var seen = seen0
             val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
             bs.sorted.foreach { b =>
-              if (!seen.contains(b)) { seen += b; fresh += b }
+              if (!seen.contains(b)) {
+                seen += b
+                // pre-cohort late buckets absorb without a delta: their
+                // offset is negative, and a floored 0 would double-count
+                // the user against its own cohort size
+                if (b >= cohort) fresh += b
+              }
             }
             state.update((cohort, seen))
             fresh.iterator.map(b =>
-              RetentionDelta(cohort, math.max(0L, b - cohort), 1L))
+              RetentionDelta(cohort, b - cohort, 1L))
           }
       }
   }

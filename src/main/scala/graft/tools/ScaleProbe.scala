@@ -215,7 +215,8 @@ object ScaleProbe {
     // production saves the index ONCE and pays only query-time reads —
     // time the queries against the LOADED parquet artifacts so the
     // build-dominated rows above don't overstate steady-state cost
-    if (Seq("postings_query_loaded", "phrase_query_loaded")
+    if (Seq("postings_query_loaded", "phrase_query_loaded",
+        "postings_artifact_build", "phrase_artifact_build")
         .exists(wanted)) {
       val pDir = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_probe_postings").getPath

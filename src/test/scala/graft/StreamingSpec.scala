@@ -129,8 +129,11 @@ class StreamingSpec extends SparkSpecBase {
           (u, last.getInt(1), last.getSeq[Long](2).map(t =>
             if (t == Long.MinValue) None else Some(t)))
         }.collect().toSet
+      // streaming step_ts is epoch MICROS; the ms fixture ts maps via
+      // x1000 on the batch side for the comparison
       val want = graft.operators.Funnel.funnelSinglePass(
-          fixture.toDF("user_id", "event_type", "ts"),
+          fixture.map(t => (t._1, t._2, t._3 * 1000L))
+            .toDF("user_id", "event_type", "ts"),
           "user_id", "event_type", "ts", steps)
         .collect().map(r => (r.getLong(0), r.getInt(4),
           (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))))
@@ -184,6 +187,14 @@ class StreamingSpec extends SparkSpecBase {
       .format("memory").queryName("ret_stream").start()
     try {
       thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      // late PRE-cohort activity: a bucket two weeks before an existing
+      // user's pinned cohort must absorb silently — a floored offset-0
+      // delta would double-count the user in its cohort denominator
+      val u = rows.head
+      mem.addData(EventStreams.Event(999999L,
+        new java.sql.Timestamp(u.ts.getTime - 2 * week), u.user_id,
+        u.event_type, 1.0))
+      q.processAllAvailable()
       val got = spark.table("ret_stream")
         .groupBy("cohort", "bucket_offset")
         .agg(org.apache.spark.sql.functions.sum("delta").as("n"))
