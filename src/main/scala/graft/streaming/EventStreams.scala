@@ -561,6 +561,47 @@ object EventStreams {
       }
   }
 
+  final case class ActiveEstimate(bucket: Long, active_users: Double)
+
+  /** Online rolling active users (DAU/WAU) — the streaming face of
+    * [[graft.operators.Retention.rollingActive]]'s sketch mode: each
+    * (user, bucket) activity fans out map-side to the `window`
+    * bucket-ends it supports (the batch device), then a KMV sketch per
+    * bucket-end accumulates as mapGroupsWithState state — k longs per
+    * OCCUPIED BUCKET-END forever, regardless of user count or event
+    * volume, where exact streaming distinct state would grow with
+    * users × window. Emits each touched bucket-end's updated estimate
+    * every micro-batch; the estimate converges on the batch
+    * `rollingActive` answer within KMV error (~1/√k) and is
+    * arrival-order INDEPENDENT (a sketch of a set), so no time-order
+    * contract is needed — the one online event operator here that is
+    * exactly late-data-proof. */
+  def streamingRollingActive(events: Dataset[Event], bucketWidthMs: Long,
+      window: Int, k: Int = 256): Dataset[ActiveEstimate] = {
+    require(bucketWidthMs > 0 && window > 0, "positive bucket/window")
+    import events.sparkSession.implicits._
+    val sketch = new graft.ext.Sketches.BottomK(k)
+    events
+      .flatMap { e =>
+        val b = Math.floorDiv(e.ts.getTime, bucketWidthMs)
+        (0 until window).map(o => (b + o, e.user_id))
+      }
+      .toDF("bucket", "user_id")
+      .select(col("bucket"),
+        graft.ext.Sketches.hashU32(col("user_id")).as("hv"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], ActiveEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (bucket: Long, batch: Iterator[(Long, Long)],
+            state: GroupState[Array[Long]]) =>
+          var mins = state.getOption.getOrElse(Array.emptyLongArray)
+          batch.foreach { case (_, hv) => mins = sketch.reduce(mins, hv) }
+          state.update(mins)
+          ActiveEstimate(bucket, graft.ext.Sketches.estimate(mins, k))
+      }
+  }
+
   final case class TopEvent(key: Long, rank: Int, event_id: Long,
       score_cents: Long)
 

@@ -211,6 +211,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingRollingActive: KMV curve tracks exact batch actives") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val day = 86400000L // ms
+    val rows = batchEvents
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event].collect()
+    // deliberately UN-ordered split (hash by event_id): the sketch is
+    // arrival-order independent, so this must still converge
+    val parts = rows.groupBy(_.event_id % 3).values.toSeq
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.streamingRollingActive(mem.toDS(), day, window = 7)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("dau_stream").start()
+    try {
+      parts.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      // latest estimate per bucket
+      val got = spark.table("dau_stream").groupByKey(_.getLong(0))
+        .mapGroups((b, it) => (b, it.toSeq.last.getDouble(1)))
+        .collect().toMap
+      val want = graft.operators.Retention.rollingActive(
+          batchEvents.select(col("user_id"),
+            org.apache.spark.sql.functions.unix_millis(col("ts")).as("ms")),
+          "user_id", "ms", bucketWidth = day, window = 7)
+        .as[(Long, Long)].collect().toMap
+      assert(want.nonEmpty && got.keySet == want.keySet)
+      for ((b, n) <- want) {
+        val e = got(b)
+        // KMV rsd ~ 1/sqrt(k) = 6.25% at k=256; exact below k
+        assert(math.abs(e - n) <= math.max(2.0, 4 * 0.0625 * n),
+          s"bucket $b: estimate $e vs exact $n beyond 4x rsd")
+      }
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup: bounded state, dupes dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
