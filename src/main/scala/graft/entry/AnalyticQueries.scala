@@ -254,6 +254,44 @@ object AnalyticQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // OLAP over q53's sessions: the session-SIZE distribution — how
+    // many sessions have n events, and how long do they run? Rollups
+    // on the session table (already one shuffle), exact long sums,
+    // mean as one IEEE division of exact operands (q113's device).
+    "q116_session_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Sessionize.sessions(
+          ev.select(col("user_id"), col("event_id"),
+            GraftSession.tsMicros(ev).as("ts_us")),
+          keys = Seq("user_id"), tsCol = "ts_us", gap = 28800000000L,
+          tieBreak = Seq("event_id"))
+        .groupBy("n_events")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("end_ts") - col("start_ts")).as("total_duration_us"))
+        .withColumn("mean_duration_us",
+          col("total_duration_us").cast("double") / col("n_sessions"))
+        .orderBy("n_events")
+    }),
+
+    // Time-to-convert distribution: among users completing the q107
+    // funnel, the log2 histogram of (purchase time − first view time)
+    // — the conversion-latency curve. Integer bin(bucket) device from
+    // q111; work rides q107's shrinking-agg plan.
+    "q117_time_to_convert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Funnel.funnel(
+          ev.select(col("user_id"), col("event_type"),
+            GraftSession.tsMicros(ev).as("ts_us")),
+          "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"))
+        .filter(col("step_reached") === 3)
+        .withColumn("latency_bucket",
+          length(bin(col("t3") - col("t1"))).cast("long"))
+        .groupBy("latency_bucket")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("latency_bucket")
+    }),
+
     // Ordered collection aggregate: set-collect, sort, join — the
     // listagg/string_agg surface with deterministic element order.
     "q54_array_agg" -> ((s, dir) => {
@@ -390,6 +428,38 @@ object AnalyticQueries {
         |  CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
         |    AS p
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // q116: q53's session CTE chain + the size rollup; mean division
+    // mirrored on exact longs
+    "q116_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn FROM events),
+        |g AS (SELECT user_id, event_id, tn,
+        |  CASE WHEN tn - lag(tn) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) > 28800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (SELECT user_id, tn,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM g),
+        |sess AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MAX(tn) - MIN(tn) AS dur FROM s GROUP BY 1, 2)
+        |SELECT n_events, COUNT(*) AS n_sessions,
+        |  SUM(dur) AS total_duration_us,
+        |  CAST(SUM(dur) AS DOUBLE) / COUNT(*) AS mean_duration_us
+        |FROM sess GROUP BY 1 ORDER BY n_events""".stripMargin,
+    // q117: q107's staged MIN chain, completers only, q111's integer
+    // log2 bucket over the end-to-end latency
+    "q117_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events),
+        |s1 AS (SELECT user_id, MIN(tn) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.tn) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tn > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.tn) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tn > s2.t2 GROUP BY 1)
+        |SELECT CAST(length(bin(s3.t3 - s1.t1)) AS BIGINT) AS latency_bucket,
+        |  COUNT(*) AS n_users
+        |FROM s3 JOIN s1 USING (user_id)
+        |GROUP BY 1 ORDER BY latency_bucket""".stripMargin,
     // q113: the identical long-sum → double-derivation tree — operand
     // order mirrored expression by expression
     "q113_burst_zscore" ->
