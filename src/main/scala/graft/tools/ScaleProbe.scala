@@ -359,6 +359,33 @@ object ScaleProbe {
         .agg(sum("step_reached")).head())
     }
 
+    // transition matrix + think-time histogram (q110/q111 shapes):
+    // ONE user-key window over the replicated log, then tiny roll-ups
+    // — the probe pins that the only log-sized exchange is the window
+    // partition (bytes ∝ events, wall scan/sort-bound)
+    if (Seq("transitions_matrix", "interevent_hist").exists(wanted)) {
+      val evRaw = GraftSession.table(spark, sfDir, "events")
+      val ev = replicate(evRaw
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          GraftSession.tsMicros(evRaw).as("ts_us")),
+        "user_id", copies).cache()
+      println(s"[probe] transitions events=${ev.count()}")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      time("transitions_matrix")(ev
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy("event_type", "to_type").count()
+        .agg(sum("count")).head())
+      time("interevent_hist")(ev
+        .withColumn("__gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("__gap").isNotNull)
+        .groupBy(col("event_type"),
+          length(bin(col("__gap"))).as("gap_bucket"))
+        .count().agg(sum("count")).head())
+    }
+
     // staged vs single-pass funnel at a LONG step list (the
     // Funnel.funnelSinglePass trade claim): 12 synthetic step types
     // (s0..s11 from event_id mod 12) so the staged form pays 12
