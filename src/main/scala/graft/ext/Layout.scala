@@ -58,14 +58,79 @@ object Layout {
     }
   }
 
+  /** Classic xy2d Hilbert transform (the public-domain iterative
+    * rotation form) on bucketized coordinates. A deterministic pure
+    * function — exposed for the property spec. */
+  private[ext] def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    val n = 1L << bits
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) { // rotate the quadrant
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Hilbert-curve value over exactly TWO columns (same bucketize as
+    * [[zValue]]). The Hilbert curve never takes the long diagonal
+    * jumps Morton order does, so consecutive curve positions are
+    * always spatially adjacent — at equal file counts each file
+    * covers a more compact region and 1-D slab predicates touch
+    * fewer files (measured in ScaleLayoutSpec). The xy2d transform
+    * runs as a deterministic Scala UDF: an unrolled Column form
+    * explodes exponentially (each round references x AND y several
+    * times, and Catalyst re-expands the tree), and a UDF on the
+    * ONE-OFF WRITE path costs nothing measurable against the range
+    * shuffle it feeds — this is explicitly not a query-path function
+    * (the query path never sees the curve value at all). */
+  def hilbertValue(df: DataFrame, cols: Seq[String],
+      bits: Int = 16): Column = {
+    require(cols.size == 2, "hilbert interleave supports exactly 2 columns")
+    require(bits >= 4 && bits <= 20, s"bits out of range: $bits")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxBucket = (1L << bits) - 1
+    val bucketed = cols.zipWithIndex.map { case (c, i) =>
+      val mn = Option(row.get(2 * i)).fold(0.0)(_.asInstanceOf[Double])
+      val mx = Option(row.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double])
+      val b =
+        if (mx > mn)
+          least(lit(maxBucket), greatest(lit(0L),
+            floor((col(c).cast("double") - lit(mn)) / lit(mx - mn)
+              * lit(maxBucket.toDouble)).cast("long")))
+        else lit(0L)
+      coalesce(b, lit(0L))
+    }
+    val curve = udf((bx: Long, by: Long) => xy2d(bits, bx, by))
+    curve(bucketed(0), bucketed(1))
+  }
+
   /** Range-write `df` into `numFiles` parquet files clustered by the
     * Z-order of `cols`: one range exchange + in-partition sort on the
     * z-value, which parquet then turns into tight min/max stats for
     * EVERY clustered column. The helper column never reaches disk. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
-      numFiles: Int, bits: Int = 16): Unit = {
+      numFiles: Int, bits: Int = 16): Unit =
+    writeClustered(df, zValue(df, cols, bits), path, numFiles)
+
+  /** [[writeZOrdered]] on the Hilbert curve (two columns). */
+  def writeHilbertOrdered(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    writeClustered(df, hilbertValue(df, cols, bits), path, numFiles)
+
+  private def writeClustered(df: DataFrame, curve: Column, path: String,
+      numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
-    df.withColumn("__z", zValue(df, cols, bits))
+    df.withColumn("__z", curve)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

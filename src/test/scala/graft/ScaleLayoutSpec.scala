@@ -82,6 +82,53 @@ class ScaleLayoutSpec extends SparkSpecBase {
       s"z-order must prune both dims: zA=$zA zB=$zB vs linear-b=$lB")
   }
 
+  test("hilbertValue is a true Hilbert curve; prunes like z-order") {
+    import graft.ext.Layout
+    // ground-truth property check on the FULL 16x16 grid (bits=4):
+    // a Hilbert index is a bijection onto 0..n^2-1 whose consecutive
+    // cells are Manhattan-adjacent — the defining locality property,
+    // checked directly instead of trusting the bit-twiddle
+    val bits = 4
+    val side = 1 << bits
+    val grid = spark.range(side.toLong * side).select(
+      (col("id") / side).cast("long").as("x"),
+      (col("id") % side).cast("long").as("y"))
+    // min/max normalization maps 0..15 onto buckets 0..(2^bits-1)
+    // exactly when the data spans the full range — it does here
+    val hv = Layout.hilbertValue(grid, Seq("x", "y"), bits)
+    val cells = grid.select(col("x"), col("y"), hv.as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until side.toLong * side),
+      "hilbert d must be a bijection onto 0..n^2-1")
+    cells.sliding(2).foreach { case Array((d1, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"cells at d=$d1,${d1 + 1} not adjacent: ($x1,$y1)->($x2,$y2)")
+    }
+    // and the layout prunes at least as well as the z-order bound
+    val n = 200000L
+    val df = spark.range(n).select(col("id"),
+      pmod(hash(col("id")), lit(100000)).cast("long").as("a"),
+      pmod(hash(col("id") * 7 + 3), lit(100000)).cast("long").as("b"))
+    val hdir = tmpDir("hilbert")
+    Layout.writeHilbertOrdered(df, Seq("a", "b"), hdir, numFiles = 64)
+    def scanned(pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(hdir).filter(pred)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val predA = col("a") between (41000, 42000)
+    val predB = col("b") between (41000, 42000)
+    assert(spark.read.parquet(hdir).filter(predA).count() ==
+      df.filter(predA).count())
+    val hA = scanned(predA)
+    val hB = scanned(predB)
+    info(s"hilbert scanned: a-slab=$hA b-slab=$hB of $n")
+    assert(hA < n / 3 && hB < n / 3,
+      s"hilbert layout must prune both dims: hA=$hA hB=$hB")
+  }
+
   test("salted aggregation == plain aggregation") {
     val df = spark.range(20000)
       .select((col("id") % 3).cast("string").as("k"),
