@@ -443,7 +443,7 @@ object AnalyticQueries {
         |sess AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MAX(tn) - MIN(tn) AS dur FROM s GROUP BY 1, 2)
         |SELECT n_events, COUNT(*) AS n_sessions,
-        |  SUM(dur) AS total_duration_us,
+        |  CAST(SUM(dur) AS BIGINT) AS total_duration_us,
         |  CAST(SUM(dur) AS DOUBLE) / COUNT(*) AS mean_duration_us
         |FROM sess GROUP BY 1 ORDER BY n_events""".stripMargin,
     // q117: q107's staged MIN chain, completers only, q111's integer

@@ -64,15 +64,36 @@ object AsofJoin {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
     // backward walks time ascending (latest right ≤ leftTs wins);
-    // forward walks it descending (earliest right ≥ leftTs wins). In
-    // both, right (__src=0) sorts before left at equal ts, so an
-    // exactly-simultaneous right row matches.
-    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    // forward walks it descending (earliest right ≥ leftTs wins). The
+    // forward walk is evaluated as backward on a NEGATED timeline — an
+    // ascending sort over `-ts` — rather than `__ts.desc`: the
+    // ascending form keeps the sort prefix radix-friendly and matches
+    // the machinery the backward path exercises (adjudicated round 8:
+    // the desc-ordered window ran ~1.7× slower than its exact mirror on
+    // the same data; see BENCH.md). At equal ts (__ord ties), right
+    // (__src=0) still sorts before left, so an exactly-simultaneous
+    // right row matches in both directions.
+    import org.apache.spark.sql.types.{DateType, NumericType,
+      TimestampNTZType, TimestampType}
+    val unioned = taggedLeft.unionByName(paddedRight)
+    val tsOrder: Column =
+      if (!forward) col("__ts").asc
+      else unioned.schema("__ts").dataType match {
+        case TimestampType => (-unix_micros(col("__ts"))).asc
+        case TimestampNTZType =>
+          (-unix_micros(col("__ts").cast("timestamp"))).asc
+        case DateType => (-col("__ts").cast("int")).asc
+        case _: NumericType => (-col("__ts")).asc
+        // non-numeric, non-temporal timeline: no total negation exists —
+        // fall back to the descending sort (correct, just not the fast
+        // path; unreachable for every graft call site today)
+        case _ => col("__ts").desc
+      }
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedLeft.unionByName(paddedRight)
+    unioned
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
       .drop("__r", "__src")
