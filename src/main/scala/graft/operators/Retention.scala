@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Retention {
 
+  /** Both operators bucket via integer `ts div width`, so `tsCol` must
+    * ALREADY be an integral timeline (epoch micros/millis/days — e.g.
+    * `GraftSession.tsMicros`). A TimestampType input would silently
+    * truncate to whole seconds through `CAST(ts AS BIGINT)` — fail
+    * loudly instead (VERDICT r7 Next #5). */
+  private def requireIntegralTs(events: DataFrame, tsCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = events.schema(tsCol).dataType
+    val integral = dt == LongType || dt == IntegerType ||
+      dt == ShortType || dt == ByteType
+    require(integral,
+      s"Retention: `$tsCol` is $dt but must be an integral timeline " +
+        "(epoch micros/millis/days); convert first — e.g. " +
+        "GraftSession.tsMicros — so bucketWidth and ts share a unit")
+  }
+
   /** Cohort × offset activity matrix: one row per (cohort bucket,
     * bucket offset) with the distinct-user count and the retention rate
     * against the cohort's size. Offset 0 always holds the full cohort
@@ -36,6 +52,7 @@ object Retention {
   def cohortMatrix(events: DataFrame, userCol: String, tsCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    requireIntegralTs(events, tsCol)
     val pairs = events
       .select(col(userCol),
         expr(s"CAST(`$tsCol` AS BIGINT) div ${bucketWidth}L").as("__bucket"))
@@ -89,6 +106,7 @@ object Retention {
       rsd: Double = 0.023): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     require(window > 0, s"window must be positive: $window")
+    requireIntegralTs(events, tsCol)
     val pairs = events
       .select(col(userCol),
         expr(s"CAST(`$tsCol` AS BIGINT) div ${bucketWidth}L").as("__bucket"))

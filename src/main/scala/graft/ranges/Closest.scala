@@ -60,12 +60,22 @@ object Closest {
       keepUnmatched: Boolean = false): DataFrame = {
     require(maxDist.forall(_ >= 0), s"maxDist must be >= 0: $maxDist")
     val kc = keys.map(col)
-    val qCols = queries.columns.map(col).toSeq
+    // the answer is a pure function of the NATURAL query key (keys,
+    // start, end) — candidates carry only that key, never the query
+    // payload, so a wide query schema costs nothing through the three
+    // generators' shuffles; one keyed join re-attaches the payload at
+    // the end (VERDICT r7 Next #4: the old form grouped and re-joined
+    // on ALL query columns). Exact-duplicate query rows each get their
+    // own output row in BOTH match modes (the old inner form collapsed
+    // them; the two modes now agree).
+    val qKey = keys ++ Seq(qStart, qEnd)
+    val qNarrow = queries.select(qKey.map(col): _*)
+    val qkc = qKey.map(col)
 
     // 1. overlap candidates at distance 0 (binned, canonical-bin dedup)
-    val over = RangeJoin.overlapJoin(queries, features, keys,
+    val over = RangeJoin.overlapJoin(qNarrow, features, keys,
         qStart, qEnd, fStart, fEnd, width)
-      .select(qCols :+ col(fId).as("__fid") :+ lit(0L).as("__dist"): _*)
+      .select(qkc :+ col(fId).as("__fid") :+ lit(0L).as("__dist"): _*)
 
     // 2. nearest end <= qStart: one feature row per (keys, end) — equal
     // ends are distance ties, resolved now by the min id (the as-of
@@ -74,31 +84,31 @@ object Closest {
     val byEnd = features.groupBy((kc :+ col(fEnd).as("__fend")): _*)
       .agg(min(col(fId)).as("__fid"))
       .withColumn("__fcoord", col("__fend"))
-    val left = AsofJoin.backward(queries, byEnd, keys, qStart, "__fend")
+    val left = AsofJoin.backward(qNarrow, byEnd, keys, qStart, "__fend")
       .filter(col("__fid").isNotNull)
-      .select(qCols :+ col("__fid") :+
+      .select(qkc :+ col("__fid") :+
         (col(qStart) - col("__fcoord")).cast("long").as("__dist"): _*)
 
     // 3. nearest start >= qEnd: the mirror
     val byStart = features.groupBy((kc :+ col(fStart).as("__fstart")): _*)
       .agg(min(col(fId)).as("__fid"))
       .withColumn("__fcoord", col("__fstart"))
-    val right = AsofJoin.forward(queries, byStart, keys, qEnd, "__fstart")
+    val right = AsofJoin.forward(qNarrow, byStart, keys, qEnd, "__fstart")
       .filter(col("__fid").isNotNull)
-      .select(qCols :+ col("__fid") :+
+      .select(qkc :+ col("__fid") :+
         (col("__fcoord") - col(qEnd)).cast("long").as("__dist"): _*)
 
-    // integer-exact argmin per query: lexicographic (distance, id)
+    // integer-exact argmin per query key: lexicographic (distance, id)
     val candidates = over.unionByName(left).unionByName(right)
     val bounded = maxDist.fold(candidates)(d =>
       candidates.filter(col("__dist") <= d))
     val resolved = bounded
-      .groupBy(qCols: _*)
+      .groupBy(qkc: _*)
       .agg(min(struct(col("__dist"), col("__fid"))).as("__best"))
-      .select(qCols :+ col("__best.__fid").as("closest_id") :+
+      .select(qkc :+ col("__best.__fid").as("closest_id") :+
         col("__best.__dist").as("distance"): _*)
-    if (!keepUnmatched) resolved
-    else queries.join(resolved,
-      queries.columns.toSeq, "left") // null id/distance for unmatched
+    // re-attach the query payload on the narrow natural key; inner
+    // drops unmatched queries, left NULL-fills them
+    queries.join(resolved, qKey, if (keepUnmatched) "left" else "inner")
   }
 }

@@ -449,6 +449,12 @@ object EventStreams {
   final case class TransitionDelta(from_type: String, to_type: String,
       delta: Long)
 
+  /** Exact epoch micros from a Timestamp — `getTime` alone is millis
+    * and would tie-break same-millisecond events differently than the
+    * batch micros timeline (GraftSession.tsMicros). */
+  private def exactMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Online event-transition counting — the streaming twin of the
     * batch transition matrix (entry q110): each micro-batch emits
     * per-(from, to) COUNT DELTAS for the user transitions it
@@ -463,12 +469,6 @@ object EventStreams {
     * events pair in (ts, event_id) order seeded by the carried state,
     * so time-ordered batches reproduce the batch matrix exactly
     * (spec-asserted); cross-batch late events pair in arrival order. */
-  /** Exact epoch micros from a Timestamp — `getTime` alone is millis
-    * and would tie-break same-millisecond events differently than the
-    * batch micros timeline (GraftSession.tsMicros). */
-  private def exactMicros(t: java.sql.Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
   def streamingTransitions(events: Dataset[Event])
       : Dataset[TransitionDelta] = {
     import events.sparkSession.implicits._

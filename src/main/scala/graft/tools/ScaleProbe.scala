@@ -218,10 +218,12 @@ object ScaleProbe {
     if (Seq("postings_query_loaded", "phrase_query_loaded",
         "postings_artifact_build", "phrase_artifact_build")
         .exists(wanted)) {
-      val pDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_probe_postings").getPath
-      val ppDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_probe_positional").getPath
+      // per-run dirs: two concurrent probes on one machine must not
+      // overwrite each other's parquet mid-timing (ADVICE r7)
+      val pDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_postings_").toString
+      val ppDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_positional_").toString
       timeOrRun("postings_artifact_build")(
         Search.buildPostings(docs, "doc_id", "text")
           .write.mode("overwrite").parquet(pDir))
@@ -463,6 +465,14 @@ object ScaleProbe {
           qs, fs, Seq("chrom"), "s1", "e1", "s2", "e2", "event_id",
           width = 64L)
         .agg(sum("distance")).head())
+      // the left-join form (VERDICT r7 Next #4): maxDist-bounded so
+      // real NULL fills flow, payload re-attached on the narrow
+      // (chrom, s1, e1) natural key — this row measures that extra
+      // keyed join, the delta vs closest_join above
+      time("closest_join_keep_unmatched")(graft.ranges.Closest.closest(
+          qs, fs, Seq("chrom"), "s1", "e1", "s2", "e2", "event_id",
+          width = 64L, maxDist = Some(2L), keepUnmatched = true)
+        .agg(sum("distance"), count(lit(1))).head())
     }
 
     // pHash near-dup: per-row integer DCT hash (mapPartitions, map-only

@@ -146,10 +146,15 @@ class StreamingSpec extends SparkSpecBase {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
-    // the real driver log (sf0.001), streamed in 3 time-ordered batches
+    // the real driver log (sf0.001), streamed in 3 time-ordered batches.
+    // Sort by the operator's own exact-micros key — a millis-only sort
+    // could split a shared millisecond across a batch boundary in an
+    // order that contradicts the micros timeline (ADVICE r7)
     val rows = batchEvents
       .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      .as[EventStreams.Event].collect().sortBy(e =>
+        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, e.event_id))
     val thirds = rows.grouped((rows.length + 2) / 3).toSeq
     val mem = MemoryStream[EventStreams.Event]
     val q = EventStreams.streamingTransitions(mem.toDS()).writeStream
