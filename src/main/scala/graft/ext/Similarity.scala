@@ -287,17 +287,10 @@ object Similarity {
       array(encodeIndexCols(vecCol, cbs).map(_.cast("long")): _*))
     // query side: LUT[s][j] = ||q_sub(s) - codeword_j(s)||², computed
     // once per query row (interpreted HOFs are fine on the small side)
-    val lut = array(cbs.zipWithIndex.map { case ((_, matrix), s) =>
-      transform(typedLit(matrix),
-        cw => aggregate(
-          zip_with(slice(col("__qv"), s * subdim + 1, subdim), cw,
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-    }: _*)
     val q = enc.filter(queryPred)
       .select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__lut", lut)
+      .withColumn("__lut", lutFor(cbs))
       .select("q_id", "__lut")
     val scored = enc.select(col(idCol).as("n_id"), col("__code"))
       .crossJoin(broadcast(q))
@@ -308,6 +301,110 @@ object Similarity {
       .orderBy(col("dist").asc, col("n_id").asc)
     // ASC sorts NULLS FIRST: a null distance (corrupt code or
     // truncated vector) would take rank 1 — exclude it instead
+    scored.filter(col("dist").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
+  /** Per-query squared-L2 LUT column over `__qv`: LUT[s][j] =
+    * ||q_sub(s) − codeword_j(s)||², the ADC kernel's input. Interpreted
+    * HOFs are fine — this evaluates once per QUERY row. */
+  private def lutFor(cbs: Seq[(Seq[Long], Seq[Seq[Double]])])
+      : org.apache.spark.sql.Column = {
+    val subdim = cbs.head._2.head.length
+    array(cbs.zipWithIndex.map { case ((_, matrix), s) =>
+      transform(typedLit(matrix),
+        cw => aggregate(
+          zip_with(slice(col("__qv"), s * subdim + 1, subdim), cw,
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+    }: _*)
+  }
+
+  /** The on-codes contract shared by [[pqTopKAdcOnCodes]] /
+    * [[ivfPqTopKOnCodes]]: stored codes are cid arrays ([[pqEncode]]),
+    * the ADC LUT is INDEX-addressed — they only coincide when every
+    * subspace's cids are canonical 0..ksub−1, which [[pqTrain]]
+    * guarantees. A foreign codebook with gappy cids must be re-labeled
+    * first or every lookup silently reads the wrong codeword. */
+  private def requireCanonicalCids(
+      cbs: Seq[(Seq[Long], Seq[Seq[Double]])]): Unit =
+    cbs.zipWithIndex.foreach { case ((cids, _), s) =>
+      require(cids == (0L until cids.length.toLong),
+        s"subspace $s cids are not canonical 0..${cids.length - 1} " +
+          s"(got ${cids.take(8).mkString(",")}…): stored pq_code values " +
+          "would not be LUT indexes — re-label the codebook first")
+    }
+
+  /** ADC top-k over a PRE-ENCODED corpus — the steady-state serving
+    * path: [[pqTrain]] + [[pqEncode]] run ONCE at ingest and persist
+    * (codebooks + an (id, pq_code) table); queries then scan m-byte
+    * codes with per-query LUT lookups and never touch raw vectors or
+    * re-run the encode argmin. At 100 TB that is the whole point of PQ:
+    * the query-time scan reads ~m bytes/row instead of 4·dim, and the
+    * encode kernel (m × ksub × subdim multiply-adds per row) is paid
+    * once, not per query. Same output contract as [[pqTopKAdc]]
+    * ((q_id, n_id, rank), rank by approximate distance ASC, n_id
+    * tiebreak, self-matches excluded, null distances dropped). */
+  def pqTopKAdcOnCodes(encoded: DataFrame, idCol: String, codeCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      codebooks: DataFrame, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val cbs = collectCodebooks(codebooks)
+    requireCanonicalCids(cbs)
+    val q = queries
+      .select(col(qIdCol).as("q_id"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+      .withColumn("__lut", lutFor(cbs))
+      .select("q_id", "__lut")
+    val scored = encoded
+      .select(col(idCol).as("n_id"),
+        col(codeCol).cast("array<long>").as("__code"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("dist", graft.functions.expressions.VectorExpressions
+        .pqAdcDistance(spark, col("__code"), col("__lut")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id").asc)
+    scored.filter(col("dist").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
+  /** IVF-PQ top-k over a PRE-ENCODED corpus: the serving twin of
+    * [[ivfPqTopK]] — the (id, cell, pq_code) layout ([[ivfAssign]] +
+    * [[pqEncode]], both run once at ingest) is probed with loaded
+    * centroid/codebook artifacts; only the probed cells' m-byte codes
+    * are scored. Store the table partitioned/clustered by the cell
+    * column and the cell equi-join prunes at the file level too. */
+  def ivfPqTopKOnCodes(encoded: DataFrame, idCol: String,
+      cellCol: String, codeCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      centroids: DataFrame, codebooks: DataFrame, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val spark = encoded.sparkSession
+    val (cids, matrix) = collectCentroids(centroids)
+    val cbs = collectCodebooks(codebooks)
+    requireCanonicalCids(cbs)
+    val q = queries
+      .select(col(qIdCol).as("q_id"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+      .withColumn("__lut", lutFor(cbs)) // BEFORE the probe explode
+      .withColumn("__cell",
+        explode(probeCells(col("__qv"), cids, matrix, nProbe)))
+      .select("q_id", "__cell", "__lut")
+    val scored = encoded
+      .select(col(idCol).as("n_id"), col(cellCol).as("__cell"),
+        col(codeCol).cast("array<long>").as("__code"))
+      .join(broadcast(q), Seq("__cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("dist", graft.functions.expressions.VectorExpressions
+        .pqAdcDistance(spark, col("__code"), col("__lut")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id").asc)
     scored.filter(col("dist").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -373,18 +470,11 @@ object Similarity {
     val enc = assignWith(corpus, vecCol, cids, matrix)
       .withColumn("__code",
         array(encodeIndexCols(vecCol, cbs).map(_.cast("long")): _*))
-    val lut = array(cbs.zipWithIndex.map { case ((_, cwm), s) =>
-      transform(typedLit(cwm),
-        cw => aggregate(
-          zip_with(slice(col("__qv"), s * subdim + 1, subdim), cw,
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-    }: _*)
     val q = enc.filter(queryPred)
       .select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__lut", lut) // BEFORE the probe explode, or the
-      // m×ksub×subdim LUT is recomputed nProbe times per query
+      .withColumn("__lut", lutFor(cbs)) // BEFORE the probe explode, or
+      // the m×ksub×subdim LUT is recomputed nProbe times per query
       .withColumn("cid", explode(probeCells(col("__qv"), cids, matrix, nProbe)))
       .select("q_id", "cid", "__lut")
     val scored = enc.select(col(idCol).as("n_id"), col("cid"), col("__code"))

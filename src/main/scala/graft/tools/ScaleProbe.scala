@@ -102,7 +102,9 @@ object ScaleProbe {
       "ann_lsh_buckets", "pack_sequences", "connected_components",
       "kmeans_train_16x2", "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
       "remove_dup_spans_w1", "remove_dup_spans_w8",
-      "pq_train_encode_adc", "ivfpq_3probe", "bm25_3terms", "vsm_3terms",
+      "pq_train_encode_adc", "ivfpq_3probe",
+      "pq_adc_loaded", "ivfpq_loaded", "ann_artifact_build",
+      "bm25_3terms", "vsm_3terms",
       "cluster_sample_k256_q32",
       "postings_build_and_and3", "phrase_build_and_search",
       "postings_query_loaded", "phrase_query_loaded",
@@ -182,6 +184,41 @@ object ScaleProbe {
       Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb,
         $"vec_id" < 10, k = 5, nProbe = 3).count()
     })
+
+    // the q84/search honesty convention applied to ANN (VERDICT r7
+    // Next #8): production trains codebooks and encodes the corpus
+    // ONCE, persists the (id, cell, pq_code) layout, and serves
+    // queries from the loaded artifacts — these rows time that
+    // steady-state (pqTopKAdcOnCodes / ivfPqTopKOnCodes over loaded
+    // parquet) separately from the build-inclusive rows above
+    if (Seq("pq_adc_loaded", "ivfpq_loaded", "ann_artifact_build")
+        .exists(wanted)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_probe_ann_").toString
+      timeOrRun("ann_artifact_build")({
+        val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+          k = 16, iters = 1)
+        val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+          m = 16, ksub = 32, iters = 1)
+        cents.write.mode("overwrite").parquet(s"$dir/cents")
+        cb.write.mode("overwrite").parquet(s"$dir/cb")
+        Similarity.pqEncode(
+            Similarity.ivfAssign(emb, "vec_id", "embedding", cents),
+            "vec_id", "embedding", cb)
+          .select("vec_id", "cid", "pq_code")
+          .write.mode("overwrite").parquet(s"$dir/codes")
+      })
+      val codes = spark.read.parquet(s"$dir/codes")
+      val cbL = spark.read.parquet(s"$dir/cb")
+      val centsL = spark.read.parquet(s"$dir/cents")
+      val queries = emb.filter($"vec_id" < 10)
+      time("pq_adc_loaded")(Similarity.pqTopKAdcOnCodes(codes,
+        "vec_id", "pq_code", queries, "vec_id", "embedding", cbL,
+        k = 5).count())
+      time("ivfpq_loaded")(Similarity.ivfPqTopKOnCodes(codes,
+        "vec_id", "cid", "pq_code", queries, "vec_id", "embedding",
+        centsL, cbL, k = 5, nProbe = 3).count())
+    }
 
     // round-4b retrieval/curation: BM25 (scan-bound, zero corpus
     // shuffle expected in the meter), posting build+AND search, splits,

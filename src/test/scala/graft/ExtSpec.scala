@@ -491,6 +491,51 @@ class ExtSpec extends SparkSpecBase {
     assert(again == rerank)
   }
 
+  test("on-codes ADC serving path == inline encode path (PQ and IVF-PQ)") {
+    // the steady-state contract: pqTrain/pqEncode/ivfAssign run once at
+    // ingest; pqTopKAdcOnCodes / ivfPqTopKOnCodes over the stored
+    // (id, cell, pq_code) layout must reproduce the inline operators'
+    // rankings exactly — same codebooks, same queries
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .cache()
+    val isQuery = $"vec_id" < 20
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().toSet
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 16, ksub = 32, iters = 1)
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 1)
+    // stored layout round-trips through parquet like a real artifact
+    val dir = java.nio.file.Files.createTempDirectory("oncodes_").toString
+    Similarity.pqEncode(
+        Similarity.ivfAssign(emb, "vec_id", "embedding", cents),
+        "vec_id", "embedding", cb)
+      .select("vec_id", "cid", "pq_code")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    cb.write.mode("overwrite").parquet(s"$dir/cb")
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val cbL = spark.read.parquet(s"$dir/cb")
+    val centsL = spark.read.parquet(s"$dir/cents")
+    val queries = emb.filter(isQuery)
+    assert(rows(Similarity.pqTopKAdcOnCodes(codes, "vec_id", "pq_code",
+        queries, "vec_id", "embedding", cbL, k = 5)) ==
+      rows(Similarity.pqTopKAdc(emb, "vec_id", "embedding", cb,
+        isQuery, k = 5)))
+    assert(rows(Similarity.ivfPqTopKOnCodes(codes, "vec_id", "cid",
+        "pq_code", queries, "vec_id", "embedding", centsL, cbL,
+        k = 5, nProbe = 3)) ==
+      rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb,
+        isQuery, k = 5, nProbe = 3)))
+    // the guard: a codebook with non-canonical cids must be rejected —
+    // its stored codes would not be LUT indexes
+    val gappy = cb.withColumn("cid", $"cid" * 2)
+    val err = intercept[IllegalArgumentException](
+      Similarity.pqTopKAdcOnCodes(codes, "vec_id", "pq_code",
+        queries, "vec_id", "embedding", gappy, k = 5))
+    assert(err.getMessage.contains("canonical"))
+  }
+
   test("opq: orthogonal rotation cuts PQ quantization distortion ~6x") {
     // anisotropic correlated corpus: 32-dim with a steep variance
     // spectrum that a FIXED dense mixing matrix spreads across every PQ
