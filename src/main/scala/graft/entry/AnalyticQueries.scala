@@ -345,6 +345,55 @@ object AnalyticQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // q118's device applied to retention (the second streaming oracle
+    // row): the log replays through streamingRetention — stateful
+    // cohort pinning + seen-bucket dedup per user — and the summed
+    // deltas must rebuild q108's cohort matrix against its SQL.
+    // Bucket index parity: the operator floors epoch-MILLIS by the
+    // week in ms, q108 floors epoch-MICROS by the week in µs — the
+    // same integer for every event (µs = ms·1000 + r, r<1000 cannot
+    // cross a week·1000 boundary). Retention rate derives from the
+    // exact summed longs, one IEEE division per row.
+    "q119_streaming_retention" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.EventStreams
+      implicit val sqlCtx = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = GraftSession.tsTimestamp(ev)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event].collect()
+        .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, e.event_id))
+      val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+      val mem = MemoryStream[EventStreams.Event]
+      val sink = "q119_sink_" + java.util.UUID.randomUUID.toString
+        .replace("-", "")
+      val q = EventStreams.streamingRetention(mem.toDS(),
+          bucketWidthMs = 604800000L).writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .format("memory").queryName(sink).start()
+      val matrix =
+        try {
+          thirds.foreach { b =>
+            mem.addData(b.toSeq: _*); q.processAllAvailable()
+          }
+          s.table(sink).groupBy("cohort", "bucket_offset")
+            .agg(sum("delta").as("n_users")).collect()
+        } finally {
+          q.stop()
+          s.catalog.dropTempView(sink)
+        }
+      val cohortSize = matrix.filter(_.getLong(1) == 0L)
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val out = matrix.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(2).toDouble / cohortSize(r.getLong(0))))
+      s.createDataFrame(out.toSeq)
+        .toDF("cohort", "bucket_offset", "n_users", "retention")
+        .orderBy("cohort", "bucket_offset")
+    }),
+
     // Ordered collection aggregate: set-collect, sort, join — the
     // listagg/string_agg surface with deterministic element order.
     "q54_array_agg" -> ((s, dir) => {
@@ -447,6 +496,19 @@ object AnalyticQueries {
     // q108: the same three-stage shape — distinct pairs, per-user window
     // min, (cohort, offset) roll-up, retention via the offset-0 peer.
     "q108_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS b FROM events),
+        |d AS (SELECT DISTINCT user_id, b FROM e),
+        |c AS (SELECT user_id, b, MIN(b) OVER (PARTITION BY user_id) AS cohort FROM d),
+        |m AS (SELECT cohort, b - cohort AS bucket_offset, COUNT(*) AS n_users
+        |      FROM c GROUP BY 1, 2)
+        |SELECT cohort, bucket_offset, n_users,
+        |  CAST(n_users AS DOUBLE) /
+        |  CAST(MAX(CASE WHEN bucket_offset = 0 THEN n_users END)
+        |       OVER (PARTITION BY cohort) AS DOUBLE) AS retention
+        |FROM m ORDER BY cohort, bucket_offset""".stripMargin,
+    // q119: the streaming twin faces q108's ground truth — the
+    // stateful per-user cohort machine vs the window SQL, one oracle
+    "q119_streaming_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS b FROM events),
         |d AS (SELECT DISTINCT user_id, b FROM e),
         |c AS (SELECT user_id, b, MIN(b) OVER (PARTITION BY user_id) AS cohort FROM d),
