@@ -114,6 +114,18 @@ object RangeQueries {
         .orderBy("chrom", "m_start")
     }),
 
+    // Interval-set similarity (bedtools jaccard): per chrom, the
+    // covered-base agreement of the order-interval and event-interval
+    // tracks — one two-depth endpoint sweep, exact long base counts,
+    // jaccard as one IEEE division, intersection-interval count via
+    // the in-sort lag test.
+    "q120_interval_jaccard" -> ((s, dir) => {
+      graft.ranges.IntervalSets.jaccard(
+          orderIntervals(s, dir), eventIntervals(s, dir),
+          Seq("chrom"), "s1", "e1", "s2", "e2")
+        .orderBy("chrom")
+    }),
+
     // J6: interval-overlap join via binned equi-join (the junctions ×
     // genes overlap of junction.py:159-164 at scale).
     "q09_interval_join" -> ((s, dir) => {
@@ -295,6 +307,46 @@ object RangeQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM m)
         |SELECT chrom, MIN(ss) AS m_start, MAX(se) AS m_end, COUNT(*) AS n_merged
         |FROM g GROUP BY chrom, gid ORDER BY chrom, m_start""".stripMargin,
+    // the q96 sweep with both/either coverage sums; positions unique
+    // per chrom after the delta groupBy so both window passes (running
+    // depths + the lag) are order-deterministic without tiebreakers;
+    // every SUM output is cast back from HUGEINT, jaccard divides the
+    // exact longs once
+    "q120_interval_jaccard" ->
+      """WITH a AS (SELECT o_orderkey%5 AS chrom, (o_orderkey*7)%5000 AS s,
+        |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e FROM orders),
+        |b AS (SELECT event_id%5 AS chrom, (event_id*13)%5000 AS s,
+        |  (event_id*13)%5000 + 1 + event_id%25 AS e FROM events),
+        |ev AS (SELECT chrom, s AS pos, 1 AS da, 0 AS db FROM a
+        |  UNION ALL SELECT chrom, e+1, -1, 0 FROM a
+        |  UNION ALL SELECT chrom, s, 0, 1 FROM b
+        |  UNION ALL SELECT chrom, e+1, 0, -1 FROM b),
+        |p AS (SELECT chrom, pos, SUM(da) AS dA, SUM(db) AS dB
+        |      FROM ev GROUP BY 1, 2),
+        |w AS (SELECT chrom, pos,
+        |        SUM(dA) OVER (PARTITION BY chrom ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ad,
+        |        SUM(dB) OVER (PARTITION BY chrom ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bd,
+        |        LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS nxt
+        |      FROM p),
+        |s AS (SELECT chrom, nxt - pos AS len,
+        |        (ad > 0 AND bd > 0) AS cov_both,
+        |        (ad > 0 OR bd > 0) AS cov_any,
+        |        CASE WHEN ad > 0 AND bd > 0 AND NOT COALESCE(
+        |          LAG(ad > 0 AND bd > 0) OVER (PARTITION BY chrom
+        |            ORDER BY pos), false) THEN 1 ELSE 0 END AS newint
+        |      FROM w QUALIFY nxt IS NOT NULL)
+        |SELECT chrom,
+        |  CAST(SUM(CASE WHEN cov_both THEN len ELSE 0 END) AS BIGINT)
+        |    AS intersection_bp,
+        |  CAST(SUM(CASE WHEN cov_any THEN len ELSE 0 END) AS BIGINT)
+        |    AS union_bp,
+        |  CAST(SUM(CASE WHEN cov_both THEN len ELSE 0 END) AS DOUBLE) /
+        |  CAST(SUM(CASE WHEN cov_any THEN len ELSE 0 END) AS DOUBLE)
+        |    AS jaccard,
+        |  CAST(SUM(newint) AS BIGINT) AS n_intersections
+        |FROM s GROUP BY chrom ORDER BY chrom""".stripMargin,
     // running-max-end island window. The ORDER BY carries o_orderkey as
     // a UNIQUE tiebreaker: isnew and the gid running sum are two
     // separate window passes here, and with duplicate (s, e) rows the

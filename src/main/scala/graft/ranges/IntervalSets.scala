@@ -158,6 +158,64 @@ object IntervalSets {
     mergeOverlapping(segs, keys, "seg_start", "seg_end", gap = 1L)
   }
 
+  /** Interval-set similarity (bedtools jaccard): per key, the ratio of
+    * positions covered by BOTH sets to positions covered by EITHER,
+    * plus the raw base counts and the number of maximal intersection
+    * intervals — the standard "how much do these two annotation tracks
+    * agree" statistic. Self-overlap within a side is harmless: depths
+    * count multiplicity but the predicates only test `> 0`, so neither
+    * side needs a pre-merge pass.
+    *
+    * One [[subtract]]-shaped sweep: both sides' ±1 endpoint events
+    * union (tagged), two running depths walk each key once, and every
+    * inter-event segment adds its length to the intersection
+    * (both depths > 0) and/or union (either > 0) sums. A maximal
+    * intersection interval starts exactly where a both-covered segment
+    * follows a not-both segment (segments are contiguous between
+    * events), so `n_intersections` is a lag test — no second pass, no
+    * island merge. Work ∝ interval endpoints; one key shuffle; the
+    * roll-up is |keys|-sized. `jaccard` is one IEEE division of the
+    * two exact long sums. */
+  def jaccard(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aStart: String, aEnd: String, bStart: String,
+      bEnd: String): DataFrame = {
+    val kc = keys.map(col)
+    val events = endpointEvents(a, keys, aStart, aEnd)
+      .select((kc :+ col("pos") :+ col("d").as("da") :+ lit(0L).as("db")): _*)
+      .unionByName(endpointEvents(b, keys, bStart, bEnd)
+        .select((kc :+ col("pos") :+ lit(0L).as("da") :+
+          col("d").as("db")): _*))
+    val deltas = events.groupBy((kc :+ col("pos")): _*)
+      .agg(sum(col("da")).as("dA"), sum(col("dB")).as("dB"))
+    val ord = Window.partitionBy(kc: _*).orderBy(col("pos").asc)
+    val segs = deltas
+      .withColumn("__a", sum(col("dA")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__bd", sum(col("dB")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__next", lead(col("pos"), 1).over(ord))
+      .withColumn("__both", col("__a") > 0 && col("__bd") > 0)
+      // a fresh intersection interval: both-covered here, not just
+      // before (the lag shares ord's sort — no extra exchange)
+      .withColumn("__newint", when(col("__both") &&
+        !coalesce(lag(col("__both"), 1).over(ord), lit(false)), 1L)
+        .otherwise(0L))
+      .filter(col("__next").isNotNull)
+      .withColumn("__len", col("__next") - col("pos"))
+    segs.groupBy(kc: _*)
+      .agg(
+        sum(when(col("__both"), col("__len")).otherwise(0L))
+          .as("intersection_bp"),
+        sum(when(col("__a") > 0 || col("__bd") > 0, col("__len"))
+          .otherwise(0L)).as("union_bp"),
+        sum(col("__newint")).as("n_intersections"))
+      .withColumn("jaccard",
+        col("intersection_bp").cast("double") /
+          col("union_bp").cast("double"))
+      .select((kc :+ col("intersection_bp") :+ col("union_bp") :+
+        col("jaccard") :+ col("n_intersections")): _*)
+  }
+
   /** Derive a `bucketWidth` for the bucketed operators from the data —
     * the same stats-driven sizing [[graft.plans.BinnedRangeJoinRule]]
     * applies to bin width, done directly (one aggregate scan over the

@@ -305,6 +305,57 @@ class RangesSpec extends SparkSpecBase {
     }
   }
 
+  test("jaccard == per-base brute force; identity/disjoint/count pinned") {
+    import graft.ranges.IntervalSets
+    val rnd = new scala.util.Random(41)
+    def mk(n: Int, maxLen: Int) = (0 until n).map { _ =>
+      val s = rnd.nextInt(600).toLong
+      (rnd.nextInt(2).toLong, s, s + rnd.nextInt(maxLen).toLong)
+    }
+    val a = mk(60, 40); val b = mk(40, 25)
+    val got = IntervalSets.jaccard(a.toDF("k", "s", "e"),
+        b.toDF("k", "s", "e"), Seq("k"), "s", "e", "s", "e")
+      .select("k", "intersection_bp", "union_bp", "jaccard",
+        "n_intersections")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    (0L to 1L).foreach { k =>
+      def cov(set: Seq[(Long, Long, Long)]) = (0L to 700L).filter(p =>
+        set.exists(i => i._1 == k && i._2 <= p && p <= i._3)).toSet
+      val ca = cov(a); val cb = cov(b)
+      val inter = ca.intersect(cb); val uni = ca.union(cb)
+      // maximal intersection runs, counted per-base
+      val nInt = inter.toSeq.sorted.foldLeft((0L, Long.MinValue)) {
+        case ((n, prev), p) => (if (p == prev + 1) n else n + 1, p)
+      }._1
+      val (gi, gu, gj, gn) = got(k)
+      assert(gi == inter.size.toLong && gu == uni.size.toLong,
+        s"key $k bases: got ($gi, $gu) want (${inter.size}, ${uni.size})")
+      assert(gj == inter.size.toDouble / uni.size)
+      assert(gn == nInt, s"key $k n_intersections: got $gn want $nInt")
+    }
+    // identity: J = 1, one intersection interval per merged region
+    val self = Seq((1L, 10L, 20L), (1L, 30L, 40L)).toDF("k", "s", "e")
+    val idr = IntervalSets.jaccard(self, self, Seq("k"),
+      "s", "e", "s", "e").collect().head
+    assert(idr.getLong(1) == 22L && idr.getLong(2) == 22L &&
+      idr.getDouble(3) == 1.0 && idr.getLong(4) == 2L)
+    // disjoint tracks: J = 0, no intersection intervals
+    val da = Seq((1L, 0L, 9L)).toDF("k", "s", "e")
+    val db = Seq((1L, 20L, 29L)).toDF("k", "s", "e")
+    val dr = IntervalSets.jaccard(da, db, Seq("k"),
+      "s", "e", "s", "e").collect().head
+    assert(dr.getLong(1) == 0L && dr.getLong(2) == 20L &&
+      dr.getDouble(3) == 0.0 && dr.getLong(4) == 0L)
+    // book-ended touch (closed coords): [0,9] and [9,20] share base 9
+    val ta = Seq((1L, 0L, 9L)).toDF("k", "s", "e")
+    val tb = Seq((1L, 9L, 20L)).toDF("k", "s", "e")
+    val tr = IntervalSets.jaccard(ta, tb, Seq("k"),
+      "s", "e", "s", "e").collect().head
+    assert(tr.getLong(1) == 1L && tr.getLong(2) == 21L &&
+      tr.getLong(4) == 1L)
+  }
+
   test("mergeOverlappingBucketed == mergeOverlapping at any width and gap") {
     import graft.ranges.IntervalSets
     val rnd = new scala.util.Random(29)
