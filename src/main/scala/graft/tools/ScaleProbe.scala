@@ -634,6 +634,47 @@ object ScaleProbe {
     })
     } // 1-key guard
 
+    // Layout FILES-touched probe (NOTES round-8 #1): ScaleLayoutSpec
+    // measures rows DECODED (row-group min/max pruning); at cluster
+    // scale the planner-level lever is FILE skipping — a table format
+    // (Delta/Iceberg) stores per-file column min/max at write time and
+    // never opens files whose range misses the predicate. This probe
+    // writes the same 2-dim corpus at a cluster-ish file count in
+    // three layouts and counts, per layout × slab dim, how many files
+    // a stats-aware planner would touch (file range intersects the
+    // slab). The per-file min/max aggregation below SIMULATES the
+    // stats the format would have persisted; its full scan is probe
+    // overhead, not part of the measured design.
+    if (Seq("layout_files").exists(wanted)) {
+      import graft.ext.Layout
+      val n = 2000000L
+      val df = spark.range(n).select(col("id"),
+        pmod(hash(col("id")), lit(100000)).cast("long").as("a"),
+        pmod(hash(col("id") * 7 + 3), lit(100000)).cast("long").as("b"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_probe_layout_").toString
+      val files = 256
+      Layout.writeZOrdered(df, Seq("a", "b"), s"$base/z", files)
+      Layout.writeHilbertOrdered(df, Seq("a", "b"), s"$base/h", files)
+      df.repartitionByRange(files, col("a")).sortWithinPartitions("a")
+        .write.mode("overwrite").parquet(s"$base/lin")
+      def touched(dir: String, c: String, lo: Long, hi: Long): Long =
+        spark.read.parquet(dir)
+          .groupBy(input_file_name())
+          .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+          .filter(col("mn") <= hi && col("mx") >= lo)
+          .count()
+      ranCount += 1
+      // 1% slab on each dim (domain 0..99999)
+      for ((name, dir) <- Seq(("linear_a", s"$base/lin"),
+          ("zorder", s"$base/z"), ("hilbert", s"$base/h"));
+          dim <- Seq("a", "b")) {
+        val t = touched(dir, dim, 41000L, 42000L)
+        println(f"[probe] layout_files $name%-9s slab=$dim " +
+          f"files=$t%4d / $files (n=$n)")
+      }
+    }
+
     if (nameFilter.nonEmpty && ranCount == 0)
       println(s"[probe] WARNING: filter '${nameFilter.get}' matched no " +
         "probe — check the name against the guard lists in ScaleProbe")
