@@ -394,6 +394,56 @@ object AnalyticQueries {
         .orderBy("cohort", "bucket_offset")
     }),
 
+    // The third streaming oracle row (after q118/q119): the log
+    // replays through streamingFunnel — the per-user n-longs state
+    // machine — and the LAST update per user (max step_reached; the
+    // machine never rewinds, so times fill monotonically) must equal
+    // q107's staged-SQL funnel. Exercises cross-batch state carry on
+    // the strict-> first-touch walk, where an off-by-one at a batch
+    // boundary (a step-2 event opening batch 2 against a step-1 time
+    // carried from batch 1) would diverge.
+    "q121_streaming_funnel" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.EventStreams
+      implicit val sqlCtx = s.sqlContext
+      val steps = Seq("view", "click", "purchase")
+      val ev = t(s, dir, "events")
+      val rows = GraftSession.tsTimestamp(ev)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event].collect()
+        .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, e.event_id))
+      val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+      val mem = MemoryStream[EventStreams.Event]
+      val sink = "q121_sink_" + java.util.UUID.randomUUID.toString
+        .replace("-", "")
+      val q = EventStreams.streamingFunnel(mem.toDS(), steps).writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .format("memory").queryName(sink).start()
+      val updates =
+        try {
+          thirds.foreach { b =>
+            mem.addData(b.toSeq: _*); q.processAllAvailable()
+          }
+          s.table(sink).collect()
+        } finally {
+          q.stop()
+          s.catalog.dropTempView(sink)
+        }
+      val NONE = Long.MinValue
+      val finalRows = updates
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        .groupBy(_._1).values.map(_.maxBy(_._2)) // latest = deepest
+        .map { case (u, reached, ts) =>
+          def t(i: Int) = if (ts(i) == NONE) None else Some(ts(i))
+          (u, t(0), t(1), t(2), reached)
+        }.toSeq
+      finalRows.toDF("user_id", "t1", "t2", "t3", "step_reached")
+        .orderBy("user_id")
+    }),
+
     // Ordered collection aggregate: set-collect, sort, join — the
     // listagg/string_agg surface with deterministic element order.
     "q54_array_agg" -> ((s, dir) => {
@@ -481,6 +531,22 @@ object AnalyticQueries {
     // previous stage and takes the earliest strictly-later event.
     // step_reached as a sum of non-null flags == the Spark fold.
     "q107_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events),
+        |s1 AS (SELECT user_id, MIN(tn) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.tn) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tn > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.tn) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tn > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+        |     + (s3.t3 IS NOT NULL)::INT AS INTEGER) AS step_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // q121: the streaming state machine vs q107's staged ground truth —
+    // third independent implementation (staged SQL, batch single-pass
+    // q115, online q121), one oracle
+    "q121_streaming_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events),
         |s1 AS (SELECT user_id, MIN(tn) AS t1 FROM e
         |       WHERE event_type = 'view' GROUP BY 1),
