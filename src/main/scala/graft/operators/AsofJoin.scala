@@ -39,29 +39,53 @@ object AsofJoin {
       leftTs: String, rightTs: String): DataFrame =
     asof(left, right, keys, leftTs, rightTs, forward = true)
 
-  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, forward: Boolean): DataFrame = {
+  /** Tag and union the two sides: right rows carry their payload
+    * struct in `__r` with `__src = 0`, left rows carry `__r = null`,
+    * `__src = 1` and their own columns (null-padded on the right
+    * stream). Returns the union plus the left/right payload column
+    * name lists the final projection needs. */
+  private def tagUnion(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     val rightPayloadCols = right.columns.filterNot(c =>
-      keys.contains(c) || c == rightTs)
+      keys.contains(c) || c == rightTs).toSeq
     val clash = rightPayloadCols.toSet
       .intersect(left.columns.filterNot(keys.contains).toSet)
     require(clash.isEmpty,
       s"asof join: right payload columns collide with left columns " +
         s"(${clash.mkString(", ")}) — rename one side first")
     val payload = struct(rightPayloadCols.map(col): _*)
-
     val taggedRight = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), payload.as("__r"),
         lit(0).as("__src")): _*)
-    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
+    val leftCols = left.columns
+      .filterNot(c => keys.contains(c) || c == leftTs).toSeq
     val taggedLeft = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"),
         lit(null).cast(taggedRight.schema("__r").dataType).as("__r"),
         lit(1).as("__src")) ++ leftCols.map(col): _*)
-
     // pad the right stream with the left's columns so the union lines up
     val paddedRight = leftCols.foldLeft(taggedRight)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    (taggedLeft.unionByName(paddedRight), leftCols, rightPayloadCols)
+  }
+
+  /** The final projection shared by every as-of variant: keep left
+    * rows, unpack the matched right payload. Expects `__match`. */
+  private def finish(matched: DataFrame, keys: Seq[String],
+      leftTs: String, leftCols: Seq[String],
+      rightPayloadCols: Seq[String]): DataFrame =
+    matched.filter(col("__src") === 1)
+      .drop("__r", "__src")
+      .withColumnRenamed("__ts", leftTs)
+      .select((keys.map(col) :+ col(leftTs)) ++
+        leftCols.map(col) ++
+        rightPayloadCols.map(c => col("__match").getField(c).as(c)): _*)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, forward: Boolean): DataFrame = {
+    val (unioned, leftCols, rightPayloadCols) =
+      tagUnion(left, right, keys, leftTs, rightTs)
 
     // backward walks time ascending (latest right ≤ leftTs wins);
     // forward walks it descending (earliest right ≥ leftTs wins). The
@@ -75,7 +99,6 @@ object AsofJoin {
     // right row matches in both directions.
     import org.apache.spark.sql.types.{DateType, NumericType,
       TimestampNTZType, TimestampType}
-    val unioned = taggedLeft.unionByName(paddedRight)
     val tsOrder: Column =
       if (!forward) col("__ts").asc
       else unioned.schema("__ts").dataType match {
@@ -93,14 +116,101 @@ object AsofJoin {
       .orderBy(tsOrder, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    unioned
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__src") === 1)
-      .drop("__r", "__src")
-      .withColumnRenamed("__ts", leftTs)
-      .select((keys.map(col) :+ col(leftTs)) ++
-        leftCols.map(col) ++
-        rightPayloadCols.map(c => col("__match").getField(c).as(c)): _*)
+    finish(unioned
+        .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w)),
+      keys, leftTs, leftCols, rightPayloadCols)
+  }
+
+  /** [[backward]] for FEW keys at extreme scale — the bucketed
+    * two-pass device the interval family uses
+    * ([[graft.ranges.IntervalSets.coverageDepthBucketed]]), applied to
+    * the as-of walk. The plain form's window partitions by the keys
+    * alone: 25 chromosomes (or one symbol, one tenant…) caps a
+    * 1000-executor cluster at 25 sort tasks no matter how many rows
+    * each key holds. Here the union-tag stream buckets by
+    * `timeline div bucketWidth` and
+    *
+    *  1. per (keys, bucket): one aggregation finds the LAST right row
+    *     of each occupied bucket (`max_by` on the walk order — right
+    *     rows are unique per (keys, ts), the documented precondition);
+    *  2. a window over THAT table (one row per occupied bucket) gives
+    *     each bucket its ENTERING match — the latest right payload in
+    *     any earlier bucket (`last(…, ignoreNulls)`);
+    *  3. per (keys, bucket): the plain running-`last` window, seeded by
+    *     `coalesce(local, entering)` — every earlier-bucket right row
+    *     sorts before every current-bucket row by construction
+    *     (bucketing is on the walk order itself), so the coalesce IS
+    *     the global running last.
+    *
+    * Results are identical to [[backward]]/[[forward]] (AsofSpec pins
+    * ≡ at several widths); the heavy sort now runs per (keys, bucket).
+    * The timeline must be integral, date, or timestamp (micros) — the
+    * bucketing is exact integer division; fractional timelines stay on
+    * the plain form. Pick `bucketWidth` in timeline units so keys ×
+    * buckets lands in the thousands-to-millions. */
+  def backwardBucketed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      bucketWidth: Long): DataFrame =
+    asofBucketed(left, right, keys, leftTs, rightTs, forward = false,
+      bucketWidth)
+
+  /** [[forward]] on the bucketed two-pass plan — the negated-timeline
+    * evaluation of [[backwardBucketed]]. */
+  def forwardBucketed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      bucketWidth: Long): DataFrame =
+    asofBucketed(left, right, keys, leftTs, rightTs, forward = true,
+      bucketWidth)
+
+  private def asofBucketed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      forward: Boolean, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType,
+      LongType, ShortType, TimestampNTZType, TimestampType}
+    val (unioned, leftCols, rightPayloadCols) =
+      tagUnion(left, right, keys, leftTs, rightTs)
+    val sign = if (forward) -1L else 1L
+    // exact integer walk order (ascending == match order, the plain
+    // form's convention); fractional timelines have no exact bucketing
+    val ord: Column = unioned.schema("__ts").dataType match {
+      case TimestampType => lit(sign) * unix_micros(col("__ts"))
+      case TimestampNTZType =>
+        lit(sign) * unix_micros(col("__ts").cast("timestamp"))
+      case DateType => lit(sign) * col("__ts").cast("int").cast("long")
+      case ByteType | ShortType | IntegerType | LongType =>
+        lit(sign) * col("__ts").cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"asof bucketed: timeline type $dt is not integral/date/" +
+          "timestamp — use the plain backward/forward form")
+    }
+    val kc = keys.map(col)
+    // truncating `div` is monotone in ord, which is all bucket ids need
+    // (bucket 0 is wider when ord spans zero — harmless)
+    val u = unioned.withColumn("__ord", ord)
+      .withColumn("__b", expr(s"__ord div ${bucketWidth}L"))
+    // 1+2: last right per occupied bucket, then the entering match.
+    // max_by ignores null-ordering rows, so left rows (null __rord)
+    // never win; an all-left bucket yields a null __blast, which
+    // last(ignoreNulls) carries past.
+    val bw = Window.partitionBy(kc: _*).orderBy(col("__b").asc)
+    val summary = u
+      .groupBy((kc :+ col("__b")): _*)
+      .agg(max_by(col("__r"), when(col("__src") === 0, col("__ord")))
+        .as("__blast"))
+      .withColumn("__enter", last(col("__blast"), ignoreNulls = true)
+        .over(bw.rowsBetween(Window.unboundedPreceding, -1)))
+      .select((kc :+ col("__b") :+ col("__enter")): _*)
+      .repartition((kc :+ col("__b")): _*)
+    // 3: the plain window, now per (keys, bucket), seeded by __enter
+    val w = Window.partitionBy((kc :+ col("__b")): _*)
+      .orderBy(col("__ord").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u.join(summary, keys :+ "__b")
+      .withColumn("__match",
+        coalesce(last(col("__r"), ignoreNulls = true).over(w),
+          col("__enter")))
+    finish(matched, keys, leftTs, leftCols, rightPayloadCols)
   }
 
   /** As-of join with a tolerance window: match only if the right row is

@@ -634,6 +634,29 @@ object ScaleProbe {
     })
     } // 1-key guard
 
+    // as-of at ONE key: the plain union-tag window serializes the
+    // whole timeline onto one core (maxTask ~ wall); the bucketed
+    // two-pass form (backwardBucketed) must cut maxTask while the
+    // totals stay equal — the same few-key story as the interval rows
+    if (Seq("asof_1key", "asof_1key_bucketed").exists(wanted)) {
+      val n = 2000000L * copies / 20
+      val l1 = spark.range(n).select(lit(0L).as("k"),
+        pmod(col("id") * 7919L, lit(1000000000L)).as("ts"),
+        col("id").as("lid")).cache()
+      val r1 = spark.range(n / 4).select(lit(0L).as("k"),
+        pmod(col("id") * 104729L, lit(1000000000L)).as("ts"),
+        col("id").as("rid"))
+        .groupBy("k", "ts").agg(max("rid").as("rid")).cache()
+      println(s"[probe] asof 1key left=${l1.count()} right=${r1.count()}")
+      time("asof_1key")(graft.operators.AsofJoin
+        .backward(l1, r1, Seq("k"), "ts", "ts")
+        .agg(sum("rid"), count(lit(1))).head())
+      time("asof_1key_bucketed")(graft.operators.AsofJoin
+        .backwardBucketed(l1, r1, Seq("k"), "ts", "ts",
+          bucketWidth = 1000000L)
+        .agg(sum("rid"), count(lit(1))).head())
+    }
+
     // Layout FILES-touched probe (NOTES round-8 #1): ScaleLayoutSpec
     // measures rows DECODED (row-group min/max pruning); at cluster
     // scale the planner-level lever is FILE skipping — a table format
