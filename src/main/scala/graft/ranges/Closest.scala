@@ -52,12 +52,20 @@ object Closest {
     * @param keepUnmatched  when true, queries with no (surviving)
     *                  candidate are emitted with NULL closest_id and
     *                  distance instead of being dropped — the
-    *                  left-join form downstream enrichment wants */
+    *                  left-join form downstream enrichment wants
+    * @param coordBucket  when set, the two as-of alignments run on the
+    *                  bucketed two-pass plan
+    *                  ([[AsofJoin.backwardBucketed]], coordinate units)
+    *                  instead of one window per key — the few-key
+    *                  regime (25 chromosomes would otherwise cap the
+    *                  as-of sorts at 25 tasks regardless of cluster
+    *                  size). Results are identical (spec-pinned). */
   def closest(queries: DataFrame, features: DataFrame, keys: Seq[String],
       qStart: String, qEnd: String, fStart: String, fEnd: String,
       fId: String, width: Long = 10000L,
       maxDist: Option[Long] = None,
-      keepUnmatched: Boolean = false): DataFrame = {
+      keepUnmatched: Boolean = false,
+      coordBucket: Option[Long] = None): DataFrame = {
     require(maxDist.forall(_ >= 0), s"maxDist must be >= 0: $maxDist")
     val kc = keys.map(col)
     // the answer is a pure function of the NATURAL query key (keys,
@@ -84,7 +92,13 @@ object Closest {
     val byEnd = features.groupBy((kc :+ col(fEnd).as("__fend")): _*)
       .agg(min(col(fId)).as("__fid"))
       .withColumn("__fcoord", col("__fend"))
-    val left = AsofJoin.backward(qNarrow, byEnd, keys, qStart, "__fend")
+    def bwd(l: DataFrame, r: DataFrame, ts: String, rts: String) =
+      coordBucket.fold(AsofJoin.backward(l, r, keys, ts, rts))(w =>
+        AsofJoin.backwardBucketed(l, r, keys, ts, rts, w))
+    def fwd(l: DataFrame, r: DataFrame, ts: String, rts: String) =
+      coordBucket.fold(AsofJoin.forward(l, r, keys, ts, rts))(w =>
+        AsofJoin.forwardBucketed(l, r, keys, ts, rts, w))
+    val left = bwd(qNarrow, byEnd, qStart, "__fend")
       .filter(col("__fid").isNotNull)
       .select(qkc :+ col("__fid") :+
         (col(qStart) - col("__fcoord")).cast("long").as("__dist"): _*)
@@ -93,7 +107,7 @@ object Closest {
     val byStart = features.groupBy((kc :+ col(fStart).as("__fstart")): _*)
       .agg(min(col(fId)).as("__fid"))
       .withColumn("__fcoord", col("__fstart"))
-    val right = AsofJoin.forward(qNarrow, byStart, keys, qEnd, "__fstart")
+    val right = fwd(qNarrow, byStart, qEnd, "__fstart")
       .filter(col("__fid").isNotNull)
       .select(qkc :+ col("__fid") :+
         (col("__fcoord") - col(qEnd)).cast("long").as("__dist"): _*)

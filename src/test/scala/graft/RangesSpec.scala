@@ -99,6 +99,12 @@ class RangesSpec extends SparkSpecBase {
         .select($"qid", $"closest_id", $"distance")
         .as[(Long, Long, Long)].collect().toSet
       assert(got == naive, s"width=$width")
+      // the few-key path: bucketed as-of alignments, same answer
+      val gotB = Closest.closest(qs, fs, Seq("k"), "qs", "qe",
+          "fs", "fe", "fid", width, coordBucket = Some(128L))
+        .select($"qid", $"closest_id", $"distance")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotB == naive, s"width=$width coordBucket=128")
     }
     // pinned edges: overlap beats any gap; equal left/right gaps tie
     // to the smaller id; equal ends tie to the smaller id; a key with
