@@ -254,6 +254,28 @@ object AnalyticQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // Sequential path mining (the k-gram journey roll-up): how often
+    // does each 3-step event-type path occur across user timelines?
+    // q110's single user-keyed window with TWO leads instead of one —
+    // the log still shuffles once; the roll-up is |types|³-sized.
+    // The "what do users do next" primitive behind journey maps and
+    // next-action models.
+    "q122_path_trigrams" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      ev
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          GraftSession.tsMicros(ev).as("ts_us"))
+        .withColumn("step2", lead(col("event_type"), 1).over(w))
+        .withColumn("step3", lead(col("event_type"), 2).over(w))
+        .filter(col("step3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("step2"),
+          col("step3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy("step1", "step2", "step3")
+    }),
+
     // OLAP over q53's sessions: the session-SIZE distribution — how
     // many sessions have n events, and how long do they run? Rollups
     // on the session table (already one shuffle), exact long sums,
@@ -625,6 +647,17 @@ object AnalyticQueries {
         |  CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
         |    AS p
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // q122: the same lead window, two steps ahead
+    "q122_path_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS tn FROM events),
+        |n AS (SELECT event_type AS step1,
+        |  lead(event_type, 1) OVER w AS step2,
+        |  lead(event_type, 2) OVER w AS step3 FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id))
+        |SELECT step1, step2, step3, COUNT(*) AS n_paths
+        |FROM n WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY step1, step2, step3""".stripMargin,
     // q116: q53's session CTE chain + the size rollup; mean division
     // mirrored on exact longs
     "q116_session_stats" ->

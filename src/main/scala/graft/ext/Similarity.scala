@@ -281,7 +281,6 @@ object Similarity {
       k: Int): DataFrame = {
     val spark = corpus.sparkSession
     val cbs = collectCodebooks(codebooks)
-    val subdim = cbs.head._2.head.length
     // corpus side: index codes (NOT cids — the LUT is index-addressed)
     val enc = corpus.withColumn("__code",
       array(encodeIndexCols(vecCol, cbs).map(_.cast("long")): _*))
@@ -466,7 +465,6 @@ object Similarity {
     val spark = corpus.sparkSession
     val (cids, matrix) = collectCentroids(centroids)
     val cbs = collectCodebooks(codebooks)
-    val subdim = cbs.head._2.head.length
     val enc = assignWith(corpus, vecCol, cids, matrix)
       .withColumn("__code",
         array(encodeIndexCols(vecCol, cbs).map(_.cast("long")): _*))

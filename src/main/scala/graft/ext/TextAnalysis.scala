@@ -209,6 +209,152 @@ object TextAnalysis {
         t => coalesce(element_at(m, t), lit(unkId))))
   }
 
+  /** JVM twin of [[graft.functions.TextFunctions.bpeTokens]] — the ONE
+    * pre-token definition, shared so [[bpeApply]]'s executor-side split
+    * can never drift from the column form. */
+  private val PreTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+  private[graft] def jvmBpeTokens(text: String): Seq[String] =
+    if (text == null) Seq.empty else PreTokenRe.findAllIn(text).toSeq
+
+  /** Train a byte-pair-encoding merge table on the corpus — the
+    * tokenizer-TRAINING half of the encode pipeline ([[encodeTokens]]
+    * applies a finished vocab; this builds one). Classic BPE (Sennrich
+    * et al. 2016), trained the way production tokenizer trainers do it:
+    * merge decisions are a pure function of the WORD-FREQUENCY table,
+    * so the distributed work is exactly ONE corpus pass (pre-token
+    * explode → count, map-side combined); the merge loop then runs on
+    * that driver-sized table. `maxWords` is the bounded-collect
+    * contract (same device as the IVF centroid and vocab caps — a hard
+    * `require`, not a silent truncation): natural-language corpora
+    * plateau at 10⁵-ish distinct pre-tokens regardless of corpus
+    * bytes, which is why the word table is driver-sized at 100 TB.
+    *
+    * Deterministic: the pair with the highest count wins each round,
+    * ties by lexicographically smallest (left, right); words start as
+    * code-point symbols (surrogate-safe). Stops early when no adjacent
+    * pair remains. Returns (rank, left, right, merged), rank 0-based
+    * in merge order — feed to [[bpeApply]]. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 262144): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordRows = df
+      .select(explode(bpeTokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .orderBy("__w") // deterministic driver order
+      .as[(String, Long)].collect()
+    require(wordRows.length <= maxWords,
+      s"bpeTrain: ${wordRows.length} distinct pre-tokens exceed " +
+        s"maxWords=$maxWords — raise the cap or pre-filter the corpus")
+    // driver-side merge loop over the word table
+    var words: Array[(Array[String], Long)] = wordRows.map { case (w, n) =>
+      (w.codePoints().toArray.map((cp: Int) => new String(Character.toChars(cp))), n)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          pairCounts((syms(i), syms(i + 1))) += n
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // highest count wins; ties to the lexicographically smallest pair
+        val (l, r) = pairCounts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += ((rank, l, r))
+        val lr = l + r
+        words = words.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += lr; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right")
+      .withColumn("merged", concat(col("left"), col("right")))
+  }
+
+  /** Apply a [[bpeTrain]] merge table: every document becomes its
+    * BPE-token array (`out`), the last text transform before
+    * [[encodeTokens]]/[[Curation.packSequences]]. The merge table
+    * broadcasts (it is numMerges-sized); each task memoizes
+    * word→tokens per partition, so the per-row cost is one map lookup
+    * for every repeated word — corpus work stays a single map-only
+    * pass, nothing shuffles. The per-word rank-greedy merge loop is
+    * imperative, so this runs as a typed `mapPartitions`
+    * (the [[Multimodal]] justification: no Column/Expression form
+    * exists for an iterative fixpoint; this is a scan-shaped batch op,
+    * never a per-query kernel). Output carries (idCol, out) — project
+    * other columns before or join on idCol after. */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, out: String = "bpe_tokens"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("left"), col("right"), col("rank").cast("int"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bc.value
+        val memo = scala.collection.mutable.Map.empty[String, Seq[String]]
+        def encodeWord(w: String): Seq[String] = memo.getOrElseUpdate(w, {
+          var syms = w.codePoints().toArray
+            .map((cp: Int) => new String(Character.toChars(cp))).toBuffer
+          var done = false
+          while (!done && syms.length >= 2) {
+            // lowest-rank adjacent pair merges first (training order)
+            var best = Int.MaxValue
+            var bi = -1
+            var i = 0
+            while (i < syms.length - 1) {
+              val r = rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (r < best) { best = r; bi = i }
+              i += 1
+            }
+            if (bi < 0) done = true
+            else {
+              val merged = syms(bi) + syms(bi + 1)
+              // merge EVERY occurrence of this pair, left to right
+              val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 &&
+                    rk.getOrElse((syms(j), syms(j + 1)), -1) == best) {
+                  nb += merged; j += 2
+                } else { nb += syms(j); j += 1 }
+              }
+              syms = nb
+            }
+          }
+          syms.toSeq
+        })
+        it.map { case (id, text) =>
+          (id, jvmBpeTokens(text).flatMap(encodeWord))
+        }
+      }
+      .toDF(idCol, out)
+  }
+
   /** Corpus-conditional bigram familiarity — the language-model-flavored
     * quality signal that needs no external model: train a bigram table
     * on the corpus itself (c(w1,w2) and its prefix marginal c(w1) =

@@ -109,7 +109,7 @@ object ScaleProbe {
       "postings_build_and_and3", "phrase_build_and_search",
       "postings_query_loaded", "phrase_query_loaded",
       "postings_artifact_build", "phrase_artifact_build",
-      "split_assign", "upsample_2p5x",
+      "split_assign", "upsample_2p5x", "bpe_train_200", "bpe_apply",
       "chunk_32_8", "semantic_neardup_k256", "media_decode_1mb_rpp8",
       "media_decode_1mb_rpp64", "media_decode_1mb_rpp500")
     if (docProbes.exists(wanted)) {
@@ -281,6 +281,20 @@ object ScaleProbe {
       "mix2").count())
     time("chunk_32_8")(TextAnalysis.chunkTokens(docs, "doc_id", "text",
       chunkSize = 32, overlap = 8).count())
+    // BPE tokenizer training: ONE corpus pass (pre-token word count,
+    // map-side combined) + the driver merge loop on the bounded word
+    // table; the corpus-sized cost must stay flat in merges and the
+    // shuffle must be word-table-sized, never corpus-sized
+    if (Seq("bpe_train_200", "bpe_apply").exists(wanted)) {
+      var merges: org.apache.spark.sql.DataFrame = null
+      timeOrRun("bpe_train_200")({
+        merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 200)
+        s"merges=${merges.count()}"
+      })
+      time("bpe_apply")(TextAnalysis
+        .bpeApply(docs, "doc_id", "text", merges)
+        .agg(sum(size(col("bpe_tokens")))).head())
+    }
     time("semantic_neardup_k256")({
       val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
         k = 256, iters = 1)

@@ -363,4 +363,73 @@ class CurationSpec extends SparkSpecBase {
     // aggregator's merges land in the same total order)
     assert(run(df.repartition(7)) == got)
   }
+
+  test("bpeTrain: hand-derived merge sequence on the classic corpus") {
+    import graft.ext.TextAnalysis
+    // the HF-docs BPE example: word counts hug=10 pug=5 pun=12 bun=4
+    // hugs=5 → pair counts (u,g)=20 > (p,u)=17 > (u,n)=16 > (h,u)=15 …
+    // merge order is therefore ug, un, hug (after "ug" exists, (h,ug)
+    // counts 15 and beats (p,un)=12)
+    val text = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 3)
+      .orderBy("rank")
+      .select("rank", "left", "right", "merged")
+      .as[(Int, String, String, String)].collect().toSeq
+    assert(merges == Seq(
+      (0, "u", "g", "ug"), (1, "u", "n", "un"), (2, "h", "ug", "hug")))
+    // merge decisions are word-count functions: re-partitioning the
+    // corpus (and splitting the words across docs) changes nothing
+    val spread = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text").repartition(7)
+    val again = TextAnalysis.bpeTrain(spread, "text", 3)
+      .orderBy("rank").select("rank", "left", "right", "merged")
+      .as[(Int, String, String, String)].collect().toSeq
+    assert(again == merges)
+    // early stop: a single-char corpus has no pairs after 0 merges
+    assert(TextAnalysis.bpeTrain(
+      Seq((1L, "a a a")).toDF("doc_id", "text"), "text", 5).count() == 0)
+    // the bounded-collect contract fails loudly
+    val err = intercept[IllegalArgumentException](
+      TextAnalysis.bpeTrain(Seq((1L, "one two three")).toDF("d", "text"),
+        "text", 2, maxWords = 2))
+    assert(err.getMessage.contains("maxWords"))
+  }
+
+  test("bpeApply: rank-greedy encode matches hand expectation; lossless") {
+    import graft.ext.TextAnalysis
+    val text = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .mkString(" ")
+    val train = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(train, "text", 3)
+    val docs = Seq((1L, "hug pun hugs bug"), (2L, "mug un!"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeApply(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    // hug→[hug]; pun→[p,un]; hugs→[hug,s]; bug (unseen)→[b,ug];
+    // mug→[m,ug]; un→[un]; "!"→["!"] (punct is its own pre-token)
+    assert(got(1L) == Seq("hug", "p", "un", "hug", "s", "b", "ug"))
+    assert(got(2L) == Seq("m", "ug", "un", "!"))
+    // lossless: concatenating a word's tokens rebuilds the word, for
+    // random unseen text too
+    val rnd = new scala.util.Random(5)
+    val wild = (0 until 50).map(i => (i.toLong,
+      (0 until 8).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+        .mkString(" "))).toDF("doc_id", "text")
+    val back = TextAnalysis.bpeApply(wild, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    wild.as[(Long, String)].collect().foreach { case (id, t) =>
+      assert(back(id).mkString == t.replaceAll("\\s+", ""),
+        s"doc $id not lossless")
+    }
+    // partition invariance
+    val again = TextAnalysis.bpeApply(docs.repartition(5), "doc_id",
+      "text", merges).as[(Long, Seq[String])].collect().toMap
+    assert(again == got)
+  }
 }
