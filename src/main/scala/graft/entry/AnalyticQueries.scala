@@ -19,6 +19,45 @@ object AnalyticQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
+  /** Shared harness for the streaming oracle rows (q118/q119/q121):
+    * replay the event log through `op`'s micro-batch pipeline in three
+    * TIME-ORDERED batches (sorted on the operators' own exact-micros
+    * key — a millis-only sort could split a shared millisecond across
+    * a batch boundary against the micros timeline, ADVICE r7) and
+    * return the raw sink rows. The driver-side collect here is the
+    * test harness feeding the stream, not the operator (which is keyed
+    * state, bounded per user); callers fold the sink rows — matrix- or
+    * users-sized — on the driver. */
+  private def replayThirds(s: SparkSession, dir: String,
+      op: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.Event] =>
+        org.apache.spark.sql.Dataset[_]): Array[org.apache.spark.sql.Row] = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = s.sqlContext
+    val ev = t(s, dir, "events")
+    val rows = GraftSession.tsTimestamp(ev)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event].collect()
+      .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+        e.ts.getNanos / 1000L, e.event_id))
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    val mem = MemoryStream[EventStreams.Event]
+    val sink = "replay_sink_" + java.util.UUID.randomUUID.toString
+      .replace("-", "")
+    val q = op(mem.toDS()).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName(sink).start()
+    try {
+      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      s.table(sink).collect()
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(sink)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CUBE: all four grouping combinations in one pass (Spark expands to
     // grouping sets, one shuffle). NULLS FIRST ordering matches DuckDB's
@@ -325,43 +364,18 @@ object AnalyticQueries {
     // harness feeding the stream, not the operator (which is keyed
     // state, bounded per user); the matrix itself is |types|²=25 rows.
     "q118_streaming_transitions" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import graft.streaming.EventStreams
-      implicit val sqlCtx = s.sqlContext
-      val ev = t(s, dir, "events")
-      val rows = GraftSession.tsTimestamp(ev)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .as[EventStreams.Event].collect()
-        // order on the operator's own exact-micros key (ADVICE r7): a
-        // millis-only sort could split a shared millisecond across a
-        // batch boundary against the micros timeline
-        .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
-          e.ts.getNanos / 1000L, e.event_id))
-      val thirds = rows.grouped((rows.length + 2) / 3).toSeq
-      val mem = MemoryStream[EventStreams.Event]
-      val sink = "q118_sink_" + java.util.UUID.randomUUID.toString
-        .replace("-", "")
-      val q = EventStreams.streamingTransitions(mem.toDS()).writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-        .format("memory").queryName(sink).start()
-      val matrix =
-        try {
-          thirds.foreach { b =>
-            mem.addData(b.toSeq: _*); q.processAllAvailable()
-          }
-          s.table(sink).groupBy("from_type", "to_type")
-            .agg(sum("delta").as("n_transitions")).collect()
-        } finally {
-          q.stop()
-          s.catalog.dropTempView(sink)
-        }
-      val byFrom = matrix.groupBy(_.getString(0)).view
-        .mapValues(_.map(_.getLong(2)).sum).toMap
-      // probability from exact longs, one IEEE division — q110's device
-      val out = matrix.map(r => (r.getString(0), r.getString(1),
-        r.getLong(2), r.getLong(2).toDouble / byFrom(r.getString(0))))
+      val deltas = replayThirds(s, dir,
+        graft.streaming.EventStreams.streamingTransitions)
+      // fold the delta stream to the matrix: exact long sums per
+      // (from, to), probability as one IEEE division — q110's device
+      val matrix = deltas
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val byFrom = matrix.groupBy(_._1._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      val out = matrix.map { case ((f, to), n) =>
+        (f, to, n, n.toDouble / byFrom(f))
+      }
       s.createDataFrame(out.toSeq)
         .toDF("from_type", "to_type", "n_transitions", "p")
         .orderBy("from_type", "to_type")
@@ -377,40 +391,18 @@ object AnalyticQueries {
     // cross a week·1000 boundary). Retention rate derives from the
     // exact summed longs, one IEEE division per row.
     "q119_streaming_retention" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import graft.streaming.EventStreams
-      implicit val sqlCtx = s.sqlContext
-      val ev = t(s, dir, "events")
-      val rows = GraftSession.tsTimestamp(ev)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .as[EventStreams.Event].collect()
-        .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
-          e.ts.getNanos / 1000L, e.event_id))
-      val thirds = rows.grouped((rows.length + 2) / 3).toSeq
-      val mem = MemoryStream[EventStreams.Event]
-      val sink = "q119_sink_" + java.util.UUID.randomUUID.toString
-        .replace("-", "")
-      val q = EventStreams.streamingRetention(mem.toDS(),
-          bucketWidthMs = 604800000L).writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-        .format("memory").queryName(sink).start()
-      val matrix =
-        try {
-          thirds.foreach { b =>
-            mem.addData(b.toSeq: _*); q.processAllAvailable()
-          }
-          s.table(sink).groupBy("cohort", "bucket_offset")
-            .agg(sum("delta").as("n_users")).collect()
-        } finally {
-          q.stop()
-          s.catalog.dropTempView(sink)
-        }
-      val cohortSize = matrix.filter(_.getLong(1) == 0L)
-        .map(r => r.getLong(0) -> r.getLong(2)).toMap
-      val out = matrix.map(r => (r.getLong(0), r.getLong(1),
-        r.getLong(2), r.getLong(2).toDouble / cohortSize(r.getLong(0))))
+      val deltas = replayThirds(s, dir,
+        graft.streaming.EventStreams.streamingRetention(_,
+          bucketWidthMs = 604800000L))
+      val matrix = deltas
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val cohortSize = matrix.collect {
+        case ((c, 0L), n) => c -> n
+      }.toMap
+      val out = matrix.map { case ((c, off), n) =>
+        (c, off, n, n.toDouble / cohortSize(c))
+      }
       s.createDataFrame(out.toSeq)
         .toDF("cohort", "bucket_offset", "n_users", "retention")
         .orderBy("cohort", "bucket_offset")
@@ -426,34 +418,9 @@ object AnalyticQueries {
     // carried from batch 1) would diverge.
     "q121_streaming_funnel" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import graft.streaming.EventStreams
-      implicit val sqlCtx = s.sqlContext
-      val steps = Seq("view", "click", "purchase")
-      val ev = t(s, dir, "events")
-      val rows = GraftSession.tsTimestamp(ev)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .as[EventStreams.Event].collect()
-        .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
-          e.ts.getNanos / 1000L, e.event_id))
-      val thirds = rows.grouped((rows.length + 2) / 3).toSeq
-      val mem = MemoryStream[EventStreams.Event]
-      val sink = "q121_sink_" + java.util.UUID.randomUUID.toString
-        .replace("-", "")
-      val q = EventStreams.streamingFunnel(mem.toDS(), steps).writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-        .format("memory").queryName(sink).start()
-      val updates =
-        try {
-          thirds.foreach { b =>
-            mem.addData(b.toSeq: _*); q.processAllAvailable()
-          }
-          s.table(sink).collect()
-        } finally {
-          q.stop()
-          s.catalog.dropTempView(sink)
-        }
+      val updates = replayThirds(s, dir,
+        graft.streaming.EventStreams.streamingFunnel(_,
+          Seq("view", "click", "purchase")))
       val NONE = Long.MinValue
       val finalRows = updates
         .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
