@@ -278,8 +278,12 @@ class CurationSpec extends SparkSpecBase {
       val mixed = Curation.mixSources(clean, "source", "doc_id",
         Seq("src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.5),
         seed = "e2e")
-      val packed = Curation.packSequences(
-        TextAnalysis.withTokenCounts(mixed, "text"),
+      // tokenizer stage: train BPE on the curated mix, encode, and
+      // pack on the TRUE subword counts — the full pretraining shape
+      val merges = TextAnalysis.bpeTrain(mixed, "text", numMerges = 20)
+      val encoded = TextAnalysis.bpeApply(mixed, "doc_id", "text", merges)
+        .withColumn("n_tokens", size($"bpe_tokens"))
+      val packed = Curation.packSequences(encoded,
         "doc_id", "n_tokens", budget = 512L, seed = "e2e", nShards = 4)
       packed.select($"doc_id", $"shard", $"pack", $"pack_offset")
         .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
