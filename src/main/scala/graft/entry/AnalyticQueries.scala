@@ -433,6 +433,76 @@ object AnalyticQueries {
         .orderBy("user_id")
     }),
 
+    // SCD2 changelog compaction (ext/Snapshot): the event stream as a
+    // CDC log — per user, consecutive same-type events collapse into
+    // one VERSION row with [valid_from, valid_to) validity and a
+    // per-key version number. One user-keyed shuffle, two shared-sort
+    // window passes (lag change-detect, lead stitch); the incremental
+    // scd2Merge path is spec-pinned ≡ this full rebuild (SnapshotSpec).
+    "q124_scd2_history" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ext.Snapshot.scd2FromLog(
+          ev.select(col("user_id"), col("event_id"), col("event_type"),
+            GraftSession.tsMicros(ev).as("ts_us")),
+          keys = Seq("user_id"), tracked = Seq("event_type"),
+          tsCol = "ts_us", tieBreak = Seq("event_id"))
+        .orderBy("user_id", "version_seq")
+    }),
+
+    // Session co-occurrence lift (market-basket association over q116's
+    // sessions): which event types appear in the SAME session more
+    // often than independence predicts? One session groupBy collects
+    // the sorted type set, pairs/singles/total emerge from ONE explode
+    // of per-session combination arrays (no self-join — the pair space
+    // is Σ t_s² with t_s ≤ |type vocab|, generated map-side), then the
+    // tiny (|types|²)-row count table joins itself broadcast-style.
+    // lift = (N·c_ab)/(c_a·c_b) as one IEEE division of exact longs.
+    "q125_session_lift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sets = graft.operators.Sessionize.byGap(
+          ev.select(col("user_id"), col("event_id"), col("event_type"),
+            GraftSession.tsMicros(ev).as("ts_us")),
+          keys = Seq("user_id"), tsCol = "ts_us", gap = 28800000000L,
+          tieBreak = Seq("event_id"))
+        .groupBy("user_id", "session_seq")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      // pairs (a<b, the sorted array's i<j), singles (t, NULL), and a
+      // per-session (NULL, NULL) marker — one explode, one count
+      val pairsArr = expr(
+        """flatten(transform(types, (x, i) ->
+          |  transform(slice(types, i + 2, size(types)), y ->
+          |    struct(x AS type_a, y AS type_b))))""".stripMargin)
+      val singlesArr = expr(
+        "transform(types, x -> struct(x AS type_a, " +
+          "CAST(NULL AS STRING) AS type_b))")
+      val marker = expr(
+        "array(struct(CAST(NULL AS STRING) AS type_a, " +
+          "CAST(NULL AS STRING) AS type_b))")
+      val counts = sets
+        .select(explode(concat(pairsArr, singlesArr, marker)).as("p"))
+        .select("p.*")
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("c"))
+      val pairs = counts.filter(col("type_a").isNotNull &&
+        col("type_b").isNotNull)
+        .select(col("type_a"), col("type_b"), col("c").as("c_ab"))
+      val singles = counts.filter(col("type_a").isNotNull &&
+        col("type_b").isNull)
+      val nSessions = counts.filter(col("type_a").isNull)
+        .select(col("c").as("n_sessions"))
+      pairs
+        .join(broadcast(singles.select(col("type_a").as("__ta"),
+          col("c").as("c_a"))), col("type_a") === col("__ta"))
+        .join(broadcast(singles.select(col("type_a").as("__tb"),
+          col("c").as("c_b"))), col("type_b") === col("__tb"))
+        .crossJoin(broadcast(nSessions))
+        .select(col("type_a"), col("type_b"), col("c_ab"),
+          col("c_a"), col("c_b"),
+          ((col("n_sessions") * col("c_ab")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double")).as("lift"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Ordered collection aggregate: set-collect, sort, join — the
     // listagg/string_agg surface with deterministic element order.
     "q54_array_agg" -> ((s, dir) => {
@@ -463,6 +533,59 @@ object AnalyticQueries {
     }))
 
   private val oracleSqlBase: Map[String, String] = Map(
+    // q124: the same lag change-detect → filter → lead stitch chain;
+    // BOTH window passes order by (tn, event_id) — one window's output
+    // feeding a second window needs the full unique sort key in each
+    // pass (the q94 lesson) or DuckDB may split ties differently.
+    "q124_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS tn FROM events),
+        |c AS (SELECT user_id, event_id, event_type, tn,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) AS prev
+        |  FROM e),
+        |k AS (SELECT user_id, event_id, event_type, tn FROM c
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) AS BIGINT) AS version_seq,
+        |  tn AS valid_from,
+        |  lead(tn) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) AS valid_to
+        |FROM k ORDER BY user_id, version_seq""".stripMargin,
+    // q125: the oracle derives the same counts RELATIONALLY (distinct
+    // session-type set + self-join on the session) — an independent
+    // formulation of the combination-explode plan; lift division
+    // mirrored on exact longs.
+    "q125_session_lift" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS tn FROM events),
+        |g AS (SELECT user_id, event_id, event_type, tn,
+        |  CASE WHEN tn - lag(tn) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) > 28800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (SELECT user_id, event_type,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM g),
+        |st AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+        |n AS (SELECT COUNT(*) AS n_sessions FROM
+        |  (SELECT DISTINCT user_id, session_seq FROM st)),
+        |si AS (SELECT event_type, COUNT(*) AS c FROM st GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS c_ab
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.session_seq = b.session_seq
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+        |  CAST(n.n_sessions * p.c_ab AS DOUBLE) /
+        |    CAST(sa.c * sb.c AS DOUBLE) AS lift
+        |FROM p
+        |JOIN si sa ON sa.event_type = p.type_a
+        |JOIN si sb ON sb.event_type = p.type_b
+        |CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin,
     "q79_rolling_window" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS p,

@@ -116,9 +116,63 @@ object StatsQueries {
       Stats.profile(t(s, dir, "documents"),
           Seq("doc_id", "text", "lang", "source", "n_chars"))
         .orderBy("col_name")
+    }),
+
+    // Declarative constraint suite (the Deequ shape): six checks over
+    // orders — all row-local ones ride ONE Aggregate over the table,
+    // uniqueness joins that same pass as COUNT(*complete) −
+    // COUNT(DISTINCT), the FK check is one left join against the
+    // broadcast-sized distinct customer keys. Three checks fail on
+    // purpose (range/set/regex) so both report polarities are
+    // exercised.
+    "q123_constraint_suite" -> ((s, dir) => {
+      import graft.ext.Quality._
+      suite(t(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 300000.0),
+        InSet("o_orderstatus", Seq("O", "F")),
+        MatchesRegex("o_orderpriority", "^[1-3]-[A-Z]+$"),
+        ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // One SELECT per check: the row-local ones as conditional sums over
+    // orders, uniqueness as count-minus-distinct, the FK as a left join
+    // against distinct customer keys — then shared passed/ORDER BY.
+    "q123_constraint_suite" ->
+      """WITH r AS (
+        |  SELECT 'not_null(o_custkey)' AS check_name, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice,0.0,300000.0)', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND NOT
+        |      (o_totalprice >= 0.0 AND o_totalprice <= 300000.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus)', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND
+        |      o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'regex(o_orderpriority)', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT
+        |      regexp_matches(o_orderpriority, '^[1-3]-[A-Z]+$')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'fk(o_custkey)', COUNT(*),
+        |    CAST(SUM(CASE WHEN d.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) f
+        |  LEFT JOIN (SELECT DISTINCT c_custkey AS __k FROM customer) d
+        |    ON f.o_custkey = d.__k)
+        |SELECT check_name, n_rows, n_violations,
+        |  n_violations = 0 AS passed
+        |FROM r ORDER BY check_name""".stripMargin,
     // one SELECT per profiled column, min/max on the native type then
     // rendered VARCHAR — mirrors min(col).cast(string)
     "q92_profile" -> {
