@@ -449,6 +449,86 @@ object AnalyticQueries {
         .orderBy("user_id", "version_seq")
     }),
 
+    // The fourth streaming oracle row (after q118/q119/q121): the log
+    // replays through streamingScd2 — the per-user one-triple version
+    // state machine — and the folded emissions (closed-beats-open per
+    // (user, version): an open row is superseded by its own closing
+    // emission) must equal q124's batch history against the SAME
+    // DuckDB SQL. Exercises cross-batch version carry, where an
+    // off-by-one at a boundary (a change opening batch 2 must close
+    // the version carried from batch 1 at the new event's ts) would
+    // diverge on every straddling version.
+    "q127_streaming_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val rows = replayThirds(s, dir,
+        graft.streaming.EventStreams.streamingScd2)
+      val folded = rows
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .groupBy(t => (t._1, t._3)).values
+        .map(es => es.find(_._5.isDefined).getOrElse(es.head))
+        .toSeq
+      folded.toDF("user_id", "event_type", "version_seq", "valid_from",
+          "valid_to")
+        .orderBy("user_id", "version_seq")
+    }),
+
+    // Point-in-time enrichment against the q124 history (the "join
+    // facts to an SCD2 dimension at the fact's own timestamp"
+    // primitive, Snapshot.enrichAsOf): every event gets the state
+    // VERSION active at its instant — i.e. its run number — and the
+    // output is the run-length histogram. The enrich is the as-of
+    // union-tag plan (one user shuffle, no join operator); the oracle
+    // reconstructs the same instant semantics with DuckDB's native
+    // ASOF JOIN — an independent implementation of the lookup.
+    "q126_state_runs" -> ((s, dir) => {
+      val evt = t(s, dir, "events")
+      val ev = evt.select(col("user_id"), col("event_id"),
+        col("event_type"), GraftSession.tsMicros(evt).as("ts_us"))
+      val dim = graft.ext.Snapshot.scd2FromLog(ev, keys = Seq("user_id"),
+          tracked = Seq("event_type"), tsCol = "ts_us",
+          tieBreak = Seq("event_id"))
+        .withColumnRenamed("event_type", "state_type")
+      graft.ext.Snapshot.enrichAsOf(
+          ev.select("user_id", "event_id", "ts_us"), dim,
+          keys = Seq("user_id"), factTs = "ts_us")
+        .groupBy("user_id", "version_seq")
+        .agg(count(lit(1)).as("run_events"))
+        .groupBy("run_events")
+        .agg(count(lit(1)).as("n_runs"))
+        .orderBy("run_events")
+    }),
+
+    // Release-audit diff (Snapshot.diff over two asOf instants): the
+    // user-state table at 1/3 vs 2/3 of the timeline, every key
+    // classified added/changed/unchanged (SCD2 has no deletes, so
+    // `removed` is structurally empty here — SnapshotSpec covers it),
+    // rolled up per (change_type, old, new) transition. The two diff
+    // instants derive from ONE bounded min/max aggregate (the Layout
+    // device) with pure integer arithmetic mirrored in the oracle.
+    "q128_snapshot_diff" -> ((s, dir) => {
+      val evt = t(s, dir, "events")
+      val ev = evt.select(col("user_id"), col("event_id"),
+        col("event_type"), GraftSession.tsMicros(evt).as("ts_us"))
+      val hist = graft.ext.Snapshot.scd2FromLog(ev,
+        keys = Seq("user_id"), tracked = Seq("event_type"),
+        tsCol = "ts_us", tieBreak = Seq("event_id"))
+      val r = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      graft.ext.Snapshot.diff(
+          graft.ext.Snapshot.asOf(hist, t1)
+            .select(col("user_id"), col("event_type")),
+          graft.ext.Snapshot.asOf(hist, t2)
+            .select(col("user_id"), col("event_type")),
+          keys = Seq("user_id"), tracked = Seq("event_type"))
+        .groupBy("change_type", "old_event_type", "new_event_type")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("change_type", "old_event_type", "new_event_type")
+    }),
+
     // Session co-occurrence lift (market-basket association over q116's
     // sessions): which event types appear in the SAME session more
     // often than independence predicts? One session groupBy collects
@@ -553,6 +633,72 @@ object AnalyticQueries {
         |  lead(tn) OVER (PARTITION BY user_id
         |    ORDER BY tn, event_id) AS valid_to
         |FROM k ORDER BY user_id, version_seq""".stripMargin,
+    // q126: identical SCD2 CTE chain as q124, zero-length versions
+    // dropped, then DuckDB's NATIVE ASOF JOIN does the point-in-time
+    // lookup the Spark side evaluates with the union-tag window plan
+    "q126_state_runs" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS tn FROM events),
+        |c AS (SELECT user_id, event_id, event_type, tn,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) AS prev
+        |  FROM e),
+        |k AS (SELECT user_id, event_id, event_type, tn FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |h AS (SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) AS BIGINT) AS version_seq,
+        |  tn AS valid_from,
+        |  lead(tn) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) AS valid_to
+        |FROM k),
+        |live AS (SELECT * FROM h
+        |  WHERE valid_to IS NULL OR valid_to <> valid_from),
+        |enr AS (SELECT e.user_id, e.event_id, l.version_seq
+        |  FROM e ASOF JOIN live l
+        |  ON e.user_id = l.user_id AND e.tn >= l.valid_from),
+        |runs AS (SELECT user_id, version_seq, COUNT(*) AS run_events
+        |  FROM enr GROUP BY 1, 2)
+        |SELECT run_events, COUNT(*) AS n_runs
+        |FROM runs GROUP BY 1 ORDER BY run_events""".stripMargin,
+    // q128: q124's SCD2 chain + two as-of snapshot filters + FULL
+    // OUTER JOIN classification; integer thirds arithmetic mirrored
+    // exactly ( // is DuckDB integer division); NULLS FIRST pins the
+    // added/removed rows' sort slots to Spark's asc default
+    "q128_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS tn FROM events),
+        |b AS (SELECT MIN(tn) AS mn, MAX(tn) AS mx FROM e),
+        |c AS (SELECT user_id, event_id, event_type, tn,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) AS prev
+        |  FROM e),
+        |k AS (SELECT user_id, event_id, event_type, tn FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |h AS (SELECT user_id, event_type, tn AS valid_from,
+        |  lead(tn) OVER (PARTITION BY user_id
+        |    ORDER BY tn, event_id) AS valid_to
+        |FROM k),
+        |s1 AS (SELECT user_id, event_type FROM h, b
+        |  WHERE valid_from <= mn + (mx - mn) // 3
+        |    AND (valid_to IS NULL OR valid_to > mn + (mx - mn) // 3)),
+        |s2 AS (SELECT user_id, event_type FROM h, b
+        |  WHERE valid_from <= mn + 2 * ((mx - mn) // 3)
+        |    AND (valid_to IS NULL OR valid_to > mn + 2 * ((mx - mn) // 3))),
+        |d AS (SELECT
+        |  CASE WHEN s1.user_id IS NULL THEN 'added'
+        |       WHEN s2.user_id IS NULL THEN 'removed'
+        |       WHEN s1.event_type IS DISTINCT FROM s2.event_type
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type,
+        |  s1.event_type AS old_event_type,
+        |  s2.event_type AS new_event_type
+        |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+        |SELECT change_type, old_event_type, new_event_type,
+        |  COUNT(*) AS n_keys
+        |FROM d GROUP BY 1, 2, 3
+        |ORDER BY change_type, old_event_type NULLS FIRST,
+        |  new_event_type NULLS FIRST""".stripMargin,
     // q125: the oracle derives the same counts RELATIONALLY (distinct
     // session-type set + self-join on the session) — an independent
     // formulation of the combination-explode plan; lift division
@@ -824,5 +970,7 @@ object AnalyticQueries {
   /** q115 is funnelSinglePass against q107's OWN ground truth — one
     * SQL text, two independent Spark implementations checked. */
   val oracleSql: Map[String, String] =
-    oracleSqlBase + ("q115_funnel_single" -> oracleSqlBase("q107_funnel"))
+    oracleSqlBase +
+      ("q115_funnel_single" -> oracleSqlBase("q107_funnel")) +
+      ("q127_streaming_scd2" -> oracleSqlBase("q124_scd2_history"))
 }

@@ -107,4 +107,60 @@ object Snapshot {
   def asOf(history: DataFrame, t: Long): DataFrame =
     history.filter(col("valid_from") <= lit(t) &&
       (col("valid_to").isNull || col("valid_to") > lit(t)))
+
+  /** Key-level diff of two snapshots (two `asOf` instants, two corpus
+    * releases, two table versions): one row per key present in either,
+    * classified `added` / `removed` / `changed` / `unchanged` with the
+    * before/after tracked values side by side (`old_*` / `new_*`).
+    * The release-audit primitive a corpus pipeline runs between
+    * versions.
+    *
+    * One full outer join on `keys` — hash-partitioned both sides, AQE
+    * handles skew; comparison is null-safe per tracked column, and
+    * presence markers (not tracked-null tests) drive the add/remove
+    * classification so NULL tracked values diff correctly. */
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String],
+      tracked: Seq[String]): DataFrame = {
+    require(tracked.nonEmpty, "diff needs tracked columns")
+    val b = before.select(keys.map(col) ++
+      tracked.map(c => col(c).as(s"old_$c")) :+
+      lit(true).as("__b"): _*)
+    val a = after.select(keys.map(col) ++
+      tracked.map(c => col(c).as(s"new_$c")) :+
+      lit(true).as("__a"): _*)
+    val anyChanged = tracked
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    b.join(a, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__b").isNull, lit("added"))
+          .when(col("__a").isNull, lit("removed"))
+          .when(anyChanged, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__b", "__a")
+  }
+
+  /** Point-in-time enrichment: label every fact row with the dimension
+    * VERSION that was valid at the fact's own timestamp — the lakehouse
+    * "join facts to an SCD2 dimension without time-travel reads"
+    * primitive. Facts that precede their key's first version (or whose
+    * key has no history) come back with NULL version columns.
+    *
+    * Rides [[graft.operators.AsofJoin.backward]]'s union-tag plan: one
+    * shuffle on (keys), one in-partition sort, NO join operator and no
+    * O(|facts|·|versions|) range-join risk. Correctness leans on SCD2
+    * interval contiguity (each version's valid_to IS the next
+    * valid_from), so the latest `valid_from <= ts` version is
+    * automatically the interval containing ts; zero-length versions
+    * (valid_to == valid_from, born when several changes share one
+    * timestamp) are valid at NO instant and are dropped first — which
+    * also restores the as-of contract that right rows are unique per
+    * (keys, ts). */
+  def enrichAsOf(facts: DataFrame, history: DataFrame, keys: Seq[String],
+      factTs: String): DataFrame = {
+    val live = history.filter(col("valid_to").isNull ||
+      col("valid_to") =!= col("valid_from"))
+    graft.operators.AsofJoin.backward(facts, live, keys, factTs,
+      "valid_from")
+  }
 }

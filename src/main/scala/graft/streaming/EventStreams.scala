@@ -501,6 +501,61 @@ object EventStreams {
       }
   }
 
+  final case class Scd2Delta(user_id: Long, state: String,
+      version_seq: Long, valid_from: Long, valid_to: Option[Long])
+
+  /** Online SCD2 compaction — the streaming twin of
+    * [[graft.ext.Snapshot.scd2FromLog]]: the event stream is a CDC log
+    * and each micro-batch emits VERSION rows for the per-user state
+    * machine it advanced — every version CLOSED in the batch (with its
+    * `valid_to` stitched to the successor's `valid_from`) plus one
+    * refreshed OPEN row (`valid_to = None`) for the user's current
+    * version. A keyed sink folds emissions per (user_id, version_seq)
+    * with closed-beats-open (an open row is always superseded by its
+    * own closing emission), which reconstructs the batch operator's
+    * exact history — spec-asserted against the full driver log.
+    *
+    * State per user: ONE (state, valid_from, version_seq) triple,
+    * forever — bounded regardless of event volume; no-change events
+    * are absorbed statefully and emit nothing.
+    *
+    * Order contract (the [[streamingFunnel]] convention): in-batch
+    * events apply in (exact-micros, event_id) order seeded by the
+    * carried state, so time-ordered batches reproduce the batch
+    * history exactly; cross-batch late events apply in arrival order
+    * (the price every online compactor pays). */
+  def streamingScd2(events: Dataset[Event]): Dataset[Scd2Delta] = {
+    import events.sparkSession.implicits._
+    events
+      .map(e => (e.user_id, e.event_type, exactMicros(e.ts), e.event_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Long), Scd2Delta](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, String, Long, Long)],
+            state: GroupState[(String, Long, Long)]) =>
+          val sorted = batch.map { case (_, t, ts, id) => (t, ts, id) }
+            .toArray.sortBy { case (_, ts, id) => (ts, id) }
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Delta]
+            var cur = state.getOption // (state, valid_from, version_seq)
+            sorted.foreach { case (t, ts, _) =>
+              cur match {
+                case Some((ct, cf, cv)) if ct != t =>
+                  out += Scd2Delta(user, ct, cv, cf, Some(ts))
+                  cur = Some((t, ts, cv + 1L))
+                case None => cur = Some((t, ts, 1L))
+                case _ => () // same state: absorbed, nothing emitted
+              }
+            }
+            val (ct, cf, cv) = cur.get
+            state.update((ct, cf, cv))
+            out += Scd2Delta(user, ct, cv, cf, None)
+            out.iterator
+          }
+      }
+  }
+
   final case class RetentionDelta(cohort: Long, bucket_offset: Long,
       delta: Long)
 

@@ -490,6 +490,75 @@ object ScaleProbe {
         .agg(sum("active_users")).head())
     }
 
+    // data-quality constraint suite (q123 shape): every row-local
+    // check rides ONE aggregate over the fact table (map-side partials
+    // → one-row merge), uniqueness adds the exact-countDistinct
+    // Expand, the FK is a left join against broadcast-sized distinct
+    // dim keys. Shuffle bytes must stay ~flat in copies — nothing
+    // row-sized ever moves.
+    if (Seq("constraint_suite", "constraint_suite_approx")
+        .exists(wanted)) {
+      import graft.ext.Quality
+      import graft.ext.Quality._
+      val ord = replicate(GraftSession.table(spark, sfDir, "orders"),
+        "o_orderkey", copies).cache()
+      val cust = GraftSession.table(spark, sfDir, "customer")
+      println(s"[probe] constraint orders=${ord.count()}")
+      val checks = Seq(
+        NotNull("o_custkey"), Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 300000.0),
+        InSet("o_orderstatus", Seq("O", "F")),
+        MatchesRegex("o_orderpriority", "^[1-3]-[A-Z]+$"),
+        ForeignKey("o_custkey", cust, "c_custkey"))
+      time("constraint_suite")(Quality.suite(ord, checks)
+        .collect().map(_.getLong(2)).sum)
+      // exact=false swaps the uniqueness countDistinct (whose partial
+      // distinct is the ONLY row-proportional shuffle above) for HLL
+      // registers — the bytes row must collapse to ~0
+      time("constraint_suite_approx")(Quality.suite(ord, checks,
+          exact = false)
+        .collect().map(_.getLong(2)).sum)
+    }
+
+    // SCD2 family (q124/q126 shape): full rebuild vs artifact-loaded
+    // incremental merge vs point-in-time enrich. The merge claim is
+    // the one to watch: its windowed compaction runs over
+    // |current keys| + |delta| rows only, so its bytes must sit far
+    // under the rebuild's (which shuffles the whole log once).
+    if (Seq("scd2_rebuild", "scd2_merge_delta", "scd2_enrich")
+        .exists(wanted)) {
+      import graft.ext.Snapshot
+      val evRaw = GraftSession.table(spark, sfDir, "events")
+      val ev = replicate(evRaw
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          GraftSession.tsMicros(evRaw).as("ts_us")),
+        "user_id", copies).cache()
+      println(s"[probe] scd2 events=${ev.count()}")
+      val keys = Seq("user_id")
+      time("scd2_rebuild")(Snapshot.scd2FromLog(ev, keys,
+          Seq("event_type"), "ts_us", Seq("event_id"))
+        .agg(max("version_seq")).head())
+      // history over the oldest ~90% persisted to parquet (the loaded-
+      // artifact convention); the newest ~10% is the delta batch
+      val cut = ev.stat.approxQuantile("ts_us", Array(0.9), 0.001)(0)
+        .toLong
+      val histDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_scd2").toString
+      Snapshot.scd2FromLog(ev.filter(col("ts_us") <= cut), keys,
+          Seq("event_type"), "ts_us", Seq("event_id"))
+        .write.mode("overwrite").parquet(histDir)
+      val hist = spark.read.parquet(histDir)
+      val delta = ev.filter(col("ts_us") > cut)
+      time("scd2_merge_delta")(Snapshot.scd2Merge(hist, delta, keys,
+          Seq("event_type"), "ts_us", Seq("event_id"))
+        .agg(max("version_seq")).head())
+      time("scd2_enrich")(Snapshot.enrichAsOf(
+          ev.select("user_id", "event_id", "ts_us"),
+          hist.withColumnRenamed("event_type", "state_type"),
+          keys, "ts_us")
+        .agg(max("version_seq")).head())
+    }
+
     // closest-interval join (q112 shape): fixed query set, features
     // replicated — the growth axis is the annotation corpus. The plan
     // must stay ∝ features (two as-of shuffles over collapsed

@@ -87,6 +87,53 @@ class SnapshotSpec extends SparkSpecBase {
     assert(snap(1000L) == Map("u1" -> "a", "u2" -> "x", "u3" -> "p"))
   }
 
+  test("enrichAsOf labels facts with the version valid at their instant") {
+    val dim = hist(log).withColumnRenamed("v", "state")
+    // facts: before any history (ts=50), mid-version (250), exactly on
+    // a boundary (300 -> the version STARTING at 300), and a key with
+    // no history at all
+    val facts = Seq(("u1", 50L, "f0"), ("u1", 250L, "f1"),
+      ("u1", 300L, "f2"), ("zz", 100L, "f3")).toDF("k", "fts", "tag")
+    val out = graft.ext.Snapshot.enrichAsOf(facts, dim, Seq("k"), "fts")
+      .select("tag", "state", "version_seq")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.get(2))))).toMap
+    assert(out("f0") == ((None, None)))
+    assert(out("f1") == ((Some("a"), Some(1L))))
+    assert(out("f2") == ((Some("b"), Some(2L))))
+    assert(out("f3") == ((None, None)))
+  }
+
+  test("enrichAsOf at a multi-change instant resolves to the surviving version") {
+    // u3 has three versions born at ts=100; only version 3 (p) is valid
+    // at any instant — zero-length versions must never match
+    val dim = hist(log).withColumnRenamed("v", "state")
+    val facts = Seq(("u3", 100L), ("u3", 999L)).toDF("k", "fts")
+    val out = graft.ext.Snapshot.enrichAsOf(facts, dim, Seq("k"), "fts")
+      .select("fts", "state", "version_seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out == Set((100L, "p", 3L), (999L, "p", 3L)))
+  }
+
+  test("diff classifies added/removed/changed/unchanged, null-safely") {
+    val before = Seq(("k1", Some("a")), ("k2", Some("b")),
+      ("k3", Option.empty[String]), ("k4", Some("d")))
+      .toDF("k", "v")
+    val after = Seq(("k2", Some("B")), ("k3", Option.empty[String]),
+      ("k4", Some("d")), ("k5", Some("e"))).toDF("k", "v")
+    val out = graft.ext.Snapshot.diff(before, after, Seq("k"), Seq("v"))
+      .select("k", "change_type", "old_v", "new_v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(out("k1") == (("removed", Some("a"), None)))
+    assert(out("k2") == (("changed", Some("b"), Some("B"))))
+    assert(out("k3") == (("unchanged", None, None))) // NULL==NULL
+    assert(out("k4") == (("unchanged", Some("d"), Some("d"))))
+    assert(out("k5") == (("added", None, Some("e"))))
+  }
+
   test("history plan: one shuffle on the key, windows share it") {
     val exchanges = hist(log).queryExecution.executedPlan.toString()
       .linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -177,6 +177,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingScd2: folded emissions == batch SCD2 history") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val rows = batchEvents
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event].collect().sortBy(e =>
+        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, e.event_id))
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.streamingScd2(mem.toDS()).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("scd2_stream").start()
+    try {
+      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      // fold: per (user, version), closed beats open — an open emission
+      // is always superseded by its own later closing emission
+      val got = spark.table("scd2_stream")
+        .as[EventStreams.Scd2Delta].collect()
+        .groupBy(d => (d.user_id, d.version_seq)).values
+        .map(emissions => emissions.find(_.valid_to.isDefined)
+          .getOrElse(emissions.head))
+        .map(d => (d.user_id, d.state, d.version_seq, d.valid_from,
+          d.valid_to))
+        .toSet
+      val ev = GraftSession.table(spark, sf, "events")
+      val want = graft.ext.Snapshot.scd2FromLog(
+          ev.select(col("user_id"), col("event_id"), col("event_type"),
+            GraftSession.tsMicros(ev).as("ts_us")),
+          keys = Seq("user_id"), tracked = Seq("event_type"),
+          tsCol = "ts_us", tieBreak = Seq("event_id"))
+        .select("user_id", "event_type", "version_seq", "valid_from",
+          "valid_to")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("streamingRetention: summed deltas == batch cohort matrix") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
