@@ -474,6 +474,34 @@ object AnalyticQueries {
         .orderBy("user_id", "version_seq")
     }),
 
+    // The fifth streaming oracle row: the log replays through
+    // streamingQuality — the windowed constraint monitor (range drift
+    // + unexpected-category + null checks per day) — and the
+    // MAX-folded Update emissions (per-window counts only grow as
+    // batches arrive) must equal the oracle's direct windowed
+    // conditional sums. The pure-windowed-state member of the
+    // streaming family: no per-key state at all.
+    "q131_streaming_quality" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ext.Quality._
+      val checks = Seq(InRange("value", 0.0, 250.0),
+        InSet("event_type", Seq("view", "click", "purchase", "signup")),
+        NotNull("value"))
+      val rows = replayThirds(s, dir, ds =>
+        graft.streaming.EventStreams.streamingQuality(ds.toDF(), checks,
+          window_ = "1 day"))
+      val folded = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max))
+        .toSeq
+        .map { case ((ws, we, cn), (nr, nv)) => (ws, we, cn, nr, nv) }
+      folded.toDF("window_start", "window_end", "check_name", "n_rows",
+          "n_violations")
+        .orderBy("window_start", "check_name")
+    }),
+
     // Point-in-time enrichment against the q124 history (the "join
     // facts to an SCD2 dimension at the fact's own timestamp"
     // primitive, Snapshot.enrichAsOf): every event gets the state
@@ -511,9 +539,12 @@ object AnalyticQueries {
       val evt = t(s, dir, "events")
       val ev = evt.select(col("user_id"), col("event_id"),
         col("event_type"), GraftSession.tsMicros(evt).as("ts_us"))
-      val hist = graft.ext.Snapshot.scd2FromLog(ev,
-        keys = Seq("user_id"), tracked = Seq("event_type"),
-        tsCol = "ts_us", tieBreak = Seq("event_id"))
+      // both asOf sides of the diff read the history — materialize it
+      // once (the q73/q105 lazy-fanout lesson)
+      val hist = org.apache.spark.sql.graftshim.CheckpointShim
+        .materialize(graft.ext.Snapshot.scd2FromLog(ev,
+          keys = Seq("user_id"), tracked = Seq("event_type"),
+          tsCol = "ts_us", tieBreak = Seq("event_id")))._1
       val r = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
       val (mn, mx) = (r.getLong(0), r.getLong(1))
       val t1 = mn + (mx - mn) / 3
@@ -558,11 +589,15 @@ object AnalyticQueries {
       val marker = expr(
         "array(struct(CAST(NULL AS STRING) AS type_a, " +
           "CAST(NULL AS STRING) AS type_b))")
-      val counts = sets
-        .select(explode(concat(pairsArr, singlesArr, marker)).as("p"))
-        .select("p.*")
-        .groupBy("type_a", "type_b")
-        .agg(count(lit(1)).as("c"))
+      // the tiny (≤|types|²) count table feeds FOUR consumers below —
+      // materialize it or each one re-runs the whole session chain
+      // (the q73/q105 lazy-fanout lesson; plan-checked this round)
+      val counts = org.apache.spark.sql.graftshim.CheckpointShim
+        .materialize(sets
+          .select(explode(concat(pairsArr, singlesArr, marker)).as("p"))
+          .select("p.*")
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("c")))._1
       val pairs = counts.filter(col("type_a").isNotNull &&
         col("type_b").isNotNull)
         .select(col("type_a"), col("type_b"), col("c").as("c_ab"))
@@ -633,6 +668,33 @@ object AnalyticQueries {
         |  lead(tn) OVER (PARTITION BY user_id
         |    ORDER BY tn, event_id) AS valid_to
         |FROM k ORDER BY user_id, version_seq""".stripMargin,
+    // q131: direct windowed conditional sums — epoch-micros floor-div
+    // day buckets match Spark's epoch-aligned window(); one wide
+    // aggregate pivoted long by a literal check-name cross join
+    "q131_streaming_quality" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tn, event_type, value
+        |  FROM events),
+        |w AS (SELECT tn // 86400000000 * 86400000000 AS ws,
+        |  event_type, value FROM e),
+        |a AS (SELECT ws, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN value IS NOT NULL AND NOT
+        |    (value >= 0.0 AND value <= 250.0) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v_range,
+        |  CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type
+        |    NOT IN ('view', 'click', 'purchase', 'signup')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v_null
+        |  FROM w GROUP BY 1)
+        |SELECT a.ws AS window_start, a.ws + 86400000000 AS window_end,
+        |  c.check_name, a.n_rows,
+        |  CASE c.check_name
+        |    WHEN 'in_range(value,0.0,250.0)' THEN v_range
+        |    WHEN 'in_set(event_type)' THEN v_set
+        |    ELSE v_null END AS n_violations
+        |FROM a CROSS JOIN (SELECT unnest(['in_range(value,0.0,250.0)',
+        |  'in_set(event_type)', 'not_null(value)']) AS check_name) c
+        |ORDER BY window_start, check_name""".stripMargin,
     // q126: identical SCD2 CTE chain as q124, zero-length versions
     // dropped, then DuckDB's NATIVE ASOF JOIN does the point-in-time
     // lookup the Spark side evaluates with the union-tag window plan

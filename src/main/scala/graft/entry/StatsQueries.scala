@@ -134,6 +134,32 @@ object StatsQueries {
         InSet("o_orderstatus", Seq("O", "F")),
         MatchesRegex("o_orderpriority", "^[1-3]-[A-Z]+$"),
         ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
+    }),
+
+    // Incremental aggregate maintenance (ext/Incremental): the monthly
+    // order roll-up maintained as mergeable partial-aggregate state —
+    // here a 4/5 "snapshot" and a 1/5 "delta batch" aggregate
+    // separately and MERGE, and the result must equal the oracle's
+    // direct full-table GROUP BY exactly (counts/decimal sums add
+    // exactly, min/max are lattice joins; the mean derives at read
+    // time from exact state). The refresh pattern that never re-scans
+    // fact history at 100 TB.
+    "q130_incremental_agg" -> ((s, dir) => {
+      import graft.ext.Incremental
+      // month as DATE: a timestamp month column would parquet-write as
+      // a UTC instant while the oracle's date_trunc stays naive
+      val ord = t(s, dir, "orders")
+        .withColumn("month",
+          trunc(col("o_orderdate").cast("date"), "month"))
+      val snapshot = Incremental.aggregateState(
+        ord.filter(col("o_orderkey") % 5 =!= 0), Seq("month"),
+        "o_totalprice")
+      val deltaState = Incremental.aggregateState(
+        ord.filter(col("o_orderkey") % 5 === 0), Seq("month"),
+        "o_totalprice")
+      Incremental.finish(
+          Incremental.merge(snapshot, deltaState, Seq("month")))
+        .orderBy("month")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -173,6 +199,20 @@ object StatsQueries {
         |SELECT check_name, n_rows, n_violations,
         |  n_violations = 0 AS passed
         |FROM r ORDER BY check_name""".stripMargin,
+    // q130: the oracle computes the SAME answer from scratch — one
+    // direct GROUP BY over all orders; the merge path must agree
+    // bit-for-bit (exact decimal sums, read-time IEEE mean)
+    "q130_incremental_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS sum_val,
+        |  MIN(o_totalprice) AS min_val,
+        |  MAX(o_totalprice) AS max_val,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_val
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     // one SELECT per profiled column, min/max on the native type then
     // rendered VARCHAR — mirrors min(col).cast(string)
     "q92_profile" -> {

@@ -45,6 +45,22 @@ object TextQueries {
             .as("n_dup_groups"))
     }),
 
+    // SymSpell spelling candidates (deletion-neighborhood join, no
+    // |vocab|×|queries| distance scan): typo probes chosen to exercise
+    // every class — substitution/deletion/insertion repairs, a
+    // multi-candidate typo ("sow" → row AND slow), an exact match at
+    // distance 0, and a no-match. The oracle is the brute-force
+    // levenshtein cross scan — an independent formulation; the
+    // distance-2 false candidates the neighborhood join generates
+    // (e.g. transpositions) must be filtered identically.
+    "q129_spell_candidates" -> ((s, dir) => {
+      TextAnalysis.spellCandidates(
+          TextAnalysis.vocabulary(docs(s, dir), "text")
+            .select("term", "cnt"),
+          Seq("tble", "scann", "vakue", "spork", "sow", "agg", "zzzz"))
+        .orderBy("query_term", "term")
+    }),
+
     // Token counting: whitespace + BPE-ish pre-tokenization.
     "q31_token_count" -> ((s, dir) => {
       TextAnalysis.withTokenCounts(docs(s, dir), "text")
@@ -489,6 +505,19 @@ object TextQueries {
         |  string_agg(CAST(COALESCE(r.rank, 0) AS VARCHAR), ',' ORDER BY dt.i) AS ids
         |FROM dt LEFT JOIN r USING (term)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q129: brute-force levenshtein scan over the same vocabulary —
+    // independently reaches what the deletion-neighborhood join +
+    // verify filter computes
+    "q129_spell_candidates" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(text,'\s+')) AS term FROM documents),
+        |v AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |q AS (SELECT unnest(['tble','scann','vakue','spork','sow',
+        |  'agg','zzzz']) AS query_term)
+        |SELECT q.query_term, v.term, v.cnt,
+        |  CAST(levenshtein(q.query_term, v.term) AS BIGINT) AS distance
+        |FROM q CROSS JOIN v
+        |WHERE levenshtein(q.query_term, v.term) <= 1
+        |ORDER BY query_term, term""".stripMargin,
     "q81_vocabulary" ->
       """WITH tok AS (SELECT unnest(string_split_regex(text,'\s+')) AS term FROM documents),
         |v AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),

@@ -82,7 +82,7 @@ object Quality {
   }
 
   /** Row-local violation indicator (NULL-free: always 0 or 1). */
-  private def violation(c: Check): Column = c match {
+  private[graft] def violation(c: Check): Column = c match {
     case NotNull(col0) => col(col0).isNull.cast("long")
     case InRange(col0, lo, hi) =>
       (col(col0).isNotNull && !(col(col0) >= lit(lo) &&
@@ -93,6 +93,41 @@ object Quality {
       (col(col0).isNotNull && !col(col0).rlike(p)).cast("long")
     case other =>
       throw new IllegalArgumentException(s"not row-local: $other")
+  }
+
+  /** Time-windowed constraint monitoring — the suite per event-time
+    * window instead of per table: (window_start, window_end,
+    * check_name, n_rows, n_violations) with `window_start`/`window_end`
+    * as epoch micros (integral — immune to the timestamp-zone parquet
+    * round-trip ambiguity). Row-local checks ONLY: uniqueness and FK
+    * need global state, which is the batch [[suite]]'s job; a windowed
+    * violation monitor is the streaming gate (drift alarms, error-rate
+    * dashboards) and works unchanged on a streaming DataFrame — see
+    * [[graft.streaming.EventStreams.streamingQuality]].
+    *
+    * Same compilation: ONE aggregate, every check a conditional sum
+    * riding it, map-side partials per window. */
+  def windowedSuite(df: DataFrame, timeWindow: Column,
+      checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "windowedSuite needs at least one check")
+    require(checks.forall {
+      case _: ForeignKey | _: Unique => false; case _ => true
+    }, "windowedSuite supports row-local checks only (uniqueness/FK " +
+      "need global state — use suite())")
+    val aggs = count(lit(1)).as("__rows") +: checks.zipWithIndex.map {
+      case (c, i) => sum(violation(c)).as(s"__v_$i")
+    }
+    df.groupBy(timeWindow.as("__w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__w"), explode(array(checks.zipWithIndex.map {
+        case (c, i) => struct(
+          lit(c.name).as("check_name"),
+          col("__rows").as("n_rows"),
+          col(s"__v_$i").cast("long").as("n_violations"))
+      }: _*)).as("__c"))
+      .select(unix_micros(col("__w.start")).as("window_start"),
+        unix_micros(col("__w.end")).as("window_end"),
+        col("__c.*"))
   }
 
   /** Run the suite; see object doc for the plan shape. */

@@ -398,6 +398,46 @@ object TextAnalysis {
     * and URLs with typed placeholders — the standard pre-training
     * redaction sweep. Pure regexp_replace chain: map-only, codegen'd,
     * no shuffle. */
+  /** SymSpell-style spelling candidates (Garbe's public deletion-
+    * neighborhood algorithm): two terms are within edit distance 1 iff
+    * their {self} ∪ {one-character-deleted variants} sets intersect —
+    * so instead of an O(|vocab|·|queries|) distance scan, both sides
+    * explode into variant keys and candidates emerge from an equi-join,
+    * then the (few) joined pairs verify with a true `levenshtein` call
+    * (the neighborhood test is necessary, not sufficient: "ab"/"ba"
+    * share variants at distance 2).
+    *
+    * The OCR-cleanup / query-correction primitive at corpus scale: the
+    * vocab side is a map-only explode (≈ (len+1)× the vocab rows, and
+    * a vocab is already corpus-sublinear), the query side broadcasts,
+    * nothing corpus-sized ever shuffles.
+    *
+    * Output: (query_term, term, cnt, distance), one row per vocab
+    * candidate within distance `maxEdits` of a query term. */
+  def spellCandidates(vocab: DataFrame, queries: Seq[String],
+      maxEdits: Int = 1): DataFrame = {
+    require(maxEdits == 1,
+      "deletion neighborhood is implemented for maxEdits = 1")
+    require(queries.nonEmpty, "spellCandidates needs query terms")
+    def variants(colName: String): Column = explode(expr(
+      s"""array_distinct(concat(array($colName),
+         |  transform(sequence(1, length($colName)), i ->
+         |    concat(substr($colName, 1, i - 1),
+         |           substr($colName, i + 1, length($colName))))))"""
+        .stripMargin))
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val qs = queries.toDF("query_term")
+      .select(col("query_term"), variants("query_term").as("__var"))
+    val vs = vocab.select(col("term"), col("cnt"),
+      variants("term").as("__var"))
+    vs.join(broadcast(qs), "__var")
+      .select("query_term", "term", "cnt").distinct()
+      .withColumn("distance",
+        levenshtein(col("query_term"), col("term")).cast("long"))
+      .filter(col("distance") <= lit(maxEdits))
+  }
+
   def redact(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

@@ -31,6 +31,23 @@ object EventStreams {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
+
+  /** Online constraint monitoring — [[graft.ext.Quality.windowedSuite]]
+    * on a stream: per event-time window, violation counts for each
+    * row-local check (range drift, unexpected categories, null bursts
+    * — the error-rate dashboard feed). Pure windowed aggregation:
+    * per-window partial sums, watermark-bounded state, no
+    * per-key state at all. In Update mode the per-window counts are
+    * emitted monotonically non-decreasing, so a keyed sink folds with
+    * MAX per (window, check) — spec- and oracle-pinned (q131). */
+  def streamingQuality(events: DataFrame,
+      checks: Seq[graft.ext.Quality.Check],
+      window_ : String = "5 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    graft.ext.Quality.windowedSuite(
+      events.withWatermark("ts", watermark),
+      org.apache.spark.sql.functions.window(col("ts"), window_),
+      checks)
   final case class SessionState(nEvents: Long, total: Double,
       lastTs: Long)
   final case class UserSession(user_id: Long, nEvents: Long, total: Double)

@@ -520,6 +520,25 @@ object ScaleProbe {
         .collect().map(_.getLong(2)).sum)
     }
 
+    // SymSpell spelling candidates (q129 shape): the vocab side is the
+    // growth axis — synthetic distinct terms (length 5-12) so the
+    // deletion-neighborhood explode pays ≈(len+1)× vocab rows; queries
+    // stay a broadcast handful. Bytes must be vocab-sized (the variant
+    // keys), never quadratic.
+    if (Seq("spell_candidates").exists(wanted)) {
+      import graft.ext.TextAnalysis
+      val n = 50000L * copies / 20
+      val vocab = spark.range(n).toDF("id")
+        .select(concat(lit("w"), md5(col("id").cast("string")))
+          .substr(lit(1), lit(5) + (col("id") % 8).cast("int"))
+          .as("term"), (col("id") % 1000 + 1).as("cnt"))
+        .groupBy("term").agg(max("cnt").as("cnt")).cache()
+      println(s"[probe] spell vocab=${vocab.count()}")
+      time("spell_candidates")(TextAnalysis.spellCandidates(vocab,
+          Seq("w1a2b", "w3c4d5", "wfffff", "zzzzz"))
+        .count())
+    }
+
     // SCD2 family (q124/q126 shape): full rebuild vs artifact-loaded
     // incremental merge vs point-in-time enrich. The merge claim is
     // the one to watch: its windowed compaction runs over

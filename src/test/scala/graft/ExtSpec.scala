@@ -884,4 +884,17 @@ class ExtSpec extends SparkSpecBase {
     assert(lsh.count() > 0)
     assert(lsh.filter($"q_id" === $"n_id").count() == 0)
   }
+
+  test("spellCandidates: neighborhood join + verify == true edit distance") {
+    val vocab = Seq(("table", 10L), ("scan", 5L), ("ab", 2L), ("ba", 3L),
+      ("a", 1L)).toDF("term", "cnt")
+    val got = TextAnalysis.spellCandidates(vocab,
+        Seq("tble", "ab", "zz"))
+      .select("query_term", "term", "distance")
+      .as[(String, String, Long)].collect().toSet
+    // "ab"/"ba" share deletion variants but sit at distance 2 — the
+    // false candidate the verify filter must kill; "zz" matches nothing
+    assert(got == Set(("tble", "table", 1L), ("ab", "ab", 0L),
+      ("ab", "a", 1L)))
+  }
 }

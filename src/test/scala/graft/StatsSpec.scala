@@ -155,4 +155,33 @@ class StatsSpec extends SparkSpecBase {
     assert(Stats.profile(df.repartition(7), Seq("num", "s"))
       .orderBy("col_name").collect().toSeq == p.toSeq)
   }
+
+  test("incremental state merge == direct aggregation, exactly") {
+    import graft.ext.Incremental
+    val rows = Seq(("g1", 10.25), ("g1", 0.75), ("g2", -3.50),
+      ("g2", 99.99), ("g1", 7.00), ("g3", 1.01)).toDF("g", "v")
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      Incremental.aggregateState(df, Seq("g"), "v")
+    val direct = Incremental.finish(stateOf(rows))
+      .orderBy("g").collect().toSeq
+    // split so g2 is delta-only and g3 snapshot-only
+    val snap = stateOf(rows.filter($"g" =!= "g2"))
+    val delta = stateOf(rows.filter($"g" === "g2"))
+    val merged = Incremental.finish(
+        Incremental.merge(snap, delta, Seq("g")))
+      .orderBy("g").collect().toSeq
+    assert(merged == direct)
+    // associativity: fold three batches pairwise in a different order
+    val s1 = stateOf(rows.limit(2)); val s2 = stateOf(rows.limit(4)
+      .exceptAll(rows.limit(2))); val s3 = stateOf(rows.exceptAll(rows.limit(4)))
+    val folded = Incremental.finish(Incremental.merge(
+        Incremental.merge(s1, s2, Seq("g")), s3, Seq("g")))
+      .orderBy("g").collect().toSeq
+    assert(folded == direct)
+    // schema stability (names + types): merged state unions with fresh
+    // state without decimal-precision drift
+    assert(Incremental.merge(snap, delta, Seq("g")).schema
+      .map(f => (f.name, f.dataType)) ==
+      snap.schema.map(f => (f.name, f.dataType)))
+  }
 }

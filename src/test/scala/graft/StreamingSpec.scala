@@ -219,6 +219,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingQuality: max-folded update emissions == batch windowed suite") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Quality
+    import graft.ext.Quality._
+    implicit val sc = spark.sqlContext
+    val checks = Seq(InRange("value", 0.0, 250.0),
+      InSet("event_type", Seq("view", "click", "purchase", "signup")),
+      NotNull("value"))
+    val rows = batchEvents
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event].collect().sortBy(e =>
+        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, e.event_id))
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.streamingQuality(mem.toDF(), checks,
+        window_ = "1 day").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("quality_stream").start()
+    try {
+      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      // per-window counts only grow across update emissions → fold = max
+      val got = spark.table("quality_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max))
+        .toMap
+      val want = Quality.windowedSuite(batchEvents,
+          org.apache.spark.sql.functions.window($"ts", "1 day"), checks)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      assert(want.nonEmpty && got == want)
+      assert(want.values.map(_._2).sum > 0) // real violations monitored
+    } finally q.stop()
+  }
+
   test("streamingRetention: summed deltas == batch cohort matrix") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
