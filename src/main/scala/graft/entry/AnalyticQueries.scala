@@ -30,7 +30,10 @@ object AnalyticQueries {
     * users-sized — on the driver. */
   private def replayThirds(s: SparkSession, dir: String,
       op: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.Event] =>
-        org.apache.spark.sql.Dataset[_]): Array[org.apache.spark.sql.Row] = {
+        org.apache.spark.sql.Dataset[_],
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      : Array[org.apache.spark.sql.Row] = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams
@@ -47,7 +50,7 @@ object AnalyticQueries {
     val sink = "replay_sink_" + java.util.UUID.randomUUID.toString
       .replace("-", "")
     val q = op(mem.toDS()).writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .outputMode(mode)
       .format("memory").queryName(sink).start()
     try {
       thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
@@ -474,6 +477,31 @@ object AnalyticQueries {
         .orderBy("user_id", "version_seq")
     }),
 
+    // The sixth streaming oracle row — and the STREAM-STREAM member:
+    // the log replays through streamingAttribution (watermarked
+    // interval self-join, both sides live streams, append mode) and
+    // the driver fold keeps the LATEST click per purchase; the oracle
+    // is the relational latest-click-per-purchase query. Exercises
+    // two-stream state buffering across batch boundaries (a click in
+    // batch 1 must still match a purchase in batch 3 if inside the
+    // 1 h gap and watermark).
+    "q132_streaming_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val rows = replayThirds(s, dir, ds =>
+        graft.streaming.EventStreams.streamingAttribution(ds, "click",
+          "purchase", maxGapSeconds = 3600),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val folded = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).values
+        .map(_.maxBy(p => (p._4, p._5))) // latest click, id tiebreak
+        .toSeq
+      folded.toDF("purchase_id", "user_id", "purchase_us", "click_us",
+          "click_id")
+        .orderBy("purchase_id")
+    }),
+
     // The fifth streaming oracle row: the log replays through
     // streamingQuality — the windowed constraint monitor (range drift
     // + unexpected-category + null checks per day) — and the
@@ -668,6 +696,23 @@ object AnalyticQueries {
         |  lead(tn) OVER (PARTITION BY user_id
         |    ORDER BY tn, event_id) AS valid_to
         |FROM k ORDER BY user_id, version_seq""".stripMargin,
+    // q132: relational latest-click-per-purchase within the gap — the
+    // ground truth the stream-stream join + last-touch fold must hit
+    "q132_streaming_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_us(ts) AS tn FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, tn FROM e
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, tn FROM e
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.tn AS purchase_us,
+        |    c.tn AS click_us, c.click_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.tn <= p.tn AND c.tn >= p.tn - 3600000000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY click_us DESC, click_id DESC) AS rn FROM j)
+        |SELECT purchase_id, user_id, purchase_us, click_us, click_id
+        |FROM r WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     // q131: direct windowed conditional sums — epoch-micros floor-div
     // day buckets match Spark's epoch-aligned window(); one wide
     // aggregate pivoted long by a literal check-name cross join

@@ -118,6 +118,30 @@ object Layout {
     * Z-order of `cols`: one range exchange + in-partition sort on the
     * z-value, which parquet then turns into tight min/max stats for
     * EVERY clustered column. The helper column never reaches disk. */
+  /** Bucketed co-located write — the OTHER write-path layout lever
+    * (z-order/Hilbert prune SCANS; bucketing eliminates JOIN
+    * shuffles): both sides of a recurring equi-join saved with
+    * `bucketBy(n, key)` + in-bucket `sortBy` hash-split rows into the
+    * same bucket scheme, so every later join/aggregate on that key
+    * plans with ZERO exchanges AND zero sorts — at 100 TB the shuffle
+    * this deletes on every run of a daily fact⋈fact join is the
+    * dominant cost of the query (LayoutSpec asserts the exchange-free,
+    * sort-free plan; ScaleProbe meters the bytes to 0.0 MB).
+    *
+    * Catalog-table based (Spark bucketing lives in the table
+    * metadata): pick `buckets` ≈ (table size / target partition
+    * size), and the SAME count on both sides — mismatched bucket
+    * counts fall back to a shuffle on one side. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .saveAsTable(table)
+  }
+
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
       numFiles: Int, bits: Int = 16): Unit =
     writeClustered(df, zValue(df, cols, bits), path, numFiles)

@@ -518,6 +518,43 @@ object EventStreams {
       }
   }
 
+  /** STREAM-STREAM windowed attribution join — purchases matched to
+    * the clicks that preceded them within `maxGapSeconds`, both sides
+    * live streams (the q114 last-touch family, fully online). This is
+    * Spark's watermarked interval self-join: each side buffers rows
+    * only until the watermark passes `ts + maxGap`, so state is
+    * bounded by (event rate × gap window), independent of stream
+    * length — the canonical two-stream pattern the engine must
+    * support beyond stream-static enrichment.
+    *
+    * Emits EVERY (purchase, click) pair in the window (append-mode
+    * legal — pairs are immutable facts); last-touch reduces
+    * downstream: max (click_ts, click_id) per purchase, exactly the
+    * q132 fold, which the oracle pins to a relational
+    * latest-click-per-purchase query. Timestamps surface as exact
+    * epoch micros. */
+  def streamingAttribution(events: Dataset[Event], fromType: String,
+      toType: String, maxGapSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val df = events.toDF()
+    val clicks = df.filter(col("event_type") === fromType)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val buys = df.filter(col("event_type") === toType)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    buys.join(clicks, expr(
+        s"""p_user = c_user AND click_ts <= purchase_ts
+           |AND click_ts >= purchase_ts - INTERVAL $maxGapSeconds SECONDS"""
+          .stripMargin), "inner")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("click_id"))
+  }
+
   final case class Scd2Delta(user_id: Long, state: String,
       version_seq: Long, valid_from: Long, valid_to: Option[Long])
 

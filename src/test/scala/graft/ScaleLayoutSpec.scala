@@ -12,10 +12,8 @@ class ScaleLayoutSpec extends SparkSpecBase {
   test("bucketed tables join without a shuffle exchange") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").saveAsTable("li_bucketed")
-    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    graft.ext.Layout.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    graft.ext.Layout.writeBucketed(ord, "ord_bucketed", "o_orderkey", 8)
 
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

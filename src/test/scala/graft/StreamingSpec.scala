@@ -259,6 +259,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingAttribution: stream-stream pairs == batch interval join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val rows = batchEvents
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event].collect().sortBy(e =>
+        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, e.event_id))
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.streamingAttribution(mem.toDS(), "click",
+        "purchase", maxGapSeconds = 3600).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("attr_stream").start()
+    try {
+      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table("attr_stream")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // batch ground truth: the same interval join, no streams
+      val ev = batchEvents.select(col("event_id"), col("user_id"),
+        col("event_type"),
+        GraftSession.tsMicros(batchEvents).as("tn"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"),
+          $"user_id".as("p_user"), $"tn".as("purchase_us"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+          $"tn".as("click_us"))
+      val want = p.join(c, $"p_user" === $"c_user" &&
+          $"click_us" <= $"purchase_us" &&
+          $"click_us" >= $"purchase_us" - 3600000000L)
+        .select($"purchase_id", $"p_user", $"purchase_us", $"click_us",
+          $"click_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("streamingRetention: summed deltas == batch cohort matrix") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
