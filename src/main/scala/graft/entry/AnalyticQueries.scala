@@ -735,10 +735,12 @@ object AnalyticQueries {
         |  c.check_name, a.n_rows,
         |  CASE c.check_name
         |    WHEN 'in_range(value,0.0,250.0)' THEN v_range
-        |    WHEN 'in_set(event_type)' THEN v_set
+        |    WHEN 'in_set(event_type:view,click,purchase,signup)'
+        |      THEN v_set
         |    ELSE v_null END AS n_violations
         |FROM a CROSS JOIN (SELECT unnest(['in_range(value,0.0,250.0)',
-        |  'in_set(event_type)', 'not_null(value)']) AS check_name) c
+        |  'in_set(event_type:view,click,purchase,signup)',
+        |  'not_null(value)']) AS check_name) c
         |ORDER BY window_start, check_name""".stripMargin,
     // q126: identical SCD2 CTE chain as q124, zero-length versions
     // dropped, then DuckDB's NATIVE ASOF JOIN does the point-in-time

@@ -181,12 +181,12 @@ object StatsQueries {
         |      (o_totalprice >= 0.0 AND o_totalprice <= 300000.0)
         |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
         |  UNION ALL
-        |  SELECT 'in_set(o_orderstatus)', COUNT(*),
+        |  SELECT 'in_set(o_orderstatus:O,F)', COUNT(*),
         |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND
         |      o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END)
         |      AS BIGINT) FROM orders
         |  UNION ALL
-        |  SELECT 'regex(o_orderpriority)', COUNT(*),
+        |  SELECT 'regex(o_orderpriority:^[1-3]-[A-Z]+$)', COUNT(*),
         |    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT
         |      regexp_matches(o_orderpriority, '^[1-3]-[A-Z]+$')
         |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders

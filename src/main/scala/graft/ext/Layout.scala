@@ -118,6 +118,15 @@ object Layout {
     * Z-order of `cols`: one range exchange + in-partition sort on the
     * z-value, which parquet then turns into tight min/max stats for
     * EVERY clustered column. The helper column never reaches disk. */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    writeClustered(df, zValue(df, cols, bits), path, numFiles)
+
+  /** [[writeZOrdered]] on the Hilbert curve (two columns). */
+  def writeHilbertOrdered(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    writeClustered(df, hilbertValue(df, cols, bits), path, numFiles)
+
   /** Bucketed co-located write — the OTHER write-path layout lever
     * (z-order/Hilbert prune SCANS; bucketing eliminates JOIN
     * shuffles): both sides of a recurring equi-join saved with
@@ -125,8 +134,8 @@ object Layout {
     * same bucket scheme, so every later join/aggregate on that key
     * plans with ZERO exchanges AND zero sorts — at 100 TB the shuffle
     * this deletes on every run of a daily fact⋈fact join is the
-    * dominant cost of the query (LayoutSpec asserts the exchange-free,
-    * sort-free plan; ScaleProbe meters the bytes to 0.0 MB).
+    * dominant cost of the query (ScaleLayoutSpec asserts the
+    * exchange-free join plan).
     *
     * Catalog-table based (Spark bucketing lives in the table
     * metadata): pick `buckets` ≈ (table size / target partition
@@ -141,15 +150,6 @@ object Layout {
       .sortBy(sorts.head, sorts.tail: _*)
       .saveAsTable(table)
   }
-
-  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
-      numFiles: Int, bits: Int = 16): Unit =
-    writeClustered(df, zValue(df, cols, bits), path, numFiles)
-
-  /** [[writeZOrdered]] on the Hilbert curve (two columns). */
-  def writeHilbertOrdered(df: DataFrame, cols: Seq[String], path: String,
-      numFiles: Int, bits: Int = 16): Unit =
-    writeClustered(df, hilbertValue(df, cols, bits), path, numFiles)
 
   private def writeClustered(df: DataFrame, curve: Column, path: String,
       numFiles: Int): Unit = {

@@ -60,19 +60,22 @@ object Quality {
     def name: String = s"in_range($column,$lo,$hi)"
   }
 
-  /** Non-null values must be one of the accepted values. */
+  /** Non-null values must be one of the accepted values. The name
+    * carries the value list so two different InSet checks on one
+    * column stay distinct under the duplicate-name guard. */
   final case class InSet(column: String, values: Seq[String])
       extends Check {
     require(values.nonEmpty, "InSet needs at least one accepted value")
-    def name: String = s"in_set($column)"
+    def name: String = s"in_set($column:${values.mkString(",")})"
   }
 
   /** Non-null values must match the (anchor it yourself) regex — Spark
     * `RLIKE` and DuckDB `regexp_matches` are both partial-match, so the
-    * same pattern means the same thing on both engines. */
+    * same pattern means the same thing on both engines. The name
+    * carries the pattern for the same reason as [[InSet]]. */
   final case class MatchesRegex(column: String, pattern: String)
       extends Check {
-    def name: String = s"regex($column)"
+    def name: String = s"regex($column:$pattern)"
   }
 
   /** Every non-null value must exist in `dimCol` of `dim`. */
@@ -154,7 +157,12 @@ object Quality {
               val distinctCnt =
                 if (exact) countDistinct(col(cols.head),
                   cols.tail.map(col): _*)
-                else approx_count_distinct(struct(cols.map(col): _*))
+                // NULL-component rows must be invisible to the sketch
+                // too (countDistinct drops them; a bare struct() is
+                // never NULL and would skew violations by the full
+                // null-row count)
+                else approx_count_distinct(
+                  when(complete, struct(cols.map(col): _*)))
               (sum(complete.cast("long")) - distinctCnt).as(s"__v_$i")
             case (c, i) => sum(violation(c)).as(s"__v_$i")
           }
@@ -163,7 +171,11 @@ object Quality {
             case (c, i) => struct(
               lit(c.name).as("check_name"),
               col("__rows").as("n_rows"),
-              col(s"__v_$i").cast("long").as("n_violations"))
+              // empty input: sums aggregate to NULL, and a NULL
+              // `passed` would let an empty upstream partition sail
+              // through the gate — zero rows have zero violations
+              coalesce(col(s"__v_$i").cast("long"), lit(0L))
+                .as("n_violations"))
           }: _*)).as("__c"))
           .select("__c.*")
       }

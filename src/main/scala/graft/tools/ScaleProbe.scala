@@ -557,25 +557,30 @@ object ScaleProbe {
       time("scd2_rebuild")(Snapshot.scd2FromLog(ev, keys,
           Seq("event_type"), "ts_us", Seq("event_id"))
         .agg(max("version_seq")).head())
-      // history over the oldest ~90% persisted to parquet (the loaded-
-      // artifact convention); the newest ~10% is the delta batch
-      val cut = ev.stat.approxQuantile("ts_us", Array(0.9), 0.001)(0)
-        .toLong
-      val histDir = java.nio.file.Files
-        .createTempDirectory("graft_probe_scd2").toString
-      Snapshot.scd2FromLog(ev.filter(col("ts_us") <= cut), keys,
-          Seq("event_type"), "ts_us", Seq("event_id"))
-        .write.mode("overwrite").parquet(histDir)
-      val hist = spark.read.parquet(histDir)
-      val delta = ev.filter(col("ts_us") > cut)
-      time("scd2_merge_delta")(Snapshot.scd2Merge(hist, delta, keys,
-          Seq("event_type"), "ts_us", Seq("event_id"))
-        .agg(max("version_seq")).head())
-      time("scd2_enrich")(Snapshot.enrichAsOf(
-          ev.select("user_id", "event_id", "ts_us"),
-          hist.withColumnRenamed("event_type", "state_type"),
-          keys, "ts_us")
-        .agg(max("version_seq")).head())
+      // history artifact (approxQuantile + compaction + parquet write)
+      // only when a probe that READS it is selected — scd2_rebuild
+      // alone must not pay for it
+      if (Seq("scd2_merge_delta", "scd2_enrich").exists(wanted)) {
+        // history over the oldest ~90% persisted to parquet (the
+        // loaded-artifact convention); the newest ~10% is the delta
+        val cut = ev.stat.approxQuantile("ts_us", Array(0.9), 0.001)(0)
+          .toLong
+        val histDir = java.nio.file.Files
+          .createTempDirectory("graft_probe_scd2").toString
+        Snapshot.scd2FromLog(ev.filter(col("ts_us") <= cut), keys,
+            Seq("event_type"), "ts_us", Seq("event_id"))
+          .write.mode("overwrite").parquet(histDir)
+        val hist = spark.read.parquet(histDir)
+        val delta = ev.filter(col("ts_us") > cut)
+        time("scd2_merge_delta")(Snapshot.scd2Merge(hist, delta, keys,
+            Seq("event_type"), "ts_us", Seq("event_id"))
+          .agg(max("version_seq")).head())
+        time("scd2_enrich")(Snapshot.enrichAsOf(
+            ev.select("user_id", "event_id", "ts_us"),
+            hist.withColumnRenamed("event_type", "state_type"),
+            keys, "ts_us")
+          .agg(max("version_seq")).head())
+      }
     }
 
     // closest-interval join (q112 shape): fixed query set, features

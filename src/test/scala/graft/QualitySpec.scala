@@ -35,8 +35,8 @@ class QualitySpec extends SparkSpecBase {
     assert(r("unique(id)") == ((5L, 1L, false)))
     // -5.0 and 200.0 violate; NULL score is not a range violation
     assert(r("in_range(score,0.0,100.0)") == ((5L, 2L, false)))
-    assert(r("in_set(country)") == ((5L, 1L, false)))
-    assert(r("regex(email)") == ((5L, 1L, false)))
+    assert(r("in_set(country:US,DE,FR,GB)") == ((5L, 1L, false)))
+    assert(r("regex(email:^[^@]+@[^@]+\\.[a-z]+$)") == ((5L, 1L, false)))
     // country has no NULLs here: population 5, XX unresolved
     assert(r("fk(country)") == ((5L, 1L, false)))
   }
@@ -85,6 +85,31 @@ class QualitySpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Quality.suite(facts, Seq(NotNull("id"), NotNull("id")))
     }
+  }
+
+  test("two DIFFERENT regex/set checks on one column coexist") {
+    val r = Quality.suite(facts, Seq(
+      MatchesRegex("email", "@"), MatchesRegex("email", "\\."),
+      InSet("country", Seq("US")), InSet("country", Seq("US", "DE"))))
+      .collect()
+    assert(r.length == 4)
+  }
+
+  test("empty input: zero violations, every check passes") {
+    val empty = facts.filter(lit(false))
+    val r = Quality.suite(empty, Seq(NotNull("id"), Unique(Seq("id")),
+      InRange("score", 0.0, 100.0), ForeignKey("country", dim, "code")))
+      .collect()
+    assert(r.length == 4)
+    assert(r.forall(x => x.getLong(2) == 0L && x.getBoolean(3)))
+  }
+
+  test("approx uniqueness ignores NULL-component rows like exact") {
+    val df = Seq((Some(1L), Some("a")), (None, Some("a")),
+      (Some(1L), Option.empty[String])).toDF("k1", "k2")
+    val approx = Quality.suite(df, Seq(Unique(Seq("k1", "k2"))),
+      exact = false).head().getLong(2)
+    assert(approx == 0L) // 1 complete row, sketch sees exactly 1
   }
 
   test("all row-local checks compile into one aggregate over one scan") {

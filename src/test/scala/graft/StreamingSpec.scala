@@ -13,6 +13,47 @@ class StreamingSpec extends SparkSpecBase {
   private def batchEvents =
     GraftSession.tsTimestamp(GraftSession.table(spark, sf, "events"))
 
+  /** Driver-log events sorted on the operators' own exact-micros key —
+    * a millis-only sort could split a shared millisecond across a
+    * batch boundary in an order that contradicts the micros timeline
+    * (ADVICE r7). */
+  private def orderedDriverEvents: Array[EventStreams.Event] = {
+    import spark.implicits._
+    batchEvents
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event].collect().sortBy(e =>
+        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, e.event_id))
+  }
+
+  /** Shared replay harness (the spec-side twin of the entry layer's
+    * replayThirds): feed `batches` through `op`'s micro-batch pipeline
+    * into a memory sink and return the materialized sink table. */
+  private def replayToSink(name: String,
+      batches: Seq[Seq[EventStreams.Event]],
+      op: org.apache.spark.sql.Dataset[EventStreams.Event] =>
+        org.apache.spark.sql.Dataset[_],
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventStreams.Event]
+    val q = op(mem.toDS()).writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val out = spark.table(name)
+      out.count() // materialize while the query is live
+      out
+    } finally q.stop()
+  }
+
+  private def thirds(rows: Array[EventStreams.Event])
+      : Seq[Seq[EventStreams.Event]] =
+    rows.grouped((rows.length + 2) / 3).map(_.toSeq).toSeq
+
   test("windowed aggregation: streaming result == batch result") {
     // batch ground truth
     val batch = EventStreams.windowedCounts(batchEvents)
@@ -144,234 +185,156 @@ class StreamingSpec extends SparkSpecBase {
 
   test("streamingTransitions: summed deltas == batch transition matrix") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sc = spark.sqlContext
-    // the real driver log (sf0.001), streamed in 3 time-ordered batches.
-    // Sort by the operator's own exact-micros key — a millis-only sort
-    // could split a shared millisecond across a batch boundary in an
-    // order that contradicts the micros timeline (ADVICE r7)
-    val rows = batchEvents
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[EventStreams.Event].collect().sortBy(e =>
-        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
-          e.ts.getNanos / 1000L, e.event_id))
-    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
-    val mem = MemoryStream[EventStreams.Event]
-    val q = EventStreams.streamingTransitions(mem.toDS()).writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-      .format("memory").queryName("trans_stream").start()
-    try {
-      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
-      val got = spark.table("trans_stream")
-        .groupBy("from_type", "to_type")
-        .agg(org.apache.spark.sql.functions.sum("delta").as("n"))
-        .as[(String, String, Long)].collect()
-        .map(t => (t._1, t._2) -> t._3).toMap
-      // ground truth: the batch q110 counts over the same log
-      val want = graft.SparkEntry.queries("q110_transitions")(
-          spark, "/root/testdata/sf0.001")
-        .select("from_type", "to_type", "n_transitions")
-        .as[(String, String, Long)].collect()
-        .map(t => (t._1, t._2) -> t._3).toMap
-      assert(want.nonEmpty && got == want)
-    } finally q.stop()
+    val got = replayToSink("trans_stream", thirds(orderedDriverEvents),
+        EventStreams.streamingTransitions)
+      .groupBy("from_type", "to_type")
+      .agg(org.apache.spark.sql.functions.sum("delta").as("n"))
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // ground truth: the batch q110 counts over the same log
+    val want = graft.SparkEntry.queries("q110_transitions")(
+        spark, "/root/testdata/sf0.001")
+      .select("from_type", "to_type", "n_transitions")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(want.nonEmpty && got == want)
   }
 
   test("streamingScd2: folded emissions == batch SCD2 history") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sc = spark.sqlContext
-    val rows = batchEvents
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[EventStreams.Event].collect().sortBy(e =>
-        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
-          e.ts.getNanos / 1000L, e.event_id))
-    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
-    val mem = MemoryStream[EventStreams.Event]
-    val q = EventStreams.streamingScd2(mem.toDS()).writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-      .format("memory").queryName("scd2_stream").start()
-    try {
-      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
-      // fold: per (user, version), closed beats open — an open emission
-      // is always superseded by its own later closing emission
-      val got = spark.table("scd2_stream")
-        .as[EventStreams.Scd2Delta].collect()
-        .groupBy(d => (d.user_id, d.version_seq)).values
-        .map(emissions => emissions.find(_.valid_to.isDefined)
-          .getOrElse(emissions.head))
-        .map(d => (d.user_id, d.state, d.version_seq, d.valid_from,
-          d.valid_to))
-        .toSet
-      val ev = GraftSession.table(spark, sf, "events")
-      val want = graft.ext.Snapshot.scd2FromLog(
-          ev.select(col("user_id"), col("event_id"), col("event_type"),
-            GraftSession.tsMicros(ev).as("ts_us")),
-          keys = Seq("user_id"), tracked = Seq("event_type"),
-          tsCol = "ts_us", tieBreak = Seq("event_id"))
-        .select("user_id", "event_type", "version_seq", "valid_from",
-          "valid_to")
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-          r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
-        .toSet
-      assert(want.nonEmpty && got == want)
-    } finally q.stop()
+    // fold: per (user, version), closed beats open — an open emission
+    // is always superseded by its own later closing emission
+    val got = replayToSink("scd2_stream", thirds(orderedDriverEvents),
+        EventStreams.streamingScd2)
+      .as[EventStreams.Scd2Delta].collect()
+      .groupBy(d => (d.user_id, d.version_seq)).values
+      .map(emissions => emissions.find(_.valid_to.isDefined)
+        .getOrElse(emissions.head))
+      .map(d => (d.user_id, d.state, d.version_seq, d.valid_from,
+        d.valid_to))
+      .toSet
+    val ev = GraftSession.table(spark, sf, "events")
+    val want = graft.ext.Snapshot.scd2FromLog(
+        ev.select(col("user_id"), col("event_id"), col("event_type"),
+          GraftSession.tsMicros(ev).as("ts_us")),
+        keys = Seq("user_id"), tracked = Seq("event_type"),
+        tsCol = "ts_us", tieBreak = Seq("event_id"))
+      .select("user_id", "event_type", "version_seq", "valid_from",
+        "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(want.nonEmpty && got == want)
   }
 
   test("streamingQuality: max-folded update emissions == batch windowed suite") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.ext.Quality
     import graft.ext.Quality._
-    implicit val sc = spark.sqlContext
     val checks = Seq(InRange("value", 0.0, 250.0),
       InSet("event_type", Seq("view", "click", "purchase", "signup")),
       NotNull("value"))
-    val rows = batchEvents
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[EventStreams.Event].collect().sortBy(e =>
-        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
-          e.ts.getNanos / 1000L, e.event_id))
-    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
-    val mem = MemoryStream[EventStreams.Event]
-    val q = EventStreams.streamingQuality(mem.toDF(), checks,
-        window_ = "1 day").writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-      .format("memory").queryName("quality_stream").start()
-    try {
-      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
-      // per-window counts only grow across update emissions → fold = max
-      val got = spark.table("quality_stream")
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
-          ((r.getLong(3), r.getLong(4))))
-        .groupBy(_._1).view
-        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max))
-        .toMap
-      val want = Quality.windowedSuite(batchEvents,
-          org.apache.spark.sql.functions.window($"ts", "1 day"), checks)
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
-          ((r.getLong(3), r.getLong(4)))).toMap
-      assert(want.nonEmpty && got == want)
-      assert(want.values.map(_._2).sum > 0) // real violations monitored
-    } finally q.stop()
+    // per-window counts only grow across update emissions → fold = max
+    val got = replayToSink("quality_stream", thirds(orderedDriverEvents),
+        ds => EventStreams.streamingQuality(ds.toDF(), checks,
+          window_ = "1 day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max))
+      .toMap
+    val want = Quality.windowedSuite(batchEvents,
+        org.apache.spark.sql.functions.window($"ts", "1 day"), checks)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(want.nonEmpty && got == want)
+    assert(want.values.map(_._2).sum > 0) // real violations monitored
   }
 
   test("streamingAttribution: stream-stream pairs == batch interval join") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sc = spark.sqlContext
-    val rows = batchEvents
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[EventStreams.Event].collect().sortBy(e =>
-        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
-          e.ts.getNanos / 1000L, e.event_id))
-    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
-    val mem = MemoryStream[EventStreams.Event]
-    val q = EventStreams.streamingAttribution(mem.toDS(), "click",
-        "purchase", maxGapSeconds = 3600).writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .format("memory").queryName("attr_stream").start()
-    try {
-      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
-      val got = spark.table("attr_stream")
-        .as[(Long, Long, Long, Long, Long)].collect().toSet
-      // batch ground truth: the same interval join, no streams
-      val ev = batchEvents.select(col("event_id"), col("user_id"),
-        col("event_type"),
-        GraftSession.tsMicros(batchEvents).as("tn"))
-      val p = ev.filter($"event_type" === "purchase")
-        .select($"event_id".as("purchase_id"),
-          $"user_id".as("p_user"), $"tn".as("purchase_us"))
-      val c = ev.filter($"event_type" === "click")
-        .select($"event_id".as("click_id"), $"user_id".as("c_user"),
-          $"tn".as("click_us"))
-      val want = p.join(c, $"p_user" === $"c_user" &&
-          $"click_us" <= $"purchase_us" &&
-          $"click_us" >= $"purchase_us" - 3600000000L)
-        .select($"purchase_id", $"p_user", $"purchase_us", $"click_us",
-          $"click_id")
-        .as[(Long, Long, Long, Long, Long)].collect().toSet
-      assert(want.nonEmpty && got == want)
-    } finally q.stop()
+    val got = replayToSink("attr_stream", thirds(orderedDriverEvents),
+        ds => EventStreams.streamingAttribution(ds, "click", "purchase",
+          maxGapSeconds = 3600),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // batch ground truth: the same interval join, no streams
+    val ev = batchEvents.select(col("event_id"), col("user_id"),
+      col("event_type"),
+      GraftSession.tsMicros(batchEvents).as("tn"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"),
+        $"user_id".as("p_user"), $"tn".as("purchase_us"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"tn".as("click_us"))
+    val want = p.join(c, $"p_user" === $"c_user" &&
+        $"click_us" <= $"purchase_us" &&
+        $"click_us" >= $"purchase_us" - 3600000000L)
+      .select($"purchase_id", $"p_user", $"purchase_us", $"click_us",
+        $"click_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want)
   }
 
   test("streamingRetention: summed deltas == batch cohort matrix") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sc = spark.sqlContext
     val week = 604800000L // ms
-    val rows = batchEvents
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
-    val mem = MemoryStream[EventStreams.Event]
-    val q = EventStreams.streamingRetention(mem.toDS(), week).writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-      .format("memory").queryName("ret_stream").start()
-    try {
-      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
-      // late PRE-cohort activity: a bucket two weeks before an existing
-      // user's pinned cohort must absorb silently — a floored offset-0
-      // delta would double-count the user in its cohort denominator
-      val u = rows.head
-      mem.addData(EventStreams.Event(999999L,
-        new java.sql.Timestamp(u.ts.getTime - 2 * week), u.user_id,
-        u.event_type, 1.0))
-      q.processAllAvailable()
-      val got = spark.table("ret_stream")
-        .groupBy("cohort", "bucket_offset")
-        .agg(org.apache.spark.sql.functions.sum("delta").as("n"))
-        .as[(Long, Long, Long)].collect()
-        .map(t => (t._1, t._2) -> t._3).toMap
-      val want = graft.operators.Retention.cohortMatrix(
-          batchEvents.select(col("user_id"),
-            org.apache.spark.sql.functions.unix_millis(col("ts")).as("ms")),
-          "user_id", "ms", bucketWidth = week)
-        .select("cohort", "bucket_offset", "n_users")
-        .as[(Long, Long, Long)].collect()
-        .map(t => (t._1, t._2) -> t._3).toMap
-      assert(want.nonEmpty && got == want)
-    } finally q.stop()
+    val rows = orderedDriverEvents
+    // late PRE-cohort activity as a 4th batch: a bucket two weeks
+    // before an existing user's pinned cohort must absorb silently —
+    // a floored offset-0 delta would double-count the user in its
+    // cohort denominator
+    val u = rows.head
+    val late = Seq(EventStreams.Event(999999L,
+      new java.sql.Timestamp(u.ts.getTime - 2 * week), u.user_id,
+      u.event_type, 1.0))
+    val got = replayToSink("ret_stream", thirds(rows) :+ late,
+        EventStreams.streamingRetention(_, week))
+      .groupBy("cohort", "bucket_offset")
+      .agg(org.apache.spark.sql.functions.sum("delta").as("n"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val want = graft.operators.Retention.cohortMatrix(
+        batchEvents.select(col("user_id"),
+          org.apache.spark.sql.functions.unix_millis(col("ts")).as("ms")),
+        "user_id", "ms", bucketWidth = week)
+      .select("cohort", "bucket_offset", "n_users")
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(want.nonEmpty && got == want)
   }
 
   test("streamingRollingActive: KMV curve tracks exact batch actives") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sc = spark.sqlContext
     val day = 86400000L // ms
     val rows = batchEvents
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventStreams.Event].collect()
     // deliberately UN-ordered split (hash by event_id): the sketch is
     // arrival-order independent, so this must still converge
-    val parts = rows.groupBy(_.event_id % 3).values.toSeq
-    val mem = MemoryStream[EventStreams.Event]
-    val q = EventStreams.streamingRollingActive(mem.toDS(), day, window = 7)
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-      .format("memory").queryName("dau_stream").start()
-    try {
-      parts.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
-      // latest estimate per bucket
-      val got = spark.table("dau_stream").groupByKey(_.getLong(0))
-        .mapGroups((b, it) => (b, it.toSeq.last.getDouble(1)))
-        .collect().toMap
-      val want = graft.operators.Retention.rollingActive(
-          batchEvents.select(col("user_id"),
-            org.apache.spark.sql.functions.unix_millis(col("ts")).as("ms")),
-          "user_id", "ms", bucketWidth = day, window = 7)
-        .as[(Long, Long)].collect().toMap
-      assert(want.nonEmpty && got.keySet == want.keySet)
-      for ((b, n) <- want) {
-        val e = got(b)
-        // KMV rsd ~ 1/sqrt(k) = 6.25% at k=256; exact below k
-        assert(math.abs(e - n) <= math.max(2.0, 4 * 0.0625 * n),
-          s"bucket $b: estimate $e vs exact $n beyond 4x rsd")
-      }
-    } finally q.stop()
+    val parts = rows.groupBy(_.event_id % 3).values.map(_.toSeq).toSeq
+    // latest estimate per bucket
+    val got = replayToSink("dau_stream", parts,
+        EventStreams.streamingRollingActive(_, day, window = 7))
+      .groupByKey(_.getLong(0))
+      .mapGroups((b, it) => (b, it.toSeq.last.getDouble(1)))
+      .collect().toMap
+    val want = graft.operators.Retention.rollingActive(
+        batchEvents.select(col("user_id"),
+          org.apache.spark.sql.functions.unix_millis(col("ts")).as("ms")),
+        "user_id", "ms", bucketWidth = day, window = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(want.nonEmpty && got.keySet == want.keySet)
+    for ((b, n) <- want) {
+      val e = got(b)
+      // KMV rsd ~ 1/sqrt(k) = 6.25% at k=256; exact below k
+      assert(math.abs(e - n) <= math.max(2.0, 4 * 0.0625 * n),
+        s"bucket $b: estimate $e vs exact $n beyond 4x rsd")
+    }
   }
 
   test("watermarked streaming dedup: bounded state, dupes dropped") {
