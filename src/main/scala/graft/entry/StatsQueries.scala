@@ -160,6 +160,19 @@ object StatsQueries {
       Incremental.finish(
           Incremental.merge(snapshot, deltaState, Seq("month")))
         .orderBy("month")
+    }),
+
+    // Order-independent content digest per source (ext/Stats): the
+    // release-integrity primitive — one map-side-combined aggregate,
+    // the md5-u32 row hashes SUM exactly so partitioning and row
+    // order are invisible, and the oracle recomputes the same number
+    // relationally. Two releases (or two engines, as here) agreeing
+    // on (n_rows, digest) hold the same row multiset.
+    "q133_content_digest" -> ((s, dir) => {
+      Stats.contentDigest(t(s, dir, "documents"),
+          cols = Seq("doc_id", "text", "lang", "source", "n_chars"),
+          keys = Seq("source"))
+        .orderBy("source")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -199,6 +212,19 @@ object StatsQueries {
         |SELECT check_name, n_rows, n_violations,
         |  n_violations = 0 AS passed
         |FROM r ORDER BY check_name""".stripMargin,
+    // q133: the identical canonicalize → md5-u32 → exact decimal sum,
+    // written relationally (chr(1)/chr(2) are the separator and the
+    // null marker)
+    "q133_content_digest" ->
+      """SELECT source, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |    coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+        |    coalesce(text, chr(2)),
+        |    coalesce(lang, chr(2)),
+        |    coalesce(source, chr(2)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 8))
+        |    AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     // q130: the oracle computes the SAME answer from scratch — one
     // direct GROUP BY over all orders; the merge path must agree
     // bit-for-bit (exact decimal sums, read-time IEEE mean)

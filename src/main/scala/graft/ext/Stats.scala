@@ -96,6 +96,33 @@ object Stats {
     agg.select(keys.map(col) ++ Seq(col("n"), r.as("corr")): _*)
   }
 
+  /** Order-independent table content digest — the release-integrity
+    * primitive: two tables (or two replicas, two engine runs, two
+    * releases) have the same (n_rows, digest) iff they hold the same
+    * row MULTISET over `cols`, checkable at 100 TB with one map-side-
+    * combined aggregate and nothing but a count and a DECIMAL sum on
+    * the wire. Each row canonicalizes to a \u0001-separated string
+    * (NULLs as \u0002 so (a,NULL) ≠ (a) — plain concat_ws would skip
+    * them), hashes through the engine-portable md5-u32 device, and the
+    * hashes SUM exactly: addition commutes, so partitioning, merge
+    * order, and row order are all invisible. Drift detection, not
+    * cryptography — an adversary can forge collisions, a flaky
+    * pipeline cannot.
+    *
+    * Caveat: only use string-stable column types (integers, strings,
+    * dates); floats render differently across engines. */
+  def contentDigest(df: DataFrame, cols: Seq[String],
+      keys: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty, "contentDigest needs at least one column")
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val h = Sketches.hashU32(canon)
+    val aggs = Seq(count(lit(1)).as("n_rows"),
+      sum(h.cast("decimal(38,0)")).as("digest"))
+    if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** One-pass table profile (the ANALYZE/data-quality primitive): for
     * each named column — row count, null count, exact distinct count,
     * and min/max (computed on the NATIVE type, then rendered as string

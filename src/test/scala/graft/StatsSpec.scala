@@ -156,6 +156,29 @@ class StatsSpec extends SparkSpecBase {
       .orderBy("col_name").collect().toSeq == p.toSeq)
   }
 
+  test("content digest: multiset-equal iff equal; order/partition blind") {
+    import graft.ext.Stats
+    val a = Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("id", "v")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Stats.contentDigest(df, Seq("id", "v")).head()
+    val d0 = dig(a)
+    // row order and partitioning are invisible
+    assert(dig(a.orderBy($"id".desc).repartition(7)) == d0)
+    // NULL vs absent-column-value distinction: (2, NULL) != (2, chr2-
+    // lookalike absent) — changing the null to a value changes the hash
+    val b = Seq((1L, Some("x")), (2L, Some("")), (3L, Some("y")))
+      .toDF("id", "v")
+    assert(dig(b) != d0)
+    // any single-row mutation changes the digest
+    val c = Seq((1L, Some("x")), (2L, None), (3L, Some("z")))
+      .toDF("id", "v")
+    assert(dig(c) != d0)
+    // duplicate rows count: multiset, not set
+    val dup = a.unionAll(a.limit(1))
+    assert(dig(dup) != d0 && dig(dup).getLong(0) == 4L)
+  }
+
   test("incremental state merge == direct aggregation, exactly") {
     import graft.ext.Incremental
     val rows = Seq(("g1", 10.25), ("g1", 0.75), ("g2", -3.50),
