@@ -673,6 +673,80 @@ object AnalyticQueries {
         .select(col("label"), col("pos").cast("long").as("pos"),
           col("centroid"))
         .orderBy("label", "pos")
+    }),
+
+    // Salted hot-key enrichment: every event joined to its type's
+    // global stats — |types| is tiny, so EVERY join key is hot and a
+    // plain shuffle join serializes each type into one reducer. The
+    // salted form (ext/Skew.saltedJoin) spreads each type over 32
+    // reducers; identical rows to the plain join (the oracle IS the
+    // plain join). At test scale Spark broadcasts the exploded dim —
+    // also shuffle-free; the salt's reducer-spreading is probed in the
+    // forced-shuffle regime (ScaleProbe salted_join).
+    "q136_salted_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("type_count"))
+      graft.ext.Skew.saltedJoin(ev.select("event_id", "event_type"),
+          dim, Seq("event_type"), salts = 32)
+        .select("event_id", "event_type", "type_count")
+        .orderBy("event_id")
+    }),
+
+    // Robust daily-volume anomaly flags: per type, median + MAD of the
+    // daily event counts, day anomalous iff |n − median| > 3·MAD. All
+    // arithmetic exact in IEEE (integer counts, interpolated medians on
+    // the half grid), so the float columns hash-match the oracle. Two
+    // tiny shuffles (day roll-up, per-type stats); the stats join back
+    // is |types|-sized → broadcast.
+    "q137_mad_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("event_type"),
+          GraftSession.tsMicros(ev).as("tn"))
+        .selectExpr("event_type", "tn div 86400000000 as day")
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val med = daily.groupBy("event_type")
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val dev = daily.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("day"), col("n"), col("med"),
+          col("mad"),
+          (col("dev") > lit(3d) * col("mad")).cast("int").as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Time-series regularization: the per-type daily series on a 1%
+    // hash sample (real gaps), re-gridded onto the full day spine and
+    // gap-filled by LOCF. Spine = |types| × days rows born map-side
+    // from one 1-row min/max broadcast (the q85 idiom); the fill is
+    // last-non-null over one per-type window — one key shuffle total,
+    // never a per-gap join.
+    "q138_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("event_type"), col("event_id"),
+          GraftSession.tsMicros(ev).as("tn"))
+        .filter(graft.ext.Curation.hashU32("gf1", col("event_id")) <
+          lit(42949672L))
+        .selectExpr("event_type", "tn div 86400000000 as day")
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val bounds = daily.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      val spine = daily.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("n_filled",
+          coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L)))
+        .withColumn("is_gap", col("n").isNull.cast("int"))
+        .select("event_type", "day", "n_filled", "is_gap")
+        .orderBy("event_type", "day")
     }))
 
   private val oracleSqlBase: Map[String, String] = Map(
@@ -1074,7 +1148,53 @@ object AnalyticQueries {
         |           AS BIGINT)) AS DOUBLE)
         |   / (COUNT(*) * 1e7) AS centroid
         |FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
-        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    // q136's ground truth IS the plain (unsalted) join — result
+    // identity is the whole claim of the salted rewrite
+    "q136_salted_enrich" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS type_count
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, c.type_count
+        |FROM events e JOIN c USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    // exact-in-IEEE robust stats: integer daily counts, quantile_cont
+    // medians land on the half grid, abs/3· stay exact
+    "q137_mad_anomaly" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        |  FROM d GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.day, d.n, m.med,
+        |    abs(d.n - m.med) AS dev
+        |  FROM d JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_type, dev.day, dev.n, dev.med, md.mad,
+        |  CASE WHEN dev.dev > 3*md.mad THEN 1 ELSE 0 END AS is_anomaly
+        |FROM dev JOIN md USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
+    // independent LOCF formulation: correlated latest-day-with-data
+    // subquery per spine cell (the operator uses a single window pass —
+    // different machinery, same fill)
+    "q138_gap_fill" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        |  FROM events
+        |  WHERE CAST(concat('0x', substr(md5(concat('gf1','#',CAST(event_id AS VARCHAR))),1,8)) AS BIGINT) < 42949672
+        |  GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+        |s AS (SELECT t.event_type, u.day
+        |  FROM (SELECT DISTINCT event_type FROM d) t, b,
+        |       unnest(generate_series(b.d0, b.d1)) u(day))
+        |SELECT s.event_type, s.day,
+        |  COALESCE((SELECT dd.n FROM d dd
+        |    WHERE dd.event_type = s.event_type AND dd.day <= s.day
+        |    ORDER BY dd.day DESC LIMIT 1), 0) AS n_filled,
+        |  CASE WHEN ex.n IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM s LEFT JOIN d ex
+        |  ON s.event_type = ex.event_type AND s.day = ex.day
+        |ORDER BY s.event_type, s.day""".stripMargin)
 
   /** q115 is funnelSinglePass against q107's OWN ground truth — one
     * SQL text, two independent Spark implementations checked. */

@@ -52,6 +52,16 @@ object RangeQueries {
       ((col("o_orderkey") * 7) % 5000 + 1 + col("o_orderkey") % 40).as("e1"),
       col("o_orderkey"))
 
+  /** supplier → a SMALL annotation interval set (100–1000 rows at test
+    * sf): chrom 0-4, start in [0,5000), length 1-61 — the gene-model /
+    * config-table side of the broadcast annotation join. */
+  private def supplierIntervals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").select(
+      (col("s_suppkey") % 5).as("chrom"),
+      ((col("s_suppkey") * 11) % 5000).as("s1"),
+      ((col("s_suppkey") * 11) % 5000 + 1 + col("s_suppkey") % 60).as("e1"),
+      col("s_suppkey"))
+
   /** events → intervals: chrom 0-4, start in [0,5000), length 1-26. */
   private def eventIntervals(s: SparkSession, dir: String): DataFrame =
     GraftSession.spread(t(s, dir, "events")).select(
@@ -134,6 +144,18 @@ object RangeQueries {
         keys = Seq("chrom"), "s1", "e1", "s2", "e2", width = 64L)
         .select("chrom", "o_orderkey", "event_id")
         .orderBy("chrom", "o_orderkey", "event_id")
+    }),
+
+    // Broadcast annotation join: the q09 overlap semantics when one
+    // side is dim-sized — binned small side broadcast, big side
+    // streams map-only (zero exchanges before the output sort;
+    // RangesSpec pins plan + equality with the shuffling form).
+    "q135_broadcast_annotate" -> ((s, dir) => {
+      RangeJoin.overlapJoinBroadcast(
+        eventIntervals(s, dir), supplierIntervals(s, dir),
+        keys = Seq("chrom"), "s2", "e2", "s1", "e1", width = 64L)
+        .select("chrom", "event_id", "s_suppkey")
+        .orderBy("chrom", "event_id", "s_suppkey")
     }),
 
     // J7: banded tolerance join — same-type event pairs with values
@@ -391,6 +413,14 @@ object RangeQueries {
         |SELECT chrom, o_orderkey, event_id FROM a JOIN b USING (chrom)
         |WHERE s1 <= e2 AND s2 <= e1
         |ORDER BY chrom, o_orderkey, event_id""".stripMargin,
+    "q135_broadcast_annotate" ->
+      """WITH a AS (SELECT event_id%5 AS chrom, (event_id*13)%5000 AS s2,
+        |  (event_id*13)%5000 + 1 + event_id%25 AS e2, event_id FROM events),
+        | b AS (SELECT s_suppkey%5 AS chrom, (s_suppkey*11)%5000 AS s1,
+        |  (s_suppkey*11)%5000 + 1 + s_suppkey%60 AS e1, s_suppkey FROM supplier)
+        |SELECT chrom, event_id, s_suppkey FROM a JOIN b USING (chrom)
+        |WHERE s2 <= e1 AND s1 <= e2
+        |ORDER BY chrom, event_id, s_suppkey""".stripMargin,
     "q10_tolerance_join" ->
       """SELECT a.event_type, a.event_id AS e1, b.event_id AS e2
         |FROM events a JOIN events b ON a.event_type = b.event_type

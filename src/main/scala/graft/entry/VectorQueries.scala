@@ -187,6 +187,21 @@ object VectorQueries {
         .select(col("id").as("vec_id"), col("comp").as("cluster"),
           (col("id") === col("comp")).cast("int").as("is_rep"))
         .orderBy("vec_id")
+    }),
+
+    // Leakage-safe train/val/test split: q87's hash intervals keyed on
+    // the q73 dedup CLUSTER, so a near-dup pair can never straddle
+    // train/test (the split-time guard q64's contamination scan only
+    // measures after the fact). Singletons hash on their own id.
+    "q134_leakage_safe_split" -> ((s, dir) => {
+      import graft.ext.{Curation, Dedup}
+      val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.4)
+      Curation.leakageSafeSplit(emb(s, dir).select("vec_id"), pairs,
+          "vec_id", "a_id", "b_id", seed = "ls1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("vec_id", "cluster", "split")
+        .orderBy("vec_id")
     }))
 
   /** Shared PQ oracle prefix: per-subspace codebooks from the 16
@@ -393,5 +408,28 @@ object VectorQueries {
         |  SELECT s.v, reach.r FROM sym s JOIN reach ON s.u = reach.v)
         |SELECT v AS vec_id, MIN(r) AS cluster,
         |  CASE WHEN MIN(r) = v THEN 1 ELSE 0 END AS is_rep
-        |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin)
+        |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin,
+    // q73's recursive closure for the clusters, q87's md5-u32 hash
+    // intervals keyed on the cluster label (bounds 0.8*2^32, 0.9*2^32)
+    "q134_leakage_safe_split" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label=b.label AND a.vec_id<b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+        |sym AS (SELECT a_id AS v, b_id AS u FROM e
+        |        UNION SELECT b_id, a_id FROM e),
+        |reach(v, r) AS (
+        |  SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+        |  UNION
+        |  SELECT s.v, reach.r FROM sym s JOIN reach ON s.u = reach.v),
+        |comp AS (SELECT v, MIN(r) AS comp FROM reach GROUP BY v),
+        |cl AS (SELECT emb.vec_id,
+        |         COALESCE(comp.comp, emb.vec_id) AS cluster
+        |       FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.v)
+        |SELECT vec_id, cluster, CASE
+        | WHEN CAST(concat('0x', substr(md5(concat('ls1','#',CAST(cluster AS VARCHAR))),1,8)) AS BIGINT) < 3435973836 THEN 'train'
+        | WHEN CAST(concat('0x', substr(md5(concat('ls1','#',CAST(cluster AS VARCHAR))),1,8)) AS BIGINT) < 3865470565 THEN 'val'
+        | ELSE 'test' END AS split
+        |FROM cl ORDER BY vec_id""".stripMargin)
 }

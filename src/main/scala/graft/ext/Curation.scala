@@ -224,6 +224,38 @@ object Curation {
     df.withColumn(out, expr)
   }
 
+  /** Leakage-safe split assignment: [[assignSplits]] hashed on the
+    * NEAR-DUP CLUSTER instead of the item id, so two near-duplicate
+    * documents can never straddle train/test — the split-time guard
+    * against the contamination q64 only measures after the fact. (A
+    * per-doc hash split puts ~2·p·(1−p) of every dup pair's mass across
+    * the boundary; eval on such a split scores memorization.)
+    *
+    * `pairs` is any near-dup edge list (MinHash, SimHash, embedding
+    * cosine — the [[Dedup]] family); items absent from it are singleton
+    * clusters of themselves. Clusters come from
+    * [[Dedup.connectedComponents]] (min reachable id), so the cluster
+    * label — and therefore the split — is stable under corpus growth
+    * exactly as long as the min id of the component is, and transitive
+    * chains (a~b, b~c) land whole.
+    *
+    * Scale shape: the component table is PAIRS-sized (only items that
+    * appear in an edge), never corpus-sized — the left join back to
+    * `items` broadcasts whenever the dup set does, and the hash
+    * assignment stays map-only. Output adds `cluster` and `out`.
+    */
+  def leakageSafeSplit(items: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String, bCol: String, seed: String,
+      splits: Seq[(String, Double)], out: String = "split"): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
+    val clustered = items
+      .join(comp, col(idCol) === col("__cc_id"), "left")
+      .withColumn("cluster", coalesce(col("__cc_comp"), col(idCol)))
+      .drop("__cc_id", "__cc_comp")
+    assignSplits(clustered, "cluster", seed, splits, out)
+  }
+
   /** Epoch-weighted UP-sampling mix — the complement of [[mixSources]]
     * (which can only thin): a source with weight w is replicated
     * `floor(w)` times plus one more copy with probability `frac(w)`,

@@ -151,6 +151,45 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction (lakehouse OPTIMIZE): rewrite a parquet
+    * directory into ≈`targetBytes` files. Streaming sinks and
+    * fine-grained incremental appends leave thousands of KB-sized
+    * files; at 100 TB the resulting task-per-file scheduling and
+    * footer-read overhead dominate scans long before data volume does.
+    *
+    * File count = ceil(current on-disk bytes / targetBytes) — an upper
+    * bound on the output size per file (re-encoding usually shrinks
+    * it; exactness is not the point, escaping the many-small-files
+    * regime is). With `sortCols` the rewrite is ONE range exchange
+    * that also (re)clusters — compaction and z-order-style layout
+    * maintenance in the same pass (min/max pruning on the leading sort
+    * column survives the rewrite); without, a round-robin shuffle
+    * balances bytes evenly.
+    *
+    * Returns the file count written. Writes to `outPath` — an
+    * in-place rewrite would lose the source on failure; atomically
+    * swapping directories is the caller's (or the table format's) job.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long,
+      sortCols: Seq[String] = Nil): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(inPath != outPath, "compact cannot rewrite in place")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(n)
+    laid.write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   private def writeClustered(df: DataFrame, curve: Column, path: String,
       numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")

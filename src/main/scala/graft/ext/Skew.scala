@@ -34,4 +34,40 @@ object Skew {
       .agg(sum(col(aggs.head._1)).as(aggs.head._1),
         aggs.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
   }
+
+  /** Salted equi-join for hot keys — the big-side fix when the dim is
+    * too large to broadcast but both sides hash-shuffle and one join
+    * key holds a disproportionate share of the big side (joining a
+    * 100 TB event log to a per-entity table where one entity is half
+    * the traffic: the plain shuffle join serializes that key into ONE
+    * reducer regardless of cluster size).
+    *
+    * The big side gets a deterministic row salt in [0, salts); the
+    * small side replicates each row `salts` times (map-only explode, so
+    * the replication costs |small|×salts rows of shuffle write — pick
+    * `salts` ≈ the executor-count you want the hot key spread over).
+    * The join runs on (keys..., salt): every hot key now occupies
+    * `salts` reducers. Results are identical to `big.join(small, keys)`
+    * because each big row carries exactly one salt and meets exactly
+    * the one matching replica.
+    *
+    * AQE's skew-join split handles the SORT-MERGE case adaptively;
+    * salting remains the portable form (works for hash joins, for
+    * pre-AQE stages, and composes with bucketed layouts). Only `inner`
+    * and `left` joins are allowed: with big on the left, unmatched
+    * small replicas can at worst drop (never duplicate); a right/full
+    * join would emit one null-padded row per unmatched REPLICA.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType),
+      s"saltedJoin supports inner/left joins only, got $joinType")
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*),
+        lit(salts)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

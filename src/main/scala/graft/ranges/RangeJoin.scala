@@ -54,6 +54,36 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-overlap join against a SMALL interval set, with ZERO
+    * shuffle of the big side — the annotation pattern (100 TB of reads
+    * against a gene model of ~10^6 rows, or a fact stream against a
+    * config-sized interval table).
+    *
+    * [[overlapJoin]] shuffles BOTH sides on (keys, bin); when one side
+    * fits the broadcast threshold that shuffle is pure waste. Here the
+    * small side is binned and broadcast, so the plan is: big scan →
+    * map-only bin explode (~2× fanout) → BroadcastHashJoin on
+    * (keys, bin) → codegen'd exact filter + canonical-bin dedup. No
+    * exchange anywhere — the big side streams through untouched, and
+    * the whole pipeline stays in one WholeStageCodegen span. Binning the
+    * broadcast side (vs broadcasting raw and filtering) keeps the probe
+    * cost per big row at the handful of intervals sharing its bins, not
+    * every same-key interval.
+    *
+    * Same semantics as [[overlapJoin]] (closed ends, each overlapping
+    * pair exactly once) — spec-asserted equal. */
+  def overlapJoinBroadcast(big: DataFrame, small: DataFrame,
+      keys: Seq[String], lStart: String, lEnd: String, rStart: String,
+      rEnd: String, width: Long = 10000L): DataFrame = {
+    val l = binned(big, lStart, lEnd, width)
+    val r = broadcast(binned(small, rStart, rEnd, width))
+    l.join(r, keys :+ "__bin")
+      .filter(Intervals.overlaps(col(lStart), col(lEnd), col(rStart), col(rEnd)))
+      .filter(col("__bin") ===
+        floor(greatest(col(lStart), col(rStart)) / lit(width)).cast("long"))
+      .drop("__bin")
+  }
+
   /** Point-in-interval join: right rows whose [rStart, rEnd] contains the
     * left point column (J6 gene/transcript containment,
     * `junction.py:159-164`). Left explodes to a single bin per row. */

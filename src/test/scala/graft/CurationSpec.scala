@@ -436,4 +436,29 @@ class CurationSpec extends SparkSpecBase {
       "text", merges).as[(Long, Seq[String])].collect().toMap
     assert(again == got)
   }
+
+  test("leakageSafeSplit: chains land whole; singletons hash own id") {
+    val items = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Curation.leakageSafeSplit(items, pairs, "id", "a", "b",
+        "ls-spec", splits)
+      .select("id", "cluster", "split")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == (1L to 7L).toSet)
+    // transitive chain 1~2, 2~3 is ONE cluster labeled by its min id
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).toSet == Set(1L))
+    assert(Seq(5L, 6L).map(got(_)._1).toSet == Set(5L))
+    assert(got(4L)._1 == 4L && got(7L)._1 == 7L)
+    // every cluster is split-pure, and the split is exactly
+    // assignSplits of the cluster label — growth-stable by the same
+    // argument as the per-id form
+    val repSplit = Curation.assignSplits(
+        Seq(1L, 4L, 5L, 7L).toDF("id"), "id", "ls-spec", splits)
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (_, (cluster, split)) =>
+      assert(split == repSplit(cluster))
+    }
+  }
 }

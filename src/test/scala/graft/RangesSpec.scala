@@ -517,4 +517,29 @@ class RangesSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("overlapJoinBroadcast == overlapJoin; zero exchanges in the plan") {
+    val big = spark.range(4000).select(
+      (col("id") % 3).as("k"),
+      ((col("id") * 17) % 997).as("s1"),
+      ((col("id") * 17) % 997 + 1 + col("id") % 23).as("e1"),
+      col("id").as("lid"))
+    val small = spark.range(60).select(
+      (col("id") % 3).as("k"),
+      ((col("id") * 29) % 997).as("s2"),
+      ((col("id") * 29) % 997 + 1 + col("id") % 40).as("e2"),
+      col("id").as("rid"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("k", "lid", "rid").as[(Long, Long, Long)].collect().toSet
+    val bc = RangeJoin.overlapJoinBroadcast(big, small, Seq("k"),
+      "s1", "e1", "s2", "e2", width = 64L)
+    val shuffled = RangeJoin.overlapJoin(big, small, Seq("k"),
+      "s1", "e1", "s2", "e2", width = 64L)
+    val got = rows(bc)
+    assert(got.nonEmpty && got == rows(shuffled))
+    // the whole point: the big side streams map-only
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.Skew
+import graft.ext.{Layout, Skew}
 
 /** Pins the physical-layout behaviors the 100 TB design relies on:
   * bucketed co-located joins (no shuffle exchange) and salted
@@ -141,5 +141,62 @@ class ScaleLayoutSpec extends SparkSpecBase {
         sum(col("v").cast("decimal(18,6)")).cast("double").as("total"))
       .as[(String, Long, Double)].collect().toSet
     assert(got == want)
+  }
+
+  test("salted join == plain join; no row lost or duplicated") {
+    // two keys only — maximal skew: a plain shuffle join would put each
+    // key's entire big side in one reducer
+    val big = spark.range(30000).select(
+      (col("id") % 2).cast("string").as("k"), col("id").as("v"))
+    val small = Seq(("0", 100L), ("1", 200L), ("orphan", 9L))
+      .toDF("k", "w")
+    val got = Skew.saltedJoin(big, small, Seq("k"), salts = 8)
+      .select("k", "v", "w").as[(String, Long, Long)].collect()
+    val want = big.join(small, Seq("k"))
+      .select("k", "v", "w").as[(String, Long, Long)].collect()
+    // exact multiset equality: each big row meets exactly ONE replica
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.length == 30000)
+    // left form keeps unmatched big rows exactly once
+    val leftGot = Skew.saltedJoin(
+      big.withColumn("k", concat(col("k"), lit("x"))), small,
+      Seq("k"), salts = 8, joinType = "left")
+    assert(leftGot.count() == 30000 &&
+      leftGot.filter(col("w").isNull).count() == 30000)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), 8, joinType = "full")
+    }
+  }
+
+  test("compact: ceil(bytes/target) files, content and clustering kept") {
+    val src = tmpDir("compact_src") + "/t"
+    val dst = tmpDir("compact_dst") + "/t"
+    spark.range(200000).select(col("id"), (col("id") % 97).as("k"))
+      .repartition(64) // the small-files regime: 64 tiny parquet files
+      .write.mode("overwrite").parquet(src)
+    def parts(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles.toSeq
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+    val srcFiles = parts(src)
+    assert(srcFiles.length == 64)
+    val bytes = srcFiles.map(_.length).sum
+    val n = Layout.compact(spark, src, dst, targetBytes = bytes / 4 + 1,
+      sortCols = Seq("id"))
+    assert(n == 4 && parts(dst).length == n)
+    // nothing lost, nothing duplicated
+    assert(spark.read.parquet(dst).select("id").as[Long].collect().sorted
+      .toSeq == (0L until 200000L))
+    // the sorted rewrite keeps range-clustering: per-file id ranges
+    // are disjoint, so min/max skipping on id survives compaction
+    val ranges = parts(dst).map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("id"), max("id")).head()
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"overlapping files: $a $b")
+      case _ =>
+    }
   }
 }
