@@ -719,6 +719,29 @@ object AnalyticQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Weighted PageRank over the event-type transition graph (q110's
+    // edge list as link weights) — ext/Graph power iteration in
+    // exact-fold mode: per-target contributions fold ascending by
+    // source, so all 10 iterations of float arithmetic are
+    // bit-reproducible against the oracle's unrolled-CTE mirror.
+    "q140_pagerank" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val paired = ev
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          GraftSession.tsMicros(ev).as("ts_us"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val edges = paired
+        .groupBy(col("event_type").as("src"), col("to_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ext.Graph.pageRank(edges, "src", "dst", Some("w"),
+          damping = 0.85, iters = 10, exactFold = true)
+        .select(col("id").as("node"), col("rank").as("pagerank"))
+        .orderBy("node")
+    }),
+
     // Time-series regularization: the per-type daily series on a 1%
     // hash sample (real gaps), re-gridded onto the full day spine and
     // gap-filled by LOCF. Spine = |types| × days rows born map-side
@@ -1196,10 +1219,49 @@ object AnalyticQueries {
         |  ON s.event_type = ex.event_type AND s.day = ex.day
         |ORDER BY s.event_type, s.day""".stripMargin)
 
+  /** q140's oracle: 10 power iterations UNROLLED as chained CTEs (a
+    * recursive CTE cannot aggregate in its recursive member), each one
+    * folding per-target contributions via the order-preserving
+    * `list(… ORDER BY src)` + `list_sum(list_transform(…))` device —
+    * the same fold order as the Spark side's sort_array + aggregate,
+    * so ten rounds of float arithmetic stay bit-identical. */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS tn FROM events),
+        |nx AS (SELECT event_type AS src, lead(event_type) OVER
+        |  (PARTITION BY user_id ORDER BY tn, event_id) AS dst FROM e),
+        |ed AS (SELECT src, dst, COUNT(*) AS w FROM nx
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |outw AS (SELECT src, SUM(w) AS wout FROM ed GROUP BY 1),
+        |en AS (SELECT ed.src, ed.dst,
+        |  CAST(ed.w AS DOUBLE)/CAST(outw.wout AS DOUBLE) AS p
+        |  FROM ed JOIN outw USING (src)),
+        |nodes AS (SELECT DISTINCT v FROM
+        |  (SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |p0 AS (SELECT v, 1.0/nn.n AS r FROM nodes CROSS JOIN nn)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |c$i AS (SELECT en.dst AS v, list_sum(list_transform(
+         |  list(p${i - 1}.r * en.p ORDER BY en.src), x -> x)) AS s
+         |  FROM en JOIN p${i - 1} ON en.src = p${i - 1}.v
+         |  GROUP BY en.dst),
+         |p$i AS (SELECT nodes.v,
+         |  (1.0 - 0.85)/nn.n + 0.85 * COALESCE(c$i.s, 0.0) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$i ON nodes.v = c$i.v)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT v AS node, r AS pagerank FROM p$iters ORDER BY node"
+  }
+
   /** q115 is funnelSinglePass against q107's OWN ground truth — one
     * SQL text, two independent Spark implementations checked. */
   val oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q115_funnel_single" -> oracleSqlBase("q107_funnel")) +
-      ("q127_streaming_scd2" -> oracleSqlBase("q124_scd2_history"))
+      ("q127_streaming_scd2" -> oracleSqlBase("q124_scd2_history")) +
+      ("q140_pagerank" -> pageRankOracle(10))
 }

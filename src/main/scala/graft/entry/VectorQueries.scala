@@ -189,6 +189,25 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Incremental dedup-cluster maintenance: the q73 clusters rebuilt
+    // the DELTA way — full CC over only the edges among the first 400
+    // vectors, then connectedComponentsDelta folds the remaining edges
+    // in (|delta|-sized contracted CC + one broadcast relabel map over
+    // the history). Must equal q73's full recompute bit-for-bit — the
+    // oracle IS q73's SQL (two implementations, one ground truth).
+    "q139_cc_delta" -> ((s, dir) => {
+      import graft.ext.Dedup
+      val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.4)
+      val oldEdges = pairs.filter(col("a_id") < 400 && col("b_id") < 400)
+      val delta = pairs.filter(!(col("a_id") < 400 && col("b_id") < 400))
+      val prev = Dedup.connectedComponents(oldEdges, "a_id", "b_id")
+      Dedup.connectedComponentsDelta(prev, delta, "a_id", "b_id")
+        .select(col("id").as("vec_id"), col("comp").as("cluster"),
+          (col("id") === col("comp")).cast("int").as("is_rep"))
+        .orderBy("vec_id")
+    }),
+
     // Leakage-safe train/val/test split: q87's hash intervals keyed on
     // the q73 dedup CLUSTER, so a near-dup pair can never straddle
     // train/test (the split-time guard q64's contamination scan only
@@ -226,7 +245,7 @@ object VectorQueries {
       |   FROM ev JOIN cw ON ev.s = cw.s) WHERE rn = 1)
       |""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q40_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id<10),
         |sc AS (SELECT q_id, vec_id AS n_id,
@@ -432,4 +451,11 @@ object VectorQueries {
         | WHEN CAST(concat('0x', substr(md5(concat('ls1','#',CAST(cluster AS VARCHAR))),1,8)) AS BIGINT) < 3865470565 THEN 'val'
         | ELSE 'test' END AS split
         |FROM cl ORDER BY vec_id""".stripMargin)
+
+  /** q139 is the delta-maintenance path against q73's OWN ground truth
+    * — one SQL text, two independent implementations checked (the
+    * q115/q107 device). */
+  val oracleSql: Map[String, String] =
+    oracleSqlBase +
+      ("q139_cc_delta" -> oracleSqlBase("q73_dedup_clusters"))
 }

@@ -708,4 +708,54 @@ object Dedup {
       .select(col("id"),
         least(col("id"), coalesce(col("__nbr"), col("id"))).as("comp"))
   }
+
+  /** Incremental connected components: fold a NEW edge batch into an
+    * existing `(id, comp)` labeling without re-clustering the corpus —
+    * the maintenance mode of dedup clusters at 100 TB, where the daily
+    * near-dup delta ([[minhashNearDupDelta]], [[newRowsBloom]]) is
+    * orders of magnitude smaller than the history.
+    *
+    * Correctness rests on the labeling being a lossless CONTRACTION of
+    * the old graph: each old component collapses to its label, and
+    * because [[connectedComponents]] labels are the component's MIN id,
+    * the min over participating labels in the contracted graph equals
+    * the min over all underlying members. So: (1) map the delta's
+    * endpoints through the old labeling (unknown vertices stand for
+    * themselves); (2) run CC on that contracted edge list — a
+    * |delta|-sized graph regardless of history size; (3) broadcast the
+    * resulting ≤2·|delta|-entry relabel map over the old labeling
+    * (map-only pass — the history shuffles NOTHING) and label the
+    * brand-new vertices from the same map.
+    *
+    * Precondition: `prev` is min-labeled and closed (every member of a
+    * component maps to the same comp = the component's min id) — i.e. a
+    * [[connectedComponents]]/[[connectedComponentsStar]] output, or a
+    * previous output of this method. Output: the same contract, over
+    * old ∪ delta vertices; delta == full recompute is spec-asserted
+    * and oracle-checked (q139 against q73's ground truth).
+    */
+  def connectedComponentsDelta(prev: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+    val pa = prev.select(col("id").as("__pa_id"), col("comp").as("__pa_comp"))
+    val pb = prev.select(col("id").as("__pb_id"), col("comp").as("__pb_comp"))
+    val contracted = newEdges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .join(pa, col(srcCol) === col("__pa_id"), "left")
+      .join(pb, col(dstCol) === col("__pb_id"), "left")
+      .select(coalesce(col("__pa_comp"), col(srcCol)).as("__ca"),
+        coalesce(col("__pb_comp"), col(dstCol)).as("__cb"))
+    val relabel = connectedComponents(contracted, "__ca", "__cb", maxIter)
+      .select(col("id").as("__old"), col("comp").as("__new"))
+    val updatedPrev = prev
+      .join(broadcast(relabel), col("comp") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("comp")).as("comp"))
+    val newVerts = newEdges.select(col(srcCol).as("id"))
+      .unionByName(newEdges.select(col(dstCol).as("id")))
+      .filter(col("id").isNotNull).distinct()
+      .join(prev.select("id"), Seq("id"), "left_anti")
+    val newLabeled = newVerts
+      .join(broadcast(relabel), col("id") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("id")).as("comp"))
+    updatedPrev.unionByName(newLabeled)
+  }
 }

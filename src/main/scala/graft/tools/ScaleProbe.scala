@@ -100,6 +100,7 @@ object ScaleProbe {
     val docProbes = Seq("exact_dedup", "minhash_lsh_raw",
       "minhash_after_dedup", "simhash", "ann_topk_bruteforce",
       "ann_lsh_buckets", "pack_sequences", "connected_components",
+      "cc_delta",
       "kmeans_train_16x2", "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
       "remove_dup_spans_w1", "remove_dup_spans_w8",
       "pq_train_encode_adc", "ivfpq_3probe",
@@ -153,6 +154,19 @@ object ScaleProbe {
     time("connected_components")(
       Dedup.connectedComponents(ccEdges, "a", "b")
         .select(countDistinct("comp")).head().getLong(0))
+    // delta maintenance: same edge corpus split 98/2 — the fold costs
+    // CC on the 2% contracted graph + ONE broadcast-map pass over the
+    // history (vs connected_components re-clustering everything)
+    if (wanted("cc_delta")) {
+      val oldE = ccEdges.filter(pmod(xxhash64($"a", $"b"), lit(50)) =!= 0)
+      val deltaE = ccEdges.filter(pmod(xxhash64($"a", $"b"), lit(50)) === 0)
+      val prevLabels = Dedup.connectedComponents(oldE, "a", "b").cache()
+      prevLabels.count() // history labeling pre-built; time the FOLD only
+      time("cc_delta")(
+        Dedup.connectedComponentsDelta(prevLabels, deltaE, "a", "b")
+          .select(countDistinct("comp")).head().getLong(0))
+      prevLabels.unpersist()
+    }
     time("kmeans_train_16x2")(Similarity.trainCentroids(emb, "vec_id",
       "embedding", k = 16, iters = 2).count())
     // duplicate spans: winnowing selection thins the gram shuffle ~w/2x
@@ -645,6 +659,48 @@ object ScaleProbe {
           .toDF("doc_id", "afp")
         Dedup.hammingNearDup(fp, "doc_id", "afp").count()
       })
+    }
+
+    // annotation join (q135 shape): replicated facts against a FIXED
+    // dim-sized interval set — the regime where the binned join's
+    // two-sided shuffle is pure overhead. Also the salted-join probe:
+    // |event_type| = 5, so the plain shuffle join concentrates 1/5 of
+    // the facts per reducer (watch maxTask, not wall-clock — local[32]
+    // hides serialization the cluster pays for).
+    if (Seq("annotate_binned", "annotate_broadcast",
+        "plain_join_hotkeys", "salted_join").exists(wanted)) {
+      val facts = replicate(GraftSession.table(spark, sfDir, "events")
+          .select("event_id", "event_type"), "event_id", copies)
+        .select(col("event_id"), col("event_type"),
+          (col("event_id") % 5).as("chrom"),
+          ((col("event_id") * 13) % 500000).as("s2"),
+          ((col("event_id") * 13) % 500000 + 1 + col("event_id") % 25)
+            .as("e2"))
+        .cache()
+      val ann = GraftSession.table(spark, sfDir, "supplier").select(
+        (col("s_suppkey") % 5).as("chrom"),
+        ((col("s_suppkey") * 11) % 500000).as("s1"),
+        ((col("s_suppkey") * 11) % 500000 + 1 + col("s_suppkey") % 600)
+          .as("e1"),
+        col("s_suppkey"))
+      println(s"[probe] facts=${facts.count()} ann=${ann.count()}")
+      time("annotate_binned")(RangeJoin.overlapJoin(facts, ann,
+        Seq("chrom"), "s2", "e2", "s1", "e1", 1024L).count())
+      time("annotate_broadcast")(RangeJoin.overlapJoinBroadcast(facts, ann,
+        Seq("chrom"), "s2", "e2", "s1", "e1", 1024L).count())
+      val dim = facts.groupBy("event_type")
+        .agg(count(lit(1)).as("type_count")).cache()
+      dim.count()
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        time("plain_join_hotkeys")(
+          facts.join(dim, Seq("event_type")).count())
+        time("salted_join")(graft.ext.Skew.saltedJoin(facts, dim,
+          Seq("event_type"), salts = 32).count())
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      facts.unpersist(); dim.unpersist()
     }
 
     val iv = replicate(GraftSession.table(spark, sfDir, "orders")

@@ -290,6 +290,60 @@ class ExtSpec extends SparkSpecBase {
     assert((200L to 230L).forall(got(_) == 200L))
   }
 
+  test("connectedComponentsDelta == full CC on the combined edge set") {
+    import graft.ext.Dedup
+    // maxIter raised for the long-chain random graph below (the
+    // reference full-CC needs diameter rounds)
+    def cc(e: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(e, "a", "b", maxIter = 200)
+        .as[(Long, Long)].collect().toMap
+    def delta(prevE: org.apache.spark.sql.DataFrame,
+        newE: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponentsDelta(
+        Dedup.connectedComponents(prevE, "a", "b", maxIter = 200),
+        newE, "a", "b", maxIter = 200)
+        .as[(Long, Long)].collect().toMap
+    // the delta (a) bridges two old components, (b) extends one with a
+    // new vertex, (c) introduces a fully-new component, (d) repeats an
+    // edge already inside an old component (no-op)
+    val oldE = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val newE = Seq((3L, 10L), (21L, 22L), (50L, 51L), (1L, 3L))
+      .toDF("a", "b")
+    val got = delta(oldE, newE)
+    assert(got == cc(oldE.unionByName(newE)))
+    assert(Seq(1L, 2L, 3L, 10L, 11L).forall(got(_) == 1L)) // bridged
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))       // extended
+    assert(got(50L) == 50L && got(51L) == 50L)             // brand new
+    // pure no-op delta: labeling unchanged
+    val noop = delta(oldE, Seq((2L, 3L)).toDF("a", "b"))
+    assert(noop == cc(oldE))
+    // chaining: folding two deltas == full CC over everything
+    val e2 = Seq((22L, 50L)).toDF("a", "b")
+    val chained = Dedup.connectedComponentsDelta(
+        Dedup.connectedComponentsDelta(
+          Dedup.connectedComponents(oldE, "a", "b"), newE, "a", "b"),
+        e2, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(chained == cc(oldE.unionByName(newE).unionByName(e2)))
+    // deterministic pseudo-random graph split into thirds and folded
+    // incrementally — must match the one-shot labeling
+    val rnd = (0 until 120).map { i =>
+      val a = (i * 7919L) % 90; val b = (i * 104729L + 13) % 90
+      (a, b)
+    }.filter(p => p._1 != p._2)
+    val (b1, rest) = rnd.splitAt(40)
+    val (b2, b3) = rest.splitAt(40)
+    val inc = Dedup.connectedComponentsDelta(
+        Dedup.connectedComponentsDelta(
+          Dedup.connectedComponents(b1.toDF("a", "b"), "a", "b",
+            maxIter = 200),
+          b2.toDF("a", "b"), "a", "b", maxIter = 200),
+        b3.toDF("a", "b"), "a", "b", maxIter = 200)
+      .as[(Long, Long)].collect().toMap
+    assert(inc == cc(rnd.toDF("a", "b")))
+  }
+
   test("minhash delta == full near-dup restricted to new-doc pairs") {
     val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")

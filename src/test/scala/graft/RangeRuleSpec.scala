@@ -229,4 +229,32 @@ class RangeRuleSpec extends SparkSpecBase {
         naive.as[(Long, Long)].collect().toSeq.sorted)
     }
   }
+
+  test("rule output broadcasts a dim-sized side (stats-driven physical)") {
+    // the rule only rewrites the LOGICAL plan; when one input is under
+    // the broadcast threshold, JoinSelection must still pick a
+    // BroadcastHashJoin on (keys, bin) — the zero-shuffle annotation
+    // plan of RangeJoin.overlapJoinBroadcast, but reached from a plain
+    // naive-overlap query with no hints (size estimates survive the
+    // injected Generate)
+    val big = intervals(5000, 9, 3).toDF("ida", "ka", "sa", "ea")
+    val small = intervals(40, 10, 3).toDF("idb", "kb", "sb", "eb")
+    def q = big.join(small,
+      $"ka" === $"kb" && $"sa" <= $"eb" && $"sb" <= $"ea")
+      .select("ida", "idb")
+    val want = q.as[(Long, Long)].collect().toSeq.sorted
+    val (got, opt, phys) = withRule {
+      spark.conf.set("spark.graft.rangejoin.binwidth", "128")
+      try {
+        val df = q
+        (df.as[(Long, Long)].collect().toSeq.sorted,
+          df.queryExecution.optimizedPlan.toString,
+          df.queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("spark.graft.rangejoin.binwidth")
+    }
+    assert(opt.contains(BinnedRangeJoinRule.BinName), opt)
+    assert(got == want)
+    assert(phys.contains("BroadcastHashJoin"), phys)
+    assert(!phys.contains("Exchange hashpartitioning"), phys)
+  }
 }
