@@ -719,6 +719,59 @@ object AnalyticQueries {
         .orderBy("event_type", "day")
     }),
 
+    // CUSUM changepoint statistic per type over the daily series, in
+    // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
+    // the recursive max(0, S+dev) but expressible as exact window ops:
+    // integer running sum − rownum·mean keeps every float op a single
+    // mirrored IEEE expression — no order-dependent float summation,
+    // so the doubles hash-match). Shift flag vs 3σ from exact long
+    // moments (the q113 device).
+    "q144_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("event_type"), GraftSession.tsMicros(ev).as("tn"))
+        .selectExpr("event_type", "tn div 86400000000 as day")
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("event_type").agg(
+        count(lit(1)).as("cnt"), sum(col("n")).as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+      val wRun = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("mean",
+          col("sx").cast("double") / col("cnt").cast("double"))
+        .withColumn("cum_dev",
+          sum(col("n")).over(wRun).cast("double") -
+            row_number().over(wOrd).cast("double") * col("mean"))
+        .withColumn("cusum",
+          col("cum_dev") - min(col("cum_dev")).over(wRun))
+        .withColumn("sigma",
+          sqrt((col("cnt") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) / col("cnt").cast("double"))
+        .select(col("event_type"), col("day"), col("n"), col("cum_dev"),
+          col("cusum"),
+          (col("cusum") > lit(3d) * col("sigma")).cast("int")
+            .as("is_shift"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Bloom-prefiltered selective enrichment: events joined to the
+    // ~0.5% "VIP" user dim — ext/Skew.bloomPrefilteredJoin drops
+    // non-VIP events MAP-SIDE (codegen bloom probe on the scan), so
+    // only matching rows ever shuffle; false positives die in the
+    // join, making the result exactly the plain join (the oracle).
+    "q145_bloom_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.filter(col("user_id") % 199 === 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      graft.ext.Skew.bloomPrefilteredJoin(
+          ev.select("event_id", "user_id"), dim, Seq("user_id"))
+        .select("event_id", "user_id", "n_events")
+        .orderBy("event_id")
+    }),
+
     // Weighted PageRank over the event-type transition graph (q110's
     // edge list as link weights) — ext/Graph power iteration in
     // exact-fold mode: per-target contributions fold ascending by
@@ -1197,6 +1250,45 @@ object AnalyticQueries {
         |  CASE WHEN dev.dev > 3*md.mad THEN 1 ELSE 0 END AS is_anomaly
         |FROM dev JOIN md USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+    // every float op a single mirrored IEEE expression (the window
+    // SUM stays in integers; only the final cast/multiply/subtract
+    // are float) — segment-tree vs incremental window internals
+    // cannot differ on integer sums
+    "q144_cusum" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, COUNT(*) AS cnt, SUM(n) AS sx,
+        |    SUM(n*n) AS sxx FROM d GROUP BY 1),
+        |j AS (SELECT d.event_type, d.day, d.n, st.cnt, st.sx, st.sxx,
+        |    CAST(st.sx AS DOUBLE)/CAST(st.cnt AS DOUBLE) AS mean
+        |  FROM d JOIN st USING (event_type)),
+        |wi AS (SELECT event_type, day, n, cnt, sx, sxx,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)
+        |    - CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY day) AS DOUBLE) * mean AS cum_dev
+        |  FROM j),
+        |c AS (SELECT event_type, day, n, cum_dev,
+        |    cum_dev - MIN(cum_dev) OVER (PARTITION BY event_type
+        |      ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cusum,
+        |    SQRT(CAST(cnt*sxx - sx*sx AS DOUBLE))/CAST(cnt AS DOUBLE)
+        |      AS sigma
+        |  FROM wi)
+        |SELECT event_type, day, n, cum_dev, cusum,
+        |  CASE WHEN cusum > 3*sigma THEN 1 ELSE 0 END AS is_shift
+        |FROM c ORDER BY event_type, day""".stripMargin,
+    // q145's ground truth IS the plain join — the bloom prefilter must
+    // be invisible in the result
+    "q145_bloom_join" ->
+      """WITH dim AS (SELECT user_id, COUNT(*) AS n_events
+        |  FROM events WHERE user_id % 199 = 0 GROUP BY 1)
+        |SELECT e.event_id, e.user_id, dim.n_events
+        |FROM events e JOIN dim USING (user_id)
+        |ORDER BY event_id""".stripMargin,
     // independent LOCF formulation: correlated latest-day-with-data
     // subquery per spine cell (the operator uses a single window pass —
     // different machinery, same fill)

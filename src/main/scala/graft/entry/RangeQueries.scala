@@ -158,6 +158,19 @@ object RangeQueries {
         .orderBy("chrom", "event_id", "s_suppkey")
     }),
 
+    // Interval anti-join (bedtools intersect -v): event intervals with
+    // NO annotation overlap — the "unannotated reads" report. Binned
+    // existence probe → id-distinct → one left_anti; never emits
+    // pairings.
+    "q142_annotation_gaps" -> ((s, dir) => {
+      RangeJoin.overlapAntiJoin(
+        eventIntervals(s, dir), supplierIntervals(s, dir),
+        keys = Seq("chrom"), "s2", "e2", "s1", "e1",
+        leftId = "event_id", width = 64L)
+        .select("chrom", "event_id", "s2", "e2")
+        .orderBy("chrom", "event_id")
+    }),
+
     // J7: banded tolerance join — same-type event pairs with values
     // within ±0.5 (junction.py:285-290's ±bp slack, generalized).
     "q10_tolerance_join" -> ((s, dir) => {
@@ -421,6 +434,15 @@ object RangeQueries {
         |SELECT chrom, event_id, s_suppkey FROM a JOIN b USING (chrom)
         |WHERE s2 <= e1 AND s1 <= e2
         |ORDER BY chrom, event_id, s_suppkey""".stripMargin,
+    "q142_annotation_gaps" ->
+      """WITH a AS (SELECT event_id%5 AS chrom, (event_id*13)%5000 AS s2,
+        |  (event_id*13)%5000 + 1 + event_id%25 AS e2, event_id FROM events),
+        | b AS (SELECT s_suppkey%5 AS chrom, (s_suppkey*11)%5000 AS s1,
+        |  (s_suppkey*11)%5000 + 1 + s_suppkey%60 AS e1, s_suppkey FROM supplier)
+        |SELECT chrom, event_id, s2, e2 FROM a
+        |WHERE NOT EXISTS (SELECT 1 FROM b
+        |  WHERE b.chrom = a.chrom AND a.s2 <= b.e1 AND b.s1 <= a.e2)
+        |ORDER BY chrom, event_id""".stripMargin,
     "q10_tolerance_join" ->
       """SELECT a.event_type, a.event_id AS e1, b.event_id AS e2
         |FROM events a JOIN events b ON a.event_type = b.event_type

@@ -208,6 +208,41 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Per-vertex triangle participation over the near-dup graph —
+    // cluster cohesion (a quasi-clique member sits in many triangles,
+    // a chain-bridge in none). Degree-ordered wedge closing: each
+    // triangle emitted exactly once, wedge space capped O(|E|^1.5).
+    "q141_triangle_count" -> ((s, dir) => {
+      import graft.ext.{Dedup, Graph}
+      // threshold 0.2: the 0.4 dedup graph is triangle-free chains at
+      // test sf — the looser graph has real quasi-clique structure
+      val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.2)
+      Graph.triangles(pairs, "a_id", "b_id")
+        .select(explode(array(col("v1"), col("v2"), col("v3")))
+          .as("vec_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("vec_id")
+    }),
+
+    // Multi-source BFS hop counts over the symmetrized near-dup graph
+    // (seeds vec_id < 3): frontier-only expansion, one
+    // |frontier|-driven shuffle per round, early exit on empty.
+    "q143_bfs_hops" -> ((s, dir) => {
+      import graft.ext.{Dedup, Graph}
+      // 0.2 graph: seeds reach 128 vertices across the full 8-hop
+      // horizon at sf0.01 — the frontier rounds actually run
+      val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.2)
+      val sym = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+        .unionByName(
+          pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      val sources = emb(s, dir).select("vec_id").filter(col("vec_id") < 3)
+      Graph.shortestPaths(sym, "u", "v", sources, maxHops = 8)
+        .select(col("id").as("vec_id"), col("dist"))
+        .orderBy("vec_id")
+    }),
+
     // Leakage-safe train/val/test split: q87's hash intervals keyed on
     // the q73 dedup CLUSTER, so a near-dup pair can never straddle
     // train/test (the split-time guard q64's contamination scan only
@@ -452,10 +487,42 @@ object VectorQueries {
         | ELSE 'test' END AS split
         |FROM cl ORDER BY vec_id""".stripMargin)
 
+  /** Shared q42-edge-list CTE prefix (the near-dup graph every graph
+    * query runs on). */
+  private val nearDupEdgeCte =
+    """WITH RECURSIVE e AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label=b.label AND a.vec_id<b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2)
+      |""".stripMargin
+
+  private val triangleSql: String = nearDupEdgeCte +
+    """,t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT v AS vec_id, COUNT(*) AS n_triangles FROM (
+      |  SELECT x AS v FROM t UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t)
+      |GROUP BY v ORDER BY vec_id""".stripMargin
+
+  private val bfsSql: String = nearDupEdgeCte +
+    """,sym AS (SELECT a AS u, b AS v FROM e
+      |         UNION ALL SELECT b, a FROM e),
+      |r(v, d) AS (
+      |  SELECT vec_id, 0 FROM embeddings WHERE vec_id < 3
+      |  UNION
+      |  SELECT sym.v, r.d + 1 FROM sym JOIN r ON sym.u = r.v
+      |  WHERE r.d < 8)
+      |SELECT v AS vec_id, MIN(d) AS dist FROM r
+      |GROUP BY v ORDER BY vec_id""".stripMargin
+
   /** q139 is the delta-maintenance path against q73's OWN ground truth
     * — one SQL text, two independent implementations checked (the
     * q115/q107 device). */
   val oracleSql: Map[String, String] =
     oracleSqlBase +
-      ("q139_cc_delta" -> oracleSqlBase("q73_dedup_clusters"))
+      ("q139_cc_delta" -> oracleSqlBase("q73_dedup_clusters")) +
+      ("q141_triangle_count" -> triangleSql) +
+      ("q143_bfs_hops" -> bfsSql)
 }

@@ -719,13 +719,15 @@ object Dedup {
     * the old graph: each old component collapses to its label, and
     * because [[connectedComponents]] labels are the component's MIN id,
     * the min over participating labels in the contracted graph equals
-    * the min over all underlying members. So: (1) map the delta's
-    * endpoints through the old labeling (unknown vertices stand for
-    * themselves); (2) run CC on that contracted edge list — a
-    * |delta|-sized graph regardless of history size; (3) broadcast the
-    * resulting ≤2·|delta|-entry relabel map over the old labeling
-    * (map-only pass — the history shuffles NOTHING) and label the
-    * brand-new vertices from the same map.
+    * the min over all underlying members. So: (1) semi-restrict the
+    * history to delta-touched ids (map-only against the broadcast
+    * delta id set); (2) map the delta's endpoints through that
+    * restriction (unknown vertices stand for themselves) and run CC on
+    * the contracted edge list — a |delta|-sized graph regardless of
+    * history size; (3) broadcast the resulting ≤2·|delta|-entry
+    * relabel map over the old labeling (the second and last map-only
+    * history pass) and label the brand-new vertices from the same map.
+    * The history is scanned exactly twice and SHUFFLED never.
     *
     * Precondition: `prev` is min-labeled and closed (every member of a
     * component maps to the same comp = the component's min id) — i.e. a
@@ -736,23 +738,35 @@ object Dedup {
     */
   def connectedComponentsDelta(prev: DataFrame, newEdges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
-    val pa = prev.select(col("id").as("__pa_id"), col("comp").as("__pa_comp"))
-    val pb = prev.select(col("id").as("__pb_id"), col("comp").as("__pb_comp"))
+    val deltaIds = newEdges.select(col(srcCol).as("__did"))
+      .unionByName(newEdges.select(col(dstCol).as("__did")))
+      .filter(col("__did").isNotNull).distinct()
+    // the ONLY two touches of the history, both map-only against a
+    // broadcast delta-sized build side — the history never shuffles:
+    // (1) restrict prev to delta-touched ids (semi join); (2) the
+    // relabel pass at the end. Everything in between is delta-sized.
+    val touched = prev
+      .join(broadcast(deltaIds), col("id") === col("__did"), "left_semi")
+      .persist()
+    val ta = touched.select(col("id").as("__ta_id"),
+      col("comp").as("__ta_comp"))
+    val tb = touched.select(col("id").as("__tb_id"),
+      col("comp").as("__tb_comp"))
     val contracted = newEdges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
-      .join(pa, col(srcCol) === col("__pa_id"), "left")
-      .join(pb, col(dstCol) === col("__pb_id"), "left")
-      .select(coalesce(col("__pa_comp"), col(srcCol)).as("__ca"),
-        coalesce(col("__pb_comp"), col(dstCol)).as("__cb"))
+      .join(ta, col(srcCol) === col("__ta_id"), "left")
+      .join(tb, col(dstCol) === col("__tb_id"), "left")
+      .select(coalesce(col("__ta_comp"), col(srcCol)).as("__ca"),
+        coalesce(col("__tb_comp"), col(dstCol)).as("__cb"))
     val relabel = connectedComponents(contracted, "__ca", "__cb", maxIter)
       .select(col("id").as("__old"), col("comp").as("__new"))
     val updatedPrev = prev
       .join(broadcast(relabel), col("comp") === col("__old"), "left")
       .select(col("id"), coalesce(col("__new"), col("comp")).as("comp"))
-    val newVerts = newEdges.select(col(srcCol).as("id"))
-      .unionByName(newEdges.select(col(dstCol).as("id")))
-      .filter(col("id").isNotNull).distinct()
-      .join(prev.select("id"), Seq("id"), "left_anti")
+    val newVerts = deltaIds
+      .join(touched.select(col("id").as("__tid")),
+        col("__did") === col("__tid"), "left_anti")
+      .select(col("__did").as("id"))
     val newLabeled = newVerts
       .join(broadcast(relabel), col("id") === col("__old"), "left")
       .select(col("id"), coalesce(col("__new"), col("id")).as("comp"))

@@ -96,4 +96,97 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle enumeration by degree-ordered wedge closing (the
+    * compact-forward algorithm): orient every undirected edge from its
+    * (degree, id)-smaller endpoint to the larger, build wedges only
+    * from each vertex's OUT-neighbors, and close them against the edge
+    * set. The orientation is acyclic, so every triangle has exactly
+    * one vertex with both triangle edges outgoing — each triangle is
+    * emitted exactly once, and the wedge count is Σ outdeg(v)², which
+    * degree-ordering provably caps at O(|E|^1.5) — a hub of degree
+    * 10^6 contributes ~nothing because its edges all point INTO it.
+    * The naive same-role self-join would square the hub instead (the
+    * skew that kills triangle jobs on social graphs).
+    *
+    * Two shuffles (wedge build on the pivot, closing join on the
+    * wedge pair) over canonical deduped edges.
+    *
+    * @return one row per triangle: (v1, v2, v3) sorted ascending
+    */
+  def triangles(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .distinct().cache()
+    val deg = e.select(col("__a").as("__v"))
+      .unionByName(e.select(col("__b").as("__v")))
+      .groupBy("__v").agg(count(lit(1)).as("__d"))
+    val oriented = e
+      .join(deg.select(col("__v").as("__a"), col("__d").as("__da")), "__a")
+      .join(deg.select(col("__v").as("__b"), col("__d").as("__db")), "__b")
+      .select(
+        when(col("__da") < col("__db") ||
+            (col("__da") === col("__db") && col("__a") < col("__b")),
+          struct(col("__a").as("u"), col("__b").as("w")))
+          .otherwise(struct(col("__b").as("u"), col("__a").as("w")))
+          .as("__e"))
+      .select(col("__e.u").as("__u"), col("__e.w").as("__w"))
+    val wedges = oriented.select(col("__u"), col("__w").as("__w1"))
+      .join(oriented.select(col("__u"), col("__w").as("__w2")), "__u")
+      .filter(col("__w1") < col("__w2"))
+    wedges
+      .join(e.select(least(col("__a"), col("__b")).as("__w1"),
+        greatest(col("__a"), col("__b")).as("__w2")), Seq("__w1", "__w2"))
+      .select(sort_array(array(col("__u"), col("__w1"), col("__w2")))
+        .as("__t"))
+      .select(col("__t")(0).as("v1"), col("__t")(1).as("v2"),
+        col("__t")(2).as("v3"))
+  }
+
+  /** Unweighted single/multi-source shortest hop counts (BFS) over a
+    * DIRECTED edge list (symmetrize for undirected graphs). Frontier
+    * expansion: each round joins the newly-reached frontier (only!)
+    * against the edges, anti-joins the already-settled set, and
+    * checkpoints — one |frontier|-driven shuffle per round, never a
+    * |V|² closure, with lineage cut per round (the [[pageRank]] /
+    * CC discipline). Stops early when the frontier empties.
+    *
+    * @param sources frame with one column: the seed vertex ids (dist 0)
+    * @return (id, dist) for every vertex reachable within `maxHops`
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("__u"), col(dstCol).as("__v")).distinct()
+      .cache()
+    val seed = sources.toDF("id").distinct()
+      .select(col("id"), lit(0).as("dist"))
+    var settled = seed
+    var frontier = seed
+    var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      val next = frontier
+        .join(e, col("id") === col("__u"))
+        .select(col("__v").as("id"), (col("dist") + 1).as("dist"))
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .join(settled.select(col("id").as("__sid")),
+          col("id") === col("__sid"), "left_anti")
+      val (matF, rddF) =
+        org.apache.spark.sql.graftshim.CheckpointShim.materialize(next)
+      val (matS, rddS) = org.apache.spark.sql.graftshim.CheckpointShim
+        .materialize(settled.unionByName(matF))
+      prevRdds.foreach(_.unpersist())
+      prevRdds = Seq(rddF, rddS)
+      frontier = matF
+      settled = matS
+      hop += 1
+    }
+    settled
+  }
 }

@@ -70,4 +70,32 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Bloom-prefiltered inner equi-join: the big side is map-filtered
+    * by a bloom filter of the small side's join keys BEFORE it ever
+    * shuffles — the semi-join reduction for selective dims too big to
+    * broadcast (at 100 TB, joining an event log to the 0.1% of
+    * entities in a dim means 99.9% of the log's shuffle write is
+    * wasted; the bloom kills it at the scan). False positives are
+    * removed by the join itself, so results are exactly
+    * `big.join(small, keys)` — which is why only INNER is offered
+    * (an outer flavor would need the dropped rows back).
+    *
+    * The filter is [[Sketches.buildBloomBits]] + the codegen
+    * [[Sketches.bloomMightContain]] probe: one scan of the small keys
+    * to build (bounded ≤128 MB by the plan-literal contract), then a
+    * pure map filter riding the big scan inside whole-stage codegen —
+    * `.explain` shows the probe under PushedFilters' sibling Filter,
+    * no extra exchange anywhere.
+    */
+  def bloomPrefilteredJoin(big: DataFrame, small: DataFrame,
+      keys: Seq[String], fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val n = math.max(1L, expectedItems.getOrElse(small.count()))
+    val (bits, k) = Sketches.buildBloomBits(
+      small.select(xxhash64(keys.map(col): _*).as("__k")), "__k", n, fpp)
+    val probe = Sketches.bloomMightContain(big.sparkSession,
+      xxhash64(keys.map(col): _*), bits, k)
+    big.filter(probe).join(small, keys)
+  }
 }

@@ -84,6 +84,41 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Distinct left-row ids having at least one overlap partner — the
+    * shared machinery of [[overlapSemiJoin]]/[[overlapAntiJoin]]. The
+    * binned candidate join skips the canonical-bin dedup (existence
+    * doesn't care how often a pair co-occurs); the id-distinct replaces
+    * it. */
+  private def matchedIds(left: DataFrame, right: DataFrame,
+      keys: Seq[String], lStart: String, lEnd: String, rStart: String,
+      rEnd: String, leftId: String, width: Long): DataFrame = {
+    val l = binned(left.select((keys :+ leftId :+ lStart :+ lEnd)
+      .map(col): _*), lStart, lEnd, width)
+    val r = binned(right, rStart, rEnd, width)
+    l.join(r, keys :+ "__bin")
+      .filter(Intervals.overlaps(col(lStart), col(lEnd), col(rStart), col(rEnd)))
+      .select(col(leftId)).distinct()
+  }
+
+  /** Interval semi-join: left rows overlapping ≥1 right interval, each
+    * at most once (bedtools `intersect -u`). `leftId` must uniquely
+    * identify left rows — the dedup that replaces emitting every
+    * pairing. */
+  def overlapSemiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      leftId: String, width: Long = 10000L): DataFrame =
+    left.join(matchedIds(left, right, keys, lStart, lEnd, rStart, rEnd,
+      leftId, width), Seq(leftId), "left_semi")
+
+  /** Interval anti-join: left rows overlapping NO right interval
+    * (bedtools `intersect -v` — "unannotated reads"). Same plan as the
+    * semi form with the final join flipped to anti. */
+  def overlapAntiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      leftId: String, width: Long = 10000L): DataFrame =
+    left.join(matchedIds(left, right, keys, lStart, lEnd, rStart, rEnd,
+      leftId, width), Seq(leftId), "left_anti")
+
   /** Point-in-interval join: right rows whose [rStart, rEnd] contains the
     * left point column (J6 gene/transcript containment,
     * `junction.py:159-164`). Left explodes to a single bin per row. */

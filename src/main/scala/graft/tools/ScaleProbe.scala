@@ -159,13 +159,17 @@ object ScaleProbe {
     // history (vs connected_components re-clustering everything)
     if (wanted("cc_delta")) {
       val oldE = ccEdges.filter(pmod(xxhash64($"a", $"b"), lit(50)) =!= 0)
+      // both inputs arrive MATERIALIZED in production (the delta comes
+      // off minhashNearDupDelta's output, the labeling off disk) —
+      // cache so the row times the fold, not the edge recomputation
       val deltaE = ccEdges.filter(pmod(xxhash64($"a", $"b"), lit(50)) === 0)
+        .cache()
       val prevLabels = Dedup.connectedComponents(oldE, "a", "b").cache()
-      prevLabels.count() // history labeling pre-built; time the FOLD only
+      println(s"[probe] cc prev=${prevLabels.count()} delta=${deltaE.count()}")
       time("cc_delta")(
         Dedup.connectedComponentsDelta(prevLabels, deltaE, "a", "b")
           .select(countDistinct("comp")).head().getLong(0))
-      prevLabels.unpersist()
+      prevLabels.unpersist(); deltaE.unpersist()
     }
     time("kmeans_train_16x2")(Similarity.trainCentroids(emb, "vec_id",
       "embedding", k = 16, iters = 2).count())
@@ -668,7 +672,8 @@ object ScaleProbe {
     // the facts per reducer (watch maxTask, not wall-clock — local[32]
     // hides serialization the cluster pays for).
     if (Seq("annotate_binned", "annotate_broadcast",
-        "plain_join_hotkeys", "salted_join").exists(wanted)) {
+        "plain_join_hotkeys", "salted_join",
+        "selective_join_plain", "selective_join_bloom").exists(wanted)) {
       val facts = replicate(GraftSession.table(spark, sfDir, "events")
           .select("event_id", "event_type"), "event_id", copies)
         .select(col("event_id"), col("event_type"),
@@ -684,20 +689,49 @@ object ScaleProbe {
           .as("e1"),
         col("s_suppkey"))
       println(s"[probe] facts=${facts.count()} ann=${ann.count()}")
-      time("annotate_binned")(RangeJoin.overlapJoin(facts, ann,
-        Seq("chrom"), "s2", "e2", "s1", "e1", 1024L).count())
-      time("annotate_broadcast")(RangeJoin.overlapJoinBroadcast(facts, ann,
-        Seq("chrom"), "s2", "e2", "s1", "e1", 1024L).count())
       val dim = facts.groupBy("event_type")
         .agg(count(lit(1)).as("type_count")).cache()
       dim.count()
+      // with accurate local stats Catalyst broadcasts the unhinted
+      // binned join on its own — worth a row of its own; the forced
+      // -1 threshold below is the 100 TB regime (stats missing or
+      // misestimated), where the explicit broadcast form is the only
+      // thing standing between the plan and a two-sided shuffle
+      time("annotate_binned_auto")(RangeJoin.overlapJoin(facts, ann,
+        Seq("chrom"), "s2", "e2", "s1", "e1", 1024L).count())
       val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
+        time("annotate_binned")(RangeJoin.overlapJoin(facts, ann,
+          Seq("chrom"), "s2", "e2", "s1", "e1", 1024L).count())
+        time("annotate_broadcast")(RangeJoin.overlapJoinBroadcast(facts,
+          ann, Seq("chrom"), "s2", "e2", "s1", "e1", 1024L).count())
+        // the action hashes EVERY column so the skewed shuffle carries
+        // full-width rows — a count() would let column pruning empty
+        // the shuffle and hide the hot-key serialization being probed
+        def drained(df: DataFrame): Long = df
+          .select(xxhash64(df.columns.map(col): _*).as("__h"))
+          .agg(expr("bit_xor(__h)")).head().getLong(0)
         time("plain_join_hotkeys")(
-          facts.join(dim, Seq("event_type")).count())
-        time("salted_join")(graft.ext.Skew.saltedJoin(facts, dim,
-          Seq("event_type"), salts = 32).count())
+          drained(facts.join(dim, Seq("event_type"))))
+        time("salted_join")(drained(graft.ext.Skew.saltedJoin(facts, dim,
+          Seq("event_type"), salts = 32)))
+        // selective-dim regime (q145 shape): ~0.5% of users are in the
+        // dim — the bloom probe drops the other 99.5% of the log
+        // MAP-SIDE, so the shuffle carries only (near-)matching rows
+        val vip = replicate(GraftSession.table(spark, sfDir, "events")
+            .select("event_id", "user_id"), "event_id", copies)
+          .filter(col("user_id") % 199 === 0)
+          .groupBy("user_id").agg(count(lit(1)).as("n_events")).cache()
+        vip.count()
+        val evKeyed = replicate(GraftSession.table(spark, sfDir, "events")
+          .select("event_id", "user_id"), "event_id", copies).cache()
+        evKeyed.count()
+        time("selective_join_plain")(
+          evKeyed.join(vip, Seq("user_id")).count())
+        time("selective_join_bloom")(graft.ext.Skew.bloomPrefilteredJoin(
+          evKeyed, vip, Seq("user_id")).count())
+        vip.unpersist(); evKeyed.unpersist()
       } finally
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       facts.unpersist(); dim.unpersist()

@@ -56,4 +56,53 @@ class GraphSpec extends SparkSpecBase {
       ranks(Graph.pageRank(dbl, "a", "b", Some("w"), iters = 5,
         exactFold = true)))
   }
+
+  private def triSet(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Long, Long)].collect().toSet
+
+  test("triangles: each emitted once, sorted; == brute force") {
+    // K4 (4 triangles), a pendant chain (none), a triangle sharing a
+    // vertex with K4
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val edges = (k4 ++ Seq((3L, 10L), (10L, 11L), (11L, 12L),
+      (0L, 20L), (20L, 21L), (21L, 0L))).toDF("a", "b")
+    val got = triSet(Graph.triangles(edges, "a", "b"))
+    val expected = Set((0L, 1L, 2L), (0L, 1L, 3L), (0L, 2L, 3L),
+      (1L, 2L, 3L), (0L, 20L, 21L))
+    assert(got == expected)
+    // direction/duplication/self-loop noise is invisible
+    val noisy = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .unionByName(Seq((5L, 5L)).toDF("a", "b"))
+    assert(triSet(Graph.triangles(noisy, "a", "b")) == expected)
+    // brute-force cross-check on a pseudo-random graph
+    val rnd = (0 until 150).map { i =>
+      ((i * 7919L) % 30, (i * 104729L + 13) % 30)
+    }.filter(p => p._1 != p._2)
+    val canon = rnd.map(p => (p._1 min p._2, p._1 max p._2)).toSet
+    val brute = for {
+      Seq(x, y, z) <- canon.flatMap(e => Seq(e._1, e._2)).toSeq
+        .distinct.sorted.combinations(3).toSet
+      if canon((x, y)) && canon((x, z)) && canon((y, z))
+    } yield (x, y, z)
+    assert(triSet(Graph.triangles(rnd.toDF("a", "b"), "a", "b")) == brute)
+  }
+
+  test("shortestPaths: hop counts, multi-source min, horizon, early exit") {
+    // 0-1-2-3-4-5 path plus a shortcut 0→9→4
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 9L), (9L, 4L)).toDF("a", "b")
+    def sp(sources: Seq[Long], hops: Int): Map[Long, Int] =
+      Graph.shortestPaths(e, "a", "b", sources.toDF("id"), hops)
+        .as[(Long, Int)].collect().toMap
+    assert(sp(Seq(0L), 10) == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3,
+      9L -> 1, 4L -> 2, 5L -> 3)) // shortcut wins over the long path
+    // horizon truncates
+    assert(sp(Seq(0L), 1) == Map(0L -> 0, 1L -> 1, 9L -> 1))
+    // multi-source: per-vertex min over seeds
+    assert(sp(Seq(0L, 3L), 10) == Map(0L -> 0, 3L -> 0, 1L -> 1,
+      9L -> 1, 4L -> 1, 2L -> 2, 5L -> 2))
+    // directed: nothing reaches a source-only vertex
+    assert(!sp(Seq(5L), 10).contains(4L))
+  }
 }

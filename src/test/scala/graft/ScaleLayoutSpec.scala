@@ -168,6 +168,23 @@ class ScaleLayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("bloomPrefilteredJoin == plain join; probe filters before the join") {
+    val big = spark.range(50000).select(
+      (col("id") % 1000).as("k"), col("id").as("v"))
+    val small = spark.range(7).select(
+      (col("id") * 131).as("k"), (col("id") + 100).as("w"))
+    val got = Skew.bloomPrefilteredJoin(big, small, Seq("k"))
+    val want = big.join(small, Seq("k"))
+      .select("k", "v", "w").as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got.select("k", "v", "w").as[(Long, Long, Long)]
+      .collect().toSeq.sorted == want)
+    assert(want.nonEmpty)
+    // the probe is a Filter on the big side BELOW the join — the
+    // map-side drop that saves the shuffle at scale
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+  }
+
   test("compact: ceil(bytes/target) files, content and clustering kept") {
     val src = tmpDir("compact_src") + "/t"
     val dst = tmpDir("compact_dst") + "/t"
