@@ -30,6 +30,56 @@ object StatsQueries {
   private val SampleThreshold = (0.02 * 4294967296.0).toLong
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quantile discretizer (feature binning) the SCALABLE way: 9 exact
+    // decile cutpoints per key (one tiny aggregate, broadcast back) +
+    // a map-side integer fold assigns buckets — no per-key ntile sort
+    // of the corpus (the few-key window ceiling). Cutpoint semantics:
+    // ties share a bucket (the ML binning contract; ntile would split
+    // them by row order). Quantities are integral doubles, deciles
+    // land on the half grid — comparisons exact, hash-stable.
+    "q146_decile_bins" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cuts = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.1,0.2,0.3,0.4,0.5," +
+          "0.6,0.7,0.8,0.9))").as("cuts"))
+      li.join(broadcast(cuts), "l_returnflag")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"),
+          (lit(1) + aggregate(
+            transform(col("cuts"),
+              c => when(col("l_quantity") > c, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x)).as("bucket"))
+        // (orderkey, linenumber) is NOT unique in the synthetic data
+        // (45.8k of 60k) — qty completes the order; rows still tied
+        // are identical in every output column, so the hash is stable
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber",
+          "l_quantity")
+    }),
+
+    // Join-key skew report — the diagnostic that decides between the
+    // plain, salted (q136), and bloom (q145) join plans: top-10 keys
+    // by share of the fact table. Per-key counts (one shuffle of
+    // (key, 1) partials), then TakeOrdered top-10 — a distributed
+    // heap merge, NOT a global sort — against a 1-row totals
+    // broadcast.
+    "q147_skew_report" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_keys"))
+      val top = counts.orderBy(col("n").desc, col("user_id")).limit(10)
+      top
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("user_id"))).cast("long"))
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("user_id"), col("n"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("share"),
+          col("total"), col("n_keys"))
+        .orderBy("rk")
+    }),
+
     // n / mean / sample variance / population stddev of the price column
     // per returnflag, exact on the cent grid (scale=100).
     "q58_desc_stats" -> ((s, dir) => {
@@ -176,6 +226,29 @@ object StatsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // identical cutpoint semantics: quantile_cont list + ordered fold;
+    // integer sum, order-irrelevant
+    "q146_decile_bins" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    quantile_cont(l_quantity, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_quantity,
+        |  1 + CAST(list_sum(list_transform(c.cuts,
+        |    x -> CASE WHEN l.l_quantity > x THEN 1 ELSE 0 END)) AS INTEGER)
+        |    AS bucket
+        |FROM lineitem l JOIN c USING (l_returnflag)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q147_skew_report" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys
+        |  FROM c),
+        |k AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 10)
+        |SELECT row_number() OVER (ORDER BY k.n DESC, k.user_id) AS rk,
+        |  k.user_id, k.n,
+        |  CAST(k.n AS DOUBLE)/CAST(t.total AS DOUBLE) AS share,
+        |  t.total, t.n_keys
+        |FROM k CROSS JOIN t
+        |ORDER BY rk""".stripMargin,
     // One SELECT per check: the row-local ones as conditional sums over
     // orders, uniqueness as count-minus-distinct, the FK as a left join
     // against distinct customer keys — then shared passed/ORDER BY.
