@@ -32,7 +32,8 @@ object AnalyticQueries {
       op: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.Event] =>
         org.apache.spark.sql.Dataset[_],
       mode: org.apache.spark.sql.streaming.OutputMode =
-        org.apache.spark.sql.streaming.OutputMode.Update())
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+      flush: Boolean = false)
       : Array[org.apache.spark.sql.Row] = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -54,6 +55,16 @@ object AnalyticQueries {
       .format("memory").queryName(sink).start()
     try {
       thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      if (flush) {
+        // a far-future sentinel pushes the watermark past every real
+        // day so timer-driven operators (q148) close their final days;
+        // the fold filters the sentinel's own "__flush" emissions
+        val maxMs = rows.last.ts.getTime
+        mem.addData(EventStreams.Event(-1L,
+          new java.sql.Timestamp(maxMs + 11L * 86400000L), -1L,
+          "__flush", 0.0))
+        q.processAllAvailable()
+      }
       s.table(sink).collect()
     } finally {
       q.stop()
@@ -719,6 +730,48 @@ object AnalyticQueries {
         .orderBy("event_type", "day")
     }),
 
+    // The SEVENTH streaming oracle row: q138's LOCF gap fill replayed
+    // through streamingGapFill's timer-driven micro-batch pipeline
+    // (watermark closes each day; EventTimeTimeout emits interior gap
+    // days). The operator emits each type's [first data day, last data
+    // day] span; the fold pads to the global spine — leading zeros
+    // before a type's first day, trailing LOCF after its last — the
+    // cross-type bounds a per-key operator cannot know. Faces q138's
+    // SAME DuckDB SQL (two implementations, one ground truth).
+    "q148_streaming_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val raw = replayThirds(s, dir,
+        ds => EventStreams.streamingGapFill(
+          ds.filter(e => e.event_type == "__flush" ||
+            graft.ext.Curation.hashU32Jvm("gf1",
+              e.event_id.toString) < 42949672L)),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        flush = true)
+      val rows = raw
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3)))
+        .filter(_._1 != "__flush")
+      val d0 = rows.map(_._2).min
+      val d1 = rows.map(_._2).max
+      val byType = rows.groupBy(_._1)
+      val folded = byType.toSeq.flatMap { case (tp, rs) =>
+        val byDay = rs.map(r => r._2 -> r).toMap
+        val first = rs.map(_._2).min
+        val last = rs.map(_._2).max
+        val lastN = byDay(last)._3
+        (d0 to d1).map { d =>
+          byDay.get(d) match {
+            case Some((_, _, n, g)) => (tp, d, n, g)
+            case None if d < first  => (tp, d, 0L, 1)
+            case None               => (tp, d, lastN, 1) // d > last
+          }
+        }
+      }
+      folded.toDF("event_type", "day", "n_filled", "is_gap")
+        .orderBy("event_type", "day")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -1355,5 +1408,6 @@ object AnalyticQueries {
     oracleSqlBase +
       ("q115_funnel_single" -> oracleSqlBase("q107_funnel")) +
       ("q127_streaming_scd2" -> oracleSqlBase("q124_scd2_history")) +
+      ("q148_streaming_gap_fill" -> oracleSqlBase("q138_gap_fill")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -743,6 +743,90 @@ object EventStreams {
       }
   }
 
+  final case class FilledDay(event_type: String, day: Long,
+      n_filled: Long, is_gap: Int)
+
+  /** Per-type LOCF fill state: `lastEmitted` (= first data day − 1
+    * until anything emits), the carried LOCF count, the max data day
+    * seen, and the not-yet-closed per-day partial counts. `open` is
+    * bounded by the days inside the watermark horizon plus any days
+    * awaiting their closing watermark tick — never the stream's
+    * history. */
+  final case class LocfState(lastEmitted: Long, lastCount: Long,
+      maxSeen: Long, open: Map[Long, Long])
+
+  /** Online LOCF gap fill — the streaming twin of the batch day-spine
+    * regularization (entry q138): per event type, daily counts emitted
+    * AS THE WATERMARK CLOSES EACH DAY, with missing days filled by the
+    * last observed count (`is_gap = 1`). Day d is closed once the
+    * watermark passes (d+1)·86400s; the EventTimeTimeout re-fires the
+    * group when no further data arrives so interior gap days still
+    * emit. Emission stops at the type's last DATA day — leading
+    * alignment to a global spine start and trailing extension are the
+    * consumer's fold (they need cross-type bounds a per-key operator
+    * cannot know).
+    *
+    * Late data for an already-emitted day is dropped (standard
+    * watermark semantics — size the delay to the source's lateness).
+    * State per type: two longs + the bounded `open` map. */
+  def streamingGapFill(events: Dataset[Event],
+      watermarkDelay: String = "0 seconds"): Dataset[FilledDay] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400000000L
+    val dayMs = 86400000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[LocfState, FilledDay](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tp: String, batch: Iterator[Event],
+            state: GroupState[LocfState]) =>
+          var st = state.getOption.getOrElse(
+            LocfState(Long.MinValue, 0L, Long.MinValue, Map.empty))
+          if (!state.hasTimedOut) {
+            val counts = batch
+              .map(e => Math.floorDiv(exactMicros(e.ts), dayUs)).toSeq
+              .groupBy(identity).map { case (d, ds) => d -> ds.size.toLong }
+            val open = counts.foldLeft(st.open) { case (m, (d, c)) =>
+              m.updated(d, m.getOrElse(d, 0L) + c)
+            }
+            val mx = if (open.isEmpty) st.maxSeen
+              else math.max(st.maxSeen, open.keys.max)
+            val first =
+              if (st.lastEmitted == Long.MinValue && open.nonEmpty)
+                open.keys.min - 1
+              else st.lastEmitted
+            st = LocfState(first, st.lastCount, mx, open)
+          }
+          val out = scala.collection.mutable.ArrayBuffer[FilledDay]()
+          if (st.lastEmitted != Long.MinValue) {
+            // watermark is millis; day d closed iff d+1 <= wm/dayMs
+            val closedMax =
+              Math.floorDiv(state.getCurrentWatermarkMs(), dayMs) - 1
+            var d = st.lastEmitted + 1
+            var last = st.lastCount
+            var open = st.open
+            val stop = math.min(closedMax, st.maxSeen)
+            while (d <= stop) {
+              open.get(d) match {
+                case Some(n) =>
+                  out += FilledDay(tp, d, n, 0); last = n; open -= d
+                case None =>
+                  out += FilledDay(tp, d, last, 1)
+              }
+              d += 1
+            }
+            st = LocfState(d - 1, last, st.maxSeen, open)
+          }
+          state.update(st)
+          // re-arm while days remain to close; the timestamp is the
+          // instant day lastEmitted+1 closes, provably > watermark
+          if (st.lastEmitted < st.maxSeen)
+            state.setTimeoutTimestamp((st.lastEmitted + 2) * dayMs)
+          out.iterator
+      }
+  }
+
   /** Run a streaming query over a batch of files synchronously into an
     * in-memory sink (local smoke path): returns the materialized result
     * table. */

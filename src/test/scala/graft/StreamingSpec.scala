@@ -714,4 +714,41 @@ class StreamingSpec extends SparkSpecBase {
         Curation.shardJvm("tw", id.toString, 8))), s"id=$id")
     }
   }
+
+  test("streamingGapFill: timer-driven LOCF emission == batch fill") {
+    val dayMs = 86400000L
+    def ev(id: Long, day: Long, tp: String) = EventStreams.Event(
+      id, new java.sql.Timestamp(day * dayMs + 3600000L), 1L, tp, 1.0)
+    // type a: days 100, 101, 104 (gap 102-103), 106; type b: 103 only.
+    // Batches are TIME-ORDERED (the harness contract — a type-b event
+    // delivered after the watermark passed its day would be late data,
+    // correctly dropped); the split lands mid-gap so the 102/103 gap
+    // rows must emit from a later batch's watermark/timeout, not from
+    // data on those days
+    val events = Seq(
+      ev(1, 100, "a"), ev(2, 100, "a"), ev(3, 101, "a"),
+      ev(6, 103, "b"), ev(4, 104, "a"), ev(5, 106, "a"))
+    val batches = Seq(events.take(3), events.slice(3, 5),
+      Seq(events(5), ev(99, 120, "flush")))
+    val got = replayToSink("gapfill_sink", batches,
+      ds => EventStreams.streamingGapFill(ds),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(String, Long, Long, Int)].collect().toSet
+      .filterNot(_._1 == "flush")
+    val want = Set(
+      ("a", 100L, 2L, 0), ("a", 101L, 1L, 0),
+      ("a", 102L, 1L, 1), ("a", 103L, 1L, 1),
+      ("a", 104L, 1L, 0), ("a", 105L, 1L, 1), ("a", 106L, 1L, 0),
+      ("b", 103L, 1L, 0))
+    assert(got == want, s"got=$got")
+    // re-replay with every event in ONE batch: same rows (the
+    // cross-batch carry only changes WHEN rows emit, never what)
+    val oneShot = replayToSink("gapfill_sink1",
+      Seq(events :+ ev(99, 120, "flush")),
+      ds => EventStreams.streamingGapFill(ds),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(String, Long, Long, Int)].collect().toSet
+      .filterNot(_._1 == "flush")
+    assert(oneShot == want)
+  }
 }
