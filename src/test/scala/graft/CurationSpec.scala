@@ -275,7 +275,20 @@ class CurationSpec extends SparkSpecBase {
         "doc_id", "text", n = 3)
         .filter($"contamination" > 0.5).select("doc_id")
       val clean = reps.join(contaminated, Seq("doc_id"), "leftanti")
-      val mixed = Curation.mixSources(clean, "source", "doc_id",
+      // leakage-safe split stage: near-dup (here: exact-dup) clusters
+      // land whole in train — eval-boundary hygiene BEFORE mixing
+      val dupPairs = Dedup.exact(docs, "doc_id", "text")
+        .filter($"n_copies" > 1)
+        .join(docs.select(md5($"text").as("content_hash"), $"doc_id"),
+          Seq("content_hash"))
+        .select($"keep_id".as("a"), $"doc_id".as("b"))
+        .filter($"a" =!= $"b")
+      val split = Curation.leakageSafeSplit(clean, dupPairs, "doc_id",
+        "a", "b", "e2e-split",
+        Seq("train" -> 0.9, "val" -> 0.1))
+      val train = split.filter($"split" === "train")
+        .select("doc_id", "text", "source")
+      val mixed = Curation.mixSources(train, "source", "doc_id",
         Seq("src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.5),
         seed = "e2e")
       // tokenizer stage: train BPE on the curated mix, encode, and
