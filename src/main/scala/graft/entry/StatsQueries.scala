@@ -80,6 +80,67 @@ object StatsQueries {
         .orderBy("rk")
     }),
 
+    // EXACT distributed p50/p90/p99 — the value-domain-histogram
+    // selection: quantize to the cent grid (the q67 device), roll up
+    // to a (type, cent)-sized histogram, and read the order statistic
+    // at rank ceil(p·n) off the integer cumulative sum. No per-key
+    // sort of the raw values, no interpolation float hazard — the
+    // histogram is the shuffle, bounded by the value domain (25k
+    // cents) × |types| regardless of row count. All rank arithmetic
+    // integral (ceil(a/b) = (a+b−1) div b).
+    "q149_exact_percentiles" -> ((s, dir) => {
+      import graft.ext.Incremental
+      // built through the MERGEABLE histogram state (ext/Incremental)
+      // split at user_id parity and folded — the oracle recomputing
+      // from all raw rows certifies merge == recompute end-to-end on
+      // top of the rank-selection arithmetic
+      val ev = t(s, dir, "events")
+      val stA = Incremental.histogramState(
+        ev.filter(col("user_id") % 2 === 0), Seq("event_type"), "value")
+      val stB = Incremental.histogramState(
+        ev.filter(col("user_id") % 2 =!= 0), Seq("event_type"), "value")
+      Incremental.percentilesFromState(
+          Incremental.histogramMerge(stA, stB, Seq("event_type")),
+          Seq("event_type"),
+          Seq(("p50_cents", 1, 2), ("p90_cents", 9, 10),
+            ("p99_cents", 99, 100)))
+        .orderBy("event_type")
+    }),
+
+    // IQR outlier fences over the same cent histogram: quartiles by
+    // rank selection, fences in DOUBLED integer space (2·cent vs
+    // 2·q ± 3·iqr) so the 1.5×IQR never leaves exact arithmetic.
+    "q150_iqr_outliers" -> ((s, dir) => {
+      val v = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long")
+            .as("cent"))
+      val h = v.groupBy("event_type", "cent").agg(count(lit(1)).as("c"))
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("cent")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val q13 = h.withColumn("cum", sum(col("c")).over(wRun))
+        .join(broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+          min(when(col("cum") >= expr("(n + 3) div 4"), col("cent")))
+            .as("q1"),
+          min(when(col("cum") >= expr("(3*n + 3) div 4"), col("cent")))
+            .as("q3"))
+      val iqr = col("q3") - col("q1")
+      v.join(broadcast(q13), "event_type")
+        .groupBy(col("event_type"), col("q1"), col("q3"),
+          (col("q3") - col("q1")).as("iqr"))
+        .agg(sum(when(
+            lit(2) * col("cent") < lit(2) * col("q1") - lit(3) * iqr ||
+            lit(2) * col("cent") > lit(2) * col("q3") + lit(3) * iqr,
+            1).otherwise(0)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // n / mean / sample variance / population stddev of the price column
     // per returnflag, exact on the cent grid (scale=100).
     "q58_desc_stats" -> ((s, dir) => {
@@ -238,6 +299,41 @@ object StatsQueries {
         |    AS bucket
         |FROM lineitem l JOIN c USING (l_returnflag)
         |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q149_exact_percentiles" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cent
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, cent, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |w AS (SELECT event_type, cent, SUM(c) OVER (PARTITION BY event_type
+        |  ORDER BY cent ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS cum FROM h),
+        |n AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1)
+        |SELECT w.event_type,
+        |  MIN(CASE WHEN cum >= (n.n + 1) // 2 THEN cent END) AS p50_cents,
+        |  MIN(CASE WHEN cum >= (9*n.n + 9) // 10 THEN cent END) AS p90_cents,
+        |  MIN(CASE WHEN cum >= (99*n.n + 99) // 100 THEN cent END) AS p99_cents,
+        |  MAX(n.n) AS n_values
+        |FROM w JOIN n USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q150_iqr_outliers" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cent
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, cent, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |w AS (SELECT event_type, cent, SUM(c) OVER (PARTITION BY event_type
+        |  ORDER BY cent ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS cum FROM h),
+        |n AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+        |q AS (SELECT w.event_type,
+        |    MIN(CASE WHEN cum >= (n.n + 3) // 4 THEN cent END) AS q1,
+        |    MIN(CASE WHEN cum >= (3*n.n + 3) // 4 THEN cent END) AS q3
+        |  FROM w JOIN n USING (event_type) GROUP BY 1)
+        |SELECT v.event_type, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+        |  CAST(SUM(CASE WHEN 2*v.cent < 2*q.q1 - 3*(q.q3 - q.q1)
+        |    OR 2*v.cent > 2*q.q3 + 3*(q.q3 - q.q1) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM v JOIN q USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q147_skew_report" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys

@@ -52,4 +52,57 @@ object Incremental {
   def finish(state: DataFrame): DataFrame =
     state.withColumn("mean_val",
       col("sum_val").cast("double") / col("n_rows").cast("double"))
+
+  /** Value-domain histogram state — the mergeable form of EXACT order
+    * statistics: quantize to an integer grid (`unit = floor(v·scale
+    * + 0.5)`), keep `(keys…, unit, c)`. Counts add, so
+    * `histogramMerge(state(a), state(b)) == state(a ∪ b)` EXACTLY and
+    * any percentile is a read-time rank selection — an incrementally
+    * maintained exact median/p99, which mergeable INTERPOLATING
+    * sketches cannot give. State size is bounded by |groups| × |value
+    * grid| regardless of row count — the trade that makes it a state
+    * table; for unbounded-domain measures use a sketch instead. */
+  def histogramState(df: DataFrame, keys: Seq[String], valueCol: String,
+      scale: Double = 100.0): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+
+        floor(col(valueCol) * lit(scale) + lit(0.5)).cast("long")
+          .as("unit"): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Fold two histogram states (snapshot + delta, or any two). */
+  def histogramMerge(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keys :+ "unit").map(col): _*)
+      .agg(sum(col("c")).as("c"))
+
+  /** Read-time exact percentiles off a histogram state: for each
+    * `(outName, num, den)` the order statistic at rank
+    * ceil((num/den)·n) — all rank arithmetic integral
+    * (ceil(a/b) = (a + b − 1) div b), the selection one integer
+    * cumulative sum over the (groups × grid)-sized state, never the
+    * raw rows. Adds `n_values`. */
+  def percentilesFromState(hist: DataFrame, keys: Seq[String],
+      percentiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    percentiles.foreach { case (_, num, den) =>
+      require(num > 0 && den > 0 && num <= den,
+        s"percentile must be in (0, 1]: $num/$den")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy("unit")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val n = hist.groupBy(keys.map(col): _*).agg(sum(col("c")).as("n"))
+    val aggs = percentiles.map { case (name, num, den) =>
+      min(when(col("cum") >= expr(s"($num*n + ${den - 1}) div $den"),
+        col("unit"))).as(name)
+    } :+ max(col("n")).as("n_values")
+    hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(n), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -207,4 +207,39 @@ class StatsSpec extends SparkSpecBase {
       .map(f => (f.name, f.dataType)) ==
       snap.schema.map(f => (f.name, f.dataType)))
   }
+
+  test("histogram state: merge == recompute; percentiles == brute force") {
+    import graft.ext.Incremental
+    val rows = (0 until 3000).map { i =>
+      (s"g${i % 3}", ((i * 7919) % 997) / 10.0)
+    }
+    val df = rows.toDF("g", "v")
+    def stateSet(d: org.apache.spark.sql.DataFrame) =
+      Incremental.histogramState(d, Seq("g"), "v")
+        .as[(String, Long, Long)].collect().toSet
+    // three-way split folded pairwise == one-shot state
+    val parts = Seq(df.filter($"v" < 30), df.filter($"v" >= 30 && $"v" < 60),
+      df.filter($"v" >= 60))
+    val merged = parts.map(Incremental.histogramState(_, Seq("g"), "v"))
+      .reduce(Incremental.histogramMerge(_, _, Seq("g")))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == stateSet(df))
+    // read-time rank selection == brute-force sorted order statistic
+    val got = Incremental.percentilesFromState(
+        Incremental.histogramState(df, Seq("g"), "v"), Seq("g"),
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val cents = rs.map(r => math.floor(r._2 * 100.0 + 0.5).toLong).sorted
+      def rank(num: Int, den: Int) =
+        cents((num * cents.length + den - 1) / den - 1)
+      assert(got(g) == ((rank(1, 2), rank(9, 10), rank(99, 100),
+        cents.length.toLong)), s"group $g")
+    }
+    // null values are excluded, not zero-bucketed
+    val withNulls = df.unionByName(
+      Seq(("g0", null.asInstanceOf[java.lang.Double])).toDF("g", "v"))
+    assert(stateSet(withNulls) == stateSet(df))
+  }
 }
