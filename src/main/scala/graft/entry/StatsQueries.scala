@@ -382,18 +382,22 @@ object StatsQueries {
         |  n_violations = 0 AS passed
         |FROM r ORDER BY check_name""".stripMargin,
     // q133: the identical canonicalize → md5-u32 → exact decimal sum,
-    // written relationally (chr(1)/chr(2) are the separator and the
-    // null marker)
+    // written relationally (chr(1)/chr(2) the separator and null
+    // marker; cells LENGTH-PREFIXED — the netstring device — so a
+    // value containing chr(1) cannot shift cell boundaries; NULLS
+    // FIRST pins the nullable group key against Spark's asc default)
     "q133_content_digest" ->
       """SELECT source, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
-        |    coalesce(CAST(doc_id AS VARCHAR), chr(2)),
-        |    coalesce(text, chr(2)),
-        |    coalesce(lang, chr(2)),
-        |    coalesce(source, chr(2)),
-        |    coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 8))
+        |    CASE WHEN doc_id IS NULL THEN chr(2) ELSE concat(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR), ':', CAST(doc_id AS VARCHAR)) END,
+        |    CASE WHEN text IS NULL THEN chr(2) ELSE concat(CAST(length(text) AS VARCHAR), ':', text) END,
+        |    CASE WHEN lang IS NULL THEN chr(2) ELSE concat(CAST(length(lang) AS VARCHAR), ':', lang) END,
+        |    CASE WHEN source IS NULL THEN chr(2) ELSE concat(CAST(length(source) AS VARCHAR), ':', source) END,
+        |    CASE WHEN n_chars IS NULL THEN chr(2) ELSE concat(CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR), ':', CAST(n_chars AS VARCHAR)) END)),
+        |    1, 8))
         |    AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest
-        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+        |FROM documents GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin,
     // q130: the oracle computes the SAME answer from scratch — one
     // direct GROUP BY over all orders; the merge path must agree
     // bit-for-bit (exact decimal sums, read-time IEEE mean)

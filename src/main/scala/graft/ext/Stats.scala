@@ -101,24 +101,35 @@ object Stats {
     * releases) have the same (n_rows, digest) iff they hold the same
     * row MULTISET over `cols`, checkable at 100 TB with one map-side-
     * combined aggregate and nothing but a count and a DECIMAL sum on
-    * the wire. Each row canonicalizes to a \u0001-separated string
-    * (NULLs as \u0002 so (a,NULL) ≠ (a) — plain concat_ws would skip
-    * them), hashes through the engine-portable md5-u32 device, and the
-    * hashes SUM exactly: addition commutes, so partitioning, merge
-    * order, and row order are all invisible. Drift detection, not
-    * cryptography — an adversary can forge collisions, a flaky
-    * pipeline cannot.
+    * the wire. Each row canonicalizes to a \u0001-separated string of
+    * LENGTH-PREFIXED cells (`len:value`, NULL as a bare \u0002) — the
+    * netstring device: a raw join would let a value CONTAINING \u0001
+    * shift cell boundaries, making ("x\u0001y", "z") and
+    * ("x", "y\u0001z") digest equal; the length prefix keeps every
+    * boundary parseable no matter what bytes the values hold (and a
+    * value that IS the literal "\u0002" encodes as "1:\u0002", never
+    * the null marker). The canonical strings hash through the
+    * engine-portable md5-u32 device and the hashes SUM exactly:
+    * addition commutes, so partitioning, merge order, and row order
+    * are all invisible. The empty table digests to 0, not NULL — a
+    * NULL digest would make the equality gate between two empty
+    * releases evaluate to NULL. Drift detection, not cryptography —
+    * an adversary can forge collisions, a flaky pipeline cannot.
     *
     * Caveat: only use string-stable column types (integers, strings,
     * dates); floats render differently across engines. */
   def contentDigest(df: DataFrame, cols: Seq[String],
       keys: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "contentDigest needs at least one column")
-    val canon = concat_ws("\u0001",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val canon = concat_ws("\u0001", cols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("\u0002"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }: _*)
     val h = Sketches.hashU32(canon)
     val aggs = Seq(count(lit(1)).as("n_rows"),
-      sum(h.cast("decimal(38,0)")).as("digest"))
+      coalesce(sum(h.cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("digest"))
     if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

@@ -177,6 +177,24 @@ class StatsSpec extends SparkSpecBase {
     // duplicate rows count: multiset, not set
     val dup = a.unionAll(a.limit(1))
     assert(dig(dup) != d0 && dig(dup).getLong(0) == 4L)
+    // separator injection: a value CONTAINING the cell separator must
+    // not shift boundaries — ("xy","z") vs ("x","yz")
+    // digest DIFFERENTLY (the length-prefix netstring device)
+    val inj1 = Seq(("xy", "z")).toDF("a", "b")
+    val inj2 = Seq(("x", "yz")).toDF("a", "b")
+    def dig2(df: org.apache.spark.sql.DataFrame) =
+      Stats.contentDigest(df, Seq("a", "b")).head()
+    assert(dig2(inj1) != dig2(inj2))
+    // a value that IS the null-marker literal != an actual NULL
+    val mk1 = Seq((1L, Some(""))).toDF("id", "v")
+    val mk2 = Seq((1L, Option.empty[String])).toDF("id", "v")
+    assert(dig(mk1) != dig(mk2))
+    // empty table: digest 0, never NULL (equality gates must not
+    // three-value on two legitimately identical empty releases)
+    val empty = dig(a.filter($"id" < 0))
+    assert(empty.getLong(0) == 0L &&
+      empty.getDecimal(1) != null &&
+      empty.getDecimal(1).longValueExact == 0L)
   }
 
   test("incremental state merge == direct aggregation, exactly") {
