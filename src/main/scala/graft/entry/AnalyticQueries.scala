@@ -730,6 +730,74 @@ object AnalyticQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Funnel conversion rates with Wilson 95% intervals — the
+    // experiment-analysis readout over q107's funnel: step survivor
+    // counts roll up exactly (longs), and every float op in the
+    // Wilson formula is the SAME IEEE expression tree the oracle
+    // writes, so the bounds hash-match bit-for-bit.
+    "q151_funnel_wilson" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val f = graft.operators.Funnel.funnel(
+        ev.select(col("user_id"), col("event_type"),
+          GraftSession.tsMicros(ev).as("ts_us")),
+        "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"))
+      val counts = f.agg(
+        sum((col("step_reached") >= 1).cast("long")).as("n1"),
+        sum((col("step_reached") >= 2).cast("long")).as("n2"),
+        sum((col("step_reached") >= 3).cast("long")).as("n3"))
+      val z2 = lit(1.96) * lit(1.96)
+      counts.select(explode(array(
+          struct(lit("1_view->click").as("step"), col("n1").as("n"),
+            col("n2").as("k")),
+          struct(lit("2_click->purchase").as("step"), col("n2").as("n"),
+            col("n3").as("k")))).as("t"))
+        .select(col("t.step").as("step"), col("t.n").as("n"),
+          col("t.k").as("k"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("p", col("k").cast("double") / col("n").cast("double"))
+        .withColumn("wilson_low",
+          (col("p") + z2 / (lit(2.0) * col("nd"))) /
+            (lit(1.0) + z2 / col("nd")) -
+          lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("nd") +
+            z2 / (lit(4.0) * col("nd") * col("nd"))) /
+            (lit(1.0) + z2 / col("nd")))
+        .withColumn("wilson_high",
+          (col("p") + z2 / (lit(2.0) * col("nd"))) /
+            (lit(1.0) + z2 / col("nd")) +
+          lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("nd") +
+            z2 / (lit(4.0) * col("nd") * col("nd"))) /
+            (lit(1.0) + z2 / col("nd")))
+        .select("step", "n", "k", "p", "wilson_low", "wilson_high")
+        .orderBy("step")
+    }),
+
+    // The EIGHTH streaming oracle row: online per-day value
+    // percentiles — streamingValueHistogram's windowed micro-batch
+    // emissions max-folded (monotone Update counts, the q131 device)
+    // into a histogram that percentilesFromState rank-selects, vs the
+    // oracle computing the same day/percentile grid relationally from
+    // raw rows. Exercises streaming + mergeable state + read-time
+    // selection in one row.
+    "q152_streaming_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayThirds(s, dir,
+        ds => graft.streaming.EventStreams.streamingValueHistogram(ds)
+          .as[(Long, String, Long, Long)])
+      val folded = raw
+        .map(r => ((r.getLong(0), r.getString(1), r.getLong(2)),
+          r.getLong(3)))
+        .groupBy(_._1).map { case ((ws, tp, unit), rs) =>
+          (ws, tp, unit, rs.map(_._2).max)
+        }.toSeq
+      graft.ext.Incremental.percentilesFromState(
+          folded.toDF("window_start", "event_type", "unit", "c"),
+          Seq("window_start", "event_type"),
+          Seq(("p50_cents", 1, 2), ("p90_cents", 9, 10),
+            ("p99_cents", 99, 100)))
+        .orderBy("window_start", "event_type")
+    }),
+
     // The SEVENTH streaming oracle row: q138's LOCF gap fill replayed
     // through streamingGapFill's timer-driven micro-batch pipeline
     // (watermark closes each day; EventTimeTimeout emits interior gap
@@ -1278,6 +1346,56 @@ object AnalyticQueries {
         |   / (COUNT(*) * 1e7) AS centroid
         |FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    // q151: q107's staged CTEs rolled to survivor counts, Wilson
+    // bounds as the IDENTICAL IEEE expression trees (1.96*1.96 folded
+    // engine-side in both — a pre-folded 3.8416 literal would be a
+    // DIFFERENT double, the q140 lesson)
+    "q151_funnel_wilson" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events),
+        |s1 AS (SELECT user_id, MIN(tn) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.tn) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tn > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.tn) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tn > s2.t2 GROUP BY 1),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+        |t AS (SELECT '1_view->click' AS step, n1 AS n, n2 AS k FROM c
+        |      UNION ALL SELECT '2_click->purchase', n2, n3 FROM c),
+        |x AS (SELECT step, n, k, CAST(n AS DOUBLE) AS nd,
+        |    CAST(k AS DOUBLE)/CAST(n AS DOUBLE) AS p FROM t)
+        |SELECT step, n, k, p,
+        |  (p + (1.96*1.96)/(2.0*nd))/(1.0 + (1.96*1.96)/nd)
+        |  - 1.96 * SQRT(p*(1.0-p)/nd + (1.96*1.96)/(4.0*nd*nd))/(1.0 + (1.96*1.96)/nd)
+        |    AS wilson_low,
+        |  (p + (1.96*1.96)/(2.0*nd))/(1.0 + (1.96*1.96)/nd)
+        |  + 1.96 * SQRT(p*(1.0-p)/nd + (1.96*1.96)/(4.0*nd*nd))/(1.0 + (1.96*1.96)/nd)
+        |    AS wilson_high
+        |FROM x ORDER BY step""".stripMargin,
+    // q152: the relational mirror of the streamed histogram + rank
+    // selection — day windows epoch-aligned (the q131 device), rank
+    // arithmetic integral (the q149 device)
+    "q152_streaming_percentiles" ->
+      """WITH v AS (SELECT
+        |    epoch_us(ts) // 86400000000 * 86400000000 AS ws,
+        |    event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cent
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT ws, event_type, cent, COUNT(*) AS c
+        |  FROM v GROUP BY 1, 2, 3),
+        |w AS (SELECT ws, event_type, cent, SUM(c) OVER (
+        |  PARTITION BY ws, event_type ORDER BY cent
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |n AS (SELECT ws, event_type, COUNT(*) AS n FROM v GROUP BY 1, 2)
+        |SELECT w.ws AS window_start, w.event_type,
+        |  MIN(CASE WHEN cum >= (n.n + 1) // 2 THEN cent END) AS p50_cents,
+        |  MIN(CASE WHEN cum >= (9*n.n + 9) // 10 THEN cent END) AS p90_cents,
+        |  MIN(CASE WHEN cum >= (99*n.n + 99) // 100 THEN cent END) AS p99_cents,
+        |  MAX(n.n) AS n_values
+        |FROM w JOIN n USING (ws, event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q136's ground truth IS the plain (unsalted) join — result
     // identity is the whole claim of the salted rewrite
     "q136_salted_enrich" ->

@@ -48,6 +48,32 @@ object EventStreams {
       events.withWatermark("ts", watermark),
       org.apache.spark.sql.functions.window(col("ts"), window_),
       checks)
+  /** Online value-distribution monitoring: per event-time window and
+    * type, the quantized value-grid histogram (the Incremental
+    * histogramState device as a WINDOWED streaming aggregation) —
+    * pure watermark-bounded windowed state, no per-key custom state.
+    * Update-mode emissions are per-(window, type, unit) counts, which
+    * are MONOTONE, so a keyed sink folds with MAX (the
+    * [[streamingQuality]] convention); read-time rank selection over
+    * the folded histogram gives exact online p50/p90/p99 per window
+    * ([[graft.ext.Incremental.percentilesFromState]]). Emits
+    * `(window_start_us, event_type, unit, c)` — epoch-micros window
+    * bounds, the engine-portable form. */
+  def streamingValueHistogram(events: Dataset[Event],
+      window_ : String = "1 day", scale: Double = 100.0,
+      watermark: String = "0 seconds"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .filter(col("value").isNotNull)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window_),
+        col("event_type"),
+        floor(col("value") * lit(scale) + lit(0.5)).cast("long")
+          .as("unit"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_micros(col("window.start")).as("window_start"),
+        col("event_type"), col("unit"), col("c"))
+
   final case class SessionState(nEvents: Long, total: Double,
       lastTs: Long)
   final case class UserSession(user_id: Long, nEvents: Long, total: Double)

@@ -715,6 +715,28 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streamingValueHistogram: max-folded emissions == batch histogram") {
+    val rows = orderedDriverEvents
+    val got = replayToSink("vh_sink", thirds(rows),
+        ds => EventStreams.streamingValueHistogram(ds))
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2, r._3))
+      .map { case (k, rs) => k -> rs.map(_._4).max }
+    val want = batchEvents.filter($"value".isNotNull)
+      .groupBy(window($"ts", "1 day"), $"event_type",
+        floor($"value" * 100d + 0.5d).cast("long").as("unit"))
+      .count()
+      .select(unix_micros($"window.start"), $"event_type", $"unit",
+        $"count")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    // Update-mode emissions for a key are monotone — max IS the final
+    // count (the fold's correctness condition)
+    assert(got.values.sum == want.values.sum)
+  }
+
   test("streamingGapFill: timer-driven LOCF emission == batch fill") {
     val dayMs = 86400000L
     def ev(id: Long, day: Long, tp: String) = EventStreams.Event(
