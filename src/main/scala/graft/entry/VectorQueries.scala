@@ -225,6 +225,30 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)) —
+    // quasi-clique members score near 1, chain bridges 0; composes
+    // Graph.triangles' exact enumeration with a degree roll-up, the
+    // coefficient one exact-integer division per vertex.
+    "q153_clustering_coeff" -> ((s, dir) => {
+      import graft.ext.{Dedup, Graph}
+      val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.2)
+      val deg = pairs.select(col("a_id").as("v"))
+        .unionByName(pairs.select(col("b_id").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("degree"))
+      val tv = Graph.triangles(pairs, "a_id", "b_id")
+        .select(explode(array(col("v1"), col("v2"), col("v3"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("tri"))
+      deg.join(tv, Seq("v"), "left")
+        .select(col("v").as("vec_id"), col("degree"),
+          coalesce(col("tri"), lit(0L)).as("n_triangles"),
+          when(col("degree") >= 2,
+            (lit(2) * coalesce(col("tri"), lit(0L))).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double"))
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy("vec_id")
+    }),
+
     // Multi-source BFS hop counts over the symmetrized near-dup graph
     // (seeds vec_id < 3): frontier-only expansion, one
     // |frontier|-driven shuffle per round, early exit on empty.
@@ -520,9 +544,28 @@ object VectorQueries {
   /** q139 is the delta-maintenance path against q73's OWN ground truth
     * — one SQL text, two independent implementations checked (the
     * q115/q107 device). */
+  private val clusteringSql: String = nearDupEdgeCte +
+    """,deg AS (SELECT v, COUNT(*) AS d FROM
+      |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tv AS (SELECT v, COUNT(*) AS tri FROM
+      |  (SELECT x AS v FROM t UNION ALL SELECT y FROM t
+      |   UNION ALL SELECT z FROM t) GROUP BY 1)
+      |SELECT deg.v AS vec_id, deg.d AS degree,
+      |  COALESCE(tv.tri, 0) AS n_triangles,
+      |  CASE WHEN deg.d >= 2 THEN
+      |    CAST(2 * COALESCE(tv.tri, 0) AS DOUBLE)
+      |      / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+      |  ELSE 0.0 END AS clustering
+      |FROM deg LEFT JOIN tv ON deg.v = tv.v
+      |ORDER BY vec_id""".stripMargin
+
   val oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q139_cc_delta" -> oracleSqlBase("q73_dedup_clusters")) +
       ("q141_triangle_count" -> triangleSql) +
-      ("q143_bfs_hops" -> bfsSql)
+      ("q143_bfs_hops" -> bfsSql) +
+      ("q153_clustering_coeff" -> clusteringSql)
 }
