@@ -30,13 +30,19 @@ object StatsQueries {
   private val SampleThreshold = (0.02 * 4294967296.0).toLong
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Quantile discretizer (feature binning) the SCALABLE way: 9 exact
+    // Quantile discretizer (feature binning) the SCALABLE way: 9
     // decile cutpoints per key (one tiny aggregate, broadcast back) +
     // a map-side integer fold assigns buckets — no per-key ntile sort
     // of the corpus (the few-key window ceiling). Cutpoint semantics:
     // ties share a bucket (the ML binning contract; ntile would split
-    // them by row order). Quantities are integral doubles, deciles
-    // land on the half grid — comparisons exact, hash-stable.
+    // them by row order). Cross-engine exactness: interpolated
+    // cutpoints of integral quantities land on the 0.1 grid only up
+    // to an ulp (the two engines' lerp forms differ), so both sides
+    // ROUND the cutpoints to the tenth grid — floor(c·10 + 0.5) is
+    // immune to ulp drift (the grid value sits 0.5 from the floor
+    // boundary), and dividing the SAME integer by 10 yields identical
+    // doubles everywhere. Review finding: the earlier "deciles land
+    // on the half grid" justification was data-luck, not invariant.
     "q146_decile_bins" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val cuts = li.groupBy("l_returnflag")
@@ -47,7 +53,9 @@ object StatsQueries {
           col("l_linenumber"), col("l_quantity"),
           (lit(1) + aggregate(
             transform(col("cuts"),
-              c => when(col("l_quantity") > c, 1).otherwise(0)),
+              c => when(col("l_quantity") >
+                floor(c * lit(10d) + lit(0.5d)) / lit(10d), 1)
+                .otherwise(0)),
             lit(0), (acc, x) => acc + x)).as("bucket"))
         // (orderkey, linenumber) is NOT unique in the synthetic data
         // (45.8k of 60k) — qty completes the order; rows still tied
@@ -295,7 +303,8 @@ object StatsQueries {
         |  FROM lineitem GROUP BY 1)
         |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_quantity,
         |  1 + CAST(list_sum(list_transform(c.cuts,
-        |    x -> CASE WHEN l.l_quantity > x THEN 1 ELSE 0 END)) AS INTEGER)
+        |    x -> CASE WHEN l.l_quantity > FLOOR(x*10 + 0.5)/10
+        |         THEN 1 ELSE 0 END)) AS INTEGER)
         |    AS bucket
         |FROM lineitem l JOIN c USING (l_returnflag)
         |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin,
@@ -338,8 +347,10 @@ object StatsQueries {
       """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys
         |  FROM c),
-        |k AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 10)
-        |SELECT row_number() OVER (ORDER BY k.n DESC, k.user_id) AS rk,
+        |k AS (SELECT user_id, n FROM c
+        |  ORDER BY n DESC, user_id NULLS FIRST LIMIT 10)
+        |SELECT row_number() OVER (ORDER BY k.n DESC,
+        |    k.user_id NULLS FIRST) AS rk,
         |  k.user_id, k.n,
         |  CAST(k.n AS DOUBLE)/CAST(t.total AS DOUBLE) AS share,
         |  t.total, t.n_keys
