@@ -99,14 +99,16 @@ object StatsQueries {
     "q149_exact_percentiles" -> ((s, dir) => {
       import graft.ext.Incremental
       // built through the MERGEABLE histogram state (ext/Incremental)
-      // split at user_id parity and folded — the oracle recomputing
-      // from all raw rows certifies merge == recompute end-to-end on
-      // top of the rank-selection arithmetic
+      // split at xxhash64(user_id) parity — NULL-SAFE, a raw `% 2`
+      // pair of filters would drop NULL keys from BOTH halves — and
+      // folded; the oracle recomputing from all raw rows certifies
+      // merge == recompute end-to-end on the rank-selection arithmetic
       val ev = t(s, dir, "events")
+      val half = pmod(xxhash64(col("user_id")), lit(2))
       val stA = Incremental.histogramState(
-        ev.filter(col("user_id") % 2 === 0), Seq("event_type"), "value")
+        ev.filter(half === 0), Seq("event_type"), "value")
       val stB = Incremental.histogramState(
-        ev.filter(col("user_id") % 2 =!= 0), Seq("event_type"), "value")
+        ev.filter(half =!= 0), Seq("event_type"), "value")
       Incremental.percentilesFromState(
           Incremental.histogramMerge(stA, stB, Seq("event_type")),
           Seq("event_type"),
@@ -116,28 +118,21 @@ object StatsQueries {
     }),
 
     // IQR outlier fences over the same cent histogram: quartiles by
-    // rank selection, fences in DOUBLED integer space (2·cent vs
+    // rank selection — REUSING Incremental.percentilesFromState
+    // ((1·n+3) div 4 and (3·n+3) div 4 are exactly its rank formula
+    // at 1/4 and 3/4) — fences in DOUBLED integer space (2·cent vs
     // 2·q ± 3·iqr) so the 1.5×IQR never leaves exact arithmetic.
     "q150_iqr_outliers" -> ((s, dir) => {
-      val v = t(s, dir, "events").filter(col("value").isNotNull)
+      import graft.ext.Incremental
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("value").isNotNull)
         .select(col("event_type"),
           floor(col("value") * lit(100d) + lit(0.5d)).cast("long")
             .as("cent"))
-      val h = v.groupBy("event_type", "cent").agg(count(lit(1)).as("c"))
-      val wRun = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("cent")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, org.apache.spark.sql.expressions.Window
-          .currentRow)
-      val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val q13 = h.withColumn("cum", sum(col("c")).over(wRun))
-        .join(broadcast(n), "event_type")
-        .groupBy("event_type")
-        .agg(
-          min(when(col("cum") >= expr("(n + 3) div 4"), col("cent")))
-            .as("q1"),
-          min(when(col("cum") >= expr("(3*n + 3) div 4"), col("cent")))
-            .as("q3"))
+      val q13 = Incremental.percentilesFromState(
+          Incremental.histogramState(ev, Seq("event_type"), "value"),
+          Seq("event_type"), Seq(("q1", 1, 4), ("q3", 3, 4)))
+        .drop("n_values")
       val iqr = col("q3") - col("q1")
       v.join(broadcast(q13), "event_type")
         .groupBy(col("event_type"), col("q1"), col("q3"),

@@ -738,9 +738,14 @@ object Dedup {
     */
   def connectedComponentsDelta(prev: DataFrame, newEdges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
-    val deltaIds = newEdges.select(col(srcCol).as("__did"))
-      .unionByName(newEdges.select(col(dstCol).as("__did")))
-      .filter(col("__did").isNotNull).distinct()
+    // the SAME both-endpoints filter the full CC applies: a half-null
+    // edge contributes no vertex there, so it must not seed a
+    // singleton here (delta == recompute is the contract)
+    val validEdges = newEdges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+    val deltaIds = validEdges.select(col(srcCol).as("__did"))
+      .unionByName(validEdges.select(col(dstCol).as("__did")))
+      .distinct()
     // the ONLY two touches of the history, both map-only against a
     // broadcast delta-sized build side — the history never shuffles:
     // (1) restrict prev to delta-touched ids (semi join); (2) the
@@ -752,8 +757,7 @@ object Dedup {
       col("comp").as("__ta_comp"))
     val tb = touched.select(col("id").as("__tb_id"),
       col("comp").as("__tb_comp"))
-    val contracted = newEdges
-      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+    val contracted = validEdges
       .join(ta, col(srcCol) === col("__ta_id"), "left")
       .join(tb, col(dstCol) === col("__tb_id"), "left")
       .select(coalesce(col("__ta_comp"), col(srcCol)).as("__ca"),
@@ -770,6 +774,12 @@ object Dedup {
     val newLabeled = newVerts
       .join(broadcast(relabel), col("id") === col("__old"), "left")
       .select(col("id"), coalesce(col("__new"), col("id")).as("comp"))
-    updatedPrev.unionByName(newLabeled)
+    // materialize the result so `touched`'s cache can be RELEASED —
+    // a daily-maintenance API must not leak one persisted frame per
+    // call (the returned labeling is lineage-cut, same contract as
+    // connectedComponents' output)
+    val (result, _) = materialize(updatedPrev.unionByName(newLabeled))
+    touched.unpersist()
+    result
   }
 }

@@ -60,6 +60,8 @@ object Graph {
       .unionByName(eNorm.select(col("__dst").as("id")))
       .distinct().cache()
     val n = nodes.count()
+    require(n > 0, "pageRank needs at least one non-null edge " +
+      "(empty graph would make base/init ranks divide by zero)")
     val base = (1.0 - damping) / n.toDouble
     var ranks = nodes.select(col("id"),
       lit(1.0 / n.toDouble).as("rank"))
@@ -94,7 +96,15 @@ object Graph {
       ranks = mat
       i += 1
     }
-    ranks
+    // after the loop the result is checkpoint-materialized (or, at
+    // iters = 0, materialized here) — the working caches can be
+    // RELEASED instead of leaking one pair per call
+    val result =
+      if (iters == 0)
+        org.apache.spark.sql.graftshim.CheckpointShim.materialize(ranks)._1
+      else ranks
+    eNorm.unpersist(); nodes.unpersist()
+    result
   }
 
   /** Triangle enumeration by degree-ordered wedge closing (the
@@ -187,6 +197,9 @@ object Graph {
       settled = matS
       hop += 1
     }
+    e.unpersist() // settled is materialized (or the e-free seed)
+    // the final frontier's checkpoint blocks back nothing we return
+    prevRdds.headOption.foreach(_.unpersist())
     settled
   }
 }

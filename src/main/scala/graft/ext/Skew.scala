@@ -92,10 +92,17 @@ object Skew {
       keys: Seq[String], fpp: Double = 0.01,
       expectedItems: Option[Long] = None): DataFrame = {
     val n = math.max(1L, expectedItems.getOrElse(small.count()))
+    // hash through a COMMON string rendering: the join itself coerces
+    // an INT key to match a BIGINT key, but xxhash64 hashes the native
+    // types differently — without the cast a type-mismatched pair of
+    // tables would drop every true match (the one failure mode a
+    // bloom prefilter must never have)
+    def keyHash(df: DataFrame) =
+      xxhash64(keys.map(k => df(k).cast("string")): _*)
     val (bits, k) = Sketches.buildBloomBits(
-      small.select(xxhash64(keys.map(col): _*).as("__k")), "__k", n, fpp)
+      small.select(keyHash(small).as("__k")), "__k", n, fpp)
     val probe = Sketches.bloomMightContain(big.sparkSession,
-      xxhash64(keys.map(col): _*), bits, k)
+      keyHash(big), bits, k)
     big.filter(probe).join(small, keys)
   }
 }

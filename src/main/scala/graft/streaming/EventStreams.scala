@@ -792,9 +792,12 @@ object EventStreams {
     * consumer's fold (they need cross-type bounds a per-key operator
     * cannot know).
     *
-    * Late data for an already-emitted day is dropped (standard
-    * watermark semantics — size the delay to the source's lateness).
-    * State per type: two longs + the bounded `open` map. */
+    * Until a type's first emission, the spine start re-derives from
+    * the open map's minimum each round, so in-watermark out-of-order
+    * arrivals extend it backward; after emission, data at or before
+    * the frontier is LATE and drops (standard watermark semantics —
+    * size the delay to the source's lateness). State per type: two
+    * longs + the bounded `open` map. */
   def streamingGapFill(events: Dataset[Event],
       watermarkDelay: String = "0 seconds"): Dataset[FilledDay] = {
     import events.sparkSession.implicits._
@@ -813,23 +816,32 @@ object EventStreams {
             val counts = batch
               .map(e => Math.floorDiv(exactMicros(e.ts), dayUs)).toSeq
               .groupBy(identity).map { case (d, ds) => d -> ds.size.toLong }
-            val open = counts.foldLeft(st.open) { case (m, (d, c)) =>
+            // days at or before the emitted frontier are LATE (their
+            // output already left) — drop them here, or they'd sit in
+            // `open` forever. Days merely earlier than the first batch's
+            // min are NOT late while nothing has emitted: lastEmitted
+            // stays MinValue until the first real emission, so the
+            // emission start below re-derives from min(open) each round
+            // and an in-watermark earlier day still lands.
+            val fresh =
+              if (st.lastEmitted == Long.MinValue) counts
+              else counts.filter { case (d, _) => d > st.lastEmitted }
+            val open = fresh.foldLeft(st.open) { case (m, (d, c)) =>
               m.updated(d, m.getOrElse(d, 0L) + c)
             }
             val mx = if (open.isEmpty) st.maxSeen
               else math.max(st.maxSeen, open.keys.max)
-            val first =
-              if (st.lastEmitted == Long.MinValue && open.nonEmpty)
-                open.keys.min - 1
-              else st.lastEmitted
-            st = LocfState(first, st.lastCount, mx, open)
+            st = LocfState(st.lastEmitted, st.lastCount, mx, open)
           }
           val out = scala.collection.mutable.ArrayBuffer[FilledDay]()
-          if (st.lastEmitted != Long.MinValue) {
+          val startOpt =
+            if (st.lastEmitted != Long.MinValue) Some(st.lastEmitted + 1)
+            else st.open.keys.minOption
+          startOpt.foreach { start =>
             // watermark is millis; day d closed iff d+1 <= wm/dayMs
             val closedMax =
               Math.floorDiv(state.getCurrentWatermarkMs(), dayMs) - 1
-            var d = st.lastEmitted + 1
+            var d = start
             var last = st.lastCount
             var open = st.open
             val stop = math.min(closedMax, st.maxSeen)
@@ -842,13 +854,19 @@ object EventStreams {
               }
               d += 1
             }
-            st = LocfState(d - 1, last, st.maxSeen, open)
+            if (d > start) // emitted something: advance the frontier
+              st = LocfState(d - 1, last, st.maxSeen, open)
           }
           state.update(st)
           // re-arm while days remain to close; the timestamp is the
-          // instant day lastEmitted+1 closes, provably > watermark
-          if (st.lastEmitted < st.maxSeen)
-            state.setTimeoutTimestamp((st.lastEmitted + 2) * dayMs)
+          // instant the next pending day closes, provably > watermark
+          if (st.lastEmitted < st.maxSeen && (st.open.nonEmpty ||
+              st.lastEmitted != Long.MinValue)) {
+            val nextDay =
+              if (st.lastEmitted == Long.MinValue) st.open.keys.min
+              else st.lastEmitted + 1
+            state.setTimeoutTimestamp((nextDay + 1) * dayMs)
+          }
           out.iterator
       }
   }

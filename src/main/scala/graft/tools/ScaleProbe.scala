@@ -671,8 +671,8 @@ object ScaleProbe {
     // |event_type| = 5, so the plain shuffle join concentrates 1/5 of
     // the facts per reducer (watch maxTask, not wall-clock — local[32]
     // hides serialization the cluster pays for).
-    if (Seq("annotate_binned", "annotate_broadcast",
-        "plain_join_hotkeys", "salted_join",
+    if (Seq("annotate_binned", "annotate_binned_auto",
+        "annotate_broadcast", "plain_join_hotkeys", "salted_join",
         "selective_join_plain", "selective_join_bloom").exists(wanted)) {
       val facts = replicate(GraftSession.table(spark, sfDir, "events")
           .select("event_id", "event_type"), "event_id", copies)

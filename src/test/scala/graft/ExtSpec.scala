@@ -318,6 +318,11 @@ class ExtSpec extends SparkSpecBase {
     // pure no-op delta: labeling unchanged
     val noop = delta(oldE, Seq((2L, 3L)).toDF("a", "b"))
     assert(noop == cc(oldE))
+    // half-null delta edges contribute NOTHING (full CC drops them
+    // entirely — a singleton for the non-null endpoint would diverge)
+    val halfNull = Seq((java.lang.Long.valueOf(77L),
+      null.asInstanceOf[java.lang.Long])).toDF("a", "b")
+    assert(delta(oldE, halfNull) == cc(oldE))
     // chaining: folding two deltas == full CC over everything
     val e2 = Seq((22L, 50L)).toDF("a", "b")
     val chained = Dedup.connectedComponentsDelta(

@@ -20,6 +20,13 @@ class GraphSpec extends SparkSpecBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
   }
 
+  test("pageRank: empty graph fails loudly, not with Infinity ranks") {
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e = intercept[IllegalArgumentException](
+      Graph.pageRank(none, "a", "b", iters = 3))
+    assert(e.getMessage.contains("at least one non-null edge"))
+  }
+
   test("pageRank: hub authority, weights matter, dangling leaks") {
     // 3 spokes all pointing at a hub: hub must outrank every spoke,
     // and the hub is dangling (no out-edges) so total mass < 1

@@ -183,6 +183,16 @@ class ScaleLayoutSpec extends SparkSpecBase {
     // map-side drop that saves the shuffle at scale
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("bloom_might_contain"), plan)
+    // mixed key TYPES: the join coerces INT to match BIGINT — the
+    // bloom hash must too (native-type hashing would false-negative
+    // every true match)
+    val bigInt = spark.range(5000).select(
+      (col("id") % 1000).cast("int").as("k"), col("id").as("v"))
+    val gotMixed = Skew.bloomPrefilteredJoin(bigInt, small, Seq("k"))
+      .select("k", "v", "w").as[(Long, Long, Long)].collect().toSeq.sorted
+    val wantMixed = bigInt.join(small, Seq("k"))
+      .select("k", "v", "w").as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(gotMixed == wantMixed && wantMixed.nonEmpty)
   }
 
   test("compact: ceil(bytes/target) files, content and clustering kept") {

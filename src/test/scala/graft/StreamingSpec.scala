@@ -772,5 +772,17 @@ class StreamingSpec extends SparkSpecBase {
       .as[(String, Long, Long, Int)].collect().toSet
       .filterNot(_._1 == "flush")
     assert(oneShot == want)
+    // out-of-order WITHIN the watermark: day 98 arrives a batch after
+    // day 100 but is not late under a 5-day delay — the spine must
+    // start at 98 (pre-fix, lastEmitted pinned to 99 and dropped it)
+    val ooo = replayToSink("gapfill_sink2",
+      Seq(Seq(ev(1, 100, "a")), Seq(ev(2, 98, "a")),
+        Seq(ev(99, 120, "flush"))),
+      ds => EventStreams.streamingGapFill(ds, watermarkDelay = "5 days"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(String, Long, Long, Int)].collect().toSet
+      .filterNot(_._1 == "flush")
+    assert(ooo == Set(("a", 98L, 1L, 0), ("a", 99L, 1L, 1),
+      ("a", 100L, 1L, 0)), s"ooo=$ooo")
   }
 }
