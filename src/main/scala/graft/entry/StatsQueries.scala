@@ -271,8 +271,16 @@ object StatsQueries {
       val deltaState = Incremental.aggregateState(
         ord.filter(col("o_orderkey") % 5 === 0), Seq("month"),
         "o_totalprice")
+      // Output edge: render the exact DECIMAL(38,2) sum as DOUBLE.
+      // The exactness argument is about the MERGE (decimal state adds
+      // exactly in any order); the display type is a read-time choice,
+      // and DECIMAL(38,x) is the one output type whose cross-engine
+      // hash canonicalization differs (r8 verdict: parquet
+      // fixed-len-byte-array vs HUGEINT rendering). Cents < 2^53 at
+      // any driver sf, so the cast is value-exact on both engines.
       Incremental.finish(
           Incremental.merge(snapshot, deltaState, Seq("month")))
+        .withColumn("sum_val", col("sum_val").cast("double"))
         .orderBy("month")
     }),
 
@@ -281,7 +289,9 @@ object StatsQueries {
     // the md5-u32 row hashes SUM exactly so partitioning and row
     // order are invisible, and the oracle recomputes the same number
     // relationally. Two releases (or two engines, as here) agreeing
-    // on (n_rows, digest) hold the same row multiset.
+    // on (n_rows, digest_hi, digest_lo) hold the same row multiset —
+    // the hi/lo BIGINT halves render the DECIMAL(38,0) state in a
+    // type both engines canonicalize identically.
     "q133_content_digest" -> ((s, dir) => {
       Stats.contentDigest(t(s, dir, "documents"),
           cols = Seq("doc_id", "text", "lang", "source", "n_chars"),
@@ -387,13 +397,16 @@ object StatsQueries {
         |SELECT check_name, n_rows, n_violations,
         |  n_violations = 0 AS passed
         |FROM r ORDER BY check_name""".stripMargin,
-    // q133: the identical canonicalize → md5-u32 → exact decimal sum,
+    // q133: the identical canonicalize → md5-u32 → exact integer sum,
     // written relationally (chr(1)/chr(2) the separator and null
     // marker; cells LENGTH-PREFIXED — the netstring device — so a
     // value containing chr(1) cannot shift cell boundaries; NULLS
-    // FIRST pins the nullable group key against Spark's asc default)
+    // FIRST pins the nullable group key against Spark's asc default).
+    // The sum accumulates in HUGEINT and renders as the same
+    // (digest_hi, digest_lo) BIGINT divmod-2^63 pair as Spark's
+    // DECIMAL(38,0) state — the type both engines hash identically.
     "q133_content_digest" ->
-      """SELECT source, COUNT(*) AS n_rows,
+      """WITH d AS (SELECT source, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
         |    CASE WHEN doc_id IS NULL THEN chr(2) ELSE concat(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR), ':', CAST(doc_id AS VARCHAR)) END,
         |    CASE WHEN text IS NULL THEN chr(2) ELSE concat(CAST(length(text) AS VARCHAR), ':', text) END,
@@ -401,17 +414,22 @@ object StatsQueries {
         |    CASE WHEN source IS NULL THEN chr(2) ELSE concat(CAST(length(source) AS VARCHAR), ':', source) END,
         |    CASE WHEN n_chars IS NULL THEN chr(2) ELSE concat(CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR), ':', CAST(n_chars AS VARCHAR)) END)),
         |    1, 8))
-        |    AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest
-        |FROM documents GROUP BY 1
-        |ORDER BY source NULLS FIRST""".stripMargin,
+        |    AS BIGINT) AS HUGEINT)) AS HUGEINT) AS digest
+        |FROM documents GROUP BY 1)
+        |SELECT source, n_rows,
+        |  CAST(digest // CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
+        |    AS digest_hi,
+        |  CAST(digest % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
+        |    AS digest_lo
+        |FROM d ORDER BY source NULLS FIRST""".stripMargin,
     // q130: the oracle computes the SAME answer from scratch — one
     // direct GROUP BY over all orders; the merge path must agree
     // bit-for-bit (exact decimal sums, read-time IEEE mean)
     "q130_incremental_agg" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |    AS DECIMAL(38,2)) AS sum_val,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS sum_val,
         |  MIN(o_totalprice) AS min_val,
         |  MAX(o_totalprice) AS max_val,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

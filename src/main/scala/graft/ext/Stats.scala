@@ -98,7 +98,8 @@ object Stats {
 
   /** Order-independent table content digest — the release-integrity
     * primitive: two tables (or two replicas, two engine runs, two
-    * releases) have the same (n_rows, digest) iff they hold the same
+    * releases) have the same (n_rows, digest_hi, digest_lo) iff they
+    * hold the same
     * row MULTISET over `cols`, checkable at 100 TB with one map-side-
     * combined aggregate and nothing but a count and a DECIMAL sum on
     * the wire. Each row canonicalizes to a \u0001-separated string of
@@ -116,6 +117,15 @@ object Stats {
     * releases evaluate to NULL. Drift detection, not cryptography —
     * an adversary can forge collisions, a flaky pipeline cannot.
     *
+    * The accumulating STATE is DECIMAL(38,0) — a sum of u32 over 10^12
+    * rows exceeds int64 but not 38 digits — while the OUTPUT renders
+    * the digest as two BIGINTs, `digest_hi = digest div 2^63` /
+    * `digest_lo = digest mod 2^63` ([[digestSplit]]): DECIMAL(38,x) is
+    * the one output type whose cross-engine canonicalization differs
+    * (parquet fixed-len-byte-array vs HUGEINT-backed rendering, r8
+    * verdict), whereas two int64 halves are canonical everywhere and
+    * lossless up to 2^126 rows·2^32 — beyond any physical corpus.
+    *
     * Caveat: only use string-stable column types (integers, strings,
     * dates); floats render differently across engines. */
   def contentDigest(df: DataFrame, cols: Seq[String],
@@ -129,9 +139,25 @@ object Stats {
     val h = Sketches.hashU32(canon)
     val aggs = Seq(count(lit(1)).as("n_rows"),
       coalesce(sum(h.cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("digest"))
-    if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-    else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        lit(0).cast("decimal(38,0)")).as("__digest"))
+    val st =
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    st.select((keys.map(col) :+ col("n_rows")) ++
+      digestSplit("__digest"): _*)
+  }
+
+  /** Split a non-negative DECIMAL(38,0) digest column into (digest_hi,
+    * digest_lo) BIGINT halves via divmod 2^63 — exact integral decimal
+    * arithmetic (`div` is Spark's IntegralDivide, defined on decimals
+    * and returning LONG; `%` stays decimal until the final lossless
+    * cast, since the remainder is < 2^63 by construction). Factored
+    * out so the overflow behavior above int64 is spec-pinnable on
+    * literal wide decimals without building a 10^10-row table. */
+  private[graft] def digestSplit(digestCol: String): Seq[Column] = {
+    val two63 = "CAST('9223372036854775808' AS DECIMAL(38,0))"
+    Seq(expr(s"CAST(`$digestCol` div $two63 AS BIGINT)").as("digest_hi"),
+      expr(s"CAST(`$digestCol` % $two63 AS BIGINT)").as("digest_lo"))
   }
 
   /** One-pass table profile (the ANALYZE/data-quality primitive): for
