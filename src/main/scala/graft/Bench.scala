@@ -44,11 +44,25 @@ object Bench {
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      s"\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val totalR = BigDecimal(total).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$runs,"sf":"$sfDir","queries":$qs}""")
+    val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val line = s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$runs,"sf":"$sfDir","queries":$qs}"""
+    // Durable copy first: the driver's stdout capture is a truncated
+    // tail (r8/r9: only 75/153 query rows survived, "parsed": null
+    // three rounds running), so the full per-query map also lands in a
+    // file in the repo root that survives any console truncation.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SELF.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    // Print once BEFORE shutdown and once after: whichever direction
+    // the capture truncates from, one intact copy remains, and the
+    // post-stop copy has no Spark shutdown noise after it to push it
+    // past a tail cutoff.
+    println(line)
     spark.stop()
+    println(line)
   }
 }

@@ -738,11 +738,15 @@ object Dedup {
     */
   def connectedComponentsDelta(prev: DataFrame, newEdges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
-    // the SAME both-endpoints filter the full CC applies: a half-null
-    // edge contributes no vertex there, so it must not seed a
-    // singleton here (delta == recompute is the contract)
+    // the SAME edge filters the full CC applies: a half-null edge
+    // contributes no vertex there, and neither does a SELF-LOOP (the
+    // full CC's symmetrize step drops id =!= neighbor pairs) — so
+    // neither may seed a singleton here (delta == recompute is the
+    // contract; a self-loop on a brand-new vertex was the one case
+    // that broke it)
     val validEdges = newEdges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .filter(col(srcCol) =!= col(dstCol))
     val deltaIds = validEdges.select(col(srcCol).as("__did"))
       .unionByName(validEdges.select(col(dstCol).as("__did")))
       .distinct()

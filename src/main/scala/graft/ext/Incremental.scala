@@ -95,13 +95,19 @@ object Incremental {
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val n = hist.groupBy(keys.map(col): _*).agg(sum(col("c")).as("n"))
     val aggs = percentiles.map { case (name, num, den) =>
       min(when(col("cum") >= expr(s"($num*n + ${den - 1}) div $den"),
         col("unit"))).as(name)
     } :+ max(col("n")).as("n_values")
+    // group total as a window sum over the SAME partitioning as the
+    // cumulative sum (one shuffle serves both), not a separate
+    // aggregate joined back on the keys: a using-column equi-join
+    // never matches NULL group keys, so NULL-keyed groups silently
+    // vanished; window partitioning groups NULLs together.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
     hist.withColumn("cum", sum(col("c")).over(w))
-      .join(broadcast(n), keys)
+      .withColumn("n", sum(col("c")).over(wAll))
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }

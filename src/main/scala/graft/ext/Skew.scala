@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic row salt in [0, salts): a content hash over every
+    * column, so the same row always lands on the same salt no matter
+    * which partition (re)computes it — the property a stage retry
+    * needs for exactly-once row accounting. Maps and other unhashable
+    * types are rendered through to_json first (xxhash64 rejects
+    * MapType inputs). */
+  private def rowSalt(df: DataFrame, salts: Int): Column = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
+        case _ => col(f.name)
+      }
+    }
+    pmod(xxhash64(cols.toSeq: _*), lit(salts)).cast("int")
+  }
+
   /** Two-phase salted sum/count aggregation.
     *
     * @param aggs (outputName → sum column expression); counts are sums of
@@ -22,11 +38,13 @@ object Skew {
     */
   def saltedSumAgg(df: DataFrame, keys: Seq[String], salts: Int,
       aggs: Seq[(String, Column)]): DataFrame = {
-    // deterministic salt: spread rows without RNG (monotonic id % salts
-    // would also work but is partition-layout-dependent)
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*),
-        lit(salts)))
+    // deterministic salt from ROW CONTENT: stable under partial stage
+    // retry (monotonically_increasing_id is partition-layout-dependent
+    // — SPARK-23207 class lost/duplicated rows when the input is
+    // post-shuffle). Identical rows share a salt, which cannot affect
+    // a sum and only concentrates spreading when a hot key is made of
+    // byte-identical duplicate rows.
+    val salted = df.withColumn("__salt", rowSalt(df, salts))
     val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
@@ -63,9 +81,7 @@ object Skew {
     require(salts > 0, "salts must be positive")
     require(Set("inner", "left", "left_outer", "leftouter")(joinType),
       s"saltedJoin supports inner/left joins only, got $joinType")
-    val bigS = big.withColumn("__salt",
-      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*),
-        lit(salts)).cast("int"))
+    val bigS = big.withColumn("__salt", rowSalt(big, salts))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
@@ -92,13 +108,32 @@ object Skew {
       keys: Seq[String], fpp: Double = 0.01,
       expectedItems: Option[Long] = None): DataFrame = {
     val n = math.max(1L, expectedItems.getOrElse(small.count()))
-    // hash through a COMMON string rendering: the join itself coerces
-    // an INT key to match a BIGINT key, but xxhash64 hashes the native
-    // types differently — without the cast a type-mismatched pair of
-    // tables would drop every true match (the one failure mode a
-    // bloom prefilter must never have)
+    // Hash both sides at the join's COMMON COERCED key type: the join
+    // itself coerces an INT key to match a BIGINT/DOUBLE key, but
+    // xxhash64 hashes native types differently — and a string
+    // rendering is NOT a unifier ('1' vs '1.0' for the same coerced
+    // value), so either mistake silently drops true matches, the one
+    // failure mode a bloom prefilter must never have. The widened type
+    // comes from the analyzer's own set-op coercion (a limit(0) union
+    // is analysis-only), so it matches what the equi-join compares at;
+    // mixed string/numeric pairs use a different comparison-coercion
+    // rule than unions, so those are rejected rather than guessed.
+    val commonTypes = keys.map { k =>
+      val (bt, st) = (big.schema(k).dataType, small.schema(k).dataType)
+      if (bt == st) bt
+      else {
+        require(bt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          st.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"bloomPrefilteredJoin key '$k': sides have incompatible " +
+            s"types $bt vs $st — cast one side to the other first")
+        big.select(big(k)).limit(0)
+          .union(small.select(small(k)).limit(0)).schema.head.dataType
+      }
+    }
     def keyHash(df: DataFrame) =
-      xxhash64(keys.map(k => df(k).cast("string")): _*)
+      xxhash64(keys.zip(commonTypes).map {
+        case (k, t) => df(k).cast(t)
+      }: _*)
     val (bits, k) = Sketches.buildBloomBits(
       small.select(keyHash(small).as("__k")), "__k", n, fpp)
     val probe = Sketches.bloomMightContain(big.sparkSession,

@@ -323,6 +323,15 @@ class ExtSpec extends SparkSpecBase {
     val halfNull = Seq((java.lang.Long.valueOf(77L),
       null.asInstanceOf[java.lang.Long])).toDF("a", "b")
     assert(delta(oldE, halfNull) == cc(oldE))
+    // self-loop delta edges likewise: the full CC's symmetrize step
+    // drops them, so a self-loop on a BRAND-NEW vertex must not seed
+    // a spurious singleton (delta == recompute), alone or mixed into
+    // a batch with real edges
+    val selfLoop = Seq((77L, 77L)).toDF("a", "b")
+    assert(delta(oldE, selfLoop) == cc(oldE))
+    val mixedLoop = Seq((77L, 77L), (3L, 10L), (2L, 2L)).toDF("a", "b")
+    assert(delta(oldE, mixedLoop) ==
+      cc(oldE.unionByName(Seq((3L, 10L)).toDF("a", "b"))))
     // chaining: folding two deltas == full CC over everything
     val e2 = Seq((22L, 50L)).toDF("a", "b")
     val chained = Dedup.connectedComponentsDelta(

@@ -193,6 +193,25 @@ class ScaleLayoutSpec extends SparkSpecBase {
     val wantMixed = bigInt.join(small, Seq("k"))
       .select("k", "v", "w").as[(Long, Long, Long)].collect().toSeq.sorted
     assert(gotMixed == wantMixed && wantMixed.nonEmpty)
+    // INT vs DOUBLE keys: the join coerces both to DOUBLE, where a
+    // string rendering diverges ('1' vs '1.0') — hashing must happen
+    // at the coerced type, or every true match false-negatives out
+    val smallDbl = spark.range(7).select(
+      (col("id") * 131).cast("double").as("k"), (col("id") + 100).as("w"))
+    val gotDbl = Skew.bloomPrefilteredJoin(bigInt, smallDbl, Seq("k"))
+      .select(col("k").cast("long"), col("v"), col("w"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val wantDbl = bigInt.join(smallDbl, Seq("k"))
+      .select(col("k").cast("long"), col("v"), col("w"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(gotDbl == wantDbl && wantDbl.nonEmpty)
+    // incompatible (string vs numeric) key types are rejected loudly —
+    // comparison coercion differs from set-op widening there, so
+    // guessing risks silent row drops
+    val smallStr = small.select(col("k").cast("string").as("k"), col("w"))
+    intercept[IllegalArgumentException] {
+      Skew.bloomPrefilteredJoin(bigInt, smallStr, Seq("k"))
+    }
   }
 
   test("compact: ceil(bytes/target) files, content and clustering kept") {

@@ -189,12 +189,47 @@ class StatsSpec extends SparkSpecBase {
     val mk1 = Seq((1L, Some(""))).toDF("id", "v")
     val mk2 = Seq((1L, Option.empty[String])).toDF("id", "v")
     assert(dig(mk1) != dig(mk2))
-    // empty table: digest 0, never NULL (equality gates must not
-    // three-value on two legitimately identical empty releases)
+    // empty table: digest (0, 0) in the hi/lo BIGINT pair, never NULL
+    // (equality gates must not three-value on two legitimately
+    // identical empty releases)
     val empty = dig(a.filter($"id" < 0))
     assert(empty.getLong(0) == 0L &&
-      empty.getDecimal(1) != null &&
-      empty.getDecimal(1).longValueExact == 0L)
+      !empty.isNullAt(1) && empty.getLong(1) == 0L &&
+      !empty.isNullAt(2) && empty.getLong(2) == 0L)
+    // schema contract: (n_rows BIGINT, digest_hi BIGINT, digest_lo
+    // BIGINT) — the canonical cross-engine rendering
+    val sch = Stats.contentDigest(a, Seq("id", "v")).schema
+    assert(sch.map(_.name) == Seq("n_rows", "digest_hi", "digest_lo"))
+    assert(sch.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType))
+  }
+
+  test("digestSplit: exact divmod 2^63 on wide decimals above int64") {
+    import graft.ext.Stats
+    // literal DECIMAL(38,0) digests below / at / just above 2^63, and
+    // far above int64 — the overflow path a 10^10-row table would hit,
+    // pinned without building one (Stats.scala digestSplit contract)
+    val two63 = BigInt("9223372036854775808") // 2^63
+    val cases = Seq(
+      BigInt(0), BigInt(1), BigInt(42),
+      two63 - 1, // max lo, hi 0
+      two63, // exactly 2^63 → (1, 0)
+      two63 + 7, // (1, 7)
+      two63 * 2 + 5, // 2^64 + 5 → (2, 5)
+      two63 * 1000000 + 999, // deep hi
+      BigInt(2).pow(125) + 12345) // near the 2^126 documented ceiling
+    // build from string literals: the Scala BigDecimal encoder pins
+    // DECIMAL(38,18), which cannot hold >10^20 — the string cast can
+    val df = cases.map(v => Tuple1(v.toString)).toDF("__digest")
+      .select($"__digest".cast("decimal(38,0)").as("__digest"))
+    val got = df.select(Stats.digestSplit("__digest"): _*)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val want = cases.map(v => ((v / two63).toLong, (v % two63).toLong))
+    assert(got == want)
+    // reconstruction is lossless: hi * 2^63 + lo == original
+    got.zip(cases).foreach { case ((hi, lo), v) =>
+      assert(BigInt(hi) * two63 + BigInt(lo) == v)
+    }
   }
 
   test("incremental state merge == direct aggregation, exactly") {
@@ -259,5 +294,20 @@ class StatsSpec extends SparkSpecBase {
     val withNulls = df.unionByName(
       Seq(("g0", null.asInstanceOf[java.lang.Double])).toDF("g", "v"))
     assert(stateSet(withNulls) == stateSet(df))
+    // a NULL GROUP KEY is a legitimate group and must survive the
+    // totals step (an equi-join on the keys silently dropped it; the
+    // window-partitioned total keeps it)
+    val nullKey = df.unionByName(Seq(
+      (null.asInstanceOf[String], 1.0),
+      (null.asInstanceOf[String], 2.0),
+      (null.asInstanceOf[String], 3.0)).toDF("g", "v"))
+    val gotNk = Incremental.percentilesFromState(
+        Incremental.histogramState(nullKey, Seq("g"), "v"), Seq("g"),
+        Seq(("p50", 1, 2)))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(gotNk.contains(None), s"NULL group dropped: ${gotNk.keySet}")
+    assert(gotNk(None) == ((200L, 3L))) // median of {100,200,300} cents
+    assert(gotNk.size == 4) // g0..g2 + the NULL group, nothing lost
   }
 }
