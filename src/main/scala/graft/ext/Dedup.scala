@@ -578,7 +578,16 @@ object Dedup {
     org.apache.spark.sql.graftshim.CheckpointShim.materialize(df)
 
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponents]] also returning the PROPAGATION ROUND
+    * count — the scale-diagnostic axis (rounds ≈ graph diameter for
+    * min-propagation, O(log²|V|) for the star variant; ScaleProbe
+    * compares the two on long-chain graphs). */
+  private[graft] def connectedComponentsRounds(edges: DataFrame,
+      srcCol: String, dstCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
     // symmetrize in ONE scan: union(edges, edges.flipped) would evaluate
     // the (possibly expensive — a whole near-dup join in q73) edge plan
     // twice, once per union branch
@@ -629,7 +638,7 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds " +
           "(graph diameter exceeds maxIter): raise maxIter or use " +
           "connectedComponentsStar, whose rounds are diameter-independent")
-    labels
+    (labels, iter)
   }
 
   /** [[connectedComponents]] by alternating star contraction (the
@@ -653,7 +662,14 @@ object Dedup {
     * as [[connectedComponents]]: (id, comp) for every vertex in any
     * edge. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String,
-      dstCol: String, maxIter: Int = 50): DataFrame = {
+      dstCol: String, maxIter: Int = 50): DataFrame =
+    connectedComponentsStarRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponentsStar]] also returning the contraction ROUND
+    * count (each round = one large-star + one small-star half). */
+  private[graft] def connectedComponentsStarRounds(edges: DataFrame,
+      srcCol: String, dstCol: String,
+      maxIter: Int = 50): (DataFrame, Int) = {
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("__v"), col("__u")).toDF("__u", "__v"))
     // m(u) = min(N(u) ∪ {u}) per center vertex
@@ -702,11 +718,12 @@ object Dedup {
           "— raise maxIter (rounds are O(log^2 |V|), so this points at " +
           "a pathological or enormous graph)")
     // stars: every remaining edge points v -> root; roots self-map
-    vertices
+    (vertices
       .join(sym(e).groupBy(col("__u").as("id"))
         .agg(min(col("__v")).as("__nbr")), Seq("id"), "left")
       .select(col("id"),
-        least(col("id"), coalesce(col("__nbr"), col("id"))).as("comp"))
+        least(col("id"), coalesce(col("__nbr"), col("id"))).as("comp")),
+      iter)
   }
 
   /** Incremental connected components: fold a NEW edge batch into an

@@ -154,6 +154,15 @@ object AsofJoin {
     asofBucketed(left, right, keys, leftTs, rightTs, forward = false,
       bucketWidth)
 
+  /** [[backwardBucketed]] with [[deriveBucketWidth]]'s width — the
+    * caller-free form (the interval family's deriveBucketWidth
+    * convention: one extra cheap aggregate buys a data-derived width
+    * instead of a guessed one). */
+  def backwardBucketed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String): DataFrame =
+    backwardBucketed(left, right, keys, leftTs, rightTs,
+      deriveBucketWidth(left, right, leftTs, rightTs))
+
   /** [[forward]] on the bucketed two-pass plan — the negated-timeline
     * evaluation of [[backwardBucketed]]. */
   def forwardBucketed(left: DataFrame, right: DataFrame,
@@ -161,6 +170,46 @@ object AsofJoin {
       bucketWidth: Long): DataFrame =
     asofBucketed(left, right, keys, leftTs, rightTs, forward = true,
       bucketWidth)
+
+  /** [[forwardBucketed]] with [[deriveBucketWidth]]'s width. */
+  def forwardBucketed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String): DataFrame =
+    forwardBucketed(left, right, keys, leftTs, rightTs,
+      deriveBucketWidth(left, right, leftTs, rightTs))
+
+  /** Data-derived bucket width for the bucketed as-of forms: span of
+    * the COMBINED (left ∪ right) timeline divided into enough buckets
+    * that each holds ~`targetRowsPerBucket` union rows, floored at 256
+    * buckets so a small table still exercises the two-pass plan. One
+    * cheap two-table aggregate (min/max/count over the ts columns
+    * only — column-pruned to a single-column scan); width is in
+    * timeline units (micros for timestamps, days for dates, native
+    * units for integers), matching what [[backwardBucketed]] buckets
+    * on. Returns ≥ 1. */
+  def deriveBucketWidth(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String,
+      targetRowsPerBucket: Long = 32768L): Long = {
+    require(targetRowsPerBucket >= 1, "targetRowsPerBucket must be >= 1")
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType,
+      TimestampType}
+    def ordOf(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+        case DateType => col(c).cast("int").cast("long")
+        case _ => col(c).cast("long")
+      }
+    val both = left.select(ordOf(left, leftTs).as("__o"))
+      .unionByName(right.select(ordOf(right, rightTs).as("__o")))
+    val r = both.agg(min(col("__o")).as("lo"), max(col("__o")).as("hi"),
+      count(col("__o")).as("n")).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) 1L
+    else {
+      val domain = math.max(1L, r.getLong(1) - r.getLong(0) + 1)
+      val nBuckets = math.max(256L, r.getLong(2) / targetRowsPerBucket)
+      math.max(1L, domain / nBuckets)
+    }
+  }
 
   private def asofBucketed(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,

@@ -841,7 +841,8 @@ object ScaleProbe {
     // whole timeline onto one core (maxTask ~ wall); the bucketed
     // two-pass form (backwardBucketed) must cut maxTask while the
     // totals stay equal — the same few-key story as the interval rows
-    if (Seq("asof_1key", "asof_1key_bucketed").exists(wanted)) {
+    if (Seq("asof_1key", "asof_1key_bucketed",
+        "asof_1key_bucketedauto").exists(wanted)) {
       val n = 2000000L * copies / 20
       val l1 = spark.range(n).select(lit(0L).as("k"),
         pmod(col("id") * 7919L, lit(1000000000L)).as("ts"),
@@ -858,6 +859,17 @@ object ScaleProbe {
         .backwardBucketed(l1, r1, Seq("k"), "ts", "ts",
           bucketWidth = 1000000L)
         .agg(sum("rid"), count(lit(1))).head())
+      // width-free overload: deriveBucketWidth's extra aggregate scan
+      // + the walk at the derived width (reported so BENCH.md records
+      // where the heuristic landed)
+      time("asof_1key_bucketedauto")({
+        val w = graft.operators.AsofJoin.deriveBucketWidth(
+          l1, r1, "ts", "ts")
+        val s = graft.operators.AsofJoin
+          .backwardBucketed(l1, r1, Seq("k"), "ts", "ts", w)
+          .agg(sum("rid"), count(lit(1))).head()
+        s"$s derivedW=$w"
+      })
     }
 
     // Layout FILES-touched probe (NOTES round-8 #1): ScaleLayoutSpec
@@ -899,6 +911,39 @@ object ScaleProbe {
         println(f"[probe] layout_files $name%-9s slab=$dim " +
           f"files=$t%4d / $files (n=$n)")
       }
+    }
+
+    // High-diameter CC: min-propagation pays ~diameter rounds (each a
+    // join + agg + checkpoint = a full Spark job), star contraction
+    // O(log²|V|) — the row that shows WHY the star variant exists.
+    // 1500 disjoint chains of length 65 (diameter 64, ~97.5k edges):
+    // component structure is irrelevant to round count (rounds = max
+    // diameter over components), so many short-ish chains give the
+    // diameter signal without a 4096-round run.
+    if (Seq("cc_minprop_d64", "cc_star_d64").exists(wanted)) {
+      val chains = 1500L
+      val len = 65L
+      // integer div (Spark `/` on longs is DOUBLE division — it would
+      // shatter every chain into disjoint fractional edges)
+      val pathE = spark.range(chains * (len - 1)).select(
+        expr(s"(id div ${len - 1}) * 1000 + id % ${len - 1}").as("a"),
+        expr(s"(id div ${len - 1}) * 1000 + id % ${len - 1} + 1").as("b"))
+        .cache()
+      println(s"[probe] cc path edges=${pathE.count()} " +
+        s"(chains=$chains diameter=${len - 1})")
+      time("cc_minprop_d64")({
+        val (labels, rounds) = Dedup.connectedComponentsRounds(
+          pathE, "a", "b", maxIter = 200)
+        val comps = labels.select(countDistinct("comp")).head().getLong(0)
+        s"comps=$comps rounds=$rounds"
+      })
+      time("cc_star_d64")({
+        val (labels, rounds) = Dedup.connectedComponentsStarRounds(
+          pathE, "a", "b")
+        val comps = labels.select(countDistinct("comp")).head().getLong(0)
+        s"comps=$comps rounds=$rounds"
+      })
+      pathE.unpersist()
     }
 
     if (nameFilter.nonEmpty && ranCount == 0)

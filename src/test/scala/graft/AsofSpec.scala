@@ -122,6 +122,18 @@ class AsofSpec extends SparkSpecBase {
       assert(rows(AsofJoin.forwardBucketed(l, r, Seq("k"), "ts", "ts",
         width)) == wantF, s"forward width=$width")
     }
+    // width-free overloads: the data-derived width must give the same
+    // rows as every explicit width (and the derivation itself must be
+    // sane: positive, no wider than the combined timeline span)
+    assert(rows(AsofJoin.backwardBucketed(l, r, Seq("k"), "ts", "ts"))
+      == wantB, "backward auto width")
+    assert(rows(AsofJoin.forwardBucketed(l, r, Seq("k"), "ts", "ts"))
+      == wantF, "forward auto width")
+    val dw = AsofJoin.deriveBucketWidth(l, r, "ts", "ts")
+    assert(dw >= 1L && dw <= 100000L, s"derived width $dw")
+    // empty inputs: derivation degrades to 1, never throws
+    assert(AsofJoin.deriveBucketWidth(
+      l.filter($"lid" < 0), r.filter($"rid" < 0), "ts", "ts") == 1L)
     // equal-ts right must still match in both directions across the
     // bucketed path (the __src tie column survives the two-pass plan)
     val lt = Seq(("k1", 64L, 0L)).toDF("k", "ts", "lid") // on a boundary

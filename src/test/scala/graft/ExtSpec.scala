@@ -269,11 +269,22 @@ class ExtSpec extends SparkSpecBase {
     def ccStar(e: org.apache.spark.sql.DataFrame) =
       Dedup.connectedComponentsStar(e, "a", "b")
         .as[(Long, Long)].collect().toMap
-    // a 60-vertex path — diameter 59; star contraction must solve it
-    // in far fewer rounds than propagation needs
-    val path = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    // a 70-vertex path — diameter 69 (≥ 64, past any power-of-two
+    // boundary effect); star contraction must solve it in far fewer
+    // rounds than propagation needs
+    val path = (1L until 70L).map(i => (i, i + 1)).toDF("a", "b")
     assert(ccStar(path) == cc(path))
     assert(ccStar(path).values.toSet == Set(1L))
+    // the round-count claim itself: min-propagation pays ~diameter
+    // rounds, star contraction O(log²) — on this path that is ≥ 34
+    // (propagation halves the worst label distance per round at best)
+    // vs ≤ 12
+    val (_, propRounds) =
+      Dedup.connectedComponentsRounds(path, "a", "b", maxIter = 200)
+    val (_, starRounds) =
+      Dedup.connectedComponentsStarRounds(path, "a", "b")
+    assert(propRounds >= 34 && starRounds <= 12,
+      s"prop=$propRounds star=$starRounds")
     // deterministic pseudo-random graph: 120 vertices, 140 edges
     val rnd = (0 until 140).map { i =>
       val a = (i * 7919L) % 120; val b = (i * 104729L + 13) % 120
