@@ -24,10 +24,16 @@ object AnalyticQueries {
     * TIME-ORDERED batches (sorted on the operators' own exact-micros
     * key — a millis-only sort could split a shared millisecond across
     * a batch boundary against the micros timeline, ADVICE r7) and
-    * return the raw sink rows. The driver-side collect here is the
-    * test harness feeding the stream, not the operator (which is keyed
-    * state, bounded per user); callers fold the sink rows — matrix- or
-    * users-sized — on the driver. */
+    * return the raw sink rows.
+    *
+    * Scale shape: SPARK does the sort (a distributed, spill-aware
+    * orderBy on (unix_micros, event_id)); the driver only STREAMS the
+    * sorted result partition-by-partition through `toLocalIterator`,
+    * so it never holds more than one partition of events — a 10×
+    * event table changes batch count, not driver memory. (MemoryStream
+    * feeding is inherently driver-side; the operator under test is
+    * keyed state, bounded per user.) Callers fold the sink rows —
+    * matrix- or users-sized — on the driver. */
   private def replayThirds(s: SparkSession, dir: String,
       op: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.Event] =>
         org.apache.spark.sql.Dataset[_],
@@ -40,13 +46,17 @@ object AnalyticQueries {
     import graft.streaming.EventStreams
     implicit val sqlCtx = s.sqlContext
     val ev = t(s, dir, "events")
-    val rows = GraftSession.tsTimestamp(ev)
+    // unix_micros == the old driver key floorDiv(getTime,1000)·10⁶ +
+    // nanos/1000 — the exact-micros walk order, now sorted by Spark
+    val sorted = GraftSession.tsTimestamp(ev)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-      .as[EventStreams.Event].collect()
-      .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
-        e.ts.getNanos / 1000L, e.event_id))
-    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+      .orderBy(unix_micros(col("ts")).asc, col("event_id").asc)
+      .as[EventStreams.Event]
+      .persist()
+    val agg = sorted.agg(count(lit(1)), max(unix_micros(col("ts")))).head()
+    val n = agg.getLong(0)
+    val batchSize = math.max(1L, (n + 2) / 3).toInt
     val mem = MemoryStream[EventStreams.Event]
     val sink = "replay_sink_" + java.util.UUID.randomUUID.toString
       .replace("-", "")
@@ -54,12 +64,23 @@ object AnalyticQueries {
       .outputMode(mode)
       .format("memory").queryName(sink).start()
     try {
-      thirds.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
-      if (flush) {
+      val it = sorted.toLocalIterator()
+      val batch = new scala.collection.mutable.ArrayBuffer[
+        EventStreams.Event](batchSize)
+      def feed(): Unit = if (batch.nonEmpty) {
+        mem.addData(batch.toSeq: _*); q.processAllAvailable()
+        batch.clear()
+      }
+      while (it.hasNext) {
+        batch += it.next()
+        if (batch.size == batchSize) feed()
+      }
+      feed()
+      if (flush && n > 0) {
         // a far-future sentinel pushes the watermark past every real
         // day so timer-driven operators (q148) close their final days;
         // the fold filters the sentinel's own "__flush" emissions
-        val maxMs = rows.last.ts.getTime
+        val maxMs = Math.floorDiv(agg.getLong(1), 1000L)
         mem.addData(EventStreams.Event(-1L,
           new java.sql.Timestamp(maxMs + 11L * 86400000L), -1L,
           "__flush", 0.0))
@@ -69,6 +90,7 @@ object AnalyticQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(sink)
+      sorted.unpersist()
     }
   }
 

@@ -33,6 +33,25 @@ object VectorQueries {
           slice(col("embedding").cast("array<double>"), s * 8 + 1, 8)): _*)))
       .select(col("pos").as("sub"), col("cid"), col("col").as("cvec"))
 
+  /** [[fixedCodebooks]] over RESIDUALS: codewords = residual
+    * subvectors (v − centroid of v's cell) of the 16 lowest-id
+    * embeddings — deterministic and SQL-replicable like the raw
+    * pinned codebooks, but in the residual space
+    * [[Similarity.ivfPqTopKResidual]] encodes. */
+  private def fixedResidualCodebooks(e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val res = Similarity.ivfAssign(e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", cents)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          col("cvec").cast("array<double>"), (a, b) => a - b).as("__rv"))
+    res.select(col("vec_id").as("cid"),
+        posexplode(array((0 until 8).map(s =>
+          slice(col("__rv"), s * 8 + 1, 8)): _*)))
+      .select(col("pos").as("sub"), col("cid"), col("col").as("cvec"))
+  }
+
   /** Pinned OPQ-style rotation for the oracle-checked q97 — the
     * pinned-centroid device applied to [[Similarity.opqRotation]]'s
     * output position: a trained rotation is not SQL-replicable (driver
@@ -143,6 +162,22 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.ivfPqTopK(e, "vec_id", "embedding", cents,
           fixedCodebooks(e), col("vec_id") < 10, k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // RESIDUAL IVF-PQ (the FAISS-standard composition): codes quantize
+    // v − centroid(cell) instead of v, so the code budget describes the
+    // within-cell distribution; the query LUT is rebuilt per probed
+    // cell on q − centroid(cell). Pinned-artifact device throughout:
+    // q43's 8 centroids, codebooks = residual subvectors of the 16
+    // lowest-id embeddings — both SQL-replicable. Same corpus plan
+    // shape as q82: two map-only codegen kernels, no corpus shuffle.
+    "q154_ivfpq_residual_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfPqTopKResidual(e, "vec_id", "embedding", cents,
+          fixedResidualCodebooks(e, cents), col("vec_id") < 10, k = 3)
         .orderBy("q_id", "rank")
     }),
 
@@ -437,6 +472,49 @@ object VectorQueries {
         |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |        ORDER BY dist ASC, n_id ASC) AS INTEGER) AS rank FROM dist)
         |SELECT q_id, n_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+    // q82's skeleton moved into RESIDUAL space: the cell-assign CTE
+    // feeds a residual table (v − centroid of v's cell); codewords,
+    // corpus codes and the query LUT are all built from residuals.
+    "q154_ivfpq_residual_topk" ->
+      """WITH cent AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS cvec
+        |              FROM embeddings WHERE vec_id < 8),
+        |cell AS (SELECT vec_id, ccid FROM (
+        |   SELECT e.vec_id, c.ccid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec), c.ccid) AS rn
+        |   FROM embeddings e, cent c) WHERE rn = 1),
+        |resid AS (SELECT e.vec_id, cell.ccid,
+        |    list_transform(generate_series(1,64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) AS rv
+        |  FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id
+        |  JOIN cent c ON cell.ccid = c.ccid),
+        |sub AS (SELECT UNNEST(generate_series(0,7)) AS s),
+        |rcw AS (SELECT sub.s, r.vec_id AS cid,
+        |    list_transform(generate_series(1,8), i -> r.rv[sub.s*8+i]) AS cv
+        |  FROM resid r, sub WHERE r.vec_id < 16),
+        |rev AS (SELECT r.vec_id, r.ccid, sub.s,
+        |    list_transform(generate_series(1,8), i -> r.rv[sub.s*8+i]) AS sv
+        |  FROM resid r, sub),
+        |asg AS (SELECT vec_id, s, cid FROM (
+        |   SELECT rev.vec_id, rev.s, rcw.cid,
+        |     ROW_NUMBER() OVER (PARTITION BY rev.vec_id, rev.s ORDER BY
+        |       list_sum(list_transform(generate_series(1,8),
+        |         i -> (rev.sv[i]-rcw.cv[i])*(rev.sv[i]-rcw.cv[i]))), rcw.cid) AS rn
+        |   FROM rev JOIN rcw ON rev.s = rcw.s) WHERE rn = 1),
+        |ncv AS (SELECT a.vec_id, a.s, cw.cv FROM asg a
+        |        JOIN rcw cw ON a.s = cw.s AND a.cid = cw.cid),
+        |q AS (SELECT rev.vec_id AS q_id, rev.s, rev.sv, rev.ccid
+        |      FROM rev WHERE rev.vec_id < 10),
+        |ps AS (SELECT q.q_id, n.vec_id AS n_id, q.s,
+        |        list_sum(list_transform(generate_series(1,8),
+        |          i -> (q.sv[i]-n.cv[i])*(q.sv[i]-n.cv[i]))) AS d
+        |       FROM q JOIN ncv n ON q.s = n.s
+        |       JOIN cell nc ON nc.vec_id = n.vec_id AND nc.ccid = q.ccid
+        |       WHERE n.vec_id <> q.q_id),
+        |dist AS (SELECT q_id, n_id, list_sum(list(d ORDER BY s)) AS dist
+        |         FROM ps GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY dist ASC, n_id ASC) AS INTEGER) AS rank FROM dist)
+        |SELECT q_id, n_id, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     // q43's cell-assign CTE (L2 argmin with the (dist, cid) tiebreak of
     // NearestCentroid) + the same-cell cosine pair join.
     "q89_semantic_neardup" ->

@@ -309,13 +309,14 @@ object Similarity {
   /** Per-query squared-L2 LUT column over `__qv`: LUT[s][j] =
     * ||q_sub(s) − codeword_j(s)||², the ADC kernel's input. Interpreted
     * HOFs are fine — this evaluates once per QUERY row. */
-  private def lutFor(cbs: Seq[(Seq[Long], Seq[Seq[Double]])])
+  private def lutFor(cbs: Seq[(Seq[Long], Seq[Seq[Double]])],
+      qv: org.apache.spark.sql.Column = col("__qv"))
       : org.apache.spark.sql.Column = {
     val subdim = cbs.head._2.head.length
     array(cbs.zipWithIndex.map { case ((_, matrix), s) =>
       transform(typedLit(matrix),
         cw => aggregate(
-          zip_with(slice(col("__qv"), s * subdim + 1, subdim), cw,
+          zip_with(slice(qv, s * subdim + 1, subdim), cw,
             (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x))
     }: _*)
@@ -484,6 +485,152 @@ object Similarity {
       .orderBy(col("dist").asc, col("n_id").asc)
     // ASC sorts NULLS FIRST: a null distance (corrupt code or
     // truncated vector) would take rank 1 — exclude it instead
+    scored.filter(col("dist").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
+  /** One nearestCentroid kernel per row feeding BOTH the cell id and
+    * the residual `v − centroid(cell)` — the shared corpus-side map of
+    * the residual IVF-PQ family. Still map-only codegen; the matrix
+    * rides as a plan literal. */
+  private def withCellResidual(corpus: DataFrame, vecCol: String,
+      cids: Seq[Long], matrix: Seq[Seq[Double]]): DataFrame =
+    corpus
+      .withColumn("__ci", nearestCentroid(col(vecCol), matrix))
+      .withColumn("cid", element_at(typedLit(cids), col("__ci") + lit(1)))
+      .withColumn("__rv", zip_with(col(vecCol).cast("array<double>"),
+        element_at(typedLit(matrix.map(_.toSeq)), col("__ci") + lit(1)),
+        (a, b) => a - b))
+      .drop("__ci")
+
+  /** [[probeCells]] also carrying each probed cell's MATRIX INDEX, so
+    * the residual query side can subtract the right centroid without a
+    * cid→row lookup join. Same metric, same (dist, cid) tiebreak. */
+  private def probeCellsWithIdx(vec: org.apache.spark.sql.Column,
+      cids: Seq[Long], matrix: Seq[Seq[Double]],
+      nProbe: Int): org.apache.spark.sql.Column = {
+    val cents = typedLit(cids.zipWithIndex.map {
+      case (c, i) => (c, i, matrix(i))
+    })
+    val scored = transform(cents, c => struct(
+      aggregate(
+        zip_with(c.getField("_3"), vec.cast("array<double>"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x).as("d"),
+      c.getField("_1").as("cid"),
+      c.getField("_2").as("idx")))
+    transform(slice(array_sort(scored), 1, nProbe),
+      s => struct(s.getField("cid").as("cid"), s.getField("idx").as("idx")))
+  }
+
+  /** [[pqTrain]] on RESIDUALS `v − centroid(cell)` — the FAISS-standard
+    * IVF-PQ composition: the coarse quantizer removes the cell mean, so
+    * the codebooks spend their ksub codewords on the (much tighter)
+    * within-cell distribution instead of re-describing cell positions.
+    * Same determinism and sampling contract as [[pqTrain]]. Use with
+    * [[pqEncodeResidual]]/[[ivfPqTopKResidual]] — raw-vector ADC
+    * against residual codebooks is meaningless. */
+  def pqTrainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, m: Int, ksub: Int, iters: Int = 3,
+      sampleSize: Int = 4096): DataFrame = {
+    val (cids, matrix) = collectCentroids(centroids)
+    pqTrain(withCellResidual(corpus, vecCol, cids, matrix), idCol,
+      "__rv", m, ksub, iters, sampleSize)
+  }
+
+  /** [[pqEncode]] of the RESIDUAL, also emitting the cell id: adds
+    * (cid, pq_code) in one map-only pass — the persisted layout for
+    * [[ivfPqTopKOnCodesResidual]]. */
+  def pqEncodeResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, codebooks: DataFrame): DataFrame = {
+    val (cids, matrix) = collectCentroids(centroids)
+    val cbs = collectCodebooks(codebooks)
+    val codes = encodeIndexCols("__rv", cbs).zip(cbs).map {
+      case (idx, (cc, _)) => element_at(typedLit(cc), idx + lit(1))
+    }
+    withCellResidual(corpus, vecCol, cids, matrix)
+      .withColumn("pq_code", array(codes: _*))
+      .drop("__rv")
+  }
+
+  /** [[ivfPqTopK]] with RESIDUAL encoding: corpus codes quantize
+    * `v − centroid(cell)`; each query recomputes its LUT per probed
+    * cell on `q − centroid(cell)` (the residual contract makes the LUT
+    * cell-dependent — m×ksub×subdim work per (query, probe), query
+    * side only). Same output contract and the same corpus plan shape:
+    * two map-only codegen kernels, probe list + LUTs broadcast, the
+    * corpus never shuffles. */
+  def ivfPqTopKResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, codebooks: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val (cids, matrix) = collectCentroids(centroids)
+    val cbs = collectCodebooks(codebooks)
+    val enc = withCellResidual(corpus, vecCol, cids, matrix)
+      .withColumn("__code",
+        array(encodeIndexCols("__rv", cbs).map(_.cast("long")): _*))
+    val q = enc.filter(queryPred)
+      .select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__p",
+        explode(probeCellsWithIdx(col("__qv"), cids, matrix, nProbe)))
+      .withColumn("__rqv", zip_with(col("__qv"),
+        element_at(typedLit(matrix.map(_.toSeq)),
+          col("__p.idx") + lit(1)),
+        (a, b) => a - b))
+      .select(col("q_id"), col("__p.cid").as("cid"),
+        lutFor(cbs, col("__rqv")).as("__lut"))
+    scoreAdcRanked(enc.select(col(idCol).as("n_id"), col("cid"),
+      col("__code")), q, k)
+  }
+
+  /** [[ivfPqTopKOnCodes]] for a RESIDUAL-encoded layout
+    * ([[pqTrainResidual]] + [[pqEncodeResidual]] persisted once) — the
+    * serving path: per-probe residual LUTs against loaded artifacts,
+    * only probed cells' m-byte codes scored. */
+  def ivfPqTopKOnCodesResidual(encoded: DataFrame, idCol: String,
+      cellCol: String, codeCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      centroids: DataFrame, codebooks: DataFrame, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val (cids, matrix) = collectCentroids(centroids)
+    val cbs = collectCodebooks(codebooks)
+    requireCanonicalCids(cbs)
+    val q = queries
+      .select(col(qIdCol).as("q_id"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+      .withColumn("__p",
+        explode(probeCellsWithIdx(col("__qv"), cids, matrix, nProbe)))
+      .withColumn("__rqv", zip_with(col("__qv"),
+        element_at(typedLit(matrix.map(_.toSeq)),
+          col("__p.idx") + lit(1)),
+        (a, b) => a - b))
+      .select(col("q_id"), col("__p.cid").as("cid"),
+        lutFor(cbs, col("__rqv")).as("__lut"))
+    scoreAdcRanked(encoded.select(col(idCol).as("n_id"),
+      col(cellCol).as("cid"),
+      col(codeCol).cast("array<long>").as("__code")), q, k)
+  }
+
+  /** Shared ADC tail for the cell-joined paths: broadcast the
+    * (q_id, cid, __lut) query side, join on the cell, ADC-score, rank
+    * with the canonical (dist asc, n_id asc) tiebreak, drop null
+    * distances (ASC sorts NULLS FIRST — a corrupt code must not take
+    * rank 1). */
+  private def scoreAdcRanked(corpusSide: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
+    val spark = corpusSide.sparkSession
+    val scored = corpusSide
+      .join(broadcast(q), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("dist", graft.functions.expressions.VectorExpressions
+        .pqAdcDistance(spark, col("__code"), col("__lut")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id").asc)
     scored.filter(col("dist").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

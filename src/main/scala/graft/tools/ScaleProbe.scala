@@ -103,7 +103,7 @@ object ScaleProbe {
       "cc_delta",
       "kmeans_train_16x2", "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
       "remove_dup_spans_w1", "remove_dup_spans_w8",
-      "pq_train_encode_adc", "ivfpq_3probe",
+      "pq_train_encode_adc", "ivfpq_3probe", "ivfpq_residual_3probe",
       "pq_adc_loaded", "ivfpq_loaded", "ann_artifact_build",
       "bm25_3terms", "vsm_3terms",
       "cluster_sample_k256_q32",
@@ -200,6 +200,18 @@ object ScaleProbe {
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 16, ksub = 32, iters = 1)
       Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb,
+        $"vec_id" < 10, k = 5, nProbe = 3).count()
+    })
+    // residual variant: same plan shape (the residual subtraction is
+    // one more map-only zip_with on each side; the LUT moves after the
+    // probe explode) — the row pins that residual encoding costs no
+    // extra shuffle
+    time("ivfpq_residual_3probe")({
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 1)
+      val cb = Similarity.pqTrainResidual(emb, "vec_id", "embedding",
+        cents, m = 16, ksub = 32, iters = 1)
+      Similarity.ivfPqTopKResidual(emb, "vec_id", "embedding", cents, cb,
         $"vec_id" < 10, k = 5, nProbe = 3).count()
     })
 

@@ -615,6 +615,57 @@ class ExtSpec extends SparkSpecBase {
     assert(err.getMessage.contains("canonical"))
   }
 
+  test("residual IVF-PQ: recall >= raw codes at same m/ksub; serving exact") {
+    // the FAISS-standard composition: PQ codes quantize v − centroid
+    // (cell) instead of v — the coarse quantizer absorbs the cell
+    // mean, so the same code budget describes a tighter distribution.
+    // Deterministic end to end, so the recall comparison is exact, not
+    // statistical.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .cache()
+    val isQuery = $"vec_id" < 50
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteForceTopK(emb,
+      emb.filter(isQuery), "vec_id", "embedding", 5))
+    def recall(got: Map[Long, Set[Long]]) = brute.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / brute.size
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 2)
+    val cbRaw = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 16, ksub = 32, iters = 2)
+    val cbRes = Similarity.pqTrainResidual(emb, "vec_id", "embedding",
+      cents, m = 16, ksub = 32, iters = 2)
+    val rRaw = recall(topSets(Similarity.ivfPqTopK(emb, "vec_id",
+      "embedding", cents, cbRaw, isQuery, k = 5, nProbe = 4)))
+    val rRes = recall(topSets(Similarity.ivfPqTopKResidual(emb, "vec_id",
+      "embedding", cents, cbRes, isQuery, k = 5, nProbe = 4)))
+    info(f"ivfpq recall@5 (m=16, ksub=32, nProbe=4): " +
+      f"raw=$rRaw%.3f residual=$rRes%.3f")
+    assert(rRes >= rRaw,
+      f"residual encoding must not lose recall: $rRaw%.3f -> $rRes%.3f")
+    // serving path: persisted (id, cid, pq_code) + loaded artifacts
+    // must reproduce the inline ranking exactly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("residual_codes_").toString
+    Similarity.pqEncodeResidual(emb, "vec_id", "embedding", cents, cbRes)
+      .select("vec_id", "cid", "pq_code")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    cbRes.write.mode("overwrite").parquet(s"$dir/cb")
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    assert(rows(Similarity.ivfPqTopKOnCodesResidual(
+        spark.read.parquet(s"$dir/codes"), "vec_id", "cid", "pq_code",
+        emb.filter(isQuery), "vec_id", "embedding",
+        spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/cb"),
+        k = 5, nProbe = 4)) ==
+      rows(Similarity.ivfPqTopKResidual(emb, "vec_id", "embedding",
+        cents, cbRes, isQuery, k = 5, nProbe = 4)))
+  }
+
   test("opq: orthogonal rotation cuts PQ quantization distortion ~6x") {
     // anisotropic correlated corpus: 32-dim with a steep variance
     // spectrum that a FIXED dense mixing matrix spreads across every PQ
