@@ -47,40 +47,62 @@ object AnalyticQueries {
     implicit val sqlCtx = s.sqlContext
     val ev = t(s, dir, "events")
     // unix_micros == the old driver key floorDiv(getTime,1000)·10⁶ +
-    // nanos/1000 — the exact-micros walk order, now sorted by Spark
+    // nanos/1000 — the exact-micros walk order, sorted by Spark into
+    // THREE range partitions that ARE the micro-batches: partition
+    // boundaries fall on the sort key, so batches stay time-ordered,
+    // and the driver streams one partition at a time (3 fetch jobs —
+    // a 32-partition orderBy + per-partition toLocalIterator paid ~35
+    // scheduler round-trips per run and tripled the harness tax)
+    val key = unix_micros(col("ts"))
     val sorted = GraftSession.tsTimestamp(ev)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-      .orderBy(unix_micros(col("ts")).asc, col("event_id").asc)
+      .repartitionByRange(3, key.asc, col("event_id").asc)
+      .sortWithinPartitions(key.asc, col("event_id").asc)
       .as[EventStreams.Event]
-      .persist()
-    val agg = sorted.agg(count(lit(1)), max(unix_micros(col("ts")))).head()
-    val n = agg.getLong(0)
-    val batchSize = math.max(1L, (n + 2) / 3).toInt
     val mem = MemoryStream[EventStreams.Event]
     val sink = "replay_sink_" + java.util.UUID.randomUUID.toString
       .replace("-", "")
-    val q = op(mem.toDS()).writeStream
-      .outputMode(mode)
-      .format("memory").queryName(sink).start()
+    // Size the stream's STATE partitioning to the harness load: the
+    // partition count is frozen per query at start from
+    // shuffle.partitions, and 32 state-store instances × several
+    // stages × 4 micro-batches is pure task overhead for 100k-row
+    // replays (the stream-stream q132 pays it hardest). At real scale
+    // the same knob sizes state partitions to throughput. Restored
+    // after the stream so batch plans are untouched.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try op(mem.toDS()).writeStream
+        .outputMode(mode)
+        .format("memory").queryName(sink).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
-      val it = sorted.toLocalIterator()
-      val batch = new scala.collection.mutable.ArrayBuffer[
-        EventStreams.Event](batchSize)
+      val it = sorted.rdd
+        .mapPartitionsWithIndex((i, rows) => rows.map(e => (i, e)))
+        .toLocalIterator
+      val batch =
+        new scala.collection.mutable.ArrayBuffer[EventStreams.Event]
+      var cur = -1
+      var lastMicros = Long.MinValue
       def feed(): Unit = if (batch.nonEmpty) {
         mem.addData(batch.toSeq: _*); q.processAllAvailable()
         batch.clear()
       }
       while (it.hasNext) {
-        batch += it.next()
-        if (batch.size == batchSize) feed()
+        val (p, e) = it.next()
+        if (p != cur) { feed(); cur = p }
+        lastMicros = Math.max(lastMicros,
+          Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+            e.ts.getNanos / 1000L)
+        batch += e
       }
       feed()
-      if (flush && n > 0) {
+      if (flush && lastMicros != Long.MinValue) {
         // a far-future sentinel pushes the watermark past every real
         // day so timer-driven operators (q148) close their final days;
         // the fold filters the sentinel's own "__flush" emissions
-        val maxMs = Math.floorDiv(agg.getLong(1), 1000L)
+        val maxMs = Math.floorDiv(lastMicros, 1000L)
         mem.addData(EventStreams.Event(-1L,
           new java.sql.Timestamp(maxMs + 11L * 86400000L), -1L,
           "__flush", 0.0))
@@ -90,7 +112,6 @@ object AnalyticQueries {
     } finally {
       q.stop()
       s.catalog.dropTempView(sink)
-      sorted.unpersist()
     }
   }
 
