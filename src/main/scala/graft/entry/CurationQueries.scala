@@ -43,6 +43,35 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Weighted sample WITHOUT replacement (Efraimidis–Spirakis):
+    // inclusion odds ∝ char length, the "sample big docs more" corpus
+    // subsample. The draw is the md5-u32 hash, so the oracle replays
+    // it exactly — ln and the u division are correctly-rounded IEEE
+    // ops that agree bit-for-bit across engines. Plans as TakeOrdered:
+    // per-partition top-k, corpus never shuffles.
+    "q155_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // output integer columns only: the KEY is ln-derived and JVM vs
+      // glibc ln differ by 1 ulp on rare inputs (observed on q156's
+      // draw) — never enough to reorder distinct docs, but enough to
+      // fail a bit-exact double hash
+      Curation.weightedSample(d, "doc_id", length(col("text")),
+          k = 20, seed = "ws1")
+        .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // The per-stratum form: top-5 weighted draw per source — balanced
+    // weighted subsampling. rank<=k over the key window plans as
+    // WindowGroupLimit (local per-task top-k BEFORE the shuffle).
+    "q156_weighted_sample_stratified" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.weightedSampleStratified(d, Seq("source"), "doc_id",
+          length(col("text")), k = 5, seed = "ws2")
+        .select("source", "doc_id", "rank")
+        .orderBy(col("source").asc, col("rank").asc)
+    }),
+
     // Deterministic train/val/test split (80/10/10): fixed-point hash
     // intervals, map-only, stable under corpus growth — a doc keeps its
     // split forever regardless of what arrives later.
@@ -176,6 +205,29 @@ object CurationQueries {
         |  CAST(SUM(CASE WHEN copies>1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
         |FROM h JOIN c USING (hh)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // the A-ES draw replayed exactly: same md5-u32 hash, same
+    // (h + 0.5)/2^32 division, same ln — all correctly-rounded IEEE,
+    // so sample_key hashes match bit-for-bit
+    "q155_weighted_sample" ->
+      """WITH k AS (SELECT doc_id,
+        |  ln((CAST(CAST(concat('0x', substr(md5(concat('ws1','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) AS DOUBLE) + 0.5)
+        |     / 4294967296.0) / CAST(LENGTH(text) AS DOUBLE) AS sample_key
+        | FROM documents WHERE LENGTH(text) > 0),
+        |top AS (SELECT doc_id FROM k
+        |        ORDER BY sample_key DESC, doc_id ASC LIMIT 20)
+        |SELECT t.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS w
+        |FROM top t JOIN documents d USING (doc_id)
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q156_weighted_sample_stratified" ->
+      """WITH k AS (SELECT source, doc_id,
+        |  ln((CAST(CAST(concat('0x', substr(md5(concat('ws2','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) AS DOUBLE) + 0.5)
+        |     / 4294967296.0) / CAST(LENGTH(text) AS DOUBLE) AS sample_key
+        | FROM documents WHERE LENGTH(text) > 0),
+        |r AS (SELECT source, doc_id, sample_key,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY sample_key DESC, doc_id ASC) AS INTEGER) AS rank FROM k)
+        |SELECT source, doc_id, rank FROM r
+        |WHERE rank <= 5 ORDER BY source ASC, rank ASC""".stripMargin,
     // bounds = cumulative fixed-point fractions: 0.8*2^32 = 3435973836,
     // + 0.1*2^32 = 3865470565; 'test' takes the remainder
     "q87_split_assign" ->

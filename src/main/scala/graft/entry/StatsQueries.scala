@@ -284,6 +284,31 @@ object StatsQueries {
         .orderBy("month")
     }),
 
+    // Incremental JOIN maintenance (insert-only IVM): orders ⋈
+    // customer where BOTH sides take an append — the maintained view
+    // is snapshot-join ∪ joinDelta's three delta terms (ΔA⋈B ∪ A⋈ΔB ∪
+    // ΔA⋈ΔB), and the union must equal the oracle's from-scratch full
+    // join exactly. Every delta term broadcasts the delta side, so the
+    // snapshot history is scanned map-only and shuffled never — the
+    // connectedComponentsDelta convention applied to joins.
+    "q157_incremental_join" -> ((s, dir) => {
+      import graft.ext.Incremental
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("price"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val (snapA, deltaA) = (ord.filter(col("o_orderkey") % 5 =!= 0),
+        ord.filter(col("o_orderkey") % 5 === 0))
+      val (snapB, deltaB) = (cust.filter(col("custkey") % 7 =!= 0),
+        cust.filter(col("custkey") % 7 === 0))
+      snapA.join(snapB, Seq("custkey"))
+        .unionByName(Incremental.joinDelta(snapA, deltaA, snapB, deltaB,
+          Seq("custkey")))
+        .orderBy("o_orderkey")
+    }),
+
     // Order-independent content digest per source (ext/Stats): the
     // release-integrity primitive — one map-side-combined aggregate,
     // the md5-u32 row hashes SUM exactly so partitioning and row
@@ -422,6 +447,14 @@ object StatsQueries {
         |  CAST(digest % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
         |    AS digest_lo
         |FROM d ORDER BY source NULLS FIRST""".stripMargin,
+    // q157: the oracle computes the full join from scratch — the
+    // snapshot-join ∪ delta-terms union must agree row for row
+    "q157_incremental_join" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     // q130: the oracle computes the SAME answer from scratch — one
     // direct GROUP BY over all orders; the merge path must agree
     // bit-for-bit (exact decimal sums, read-time IEEE mean)

@@ -38,6 +38,56 @@ object Curation {
   def shardJvm(seed: String, id: String, nShards: Int): Long =
     hashU32Jvm(seed, id) % nShards
 
+  /** The Efraimidis–Spirakis weighted-sampling key for (seed, id, w):
+    * u = (hashU32 + 0.5)/2³² ∈ (0, 1), key = ln(u)/w. Taking the k
+    * LARGEST keys is exactly a weighted sample WITHOUT replacement
+    * with inclusion odds proportional to w (the classic A-ES result:
+    * u^(1/w) order-equivalent to ln(u)/w). Deterministic per seed —
+    * the draw is the hash, so the same corpus + seed select the same
+    * rows on any cluster, any partitioning — and engine-portable:
+    * the u division and ln are correctly-rounded IEEE ops that agree
+    * bit-for-bit across JVM/glibc/DuckDB (oracle-verified). */
+  def weightedSampleKey(seed: String, id: Column, weight: Column): Column =
+    log((hashU32(seed, id).cast("double") + lit(0.5)) /
+      lit(4294967296.0)) / weight.cast("double")
+
+  /** Deterministic weighted sample without replacement: the k largest
+    * [[weightedSampleKey]] rows (id tiebreak). Rows with NULL or ≤ 0
+    * weight are excluded — zero weight means "never sample". Plans as
+    * TakeOrdered (per-partition top-k, driver merge of k·partitions
+    * candidates): the corpus is scanned once and never shuffled — the
+    * right shape for "pick 10k docs from 100 TB by token count".
+    * Output: input columns + `sample_key`. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("sample_key",
+        weightedSampleKey(seed, col(idCol), weight))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[weightedSample]] per stratum: k largest keys in EVERY group —
+    * balanced weighted subsampling (per-language, per-source…). The
+    * rank-limit window plans as WindowGroupLimit: each task keeps its
+    * local top-k per stratum BEFORE the shuffle, so the exchange moves
+    * ≤ k·partitions rows per stratum, never the corpus. Output: input
+    * columns + (sample_key, rank). */
+  def weightedSampleStratified(df: DataFrame, strataCols: Seq[String],
+      idCol: String, weight: Column, k: Int, seed: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("sample_key",
+        weightedSampleKey(seed, col(idCol), weight))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic global shuffle: total order by hash rank (id as
     * tiebreak). Plans as one range-partitioned sort — the scalable way
     * to permute 100 TB (sample-based range boundaries, no single-point

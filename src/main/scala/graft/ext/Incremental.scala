@@ -53,6 +53,38 @@ object Incremental {
     state.withColumn("mean_val",
       col("sum_val").cast("double") / col("n_rows").cast("double"))
 
+  /** Incremental JOIN maintenance (insert-only IVM): the DELTA of an
+    * inner equi-join when both sides receive appends —
+    *
+    *   Δ(A ⋈ B) = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * so `snapA.join(snapB) ∪ joinDelta(...) == (A∪ΔA) ⋈ (B∪ΔB)`
+    * exactly (the three terms partition the new pairs by which side of
+    * each pair is new — no overlap, no misses). Insert-only by
+    * contract: deletions/updates need retraction counts, which the
+    * aggregate-state path handles; facts and dims are append-only in
+    * the pipelines this serves.
+    *
+    * Scale shape: every term joins a DELTA against something, so with
+    * delta ≪ snapshot both snapshot scans run as broadcast-hash joins
+    * (delta side hinted) — the history is scanned twice map-only and
+    * SHUFFLED never, the [[graft.ext.Dedup.connectedComponentsDelta]]
+    * convention applied to joins. Output columns follow
+    * `snapA.join(snapB, keys)` (keys, A payload, B payload). */
+  def joinDelta(snapA: DataFrame, deltaA: DataFrame,
+      snapB: DataFrame, deltaB: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinDelta needs at least one key")
+    val newA = snapA.join(broadcast(deltaB), keys)
+    val newB = broadcast(deltaA).join(snapB, keys)
+    val newBoth = deltaA.join(broadcast(deltaB), keys)
+    // align all three to the canonical snapA⋈snapB column order
+    val cols = snapA.join(snapB, keys).columns.map(col).toSeq
+    newB.select(cols: _*)
+      .unionByName(newA.select(cols: _*))
+      .unionByName(newBoth.select(cols: _*))
+  }
+
   /** Value-domain histogram state — the mergeable form of EXACT order
     * statistics: quantize to an integer grid (`unit = floor(v·scale
     * + 0.5)`), keep `(keys…, unit, c)`. Counts add, so

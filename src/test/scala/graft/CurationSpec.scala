@@ -474,4 +474,62 @@ class CurationSpec extends SparkSpecBase {
       assert(split == repSplit(cluster))
     }
   }
+
+  test("weightedSample: A-ES selection == brute force; weight-monotone") {
+    val rows = (0L until 400L).map(i => (i, 1L + i % 7)) // weights 1..7
+    val df = rows.toDF("id", "w")
+    def brute(seed: String, k: Int): Seq[Long] = rows.map { case (i, w) =>
+      val u = (Curation.hashU32Jvm(seed, i.toString) + 0.5) / 4294967296.0
+      (math.log(u) / w, i)
+    }.sortBy { case (key, i) => (-key, i) }.take(k).map(_._2)
+    val got = Curation.weightedSample(df, "id", col("w"), 25, "s1")
+      .select("id").as[Long].collect().toSeq
+    assert(got.sorted == brute("s1", 25).sorted)
+    // deterministic + partition-invariant (the draw is the hash)
+    val again = Curation.weightedSample(df.repartition(13), "id",
+      col("w"), 25, "s1").select("id").as[Long].collect().toSeq
+    assert(again.sorted == got.sorted)
+    // weight monotonicity: across 40 seeds, the total inclusion count
+    // of heavy ids (w=7) must beat light ids (w=1) — deterministic
+    // because every draw is a fixed hash
+    val counts = (0 until 40).map(s => brute(s"m$s", 25))
+      .flatten.groupBy(identity).view.mapValues(_.size).toMap
+    def tot(w: Long) = rows.filter(_._2 == w).map(r =>
+      counts.getOrElse(r._1, 0)).sum
+    assert(tot(7L) > 2 * tot(1L), s"w=7 ${tot(7L)} vs w=1 ${tot(1L)}")
+    // null / non-positive weights never sample
+    val bad = Seq((1000L, 0L), (1001L, -5L)).toDF("id", "w")
+      .unionByName(df)
+    val gotBad = Curation.weightedSample(bad, "id", col("w"), 500, "s1")
+      .select("id").as[Long].collect().toSeq
+    assert(!gotBad.contains(1000L) && !gotBad.contains(1001L) &&
+      gotBad.length == 400)
+  }
+
+  test("weightedSampleStratified: per-stratum brute force; group-limit plan") {
+    val rows = (0L until 300L).map(i =>
+      (i, s"src${i % 3}", 1L + (i * 7919) % 11))
+    val df = rows.toDF("id", "src", "w")
+    val got = Curation.weightedSampleStratified(df, Seq("src"), "id",
+        col("w"), k = 4, seed = "st1")
+      .select("src", "id", "rank").as[(String, Long, Int)]
+      .collect().toSeq
+    // exactly k per stratum, ranks 1..k
+    got.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.map(_._3).sorted == (1 to 4), src)
+    }
+    // matches the per-stratum brute force
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val want = g.map { case (i, _, w) =>
+        val u = (Curation.hashU32Jvm("st1", i.toString) + 0.5) / 4294967296.0
+        (math.log(u) / w, i)
+      }.sortBy { case (key, i) => (-key, i) }.take(4).map(_._2)
+      assert(got.filter(_._1 == src).sortBy(_._3).map(_._2) == want, src)
+    }
+    // the rank<=k filter must reach the window as a group limit (local
+    // per-task top-k BEFORE the shuffle — the 100 TB shape)
+    val plan = Curation.weightedSampleStratified(df, Seq("src"), "id",
+      col("w"), 4, "st1").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }

@@ -261,6 +261,41 @@ class StatsSpec extends SparkSpecBase {
       snap.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("joinDelta: snapshot join ∪ delta == full join, exactly") {
+    import graft.ext.Incremental
+    // multiset-sensitive fixture: duplicate keys on BOTH sides so every
+    // delta term multiplies (a missed or double-counted term shows up
+    // in the pair counts)
+    val a = (0L until 60L).map(i => (i % 10, s"a$i")).toDF("k", "av")
+    val b = (0L until 30L).map(i => (i % 12, s"b$i")).toDF("k", "bv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "av", "bv").as[(Long, String, String)]
+        .collect().toSeq.sorted
+    val full = rows(a.join(b, Seq("k")))
+    // split each side: ~1/3 of rows arrive as the delta
+    val (sa, da) = (a.filter($"av".substr(2, 10).cast("long") % 3 =!= 0),
+      a.filter($"av".substr(2, 10).cast("long") % 3 === 0))
+    val (sb, db) = (b.filter($"bv".substr(2, 10).cast("long") % 4 =!= 0),
+      b.filter($"bv".substr(2, 10).cast("long") % 4 === 0))
+    val maintained = rows(sa.join(sb, Seq("k")).unionByName(
+      Incremental.joinDelta(sa, da, sb, db, Seq("k"))))
+    assert(maintained == full)
+    // one-sided appends degrade correctly (empty delta terms vanish)
+    assert(rows(sa.join(b, Seq("k")).unionByName(
+      Incremental.joinDelta(sa, da, b, b.limit(0), Seq("k")))) == full)
+    assert(rows(a.join(sb, Seq("k")).unionByName(
+      Incremental.joinDelta(a, a.limit(0), sb, db, Seq("k")))) == full)
+    // both snapshots empty: the delta IS the full join
+    assert(rows(Incremental.joinDelta(a.limit(0), a, b.limit(0), b,
+      Seq("k"))) == full)
+    // scale shape: every term is a broadcast-hash join (the snapshots
+    // never shuffle)
+    val plan = Incremental.joinDelta(sa, da, sb, db, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("histogram state: merge == recompute; percentiles == brute force") {
     import graft.ext.Incremental
     val rows = (0 until 3000).map { i =>
