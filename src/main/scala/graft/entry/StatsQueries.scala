@@ -284,6 +284,35 @@ object StatsQueries {
         .orderBy("month")
     }),
 
+    // Mergeable correlation/regression state (ext/Incremental): exact
+    // decimal (x, y, x², y², xy) sums per l_returnflag, built SPLIT
+    // 4/5 + 1/5 and MERGED; Pearson r / OLS slope / intercept derive
+    // at read time as a fixed sequence of correctly-rounded IEEE ops
+    // (×, −, ÷, sqrt — no transcendental), which the oracle replays
+    // from its own from-scratch sums. Inputs chosen so every sum's
+    // value fits a double EXACTLY (integer quantity × 2dp discount —
+    // decimal(38,12)→double conversion is only engine-identical for
+    // ≤2^53-scaled values, probed this round).
+    "q158_incremental_corr" -> ((s, dir) => {
+      import graft.ext.Incremental
+      val li = t(s, dir, "lineitem")
+      val snap = Incremental.corrState(
+        li.filter(col("l_orderkey") % 5 =!= 0), Seq("l_returnflag"),
+        "l_quantity", "l_discount")
+      val delta = Incremental.corrState(
+        li.filter(col("l_orderkey") % 5 === 0), Seq("l_returnflag"),
+        "l_quantity", "l_discount")
+      Incremental.corrFinish(
+          Incremental.corrMerge(snap, delta, Seq("l_returnflag")))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("sum_x").cast("double").as("sum_x"),
+          col("sum_y").cast("double").as("sum_y"),
+          col("sum_xy").cast("double").as("sum_xy"),
+          col("mean_x"), col("mean_y"), col("pearson_r"),
+          col("slope"), col("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
     // Incremental JOIN maintenance (insert-only IVM): orders ⋈
     // customer where BOTH sides take an append — the maintained view
     // is snapshot-join ∪ joinDelta's three delta terms (ΔA⋈B ∪ A⋈ΔB ∪
@@ -447,6 +476,33 @@ object StatsQueries {
         |  CAST(digest % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
         |    AS digest_lo
         |FROM d ORDER BY source NULLS FIRST""".stripMargin,
+    // q158: the oracle rebuilds the exact sums from scratch and
+    // replays corrFinish's double expression term for term (each
+    // decimal→double conversion is value-exact by construction, every
+    // subsequent op correctly rounded → bit-identical)
+    "q158_incremental_corr" ->
+      """WITH st AS (SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_x,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_y,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_xx,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_yy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_xy
+        | FROM lineitem
+        | WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        | GROUP BY 1),
+        |d AS (SELECT l_returnflag, n_rows,
+        |  CAST(n_rows AS DOUBLE) AS n, CAST(sum_x AS DOUBLE) AS sx,
+        |  CAST(sum_y AS DOUBLE) AS sy, CAST(sum_xx AS DOUBLE) AS sxx,
+        |  CAST(sum_yy AS DOUBLE) AS syy, CAST(sum_xy AS DOUBLE) AS sxy
+        | FROM st)
+        |SELECT l_returnflag, n_rows, sx AS sum_x, sy AS sum_y,
+        |  sxy AS sum_xy, sx / n AS mean_x, sy / n AS mean_y,
+        |  (n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |    AS intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     // q157: the oracle computes the full join from scratch — the
     // snapshot-join ∪ delta-terms union must agree row for row
     "q157_incremental_join" ->

@@ -53,6 +53,71 @@ object Incremental {
     state.withColumn("mean_val",
       col("sum_val").cast("double") / col("n_rows").cast("double"))
 
+  /** Per-group bivariate moment state — the mergeable form of
+    * correlation/regression: exact DECIMAL sums of (x, y, x², y², xy)
+    * over non-null pairs. Sums add exactly in any order, so
+    * `corrMerge(state(a), state(b)) == state(a ∪ b)` EXACTLY — the
+    * same IVM contract as [[aggregateState]], extended to second
+    * moments. Inputs quantize to DECIMAL(18,6) (products carry 12
+    * fractional digits; 26 integral digits absorb 10¹² rows of 10¹²-
+    * sized products before overflow). Derived statistics (Pearson r,
+    * OLS slope/intercept, means) live in [[corrFinish]] — storing them
+    * would break mergeability. */
+  def corrState(df: DataFrame, keys: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,6)")
+    val y = col(yCol).cast("decimal(18,6)")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(x).cast("decimal(38,6)").as("sum_x"),
+        sum(y).cast("decimal(38,6)").as("sum_y"),
+        sum(x * x).cast("decimal(38,12)").as("sum_xx"),
+        sum(y * y).cast("decimal(38,12)").as("sum_yy"),
+        sum(x * y).cast("decimal(38,12)").as("sum_xy"))
+  }
+
+  /** Fold two bivariate states (snapshot + delta, or any two). */
+  def corrMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_x")).cast("decimal(38,6)").as("sum_x"),
+        sum(col("sum_y")).cast("decimal(38,6)").as("sum_y"),
+        sum(col("sum_xx")).cast("decimal(38,12)").as("sum_xx"),
+        sum(col("sum_yy")).cast("decimal(38,12)").as("sum_yy"),
+        sum(col("sum_xy")).cast("decimal(38,12)").as("sum_xy"))
+
+  /** Read-time statistics off the exact state: means, covariance,
+    * Pearson r, OLS slope/intercept (y on x). Every derived value is
+    * a fixed sequence of correctly-rounded IEEE double ops over the
+    * exact decimal sums (×, −, ÷, sqrt — no transcendental), so any
+    * engine replaying the same expression gets the same bits.
+    * Degenerate groups (n < 2 or zero variance) yield NULL r/slope —
+    * never a division crash. */
+  def corrFinish(state: DataFrame): DataFrame = {
+    val n = col("n_rows").cast("double")
+    val sx = col("sum_x").cast("double")
+    val sy = col("sum_y").cast("double")
+    val sxx = col("sum_xx").cast("double")
+    val syy = col("sum_yy").cast("double")
+    val sxy = col("sum_xy").cast("double")
+    val covN = n * sxy - sx * sy // n²·covariance
+    val varXN = n * sxx - sx * sx
+    val varYN = n * syy - sy * sy
+    state
+      .withColumn("mean_x", sx / n)
+      .withColumn("mean_y", sy / n)
+      .withColumn("pearson_r",
+        when(col("n_rows") >= 2 && varXN > 0 && varYN > 0,
+          covN / sqrt(varXN * varYN)))
+      .withColumn("slope",
+        when(col("n_rows") >= 2 && varXN > 0, covN / varXN))
+      .withColumn("intercept",
+        when(col("n_rows") >= 2 && varXN > 0,
+          (sy - (covN / varXN) * sx) / n))
+  }
+
   /** Incremental JOIN maintenance (insert-only IVM): the DELTA of an
     * inner equi-join when both sides receive appends —
     *

@@ -261,6 +261,64 @@ class StatsSpec extends SparkSpecBase {
       snap.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("corrState: merge == recompute exactly; finish == brute force") {
+    import graft.ext.Incremental
+    val rows = (0 until 2000).map { i =>
+      val x = (i % 50).toDouble
+      // y correlated with x plus deterministic 2dp noise
+      val y = math.floor((x * 3.0 + (i * 7919) % 97) * 100.0) / 100.0
+      (s"g${i % 3}", x, y)
+    }
+    val df = rows.toDF("g", "x", "y")
+    def state(d: org.apache.spark.sql.DataFrame) =
+      Incremental.corrState(d, Seq("g"), "x", "y")
+    // split three ways, fold pairwise — state identical to one-shot
+    // (decimal sums add exactly in any order)
+    val parts = Seq(df.filter($"x" < 15), df.filter($"x" >= 15 && $"x" < 35),
+      df.filter($"x" >= 35))
+    val merged = parts.map(state)
+      .reduce(Incremental.corrMerge(_, _, Seq("g")))
+    val direct = state(df)
+    def rows6(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g").collect().toSeq
+    assert(rows6(merged) == rows6(direct))
+    // schema stability: merged state unions with fresh state
+    assert(merged.schema.map(f => (f.name, f.dataType)) ==
+      direct.schema.map(f => (f.name, f.dataType)))
+    // finish == driver brute force (IEEE tolerance: the brute force
+    // sums doubles in a different order)
+    val fin = Incremental.corrFinish(merged).orderBy("g").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("pearson_r"), r.getAs[Double]("slope")))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.size.toDouble
+      val (sx, sy) = (rs.map(_._2).sum, rs.map(_._3).sum)
+      val sxx = rs.map(r => r._2 * r._2).sum
+      val syy = rs.map(r => r._3 * r._3).sum
+      val sxy = rs.map(r => r._2 * r._3).sum
+      val r0 = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(fin(g)._1 - r0) < 1e-9, s"$g r")
+      assert(math.abs(fin(g)._2 - b) < 1e-9, s"$g slope")
+      assert(fin(g)._1 > 0.5) // genuinely correlated fixture
+    }
+    // degenerate groups: n=1 and zero-variance x both yield NULL
+    // r/slope, never a crash or an Infinity
+    val degen = Seq(("solo", 1.0, 2.0), ("flat", 3.0, 1.0),
+      ("flat", 3.0, 5.0)).toDF("g", "x", "y")
+    val fd = Incremental.corrFinish(state(degen)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def nulls(g: String) = {
+      val r = fd(g)
+      r.isNullAt(r.fieldIndex("pearson_r")) &&
+        r.isNullAt(r.fieldIndex("slope")) &&
+        r.isNullAt(r.fieldIndex("intercept"))
+    }
+    assert(nulls("solo") && nulls("flat"))
+  }
+
   test("joinDelta: snapshot join ∪ delta == full join, exactly") {
     import graft.ext.Incremental
     // multiset-sensitive fixture: duplicate keys on BOTH sides so every
