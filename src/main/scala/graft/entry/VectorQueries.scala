@@ -243,6 +243,20 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // k-core of the near-dup graph: iterative peeling to the maximal
+    // subgraph of min-degree >= 3 — quasi-clique hearts survive, chain
+    // and bridge periphery peels away (the graph-density filter). The
+    // oracle replays the peel as a single-row recursive CTE carrying
+    // the removed-vertex list — same fixpoint, two engines.
+    "q159_kcore" -> ((s, dir) => {
+      import graft.ext.{Dedup, Graph}
+      val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.2)
+      Graph.kCore(pairs, "a_id", "b_id", k = 3)
+        .select(col("id").as("vec_id"), col("degree"))
+        .orderBy("vec_id")
+    }),
+
     // Per-vertex triangle participation over the near-dup graph —
     // cluster cohesion (a quasi-clique member sits in many triangles,
     // a chain-bridge in none). Degree-ordered wedge closing: each
@@ -640,10 +654,36 @@ object VectorQueries {
       |FROM deg LEFT JOIN tv ON deg.v = tv.v
       |ORDER BY vec_id""".stripMargin
 
+  /** The peel as a single-row recursive CTE: each round appends the
+    * currently-alive sub-3-degree vertices to a carried removed-list
+    * (deletion is non-monotone, so the LIST is the trick that fits it
+    * into monotone recursion); 25 rounds is far past this graph's
+    * peeling depth, and extra rounds append empty lists — the
+    * fixpoint is idempotent. */
+  private val kcoreSql: String = nearDupEdgeCte +
+    """,sym AS (SELECT a AS u, b AS v FROM e
+      |         UNION ALL SELECT b, a FROM e),
+      |peel(it, removed) AS (
+      |  SELECT 0, CAST([] AS BIGINT[])
+      |  UNION ALL
+      |  SELECT it + 1, removed || (
+      |    SELECT COALESCE(list(u ORDER BY u), CAST([] AS BIGINT[]))
+      |    FROM (SELECT s.u FROM sym s
+      |          WHERE NOT list_contains(p.removed, s.u)
+      |            AND NOT list_contains(p.removed, s.v)
+      |          GROUP BY s.u HAVING COUNT(*) < 3))
+      |  FROM peel p WHERE it < 25)
+      |SELECT s.u AS vec_id, COUNT(*) AS degree
+      |FROM sym s, (SELECT removed FROM peel WHERE it = 25) r
+      |WHERE NOT list_contains(r.removed, s.u)
+      |  AND NOT list_contains(r.removed, s.v)
+      |GROUP BY s.u ORDER BY vec_id""".stripMargin
+
   val oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q139_cc_delta" -> oracleSqlBase("q73_dedup_clusters")) +
       ("q141_triangle_count" -> triangleSql) +
       ("q143_bfs_hops" -> bfsSql) +
-      ("q153_clustering_coeff" -> clusteringSql)
+      ("q153_clustering_coeff" -> clusteringSql) +
+      ("q159_kcore" -> kcoreSql)
 }

@@ -202,4 +202,66 @@ object Graph {
     prevRdds.headOption.foreach(_.unpersist())
     settled
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983): the
+    * maximal subgraph in which every vertex has degree ≥ k — the
+    * graph-density filter of curation pipelines (a near-dup cluster's
+    * k-core separates the quasi-clique heart from chain/bridge
+    * attachments; on link graphs it drops low-engagement periphery
+    * before PageRank). Undirected: edges symmetrize, self-loops and
+    * half-null edges drop (the CC conventions).
+    *
+    * Each round: one degree aggregation + two anti-joins removing
+    * sub-k vertices' edges, checkpoint-materialized so lineage stays
+    * flat ([[pageRank]]/CC discipline). Rounds = peeling DEPTH (how
+    * many onion layers come off before the core stabilizes), not |V|;
+    * the edge set only shrinks. Fails loudly if maxIter rounds don't
+    * reach the fixpoint.
+    *
+    * @return (id, degree) for every k-core vertex, degree measured
+    *         INSIDE the core (so every returned degree ≥ k)
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sym0 = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("__u"),
+          col(dstCol).cast("long").as("__v")),
+        struct(col(dstCol).cast("long").as("__u"),
+          col(srcCol).cast("long").as("__v")))).as("__e"))
+      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
+      .filter(col("__u") =!= col("__v"))
+      .distinct()
+    var (cur, curRdd) =
+      org.apache.spark.sql.graftshim.CheckpointShim.materialize(sym0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val bad = cur.groupBy("__u").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") < k).select(col("__u").as("__bad"))
+      if (bad.isEmpty) converged = true
+      else {
+        val next = cur
+          .join(bad, cur("__u") === col("__bad"), "left_anti")
+          .join(bad, col("__v") === col("__bad"), "left_anti")
+        val (m, r) =
+          org.apache.spark.sql.graftshim.CheckpointShim.materialize(next)
+        curRdd.unpersist()
+        cur = m
+        curRdd = r
+      }
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not reach the fixpoint in $maxIter peeling rounds " +
+          "— raise maxIter (rounds are the peeling depth, so this " +
+          "points at a pathological onion graph)")
+    // a partially-peeled edge set would over-report the core — only
+    // the fixpoint leaves this method
+    cur.groupBy(col("__u").as("id"))
+      .agg(count(lit(1)).as("degree"))
+  }
 }

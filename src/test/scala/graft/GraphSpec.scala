@@ -112,4 +112,47 @@ class GraphSpec extends SparkSpecBase {
     // directed: nothing reaches a source-only vertex
     assert(!sp(Seq(5L), 10).contains(4L))
   }
+
+  test("kCore: peeling == brute force; cascades; partition-invariant") {
+    def core(e: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Long] =
+      Graph.kCore(e, "a", "b", k).as[(Long, Long)].collect().toMap
+    // triangle + tail: the 2-core is exactly the triangle — and the
+    // peel must CASCADE (removing 5 drops 4 to degree 1, then 3)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    assert(core(tri, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // path graph: 2-core is empty (everything peels away)
+    val path = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(core(path, 2).isEmpty)
+    // 5-clique: the 4-core is the whole clique, 5-core empty
+    val k5 = (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j))
+      .toDF("a", "b")
+    assert(core(k5, 4) == (1L to 5L).map(_ -> 4L).toMap)
+    assert(core(k5, 5).isEmpty)
+    // self-loops and duplicate/reversed edges contribute nothing
+    val noisy = tri.unionByName(Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("a", "b"))
+    assert(core(noisy, 2) == core(tri, 2))
+    // random graph == driver brute-force peeling, any partitioning
+    val rnd = (0 until 200).map { i =>
+      ((i * 7919L) % 40, (i * 104729L + 13) % 40)
+    }.filter(p => p._1 != p._2)
+    def brute(k: Int): Map[Long, Long] = {
+      var edges = rnd.map(p => (p._1 min p._2, p._1 max p._2)).distinct
+      var changed = true
+      while (changed) {
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val bad = deg.filter(_._2 < k).keySet
+        changed = bad.nonEmpty
+        edges = edges.filter(e => !bad(e._1) && !bad(e._2))
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    }
+    for (k <- Seq(2, 3, 5)) {
+      assert(core(rnd.toDF("a", "b"), k) == brute(k), s"k=$k")
+      assert(core(rnd.toDF("a", "b").repartition(13), k) == brute(k))
+    }
+  }
 }
