@@ -190,6 +190,96 @@ object Layout {
     n
   }
 
+  /** File-level stats manifest — the persisted half of FILE skipping
+    * (what Delta/Iceberg store per file at write time, over plain
+    * parquet): per data file, row count and min/max of each named
+    * NUMERIC column, written as `_graft_manifest` INSIDE the data
+    * directory (underscore-prefixed paths are invisible to parquet
+    * readers, the `_SUCCESS` convention). One full scan at write time
+    * buys planner-level pruning on every later read: row-group min/max
+    * skipping still OPENS every file's footer; the manifest never
+    * opens non-matching files at all — at 100 TB the difference
+    * between touching 40k footers and listing 400 file names.
+    *
+    * Regenerate after any rewrite of the directory —
+    * [[readPruned]] cross-checks the manifest against the live file
+    * listing and fails loudly on drift (a stale manifest silently
+    * dropping rows is the one failure mode file skipping must never
+    * have). */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    val df = spark.read.parquet(dataPath)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"${c}__min"),
+      max(col(c).cast("double")).as(s"${c}__max")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // file-count-sized — one manifest file
+      .write.mode("overwrite").parquet(s"$dataPath/_graft_manifest")
+  }
+
+  /** Manifest-pruned range scan: reads ONLY the files whose stats
+    * ranges intersect every `(col, lo, hi)` predicate, then applies
+    * the exact range filter — so the result equals
+    * `spark.read.parquet(dataPath).filter(...)` row for row while
+    * non-matching files are never opened (file skipping, not just
+    * row-group skipping). Prunable columns must appear in the
+    * manifest ([[writeManifest]]'s `cols`); the file list is
+    * file-count-sized driver state (the bounded-collect contract).
+    * Fails loudly if the manifest does not match the live file
+    * listing. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession,
+      dataPath: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "readPruned needs at least one range")
+    val fs0 = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs0.exists(
+      new org.apache.hadoop.fs.Path(s"$dataPath/_graft_manifest")),
+      s"no manifest at $dataPath — run writeManifest first (an " +
+        "overwrite of the directory also removes it)")
+    val mf = spark.read.parquet(s"$dataPath/_graft_manifest")
+    ranges.foreach { case (c, _, _) =>
+      require(mf.columns.contains(s"${c}__min"),
+        s"column '$c' is not in the manifest — rebuild with " +
+          s"writeManifest(..., cols including '$c')")
+    }
+    import spark.implicits._
+    val manifestFiles = mf.select("file").as[String].collect().toSet
+    // staleness guard: the manifest must describe EXACTLY the live
+    // data files (names compared; underscore/dot paths are reader-
+    // invisible and excluded on both sides)
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(dataPath))
+      .map(_.getPath).filter { p =>
+        !p.getName.startsWith("_") && !p.getName.startsWith(".")
+      }.map(_.getName).toSet
+    val manifestNames = manifestFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName)
+    require(manifestNames == live,
+      s"manifest is stale for $dataPath: " +
+        s"${(live -- manifestNames).size} unlisted / " +
+        s"${(manifestNames -- live).size} vanished files — " +
+        "rerun writeManifest after rewriting the directory")
+    // a file survives iff EVERY predicate's range intersects its
+    // stats range; all-null stats (min/max null) cannot prove absence
+    // of matching rows, so such files are kept
+    val keepPred = ranges.map { case (c, lo, hi) =>
+      col(s"${c}__min").isNull ||
+        (col(s"${c}__min") <= hi && col(s"${c}__max") >= lo)
+    }.reduce(_ && _)
+    val files = mf.filter(keepPred).select("file").as[String].collect()
+    val base = spark.read.parquet(dataPath)
+    val pruned =
+      if (files.isEmpty) base.limit(0)
+      else spark.read.schema(base.schema).parquet(files.toSeq: _*)
+    ranges.foldLeft(pruned) { case (d, (c, lo, hi)) =>
+      d.filter(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
+    }
+  }
+
   private def writeClustered(df: DataFrame, curve: Column, path: String,
       numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")

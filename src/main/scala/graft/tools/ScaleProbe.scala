@@ -895,6 +895,38 @@ object ScaleProbe {
     // slab). The per-file min/max aggregation below SIMULATES the
     // stats the format would have persisted; its full scan is probe
     // overhead, not part of the measured design.
+    // the productized file-skipping path (ext/Layout writeManifest /
+    // readPruned): one manifest build, then a 1% 2-dim slab read that
+    // opens only intersecting files — vs the same filter over the
+    // plain directory listing (row-group skipping still opens every
+    // footer)
+    if (Seq("manifest_build", "manifest_pruned_scan",
+        "manifest_full_scan").exists(wanted)) {
+      import graft.ext.Layout
+      val n = 2000000L
+      val df = spark.range(n).select(col("id"),
+        pmod(hash(col("id")), lit(100000)).cast("long").as("a"),
+        pmod(hash(col("id") * 7 + 3), lit(100000)).cast("long").as("b"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_probe_manifest_").toString + "/t"
+      Layout.writeZOrdered(df, Seq("a", "b"), dir, numFiles = 256)
+      timeOrRun("manifest_build")(
+        Layout.writeManifest(spark, dir, Seq("a", "b")))
+      time("manifest_pruned_scan")({
+        val d = Layout.readPruned(spark, dir,
+          Seq(("a", 41000.0, 42000.0), ("b", 10000.0, 90000.0)))
+        val rows = d.count()
+        val files = d.select(input_file_name()).distinct().count()
+        s"rows=$rows files=$files/256"
+      })
+      time("manifest_full_scan")({
+        spark.read.parquet(dir)
+          .filter(col("a") >= 41000 && col("a") <= 42000 &&
+            col("b") >= 10000 && col("b") <= 90000)
+          .count()
+      })
+    }
+
     if (Seq("layout_files").exists(wanted)) {
       import graft.ext.Layout
       val n = 2000000L

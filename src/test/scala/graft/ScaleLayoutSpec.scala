@@ -80,6 +80,63 @@ class ScaleLayoutSpec extends SparkSpecBase {
       s"z-order must prune both dims: zA=$zA zB=$zB vs linear-b=$lB")
   }
 
+  test("manifest file skipping: exact rows, fewer files, stale fails loud") {
+    import graft.ext.Layout
+    val n = 100000L
+    val df = spark.range(n).select(col("id"),
+      pmod(hash(col("id")), lit(100000)).cast("long").as("a"),
+      pmod(hash(col("id") * 7 + 3), lit(100000)).cast("long").as("b"))
+    val dir = tmpDir("manifest") + "/t"
+    Layout.writeZOrdered(df, Seq("a", "b"), dir, numFiles = 32)
+    Layout.writeManifest(spark, dir, Seq("a", "b"))
+    // manifest is invisible to plain readers (underscore convention)
+    assert(spark.read.parquet(dir).count() == n)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").as[Long].collect().toSet
+    // pruned scan == plain filter, exactly — on one dim and on both
+    val want1 = ids(spark.read.parquet(dir)
+      .filter(col("a") >= 41000 && col("a") <= 42000))
+    val got1df = Layout.readPruned(spark, dir, Seq(("a", 41000.0, 42000.0)))
+    assert(ids(got1df) == want1 && want1.nonEmpty)
+    val want2 = ids(spark.read.parquet(dir)
+      .filter(col("a") >= 41000 && col("a") <= 42000 &&
+        col("b") >= 10000 && col("b") <= 90000))
+    assert(ids(Layout.readPruned(spark, dir,
+      Seq(("a", 41000.0, 42000.0), ("b", 10000.0, 90000.0)))) == want2)
+    // FILE skipping is real: the pruned plan reads fewer than half the
+    // files (1% slab on a 2-D z-order over 32 files)
+    val touched = got1df.select(input_file_name()).distinct().count()
+    assert(touched < 16, s"touched $touched of 32 files")
+    // empty intersection: empty result, schema intact, no crash
+    val none = Layout.readPruned(spark, dir, Seq(("a", -50.0, -10.0)))
+    assert(none.count() == 0 &&
+      none.schema == spark.read.parquet(dir).schema)
+    // unknown column fails loudly
+    intercept[IllegalArgumentException] {
+      Layout.readPruned(spark, dir, Seq(("zzz", 0.0, 1.0)))
+    }
+    // an overwrite wipes the manifest with the directory → the missing-
+    // manifest guard fires (loud, never silent)
+    df.limit(500).repartition(2).write.mode("overwrite")
+      .parquet(dir + "2")
+    val errNo = intercept[IllegalArgumentException] {
+      Layout.readPruned(spark, dir + "2", Seq(("a", 0.0, 1e9)))
+    }
+    assert(errNo.getMessage.contains("writeManifest"))
+    Layout.writeManifest(spark, dir + "2", Seq("a"))
+    assert(Layout.readPruned(spark, dir + "2",
+      Seq(("a", 0.0, 1e9))).count() == 500)
+    // stale manifest (a data file vanished underneath it) fails loudly
+    val gone = new java.io.File(dir + "2").listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    assert(gone.delete())
+    val err = intercept[IllegalArgumentException] {
+      Layout.readPruned(spark, dir + "2", Seq(("a", 0.0, 1e9)))
+    }
+    assert(err.getMessage.contains("stale"))
+  }
+
   test("hilbertValue is a true Hilbert curve; prunes like z-order") {
     import graft.ext.Layout
     // ground-truth property check on the FULL 16x16 grid (bits=4):
