@@ -284,6 +284,26 @@ object StatsQueries {
         .orderBy("month")
     }),
 
+    // Winsorized mean per event type (ext/Incremental): values clamp
+    // to their group's exact [p05, p95] grid percentiles (q149's rank
+    // selection) and the CLAMPED UNITS aggregate — integer arithmetic
+    // until one edge division, built through the mergeable histogram
+    // split/folded at user parity like q149 (merge == recompute
+    // certified on the winsorized path too).
+    "q160_winsorized_mean" -> ((s, dir) => {
+      import graft.ext.Incremental
+      val ev = t(s, dir, "events")
+      val half = pmod(xxhash64(col("user_id")), lit(2))
+      val hist = Incremental.histogramMerge(
+        Incremental.histogramState(ev.filter(half === 0),
+          Seq("event_type"), "value"),
+        Incremental.histogramState(ev.filter(half =!= 0),
+          Seq("event_type"), "value"),
+        Seq("event_type"))
+      Incremental.winsorizedMean(hist, Seq("event_type"), 100.0)
+        .orderBy("event_type")
+    }),
+
     // Mergeable correlation/regression state (ext/Incremental): exact
     // decimal (x, y, x², y², xy) sums per l_returnflag, built SPLIT
     // 4/5 + 1/5 and MERGED; Pearson r / OLS slope / intercept derive
@@ -476,6 +496,27 @@ object StatsQueries {
         |  CAST(digest % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
         |    AS digest_lo
         |FROM d ORDER BY source NULLS FIRST""".stripMargin,
+    // q160: the q149 histogram/rank device + LEAST/GREATEST clamp —
+    // integer sums, one (s/n)/100 double edge, same op order
+    "q160_winsorized_mean" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cent
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, cent, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |w AS (SELECT event_type, cent, c, SUM(c) OVER (PARTITION BY event_type
+        |  ORDER BY cent ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS cum FROM h),
+        |n AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+        |cuts AS (SELECT w.event_type,
+        |    MIN(CASE WHEN cum >= (5*n.n + 99) // 100 THEN cent END) AS lo,
+        |    MIN(CASE WHEN cum >= (95*n.n + 99) // 100 THEN cent END) AS hi
+        |  FROM w JOIN n USING (event_type) GROUP BY 1)
+        |SELECT v.event_type, COUNT(*) AS n_values,
+        |  MAX(c.lo) AS lo_unit, MAX(c.hi) AS hi_unit,
+        |  (CAST(SUM(LEAST(GREATEST(v.cent, c.lo), c.hi)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) / 100.0 AS winsorized_mean
+        |FROM v JOIN cuts c USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q158: the oracle rebuilds the exact sums from scratch and
     // replays corrFinish's double expression term for term (each
     // decimal→double conversion is value-exact by construction, every

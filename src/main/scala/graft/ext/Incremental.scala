@@ -118,6 +118,50 @@ object Incremental {
           (sy - (covN / varXN) * sx) / n))
   }
 
+  /** Winsorized mean off the exact histogram: clamp every value to its
+    * group's [pLo, pHi] grid percentiles (the
+    * [[percentilesFromState]] rank selection), then aggregate the
+    * CLAMPED UNITS — integer arithmetic end to end, one IEEE division
+    * at the edge, so the result is engine-reproducible bit for bit.
+    * The robust-mean companion of the q150 IQR fences: instead of
+    * FLAGGING outliers it absorbs them into the cut values (the
+    * standard winsorized estimator). Cuts join back to the histogram
+    * NULL-SAFELY (a NULL group key is a legitimate group — the
+    * percentiles lesson) and the cut table is group-sized, so the
+    * join broadcasts. Output: (keys…, n_values, lo_unit, hi_unit,
+    * winsorized_mean). */
+  def winsorizedMean(hist: DataFrame, keys: Seq[String], scale: Double,
+      lo: (Int, Int) = (5, 100), hi: (Int, Int) = (95, 100)): DataFrame = {
+    require(lo._1 * hi._2 <= hi._1 * lo._2,
+      s"lo percentile must not exceed hi: $lo vs $hi")
+    val cuts = percentilesFromState(hist, keys,
+        Seq(("__lo", lo._1, lo._2), ("__hi", hi._1, hi._2)))
+      .select(keys.map(col) :+ col("__lo") :+ col("__hi"): _*)
+    // cuts derive FROM hist, so the join is a self-join — alias both
+    // sides or the analyzer rejects the key columns as ambiguous
+    val joined =
+      if (keys.isEmpty) hist.crossJoin(broadcast(cuts))
+      else hist.alias("__wh")
+        .join(broadcast(cuts.alias("__wc")),
+          keys.map(k => col(s"__wh.$k") <=> col(s"__wc.$k"))
+            .reduce(_ && _))
+        .select(keys.map(k => col(s"__wh.$k").as(k)) ++
+          Seq(col("__wh.unit").as("unit"), col("__wh.c").as("c"),
+            col("__wc.__lo").as("__lo"),
+            col("__wc.__hi").as("__hi")): _*)
+    joined
+      .withColumn("__cu",
+        least(greatest(col("unit"), col("__lo")), col("__hi")))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("c")).as("n_values"),
+        max(col("__lo")).as("lo_unit"), max(col("__hi")).as("hi_unit"),
+        sum(col("__cu") * col("c")).as("__s"))
+      .withColumn("winsorized_mean",
+        (col("__s").cast("double") / col("n_values").cast("double")) /
+          lit(scale))
+      .drop("__s")
+  }
+
   /** Incremental JOIN maintenance (insert-only IVM): the DELTA of an
     * inner equi-join when both sides receive appends —
     *

@@ -261,6 +261,39 @@ class StatsSpec extends SparkSpecBase {
       snap.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("winsorizedMean: clamp == brute force; NULL group key survives") {
+    import graft.ext.Incremental
+    val rows = (0 until 1500).map { i =>
+      (s"g${i % 3}", ((i * 7919) % 997) / 10.0)
+    } ++ Seq(("g0", 100000.0), ("g0", -100000.0)) // wild outliers
+    val df = rows.toDF("g", "v")
+    val hist = Incremental.histogramState(df, Seq("g"), "v")
+    val got = Incremental.winsorizedMean(hist, Seq("g"), 100.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("winsorized_mean"))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val cents = rs.map(r => math.floor(r._2 * 100.0 + 0.5).toLong).sorted
+      val n = cents.length
+      def cut(num: Int) = cents(((num * n + 99) / 100 - 1).max(0))
+      val (lo, hi) = (cut(5), cut(95))
+      val want = cents.map(c => c.max(lo).min(hi)).sum.toDouble / n / 100.0
+      assert(got(g)._1 == n.toLong, g)
+      assert(got(g)._2 == want, s"$g: ${got(g)._2} vs $want")
+      // the winsorized mean shrugged off the planted ±100k outliers
+      if (g == "g0") assert(math.abs(got(g)._2) < 100.0)
+    }
+    // NULL group key is a group (the percentiles lesson, re-asserted
+    // through the null-safe cut join)
+    val withNull = df.unionByName(Seq(
+      (null.asInstanceOf[String], 5.0),
+      (null.asInstanceOf[String], 7.0)).toDF("g", "v"))
+    val gotN = Incremental.winsorizedMean(
+        Incremental.histogramState(withNull, Seq("g"), "v"),
+        Seq("g"), 100.0)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(gotN.get(None).contains(2L), gotN.keySet)
+  }
+
   test("corrState: merge == recompute exactly; finish == brute force") {
     import graft.ext.Incremental
     val rows = (0 until 2000).map { i =>
