@@ -110,6 +110,33 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Hard-negative mining (contrastive-training data op): per anchor
+    // the top-3 most-similar vectors that are NOT q42 near-dup
+    // positives (either orientation) — bruteForceTopK's zero-corpus-
+    // shuffle plan plus two broadcast anti-joins.
+    "q161_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pos = Dedup.embeddingNearDup(e, "vec_id", "embedding",
+        "label", threshold = 0.4)
+      Similarity.hardNegatives(e, "vec_id", "embedding", pos,
+          "a_id", "b_id", col("vec_id") < 10, k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Uniform random negatives (hard-negatives' counterpart): per
+    // anchor, 3 uniform draws without replacement from corpus minus
+    // self minus q42 positives — the per-(seed, anchor) md5 rank
+    // makes the draw engine-replayable. Same zero-corpus-shuffle
+    // shape.
+    "q162_random_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pos = Dedup.embeddingNearDup(e, "vec_id", "embedding",
+        "label", threshold = 0.4)
+      graft.ext.Curation.randomNegatives(e, "vec_id", pos,
+          "a_id", "b_id", col("vec_id") < 10, k = 3, seed = "neg1")
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup pairs: same-label partition, cosine >= 0.4.
     "q42_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding",
@@ -679,8 +706,50 @@ object VectorQueries {
       |  AND NOT list_contains(r.removed, s.v)
       |GROUP BY s.u ORDER BY vec_id""".stripMargin
 
+  /** q40's cosine-rank device filtered by NOT EXISTS over the q42
+    * positive pairs (either orientation) — the exclusion then the
+    * rank, exactly the Spark anti-join-before-window order. */
+  private val hardNegSql: String =
+    """WITH p AS (SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label=b.label AND a.vec_id<b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      |      FROM embeddings WHERE vec_id<10),
+      |sc AS (SELECT q_id, vec_id AS n_id,
+      |         list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
+      |       FROM embeddings, q WHERE vec_id <> q_id),
+      |f AS (SELECT * FROM sc WHERE NOT EXISTS (SELECT 1 FROM p
+      |       WHERE (p.a = sc.q_id AND p.b = sc.n_id)
+      |          OR (p.b = sc.q_id AND p.a = sc.n_id))),
+      |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+      |      FROM f)
+      |SELECT q_id, n_id, rank FROM r WHERE rank<=3 ORDER BY q_id, rank""".stripMargin
+
+  /** The same positive-pair CTE, but ranking by the md5 draw instead
+    * of cosine — the uniform-negative replay. */
+  private val randNegSql: String =
+    """WITH p AS (SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label=b.label AND a.vec_id<b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+      |q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id<10),
+      |sc AS (SELECT q_id, vec_id AS n_id,
+      |         md5(concat('neg1','#',CAST(q_id AS VARCHAR),'#',CAST(vec_id AS VARCHAR))) AS h
+      |       FROM embeddings, q WHERE vec_id <> q_id),
+      |f AS (SELECT * FROM sc WHERE NOT EXISTS (SELECT 1 FROM p
+      |       WHERE (p.a = sc.q_id AND p.b = sc.n_id)
+      |          OR (p.b = sc.q_id AND p.a = sc.n_id))),
+      |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY q_id ORDER BY h ASC, n_id) AS INTEGER) AS rank
+      |      FROM f)
+      |SELECT q_id, n_id, rank FROM r WHERE rank<=3 ORDER BY q_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] =
     oracleSqlBase +
+      ("q161_hard_negatives" -> hardNegSql) +
+      ("q162_random_negatives" -> randNegSql) +
       ("q139_cc_delta" -> oracleSqlBase("q73_dedup_clusters")) +
       ("q141_triangle_count" -> triangleSql) +
       ("q143_bfs_hops" -> bfsSql) +

@@ -88,6 +88,45 @@ object Curation {
       .filter(col("rank") <= k)
   }
 
+  /** Uniform random negative sampling (the contrastive-training
+    * counterpart of [[Similarity.hardNegatives]]): for each anchor,
+    * k candidates drawn uniformly WITHOUT replacement from the corpus
+    * minus self minus known positives — per anchor, candidates rank
+    * by md5(seed#anchor#candidate) and the k smallest win, which is a
+    * fresh uniform permutation per (seed, anchor) with no rejection
+    * loop or dense-id requirement. `positives` pairs are undirected
+    * (excluded in either orientation).
+    *
+    * Plan shape: one corpus scan × broadcast anchors + two broadcast
+    * anti-joins; only (anchor, candidate, rank-hash) triples enter
+    * the rank window — the corpus never shuffles. Candidate space is
+    * |anchors|·|corpus|: right for broadcastable anchor batches (the
+    * training-pair generation loop); shard the anchor set across
+    * batches at extreme scale. Output: (q_id, n_id, rank). */
+  def randomNegatives(corpus: DataFrame, idCol: String,
+      positives: DataFrame, aCol: String, bCol: String,
+      anchorPred: Column, k: Int, seed: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val c = corpus.select(col(idCol).as("n_id"))
+    val q = corpus.filter(anchorPred).select(col(idCol).as("q_id"))
+    val pos = positives.select(col(aCol).as("__pa"), col(bCol).as("__pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("__r").asc, col("n_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(pos),
+        col("q_id") === col("__pa") && col("n_id") === col("__pb"),
+        "left_anti")
+      .join(broadcast(pos),
+        col("q_id") === col("__pb") && col("n_id") === col("__pa"),
+        "left_anti")
+      .withColumn("__r", md5(concat_ws("#", lit(seed),
+        col("q_id").cast("string"), col("n_id").cast("string"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
   /** Deterministic global shuffle: total order by hash rank (id as
     * tiebreak). Plans as one range-partitioned sort — the scalable way
     * to permute 100 TB (sample-based range boundaries, no single-point

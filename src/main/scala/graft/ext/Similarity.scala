@@ -45,6 +45,42 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining (the contrastive-training data op): for each
+    * anchor, the top-k most-similar corpus vectors that are NOT known
+    * positives — the negatives that actually move a contrastive loss
+    * (random negatives are trivially separable; the hard ones live
+    * just outside the positive set). `positives` holds (aCol, bCol)
+    * pairs, treated as undirected: (anchor, n) is excluded when the
+    * pair appears in either orientation. Self-matches are always
+    * excluded.
+    *
+    * Plan shape = [[bruteForceTopK]] plus two broadcast anti-joins:
+    * the corpus is scanned once and never shuffled (queries and the
+    * positive set broadcast — positives are |anchors|·degree-sized,
+    * broadcastable whenever the anchor set is); only scored candidate
+    * triples enter the rank window. Swap the scan for an IVF/LSH
+    * candidate stage at extreme scale — the exclusion semantics stay
+    * the same. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      positives: DataFrame, aCol: String, bCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv"))
+    val q = corpus.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    val pos = positives
+      .select(col(aCol).as("__pa"), col(bCol).as("__pb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(pos),
+        col("q_id") === col("__pa") && col("n_id") === col("__pb"),
+        "left_anti")
+      .join(broadcast(pos),
+        col("q_id") === col("__pb") && col("n_id") === col("__pa"),
+        "left_anti")
+      .withColumn("cos", cosineFast(col("__qv"), col("__cv")))
+    rankTopK(scored, k)
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (argmin L2 with centroid-id tiebreak). The cell id is the
     * ANN partition key — at corpus scale this is the standard

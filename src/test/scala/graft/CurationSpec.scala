@@ -506,6 +506,40 @@ class CurationSpec extends SparkSpecBase {
       gotBad.length == 400)
   }
 
+  test("randomNegatives: k uniform draws, positives excluded, seeded") {
+    import graft.ext.Curation
+    val corpus = (0L until 80L).toDF("id")
+    val pos = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 0L)).toDF("a", "b")
+    def run(seed: String, parts: Int = 4) =
+      Curation.randomNegatives(corpus.repartition(parts), "id", pos,
+          "a", "b", col("id") < 4, k = 5, seed)
+        .as[(Long, Long, Int)].collect().toSeq
+    val got = run("s1")
+    // exactly k per anchor, ranks 1..k, no self, no positive in
+    // either orientation
+    val posSet = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 0L))
+      .flatMap(p => Seq(p, p.swap)).toSet
+    got.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._3).sorted == (1 to 5), q)
+      g.foreach { case (a, n, _) =>
+        assert(a != n && !posSet((a, n)), s"($a,$n)")
+      }
+    }
+    // deterministic and partition-invariant; a new seed re-draws
+    assert(run("s1", parts = 13) == got)
+    assert(run("s2").map(t => (t._1, t._2)).toSet !=
+      got.map(t => (t._1, t._2)).toSet)
+    // matches the md5-rank brute force (md5("seed#q#n"), the
+    // shuffleKeyJvm twin of the operator's concat_ws draw)
+    val want = (0L until 4L).flatMap { q =>
+      (0L until 80L).filter(n => n != q && !posSet((q, n)))
+        .map(n => (Curation.shuffleKeyJvm("s1", s"$q#$n"), n))
+        .sorted.take(5).zipWithIndex
+        .map { case ((_, n), i) => (q, n, i + 1) }
+    }
+    assert(got.sorted == want.sorted)
+  }
+
   test("weightedSampleStratified: per-stratum brute force; group-limit plan") {
     val rows = (0L until 300L).map(i =>
       (i, s"src${i % 3}", 1L + (i * 7919) % 11))

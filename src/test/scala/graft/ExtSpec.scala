@@ -615,6 +615,42 @@ class ExtSpec extends SparkSpecBase {
     assert(err.getMessage.contains("canonical"))
   }
 
+  test("hardNegatives: top-k excluding positives, either orientation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .cache()
+    val isQuery = $"vec_id" < 12
+    val pos = graft.ext.Dedup.embeddingNearDup(emb, "vec_id",
+      "embedding", "label", threshold = 0.4).cache()
+    val posSet = pos.select("a_id", "b_id").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", pos,
+        "a_id", "b_id", isQuery, k = 5)
+      .as[(Long, Long, Int)].collect()
+    // no positive and no self ever surfaces as a negative
+    got.foreach { case (q, n, _) =>
+      assert(q != n && !posSet((q, n)), s"($q,$n)")
+    }
+    // == brute-force ranking with the exclusion applied post hoc (the
+    // deep shortlist guarantees 5 survivors per anchor)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(isQuery),
+        "vec_id", "embedding", k = 5 + posSet.size)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq)
+      .toMap
+    val want = brute.map { case (q, ns) =>
+      q -> ns.filterNot(n => posSet((q, n))).take(5)
+    }
+    val gotBy = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(gotBy == want)
+    // orientation flip of the positive table changes nothing
+    val flipped = pos.select($"b_id".as("a_id"), $"a_id".as("b_id"))
+    val got2 = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        flipped, "a_id", "b_id", isQuery, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got2 == got.toSet)
+  }
+
   test("residual IVF-PQ: recall >= raw codes at same m/ksub; serving exact") {
     // the FAISS-standard composition: PQ codes quantize v − centroid
     // (cell) instead of v — the coarse quantizer absorbs the cell
