@@ -841,6 +841,34 @@ object AnalyticQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // The NINTH streaming oracle row: the mergeable correlation state
+    // as a windowed streaming aggregate — per (day, type) exact LONG
+    // sums of (second-of-day, cents) moments; monotone Update
+    // emissions fold by max n, then corrFinish's fixed IEEE
+    // expression derives r/slope — faced by the oracle's from-scratch
+    // sums through the SAME expression.
+    "q163_streaming_corr" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayThirds(s, dir,
+        ds => graft.streaming.EventStreams.streamingCorrState(ds)
+          .as[(Long, String, Long, Long, Long, Long, Long, Long)])
+      val folded = raw
+        .map(r => ((r.getLong(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7))))
+        .groupBy(_._1).map { case ((ws, tp), rs) =>
+          val best = rs.map(_._2).maxBy(_._1)
+          (ws, tp, best._1, best._2, best._3, best._4, best._5, best._6)
+        }.toSeq
+      graft.ext.Incremental.corrFinish(folded.toDF("window_start",
+          "event_type", "n_rows", "sum_x", "sum_y", "sum_xx", "sum_yy",
+          "sum_xy"))
+        .select(col("window_start"), col("event_type"), col("n_rows"),
+          col("sum_xy"), col("mean_x"), col("mean_y"), col("pearson_r"),
+          col("slope"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // The SEVENTH streaming oracle row: q138's LOCF gap fill replayed
     // through streamingGapFill's timer-driven micro-batch pipeline
     // (watermark closes each day; EventTimeTimeout emits interior gap
@@ -1417,6 +1445,34 @@ object AnalyticQueries {
         |  + 1.96 * SQRT(p*(1.0-p)/nd + (1.96*1.96)/(4.0*nd*nd))/(1.0 + (1.96*1.96)/nd)
         |    AS wilson_high
         |FROM x ORDER BY step""".stripMargin,
+    // q163: the relational mirror of the streamed correlation state —
+    // day windows epoch-aligned (the q131 device), integer moment
+    // sums, then corrFinish's exact double expression term for term
+    "q163_streaming_corr" ->
+      """WITH v AS (SELECT
+        |    epoch_us(ts) // 86400000000 * 86400000000 AS ws,
+        |    event_type,
+        |    (epoch_us(ts) % 86400000000) // 1000000 AS x,
+        |    CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT ws, event_type, COUNT(*) AS n_rows,
+        |    CAST(SUM(x) AS BIGINT) AS sum_x,
+        |    CAST(SUM(y) AS BIGINT) AS sum_y,
+        |    CAST(SUM(x*x) AS BIGINT) AS sum_xx,
+        |    CAST(SUM(y*y) AS BIGINT) AS sum_yy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sum_xy
+        |  FROM v GROUP BY 1, 2),
+        |d AS (SELECT ws, event_type, n_rows, sum_xy,
+        |    CAST(n_rows AS DOUBLE) AS n, CAST(sum_x AS DOUBLE) AS sx,
+        |    CAST(sum_y AS DOUBLE) AS sy, CAST(sum_xx AS DOUBLE) AS sxx,
+        |    CAST(sum_yy AS DOUBLE) AS syy, CAST(sum_xy AS DOUBLE) AS sxy
+        |  FROM st)
+        |SELECT ws AS window_start, event_type, n_rows, sum_xy,
+        |  sx / n AS mean_x, sy / n AS mean_y,
+        |  (n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |FROM d ORDER BY window_start, event_type""".stripMargin,
     // q152: the relational mirror of the streamed histogram + rank
     // selection — day windows epoch-aligned (the q131 device), rank
     // arithmetic integral (the q149 device)

@@ -74,6 +74,39 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("window_start"),
         col("event_type"), col("unit"), col("c"))
 
+  /** Windowed mergeable CORRELATION state — the streaming face of
+    * [[graft.ext.Incremental.corrState]]: per (day window, event
+    * type) the exact integer sums of (x, y, x², y², xy), where
+    * x = second-of-day and y = value in cents (both integer-quantized,
+    * so every sum is exact LONG arithmetic — no decimal state needed;
+    * magnitudes bounded: a day of 10⁹ cent-valued events stays under
+    * int64). No custom state: a plain windowed streaming aggregate
+    * under the watermark, so Update emissions per key only grow —
+    * callers fold by max n and rank-derive r/slope at read time
+    * ([[graft.ext.Incremental.corrFinish]] casts the long sums the
+    * same way it casts decimals). */
+  def streamingCorrState(events: Dataset[Event],
+      window_ : String = "1 day",
+      watermark: String = "0 seconds"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .filter(col("value").isNotNull)
+      .withColumn("__x",
+        expr("(unix_micros(ts) % 86400000000) div 1000000"))
+      .withColumn("__y",
+        floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window_),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__x")).as("sum_x"), sum(col("__y")).as("sum_y"),
+        sum(col("__x") * col("__x")).as("sum_xx"),
+        sum(col("__y") * col("__y")).as("sum_yy"),
+        sum(col("__x") * col("__y")).as("sum_xy"))
+      .select(unix_micros(col("window.start")).as("window_start"),
+        col("event_type"), col("n_rows"), col("sum_x"), col("sum_y"),
+        col("sum_xx"), col("sum_yy"), col("sum_xy"))
+
   final case class SessionState(nEvents: Long, total: Double,
       lastTs: Long)
   final case class UserSession(user_id: Long, nEvents: Long, total: Double)

@@ -228,6 +228,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.nonEmpty && got == want)
   }
 
+  test("streamingCorrState: max-folded emissions == batch moment sums") {
+    import spark.implicits._
+    // batch ground truth: the same integer moment sums per (day, type)
+    val batch = batchEvents.filter(col("value").isNotNull)
+      .withColumn("__ws", expr(
+        "(unix_micros(ts) div 86400000000) * 86400000000"))
+      .withColumn("__x", expr("(unix_micros(ts) % 86400000000) div 1000000"))
+      .withColumn("__y", floor(col("value") * 100d + 0.5d).cast("long"))
+      .groupBy("__ws", "event_type")
+      .agg(count(lit(1)).as("n"), sum("__x").as("sx"), sum("__y").as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"),
+        sum(col("__x") * col("__y")).as("sxy"))
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> (t._3, t._4, t._5, t._6,
+        t._7, t._8)).toMap
+    // streamed in three time-ordered batches; Update emissions per key
+    // only grow — max-n fold recovers the final state
+    val raw = replayToSink("corr_state", thirds(orderedDriverEvents),
+        ds => EventStreams.streamingCorrState(ds)
+          .as[(Long, String, Long, Long, Long, Long, Long, Long)])
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    val folded = raw.groupBy(t => (t._1, t._2)).map { case (k, rs) =>
+      k -> rs.map(t => (t._3, t._4, t._5, t._6, t._7, t._8))
+        .maxBy(_._1)
+    }
+    assert(folded == batch && batch.nonEmpty)
+  }
+
   test("streamingQuality: max-folded update emissions == batch windowed suite") {
     import spark.implicits._
     import graft.ext.Quality
