@@ -101,7 +101,8 @@ object ScaleProbe {
       "minhash_after_dedup", "simhash", "ann_topk_bruteforce",
       "ann_lsh_buckets", "pack_sequences", "connected_components",
       "cc_delta",
-      "kmeans_train_16x2", "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
+      "kmeans_train_16x2", "hard_negatives", "random_negatives",
+      "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
       "remove_dup_spans_w1", "remove_dup_spans_w8",
       "pq_train_encode_adc", "ivfpq_3probe", "ivfpq_residual_3probe",
       "pq_adc_loaded", "ivfpq_loaded", "ann_artifact_build",
@@ -173,6 +174,19 @@ object ScaleProbe {
     }
     time("kmeans_train_16x2")(Similarity.trainCentroids(emb, "vec_id",
       "embedding", k = 16, iters = 2).count())
+    // contrastive pair generation at replicated scale: both are one
+    // corpus scan × broadcast anchors/positives — the corpus never
+    // shuffles, so the cost axis is the scan, not an exchange
+    if (Seq("hard_negatives", "random_negatives").exists(wanted)) {
+      val pos = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+        "label", threshold = 0.4).select("a_id", "b_id").cache()
+      println(s"[probe] negatives positives=${pos.count()}")
+      time("hard_negatives")(Similarity.hardNegatives(emb, "vec_id",
+        "embedding", pos, "a_id", "b_id", $"vec_id" < 10, k = 5).count())
+      time("random_negatives")(Curation.randomNegatives(emb, "vec_id",
+        pos, "a_id", "b_id", $"vec_id" < 10, k = 5, seed = "np1").count())
+      pos.unpersist()
+    }
     // duplicate spans: winnowing selection thins the gram shuffle ~w/2x
     // (w=1 is exact); detection still guaranteed for spans >= 20+w-1
     for (w <- Seq(1, 4, 8))
