@@ -54,16 +54,30 @@ object Bench {
     // spike self-corrects inside the same bench instead of waiting for
     // a human QTimer pass. The adjudicated map records first/median/
     // final so both columns are visible in the official record.
+    // The durable record defaults to the CWD (sbt runs anchor it at
+    // the repo root) but takes an explicit SPARK_GRAFT_BENCH_SELF
+    // override for launchers with a different working directory — and
+    // both the read and the write fail LOUDLY: a silently absent
+    // baseline disables adjudication, a silently failed write leaves
+    // the next round adjudicating against stale numbers.
+    val selfPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json"))
     val prevQ: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_SELF.json")), "UTF-8")
+      val txt = new String(java.nio.file.Files.readAllBytes(selfPath),
+        "UTF-8")
       // a record from a DIFFERENT scale factor is not a baseline —
       // every query would false-trigger the mover check
       if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
       else """"(q[0-9][^"]*)":(-?[0-9]+(?:\.[0-9]+)?)""".r
         .findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+    } catch {
+      case e: Throwable =>
+        println(s"[bench] no usable adjudication baseline at " +
+          s"${selfPath.toAbsolutePath} (${e.getClass.getSimpleName}) — " +
+          "movers will not be re-timed")
+        Map.empty
+    }
     val adjudicated = results.flatMap { case (name, v) =>
       val moved = v >= 0 && prevQ.get(name).exists(p =>
         p >= 0 && math.abs(v - p) > 0.2 && (v > 2 * p || p > 2 * v))
@@ -98,10 +112,13 @@ object Bench {
     // Filtered (BENCH_ONLY) runs don't overwrite it — a 3-query record
     // must not replace the full adjudication baseline.
     if (only.isEmpty)
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_SELF.json"),
+      try java.nio.file.Files.write(selfPath,
         (line + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => }
+      catch {
+        case e: Throwable =>
+          println(s"[bench] FAILED to write durable record to " +
+            s"${selfPath.toAbsolutePath}: $e")
+      }
     // Print once BEFORE shutdown and once after: whichever direction
     // the capture truncates from, one intact copy remains, and the
     // post-stop copy has no Spark shutdown noise after it to push it

@@ -239,15 +239,21 @@ object Graph {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val bad = cur.groupBy("__u").agg(count(lit(1)).as("__d"))
-        .filter(col("__d") < k).select(col("__u").as("__bad"))
-      if (bad.isEmpty) converged = true
+      // materialize the (small) sub-k set ONCE per round: it feeds the
+      // convergence probe AND both anti-joins — left as a plan it would
+      // re-run the degree aggregation up to three times per round
+      val (bad, badRdd) =
+        org.apache.spark.sql.graftshim.CheckpointShim.materialize(
+          cur.groupBy("__u").agg(count(lit(1)).as("__d"))
+            .filter(col("__d") < k).select(col("__u").as("__bad")))
+      if (bad.isEmpty) { badRdd.unpersist(); converged = true }
       else {
         val next = cur
           .join(bad, cur("__u") === col("__bad"), "left_anti")
           .join(bad, col("__v") === col("__bad"), "left_anti")
         val (m, r) =
           org.apache.spark.sql.graftshim.CheckpointShim.materialize(next)
+        badRdd.unpersist()
         curRdd.unpersist()
         cur = m
         curRdd = r

@@ -182,11 +182,17 @@ object Incremental {
     * `snapA.join(snapB, keys)` (keys, A payload, B payload). */
   def joinDelta(snapA: DataFrame, deltaA: DataFrame,
       snapB: DataFrame, deltaB: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String],
+      broadcastDeltas: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "joinDelta needs at least one key")
-    val newA = snapA.join(broadcast(deltaB), keys)
-    val newB = broadcast(deltaA).join(snapB, keys)
-    val newBoth = deltaA.join(broadcast(deltaB), keys)
+    // broadcastDeltas = false for backfill-sized deltas (initial
+    // loads): the hint would otherwise force the whole batch through
+    // the driver's broadcast ceiling instead of letting the planner
+    // pick a shuffle join
+    def d(df: DataFrame) = if (broadcastDeltas) broadcast(df) else df
+    val newA = snapA.join(d(deltaB), keys)
+    val newB = d(deltaA).join(snapB, keys)
+    val newBoth = deltaA.join(d(deltaB), keys)
     // align all three to the canonical snapA⋈snapB column order
     val cols = snapA.join(snapB, keys).columns.map(col).toSeq
     newB.select(cols: _*)

@@ -233,9 +233,9 @@ object Layout {
       dataPath: String,
       ranges: Seq[(String, Double, Double)]): DataFrame = {
     require(ranges.nonEmpty, "readPruned needs at least one range")
-    val fs0 = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs0.exists(
+    require(fs.exists(
       new org.apache.hadoop.fs.Path(s"$dataPath/_graft_manifest")),
       s"no manifest at $dataPath — run writeManifest first (an " +
         "overwrite of the directory also removes it)")
@@ -246,12 +246,14 @@ object Layout {
           s"writeManifest(..., cols including '$c')")
     }
     import spark.implicits._
-    val manifestFiles = mf.select("file").as[String].collect().toSet
+    // ONE manifest collect serves both the staleness guard and the
+    // pruning filter (the manifest is file-count-sized driver state)
+    val mfRows = mf.collect()
+    val fileIdx = mf.columns.indexOf("file")
+    val manifestFiles = mfRows.map(_.getString(fileIdx)).toSet
     // staleness guard: the manifest must describe EXACTLY the live
     // data files (names compared; underscore/dot paths are reader-
     // invisible and excluded on both sides)
-    val fs = new org.apache.hadoop.fs.Path(dataPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = fs.listStatus(new org.apache.hadoop.fs.Path(dataPath))
       .map(_.getPath).filter { p =>
         !p.getName.startsWith("_") && !p.getName.startsWith(".")
@@ -265,12 +267,17 @@ object Layout {
         "rerun writeManifest after rewriting the directory")
     // a file survives iff EVERY predicate's range intersects its
     // stats range; all-null stats (min/max null) cannot prove absence
-    // of matching rows, so such files are kept
-    val keepPred = ranges.map { case (c, lo, hi) =>
-      col(s"${c}__min").isNull ||
-        (col(s"${c}__min") <= hi && col(s"${c}__max") >= lo)
-    }.reduce(_ && _)
-    val files = mf.filter(keepPred).select("file").as[String].collect()
+    // of matching rows, so such files are kept — evaluated driver-side
+    // over the already-collected rows
+    val idx = ranges.map { case (c, _, _) =>
+      (mf.columns.indexOf(s"${c}__min"), mf.columns.indexOf(s"${c}__max"))
+    }
+    val files = mfRows.filter { r =>
+      ranges.zip(idx).forall { case ((_, lo, hi), (iMin, iMax)) =>
+        r.isNullAt(iMin) ||
+          (r.getDouble(iMin) <= hi && r.getDouble(iMax) >= lo)
+      }
+    }.map(_.getString(fileIdx))
     val base = spark.read.parquet(dataPath)
     val pruned =
       if (files.isEmpty) base.limit(0)

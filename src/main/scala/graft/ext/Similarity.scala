@@ -327,19 +327,8 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__lut", lutFor(cbs))
       .select("q_id", "__lut")
-    val scored = enc.select(col(idCol).as("n_id"), col("__code"))
-      .crossJoin(broadcast(q))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("dist", graft.functions.expressions.VectorExpressions
-        .pqAdcDistance(spark, col("__code"), col("__lut")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("dist").asc, col("n_id").asc)
-    // ASC sorts NULLS FIRST: a null distance (corrupt code or
-    // truncated vector) would take rank 1 — exclude it instead
-    scored.filter(col("dist").isNotNull)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank")
+    scoreAdcRanked(enc.select(col(idCol).as("n_id"), col("__code")),
+      q, k, joinOnCell = false)
   }
 
   /** Per-query squared-L2 LUT column over `__qv`: LUT[s][j] =
@@ -394,19 +383,10 @@ object Similarity {
         col(qVecCol).cast("array<double>").as("__qv"))
       .withColumn("__lut", lutFor(cbs))
       .select("q_id", "__lut")
-    val scored = encoded
+    scoreAdcRanked(encoded
       .select(col(idCol).as("n_id"),
-        col(codeCol).cast("array<long>").as("__code"))
-      .crossJoin(broadcast(q))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("dist", graft.functions.expressions.VectorExpressions
-        .pqAdcDistance(spark, col("__code"), col("__lut")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("dist").asc, col("n_id").asc)
-    scored.filter(col("dist").isNotNull)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank")
+        col(codeCol).cast("array<long>").as("__code")),
+      q, k, joinOnCell = false)
   }
 
   /** IVF-PQ top-k over a PRE-ENCODED corpus: the serving twin of
@@ -429,22 +409,13 @@ object Similarity {
       .select(col(qIdCol).as("q_id"),
         col(qVecCol).cast("array<double>").as("__qv"))
       .withColumn("__lut", lutFor(cbs)) // BEFORE the probe explode
-      .withColumn("__cell",
+      .withColumn("cid",
         explode(probeCells(col("__qv"), cids, matrix, nProbe)))
-      .select("q_id", "__cell", "__lut")
-    val scored = encoded
-      .select(col(idCol).as("n_id"), col(cellCol).as("__cell"),
-        col(codeCol).cast("array<long>").as("__code"))
-      .join(broadcast(q), Seq("__cell"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("dist", graft.functions.expressions.VectorExpressions
-        .pqAdcDistance(spark, col("__code"), col("__lut")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("dist").asc, col("n_id").asc)
-    scored.filter(col("dist").isNotNull)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank")
+      .select("q_id", "cid", "__lut")
+    scoreAdcRanked(encoded
+      .select(col(idCol).as("n_id"), col(cellCol).as("cid"),
+        col(codeCol).cast("array<long>").as("__code")),
+      q, k)
   }
 
   /** PQ with exact re-ranking — the standard production pairing: ADC
@@ -512,19 +483,9 @@ object Similarity {
       // the m×ksub×subdim LUT is recomputed nProbe times per query
       .withColumn("cid", explode(probeCells(col("__qv"), cids, matrix, nProbe)))
       .select("q_id", "cid", "__lut")
-    val scored = enc.select(col(idCol).as("n_id"), col("cid"), col("__code"))
-      .join(broadcast(q), Seq("cid"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("dist", graft.functions.expressions.VectorExpressions
-        .pqAdcDistance(spark, col("__code"), col("__lut")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("dist").asc, col("n_id").asc)
-    // ASC sorts NULLS FIRST: a null distance (corrupt code or
-    // truncated vector) would take rank 1 — exclude it instead
-    scored.filter(col("dist").isNotNull)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank")
+    scoreAdcRanked(
+      enc.select(col(idCol).as("n_id"), col("cid"), col("__code")),
+      q, k)
   }
 
   /** One nearestCentroid kernel per row feeding BOTH the cell id and
@@ -652,16 +613,21 @@ object Similarity {
       col(codeCol).cast("array<long>").as("__code")), q, k)
   }
 
-  /** Shared ADC tail for the cell-joined paths: broadcast the
-    * (q_id, cid, __lut) query side, join on the cell, ADC-score, rank
-    * with the canonical (dist asc, n_id asc) tiebreak, drop null
+  /** The ONE ADC tail every PQ path funnels through (the rankTopK
+    * discipline applied to codes): broadcast the (q_id[, cid], __lut)
+    * query side, join on the cell — or cross the whole corpus when
+    * `joinOnCell` is false (plain PQ scans every code) — ADC-score,
+    * rank with the canonical (dist asc, n_id asc) tiebreak, drop null
     * distances (ASC sorts NULLS FIRST — a corrupt code must not take
-    * rank 1). */
+    * rank 1). Keeping this in one place is what stops the four ADC
+    * paths drifting apart on tie/null semantics. */
   private def scoreAdcRanked(corpusSide: DataFrame, q: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, joinOnCell: Boolean = true): DataFrame = {
     val spark = corpusSide.sparkSession
-    val scored = corpusSide
-      .join(broadcast(q), Seq("cid"))
+    val joined =
+      if (joinOnCell) corpusSide.join(broadcast(q), Seq("cid"))
+      else corpusSide.crossJoin(broadcast(q))
+    val scored = joined
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("dist", graft.functions.expressions.VectorExpressions
         .pqAdcDistance(spark, col("__code"), col("__lut")))

@@ -15,20 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic row salt in [0, salts): a content hash over every
-    * column, so the same row always lands on the same salt no matter
-    * which partition (re)computes it — the property a stage retry
-    * needs for exactly-once row accounting. Maps and other unhashable
-    * types are rendered through to_json first (xxhash64 rejects
-    * MapType inputs). */
+  /** Deterministic row salt in [0, salts): a content hash over the
+    * row's HASHABLE columns, so the same row always lands on the same
+    * salt no matter which partition (re)computes it — the property a
+    * stage retry needs for exactly-once row accounting. Columns whose
+    * type contains a map ANYWHERE (xxhash64 rejects MapType, including
+    * nested inside arrays/structs) are skipped rather than rendered:
+    * the salt needs per-row determinism, not collision freedom — rows
+    * identical outside their map columns sharing a salt only
+    * concentrates spreading, never changes results. If EVERY column is
+    * unhashable the salt degrades to 0 (correct, just unspread). */
   private def rowSalt(df: DataFrame, salts: Int): Column = {
-    val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
-        case _ => col(f.name)
-      }
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
     }
-    pmod(xxhash64(cols.toSeq: _*), lit(salts)).cast("int")
+    val cols = df.schema.fields.filterNot(f => hasMap(f.dataType))
+      .map(f => col(f.name))
+    if (cols.isEmpty) lit(0)
+    else pmod(xxhash64(cols.toSeq: _*), lit(salts)).cast("int")
   }
 
   /** Two-phase salted sum/count aggregation.

@@ -192,15 +192,20 @@ object AsofJoin {
     require(targetRowsPerBucket >= 1, "targetRowsPerBucket must be >= 1")
     import org.apache.spark.sql.types.{DateType, TimestampNTZType,
       TimestampType}
-    def ordOf(df: DataFrame, c: String): Column =
-      df.schema(c).dataType match {
-        case TimestampType => unix_micros(col(c))
-        case TimestampNTZType => unix_micros(col(c).cast("timestamp"))
-        case DateType => col(c).cast("int").cast("long")
-        case _ => col(c).cast("long")
-      }
-    val both = left.select(ordOf(left, leftTs).as("__o"))
-      .unionByName(right.select(ordOf(right, rightTs).as("__o")))
+    // union the RAW ts columns first: the set-op coercion unifies a
+    // mixed timestamp/date pair to one type — exactly what the
+    // bucketed join's own tagUnion does — and the unit conversion
+    // happens ONCE on the unified type. Converting per side would mix
+    // day-numbers with micros and derive a garbage width.
+    val raw = left.select(col(leftTs).as("__t"))
+      .union(right.select(col(rightTs).as("__t")))
+    val ord: Column = raw.schema("__t").dataType match {
+      case TimestampType => unix_micros(col("__t"))
+      case TimestampNTZType => unix_micros(col("__t").cast("timestamp"))
+      case DateType => col("__t").cast("int").cast("long")
+      case _ => col("__t").cast("long")
+    }
+    val both = raw.select(ord.as("__o"))
     val r = both.agg(min(col("__o")).as("lo"), max(col("__o")).as("hi"),
       count(col("__o")).as("n")).head()
     if (r.isNullAt(0) || r.isNullAt(1)) 1L

@@ -87,25 +87,49 @@ object EventStreams {
     * same way it casts decimals). */
   def streamingCorrState(events: Dataset[Event],
       window_ : String = "1 day",
-      watermark: String = "0 seconds"): DataFrame =
+      watermark: String = "0 seconds"): DataFrame = {
+    // products and sums accumulate in DECIMAL(38,0) (exact, cannot
+    // wrap — the batch corrState discipline) and only render as LONG
+    // at the output edge, where an out-of-range sum raises instead of
+    // silently wrapping (non-ANSI long sums wrap negative; a garbage
+    // pearson_r with no error is the one failure mode a monitor must
+    // never have)
+    def asLong(c: org.apache.spark.sql.Column, name: String) =
+      when(c > lit(Long.MaxValue).cast("decimal(38,0)") ||
+          c < lit(Long.MinValue).cast("decimal(38,0)"),
+        raise_error(concat(lit(s"streamingCorrState: $name exceeds "),
+          lit("int64 — widen the window or rescale the values"))))
+        .otherwise(c.cast("long")).as(name)
+    val x = col("__x").cast("decimal(38,0)")
+    val y = col("__y").cast("decimal(38,0)")
     events.toDF()
       .withWatermark("ts", watermark)
       .filter(col("value").isNotNull)
       .withColumn("__x",
         expr("(unix_micros(ts) % 86400000000) div 1000000"))
       .withColumn("__y",
-        floor(col("value") * lit(100d) + lit(0.5d)).cast("long"))
+        floor(col("value") * lit(100d) + lit(0.5d))
+          .cast("decimal(38,0)"))
+      // a value too wild even for DECIMAL(38,0) cents would cast to
+      // NULL and silently desync the sums from n_rows — raise instead
+      .withColumn("__y", when(col("__y").isNull,
+        raise_error(lit("streamingCorrState: value out of cent " +
+          "range"))).otherwise(col("__y")))
       .groupBy(
         org.apache.spark.sql.functions.window(col("ts"), window_),
         col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("__x")).as("sum_x"), sum(col("__y")).as("sum_y"),
-        sum(col("__x") * col("__x")).as("sum_xx"),
-        sum(col("__y") * col("__y")).as("sum_yy"),
-        sum(col("__x") * col("__y")).as("sum_xy"))
+        sum(x).cast("decimal(38,0)").as("__sx"),
+        sum(y).cast("decimal(38,0)").as("__sy"),
+        sum(x * x).cast("decimal(38,0)").as("__sxx"),
+        sum(y * y).cast("decimal(38,0)").as("__syy"),
+        sum(x * y).cast("decimal(38,0)").as("__sxy"))
       .select(unix_micros(col("window.start")).as("window_start"),
-        col("event_type"), col("n_rows"), col("sum_x"), col("sum_y"),
-        col("sum_xx"), col("sum_yy"), col("sum_xy"))
+        col("event_type"), col("n_rows"),
+        asLong(col("__sx"), "sum_x"), asLong(col("__sy"), "sum_y"),
+        asLong(col("__sxx"), "sum_xx"), asLong(col("__syy"), "sum_yy"),
+        asLong(col("__sxy"), "sum_xy"))
+  }
 
   final case class SessionState(nEvents: Long, total: Double,
       lastTs: Long)

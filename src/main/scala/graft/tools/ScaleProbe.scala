@@ -926,13 +926,18 @@ object ScaleProbe {
       Layout.writeZOrdered(df, Seq("a", "b"), dir, numFiles = 256)
       timeOrRun("manifest_build")(
         Layout.writeManifest(spark, dir, Seq("a", "b")))
+      // files-touched is a diagnostic computed OUTSIDE the timed
+      // region — timing a second full action over the pruned files
+      // would inflate the pruned row vs the single-count full row
       time("manifest_pruned_scan")({
         val d = Layout.readPruned(spark, dir,
           Seq(("a", 41000.0, 42000.0), ("b", 10000.0, 90000.0)))
-        val rows = d.count()
-        val files = d.select(input_file_name()).distinct().count()
-        s"rows=$rows files=$files/256"
+        s"rows=${d.count()}"
       })
+      val prunedFiles = Layout.readPruned(spark, dir,
+          Seq(("a", 41000.0, 42000.0), ("b", 10000.0, 90000.0)))
+        .select(input_file_name()).distinct().count()
+      println(s"[probe] manifest_pruned_scan files=$prunedFiles/256")
       time("manifest_full_scan")({
         spark.read.parquet(dir)
           .filter(col("a") >= 41000 && col("a") <= 42000 &&
