@@ -134,6 +134,17 @@ class AsofSpec extends SparkSpecBase {
     // empty inputs: derivation degrades to 1, never throws
     assert(AsofJoin.deriveBucketWidth(
       l.filter($"lid" < 0), r.filter($"rid" < 0), "ts", "ts") == 1L)
+    // mixed timestamp/date timelines unify through set-op coercion
+    // BEFORE unit conversion — a per-side conversion would mix
+    // day-numbers with micros and derive a garbage width
+    val lMix = Seq(("k1", java.sql.Timestamp.valueOf("2024-01-05 10:00:00"),
+      1L)).toDF("k", "ts", "lid")
+    val rMix = Seq(("k1", java.sql.Date.valueOf("2024-01-03"), 9L))
+      .toDF("k", "ts", "rid")
+    val wMixed = AsofJoin.deriveBucketWidth(lMix, rMix, "ts", "ts")
+    // span ≈ 2.4 days in MICROS over the 256-bucket floor
+    val spanMicros = 2L * 86400000000L + 10L * 3600000000L
+    assert(wMixed == math.max(1L, (spanMicros + 1) / 256), s"w=$wMixed")
     // equal-ts right must still match in both directions across the
     // bucketed path (the __src tie column survives the two-pass plan)
     val lt = Seq(("k1", 64L, 0L)).toDF("k", "ts", "lid") // on a boundary

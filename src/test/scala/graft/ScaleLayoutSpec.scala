@@ -200,6 +200,27 @@ class ScaleLayoutSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("salted ops tolerate unhashable (map) columns in the payload") {
+    // xxhash64 rejects MapType at any nesting depth — the salt must
+    // skip such columns, not throw (they ride as payload, the salt
+    // only needs per-row determinism)
+    val df = spark.range(2000).select(
+      (col("id") % 3).cast("string").as("k"),
+      col("id").as("v"),
+      map(lit("a"), col("id").cast("string")).as("props"),
+      array(struct(map(lit("x"), col("id")).as("m"))).as("nested"))
+    val got = Skew.saltedSumAgg(df, Seq("k"), salts = 8,
+        aggs = Seq("n" -> count(lit(1)), "s" -> sum(col("v"))))
+      .select("k", "n", "s").as[(String, Long, Long)].collect().toSet
+    val want = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    val small = Seq(("0", 1L), ("1", 2L), ("2", 3L)).toDF("k", "w")
+    assert(Skew.saltedJoin(df, small, Seq("k"), salts = 4).count() ==
+      df.join(small, Seq("k")).count())
+  }
+
   test("salted join == plain join; no row lost or duplicated") {
     // two keys only — maximal skew: a plain shuffle join would put each
     // key's entire big side in one reducer

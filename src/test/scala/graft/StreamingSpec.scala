@@ -258,6 +258,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(folded == batch && batch.nonEmpty)
   }
 
+  test("streamingCorrState: an int64-overflowing moment raises, never wraps") {
+    import spark.implicits._
+    // value 1e9 → y = 1e11 cents → y² = 1e22 per row: one row already
+    // exceeds int64 — the decimal state holds it exactly and the
+    // output-edge guard must raise instead of emitting wrapped garbage
+    val wild = Seq(EventStreams.Event(1L,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "view", 1e9))
+    val ex = intercept[Exception] {
+      replayToSink("corr_overflow", Seq(wild),
+        ds => EventStreams.streamingCorrState(ds)
+          .as[(Long, String, Long, Long, Long, Long, Long, Long)])
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("exceeds int64")),
+      msgs(ex).mkString(" | "))
+  }
+
   test("streamingQuality: max-folded update emissions == batch windowed suite") {
     import spark.implicits._
     import graft.ext.Quality
