@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output defaults to sbt's logger, which prefixes every
+// line with "[info] " — that beheads the bench's machine-readable
+// JSON line (no line starts with '{', so the driver's parse fails).
+// Send forked stdout straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

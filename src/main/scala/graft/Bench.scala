@@ -2,16 +2,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR and prints machine-readable JSON lines.
   *
   * Variance guard (round-2 driver bench showed 2-6x phantom swings on a
   * noisy machine): each query runs SPARK_GRAFT_BENCH_RUNS times (default
   * 3) after an untimed warmup pass, and the reported number is the
   * per-query MIN — the best proxy for plan cost under co-tenant noise.
-  * The total is emitted first and query values are rounded so a
-  * truncated capture still carries the headline and most of the map.
+  *
+  * Output contract (the driver captures only the LAST ~2000 chars of
+  * stdout and its JSON parse needs a complete line starting with '{'):
+  *   - the FULL record (3-decimal per-query map + adjudication detail)
+  *     goes to the durable BENCH_SELF.json, never truncated;
+  *   - stdout gets the full line once early (for humans / grep), then
+  *     as the VERY LAST line a compact headline — total + the slowest
+  *     queries at 2 decimals, capped below the tail window — so the
+  *     driver record finally parses ("parsed": null rounds 1-10 was the
+  *     6 KB line overflowing a 2000-char tail, plus sbt's "[info] "
+  *     logger prefix, dropped via run/outputStrategy := StdoutOutput).
   */
 object Bench {
+
+  /** Adjudication trigger: does (prev, v) look like a >2x mover worth
+    * warm re-timing? Extracted + spec'd (BenchSpec) after the round-10
+    * driver run let q26_asof through at 0.333 s vs 0.147 s: the old
+    * predicate gated on |v - p| > 0.2 — a DIFFERENCE — so a 2.3x move
+    * with a 0.186 s delta never re-timed. The noise-class exclusion is
+    * meant to skip rows where BOTH sides are tiny, so gate on the
+    * larger side's magnitude instead. */
+  private[graft] def isMover(prev: Double, v: Double): Boolean =
+    v >= 0 && prev >= 0 && math.max(v, prev) > 0.2 &&
+      (v > 2 * prev || prev > 2 * v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,11 +70,13 @@ object Bench {
     // Self-adjudication (two rounds of phantom >2x movers — q37-q41
     // r8, q34 r9 — all re-timed to noise by hand): any query that
     // moved >2x against the PREVIOUS committed BENCH_SELF.json gets an
-    // automatic warm re-timing (1 untimed + 5 timed runs), and the
-    // reported value is the min across all runs — so a co-tenant noise
-    // spike self-corrects inside the same bench instead of waiting for
-    // a human QTimer pass. The adjudicated map records first/median/
-    // final so both columns are visible in the official record.
+    // automatic warm re-timing (1 untimed + 5 timed runs). The
+    // adjudicated value is the MEDIAN of the 5 re-runs — NOT the min
+    // across everything, which would rewrite a genuine 2x regression
+    // back toward baseline whenever one warm run got lucky (round-10
+    // advice): a real slowdown keeps a slow median and stays visible.
+    // The adjudicated map records first/min5/median so all columns are
+    // in the durable record.
     // The durable record defaults to the CWD (sbt runs anchor it at
     // the repo root) but takes an explicit SPARK_GRAFT_BENCH_SELF
     // override for launchers with a different working directory — and
@@ -79,36 +102,36 @@ object Bench {
         Map.empty
     }
     val adjudicated = results.flatMap { case (name, v) =>
-      val moved = v >= 0 && prevQ.get(name).exists(p =>
-        p >= 0 && math.abs(v - p) > 0.2 && (v > 2 * p || p > 2 * v))
-      if (!moved) None else {
+      if (!prevQ.get(name).exists(p => isMover(p, v))) None
+      else {
         timeRuns(name, 1) // untimed warm pass
         val ts = timeRuns(name, 5)
         if (ts.isEmpty) None
-        else Some(name -> (prevQ(name), v, ts.sorted.apply(ts.size / 2),
-          math.min(v, ts.min)))
+        else Some(name -> (prevQ(name), v, ts.min,
+          ts.sorted.apply(ts.size / 2)))
       }
     }.toMap
     val fin = results.map { case (k, v) =>
       k -> adjudicated.get(k).map(_._4).getOrElse(v)
     }
-    def r3(v: Double) =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = fin.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    def rd(v: Double, s: Int) =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val qs = fin.map { case (k, v) => s"\"" + k + "\":" + rd(v, 3) }
       .mkString("{", ",", "}")
     val adjJson =
       if (adjudicated.isEmpty) ""
-      else adjudicated.toSeq.sortBy(_._1).map { case (k, (p, f, med, v)) =>
-        s"\"$k\":{\"prev\":${r3(p)},\"first\":${r3(f)}," +
-          s"\"median5\":${r3(med)},\"final\":${r3(v)}}"
+      else adjudicated.toSeq.sortBy(_._1).map { case (k, (p, f, mn, med)) =>
+        val still = if (p >= 0 && med > 2 * p) ",\"still_over_2x\":true"
+          else ""
+        s"\"$k\":{\"prev\":${rd(p, 3)},\"first\":${rd(f, 3)}," +
+          s"\"min5\":${rd(mn, 3)},\"median5\":${rd(med, 3)}$still}"
       }.mkString(",\"adjudicated\":{", ",", "}")
     val total = fin.collect { case (_, v) if v >= 0 => v }.sum
-    val totalR = r3(total)
+    val totalR = rd(total, 3)
     val line = s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$runs,"sf":"$sfDir"$adjJson,"queries":$qs}"""
     // Durable copy first: the driver's stdout capture is a truncated
-    // tail (r8/r9: only 75/153 query rows survived, "parsed": null
-    // three rounds running), so the full per-query map also lands in a
-    // file in the repo root that survives any console truncation.
+    // 2000-char tail, so the full per-query map + adjudication detail
+    // land in a file in the repo root that survives any truncation.
     // Filtered (BENCH_ONLY) runs don't overwrite it — a 3-query record
     // must not replace the full adjudication baseline.
     if (only.isEmpty)
@@ -119,12 +142,24 @@ object Bench {
           println(s"[bench] FAILED to write durable record to " +
             s"${selfPath.toAbsolutePath}: $e")
       }
-    // Print once BEFORE shutdown and once after: whichever direction
-    // the capture truncates from, one intact copy remains, and the
-    // post-stop copy has no Spark shutdown noise after it to push it
-    // past a tail cutoff.
-    println(line)
-    spark.stop()
-    println(line)
+    println(line) // full copy for humans / grep, ahead of the tail window
+    spark.stop()  // shutdown noise lands BEFORE the compact final line
+    // Compact headline LAST: slowest-first per-query entries at
+    // 2 decimals, capped so the whole line stays well inside the
+    // driver's 2000-char tail (sbt's trailing "[success] Total time"
+    // line costs ~80 of those). Omitted rows are the sub-noise tail;
+    // count + pointer to the durable file keep the omission explicit.
+    val budget = 1600
+    val present = fin.filter(_._2 >= 0).sortBy(-_._2)
+    val head = s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$runs,"sf":"$sfDir","full":"BENCH_SELF.json","queries":{"""
+    val sb = new StringBuilder(head)
+    var taken = 0
+    present.foreach { case (k, v) =>
+      val ent = (if (taken == 0) "" else ",") + "\"" + k + "\":" + rd(v, 2)
+      // worst-case suffix: },"omitted":163}
+      if (sb.length + ent.length + 24 <= budget) { sb.append(ent); taken += 1 }
+    }
+    sb.append(s"""},"omitted":${fin.size - taken}}""")
+    println(sb.toString)
   }
 }

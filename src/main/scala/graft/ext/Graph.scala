@@ -209,7 +209,10 @@ object Graph {
     * k-core separates the quasi-clique heart from chain/bridge
     * attachments; on link graphs it drops low-engagement periphery
     * before PageRank). Undirected: edges symmetrize, self-loops and
-    * half-null edges drop (the CC conventions).
+    * half-null edges drop, and ids keep their NATIVE type (the CC
+    * conventions — string/digest ids, the dedup family's key shape,
+    * must not be coerced: a silent cast("long") would turn digest ids
+    * into NULLs and return an empty core).
     *
     * Each round: one degree aggregation + two anti-joins removing
     * sub-k vertices' edges, checkpoint-materialized so lineage stays
@@ -227,10 +230,8 @@ object Graph {
     val sym0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(explode(array(
-        struct(col(srcCol).cast("long").as("__u"),
-          col(dstCol).cast("long").as("__v")),
-        struct(col(dstCol).cast("long").as("__u"),
-          col(srcCol).cast("long").as("__v")))).as("__e"))
+        struct(col(srcCol).as("__u"), col(dstCol).as("__v")),
+        struct(col(dstCol).as("__u"), col(srcCol).as("__v")))).as("__e"))
       .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
       .filter(col("__u") =!= col("__v"))
       .distinct()

@@ -155,4 +155,21 @@ class GraphSpec extends SparkSpecBase {
       assert(core(rnd.toDF("a", "b").repartition(13), k) == brute(k))
     }
   }
+
+  test("kCore: string (digest) ids keep their native type") {
+    // the dedup family keys graphs by md5 digests; a silent
+    // cast("long") turned every id into NULL and returned an empty
+    // core (round-10 verdict defect) — pin the native-type contract
+    def d(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val tri = Seq((d(1), d(2)), (d(2), d(3)), (d(3), d(1)),
+      (d(3), d(4)), (d(4), d(5))).toDF("a", "b")
+    val got = Graph.kCore(tri, "a", "b", 2)
+    assert(got.schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(got.as[(String, Long)].collect().toMap ==
+      Map(d(1) -> 2L, d(2) -> 2L, d(3) -> 2L))
+    assert(Graph.kCore(tri, "a", "b", 3).isEmpty)
+  }
 }
