@@ -1469,9 +1469,13 @@ object AnalyticQueries {
         |  FROM st)
         |SELECT ws AS window_start, event_type, n_rows, sum_xy,
         |  sx / n AS mean_x, sy / n AS mean_y,
-        |  (n * sxy - sx * sy)
-        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r,
-        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  CASE WHEN n_rows >= 2 AND (n * sxx - sx * sx) > 0
+        |            AND (n * syy - sy * sy) > 0
+        |    THEN (n * sxy - sx * sy)
+        |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+        |    AS pearson_r,
+        |  CASE WHEN n_rows >= 2 AND (n * sxx - sx * sx) > 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
         |FROM d ORDER BY window_start, event_type""".stripMargin,
     // q152: the relational mirror of the streamed histogram + rank
     // selection — day windows epoch-aligned (the q131 device), rank

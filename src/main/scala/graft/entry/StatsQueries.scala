@@ -538,11 +538,16 @@ object StatsQueries {
         | FROM st)
         |SELECT l_returnflag, n_rows, sx AS sum_x, sy AS sum_y,
         |  sxy AS sum_xy, sx / n AS mean_x, sy / n AS mean_y,
-        |  (n * sxy - sx * sy)
-        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r,
-        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-        |    AS intercept
+        |  CASE WHEN n_rows >= 2 AND (n * sxx - sx * sx) > 0
+        |            AND (n * syy - sy * sy) > 0
+        |    THEN (n * sxy - sx * sy)
+        |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+        |    AS pearson_r,
+        |  CASE WHEN n_rows >= 2 AND (n * sxx - sx * sx) > 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+        |  CASE WHEN n_rows >= 2 AND (n * sxx - sx * sx) > 0
+        |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |      / n END AS intercept
         |FROM d ORDER BY l_returnflag""".stripMargin,
     // q157: the oracle computes the full join from scratch — the
     // snapshot-join ∪ delta-terms union must agree row for row

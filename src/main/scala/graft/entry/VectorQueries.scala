@@ -684,9 +684,12 @@ object VectorQueries {
   /** The peel as a single-row recursive CTE: each round appends the
     * currently-alive sub-3-degree vertices to a carried removed-list
     * (deletion is non-monotone, so the LIST is the trick that fits it
-    * into monotone recursion); 25 rounds is far past this graph's
-    * peeling depth, and extra rounds append empty lists — the
-    * fixpoint is idempotent. */
+    * into monotone recursion); extra rounds past the fixpoint append
+    * empty lists — the fixpoint is idempotent. The round cap matches
+    * kCore's own maxIter (100, vs the old 25) AND the tail asserts the
+    * last two rounds agree, so a graph whose peeling depth outruns the
+    * cap fails loudly as a harness error instead of reporting an
+    * under-peeled (too large) core against a correct operator. */
   private val kcoreSql: String = nearDupEdgeCte +
     """,sym AS (SELECT a AS u, b AS v FROM e
       |         UNION ALL SELECT b, a FROM e),
@@ -699,9 +702,15 @@ object VectorQueries {
       |          WHERE NOT list_contains(p.removed, s.u)
       |            AND NOT list_contains(p.removed, s.v)
       |          GROUP BY s.u HAVING COUNT(*) < 3))
-      |  FROM peel p WHERE it < 25)
+      |  FROM peel p WHERE it < 100),
+      |fix AS (SELECT CASE WHEN
+      |    (SELECT removed FROM peel WHERE it = 100) =
+      |    (SELECT removed FROM peel WHERE it = 99)
+      |  THEN (SELECT removed FROM peel WHERE it = 100)
+      |  ELSE error('q159 oracle: peel not at fixpoint after 100 rounds')
+      |  END AS removed)
       |SELECT s.u AS vec_id, COUNT(*) AS degree
-      |FROM sym s, (SELECT removed FROM peel WHERE it = 25) r
+      |FROM sym s, fix r
       |WHERE NOT list_contains(r.removed, s.u)
       |  AND NOT list_contains(r.removed, s.v)
       |GROUP BY s.u ORDER BY vec_id""".stripMargin
