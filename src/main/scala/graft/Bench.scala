@@ -121,7 +121,12 @@ object Bench {
     val adjJson =
       if (adjudicated.isEmpty) ""
       else adjudicated.toSeq.sortBy(_._1).map { case (k, (p, f, mn, med)) =>
+        // symmetric markers (ADVICE r11): a sustained >2x REGRESSION and
+        // a sustained >2x IMPROVEMENT both get a durable flag, so the
+        // record says which adjudications confirmed a real move in
+        // either direction (everything unflagged re-timed to noise)
         val still = if (p >= 0 && med > 2 * p) ",\"still_over_2x\":true"
+          else if (p > 2 * med) ",\"still_under_half\":true"
           else ""
         s"\"$k\":{\"prev\":${rd(p, 3)},\"first\":${rd(f, 3)}," +
           s"\"min5\":${rd(mn, 3)},\"median5\":${rd(med, 3)}$still}"
@@ -156,10 +161,14 @@ object Bench {
     var taken = 0
     present.foreach { case (k, v) =>
       val ent = (if (taken == 0) "" else ",") + "\"" + k + "\":" + rd(v, 2)
-      // worst-case suffix: },"omitted":163}
-      if (sb.length + ent.length + 24 <= budget) { sb.append(ent); taken += 1 }
+      // worst-case suffix: },"omitted":163,"errored":163}
+      if (sb.length + ent.length + 38 <= budget) { sb.append(ent); taken += 1 }
     }
-    sb.append(s"""},"omitted":${fin.size - taken}}""")
+    // "omitted" = rows dropped for the character budget only; errored
+    // queries (value −1, excluded from present and the total) get their
+    // own count so truncation and failure can't be conflated (ADVICE r11)
+    sb.append(s"""},"omitted":${present.size - taken}""" +
+      s""","errored":${fin.size - present.size}}""")
     println(sb.toString)
   }
 }

@@ -79,6 +79,36 @@ object VectorQueries {
           slice(col(vecCol), s * 8 + 1, 8)): _*)))
       .select(col("pos").as("sub"), col("cid"), col("col").as("cvec"))
 
+  /** Loaded-artifact inputs for q164: the PRIOR component labeling and
+    * the delta edge set of the q139 shape, lineage-cut and materialized
+    * ONCE per (session, sf dir) — the production steady state, where
+    * the labeling is a table on disk and the delta arrives off the
+    * incremental near-dup path. localCheckpoint (eager) stands in for
+    * the disk read so repeated runs — Bench's warm timing loop — pay
+    * the delta FOLD only, never the prior full clustering. Keyed on the
+    * session identity too: a cached plan from a stopped session must
+    * not leak into a new one (specs spin up fresh sessions). */
+  private val ccArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      (DataFrame, DataFrame)]
+
+  private def ccDeltaArtifacts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    ccArtifactCache.computeIfAbsent(
+      (System.identityHashCode(s), dir), _ => {
+        import graft.ext.Dedup
+        val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
+          "embedding", "label", threshold = 0.4)
+        val oldEdges =
+          pairs.filter(col("a_id") < 400 && col("b_id") < 400)
+        val delta =
+          pairs.filter(!(col("a_id") < 400 && col("b_id") < 400))
+            .localCheckpoint(true)
+        val prev = Dedup.connectedComponents(oldEdges, "a_id", "b_id")
+          .localCheckpoint(true)
+        (prev, delta)
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // OPQ composition end-to-end: rotate (codegen MatVec over a pinned
     // orthogonal literal) -> PQ-encode in the rotated space (codebooks =
@@ -264,6 +294,26 @@ object VectorQueries {
       val oldEdges = pairs.filter(col("a_id") < 400 && col("b_id") < 400)
       val delta = pairs.filter(!(col("a_id") < 400 && col("b_id") < 400))
       val prev = Dedup.connectedComponents(oldEdges, "a_id", "b_id")
+      Dedup.connectedComponentsDelta(prev, delta, "a_id", "b_id")
+        .select(col("id").as("vec_id"), col("comp").as("cluster"),
+          (col("id") === col("comp")).cast("int").as("is_rep"))
+        .orderBy("vec_id")
+    }),
+
+    // q139's delta fold with the artifacts LOADED (the steady-state
+    // daily-maintenance shape): in production the prior labeling comes
+    // off disk and the delta off the incremental near-dup path, so
+    // neither belongs in the operator's cost. Here both are
+    // materialized once per (session, sf dir) and every run times the
+    // fold alone — ~0.6 MB shuffled per ScaleProbe cc_delta, vs the
+    // inline full-CC rebuild q139 deliberately keeps (q139 certifies
+    // the two implementations against one ground truth; this row
+    // certifies — and benches — the maintenance path a user actually
+    // pays). Same oracle as q73/q139: one SQL text, now three
+    // independently-shaped executions.
+    "q164_cc_delta_loaded" -> ((s, dir) => {
+      import graft.ext.Dedup
+      val (prev, delta) = ccDeltaArtifacts(s, dir)
       Dedup.connectedComponentsDelta(prev, delta, "a_id", "b_id")
         .select(col("id").as("vec_id"), col("comp").as("cluster"),
           (col("id") === col("comp")).cast("int").as("is_rep"))
@@ -760,6 +810,7 @@ object VectorQueries {
       ("q161_hard_negatives" -> hardNegSql) +
       ("q162_random_negatives" -> randNegSql) +
       ("q139_cc_delta" -> oracleSqlBase("q73_dedup_clusters")) +
+      ("q164_cc_delta_loaded" -> oracleSqlBase("q73_dedup_clusters")) +
       ("q141_triangle_count" -> triangleSql) +
       ("q143_bfs_hops" -> bfsSql) +
       ("q153_clustering_coeff" -> clusteringSql) +

@@ -101,8 +101,9 @@ object Curation {
     * anti-joins; only (anchor, candidate, rank-hash) triples enter
     * the rank window — the corpus never shuffles. Candidate space is
     * |anchors|·|corpus|: right for broadcastable anchor batches (the
-    * training-pair generation loop); shard the anchor set across
-    * batches at extreme scale. Output: (q_id, n_id, rank). */
+    * training-pair generation loop); for anchor sets too big to
+    * broadcast whole, [[randomNegativesBatched]] shards them with
+    * identical per-anchor results. Output: (q_id, n_id, rank). */
   def randomNegatives(corpus: DataFrame, idCol: String,
       positives: DataFrame, aCol: String, bCol: String,
       anchorPred: Column, k: Int, seed: String): DataFrame = {
@@ -125,6 +126,33 @@ object Curation {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank")
+  }
+
+  /** [[randomNegatives]] for anchor sets too big to broadcast whole
+    * (the [[Similarity.hardNegativesBatched]] device): anchors
+    * hash-split into `nBatches` deterministic batches, positives
+    * restricted to each batch's anchors before broadcasting (semi-join
+    * per orientation; duplicate build rows are harmless to an
+    * anti-join), batches union. The md5 draw depends only on (seed,
+    * anchor, candidate) — never on the batch — and the rank window
+    * partitions by q_id, so per-anchor output is bit-identical to the
+    * unbatched call (spec-asserted 2-batch == 1-batch): batching is a
+    * broadcast-memory knob costing nBatches corpus scans. */
+  def randomNegativesBatched(corpus: DataFrame, idCol: String,
+      positives: DataFrame, aCol: String, bCol: String,
+      anchorPred: Column, k: Int, seed: String, nBatches: Int)
+      : DataFrame = {
+    require(nBatches >= 1, "nBatches must be >= 1")
+    (0 until nBatches).map { b =>
+      val batchPred = anchorPred &&
+        pmod(xxhash64(col(idCol)), lit(nBatches)) === b
+      val aIds = corpus.filter(batchPred).select(col(idCol).as("__aid"))
+      val posB = positives
+          .join(broadcast(aIds), col(aCol) === col("__aid"), "left_semi")
+        .unionByName(positives
+          .join(broadcast(aIds), col(bCol) === col("__aid"), "left_semi"))
+      randomNegatives(corpus, idCol, posB, aCol, bCol, batchPred, k, seed)
+    }.reduce(_ unionByName _)
   }
 
   /** Deterministic global shuffle: total order by hash rank (id as

@@ -227,6 +227,15 @@ object Graph {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIter: Int = 100): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // mixed-type endpoints would otherwise fail deep in the symmetrize
+    // array(struct(..)) with an opaque common-type analysis error — or,
+    // worse, silently coerce (the exact bug class the removed
+    // cast("long") was): demand one id type up front (ADVICE r11)
+    require(edges.schema(srcCol).dataType == edges.schema(dstCol).dataType,
+      s"kCore endpoint columns must share one id type; got " +
+        s"$srcCol: ${edges.schema(srcCol).dataType.simpleString} vs " +
+        s"$dstCol: ${edges.schema(dstCol).dataType.simpleString} — " +
+        "cast both sides to the graph's id type before calling")
     val sym0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(explode(array(

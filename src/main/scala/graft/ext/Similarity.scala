@@ -60,7 +60,10 @@ object Similarity {
     * broadcastable whenever the anchor set is); only scored candidate
     * triples enter the rank window. Swap the scan for an IVF/LSH
     * candidate stage at extreme scale — the exclusion semantics stay
-    * the same. */
+    * the same. Envelope: anchors + positives must BROADCAST — fine for
+    * query-time mining, not for a 10M-anchor epoch; that regime is
+    * [[hardNegativesBatched]], which shards the anchor set and keeps
+    * these semantics bit-for-bit. */
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
       positives: DataFrame, aCol: String, bCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
@@ -79,6 +82,41 @@ object Similarity {
         "left_anti")
       .withColumn("cos", cosineFast(col("__qv"), col("__cv")))
     rankTopK(scored, k)
+  }
+
+  /** [[hardNegatives]] for anchor sets too big to broadcast whole (a
+    * 10M-anchor epoch): anchors hash-split into `nBatches` deterministic
+    * batches, each batch running the exact single-batch plan — corpus
+    * scan × broadcast(batch anchors), positives RESTRICTED to the
+    * batch's anchors before broadcasting (two semi-joins against the
+    * batch id set; duplicate build rows from an anchor matching both
+    * orientations are harmless to an anti-join) — and the batches
+    * union. Per-anchor results are identical to the unbatched call
+    * (the rank window partitions by q_id and every q_id lives wholly
+    * in one batch; spec-asserted 2-batch == 1-batch), so batching is
+    * purely a memory knob: broadcast size drops ~nBatches× at the cost
+    * of nBatches corpus scans. At extreme scale persist the corpus
+    * once and swap the scan for an IVF/LSH candidate stage — the
+    * batching and exclusion semantics are unchanged. */
+  def hardNegativesBatched(corpus: DataFrame, idCol: String,
+      vecCol: String, positives: DataFrame, aCol: String, bCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      nBatches: Int): DataFrame = {
+    require(nBatches >= 1, "nBatches must be >= 1")
+    val anchors = corpus.filter(queryPred)
+    (0 until nBatches).map { b =>
+      val batchPred = queryPred &&
+        pmod(xxhash64(col(idCol)), lit(nBatches)) === b
+      val aIds = anchors
+        .filter(pmod(xxhash64(col(idCol)), lit(nBatches)) === b)
+        .select(col(idCol).as("__aid"))
+      val posB = positives
+          .join(broadcast(aIds), col(aCol) === col("__aid"), "left_semi")
+        .unionByName(positives
+          .join(broadcast(aIds), col(bCol) === col("__aid"), "left_semi"))
+      hardNegatives(corpus, idCol, vecCol, posB, aCol, bCol,
+        batchPred, k)
+    }.reduce(_ unionByName _)
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest

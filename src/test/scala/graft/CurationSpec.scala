@@ -540,6 +540,24 @@ class CurationSpec extends SparkSpecBase {
     assert(got.sorted == want.sorted)
   }
 
+  test("randomNegativesBatched: n-batch run == 1-batch run row-for-row") {
+    import graft.ext.Curation
+    // the draw keys on (seed, anchor, candidate) only — never the
+    // batch — so sharding the anchor broadcast must not move a single
+    // rank
+    val corpus = (0L until 80L).toDF("id")
+    val pos = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 0L)).toDF("a", "b")
+    val base = Curation.randomNegatives(corpus, "id", pos, "a", "b",
+        col("id") < 7, k = 5, seed = "s1")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    for (n <- Seq(1, 2, 4)) {
+      val batched = Curation.randomNegativesBatched(corpus, "id", pos,
+          "a", "b", col("id") < 7, k = 5, seed = "s1", nBatches = n)
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      assert(batched == base, s"nBatches=$n")
+    }
+  }
+
   test("weightedSampleStratified: per-stratum brute force; group-limit plan") {
     val rows = (0L until 300L).map(i =>
       (i, s"src${i % 3}", 1L + (i * 7919) % 11))

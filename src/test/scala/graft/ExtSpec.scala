@@ -651,6 +651,27 @@ class ExtSpec extends SparkSpecBase {
     assert(got2 == got.toSet)
   }
 
+  test("hardNegativesBatched: n-batch run == 1-batch run row-for-row") {
+    // the broadcast-memory escape hatch for unbroadcastable anchor
+    // sets: hash-sharded anchors, per-batch-restricted positives,
+    // unioned batches — semantics must be bit-identical to the
+    // unbatched plan for every batch count
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .cache()
+    val isQuery = $"vec_id" < 12
+    val pos = graft.ext.Dedup.embeddingNearDup(emb, "vec_id",
+      "embedding", "label", threshold = 0.4).cache()
+    val base = Similarity.hardNegatives(emb, "vec_id", "embedding", pos,
+        "a_id", "b_id", isQuery, k = 5)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    for (n <- Seq(1, 2, 5)) {
+      val batched = Similarity.hardNegativesBatched(emb, "vec_id",
+          "embedding", pos, "a_id", "b_id", isQuery, k = 5, nBatches = n)
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      assert(batched == base, s"nBatches=$n")
+    }
+  }
+
   test("residual IVF-PQ: recall >= raw codes at same m/ksub; serving exact") {
     // the FAISS-standard composition: PQ codes quantize v − centroid
     // (cell) instead of v — the coarse quantizer absorbs the cell
