@@ -225,7 +225,16 @@ object Graph {
     *         INSIDE the core (so every returned degree ≥ k)
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIter: Int = 100): DataFrame = {
+      maxIter: Int = 100): DataFrame =
+    kCoreRounds(edges, srcCol, dstCol, k, maxIter)._1
+
+  /** [[kCore]] plus the number of peeling rounds actually run — the
+    * probe-facing variant (the [[graft.ext.Dedup.connectedComponentsRounds]]
+    * convention): rounds are the scale axis (each is a degree agg + two
+    * anti-joins + a checkpoint = a full Spark job), so ScaleProbe
+    * records them alongside wall/shuffle. */
+  private[graft] def kCoreRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, k: Int, maxIter: Int = 100): (DataFrame, Int) = {
     require(k >= 1, "k must be >= 1")
     // mixed-type endpoints would otherwise fail deep in the symmetrize
     // array(struct(..)) with an opaque common-type analysis error — or,
@@ -277,7 +286,7 @@ object Graph {
           "points at a pathological onion graph)")
     // a partially-peeled edge set would over-report the core — only
     // the fixpoint leaves this method
-    cur.groupBy(col("__u").as("id"))
-      .agg(count(lit(1)).as("degree"))
+    (cur.groupBy(col("__u").as("id"))
+      .agg(count(lit(1)).as("degree")), iter)
   }
 }

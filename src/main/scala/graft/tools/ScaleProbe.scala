@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.GraftSession
-import graft.ext.{Curation, Dedup, Search, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Graph, Search, Similarity, TextAnalysis}
 import graft.ranges.RangeJoin
 
 /** Local scale stress: replicate the sf tables N× (ids offset per copy)
@@ -1007,6 +1007,47 @@ object ScaleProbe {
         s"comps=$comps rounds=$rounds"
       })
       pathE.unpersist()
+    }
+
+    // k-core peeling-depth stress (the onion graph): rounds = DEPTH,
+    // not |V| — each round is a degree agg + two anti-joins + a
+    // checkpoint, so a deep onion is the operator's worst case the way
+    // diameter is min-prop CC's. 1500 lollipops — an 8-cycle core (its
+    // own 2-core) with a 64-vertex tail whose FREE end alone is
+    // degree-1 — peel exactly one tail vertex per round: 64 rounds to
+    // the fixpoint, every round's sub-k set 1500 vertices, the edge
+    // set shrinking monotonically to the 12k cycle edges. The loud
+    // maxIter path is exercised by a cap below the depth.
+    if (wanted("kcore_onion_d64")) {
+      val lolls = 1500L
+      val tail = 64L
+      val cyc = 8L
+      // vertex ids: lollipop i occupies [i*1000, i*1000+cyc+tail);
+      // 0..cyc-1 the cycle, cyc..cyc+tail-1 the tail hanging off
+      // vertex 0 (integer div, same trap as the CC probe above)
+      val cycE = spark.range(lolls * cyc).select(
+        expr(s"(id div $cyc) * 1000 + id % $cyc").as("a"),
+        expr(s"(id div $cyc) * 1000 + (id % $cyc + 1) % $cyc").as("b"))
+      val tailE = spark.range(lolls * tail).select(
+        expr(s"(id div $tail) * 1000 + " +
+          s"if(id % $tail = 0, 0, $cyc + id % $tail - 1)").as("a"),
+        expr(s"(id div $tail) * 1000 + $cyc + id % $tail").as("b"))
+      val lollE = cycE.unionByName(tailE).cache()
+      println(s"[probe] kcore onion edges=${lollE.count()} " +
+        s"(lollipops=$lolls tail=$tail cycle=$cyc)")
+      time("kcore_onion_d64")({
+        val (core, rounds) = Graph.kCoreRounds(lollE, "a", "b", k = 2,
+          maxIter = 200)
+        val n = core.count()
+        s"core_vertices=$n rounds=$rounds"
+      })
+      // the loud under-cap path: a cap below the peeling depth must
+      // throw, never return a partially-peeled (too large) core
+      val err = try {
+        Graph.kCore(lollE, "a", "b", k = 2, maxIter = 10).count(); "NO-THROW"
+      } catch { case e: IllegalStateException => "threw-as-documented" }
+      println(s"[probe] kcore_onion_d64 maxIter=10 -> $err")
+      lollE.unpersist()
     }
 
     if (nameFilter.nonEmpty && ranCount == 0)
