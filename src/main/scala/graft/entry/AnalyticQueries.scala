@@ -932,6 +932,33 @@ object AnalyticQueries {
         .orderBy("event_type", "day")
     }),
 
+    // The TENTH streaming twin — incremental GRAPH maintenance: the
+    // heavy-usage user↔event-type bipartite graph (an edge when a
+    // user's count for a type reaches 15) maintained ONLINE by
+    // streamingEdgeBirths (per-user monotone count state, each edge
+    // born exactly once), then the distributed batch kCore peel over
+    // the streamed-in edge set — the production shape where graph
+    // analytics consume maintained edge deltas instead of re-scanning
+    // the event log. The oracle rebuilds the same graph with a batch
+    // GROUP BY ... HAVING and replays the peel as the q159-style
+    // recursive CTE: stream-maintenance + Spark peel vs batch SQL +
+    // DuckDB peel — two fully independent paths, one ground truth.
+    "q165_streaming_kcore" -> ((s, dir) => {
+      import graft.streaming.EventStreams
+      val births = replayThirds(s, dir,
+        ds => EventStreams.streamingEdgeBirths(ds, minCount = 15L))
+        .map(r => (r.getString(0), r.getString(1)))
+      // the exactly-once birth contract is load-bearing for the graph
+      // (a duplicate edge would double kCore's degree counts) — fail
+      // loudly rather than dedup silently
+      require(births.distinct.length == births.length,
+        "streamingEdgeBirths emitted a duplicate edge")
+      val edges = s.createDataFrame(births.toSeq).toDF("u", "v")
+      graft.ext.Graph.kCore(edges, "u", "v", k = 2)
+        .select(col("id").as("vertex"), col("degree"))
+        .orderBy("vertex")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -1644,6 +1671,40 @@ object AnalyticQueries {
       s"\nSELECT v AS node, r AS pagerank FROM p$iters ORDER BY node"
   }
 
+  /** q165's peel, the q159 recursive-CTE device on the heavy-usage
+    * bipartite graph: the edge list is the batch GROUP BY ... HAVING
+    * the stream maintains online; the peel carries the removed-vertex
+    * list through monotone recursion, caps at 12 rounds (this graph's
+    * depth is ≤4 — 12 leaves loud margin) and asserts the last two
+    * rounds agree so an under-peeled core can never pass silently. */
+  private val streamingKcoreSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+      |         't:' || event_type AS v
+      |  FROM events GROUP BY user_id, event_type HAVING COUNT(*) >= 15),
+      |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |peel(it, removed) AS (
+      |  SELECT 0, CAST([] AS VARCHAR[])
+      |  UNION ALL
+      |  SELECT it + 1, removed || (
+      |    SELECT COALESCE(list(u ORDER BY u), CAST([] AS VARCHAR[]))
+      |    FROM (SELECT s.u FROM sym s
+      |          WHERE NOT list_contains(p.removed, s.u)
+      |            AND NOT list_contains(p.removed, s.v)
+      |          GROUP BY s.u HAVING COUNT(*) < 2))
+      |  FROM peel p WHERE it < 12),
+      |fix AS (SELECT CASE WHEN
+      |    (SELECT removed FROM peel WHERE it = 12) =
+      |    (SELECT removed FROM peel WHERE it = 11)
+      |  THEN (SELECT removed FROM peel WHERE it = 12)
+      |  ELSE error('q165 oracle: peel not at fixpoint after 12 rounds')
+      |  END AS removed)
+      |SELECT s.u AS vertex, COUNT(*) AS degree
+      |FROM sym s, fix r
+      |WHERE NOT list_contains(r.removed, s.u)
+      |  AND NOT list_contains(r.removed, s.v)
+      |GROUP BY s.u ORDER BY vertex""".stripMargin
+
   /** q115 is funnelSinglePass against q107's OWN ground truth — one
     * SQL text, two independent Spark implementations checked. */
   val oracleSql: Map[String, String] =
@@ -1651,5 +1712,6 @@ object AnalyticQueries {
       ("q115_funnel_single" -> oracleSqlBase("q107_funnel")) +
       ("q127_streaming_scd2" -> oracleSqlBase("q124_scd2_history")) +
       ("q148_streaming_gap_fill" -> oracleSqlBase("q138_gap_fill")) +
+      ("q165_streaming_kcore" -> streamingKcoreSql) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -928,6 +928,60 @@ object EventStreams {
       }
   }
 
+  final case class EdgeBirth(u: String, v: String, u_degree: Long)
+
+  /** Online GRAPH maintenance — the tenth streaming twin, and the
+    * streaming half of the incremental-graph story ([[graft.ext.Dedup
+    * .connectedComponentsDelta]] is the batch half): the user ↔
+    * event-type affinity graph maintained incrementally from the raw
+    * event stream. An edge (user u, type t) is BORN the moment u's
+    * t-count reaches `minCount` (the "heavy-usage" bipartite graph —
+    * `SELECT user_id, event_type GROUP BY 1,2 HAVING count(*) >=
+    * minCount` in batch); each birth is emitted exactly once, tagged
+    * with u's bipartite degree at birth (how many of u's types are
+    * heavy so far — online degree maintenance, the building block
+    * every online graph algorithm sits on).
+    *
+    * State: ONE row per user — a per-type count map, bounded by
+    * |event types| per user, never by stream length; counts are
+    * monotone so a birth can fire only once per edge no matter how
+    * batches split (spec-asserted 1-batch == 3-batch). In-batch events
+    * apply in (ts, event_id) order seeded by the carried counts (the
+    * [[streamingFunnel]] convention), so time-ordered replays emit
+    * deterministic birth degrees too. The emitted append-only edge
+    * stream IS the maintained graph: downstream analytics (q165 runs
+    * [[graft.ext.Graph.kCore]]) consume it without ever re-scanning
+    * the event log — at 100 TB/day of events the graph deltas are the
+    * only thing that moves. */
+  def streamingEdgeBirths(events: Dataset[Event], minCount: Long)
+      : Dataset[EdgeBirth] = {
+    require(minCount >= 1, "minCount must be >= 1")
+    import events.sparkSession.implicits._
+    events
+      .map(e => (e.user_id, e.event_type, exactMicros(e.ts), e.event_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], EdgeBirth](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, String, Long, Long)],
+            state: GroupState[Map[String, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[String, Long])
+          var degree = counts.valuesIterator.count(_ >= minCount).toLong
+          val sorted = batch.map { case (_, t, ts, id) => (t, ts, id) }
+            .toArray.sortBy { case (_, ts, id) => (ts, id) }
+          val births = scala.collection.mutable.ArrayBuffer.empty[EdgeBirth]
+          sorted.foreach { case (t, _, _) =>
+            val c = counts.getOrElse(t, 0L) + 1L
+            counts += (t -> c)
+            if (c == minCount) {
+              degree += 1L
+              births += EdgeBirth(s"u:$user", s"t:$t", degree)
+            }
+          }
+          state.update(counts)
+          births.iterator
+      }
+  }
+
   /** Run a streaming query over a batch of files synchronously into an
     * in-memory sink (local smoke path): returns the materialized result
     * table. */

@@ -680,6 +680,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingEdgeBirths: exactly-once edges == batch HAVING; " +
+      "split-invariant; online degrees consistent") {
+    import spark.implicits._
+    val rows = orderedDriverEvents
+    def run(batches: Seq[Seq[EventStreams.Event]], name: String) =
+      replayToSink(name, batches,
+        ds => EventStreams.streamingEdgeBirths(ds, minCount = 15L))
+        .as[(String, String, Long)].collect().toSeq
+    val got3 = run(thirds(rows), "edges3")
+    val got1 = run(Seq(rows.toSeq), "edges1")
+    // every edge born exactly once, and the edge SET equals the batch
+    // GROUP BY ... HAVING count >= 15 graph
+    assert(got3.map(t => (t._1, t._2)).distinct.length == got3.length)
+    val want = batchEvents.groupBy("user_id", "event_type").count()
+      .filter($"count" >= 15)
+      .select(concat(lit("u:"), $"user_id".cast("string")),
+        concat(lit("t:"), $"event_type"))
+      .as[(String, String)].collect().toSet
+    assert(want.nonEmpty &&
+      got3.map(t => (t._1, t._2)).toSet == want)
+    // batch-boundary invariance: one batch and three batches agree on
+    // edges AND birth degrees (in-batch events sort on the carried
+    // (ts, event_id) key, so the birth order is the timeline's)
+    assert(got1.sorted == got3.sorted)
+    // online degree consistency: per user, birth degrees are 1..d in
+    // birth order, and the final degree equals the batch degree
+    val byUser = got3.groupBy(_._1)
+    byUser.foreach { case (u, bs) =>
+      assert(bs.map(_._3).sorted == (1L to bs.length.toLong), u)
+    }
+    val wantDeg = want.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(byUser.view.mapValues(_.map(_._3).max).toMap == wantDeg)
+  }
+
   test("stateless curation ops stream as-is: chunk/split/upsample == batch") {
     // chunkTokens, assignSplits and upsampleSources are pure per-row
     // column pipelines — they run UNCHANGED on a stream in append mode
