@@ -26,6 +26,18 @@ object TextQueries {
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     GraftSession.spread(docs(s, dir))
 
+  /** Pinned BPE merge list for q166, in rank order. Obeys the training
+    * invariant — each merge's parts are single chars or OUTPUTS OF
+    * EARLIER MERGES (th before th+e, in before in+g) — which is what
+    * makes the oracle's sequential one-pass-per-rank replay provably
+    * equal to [[graft.ext.TextAnalysis.bpeApply]]'s greedy
+    * lowest-rank-first loop: a later merge can then never create an
+    * occurrence of an earlier pair. ~9% of the corpus's tokens come
+    * out merged at sf0.01, so the row is not vacuous. */
+  private val pinnedBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"))
+
   /** Marker-word table drawn from the synthetic corpus vocabulary (the
     * real-stopword table in TextAnalysis.DefaultMarkers would be constant
     * over this corpus). */
@@ -222,6 +234,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE-apply with a PINNED merge table (the pinned-centroid device
+    // applied to the tokenizer: a trained merge list is a driver-side
+    // loop, not SQL-replicable, so the hash-checked row pins one that
+    // obeys the training invariant — every merge's parts are chars or
+    // earlier merges' outputs — and certifies the rank-greedy APPLY
+    // end-to-end). The oracle replays the merges as sequential
+    // lowest-rank-first REPLACE passes over a chr(31)-wrapped symbol
+    // encoding, provably equal to the greedy loop under that invariant.
+    // Output: the full token stream joined on chr(31) + its length, so
+    // the hash certifies every token of every doc, not a summary.
+    "q166_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val merges = pinnedBpeMerges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r, l + r) }
+        .toDF("rank", "left", "right", "merged")
+      TextAnalysis.bpeApply(docs(s, dir), "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+          concat_ws("\u001f", col("bpe_tokens")).as("toks"))
+        .orderBy("doc_id")
+    }),
+
     // Substring-level duplicate spans (Lee et al. suffix-array dedup as a
     // distributed hashed-gram pipeline): per doc, the number of maximal
     // char spans duplicated verbatim in >= 1 other document and the char
@@ -360,6 +394,36 @@ object TextQueries {
       |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** q166's oracle: the pinned merges replayed as sequential
+    * lowest-rank-first REPLACE passes over a chr(31)-wrapped symbol
+    * encoding — every symbol travels as ␟sym␟, so the pattern
+    * ␟L␟␟R␟ can only match a WHOLE adjacent symbol pair (never a
+    * token prefix/suffix — the boundary classes a naive single-
+    * separator encoding gets wrong), and SQL's left-to-right
+    * non-overlapping REPLACE is exactly bpeApply's merge-every-
+    * occurrence sweep. Equal to the greedy loop under the pinned
+    * list's training invariant (see [[pinnedBpeMerges]]); the
+    * driver's hash compare certifies it on the real corpus. */
+  private val bpeApplySql: String = {
+    val S = "chr(31)"
+    val enc = s"regexp_replace(w, '(.)', $S||'\\1'||$S, 'g')"
+    val expr = pinnedBpeMerges.foldLeft(enc) { case (e, (l, r)) =>
+      s"replace($e, $S||'$l'||$S||$S||'$r'||$S, $S||'$l$r'||$S)"
+    }
+    s"""SELECT doc_id,
+       |  CAST((length(fenc) - length(replace(fenc, chr(31), ''))) / 2
+       |    AS BIGINT) AS n_bpe_tokens,
+       |  CASE WHEN fenc = '' THEN '' ELSE replace(
+       |    substr(fenc, 2, length(fenc) - 2), chr(31)||chr(31), chr(31))
+       |  END AS toks
+       |FROM (
+       |  SELECT doc_id, array_to_string(list_transform(
+       |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+       |    w -> $expr), '') AS fenc
+       |  FROM documents) enc_docs
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
@@ -397,6 +461,7 @@ object TextQueries {
         |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 8)
         |SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q35_minhash_lsh" -> minhashSql(""),
+    "q166_bpe_apply" -> bpeApplySql,
     // same full pipeline; a pair involves a new (id >= 250) doc exactly
     // when its LARGER id is new
     "q84_minhash_delta" -> minhashSql("AND b_id >= 250 "),
