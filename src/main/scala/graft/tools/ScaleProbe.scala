@@ -102,6 +102,7 @@ object ScaleProbe {
       "ann_lsh_buckets", "pack_sequences", "connected_components",
       "cc_delta",
       "kmeans_train_16x2", "hard_negatives", "random_negatives",
+      "hard_negatives_batched4",
       "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
       "remove_dup_spans_w1", "remove_dup_spans_w8",
       "pq_train_encode_adc", "ivfpq_3probe", "ivfpq_residual_3probe",
@@ -177,7 +178,8 @@ object ScaleProbe {
     // contrastive pair generation at replicated scale: both are one
     // corpus scan × broadcast anchors/positives — the corpus never
     // shuffles, so the cost axis is the scan, not an exchange
-    if (Seq("hard_negatives", "random_negatives").exists(wanted)) {
+    if (Seq("hard_negatives", "random_negatives",
+        "hard_negatives_batched4").exists(wanted)) {
       val pos = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
         "label", threshold = 0.4).select("a_id", "b_id").cache()
       println(s"[probe] negatives positives=${pos.count()}")
@@ -185,6 +187,12 @@ object ScaleProbe {
         "embedding", pos, "a_id", "b_id", $"vec_id" < 10, k = 5).count())
       time("random_negatives")(Curation.randomNegatives(emb, "vec_id",
         pos, "a_id", "b_id", $"vec_id" < 10, k = 5, seed = "np1").count())
+      // the broadcast-memory escape hatch costs nBatches corpus scans
+      // for ~nBatches× smaller anchor/positive broadcasts — this row
+      // prices the knob so the sharding recipe isn't a guess
+      time("hard_negatives_batched4")(Similarity.hardNegativesBatched(
+        emb, "vec_id", "embedding", pos, "a_id", "b_id",
+        $"vec_id" < 10, k = 5, nBatches = 4).count())
       pos.unpersist()
     }
     // duplicate spans: winnowing selection thins the gram shuffle ~w/2x
