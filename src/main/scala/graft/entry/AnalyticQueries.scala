@@ -19,6 +19,13 @@ object AnalyticQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
+  /** Memoized sorted replay feed, keyed by (session identity, sf dir)
+    * — see the note inside [[replayThirds]]. Values are
+    * Dataset[EventStreams.Event]; typed as Any to keep the cache a
+    * plain field. */
+  private val replayFeedCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Any]
+
   /** Shared harness for the streaming oracle rows (q118/q119/q121):
     * replay the event log through `op`'s micro-batch pipeline in three
     * TIME-ORDERED batches (sorted on the operators' own exact-micros
@@ -34,13 +41,6 @@ object AnalyticQueries {
     * feeding is inherently driver-side; the operator under test is
     * keyed state, bounded per user.) Callers fold the sink rows —
     * matrix- or users-sized — on the driver. */
-  /** Memoized sorted replay feed, keyed by (session identity, sf dir)
-    * — see the note inside [[replayThirds]]. Values are
-    * Dataset[EventStreams.Event]; typed as Any to keep the cache a
-    * plain field. */
-  private val replayFeedCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Any]
-
   private def replayThirds(s: SparkSession, dir: String,
       op: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.Event] =>
         org.apache.spark.sql.Dataset[_],
