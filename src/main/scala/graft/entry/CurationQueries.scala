@@ -27,6 +27,18 @@ object CurationQueries {
         .orderBy("skey", "doc_id")
     }),
 
+    // Top-bigram character coverage (the OTHER Gopher §A1.1 repetition
+    // rule): fraction of each doc's characters covered by its single
+    // most frequent word bigram — catches one-phrase domination
+    // (boilerplate/SEO stuffing) that q62's distinct-ratio can't see.
+    // Gram explode + count + rank-1 WindowGroupLimit; one division of
+    // exact integers so the double hash-matches.
+    "q167_top_gram_coverage" -> ((s, dir) => {
+      TextAnalysis.withTopGramCoverage(docs(s, dir), "doc_id", "text",
+          n = 2)
+        .orderBy("doc_id")
+    }),
+
     // Duplicate-bigram repetition score (boilerplate/repetition quality
     // filter): exact distinct-vs-total gram counts, map-only.
     "q62_repetition" -> ((s, dir) => {
@@ -189,6 +201,30 @@ object CurationQueries {
         |                 / CAST(a.n_grams AS DOUBLE) END AS dup_gram_ratio
         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // q62's token/bigram CTEs + per-(doc, gram) counts + the same
+    // (count desc, gram asc) rank-1 tie-break as the Spark window
+    "q167_top_gram_coverage" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+        |base AS (SELECT doc_id,
+        |           CAST(length(array_to_string(t, ' ')) AS BIGINT) chars
+        |         FROM toks),
+        |sh AS (SELECT doc_id, array_to_string(t[i:i+1],' ') s
+        |       FROM toks, unnest(generate_series(1, len(t)-1)) u(i)
+        |       WHERE len(t) >= 2),
+        |cnt AS (SELECT doc_id, s, COUNT(*) c FROM sh GROUP BY 1,2),
+        |top AS (SELECT doc_id, s, c FROM (
+        |          SELECT doc_id, s, c, ROW_NUMBER() OVER (
+        |            PARTITION BY doc_id ORDER BY c DESC, s ASC) rk
+        |          FROM cnt) rkd
+        |        WHERE rk = 1)
+        |SELECT b.doc_id, top.s AS top_gram,
+        |  COALESCE(top.c, 0) AS top_gram_count,
+        |  CASE WHEN b.chars > 0 AND top.c IS NOT NULL
+        |       THEN CAST(top.c * length(top.s) AS DOUBLE)
+        |            / CAST(b.chars AS DOUBLE)
+        |       ELSE 0.0 END AS top_gram_coverage
+        |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // same null-text sentinel + zero-chars guard as datasetCard
     "q93_dataset_card" ->
       """WITH h AS (SELECT source, COALESCE(md5(text), 'null') AS hh,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -89,6 +90,52 @@ object TextAnalysis {
         when(total >= 1, lit(1.0) -
           distinct.cast("double") / total.cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /** Top word-n-gram character coverage — the OTHER Gopher/MassiveText
+    * repetition rule (Rae et al. 2021 §A1.1): the fraction of a
+    * document's characters covered by its single most frequent word
+    * n-gram (occurrences × gram chars / total token chars, both sides
+    * measured on the space-joined token stream so the signal is
+    * whitespace-normalization independent). [[withRepetitionScore]]'s
+    * dup_gram_ratio says how much of the doc repeats ANYWHERE; this
+    * says whether ONE phrase dominates — boilerplate headers, SEO
+    * stuffing, template spam — which a distinct-ratio can't see when
+    * the rest of the doc is clean.
+    *
+    * Plan shape: gram explode → per-(doc, gram) count → top-1 per doc
+    * by (count desc, gram asc) — rank=1 plans as WindowGroupLimit, so
+    * each task keeps one candidate per doc before the exchange; work
+    * ∝ corpus grams, state ∝ docs. Docs with < n tokens get
+    * (NULL, 0, 0.0) through the left join — nothing to cover. */
+  def withTopGramCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val toks = tokens(col(textCol))
+    val grams = expr(
+      s"transform(sequence(0, size(__toks) - $n), " +
+        s"i -> array_join(slice(__toks, i + 1, $n), ' '))")
+    val base = df.select(col(idCol),
+        length(array_join(toks, " ")).cast("long").as("__chars"))
+    val counts = df
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(grams).as("__gram"))
+      .groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cnt").desc, col("__gram").asc)
+    val top = counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("__gram"), col("__cnt"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__gram").as("top_gram"),
+        coalesce(col("__cnt"), lit(0L)).as("top_gram_count"),
+        when(col("__chars") > 0 && col("__cnt").isNotNull,
+          (col("__cnt") * length(col("__gram"))).cast("double") /
+            col("__chars").cast("double"))
+          .otherwise(lit(0.0)).as("top_gram_coverage"))
   }
 
   /** First-failing-rule quality verdict (the Dolma/FineWeb-style

@@ -540,6 +540,43 @@ class CurationSpec extends SparkSpecBase {
     assert(got.sorted == want.sorted)
   }
 
+  test("withTopGramCoverage: brute force, ties, short docs, dominance") {
+    // the second Gopher repetition rule: one dominant phrase must be
+    // visible even when the distinct-gram ratio looks clean
+    val rows = Seq(
+      (0L, "spam alert spam alert spam alert spam alert"), // dominated
+      (1L, "a b c d e f g h"),                  // all grams unique
+      (2L, "x y z x y w"),                      // one repeat: "x y" ×2
+      (3L, "solo"),                             // < n tokens
+      (4L, ""),                                 // empty text
+      (5L, "b a b a c c b a"))                  // tie handling
+    val got = TextAnalysis.withTopGramCoverage(
+        rows.toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Option[String], Long, Double)].collect().toSeq
+    // brute force: split \s+, bigram counts, top by (cnt desc, gram asc)
+    def brute(id: Long, text: String) = {
+      val t = text.split("\\s+").toSeq
+      val chars = t.mkString(" ").length.toLong
+      val grams = t.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) (id, None, 0L, 0.0)
+      else {
+        val (g, c) = grams.groupBy(identity).view.mapValues(_.size.toLong)
+          .toSeq.minBy { case (g, c) => (-c, g) }
+        (id, Some(g), c,
+          if (chars > 0) c * g.length.toDouble / chars else 0.0)
+      }
+    }
+    assert(got == rows.map((brute _).tupled))
+    // the dominated doc stands out; the clean doc does not
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(0L) > 0.4 && byId(1L) <= 0.2)
+    // coverage orders by domination: full-doc phrase loop > one
+    // repeated bigram in a short doc > all-unique grams
+    assert(byId(0L) > byId(2L) && byId(2L) > byId(1L))
+  }
+
   test("randomNegativesBatched: n-batch run == 1-batch run row-for-row") {
     import graft.ext.Curation
     // the draw keys on (seed, anchor, candidate) only — never the
