@@ -39,6 +39,29 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Duplicate-LINE repetition (the third Gopher §A1.1 rule): excess
+    // exact-copy lines per doc, as line-count and character fractions.
+    // The corpus has no physical lines, so the row rebuilds them
+    // deterministically (2-token chunks joined by \n — the oracle
+    // replays the same reconstruction; width 2 because the word-soup
+    // corpus almost never repeats a wider chunk) and exercises the REAL
+    // operator: split → (doc, line) hash agg with partials → four
+    // integer sums per doc. Duplicate docs' shared chunks make the
+    // signal non-vacuous. Fractions are one exact-integer division.
+    "q168_line_repetition" -> ((s, dir) => {
+      val chunks = expr(
+        "transform(sequence(0, CAST(ceil(size(__t)/2.0) AS INT) - 1), " +
+          "i -> array_join(slice(__t, i*2+1, 2), ' '))")
+      val rebuilt = docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          when(size(col("__t")) === 0, lit(""))
+            .otherwise(array_join(chunks, "\n")).as("text"))
+      TextAnalysis.withLineRepetition(rebuilt, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Duplicate-bigram repetition score (boilerplate/repetition quality
     // filter): exact distinct-vs-total gram counts, map-only.
     "q62_repetition" -> ((s, dir) => {
@@ -225,6 +248,34 @@ object CurationQueries {
         |       ELSE 0.0 END AS top_gram_coverage
         |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // same 2-token-chunk line reconstruction as the Spark side, then
+    // the operator's (doc, line) count + four integer sums; fractions
+    // are one exact division each so the doubles hash-match
+    "q168_line_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+        |rebuilt AS (SELECT doc_id,
+        |  CASE WHEN len(t) = 0 THEN '' ELSE
+        |    array_to_string(list_transform(
+        |      generate_series(0, CAST(ceil(len(t)/2.0) AS INT) - 1),
+        |      i -> array_to_string(t[i*2+1:i*2+2], ' ')), chr(10))
+        |  END AS text FROM toks),
+        |lines AS (SELECT doc_id, l
+        |          FROM rebuilt, unnest(string_split(text, chr(10))) u(l)
+        |          WHERE length(l) > 0),
+        |cnt AS (SELECT doc_id, l, COUNT(*) c FROM lines GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, SUM(c) nl, COUNT(*) nd,
+        |          SUM(c * length(l)) chars, SUM((c-1) * length(l)) dupch
+        |        FROM cnt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(nl, 0) AS n_lines,
+        |  CASE WHEN nl IS NULL THEN 0.0
+        |       ELSE CAST(nl - nd AS DOUBLE) / CAST(nl AS DOUBLE)
+        |  END AS dup_line_fraction,
+        |  CASE WHEN chars IS NULL OR chars = 0 THEN 0.0
+        |       ELSE CAST(dupch AS DOUBLE) / CAST(chars AS DOUBLE)
+        |  END AS dup_line_char_fraction
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // same null-text sentinel + zero-chars guard as datasetCard
     "q93_dataset_card" ->
       """WITH h AS (SELECT source, COALESCE(md5(text), 'null') AS hh,

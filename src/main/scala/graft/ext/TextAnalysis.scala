@@ -138,6 +138,51 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("top_gram_coverage"))
   }
 
+  /** Exact duplicate-LINE repetition (the remaining Gopher §A1.1 rule
+    * family next to [[withRepetitionScore]]'s gram distinct-ratio and
+    * [[withTopGramCoverage]]'s one-phrase domination): how much of a
+    * document is exact copies of its own lines. `sep` picks the unit —
+    * the default "\\R" splits physical lines; "\\R{2,}" gives the
+    * paragraph variant of the same rule. Empty units (blank lines /
+    * separator runs) are dropped before counting so vertical
+    * whitespace never counts as "duplication".
+    *
+    * Per doc: `n_lines` (non-empty units), `dup_line_fraction` =
+    * (n_lines − distinct lines) / n_lines — the excess-copy share —
+    * and `dup_line_char_fraction` = chars inside those excess copies /
+    * chars in all lines. Both are ONE division of exact integer sums,
+    * so the doubles replay bit-for-bit in any engine. Docs with no
+    * non-empty lines (empty/NULL text) pin to (0, 0.0, 0.0).
+    *
+    * Plan shape: line explode → ONE hash aggregation on (doc, line)
+    * with map-side partials → per-doc re-aggregation of four integer
+    * sums. Work ∝ corpus lines; per-doc state is four longs — a
+    * million-line doc costs what a ten-line doc costs beyond the scan,
+    * and the text column itself never shuffles (only distinct
+    * (doc, line) units do, already collapsed by the partial agg). */
+  def withLineRepetition(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\R"): DataFrame = {
+    val units = filter(split(col(textCol), sep), l => length(l) > 0)
+    val cnt = df
+      .select(col(idCol), explode(units).as("__line"))
+      .groupBy(col(idCol), col("__line"))
+      .agg(count(lit(1)).as("__c"))
+    val agg = cnt.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__nl"),
+        count(lit(1)).as("__nd"),
+        sum(col("__c") * length(col("__line"))).as("__chars"),
+        sum((col("__c") - 1) * length(col("__line"))).as("__dupch"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nl"), lit(0L)).as("n_lines"),
+        when(col("__nl").isNull, lit(0.0))
+          .otherwise((col("__nl") - col("__nd")).cast("double") /
+            col("__nl").cast("double")).as("dup_line_fraction"),
+        when(col("__chars").isNull || col("__chars") === 0, lit(0.0))
+          .otherwise(col("__dupch").cast("double") /
+            col("__chars").cast("double")).as("dup_line_char_fraction"))
+  }
+
   /** First-failing-rule quality verdict (the Dolma/FineWeb-style
     * filter-pipeline report): every document gets a verdict — `keep`,
     * or the NAME of the first gate it fails, in fixed rule order

@@ -577,6 +577,49 @@ class CurationSpec extends SparkSpecBase {
     assert(byId(0L) > byId(2L) && byId(2L) > byId(1L))
   }
 
+  test("withLineRepetition: brute force on real multi-line text, " +
+      "paragraph mode, empty/null docs") {
+    val rows = Seq(
+      (0L, "copy me\nunique one\ncopy me\ncopy me\nz"), // 3x dup line
+      (1L, "a\nb\nc"),                                     // all unique
+      (2L, "same\n\n\nsame"),           // blank lines dropped, not dups
+      (3L, ""),                         // no lines at all
+      (4L, "only line"),                // single line
+      (5L, "x\r\ny x"))            // \R covers CRLF + LS
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("text", when(col("doc_id") === 3L, lit(null))
+        .otherwise(col("text")))       // doc 3 exercises NULL too
+    val got = TextAnalysis.withLineRepetition(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    def brute(id: Long, text: String) = {
+      val ls = text.split("\\R").toSeq.filter(_.nonEmpty)
+      if (ls.isEmpty) (id, 0L, 0.0, 0.0)
+      else {
+        val byLine = ls.groupBy(identity).view.mapValues(_.size).toSeq
+        val nl = ls.size.toLong
+        val nd = byLine.size.toLong
+        val chars = byLine.map { case (l, c) => l.length.toLong * c }.sum
+        val dupch = byLine.map { case (l, c) => l.length.toLong * (c - 1) }.sum
+        (id, nl, (nl - nd).toDouble / nl,
+          if (chars == 0) 0.0 else dupch.toDouble / chars)
+      }
+    }
+    assert(got == rows.map { case (id, t) =>
+      brute(id, if (id == 3L) "" else t) })
+    // the char fraction weights long duplicate lines heavier: "copy me"
+    // x3 (2 excess of 7 chars) in doc 0 dominates its 2/5 line share
+    val d0 = got.find(_._1 == 0L).get
+    assert(d0._2 == 5L && d0._3 == 0.4 && d0._4 > d0._3)
+    // paragraph mode: \R{2,} keeps single newlines INSIDE a unit
+    val paras = Seq((0L, "p one\nstill p one\n\np two\n\np one\nstill p one"))
+      .toDF("doc_id", "text")
+    val p = TextAnalysis.withLineRepetition(paras, "doc_id", "text",
+        sep = "\\R{2,}")
+      .as[(Long, Long, Double, Double)].head()
+    assert(p._2 == 3L && p._3 == 1.0 / 3.0) // the two-line para repeats
+  }
+
   test("randomNegativesBatched: n-batch run == 1-batch run row-for-row") {
     import graft.ext.Curation
     // the draw keys on (seed, anchor, candidate) only — never the
