@@ -46,7 +46,49 @@ object TextQueries {
     "es" -> Seq("data", "row", "table", "scan"),
     "fr" -> Seq("join", "merge", "sort", "agg"))
 
+  /** Deterministic line reconstruction for the corpus-level line-dedup
+    * rows (the q168 device, width-parameterized): the word-soup corpus
+    * has no physical lines, so w-token chunks joined by \n stand in —
+    * the oracle replays the identical reconstruction, and duplicate /
+    * near-duplicate docs' shared chunks make corpus-frequent lines
+    * non-vacuous (probed: w=4 drops 2.6% of lines at sf0.01, 4% at
+    * sf0.1 with maxDocFreq=2). */
+  private def rebuiltLines(s: SparkSession, dir: String, w: Int): DataFrame = {
+    val chunks = expr(
+      s"transform(sequence(0, CAST(ceil(size(__t)/$w.0) AS INT) - 1), " +
+        s"i -> array_join(slice(__t, i*$w+1, $w), ' '))")
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        when(size(col("__t")) === 0, lit(""))
+          .otherwise(array_join(chunks, "\n")).as("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CCNet-style corpus-level boilerplate-line removal: lines occurring
+    // in >2 distinct docs are cut from EVERY doc. Pass 1 shuffles only
+    // (doc, line-hash) tuples; the frequent set is heavy-hitter-bounded
+    // and broadcasts; pass 2 is a map-only array filter — the corpus
+    // text never shuffles.
+    "q169_boilerplate_lines" -> ((s, dir) => {
+      Dedup.removeBoilerplateLines(rebuiltLines(s, dir, 4), "doc_id",
+          "text", maxDocFreq = 2)
+        .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-wide exact line dedup keep-FIRST (CCNet paragraph dedup
+    // proper): each distinct line survives only at its lowest (doc,
+    // position). Winner election shuffles ~20-byte (doc, pos, hash)
+    // tuples; the text shuffles exactly once (the pk join to its
+    // per-doc drop list) before a map-only index-filter rewrite.
+    "q170_dedup_lines_keepfirst" -> ((s, dir) => {
+      Dedup.dedupLinesKeepFirst(rebuiltLines(s, dir, 4), "doc_id", "text")
+        .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup on content digest (group key = md5, 16 bytes shuffled
     // per doc regardless of document size).
     "q30_dedup_exact" -> ((s, dir) => {
@@ -425,6 +467,61 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same 4-token-chunk line reconstruction as the Spark side; the
+    // frequent set (>2 distinct docs) becomes a one-row captured list
+    // so list_filter replays the map-only rewrite in order
+    "q169_boilerplate_lines" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+        |rebuilt AS (SELECT doc_id,
+        |  CASE WHEN len(t) = 0 THEN '' ELSE
+        |    array_to_string(list_transform(
+        |      generate_series(0, CAST(ceil(len(t)/4.0) AS INT) - 1),
+        |      i -> array_to_string(t[i*4+1:i*4+4], ' ')), chr(10))
+        |  END AS text FROM toks),
+        |lines AS (SELECT doc_id, l
+        |          FROM rebuilt, unnest(string_split(text, chr(10))) u(l)
+        |          WHERE length(l) > 0),
+        |freq AS (SELECT COALESCE(list(l), []) fl FROM
+        |  (SELECT l FROM lines GROUP BY l HAVING COUNT(DISTINCT doc_id) > 2)),
+        |rw AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> length(x) > 0 AND NOT list_contains(fl, x)) kl,
+        |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) al
+        |  FROM rebuilt, freq)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kl, chr(10)), '') AS text,
+        |  CAST(COALESCE(len(kl), 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(COALESCE(len(al), 0) - COALESCE(len(kl), 0) AS BIGINT)
+        |    AS n_lines_dropped
+        |FROM rw ORDER BY doc_id""".stripMargin,
+    // keep-first winner = row_number over (doc_id, position), matching
+    // the Spark side's min(struct(id, pos)) election exactly
+    "q170_dedup_lines_keepfirst" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+        |rebuilt AS (SELECT doc_id,
+        |  CASE WHEN len(t) = 0 THEN '' ELSE
+        |    array_to_string(list_transform(
+        |      generate_series(0, CAST(ceil(len(t)/4.0) AS INT) - 1),
+        |      i -> array_to_string(t[i*4+1:i*4+4], ' ')), chr(10))
+        |  END AS text FROM toks),
+        |ls AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) ll
+        |  FROM rebuilt),
+        |exploded AS (SELECT doc_id, ll[i] AS l, i
+        |  FROM ls, unnest(generate_series(1, len(ll))) u(i)),
+        |ranked AS (SELECT doc_id, l, i,
+        |    row_number() OVER (PARTITION BY l ORDER BY doc_id, i) rn
+        |  FROM exploded),
+        |kept AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) txt,
+        |    COUNT(*) nk FROM ranked WHERE rn = 1 GROUP BY 1),
+        |tot AS (SELECT doc_id, COUNT(*) nl FROM exploded GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(k.txt, '') AS text,
+        |  CAST(COALESCE(k.nk, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(COALESCE(t.nl, 0) - COALESCE(k.nk, 0) AS BIGINT)
+        |    AS n_lines_dropped
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |  LEFT JOIN tot t USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
         | CAST(SUM(CASE WHEN n_copies>1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups

@@ -803,4 +803,112 @@ object Dedup {
     touched.unpersist()
     result
   }
+
+  /** Non-empty line units of a text column: `sep` picks the unit
+    * ("\\R" = physical lines, "\\R{2,}" = paragraphs); blank units
+    * (separator runs) never count as content. Shared by the two
+    * corpus-level line-dedup passes below so they can't drift on what
+    * a "line" is. */
+  private def lineUnits(textCol: String, sep: String) =
+    filter(split(col(textCol), sep), l => length(l) > 0)
+
+  /** CCNet-style corpus-level boilerplate-line removal: delete from
+    * every document the lines that occur in more than `maxDocFreq`
+    * DISTINCT documents (nav bars, cookie banners, footers — content
+    * that repeats across the corpus rather than inside one doc;
+    * the per-doc complement is `TextAnalysis.withLineRepetition`).
+    *
+    * Two passes, and the corpus text never shuffles in either:
+    *  1. frequency: explode to (doc, xxhash64(line)) — 16-byte tuples,
+    *     never the line text — one hash aggregation counts distinct
+    *     docs per line hash; hashes above the threshold are by
+    *     construction heavy hitters, so the frequent set is bounded by
+    *     totalLines / maxDocFreq and collects to a driver set (the
+    *     broadcast-anchors convention; `maxFrequentLines` bounds it
+    *     loudly rather than OOMing the driver).
+    *  2. rewrite: MAP-ONLY — each doc filters its own line array
+    *     against the broadcast hash set and rejoins with "\n" (the
+    *     canonical separator; reconstruction is a normalization). No
+    *     regroup, no second shuffle, no driver loop.
+    *
+    * Matching is by 64-bit content hash (the [[exact]] convention): an
+    * innocent line colliding with a frequent one is dropped with
+    * probability ~2^-64 per distinct-line pair — documented, accepted.
+    * NULL/empty docs pin to ("", 0, 0). Output replaces `textCol` and
+    * appends exact `n_lines_kept` / `n_lines_dropped` counts. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int, sep: String = "\\R",
+      maxFrequentLines: Int = 4 << 20): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val units = lineUnits(textCol, sep)
+    val frequent = df
+      .select(col(idCol).as("__id"), explode(units).as("__l"))
+      .select(col("__id"), xxhash64(col("__l")).as("__h"))
+      .groupBy("__h")
+      .agg(countDistinct(col("__id")).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select("__h")
+    val hs = frequent.limit(maxFrequentLines + 1).collect().map(_.getLong(0))
+    require(hs.length <= maxFrequentLines,
+      s"more than $maxFrequentLines corpus-frequent lines at " +
+        s"maxDocFreq=$maxDocFreq — raise the threshold (the frequent " +
+        "set is bounded by totalLines/maxDocFreq; a bound this loose " +
+        "would not broadcast) or raise maxFrequentLines explicitly")
+    val kept =
+      if (hs.isEmpty) units
+      else filter(units, l => !xxhash64(l).isin(hs.toSeq: _*))
+    val nullGuard = col(textCol).isNull
+    df.withColumn("n_lines_dropped",
+        when(nullGuard, lit(0L))
+          .otherwise((size(units) - size(kept)).cast("long")))
+      .withColumn("n_lines_kept",
+        when(nullGuard, lit(0L)).otherwise(size(kept).cast("long")))
+      .withColumn(textCol,
+        when(nullGuard, lit("")).otherwise(array_join(kept, "\n")))
+  }
+
+  /** Corpus-wide exact line dedup, keep-first (the CCNet paragraph-
+    * dedup pass proper): every distinct line keeps exactly its FIRST
+    * occurrence in (doc, position) order; all later occurrences are
+    * deleted from their documents. Unlike [[removeBoilerplateLines]]
+    * the survivor set is corpus-sized, so no broadcast exists — the
+    * shuffle structure is the design:
+    *  - winner election shuffles (doc, pos, xxhash64(line)) tuples —
+    *    ~20 bytes per line, never the text — one min(struct) agg per
+    *    hash (deterministic: lowest doc id, then lowest position);
+    *  - per-doc drop lists come from the same narrow tuples
+    *    (collect_list of dropped positions per doc — state ∝ that
+    *    doc's duplicate lines, never the corpus);
+    *  - the text shuffles exactly ONCE: the primary-key join of the
+    *    original frame to its drop list, followed by a map-only
+    *    index-filter rewrite. No explode of text, no regroup.
+    *
+    * Same 64-bit-hash matching convention and NULL/empty pinning as
+    * [[removeBoilerplateLines]]. */
+  def dedupLinesKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\R"): DataFrame = {
+    val units = lineUnits(textCol, sep)
+    val lines = df
+      .select(col(idCol).as("__id"), posexplode(units).as(Seq("__p", "__l")))
+      .select(col("__id"), col("__p"), xxhash64(col("__l")).as("__h"))
+    val winners = lines.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__p"))).as("__w"))
+    val dropLists = lines.join(winners, "__h")
+      .where(col("__w.__id") =!= col("__id") || col("__w.__p") =!= col("__p"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__p"))).as("__drop"))
+      .withColumnRenamed("__id", idCol)
+    val joined = df.join(dropLists, Seq(idCol), "left")
+    val drops = coalesce(col("__drop"), array().cast("array<int>"))
+    val kept = filter(units, (l, i) => !array_contains(drops, i))
+    val nullGuard = col(textCol).isNull
+    joined
+      .withColumn("n_lines_dropped",
+        when(nullGuard, lit(0L)).otherwise(size(drops).cast("long")))
+      .withColumn("n_lines_kept",
+        when(nullGuard, lit(0L)).otherwise(size(kept).cast("long")))
+      .withColumn(textCol,
+        when(nullGuard, lit("")).otherwise(array_join(kept, "\n")))
+      .drop("__drop")
+  }
 }

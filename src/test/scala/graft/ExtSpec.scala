@@ -1125,4 +1125,72 @@ class ExtSpec extends SparkSpecBase {
     assert(got == Set(("tble", "table", 1L), ("ab", "ab", 0L),
       ("ab", "a", 1L)))
   }
+
+  test("removeBoilerplateLines: DISTINCT-doc threshold, in-doc repeats " +
+      "survive, null/empty pinning") {
+    // "nav bar" is in 3 distinct docs (> maxDocFreq=2) -> dropped
+    // everywhere; "footer" is in only 2 docs -> kept; doc 3 repeats
+    // "spam" 5 times but in ONE doc -> distinct-doc count is 1, kept.
+    val corpus = Seq(
+      (0L, "nav bar\nreal content zero\nfooter"),
+      (1L, "nav bar\nreal content one\nfooter"),
+      (2L, "nav bar\nreal content two"),
+      (3L, "spam\nspam\nspam\nspam\nspam"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateLines(corpus, "doc_id", "text",
+        maxDocFreq = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "real content zero\nfooter", 2L, 1L),
+      (1L, "real content one\nfooter", 2L, 1L),
+      (2L, "real content two", 1L, 1L),
+      (3L, "spam\nspam\nspam\nspam\nspam", 5L, 0L),
+      (4L, "", 0L, 0L),
+      (5L, "", 0L, 0L)))
+    // no frequent lines at a high threshold -> identity rewrite
+    val id = Dedup.removeBoilerplateLines(corpus, "doc_id", "text",
+        maxDocFreq = 99)
+      .filter($"n_lines_dropped" =!= 0).count()
+    assert(id == 0)
+  }
+
+  test("dedupLinesKeepFirst: lowest (doc, pos) wins, in-doc dups " +
+      "collapse, order preserved") {
+    val corpus = Seq(
+      (0L, "alpha\nbeta\nalpha"),          // in-doc dup: pos-2 alpha drops
+      (1L, "beta\ngamma\nbeta"),  // beta lost to doc 0 pos 1; both go
+      (2L, "gamma\ndelta"),               // gamma lost to doc 1 pos 1
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesKeepFirst(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "alpha\nbeta", 2L, 1L),
+      (1L, "gamma", 1L, 2L),
+      (2L, "delta", 1L, 1L),
+      (3L, "", 0L, 0L)))
+    // every distinct line survives exactly once corpus-wide
+    val survivors = got.flatMap(_._2.split("\n").filter(_.nonEmpty))
+    assert(survivors.sorted == survivors.distinct.sorted &&
+      survivors.toSet == Set("alpha", "beta", "gamma", "delta"))
+  }
+
+  test("line dedup paragraph mode: \\R{2,} units keep inner newlines") {
+    val corpus = Seq(
+      (0L, "para one line a\npara one line b\n\nshared para"),
+      (1L, "shared para\n\nunique para")).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesKeepFirst(corpus, "doc_id", "text",
+        sep = "\\R{2,}")
+      .orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // doc 0 keeps both paragraphs (first occurrence of "shared para");
+    // doc 1 loses it and keeps only its unique paragraph
+    assert(got == Seq(
+      (0L, "para one line a\npara one line b\nshared para"),
+      (1L, "unique para")))
+  }
 }
