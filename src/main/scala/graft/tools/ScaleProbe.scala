@@ -113,7 +113,8 @@ object ScaleProbe {
       "postings_query_loaded", "phrase_query_loaded",
       "postings_artifact_build", "phrase_artifact_build",
       "split_assign", "upsample_2p5x", "bpe_train_200", "bpe_apply",
-      "chunk_32_8", "semantic_neardup_k256", "media_decode_1mb_rpp8",
+      "chunk_32_8", "boilerplate_lines", "dedup_lines_keepfirst",
+      "semantic_neardup_k256", "media_decode_1mb_rpp8",
       "media_decode_1mb_rpp64", "media_decode_1mb_rpp500")
     if (docProbes.exists(wanted)) {
     val docs = replicate(GraftSession.table(spark, sfDir, "documents")
@@ -333,6 +334,30 @@ object ScaleProbe {
       "mix2").count())
     time("chunk_32_8")(TextAnalysis.chunkTokens(docs, "doc_id", "text",
       chunkSize = 32, overlap = 8).count())
+    // corpus-level line dedup (q169/q170) over rebuilt 4-token-chunk
+    // lines (the oracle device). boilerplate: pass 1 shuffles only
+    // (doc, line-hash) tuples and pass 2 is map-only — expect MB ≈
+    // 16 B/line and NOT ∝ text bytes; keep-first adds the winner
+    // election (narrow tuples) plus exactly one text shuffle (the pk
+    // join). Replication multiplies every line's doc-frequency by
+    // `copies`, so the threshold scales with it to keep the same
+    // planted drop fraction.
+    if (Seq("boilerplate_lines", "dedup_lines_keepfirst").exists(wanted)) {
+      val lined = docs.select($"doc_id",
+        graft.functions.TextFunctions.tokens($"text").as("__t"))
+        .select($"doc_id",
+          when(size($"__t") === 0, lit("")).otherwise(array_join(expr(
+            "transform(sequence(0, CAST(ceil(size(__t)/4.0) AS INT) - 1)," +
+              " i -> array_join(slice(__t, i*4+1, 4), ' '))"), "\n"))
+            .as("text"))
+      time("boilerplate_lines")(
+        Dedup.removeBoilerplateLines(lined, "doc_id", "text",
+            maxDocFreq = 2 * copies)
+          .agg(sum("n_lines_dropped")).head().getLong(0))
+      time("dedup_lines_keepfirst")(
+        Dedup.dedupLinesKeepFirst(lined, "doc_id", "text")
+          .agg(sum("n_lines_dropped")).head().getLong(0))
+    }
     // BPE tokenizer training: ONE corpus pass (pre-token word count,
     // map-side combined) + the driver merge loop on the bounded word
     // table; the corpus-sized cost must stay flat in merges and the
