@@ -89,6 +89,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental boilerplate removal: docs 250+ arriving against the
+    // 0-249 history's SAVED (line_hash, n_docs) artifact — the batch is
+    // rewritten with MERGED corpus frequencies, bit-identical to the
+    // full-union rewrite, without touching historical text. Work ∝
+    // batch lines + artifact size (distinct lines), never ∝ history.
+    "q171_boilerplate_delta" -> ((s, dir) => {
+      val rebuilt = rebuiltLines(s, dir, 4)
+      val snap = Dedup.lineFrequencySnapshot(
+        rebuilt.filter(col("doc_id") < 250), "doc_id", "text")
+      Dedup.removeBoilerplateLinesDelta(
+          rebuilt.filter(col("doc_id") >= 250), snap, "doc_id", "text",
+          maxDocFreq = 2)
+        .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup on content digest (group key = md5, 16 bytes shuffled
     // per doc regardless of document size).
     "q30_dedup_exact" -> ((s, dir) => {
@@ -488,6 +504,33 @@ object TextQueries {
         |      x -> length(x) > 0 AND NOT list_contains(fl, x)) kl,
         |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) al
         |  FROM rebuilt, freq)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kl, chr(10)), '') AS text,
+        |  CAST(COALESCE(len(kl), 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(COALESCE(len(al), 0) - COALESCE(len(kl), 0) AS BIGINT)
+        |    AS n_lines_dropped
+        |FROM rw ORDER BY doc_id""".stripMargin,
+    // the delta invariant IS the oracle: frequencies over the FULL
+    // union, rewrite restricted to the arriving batch (doc_id >= 250)
+    "q171_boilerplate_delta" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+        |rebuilt AS (SELECT doc_id,
+        |  CASE WHEN len(t) = 0 THEN '' ELSE
+        |    array_to_string(list_transform(
+        |      generate_series(0, CAST(ceil(len(t)/4.0) AS INT) - 1),
+        |      i -> array_to_string(t[i*4+1:i*4+4], ' ')), chr(10))
+        |  END AS text FROM toks),
+        |lines AS (SELECT doc_id, l
+        |          FROM rebuilt, unnest(string_split(text, chr(10))) u(l)
+        |          WHERE length(l) > 0),
+        |freq AS (SELECT COALESCE(list(l), []) fl FROM
+        |  (SELECT l FROM lines GROUP BY l HAVING COUNT(DISTINCT doc_id) > 2)),
+        |rw AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> length(x) > 0 AND NOT list_contains(fl, x)) kl,
+        |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) al
+        |  FROM rebuilt, freq
+        |  WHERE doc_id >= 250)
         |SELECT doc_id,
         |  COALESCE(array_to_string(kl, chr(10)), '') AS text,
         |  CAST(COALESCE(len(kl), 0) AS BIGINT) AS n_lines_kept,

@@ -848,7 +848,19 @@ object Dedup {
       .agg(countDistinct(col("__id")).as("__df"))
       .where(col("__df") > maxDocFreq)
       .select("__h")
-    val hs = frequent.limit(maxFrequentLines + 1).collect().map(_.getLong(0))
+    rewriteWithoutLines(df, textCol, frequent, sep, maxDocFreq,
+      maxFrequentLines)
+  }
+
+  /** The map-only pass 2 shared by [[removeBoilerplateLines]] and its
+    * delta twin: collect the (bounded, loud-require'd) frequent hash
+    * set and filter every doc's own line array against it. */
+  private def rewriteWithoutLines(df: DataFrame, textCol: String,
+      frequentHashes: DataFrame, sep: String, maxDocFreq: Int,
+      maxFrequentLines: Int): DataFrame = {
+    val units = lineUnits(textCol, sep)
+    val hs = frequentHashes.limit(maxFrequentLines + 1).collect()
+      .map(_.getLong(0))
     require(hs.length <= maxFrequentLines,
       s"more than $maxFrequentLines corpus-frequent lines at " +
         s"maxDocFreq=$maxDocFreq — raise the threshold (the frequent " +
@@ -866,6 +878,65 @@ object Dedup {
       .withColumn(textCol,
         when(nullGuard, lit("")).otherwise(array_join(kept, "\n")))
   }
+
+  /** The persistable artifact behind incremental boilerplate removal:
+    * distinct-doc counts per line hash — `(line_hash, n_docs)`, bounded
+    * by DISTINCT lines (never corpus size). Build once over the
+    * history, persist like q84 persists the minhash band table, then
+    * fold batches in with [[removeBoilerplateLinesDelta]]. */
+  def lineFrequencySnapshot(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\R"): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(lineUnits(textCol, sep)).as("__l"))
+      .select(col("__id"), xxhash64(col("__l")).as("line_hash"))
+      .groupBy("line_hash")
+      .agg(countDistinct(col("__id")).as("n_docs"))
+
+  /** Incremental boilerplate removal: rewrite an arriving batch with
+    * the MERGED corpus frequencies — bit-identical to running
+    * [[removeBoilerplateLines]] over history ∪ batch and keeping the
+    * batch's rows — without ever touching the historical TEXT. Requires
+    * the append-only contract (batch ids disjoint from the snapshot's
+    * corpus; a re-arriving id would double-count its lines).
+    *
+    * Cost: one delta-sized line-hash aggregation + one artifact-sized
+    * merge of the two (line_hash, n_docs) tables — work ∝ batch lines
+    * + distinct corpus lines, never ∝ historical corpus text. Returns
+    * the rewritten batch; call [[mergedLineFrequency]] for the updated
+    * snapshot to persist, and [[newlyFrequentLines]] for the hashes
+    * that crossed the threshold THIS batch — the retro-invalidation
+    * set (a later map-only filter pass over the history finds the old
+    * docs that now need rewriting; that pass scans, it never
+    * shuffles). */
+  def removeBoilerplateLinesDelta(newDf: DataFrame, snapshot: DataFrame,
+      idCol: String, textCol: String, maxDocFreq: Int,
+      sep: String = "\\R", maxFrequentLines: Int = 4 << 20): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val merged = mergedLineFrequency(snapshot,
+      lineFrequencySnapshot(newDf, idCol, textCol, sep))
+    rewriteWithoutLines(newDf, textCol,
+      merged.where(col("n_docs") > maxDocFreq).select("line_hash"),
+      sep, maxDocFreq, maxFrequentLines)
+  }
+
+  /** Fold a batch's line-frequency table into the snapshot (both sides
+    * `(line_hash, n_docs)`); one hash aggregation over artifact-sized
+    * inputs. */
+  def mergedLineFrequency(snapshot: DataFrame, delta: DataFrame): DataFrame =
+    snapshot.unionByName(delta)
+      .groupBy("line_hash")
+      .agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Hashes that crossed the frequency threshold in this batch — lines
+    * that were NOT boilerplate when the history was rewritten but are
+    * now. Both inputs are the bounded artifact; both frequent sets are
+    * heavy-hitter-bounded, so the anti join broadcasts. */
+  def newlyFrequentLines(snapshot: DataFrame, merged: DataFrame,
+      maxDocFreq: Int): DataFrame =
+    merged.where(col("n_docs") > maxDocFreq).select("line_hash")
+      .join(broadcast(snapshot.where(col("n_docs") > maxDocFreq)
+          .select("line_hash")),
+        Seq("line_hash"), "left_anti")
 
   /** Corpus-wide exact line dedup, keep-first (the CCNet paragraph-
     * dedup pass proper): every distinct line keeps exactly its FIRST

@@ -114,6 +114,7 @@ object ScaleProbe {
       "postings_artifact_build", "phrase_artifact_build",
       "split_assign", "upsample_2p5x", "bpe_train_200", "bpe_apply",
       "chunk_32_8", "boilerplate_lines", "dedup_lines_keepfirst",
+      "boilerplate_delta",
       "semantic_neardup_k256", "media_decode_1mb_rpp8",
       "media_decode_1mb_rpp64", "media_decode_1mb_rpp500")
     if (docProbes.exists(wanted)) {
@@ -342,7 +343,8 @@ object ScaleProbe {
     // join). Replication multiplies every line's doc-frequency by
     // `copies`, so the threshold scales with it to keep the same
     // planted drop fraction.
-    if (Seq("boilerplate_lines", "dedup_lines_keepfirst").exists(wanted)) {
+    if (Seq("boilerplate_lines", "dedup_lines_keepfirst",
+        "boilerplate_delta").exists(wanted)) {
       val lined = docs.select($"doc_id",
         graft.functions.TextFunctions.tokens($"text").as("__t"))
         .select($"doc_id",
@@ -357,6 +359,24 @@ object ScaleProbe {
       time("dedup_lines_keepfirst")(
         Dedup.dedupLinesKeepFirst(lined, "doc_id", "text")
           .agg(sum("n_lines_dropped")).head().getLong(0))
+      // delta maintenance: one arriving copy against the whole
+      // replicated history's artifact — the fold must cost ∝ batch
+      // lines + artifact size, with the historical TEXT untouched
+      if (wanted("boilerplate_delta")) {
+        val hist = lined.filter($"doc_id" < (copies - 1) * 10000000L)
+        val batch = lined.filter($"doc_id" >= (copies - 1) * 10000000L)
+        var snap: DataFrame = null
+        timeOrRun("boilerplate_delta_artifact")({
+          snap = Dedup.lineFrequencySnapshot(hist, "doc_id", "text")
+            .cache()
+          s"artifact=${snap.count()}"
+        })
+        time("boilerplate_delta")(
+          Dedup.removeBoilerplateLinesDelta(batch, snap, "doc_id",
+              "text", maxDocFreq = 2 * copies)
+            .agg(sum("n_lines_dropped")).head().getLong(0))
+        snap.unpersist()
+      }
     }
     // BPE tokenizer training: ONE corpus pass (pre-token word count,
     // map-side combined) + the driver merge loop on the bounded word

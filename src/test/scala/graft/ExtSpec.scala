@@ -1179,6 +1179,48 @@ class ExtSpec extends SparkSpecBase {
       survivors.toSet == Set("alpha", "beta", "gamma", "delta"))
   }
 
+  test("removeBoilerplateLinesDelta: batch rewrite == full-union " +
+      "rewrite; newlyFrequentLines = threshold crossings only") {
+    // "nav" is frequent already in the history (3 docs); "ad" sits AT
+    // the threshold (2 docs) and crosses it only when the batch lands;
+    // "new-spam" becomes frequent entirely within the batch.
+    val history = Seq(
+      (0L, "nav\ncontent zero\nad"),
+      (1L, "nav\ncontent one\nad"),
+      (2L, "nav\ncontent two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ad\nfresh ten\nnew-spam"),
+      (11L, "new-spam\nfresh eleven"),
+      (12L, "new-spam\nfresh twelve")).toDF("doc_id", "text")
+    val snap = Dedup.lineFrequencySnapshot(history, "doc_id", "text")
+    val delta = Dedup.removeBoilerplateLinesDelta(batch, snap,
+        "doc_id", "text", maxDocFreq = 2)
+      .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val full = Dedup.removeBoilerplateLines(
+        history.unionByName(batch), "doc_id", "text", maxDocFreq = 2)
+      .filter($"doc_id" >= 10L)
+      .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(delta == full)
+    // "ad" (2+1 docs) and "new-spam" (0+3) both dropped from the batch
+    assert(delta == Seq(
+      (10L, "fresh ten", 1L, 2L),
+      (11L, "fresh eleven", 1L, 1L),
+      (12L, "fresh twelve", 1L, 1L)))
+    // retro-invalidation: exactly the two hashes that CROSSED the
+    // threshold this batch — "nav" was already frequent, not re-flagged
+    val merged = Dedup.mergedLineFrequency(snap,
+      Dedup.lineFrequencySnapshot(batch, "doc_id", "text"))
+    val newly = Dedup.newlyFrequentLines(snap, merged, maxDocFreq = 2)
+      .as[Long].collect().toSet
+    val hashOf = Seq("ad", "new-spam", "nav").map(s =>
+      s -> Seq(s).toDF("l").select(xxhash64($"l")).as[Long].head()).toMap
+    assert(newly == Set(hashOf("ad"), hashOf("new-spam")))
+  }
+
   test("line dedup paragraph mode: \\R{2,} units keep inner newlines") {
     val corpus = Seq(
       (0L, "para one line a\npara one line b\n\nshared para"),
