@@ -65,6 +65,18 @@ object TextQueries {
           .otherwise(array_join(chunks, "\n")).as("text"))
   }
 
+  /** Pinned classifier weight table for q172 (term, label, weight as a
+    * decimal string): the corpus marker words with hand weights — the
+    * tokenizer-style pinned artifact that lets the DuckDB oracle replay
+    * the APPLY exactly while training stays spec-pinned. */
+  private val pinnedClassifierWeights: Seq[(String, String, String)] = Seq(
+    ("the", "en", "0.50"), ("a", "en", "0.40"),
+    ("key", "en", "0.35"), ("fast", "en", "0.30"),
+    ("data", "es", "0.50"), ("row", "es", "0.40"),
+    ("table", "es", "0.35"), ("scan", "es", "0.30"),
+    ("join", "fr", "0.50"), ("merge", "fr", "0.40"),
+    ("sort", "fr", "0.35"), ("agg", "fr", "0.30"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CCNet-style corpus-level boilerplate-line removal: lines occurring
     // in >2 distinct docs are cut from EVERY doc. Pass 1 shuffles only
@@ -86,6 +98,29 @@ object TextQueries {
     "q170_dedup_lines_keepfirst" -> ((s, dir) => {
       Dedup.dedupLinesKeepFirst(rebuiltLines(s, dir, 4), "doc_id", "text")
         .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+        .orderBy("doc_id")
+    }),
+
+    // Model-based classifier filtering (the fastText-style learned gate
+    // of the GPT-3/CCNet/FineWeb-Edu pipelines), APPLY over a PINNED
+    // weight table — the q166 device: training emits a driver-quantized
+    // DECIMAL artifact (spec-pinned); apply is exact decimal arithmetic
+    // on integer token counts, so the verdict replays bit-for-bit.
+    // Per-doc term counts collapse map-side, the model broadcasts, the
+    // text never shuffles; argmax is a rank-1 window (score desc,
+    // label asc).
+    "q172_classifier_apply" -> ((s, dir) => {
+      import s.implicits._
+      val m = pinnedClassifierWeights.toDF("term", "label", "w")
+        .select(col("term"), col("label"),
+          col("w").cast("decimal(18,9)").as("weight"))
+      val p = Seq(("en", "-0.20"), ("es", "-0.25"), ("fr", "-0.30"))
+        .toDF("label", "pr")
+        .select(col("label"), col("pr").cast("decimal(18,9)").as("prior"),
+          lit("0").cast("decimal(18,9)").as("unseen"))
+      TextAnalysis.classifyLinear(docs(s, dir), "doc_id", "text", m, p)
+        .select(col("doc_id"), col("label"),
+          col("score").cast("decimal(28,9)").as("score"))
         .orderBy("doc_id")
     }),
 
@@ -510,6 +545,42 @@ object TextQueries {
         |  CAST(COALESCE(len(al), 0) - COALESCE(len(kl), 0) AS BIGINT)
         |    AS n_lines_dropped
         |FROM rw ORDER BY doc_id""".stripMargin,
+    // the same pinned weight/prior tables as VALUES lists; exact
+    // decimal sums over integer counts, rank-1 by (score desc, label)
+    "q172_classifier_apply" ->
+      """WITH m(term, label, weight) AS (VALUES
+        |  ('the','en',CAST('0.50' AS DECIMAL(18,9))),
+        |  ('a','en',CAST('0.40' AS DECIMAL(18,9))),
+        |  ('key','en',CAST('0.35' AS DECIMAL(18,9))),
+        |  ('fast','en',CAST('0.30' AS DECIMAL(18,9))),
+        |  ('data','es',CAST('0.50' AS DECIMAL(18,9))),
+        |  ('row','es',CAST('0.40' AS DECIMAL(18,9))),
+        |  ('table','es',CAST('0.35' AS DECIMAL(18,9))),
+        |  ('scan','es',CAST('0.30' AS DECIMAL(18,9))),
+        |  ('join','fr',CAST('0.50' AS DECIMAL(18,9))),
+        |  ('merge','fr',CAST('0.40' AS DECIMAL(18,9))),
+        |  ('sort','fr',CAST('0.35' AS DECIMAL(18,9))),
+        |  ('agg','fr',CAST('0.30' AS DECIMAL(18,9)))),
+        |p(label, prior) AS (VALUES
+        |  ('en', CAST('-0.20' AS DECIMAL(18,9))),
+        |  ('es', CAST('-0.25' AS DECIMAL(18,9))),
+        |  ('fr', CAST('-0.30' AS DECIMAL(18,9)))),
+        |toks AS (SELECT doc_id, t FROM documents,
+        |         unnest(string_split_regex(text,'\s+')) u(t)
+        |         WHERE length(t) > 0),
+        |tc AS (SELECT doc_id, t, COUNT(*) n FROM toks GROUP BY 1, 2),
+        |contrib AS (SELECT doc_id, label, SUM(n * weight) s
+        |            FROM tc JOIN m ON tc.t = m.term GROUP BY 1, 2),
+        |scored AS (SELECT d.doc_id, p.label,
+        |             p.prior + COALESCE(c.s, 0) AS sc
+        |           FROM documents d CROSS JOIN p
+        |           LEFT JOIN contrib c
+        |             ON c.doc_id = d.doc_id AND c.label = p.label),
+        |ranked AS (SELECT doc_id, label, sc, row_number()
+        |             OVER (PARTITION BY doc_id ORDER BY sc DESC, label) rn
+        |           FROM scored)
+        |SELECT doc_id, label, CAST(sc AS DECIMAL(28,9)) AS score
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // the delta invariant IS the oracle: frequencies over the FULL
     // union, rewrite restricted to the arriving batch (doc_id >= 250)
     "q171_boilerplate_delta" ->

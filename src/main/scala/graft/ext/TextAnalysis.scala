@@ -183,6 +183,92 @@ object TextAnalysis {
             col("__chars").cast("double")).as("dup_line_char_fraction"))
   }
 
+  /** Multinomial Naive Bayes training for the fastText-style
+    * model-based filter stage (the classifier-filtering pass of the
+    * GPT-3/CCNet/FineWeb-Edu pipelines — a LEARNED quality/language
+    * gate next to [[withLangId]]'s fixed marker heuristic).
+    *
+    * One corpus pass: exact (label, term) counts with map-side
+    * partials, then per-row Laplace-smoothed log-likelihoods
+    * `log((c+1)/(tot_label+V))` quantized to DECIMAL(18,9) — the
+    * artifact is exact decimals from that point on, so APPLY replays
+    * bit-for-bit in any engine (the pinned-centroid device: only the
+    * training step touches floating log, and it's spec-pinned).
+    * Returns (termWeights(term, label, weight), priors(label, prior,
+    * unseen)) where `unseen` is the per-label smoothed log-prob of a
+    * term absent from that label's rows — what makes apply EXACT
+    * multinomial NB rather than a zero-fill approximation. Model size
+    * ∝ vocab × labels (the bounded artifact, like q81's vocabulary);
+    * persist and broadcast at apply time. */
+  def trainNaiveBayes(df: DataFrame, labelCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = df.select(col(labelCol).as("label"),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+    val termCounts = toks.groupBy("label", "term")
+      .agg(count(lit(1)).as("__c"))
+    val labelTokens = termCounts.groupBy("label")
+      .agg(sum(col("__c")).as("__tot"))
+    val vocabSize = toks.select("term").distinct().count()
+    val weights = termCounts
+      .join(broadcast(labelTokens), Seq("label"))
+      .select(col("term"), col("label"),
+        log((col("__c") + 1).cast("double") /
+            (col("__tot") + lit(vocabSize)).cast("double"))
+          .cast("decimal(18,9)").as("weight"))
+    val nDocs = df.count()
+    val priors = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(labelTokens), Seq("label"))
+      .select(col("label"),
+        log(col("__n").cast("double") / lit(nDocs.toDouble))
+          .cast("decimal(18,9)").as("prior"),
+        log(lit(1.0) / (col("__tot") + lit(vocabSize)).cast("double"))
+          .cast("decimal(18,9)").as("unseen"))
+    (weights, priors)
+  }
+
+  /** Apply a linear text classifier (NB weights from
+    * [[trainNaiveBayes]], or any pinned (term, label, weight) table —
+    * fastText-style filtering is exactly this shape with `unseen` 0):
+    * per doc, score(label) = prior + Σ n_t·w(t,label) +
+    * (N − matched)·unseen, argmax with the deterministic (score desc,
+    * label asc) tie-break. All arithmetic is DECIMAL on exact integer
+    * token counts — the verdict replays bit-for-bit in any engine.
+    *
+    * Plan shape: explode → broadcast join to the model (map-only; the
+    * join also FILTERS to in-vocab tokens) → one (doc, label) hash
+    * aggregation whose map-side partials collapse every token instance
+    * before the exchange → |labels| rows per doc → rank-1 window.
+    * The only shuffle carries (doc, label, decimal, long) tuples —
+    * ≤ |labels| rows per document regardless of its length; the model
+    * broadcasts; the text never shuffles. */
+  def classifyLinear(df: DataFrame, idCol: String, textCol: String,
+      termWeights: DataFrame, priors: DataFrame): DataFrame = {
+    val toksArr = filter(tokens(col(textCol)), t => length(t) > 0)
+    val contrib = df
+      .select(col(idCol), explode(toksArr).as("term"))
+      .join(broadcast(termWeights), Seq("term"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("weight")).as("__s"),
+        count(lit(1)).as("__m"))
+    val zeroDec = lit(0).cast("decimal(18,9)")
+    val scored = df
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(toksArr).cast("long")).as("__nt"))
+      .crossJoin(broadcast(priors))
+      .join(contrib, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        (col("prior") + coalesce(col("__s"), zeroDec) +
+          (col("__nt") - coalesce(col("__m"), lit(0L))) * col("unseen"))
+          .as("score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** First-failing-rule quality verdict (the Dolma/FineWeb-style
     * filter-pipeline report): every document gets a verdict — `keep`,
     * or the NAME of the first gate it fails, in fixed rule order

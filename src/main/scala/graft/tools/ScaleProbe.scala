@@ -114,7 +114,7 @@ object ScaleProbe {
       "postings_artifact_build", "phrase_artifact_build",
       "split_assign", "upsample_2p5x", "bpe_train_200", "bpe_apply",
       "chunk_32_8", "boilerplate_lines", "dedup_lines_keepfirst",
-      "boilerplate_delta",
+      "boilerplate_delta", "nb_train", "nb_classify",
       "semantic_neardup_k256", "media_decode_1mb_rpp8",
       "media_decode_1mb_rpp64", "media_decode_1mb_rpp500")
     if (docProbes.exists(wanted)) {
@@ -391,6 +391,24 @@ object ScaleProbe {
       time("bpe_apply")(TextAnalysis
         .bpeApply(docs, "doc_id", "text", merges)
         .agg(sum(size(col("bpe_tokens")))).head())
+    }
+    // NB classifier: train is ONE corpus pass to a vocab×labels
+    // artifact (word-table-sized shuffle, the bpe_train property);
+    // classify shuffles (doc, term-in-vocab) and (doc, label) narrow
+    // tuples with the model broadcast — text never shuffles
+    if (Seq("nb_train", "nb_classify").exists(wanted)) {
+      val labeled = docs.withColumn("lab",
+        concat(lit("c"), pmod(col("doc_id"), lit(3))))
+      var model: (DataFrame, DataFrame) = null
+      timeOrRun("nb_train")({
+        model = TextAnalysis.trainNaiveBayes(labeled, "lab", "text")
+        model = (model._1.cache(), model._2.cache())
+        s"terms=${model._1.count()}"
+      })
+      time("nb_classify")(TextAnalysis.classifyLinear(docs, "doc_id",
+          "text", model._1, model._2)
+        .groupBy("label").count().count())
+      model._1.unpersist(); model._2.unpersist()
     }
     time("semantic_neardup_k256")({
       val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",

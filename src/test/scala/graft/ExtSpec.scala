@@ -1221,6 +1221,42 @@ class ExtSpec extends SparkSpecBase {
     assert(newly == Set(hashOf("ad"), hashOf("new-spam")))
   }
 
+  test("trainNaiveBayes + classifyLinear: recovers training labels, " +
+      "exact NB math, deterministic tie-break, null/empty docs") {
+    val train = Seq(
+      (0L, "fruit", "apple banana apple cherry"),
+      (1L, "fruit", "banana apple mango"),
+      (2L, "metal", "iron copper iron zinc"),
+      (3L, "metal", "copper zinc steel iron")).toDF("doc_id", "lab", "text")
+    val (m, p) = TextAnalysis.trainNaiveBayes(train, "lab", "text")
+    // the exact smoothed log-likelihood, quantized the same way:
+    // c(apple|fruit)=3, tot(fruit)=7, V=8 distinct terms
+    val wApple = m.filter($"term" === "apple" && $"label" === "fruit")
+      .select($"weight".cast("double")).as[Double].head()
+    assert(math.abs(wApple -
+      BigDecimal(math.log(4.0 / 15.0)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // unseen is per-label: log(1/(tot+V)) with DIFFERENT tot per label
+    val un = p.select($"label", $"unseen".cast("double"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(un("fruit") - math.log(1.0 / 15.0)) < 1e-9)
+    assert(un("fruit") != un("metal") || true) // equal tots here is fine
+    // apply to the training docs + two fresh ones (incl. null text)
+    val test = train.select($"doc_id", $"lab", $"text")
+      .unionByName(Seq(
+        (10L, "fruit", "mango mango banana unseen-word"),
+        (11L, "metal", "steel zinc"),
+        (12L, "?", null.asInstanceOf[String])).toDF("doc_id", "lab", "text"))
+    val got = TextAnalysis.classifyLinear(test, "doc_id", "text", m, p)
+      .select($"doc_id", $"label").as[(Long, String)].collect().toMap
+    assert((0L to 3L).forall(i => got(i) ==
+      (if (i < 2) "fruit" else "metal")))
+    assert(got(10L) == "fruit" && got(11L) == "metal")
+    // null text: score = prior + 0 — equal priors here (2 docs each),
+    // so the (score desc, label asc) tie-break picks "fruit"
+    assert(got(12L) == "fruit")
+  }
+
   test("line dedup paragraph mode: \\R{2,} units keep inner newlines") {
     val corpus = Seq(
       (0L, "para one line a\npara one line b\n\nshared para"),
