@@ -77,6 +77,20 @@ object TextQueries {
     ("join", "fr", "0.50"), ("merge", "fr", "0.40"),
     ("sort", "fr", "0.35"), ("agg", "fr", "0.30"))
 
+  /** The pinned (weights, priors) pair shared by q172/q173; unseen is
+    * pinned 0 (pure linear apply — the fastText shape). */
+  private def pinnedModel(s: SparkSession): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val m = pinnedClassifierWeights.toDF("term", "label", "w")
+      .select(col("term"), col("label"),
+        col("w").cast("decimal(18,9)").as("weight"))
+    val p = Seq(("en", "-0.20"), ("es", "-0.25"), ("fr", "-0.30"))
+      .toDF("label", "pr")
+      .select(col("label"), col("pr").cast("decimal(18,9)").as("prior"),
+        lit("0").cast("decimal(18,9)").as("unseen"))
+    (m, p)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CCNet-style corpus-level boilerplate-line removal: lines occurring
     // in >2 distinct docs are cut from EVERY doc. Pass 1 shuffles only
@@ -110,18 +124,26 @@ object TextQueries {
     // text never shuffles; argmax is a rank-1 window (score desc,
     // label asc).
     "q172_classifier_apply" -> ((s, dir) => {
-      import s.implicits._
-      val m = pinnedClassifierWeights.toDF("term", "label", "w")
-        .select(col("term"), col("label"),
-          col("w").cast("decimal(18,9)").as("weight"))
-      val p = Seq(("en", "-0.20"), ("es", "-0.25"), ("fr", "-0.30"))
-        .toDF("label", "pr")
-        .select(col("label"), col("pr").cast("decimal(18,9)").as("prior"),
-          lit("0").cast("decimal(18,9)").as("unseen"))
+      val (m, p) = pinnedModel(s)
       TextAnalysis.classifyLinear(docs(s, dir), "doc_id", "text", m, p)
         .select(col("doc_id"), col("label"),
           col("score").cast("decimal(28,9)").as("score"))
         .orderBy("doc_id")
+    }),
+
+    // DSIR data selection (importance resampling): top-100 docs by the
+    // exact-decimal log-likelihood ratio target("en") vs raw("es")
+    // under the same pinned model — the "pick the most target-like
+    // slice of the raw pool" stage. Fully deterministic ranking
+    // (weight desc, doc_id asc), so LIMIT is stable across engines.
+    "q173_dsir_select" -> ((s, dir) => {
+      val (m, p) = pinnedModel(s)
+      TextAnalysis.importanceWeights(docs(s, dir), "doc_id", "text",
+          m, p, targetLabel = "en", rawLabel = "es")
+        .select(col("doc_id"),
+          col("weight").cast("decimal(28,9)").as("weight"))
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(100)
     }),
 
     // Incremental boilerplate removal: docs 250+ arriving against the
@@ -581,6 +603,37 @@ object TextQueries {
         |           FROM scored)
         |SELECT doc_id, label, CAST(sc AS DECIMAL(28,9)) AS score
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // same pinned model; weight = score(en) − score(es); the ranking
+    // is exact decimals so the LIMIT cut is identical across engines
+    "q173_dsir_select" ->
+      """WITH m(term, label, weight) AS (VALUES
+        |  ('the','en',CAST('0.50' AS DECIMAL(18,9))),
+        |  ('a','en',CAST('0.40' AS DECIMAL(18,9))),
+        |  ('key','en',CAST('0.35' AS DECIMAL(18,9))),
+        |  ('fast','en',CAST('0.30' AS DECIMAL(18,9))),
+        |  ('data','es',CAST('0.50' AS DECIMAL(18,9))),
+        |  ('row','es',CAST('0.40' AS DECIMAL(18,9))),
+        |  ('table','es',CAST('0.35' AS DECIMAL(18,9))),
+        |  ('scan','es',CAST('0.30' AS DECIMAL(18,9)))),
+        |p(label, prior) AS (VALUES
+        |  ('en', CAST('-0.20' AS DECIMAL(18,9))),
+        |  ('es', CAST('-0.25' AS DECIMAL(18,9)))),
+        |toks AS (SELECT doc_id, t FROM documents,
+        |         unnest(string_split_regex(text,'\s+')) u(t)
+        |         WHERE length(t) > 0),
+        |tc AS (SELECT doc_id, t, COUNT(*) n FROM toks GROUP BY 1, 2),
+        |contrib AS (SELECT doc_id, label, SUM(n * weight) s
+        |            FROM tc JOIN m ON tc.t = m.term GROUP BY 1, 2),
+        |scored AS (SELECT d.doc_id, p.label,
+        |             p.prior + COALESCE(c.s, 0) AS sc
+        |           FROM documents d CROSS JOIN p
+        |           LEFT JOIN contrib c
+        |             ON c.doc_id = d.doc_id AND c.label = p.label),
+        |w AS (SELECT doc_id,
+        |        SUM(CASE WHEN label = 'en' THEN sc ELSE -sc END) wt
+        |      FROM scored GROUP BY 1)
+        |SELECT doc_id, CAST(wt AS DECIMAL(28,9)) AS weight
+        |FROM w ORDER BY wt DESC, doc_id LIMIT 100""".stripMargin,
     // the delta invariant IS the oracle: frequencies over the FULL
     // union, rewrite restricted to the arriving batch (doc_id >= 250)
     "q171_boilerplate_delta" ->

@@ -244,6 +244,19 @@ object TextAnalysis {
     * broadcasts; the text never shuffles. */
   def classifyLinear(df: DataFrame, idCol: String, textCol: String,
       termWeights: DataFrame, priors: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label").asc)
+    scoreLinear(df, idCol, textCol, termWeights, priors)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Every label's score per document (the pre-argmax half of
+    * [[classifyLinear]], same plan shape minus the window) — the
+    * building block for score RATIOS like [[importanceWeights]]. */
+  def scoreLinear(df: DataFrame, idCol: String, textCol: String,
+      termWeights: DataFrame, priors: DataFrame): DataFrame = {
     val toksArr = filter(tokens(col(textCol)), t => length(t) > 0)
     val contrib = df
       .select(col(idCol), explode(toksArr).as("term"))
@@ -252,22 +265,44 @@ object TextAnalysis {
       .agg(sum(col("weight")).as("__s"),
         count(lit(1)).as("__m"))
     val zeroDec = lit(0).cast("decimal(18,9)")
-    val scored = df
-      .select(col(idCol),
+    df.select(col(idCol),
         when(col(textCol).isNull, lit(0L))
           .otherwise(size(toksArr).cast("long")).as("__nt"))
       .crossJoin(broadcast(priors))
       .join(contrib, Seq(idCol, "label"), "left")
       .select(col(idCol), col("label"),
+        // the unmatched-token count is cast to DECIMAL(10,0), not left
+        // as long: long×decimal(18,9) would need precision 39, and
+        // Spark caps at 38 by silently REDUCING SCALE to 8 — a 1-ulp
+        // rounding that breaks the bit-replay contract (caught by the
+        // importanceWeights spec). (10,0)×(18,9) stays at (29,9).
         (col("prior") + coalesce(col("__s"), zeroDec) +
-          (col("__nt") - coalesce(col("__m"), lit(0L))) * col("unseen"))
+          (col("__nt") - coalesce(col("__m"), lit(0L)))
+            .cast("decimal(10,0)") * col("unseen"))
           .as("score"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("label").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
   }
+
+  /** DSIR-style importance weights (Xie et al., data selection via
+    * importance resampling): per doc, the exact-decimal log-likelihood
+    * RATIO `score(targetLabel) − score(rawLabel)` under a two-class
+    * model from [[trainNaiveBayes]] (train on a labeled seed:
+    * target-domain docs vs raw-pool docs). Select by `orderBy(weight
+    * desc)` + limit for top-k, or feed the weight into
+    * [[Curation.weightedSample]] for the sampled variant. Same plan
+    * shape and exactness as [[scoreLinear]]; the subtraction is one
+    * decimal op so the ranking replays bit-for-bit. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      termWeights: DataFrame, priors: DataFrame,
+      targetLabel: String, rawLabel: String): DataFrame =
+    scoreLinear(df, idCol, textCol, termWeights, priors)
+      .where(col("label").isin(targetLabel, rawLabel))
+      .groupBy(col(idCol))
+      // scores re-cast tight before the sum for the same precision-cap
+      // reason as scoreLinear's count product: sum over a wide decimal
+      // would push past 38 and silently shed scale
+      .agg(sum(when(col("label") === targetLabel,
+          col("score").cast("decimal(28,9)"))
+        .otherwise(-col("score").cast("decimal(28,9)"))).as("weight"))
 
   /** First-failing-rule quality verdict (the Dolma/FineWeb-style
     * filter-pipeline report): every document gets a verdict — `keep`,

@@ -1257,6 +1257,40 @@ class ExtSpec extends SparkSpecBase {
     assert(got(12L) == "fruit")
   }
 
+  test("importanceWeights: exact score(target) - score(raw) ratio") {
+    val train = Seq(
+      (0L, "tgt", "good clean prose text"),
+      (1L, "raw", "spam spam noise junk")).toDF("doc_id", "lab", "text")
+    val (m, p) = TextAnalysis.trainNaiveBayes(train, "lab", "text")
+    val pool = Seq(
+      (10L, "good clean text"),   // target-like
+      (11L, "spam junk"),         // raw-like
+      (12L, "neutral words here") // all unseen
+    ).toDF("doc_id", "text")
+    val w = TextAnalysis.importanceWeights(pool, "doc_id", "text",
+        m, p, "tgt", "raw")
+      .select($"doc_id", $"weight".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    // brute-force the same quantized-decimal arithmetic
+    val mw = m.select($"term", $"label", $"weight".cast("double"))
+      .as[(String, String, Double)].collect()
+      .map { case (t, l, v) => (t, l) -> v }.toMap
+    val pr = p.select($"label", $"prior".cast("double"),
+      $"unseen".cast("double")).as[(String, Double, Double)].collect()
+      .map { case (l, a, b) => l -> (a, b) }.toMap
+    def score(text: String, lab: String): Double = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      val (prior, unseen) = pr(lab)
+      prior + ts.map(t => mw.getOrElse((t, lab), unseen)).sum
+    }
+    Seq(10L -> "good clean text", 11L -> "spam junk",
+      12L -> "neutral words here").foreach { case (id, t) =>
+      assert(math.abs(w(id) - (score(t, "tgt") - score(t, "raw"))) < 1e-9,
+        s"doc $id")
+    }
+    assert(w(10L) > w(12L) && w(12L) > w(11L))
+  }
+
   test("line dedup paragraph mode: \\R{2,} units keep inner newlines") {
     val corpus = Seq(
       (0L, "para one line a\npara one line b\n\nshared para"),
