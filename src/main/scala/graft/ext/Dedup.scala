@@ -938,6 +938,28 @@ object Dedup {
           .select("line_hash")),
         Seq("line_hash"), "left_anti")
 
+  /** The retro-invalidation APPLY: restrict the history to docs
+    * containing at least one of the given line hashes (the
+    * [[newlyFrequentLines]] output) — the docs whose stored rewrite is
+    * now stale. MAP-ONLY: the hash set is bounded (threshold
+    * crossings ⊆ the heavy-hitter-bounded frequent set), collects, and
+    * each doc tests its own line array with `exists` — the history
+    * scans once and never shuffles. Feed the result to
+    * [[removeBoilerplateLines]]-style rewrite with the merged frequent
+    * set to heal it. */
+  def docsContainingLines(df: DataFrame, textCol: String,
+      lineHashes: DataFrame, sep: String = "\\R",
+      maxFrequentLines: Int = 4 << 20): DataFrame = {
+    val hs = lineHashes.limit(maxFrequentLines + 1).collect()
+      .map(_.getLong(0))
+    require(hs.length <= maxFrequentLines,
+      s"more than $maxFrequentLines invalidation hashes — rewrite the " +
+        "history in full instead of retro-patching")
+    if (hs.isEmpty) df.limit(0)
+    else df.where(exists(lineUnits(textCol, sep),
+      l => xxhash64(l).isin(hs.toSeq: _*)))
+  }
+
   /** Corpus-wide exact line dedup, keep-first (the CCNet paragraph-
     * dedup pass proper): every distinct line keeps exactly its FIRST
     * occurrence in (doc, position) order; all later occurrences are

@@ -1219,6 +1219,15 @@ class ExtSpec extends SparkSpecBase {
     val hashOf = Seq("ad", "new-spam", "nav").map(s =>
       s -> Seq(s).toDF("l").select(xxhash64($"l")).as[Long].head()).toMap
     assert(newly == Set(hashOf("ad"), hashOf("new-spam")))
+    // retro-invalidation apply: exactly the history docs holding a
+    // crossed line ("ad" lives in docs 0/1; "new-spam" is batch-only)
+    val stale = Dedup.docsContainingLines(history, "text",
+        Dedup.newlyFrequentLines(snap, merged, 2))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(stale == Set(0L, 1L))
+    // empty crossing set -> nothing to heal (and no degenerate isin)
+    assert(Dedup.docsContainingLines(history, "text",
+      Dedup.newlyFrequentLines(merged, merged, 2)).count() == 0)
   }
 
   test("trainNaiveBayes + classifyLinear: recovers training labels, " +
