@@ -39,6 +39,17 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // DPO/RLHF preference-pair construction: per source, the best and
+    // worst doc by alpha_ratio (an exact-division score) as a
+    // (chosen, rejected) pair with margin. One hash agg of min/max
+    // structs — no window, no per-group sort; ties resolve to
+    // (highest-id chosen, lowest-id rejected) deterministically.
+    "q174_preference_pairs" -> ((s, dir) => {
+      val scored = TextAnalysis.withQualitySignals(docs(s, dir), "text")
+      Curation.preferencePairs(scored, "source", "doc_id", "alpha_ratio")
+        .orderBy("source")
+    }),
+
     // Duplicate-LINE repetition (the third Gopher §A1.1 rule): excess
     // exact-copy lines per doc, as line-count and character fractions.
     // The corpus has no physical lines, so the row rebuilds them
@@ -248,6 +259,29 @@ object CurationQueries {
         |       ELSE 0.0 END AS top_gram_coverage
         |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // chosen = row 1 of (score desc, id desc), rejected = row 1 of
+    // (score asc, id asc) — the SQL mirror of max/min(struct(score,
+    // id)); q33's exact-division alpha_ratio; NULL scores drop out of
+    // the CASE and the single-usable-row guard is chosen <> rejected
+    "q174_preference_pairs" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |            / CAST(length(text) AS DOUBLE) END AS score
+        |  FROM documents),
+        |f AS (SELECT * FROM q WHERE score IS NOT NULL),
+        |c AS (SELECT source, doc_id, score, row_number()
+        |        OVER (PARTITION BY source ORDER BY score DESC, doc_id DESC) rn
+        |      FROM f),
+        |r AS (SELECT source, doc_id, score, row_number()
+        |        OVER (PARTITION BY source ORDER BY score ASC, doc_id ASC) rn
+        |      FROM f)
+        |SELECT c.source, c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+        |  c.score AS chosen_score, r.score AS rejected_score,
+        |  c.score - r.score AS margin
+        |FROM c JOIN r ON c.source = r.source AND c.rn = 1 AND r.rn = 1
+        |WHERE c.doc_id <> r.doc_id AND c.score - r.score >= 0
+        |ORDER BY c.source""".stripMargin,
     // same 2-token-chunk line reconstruction as the Spark side, then
     // the operator's (doc, line) count + four integer sums; fractions
     // are one exact division each so the doubles hash-match

@@ -442,4 +442,35 @@ object Curation {
     Sketches.groupedTopK(assigned, "cid", idCol, "__nh", quota)
       .select(col(idCol), col("cid").as("cell"), col("rank").as("rk"))
   }
+
+  /** DPO/RLHF preference-pair construction: per group (a prompt, a
+    * source, a cluster), emit the best- and worst-scored members as a
+    * (chosen, rejected) pair with its margin. Deterministic extremes —
+    * chosen = max(score, id), rejected = min(score, id) — so an
+    * all-tied group still yields a stable (highest-id, lowest-id)
+    * pair; groups with one usable row (or margin < `minMargin`) emit
+    * nothing; NULL scores never participate.
+    *
+    * ONE hash aggregation with map-side partial min/max structs — no
+    * window, no per-group sort: a million-member group costs what a
+    * two-member group costs beyond the scan, and only (group,
+    * 2×struct, count) partials shuffle. */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, minMargin: Double = 0.0): DataFrame =
+    df.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        max(struct(col(scoreCol).as("__s"), col(idCol).as("__i")))
+          .as("__c"),
+        min(struct(col(scoreCol).as("__s"), col(idCol).as("__i")))
+          .as("__r"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__c.__i") =!= col("__r.__i") &&
+        (col("__c.__s") - col("__r.__s")) >= minMargin)
+      .select(col(groupCol),
+        col("__c.__i").as("chosen_id"),
+        col("__r.__i").as("rejected_id"),
+        col("__c.__s").as("chosen_score"),
+        col("__r.__s").as("rejected_score"),
+        (col("__c.__s") - col("__r.__s")).as("margin"))
 }

@@ -620,6 +620,36 @@ class CurationSpec extends SparkSpecBase {
     assert(p._2 == 3L && p._3 == 1.0 / 3.0) // the two-line para repeats
   }
 
+  test("preferencePairs: deterministic extremes, ties, null scores, " +
+      "degenerate groups, margin gate") {
+    import graft.ext.Curation
+    val rows = Seq(
+      // g1: clear best/worst
+      ("g1", 1L, 0.9), ("g1", 2L, 0.1), ("g1", 3L, 0.5),
+      // g2: all tied -> (highest id chosen, lowest id rejected), margin 0
+      ("g2", 4L, 0.5), ("g2", 5L, 0.5),
+      // g3: single row -> nothing
+      ("g3", 6L, 0.7),
+      // g4: one real + one null score -> one usable row -> nothing
+      ("g4", 7L, 0.3), ("g4", 8L, Double.NaN),
+      // g5: tie at the TOP only -> chosen = higher id of the tied pair
+      ("g5", 9L, 0.8), ("g5", 10L, 0.8), ("g5", 11L, 0.2))
+      .toDF("grp", "id", "sc")
+      .withColumn("sc", when(isnan(col("sc")), lit(null)).otherwise(col("sc")))
+    val got = Curation.preferencePairs(rows, "grp", "id", "sc")
+      .orderBy("grp")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("g1", 1L, 2L, 0.9, 0.1, 0.8),
+      ("g2", 5L, 4L, 0.5, 0.5, 0.0),
+      ("g5", 10L, 11L, 0.8, 0.2, 0.6000000000000001)))
+    // margin gate drops the all-tied pair
+    val gated = Curation.preferencePairs(rows, "grp", "id", "sc",
+        minMargin = 0.1)
+      .select("grp").as[String].collect().toSet
+    assert(gated == Set("g1", "g5"))
+  }
+
   test("randomNegativesBatched: n-batch run == 1-batch run row-for-row") {
     import graft.ext.Curation
     // the draw keys on (seed, anchor, candidate) only — never the
