@@ -19,12 +19,15 @@ object AnalyticQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
-  /** Memoized sorted replay feed, keyed by (session identity, sf dir)
-    * — see the note inside [[replayThirds]]. Values are
-    * Dataset[EventStreams.Event]; typed as Any to keep the cache a
-    * plain field. */
+  /** Memoized sorted replay feed, keyed by (session, sf dir) — see the
+    * note inside [[replayThirds]]. Keyed on the SparkSession OBJECT
+    * (reference equality — SparkSession doesn't override equals), not
+    * its identityHashCode: identity hashes are not unique, so a hash
+    * collision could serve a persisted Dataset bound to a different,
+    * possibly stopped session. Values are Dataset[EventStreams.Event];
+    * typed as Any to keep the cache a plain field. */
   private val replayFeedCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Any]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Any]
 
   /** Shared harness for the streaming oracle rows (q118/q119/q121):
     * replay the event log through `op`'s micro-batch pipeline in three
@@ -69,7 +72,7 @@ object AnalyticQueries {
     // stream, and the driver still holds at most one partition at a
     // time (toLocalIterator over the persisted partitions).
     val sorted = replayFeedCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ =>
+      (s, dir), _ =>
         GraftSession.tsTimestamp(ev)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))

@@ -60,16 +60,8 @@ object CurationQueries {
     // integer sums per doc. Duplicate docs' shared chunks make the
     // signal non-vacuous. Fractions are one exact-integer division.
     "q168_line_repetition" -> ((s, dir) => {
-      val chunks = expr(
-        "transform(sequence(0, CAST(ceil(size(__t)/2.0) AS INT) - 1), " +
-          "i -> array_join(slice(__t, i*2+1, 2), ' '))")
-      val rebuilt = docs(s, dir)
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.tokens(col("text")).as("__t"))
-        .select(col("doc_id"),
-          when(size(col("__t")) === 0, lit(""))
-            .otherwise(array_join(chunks, "\n")).as("text"))
-      TextAnalysis.withLineRepetition(rebuilt, "doc_id", "text")
+      TextAnalysis.withLineRepetition(
+          TextQueries.rebuiltLines(s, dir, w = 2), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -301,7 +293,7 @@ object CurationQueries {
         |          SUM(c * length(l)) chars, SUM((c-1) * length(l)) dupch
         |        FROM cnt GROUP BY 1)
         |SELECT d.doc_id,
-        |  COALESCE(nl, 0) AS n_lines,
+        |  CAST(COALESCE(nl, 0) AS BIGINT) AS n_lines,
         |  CASE WHEN nl IS NULL THEN 0.0
         |       ELSE CAST(nl - nd AS DOUBLE) / CAST(nl AS DOUBLE)
         |  END AS dup_line_fraction,

@@ -53,17 +53,14 @@ object TextQueries {
     * near-duplicate docs' shared chunks make corpus-frequent lines
     * non-vacuous (probed: w=4 drops 2.6% of lines at sf0.01, 4% at
     * sf0.1 with maxDocFreq=2). */
-  private def rebuiltLines(s: SparkSession, dir: String, w: Int): DataFrame = {
-    val chunks = expr(
-      s"transform(sequence(0, CAST(ceil(size(__t)/$w.0) AS INT) - 1), " +
-        s"i -> array_join(slice(__t, i*$w+1, $w), ' '))")
+  private[entry] def rebuiltLines(s: SparkSession, dir: String,
+      w: Int): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("__t"))
       .select(col("doc_id"),
-        when(size(col("__t")) === 0, lit(""))
-          .otherwise(array_join(chunks, "\n")).as("text"))
-  }
+        graft.functions.TextFunctions.rebuiltLineText(col("__t"), w)
+          .as("text"))
 
   /** Pinned classifier weight table for q172 (term, label, weight as a
     * decimal string): the corpus marker words with hand weights — the
@@ -533,7 +530,8 @@ object TextQueries {
        |  END AS toks
        |FROM (
        |  SELECT doc_id, array_to_string(list_transform(
-       |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+       |    regexp_extract_all(COALESCE(text, ''),
+       |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
        |    w -> $expr), '') AS fenc
        |  FROM documents) enc_docs
        |ORDER BY doc_id""".stripMargin

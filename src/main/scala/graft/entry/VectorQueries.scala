@@ -86,16 +86,18 @@ object VectorQueries {
     * incremental near-dup path. localCheckpoint (eager) stands in for
     * the disk read so repeated runs — Bench's warm timing loop — pay
     * the delta FOLD only, never the prior full clustering. Keyed on the
-    * session identity too: a cached plan from a stopped session must
-    * not leak into a new one (specs spin up fresh sessions). */
+    * SparkSession OBJECT (reference equality), not its
+    * identityHashCode — identity hashes are not unique, and a
+    * collision would hand a new session a cached plan bound to a
+    * stopped one (specs spin up fresh sessions). */
   private val ccArtifactCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (DataFrame, DataFrame)]
 
   private def ccDeltaArtifacts(s: SparkSession,
       dir: String): (DataFrame, DataFrame) =
     ccArtifactCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => {
+      (s, dir), _ => {
         import graft.ext.Dedup
         val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
           "embedding", "label", threshold = 0.4)

@@ -457,7 +457,11 @@ object Curation {
     * 2×struct, count) partials shuffle. */
   def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, minMargin: Double = 0.0): DataFrame =
-    df.where(col(scoreCol).isNotNull)
+    // NaN would win every max (Spark orders NaN above all doubles) and
+    // sail through the margin gate — exclude it with the NULLs; the
+    // double cast makes the guard type-safe for decimal scores too
+    df.where(col(scoreCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .groupBy(col(groupCol))
       .agg(
         max(struct(col(scoreCol).as("__s"), col(idCol).as("__i")))

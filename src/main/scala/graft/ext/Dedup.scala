@@ -804,13 +804,11 @@ object Dedup {
     result
   }
 
-  /** Non-empty line units of a text column: `sep` picks the unit
-    * ("\\R" = physical lines, "\\R{2,}" = paragraphs); blank units
-    * (separator runs) never count as content. Shared by the two
-    * corpus-level line-dedup passes below so they can't drift on what
-    * a "line" is. */
+  /** The shared line-unit definition (TextFunctions.lineUnits) bound
+    * to a column name — one definition for the per-doc signal and the
+    * corpus-level passes, so they can't drift on what a "line" is. */
   private def lineUnits(textCol: String, sep: String) =
-    filter(split(col(textCol), sep), l => length(l) > 0)
+    graft.functions.TextFunctions.lineUnits(col(textCol), sep)
 
   /** CCNet-style corpus-level boilerplate-line removal: delete from
     * every document the lines that occur in more than `maxDocFreq`
@@ -854,7 +852,11 @@ object Dedup {
 
   /** The map-only pass 2 shared by [[removeBoilerplateLines]] and its
     * delta twin: collect the (bounded, loud-require'd) frequent hash
-    * set and filter every doc's own line array against it. */
+    * set and filter every doc's own line array against it. Membership
+    * is the graft_in_long_set expression — ONE array<bigint> plan
+    * literal and an O(1) per-executor hash-set probe — not `isin`,
+    * whose N literal CHILDREN grind the analyzer at the set sizes the
+    * maxFrequentLines bound allows. */
   private def rewriteWithoutLines(df: DataFrame, textCol: String,
       frequentHashes: DataFrame, sep: String, maxDocFreq: Int,
       maxFrequentLines: Int): DataFrame = {
@@ -868,7 +870,11 @@ object Dedup {
         "would not broadcast) or raise maxFrequentLines explicitly")
     val kept =
       if (hs.isEmpty) units
-      else filter(units, l => !xxhash64(l).isin(hs.toSeq: _*))
+      else {
+        val setLit = typedlit(hs)
+        filter(units, l => !graft.functions.expressions.SketchExpressions
+          .inLongSet(df.sparkSession, xxhash64(l), setLit))
+      }
     val nullGuard = col(textCol).isNull
     df.withColumn("n_lines_dropped",
         when(nullGuard, lit(0L))
@@ -956,8 +962,12 @@ object Dedup {
       s"more than $maxFrequentLines invalidation hashes — rewrite the " +
         "history in full instead of retro-patching")
     if (hs.isEmpty) df.limit(0)
-    else df.where(exists(lineUnits(textCol, sep),
-      l => xxhash64(l).isin(hs.toSeq: _*)))
+    else {
+      val setLit = typedlit(hs)
+      df.where(exists(lineUnits(textCol, sep),
+        l => graft.functions.expressions.SketchExpressions
+          .inLongSet(df.sparkSession, xxhash64(l), setLit)))
+    }
   }
 
   /** Corpus-wide exact line dedup, keep-first (the CCNet paragraph-

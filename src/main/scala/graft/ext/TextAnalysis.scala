@@ -162,7 +162,7 @@ object TextAnalysis {
     * (doc, line) units do, already collapsed by the partial agg). */
   def withLineRepetition(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\\R"): DataFrame = {
-    val units = filter(split(col(textCol), sep), l => length(l) > 0)
+    val units = lineUnits(col(textCol), sep)
     val cnt = df
       .select(col(idCol), explode(units).as("__line"))
       .groupBy(col(idCol), col("__line"))
@@ -208,7 +208,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__c"))
     val labelTokens = termCounts.groupBy("label")
       .agg(sum(col("__c")).as("__tot"))
-    val vocabSize = toks.select("term").distinct().count()
+    // max(…, 1): a fully empty corpus would otherwise put log(1/0)
+    // into every unseen slot
+    val vocabSize = math.max(toks.select("term").distinct().count(), 1L)
     val weights = termCounts
       .join(broadcast(labelTokens), Seq("label"))
       .select(col("term"), col("label"),
@@ -216,13 +218,19 @@ object TextAnalysis {
             (col("__tot") + lit(vocabSize)).cast("double"))
           .cast("decimal(18,9)").as("weight"))
     val nDocs = df.count()
+    // LEFT join: a label whose docs contain zero tokens (all empty or
+    // NULL text) has no labelTokens row, but must keep its prior and a
+    // defined unseen = log(1/(0+V)) — an inner join would silently
+    // drop the label from the model and it could never be predicted
     val priors = df.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("__n"))
-      .join(broadcast(labelTokens), Seq("label"))
+      .join(broadcast(labelTokens), Seq("label"), "left")
       .select(col("label"),
         log(col("__n").cast("double") / lit(nDocs.toDouble))
           .cast("decimal(18,9)").as("prior"),
-        log(lit(1.0) / (col("__tot") + lit(vocabSize)).cast("double"))
+        log(lit(1.0) /
+            (coalesce(col("__tot"), lit(0L)) + lit(vocabSize))
+              .cast("double"))
           .cast("decimal(18,9)").as("unseen"))
     (weights, priors)
   }

@@ -14,6 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Non-empty line units of a text column: `sep` picks the unit
+    * ("\\R" = physical lines, "\\R{2,}" = paragraphs); blank units
+    * (separator runs) never count as content. THE one definition of
+    * "line" shared by the per-doc repetition signal
+    * (TextAnalysis.withLineRepetition) and every corpus-level line
+    * dedup pass (Dedup.removeBoilerplateLines / dedupLinesKeepFirst),
+    * so they can never drift on what a line is. */
+  def lineUnits(text: Column, sep: String = "\\R"): Column =
+    filter(split(text, sep), l => length(l) > 0)
+
+  /** Deterministic w-token chunk "lines" rebuilt from a token array
+    * and joined with \n — the oracle reconstruction device shared by
+    * the line-dedup query rows (q168–q171) and their ScaleProbe rows:
+    * the word-soup test corpus has no physical lines, so this stands
+    * in, and the DuckDB side replays the identical arithmetic. Empty
+    * token arrays pin to "". */
+  def rebuiltLineText(toks: Column, w: Int): Column =
+    when(size(toks) === 0, lit(""))
+      .otherwise(array_join(
+        transform(
+          sequence(lit(0),
+            ceil(size(toks) / lit(w.toDouble)).cast("int") - 1),
+          i => array_join(slice(toks, i * w + 1, lit(w)), " ")),
+        "\n"))
+
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, "\\s+")
 

@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -81,6 +81,52 @@ case class BloomMightContain(first: Expression, second: Expression,
     copy(newFirst, newSecond, newThird)
 }
 
+/** Exact O(1) membership of a BIGINT in a LITERAL set — the honest form
+  * of a large `isin`: `isin(4M values)` builds an In expression with 4M
+  * literal CHILDREN (the analyzer grinds long before the set is "too big
+  * to broadcast"), while this carries the set as ONE array<bigint>
+  * literal (8 B/entry in the plan) and builds a java.util.HashSet once
+  * on the driver at codegen time, shipped to executors as a codegen
+  * reference object. Per row: one O(1) probe, no allocation.
+  *
+  * `right` must be foldable — the set is part of the PLAN, like the
+  * bloom bitmap above (and unlike it, membership is exact: no false
+  * positives). Used by the corpus-level line-dedup rewrites, whose
+  * frequent sets are heavy-hitter-bounded but can still reach millions
+  * of entries. */
+case class LongSetContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "in_long_set"
+
+  @transient private lazy val set: java.util.HashSet[java.lang.Long] = {
+    require(right.foldable,
+      "in_long_set expects a literal array<bigint> set")
+    val s = new java.util.HashSet[java.lang.Long]()
+    val arr = right.eval().asInstanceOf[ArrayData]
+    if (arr != null) {
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) { s.add(arr.getLong(i)); i += 1 }
+    }
+    s
+  }
+
+  override def nullSafeEval(v: Any, setArr: Any): Any =
+    java.lang.Boolean.valueOf(set.contains(v.asInstanceOf[Long]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftLongSet", set,
+      "java.util.HashSet<java.lang.Long>")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = $setRef.contains($v);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object SketchExpressions {
 
   def ensureRegistered(spark: SparkSession): Unit =
@@ -91,5 +137,12 @@ object SketchExpressions {
       k: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_bloom_might_contain", key, bits, k)
+  }
+
+  /** Column form of [[LongSetContains]]: exact membership of `key`
+    * (BIGINT) in the literal array<bigint> `set`. */
+  def inLongSet(spark: SparkSession, key: Column, set: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_in_long_set", key, set)
   }
 }

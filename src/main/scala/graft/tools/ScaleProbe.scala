@@ -348,9 +348,7 @@ object ScaleProbe {
       val lined = docs.select($"doc_id",
         graft.functions.TextFunctions.tokens($"text").as("__t"))
         .select($"doc_id",
-          when(size($"__t") === 0, lit("")).otherwise(array_join(expr(
-            "transform(sequence(0, CAST(ceil(size(__t)/4.0) AS INT) - 1)," +
-              " i -> array_join(slice(__t, i*4+1, 4), ' '))"), "\n"))
+          graft.functions.TextFunctions.rebuiltLineText($"__t", 4)
             .as("text"))
       time("boilerplate_lines")(
         Dedup.removeBoilerplateLines(lined, "doc_id", "text",

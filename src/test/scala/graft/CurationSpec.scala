@@ -633,21 +633,25 @@ class CurationSpec extends SparkSpecBase {
       // g4: one real + one null score -> one usable row -> nothing
       ("g4", 7L, 0.3), ("g4", 8L, Double.NaN),
       // g5: tie at the TOP only -> chosen = higher id of the tied pair
-      ("g5", 9L, 0.8), ("g5", 10L, 0.8), ("g5", 11L, 0.2))
+      ("g5", 9L, 0.8), ("g5", 10L, 0.8), ("g5", 11L, 0.2),
+      // g6: a RAW NaN score must not win the max (Spark orders NaN
+      // above every double) nor poison the margin — excluded like NULL
+      ("g6", 12L, Double.NaN), ("g6", 13L, 0.6), ("g6", 14L, 0.4))
       .toDF("grp", "id", "sc")
-      .withColumn("sc", when(isnan(col("sc")), lit(null)).otherwise(col("sc")))
+      .withColumn("sc", when(col("id") === 8L, lit(null)).otherwise(col("sc")))
     val got = Curation.preferencePairs(rows, "grp", "id", "sc")
       .orderBy("grp")
       .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
     assert(got == Seq(
       ("g1", 1L, 2L, 0.9, 0.1, 0.8),
       ("g2", 5L, 4L, 0.5, 0.5, 0.0),
-      ("g5", 10L, 11L, 0.8, 0.2, 0.6000000000000001)))
+      ("g5", 10L, 11L, 0.8, 0.2, 0.6000000000000001),
+      ("g6", 13L, 14L, 0.6, 0.4, 0.19999999999999996)))
     // margin gate drops the all-tied pair
     val gated = Curation.preferencePairs(rows, "grp", "id", "sc",
         minMargin = 0.1)
       .select("grp").as[String].collect().toSet
-    assert(gated == Set("g1", "g5"))
+    assert(gated == Set("g1", "g5", "g6"))
   }
 
   test("randomNegativesBatched: n-batch run == 1-batch run row-for-row") {

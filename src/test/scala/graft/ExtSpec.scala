@@ -1249,7 +1249,9 @@ class ExtSpec extends SparkSpecBase {
     val un = p.select($"label", $"unseen".cast("double"))
       .as[(String, Double)].collect().toMap
     assert(math.abs(un("fruit") - math.log(1.0 / 15.0)) < 1e-9)
-    assert(un("fruit") != un("metal") || true) // equal tots here is fine
+    // per-label, not global: tot(fruit)=7 vs tot(metal)=8 tokens, so
+    // log(1/15) != log(1/16) — a single-unseen regression fails here
+    assert(un("fruit") != un("metal"))
     // apply to the training docs + two fresh ones (incl. null text)
     val test = train.select($"doc_id", $"lab", $"text")
       .unionByName(Seq(
@@ -1264,6 +1266,19 @@ class ExtSpec extends SparkSpecBase {
     // null text: score = prior + 0 — equal priors here (2 docs each),
     // so the (score desc, label asc) tie-break picks "fruit"
     assert(got(12L) == "fruit")
+    // a label whose docs have ZERO tokens must keep its prior row
+    // (left join) with unseen = log(1/(0+V)) — an inner join silently
+    // dropped it from the model entirely
+    val withEmpty = train.unionByName(
+      Seq((20L, "void", ""), (21L, "void", null.asInstanceOf[String]))
+        .toDF("doc_id", "lab", "text"))
+    val (_, p2) = TextAnalysis.trainNaiveBayes(withEmpty, "lab", "text")
+    val pv = p2.select($"label", $"prior".cast("double"),
+      $"unseen".cast("double")).as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(pv.contains("void"))
+    assert(math.abs(pv("void")._1 - math.log(2.0 / 6.0)) < 1e-9)
+    assert(math.abs(pv("void")._2 - math.log(1.0 / 8.0)) < 1e-9)
   }
 
   test("importanceWeights: exact score(target) - score(raw) ratio") {
