@@ -139,6 +139,55 @@ object AnalyticQueries {
     }
   }
 
+  /** Docs-corpus replay harness (the [[replayThirds]] shape for
+    * document streams, q175): feed a (doc_id, text) frame through a
+    * MemoryStream in three doc_id-ordered batches and return the raw
+    * Update-mode sink rows. Same scale posture: Spark range-partitions
+    * and sorts, the driver streams one partition at a time. */
+  private def replayDocsThirds(s: SparkSession, docs: DataFrame,
+      op: DataFrame => DataFrame)
+      : Array[org.apache.spark.sql.Row] = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sink = "docs_sink_" + java.util.UUID.randomUUID.toString
+      .replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try op(mem.toDF().toDF("doc_id", "text")).writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .format("memory").queryName(sink).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      val sorted = docs
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .repartitionByRange(3, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .as[(Long, String)]
+      val it = sorted.rdd
+        .mapPartitionsWithIndex((i, rows) => rows.map(d => (i, d)))
+        .toLocalIterator
+      val batch = new scala.collection.mutable.ArrayBuffer[(Long, String)]
+      var cur = -1
+      def feed(): Unit = if (batch.nonEmpty) {
+        mem.addData(batch.toSeq: _*); q.processAllAvailable()
+        batch.clear()
+      }
+      while (it.hasNext) {
+        val (p, d) = it.next()
+        if (p != cur) { feed(); cur = p }
+        batch += d
+      }
+      feed()
+      s.table(sink).collect()
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(sink)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CUBE: all four grouping combinations in one pass (Spark expands to
     // grouping sets, one shuffle). NULLS FIRST ordering matches DuckDB's
@@ -962,6 +1011,28 @@ object AnalyticQueries {
         .orderBy("vertex")
     }),
 
+    // The ELEVENTH streaming twin: online boilerplate-frequency
+    // maintenance (the streaming form of q171's batch delta). The
+    // rebuilt-lines corpus replays through a MemoryStream in three
+    // doc_id-ordered batches; one streaming aggregation maintains
+    // per-line distinct-doc counts (array_distinct per doc = the batch
+    // countDistinct, since docs arrive exactly once); Update emissions
+    // fold by MAX and the read-time >2 filter is the LIVE frequent set
+    // — compared against the batch SQL frequency the q169 rewrite
+    // uses. Keys on the line string so DuckDB can replay (production
+    // keys on xxhash64: 16-byte state rows, same counts).
+    "q175_streaming_boilerplate" -> ((s, dir) => {
+      import s.implicits._
+      val rows = replayDocsThirds(s, TextQueries.rebuiltLines(s, dir, 4),
+        df => graft.streaming.EventStreams
+          .streamingLineFrequency(df, "text"))
+      rows.map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+        .filter(_._2 > 2L)
+        .toDF("line", "n_docs")
+        .orderBy("line")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -1710,11 +1781,25 @@ object AnalyticQueries {
 
   /** q115 is funnelSinglePass against q107's OWN ground truth — one
     * SQL text, two independent Spark implementations checked. */
+  /** q175's batch ground truth: the q169 frequency chain (same shared
+    * reconstruction CTE) with per-doc DISTINCT lines — exactly what the
+    * streaming aggregation maintains online. */
+  private def streamingBoilerplateSql: String =
+    TextQueries.rebuiltSqlCte(4) +
+      """,
+        |lines AS (SELECT DISTINCT doc_id, l
+        |          FROM rebuilt, unnest(string_split(text, chr(10))) u(l)
+        |          WHERE length(l) > 0)
+        |SELECT l AS line, COUNT(*) AS n_docs
+        |FROM lines GROUP BY l HAVING COUNT(*) > 2
+        |ORDER BY line""".stripMargin
+
   val oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q115_funnel_single" -> oracleSqlBase("q107_funnel")) +
       ("q127_streaming_scd2" -> oracleSqlBase("q124_scd2_history")) +
       ("q148_streaming_gap_fill" -> oracleSqlBase("q138_gap_fill")) +
       ("q165_streaming_kcore" -> streamingKcoreSql) +
+      ("q175_streaming_boilerplate" -> streamingBoilerplateSql) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -277,14 +277,8 @@ object CurationQueries {
     // same 2-token-chunk line reconstruction as the Spark side, then
     // the operator's (doc, line) count + four integer sums; fractions
     // are one exact division each so the doubles hash-match
-    "q168_line_repetition" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
-        |rebuilt AS (SELECT doc_id,
-        |  CASE WHEN len(t) = 0 THEN '' ELSE
-        |    array_to_string(list_transform(
-        |      generate_series(0, CAST(ceil(len(t)/2.0) AS INT) - 1),
-        |      i -> array_to_string(t[i*2+1:i*2+2], ' ')), chr(10))
-        |  END AS text FROM toks),
+    "q168_line_repetition" -> (TextQueries.rebuiltSqlCte(2) +
+      """,
         |lines AS (SELECT doc_id, l
         |          FROM rebuilt, unnest(string_split(text, chr(10))) u(l)
         |          WHERE length(l) > 0),
@@ -301,7 +295,7 @@ object CurationQueries {
         |       ELSE CAST(dupch AS DOUBLE) / CAST(chars AS DOUBLE)
         |  END AS dup_line_char_fraction
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
     // same null-text sentinel + zero-chars guard as datasetCard
     "q93_dataset_card" ->
       """WITH h AS (SELECT source, COALESCE(md5(text), 'null') AS hh,

@@ -46,13 +46,26 @@ object TextQueries {
     "es" -> Seq("data", "row", "table", "scan"),
     "fr" -> Seq("join", "merge", "sort", "agg"))
 
+  /** The DuckDB half of [[rebuiltLines]] — ONE definition of the
+    * reconstruction CTE shared by every oracle that replays it
+    * (q168–q171, q175), so the Spark device and its SQL mirror can
+    * never drift. Emits `WITH toks …, rebuilt(doc_id, text)`. */
+  private[entry] def rebuiltSqlCte(w: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text,'\\s+') t FROM documents),
+       |rebuilt AS (SELECT doc_id,
+       |  CASE WHEN len(t) = 0 THEN '' ELSE
+       |    array_to_string(list_transform(
+       |      generate_series(0, CAST(ceil(len(t)/$w.0) AS INT) - 1),
+       |      i -> array_to_string(t[i*$w+1:i*$w+$w], ' ')), chr(10))
+       |  END AS text FROM toks)""".stripMargin
+
   /** Deterministic line reconstruction for the corpus-level line-dedup
     * rows (the q168 device, width-parameterized): the word-soup corpus
     * has no physical lines, so w-token chunks joined by \n stand in —
-    * the oracle replays the identical reconstruction, and duplicate /
-    * near-duplicate docs' shared chunks make corpus-frequent lines
-    * non-vacuous (probed: w=4 drops 2.6% of lines at sf0.01, 4% at
-    * sf0.1 with maxDocFreq=2). */
+    * [[rebuiltSqlCte]] replays the identical reconstruction, and
+    * duplicate / near-duplicate docs' shared chunks make
+    * corpus-frequent lines non-vacuous (probed: w=4 drops 2.6% of
+    * lines at sf0.01, 4% at sf0.1 with maxDocFreq=2). */
   private[entry] def rebuiltLines(s: SparkSession, dir: String,
       w: Int): DataFrame =
     docs(s, dir)
@@ -541,14 +554,8 @@ object TextQueries {
     // same 4-token-chunk line reconstruction as the Spark side; the
     // frequent set (>2 distinct docs) becomes a one-row captured list
     // so list_filter replays the map-only rewrite in order
-    "q169_boilerplate_lines" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
-        |rebuilt AS (SELECT doc_id,
-        |  CASE WHEN len(t) = 0 THEN '' ELSE
-        |    array_to_string(list_transform(
-        |      generate_series(0, CAST(ceil(len(t)/4.0) AS INT) - 1),
-        |      i -> array_to_string(t[i*4+1:i*4+4], ' ')), chr(10))
-        |  END AS text FROM toks),
+    "q169_boilerplate_lines" -> (rebuiltSqlCte(4) +
+      """,
         |lines AS (SELECT doc_id, l
         |          FROM rebuilt, unnest(string_split(text, chr(10))) u(l)
         |          WHERE length(l) > 0),
@@ -564,7 +571,7 @@ object TextQueries {
         |  CAST(COALESCE(len(kl), 0) AS BIGINT) AS n_lines_kept,
         |  CAST(COALESCE(len(al), 0) - COALESCE(len(kl), 0) AS BIGINT)
         |    AS n_lines_dropped
-        |FROM rw ORDER BY doc_id""".stripMargin,
+        |FROM rw ORDER BY doc_id""".stripMargin),
     // the same pinned weight/prior tables as VALUES lists; exact
     // decimal sums over integer counts, rank-1 by (score desc, label)
     "q172_classifier_apply" ->
@@ -634,14 +641,8 @@ object TextQueries {
         |FROM w ORDER BY wt DESC, doc_id LIMIT 100""".stripMargin,
     // the delta invariant IS the oracle: frequencies over the FULL
     // union, rewrite restricted to the arriving batch (doc_id >= 250)
-    "q171_boilerplate_delta" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
-        |rebuilt AS (SELECT doc_id,
-        |  CASE WHEN len(t) = 0 THEN '' ELSE
-        |    array_to_string(list_transform(
-        |      generate_series(0, CAST(ceil(len(t)/4.0) AS INT) - 1),
-        |      i -> array_to_string(t[i*4+1:i*4+4], ' ')), chr(10))
-        |  END AS text FROM toks),
+    "q171_boilerplate_delta" -> (rebuiltSqlCte(4) +
+      """,
         |lines AS (SELECT doc_id, l
         |          FROM rebuilt, unnest(string_split(text, chr(10))) u(l)
         |          WHERE length(l) > 0),
@@ -658,17 +659,11 @@ object TextQueries {
         |  CAST(COALESCE(len(kl), 0) AS BIGINT) AS n_lines_kept,
         |  CAST(COALESCE(len(al), 0) - COALESCE(len(kl), 0) AS BIGINT)
         |    AS n_lines_dropped
-        |FROM rw ORDER BY doc_id""".stripMargin,
+        |FROM rw ORDER BY doc_id""".stripMargin),
     // keep-first winner = row_number over (doc_id, position), matching
     // the Spark side's min(struct(id, pos)) election exactly
-    "q170_dedup_lines_keepfirst" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
-        |rebuilt AS (SELECT doc_id,
-        |  CASE WHEN len(t) = 0 THEN '' ELSE
-        |    array_to_string(list_transform(
-        |      generate_series(0, CAST(ceil(len(t)/4.0) AS INT) - 1),
-        |      i -> array_to_string(t[i*4+1:i*4+4], ' ')), chr(10))
-        |  END AS text FROM toks),
+    "q170_dedup_lines_keepfirst" -> (rebuiltSqlCte(4) +
+      """,
         |ls AS (SELECT doc_id,
         |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) ll
         |  FROM rebuilt),
@@ -686,7 +681,7 @@ object TextQueries {
         |    AS n_lines_dropped
         |FROM documents d LEFT JOIN kept k USING (doc_id)
         |  LEFT JOIN tot t USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
     "q30_dedup_exact" ->
       """SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
         | CAST(SUM(CASE WHEN n_copies>1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups

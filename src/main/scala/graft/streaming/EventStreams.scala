@@ -48,6 +48,29 @@ object EventStreams {
       events.withWatermark("ts", watermark),
       org.apache.spark.sql.functions.window(col("ts"), window_),
       checks)
+  /** Online boilerplate-frequency maintenance (the streaming twin of
+    * the q171 batch delta, ext/Dedup.lineFrequencySnapshot): documents
+    * arrive append-only, each contributes its DISTINCT line units once
+    * (array_distinct is the map-side guarantee of the batch path's
+    * countDistinct — a doc repeating a line never double-counts), and
+    * one streaming aggregation maintains per-line document frequencies.
+    * Update-mode emissions are monotone counts, so a keyed sink folds
+    * with MAX (the [[streamingQuality]] convention); a read-time
+    * `> maxDocFreq` filter over the folded state IS the live frequent
+    * set — the boilerplate list is always current without rescanning
+    * the corpus. State is bounded by distinct lines (the batch
+    * artifact's own bound), the exact analogue of the persisted
+    * (line_hash, n_docs) table; production keys on xxhash64(line)
+    * (16-byte state rows) — the oracle row keys on the line itself so
+    * DuckDB can replay it. */
+  def streamingLineFrequency(docs: DataFrame, textCol: String,
+      sep: String = "\\R"): DataFrame =
+    docs.select(explode(array_distinct(
+        graft.functions.TextFunctions.lineUnits(col(textCol), sep)))
+      .as("line"))
+      .groupBy("line")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Online value-distribution monitoring: per event-time window and
     * type, the quantized value-grid histogram (the Incremental
     * histogramState device as a WINDOWED streaming aggregation) —
