@@ -182,6 +182,28 @@ object StatsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Count-min sketch build + point queries (the frequency complement
+    // of q66's KMV): a 4×64 counter matrix from ONE corpus pass
+    // (map-side partials collapse to ≤ d·w cells per task), then 20
+    // probe keys read min-of-4-cells against the broadcast artifact.
+    // Estimates are exact functions of the md5 hash family, so the
+    // oracle replays build AND probe bit-for-bit; exact counts ride
+    // along to expose the one-sided +ε·N error.
+    "q176_count_min" -> ((s, dir) => {
+      import graft.ext.Sketches
+      val cms = Sketches.countMin(t(s, dir, "orders"), "o_custkey",
+        depth = 4, width = 64)
+      val keys = s.range(1, 21).select(col("id").as("o_custkey"))
+      val exact = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("exact_cnt"))
+      Sketches.countMinEstimate(cms, keys, "o_custkey",
+          depth = 4, width = 64)
+        .join(exact, Seq("o_custkey"), "left")
+        .select(col("o_custkey"), col("estimate"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+        .orderBy("o_custkey")
+    }),
+
     // Sketch-grade quantile, reproducibly: exact median of a
     // DETERMINISTIC 2% hash sample (md5 row key < 0.02*2^32). The sample
     // is a map-side filter — no sketch merge, no full sort — and the
@@ -629,6 +651,28 @@ object StatsQueries {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // same md5 cell family for build and probe; min over the 4 rows,
+    // empty cells read 0; exact counts from a plain GROUP BY
+    "q176_count_min" ->
+      """WITH rows_i AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |cells AS (SELECT r,
+        |    CAST(concat('0x', substr(md5(concat('cms', CAST(r AS VARCHAR),
+        |      '#', CAST(o_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 64
+        |      AS bucket,
+        |    COUNT(*) AS c
+        |  FROM orders, rows_i WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+        |keys AS (SELECT unnest(generate_series(1, 20)) AS k),
+        |probes AS (SELECT k, r,
+        |    CAST(concat('0x', substr(md5(concat('cms', CAST(r AS VARCHAR),
+        |      '#', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM keys, rows_i),
+        |est AS (SELECT k, MIN(COALESCE(c, 0)) AS e
+        |  FROM probes LEFT JOIN cells USING (r, bucket) GROUP BY 1),
+        |ex AS (SELECT o_custkey, COUNT(*) AS ec FROM orders GROUP BY 1)
+        |SELECT k AS o_custkey, CAST(e AS BIGINT) AS estimate,
+        |  CAST(COALESCE(ec, 0) AS BIGINT) AS exact_cnt
+        |FROM est LEFT JOIN ex ON est.k = ex.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     // Same KMV estimator replicated relationally: distinct u32 hashes,
     // rank within group, (k-1)*2^32 / kth-min (exact count under k).
     "q66_kmv_distinct" ->

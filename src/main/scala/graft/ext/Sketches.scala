@@ -275,4 +275,47 @@ object Sketches {
       .withColumn("kmv_distinct", kmvEstimate(col("__mins"), k))
       .select(out: _*)
   }
+
+  /** The d independent (row, bucket) cells a key touches in a
+    * depth×width count-min sketch — row i's hash is the engine-portable
+    * md5 family seeded "cms<i>", so build and probe (and the DuckDB
+    * oracle) agree bit-for-bit. */
+  private def cmsCells(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(i =>
+      struct(lit(i).as("row"),
+        pmod(Curation.hashU32(s"cms$i", key), lit(width.toLong))
+          .as("bucket"))): _*)
+
+  /** Count-min sketch BUILD: the d×w counter matrix as rows
+    * (row, bucket, cnt) — the mergeable frequency artifact (union two
+    * corpora's sketches by summing cells). ONE corpus pass: each key
+    * explodes to its d cells and a hash aggregation with map-side
+    * partials collapses them — the shuffle is ≤ d·w cells per map
+    * task, never corpus-sized, and the artifact is d·w longs no matter
+    * how many distinct keys exist (the complement of [[kmvDistinct]]:
+    * KMV answers "how many distinct", CMS answers "how often is X"
+    * within +ε·N overestimate, never under). */
+  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int)
+      : DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    df.filter(col(keyCol).isNotNull)
+      .select(explode(cmsCells(col(keyCol), depth, width)).as("__c"))
+      .groupBy(col("__c.row").as("row"), col("__c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-min point queries: for each probe key, the minimum of its d
+    * cells (empty cells read 0). The sketch side broadcasts — it is
+    * d·w rows by construction — so probing any number of keys is
+    * map-only against the corpus-free artifact. */
+  def countMinEstimate(cms: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    keys
+      .select(col(keyCol),
+        explode(cmsCells(col(keyCol), depth, width)).as("__c"))
+      .select(col(keyCol), col("__c.row").as("row"),
+        col("__c.bucket").as("bucket"))
+      .join(broadcast(cms), Seq("row", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
 }

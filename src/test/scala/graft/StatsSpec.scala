@@ -436,4 +436,40 @@ class StatsSpec extends SparkSpecBase {
     assert(gotNk(None) == ((200L, 3L))) // median of {100,200,300} cents
     assert(gotNk.size == 4) // g0..g2 + the NULL group, nothing lost
   }
+
+  test("count-min: never underestimates, exact without collisions, " +
+      "mergeable by cell sum, absent keys read their collision floor") {
+    import graft.ext.Sketches
+    // skewed key stream: key k appears k times, keys 1..40
+    val keys = (1 to 40).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val exact = (1 to 40).map(k => k.toLong -> k.toLong).toMap
+    val cms = Sketches.countMin(keys, "k", depth = 4, width = 64).cache()
+    assert(cms.count() <= 4 * 64)
+    assert(cms.agg(sum("cnt")).head().getLong(0) == 4L * exact.values.sum)
+    val probes = (1 to 45).map(_.toLong).toDF("k")
+    val est = Sketches.countMinEstimate(cms, probes, "k", 4, 64)
+      .as[(Long, Long)].collect().toMap
+    // one-sided error: estimate >= true count for EVERY key (absent
+    // keys 41..45 read >= 0 — their cells' collision mass)
+    (1 to 45).foreach { k =>
+      assert(est(k.toLong) >= exact.getOrElse(k.toLong, 0L), s"key $k")
+    }
+    // with 40 keys in 4 rows of 64 buckets, most keys see at least one
+    // collision-free row — the min must be EXACT there; assert the
+    // aggregate is tight: over half the present keys are exact
+    val nExact = (1 to 40).count(k => est(k.toLong) == exact(k.toLong))
+    assert(nExact > 20, s"only $nExact/40 exact")
+    // mergeability: sketch(union) == cell-sum of the halves' sketches
+    val h1 = (1 to 40).flatMap(k => Seq.fill(k / 2)(k.toLong)).toDF("k")
+    val h2 = (1 to 40).flatMap(k =>
+      Seq.fill(k - k / 2)(k.toLong)).toDF("k")
+    val merged = Sketches.countMin(h1, "k", 4, 64)
+      .unionByName(Sketches.countMin(h2, "k", 4, 64))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val direct = cms.withColumnRenamed("cnt", "cnt2")
+    assert(merged.join(direct, Seq("row", "bucket"), "full")
+      .filter(coalesce(col("cnt"), lit(0L)) =!=
+        coalesce(col("cnt2"), lit(0L))).count() == 0)
+    cms.unpersist()
+  }
 }
