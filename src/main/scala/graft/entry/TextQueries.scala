@@ -125,6 +125,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Skip-gram co-occurrence with exact PMI ratio (word2vec /
+    // collocation prep): window-3 unordered pairs, top-100 by
+    // (count desc, a, b) — deterministic LIMIT. The exp(PMI) form
+    // needs no log, so the fixed double expression over exact integer
+    // counts hash-matches across engines.
+    "q177_skipgram_pmi" -> ((s, dir) => {
+      TextAnalysis.skipgramPairs(docs(s, dir), "text", window = 3)
+        .orderBy(col("n_pairs").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+
     // Model-based classifier filtering (the fastText-style learned gate
     // of the GPT-3/CCNet/FineWeb-Edu pipelines), APPLY over a PINNED
     // weight table — the q166 device: training emits a driver-quantized
@@ -572,6 +583,33 @@ object TextQueries {
         |  CAST(COALESCE(len(al), 0) - COALESCE(len(kl), 0) AS BIGINT)
         |    AS n_lines_dropped
         |FROM rw ORDER BY doc_id""".stripMargin),
+    // same center-and-next-window pair extraction, canonicalized with
+    // least/greatest; the PMI ratio is the identical left-associated
+    // double expression over exact counts
+    "q177_skipgram_pmi" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents),
+        |pairs AS (SELECT least(t[i], t[i+j]) AS a,
+        |    greatest(t[i], t[i+j]) AS b
+        |  FROM toks,
+        |    unnest(generate_series(1, len(t) - 1)) u(i),
+        |    unnest(generate_series(1, 3)) w(j)
+        |  WHERE i + j <= len(t)),
+        |pc AS (SELECT a, b, COUNT(*) AS n_pairs FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT tt AS term, COUNT(*) AS c
+        |  FROM toks, unnest(t) z(tt) GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n,
+        |               (SELECT CAST(SUM(n_pairs) AS BIGINT) FROM pc) AS tp)
+        |SELECT a, b, n_pairs,
+        |  CAST(n_pairs AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |    / (CAST(tp AS DOUBLE) * CAST(ua.c AS DOUBLE)
+        |       * CAST(ub.c AS DOUBLE)) AS pmi_ratio
+        |FROM pc, tot
+        |  JOIN uni ua ON pc.a = ua.term
+        |  JOIN uni ub ON pc.b = ub.term
+        |ORDER BY n_pairs DESC, a, b LIMIT 100""".stripMargin,
     // the same pinned weight/prior tables as VALUES lists; exact
     // decimal sums over integer counts, rank-1 by (score desc, label)
     "q172_classifier_apply" ->

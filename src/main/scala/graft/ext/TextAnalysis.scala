@@ -312,6 +312,57 @@ object TextAnalysis {
           col("score").cast("decimal(28,9)"))
         .otherwise(-col("score").cast("decimal(28,9)"))).as("weight"))
 
+  /** Skip-gram co-occurrence with exact PMI ratio (word2vec /
+    * collocation prep): every unordered token pair within a `window`
+    * of each other, counted corpus-wide, with
+    * `pmi_ratio = (c_ab/P) / ((c_a/N)·(c_b/N))` — exp(PMI), the
+    * monotone-equivalent form that needs NO log: each factor is an
+    * exact integer count, the fixed left-associated double expression
+    * replays bit-for-bit in any engine (a log-based PMI would differ
+    * at ulp level across libm implementations).
+    *
+    * Plan shape: pair extraction is a map-side array expression
+    * (window·tokens intermediate rows inside the scan, never stored);
+    * ONE hash aggregation on the canonical (least, greatest) pair with
+    * map-side partials — shuffle ∝ DISTINCT pairs, vocab²-bounded, not
+    * corpus-bounded; unigram counts and the two totals broadcast. */
+  def skipgramPairs(df: DataFrame, textCol: String, window: Int = 3)
+      : DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = filter(tokens(col(textCol)), x => length(x) > 0)
+    // for center index i (0-based) pair t[i+1] (1-based element_at)
+    // with the next `window` tokens; docs with <2 tokens emit nothing
+    // (the when-guard dodges sequence(0,-1), which would DESCEND)
+    val pairs = when(size(toks) < 2,
+        array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(flatten(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => transform(
+          slice(toks, i + 2, lit(window)),
+          u => struct(
+            least(element_at(toks, i + 1), u).as("a"),
+            greatest(element_at(toks, i + 1), u).as("b"))))))
+    val pairCounts = df.select(explode(pairs).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val uni = df.select(explode(toks).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val totals = uni.agg(sum(col("__c")).cast("long").as("__n"))
+      .crossJoin(broadcast(
+        pairCounts.agg(sum(col("n_pairs")).cast("long").as("__tp"))))
+    val ua = uni.select(col("__t").as("a"), col("__c").as("__ca"))
+    val ub = uni.select(col("__t").as("b"), col("__c").as("__cb"))
+    pairCounts
+      .join(broadcast(ua), Seq("a"))
+      .join(broadcast(ub), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_pairs"),
+        (col("n_pairs").cast("double") * col("__n").cast("double") *
+          col("__n").cast("double") /
+          (col("__tp").cast("double") * col("__ca").cast("double") *
+            col("__cb").cast("double"))).as("pmi_ratio"))
+  }
+
   /** First-failing-rule quality verdict (the Dolma/FineWeb-style
     * filter-pipeline report): every document gets a verdict — `keep`,
     * or the NAME of the first gate it fails, in fixed rule order

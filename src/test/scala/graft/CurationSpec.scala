@@ -620,6 +620,29 @@ class CurationSpec extends SparkSpecBase {
     assert(p._2 == 3L && p._3 == 1.0 / 3.0) // the two-line para repeats
   }
 
+  test("skipgramPairs: brute-force window semantics, canonical order, " +
+      "short docs, exact PMI ratio") {
+    val docs = Seq(
+      (0L, "a b c d"),      // window 2: ab ac bc bd cd
+      (1L, "b a"),          // canonicalized to (a, b)
+      (2L, "x"),            // <2 tokens -> nothing
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramPairs(docs, "text", window = 2)
+      .orderBy("a", "b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val counts = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(counts == Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L))
+    // exact ratio: N = 7 corpus tokens, P = 6 extracted pairs
+    val n = 7.0; val p = 6.0
+    val uni = Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L, "x" -> 1L)
+    got.foreach { case (a, b, cab, ratio) =>
+      val expect = cab.toDouble * n * n / (p * uni(a) * uni(b))
+      assert(ratio == expect, s"($a,$b)")
+    }
+  }
+
   test("preferencePairs: deterministic extremes, ties, null scores, " +
       "degenerate groups, margin gate") {
     import graft.ext.Curation
