@@ -125,6 +125,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunking + cross-doc chunk dedup (the rsync/CDC
+    // primitive fixed windows can't be): boundaries are md5 functions
+    // of content, so shifted near-copies still share chunks. Chunking
+    // is map-only; the dedup pass shuffles (digest, doc, len) tuples —
+    // never chunk text — and per-doc stats come back through one left
+    // join. Empty/NULL docs pin to (0, 0, 0).
+    "q178_cdc_chunks" -> ((s, dir) => {
+      val ch = Dedup.cdcChunks(docs(s, dir), "doc_id", "text",
+          w = 8, modulus = 32)
+        .select(col("doc_id"), md5(col("chunk_text")).as("__h"),
+          length(col("chunk_text")).cast("long").as("__len"))
+      val freq = ch.groupBy("__h")
+        .agg(countDistinct(col("doc_id")).as("__df"))
+      val agg = ch.join(freq, Seq("__h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"),
+          sum(when(col("__df") >= 2, col("__len")).otherwise(0L))
+            .as("shared_chars"))
+      docs(s, dir).select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          coalesce(col("shared_chars"), lit(0L)).as("shared_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Skip-gram co-occurrence with exact PMI ratio (word2vec /
     // collocation prep): window-3 unordered pairs, top-100 by
     // (count desc, a, b) — deterministic LIMIT. The exp(PMI) form
@@ -583,6 +611,32 @@ object TextQueries {
         |  CAST(COALESCE(len(al), 0) - COALESCE(len(kl), 0) AS BIGINT)
         |    AS n_lines_dropped
         |FROM rw ORDER BY doc_id""".stripMargin),
+    // identical boundary rule (md5-u32 of the 8-char window ending at
+    // p, mod 32) and chunk slicing; dedup on md5(chunk); SUMs cast
+    // back to BIGINT (DuckDB widens to HUGEINT)
+    "q178_cdc_chunks" ->
+      """WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+        |bd AS (SELECT doc_id, t,
+        |    [0] || list_filter(generate_series(8, length(t) - 1),
+        |      p -> CAST(concat('0x', substr(md5(t[p-7:p]), 1, 8)) AS BIGINT)
+        |           % 32 = 0) || [length(t)] AS b2
+        |  FROM base),
+        |ch AS (SELECT doc_id, c AS chunk
+        |  FROM bd, unnest(list_transform(generate_series(1, len(b2) - 1),
+        |    i -> t[b2[i]+1 : b2[i+1]])) u(c)
+        |  WHERE length(c) > 0),
+        |freq AS (SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS df
+        |  FROM ch GROUP BY 1),
+        |agg AS (SELECT doc_id, COUNT(*) AS nc,
+        |    SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS ns,
+        |    SUM(CASE WHEN df >= 2 THEN length(chunk) ELSE 0 END) AS sc
+        |  FROM ch JOIN freq ON md5(ch.chunk) = freq.h GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(nc, 0) AS BIGINT) AS n_chunks,
+        |  CAST(COALESCE(ns, 0) AS BIGINT) AS n_shared,
+        |  CAST(COALESCE(sc, 0) AS BIGINT) AS shared_chars
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // same center-and-next-window pair extraction, canonicalized with
     // least/greatest; the PMI ratio is the identical left-associated
     // double expression over exact counts

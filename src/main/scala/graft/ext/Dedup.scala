@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -802,6 +802,50 @@ object Dedup {
     val (result, _) = materialize(updatedPrev.unionByName(newLabeled))
     touched.unpersist()
     result
+  }
+
+  /** Content-defined chunking (the Rabin/rsync/CDC trick, and the
+    * dedup primitive fixed windows can't be): a chunk boundary falls
+    * AFTER position p exactly when the md5-u32 of the w-char window
+    * ending at p is ≡ 0 (mod `modulus`) — so boundaries are a function
+    * of CONTENT, not offsets, and an insertion near a doc's head
+    * shifts every chunk of a fixed-window scheme but leaves all CDC
+    * chunks outside the edited region byte-identical (what makes
+    * chunk-level cross-doc dedup catch shifted near-copies). Average
+    * chunk length ≈ `modulus` chars; the md5 family is the engine-
+    * portable convention, so the DuckDB oracle replays boundaries
+    * bit-for-bit.
+    *
+    * MAP-ONLY: boundaries and chunks are array expressions inside the
+    * scan (each stage projected before use — never re-evaluated inside
+    * a lambda); output is one row per non-empty chunk,
+    * `(idCol, chunk_id, chunk_text)`. Work ∝ corpus chars (one w-char
+    * md5 per position). NULL/empty docs emit nothing. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, modulus: Int = 32): DataFrame = {
+    require(w >= 1 && modulus >= 1, "w and modulus must be >= 1")
+    val hashAt = (txt: Column, p: Column) =>
+      conv(substring(md5(txt.substr(p - (w - 1), lit(w))), 1, 8), 16, 10)
+        .cast("long")
+    val withBounds = df
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__txt"))
+      .withColumn("__b",
+        when(length(col("__txt")) <= w, array().cast("array<int>"))
+          .otherwise(filter(
+            sequence(lit(w), length(col("__txt")) - 1),
+            p => pmod(hashAt(col("__txt"), p), lit(modulus.toLong))
+              === 0L)))
+      .withColumn("__b2",
+        concat(array(lit(0)), col("__b"), array(length(col("__txt")))))
+    withBounds
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__b2")) - 2),
+        i => col("__txt").substr(
+          element_at(col("__b2"), i + 1) + 1,
+          element_at(col("__b2"), i + 2) -
+            element_at(col("__b2"), i + 1))))
+        .as(Seq("chunk_id", "chunk_text")))
+      .where(length(col("chunk_text")) > 0)
   }
 
   /** The shared line-unit definition (TextFunctions.lineUnits) bound

@@ -1315,6 +1315,39 @@ class ExtSpec extends SparkSpecBase {
     assert(w(10L) > w(12L) && w(12L) > w(11L))
   }
 
+  test("cdcChunks: lossless reassembly, content-defined boundaries " +
+      "survive a head insertion, short/empty/null docs") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight while stars " +
+      "shine brightly over the quiet sleeping village below us all"
+    val docs = Seq(
+      (0L, base),
+      (1L, "PREFIX INSERTED " + base), // head edit shifts all offsets
+      (2L, "tiny"),                    // shorter than the window
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", w = 8, modulus = 16)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, String)].collect().toSeq
+    // chunks reassemble the document exactly, in chunk_id order
+    val byDoc = ch.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).mkString).toMap
+    assert(byDoc(0L) == base)
+    assert(byDoc(1L) == "PREFIX INSERTED " + base)
+    assert(byDoc(2L) == "tiny" && ch.count(_._1 == 2L) == 1)
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    // the CDC property: despite the 16-char head insertion, doc 1
+    // re-synchronizes and SHARES every chunk of doc 0 past the edit —
+    // a fixed-window chunking would share (almost) none
+    val c0 = ch.filter(_._1 == 0L).map(_._3).toSet
+    val c1 = ch.filter(_._1 == 1L).map(_._3).toSet
+    val shared = (c0 & c1).toSeq.map(_.length).sum
+    assert(c0.size > 2, s"fixture too few chunks: ${c0.size}")
+    assert(shared >= base.length / 2,
+      s"CDC failed to re-sync after the head edit: $shared shared " +
+        s"chars of ${base.length}")
+  }
+
   test("line dedup paragraph mode: \\R{2,} units keep inner newlines") {
     val corpus = Seq(
       (0L, "para one line a\npara one line b\n\nshared para"),
