@@ -153,6 +153,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The APPLY half of q178 (the q170 pattern at CHUNK granularity):
+    // every distinct CDC chunk survives only at its lowest (doc,
+    // position); shifted duplicated regions that line dedup misses are
+    // cut and survivors re-concatenate. One pk-join text shuffle +
+    // narrow-tuple winner election, rewrite map-only.
+    "q179_cdc_dedup_keepfirst" -> ((s, dir) => {
+      Dedup.dedupCdcKeepFirst(docs(s, dir), "doc_id", "text",
+          w = 8, modulus = 32)
+        .select("doc_id", "text", "n_chunks_kept", "n_chunks_dropped")
+        .orderBy("doc_id")
+    }),
+
     // Skip-gram co-occurrence with exact PMI ratio (word2vec /
     // collocation prep): window-3 unordered pairs, top-100 by
     // (count desc, a, b) — deterministic LIMIT. The exp(PMI) form
@@ -611,6 +623,33 @@ object TextQueries {
         |  CAST(COALESCE(len(al), 0) - COALESCE(len(kl), 0) AS BIGINT)
         |    AS n_lines_dropped
         |FROM rw ORDER BY doc_id""".stripMargin),
+    // same chunking CTE; keep-first = row_number over (doc_id, pos)
+    // per chunk value (the min(struct) mirror); reassembly is ordered
+    // ''-joined concatenation
+    "q179_cdc_dedup_keepfirst" ->
+      """WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+        |bd AS (SELECT doc_id, t,
+        |    [0] || list_filter(generate_series(8, length(t) - 1),
+        |      p -> CAST(concat('0x', substr(md5(t[p-7:p]), 1, 8)) AS BIGINT)
+        |           % 32 = 0) || [length(t)] AS b2
+        |  FROM base),
+        |ch AS (SELECT doc_id, i, t[b2[i]+1 : b2[i+1]] AS chunk
+        |  FROM bd, unnest(generate_series(1, len(b2) - 1)) u(i)
+        |  WHERE length(t[b2[i]+1 : b2[i+1]]) > 0),
+        |ranked AS (SELECT doc_id, i, chunk, row_number()
+        |    OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+        |  FROM ch),
+        |kept AS (SELECT doc_id, string_agg(chunk, '' ORDER BY i) AS txt,
+        |    COUNT(*) AS nk
+        |  FROM ranked WHERE rn = 1 GROUP BY 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS nc FROM ch GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(k.txt, '') AS text,
+        |  CAST(COALESCE(k.nk, 0) AS BIGINT) AS n_chunks_kept,
+        |  CAST(COALESCE(t.nc, 0) - COALESCE(k.nk, 0) AS BIGINT)
+        |    AS n_chunks_dropped
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |  LEFT JOIN tot t USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // identical boundary rule (md5-u32 of the 8-char window ending at
     // p, mod 32) and chunk slicing; dedup on md5(chunk); SUMs cast
     // back to BIGINT (DuckDB widens to HUGEINT)

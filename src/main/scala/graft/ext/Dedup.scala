@@ -821,14 +821,17 @@ object Dedup {
     * a lambda); output is one row per non-empty chunk,
     * `(idCol, chunk_id, chunk_text)`. Work ∝ corpus chars (one w-char
     * md5 per position). NULL/empty docs emit nothing. */
-  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 8, modulus: Int = 32): DataFrame = {
+  /** The shared map-only chunking pipeline behind [[cdcChunks]] and
+    * [[dedupCdcKeepFirst]]: appends a `__chunks` array column (each
+    * stage projected before lambda use — never re-evaluated inside
+    * one). Keeps the caller's columns. */
+  private def withCdcChunkArray(df: DataFrame, textCol: String,
+      w: Int, modulus: Int): DataFrame = {
     require(w >= 1 && modulus >= 1, "w and modulus must be >= 1")
     val hashAt = (txt: Column, p: Column) =>
       conv(substring(md5(txt.substr(p - (w - 1), lit(w))), 1, 8), 16, 10)
         .cast("long")
-    val withBounds = df
-      .select(col(idCol), coalesce(col(textCol), lit("")).as("__txt"))
+    df.withColumn("__txt", coalesce(col(textCol), lit("")))
       .withColumn("__b",
         when(length(col("__txt")) <= w, array().cast("array<int>"))
           .otherwise(filter(
@@ -837,15 +840,62 @@ object Dedup {
               === 0L)))
       .withColumn("__b2",
         concat(array(lit(0)), col("__b"), array(length(col("__txt")))))
-    withBounds
-      .select(col(idCol), posexplode(transform(
+      .withColumn("__chunks", transform(
         sequence(lit(0), size(col("__b2")) - 2),
         i => col("__txt").substr(
           element_at(col("__b2"), i + 1) + 1,
           element_at(col("__b2"), i + 2) -
             element_at(col("__b2"), i + 1))))
-        .as(Seq("chunk_id", "chunk_text")))
+      .drop("__txt", "__b", "__b2")
+  }
+
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, modulus: Int = 32): DataFrame =
+    withCdcChunkArray(df.select(col(idCol), col(textCol)), textCol,
+        w, modulus)
+      .select(col(idCol),
+        posexplode(col("__chunks")).as(Seq("chunk_id", "chunk_text")))
       .where(length(col("chunk_text")) > 0)
+
+  /** Corpus-wide CDC chunk dedup, keep-first — [[dedupLinesKeepFirst]]
+    * at CHUNK granularity: every distinct chunk survives only at its
+    * lowest (doc, chunk position); later occurrences are cut and the
+    * survivors re-concatenate in order (chunks are contiguous splits,
+    * so reassembly is plain concatenation). Because boundaries are
+    * content-defined, this removes SHIFTED duplicated regions that
+    * line- or fixed-window-level dedup misses.
+    *
+    * Same shuffle structure as the line version: winner election on
+    * ~20-byte (doc, pos, hash) tuples, per-doc drop lists, ONE pk-join
+    * text shuffle, then a map-only index-filter re-chunk + rewrite. */
+  def dedupCdcKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, modulus: Int = 32): DataFrame = {
+    val ch = cdcChunks(df, idCol, textCol, w, modulus)
+      .select(col(idCol).as("__id"), col("chunk_id").as("__p"),
+        xxhash64(col("chunk_text")).as("__h"))
+    val winners = ch.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__p"))).as("__w"))
+    val dropLists = ch.join(winners, "__h")
+      .where(col("__w.__id") =!= col("__id") || col("__w.__p") =!= col("__p"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__p"))).as("__drop"))
+      .withColumnRenamed("__id", idCol)
+    val joined = withCdcChunkArray(
+      df.join(dropLists, Seq(idCol), "left"), textCol, w, modulus)
+    val drops = coalesce(col("__drop"), array().cast("array<int>"))
+    val kept = filter(col("__chunks"),
+      (c, i) => length(c) > 0 && !array_contains(drops, i))
+    val nNonEmpty = size(filter(col("__chunks"), c => length(c) > 0))
+    val nullGuard = col(textCol).isNull
+    joined
+      .withColumn("n_chunks_dropped",
+        when(nullGuard, lit(0L)).otherwise(size(drops).cast("long")))
+      .withColumn("n_chunks_kept",
+        when(nullGuard, lit(0L))
+          .otherwise((nNonEmpty - size(drops)).cast("long")))
+      .withColumn(textCol,
+        when(nullGuard, lit("")).otherwise(array_join(kept, "")))
+      .drop("__drop", "__chunks")
   }
 
   /** The shared line-unit definition (TextFunctions.lineUnits) bound

@@ -1348,6 +1348,37 @@ class ExtSpec extends SparkSpecBase {
         s"chars of ${base.length}")
   }
 
+  test("dedupCdcKeepFirst: doc 0 untouched, shifted copy loses every " +
+      "shared chunk, counts consistent with cdcChunks") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight while stars " +
+      "shine brightly over the quiet sleeping village below us all"
+    val docs = Seq(
+      (0L, base),
+      (1L, "PREFIX INSERTED " + base),  // shifted near-copy
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", w = 8, modulus = 16)
+      .as[(Long, Int, String)].collect().toSeq
+    val shared = ch.filter(_._1 == 0L).map(_._3).toSet &
+      ch.filter(_._1 == 1L).map(_._3).toSet
+    val got = Dedup.dedupCdcKeepFirst(docs, "doc_id", "text",
+        w = 8, modulus = 16)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_chunks_kept", "n_chunks_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // doc 0 owns every first occurrence -> byte-identical
+    assert(got(0)._2 == base && got(0)._4 == 0L)
+    // doc 1 loses exactly the shared chunks (its copies came second)
+    assert(got(1)._4 == shared.size.toLong)
+    assert(got(1)._2.length ==
+      ("PREFIX INSERTED " + base).length - shared.toSeq.map(_.length).sum)
+    assert(got(2) == ((2L, "", 0L, 0L)))
+    // kept+dropped == that doc's cdc chunk count, both docs
+    got.take(2).foreach { case (id, _, k, d) =>
+      assert(k + d == ch.count(_._1 == id).toLong, s"doc $id")
+    }
+  }
+
   test("line dedup paragraph mode: \\R{2,} units keep inner newlines") {
     val corpus = Seq(
       (0L, "para one line a\npara one line b\n\nshared para"),
