@@ -66,6 +66,26 @@ object TextQueries {
     * duplicate / near-duplicate docs' shared chunks make
     * corpus-frequent lines non-vacuous (probed: w=4 drops 2.6% of
     * lines at sf0.01, 4% at sf0.1 with maxDocFreq=2). */
+  /** The DuckDB half of the CDC boundary rule (q178/q179): the SAME
+    * polynomial constants as the native CdcBoundaries expression,
+    * unrolled to one integer expression per position — boundary at p
+    * iff (Σ ord(char at p−off)·B^off mod M) ≡ 0 (mod `modulus`).
+    * Emits `WITH base …, bd(doc_id, t, b2)`. */
+  private def cdcSqlCte(w: Int, modulus: Int): String = {
+    import graft.functions.expressions.TextExprHelpers.{CdcBase, CdcMod}
+    val pows = Iterator.iterate(1L)(x => x * CdcBase % CdcMod)
+      .take(w).toArray
+    val terms = ((w - 1) to 0 by -1).map { off =>
+      val idx = if (off == 0) "p" else s"p-$off"
+      s"CAST(ord(t[$idx:$idx]) AS BIGINT) * ${pows(off)}"
+    }.mkString(" + ")
+    s"""WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+       |bd AS (SELECT doc_id, t,
+       |    [0] || list_filter(generate_series($w, length(t) - 1),
+       |      p -> (($terms) % $CdcMod) % $modulus = 0) || [length(t)] AS b2
+       |  FROM base)""".stripMargin
+  }
+
   private[entry] def rebuiltLines(s: SparkSession, dir: String,
       w: Int): DataFrame =
     docs(s, dir)
@@ -623,16 +643,11 @@ object TextQueries {
         |  CAST(COALESCE(len(al), 0) - COALESCE(len(kl), 0) AS BIGINT)
         |    AS n_lines_dropped
         |FROM rw ORDER BY doc_id""".stripMargin),
-    // same chunking CTE; keep-first = row_number over (doc_id, pos)
+    // shared polynomial boundary CTE; keep-first = row_number over (doc_id, pos)
     // per chunk value (the min(struct) mirror); reassembly is ordered
     // ''-joined concatenation
-    "q179_cdc_dedup_keepfirst" ->
-      """WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
-        |bd AS (SELECT doc_id, t,
-        |    [0] || list_filter(generate_series(8, length(t) - 1),
-        |      p -> CAST(concat('0x', substr(md5(t[p-7:p]), 1, 8)) AS BIGINT)
-        |           % 32 = 0) || [length(t)] AS b2
-        |  FROM base),
+    "q179_cdc_dedup_keepfirst" -> (cdcSqlCte(8, 32) +
+      """,
         |ch AS (SELECT doc_id, i, t[b2[i]+1 : b2[i+1]] AS chunk
         |  FROM bd, unnest(generate_series(1, len(b2) - 1)) u(i)
         |  WHERE length(t[b2[i]+1 : b2[i+1]]) > 0),
@@ -649,17 +664,11 @@ object TextQueries {
         |    AS n_chunks_dropped
         |FROM documents d LEFT JOIN kept k USING (doc_id)
         |  LEFT JOIN tot t USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-    // identical boundary rule (md5-u32 of the 8-char window ending at
-    // p, mod 32) and chunk slicing; dedup on md5(chunk); SUMs cast
+        |ORDER BY d.doc_id""".stripMargin),
+    // shared polynomial boundary CTE; dedup on md5(chunk); SUMs cast
     // back to BIGINT (DuckDB widens to HUGEINT)
-    "q178_cdc_chunks" ->
-      """WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
-        |bd AS (SELECT doc_id, t,
-        |    [0] || list_filter(generate_series(8, length(t) - 1),
-        |      p -> CAST(concat('0x', substr(md5(t[p-7:p]), 1, 8)) AS BIGINT)
-        |           % 32 = 0) || [length(t)] AS b2
-        |  FROM base),
+    "q178_cdc_chunks" -> (cdcSqlCte(8, 32) +
+      """,
         |ch AS (SELECT doc_id, c AS chunk
         |  FROM bd, unnest(list_transform(generate_series(1, len(b2) - 1),
         |    i -> t[b2[i]+1 : b2[i+1]])) u(c)
@@ -675,7 +684,7 @@ object TextQueries {
         |  CAST(COALESCE(ns, 0) AS BIGINT) AS n_shared,
         |  CAST(COALESCE(sc, 0) AS BIGINT) AS shared_chars
         |FROM documents d LEFT JOIN agg USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
     // same center-and-next-window pair extraction, canonicalized with
     // least/greatest; the PMI ratio is the identical left-associated
     // double expression over exact counts

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{BloomMightContain, CharUnitLength, CharUnitSubstr, CosineSimilarity, DotProduct, L2Squared, LongSetContains, MatVec, NearestCentroid, PqAdcDistance, TfNormSq, WinnowedGrams, WordShingles}
+import graft.functions.expressions.{BloomMightContain, CdcBoundaries, CharUnitLength, CharUnitSubstr, CosineSimilarity, DotProduct, L2Squared, LongSetContains, MatVec, NearestCentroid, PqAdcDistance, TfNormSq, WinnowedGrams, WordShingles}
 
 /** The engine's SQL function surface, one list consumed two ways:
   *
@@ -110,6 +110,12 @@ object GraftFunctions {
         " Bloom probe: false = definitely absent, true = maybe present",
       arity("graft_bloom_might_contain", 3)(e =>
         BloomMightContain(e(0), e(1), e(2)))),
+    entry("graft_cdc_boundaries",
+      "graft_cdc_boundaries(text STRING, w INT, modulus INT) - CDC" +
+        " chunk-boundary positions (rolling polynomial hash, one pass)",
+      arity("graft_cdc_boundaries", 3)(e =>
+        CdcBoundaries(e(0), intLiteral("graft_cdc_boundaries", e(1)),
+          intLiteral("graft_cdc_boundaries", e(2))))),
     entry("graft_in_long_set",
       "graft_in_long_set(key BIGINT, set ARRAY<BIGINT>) - exact O(1)" +
         " membership in a literal set (one plan literal, not N children)",

@@ -114,7 +114,8 @@ object ScaleProbe {
       "postings_artifact_build", "phrase_artifact_build",
       "split_assign", "upsample_2p5x", "bpe_train_200", "bpe_apply",
       "chunk_32_8", "boilerplate_lines", "dedup_lines_keepfirst",
-      "boilerplate_delta", "nb_train", "nb_classify",
+      "boilerplate_delta", "cdc_chunks", "cdc_dedup_keepfirst",
+      "nb_train", "nb_classify",
       "semantic_neardup_k256", "media_decode_1mb_rpp8",
       "media_decode_1mb_rpp64", "media_decode_1mb_rpp500")
     if (docProbes.exists(wanted)) {
@@ -376,6 +377,15 @@ object ScaleProbe {
         snap.unpersist()
       }
     }
+    // CDC: chunking is map-only (one w-char md5 per position, work ∝
+    // corpus chars); the keep-first dedup adds the narrow-tuple
+    // election + one pk-join text shuffle — the lines-probe pair at
+    // chunk granularity
+    time("cdc_chunks")(Dedup.cdcChunks(docs, "doc_id", "text",
+      w = 8, modulus = 32).count())
+    time("cdc_dedup_keepfirst")(Dedup.dedupCdcKeepFirst(docs,
+        "doc_id", "text", w = 8, modulus = 32)
+      .agg(sum("n_chunks_dropped")).head().getLong(0))
     // BPE tokenizer training: ONE corpus pass (pre-token word count,
     // map-side combined) + the driver merge loop on the bounded word
     // table; the corpus-sized cost must stay flat in merges and the
