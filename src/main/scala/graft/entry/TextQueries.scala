@@ -203,12 +203,16 @@ object TextQueries {
     // on integer token counts, so the verdict replays bit-for-bit.
     // Per-doc term counts collapse map-side, the model broadcasts, the
     // text never shuffles; argmax is a rank-1 window (score desc,
-    // label asc).
+    // label asc). Output edge renders DECIMAL(18,9): precision <= 18
+    // stays INT64 in parquet and in DuckDB, the one cross-engine-safe
+    // decimal regime (see StatsQueries on the >18 hash pitfall); the
+    // down-cast is exact — same scale, magnitudes bounded far below
+    // 10^9 (sum of |weights| <= 0.5 x tokens/doc).
     "q172_classifier_apply" -> ((s, dir) => {
       val (m, p) = pinnedModel(s)
       TextAnalysis.classifyLinear(docs(s, dir), "doc_id", "text", m, p)
         .select(col("doc_id"), col("label"),
-          col("score").cast("decimal(28,9)").as("score"))
+          col("score").cast("decimal(18,9)").as("score"))
         .orderBy("doc_id")
     }),
 
@@ -217,12 +221,14 @@ object TextQueries {
     // under the same pinned model — the "pick the most target-like
     // slice of the raw pool" stage. Fully deterministic ranking
     // (weight desc, doc_id asc), so LIMIT is stable across engines.
+    // DECIMAL(18,9) output edge for the same cross-engine reason as
+    // q172 (exact: same scale, bounded magnitude).
     "q173_dsir_select" -> ((s, dir) => {
       val (m, p) = pinnedModel(s)
       TextAnalysis.importanceWeights(docs(s, dir), "doc_id", "text",
           m, p, targetLabel = "en", rawLabel = "es")
         .select(col("doc_id"),
-          col("weight").cast("decimal(28,9)").as("weight"))
+          col("weight").cast("decimal(18,9)").as("weight"))
         .orderBy(col("weight").desc, col("doc_id"))
         .limit(100)
     }),
@@ -746,7 +752,7 @@ object TextQueries {
         |ranked AS (SELECT doc_id, label, sc, row_number()
         |             OVER (PARTITION BY doc_id ORDER BY sc DESC, label) rn
         |           FROM scored)
-        |SELECT doc_id, label, CAST(sc AS DECIMAL(28,9)) AS score
+        |SELECT doc_id, label, CAST(sc AS DECIMAL(18,9)) AS score
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // same pinned model; weight = score(en) − score(es); the ranking
     // is exact decimals so the LIMIT cut is identical across engines
@@ -777,7 +783,7 @@ object TextQueries {
         |w AS (SELECT doc_id,
         |        SUM(CASE WHEN label = 'en' THEN sc ELSE -sc END) wt
         |      FROM scored GROUP BY 1)
-        |SELECT doc_id, CAST(wt AS DECIMAL(28,9)) AS weight
+        |SELECT doc_id, CAST(wt AS DECIMAL(18,9)) AS weight
         |FROM w ORDER BY wt DESC, doc_id LIMIT 100""".stripMargin,
     // the delta invariant IS the oracle: frequencies over the FULL
     // union, rewrite restricted to the arriving batch (doc_id >= 250)

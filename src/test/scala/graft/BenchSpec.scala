@@ -35,4 +35,38 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isMover(0.5, -1.0))
     assert(!Bench.isMover(-1.0, -1.0))
   }
+
+  test("parseBaseline: per-query map, cross-SF record rejected") {
+    val rec = """{"metric":"total","value":1.5,"unit":"sec","sf":"/d/sf0.1","queries":{"q01_a":0.625,"q02_b":0.875}}"""
+    assert(Bench.parseBaseline(rec, "/d/sf0.1") ===
+      Map("q01_a" -> 0.625, "q02_b" -> 0.875))
+    assert(Bench.parseBaseline(rec, "/d/sf0.01").isEmpty)
+  }
+
+  // Round-12 verdict finding #2: interim BENCH_SELF captures ratcheted
+  // the adjudication baseline, so a query drifting 1.5x per capture
+  // across two captures (0.625 -> 0.94 -> 1.41 = 2.25x total) never
+  // tripped the 2x wire — each interim capture moved "prev" under it.
+  // With the round pin, every capture adjudicates against the ROUND
+  // boundary, so the cumulative drift trips.
+  test("round pin: 1.5x-per-capture drift across two captures trips the 2x wire") {
+    val pin = Map("q154" -> 0.625)
+    val cap1 = 0.625 * 1.5          // first interim capture: 0.9375
+    val cap2 = cap1 * 1.5           // second capture: 1.406, 2.25x the pin
+    // the ratchet (baseline = last capture) never fires:
+    assert(!Bench.isMover(pin("q154"), cap1))
+    assert(!Bench.isMover(cap1, cap2))
+    // the pinned baseline fires on capture 2:
+    val base = Bench.pickBaseline(Some(pin), Map("q154" -> cap1))
+    assert(base("q154") === 0.625)
+    assert(Bench.isMover(base("q154"), cap2))
+  }
+
+  test("pickBaseline: falls back to BENCH_SELF when pin absent or empty") {
+    val self = Map("q01" -> 0.5)
+    assert(Bench.pickBaseline(None, self) === self)
+    assert(Bench.pickBaseline(Some(Map.empty), self) === self)
+    assert(Bench.pickBaseline(Some(Map("q01" -> 0.3)), self) ===
+      Map("q01" -> 0.3))
+  }
 }
