@@ -169,6 +169,35 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // The BATCHED hard-negative miner under the driver's gate (VERDICT
+    // r12 Next #5): the broadcast-memory escape hatch for anchor sets
+    // too big to broadcast whole, run at nBatches=4 against the SAME
+    // oracle SQL as q161 — two implementations, one ground truth (the
+    // q139/q164 device). Batch membership is a pure function of
+    // xxhash64(anchor id), every q_id lives wholly in one batch, so
+    // per-anchor output must be bit-identical to the unbatched plan.
+    "q180_hard_negatives_batched" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pos = Dedup.embeddingNearDup(e, "vec_id", "embedding",
+        "label", threshold = 0.4)
+      Similarity.hardNegativesBatched(e, "vec_id", "embedding", pos,
+          "a_id", "b_id", col("vec_id") < 10, k = 3, nBatches = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Batched random negatives vs q162's oracle — same device: the
+    // md5 draw depends only on (seed, anchor, candidate), never the
+    // batch, so the 4-batch union replays the unbatched draw exactly.
+    "q181_random_negatives_batched" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pos = Dedup.embeddingNearDup(e, "vec_id", "embedding",
+        "label", threshold = 0.4)
+      graft.ext.Curation.randomNegativesBatched(e, "vec_id", pos,
+          "a_id", "b_id", col("vec_id") < 10, k = 3, seed = "neg1",
+          nBatches = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup pairs: same-label partition, cosine >= 0.4.
     "q42_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding",
@@ -811,6 +840,10 @@ object VectorQueries {
     oracleSqlBase +
       ("q161_hard_negatives" -> hardNegSql) +
       ("q162_random_negatives" -> randNegSql) +
+      // batched miners face the SAME ground truth as their unbatched
+      // twins (two implementations, one oracle — the q139/q164 device)
+      ("q180_hard_negatives_batched" -> hardNegSql) +
+      ("q181_random_negatives_batched" -> randNegSql) +
       ("q139_cc_delta" -> oracleSqlBase("q73_dedup_clusters")) +
       ("q164_cc_delta_loaded" -> oracleSqlBase("q73_dedup_clusters")) +
       ("q141_triangle_count" -> triangleSql) +
