@@ -29,6 +29,22 @@ object AnalyticQueries {
   private val replayFeedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Any]
 
+  /** Sweep session-keyed memo caches on every access: entries whose
+    * session has STOPPED are dropped (their persisted/checkpointed
+    * blocks died with the context; the map entry would otherwise pin
+    * the session object and its plan graph for the life of the JVM —
+    * spec suites spin up many sessions). O(cache size) per call and
+    * these caches hold a handful of entries, so the sweep is free
+    * next to the work being memoized. */
+  private[entry] def evictStoppedSessions[V](
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V])
+      : Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+  }
+
   /** Shared harness for the streaming oracle rows (q118/q119/q121):
     * replay the event log through `op`'s micro-batch pipeline in three
     * TIME-ORDERED batches (sorted on the operators' own exact-micros
@@ -71,6 +87,7 @@ object AnalyticQueries {
     // every query still replays its own micro-batches through its own
     // stream, and the driver still holds at most one partition at a
     // time (toLocalIterator over the persisted partitions).
+    evictStoppedSessions(replayFeedCache)
     val sorted = replayFeedCache.computeIfAbsent(
       (s, dir), _ =>
         GraftSession.tsTimestamp(ev)
@@ -1033,6 +1050,27 @@ object AnalyticQueries {
         .orderBy("line")
     }),
 
+    // The TWELFTH streaming twin: online CDC chunk-frequency
+    // maintenance (q175's device at CHUNK granularity — VERDICT r12
+    // Next #6). The raw documents replay through the same MemoryStream
+    // harness in three doc_id-ordered batches; the native rolling-hash
+    // chunker runs map-side ON THE STREAM, a streaming aggregation
+    // maintains (chunk_h, n_docs); MAX-folded Update emissions with a
+    // read-time >= 2 filter rebuild exactly the shared-chunk set the
+    // q178 batch SQL computes.
+    "q182_streaming_cdc_freq" -> ((s, dir) => {
+      import s.implicits._
+      val rows = replayDocsThirds(s,
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        df => graft.streaming.EventStreams
+          .streamingChunkFrequency(df, "text", w = 8, modulus = 32))
+      rows.map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+        .filter(_._2 >= 2L)
+        .toDF("chunk_h", "n_docs")
+        .orderBy("chunk_h")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -1794,6 +1832,21 @@ object AnalyticQueries {
         |FROM lines GROUP BY l HAVING COUNT(*) > 2
         |ORDER BY line""".stripMargin
 
+  /** q182's batch ground truth: the q178 chunk-frequency chain (same
+    * shared polynomial-boundary CTE) restricted to its frequency half
+    * — exactly the (chunk_h, n_docs >= 2) artifact the streaming
+    * aggregation maintains online. */
+  private def streamingCdcFreqSql: String =
+    TextQueries.cdcSqlCte(8, 32) +
+      """,
+        |ch AS (SELECT doc_id, c AS chunk
+        |  FROM bd, unnest(list_transform(generate_series(1, len(b2) - 1),
+        |    i -> t[b2[i]+1 : b2[i+1]])) u(c)
+        |  WHERE length(c) > 0)
+        |SELECT md5(chunk) AS chunk_h, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_h""".stripMargin
+
   val oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q115_funnel_single" -> oracleSqlBase("q107_funnel")) +
@@ -1801,5 +1854,6 @@ object AnalyticQueries {
       ("q148_streaming_gap_fill" -> oracleSqlBase("q138_gap_fill")) +
       ("q165_streaming_kcore" -> streamingKcoreSql) +
       ("q175_streaming_boilerplate" -> streamingBoilerplateSql) +
+      ("q182_streaming_cdc_freq" -> streamingCdcFreqSql) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -71,7 +71,7 @@ object TextQueries {
     * unrolled to one integer expression per position — boundary at p
     * iff (Σ ord(char at p−off)·B^off mod M) ≡ 0 (mod `modulus`).
     * Emits `WITH base …, bd(doc_id, t, b2)`. */
-  private def cdcSqlCte(w: Int, modulus: Int): String = {
+  private[entry] def cdcSqlCte(w: Int, modulus: Int): String = {
     import graft.functions.expressions.TextExprHelpers.{CdcBase, CdcMod}
     val pows = Iterator.iterate(1L)(x => x * CdcBase % CdcMod)
       .take(w).toArray
@@ -146,8 +146,10 @@ object TextQueries {
     }),
 
     // Content-defined chunking + cross-doc chunk dedup (the rsync/CDC
-    // primitive fixed windows can't be): boundaries are md5 functions
-    // of content, so shifted near-copies still share chunks. Chunking
+    // primitive fixed windows can't be): boundaries are rolling-
+    // polynomial-hash functions of content (base-257 mod 2^31-1, the
+    // native CdcBoundaries expression), so shifted near-copies still
+    // share chunks. Chunking
     // is map-only; the dedup pass shuffles (digest, doc, len) tuples —
     // never chunk text — and per-doc stats come back through one left
     // join. Empty/NULL docs pin to (0, 0, 0).

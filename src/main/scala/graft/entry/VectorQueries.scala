@@ -95,7 +95,8 @@ object VectorQueries {
       (DataFrame, DataFrame)]
 
   private def ccDeltaArtifacts(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) =
+      dir: String): (DataFrame, DataFrame) = {
+    AnalyticQueries.evictStoppedSessions(ccArtifactCache)
     ccArtifactCache.computeIfAbsent(
       (s, dir), _ => {
         import graft.ext.Dedup
@@ -110,6 +111,7 @@ object VectorQueries {
           .localCheckpoint(true)
         (prev, delta)
       })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // OPQ composition end-to-end: rotate (codegen MatVec over a pinned

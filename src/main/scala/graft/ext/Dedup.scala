@@ -804,28 +804,25 @@ object Dedup {
     result
   }
 
-  /** Content-defined chunking (the Rabin/rsync/CDC trick, and the
-    * dedup primitive fixed windows can't be): a chunk boundary falls
-    * AFTER position p exactly when the md5-u32 of the w-char window
-    * ending at p is ≡ 0 (mod `modulus`) — so boundaries are a function
-    * of CONTENT, not offsets, and an insertion near a doc's head
-    * shifts every chunk of a fixed-window scheme but leaves all CDC
-    * chunks outside the edited region byte-identical (what makes
-    * chunk-level cross-doc dedup catch shifted near-copies). Average
-    * chunk length ≈ `modulus` chars; the md5 family is the engine-
-    * portable convention, so the DuckDB oracle replays boundaries
-    * bit-for-bit.
+  /** The shared map-only chunking pipeline behind [[cdcChunks]],
+    * [[dedupCdcKeepFirst]] and the streaming chunk-frequency twin:
+    * appends a `__chunks` array column, keeping the caller's columns.
     *
-    * MAP-ONLY: boundaries and chunks are array expressions inside the
-    * scan (each stage projected before use — never re-evaluated inside
-    * a lambda); output is one row per non-empty chunk,
-    * `(idCol, chunk_id, chunk_text)`. Work ∝ corpus chars (one w-char
-    * md5 per position). NULL/empty docs emit nothing. */
-  /** The shared map-only chunking pipeline behind [[cdcChunks]] and
-    * [[dedupCdcKeepFirst]]: appends a `__chunks` array column (each
-    * stage projected before lambda use — never re-evaluated inside
-    * one). Keeps the caller's columns. */
-  private def withCdcChunkArray(df: DataFrame, textCol: String,
+    * Boundary rule (content-defined chunking, the Rabin/rsync trick):
+    * a chunk boundary falls AFTER position p exactly when the rolling
+    * polynomial hash of the w-char window ending at p —
+    * Σ charAt(p−off)·CdcBase^off mod CdcMod (base-257 mod 2³¹−1,
+    * constants in [[graft.functions.expressions.TextExprHelpers]]) —
+    * is ≡ 0 (mod `modulus`). Boundaries are a function of CONTENT,
+    * not offsets, so an insertion near a doc's head shifts every
+    * chunk of a fixed-window scheme but leaves all CDC chunks outside
+    * the edited region byte-identical (what lets chunk-level cross-doc
+    * dedup catch shifted near-copies). Average chunk length ≈
+    * `modulus` chars; the integer constants replay exactly in the
+    * DuckDB oracle (TextQueries.cdcSqlCte unrolls the same polynomial).
+    * Each stage is projected to a column before any lambda uses it —
+    * never re-evaluated inside one. */
+  private[graft] def withCdcChunkArray(df: DataFrame, textCol: String,
       w: Int, modulus: Int): DataFrame = {
     require(w >= 1 && modulus >= 1, "w and modulus must be >= 1")
     // boundary scan is the NATIVE one-pass rolling-hash expression
@@ -848,6 +845,11 @@ object Dedup {
       .drop("__txt", "__b", "__b2")
   }
 
+  /** Content-defined chunking as rows: MAP-ONLY (boundaries and chunks
+    * are array expressions inside the scan), one row per non-empty
+    * chunk, `(idCol, chunk_id, chunk_text)`. Work ∝ corpus chars (one
+    * multiply-add per char — see [[withCdcChunkArray]] for the
+    * boundary rule). NULL/empty docs emit nothing. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, modulus: Int = 32): DataFrame =
     withCdcChunkArray(df.select(col(idCol), col(textCol)), textCol,

@@ -210,7 +210,15 @@ object TextExprHelpers {
     * ending at p, mod [[CdcMod]], is divisible by `modulus`. ONE O(n)
     * rolling pass — per char: one multiply-add and one subtract-out,
     * all exact long arithmetic. The last position is never a boundary
-    * (the tail chunk ends there regardless). */
+    * (the tail chunk ends there regardless).
+    *
+    * BMP GUARD: this scan hashes and indexes UTF-16 code UNITS, while
+    * the downstream chunk slicing (Spark substr) and the DuckDB oracle
+    * CTE count code POINTS — identical for every BMP character, silently
+    * divergent for supplementary-plane input. A surrogate code unit
+    * therefore throws (one comparison per char inside the existing
+    * loop) instead of mis-chunking: widen to code-point iteration on
+    * BOTH sides before lifting this. */
   def cdcBoundaries(text: UTF8String, w: Int, modulus: Int): ArrayData = {
     val s = text.toString
     val n = s.length
@@ -223,7 +231,14 @@ object TextExprHelpers {
     var h = 0L
     var i = 0
     while (i < n) {
-      h = (h * CdcBase + s.charAt(i).toLong) % CdcMod
+      val c = s.charAt(i)
+      if (c >= 0xD800 && c < 0xE000)
+        throw new IllegalArgumentException(
+          "cdcBoundaries: non-BMP character (surrogate code unit at " +
+            s"index $i) — CDC chunking hashes/indexes UTF-16 code units " +
+            "and its boundary/slicing parity with the code-point-based " +
+            "oracle holds only for BMP text")
+      h = (h * CdcBase + c.toLong) % CdcMod
       if (i >= w) {
         h = (h - s.charAt(i - w).toLong * bw % CdcMod + CdcMod) % CdcMod
       }

@@ -71,6 +71,28 @@ object EventStreams {
       .groupBy("line")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** [[streamingLineFrequency]] at CDC-CHUNK granularity — the online
+    * form of the q178 batch chunk-frequency chain: docs arrive
+    * append-only, each is chunked map-side by the native rolling-hash
+    * boundary expression (ext/Dedup.withCdcChunkArray — pure column
+    * ops, so the same code runs on the stream), contributes its
+    * DISTINCT chunk digests once, and one streaming aggregation
+    * maintains the (chunk_h, n_docs) artifact. Update emissions are
+    * monotone counts → keyed sink folds with MAX; a read-time
+    * `>= 2` filter is the live shared-chunk set that drives CDC dedup
+    * decisions without rescanning history. State ∝ distinct chunks
+    * (≈ corpus chars / modulus); keys are md5 digests so the DuckDB
+    * oracle replays them — production would key xxhash64 for 16-byte
+    * state rows. */
+  def streamingChunkFrequency(docs: DataFrame, textCol: String,
+      w: Int = 8, modulus: Int = 32): DataFrame =
+    graft.ext.Dedup.withCdcChunkArray(docs, textCol, w, modulus)
+      .select(explode(array_distinct(transform(
+          filter(col("__chunks"), c => length(c) > 0), c => md5(c))))
+        .as("chunk_h"))
+      .groupBy("chunk_h")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Online value-distribution monitoring: per event-time window and
     * type, the quantized value-grid histogram (the Incremental
     * histogramState device as a WINDOWED streaming aggregation) —

@@ -1348,6 +1348,29 @@ class ExtSpec extends SparkSpecBase {
         s"chars of ${base.length}")
   }
 
+  test("cdcChunks: non-BMP input fails loudly (BMP-parity guard), " +
+      "BMP non-ASCII passes") {
+    // the boundary scan hashes/indexes UTF-16 code units while the
+    // oracle counts code points — identical on BMP, divergent on
+    // supplementary planes, so a surrogate must throw, not mis-chunk
+    val bad = Seq((0L, "shared prefix text 😀 emoji body"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.cdcChunks(bad, "doc_id", "text", w = 8, modulus = 16).count()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("non-BMP"),
+      s"expected the BMP-parity guard, got: ${rootMsg(e).take(300)}")
+    // BMP non-ASCII (accents, CJK) is inside the parity regime
+    val ok = Seq((0L, "café crème 中文文本 " * 8))
+      .toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(ok, "doc_id", "text", w = 8, modulus = 16)
+      .orderBy("chunk_id").as[(Long, Int, String)].collect()
+    assert(ch.map(_._3).mkString == ("café crème 中文文本 " * 8))
+  }
+
   test("dedupCdcKeepFirst: doc 0 untouched, shifted copy loses every " +
       "shared chunk, counts consistent with cdcChunks") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
