@@ -65,7 +65,8 @@ object AnalyticQueries {
         org.apache.spark.sql.Dataset[_],
       mode: org.apache.spark.sql.streaming.OutputMode =
         org.apache.spark.sql.streaming.OutputMode.Update(),
-      flush: Boolean = false)
+      flush: Boolean = false,
+      stateParts: Int = 4)
       : Array[org.apache.spark.sql.Row] = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -107,12 +108,16 @@ object AnalyticQueries {
     // stages × 4 micro-batches is pure task overhead for 100k-row
     // replays (the stream-stream q132 pays it hardest). Measured at
     // sf0.1 across all nine replay rows: 8 → 28.8 s, 4 → 23.9 s,
-    // 2 → 24.3 s — 4 is the knee (fewer state instances win until
-    // per-partition work dominates). At real scale the same knob sizes
-    // state partitions to throughput. Restored after the stream so
-    // batch plans are untouched.
+    // 2 → 24.3 s — 4 is the AGGREGATE knee; the timer/flush-driven
+    // rows have their own optima, so `stateParts` is per-query
+    // (round-13 per-row sweep in BENCH.md), with an env override for
+    // re-measuring. At real scale the same knob sizes state
+    // partitions to throughput. Restored after the stream so batch
+    // plans are untouched.
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+      .map(_.trim.toInt).getOrElse(stateParts)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val q =
       try op(mem.toDS()).writeStream
         .outputMode(mode)
@@ -914,9 +919,13 @@ object AnalyticQueries {
     // selection in one row.
     "q152_streaming_percentiles" -> ((s, dir) => {
       import s.implicits._
+      // stateParts=2: per-row knee (round-13 sweep, BENCH.md) — the
+      // windowed-histogram state is small and 2 state-store instances
+      // beat the 9-row aggregate's knee of 4 here (3.67 vs 3.98 s)
       val raw = replayThirds(s, dir,
         ds => graft.streaming.EventStreams.streamingValueHistogram(ds)
-          .as[(Long, String, Long, Long)])
+          .as[(Long, String, Long, Long)],
+        stateParts = 2)
       val folded = raw
         .map(r => ((r.getLong(0), r.getString(1), r.getLong(2)),
           r.getLong(3)))
@@ -939,9 +948,12 @@ object AnalyticQueries {
     // sums through the SAME expression.
     "q163_streaming_corr" -> ((s, dir) => {
       import s.implicits._
+      // stateParts=2: per-row knee (round-13 sweep, BENCH.md) — the
+      // per-(day,type) moment state is tiny; 2.70 vs 3.10 s at 4
       val raw = replayThirds(s, dir,
         ds => graft.streaming.EventStreams.streamingCorrState(ds)
-          .as[(Long, String, Long, Long, Long, Long, Long, Long)])
+          .as[(Long, String, Long, Long, Long, Long, Long, Long)],
+        stateParts = 2)
       val folded = raw
         .map(r => ((r.getLong(0), r.getString(1)),
           (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
