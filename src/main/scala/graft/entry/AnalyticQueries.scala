@@ -1083,6 +1083,30 @@ object AnalyticQueries {
         .orderBy("chunk_h")
     }),
 
+    // The THIRTEENTH streaming twin: event-time gap sessionization —
+    // sessionizeByGap (flatMapGroupsWithState + EventTimeTimeout, one
+    // open session + a counter per user, mid-batch gap splits on the
+    // sorted batch slice) replayed over the time-ordered feed, closed
+    // sessions flushed by the watermark push, against q53's batch SQL
+    // (two implementations, one ground truth). `total` is an
+    // arrival-order float sum, so the oracle-facing columns are the
+    // exact-integer five; the flush event's own user (-1) is harness,
+    // not data.
+    "q186_streaming_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayThirds(s, dir,
+        ds => graft.streaming.EventStreams.sessionizeByGap(ds,
+          gapMs = 28800000L),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        flush = true)
+      raw.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(4), r.getLong(5)))
+        .filter(_._1 != -1L)
+        .toSeq
+        .toDF("user_id", "session_seq", "n_events", "start_us", "end_us")
+        .orderBy("user_id", "session_seq")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -1867,5 +1891,6 @@ object AnalyticQueries {
       ("q165_streaming_kcore" -> streamingKcoreSql) +
       ("q175_streaming_boilerplate" -> streamingBoilerplateSql) +
       ("q182_streaming_cdc_freq" -> streamingCdcFreqSql) +
+      ("q186_streaming_sessionize" -> oracleSqlBase("q53_sessionize")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -210,19 +210,31 @@ object EventStreams {
       }
   }
 
-  final case class ClosedSession(user_id: Long, nEvents: Long,
-      total: Double, firstTs: Long, lastTs: Long)
-  final case class GapState(nEvents: Long, total: Double,
-      firstTs: Long, lastTs: Long)
+  final case class ClosedSession(user_id: Long, session_seq: Long,
+      n_events: Long, total: Double, start_us: Long, end_us: Long)
+  final case class GapState(seq: Long, nEvents: Long, total: Double,
+      firstUs: Long, lastUs: Long)
 
   /** Event-time gap sessionization: a user's session closes when no event
     * arrives within `gapMs` of EVENT time — driven by the watermark, so
     * late data and wall-clock stalls don't corrupt sessions (unlike the
-    * processing-time variant). Emits each session exactly once, on close.
-    */
+    * processing-time variant). Emits each session exactly once, on close:
+    * mid-batch when a later event in the SAME micro-batch opens the next
+    * session (the batch's events are buffered and walked in (micros,
+    * event_id) order — per-key arrival order isn't guaranteed after the
+    * groupByKey shuffle), or via the event-time timer when the watermark
+    * passes last + gap. Timeline is exact MICROS (the batch
+    * Sessionize/q53 timeline; millis alone would tie-break
+    * same-millisecond events differently), and `session_seq` numbers a
+    * user's sessions from 0 in time order — so under in-order,
+    * watermark-respecting delivery the closed-session stream is
+    * row-identical to the batch operator (oracle q186). Per-key state is
+    * ONE open session + a counter; the per-batch sort buffers only one
+    * user's slice of one micro-batch. */
   def sessionizeByGap(events: Dataset[Event], gapMs: Long,
       watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -231,22 +243,35 @@ object EventStreams {
         (user: Long, batch: Iterator[Event], state: GroupState[GapState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            Iterator(ClosedSession(user, s.nEvents, s.total, s.firstTs,
-              s.lastTs))
+            // keep the counter (an empty-session state, no timer): a
+            // remove() here would restart session_seq at 0 for the
+            // user's next session — state stays one tiny row per user
+            state.update(GapState(s.seq + 1L, 0L, 0.0,
+              Long.MaxValue, Long.MinValue))
+            Iterator(ClosedSession(user, s.seq, s.nEvents, s.total,
+              s.firstUs, s.lastUs))
           } else {
-            val prev = state.getOption
-              .getOrElse(GapState(0L, 0.0, Long.MaxValue, Long.MinValue))
-            var n = prev.nEvents; var tot = prev.total
-            var first = prev.firstTs; var last = prev.lastTs
-            batch.foreach { e =>
-              n += 1; tot += e.value
-              first = math.min(first, e.ts.getTime)
-              last = math.max(last, e.ts.getTime)
+            val evs = batch.toArray
+              .map(e => (exactMicros(e.ts), e.event_id, e.value))
+              .sortBy(t => (t._1, t._2))
+            var st = state.getOption
+              .getOrElse(GapState(0L, 0L, 0.0, Long.MaxValue, Long.MinValue))
+            val out =
+              new scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            evs.foreach { case (t, _, v) =>
+              if (st.nEvents > 0L && t - st.lastUs > gapUs) {
+                out += ClosedSession(user, st.seq, st.nEvents, st.total,
+                  st.firstUs, st.lastUs)
+                st = GapState(st.seq + 1L, 0L, 0.0,
+                  Long.MaxValue, Long.MinValue)
+              }
+              st = GapState(st.seq, st.nEvents + 1L, st.total + v,
+                math.min(st.firstUs, t), math.max(st.lastUs, t))
             }
-            state.update(GapState(n, tot, first, last))
-            state.setTimeoutTimestamp(last + gapMs)
-            Iterator.empty
+            state.update(st)
+            state.setTimeoutTimestamp(
+              Math.floorDiv(st.lastUs, 1000L) + gapMs)
+            out.iterator
           }
       }
   }

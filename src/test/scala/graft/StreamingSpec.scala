@@ -97,10 +97,48 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       mem.addData(ev(5, 4, 400)) // watermark 240 > u2 timeout 190 → u2 closes
       q.processAllAvailable()
-      val closed = spark.table("gap_sessions")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
-      assert(closed.contains((1L, 2L, 60 * 60000L, 65 * 60000L)))
-      assert(closed.contains((2L, 1L, 180 * 60000L, 180 * 60000L)))
+      // (user_id, n_events, start_us, end_us) — micros timeline
+      val closed = spark.table("gap_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5)))
+      assert(closed.contains((1L, 2L, 60 * 60000000L, 65 * 60000000L)))
+      assert(closed.contains((2L, 1L, 180 * 60000000L, 180 * 60000000L)))
+    } finally q.stop()
+  }
+
+  test("gap sessionization splits WITHIN a micro-batch and numbers " +
+      "session_seq in time order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionizeByGap(mem.toDS(),
+        gapMs = 10 * 60 * 1000)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("gap_split_sessions").start()
+    try {
+      def ev(id: Long, user: Long, minute: Long) = EventStreams.Event(
+        id, new java.sql.Timestamp(minute * 60000), user, "click", 1.0)
+      // one batch, one user, THREE sessions separated by >10-min gaps —
+      // fed deliberately out of order: the operator must sort the
+      // batch's slice, split mid-batch, and emit the first two closed
+      // sessions immediately (the third stays open on a timer)
+      mem.addData(ev(3, 1, 200), ev(1, 1, 60), ev(4, 1, 202),
+        ev(2, 1, 65), ev(5, 1, 400))
+      q.processAllAvailable()
+      val got = spark.table("gap_split_sessions").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+        .sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (0L, 2L, 60 * 60000000L, 65 * 60000000L),
+        (1L, 2L, 200 * 60000000L, 202 * 60000000L)))
+      // a later event past the open session's timeout closes session 2
+      mem.addData(ev(6, 2, 600))
+      q.processAllAvailable()
+      mem.addData(ev(7, 3, 700))
+      q.processAllAvailable()
+      val all = spark.table("gap_split_sessions").collect()
+        .filter(_.getLong(0) == 1L).map(r => r.getLong(1)).sorted
+      assert(all.toSeq == Seq(0L, 1L, 2L))
     } finally q.stop()
   }
 
@@ -127,7 +165,7 @@ class StreamingSpec extends SparkSpecBase {
       mem.addData(ev(3, 2, 180)); q.processAllAvailable()
       mem.addData(ev(4, 3, 240)); q.processAllAvailable()
       val closed = spark.table("rocks_sessions").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
       assert(closed.contains((1L, 2L)))
       assert(q.lastProgress.stateOperators(0).customMetrics
         .containsKey("rocksdbFilesCopied"),
