@@ -187,6 +187,57 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // EXACT shingle-set similarity self-join with AllPairs/PPJoin
+    // prefix filtering: every doc pair with shingle Jaccard >= 0.5,
+    // candidates from rarest-first set PREFIXES only (+ length
+    // filter). Faces q36's ground truth SQL — THIRD independent
+    // implementation of the exact near-dup pair set (quadratic
+    // shared-shingle q36, MinHash-recall q35, prefix-filter q183):
+    // any lost candidate or over-eager filter diverges from the
+    // shared oracle. Jaccard is one IEEE division of exact ints on
+    // both sides.
+    "q183_prefix_jaccard_join" -> ((s, dir) => {
+      Dedup.prefixJaccardJoin(docsSpread(s, dir), "doc_id", "text",
+          threshold = 0.5, shingleN = 3)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Vocabulary-wide edit-distance-1 pairs via the deletion-
+    // neighborhood SELF-join (q129's device, both sides the vocab):
+    // typo/OCR-variant discovery without the |vocab|^2 scan. The
+    // corpus vocabulary is 31 CLEAN words (no natural ED-1 pairs), so
+    // the vocab under test is corpus-derived noise: real terms UNION
+    // their 1-char deletions (the OCR-noise fixture, deterministic
+    // and replayed identically in the oracle); brute-force
+    // levenshtein over that same vocab is the ground truth.
+    "q184_edit_distance_pairs" -> ((s, dir) => {
+      val base = TextAnalysis.vocabulary(docs(s, dir), "text")
+        .select("term").filter(length(col("term")) > 0)
+      val dels = base.select(explode(expr(
+          """transform(sequence(1, length(term)), i ->
+            |  concat(substr(term, 1, i - 1),
+            |         substr(term, i + 1, length(term))))""".stripMargin))
+          .as("term"))
+        .distinct()
+      TextAnalysis.editDistancePairs(base.unionByName(dels).distinct())
+        .orderBy("a", "b")
+    }),
+
+    // Per-source quota cap (the FineWeb/Dolma per-domain cap): keep
+    // the 10 longest docs per source, rank deterministic
+    // (n_chars desc, doc_id asc) — the anti-domination pass of a
+    // crawl-mix build. One rank-window shuffle.
+    "q185_source_quota" -> ((s, dir) => {
+      graft.ext.Curation.groupQuota(
+          docs(s, dir).select("doc_id", "source", "n_chars"),
+          groupCols = Seq("source"),
+          order = Seq(col("n_chars").desc, col("doc_id").asc),
+          k = 10)
+        .select("source", "quota_rank", "doc_id", "n_chars")
+        .orderBy("source", "quota_rank")
+    }),
+
     // Skip-gram co-occurrence with exact PMI ratio (word2vec /
     // collocation prep): window-3 unordered pairs, top-100 by
     // (count desc, a, b) — deterministic LIMIT. The exp(PMI) form
@@ -515,6 +566,20 @@ object TextQueries {
       |       UNION ALL
       |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 3)""".stripMargin
 
+  /** Exact shingle-jaccard ground truth (the q36 SQL), shared by q36
+    * (quadratic shared-shingle candidates) and q183 (prefix-filter
+    * candidates) — two implementations, one oracle. */
+  private val exactJaccardSql: String =
+    shingleCte + """,
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+      |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id
+      |          GROUP BY 1,2)
+      |SELECT a_id, b_id, CAST(i AS DOUBLE)/(sa.n+sb.n-i) AS jaccard
+      |FROM inter JOIN sizes sa ON a_id=sa.doc_id JOIN sizes sb ON b_id=sb.doc_id
+      |WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** The MinHash+LSH pipeline CTEs up to the per-candidate-pair shingle
     * intersection — shared by q35/q84 (pair emission) and q90 (cluster
     * closure over the verified pairs). */
@@ -693,6 +758,34 @@ object TextQueries {
         |  CAST(COALESCE(sc, 0) AS BIGINT) AS shared_chars
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+    // brute-force levenshtein over the same corpus-derived noisy
+    // vocab: non-empty terms (extraction mirrors
+    // TextAnalysis.vocabulary's whitespace split) UNION their 1-char
+    // deletions — the deterministic OCR-noise fixture, replayed
+    // identically, then the naive all-pairs distance scan
+    "q184_edit_distance_pairs" ->
+      """WITH toks AS (SELECT t FROM documents,
+        |    unnest(string_split_regex(text,'\s+')) u(t)),
+        |base AS (SELECT t AS term FROM toks WHERE length(t) > 0 GROUP BY 1),
+        |dels AS (SELECT DISTINCT d AS term FROM base,
+        |  unnest(list_transform(generate_series(1, length(term)), i ->
+        |    substr(term, 1, i - 1) ||
+        |    substr(term, i + 1, length(term)))) v(d)),
+        |vocab AS (SELECT DISTINCT term FROM
+        |  (SELECT term FROM base UNION ALL SELECT term FROM dels))
+        |SELECT a.term AS a, b.term AS b,
+        |  CAST(levenshtein(a.term, b.term) AS BIGINT) AS distance
+        |FROM vocab a JOIN vocab b ON a.term < b.term
+        |WHERE levenshtein(a.term, b.term) <= 1
+        |ORDER BY a, b""".stripMargin,
+    // rank window replay of the per-source quota
+    "q185_source_quota" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS quota_rank
+        |  FROM documents)
+        |SELECT source, quota_rank, doc_id, n_chars FROM r
+        |WHERE quota_rank <= 10 ORDER BY source, quota_rank""".stripMargin,
     // same center-and-next-window pair extraction, canonicalized with
     // least/greatest; the PMI ratio is the identical left-associated
     // double expression over exact counts
@@ -870,15 +963,11 @@ object TextQueries {
     // same full pipeline; a pair involves a new (id >= 250) doc exactly
     // when its LARGER id is new
     "q84_minhash_delta" -> minhashSql("AND b_id >= 250 "),
-    "q36_ngram_jaccard" -> (shingleCte + """,
-        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
-        |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id
-        |          GROUP BY 1,2)
-        |SELECT a_id, b_id, CAST(i AS DOUBLE)/(sa.n+sb.n-i) AS jaccard
-        |FROM inter JOIN sizes sa ON a_id=sa.doc_id JOIN sizes sb ON b_id=sb.doc_id
-        |WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin),
+    "q36_ngram_jaccard" -> exactJaccardSql,
+    // the prefix-filter join faces the SAME ground truth as the
+    // quadratic shared-shingle pass — third independent
+    // implementation, one oracle (the q139/q164 device)
+    "q183_prefix_jaccard_join" -> exactJaccardSql,
     // q98: replays Multimodal.phashFromGrid over the synthetic grids in
     // pure integer SQL — grid bytes from the same md5 chain, the 8x32
     // fixed-point DCT basis embedded as the SAME integers the Scala

@@ -155,6 +155,30 @@ object Curation {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-group quota cap — the FineWeb/Dolma per-domain cap: keep at
+    * most `k` rows per group, chosen by a DETERMINISTIC rank (the
+    * caller's order columns must be a total order, e.g. quality desc +
+    * id asc), so the kept set is a pure function of the data — no
+    * sampling noise, engine-replayable. The standard defense against a
+    * single crawl domain dominating a pretraining mix.
+    *
+    * One shuffle (the rank window partitions by the group). A mega
+    * group pays one per-key sort — spill-aware, and AQE skew handling
+    * does not split windows, so for quota-capping a group that alone
+    * exceeds one task's capacity, pre-filter with a cheap upper bound
+    * (e.g. keep only rows above the group's approximate k-th quantile)
+    * before ranking. Output keeps all input columns + `quota_rank`
+    * (1-based). */
+  def groupQuota(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, "quota k must be >= 1")
+    require(groupCols.nonEmpty, "groupQuota needs group columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("quota_rank", row_number().over(w).cast("long"))
+      .filter(col("quota_rank") <= k)
+  }
+
   /** Deterministic global shuffle: total order by hash rank (id as
     * tiebreak). Plans as one range-partitioned sort — the scalable way
     * to permute 100 TB (sample-based range boundaries, no single-point

@@ -197,6 +197,81 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** EXACT shingle-set similarity self-join with AllPairs/PPJoin PREFIX
+    * FILTERING (Bayardo et al. WWW'07 / Chaudhuri et al. SSJoin —
+    * public algorithms): every pair with shingle-set Jaccard >=
+    * `threshold`, with candidates generated from set PREFIXES instead
+    * of every shared element.
+    *
+    * Device: order each doc's distinct shingles by ONE global total
+    * order — document frequency ascending, shingle ascending (rarest
+    * first) — and index only the first n − ⌈τ·n⌉ + 1: any pair with
+    * J >= τ must share an element inside BOTH prefixes (the AllPairs
+    * prefix theorem), so the candidate join runs on prefix elements
+    * only, and rarest-first ordering makes those the smallest buckets
+    * in the corpus. A length filter (J >= τ ⇒ τ·max(n_a,n_b) <=
+    * min(n_a,n_b)) prunes candidates before the exact verify. This is
+    * the exact counterpart of [[minhashNearDup]] (no probabilistic
+    * recall loss) and the scalable form of [[ngramJaccard]] (whose
+    * candidate space is EVERY shared-shingle pair — the frequent
+    * buckets that prefix filtering never joins on; the q183 oracle row
+    * faces q36's ground truth, and ScaleProbe prices the candidate
+    * reduction).
+    *
+    * Shuffle shape: candidate pairs ∝ Σ over PREFIX elements
+    * |bucket|²; the verify joins candidate ids back to the per-doc
+    * arrays (pk joins). The floor form of the prefix bound
+    * (n − ⌊τ·n⌋ + 1 ≥ n − ⌈τ·n⌉ + 1) is used so no float-boundary
+    * rounding can shrink a prefix below the exactness bound — at most
+    * one extra element per doc. Returns
+    * (a_id, b_id, n_a, n_b, n_shared, jaccard) with a_id < b_id;
+    * jaccard is ONE IEEE division of exact longs. */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tok = shingled(df, idCol, textCol, shingleN)
+      .select(col("__id"), col("__shingle").as("__tok"))
+      .distinct()
+    val tf = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // per-doc token array in (df asc, token asc) global order; struct
+    // sort gives the total order, then project the tokens back out
+    val ordered = tok.join(tf, "__tok")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tok"))))
+        .as("__st"))
+      .select(col("__id"),
+        transform(col("__st"), s => s.getField("__tok")).as("__toks"),
+        size(col("__st")).cast("long").as("__n"))
+    val prefixLen = (col("__n") -
+      floor(lit(threshold) * col("__n").cast("double")).cast("long") +
+      lit(1L)).cast("int")
+    val pref = ordered.select(col("__id"), col("__n"),
+      explode(slice(col("__toks"), lit(1), prefixLen)).as("__tok"))
+    val cand = pref
+      .select(col("__id").as("a_id"), col("__n").as("__na"), col("__tok"))
+      .join(pref.select(col("__id").as("b_id"), col("__n").as("__nb"),
+        col("__tok")), Seq("__tok"))
+      .filter(col("a_id") < col("b_id"))
+      // length filter, relaxed by an epsilon so an IEEE rounding of
+      // τ·max can never reject a true boundary pair
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        lit(threshold) * greatest(col("__na"), col("__nb")).cast("double")
+          - lit(1e-9))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(ordered.select(col("__id").as("a_id"),
+        col("__toks").as("__ta"), col("__n").as("n_a")), "a_id")
+      .join(ordered.select(col("__id").as("b_id"),
+        col("__toks").as("__tb"), col("__n").as("n_b")), "b_id")
+      .withColumn("n_shared",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "n_a", "n_b", "n_shared", "jaccard")
+  }
+
   /** SimHash near-duplicate pairs: 60-bit signatures, candidates via
     * 4×15-bit pigeonhole banding, verified at Hamming distance <=
     * `maxHamming` (pigeonhole: distance <= 3 ⇒ some chunk equal). */

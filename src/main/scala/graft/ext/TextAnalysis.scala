@@ -717,6 +717,37 @@ object TextAnalysis {
       .filter(col("distance") <= lit(maxEdits))
   }
 
+  /** Vocabulary-wide edit-distance-1 pair discovery — the SELF-JOIN
+    * form of [[spellCandidates]]'s deletion-neighborhood device (the
+    * OCR-noise / typo-variant clustering primitive): every unordered
+    * pair of distinct vocab terms within Levenshtein distance 1, found
+    * WITHOUT the O(|vocab|²) distance scan. Both occurrences of a pair
+    * meet on a shared deletion-neighborhood key ({self} ∪ one-char
+    * deletions — necessary, not sufficient), then the few candidates
+    * verify with a true levenshtein call.
+    *
+    * Shuffle shape: the variant explode is map-only ((len+1)× vocab
+    * rows, and a vocab is corpus-sublinear); candidate pairs ∝ Σ over
+    * variant keys |bucket|² — bounded by how many terms share a
+    * deletion, never |vocab|². Returns (a, b, distance) with a < b. */
+  def editDistancePairs(vocab: DataFrame,
+      termCol: String = "term"): DataFrame = {
+    def variants(colName: String): Column = explode(expr(
+      s"""array_distinct(concat(array($colName),
+         |  transform(sequence(1, length($colName)), i ->
+         |    concat(substr($colName, 1, i - 1),
+         |           substr($colName, i + 1, length($colName))))))"""
+        .stripMargin))
+    val v = vocab.select(col(termCol).as("__t"))
+      .select(col("__t"), variants("__t").as("__var"))
+    v.select(col("__t").as("a"), col("__var"))
+      .join(v.select(col("__t").as("b"), col("__var")), Seq("__var"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .withColumn("distance", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("distance") <= 1L)
+  }
+
   def redact(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

@@ -460,6 +460,42 @@ object ScaleProbe {
     }
     } // docProbes guard
 
+    // Prefix-filter exact jaccard join (q183) vs the quadratic
+    // shared-shingle pass (q36), on the corpus shape that separates
+    // them: BOILERPLATE. On clean docs every shingle bucket is tiny
+    // and the naive pass is cheap (the sf0.1 bench shows q36 beating
+    // q183 there — recorded honestly in BENCH.md); prepend one shared
+    // boilerplate header to every doc and the naive candidate space
+    // gains Σ|bucket|² ≈ boiler_shingles × N² rows, while rarest-first
+    // prefix filtering never indexes the frequent shingles at all.
+    // Three rows: naive and prefix at N=1000 (naive still feasible),
+    // prefix alone at N=1000·copies (where the naive join's candidate
+    // space is ~boiler × N² ≈ 10^10 rows — not run, by design).
+    if (Seq("prefix_jaccard_boiler_naive", "prefix_jaccard_boiler_prefix",
+        "prefix_jaccard_boiler_prefix_full",
+        "prefix_jaccard_boiler_naive_full").exists(wanted)) {
+      val boiler = ("terms of service privacy policy all rights " +
+        "reserved contact about subscribe cookie notice legal ") * 2
+      val base = GraftSession.table(spark, sfDir, "documents")
+        .select("doc_id", "text")
+        .withColumn("text", concat(lit(boiler), col("text")))
+      val small = replicate(base.filter(col("doc_id") < 500), "doc_id", 2)
+        .cache()
+      val full = replicate(base, "doc_id", copies).cache()
+      println(s"[probe] boiler small=${small.count()} full=${full.count()}")
+      time("prefix_jaccard_boiler_naive")(
+        Dedup.ngramJaccard(small, "doc_id", "text", 3, 0.8).count())
+      time("prefix_jaccard_boiler_prefix")(
+        Dedup.prefixJaccardJoin(small, "doc_id", "text", 0.8, 3).count())
+      time("prefix_jaccard_boiler_prefix_full")(
+        Dedup.prefixJaccardJoin(full, "doc_id", "text", 0.8, 3).count())
+      // the naive pass at full N only when explicitly asked for — its
+      // candidate space is boiler_shingles x N^2 (~2x10^9 rows here)
+      time("prefix_jaccard_boiler_naive_full")(
+        Dedup.ngramJaccard(full, "doc_id", "text", 3, 0.8).count())
+      small.unpersist(); full.unpersist()
+    }
+
     // VERDICT r5 Next #4: the ARTIFACT-LOADED minhash delta. Production
     // saves minhashBands(snapshot) once; re-ingest pays only the delta
     // (ext/Dedup.scala minhashNearDupDelta docs). The q84 bench shape

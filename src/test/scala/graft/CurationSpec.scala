@@ -28,6 +28,26 @@ class CurationSpec extends SparkSpecBase {
     assert(perm("ep1") != perm("ep2"))
   }
 
+  test("groupQuota: deterministic top-k per group, ties break on the " +
+      "caller's total order, partitioning-invariant") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 300L), ("a", 3L, 300L), ("a", 4L, 50L),
+      ("b", 5L, 10L), ("c", 6L, 7L), ("c", 7L, 7L), ("c", 8L, 7L))
+      .toDF("source", "doc_id", "n_chars")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.groupQuota(df, Seq("source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 2)
+        .select("source", "doc_id", "quota_rank")
+        .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val got = run(rows)
+    assert(got == Seq(("a", 2L, 1L), ("a", 3L, 2L), ("b", 5L, 1L),
+      ("c", 6L, 1L), ("c", 7L, 2L)))
+    assert(run(rows.repartition(7)) == got)
+    intercept[IllegalArgumentException](
+      Curation.groupQuota(rows, Seq("source"), Seq(col("doc_id")), 0))
+  }
+
   test("shard: stable, in-range, roughly balanced") {
     val shards = corpus
       .select(Curation.shard("ep1", col("id"), 8).as("shard"))

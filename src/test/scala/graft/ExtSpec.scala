@@ -35,6 +35,58 @@ class ExtSpec extends SparkSpecBase {
     assert(j.exists(r => r._1 == 0L && r._2 == 1L && r._3 == 1.0))
   }
 
+  test("prefixJaccardJoin == ngramJaccard pair-for-pair (prefix " +
+      "filtering is exact) across thresholds") {
+    // richer fixture: exact dup, near dup, disjoint docs, a doc-pair
+    // right at a jaccard boundary, short (<shingleN) docs
+    val fx = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (2L, "alpha beta gamma delta epsilon zeta eta IOTA"),  // near dup
+      (3L, "one two three four five six seven eight"),       // disjoint
+      (4L, "one two three four five six seven NINE"),        // near dup
+      (5L, "tiny doc"),                                      // < shingleN
+      (6L, "tiny doc"),                                      // its dup
+      (7L, "")).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val naive = Dedup.ngramJaccard(fx, "doc_id", "text", 3, t)
+        .select("a_id", "b_id", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val pf = Dedup.prefixJaccardJoin(fx, "doc_id", "text", t, 3)
+        .select("a_id", "b_id", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(pf == naive, s"threshold $t: prefix-filter pairs diverge")
+    }
+    // sanity: the fixture is non-trivial at 0.5
+    assert(Dedup.prefixJaccardJoin(fx, "doc_id", "text", 0.5, 3)
+      .count() >= 3)
+  }
+
+  test("editDistancePairs == brute-force levenshtein over the vocab, " +
+      "transposition (distance-2) candidates filtered") {
+    val vocab = Seq("table", "tble", "tabel", "cable", "scan", "scann",
+      "sort", "sortt", "merge", "zzzz", "ab", "ba").toDF("term")
+    val got = graft.ext.TextAnalysis.editDistancePairs(vocab)
+      .select("a", "b").as[(String, String)].collect().toSet
+    val terms = vocab.as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- terms; b <- terms if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got == brute)
+    // "ab"/"ba" share the deletion variants {a, b} but are distance 2:
+    // the candidate must be generated AND filtered
+    assert(!got.contains(("ab", "ba")))
+    assert(got.contains(("table", "tble")))
+  }
+
   test("simhash: identical docs at hamming 0") {
     val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
