@@ -167,7 +167,9 @@ object AnalyticQueries {
     * Update-mode sink rows. Same scale posture: Spark range-partitions
     * and sorts, the driver streams one partition at a time. */
   private def replayDocsThirds(s: SparkSession, docs: DataFrame,
-      op: DataFrame => DataFrame)
+      op: DataFrame => DataFrame,
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Update())
       : Array[org.apache.spark.sql.Row] = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -179,7 +181,7 @@ object AnalyticQueries {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try op(mem.toDF().toDF("doc_id", "text")).writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .outputMode(mode)
         .format("memory").queryName(sink).start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
@@ -1105,6 +1107,30 @@ object AnalyticQueries {
         .toSeq
         .toDF("user_id", "session_seq", "n_events", "start_us", "end_us")
         .orderBy("user_id", "session_seq")
+    }),
+
+    // The FOURTEENTH streaming twin: ONLINE LSH near-dup maintenance.
+    // Documents replay through streamingBandIndex — band buckets as
+    // keyed state, candidate pairs emitted as docs arrive (old x new
+    // AND same-batch new x new) — then the fold set-dedupes the
+    // multi-band emissions and runs the batch exact-jaccard verify on
+    // candidates only. Faces q35's own oracle SQL: the online band
+    // index must reproduce the batch MinHash+LSH pair set
+    // bit-for-bit. (Oracle binding lives next to minhashSql in
+    // TextQueries.)
+    "q187_streaming_band_index" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val raw = replayDocsThirds(s, docs,
+        df => graft.streaming.EventStreams.streamingBandIndex(
+          df, "doc_id", "text", shingleN = 3, k = 12, bands = 4)
+          .toDF("a_id", "b_id"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      val cand = raw.map(r => (r.getLong(0), r.getLong(1)))
+        .distinct.toSeq.toDF("a_id", "b_id")
+      graft.ext.Dedup.verifyJaccard(cand, docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .orderBy("a_id", "b_id")
     }),
 
     // CUSUM changepoint statistic per type over the daily series, in

@@ -959,6 +959,9 @@ object TextQueries {
         |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 8)
         |SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q35_minhash_lsh" -> minhashSql(""),
+    // the streaming band index (q187, AnalyticQueries) must reproduce
+    // the batch LSH pair set — same ground truth as q35
+    "q187_streaming_band_index" -> minhashSql(""),
     "q166_bpe_apply" -> bpeApplySql,
     // same full pipeline; a pair involves a new (id >= 250) doc exactly
     // when its LARGER id is new

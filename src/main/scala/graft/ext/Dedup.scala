@@ -94,7 +94,7 @@ object Dedup {
     * intersection counts from the 8-byte shingle-hash streams, sizes
     * joined per side, threshold applied. Shared tail of
     * [[minhashNearDup]] / [[minhashNearDupDelta]]. */
-  private def verifyJaccard(cand: DataFrame, corpus: DataFrame,
+  private[graft] def verifyJaccard(cand: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleN: Int,
       threshold: Double): DataFrame = {
     val shh = shingleHashes(corpus, idCol, textCol, shingleN)

@@ -391,6 +391,82 @@ object EventStreams {
         greatest(col("__sid"), col("__oid")).as("b_id"), col("jaccard"))
   }
 
+  final case class BandBucket(ids: Seq[Long])
+
+  /** ONLINE LSH band-index maintenance — the stateful completion of
+    * [[streamMinhashNearDup]] (which is stream-vs-SNAPSHOT and scopes
+    * stream×stream pairs out): band buckets live in keyed state, every
+    * arriving doc emits candidate pairs against its buckets' existing
+    * members AND the batch's other newcomers, then joins the bucket —
+    * so the full pair set (old×new and new×new) appears online, with
+    * no snapshot compaction step. This is the streaming form of the
+    * batch LSH candidate join: per-key state is one id list per
+    * OCCUPIED band bucket (the [[graft.ext.Dedup.minhashBands]]
+    * artifact itself, keyed), and lifetime emissions per bucket are
+    * that bucket's |bucket|² — exactly the batch candidate bound.
+    *
+    * Signatures/band keys compute per row map-side (the
+    * `minhashSignature` formulation, value-identical to the batch
+    * aggregation chain), so candidates — and after the caller's exact
+    * verify, pairs — replay the batch [[graft.ext.Dedup.minhashNearDup]]
+    * bit-for-bit (oracle q187). A pair colliding in several bands
+    * emits once per band: set-dedupe downstream. `maxBucket` is the
+    * heavy-hitter guard: a degenerate bucket (near-constant corpus)
+    * fails loudly instead of accreting quadratic emissions. */
+  def streamingBandIndex(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+      maxBucket: Int = 4096): Dataset[(Long, Long)] = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.{bandKeys, minhashSignature}
+    val rows = k / bands
+    val withBands = docs
+      .select(col(idCol).cast("long").as("__sid"),
+        graft.functions.expressions.TextExpressions.wordShingles(
+          spark, col(textCol), shingleN).as("__sharr"))
+      .select(col("__sid"),
+        explode(bandKeys(minhashSignature(col("__sharr"), k), bands, rows))
+          .as("__b"))
+      .select(concat_ws(":", col("__b.band"), col("__b.bkey")).as("__key"),
+        col("__sid"))
+      .as[(String, Long)]
+    withBands
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BandBucket, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[(String, Long)],
+            state: GroupState[BandBucket]) =>
+          val old = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val seen = old.toSet
+          // arrival order inside a batch is not guaranteed: sort for a
+          // deterministic new×new emission order (the fold dedupes, so
+          // this is about reproducible transcripts, not correctness)
+          val fresh = batch.map(_._2).toArray.distinct.sorted
+            .filterNot(seen)
+          require(old.size + fresh.length <= maxBucket,
+            s"streamingBandIndex: band bucket $key would exceed " +
+              s"maxBucket=$maxBucket (${old.size} + ${fresh.length}) — " +
+              "a degenerate bucket makes candidate emissions quadratic; " +
+              "raise maxBucket deliberately or pre-dedup the feed")
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          var i = 0
+          while (i < fresh.length) {
+            val n = fresh(i)
+            old.foreach { o =>
+              if (o != n) out += ((math.min(o, n), math.max(o, n)))
+            }
+            var j = i + 1
+            while (j < fresh.length) {
+              out += ((fresh(i), fresh(j))); j += 1
+            }
+            i += 1
+          }
+          state.update(BandBucket(old ++ fresh))
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment: join the live stream against a static
     * dimension table. Stateless (no watermark, no state store) — the dim
     * broadcasts into every micro-batch, so the stream side never

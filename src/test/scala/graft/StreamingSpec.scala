@@ -819,6 +819,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("streamingBandIndex: cross-batch AND same-batch pairs, " +
+      "deduped candidates == batch LSH candidates; maxBucket is loud") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    // three near-identical docs (one band-colliding family) + one
+    // unrelated doc; docs 1,2 share a batch (new x new), doc 3 arrives
+    // later (old x new across batches)
+    val t0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingBandIndex(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .toDF("a_id", "b_id").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("band_idx").start()
+    try {
+      mem.addData((1L, t0), (2L, t0), (4L, "one two three four five"))
+      q.processAllAvailable()
+      mem.addData((3L, t0))
+      q.processAllAvailable()
+      val got = spark.table("band_idx")
+        .as[(Long, Long)].collect().toSet // set-dedupe multi-band emits
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally q.stop()
+    // a degenerate bucket must fail loudly, not accrete quadratically
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.streamingBandIndex(
+        mem2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        maxBucket = 2)
+      .toDF("a_id", "b_id").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("band_idx_guard").start()
+    try {
+      mem2.addData((1L, t0), (2L, t0), (3L, t0))
+      val e = intercept[Exception](q2.processAllAvailable())
+      def msgs(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs(e).contains("maxBucket"), msgs(e).take(300))
+    } finally q2.stop()
+  }
+
   test("JVM hash twins equal the SQL column forms") {
     import graft.ext.Curation
     val ids = Seq(1L, 42L, 999999L, 7L)
