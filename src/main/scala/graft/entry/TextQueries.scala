@@ -238,6 +238,18 @@ object TextQueries {
         .orderBy("source", "quota_rank")
     }),
 
+    // BPE TRAINING under the driver's gate (q166 covers APPLY with
+    // pinned merges; this row gates the TRAINER itself): 8 Sennrich
+    // merges learned from the corpus word-frequency table, against
+    // the DuckDB merge loop unrolled to 8 CTE stages — pair counts,
+    // (count desc, left, right) election, and the greedy fold apply
+    // all replayed independently. Any drift in pre-tokenization,
+    // overlap counting, tie-break, or merge application diverges.
+    "q188_bpe_train" -> ((s, dir) => {
+      TextAnalysis.bpeTrain(docs(s, dir), "text", numMerges = 8)
+        .orderBy("rank")
+    }),
+
     // Skip-gram co-occurrence with exact PMI ratio (word2vec /
     // collocation prep): window-3 unordered pairs, top-100 by
     // (count desc, a, b) — deterministic LIMIT. The exp(PMI) form
@@ -673,6 +685,45 @@ object TextQueries {
     * occurrence sweep. Equal to the greedy loop under the pinned
     * list's training invariant (see [[pinnedBpeMerges]]); the
     * driver's hash compare certifies it on the real corpus. */
+  /** The DuckDB half of BPE TRAINING (q188): the Sennrich merge loop
+    * UNROLLED to `k` CTE stages over the word-frequency table — stage i
+    * counts overlapping adjacent symbol pairs weighted by word count,
+    * elects the winner by (count desc, left, right), and applies it
+    * with a left-to-right greedy list fold (list_reduce) that is
+    * provably the same scan as bpeTrain's imperative merge (the fold's
+    * acc-tail check merges exactly the non-overlapping occurrences the
+    * i += 2 loop does; a merged symbol can never re-match as the left
+    * partner because left+right is strictly longer than left). Word
+    * table and pre-tokens replay the q166 device; tie-break parity
+    * holds because the corpus is ASCII (UTF-16 compareTo ==
+    * UTF-8 memcmp there). */
+  private def bpeTrainSql(k: Int): String = {
+    val head =
+      """WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents, unnest(regexp_extract_all(COALESCE(text, ''),
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) u(w)
+        |  GROUP BY 1),
+        |wt0 AS (SELECT n, list_transform(generate_series(1, length(w)),
+        |    i -> w[i:i]) AS s FROM words)""".stripMargin
+    val stages = (1 to k).map { i =>
+      s""",
+         |p$i AS (SELECT s[j] AS a, s[j + 1] AS b, SUM(n) AS c
+         |  FROM wt${i - 1}, unnest(generate_series(1, len(s) - 1)) u(j)
+         |  WHERE len(s) >= 2 GROUP BY 1, 2),
+         |m$i AS (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |wt$i AS (SELECT n, list_reduce(list_transform(s, x -> [x]),
+         |    (acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b
+         |      THEN list_append(acc[1:len(acc) - 1], a || b)
+         |      ELSE list_concat(acc, x) END) AS s
+         |  FROM wt${i - 1}, m$i)""".stripMargin
+    }.mkString
+    val tail = (1 to k).map(i =>
+      s"""SELECT CAST(${i - 1} AS INTEGER) AS rank, a AS "left", """ +
+        s"""b AS "right", a || b AS merged FROM m$i""")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+    head + stages + tail
+  }
+
   private val bpeApplySql: String = {
     val S = "chr(31)"
     val enc = s"regexp_replace(w, '(.)', $S||'\\1'||$S, 'g')"
@@ -963,6 +1014,7 @@ object TextQueries {
     // the batch LSH pair set — same ground truth as q35
     "q187_streaming_band_index" -> minhashSql(""),
     "q166_bpe_apply" -> bpeApplySql,
+    "q188_bpe_train" -> bpeTrainSql(8),
     // same full pipeline; a pair involves a new (id >= 250) doc exactly
     // when its LARGER id is new
     "q84_minhash_delta" -> minhashSql("AND b_id >= 250 "),
