@@ -1,6 +1,6 @@
 package graft.entry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.GraftSession
@@ -161,39 +161,37 @@ object AnalyticQueries {
     }
   }
 
-  /** Docs-corpus replay harness (the [[replayThirds]] shape for
-    * document streams, q175): feed a (doc_id, text) frame through a
-    * MemoryStream in three doc_id-ordered batches and return the raw
-    * Update-mode sink rows. Same scale posture: Spark range-partitions
-    * and sorts, the driver streams one partition at a time. */
-  private def replayDocsThirds(s: SparkSession, docs: DataFrame,
-      op: DataFrame => DataFrame,
-      mode: org.apache.spark.sql.streaming.OutputMode =
-        org.apache.spark.sql.streaming.OutputMode.Update())
+  /** Typed replay harness (the [[replayThirds]] shape for arbitrary
+    * row types): feed a Dataset through a MemoryStream in three
+    * `ordCols`-ordered batches and return the raw sink rows. Same
+    * scale posture: Spark range-partitions and sorts, the driver
+    * streams one partition at a time. */
+  private def replayTypedThirds[T](s: SparkSession, rows: Dataset[T],
+      ordCols: Seq[String], op: Dataset[T] => DataFrame,
+      mode: org.apache.spark.sql.streaming.OutputMode)(
+      implicit enc: org.apache.spark.sql.Encoder[T])
       : Array[org.apache.spark.sql.Row] = {
-    import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = s.sqlContext
-    val mem = MemoryStream[(Long, String)]
-    val sink = "docs_sink_" + java.util.UUID.randomUUID.toString
+    val mem = MemoryStream[T]
+    val sink = "typed_sink_" + java.util.UUID.randomUUID.toString
       .replace("-", "")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
-      try op(mem.toDF().toDF("doc_id", "text")).writeStream
+      try op(mem.toDS()).writeStream
         .outputMode(mode)
         .format("memory").queryName(sink).start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
-      val sorted = docs
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        .repartitionByRange(3, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .as[(Long, String)]
+      val sorted = rows
+        .repartitionByRange(3, ordCols.map(col): _*)
+        .sortWithinPartitions(ordCols.map(col): _*)
       val it = sorted.rdd
-        .mapPartitionsWithIndex((i, rows) => rows.map(d => (i, d)))
-        .toLocalIterator
-      val batch = new scala.collection.mutable.ArrayBuffer[(Long, String)]
+        .mapPartitionsWithIndex((i, rs) => rs.map(d => (i, d)),
+          preservesPartitioning = false)
+        .toLocalIterator: Iterator[(Int, T)]
+      val batch = new scala.collection.mutable.ArrayBuffer[T]
       var cur = -1
       def feed(): Unit = if (batch.nonEmpty) {
         mem.addData(batch.toSeq: _*); q.processAllAvailable()
@@ -210,6 +208,21 @@ object AnalyticQueries {
       q.stop()
       s.catalog.dropTempView(sink)
     }
+  }
+
+  /** Docs-corpus replay harness (q175/q182/q187): (doc_id, text) in
+    * three doc_id-ordered batches. */
+  private def replayDocsThirds(s: SparkSession, docs: DataFrame,
+      op: DataFrame => DataFrame,
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      : Array[org.apache.spark.sql.Row] = {
+    import s.implicits._
+    replayTypedThirds[(Long, String)](s,
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)],
+      Seq("doc_id"),
+      ds => op(ds.toDF("doc_id", "text")), mode)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1133,6 +1146,34 @@ object AnalyticQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // The FIFTEENTH streaming twin: online per-source quota
+    // maintenance (q185's batch cap, maintained as docs arrive).
+    // Kept-set changes are NOT monotone — a longer doc evicts a
+    // shorter one — so the fold device is versioned whole-ranking
+    // emission + MAX-version-per-group selection, not the counting
+    // twins' per-row MAX. Faces q185's own oracle SQL.
+    "q190_streaming_source_quota" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .as[(String, Long, Long)]
+      val raw = replayTypedThirds[(String, Long, Long)](s, rows,
+        Seq("doc_id"),
+        ds => graft.streaming.EventStreams.streamingGroupQuota(ds, k = 10),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val folded = raw
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val lastVer = folded.groupBy(_._1).view
+        .mapValues(_.map(_._2).max).toMap
+      folded
+        .filter(t => t._2 == lastVer(t._1))
+        .map(t => (t._1, t._5, t._3, t._4))
+        .toSeq
+        .toDF("source", "quota_rank", "doc_id", "n_chars")
+        .orderBy("source", "quota_rank")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -1918,5 +1959,7 @@ object AnalyticQueries {
       ("q175_streaming_boilerplate" -> streamingBoilerplateSql) +
       ("q182_streaming_cdc_freq" -> streamingCdcFreqSql) +
       ("q186_streaming_sessionize" -> oracleSqlBase("q53_sessionize")) +
+      ("q190_streaming_source_quota" ->
+        TextQueries.oracleSql("q185_source_quota")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -353,6 +353,20 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Synchronous min-tie label propagation over the near-dup graph —
+    // community detection where CC gives only reachability: 4
+    // deterministic rounds, every vertex adopting its neighbors'
+    // most-frequent previous-round label (ties to the smallest). The
+    // oracle unrolls the same 4 rounds as CTE stages.
+    "q189_label_propagation" -> ((s, dir) => {
+      import graft.ext.{Dedup, Graph}
+      val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.2)
+      Graph.labelPropagation(pairs, "a_id", "b_id", iters = 4)
+        .select(col("id").as("vec_id"), col("label").as("community"))
+        .orderBy("vec_id")
+    }),
+
     // k-core of the near-dup graph: iterative peeling to the maximal
     // subgraph of min-degree >= 3 — quasi-clique hearts survive, chain
     // and bridge periphery peels away (the graph-density filter). The
@@ -773,6 +787,31 @@ object VectorQueries {
     * last two rounds agree, so a graph whose peeling depth outruns the
     * cap fails loudly as a harness error instead of reporting an
     * under-peeled (too large) core against a correct operator. */
+  /** q189: the same 4 synchronous LPA rounds unrolled as CTE stages —
+    * per round, neighbor-label counts then a (count desc, label asc)
+    * rank-1 pick per vertex. Self-loops impossible (a < b in e). */
+  private def lpaSql(iters: Int): String = {
+    val head = nearDupEdgeCte +
+      """,sym AS (SELECT DISTINCT u, v FROM (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)),
+        |l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |c$i AS (SELECT sym.u AS id, l${i - 1}.label, COUNT(*) AS c
+         |  FROM sym JOIN l${i - 1} ON sym.v = l${i - 1}.id
+         |  GROUP BY 1, 2),
+         |l$i AS (SELECT id, label FROM (
+         |  SELECT id, label, row_number() OVER (
+         |    PARTITION BY id ORDER BY c DESC, label) AS rn FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT id AS vec_id, CAST(label AS BIGINT) AS community
+         |FROM l$iters ORDER BY vec_id""".stripMargin
+  }
+
   private val kcoreSql: String = nearDupEdgeCte +
     """,sym AS (SELECT a AS u, b AS v FROM e
       |         UNION ALL SELECT b, a FROM e),
@@ -851,5 +890,6 @@ object VectorQueries {
       ("q141_triangle_count" -> triangleSql) +
       ("q143_bfs_hops" -> bfsSql) +
       ("q153_clustering_coeff" -> clusteringSql) +
-      ("q159_kcore" -> kcoreSql)
+      ("q159_kcore" -> kcoreSql) +
+      ("q189_label_propagation" -> lpaSql(4))
 }

@@ -107,6 +107,66 @@ object Graph {
     result
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the undirected simple graph, `iters` rounds:
+    * every vertex starts as its own label, and each round ALL vertices
+    * simultaneously adopt the most frequent label among their
+    * neighbors' previous-round labels, ties broken by the smallest
+    * label. The synchronous + min-tie form is fully DETERMINISTIC
+    * (async LPA's arrival-order sensitivity is what makes it
+    * unreplayable), so the result is a pure function of (edges,
+    * iters) — oracle-checkable round for round (q189). Classic use in
+    * a curation stack: splitting over-merged LSH/near-dup components
+    * that connected components can't (CC gives reachability, LPA
+    * gives density structure).
+    *
+    * Scale shape: each round is ONE shuffle (neighbor labels grouped
+    * by vertex, count-max folded via struct-min — map-side partial);
+    * rounds materialize through CheckpointShim so the plan never
+    * nests `iters` deep (the CC/pageRank lesson). Isolated vertices
+    * don't exist here (vertex set = edge endpoints); a vertex keeps
+    * its label only through its neighbors' votes, the standard sync
+    * rule.
+    *
+    * @return (id, label) for every vertex appearing in any edge
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "labelPropagation needs iters >= 1")
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+    val adj = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")) // self-loops vote for nobody
+      .distinct() // simple graph: a multi-edge is one neighbor
+      .cache()
+    var labels = adj.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    var i = 0
+    while (i < iters) {
+      val counted = adj
+        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u").as("id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      // (max count, min label) as one struct-min: (-count, label)
+      val next = counted
+        .groupBy("id")
+        .agg(min(struct((-col("__c")).as("nc"), col("label"))).as("__w"))
+        .select(col("id"), col("__w.label").as("label"))
+      val (mat, rdd) =
+        org.apache.spark.sql.graftshim.CheckpointShim.materialize(next)
+      prevRdd.foreach(_.unpersist())
+      prevRdd = Some(rdd)
+      labels = mat
+      i += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
   /** Triangle enumeration by degree-ordered wedge closing (the
     * compact-forward algorithm): orient every undirected edge from its
     * (degree, id)-smaller endpoint to the larger, build wedges only

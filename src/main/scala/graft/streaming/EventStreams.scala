@@ -391,6 +391,49 @@ object EventStreams {
         greatest(col("__sid"), col("__oid")).as("b_id"), col("jaccard"))
   }
 
+  final case class QuotaState(ver: Long, top: Seq[(Long, Long)])
+
+  /** Online per-group quota maintenance — the streaming twin of
+    * [[graft.ext.Curation.groupQuota]] (the FineWeb/Dolma per-domain
+    * cap, maintained as rows arrive instead of recomputed per
+    * snapshot): keyed state holds each group's current top-k
+    * ((metric desc, id asc) order, k-bounded — a few longs per group
+    * FOREVER, never the group's history), and whenever a batch changes
+    * a group's top-k the full new ranking is emitted under a
+    * monotonically increasing version. A keyed sink folds by MAX
+    * version per group (kept-set changes are not monotone — a longer
+    * doc EVICTS a shorter one, so the per-row MAX fold of the counting
+    * twins would be wrong; versioned whole-ranking emission is the
+    * retraction-free device). Input rows: (group, id, metric); output
+    * (group, ver, id, metric, quota_rank). */
+  def streamingGroupQuota(rows: Dataset[(String, Long, Long)], k: Int)
+      : DataFrame = {
+    require(k >= 1, "quota k must be >= 1")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState,
+        (String, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[(String, Long, Long)],
+            state: GroupState[QuotaState]) =>
+          val st = state.getOption.getOrElse(QuotaState(0L, Seq.empty))
+          val merged = (st.top ++ batch.map(t => (t._3, t._2)))
+            .distinct
+            .sortBy { case (m, id) => (-m, id) }
+            .take(k)
+          if (st.ver > 0L && merged == st.top) Iterator.empty
+          else {
+            val ver = st.ver + 1L
+            state.update(QuotaState(ver, merged))
+            merged.iterator.zipWithIndex.map { case ((m, id), i) =>
+              (g, ver, id, m, (i + 1).toLong)
+            }
+          }
+      }
+      .toDF("group", "ver", "id", "metric", "quota_rank")
+  }
+
   final case class BandBucket(ids: Seq[Long])
 
   /** ONLINE LSH band-index maintenance — the stateful completion of

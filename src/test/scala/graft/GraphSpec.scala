@@ -172,4 +172,52 @@ class GraphSpec extends SparkSpecBase {
       Map(d(1) -> 2L, d(2) -> 2L, d(3) -> 2L))
     assert(Graph.kCore(tri, "a", "b", 3).isEmpty)
   }
+
+  /** In-JVM reference of the synchronous min-tie LPA rule — the spec's
+    * independent third implementation (operator, DuckDB oracle, this). */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab: Map[Long, Long] = adj.keySet.map(v => v -> v).toMap
+    (1 to iters).foreach { _ =>
+      lab = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(lab).view.mapValues(_.size).toSeq
+        v -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation == the synchronous min-tie reference on an " +
+      "irregular fixture; partitioning-invariant; splits what CC merges") {
+    // two dense cliques bridged by one edge + a pendant chain —
+    // ONE connected component, but density structure LPA can see
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val fixture = (cliqueA ++ cliqueB ++
+      Seq((4L, 10L), (13L, 20L), (20L, 21L), (7L, 7L))).toSeq
+    for (iters <- Seq(1, 2, 4)) {
+      val want = refLpa(fixture, iters)
+      val df = fixture.toDF("a", "b")
+      val got = Graph.labelPropagation(df, "a", "b", iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"iters=$iters")
+      val gotRep = Graph.labelPropagation(df.repartition(7), "a", "b",
+        iters).as[(Long, Long)].collect().toMap
+      assert(gotRep == want, s"iters=$iters repartitioned")
+    }
+    // after enough rounds the two cliques hold distinct internal labels
+    // (community structure), while CC labels everything as one
+    val lab4 = refLpa(fixture, 4)
+    assert(lab4(1L) == lab4(2L) && lab4(2L) == lab4(3L))
+    assert(lab4(11L) == lab4(12L) && lab4(12L) == lab4(13L))
+    assert(lab4(2L) != lab4(12L),
+      "fixture lost its two-community structure — pick a better fixture")
+    val cc = graft.ext.Dedup.connectedComponents(
+        fixture.filter(e => e._1 != e._2).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1, "CC must merge the bridged cliques")
+  }
 }
