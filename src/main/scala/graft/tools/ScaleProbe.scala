@@ -100,7 +100,8 @@ object ScaleProbe {
     val docProbes = Seq("exact_dedup", "minhash_lsh_raw",
       "minhash_after_dedup", "simhash", "ann_topk_bruteforce",
       "ann_lsh_buckets", "pack_sequences", "connected_components",
-      "cc_delta",
+      "cc_delta", "lpa_4rounds", "group_quota_k10",
+      "edit_distance_50k_vocab",
       "kmeans_train_16x2", "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
       "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
@@ -159,6 +160,33 @@ object ScaleProbe {
     time("connected_components")(
       Dedup.connectedComponents(ccEdges, "a", "b")
         .select(countDistinct("comp")).head().getLong(0))
+    // sync LPA over the same graph: 4 rounds, ONE shuffle per round
+    // (neighbor-label count + struct-min) — shuffle ∝ edges per round,
+    // independent of community count
+    time("lpa_4rounds")(
+      graft.ext.Graph.labelPropagation(ccEdges, "a", "b", iters = 4)
+        .select(countDistinct("label")).head().getLong(0))
+    // per-source quota at k=10 over the replicated corpus: ONE rank
+    // window shuffle ∝ rows, map-side WindowGroupLimit keeps <=k per
+    // source per task before it
+    time("group_quota_k10")(
+      Curation.groupQuota(
+        GraftSession.table(spark, sfDir, "documents")
+          .select("doc_id", "source", "n_chars")
+          .transform(d => replicate(d, "doc_id", copies)),
+        Seq("source"), Seq($"n_chars".desc, $"doc_id".asc), k = 10)
+        .count())
+    // vocab-wide ED-1 pairs on a synthetic 50k-term noisy vocab (the
+    // corpus vocab is 31 clean words — sublinear, so the probe builds
+    // the scale shape directly): map-only (len+1)x variant explode,
+    // candidates bounded by deletion-bucket sizes, never |V|^2
+    time("edit_distance_50k_vocab")({
+      val v = spark.range(50000L).select(
+        concat_ws("", md5(col("id").cast("string")),
+          md5((col("id") + 1000000L).cast("string"))).substr(1, 9)
+          .as("term"))
+      graft.ext.TextAnalysis.editDistancePairs(v).count()
+    })
     // delta maintenance: same edge corpus split 98/2 — the fold costs
     // CC on the 2% contracted graph + ONE broadcast-map pass over the
     // history (vs connected_components re-clustering everything)
