@@ -168,7 +168,8 @@ object AnalyticQueries {
     * streams one partition at a time. */
   private def replayTypedThirds[T](s: SparkSession, rows: Dataset[T],
       ordCols: Seq[String], op: Dataset[T] => DataFrame,
-      mode: org.apache.spark.sql.streaming.OutputMode)(
+      mode: org.apache.spark.sql.streaming.OutputMode,
+      stateParts: Int = 4)(
       implicit enc: org.apache.spark.sql.Encoder[T])
       : Array[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -176,8 +177,10 @@ object AnalyticQueries {
     val mem = MemoryStream[T]
     val sink = "typed_sink_" + java.util.UUID.randomUUID.toString
       .replace("-", "")
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+      .map(_.trim.toInt).getOrElse(stateParts)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val q =
       try op(mem.toDS()).writeStream
         .outputMode(mode)

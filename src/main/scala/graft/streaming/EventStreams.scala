@@ -365,9 +365,12 @@ object EventStreams {
         spark, c, shingleN)
     val withBands = stream
       .select(col(idCol).as("__sid"), shArr(col(textCol)).as("__sharr"))
+      // signature projected BEFORE bandKeys slices it — inline it and
+      // every band re-runs all k minhash scans (the q187 4x lesson)
       .select(col("__sid"), col("__sharr"),
-        explode(bandKeys(minhashSignature(col("__sharr"), k), bands, rows))
-          .as("__b"))
+        minhashSignature(col("__sharr"), k).as("__sig"))
+      .select(col("__sid"), col("__sharr"),
+        explode(bandKeys(col("__sig"), bands, rows)).as("__b"))
       .select(col("__sid"), col("__sharr"),
         col("__b.band").as("band"), col("__b.bkey").as("bkey"))
     // one static row per band key -> a stream band row matches at most
@@ -464,13 +467,17 @@ object EventStreams {
     import spark.implicits._
     import graft.functions.TextFunctions.{bandKeys, minhashSignature}
     val rows = k / bands
+    // each stage projected to a column BEFORE the next references it:
+    // bandKeys slices the signature once per band, and an INLINE
+    // signature expression would re-run all k minhash scans per band
+    // (measured 4x on the q187 replay feed)
     val withBands = docs
       .select(col(idCol).cast("long").as("__sid"),
         graft.functions.expressions.TextExpressions.wordShingles(
           spark, col(textCol), shingleN).as("__sharr"))
+      .select(col("__sid"), minhashSignature(col("__sharr"), k).as("__sig"))
       .select(col("__sid"),
-        explode(bandKeys(minhashSignature(col("__sharr"), k), bands, rows))
-          .as("__b"))
+        explode(bandKeys(col("__sig"), bands, rows)).as("__b"))
       .select(concat_ws(":", col("__b.band"), col("__b.bkey")).as("__key"),
         col("__sid"))
       .as[(String, Long)]
