@@ -227,7 +227,8 @@ object Dedup {
     * (a_id, b_id, n_a, n_b, n_shared, jaccard) with a_id < b_id;
     * jaccard is ONE IEEE division of exact longs. */
   def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
+      threshold: Double, shingleN: Int = 3,
+      materializeSets: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tok = shingled(df, idCol, textCol, shingleN)
@@ -235,14 +236,25 @@ object Dedup {
       .distinct()
     val tf = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // per-doc token array in (df asc, token asc) global order; struct
-    // sort gives the total order, then project the tokens back out
-    val ordered = tok.join(tf, "__tok")
+    // sort gives the total order, then project the tokens back out.
+    // The frame is referenced FOUR times below (prefix self-join +
+    // both verify sides) and Spark has no common-subplan dedup, so the
+    // scan → shingle explode → frequency join chain re-runs per
+    // reference. At small/medium corpora the parallel recomputes are
+    // cheaper than a materialization barrier (measured at sf0.1:
+    // lazy 3.3 s vs eager localCheckpoint 6.5 s); at corpus scale the
+    // trade flips — pass materializeSets = true and the chain runs
+    // once (one corpus-sized checkpoint, blocks ContextCleaner-
+    // collected with the RDD).
+    val orderedLazy = tok.join(tf, "__tok")
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__tok"))))
         .as("__st"))
       .select(col("__id"),
         transform(col("__st"), s => s.getField("__tok")).as("__toks"),
         size(col("__st")).cast("long").as("__n"))
+    val ordered =
+      if (materializeSets) orderedLazy.localCheckpoint(true) else orderedLazy
     val prefixLen = (col("__n") -
       floor(lit(threshold) * col("__n").cast("double")).cast("long") +
       lit(1L)).cast("int")

@@ -60,6 +60,15 @@ class ExtSpec extends SparkSpecBase {
     // sanity: the fixture is non-trivial at 0.5
     assert(Dedup.prefixJaccardJoin(fx, "doc_id", "text", 0.5, 3)
       .count() >= 3)
+    // the scale-path materialization knob changes the plan, never rows
+    val lazyRows = Dedup.prefixJaccardJoin(fx, "doc_id", "text", 0.5, 3)
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val matRows = Dedup.prefixJaccardJoin(fx, "doc_id", "text", 0.5, 3,
+        materializeSets = true)
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(matRows == lazyRows)
   }
 
   test("editDistancePairs == brute-force levenshtein over the vocab, " +
