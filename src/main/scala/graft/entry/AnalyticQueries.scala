@@ -1177,6 +1177,31 @@ object AnalyticQueries {
         .orderBy("source", "quota_rank")
     }),
 
+    // The SIXTEENTH streaming twin: at-least-once ingest dedup.
+    // Every event is delivered TWICE (map-only explode duplication —
+    // the redelivery a real at-least-once source produces) and
+    // dropDuplicatesWithinWatermark must emit each event exactly
+    // once; the ground truth is simply the events table itself. This
+    // is the bounded-state form (per-key state evicted past the
+    // watermark horizon) that survives an unbounded feed where plain
+    // streaming dropDuplicates grows forever.
+    "q192_streaming_ingest_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayThirds(s, dir,
+        ds => {
+          val doubled = ds.toDF()
+            .withColumn("__copy", explode(array(lit(0), lit(1))))
+            .drop("__copy")
+          graft.streaming.EventStreams.dedupWithinWatermark(
+              doubled, Seq("event_id"), "10 minutes")
+            .select(col("event_id"), col("user_id"), col("event_type"))
+        },
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.toDF("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -1964,5 +1989,9 @@ object AnalyticQueries {
       ("q186_streaming_sessionize" -> oracleSqlBase("q53_sessionize")) +
       ("q190_streaming_source_quota" ->
         TextQueries.oracleSql("q185_source_quota")) +
+      // exactly-once output under doubled delivery == the table itself
+      ("q192_streaming_ingest_dedup" ->
+        """SELECT event_id, user_id, event_type FROM events
+          |ORDER BY event_id""".stripMargin) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -144,6 +144,37 @@ object StatsQueries {
         .orderBy("event_type")
     }),
 
+    // MAD robust outliers (median absolute deviation — the
+    // breakdown-resistant companion of q150's IQR fences): per type,
+    // median by rank selection, then the DEVIATION histogram derived
+    // from the VALUE histogram itself (|unit − med| regroup — work ∝
+    // distinct units, the raw rows are never rescanned), MAD = median
+    // of deviations, outliers = Σc where deviation > 3·MAD. Exact
+    // integer arithmetic end to end on the cent grid.
+    "q193_mad_outliers" -> ((s, dir) => {
+      import graft.ext.Incremental
+      val ev = t(s, dir, "events")
+      val hist = Incremental.histogramState(ev, Seq("event_type"), "value")
+      val med = Incremental.percentilesFromState(hist, Seq("event_type"),
+        Seq(("med", 1, 2)))
+      val dev = hist.join(broadcast(med.select("event_type", "med")),
+          Seq("event_type"))
+        .groupBy(col("event_type"),
+          abs(col("unit") - col("med")).as("unit"))
+        .agg(sum(col("c")).as("c"))
+      val mad = Incremental.percentilesFromState(dev, Seq("event_type"),
+        Seq(("mad", 1, 2))).drop("n_values")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"), col("mad"))
+        .agg(sum(when(col("unit") > lit(3) * col("mad"), col("c"))
+          .otherwise(lit(0L))).as("n_outliers"))
+        .join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("n_values"),
+          col("med").as("median_cents"), col("mad").as("mad_cents"),
+          col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // n / mean / sample variance / population stddev of the price column
     // per returnflag, exact on the cent grid (scale=100).
     "q58_desc_stats" -> ((s, dir) => {
@@ -425,6 +456,37 @@ object StatsQueries {
         |  MAX(n.n) AS n_values
         |FROM w JOIN n USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same rank formula, applied twice: median of cents, then median
+    // of the |cent − med| deviation histogram; outliers from the
+    // deviation histogram's counts
+    "q193_mad_outliers" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cent
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, cent, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |w AS (SELECT event_type, cent, SUM(c) OVER (PARTITION BY event_type
+        |  ORDER BY cent ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS cum FROM h),
+        |n AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+        |med AS (SELECT w.event_type,
+        |    MIN(CASE WHEN cum >= (n.n + 1) // 2 THEN cent END) AS med,
+        |    CAST(MAX(n.n) AS BIGINT) AS n_values
+        |  FROM w JOIN n USING (event_type) GROUP BY 1),
+        |d AS (SELECT h.event_type, ABS(h.cent - med.med) AS du,
+        |    CAST(SUM(h.c) AS BIGINT) AS c
+        |  FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+        |dw AS (SELECT event_type, du, SUM(c) OVER (PARTITION BY event_type
+        |  ORDER BY du ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS cum FROM d),
+        |mad AS (SELECT dw.event_type,
+        |    MIN(CASE WHEN cum >= (n.n + 1) // 2 THEN du END) AS mad
+        |  FROM dw JOIN n USING (event_type) GROUP BY 1)
+        |SELECT med.event_type, med.n_values, med.med AS median_cents,
+        |  mad.mad AS mad_cents,
+        |  CAST(SUM(CASE WHEN d.du > 3*mad.mad THEN d.c ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "q150_iqr_outliers" ->
       """WITH v AS (SELECT event_type,
         |    CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cent
