@@ -1202,6 +1202,33 @@ object AnalyticQueries {
         .orderBy("event_id")
     }),
 
+    // The SEVENTEENTH streaming twin: stream-vs-snapshot content
+    // decontamination. New docs (id >= 250) PLUS ten planted
+    // re-crawls of snapshot docs (ids 0-9 re-tagged +1000000 — the
+    // duplicate delivery a fresh crawl actually produces, and the
+    // guarantee the row is never vacuous) stream in; streamNewRows
+    // passes only those whose md5(text) is NOT in the id < 250
+    // snapshot — the bloom bitmap rides into every micro-batch as a
+    // plan literal, negative probes pass with zero join work, bloom
+    // hits confirm against the broadcast key set (FPs die there). The
+    // ground truth is the plain batch anti-join over the same feed.
+    "q194_streaming_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val snapshot = d.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val feed = d.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val raw = replayDocsThirds(s, feed,
+        df => graft.streaming.EventStreams.streamNewRows(
+            df, snapshot, md5(col("text")))
+          .select("doc_id"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(_.getLong(0)).toSeq.toDF("doc_id").orderBy("doc_id")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -1993,5 +2020,18 @@ object AnalyticQueries {
       ("q192_streaming_ingest_dedup" ->
         """SELECT event_id, user_id, event_type FROM events
           |ORDER BY event_id""".stripMargin) +
+      // the plain batch anti-join on content hash, over the same
+      // feed (new docs + ten planted re-crawls, which the anti-join
+      // removes by definition)
+      ("q194_streaming_decontaminate" ->
+        """WITH feed AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10)
+          |SELECT s.doc_id FROM feed s
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM documents t
+          |  WHERE t.doc_id < 250 AND md5(t.text) = md5(s.text))
+          |ORDER BY doc_id""".stripMargin) +
       ("q140_pagerank" -> pageRankOracle(10))
 }
