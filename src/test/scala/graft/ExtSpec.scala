@@ -71,6 +71,21 @@ class ExtSpec extends SparkSpecBase {
     assert(matRows == lazyRows)
   }
 
+  test("recallAtK: zero-overlap queries keep a 0.0 row, hits count " +
+      "set-wise, recall is hits/k_truth") {
+    import graft.ext.Similarity
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L)).toDF("q_id", "n_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L),
+      (4L, 40L)) // q3 has zero overlap; q4 is not in the truth set
+      .toDF("q_id", "n_id")
+    val got = Similarity.recallAtK(approx, truth)
+      .select("q_id", "n_hit", "k_truth", "recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 2L, 0.5), (2L, 2L, 2L, 1.0),
+      (3L, 0L, 1L, 0.0)))
+  }
+
   test("editDistancePairs == brute-force levenshtein over the vocab, " +
       "transposition (distance-2) candidates filtered") {
     val vocab = Seq("table", "tble", "tabel", "cable", "scan", "scann",
