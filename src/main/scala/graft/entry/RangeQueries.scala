@@ -80,6 +80,15 @@ object RangeQueries {
         .orderBy("chrom", "m_start")
     }),
 
+    // Interval COMPLEMENT (bedtools complement within the covered
+    // span): the maximal gaps strictly between q94's merged islands —
+    // one lag window over the island-count-sized merged set.
+    "q195_interval_complement" -> ((s, dir) => {
+      graft.ranges.IntervalSets.complement(
+          orderIntervals(s, dir), Seq("chrom"), "s1", "e1")
+        .orderBy("chrom", "g_start")
+    }),
+
     // Coverage depth (bedtools genomecov shape): constant-depth
     // segments from the +1/-1 endpoint sweep; work ∝ endpoints.
     "q95_coverage_depth" -> ((s, dir) => {
@@ -401,6 +410,24 @@ object RangeQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM m)
         |SELECT chrom, MIN(s) AS m_start, MAX(e) AS m_end, COUNT(*) AS n_merged
         |FROM g GROUP BY chrom, gid ORDER BY chrom, m_start""".stripMargin,
+    // q94's merge chain + one lag over the merged islands
+    "q195_interval_complement" ->
+      """WITH iv AS (SELECT o_orderkey%5 AS chrom, (o_orderkey*7)%5000 AS s,
+        |  (o_orderkey*7)%5000 + 1 + o_orderkey%40 AS e, o_orderkey AS k FROM orders),
+        |m AS (SELECT chrom, s, e, k,
+        |  CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY chrom ORDER BY s, e, k
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+        |       THEN 1 ELSE 0 END AS isnew FROM iv),
+        |g AS (SELECT chrom, s, e, SUM(isnew) OVER (PARTITION BY chrom ORDER BY s, e, k
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM m),
+        |isl AS (SELECT chrom, MIN(s) AS m_start, MAX(e) AS m_end
+        |        FROM g GROUP BY chrom, gid),
+        |lg AS (SELECT chrom, m_start,
+        |        LAG(m_end) OVER (PARTITION BY chrom ORDER BY m_start) AS pe
+        |       FROM isl)
+        |SELECT chrom, pe + 1 AS g_start, m_start - 1 AS g_end
+        |FROM lg WHERE pe IS NOT NULL AND m_start > pe + 1
+        |ORDER BY chrom, g_start""".stripMargin,
     // +1/-1 endpoint sweep; positions unique per chrom after the delta
     // groupBy, so the running sum and lead are order-deterministic
     "q95_coverage_depth" ->

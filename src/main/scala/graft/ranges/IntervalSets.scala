@@ -79,6 +79,27 @@ object IntervalSets {
       .drop("__island")
   }
 
+  /** Internal COMPLEMENT of an interval set per key (bedtools
+    * complement restricted to the covered span): the maximal gaps
+    * strictly between the merged islands — one closed [g_start, g_end]
+    * row per gap, nothing emitted before the first island or after the
+    * last (the unbounded flanks need genome bounds the data doesn't
+    * carry; pass them as intervals if you want flank gaps). Closed
+    * coordinates: a gap exists iff the next island starts ≥ 2 past the
+    * previous island's end. Cost: [[mergeOverlapping]] + ONE lag
+    * window over the MERGED set — island-count-sized, not
+    * input-sized. */
+  def complement(df: DataFrame, keys: Seq[String], startCol: String,
+      endCol: String): DataFrame = {
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("m_start").asc)
+    mergeOverlapping(df, keys, startCol, endCol)
+      .withColumn("__pe", lag(col("m_end"), 1).over(ord))
+      .filter(col("__pe").isNotNull && col("m_start") > col("__pe") + 1L)
+      .select((keys.map(col) :+ (col("__pe") + 1L).as("g_start") :+
+        (col("m_start") - 1L).as("g_end")): _*)
+  }
+
   /** The +1/−1 endpoint event stream: one +1 at start, one −1 just past
     * the (validated) end, both in LONG coordinates. */
   private def endpointEvents(df: DataFrame, keys: Seq[String],

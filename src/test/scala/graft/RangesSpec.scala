@@ -362,6 +362,41 @@ class RangesSpec extends SparkSpecBase {
       tr.getLong(4) == 1L)
   }
 
+  test("complement: gaps ∪ islands tile the covered span exactly; " +
+      "no flank gaps; single-island keys emit nothing") {
+    import graft.ranges.IntervalSets
+    val rnd = new scala.util.Random(11)
+    val ivs = (0 until 200).map { _ =>
+      val s = rnd.nextInt(3000).toLong
+      (rnd.nextInt(3).toLong, s, s + rnd.nextInt(25).toLong)
+    } :+ (9L, 100L, 200L) // single-island key: zero gap rows
+    val df = ivs.toDF("k", "s", "e")
+    val islands = IntervalSets.mergeOverlapping(df, Seq("k"), "s", "e")
+      .select("k", "m_start", "m_end")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val gaps = IntervalSets.complement(df, Seq("k"), "s", "e")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(!gaps.exists(_._1 == 9L))
+    // per key: islands and gaps alternate and tile [min, max] with no
+    // overlap and no holes
+    islands.groupBy(_._1).foreach { case (k, isl) =>
+      val segs = (isl.map(i => (i._2, i._3, "i")) ++
+        gaps.filter(_._1 == k).map(g => (g._2, g._3, "g"))).sortBy(_._1)
+      segs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._1 == a._2 + 1, s"key $k: hole/overlap at $a -> $b")
+          // book-ended ISLANDS are legal (gap=0 merge joins overlaps,
+          // not touches); adjacent GAPS would mean a missed merge
+          assert(!(a._3 == "g" && b._3 == "g"),
+            s"key $k: two adjacent gap segments")
+        case _ =>
+      }
+      assert(segs.head._3 == "i" && segs.last._3 == "i",
+        s"key $k: complement emitted a flank gap")
+    }
+    assert(gaps.nonEmpty, "fixture produced no gaps — weaken density")
+  }
+
   test("mergeOverlappingBucketed == mergeOverlapping at any width and gap") {
     import graft.ranges.IntervalSets
     val rnd = new scala.util.Random(29)
