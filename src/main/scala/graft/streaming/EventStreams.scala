@@ -421,9 +421,13 @@ object EventStreams {
         (g: String, batch: Iterator[(String, Long, Long)],
             state: GroupState[QuotaState]) =>
           val st = state.getOption.getOrElse(QuotaState(0L, Seq.empty))
+          // sortWith, never sortBy(-metric): negating Long.MinValue
+          // overflows to itself and would rank the worst metric first
+          // (the Sketches.TopK lesson)
           val merged = (st.top ++ batch.map(t => (t._3, t._2)))
             .distinct
-            .sortBy { case (m, id) => (-m, id) }
+            .sortWith((a, b) =>
+              a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
             .take(k)
           if (st.ver > 0L && merged == st.top) Iterator.empty
           else {
