@@ -268,16 +268,19 @@ object TextQueries {
     // on integer token counts, so the verdict replays bit-for-bit.
     // Per-doc term counts collapse map-side, the model broadcasts, the
     // text never shuffles; argmax is a rank-1 window (score desc,
-    // label asc). Output edge renders DECIMAL(18,9): precision <= 18
-    // stays INT64 in parquet and in DuckDB, the one cross-engine-safe
-    // decimal regime (see StatsQueries on the >18 hash pitfall); the
-    // down-cast is exact — same scale, magnitudes bounded far below
-    // 10^9 (sum of |weights| <= 0.5 x tokens/doc).
+    // label asc). Output edge renders scaled BIGINT (score_e9 =
+    // score x 10^9): the internal math is exact decimal(18,9), so the
+    // scale-up is the unscaled representation and the cast is exact —
+    // no DecimalType ever reaches the output schema (DECIMAL edges
+    // proved cross-engine-hash-unsafe at EVERY precision; the
+    // EntrySmokeSpec lint now bans them outright).
     "q172_classifier_apply" -> ((s, dir) => {
       val (m, p) = pinnedModel(s)
       TextAnalysis.classifyLinear(docs(s, dir), "doc_id", "text", m, p)
         .select(col("doc_id"), col("label"),
-          col("score").cast("decimal(18,9)").as("score"))
+          (col("score").cast("decimal(18,9)") *
+            lit(1000000000L).cast("decimal(10,0)"))
+            .cast("bigint").as("score_e9"))
         .orderBy("doc_id")
     }),
 
@@ -286,15 +289,18 @@ object TextQueries {
     // under the same pinned model — the "pick the most target-like
     // slice of the raw pool" stage. Fully deterministic ranking
     // (weight desc, doc_id asc), so LIMIT is stable across engines.
-    // DECIMAL(18,9) output edge for the same cross-engine reason as
-    // q172 (exact: same scale, bounded magnitude).
+    // Scaled-BIGINT output edge (weight_e9) for the same reason as
+    // q172: the x10^9 scale-up of an exact decimal(18,9) is its
+    // unscaled int64 — exact, and decimal-free at the boundary.
     "q173_dsir_select" -> ((s, dir) => {
       val (m, p) = pinnedModel(s)
       TextAnalysis.importanceWeights(docs(s, dir), "doc_id", "text",
           m, p, targetLabel = "en", rawLabel = "es")
         .select(col("doc_id"),
-          col("weight").cast("decimal(18,9)").as("weight"))
-        .orderBy(col("weight").desc, col("doc_id"))
+          (col("weight").cast("decimal(18,9)") *
+            lit(1000000000L).cast("decimal(10,0)"))
+            .cast("bigint").as("weight_e9"))
+        .orderBy(col("weight_e9").desc, col("doc_id"))
         .limit(100)
     }),
 
@@ -898,7 +904,8 @@ object TextQueries {
         |ranked AS (SELECT doc_id, label, sc, row_number()
         |             OVER (PARTITION BY doc_id ORDER BY sc DESC, label) rn
         |           FROM scored)
-        |SELECT doc_id, label, CAST(sc AS DECIMAL(18,9)) AS score
+        |SELECT doc_id, label,
+        |  CAST(sc * 1000000000 AS BIGINT) AS score_e9
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // same pinned model; weight = score(en) − score(es); the ranking
     // is exact decimals so the LIMIT cut is identical across engines
@@ -929,7 +936,7 @@ object TextQueries {
         |w AS (SELECT doc_id,
         |        SUM(CASE WHEN label = 'en' THEN sc ELSE -sc END) wt
         |      FROM scored GROUP BY 1)
-        |SELECT doc_id, CAST(wt AS DECIMAL(18,9)) AS weight
+        |SELECT doc_id, CAST(wt * 1000000000 AS BIGINT) AS weight_e9
         |FROM w ORDER BY wt DESC, doc_id LIMIT 100""".stripMargin,
     // the delta invariant IS the oracle: frequencies over the FULL
     // union, rewrite restricted to the arriving batch (doc_id >= 250)

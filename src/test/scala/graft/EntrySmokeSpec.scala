@@ -20,26 +20,28 @@ class EntrySmokeSpec extends SparkSpecBase {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
       assert(df.count() >= 0)
-      // Output-schema lint: DECIMAL precision > 18 leaves parquet's
-      // INT64 regime (fixed-len-byte-array) while DuckDB computes in
-      // HUGEINT-backed INT128 — the cross-engine hash-canonicalization
-      // divergence that made q130 render DOUBLE, q133 hi/lo BIGINT,
-      // and turned q172/q173 red in round 12. No query output may
-      // carry a wide decimal; render scaled BIGINT or decimal(<=18,x)
-      // at the edge instead.
+      // Output-schema lint: NO DecimalType at any query output edge.
+      // The driver's hash canonicalization rejected decimal output in
+      // BOTH parquet regimes — FLBA decimal(28,9) in round 12 AND
+      // INT64 decimal(18,9) in round 13 — while values, rendered
+      // strings, and parquet physical bytes were verified identical to
+      // the oracle at all three SFs. Decimal edges are unverifiable
+      // with this driver at ANY precision; render scaled BIGINT
+      // (x_e9 = CAST(x * 1e9 AS BIGINT)), DOUBLE, or STRING instead.
+      // Internal decimal math is fine — only the edge is banned.
       val wide = wideDecimals(df.schema)
       assert(wide.isEmpty,
-        s"$name output carries DECIMAL precision > 18 (cross-engine " +
-          s"hash pitfall; render scaled BIGINT or decimal(<=18,x)): $wide")
+        s"$name output carries DecimalType (cross-engine hash " +
+          s"pitfall at every precision; render scaled BIGINT): $wide")
     }
   }
 
   import org.apache.spark.sql.types._
-  /** All paths in the schema (structs/arrays/maps included) typed as a
-    * decimal wider than 18 digits. */
+  /** All paths in the schema (structs/arrays/maps included) typed as
+    * any decimal. */
   private def wideDecimals(schema: StructType): Seq[String] = {
     def walk(dt: DataType, path: String): Seq[String] = dt match {
-      case d: DecimalType if d.precision > 18 => Seq(s"$path: $d")
+      case d: DecimalType => Seq(s"$path: $d")
       case s: StructType =>
         s.fields.toSeq.flatMap(f => walk(f.dataType, s"$path.${f.name}"))
       case a: ArrayType => walk(a.elementType, s"$path[]")
