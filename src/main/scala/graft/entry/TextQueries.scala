@@ -304,6 +304,29 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Naive-Bayes TRAINING under the gate (the last trainer that was
+    // spec-only): deterministic 3-way labeling (doc_id % 3 → en/es/fr)
+    // over the docs corpus, then the trainer's exact-integer core —
+    // per-(label, term) counts, per-label token totals, vocabulary
+    // size, per-label doc counts — as one BIGINT row set. This is
+    // everything trainNaiveBayes computes except the final log()
+    // projection (log-space doubles never enter hashed values — the
+    // q188 device). One corpus pass; the only shuffle carries
+    // collapsed (label, term, count) tuples.
+    "q196_nb_train" -> ((s, dir) => {
+      val labeled = docs(s, dir).withColumn("label",
+        element_at(array(lit("en"), lit("es"), lit("fr")),
+          ((col("doc_id") % 3) + 1).cast("int")))
+      val (counts, docCounts) =
+        TextAnalysis.trainNaiveBayesCounts(labeled, "label", "text")
+      counts
+        .join(broadcast(docCounts.select("label", "n_docs", "n_total")),
+          Seq("label"))
+        .select(col("term"), col("label"), col("n"), col("tot"),
+          col("v"), col("n_docs"), col("n_total"))
+        .orderBy("label", "term")
+    }),
+
     // Incremental boilerplate removal: docs 250+ arriving against the
     // 0-249 history's SAVED (line_hash, n_docs) artifact — the batch is
     // rewritten with MERGED corpus frequencies, bit-identical to the
@@ -938,6 +961,29 @@ object TextQueries {
         |      FROM scored GROUP BY 1)
         |SELECT doc_id, CAST(wt * 1000000000 AS BIGINT) AS weight_e9
         |FROM w ORDER BY wt DESC, doc_id LIMIT 100""".stripMargin,
+    // the trainer's exact-integer core replayed as one CTE chain:
+    // same \s+ tokenization, same deterministic doc_id%3 labeling;
+    // SUM() widens to HUGEINT in DuckDB so every rollup is cast back
+    // to BIGINT before it reaches the hashed edge
+    "q196_nb_train" ->
+      """WITH lab AS (SELECT doc_id, text,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'en'
+        |         WHEN 1 THEN 'es' ELSE 'fr' END AS label
+        |  FROM documents),
+        |toks AS (SELECT label, t AS term FROM lab,
+        |         unnest(string_split_regex(text,'\s+')) u(t)
+        |         WHERE length(t) > 0),
+        |tc AS (SELECT label, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        |lt AS (SELECT label, CAST(SUM(n) AS BIGINT) AS tot
+        |       FROM tc GROUP BY 1),
+        |voc AS (SELECT GREATEST(COUNT(DISTINCT term), 1) AS v FROM toks),
+        |dc AS (SELECT label, COUNT(*) AS n_docs FROM lab GROUP BY 1),
+        |tot_docs AS (SELECT COUNT(*) AS n_total FROM lab)
+        |SELECT tc.term, tc.label, tc.n, lt.tot, voc.v,
+        |       dc.n_docs, tot_docs.n_total
+        |FROM tc JOIN lt USING (label) JOIN dc USING (label)
+        |CROSS JOIN voc CROSS JOIN tot_docs
+        |ORDER BY label, term""".stripMargin,
     // the delta invariant IS the oracle: frequencies over the FULL
     // union, rewrite restricted to the arriving batch (doc_id >= 250)
     "q171_boilerplate_delta" -> (rebuiltSqlCte(4) +

@@ -202,37 +202,60 @@ object TextAnalysis {
     * persist and broadcast at apply time. */
   def trainNaiveBayes(df: DataFrame, labelCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
+    val (counts, docCounts) = trainNaiveBayesCounts(df, labelCol, textCol)
+    val weights = counts.select(col("term"), col("label"),
+      log((col("n") + 1).cast("double") /
+          (col("tot") + col("v")).cast("double"))
+        .cast("decimal(18,9)").as("weight"))
+    val priors = docCounts.select(col("label"),
+      log(col("n_docs").cast("double") / col("n_total").cast("double"))
+        .cast("decimal(18,9)").as("prior"),
+      log(lit(1.0) / (col("tot") + col("v")).cast("double"))
+        .cast("decimal(18,9)").as("unseen"))
+    (weights, priors)
+  }
+
+  /** The exact-integer core of [[trainNaiveBayes]] — everything the
+    * trainer COMPUTES, before the one log() projection: per-(label,
+    * term) token counts `n`, per-label token totals `tot`, global
+    * vocabulary size `v`, and per-label document counts. Returned as
+    * (counts(term, label, n, tot, v),
+    *  docCounts(label, n_docs, n_total, tot, v)) — all BIGINT, so the
+    * training pass itself sits under the cross-engine oracle gate
+    * (the q188 device: gate the exact arithmetic, keep log-space out
+    * of hashed values). One corpus pass: explode → (label, term) hash
+    * agg with map-side partials (the only shuffle carries collapsed
+    * (label, term, count) tuples, never text); label totals and the
+    * doc-count table are rollups of that aggregate; `v` is one
+    * distinct-count scalar. Model size ∝ vocab × labels. */
+  def trainNaiveBayesCounts(df: DataFrame, labelCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val toks = df.select(col(labelCol).as("label"),
       explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
     val termCounts = toks.groupBy("label", "term")
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n"))
     val labelTokens = termCounts.groupBy("label")
-      .agg(sum(col("__c")).as("__tot"))
-    // max(…, 1): a fully empty corpus would otherwise put log(1/0)
-    // into every unseen slot
+      .agg(sum(col("n")).as("tot"))
+    // max(…, 1): a fully empty corpus would otherwise put 0 into every
+    // smoothing denominator (log(1/0) downstream)
     val vocabSize = math.max(toks.select("term").distinct().count(), 1L)
-    val weights = termCounts
+    val counts = termCounts
       .join(broadcast(labelTokens), Seq("label"))
-      .select(col("term"), col("label"),
-        log((col("__c") + 1).cast("double") /
-            (col("__tot") + lit(vocabSize)).cast("double"))
-          .cast("decimal(18,9)").as("weight"))
+      .select(col("term"), col("label"), col("n"),
+        col("tot"), lit(vocabSize).as("v"))
     val nDocs = df.count()
     // LEFT join: a label whose docs contain zero tokens (all empty or
-    // NULL text) has no labelTokens row, but must keep its prior and a
-    // defined unseen = log(1/(0+V)) — an inner join would silently
-    // drop the label from the model and it could never be predicted
-    val priors = df.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("__n"))
+    // NULL text) has no labelTokens row, but must keep its doc count
+    // and a defined tot = 0 (unseen = log(1/(0+V)) downstream) — an
+    // inner join would silently drop the label from the model and it
+    // could never be predicted
+    val docCounts = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
       .join(broadcast(labelTokens), Seq("label"), "left")
-      .select(col("label"),
-        log(col("__n").cast("double") / lit(nDocs.toDouble))
-          .cast("decimal(18,9)").as("prior"),
-        log(lit(1.0) /
-            (coalesce(col("__tot"), lit(0L)) + lit(vocabSize))
-              .cast("double"))
-          .cast("decimal(18,9)").as("unseen"))
-    (weights, priors)
+      .select(col("label"), col("n_docs"), lit(nDocs).as("n_total"),
+        coalesce(col("tot"), lit(0L)).as("tot"),
+        lit(vocabSize).as("v"))
+    (counts, docCounts)
   }
 
   /** Apply a linear text classifier (NB weights from

@@ -1357,6 +1357,32 @@ class ExtSpec extends SparkSpecBase {
     assert(math.abs(pv("void")._2 - math.log(1.0 / 8.0)) < 1e-9)
   }
 
+  test("trainNaiveBayesCounts: exact integer artifact, all-BIGINT edge") {
+    val train = Seq(
+      (0L, "fruit", "apple banana apple cherry"),
+      (1L, "fruit", "banana apple mango"),
+      (2L, "metal", "iron copper iron zinc"),
+      (3L, "metal", "copper zinc steel iron")).toDF("doc_id", "lab", "text")
+    val (c, d) = TextAnalysis.trainNaiveBayesCounts(train, "lab", "text")
+    // the whole artifact is oracle-safe integers — no decimal, no log
+    import org.apache.spark.sql.types.LongType
+    assert(c.schema.fields.filter(_.name != "term")
+      .filter(_.name != "label").forall(_.dataType == LongType))
+    assert(d.schema.fields.filter(_.name != "label")
+      .forall(_.dataType == LongType))
+    val cm = c.select($"term", $"label", $"n", $"tot", $"v")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // c(apple|fruit)=3 of tot(fruit)=7, V=8 — the same numbers the
+    // weight spec derives log(4/15) from
+    assert(cm(("apple", "fruit")) == ((3L, 7L, 8L)))
+    assert(cm(("iron", "metal")) == ((3L, 8L, 8L)))
+    val dm = d.select($"label", $"n_docs", $"n_total", $"tot")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(dm("fruit") == ((2L, 4L, 7L)) && dm("metal") == ((2L, 4L, 8L)))
+  }
+
   test("importanceWeights: exact score(target) - score(raw) ratio") {
     val train = Seq(
       (0L, "tgt", "good clean prose text"),
