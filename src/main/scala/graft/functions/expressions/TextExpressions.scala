@@ -97,8 +97,10 @@ case class WinnowedGrams(child: Expression, gramLen: Int, w: Int)
   * non-starter at 100 TB); the rolling pass is one multiply-add per
   * char. The hash constants (base 257 mod 2^31−1) are embedded as
   * integer literals in the DuckDB oracle, so boundary decisions replay
-  * exactly — no libm, no md5. Positions are UTF-16 code units (the
-  * substring-dedup family's BMP-parity regime). */
+  * exactly — no libm, no md5. Positions and hashed values are Unicode
+  * CODE POINTS (one `ord()`-equivalent int per character), matching
+  * Spark `substr` and DuckDB slicing on ANY text — supplementary-plane
+  * characters (emoji, CJK extension B) chunk correctly, not just BMP. */
 case class CdcBoundaries(child: Expression, w: Int, modulus: Int)
     extends UnaryExpression {
 
@@ -204,26 +206,37 @@ object TextExprHelpers {
   final val CdcBase: Long = 257L
   final val CdcMod: Long = 2147483647L // 2^31 - 1
 
-  /** CDC boundary positions of `text` (code-unit positions, the
-    * family's BMP-parity regime): position p (1-based, w ≤ p < n) is a
-    * boundary when the degree-(w-1) polynomial hash of the w chars
-    * ending at p, mod [[CdcMod]], is divisible by `modulus`. ONE O(n)
-    * rolling pass — per char: one multiply-add and one subtract-out,
-    * all exact long arithmetic. The last position is never a boundary
-    * (the tail chunk ends there regardless).
+  /** CDC boundary positions of `text` (1-based CODE-POINT positions):
+    * position p (w ≤ p < n) is a boundary when the degree-(w-1)
+    * polynomial hash of the w code points ending at p, mod [[CdcMod]],
+    * is divisible by `modulus`. ONE O(n) rolling pass — per code
+    * point: one multiply-add and one subtract-out, all exact long
+    * arithmetic. The last position is never a boundary (the tail chunk
+    * ends there regardless).
     *
-    * BMP GUARD: this scan hashes and indexes UTF-16 code UNITS, while
-    * the downstream chunk slicing (Spark substr) and the DuckDB oracle
-    * CTE count code POINTS — identical for every BMP character, silently
-    * divergent for supplementary-plane input. A surrogate code unit
-    * therefore throws (one comparison per char inside the existing
-    * loop) instead of mis-chunking: widen to code-point iteration on
-    * BOTH sides before lifting this. */
+    * Unit system: code POINTS, both for positions and hashed values —
+    * exactly Spark `substr` (UTF8String counts codepoints) and DuckDB
+    * `t[p:p]` / `ord()` semantics, so boundary decisions AND the
+    * downstream slicing replay identically on supplementary-plane
+    * text (emoji, CJK-B). The earlier code-UNIT form held only for
+    * BMP input and guarded with a throw; this is the lift that guard
+    * asked for. Code points reach 0x10FFFF, so h·257 + cp < 2^40 —
+    * no overflow anywhere in the long arithmetic. */
   def cdcBoundaries(text: UTF8String, w: Int, modulus: Int): ArrayData = {
     val s = text.toString
-    val n = s.length
+    // one decode pass: the code-point array the rolling window indexes
+    val cps = new Array[Int](s.codePointCount(0, s.length))
+    var ui = 0
+    var ci = 0
+    while (ui < s.length) {
+      val cp = s.codePointAt(ui)
+      cps(ci) = cp
+      ci += 1
+      ui += Character.charCount(cp)
+    }
+    val n = cps.length
     if (n <= w) return new GenericArrayData(Array.empty[Int])
-    // bw = B^w mod M, for rolling the leading char out
+    // bw = B^w mod M, for rolling the leading code point out
     var bw = 1L
     var k = 0
     while (k < w) { bw = bw * CdcBase % CdcMod; k += 1 }
@@ -231,18 +244,11 @@ object TextExprHelpers {
     var h = 0L
     var i = 0
     while (i < n) {
-      val c = s.charAt(i)
-      if (c >= 0xD800 && c < 0xE000)
-        throw new IllegalArgumentException(
-          "cdcBoundaries: non-BMP character (surrogate code unit at " +
-            s"index $i) — CDC chunking hashes/indexes UTF-16 code units " +
-            "and its boundary/slicing parity with the code-point-based " +
-            "oracle holds only for BMP text")
-      h = (h * CdcBase + c.toLong) % CdcMod
+      h = (h * CdcBase + cps(i).toLong) % CdcMod
       if (i >= w) {
-        h = (h - s.charAt(i - w).toLong * bw % CdcMod + CdcMod) % CdcMod
+        h = (h - cps(i - w).toLong * bw % CdcMod + CdcMod) % CdcMod
       }
-      val p = i + 1 // 1-based position of the window's LAST char
+      val p = i + 1 // 1-based position of the window's LAST code point
       if (p >= w && p < n && h % modulus == 0L) out += p
       i += 1
     }

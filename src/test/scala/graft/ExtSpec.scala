@@ -1450,27 +1450,41 @@ class ExtSpec extends SparkSpecBase {
         s"chars of ${base.length}")
   }
 
-  test("cdcChunks: non-BMP input fails loudly (BMP-parity guard), " +
-      "BMP non-ASCII passes") {
-    // the boundary scan hashes/indexes UTF-16 code units while the
-    // oracle counts code points — identical on BMP, divergent on
-    // supplementary planes, so a surrogate must throw, not mis-chunk
-    val bad = Seq((0L, "shared prefix text 😀 emoji body"))
-      .toDF("doc_id", "text")
-    val e = intercept[Exception] {
-      Dedup.cdcChunks(bad, "doc_id", "text", w = 8, modulus = 16).count()
+  test("cdcChunks: code-point unit system — non-BMP and BMP non-ASCII " +
+      "chunk losslessly, boundaries match the oracle's ord()-formula") {
+    // supplementary-plane text (emoji, CJK-B): boundary positions and
+    // hashed values are code points, matching Spark substr and the
+    // DuckDB CTE's t[p:p]/ord() — astral chars chunk correctly now,
+    // they no longer throw (the round-13 guard, lifted as documented)
+    val astral = ("shared prefix text 😀 emoji body 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 " +
+      "𠀀𠀁𠀂 tail words continue here for a while longer ") * 3
+    val bmp = "café crème 中文文本 " * 8
+    for (txt <- Seq(astral, bmp)) {
+      val (w, modulus) = (8, 16)
+      val ch = Dedup.cdcChunks(Seq((0L, txt)).toDF("doc_id", "text"),
+          "doc_id", "text", w = w, modulus = modulus)
+        .orderBy("chunk_id").as[(Long, Int, String)].collect()
+      // lossless tiling in chunk order
+      assert(ch.map(_._3).mkString == txt)
+      assert(ch.length > 2, s"fixture produced too few chunks: ${ch.length}")
+      // independent transcription of the ORACLE's boundary rule
+      // (cdcSqlCte): boundary after code-point p iff
+      // Σ ord(cp at p−off)·B^off mod M ≡ 0 (mod modulus), w ≤ p < n
+      import graft.functions.expressions.TextExprHelpers.{CdcBase, CdcMod}
+      val cps = txt.codePoints().toArray
+      val pows = Iterator.iterate(1L)(x => x * CdcBase % CdcMod)
+        .take(w).toArray
+      val expected = (w until cps.length).filter { p =>
+        val win = (0 until w).map(off =>
+          cps(p - 1 - off).toLong * pows(off) % CdcMod).sum % CdcMod
+        win % modulus == 0
+      }
+      // chunk ends (code-point cumulative lengths, minus the tail)
+      val ends = ch.map(c => c._3.codePointCount(0, c._3.length))
+        .scanLeft(0)(_ + _).drop(1).dropRight(1).toSeq
+      assert(ends == expected.toSeq,
+        s"boundaries diverge from the oracle formula for ${txt.take(20)}…")
     }
-    def rootMsg(t: Throwable): String =
-      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
-    assert(rootMsg(e).contains("non-BMP"),
-      s"expected the BMP-parity guard, got: ${rootMsg(e).take(300)}")
-    // BMP non-ASCII (accents, CJK) is inside the parity regime
-    val ok = Seq((0L, "café crème 中文文本 " * 8))
-      .toDF("doc_id", "text")
-    val ch = Dedup.cdcChunks(ok, "doc_id", "text", w = 8, modulus = 16)
-      .orderBy("chunk_id").as[(Long, Int, String)].collect()
-    assert(ch.map(_._3).mkString == ("café crème 中文文本 " * 8))
   }
 
   test("dedupCdcKeepFirst: doc 0 untouched, shifted copy loses every " +
