@@ -30,6 +30,15 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isMover(0.25, 0.05))
   }
 
+  test("isMover: rows over 1 s trip the tighter 1.8x wire (the q105 " +
+      "r13 near-miss class); sub-second rows keep 2x") {
+    assert(Bench.isMover(1.426, 2.78))   // 1.95x at >1 s: now re-timed
+    assert(Bench.isMover(2.78, 1.426))   // and symmetric
+    assert(!Bench.isMover(1.426, 2.50))  // 1.75x at >1 s: in band
+    assert(!Bench.isMover(0.40, 0.76))   // 1.9x sub-second: noise class
+    assert(Bench.isMover(0.40, 0.81))    // >2x sub-second still trips
+  }
+
   test("isMover: errored runs (-1 sentinel) never adjudicate") {
     assert(!Bench.isMover(-1.0, 0.5))
     assert(!Bench.isMover(0.5, -1.0))
