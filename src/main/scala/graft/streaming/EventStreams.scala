@@ -230,9 +230,23 @@ object EventStreams {
     * watermark-respecting delivery the closed-session stream is
     * row-identical to the batch operator (oracle q186). Per-key state is
     * ONE open session + a counter; the per-batch sort buffers only one
-    * user's slice of one micro-batch. */
+    * user's slice of one micro-batch.
+    *
+    * State lifetime: after a session closes, a tiny EMPTY state row
+    * (just the seq counter) is kept so the user's next session numbers
+    * correctly. With the default `seqTtlGaps = 0` that row lives
+    * FOREVER — exact session_seq across any silence, but state grows
+    * with distinct users ever seen, which an unbounded keyspace (an
+    * open 100 TB/day feed) cannot afford. Set `seqTtlGaps = k > 0` to
+    * evict the empty row once the watermark passes k further gap
+    * periods of silence: state becomes bounded by ACTIVE users, at the
+    * documented cost that a user returning after the TTL restarts
+    * session_seq at 0. Pick k so gap·(1+k) exceeds the source's
+    * realistic return window, or key sinks on (user, start_us) rather
+    * than seq when running with a TTL. */
   def sessionizeByGap(events: Dataset[Event], gapMs: Long,
-      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
+      watermarkDelay: String = "0 seconds",
+      seqTtlGaps: Int = 0): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapUs = gapMs * 1000L
     events
@@ -243,13 +257,30 @@ object EventStreams {
         (user: Long, batch: Iterator[Event], state: GroupState[GapState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            // keep the counter (an empty-session state, no timer): a
-            // remove() here would restart session_seq at 0 for the
-            // user's next session — state stays one tiny row per user
-            state.update(GapState(s.seq + 1L, 0L, 0.0,
-              Long.MaxValue, Long.MinValue))
-            Iterator(ClosedSession(user, s.seq, s.nEvents, s.total,
-              s.firstUs, s.lastUs))
+            if (s.nEvents == 0L) {
+              // the empty counter row's TTL expired (reachable only
+              // with seqTtlGaps > 0): evict — the user's next session
+              // restarts at seq 0, the documented TTL trade
+              state.remove()
+              Iterator.empty
+            } else {
+              // keep the counter (an empty-session state): a remove()
+              // here would restart session_seq at 0 for the user's
+              // next session. Default: no timer, one tiny row per user
+              // forever; with seqTtlGaps > 0, arm the eviction timer
+              // k gap periods past the close (clamped above the
+              // current watermark — it may already have raced ahead).
+              state.update(GapState(s.seq + 1L, 0L, 0.0,
+                Long.MaxValue, Long.MinValue))
+              if (seqTtlGaps > 0) {
+                val target = Math.floorDiv(s.lastUs, 1000L) +
+                  gapMs * (1L + seqTtlGaps)
+                state.setTimeoutTimestamp(
+                  math.max(target, state.getCurrentWatermarkMs() + 1L))
+              }
+              Iterator(ClosedSession(user, s.seq, s.nEvents, s.total,
+                s.firstUs, s.lastUs))
+            }
           } else {
             val evs = batch.toArray
               .map(e => (exactMicros(e.ts), e.event_id, e.value))

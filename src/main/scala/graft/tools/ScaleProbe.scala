@@ -49,6 +49,14 @@ object ScaleProbe {
 
   private def wanted(name: String): Boolean = nameFilter.forall(name.contains)
 
+  /** EXACT-name opt-in for probes whose cost is quadratic-by-design
+    * (r13 advice: `wanted` is substring-based and vacuously true with
+    * no filter, so "not run unless asked for" guards must not rely on
+    * it — an unfiltered sweep, or any filter that happens to be a
+    * substring, would fire the ~2e9-row candidate join). */
+  private def explicitlyWanted(name: String): Boolean =
+    nameFilter.contains(name)
+
   /** Probes actually timed this run — a filter that matches nothing
     * (typo, or a probe name missing from its block's guard list) would
     * otherwise finish silently and a bench round would read the absent
@@ -517,10 +525,12 @@ object ScaleProbe {
         Dedup.prefixJaccardJoin(small, "doc_id", "text", 0.8, 3).count())
       time("prefix_jaccard_boiler_prefix_full")(
         Dedup.prefixJaccardJoin(full, "doc_id", "text", 0.8, 3).count())
-      // the naive pass at full N only when explicitly asked for — its
-      // candidate space is boiler_shingles x N^2 (~2x10^9 rows here)
-      time("prefix_jaccard_boiler_naive_full")(
-        Dedup.ngramJaccard(full, "doc_id", "text", 3, 0.8).count())
+      // the naive pass at full N only on an EXACT-name request — its
+      // candidate space is boiler_shingles x N^2 (~2x10^9 rows here);
+      // substring-wanted() would run it on every unfiltered sweep
+      if (explicitlyWanted("prefix_jaccard_boiler_naive_full"))
+        time("prefix_jaccard_boiler_naive_full")(
+          Dedup.ngramJaccard(full, "doc_id", "text", 3, 0.8).count())
       small.unpersist(); full.unpersist()
     }
 

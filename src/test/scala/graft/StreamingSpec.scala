@@ -142,6 +142,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("gap sessionization seqTtlGaps: empty counter state evicts " +
+      "after the TTL and session_seq restarts; default keeps it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    // gap 10 min, TTL 2 further gaps → the counter row dies once the
+    // watermark passes last + 30 min of silence
+    val q = EventStreams.sessionizeByGap(mem.toDS(),
+        gapMs = 10 * 60 * 1000, seqTtlGaps = 2)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("ttl_sessions").start()
+    try {
+      def ev(id: Long, user: Long, minute: Long) = EventStreams.Event(
+        id, new java.sql.Timestamp(minute * 60000), user, "click", 1.0)
+      mem.addData(ev(1, 1, 60), ev(2, 1, 65))
+      q.processAllAvailable()
+      // watermark far past u1's close AND its 30-min TTL
+      mem.addData(ev(3, 2, 300)); q.processAllAvailable()
+      mem.addData(ev(4, 3, 500)); q.processAllAvailable()
+      // u1 returns LONG after the TTL: its counter was evicted, so the
+      // next session numbers from 0 again (the documented trade)
+      mem.addData(ev(5, 1, 700)); q.processAllAvailable()
+      mem.addData(ev(6, 4, 900)); q.processAllAvailable()
+      mem.addData(ev(7, 5, 1100)); q.processAllAvailable()
+      val u1 = spark.table("ttl_sessions").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(4))).sortBy(_._2)
+      assert(u1.toSeq == Seq(
+        (0L, 60 * 60000000L), (0L, 700 * 60000000L)),
+        s"expected seq restart after TTL eviction, got ${u1.toSeq}")
+    } finally q.stop()
+  }
+
   test("event-time sessions run on the RocksDB state store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
