@@ -327,6 +327,65 @@ object TextQueries {
         .orderBy("label", "term")
     }),
 
+    // The END-TO-END curation pipeline (VERDICT r13 Next #6) — the
+    // shape a user actually runs, as ONE query, testing operator
+    // COMPOSITION (column contracts, dedup-before-quota ordering)
+    // that per-operator rows can't: quality gate (q33's signals) →
+    // corpus boilerplate-line removal over the survivors (q169) →
+    // corpus-wide exact line dedup keep-first (q170) → fingerprint
+    // near-dup clusters on the survivors' ORIGINAL text (q34's
+    // device) → per-source quota on CLEANED length (q185) →
+    // leakage-safe hash split keyed on the CLUSTER (q87/q134's
+    // device), so near-dup docs can never straddle train/test.
+    // Emits every quality survivor (kept docs carry their quota_rank,
+    // cut docs carry NULL) — which also makes the cluster column
+    // non-vacuous: a doc whose twin won keep-first shows
+    // cluster != doc_id and inherits the twin's split. Plan shape
+    // (Spark has no common-subplan dedup, so the pipeline is ONE
+    // linear frame handed stage to stage, never re-joined against
+    // itself): quality gate + line reconstruction fuse into a single
+    // per-doc projection inside the scan; the two dedup stages are the
+    // production operators (their internal re-references are the only
+    // corpus re-reads, each a column-pruned scan by design); the
+    // cluster attaches AFTER the text stages from a slim
+    // (doc_id, fingerprint) side chain restricted to survivors by the
+    // join itself; quota rank and split are two slim-row windows at
+    // the tail. The first cut composed the stages by re-joining the
+    // gated corpus — 36 parquet scans; this shape plans 4 (+1 in the
+    // boilerplate pass-1 collect job).
+    "q197_curation_pipeline" -> ((s, dir) => {
+      import graft.ext.Curation
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val perDoc = TextAnalysis.withQualitySignals(d, "text")
+        .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.805)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.rebuiltLineText(
+            graft.functions.TextFunctions.tokens(col("text")), 4)
+            .as("text"))
+      val bp = Dedup.removeBoilerplateLines(perDoc, "doc_id", "text",
+        maxDocFreq = 2)
+      val cleaned = Dedup.dedupLinesKeepFirst(
+          bp.select("doc_id", "source", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("n_chars_clean"))
+      val fp = TextAnalysis.withFingerprint(d, "text")
+        .select("doc_id", "fingerprint")
+      val clustered = cleaned.join(fp, "doc_id")
+        .withColumn("cluster",
+          min(col("doc_id")).over(Window.partitionBy("fingerprint")))
+      val ranked = Curation.groupQuotaRank(clustered,
+          groupCols = Seq("source"),
+          order = Seq(col("n_chars_clean").desc, col("doc_id").asc))
+        .withColumn("quota_rank",
+          when(col("quota_rank") <= 10, col("quota_rank")))
+      Curation.assignSplits(ranked, "cluster", "cp1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "n_chars_clean", "quota_rank",
+          "cluster", "split")
+        .orderBy("doc_id")
+    }),
+
     // Incremental boilerplate removal: docs 250+ arriving against the
     // 0-249 history's SAVED (line_hash, n_docs) artifact — the batch is
     // rewritten with MERGED corpus frequencies, bit-identical to the
@@ -961,6 +1020,62 @@ object TextQueries {
         |      FROM scored GROUP BY 1)
         |SELECT doc_id, CAST(wt * 1000000000 AS BIGINT) AS weight_e9
         |FROM w ORDER BY wt DESC, doc_id LIMIT 100""".stripMargin,
+    // the five pipeline stages chained as CTEs, each the SAME fragment
+    // its per-operator oracle uses (q33 gate, q169 freq list, q170
+    // keep-first ranking, q34 min-shingle fingerprint, q185 rank
+    // window, q87 hash intervals keyed on the cluster)
+    "q197_curation_pipeline" -> (rebuiltSqlCte(4) +
+      """,
+        |q AS (SELECT d.doc_id, d.source, r.text
+        |  FROM documents d JOIN rebuilt r USING (doc_id)
+        |  WHERE len(string_split_regex(d.text,'\s+')) >= 20
+        |    AND (CASE WHEN length(d.text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(d.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |              / CAST(length(d.text) AS DOUBLE) END) >= 0.805),
+        |lines AS (SELECT doc_id, l
+        |  FROM q, unnest(string_split(text, chr(10))) u(l)
+        |  WHERE length(l) > 0),
+        |freq AS (SELECT COALESCE(list(l), []) fl FROM
+        |  (SELECT l FROM lines GROUP BY l HAVING COUNT(DISTINCT doc_id) > 2)),
+        |bp AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> length(x) > 0 AND NOT list_contains(fl, x)) kl
+        |  FROM q, freq),
+        |ex AS (SELECT doc_id, kl[i] AS l, i
+        |  FROM bp, unnest(generate_series(1, len(kl))) u(i)),
+        |rk AS (SELECT doc_id, l, i,
+        |    row_number() OVER (PARTITION BY l ORDER BY doc_id, i) rn
+        |  FROM ex),
+        |cln AS (SELECT q.doc_id,
+        |    length(COALESCE(k.txt, '')) AS n_chars_clean
+        |  FROM q LEFT JOIN
+        |    (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) txt
+        |     FROM rk WHERE rn = 1 GROUP BY 1) k USING (doc_id)),
+        |ftoks AS (SELECT doc_id, string_split_regex(text,'\s+') t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') s
+        |       FROM ftoks, unnest(generate_series(1, len(t)-7)) u(i)
+        |       WHERE len(t) >= 8
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(t,' ') FROM ftoks
+        |       WHERE len(t) < 8),
+        |fp AS (SELECT doc_id, min(md5(s)) AS f FROM sh GROUP BY 1),
+        |cl AS (SELECT fp.doc_id, MIN(f2.doc_id) AS cluster
+        |  FROM fp JOIN fp f2 USING (f) GROUP BY 1),
+        |qt AS (SELECT c.doc_id,
+        |    CAST(row_number() OVER (PARTITION BY q.source
+        |      ORDER BY c.n_chars_clean DESC, c.doc_id) AS BIGINT)
+        |      AS quota_rank
+        |  FROM cln c JOIN q USING (doc_id)),
+        |kept AS (SELECT doc_id, quota_rank FROM qt WHERE quota_rank <= 10)
+        |SELECT q.doc_id, q.source, c.n_chars_clean, kept.quota_rank,
+        |  cl.cluster, CASE
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3435973836 THEN 'train'
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3865470565 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM q JOIN cln c USING (doc_id) JOIN cl USING (doc_id)
+        |LEFT JOIN kept USING (doc_id)
+        |ORDER BY q.doc_id""".stripMargin),
     // the trainer's exact-integer core replayed as one CTE chain:
     // same \s+ tokenization, same deterministic doc_id%3 labeling;
     // SUM() widens to HUGEINT in DuckDB so every rollup is cast back

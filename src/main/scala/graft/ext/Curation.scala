@@ -172,11 +172,23 @@ object Curation {
   def groupQuota(df: DataFrame, groupCols: Seq[String],
       order: Seq[Column], k: Int): DataFrame = {
     require(k >= 1, "quota k must be >= 1")
+    groupQuotaRank(df, groupCols, order).filter(col("quota_rank") <= k)
+  }
+
+  /** The rank half of [[groupQuota]]: every row keeps its 1-based
+    * `quota_rank`, nothing is cut — for callers that need the below-
+    * quota rows labeled rather than dropped (e.g. a pipeline emitting
+    * all survivors with the cut rows' rank nulled). [[groupQuota]] is
+    * this plus `filter(rank <= k)` — composing them keeps the filter
+    * directly over the window, which is the shape Catalyst rewrites
+    * into a map-side WindowGroupLimit (≤ k rows per group leave each
+    * task before the rank shuffle). */
+  def groupQuotaRank(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column]): DataFrame = {
     require(groupCols.nonEmpty, "groupQuota needs group columns")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     df.withColumn("quota_rank", row_number().over(w).cast("long"))
-      .filter(col("quota_rank") <= k)
   }
 
   /** Deterministic global shuffle: total order by hash rank (id as
