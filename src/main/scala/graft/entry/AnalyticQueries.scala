@@ -1229,6 +1229,34 @@ object AnalyticQueries {
       raw.map(_.getLong(0)).toSeq.toDF("doc_id").orderBy("doc_id")
     }),
 
+    // The EIGHTEENTH streaming twin: the online classifier gate — the
+    // APPLY half of the curation stack goes online like dedup, quota
+    // and decontamination already did. The full docs corpus streams in
+    // thirds; the pinned q172 model rides into every micro-batch as a
+    // constant-folded map literal; per batch the work is a stateless
+    // per-row decimal fold (no state store, no watermark, no window —
+    // the cheapest twin). Output faces q172's own oracle SQL: the
+    // online gate must reproduce the batch classifyLinear row-for-row,
+    // scaled-BIGINT edge included. Exactly-once per doc (each doc
+    // arrives once and its verdict is self-contained), so the fold is
+    // a plain collect + sort.
+    "q198_streaming_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val (m, p) = TextQueries.pinnedModel(s)
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingClassifierGate(
+            df, "doc_id", "text", m, p)
+          .select(col("doc_id"), col("label"),
+            (col("score").cast("decimal(18,9)") *
+              lit(1000000000L).cast("decimal(10,0)"))
+              .cast("bigint").as("score_e9")),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.toDF("doc_id", "label", "score_e9")
+        .orderBy("doc_id")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -2033,5 +2061,9 @@ object AnalyticQueries {
           |  SELECT 1 FROM documents t
           |  WHERE t.doc_id < 250 AND md5(t.text) = md5(s.text))
           |ORDER BY doc_id""".stripMargin) +
+      // the online classifier gate must reproduce the batch apply
+      // row-for-row — same oracle as q172
+      ("q198_streaming_classifier" ->
+        TextQueries.oracleSql("q172_classifier_apply")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

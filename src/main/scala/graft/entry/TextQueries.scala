@@ -107,9 +107,10 @@ object TextQueries {
     ("join", "fr", "0.50"), ("merge", "fr", "0.40"),
     ("sort", "fr", "0.35"), ("agg", "fr", "0.30"))
 
-  /** The pinned (weights, priors) pair shared by q172/q173; unseen is
-    * pinned 0 (pure linear apply — the fastText shape). */
-  private def pinnedModel(s: SparkSession): (DataFrame, DataFrame) = {
+  /** The pinned (weights, priors) pair shared by q172/q173 and the
+    * streaming twin q198; unseen is pinned 0 (pure linear apply — the
+    * fastText shape). */
+  private[entry] def pinnedModel(s: SparkSession): (DataFrame, DataFrame) = {
     import s.implicits._
     val m = pinnedClassifierWeights.toDF("term", "label", "w")
       .select(col("term"), col("label"),

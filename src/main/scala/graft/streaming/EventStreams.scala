@@ -356,6 +356,92 @@ object EventStreams {
       .unionByName(stream.filter(!coalesce(probe, lit(false))))
   }
 
+  /** Online classifier gate — the streaming form of
+    * [[graft.ext.TextAnalysis.classifyLinear]] (the model-based
+    * filtering stage of a curation stack, applied at ingest time):
+    * per document, score(label) = prior + Σ_token w(token, label)
+    * (unseen tokens contribute the per-label `unseen` weight), argmax
+    * with the batch operator's (score desc, label asc) tie-break.
+    *
+    * ENTIRELY STATELESS and aggregation-free, so the plan is
+    * append-mode legal with no watermark: the batch operator's
+    * explode → broadcast-join → per-doc aggregation → rank-1 window
+    * can't stream (unwatermarked aggregation + windows are illegal in
+    * Append mode), so the same exact-decimal arithmetic is re-expressed
+    * per ROW — one `aggregate()` fold over the token array per label,
+    * against the model collected to a CONSTANT-FOLDED map literal that
+    * rides into every micro-batch (the plan-literal device of
+    * [[streamNewRows]]'s bloom). Values are bit-identical to
+    * classifyLinear: every add is exact decimal (fold accumulator
+    * decimal(38,9); magnitudes bounded), matched and unseen tokens
+    * contribute exactly the batch formula's terms, and the argmax is
+    * array_min over (−score, label) structs — same tie-break.
+    *
+    * Scale contract: the model must be collectible (`maxModelRows`
+    * guard, loud). `element_at` on a map LITERAL is a per-token linear
+    * probe — O(|vocab|·tokens) per doc — which is fine for the pinned
+    * marker-word gates this twin exists for; a 10⁶-term fastText vocab
+    * belongs in the batch operator's broadcast join (or a snapshot
+    * compaction cycle), not in a plan literal. */
+  def streamingClassifierGate(docs: DataFrame, idCol: String,
+      textCol: String, termWeights: DataFrame, priors: DataFrame,
+      maxModelRows: Int = 1 << 20): DataFrame = {
+    val pr = priors.select(col("label"),
+        col("prior").cast("decimal(18,9)"),
+        col("unseen").cast("decimal(18,9)"))
+      .limit(maxModelRows + 1).collect()
+    require(pr.length <= maxModelRows && pr.nonEmpty,
+      s"priors table must have 1..$maxModelRows rows (got ${pr.length})")
+    val w = termWeights.select(col("term"), col("label"),
+        col("weight").cast("decimal(18,9)"))
+      .limit(maxModelRows + 1).collect()
+    require(w.length <= maxModelRows,
+      s"model exceeds $maxModelRows rows — use the batch " +
+        "classifyLinear broadcast join for vocabularies this large")
+    val byLabel = w.groupBy(_.getString(1)).view
+      .mapValues(_.map(r => (r.getString(0), r.getDecimal(2))).toSeq)
+      .toMap
+    val toks = filter(
+      graft.functions.TextFunctions.tokens(
+        coalesce(col(textCol), lit(""))),
+      t => length(t) > 0)
+    val withT = docs.withColumn("__t", toks)
+    val labels = pr.map(_.getString(0)).sorted
+    val prByLabel = pr.map(r =>
+      r.getString(0) -> ((r.getDecimal(1), r.getDecimal(2)))).toMap
+    val entries = labels.map { lab =>
+      val (prior, unseen) = prByLabel(lab)
+      val terms = byLabel.getOrElse(lab, Seq.empty)
+      val unseenLit = lit(unseen).cast("decimal(18,9)")
+      // all-literal map_from_arrays: ConstantFolding collapses it to
+      // one map literal, so the lambda's reference is a constant, not
+      // a per-element rebuild (the HOF re-eval rule)
+      val lookup: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (terms.isEmpty) _ => unseenLit
+        else {
+          val m = map_from_arrays(
+            array(terms.map(t => lit(t._1)): _*),
+            array(terms.map(t => lit(t._2).cast("decimal(18,9)")): _*))
+          t => coalesce(element_at(m, t), unseenLit)
+        }
+      // accumulator pinned at decimal(27,9): (27,9)+(18,9) → (28,9)
+      // (cap never reached, scale never shed — a (38,9) accumulator
+      // hits the 38 cap and Spark silently rounds to scale 8), and the
+      // step-down cast back to (27,9) is exact for these bounded
+      // magnitudes (|score| < |prior| + tokens·max|w|, 18 integral
+      // digits of headroom)
+      val score = aggregate(col("__t"),
+        lit(prior).cast("decimal(27,9)"),
+        (acc, t) => (acc + lookup(t)).cast("decimal(27,9)"))
+      struct((lit(java.math.BigDecimal.ZERO).cast("decimal(27,9)") - score)
+          .as("neg"),
+        lit(lab).as("label"), score.as("score"))
+    }
+    val best = array_min(array(entries: _*))
+    withT.select(col(idCol), best.getField("label").as("label"),
+      best.getField("score").cast("decimal(18,9)").as("score"))
+  }
+
   /** Streaming minhash near-dup vs a static snapshot — the online form
     * of [[graft.ext.Dedup.minhashNearDupDelta]]: arriving documents
     * emit (a_id, b_id, jaccard) pairs against the snapshot corpus,

@@ -176,6 +176,52 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingClassifierGate: bit-identical to batch classifyLinear " +
+      "(unseen tokens, null/empty text, tie-break), streams in Append") {
+    import graft.ext.TextAnalysis
+    val m = Seq(("apple", "fruit", "0.500000001"), ("pear", "fruit", "0.40"),
+        ("iron", "metal", "0.50"), ("zinc", "metal", "0.45"))
+      .toDF("term", "label", "w")
+      .select($"term", $"label", $"w".cast("decimal(18,9)").as("weight"))
+    val p = Seq(("fruit", "-0.20", "-0.05"), ("metal", "-0.20", "-0.03"))
+      .toDF("label", "pr", "un")
+      .select($"label", $"pr".cast("decimal(18,9)").as("prior"),
+        $"un".cast("decimal(18,9)").as("unseen"))
+    val docs = Seq(
+      (0L, "apple pear mystery"),          // unseen token in the mix
+      (1L, "iron zinc iron"),
+      (2L, ""),                            // score = prior, tie → label asc
+      (3L, null.asInstanceOf[String]),
+      (4L, "mystery words only here")      // all-unseen: unseen decides
+    ).toDF("doc_id", "text")
+    val batch = TextAnalysis.classifyLinear(docs, "doc_id", "text", m, p)
+      .select($"doc_id", $"label", $"score".cast("decimal(27,9)")
+        .as("score"))
+      .orderBy("doc_id").collect().toSeq
+    val online = EventStreams.streamingClassifierGate(
+        docs, "doc_id", "text", m, p)
+      .select($"doc_id", $"label", $"score".cast("decimal(27,9)")
+        .as("score"))
+      .orderBy("doc_id").collect().toSeq
+    assert(online == batch, s"online $online vs batch $batch")
+    // and the same plan is Append-legal on a real stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingClassifierGate(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", m, p)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("clf_gate").start()
+    try {
+      mem.addData((0L, "apple pear mystery"), (1L, "iron zinc iron"))
+      q.processAllAvailable()
+      val got = spark.table("clf_gate").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got == Map(0L -> "fruit", 1L -> "metal"))
+    } finally q.stop()
+  }
+
   test("event-time sessions run on the RocksDB state store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
