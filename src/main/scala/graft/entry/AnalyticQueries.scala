@@ -1257,6 +1257,34 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
+    // The NINETEENTH streaming twin: online DSIR importance scoring —
+    // the data-selection stack's scoring half goes online next to the
+    // classifier gate. Every arriving doc gets its exact-decimal
+    // weight = score(en) − score(es) from the same stateless per-row
+    // fold; the top-100 SELECTION is the fold's batch decision over
+    // the scored pool (sortWith, not sortBy(-w) — the Long.MinValue
+    // negation pitfall), facing q173's own oracle SQL row-for-row.
+    "q199_streaming_dsir" -> ((s, dir) => {
+      import s.implicits._
+      val (m, p) = TextQueries.pinnedModel(s)
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingImportanceGate(
+            df, "doc_id", "text", m, p,
+            targetLabel = "en", rawLabel = "es")
+          .select(col("doc_id"),
+            (col("weight").cast("decimal(18,9)") *
+              lit(1000000000L).cast("decimal(10,0)"))
+              .cast("bigint").as("weight_e9")),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+        .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+        .take(100)
+        .toDF("doc_id", "weight_e9")
+        .orderBy(col("weight_e9").desc, col("doc_id"))
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -2065,5 +2093,9 @@ object AnalyticQueries {
       // row-for-row — same oracle as q172
       ("q198_streaming_classifier" ->
         TextQueries.oracleSql("q172_classifier_apply")) +
+      // online scoring + batch top-k selection must reproduce the
+      // batch DSIR row-for-row — same oracle as q173
+      ("q199_streaming_dsir" ->
+        TextQueries.oracleSql("q173_dsir_select")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

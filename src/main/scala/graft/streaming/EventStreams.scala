@@ -386,6 +386,56 @@ object EventStreams {
   def streamingClassifierGate(docs: DataFrame, idCol: String,
       textCol: String, termWeights: DataFrame, priors: DataFrame,
       maxModelRows: Int = 1 << 20): DataFrame = {
+    val (withT, scores) = linearScoreColumns(docs, textCol,
+      termWeights, priors, maxModelRows)
+    val entries = scores.map { case (lab, score) =>
+      struct((lit(java.math.BigDecimal.ZERO).cast("decimal(27,9)") - score)
+          .as("neg"),
+        lit(lab).as("label"), score.as("score"))
+    }
+    val best = array_min(array(entries: _*))
+    withT.select(col(idCol), best.getField("label").as("label"),
+      best.getField("score").cast("decimal(18,9)").as("score"))
+  }
+
+  /** Online DSIR importance scoring — the streaming form of
+    * [[graft.ext.TextAnalysis.importanceWeights]]: per arriving
+    * document, the exact-decimal log-likelihood-ratio weight
+    * score(targetLabel) − score(rawLabel) under a pinned two-class
+    * model. Same stateless per-row fold device (and the same scale
+    * contract) as [[streamingClassifierGate]]; the SELECTION over the
+    * scored pool (top-k by weight) is a batch decision downstream —
+    * what streams is the scoring, which is the corpus-sized half. */
+  def streamingImportanceGate(docs: DataFrame, idCol: String,
+      textCol: String, termWeights: DataFrame, priors: DataFrame,
+      targetLabel: String, rawLabel: String,
+      maxModelRows: Int = 1 << 20): DataFrame = {
+    val (withT, scores) = linearScoreColumns(docs, textCol,
+      termWeights, priors, maxModelRows)
+    val sMap = scores.toMap
+    require(sMap.contains(targetLabel) && sMap.contains(rawLabel),
+      s"model priors must cover '$targetLabel' and '$rawLabel' " +
+        s"(have ${scores.map(_._1).mkString(", ")})")
+    // the same tight re-cast before the subtraction as the batch
+    // operator's sum: (28,9) − (28,9) → (29,9), exact
+    withT.select(col(idCol),
+      (sMap(targetLabel).cast("decimal(28,9)") -
+        sMap(rawLabel).cast("decimal(28,9)")).as("weight"))
+  }
+
+  /** The shared stateless core of the linear-model streaming gates:
+    * per label, ONE `aggregate()` fold over the document's token array
+    * against the model collected to a constant-folded map literal.
+    * Returns the tokenized frame and the (label asc, score Column)
+    * pairs. Accumulator pinned at decimal(27,9): (27,9)+(18,9) →
+    * (28,9) (the 38 cap is never reached, so scale is never shed — a
+    * (38,9) accumulator hits the cap and Spark silently rounds to
+    * scale 8), and the step-down cast back to (27,9) is exact for
+    * these bounded magnitudes (|score| < |prior| + tokens·max|w|,
+    * 18 integral digits of headroom). */
+  private def linearScoreColumns(docs: DataFrame, textCol: String,
+      termWeights: DataFrame, priors: DataFrame, maxModelRows: Int)
+      : (DataFrame, Seq[(String, org.apache.spark.sql.Column)]) = {
     val pr = priors.select(col("label"),
         col("prior").cast("decimal(18,9)"),
         col("unseen").cast("decimal(18,9)"))
@@ -406,10 +456,9 @@ object EventStreams {
         coalesce(col(textCol), lit(""))),
       t => length(t) > 0)
     val withT = docs.withColumn("__t", toks)
-    val labels = pr.map(_.getString(0)).sorted
     val prByLabel = pr.map(r =>
       r.getString(0) -> ((r.getDecimal(1), r.getDecimal(2)))).toMap
-    val entries = labels.map { lab =>
+    val scores = pr.map(_.getString(0)).sorted.toSeq.map { lab =>
       val (prior, unseen) = prByLabel(lab)
       val terms = byLabel.getOrElse(lab, Seq.empty)
       val unseenLit = lit(unseen).cast("decimal(18,9)")
@@ -424,22 +473,11 @@ object EventStreams {
             array(terms.map(t => lit(t._2).cast("decimal(18,9)")): _*))
           t => coalesce(element_at(m, t), unseenLit)
         }
-      // accumulator pinned at decimal(27,9): (27,9)+(18,9) → (28,9)
-      // (cap never reached, scale never shed — a (38,9) accumulator
-      // hits the 38 cap and Spark silently rounds to scale 8), and the
-      // step-down cast back to (27,9) is exact for these bounded
-      // magnitudes (|score| < |prior| + tokens·max|w|, 18 integral
-      // digits of headroom)
-      val score = aggregate(col("__t"),
+      lab -> aggregate(col("__t"),
         lit(prior).cast("decimal(27,9)"),
         (acc, t) => (acc + lookup(t)).cast("decimal(27,9)"))
-      struct((lit(java.math.BigDecimal.ZERO).cast("decimal(27,9)") - score)
-          .as("neg"),
-        lit(lab).as("label"), score.as("score"))
     }
-    val best = array_min(array(entries: _*))
-    withT.select(col(idCol), best.getField("label").as("label"),
-      best.getField("score").cast("decimal(18,9)").as("score"))
+    (withT, scores)
   }
 
   /** Streaming minhash near-dup vs a static snapshot — the online form

@@ -222,6 +222,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingImportanceGate: bit-identical to batch " +
+      "importanceWeights, unknown label refused") {
+    import graft.ext.TextAnalysis
+    val m = Seq(("good", "tgt", "0.50"), ("clean", "tgt", "0.35"),
+        ("spam", "raw", "0.50"), ("junk", "raw", "0.45"))
+      .toDF("term", "label", "w")
+      .select($"term", $"label", $"w".cast("decimal(18,9)").as("weight"))
+    val p = Seq(("tgt", "-0.20", "-0.05"), ("raw", "-0.25", "-0.03"))
+      .toDF("label", "pr", "un")
+      .select($"label", $"pr".cast("decimal(18,9)").as("prior"),
+        $"un".cast("decimal(18,9)").as("unseen"))
+    val docs = Seq(
+      (10L, "good clean text"), (11L, "spam junk"),
+      (12L, "neutral words here"), (13L, "")).toDF("doc_id", "text")
+    val batch = TextAnalysis.importanceWeights(docs, "doc_id", "text",
+        m, p, "tgt", "raw")
+      .select($"doc_id", $"weight".cast("decimal(29,9)").as("weight"))
+      .orderBy("doc_id").collect().toSeq
+    val online = EventStreams.streamingImportanceGate(docs, "doc_id",
+        "text", m, p, "tgt", "raw")
+      .select($"doc_id", $"weight".cast("decimal(29,9)").as("weight"))
+      .orderBy("doc_id").collect().toSeq
+    assert(online == batch, s"online $online vs batch $batch")
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.streamingImportanceGate(docs, "doc_id", "text",
+        m, p, "tgt", "nope")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("event-time sessions run on the RocksDB state store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
