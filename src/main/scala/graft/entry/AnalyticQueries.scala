@@ -1285,6 +1285,46 @@ object AnalyticQueries {
         .orderBy(col("weight_e9").desc, col("doc_id"))
     }),
 
+    // The TWENTIETH streaming twin: online NB term-count maintenance —
+    // TRAINING goes online (the q196 exact-integer core kept fresh as
+    // labeled docs arrive). One Update-mode (label, term) count
+    // aggregation, with one DocSentinel marker per doc so doc
+    // counts ride in the same single aggregation; counts are MONOTONE
+    // so the exactly-once fold is MAX per key, and the trainer's
+    // rollups (label totals, vocab size, doc totals) are exact
+    // derivations over the folded table — the same rollups batch
+    // trainNaiveBayesCounts computes from ITS aggregate. Faces q196's
+    // own oracle SQL row-for-row.
+    "q200_streaming_nb_counts" -> ((s, dir) => {
+      import s.implicits._
+      val sentinel = graft.streaming.EventStreams.DocSentinel
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingTermCounts(
+          df.withColumn("label",
+            element_at(array(lit("en"), lit("es"), lit("fr")),
+              ((col("doc_id") % 3) + 1).cast("int"))),
+          "label", "text"))
+      val folded = raw
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val docCounts = folded.collect {
+        case ((l, t), n) if t == sentinel => l -> n
+      }
+      require(docCounts.nonEmpty && folded.keys.map(_._1).toSet ==
+          docCounts.keySet,
+        "sentinel doc-marker rows missing for some label — doc counts " +
+          "would be silently wrong")
+      val tc = folded.filter(_._1._2 != sentinel)
+      val tot = tc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val v = math.max(tc.keys.map(_._2).toSet.size, 1).toLong
+      val nTotal = docCounts.values.sum
+      tc.toSeq.map { case ((l, term), n) =>
+          (term, l, n, tot(l), v, docCounts(l), nTotal) }
+        .toDF("term", "label", "n", "tot", "v", "n_docs", "n_total")
+        .orderBy("label", "term")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -2097,5 +2137,9 @@ object AnalyticQueries {
       // batch DSIR row-for-row — same oracle as q173
       ("q199_streaming_dsir" ->
         TextQueries.oracleSql("q173_dsir_select")) +
+      // online count maintenance must converge to the batch trainer's
+      // exact artifact — same oracle as q196
+      ("q200_streaming_nb_counts" ->
+        TextQueries.oracleSql("q196_nb_train")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

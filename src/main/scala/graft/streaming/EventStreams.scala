@@ -423,6 +423,37 @@ object EventStreams {
         sMap(rawLabel).cast("decimal(28,9)")).as("weight"))
   }
 
+  /** Sentinel "term" counted once per document by
+    * [[streamingTermCounts]] (leading \u0001 control char — absent
+    * from any realistic token stream; a pathological corpus token
+    * equal to this exact string would inflate doc counts, which the
+    * fold's per-label sentinel-presence guard makes loud, not
+    * silent). */
+  val DocSentinel = "doc"
+
+  /** Online (label, term) count maintenance — the streaming half of
+    * the NB trainer (q196's exact-integer core kept fresh as labeled
+    * documents arrive): one Update-mode aggregation counting each
+    * (label, term) token instance PLUS one [[DocSentinel]] marker per
+    * document, so per-label doc counts ride in the same single
+    * streaming aggregation (a second aggregation in one streaming
+    * query is illegal). Counts are MONOTONE non-decreasing, so the
+    * exactly-once fold is MAX per key; the trainer's rollups (label
+    * token totals, vocabulary size, doc totals) are exact derivations
+    * over the folded table — the same rollups the batch
+    * trainNaiveBayesCounts computes from ITS termCounts aggregate.
+    * State ∝ vocab × labels (+ |labels| sentinel rows) — the bounded
+    * model artifact, never the corpus. */
+  def streamingTermCounts(docs: DataFrame, labelCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(labelCol).as("label"),
+        explode(concat(array(lit(DocSentinel)),
+          filter(graft.functions.TextFunctions.tokens(
+            coalesce(col(textCol), lit(""))), t => length(t) > 0)))
+          .as("term"))
+      .groupBy("label", "term")
+      .agg(count(lit(1)).as("n"))
+
   /** The shared stateless core of the linear-model streaming gates:
     * per label, ONE `aggregate()` fold over the document's token array
     * against the model collected to a constant-folded map literal.

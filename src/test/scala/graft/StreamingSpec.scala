@@ -252,6 +252,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("streamingTermCounts: Update-mode re-emissions fold by MAX to " +
+      "the exact batch counts; sentinel rides the same aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = EventStreams.streamingTermCounts(
+        mem.toDS().toDF("label", "text"), "label", "text")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("nb_counts").start()
+    try {
+      // 'apple' for label a arrives in BOTH batches: Update mode
+      // re-emits the key with the grown count — the fold must take
+      // MAX, not sum (sum would double-count the first batch)
+      mem.addData(("a", "apple pear"), ("b", "iron"))
+      q.processAllAvailable()
+      mem.addData(("a", "apple apple"), ("b", null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val folded = spark.table("nb_counts").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val sent = EventStreams.DocSentinel
+      assert(folded(("a", "apple")) == 3L)
+      assert(folded(("a", "pear")) == 1L)
+      assert(folded(("b", "iron")) == 1L)
+      // sentinel = per-label doc counts (null-text doc still counts)
+      assert(folded(("a", sent)) == 2L && folded(("b", sent)) == 2L)
+    } finally q.stop()
+  }
+
   test("event-time sessions run on the RocksDB state store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
