@@ -122,6 +122,42 @@ object TextQueries {
     (m, p)
   }
 
+  /** The q197 stage composition over any (doc_id, source, text) frame
+    * — extracted so ScaleProbe can run the identical pipeline on a
+    * replicated corpus. Unordered output; callers add the total
+    * ORDER BY. See the q197 query comment for the stage-by-stage
+    * rationale and the linear-plan design. */
+  private[graft] def curationPipeline(d: DataFrame): DataFrame = {
+    import graft.ext.Curation
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = TextAnalysis.withQualitySignals(d, "text")
+      .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.805)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.rebuiltLineText(
+          graft.functions.TextFunctions.tokens(col("text")), 4)
+          .as("text"))
+    val bp = Dedup.removeBoilerplateLines(perDoc, "doc_id", "text",
+      maxDocFreq = 2)
+    val cleaned = Dedup.dedupLinesKeepFirst(
+        bp.select("doc_id", "source", "text"), "doc_id", "text")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars_clean"))
+    val fp = TextAnalysis.withFingerprint(d, "text")
+      .select("doc_id", "fingerprint")
+    val clustered = cleaned.join(fp, "doc_id")
+      .withColumn("cluster",
+        min(col("doc_id")).over(Window.partitionBy("fingerprint")))
+    val ranked = Curation.groupQuotaRank(clustered,
+        groupCols = Seq("source"),
+        order = Seq(col("n_chars_clean").desc, col("doc_id").asc))
+      .withColumn("quota_rank",
+        when(col("quota_rank") <= 10, col("quota_rank")))
+    Curation.assignSplits(ranked, "cluster", "cp1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "source", "n_chars_clean", "quota_rank",
+        "cluster", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CCNet-style corpus-level boilerplate-line removal: lines occurring
     // in >2 distinct docs are cut from EVERY doc. Pass 1 shuffles only
@@ -354,38 +390,8 @@ object TextQueries {
     // the tail. The first cut composed the stages by re-joining the
     // gated corpus — 36 parquet scans; this shape plans 4 (+1 in the
     // boilerplate pass-1 collect job).
-    "q197_curation_pipeline" -> ((s, dir) => {
-      import graft.ext.Curation
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir)
-      val perDoc = TextAnalysis.withQualitySignals(d, "text")
-        .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.805)
-        .select(col("doc_id"), col("source"),
-          graft.functions.TextFunctions.rebuiltLineText(
-            graft.functions.TextFunctions.tokens(col("text")), 4)
-            .as("text"))
-      val bp = Dedup.removeBoilerplateLines(perDoc, "doc_id", "text",
-        maxDocFreq = 2)
-      val cleaned = Dedup.dedupLinesKeepFirst(
-          bp.select("doc_id", "source", "text"), "doc_id", "text")
-        .select(col("doc_id"), col("source"),
-          length(col("text")).cast("long").as("n_chars_clean"))
-      val fp = TextAnalysis.withFingerprint(d, "text")
-        .select("doc_id", "fingerprint")
-      val clustered = cleaned.join(fp, "doc_id")
-        .withColumn("cluster",
-          min(col("doc_id")).over(Window.partitionBy("fingerprint")))
-      val ranked = Curation.groupQuotaRank(clustered,
-          groupCols = Seq("source"),
-          order = Seq(col("n_chars_clean").desc, col("doc_id").asc))
-        .withColumn("quota_rank",
-          when(col("quota_rank") <= 10, col("quota_rank")))
-      Curation.assignSplits(ranked, "cluster", "cp1",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select("doc_id", "source", "n_chars_clean", "quota_rank",
-          "cluster", "split")
-        .orderBy("doc_id")
-    }),
+    "q197_curation_pipeline" -> ((s, dir) =>
+      curationPipeline(docs(s, dir)).orderBy("doc_id")),
 
     // Incremental boilerplate removal: docs 250+ arriving against the
     // 0-249 history's SAVED (line_hash, n_docs) artifact — the batch is

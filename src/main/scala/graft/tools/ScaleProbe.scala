@@ -496,6 +496,23 @@ object ScaleProbe {
     }
     } // docProbes guard
 
+    // Round-14: the q197 end-to-end curation pipeline at corpus scale
+    // (the EXACT q197 composition via TextQueries.curationPipeline on a
+    // replicated corpus). The claim is near-linear wall/shuffle in
+    // corpus size: the quality gate + line reconstruction are scan-
+    // bounded, both dedup stages shuffle collapsed (doc, line-hash)
+    // tuples plus ONE pk text join, the cluster/rank/split tail is
+    // slim-row windows — no stage is quadratic, and the boilerplate
+    // frequent set stays heavy-hitter-bounded as the corpus grows.
+    if (Seq("curation_pipeline").exists(wanted)) {
+      val corpus = replicate(GraftSession.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text"), "doc_id", copies).cache()
+      println(s"[probe] curation corpus=${corpus.count()} (copies=$copies)")
+      time("curation_pipeline")(
+        graft.entry.TextQueries.curationPipeline(corpus).count())
+      corpus.unpersist()
+    }
+
     // Prefix-filter exact jaccard join (q183) vs the quadratic
     // shared-shingle pass (q36), on the corpus shape that separates
     // them: BOILERPLATE. On clean docs every shingle bucket is tiny
