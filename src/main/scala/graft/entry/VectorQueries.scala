@@ -462,6 +462,18 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // SQ8 scalar-quantization ANN (the int8 compression path next to
+    // PQ/OPQ/IVF-PQ): per-dim [min,max] trained on the corpus, one
+    // byte per dimension, ranked by the EXACT INTEGER symmetric
+    // quantized distance Σ(Δcode)² — all-integer end to end, so the
+    // whole pipeline (training min/max, the rounding encode, the
+    // distance, the rank cut) is hash-certified, not just row counts.
+    "q201_sq8_topk" -> ((s, dir) => {
+      Similarity.sq8TopK(emb(s, dir), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // Leakage-safe train/val/test split: q87's hash intervals keyed on
     // the q73 dedup CLUSTER, so a near-dup pair can never straddle
     // train/test (the split-time guard q64's contamination scan only
@@ -725,6 +737,31 @@ object VectorQueries {
         |SELECT v AS vec_id, MIN(r) AS cluster,
         |  CASE WHEN MIN(r) = v THEN 1 ELSE 0 END AS is_rep
         |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin,
+    // per-dim min/max over the same corpus, the same round/clamp
+    // encode (both engines round positive halves away from zero),
+    // all-integer symmetric distance — full-pipeline replay
+    "q201_sq8_topk" ->
+      """WITH mm AS (SELECT i, MIN(embedding[i]::DOUBLE) AS mn,
+        |    MAX(embedding[i]::DOUBLE) AS mx
+        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |  GROUP BY i),
+        |codes AS (SELECT e.vec_id,
+        |    list(CASE WHEN mm.mx = mm.mn THEN 0
+        |      ELSE GREATEST(0, LEAST(255, CAST(round(
+        |        (e.embedding[mm.i]::DOUBLE - mm.mn) * 255.0
+        |          / (mm.mx - mm.mn)) AS INT))) END ORDER BY mm.i) AS c
+        |  FROM embeddings e CROSS JOIN mm GROUP BY e.vec_id),
+        |d AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.c[i] - n.c[i] AS BIGINT) * (q.c[i] - n.c[i])))
+        |      AS BIGINT) AS sqdist
+        |  FROM codes q JOIN codes n ON n.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id, sqdist, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sqdist ASC, n_id ASC)
+        |    AS INTEGER) AS rank FROM d)
+        |SELECT q_id, n_id, rank, sqdist FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     // q73's recursive closure for the clusters, q87's md5-u32 hash
     // intervals keyed on the cluster label (bounds 0.8*2^32, 0.9*2^32)
     "q134_leakage_safe_split" ->

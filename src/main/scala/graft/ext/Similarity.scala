@@ -45,6 +45,82 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** SQ8 per-dimension training: [min, max] of every dimension over
+    * the corpus — the scalar-quantization artifact (the third standard
+    * ANN compression next to PQ/OPQ: one byte per DIMENSION instead of
+    * one byte per SUBSPACE, 4× smaller vectors than float32 with far
+    * less distortion than PQ at the same scan speed; what FAISS calls
+    * SQ8 and most vector stores call int8 quantization). One
+    * posexplode + (dim)-keyed agg with map-side partials — the shuffle
+    * carries ≤ dims rows per task, never vectors. Output
+    * (dim 0-based, mn, mx) — dims × 16 bytes, the persistable
+    * artifact. */
+  def sq8MinMax(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy("dim")
+      .agg(min(col("__x").cast("double")).as("mn"),
+        max(col("__x").cast("double")).as("mx"))
+
+  /** SQ8 encode against a trained [[sq8MinMax]] artifact:
+    * code = round((x − mn)·255/(mx − mn)) clamped to [0, 255]
+    * (constant dimensions pin to 0). Map-only: the artifact rides as
+    * two plan-literal arrays (`maxDims` guard), one fused transform
+    * per row — the corpus never shuffles. The arithmetic is one fixed
+    * left-associated IEEE expression over exact float→double casts,
+    * and both engines round positive halves away from zero, so codes
+    * replay bit-for-bit in the oracle. */
+  def sq8Encode(df: DataFrame, vecCol: String, minMax: DataFrame,
+      out: String = "sq8_code", maxDims: Int = 4096): DataFrame = {
+    val mm = minMax.orderBy("dim").limit(maxDims + 1).collect()
+    require(mm.nonEmpty && mm.length <= maxDims,
+      s"sq8 artifact must have 1..$maxDims dims (got ${mm.length})")
+    require(mm.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      "sq8 artifact dims must be contiguous from 0")
+    val mnLit = array(mm.map(r => lit(r.getDouble(1))): _*)
+    val mxLit = array(mm.map(r => lit(r.getDouble(2))): _*)
+    df.withColumn(out, transform(col(vecCol), (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, lit(0)).otherwise(
+        greatest(lit(0), least(lit(255),
+          round((x.cast("double") - mn) * lit(255.0) / (mx - mn))
+            .cast("int"))))
+    }))
+  }
+
+  /** SQ8 symmetric top-k: queries and corpus both encoded with the
+    * same artifact, ranked by the EXACT INTEGER quantized distance
+    * Σ (cq_i − c_i)² (the symmetric form — all-integer, so the whole
+    * verdict is hash-exact end to end, unlike ADC's float
+    * reconstruction). Same plan skeleton as [[bruteForceTopK]]:
+    * queries broadcast, one codegen fold per pair, rank-k window;
+    * the scan reads byte codes, 4× less memory traffic than the
+    * float corpus. */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val mm = sq8MinMax(corpus, vecCol)
+    val codes = sq8Encode(corpus.select(col(idCol), col(vecCol)),
+        vecCol, mm)
+      .select(col(idCol), col("sq8_code"))
+    val c = codes.select(col(idCol).as("n_id"),
+      col("sq8_code").as("__nc"))
+    val q = codes.filter(queryPred).select(col(idCol).as("q_id"),
+      col("sq8_code").as("__qc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      // per-pair squared deltas projected to a column BEFORE the fold
+      // references it (the HOF multi-reference rule)
+      .withColumn("__d", zip_with(col("__qc"), col("__nc"),
+        (a, b) => ((a - b) * (a - b)).cast("long")))
+      .withColumn("sqdist",
+        aggregate(col("__d"), lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sqdist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sqdist")
+  }
+
   /** Recall@k of an approximate ANN result against an exact one — the
     * eval harness every ANN variant (IVF/PQ/LSH/truncated-dim) is
     * judged by. Both inputs are (q_id, n_id[, rank]) frames; recall is

@@ -646,6 +646,44 @@ class ExtSpec extends SparkSpecBase {
     assert(again == rerank)
   }
 
+  test("sq8: exact code contract, 4x-compression recall vs brute " +
+      "force, deterministic under repartition") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .cache()
+    val isQuery = $"vec_id" < 50
+    // code contract on a hand vector set: mn=0, mx=4 per dim
+    val tiny = Seq((0L, Array(0f, 2f, 4f)), (1L, Array(4f, 0f, 0f)),
+      (2L, Array(2f, 4f, 2f))).toDF("vec_id", "embedding")
+    val mm = Similarity.sq8MinMax(tiny, "embedding")
+    val codes = Similarity.sq8Encode(tiny, "embedding", mm)
+      .select($"vec_id", $"sq8_code").as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(codes(0L) == Seq(0, 128, 255))   // round(2*255/4) = 128 (half up)
+    assert(codes(1L) == Seq(255, 0, 0))
+    // recall: 1 byte/dim (64 B, 4x compression) keeps neighborhood
+    // structure on near-uniform vectors far better than PQ's 16 B raw
+    // ADC (0.444 in the PQ spec) — the byte budgets differ; this pins
+    // SQ8's own operating point
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteForceTopK(emb,
+      emb.filter(isQuery), "vec_id", "embedding", 5))
+    val sq8 = topSets(Similarity.sq8TopK(emb, "vec_id", "embedding",
+      isQuery, k = 5))
+    val r = brute.map { case (q, t) =>
+      sq8.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / brute.size
+    info(f"sq8 symmetric recall@5: $r%.3f")
+    // NOTE: symmetric SQ8 distance ranks by L2 of codes while the
+    // brute baseline ranks by COSINE — recall measures the metric gap
+    // too; 0.5+ on near-isotropic synthetics is the honest bar
+    assert(r >= 0.5, f"sq8 recall collapsed: $r%.3f")
+    val again = topSets(Similarity.sq8TopK(emb.repartition(13), "vec_id",
+      "embedding", isQuery, k = 5))
+    assert(again == sq8)
+  }
+
   test("on-codes ADC serving path == inline encode path (PQ and IVF-PQ)") {
     // the steady-state contract: pqTrain/pqEncode/ivfAssign run once at
     // ingest; pqTopKAdcOnCodes / ivfPqTopKOnCodes over the stored
