@@ -1325,6 +1325,27 @@ object AnalyticQueries {
         .orderBy("label", "term")
     }),
 
+    // The TWENTY-FIRST streaming twin: the online contamination gate —
+    // benchmark decontamination at ingest time. Corpus docs (id >= 10)
+    // stream in; the eval suite (id < 10) is an xxhash64-collapsed
+    // plan-literal long set probed per shingle — every micro-batch is
+    // a stateless map-only scan. Faces q64's own oracle SQL.
+    "q202_streaming_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val raw = replayDocsThirds(s,
+        d.filter(col("doc_id") >= 10).select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingContamination(
+          df, "doc_id", "text",
+          d.filter(col("doc_id") < 10).select("text"), n = 3),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+        .toSeq
+        .toDF("doc_id", "n_shingles", "n_contaminated", "contamination")
+        .orderBy("doc_id")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -2141,5 +2162,9 @@ object AnalyticQueries {
       // exact artifact — same oracle as q196
       ("q200_streaming_nb_counts" ->
         TextQueries.oracleSql("q196_nb_train")) +
+      // the online gate must reproduce the batch contamination scan
+      // row-for-row — same oracle as q64
+      ("q202_streaming_contamination" ->
+        CurationQueries.oracleSql("q64_contamination")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

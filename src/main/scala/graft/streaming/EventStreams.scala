@@ -356,6 +356,48 @@ object EventStreams {
       .unionByName(stream.filter(!coalesce(probe, lit(false))))
   }
 
+  /** Online benchmark-contamination gate — the streaming form of
+    * [[graft.ext.Curation.contamination]]: per arriving document, the
+    * fraction of its DISTINCT word n-gram shingles that occur anywhere
+    * in the held-out eval corpus. STATELESS: the eval shingle set is
+    * xxhash64-collapsed and collected to ONE plan-literal long set
+    * probed per shingle (`graft_in_long_set`, O(1) per probe — the
+    * removeBoilerplateLines device; an eval suite is KBs–MBs of
+    * shingles, loud `maxEvalShingles` guard), so every micro-batch is
+    * a map-only scan. Exactness rides on 64-bit hash equality — the
+    * same assumption the line-dedup winner election already makes; the
+    * batch operator's string-equality join is the collision-free form
+    * when that matters. Null-text docs emit nothing (the batch
+    * contract: they can't be contaminated). */
+  def streamingContamination(docs: DataFrame, idCol: String,
+      textCol: String, evalSet: DataFrame, evalTextCol: String = "text",
+      n: Int = 3, maxEvalShingles: Int = 4 << 20): DataFrame = {
+    val spark = evalSet.sparkSession
+    val hs = evalSet
+      .select(explode(graft.functions.expressions.TextExpressions
+        .wordShingles(spark, col(evalTextCol), n)).as("__s"))
+      .select(xxhash64(col("__s")).as("__h")).distinct()
+      .limit(maxEvalShingles + 1).collect().map(_.getLong(0))
+    require(hs.length <= maxEvalShingles,
+      s"eval corpus exceeds $maxEvalShingles distinct shingles — too " +
+        "large for a plan literal; use the batch contamination join")
+    val setLit = typedlit(hs)
+    val withSh = docs.filter(col(textCol).isNotNull)
+      .withColumn("__sh", graft.functions.expressions.TextExpressions
+        .wordShingles(spark, col(textCol), n))
+      // both counts projected to attributes BEFORE the ratio references
+      // them (the HOF multi-reference rule)
+      .withColumn("__n", size(col("__sh")).cast("long"))
+      .withColumn("__hit",
+        size(filter(col("__sh"), s => graft.functions.expressions
+          .SketchExpressions.inLongSet(spark, xxhash64(s), setLit)))
+          .cast("long"))
+    withSh.select(col(idCol), col("__n").as("n_shingles"),
+      col("__hit").as("n_contaminated"),
+      (col("__hit").cast("double") / col("__n").cast("double"))
+        .as("contamination"))
+  }
+
   /** Online classifier gate — the streaming form of
     * [[graft.ext.TextAnalysis.classifyLinear]] (the model-based
     * filtering stage of a curation stack, applied at ingest time):

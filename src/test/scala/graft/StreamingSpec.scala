@@ -282,6 +282,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingContamination: bit-identical to batch contamination " +
+      "(distinct shingles, short docs, null text dropped)") {
+    import graft.ext.Curation
+    val evalSet = Seq("the quick brown fox", "hello world")
+      .toDF("text")
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),  // contains eval 3-grams
+      (1L, "totally clean document text here"),
+      (2L, "hi"),                         // < n tokens: whole-text shingle
+      (3L, "the quick the quick the quick brown"), // repeated: DISTINCT
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_shingles", $"n_contaminated",
+          $"contamination")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val batch = norm(Curation.contamination(docs, evalSet, "doc_id",
+      "text", n = 3))
+    val online = norm(EventStreams.streamingContamination(docs, "doc_id",
+      "text", evalSet, n = 3))
+    assert(online == batch, s"online $online vs batch $batch")
+    // null-text doc absent from both (the batch contract)
+    assert(!online.exists(_._1 == 4L))
+    // the distinct-shingle contract: doc 3's 7 tokens yield 5 shingle
+    // positions but only 3 DISTINCT shingles (the repeats collapse)
+    val d3 = online.find(_._1 == 3L).get
+    assert(d3._2 == 3L, s"expected 3 distinct shingles, got ${d3._2}")
+  }
+
   test("event-time sessions run on the RocksDB state store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
