@@ -102,10 +102,20 @@ object Similarity {
     val codes = sq8Encode(corpus.select(col(idCol), col(vecCol)),
         vecCol, mm)
       .select(col(idCol), col("sq8_code"))
-    val c = codes.select(col(idCol).as("n_id"),
-      col("sq8_code").as("__nc"))
+    sq8TopKOnCodes(codes, idCol, "sq8_code", queryPred, k)
+  }
+
+  /** The on-codes SQ8 serving path (the steady state: train + encode
+    * run once at ingest, queries hit the SAVED byte-code table — the
+    * pqTopKAdcOnCodes contract): symmetric integer top-k over a
+    * pre-encoded (id, codes) frame. [[sq8TopK]] is this plus an
+    * inline train+encode — the probe-measured difference IS the
+    * one-time encode cost. */
+  def sq8TopKOnCodes(codes: DataFrame, idCol: String, codeCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val c = codes.select(col(idCol).as("n_id"), col(codeCol).as("__nc"))
     val q = codes.filter(queryPred).select(col(idCol).as("q_id"),
-      col("sq8_code").as("__qc"))
+      col(codeCol).as("__qc"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
       // per-pair squared deltas projected to a column BEFORE the fold

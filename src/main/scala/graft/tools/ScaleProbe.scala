@@ -107,6 +107,7 @@ object ScaleProbe {
     // interval-only run at copies=67).
     val docProbes = Seq("exact_dedup", "minhash_lsh_raw",
       "minhash_after_dedup", "simhash", "ann_topk_bruteforce",
+      "sq8_topk", "sq8_topk_loaded",
       "ann_lsh_buckets", "pack_sequences", "connected_components",
       "cc_delta", "lpa_4rounds", "group_quota_k10",
       "edit_distance_50k_vocab",
@@ -149,6 +150,20 @@ object ScaleProbe {
     time("simhash")(Dedup.simhashNearDup(docs, "doc_id", "text", 3).count())
     time("ann_topk_bruteforce")(Similarity.bruteForceTopK(emb,
       emb.filter($"vec_id" < 10), "vec_id", "embedding", 5).count())
+    // SQ8 at scale: inline form pays train+encode every query (the
+    // HONEST loss regime at local scale — recorded in BENCH.md); the
+    // loaded form is the serving path (codes encoded once, cached)
+    time("sq8_topk")(Similarity.sq8TopK(emb, "vec_id", "embedding",
+      $"vec_id" < 10, 5).count())
+    if (Seq("sq8_topk_loaded").exists(wanted)) {
+      val sqCodes = Similarity.sq8Encode(emb, "embedding",
+          Similarity.sq8MinMax(emb, "embedding"))
+        .select($"vec_id", $"sq8_code").cache()
+      sqCodes.count()
+      time("sq8_topk_loaded")(Similarity.sq8TopKOnCodes(sqCodes,
+        "vec_id", "sq8_code", $"vec_id" < 10, 5).count())
+      sqCodes.unpersist()
+    }
     time("ann_lsh_buckets")(emb.select(
       graft.functions.VectorFunctions.lshBucket($"embedding", 8))
       .distinct().count())
