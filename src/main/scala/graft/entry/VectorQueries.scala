@@ -474,6 +474,19 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-SQ8 (q82's composition with int8 codes instead of PQ):
+    // coarse cells prune candidates, the within-cell ranking is the
+    // EXACT INTEGER symmetric SQ8 distance — everything after the
+    // cell assignment is hash-exact, no float ADC anywhere.
+    "q203_ivf_sq8_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfSq8TopK(e, "vec_id", "embedding", cents,
+          col("vec_id") < 10, k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // Leakage-safe train/val/test split: q87's hash intervals keyed on
     // the q73 dedup CLUSTER, so a near-dup pair can never straddle
     // train/test (the split-time guard q64's contamination scan only
@@ -761,6 +774,41 @@ object VectorQueries {
         |    PARTITION BY q_id ORDER BY sqdist ASC, n_id ASC)
         |    AS INTEGER) AS rank FROM d)
         |SELECT q_id, n_id, rank, sqdist FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // q201's mm/codes CTEs + q43's cell-assignment CTE; within-cell
+    // integer distance, (sqdist, n_id) rank
+    "q203_ivf_sq8_topk" ->
+      """WITH mm AS (SELECT i, MIN(embedding[i]::DOUBLE) AS mn,
+        |    MAX(embedding[i]::DOUBLE) AS mx
+        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |  GROUP BY i),
+        |codes AS (SELECT e.vec_id,
+        |    list(CASE WHEN mm.mx = mm.mn THEN 0
+        |      ELSE GREATEST(0, LEAST(255, CAST(round(
+        |        (e.embedding[mm.i]::DOUBLE - mm.mn) * 255.0
+        |          / (mm.mx - mm.mn)) AS INT))) END ORDER BY mm.i) AS c
+        |  FROM embeddings e CROSS JOIN mm GROUP BY e.vec_id),
+        |cent AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS cvec
+        |         FROM embeddings WHERE vec_id < 8),
+        |cell AS (SELECT vec_id, ccid FROM (
+        |   SELECT e.vec_id, c.ccid, ROW_NUMBER() OVER (
+        |     PARTITION BY e.vec_id
+        |     ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec),
+        |       c.ccid) AS rn
+        |   FROM embeddings e, cent c) WHERE rn = 1),
+        |d AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qc.c[i] - nc.c[i] AS BIGINT) * (qc.c[i] - nc.c[i])))
+        |      AS BIGINT) AS sqdist
+        |  FROM cell q JOIN cell n
+        |    ON q.ccid = n.ccid AND n.vec_id <> q.vec_id
+        |  JOIN codes qc ON qc.vec_id = q.vec_id
+        |  JOIN codes nc ON nc.vec_id = n.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id, sqdist, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sqdist ASC, n_id ASC)
+        |    AS INTEGER) AS rank FROM d)
+        |SELECT q_id, n_id, rank, sqdist FROM r WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
     // q73's recursive closure for the clusters, q87's md5-u32 hash
     // intervals keyed on the cluster label (bounds 0.8*2^32, 0.9*2^32)

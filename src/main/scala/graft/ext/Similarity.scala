@@ -131,6 +131,49 @@ object Similarity {
       .select("q_id", "n_id", "rank", "sqdist")
   }
 
+  /** IVF-SQ8 top-k — the int8 sibling of [[ivfPqTopK]], completing
+    * the quantization matrix (IVF×{float, PQ, SQ8}): coarse cells
+    * prune the candidate space, byte codes shrink what's scanned
+    * inside each cell, and the within-cell ranking is the EXACT
+    * INTEGER symmetric distance of [[sq8TopK]] — so unlike IVF-PQ's
+    * float ADC, the whole verdict after cell assignment is
+    * hash-exact. Corpus side is two map-only codegen passes (one cell
+    * assign, one encode), no corpus shuffle; the candidate join is
+    * cell-equality. `nProbe > 1` fans each query to its n nearest
+    * cells (the recall lever; the corpus is never re-bucketed). */
+  def ivfSq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val (cids, matrix) = collectCentroids(centroids)
+    val coded = sq8Encode(
+      assignWith(corpus.select(col(idCol), col(vecCol)), vecCol,
+        cids, matrix),
+      vecCol, sq8MinMax(corpus, vecCol))
+    val n = coded.select(col(idCol).as("n_id"), col("cid"),
+      col("sq8_code").as("__nc"))
+    val q =
+      if (nProbe == 1)
+        coded.filter(queryPred).select(col(idCol).as("q_id"),
+          col("cid"), col("sq8_code").as("__qc"))
+      else
+        coded.filter(queryPred).select(col(idCol).as("q_id"),
+          explode(probeCells(col(vecCol), cids, matrix, nProbe))
+            .as("cid"),
+          col("sq8_code").as("__qc"))
+    val scored = n.join(q, Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("__d", zip_with(col("__qc"), col("__nc"),
+        (a, b) => ((a - b) * (a - b)).cast("long")))
+      .withColumn("sqdist",
+        aggregate(col("__d"), lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sqdist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sqdist")
+  }
+
   /** Recall@k of an approximate ANN result against an exact one — the
     * eval harness every ANN variant (IVF/PQ/LSH/truncated-dim) is
     * judged by. Both inputs are (q_id, n_id[, rank]) frames; recall is

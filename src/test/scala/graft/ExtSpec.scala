@@ -684,6 +684,42 @@ class ExtSpec extends SparkSpecBase {
     assert(again == sq8)
   }
 
+  test("ivfSq8TopK: within-cell candidates only, multi-probe recall " +
+      ">= single-probe vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .cache()
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val isQuery = $"vec_id" < 30
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteForceTopK(emb,
+      emb.filter(isQuery), "vec_id", "embedding", 5))
+    def recall(got: Map[Long, Set[Long]]) = brute.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / brute.size
+    val p1 = topSets(Similarity.ivfSq8TopK(emb, "vec_id", "embedding",
+      cents, isQuery, k = 5, nProbe = 1))
+    val p3 = topSets(Similarity.ivfSq8TopK(emb, "vec_id", "embedding",
+      cents, isQuery, k = 5, nProbe = 3))
+    val (r1, r3) = (recall(p1), recall(p3))
+    info(f"ivf-sq8 recall@5: nProbe=1 $r1%.3f, nProbe=3 $r3%.3f")
+    assert(r3 >= r1, "more probes must not lose recall")
+    // probing 3 cells searches a SUPERSET pool, so per query the k-th
+    // kept distance can only improve (ties broken identically)
+    def worst(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("q_id").agg(max($"sqdist").as("w"))
+        .as[(Long, Long)].collect().toMap
+    val w1 = worst(Similarity.ivfSq8TopK(emb, "vec_id", "embedding",
+      cents, isQuery, k = 5, nProbe = 1))
+    val w3 = worst(Similarity.ivfSq8TopK(emb, "vec_id", "embedding",
+      cents, isQuery, k = 5, nProbe = 3))
+    assert(w1.forall { case (q, w) => w3(q) <= w },
+      "a wider probe set worsened some query's k-th distance")
+    assert(p1.nonEmpty && r3 > 0.0)
+  }
+
   test("on-codes ADC serving path == inline encode path (PQ and IVF-PQ)") {
     // the steady-state contract: pqTrain/pqEncode/ivfAssign run once at
     // ingest; pqTopKAdcOnCodes / ivfPqTopKOnCodes over the stored
