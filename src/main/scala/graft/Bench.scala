@@ -43,6 +43,23 @@ object Bench {
       (v > wire * prev || prev > wire * v)
   }
 
+  /** The value RECORDED for an adjudicated mover — the capture value
+    * the NEXT round's pin inherits. Round-14 verdict: recording
+    * median5 unconditionally is an upward ratchet — when the warm
+    * re-timing PROVES environment (a regression-direction mover whose
+    * min5 lands at/below prev: the plan demonstrably still reaches its
+    * old cost, the first timing was window noise), the noisy median
+    * became the durable value (q104: prev 1.077, first 5.514, min5
+    * 0.639 — median5 2.925 recorded), and a REAL future 2.9 s
+    * regression would then read as 1.0× against the inherited pin.
+    * On that verdict record min5. Everywhere else keep the median: a
+    * genuine regression keeps a slow median and stays visible, and
+    * improvement-direction movers keep the conservative median so one
+    * lucky warm run can't ratchet the baseline DOWNWARD either. */
+  private[graft] def recordValue(prev: Double, first: Double,
+      min5: Double, median5: Double): Double =
+    if (first > prev && min5 <= prev) min5 else median5
+
   /** Parse a durable bench record into its per-query map, or empty if
     * the record is for a different scale factor (a cross-SF baseline
     * would false-trigger the mover check on every row). */
@@ -178,7 +195,9 @@ object Bench {
       }
     }.toMap
     val fin = results.map { case (k, v) =>
-      k -> adjudicated.get(k).map(_._4).getOrElse(v)
+      k -> adjudicated.get(k).map { case (p, f, mn, med) =>
+        recordValue(p, f, mn, med)
+      }.getOrElse(v)
     }
     def rd(v: Double, s: Int) =
       BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP)
@@ -194,8 +213,12 @@ object Bench {
         val still = if (p >= 0 && med > 2 * p) ",\"still_over_2x\":true"
           else if (p > 2 * med) ",\"still_under_half\":true"
           else ""
+        // the environment verdict is self-describing in the record:
+        // when it fired, the query's capture value is min5, not median5
+        val env = if (recordValue(p, f, mn, med) == mn && mn != med)
+          ",\"recorded_min5\":true" else ""
         s"\"$k\":{\"prev\":${rd(p, 3)},\"first\":${rd(f, 3)}," +
-          s"\"min5\":${rd(mn, 3)},\"median5\":${rd(med, 3)}$still}"
+          s"\"min5\":${rd(mn, 3)},\"median5\":${rd(med, 3)}$still$env}"
       }.mkString(",\"adjudicated\":{", ",", "}")
     val total = fin.collect { case (_, v) if v >= 0 => v }.sum
     val totalR = rd(total, 3)

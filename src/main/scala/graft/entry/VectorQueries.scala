@@ -756,7 +756,7 @@ object VectorQueries {
     "q201_sq8_topk" ->
       """WITH mm AS (SELECT i, MIN(embedding[i]::DOUBLE) AS mn,
         |    MAX(embedding[i]::DOUBLE) AS mx
-        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
         |  GROUP BY i),
         |codes AS (SELECT e.vec_id,
         |    list(CASE WHEN mm.mx = mm.mn THEN 0
@@ -765,7 +765,7 @@ object VectorQueries {
         |          / (mm.mx - mm.mn)) AS INT))) END ORDER BY mm.i) AS c
         |  FROM embeddings e CROSS JOIN mm GROUP BY e.vec_id),
         |d AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.c)),
         |      i -> CAST(q.c[i] - n.c[i] AS BIGINT) * (q.c[i] - n.c[i])))
         |      AS BIGINT) AS sqdist
         |  FROM codes q JOIN codes n ON n.vec_id <> q.vec_id
@@ -780,7 +780,7 @@ object VectorQueries {
     "q203_ivf_sq8_topk" ->
       """WITH mm AS (SELECT i, MIN(embedding[i]::DOUBLE) AS mn,
         |    MAX(embedding[i]::DOUBLE) AS mx
-        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
         |  GROUP BY i),
         |codes AS (SELECT e.vec_id,
         |    list(CASE WHEN mm.mx = mm.mn THEN 0
@@ -797,7 +797,7 @@ object VectorQueries {
         |       c.ccid) AS rn
         |   FROM embeddings e, cent c) WHERE rn = 1),
         |d AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |    CAST(list_sum(list_transform(generate_series(1, len(qc.c)),
         |      i -> CAST(qc.c[i] - nc.c[i] AS BIGINT) * (qc.c[i] - nc.c[i])))
         |      AS BIGINT) AS sqdist
         |  FROM cell q JOIN cell n

@@ -78,7 +78,15 @@ object Similarity {
       "sq8 artifact dims must be contiguous from 0")
     val mnLit = array(mm.map(r => lit(r.getDouble(1))): _*)
     val mxLit = array(mm.map(r => lit(r.getDouble(2))): _*)
-    df.withColumn(out, transform(col(vecCol), (x, i) => {
+    // dimension mismatch must RAISE, not quietly emit codes: a vector
+    // longer than the artifact reads element_at past the array end →
+    // NULL codes → NULL sqdist, and ASC sorts NULLS FIRST, so the
+    // corrupt pair would surface as the rank-1 neighbor silently
+    val checked = when(size(col(vecCol)) === lit(mm.length), col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"sq8Encode: vector dims != artifact dims ${mm.length} (got "),
+        size(col(vecCol)).cast("string"), lit(")"))))
+    df.withColumn(out, transform(checked, (x, i) => {
       val mn = element_at(mnLit, i + 1)
       val mx = element_at(mxLit, i + 1)
       when(mx === mn, lit(0)).otherwise(

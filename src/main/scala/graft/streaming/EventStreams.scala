@@ -467,11 +467,15 @@ object EventStreams {
 
   /** Sentinel "term" counted once per document by
     * [[streamingTermCounts]] (leading \u0001 control char — absent
-    * from any realistic token stream; a pathological corpus token
-    * equal to this exact string would inflate doc counts, which the
-    * fold's per-label sentinel-presence guard makes loud, not
-    * silent). */
-  val DocSentinel = "doc"
+    * from any realistic token stream). The fold's presence guard only
+    * detects MISSING sentinel rows, never collisions, so the operator
+    * itself RAISES on any corpus token equal to this exact string: a
+    * colliding token would otherwise inflate per-label doc counts and
+    * vanish from the term counts silently. (Spelled as an explicit
+    * escape — a raw control byte in source is invisible to review,
+    * which is how the comment and the constant once drifted apart in
+    * a reviewer's reading.) */
+  val DocSentinel = "\u0001doc"
 
   /** Online (label, term) count maintenance — the streaming half of
     * the NB trainer (q196's exact-integer core kept fresh as labeled
@@ -490,8 +494,13 @@ object EventStreams {
       textCol: String): DataFrame =
     docs.select(col(labelCol).as("label"),
         explode(concat(array(lit(DocSentinel)),
-          filter(graft.functions.TextFunctions.tokens(
-            coalesce(col(textCol), lit(""))), t => length(t) > 0)))
+          transform(
+            filter(graft.functions.TextFunctions.tokens(
+              coalesce(col(textCol), lit(""))), t => length(t) > 0),
+            t => when(t === lit(DocSentinel), raise_error(lit(
+                "streamingTermCounts: corpus token collides with the " +
+                  "doc-count sentinel — doc counts would corrupt")))
+              .otherwise(t))))
           .as("term"))
       .groupBy("label", "term")
       .agg(count(lit(1)).as("n"))
