@@ -487,6 +487,31 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // K-MEANS COARSE-QUANTIZER TRAINING under the gate (VERDICT r14
+    // Next #1 — the last trainer that stayed spec-pinned): the REAL
+    // Similarity.trainCentroids API — deterministic md5 hash sample
+    // (limit 4096 ≥ corpus at every test SF, so the sample is the
+    // whole corpus in hash order), farthest-point seeding (greedy
+    // argmax of the running min-distance, first-index ties), then two
+    // full Lloyd rounds: the map-only codegen argmin assignment (the
+    // q43 kernel — in-order distance fold, (dist, cid) tie) and
+    // integer-quantized DECIMAL(38,0) mean sums, empty cells carrying
+    // their previous centroid. The oracle unrolls the 3-stage seeding
+    // traversal AND both Lloyd rounds as CTE stages (the q140/q188/
+    // q189 unrolled-training device): every distance is the same
+    // left-associated fold, every mean the same exact-integer sum and
+    // ONE IEEE division, so all 2 rounds of float-dependent
+    // assignment replay bit-for-bit. Output: the trained centroid
+    // table exploded to (cid, dim, c) — 4 × 64 DOUBLE rows.
+    "q204_kmeans_train" -> ((s, dir) => {
+      Similarity.trainCentroids(emb(s, dir), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .select(col("cid"), posexplode(col("cvec")))
+        .select(col("cid"), col("pos").cast("int").as("dim"),
+          col("col").as("c"))
+        .orderBy("cid", "dim")
+    }),
+
     // Leakage-safe train/val/test split: q87's hash intervals keyed on
     // the q73 dedup CLUSTER, so a near-dup pair can never straddle
     // train/test (the split-time guard q64's contamination scan only
@@ -944,6 +969,78 @@ object VectorQueries {
       |  AND NOT list_contains(r.removed, s.v)
       |GROUP BY s.u ORDER BY vec_id""".stripMargin
 
+  /** q204: Similarity.trainCentroids unrolled — the q140/q188/q189
+    * iterative-training oracle device applied to Lloyd. Stage by
+    * stage: (1) the hash sample IS the corpus in
+    * md5('kmeans#'||id) order (the operator's limit 4096 ≥ corpus at
+    * every test SF); (2) farthest-point seeding = k−1 unrolled
+    * stages, each LEAST-folding the running min-distance with the
+    * newest pick and electing the (md DESC, rn ASC) rank-1 row —
+    * exactly the JVM traversal's maxBy((minD, −i)); (3) each Lloyd
+    * round = the q43 argmin-assignment CTE (same in-order
+    * left-associated distance fold as the codegen kernel, same
+    * (dist, cid) tie) + per-(cid, dim) integer-quantized mean —
+    * floor(v·1e7 + 0.5) summed exactly (DuckDB HUGEINT vs Spark
+    * DECIMAL(38,0)) and divided ONCE in IEEE — with empty cells
+    * carrying the previous centroid via the LEFT JOIN COALESCE. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    require(k >= 2 && iters >= 1, "oracle unroll needs k >= 2, iters >= 1")
+    def d2(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val head =
+      """WITH samp AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    row_number() OVER (
+        |      ORDER BY md5('kmeans#' || CAST(vec_id AS VARCHAR))) - 1 AS rn
+        |  FROM embeddings),
+        |m1 AS (SELECT s.rn, s.v, """.stripMargin +
+        d2("s.v", "z.v") +
+        """ AS md
+          |  FROM samp s, (SELECT v FROM samp WHERE rn = 0) z),
+          |p1 AS (SELECT v FROM (SELECT v, row_number() OVER (
+          |    ORDER BY md DESC, rn ASC) AS r FROM m1) WHERE r = 1)"""
+          .stripMargin
+    val seeds = (2 until k).map { t =>
+      s""",
+         |m$t AS (SELECT m.rn, m.v, LEAST(m.md, ${d2("m.v", "p.v")}) AS md
+         |  FROM m${t - 1} m, p${t - 1} p),
+         |p$t AS (SELECT v FROM (SELECT v, row_number() OVER (
+         |    ORDER BY md DESC, rn ASC) AS r FROM m$t) WHERE r = 1)"""
+        .stripMargin
+    }.mkString
+    val c0 =
+      s""",
+         |c0 AS (SELECT CAST(0 AS BIGINT) AS cid, v AS cv
+         |       FROM samp WHERE rn = 0""".stripMargin +
+        (1 until k).map(t =>
+          s"\n       UNION ALL SELECT $t, v FROM p$t").mkString + ")"
+    val rounds = (1 to iters).map { r =>
+      s""",
+         |a$r AS (SELECT vec_id, v, cid FROM (
+         |  SELECT s.vec_id, s.v, c.cid, row_number() OVER (
+         |    PARTITION BY s.vec_id
+         |    ORDER BY ${d2("s.v", "c.cv")}, c.cid) AS r2
+         |  FROM samp s, c${r - 1} c) WHERE r2 = 1),
+         |g$r AS (SELECT cid, i,
+         |    CAST(SUM(CAST(floor(v[i] * 10000000.0 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / (COUNT(*) * 10000000.0) AS m
+         |  FROM a$r, unnest(generate_series(1, len(v))) u(i)
+         |  GROUP BY cid, i),
+         |c$r AS (SELECT pd.cid, list(COALESCE(g.m, pd.pv) ORDER BY pd.i) AS cv
+         |  FROM (SELECT c.cid, u.i, c.cv[u.i] AS pv
+         |        FROM c${r - 1} c,
+         |          unnest(generate_series(1, len(c.cv))) u(i)) pd
+         |  LEFT JOIN g$r g ON g.cid = pd.cid AND g.i = pd.i
+         |  GROUP BY pd.cid)""".stripMargin
+    }.mkString
+    head + seeds + c0 + rounds +
+      s"""
+         |SELECT cid, CAST(u.i - 1 AS INT) AS dim, cv[u.i] AS c
+         |FROM c$iters, unnest(generate_series(1, len(cv))) u(i)
+         |ORDER BY cid, dim""".stripMargin
+  }
+
   /** q40's cosine-rank device filtered by NOT EXISTS over the q42
     * positive pairs (either orientation) — the exclusion then the
     * rank, exactly the Spark anti-join-before-window order. */
@@ -999,6 +1096,7 @@ object VectorQueries {
       ("q153_clustering_coeff" -> clusteringSql) +
       ("q159_kcore" -> kcoreSql) +
       ("q189_label_propagation" -> lpaSql(4)) +
+      ("q204_kmeans_train" -> kmeansSql(4, 2)) +
       ("q191_matryoshka_recall" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
           |  FROM embeddings WHERE vec_id < 10),
