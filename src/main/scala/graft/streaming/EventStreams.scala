@@ -562,6 +562,47 @@ object EventStreams {
     (withT, scores)
   }
 
+  /** Online ANN serving against SAVED SQ8 codes — the serving shape
+    * the on-codes paths ([[graft.ext.Similarity.sq8TopKOnCodes]])
+    * exist for, completing their claim: the corpus is trained and
+    * encoded ONCE at ingest (the persisted (id, sq8_code) byte-code
+    * table plus the per-dim min/max artifact); QUERIES arrive as the
+    * stream. Per micro-batch each arriving vector is encoded map-only
+    * against the plan-literal artifact ([[graft.ext.Similarity
+    * .sq8Encode]] — the identical rounding formula the ingest side
+    * used), then scored against the static code table with the EXACT
+    * INTEGER symmetric distance Σ(Δcode)² — a stateless stream-static
+    * join (no state store, no watermark, no window: append-legal),
+    * emitting immutable (q_id, n_id, sqdist) facts. The per-query
+    * top-k cut is the consumer's fold over those facts — an exact
+    * integer sort, the [[streamingImportanceGate]] convention: what
+    * streams is the corpus-sized scoring half.
+    *
+    * Scale contract: the static side of a stream-static join
+    * re-evaluates per micro-batch — pass a MATERIALIZED codes frame
+    * (cache / localCheckpoint / a table read); each batch then scans
+    * byte codes, 4× less memory traffic than the float corpus, which
+    * is the point of serving on codes. */
+  def streamingSq8Serve(queries: DataFrame, idCol: String,
+      vecCol: String, codes: DataFrame, codeIdCol: String,
+      codeCol: String, minMax: DataFrame): DataFrame = {
+    val q = graft.ext.Similarity.sq8Encode(
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")),
+        "__qv", minMax, out = "__qc")
+      .select(col("q_id"), col("__qc"))
+    val c = codes.select(col(codeIdCol).as("n_id"),
+      col(codeCol).as("__nc"))
+    q.crossJoin(c)
+      .filter(col("n_id") =!= col("q_id"))
+      // per-pair deltas projected BEFORE the fold references them (the
+      // HOF multi-reference rule; mirrors sq8TopKOnCodes exactly)
+      .withColumn("__d", zip_with(col("__qc"), col("__nc"),
+        (a, b) => ((a - b) * (a - b)).cast("long")))
+      .withColumn("sqdist",
+        aggregate(col("__d"), lit(0L), (acc, x) => acc + x))
+      .select("q_id", "n_id", "sqdist")
+  }
+
   /** Streaming minhash near-dup vs a static snapshot — the online form
     * of [[graft.ext.Dedup.minhashNearDupDelta]]: arriving documents
     * emit (a_id, b_id, jaccard) pairs against the snapshot corpus,

@@ -954,6 +954,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streamingSq8Serve: stream-static scoring + integer fold == " +
+      "batch sq8TopKOnCodes") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val corpus = (0L until 30L).map { id =>
+      (id, (0 until 8).map(d =>
+        (((id * 31 + d * 17) % 23).toFloat - 11f) / 3f).toArray)
+    }.toDF("id", "vec")
+    val mm = Similarity.sq8MinMax(corpus, "vec").localCheckpoint(true)
+    val codes = Similarity.sq8Encode(corpus, "vec", mm)
+      .select(col("id"), col("sq8_code")).localCheckpoint(true)
+    val batch = Similarity.sq8TopKOnCodes(codes, "id", "sq8_code",
+        col("id") < 5, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(batch.size == 15) // 5 queries × top-3: the fixture is live
+    // the 5 query vectors arrive in two micro-batches, out of id order
+    // (arrival order must not matter: every emission is a stateless
+    // per-pair fact and the fold is an integer sort)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.streamingSq8Serve(
+        mem.toDS().toDF("id", "vec"), "id", "vec",
+        codes, "id", "sq8_code", mm)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sq8_serve").start()
+    val qs = corpus.filter(col("id") < 5)
+      .as[(Long, Array[Float])].collect()
+    try {
+      mem.addData(qs.filter(_._1 >= 3).toSeq: _*); q.processAllAvailable()
+      mem.addData(qs.filter(_._1 < 3).toSeq: _*); q.processAllAvailable()
+      val raw = spark.table("sq8_serve").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(raw.length == 5 * 29) // every (query, non-self) pair scored
+      val folded = raw.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortWith((a, b) => a._3 < b._3 ||
+            (a._3 == b._3 && a._2 < b._2))
+          .take(3).zipWithIndex
+          .map { case ((qq, n, d), i) => (qq, n, i + 1, d) }
+      }.toSet
+      assert(folded == batch)
+    } finally q.stop()
+  }
+
   test("streamMinhashNearDup: streamed pairs == batch delta's cross pairs") {
     // sf0.001 plants near-dups across the 250 boundary (the q84 shape)
     val d = GraftSession.spread(GraftSession.table(spark, sf, "documents"))
