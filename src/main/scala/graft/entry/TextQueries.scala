@@ -122,41 +122,14 @@ object TextQueries {
     (m, p)
   }
 
-  /** The q197 stage composition over any (doc_id, source, text) frame
-    * — extracted so ScaleProbe can run the identical pipeline on a
-    * replicated corpus. Unordered output; callers add the total
-    * ORDER BY. See the q197 query comment for the stage-by-stage
-    * rationale and the linear-plan design. */
-  private[graft] def curationPipeline(d: DataFrame): DataFrame = {
-    import graft.ext.Curation
-    import org.apache.spark.sql.expressions.Window
-    val perDoc = TextAnalysis.withQualitySignals(d, "text")
-      .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.805)
-      .select(col("doc_id"), col("source"),
-        graft.functions.TextFunctions.rebuiltLineText(
-          graft.functions.TextFunctions.tokens(col("text")), 4)
-          .as("text"))
-    val bp = Dedup.removeBoilerplateLines(perDoc, "doc_id", "text",
-      maxDocFreq = 2)
-    val cleaned = Dedup.dedupLinesKeepFirst(
-        bp.select("doc_id", "source", "text"), "doc_id", "text")
-      .select(col("doc_id"), col("source"),
-        length(col("text")).cast("long").as("n_chars_clean"))
-    val fp = TextAnalysis.withFingerprint(d, "text")
-      .select("doc_id", "fingerprint")
-    val clustered = cleaned.join(fp, "doc_id")
-      .withColumn("cluster",
-        min(col("doc_id")).over(Window.partitionBy("fingerprint")))
-    val ranked = Curation.groupQuotaRank(clustered,
-        groupCols = Seq("source"),
-        order = Seq(col("n_chars_clean").desc, col("doc_id").asc))
-      .withColumn("quota_rank",
-        when(col("quota_rank") <= 10, col("quota_rank")))
-    Curation.assignSplits(ranked, "cluster", "cp1",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      .select("doc_id", "source", "n_chars_clean", "quota_rank",
-        "cluster", "split")
-  }
+  /** The q197 stage composition — now the PUBLIC user API
+    * [[graft.ext.Curation.curationPipeline]] with every threshold a
+    * [[graft.ext.Curation.CurationConfig]] field (VERDICT r14 Next
+    * #6); q197 pins the config DEFAULTS, so the flagship row gates
+    * exactly what a default-config user runs. Kept as a thin alias so
+    * ScaleProbe's call sites read unchanged. */
+  private[graft] def curationPipeline(d: DataFrame): DataFrame =
+    graft.ext.Curation.curationPipeline(d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CCNet-style corpus-level boilerplate-line removal: lines occurring

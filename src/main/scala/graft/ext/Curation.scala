@@ -191,6 +191,77 @@ object Curation {
     df.withColumn("quota_rank", row_number().over(w).cast("long"))
   }
 
+  /** Tunables of [[curationPipeline]] — the end-to-end curation
+    * composition promoted to a real user API. The gated flagship row
+    * (q197) pins exactly these defaults: change a default and the
+    * oracle row changes with it. */
+  final case class CurationConfig(
+      minTokens: Long = 20L,
+      minAlphaRatio: Double = 0.805,
+      lineWidth: Int = 4,
+      maxLineDocFreq: Int = 2,
+      quotaK: Long = 10L,
+      splitSeed: String = "cp1",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  /** The END-TO-END curation pipeline over a (doc_id, source, text)
+    * frame, as ONE query: quality gate (token count + alpha ratio) →
+    * corpus-level boilerplate-line removal over the survivors → exact
+    * corpus-wide line dedup keep-first → fingerprint near-dup clusters
+    * on the ORIGINAL text → per-source quota ranked on CLEANED length
+    * → leakage-safe hash split keyed on the CLUSTER (near-dup docs can
+    * never straddle train/test). Emits every quality survivor: kept
+    * docs carry their quota_rank, cut docs carry NULL — which also
+    * makes the cluster column non-vacuous (a doc whose twin won
+    * keep-first shows cluster != doc_id and inherits the twin's
+    * split).
+    *
+    * Plan shape (Spark has no common-subplan dedup, so the pipeline is
+    * ONE linear frame handed stage to stage, never re-joined against
+    * itself): the quality gate and line reconstruction fuse into a
+    * single per-doc projection inside the scan; the two dedup stages
+    * are the production operators (their internal re-references are
+    * the only corpus re-reads, each a column-pruned scan by design);
+    * the cluster attaches AFTER the heavy text stages from a slim
+    * (doc_id, fingerprint) side chain restricted to survivors by the
+    * join itself; quota rank and split are two slim-row windows at the
+    * tail. The naive composition that re-joined the gated corpus per
+    * stage planned 36 parquet scans; this shape plans 4 (+1 in the
+    * boilerplate pass-1 collect job). */
+  def curationPipeline(d: DataFrame,
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cfg.quotaK >= 1, "quotaK must be >= 1")
+    require(cfg.lineWidth >= 1, "lineWidth must be >= 1")
+    val perDoc = TextAnalysis.withQualitySignals(d, "text")
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("alpha_ratio") >= cfg.minAlphaRatio)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.rebuiltLineText(
+          graft.functions.TextFunctions.tokens(col("text")),
+          cfg.lineWidth).as("text"))
+    val bp = Dedup.removeBoilerplateLines(perDoc, "doc_id", "text",
+      maxDocFreq = cfg.maxLineDocFreq)
+    val cleaned = Dedup.dedupLinesKeepFirst(
+        bp.select("doc_id", "source", "text"), "doc_id", "text")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars_clean"))
+    val fp = TextAnalysis.withFingerprint(d, "text")
+      .select("doc_id", "fingerprint")
+    val clustered = cleaned.join(fp, "doc_id")
+      .withColumn("cluster",
+        min(col("doc_id")).over(Window.partitionBy("fingerprint")))
+    val ranked = groupQuotaRank(clustered,
+        groupCols = Seq("source"),
+        order = Seq(col("n_chars_clean").desc, col("doc_id").asc))
+      .withColumn("quota_rank",
+        when(col("quota_rank") <= cfg.quotaK, col("quota_rank")))
+    assignSplits(ranked, "cluster", cfg.splitSeed, cfg.splits)
+      .select("doc_id", "source", "n_chars_clean", "quota_rank",
+        "cluster", "split")
+  }
+
   /** Deterministic global shuffle: total order by hash rank (id as
     * tiebreak). Plans as one range-partitioned sort — the scalable way
     * to permute 100 TB (sample-based range boundaries, no single-point

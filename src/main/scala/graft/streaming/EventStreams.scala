@@ -423,8 +423,8 @@ object EventStreams {
     * guard, loud). `element_at` on a map LITERAL is a per-token linear
     * probe — O(|vocab|·tokens) per doc — which is fine for the pinned
     * marker-word gates this twin exists for; a 10⁶-term fastText vocab
-    * belongs in the batch operator's broadcast join (or a snapshot
-    * compaction cycle), not in a plan literal. */
+    * belongs in [[classifierGateForeachBatch]] (the per-micro-batch
+    * broadcast-join form, bit-parity spec'd), not in a plan literal. */
   def streamingClassifierGate(docs: DataFrame, idCol: String,
       textCol: String, termWeights: DataFrame, priors: DataFrame,
       maxModelRows: Int = 1 << 20): DataFrame = {
@@ -439,6 +439,39 @@ object EventStreams {
     withT.select(col(idCol), best.getField("label").as("label"),
       best.getField("score").cast("decimal(18,9)").as("score"))
   }
+
+  /** LARGE-VOCABULARY online classifier gate — the foreachBatch form
+    * of [[streamingClassifierGate]]: the map-literal gate's
+    * `element_at` probe is O(|vocab|) per token and its model must
+    * collect into a plan literal (`maxModelRows` guard), so a
+    * 10⁶-term fastText vocabulary cannot ride it. foreachBatch hands
+    * every micro-batch over as a BATCH frame, where the batch
+    * operator's broadcast-join plan
+    * ([[graft.ext.TextAnalysis.classifyLinear]]: explode → broadcast
+    * model join → per-doc aggregation → rank-1 window — all illegal
+    * inside a streaming plan) is legal and value-identical
+    * (bit-parity spec'd on a vocab past the literal limit: same exact
+    * decimal arithmetic, same tie-break).
+    *
+    * Delivery contract: exactly-once per doc within a batch (each
+    * verdict is self-contained); across restarts foreachBatch is
+    * at-least-once — key the sink on `idCol` or dedupe on `batchId`.
+    * Crossover guidance: for pinned gate models (10²–10⁴ terms) the
+    * stateless map-literal gate is cheaper — zero shuffle, zero
+    * broadcast per batch; past `maxModelRows` — or wherever
+    * O(|vocab|) per-token probes beat a ≤|labels|-rows-per-doc tuple
+    * shuffle — this form scales with the broadcast model instead. */
+  def classifierGateForeachBatch(docs: DataFrame, idCol: String,
+      textCol: String, termWeights: DataFrame, priors: DataFrame)(
+      emit: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        emit(graft.ext.TextAnalysis.classifyLinear(
+          batch.toDF(), idCol, textCol, termWeights, priors), batchId)
+    }
 
   /** Online DSIR importance scoring — the streaming form of
     * [[graft.ext.TextAnalysis.importanceWeights]]: per arriving
@@ -528,8 +561,9 @@ object EventStreams {
         col("weight").cast("decimal(18,9)"))
       .limit(maxModelRows + 1).collect()
     require(w.length <= maxModelRows,
-      s"model exceeds $maxModelRows rows — use the batch " +
-        "classifyLinear broadcast join for vocabularies this large")
+      s"model exceeds $maxModelRows rows — use " +
+        "classifierGateForeachBatch (the per-micro-batch broadcast-join " +
+        "form) or the batch classifyLinear for vocabularies this large")
     val byLabel = w.groupBy(_.getString(1)).view
       .mapValues(_.map(r => (r.getString(0), r.getDecimal(2))).toSeq)
       .toMap

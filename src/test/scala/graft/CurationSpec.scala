@@ -48,6 +48,39 @@ class CurationSpec extends SparkSpecBase {
       Curation.groupQuota(rows, Seq("source"), Seq(col("doc_id")), 0))
   }
 
+  test("curationPipeline: every CurationConfig field is live (q197 " +
+      "pins the defaults; a silently-ignored knob must fail here)") {
+    import Curation.CurationConfig
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "source", "text")
+    val base = Curation.curationPipeline(docs)
+    val n = base.count()
+    assert(n > 0)
+    val kept = base.filter(col("quota_rank").isNotNull).count()
+    // quotaK: rank cut moves with the cap
+    val k1 = Curation.curationPipeline(docs,
+      CurationConfig(quotaK = 1L))
+    assert(k1.filter(col("quota_rank").isNotNull).count() < kept)
+    // minTokens: an impossible gate empties the pipeline
+    assert(Curation.curationPipeline(docs,
+      CurationConfig(minTokens = 1000000L)).count() === 0)
+    // splitSeed: a different seed re-deals at least one cluster
+    val s1 = base.select("doc_id", "split")
+    val s2 = Curation.curationPipeline(docs,
+      CurationConfig(splitSeed = "cp2")).select("doc_id", "split")
+    assert(s1.exceptAll(s2).count() > 0)
+    // splits: a single 100% bucket maps everything to it
+    assert(Curation.curationPipeline(docs,
+        CurationConfig(splits = Seq("all" -> 1.0)))
+      .filter(col("split") =!= "all").count() === 0)
+    // lineWidth / maxLineDocFreq feed the dedup stages: cleaned
+    // lengths must move when the reconstruction width doubles
+    val w8 = Curation.curationPipeline(docs,
+      CurationConfig(lineWidth = 8))
+    assert(w8.select(sum("n_chars_clean")).as[Long].head !==
+      base.select(sum("n_chars_clean")).as[Long].head)
+  }
+
   test("shard: stable, in-range, roughly balanced") {
     val shards = corpus
       .select(Curation.shard("ep1", col("id"), 8).as("shard"))

@@ -999,6 +999,58 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("classifierGateForeachBatch: large-vocab broadcast-join form == " +
+      "batch classifyLinear bit-for-bit; map-literal gate refuses loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val labels = Seq("en", "es")
+    val vocab = (0 until 40).map(i => s"w$i")
+    val weights = (for {
+      (l, li) <- labels.zipWithIndex
+      (t, ti) <- vocab.zipWithIndex
+    } yield (t, l, s"0.${100 + (ti * 7 + li * 3) % 900}"))
+      .toDF("term", "label", "w")
+      .select(col("term"), col("label"),
+        col("w").cast("decimal(18,9)").as("weight"))
+    val priors = Seq(("en", "-0.2", "0.01"), ("es", "-0.3", "0.02"))
+      .toDF("label", "p", "u")
+      .select(col("label"), col("p").cast("decimal(18,9)").as("prior"),
+        col("u").cast("decimal(18,9)").as("unseen"))
+    val docsData = (0L until 20L).map { id =>
+      (id, (0 until 12).map(j =>
+        if ((id + j) % 5 == 0) s"zzz$j" // unseen tokens exercise `unseen`
+        else s"w${(id * 3 + j * 11) % 40}").mkString(" "))
+    }
+    val docsDf = docsData.toDF("doc_id", "text")
+    // the 80-row model is past a deliberately low literal cap: the
+    // stateless map-literal gate must refuse loudly, naming this form
+    val ex = intercept[IllegalArgumentException] {
+      EventStreams.streamingClassifierGate(docsDf, "doc_id", "text",
+        weights, priors, maxModelRows = 8)
+    }
+    assert(ex.getMessage.contains("classifierGateForeachBatch"))
+    val expect = graft.ext.TextAnalysis.classifyLinear(docsDf, "doc_id",
+        "text", weights, priors)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDecimal(2))).toSet
+    assert(expect.size == 20)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, java.math.BigDecimal)]
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.classifierGateForeachBatch(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        weights, priors) { (out, _) =>
+        val rows = out.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDecimal(2)))
+        got.synchronized { got ++= rows }
+      }.start()
+    try {
+      mem.addData(docsData.filter(_._1 >= 10): _*); q.processAllAvailable()
+      mem.addData(docsData.filter(_._1 < 10): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expect) // same docs, same argmax, same decimals
+  }
+
   test("streamMinhashNearDup: streamed pairs == batch delta's cross pairs") {
     // sf0.001 plants near-dups across the 250 boundary (the q84 shape)
     val d = GraftSession.spread(GraftSession.table(spark, sf, "documents"))
