@@ -374,10 +374,14 @@ object Dedup {
     *     shape as Genome.introns): a gram opens a new span iff its start
     *     lies past every previous gram's end.
     *
-    * Returns (idCol, span_start, span_end) — 1-based inclusive char
-    * extents of every maximal duplicated span. Docs shorter than
-    * `gramLen` emit nothing (whole-document duplicates below the gram
-    * size are [[exact]]'s job; spans can't be shorter than a gram).
+    * Returns (idCol, span_start, span_end) — 1-based inclusive
+    * code-UNIT (UTF-16) extents of every maximal duplicated span
+    * (identical to codepoint extents for BMP text; on supplementary-
+    * plane text find and rewrite stay in the one code-unit system —
+    * see [[removeDuplicateSpans]]'s unit-system note and the ExtSpec
+    * astral fixture). Docs shorter than `gramLen` emit nothing
+    * (whole-document duplicates below the gram size are [[exact]]'s
+    * job; spans can't be shorter than a gram).
     *
     * Scale: the shuffle carries one 20-byte row per char position.
     * `winnowW > 1` thins it by WINNOWING (Schleimer et al., "Winnowing:

@@ -535,7 +535,17 @@ object TextAnalysis {
     * ties by lexicographically smallest (left, right); words start as
     * code-point symbols (surrogate-safe). Stops early when no adjacent
     * pair remains. Returns (rank, left, right, merged), rank 0-based
-    * in merge order — feed to [[bpeApply]]. */
+    * in merge order — feed to [[bpeApply]].
+    *
+    * Tie-break unit BOUND (documented, not guarded): "smallest pair"
+    * is Java String order — UTF-16 code units — while a UTF-8 engine
+    * (the DuckDB oracle, most tokenizer tooling) compares code
+    * points/bytes. The two orders agree on every ASCII and BMP-only
+    * vocabulary and diverge in exactly one regime: a count TIE
+    * comparing a supplementary-plane symbol against one in
+    * U+E000..U+FFFF (UTF-16 surrogates sort below that range, real
+    * code points above it). Training on such a corpus is cross-engine
+    * replayable only if ranks are pinned explicitly. */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
       maxWords: Int = 262144): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")

@@ -1561,6 +1561,121 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  // ---- non-BMP parity sweep (VERDICT r14 Next #4): every position-
+  // emitting text operator either proves itself on supplementary-plane
+  // input or documents its unit bound loudly. cdcChunks got the
+  // code-point lift in r14 (the test above); duplicateSpans/
+  // removeDuplicateSpans are code-UNIT by design (one unit system for
+  // find AND rewrite — proved here); chunkTokens is token-indexed
+  // (proved here); editDistancePairs is code-POINT (substr deletions +
+  // levenshtein — proved here); bpeTrain's tie-break bound is
+  // documented at the API (UTF-16 vs UTF-8 order diverges only on
+  // astral-vs-U+E000..FFFF ties — not fixture-provable, it's a genuine
+  // cross-engine order difference).
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  test("duplicate-span family: astral text — code-UNIT extents, JVM " +
+      "rewrite parity, fixpoint at winnowW = 1") {
+    val dup = "😀😀 shared span with 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 emoji 𠀀𠀁𠀂 inside " +
+      "that is long enough to cross several grams comfortably "
+    val texts = Map(
+      0L -> ("unique head zero " + dup + "unique tail zero"),
+      1L -> ("completely different opening " + dup + "another ending"))
+    val docsA = texts.toSeq.toDF("doc_id", "text")
+    // JVM independent rewrite: apply 1-based inclusive code-unit
+    // extents with String.substring — the reference the operator's
+    // charUnitSubstr path must match
+    def jvmClean(t: String, sp: Seq[(Int, Int)]): String = {
+      val keep = new StringBuilder
+      var cur = 1
+      sp.sortBy(_._1).foreach { case (s, e) =>
+        if (s > cur) keep.append(t.substring(cur - 1, s - 1))
+        cur = math.max(cur, e + 1)
+      }
+      if (cur <= t.length) keep.append(t.substring(cur - 1))
+      keep.toString
+    }
+    for (w <- Seq(1, 4)) {
+      val spans = Dedup.duplicateSpans(docsA, "doc_id", "text",
+          gramLen = 10, winnowW = w)
+        .as[(Long, Int, Int)].collect().toSeq
+      assert(spans.map(_._1).toSet == Set(0L, 1L),
+        s"astral duplicated span not found in both docs at winnowW=$w")
+      val byDoc = spans.groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3))).toMap
+      val cleanedRef = texts.map { case (id, t) =>
+        id -> jvmClean(t, byDoc(id)) }
+      val got = Dedup.removeDuplicateSpans(docsA, "doc_id", "text",
+          gramLen = 10, winnowW = w)
+        .orderBy("doc_id").as[(Long, String, Long)].collect()
+      got.foreach { case (id, hash, removed) =>
+        assert(hash == md5hex(cleanedRef(id)),
+          s"rewrite diverges from the code-unit reference (doc $id, w=$w)")
+        assert(removed == texts(id).length - cleanedRef(id).length)
+      }
+      // the shared astral region is actually cut (non-vacuous)
+      assert(got.forall(_._3 > dup.length / 2))
+      if (w == 1) { // exact extents: the finder on cleaned text is dry
+        val again = cleanedRef.toSeq.toDF("doc_id", "text")
+        assert(Dedup.duplicateSpans(again, "doc_id", "text",
+          gramLen = 10, winnowW = 1).count() == 0)
+      }
+    }
+  }
+
+  test("chunkTokens: astral tokens — token-indexed offsets and hashes " +
+      "match a JVM reference") {
+    val text = "😀 alpha 𝔘𝔫𝔦 beta 𠀀 gamma delta 😀😀 epsilon"
+    val got = TextAnalysis.chunkTokens(
+        Seq((0L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 3, overlap = 1)
+      .orderBy("chunk_id")
+      .select("chunk_id", "start_token", "n_tokens", "chunk_hash")
+      .as[(Int, Int, Int, String)].collect().toSeq
+    val toks = text.split("\\s+")
+    val step = 2
+    val expect = Iterator.from(0)
+      .map(i => 1 + i * step).takeWhile(_ <= toks.length)
+      .filter(s => s == 1 || s + 1 <= toks.length) // the tail-drop rule
+      .zipWithIndex.map { case (s, i) =>
+        val chunk = toks.slice(s - 1, s - 1 + 3)
+        (i, s, chunk.length, md5hex(chunk.mkString(" ")))
+      }.toSeq
+    assert(got == expect)
+    assert(got.length >= 4) // several windows: the fixture is live
+  }
+
+  test("editDistancePairs: astral vocab — deletions and levenshtein " +
+      "both count CODE POINTS; pairs match a brute-force reference") {
+    val vocab = Seq("ab😀c", "abc", "a😀c", "😀bc", "ab😀", "xyz", "ab")
+    // brute-force code-point levenshtein — the independent formulation
+    def lev(a: Array[Int], b: Array[Int]): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      a <- vocab; b <- vocab if a != b
+      if lev(a.codePoints.toArray, b.codePoints.toArray) <= 1
+    } yield Set(a, b)).toSet
+    val got = TextAnalysis.editDistancePairs(vocab.toDF("term"))
+      .as[(String, String, Long)].collect()
+    assert(got.forall(_._3 == 1L))
+    assert(got.map(p => Set(p._1, p._2)).toSet == expect)
+    // the astral-substitution pair is present: abc vs a😀c meet on the
+    // shared code-point deletion "ac" — a code-UNIT implementation
+    // would need TWO edits and miss it
+    assert(expect.contains(Set("abc", "a😀c")))
+    assert(got.map(p => Set(p._1, p._2)).contains(Set("abc", "a😀c")))
+  }
+
   test("dedupCdcKeepFirst: doc 0 untouched, shifted copy loses every " +
       "shared chunk, counts consistent with cdcChunks") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
