@@ -512,6 +512,65 @@ object VectorQueries {
         .orderBy("cid", "dim")
     }),
 
+    // TRAINED-quantizer IVF ANN end-to-end (q204's training COMPOSED
+    // into q43's search): trainCentroids(k=4, iters=2) builds the
+    // cells, ivfTopK searches them — the first ANN row whose coarse
+    // quantizer is LEARNED from the corpus rather than pinned corpus
+    // rows, retiring the pinned-centroid device as a necessity (q43
+    // et al. keep it for cheap independent anchors). The oracle
+    // composes the unrolled-Lloyd CTE with the cell-assign + cosine
+    // rank tail, so train→assign→search replays as one certified
+    // pipeline.
+    "q206_ivf_trained_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      Similarity.ivfTopK(e, "vec_id", "embedding", cents,
+          col("vec_id") < 10, k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // PQ SERVING on SAVED codes (the q205 honesty theme, batch side):
+    // pqEncode runs once and MATERIALIZES (the persisted (id, pq_code)
+    // artifact), then pqTopKAdcOnCodes answers the queries from codes
+    // alone — no oracle row exercised this saved-artifact round trip
+    // before (only the inline q78 composition). Faces q78's own SQL:
+    // the served ranking must equal the inline train+encode+rank
+    // pipeline row-for-row. fixedCodebooks' cids are 0..15 per
+    // subspace, so the canonical-cid contract holds by construction.
+    "q207_pq_serve_on_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cbs = fixedCodebooks(e)
+      val encoded = Similarity.pqEncode(e, "vec_id", "embedding", cbs)
+        .select(col("vec_id"), col("pq_code"))
+        .localCheckpoint(true) // the at-ingest artifact, materialized
+      Similarity.pqTopKAdcOnCodes(encoded, "vec_id", "pq_code",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cbs, k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF-PQ SERVING on the SAVED (id, cell, pq_code) layout — the
+    // billion-scale steady state (store partitioned by cell, probe
+    // loaded artifacts): ivfAssign + pqEncode run once and
+    // materialize; ivfPqTopKOnCodes scores only the probed cells'
+    // codes. Faces q82's own SQL row-for-row.
+    "q208_ivfpq_serve_on_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cbs = fixedCodebooks(e)
+      val encoded = Similarity.pqEncode(
+          Similarity.ivfAssign(e, "vec_id", "embedding", cents),
+          "vec_id", "embedding", cbs)
+        .select(col("vec_id"), col("cid"), col("pq_code"))
+        .localCheckpoint(true) // the partitioned-by-cell layout
+      Similarity.ivfPqTopKOnCodes(encoded, "vec_id", "cid", "pq_code",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cents, cbs, k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // Leakage-safe train/val/test split: q87's hash intervals keyed on
     // the q73 dedup CLUSTER, so a near-dup pair can never straddle
     // train/test (the split-time guard q64's contamination scan only
@@ -983,11 +1042,25 @@ object VectorQueries {
     * floor(v·1e7 + 0.5) summed exactly (DuckDB HUGEINT vs Spark
     * DECIMAL(38,0)) and divided ONCE in IEEE — with empty cells
     * carrying the previous centroid via the LEFT JOIN COALESCE. */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  /** The in-order left-associated squared-L2 fold — the SQL mirror of
+    * every JVM/codegen distance loop in the k-means family. */
+  private def kmD2(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    kmeansCte(k, iters) +
+      s"""
+         |SELECT cid, CAST(u.i - 1 AS INT) AS dim, cv[u.i] AS c
+         |FROM c$iters, unnest(generate_series(1, len(cv))) u(i)
+         |ORDER BY cid, dim""".stripMargin
+
+  /** The reusable prefix of [[kmeansSql]]: `WITH samp …, c$iters(cid,
+    * cv)` — the trained centroid table, for oracles that COMPOSE the
+    * trained quantizer into a search (q206). */
+  private def kmeansCte(k: Int, iters: Int): String = {
     require(k >= 2 && iters >= 1, "oracle unroll needs k >= 2, iters >= 1")
-    def d2(a: String, b: String): String =
-      s"list_sum(list_transform(generate_series(1, len($a)), " +
-        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def d2(a: String, b: String): String = kmD2(a, b)
     val head =
       """WITH samp AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1034,12 +1107,35 @@ object VectorQueries {
          |  LEFT JOIN g$r g ON g.cid = pd.cid AND g.i = pd.i
          |  GROUP BY pd.cid)""".stripMargin
     }.mkString
-    head + seeds + c0 + rounds +
-      s"""
-         |SELECT cid, CAST(u.i - 1 AS INT) AS dim, cv[u.i] AS c
-         |FROM c$iters, unnest(generate_series(1, len(cv))) u(i)
-         |ORDER BY cid, dim""".stripMargin
+    head + seeds + c0 + rounds
   }
+
+  /** q206: the trained quantizer COMPOSED into the search — the
+    * [[kmeansCte]] centroids feed q43's cell-assign + same-cell cosine
+    * rank. Assignment ordering uses the exact in-order fold (the
+    * kernel's own arithmetic) because the trained centroids are
+    * computed doubles — sqrt-based list_distance could tie-break
+    * differently at the last ulp. */
+  private def ivfTrainedSql(k: Int, iters: Int): String =
+    kmeansCte(k, iters) +
+      s""",
+         |asgt AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${kmD2("(e.embedding::DOUBLE[])", "c.cv")},
+         |      c.cid) AS rn
+         |  FROM embeddings e, c$iters c) WHERE rn = 1),
+         |qx AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, cid
+         |       FROM asgt WHERE vec_id < 10),
+         |scx AS (SELECT qx.q_id, a.vec_id AS n_id,
+         |         list_cosine_similarity(qx.qv, a.embedding::DOUBLE[]) AS cos
+         |        FROM qx JOIN asgt a USING (cid)
+         |        WHERE a.vec_id <> qx.q_id),
+         |rx AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER)
+         |        AS rank FROM scx)
+         |SELECT q_id, n_id, rank FROM rx WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
 
   /** q40's cosine-rank device filtered by NOT EXISTS over the q42
     * positive pairs (either orientation) — the exclusion then the
@@ -1097,6 +1193,11 @@ object VectorQueries {
       ("q159_kcore" -> kcoreSql) +
       ("q189_label_propagation" -> lpaSql(4)) +
       ("q204_kmeans_train" -> kmeansSql(4, 2)) +
+      ("q206_ivf_trained_topk" -> ivfTrainedSql(4, 2)) +
+      // serving on saved codes must equal the inline pipelines —
+      // same oracles as q78/q82 (two implementations, one ground truth)
+      ("q207_pq_serve_on_codes" -> oracleSqlBase("q78_pq_adc_topk")) +
+      ("q208_ivfpq_serve_on_codes" -> oracleSqlBase("q82_ivfpq_topk")) +
       ("q191_matryoshka_recall" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
           |  FROM embeddings WHERE vec_id < 10),
