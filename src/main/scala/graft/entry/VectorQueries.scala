@@ -24,8 +24,13 @@ object VectorQueries {
   /** Deterministic PQ codebooks for the oracle-checked queries: 8
     * subspaces of 8 dims, codewords = subvectors of the 16 lowest-id
     * embeddings (cid = vec_id). [[Similarity.pqTrain]] is the trained
-    * path (spec-verified); a k-means loop is not SQL-replicable, so the
-    * hash-checked queries pin the codebooks instead. */
+    * path (spec-verified). NOTE (r15): the old rationale "a k-means
+    * loop is not SQL-replicable" is DISPROVEN — q204 gates
+    * trainCentroids against an unrolled-Lloyd oracle and q206
+    * composes the trained quantizer into the search. The pinned
+    * devices remain for the rows that want a CHEAP independent anchor
+    * (a one-CTE artifact keeps those oracles readable and fast), not
+    * because training can't face an oracle. */
   private def fixedCodebooks(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"),
