@@ -576,6 +576,20 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // TRAINED IVF-SQ8 (q206's composition applied to the int8 path):
+    // learned coarse cells + byte codes + exact integer within-cell
+    // distance — train, assign, encode, and rank all in one certified
+    // pipeline. With q206 this puts every IVF family member on
+    // LEARNED centroids under the gate.
+    "q209_ivf_sq8_trained_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      Similarity.ivfSq8TopK(e, "vec_id", "embedding", cents,
+          col("vec_id") < 10, k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
     // Leakage-safe train/val/test split: q87's hash intervals keyed on
     // the q73 dedup CLUSTER, so a near-dup pair can never straddle
     // train/test (the split-time guard q64's contamination scan only
@@ -1142,6 +1156,45 @@ object VectorQueries {
          |SELECT q_id, n_id, rank FROM rx WHERE rank <= 3
          |ORDER BY q_id, rank""".stripMargin
 
+  /** q209: q203's mm/codes/cell/distance skeleton with the coarse
+    * quantizer TRAINED — [[kmeansCte]]'s centroids replace the pinned
+    * rows, cell assignment ordered by the exact in-order fold (the
+    * q206 rationale), everything after assignment the same all-integer
+    * hash-exact arithmetic. */
+  private def ivfSq8TrainedSql(k: Int, iters: Int): String =
+    kmeansCte(k, iters) +
+      s""",
+         |mm AS (SELECT i, MIN(embedding[i]::DOUBLE) AS mn,
+         |    MAX(embedding[i]::DOUBLE) AS mx
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+         |  GROUP BY i),
+         |codes AS (SELECT e.vec_id,
+         |    list(CASE WHEN mm.mx = mm.mn THEN 0
+         |      ELSE GREATEST(0, LEAST(255, CAST(round(
+         |        (e.embedding[mm.i]::DOUBLE - mm.mn) * 255.0
+         |          / (mm.mx - mm.mn)) AS INT))) END ORDER BY mm.i) AS c
+         |  FROM embeddings e CROSS JOIN mm GROUP BY e.vec_id),
+         |cellt AS (SELECT vec_id, cid FROM (
+         |   SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+         |     PARTITION BY e.vec_id
+         |     ORDER BY ${kmD2("(e.embedding::DOUBLE[])", "c.cv")},
+         |       c.cid) AS rn
+         |   FROM embeddings e, c$iters c) WHERE rn = 1),
+         |dt AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(qc.c)),
+         |      i -> CAST(qc.c[i] - nc.c[i] AS BIGINT) * (qc.c[i] - nc.c[i])))
+         |      AS BIGINT) AS sqdist
+         |  FROM cellt q JOIN cellt n
+         |    ON q.cid = n.cid AND n.vec_id <> q.vec_id
+         |  JOIN codes qc ON qc.vec_id = q.vec_id
+         |  JOIN codes nc ON nc.vec_id = n.vec_id
+         |  WHERE q.vec_id < 10),
+         |rt AS (SELECT q_id, n_id, sqdist, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sqdist ASC, n_id ASC)
+         |    AS INTEGER) AS rank FROM dt)
+         |SELECT q_id, n_id, rank, sqdist FROM rt WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+
   /** q40's cosine-rank device filtered by NOT EXISTS over the q42
     * positive pairs (either orientation) — the exclusion then the
     * rank, exactly the Spark anti-join-before-window order. */
@@ -1203,6 +1256,7 @@ object VectorQueries {
       // same oracles as q78/q82 (two implementations, one ground truth)
       ("q207_pq_serve_on_codes" -> oracleSqlBase("q78_pq_adc_topk")) +
       ("q208_ivfpq_serve_on_codes" -> oracleSqlBase("q82_ivfpq_topk")) +
+      ("q209_ivf_sq8_trained_topk" -> ivfSq8TrainedSql(4, 2)) +
       ("q191_matryoshka_recall" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
           |  FROM embeddings WHERE vec_id < 10),
