@@ -590,6 +590,32 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Per-dimension corpus STANDARDIZATION (the StandardScaler of
+    // feature prep): μ/σ trained in one ≤dims-row exact-integer
+    // aggregation (the q204 quantized-moment device + the q113/q151
+    // mirrored-sqrt device), applied map-only with plan-literal
+    // arrays — the corpus never shuffles for the apply. Every z is a
+    // fixed IEEE tree over exact integer sums, so the full double
+    // output hash-replays.
+    "q210_embed_standardize" -> ((s, dir) => {
+      Similarity.standardize(emb(s, dir), "embedding")
+        .select(col("vec_id"), posexplode(col("zvec")))
+        .select(col("vec_id"), col("pos").cast("int").as("dim"),
+          col("col").as("z"))
+        .orderBy("vec_id", "dim")
+    }),
+
+    // MMR diversity re-ranking (Carbonell & Goldstein 1998): top-3
+    // of an 8-deep relevance shortlist, λ = 0.5 — the greedy loop
+    // unrolls to 3 oracle stages (the q204/q140 iterative device):
+    // stage 1 pure relevance, stages 2-3 rank-1 by
+    // 0.5·rel − 0.5·max-sim-to-selected with the n_id tie.
+    "q211_mmr_rerank" -> ((s, dir) => {
+      Similarity.mmrRerank(emb(s, dir), "vec_id", "embedding",
+          col("vec_id") < 10, k = 3, shortlist = 8, lambda = 0.5)
+        .orderBy("q_id", "mmr_rank")
+    }),
+
     // Leakage-safe train/val/test split: q87's hash intervals keyed on
     // the q73 dedup CLUSTER, so a near-dup pair can never straddle
     // train/test (the split-time guard q64's contamination scan only
@@ -1195,6 +1221,51 @@ object VectorQueries {
          |SELECT q_id, n_id, rank, sqdist FROM rt WHERE rank <= 3
          |ORDER BY q_id, rank""".stripMargin
 
+  /** q211: the MMR greedy loop unrolled — shortlist CTE (q40's rank
+    * device at depth `shortlist`), stage 1 = pure-relevance rank-1,
+    * each later stage = NOT-EXISTS anti over the selected union,
+    * max-sim join, and a rank-1 pick on the mirrored literal tree
+    * `0.5·rel − 0.5·ms` with the n_id tie. */
+  private def mmrSql(k: Int, shortlist: Int): String = {
+    require(k >= 2, "oracle unroll needs k >= 2")
+    def selUnion(t: Int): String =
+      (1 to t).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    val head =
+      s"""WITH qm AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |scm AS (SELECT q_id, vec_id AS n_id, embedding::DOUBLE[] AS nv,
+         |         list_cosine_similarity(qv, embedding::DOUBLE[]) AS rel
+         |        FROM embeddings, qm WHERE vec_id <> q_id),
+         |cand AS (SELECT q_id, n_id, nv, rel FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |     ORDER BY rel DESC, n_id) AS rk FROM scm)
+         |  WHERE rk <= $shortlist),
+         |s1 AS (SELECT q_id, n_id, nv, rel FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |     ORDER BY rel DESC, n_id) AS rk FROM cand) WHERE rk = 1)"""
+        .stripMargin
+    val stages = (2 to k).map { t =>
+      val sel = s"(${selUnion(t - 1)})"
+      s""",
+         |m$t AS (SELECT c.q_id, c.n_id, c.nv, c.rel,
+         |         MAX(list_cosine_similarity(c.nv, s.nv)) AS ms
+         |        FROM cand c JOIN $sel s ON s.q_id = c.q_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM $sel x
+         |          WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+         |        GROUP BY c.q_id, c.n_id, c.nv, c.rel),
+         |s$t AS (SELECT q_id, n_id, nv, rel FROM (
+         |   SELECT q_id, n_id, nv, rel, ROW_NUMBER() OVER (
+         |     PARTITION BY q_id
+         |     ORDER BY 0.5 * rel - 0.5 * ms DESC, n_id) AS rk
+         |   FROM m$t) WHERE rk = 1)""".stripMargin
+    }.mkString
+    val tail = (1 to k).map(t =>
+      s"SELECT q_id, n_id, CAST($t AS INT) AS mmr_rank FROM s$t")
+      .mkString("\nUNION ALL ")
+    head + stages + s"\nSELECT q_id, n_id, mmr_rank FROM (\n" +
+      tail + ")\nORDER BY q_id, mmr_rank"
+  }
+
   /** q40's cosine-rank device filtered by NOT EXISTS over the q42
     * positive pairs (either orientation) — the exclusion then the
     * rank, exactly the Spark anti-join-before-window order. */
@@ -1257,6 +1328,33 @@ object VectorQueries {
       ("q207_pq_serve_on_codes" -> oracleSqlBase("q78_pq_adc_topk")) +
       ("q208_ivfpq_serve_on_codes" -> oracleSqlBase("q82_ivfpq_topk")) +
       ("q209_ivf_sq8_trained_topk" -> ivfSq8TrainedSql(4, 2)) +
+      ("q211_mmr_rerank" -> mmrSql(3, 8)) +
+      // per-dim quantized integer moments (HUGEINT vs DECIMAL(38,0)
+      // — identical exact integers), then the SAME IEEE trees: one
+      // division for mu, one fixed tree + sqrt for sigma, one
+      // subtract-divide per z
+      ("q210_embed_standardize" ->
+        """WITH st AS (SELECT i - 1 AS dim, COUNT(*) AS n,
+          |    CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5)
+          |      AS BIGINT)) AS DOUBLE) AS s,
+          |    CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5)
+          |        AS BIGINT) *
+          |      CAST(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5)
+          |        AS BIGINT)) AS DOUBLE) AS ss
+          |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+          |  GROUP BY i),
+          |ms AS (SELECT dim, s / (n * 10000000.0) AS mu,
+          |    sqrt((CAST(n AS DOUBLE) * ss - s * s) /
+          |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+          |        * 100000000000000.0)) AS sd
+          |  FROM st)
+          |SELECT e.vec_id, CAST(ms.dim AS INT) AS dim,
+          |  CASE WHEN ms.sd = 0 THEN 0.0
+          |    ELSE (e.embedding[u.i]::DOUBLE - ms.mu) / ms.sd END AS z
+          |FROM embeddings e,
+          |  unnest(generate_series(1, len(e.embedding))) u(i)
+          |JOIN ms ON ms.dim = u.i - 1
+          |ORDER BY e.vec_id, dim""".stripMargin) +
       ("q191_matryoshka_recall" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
           |  FROM embeddings WHERE vec_id < 10),

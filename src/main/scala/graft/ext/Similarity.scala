@@ -182,6 +182,57 @@ object Similarity {
       .select("q_id", "n_id", "rank", "sqdist")
   }
 
+  /** Per-dimension corpus standardization — the StandardScaler of
+    * embedding feature prep: z_i = (x_i − μ_i)/σ_i with μ and σ
+    * trained on the corpus in ONE bounded aggregation (posexplode →
+    * per-dim exact 1e7-quantized integer sums, the [[trainCentroids]]
+    * mean device extended with a second moment — the shuffle carries
+    * ≤ dims rows per task, never vectors), then applied MAP-ONLY with
+    * the artifact riding as two plan-literal arrays. σ is the
+    * population form sqrt((n·Σq² − (Σq)²) / (n²·10¹⁴)) computed as ONE
+    * fixed IEEE tree over the exact integer sums (the q113/q151
+    * mirrored-sqrt device), so every emitted double replays
+    * bit-for-bit in an engine that mirrors the same tree. Constant
+    * dimensions (σ = 0) pin z to 0. Output: input plus `out` =
+    * array<double> of z-scores. */
+  def standardize(corpus: DataFrame, vecCol: String,
+      out: String = "zvec", maxDims: Int = 4096): DataFrame = {
+    val q = floor(col("__x") * lit(1e7) + lit(0.5)).cast("decimal(38,0)")
+    val stats = corpus
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "__x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(q).as("s"), sum(q * q).as("ss"))
+      .orderBy("dim").limit(maxDims + 1).collect()
+    require(stats.nonEmpty && stats.length <= maxDims,
+      s"standardize artifact must have 1..$maxDims dims (got ${stats.length})")
+    require(stats.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      "standardize artifact dims must be contiguous from 0")
+    // the SAME IEEE expressions the oracle mirrors: one division for
+    // the mean, one fixed tree + sqrt for sigma — all inputs exact
+    // integers (sums convert identically from DECIMAL/HUGEINT)
+    val mu = stats.map { r =>
+      r.getDecimal(2).doubleValue() / (r.getLong(1) * 1e7)
+    }
+    val sd = stats.map { r =>
+      val n = r.getLong(1).toDouble
+      math.sqrt((n * r.getDecimal(3).doubleValue() -
+        r.getDecimal(2).doubleValue() * r.getDecimal(2).doubleValue()) /
+        (n * n * 1e14))
+    }
+    val muLit = array(mu.map(lit(_)): _*)
+    val sdLit = array(sd.map(lit(_)): _*)
+    val checked = when(size(col(vecCol)) === lit(stats.length), col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"standardize: vector dims != artifact dims ${stats.length} " +
+          "(got "), size(col(vecCol)).cast("string"), lit(")"))))
+    corpus.withColumn(out, transform(checked, (x, i) => {
+      val s = element_at(sdLit, i + 1)
+      when(s === 0.0, lit(0.0))
+        .otherwise((x.cast("double") - element_at(muLit, i + 1)) / s)
+    }))
+  }
+
   /** Recall@k of an approximate ANN result against an exact one — the
     * eval harness every ANN variant (IVF/PQ/LSH/truncated-dim) is
     * judged by. Both inputs are (q_id, n_id[, rank]) frames; recall is
@@ -202,6 +253,68 @@ object Similarity {
         col("__k").as("k_truth"),
         (coalesce(col("__hit"), lit(0L)).cast("double") /
           col("__k").cast("double")).as("recall"))
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — diversity-aware top-k, the standard answer to
+    * near-duplicate search results (RAG context packing, dedup'd
+    * retrieval): per query, greedily pick from a `shortlist`-deep
+    * relevance shortlist the candidate maximizing
+    * `mmr(d) = λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`; the
+    * first pick is pure relevance. Ties break (mmr desc, n_id asc).
+    *
+    * Scale shape: the corpus-sized work is the shortlist retrieval
+    * ([[bruteForceTopK]] here — swap in any ANN path upstream); the
+    * greedy loop is k DECLARATIVE stages over |queries|·shortlist
+    * rows (broadcast-small by contract), each one anti-join + one
+    * max-sim join + one rank-1 window. The candidate frame
+    * MATERIALIZES once (Spark has no common-subplan dedup; k lazy
+    * stages would re-run the corpus scan per stage — the
+    * removeDuplicateSpans precedent).
+    *
+    * Cross-engine replay: keep `lambda` exactly representable (0.5,
+    * 0.25 …) and mirror `λ·rel − (1−λ)·ms` as the same literal tree —
+    * a pre-folded (1−λ) that isn't exact is the q140 damping-term
+    * pitfall. Output (q_id, n_id, mmr_rank), rank 1..k. */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int, shortlist: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
+    val vecs = corpus.select(col(idCol).as("n_id"), col(vecCol).as("__nv"))
+    val q = corpus.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    val cand = bruteForceTopK(corpus, corpus.filter(queryPred), idCol,
+        vecCol, shortlist)
+      .select("q_id", "n_id")
+      .join(broadcast(q), Seq("q_id")).join(vecs, Seq("n_id"))
+      .withColumn("rel", cosineFast(col("__qv"), col("__nv")))
+      .select("q_id", "n_id", "rel", "__nv")
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("n_id").asc)
+    var all = cand.withColumn("__r", row_number().over(w1))
+      .filter(col("__r") === 1).drop("__r")
+      .withColumn("mmr_rank", lit(1))
+    for (t <- 2 to k) {
+      val selV = all.select(col("q_id"), col("__nv").as("__sv"))
+      val remaining = cand.join(all.select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_anti")
+      val maxSim = remaining.select("q_id", "n_id", "__nv")
+        .join(selV, Seq("q_id"))
+        .withColumn("__sim", cosineFast(col("__nv"), col("__sv")))
+        .groupBy("q_id", "n_id").agg(max(col("__sim")).as("__ms"))
+      val wm = Window.partitionBy(col("q_id"))
+        .orderBy(col("__mmr").desc, col("n_id").asc)
+      val next = remaining.join(maxSim, Seq("q_id", "n_id"))
+        .withColumn("__mmr",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__ms"))
+        .withColumn("__r", row_number().over(wm))
+        .filter(col("__r") === 1)
+        .select(col("q_id"), col("n_id"), col("rel"), col("__nv"),
+          lit(t).as("mmr_rank"))
+      all = all.unionByName(next)
+    }
+    all.select("q_id", "n_id", "mmr_rank")
   }
 
   /** Hard-negative mining (the contrastive-training data op): for each

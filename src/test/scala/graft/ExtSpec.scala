@@ -1561,6 +1561,26 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("mmrRerank: an exact duplicate of the first pick is demoted " +
+      "below a less-relevant but diverse candidate") {
+    // query 0 = (1,0,0); A and A2 are identical near-parallel vectors
+    // (pure relevance ranks them 1-2); B is diverse at lower cosine.
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (100L, Array(0.99f, 0.1f, 0f)), // A
+      (101L, Array(0.99f, 0.1f, 0f)), // A2 == A, higher id
+      (102L, Array(0.7f, 0f, 0.7f))   // B, diverse
+    ).toDF("vec_id", "embedding")
+    val pure = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") < 1), "vec_id", "embedding", k = 2)
+      .orderBy("rank").as[(Long, Long, Int)].collect().map(_._2).toSeq
+    assert(pure == Seq(100L, 101L)) // relevance alone keeps the twin
+    val mmr = Similarity.mmrRerank(corpus, "vec_id", "embedding",
+        col("vec_id") < 1, k = 2, shortlist = 3, lambda = 0.5)
+      .orderBy("mmr_rank").as[(Long, Long, Int)].collect().map(_._2).toSeq
+    assert(mmr == Seq(100L, 102L)) // MMR swaps the twin for diversity
+  }
+
   // ---- non-BMP parity sweep (VERDICT r14 Next #4): every position-
   // emitting text operator either proves itself on supplementary-plane
   // input or documents its unit bound loudly. cdcChunks got the
