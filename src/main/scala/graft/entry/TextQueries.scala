@@ -366,6 +366,28 @@ object TextQueries {
     "q197_curation_pipeline" -> ((s, dir) =>
       curationPipeline(docs(s, dir)).orderBy("doc_id")),
 
+    // Length-grouped micro-batching (the padding-waste minimizer of
+    // training dataloaders, deterministic): per hash shard, docs rank
+    // by (n_tokens asc, id asc) into batches of 8; batch max and
+    // per-doc pad waste are exact integers. One shard-keyed shuffle,
+    // both windows share it.
+    "q212_length_batching" -> ((s, dir) => {
+      graft.ext.Curation.lengthGroupedBatches(
+          TextAnalysis.withTokenCounts(docs(s, dir), "text"),
+          "doc_id", "n_tokens", batchSize = 8, seed = "lb1", nShards = 4)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals (Rae et al. 2021): duplicate
+    // adjacent bigram/trigram fractions (map-only array ops — the
+    // corpus never shuffles for them) + the top-word share (one
+    // narrow (doc, token) shuffle). Exact integer counts, one IEEE
+    // division per fraction.
+    "q213_repetition_signals" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Incremental boilerplate removal: docs 250+ arriving against the
     // 0-249 history's SAVED (line_hash, n_docs) artifact — the batch is
     // rewritten with MERGED corpus frequencies, bit-identical to the
@@ -1131,6 +1153,56 @@ object TextQueries {
         | len(string_split_regex(text,'\s+')) AS n_tokens,
         | len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // shard = q63's md5-u32 idiom; rank then batch arithmetic in
+    // exact integers; the per-batch MAX window has a whole-partition
+    // frame (no second ORDER BY — the two-window ordering pitfall
+    // from NOTES doesn't apply)
+    "q212_length_batching" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(concat('lb1','#',
+        |      CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) % 4 AS shard
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY shard
+        |        ORDER BY n_tokens, doc_id) AS rn FROM b),
+        |g AS (SELECT doc_id, shard, (rn - 1) // 8 AS batch_idx,
+        |        (rn - 1) % 8 AS batch_offset, n_tokens FROM r)
+        |SELECT doc_id, shard, batch_idx, batch_offset, n_tokens,
+        |  MAX(n_tokens) OVER (PARTITION BY shard, batch_idx) AS batch_max,
+        |  MAX(n_tokens) OVER (PARTITION BY shard, batch_idx) - n_tokens
+        |    AS pad_waste
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // adjacent n-grams rebuilt with the same space-joined concat;
+    // fractions are exact-integer divisions; top-word share via
+    // unnest + count
+    "q213_repetition_signals" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, len(tk) AS n,
+        |  CASE WHEN len(tk) >= 2 THEN list_transform(
+        |    generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE [] END AS g2,
+        |  CASE WHEN len(tk) >= 3 THEN list_transform(
+        |    generate_series(1, len(tk)-2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END AS g3
+        |  FROM t),
+        |tw AS (SELECT doc_id, MAX(c) AS mx FROM (
+        |   SELECT doc_id, w, COUNT(*) AS c FROM t, unnest(tk) u(w)
+        |   GROUP BY 1, 2) GROUP BY 1)
+        |SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_tokens,
+        |  CASE WHEN g.n >= 2 THEN CAST(g.n - 1 - len(list_distinct(g2))
+        |    AS DOUBLE) / CAST(g.n - 1 AS DOUBLE) ELSE 0.0 END
+        |    AS dup_bigram_frac,
+        |  CASE WHEN g.n >= 3 THEN CAST(g.n - 2 - len(list_distinct(g3))
+        |    AS DOUBLE) / CAST(g.n - 2 AS DOUBLE) ELSE 0.0 END
+        |    AS dup_trigram_frac,
+        |  CASE WHEN g.n > 0 THEN CAST(tw.mx AS DOUBLE) /
+        |    CAST(g.n AS DOUBLE) ELSE 0.0 END AS top_word_frac
+        |FROM g LEFT JOIN tw USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q32_lang_id" ->
       """WITH c AS (SELECT doc_id,
         | len(list_intersect(string_split_regex(text,'\s+'), ['the','a','key','fast'])) c_en,

@@ -295,6 +295,40 @@ object Curation {
         shuffleKey(seed, col(idCol)), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Length-grouped micro-batching — the padding-waste minimizer of
+    * training dataloaders (the "sortish"/LengthGroupedSampler idea,
+    * made deterministic): within each hash shard, documents order by
+    * (length asc, id asc) and group into fixed `batchSize` batches, so
+    * a batch's padded cost `batch_max · B` hugs its token sum instead
+    * of the corpus max. Emits per doc: shard, batch_idx, batch_offset,
+    * the batch's max length and the doc's own padding waste
+    * (batch_max − len) — exact integers, so the whole layout is a pure
+    * function of (seed, ids, lengths).
+    *
+    * Scale: one shard-keyed shuffle; both windows (the rank and the
+    * per-batch max) share it. Same posture as [[packSequences]]:
+    * per-shard streams, parallelism = nShards. */
+  def lengthGroupedBatches(df: DataFrame, idCol: String,
+      lenCol: String, batchSize: Int, seed: String,
+      nShards: Int): DataFrame = {
+    require(batchSize >= 1 && nShards >= 1,
+      "need batchSize >= 1 and nShards >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__len").asc, col(idCol).asc)
+    val base = df.select(col(idCol), col(lenCol).cast("long").as("__len"))
+      .withColumn("shard", shard(seed, col(idCol), nShards))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      // `div`, not `/`: Spark's / is true division (DOUBLE)
+      .withColumn("batch_idx", expr(s"(__rn - 1) div $batchSize"))
+      .withColumn("batch_offset", (col("__rn") - 1) % batchSize)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "batch_idx")
+    base.select(col(idCol), col("shard"), col("batch_idx"),
+      col("batch_offset"), col("__len").as("n_tokens"),
+      max(col("__len")).over(wb).as("batch_max"),
+      (max(col("__len")).over(wb) - col("__len")).as("pad_waste"))
+  }
+
   /** Sequence packing for causal-LM training: documents concatenate in
     * seed-deterministic shuffle order within each shard, and every
     * `budget` tokens starts a new training sequence. Emits, per

@@ -781,6 +781,56 @@ object TextAnalysis {
       .filter(col("distance") <= 1L)
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 — the
+    * "repetition" half of the MassiveText filter rules, next to
+    * [[withQualitySignals]]' length/alpha/stopword half): per
+    * document,
+    *  - `dup_bigram_frac` / `dup_trigram_frac`: the fraction of
+    *    adjacent word n-grams that are repeats (1 − distinct/total) —
+    *    MAP-ONLY column ops, the corpus never shuffles;
+    *  - `top_word_frac`: the most frequent token's share of the doc —
+    *    one narrow (doc, token) shuffle with map-side collapse.
+    * Every fraction is ONE IEEE division of exact integer counts, so
+    * the doubles hash-replay. Empty/NULL docs (and docs too short for
+    * the n-gram) pin to 0. */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = filter(tokens(coalesce(col(textCol), lit(""))),
+      t => length(t) > 0)
+    val base = df.select(col(idCol), toks.as("__t"))
+      .withColumn("__sz", size(col("__t")).cast("long"))
+    val g2 = zip_with(
+      slice(col("__t"), lit(1), (col("__sz") - 1).cast("int")),
+      slice(col("__t"), lit(2), (col("__sz") - 1).cast("int")),
+      (a, b) => concat(a, lit(" "), b))
+    val g3head = zip_with(
+      slice(col("__t"), lit(1), (col("__sz") - 2).cast("int")),
+      slice(col("__t"), lit(2), (col("__sz") - 2).cast("int")),
+      (a, b) => concat(a, lit(" "), b))
+    val withG = base
+      .withColumn("__g2", when(col("__sz") >= 2, g2))
+      .withColumn("__g3", when(col("__sz") >= 3, zip_with(g3head,
+        slice(col("__t"), lit(3), (col("__sz") - 2).cast("int")),
+        (a, b) => concat(a, lit(" "), b))))
+    def dupFrac(gCol: String, total: Column): Column =
+      when(total > 0,
+        (total - size(array_distinct(col(gCol))).cast("long"))
+          .cast("double") / total.cast("double"))
+        .otherwise(lit(0.0))
+    val topw = base.select(col(idCol), explode(col("__t")).as("__w"))
+      .groupBy(idCol, "__w").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(max(col("__c")).as("__mx"))
+    withG.join(topw, Seq(idCol), "left")
+      .select(col(idCol), col("__sz").as("n_tokens"),
+        when(col("__sz") >= 2, dupFrac("__g2", col("__sz") - 1))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        when(col("__sz") >= 3, dupFrac("__g3", col("__sz") - 2))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"),
+        when(col("__sz") > 0, col("__mx").cast("double") /
+          col("__sz").cast("double"))
+          .otherwise(lit(0.0)).as("top_word_frac"))
+  }
+
   def redact(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

@@ -81,6 +81,38 @@ class CurationSpec extends SparkSpecBase {
       base.select(sum("n_chars_clean")).as[Long].head)
   }
 
+  test("lengthGroupedBatches: layout is a pure function of (seed, id, " +
+      "len); grouping beats id-order batching on total padding") {
+    val docs = (1L to 400L).map(i => (i, (i * 37 % 211) + 5))
+      .toDF("id", "len")
+    val got = Curation.lengthGroupedBatches(docs, "id", "len",
+      batchSize = 8, seed = "lb1", nShards = 4)
+    // exhaustive + stable under repartitioning
+    assert(got.count() == 400)
+    val a = got.orderBy("id").collect().toSeq
+    val b = Curation.lengthGroupedBatches(docs.repartition(13), "id",
+        "len", batchSize = 8, seed = "lb1", nShards = 4)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // batches are full-size except each shard's tail
+    val sizes = got.groupBy("shard", "batch_idx")
+      .count().select("count").as[Long].collect()
+    assert(sizes.count(_ != 8L) <= 4)
+    val grouped = got.agg(sum("pad_waste")).as[Long].head
+    // naive baseline: same shards, batch by id order instead of length
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("id")
+    val naive = docs
+      .withColumn("shard", Curation.shard("lb1", col("id"), 4))
+      .withColumn("bi", expr("(row_number() over " +
+        "(partition by shard order by id) - 1) div 8"))
+      .withColumn("mx", max(col("len")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard", "bi")))
+      .agg(sum(col("mx") - col("len"))).as[Long].head
+    assert(grouped < naive,
+      s"length grouping should cut padding: grouped=$grouped naive=$naive")
+  }
+
   test("shard: stable, in-range, roughly balanced") {
     val shards = corpus
       .select(Curation.shard("ep1", col("id"), 8).as("shard"))
