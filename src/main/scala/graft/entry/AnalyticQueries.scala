@@ -1387,6 +1387,27 @@ object AnalyticQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // The TWENTY-THIRD streaming twin: the online repetition-quality
+    // gate — the Gopher repetition rules at ingest. Stateless per-row
+    // array ops end to end (the n-gram fractions are the batch
+    // operator's own shared code; the top-word share re-expresses the
+    // batch groupBy as a bounded per-row HOF fold). Faces q213's own
+    // oracle SQL row-for-row.
+    "q214_streaming_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingRepetitionGate(
+          df, "doc_id", "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+        .toSeq
+        .toDF("doc_id", "n_tokens", "dup_bigram_frac",
+          "dup_trigram_frac", "top_word_frac")
+        .orderBy("doc_id")
+    }),
+
     // CUSUM changepoint statistic per type over the daily series, in
     // the DRAWDOWN form S_i = cum_i − min_{j≤i} cum_j (equivalent to
     // the recursive max(0, S+dev) but expressible as exact window ops:
@@ -2211,5 +2232,9 @@ object AnalyticQueries {
       // train+encode+rank pipeline row-for-row — same oracle as q201
       ("q205_streaming_ann_serve" ->
         VectorQueries.oracleSql("q201_sq8_topk")) +
+      // the online repetition gate must reproduce the batch signals
+      // row-for-row — same oracle as q213
+      ("q214_streaming_repetition" ->
+        TextQueries.oracleSql("q213_repetition_signals")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -795,6 +795,24 @@ object TextAnalysis {
     * the n-gram) pin to 0. */
   def repetitionSignals(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    val withG = withRepetitionFractions(df, idCol, textCol)
+    val topw = withG.select(col(idCol), explode(col("__t")).as("__w"))
+      .groupBy(idCol, "__w").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(max(col("__c")).as("__mx"))
+    withG.join(topw, Seq(idCol), "left")
+      .select(col(idCol), col("__sz").as("n_tokens"),
+        col("dup_bigram_frac"), col("dup_trigram_frac"),
+        when(col("__sz") > 0, col("__mx").cast("double") /
+          col("__sz").cast("double"))
+          .otherwise(lit(0.0)).as("top_word_frac"))
+  }
+
+  /** The MAP-ONLY half of [[repetitionSignals]], shared with the
+    * streaming twin so the two can never drift: tokenizes, keeps
+    * (`__t`, `__sz`) projected, and attaches the two duplicate-n-gram
+    * fractions as pure array ops. */
+  private[graft] def withRepetitionFractions(df: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val toks = filter(tokens(coalesce(col(textCol), lit(""))),
       t => length(t) > 0)
     val base = df.select(col(idCol), toks.as("__t"))
@@ -807,28 +825,23 @@ object TextAnalysis {
       slice(col("__t"), lit(1), (col("__sz") - 2).cast("int")),
       slice(col("__t"), lit(2), (col("__sz") - 2).cast("int")),
       (a, b) => concat(a, lit(" "), b))
-    val withG = base
-      .withColumn("__g2", when(col("__sz") >= 2, g2))
-      .withColumn("__g3", when(col("__sz") >= 3, zip_with(g3head,
-        slice(col("__t"), lit(3), (col("__sz") - 2).cast("int")),
-        (a, b) => concat(a, lit(" "), b))))
     def dupFrac(gCol: String, total: Column): Column =
       when(total > 0,
         (total - size(array_distinct(col(gCol))).cast("long"))
           .cast("double") / total.cast("double"))
         .otherwise(lit(0.0))
-    val topw = base.select(col(idCol), explode(col("__t")).as("__w"))
-      .groupBy(idCol, "__w").agg(count(lit(1)).as("__c"))
-      .groupBy(idCol).agg(max(col("__c")).as("__mx"))
-    withG.join(topw, Seq(idCol), "left")
-      .select(col(idCol), col("__sz").as("n_tokens"),
+    base
+      .withColumn("__g2", when(col("__sz") >= 2, g2))
+      .withColumn("__g3", when(col("__sz") >= 3, zip_with(g3head,
+        slice(col("__t"), lit(3), (col("__sz") - 2).cast("int")),
+        (a, b) => concat(a, lit(" "), b))))
+      .withColumn("dup_bigram_frac",
         when(col("__sz") >= 2, dupFrac("__g2", col("__sz") - 1))
-          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+          .otherwise(lit(0.0)))
+      .withColumn("dup_trigram_frac",
         when(col("__sz") >= 3, dupFrac("__g3", col("__sz") - 2))
-          .otherwise(lit(0.0)).as("dup_trigram_frac"),
-        when(col("__sz") > 0, col("__mx").cast("double") /
-          col("__sz").cast("double"))
-          .otherwise(lit(0.0)).as("top_word_frac"))
+          .otherwise(lit(0.0)))
+      .drop("__g2", "__g3")
   }
 
   def redact(text: Column): Column = {

@@ -596,6 +596,33 @@ object EventStreams {
     (withT, scores)
   }
 
+  /** Online repetition-quality gate — the streaming form of
+    * [[graft.ext.TextAnalysis.repetitionSignals]] (the Gopher/
+    * MassiveText repetition rules applied at ingest time): ENTIRELY
+    * STATELESS. The duplicate-n-gram fractions are the batch
+    * operator's own map-only array ops (shared code, can't drift);
+    * the top-word share — a per-doc groupBy in batch, illegal in an
+    * Append-mode streaming plan — is re-expressed per ROW as a
+    * bounded HOF fold: max over the doc's DISTINCT tokens of that
+    * token's occurrence count. O(tokens · distinct) per document,
+    * bounded by the document itself — never corpus state (the lambda
+    * references only the projected `__t` attribute, so there is no
+    * per-element re-eval of a non-trivial expression). Same exact
+    * integer counts, same single divisions — faces q213's own oracle
+    * SQL row-for-row. */
+  def streamingRepetitionGate(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val withF = graft.ext.TextAnalysis
+      .withRepetitionFractions(docs, idCol, textCol)
+    val mx = array_max(transform(array_distinct(col("__t")),
+      d => size(filter(col("__t"), x => x === d)).cast("long")))
+    withF.select(col(idCol), col("__sz").as("n_tokens"),
+      col("dup_bigram_frac"), col("dup_trigram_frac"),
+      when(col("__sz") > 0,
+        mx.cast("double") / col("__sz").cast("double"))
+        .otherwise(lit(0.0)).as("top_word_frac"))
+  }
+
   /** Online ANN serving against SAVED SQ8 codes — the serving shape
     * the on-codes paths ([[graft.ext.Similarity.sq8TopKOnCodes]])
     * exist for, completing their claim: the corpus is trained and
