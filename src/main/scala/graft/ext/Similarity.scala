@@ -312,7 +312,12 @@ object Similarity {
         .filter(col("__r") === 1)
         .select(col("q_id"), col("n_id"), col("rel"), col("__nv"),
           lit(t).as("mmr_rank"))
-      all = all.unionByName(next)
+      // each stage references every prior stage (anti-join + max-sim):
+      // left lazy, stage t re-executes the whole t−1 chain (no CSE) —
+      // the plan grew to 51 exchanges at k = 3. The selected set is
+      // |queries|·t rows, so materializing per stage is ~free and
+      // keeps the plan linear in k.
+      all = all.unionByName(next).localCheckpoint(true)
     }
     all.select("q_id", "n_id", "mmr_rank")
   }
