@@ -111,7 +111,9 @@ object ScaleProbe {
       "ann_lsh_buckets", "pack_sequences", "connected_components",
       "cc_delta", "lpa_4rounds", "group_quota_k10",
       "edit_distance_50k_vocab",
-      "kmeans_train_16x2", "hard_negatives", "random_negatives",
+      "kmeans_train_16x2", "standardize", "mmr_rerank_k3",
+      "length_batching", "repetition_signals",
+      "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
       "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
       "remove_dup_spans_w1", "remove_dup_spans_w8",
@@ -229,6 +231,21 @@ object ScaleProbe {
     }
     time("kmeans_train_16x2")(Similarity.trainCentroids(emb, "vec_id",
       "embedding", k = 16, iters = 2).count())
+    // round-15 additions. Drains go through value-consuming aggregates
+    // (the xxhash64 lesson: count() lets column pruning empty the
+    // map-only work being measured).
+    timeOrRun("standardize")(Similarity.standardize(emb, "embedding")
+      .select(sum(aggregate(col("zvec"), lit(0.0d), (a, b) => a + b)))
+      .head())
+    timeOrRun("mmr_rerank_k3")(Similarity.mmrRerank(emb, "vec_id",
+      "embedding", $"vec_id" < 10, k = 3, shortlist = 8).count())
+    timeOrRun("length_batching")(Curation.lengthGroupedBatches(
+      TextAnalysis.withTokenCounts(docs, "text"), "doc_id", "n_tokens",
+      batchSize = 8, seed = "lb1", nShards = 64)
+      .select(sum("pad_waste")).head())
+    timeOrRun("repetition_signals")(TextAnalysis.repetitionSignals(
+      docs, "doc_id", "text")
+      .select(sum("dup_bigram_frac"), sum("top_word_frac")).head())
     // contrastive pair generation at replicated scale: both are one
     // corpus scan × broadcast anchors/positives — the corpus never
     // shuffles, so the cost axis is the scan, not an exchange
