@@ -81,7 +81,10 @@ object Similarity {
     // dimension mismatch must RAISE, not quietly emit codes: a vector
     // longer than the artifact reads element_at past the array end →
     // NULL codes → NULL sqdist, and ASC sorts NULLS FIRST, so the
-    // corrupt pair would surface as the rank-1 neighbor silently
+    // corrupt pair would surface as the rank-1 neighbor silently.
+    // (NULL vectors raise too: size(NULL) is NULL, and a CaseWhen
+    // null condition falls to the otherwise branch — a null embedding
+    // in an encode feed is the same corrupt-input class.)
     val checked = when(size(col(vecCol)) === lit(mm.length), col(vecCol))
       .otherwise(raise_error(concat(
         lit(s"sq8Encode: vector dims != artifact dims ${mm.length} (got "),
