@@ -616,6 +616,32 @@ object VectorQueries {
         .orderBy("q_id", "mmr_rank")
     }),
 
+    // The END-TO-END VECTOR curation pipeline (q197's composition
+    // theme on the embeddings side), as ONE query: standardize (q210)
+    // → k-means TRAINED ON THE Z-SCORED SPACE (q204's trainer over a
+    // derived vector column) → cluster-balanced diversity subsample
+    // (q102's bounded-TopK cap, quota 8/cell) → deterministic hash
+    // split (q63's device) — the DataComp-style "embed, cluster,
+    // balance, split" recipe. Composition is what per-operator rows
+    // can't test: the trained cells here depend on the standardized
+    // space, so any drift in μ/σ, the quantized means, or the
+    // assignment tie-break moves the kept set. Distinct seeds for
+    // sampling ('vc1') and splitting ('vs1') — one seed would
+    // correlate the quota rank with the split assignment.
+    "q215_vector_curation" -> ((s, dir) => {
+      import graft.ext.Curation
+      val std = Similarity.standardize(emb(s, dir), "embedding")
+        .select(col("vec_id"), col("zvec"))
+      val cents = Similarity.trainCentroids(std, "vec_id", "zvec",
+        k = 4, iters = 2)
+      val sampled = Curation.clusterBalancedSample(std, "vec_id",
+        "zvec", cents, quota = 8, seed = "vc1")
+      Curation.assignSplits(sampled, "vec_id", "vs1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("vec_id", "cell", "rk", "split")
+        .orderBy("vec_id")
+    }),
+
     // Leakage-safe train/val/test split: q87's hash intervals keyed on
     // the q73 dedup CLUSTER, so a near-dup pair can never straddle
     // train/test (the split-time guard q64's contamination scan only
@@ -1102,16 +1128,20 @@ object VectorQueries {
 
   /** The reusable prefix of [[kmeansSql]]: `WITH samp …, c$iters(cid,
     * cv)` — the trained centroid table, for oracles that COMPOSE the
-    * trained quantizer into a search (q206). */
-  private def kmeansCte(k: Int, iters: Int): String = {
+    * trained quantizer into a search (q206/q209) or train over a
+    * DERIVED vector space (q215: `pre` injects preceding CTEs and
+    * (`src`, `vexpr`) point the sample at them). */
+  private def kmeansCte(k: Int, iters: Int, pre: String = "",
+      src: String = "embeddings",
+      vexpr: String = "embedding::DOUBLE[]"): String = {
     require(k >= 2 && iters >= 1, "oracle unroll needs k >= 2, iters >= 1")
     def d2(a: String, b: String): String = kmD2(a, b)
     val head =
-      """WITH samp AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      s"""WITH ${pre}samp AS (
+        |  SELECT vec_id, $vexpr AS v,
         |    row_number() OVER (
         |      ORDER BY md5('kmeans#' || CAST(vec_id AS VARCHAR))) - 1 AS rn
-        |  FROM embeddings),
+        |  FROM $src),
         |m1 AS (SELECT s.rn, s.v, """.stripMargin +
         d2("s.v", "z.v") +
         """ AS md
@@ -1266,6 +1296,60 @@ object VectorQueries {
       tail + ")\nORDER BY q_id, mmr_rank"
   }
 
+  /** q215: q210's μ/σ CTEs build the z-scored space, [[kmeansCte]]
+    * trains over it (`pre`/`src`/`vexpr` injection), then q102's
+    * hash-rank quota and q63's split intervals run on the trained
+    * cells — the whole recipe one certified SQL chain. */
+  private def vectorCurationSql(k: Int, iters: Int, quota: Int): String = {
+    val pre =
+      """st AS (SELECT i - 1 AS dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5)
+        |      AS BIGINT)) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5)
+        |        AS BIGINT) *
+        |      CAST(floor(embedding[i]::DOUBLE * 10000000.0 + 0.5)
+        |        AS BIGINT)) AS DOUBLE) AS ss
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+        |  GROUP BY i),
+        |ms AS (SELECT dim, s / (n * 10000000.0) AS mu,
+        |    sqrt((CAST(n AS DOUBLE) * ss - s * s) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * 100000000000000.0)) AS sd
+        |  FROM st),
+        |zv AS (SELECT e.vec_id,
+        |    list(CASE WHEN ms.sd = 0 THEN 0.0
+        |      ELSE (e.embedding[u.i]::DOUBLE - ms.mu) / ms.sd END
+        |      ORDER BY u.i) AS v0
+        |  FROM embeddings e,
+        |    unnest(generate_series(1, len(e.embedding))) u(i)
+        |  JOIN ms ON ms.dim = u.i - 1
+        |  GROUP BY e.vec_id),
+        |""".stripMargin
+    kmeansCte(k, iters, pre = pre, src = "zv", vexpr = "v0") +
+      s""",
+         |asgv AS (SELECT vec_id, cid FROM (
+         |   SELECT s.vec_id, c.cid, ROW_NUMBER() OVER (
+         |     PARTITION BY s.vec_id
+         |     ORDER BY ${kmD2("s.v", "c.cv")}, c.cid) AS rn2
+         |   FROM samp s, c$iters c) WHERE rn2 = 1),
+         |rq AS (SELECT vec_id, cid,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
+         |         CAST(concat('0x', substr(md5(concat('vc1', '#',
+         |           CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT),
+         |         vec_id) AS INTEGER) AS rk
+         |      FROM asgv)
+         |SELECT vec_id, cid AS cell, rk, CASE
+         | WHEN CAST(concat('0x', substr(md5(concat('vs1','#',
+         |   CAST(vec_id AS VARCHAR))),1,8)) AS BIGINT) < 3435973836
+         |   THEN 'train'
+         | WHEN CAST(concat('0x', substr(md5(concat('vs1','#',
+         |   CAST(vec_id AS VARCHAR))),1,8)) AS BIGINT) < 3865470565
+         |   THEN 'val'
+         | ELSE 'test' END AS split
+         |FROM rq WHERE rk <= $quota
+         |ORDER BY vec_id""".stripMargin
+  }
+
   /** q40's cosine-rank device filtered by NOT EXISTS over the q42
     * positive pairs (either orientation) — the exclusion then the
     * rank, exactly the Spark anti-join-before-window order. */
@@ -1329,6 +1413,7 @@ object VectorQueries {
       ("q208_ivfpq_serve_on_codes" -> oracleSqlBase("q82_ivfpq_topk")) +
       ("q209_ivf_sq8_trained_topk" -> ivfSq8TrainedSql(4, 2)) +
       ("q211_mmr_rerank" -> mmrSql(3, 8)) +
+      ("q215_vector_curation" -> vectorCurationSql(4, 2, 8)) +
       // per-dim quantized integer moments (HUGEINT vs DECIMAL(38,0)
       // — identical exact integers), then the SAME IEEE trees: one
       // division for mu, one fixed tree + sqrt for sigma, one
