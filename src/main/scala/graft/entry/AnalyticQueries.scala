@@ -1387,6 +1387,32 @@ object AnalyticQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // The TWENTY-FOURTH streaming twin: feature standardization at
+    // ingest — the μ/σ artifact trains once in batch (materialized),
+    // arriving vectors z-score map-only against the plan-literal
+    // arrays (the SAME standardizeApply method as the batch operator,
+    // so the twins cannot drift). Stateless; faces q210's own SQL.
+    "q216_streaming_standardize" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val stats = graft.ext.Similarity.standardizeStats(e, "embedding")
+        .localCheckpoint(true) // the at-ingest artifact
+      val feed = e.select(col("vec_id").cast("long").as("_1"),
+          col("embedding").as("_2"))
+        .as[(Long, Array[Float])]
+      val raw = replayTypedThirds[(Long, Array[Float])](s, feed,
+        Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingStandardize(
+            ds.toDF("vec_id", "embedding"), "embedding", stats)
+          .select(col("vec_id"), col("zvec")),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.flatMap(r => r.getSeq[Double](1).zipWithIndex.map {
+          case (z, i) => (r.getLong(0), i, z)
+        }).toSeq
+        .toDF("vec_id", "dim", "z")
+        .orderBy("vec_id", "dim")
+    }),
+
     // The TWENTY-THIRD streaming twin: the online repetition-quality
     // gate — the Gopher repetition rules at ingest. Stateless per-row
     // array ops end to end (the n-gram fractions are the batch
@@ -2236,5 +2262,9 @@ object AnalyticQueries {
       // row-for-row — same oracle as q213
       ("q214_streaming_repetition" ->
         TextQueries.oracleSql("q213_repetition_signals")) +
+      // standardize-at-ingest must reproduce the batch z-scores
+      // row-for-row — same oracle as q210
+      ("q216_streaming_standardize" ->
+        VectorQueries.oracleSql("q210_embed_standardize")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

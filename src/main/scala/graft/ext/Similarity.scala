@@ -199,13 +199,33 @@ object Similarity {
     * dimensions (σ = 0) pin z to 0. Output: input plus `out` =
     * array<double> of z-scores. */
   def standardize(corpus: DataFrame, vecCol: String,
-      out: String = "zvec", maxDims: Int = 4096): DataFrame = {
+      out: String = "zvec", maxDims: Int = 4096): DataFrame =
+    standardizeApply(corpus, vecCol,
+      standardizeStats(corpus, vecCol), out, maxDims)
+
+  /** The TRAINING half of [[standardize]]: per-dim exact quantized
+    * integer moments (dim, n, s, ss) — the ≤ dims-row persistable
+    * artifact, trained once at ingest; the streaming twin applies it
+    * to arriving vectors without ever seeing the corpus. */
+  def standardizeStats(corpus: DataFrame, vecCol: String): DataFrame = {
     val q = floor(col("__x") * lit(1e7) + lit(0.5)).cast("decimal(38,0)")
-    val stats = corpus
+    corpus
       .select(posexplode(col(vecCol).cast("array<double>"))
         .as(Seq("dim", "__x")))
       .groupBy("dim")
       .agg(count(lit(1)).as("n"), sum(q).as("s"), sum(q * q).as("ss"))
+  }
+
+  /** The APPLY half of [[standardize]]: map-only transform against
+    * the collected artifact as two plan-literal arrays — works
+    * identically on a batch frame or a micro-batch stream (no join,
+    * no shuffle, no state). */
+  def standardizeApply(df: DataFrame, vecCol: String,
+      statsDf: DataFrame, out: String = "zvec",
+      maxDims: Int = 4096): DataFrame = {
+    val stats = statsDf
+      .select(col("dim").cast("int"), col("n").cast("long"),
+        col("s").cast("decimal(38,0)"), col("ss").cast("decimal(38,0)"))
       .orderBy("dim").limit(maxDims + 1).collect()
     require(stats.nonEmpty && stats.length <= maxDims,
       s"standardize artifact must have 1..$maxDims dims (got ${stats.length})")
@@ -229,7 +249,7 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"standardize: vector dims != artifact dims ${stats.length} " +
           "(got "), size(col(vecCol)).cast("string"), lit(")"))))
-    corpus.withColumn(out, transform(checked, (x, i) => {
+    df.withColumn(out, transform(checked, (x, i) => {
       val s = element_at(sdLit, i + 1)
       when(s === 0.0, lit(0.0))
         .otherwise((x.cast("double") - element_at(muLit, i + 1)) / s)

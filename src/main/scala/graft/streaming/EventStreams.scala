@@ -623,6 +623,18 @@ object EventStreams {
         .otherwise(lit(0.0)).as("top_word_frac"))
   }
 
+  /** Online feature standardization at ingest — the streaming twin of
+    * [[graft.ext.Similarity.standardize]]: μ/σ train ONCE in batch
+    * (the ≤ dims-row quantized-moment artifact, persistable) and
+    * every arriving vector z-scores map-only against the plan-literal
+    * arrays — [[graft.ext.Similarity.standardizeApply]] VERBATIM, the
+    * same method on batch and micro-batch frames, which is the point
+    * of the train/apply split. Stateless, no watermark, exactly-once
+    * per row; dimension mismatches raise (the batch guard). */
+  def streamingStandardize(vectors: DataFrame, vecCol: String,
+      stats: DataFrame, out: String = "zvec"): DataFrame =
+    graft.ext.Similarity.standardizeApply(vectors, vecCol, stats, out)
+
   /** Online ANN serving against SAVED SQ8 codes — the serving shape
     * the on-codes paths ([[graft.ext.Similarity.sq8TopKOnCodes]])
     * exist for, completing their claim: the corpus is trained and
