@@ -1413,6 +1413,38 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The TWENTY-FIFTH streaming twin: online threshold calibration —
+    // the PR-curve sweep (q218) maintained as labeled docs arrive. One
+    // Update-mode (score, truth) count aggregation (the stateless
+    // per-row score fold + a single agg — two aggs in one streaming
+    // query are illegal); counts are MONOTONE so the exactly-once fold
+    // is MAX per key, and the sweep itself derives from the folded
+    // table through Stats.thresholdSweepCounts — the SAME derivation
+    // the batch operator runs, so the twins cannot drift. Faces q218's
+    // own oracle SQL row-for-row.
+    "q220_streaming_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val (m, p) = TextQueries.pinnedModel(s)
+      val feed = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("_1"), col("text").as("_2"),
+          coalesce(col("lang") === "en", lit(false)).as("_3"))
+        .as[(Long, String, Boolean)]
+      val raw = replayTypedThirds[(Long, String, Boolean)](s, feed,
+        Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingScoreCounts(
+          ds.toDF("doc_id", "text", "is_en"), "text", "is_en",
+          m, p, label = "en"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getLong(0), r.getBoolean(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+        .map { case ((t9, pos), n) => (t9, pos, n) }
+      graft.ext.Stats.thresholdSweepCounts(
+          folded.toDF("threshold_e9", "is_pos", "n"),
+          "threshold_e9", "is_pos", "n")
+        .orderBy(col("threshold_e9").desc)
+    }),
+
     // The TWENTY-THIRD streaming twin: the online repetition-quality
     // gate — the Gopher repetition rules at ingest. Stateless per-row
     // array ops end to end (the n-gram fractions are the batch
@@ -2266,5 +2298,10 @@ object AnalyticQueries {
       // row-for-row — same oracle as q210
       ("q216_streaming_standardize" ->
         VectorQueries.oracleSql("q210_embed_standardize")) +
+      // the online calibration counts, swept through the shared
+      // derivation, must reproduce the batch PR-curve row-for-row —
+      // same oracle as q218
+      ("q220_streaming_threshold_sweep" ->
+        TextQueries.oracleSql("q218_threshold_sweep")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -39,6 +39,20 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // UniMax epoch-capped mixture allocation over LANGUAGES (the
+    // algorithm's own unit): a 1.5×-corpus token budget water-filled
+    // under a 2-epoch-per-language cap. en (≈2.6× every other
+    // language) is budget-limited while the small languages hit the
+    // epoch cap — both phases of the closed form live at every SF.
+    // All integer floor arithmetic; the sequential-loop equivalence
+    // is property-spec'd in CurationSpec.
+    "q217_unimax_allocation" -> ((s, dir) => {
+      val d = TextAnalysis.withTokenCounts(docs(s, dir), "text")
+      Curation.unimaxAllocationOfTotal(d, "lang", "n_tokens",
+          epochCap = 2L, budgetNum = 3L, budgetDen = 2L)
+        .orderBy("lang")
+    }),
+
     // DPO/RLHF preference-pair construction: per source, the best and
     // worst doc by alpha_ratio (an exact-division score) as a
     // (chosen, rejected) pair with margin. One hash agg of min/max
@@ -251,6 +265,36 @@ object CurationQueries {
         |       ELSE 0.0 END AS top_gram_coverage
         |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // the UniMax closed form verbatim: ascending (cap, lang) prefix
+    // sums, the monotone capped predicate, i* = first uncapped row,
+    // even-split tail alloc = (R + j - 1) // m — every step BIGINT
+    // floor arithmetic (// and Spark's div agree on non-negatives)
+    "q217_unimax_allocation" ->
+      """WITH per AS (SELECT lang,
+        |  CAST(SUM(len(string_split_regex(text,'\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |g AS (SELECT lang, n_tokens, n_tokens*2 AS cap_tokens,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_tokens*2, lang) AS BIGINT) AS i,
+        |  COUNT(*) OVER () AS k, SUM(n_tokens) OVER () AS total,
+        |  COALESCE(SUM(n_tokens*2) OVER (ORDER BY n_tokens*2, lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        | FROM per),
+        |b AS (SELECT *, (3*total)//2 AS budget,
+        |  CASE WHEN cap_tokens*(k-i+1) <= budget - pfx THEN 1 ELSE 0 END AS capped
+        | FROM g),
+        |s AS (SELECT *, MIN(CASE WHEN capped=0 THEN i END) OVER () AS istar FROM b),
+        |f AS (SELECT *,
+        |  COALESCE(SUM(CASE WHEN i < istar THEN cap_tokens ELSE 0 END) OVER (), 0) AS sumcapped
+        | FROM s),
+        |o AS (SELECT lang, n_tokens, cap_tokens,
+        |  CASE WHEN istar IS NULL OR i < istar THEN cap_tokens
+        |       ELSE (budget - sumcapped + (i - istar)) // (k - istar + 1)
+        |  END AS alloc_tokens
+        | FROM f)
+        |SELECT lang, n_tokens, cap_tokens, alloc_tokens,
+        |  CASE WHEN n_tokens > 0 THEN (alloc_tokens*1000) // n_tokens
+        |       ELSE 0 END AS epochs_milli
+        |FROM o ORDER BY lang""".stripMargin,
     // chosen = row 1 of (score desc, id desc), rejected = row 1 of
     // (score asc, id asc) — the SQL mirror of max/min(struct(score,
     // id)); q33's exact-division alpha_ratio; NULL scores drop out of

@@ -49,6 +49,30 @@ object SearchQueries {
         .orderBy("doc_id")
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion (the lexical+dense
+    // RAG combiner): BM25's top-50 for the 3-term query fused with the
+    // top-50 cosine neighbors of query vector 0 (embeddings and
+    // documents share the 0..N-1 id space). Each list is a TakeOrdered
+    // prefix (global ranks without a global window); contributions are
+    // floor(1e9/(60+rank)) — exact integer RRF, so the fused order
+    // replays bit-for-bit. Docs on one list only fuse with NULL rank.
+    "q219_rrf_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = Search.bm25(docs(s, dir), "doc_id", "text", queryTerms)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      val e = GraftSession.table(s, dir, "embeddings")
+      val den = graft.ext.Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("n_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(Seq("bm25" -> lex, "dense" -> den),
+          "doc_id", "rank")
+        .orderBy(col("rrf_e9").desc, col("doc_id").asc).limit(20)
+        .select("doc_id", "rank_bm25", "rank_dense", "rrf_e9")
+    }),
+
     // Top-20 SMART nnc.ntc cosine docs for a 3-term query — the
     // vector-space complement of q85's probabilistic ranking. Document
     // norm is an exact integer computed in-scan; same zero-corpus-
@@ -88,6 +112,47 @@ object SearchQueries {
         | FROM t, st)
         |SELECT doc_id, dl, tf1, tf2, tf3, score FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // q85's BM25 score CTEs verbatim for the lexical ranks, the q40
+    // cosine device for the dense ranks (vec 0 as the query), then
+    // exact integer RRF: 1e9//(60+rank), NULL-rank systems contribute
+    // 0 via COALESCE — the FULL OUTER JOIN is the union-of-lists fuse
+    "q219_rrf_hybrid" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split_regex(text,'\s+')) AS dl,
+        |  len(list_filter(string_split_regex(text,'\s+'), x -> x = 'window')) AS tf1,
+        |  len(list_filter(string_split_regex(text,'\s+'), x -> x = 'customer')) AS tf2,
+        |  len(list_filter(string_split_regex(text,'\s+'), x -> x = 'scan')) AS tf3
+        | FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS sumdl,
+        |  CAST(SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |  CAST(SUM(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        | FROM t),
+        |sc AS (SELECT doc_id,
+        |  (n - df1 + 0.5)/(df1 + 0.5) * (CAST(tf1 AS DOUBLE) * 2.5)
+        |    / (CAST(tf1 AS DOUBLE) + 1.5*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n))))
+        |  + (n - df2 + 0.5)/(df2 + 0.5) * (CAST(tf2 AS DOUBLE) * 2.5)
+        |    / (CAST(tf2 AS DOUBLE) + 1.5*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n))))
+        |  + (n - df3 + 0.5)/(df3 + 0.5) * (CAST(tf3 AS DOUBLE) * 2.5)
+        |    / (CAST(tf3 AS DOUBLE) + 1.5*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) AS score
+        | FROM t, st),
+        |lex AS (SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
+        |  FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |dsc AS (SELECT vec_id AS doc_id,
+        |    list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
+        |  FROM embeddings, q WHERE vec_id <> 0),
+        |den AS (SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_dense
+        |  FROM dsc ORDER BY cos DESC, doc_id LIMIT 50),
+        |fused AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |    rank_bm25, rank_dense,
+        |    COALESCE(1000000000 // (60 + rank_bm25), 0)
+        |      + COALESCE(1000000000 // (60 + rank_dense), 0) AS rrf_e9
+        |  FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id)
+        |SELECT doc_id, rank_bm25, rank_dense, rrf_e9 FROM fused
+        |ORDER BY rrf_e9 DESC, doc_id LIMIT 20""".stripMargin,
     "q86_keyword_search" ->
       """WITH p AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS term FROM documents),
         |pt AS (SELECT term, doc_id, COUNT(*) AS tf FROM p GROUP BY 1,2)

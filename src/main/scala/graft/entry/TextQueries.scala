@@ -294,6 +294,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Classifier THRESHOLD CALIBRATION (the PR-curve sweep): before a
+    // quality gate like q172 filters 100 TB, its threshold is chosen
+    // by sweeping the scored calibration set against ground truth.
+    // Score = the pinned model's 'en' score (scaled-BIGINT edge, the
+    // q172 device); truth = the documents table's own lang column.
+    // One score-keyed aggregation collapses the corpus, then exact
+    // cumulative confusion counts per distinct threshold — precision/
+    // recall/F1 as floor-e9 integers, deterministic in any engine.
+    "q218_threshold_sweep" -> ((s, dir) => {
+      val (m, p) = pinnedModel(s)
+      val d = docs(s, dir)
+      val scored = TextAnalysis.scoreLinear(d, "doc_id", "text", m, p)
+        .where(col("label") === "en")
+        .select(col("doc_id"),
+          (col("score").cast("decimal(18,9)") *
+            lit(1000000000L).cast("decimal(10,0)"))
+            .cast("bigint").as("score_e9"))
+      val truth = d.select(col("doc_id"),
+        (col("lang") === "en").as("__is_en"))
+      graft.ext.Stats.thresholdSweep(scored.join(truth, Seq("doc_id")),
+          "score_e9", "__is_en")
+        .orderBy(col("threshold_e9").desc)
+    }),
+
     // DSIR data selection (importance resampling): top-100 docs by the
     // exact-decimal log-likelihood ratio target("en") vs raw("es")
     // under the same pinned model — the "pick the most target-like
@@ -991,6 +1015,50 @@ object TextQueries {
         |SELECT doc_id, label,
         |  CAST(sc * 1000000000 AS BIGINT) AS score_e9
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q172's en-score CTE + ground truth from documents.lang, then
+    // cumulative confusion counts per distinct descending threshold;
+    // precision/recall/F1 as floor-e9 integer divisions (// here,
+    // div on Spark — identical on non-negatives)
+    "q218_threshold_sweep" ->
+      """WITH m(term, weight) AS (VALUES
+        |  ('the',CAST('0.50' AS DECIMAL(18,9))),
+        |  ('a',CAST('0.40' AS DECIMAL(18,9))),
+        |  ('key',CAST('0.35' AS DECIMAL(18,9))),
+        |  ('fast',CAST('0.30' AS DECIMAL(18,9)))),
+        |toks AS (SELECT doc_id, t FROM documents,
+        |         unnest(string_split_regex(text,'\s+')) u(t)
+        |         WHERE length(t) > 0),
+        |tc AS (SELECT doc_id, t, COUNT(*) n FROM toks GROUP BY 1, 2),
+        |contrib AS (SELECT doc_id, SUM(n * weight) s
+        |            FROM tc JOIN m ON tc.t = m.term GROUP BY 1),
+        |scored AS (SELECT d.doc_id,
+        |    CAST((CAST('-0.20' AS DECIMAL(18,9)) + COALESCE(c.s, 0))
+        |         * 1000000000 AS BIGINT) AS score_e9,
+        |    COALESCE(d.lang = 'en', FALSE) AS is_en
+        |  FROM documents d LEFT JOIN contrib c USING (doc_id)),
+        |per AS (SELECT score_e9 AS threshold_e9,
+        |    SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS pos,
+        |    SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS neg
+        |  FROM scored GROUP BY 1),
+        |cum AS (SELECT threshold_e9,
+        |    CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+        |    CAST(SUM(neg) OVER w AS BIGINT) AS fp,
+        |    CAST(SUM(pos) OVER () AS BIGINT) AS tpos,
+        |    CAST(SUM(neg) OVER () AS BIGINT) AS tneg
+        |  FROM per WINDOW w AS (ORDER BY threshold_e9 DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pr AS (SELECT threshold_e9, tp, fp,
+        |    (tpos - tp) AS fn, (tneg - fp) AS tn,
+        |    (tp * 1000000000) // (tp + fp) AS precision_e9,
+        |    CASE WHEN tpos > 0 THEN (tp * 1000000000) // tpos
+        |         ELSE 0 END AS recall_e9
+        |  FROM cum)
+        |SELECT threshold_e9, tp, fp, fn, tn, precision_e9, recall_e9,
+        |  CASE WHEN precision_e9 + recall_e9 > 0
+        |       THEN (2 * precision_e9 * recall_e9)
+        |            // (precision_e9 + recall_e9)
+        |       ELSE 0 END AS f1_e9
+        |FROM pr ORDER BY threshold_e9 DESC""".stripMargin,
     // same pinned model; weight = score(en) − score(es); the ranking
     // is exact decimals so the LIMIT cut is identical across engines
     "q173_dsir_select" ->

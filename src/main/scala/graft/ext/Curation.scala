@@ -618,4 +618,93 @@ object Curation {
         col("__c.__s").as("chosen_score"),
         col("__r.__s").as("rejected_score"),
         (col("__c.__s") - col("__r.__s")).as("margin"))
+
+  /** UniMax mixture allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): split a total training-token `budget`
+    * across groups (languages / domains / sources) so that no group
+    * repeats more than `epochCap` epochs and the remaining budget is
+    * shared as evenly as possible — the epoch-capped water-filling
+    * that replaces temperature sampling.
+    *
+    * The paper's algorithm is a sequential loop (groups ascending by
+    * size; each takes `min(cap, remaining/m)`); this is its exact
+    * closed form in ONE window pass over the per-group totals, all
+    * integer arithmetic (floor division), so the allocation replays
+    * bit-for-bit in any engine:
+    *
+    *   - sort by (cap = epochCap·tokens, group); a group is CAPPED iff
+    *     `cap_i·(k−i+1) ≤ budget − Σ_{j<i} cap_j` — the boundary is
+    *     monotone (if it fails at i it fails at every later i), so the
+    *     capped set is the prefix before `i* = first uncapped row`;
+    *   - the uncapped tail even-splits the leftover R over m rows with
+    *     floor fairness, whose closed form is
+    *     `alloc_j = (R + j − 1) div m` (the +j−1 spreads the remainder
+    *     over the LAST rows exactly as the sequential loop does).
+    *
+    * Output per group: `n_tokens`, `cap_tokens`, `alloc_tokens`,
+    * `epochs_milli` (= allocated epochs ×1000, floor).
+    *
+    * Scale shape: the only corpus-sized work is the per-group token
+    * aggregation (map-side partials; the shuffle carries one row per
+    * group per task). The window math runs on |groups| rows — a
+    * single-task frame by design: mixture groups are languages or
+    * domains, inherently ≤ thousands. Overflow bound (documented, not
+    * checked): `epochCap·Σtokens·|groups|` must stay below 2⁶³ —
+    * at 100 TB (~2.5·10¹³ tokens), epochCap 4 and 10⁴ groups is
+    * ~10¹⁸, inside the bound. */
+  def unimaxAllocation(df: DataFrame, groupCol: String,
+      tokensCol: String, epochCap: Long, budget: Long): DataFrame =
+    unimaxCore(df, groupCol, tokensCol, epochCap, lit(budget))
+
+  /** [[unimaxAllocation]] with the budget expressed as a FRACTION
+    * `budgetNum/budgetDen` of the corpus' own total token count — the
+    * scale-invariant spelling ("train for 1.5 epochs worth of the
+    * corpus under a 2-epoch-per-language cap"). */
+  def unimaxAllocationOfTotal(df: DataFrame, groupCol: String,
+      tokensCol: String, epochCap: Long, budgetNum: Long,
+      budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"budget fraction must be >= 0 (got $budgetNum/$budgetDen)")
+    unimaxCore(df, groupCol, tokensCol, epochCap,
+      expr(s"($budgetNum * __total) div $budgetDen"))
+  }
+
+  private def unimaxCore(df: DataFrame, groupCol: String,
+      tokensCol: String, epochCap: Long, budgetCol: Column): DataFrame = {
+    require(epochCap > 0, s"epochCap must be positive (got $epochCap)")
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(groupCol))
+      .agg(coalesce(sum(col(tokensCol)), lit(0L)).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * lit(epochCap))
+    val ord = Window.orderBy(col("cap_tokens").asc, col(groupCol).asc)
+    val all = Window.partitionBy()
+    per
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__k", count(lit(1)).over(all))
+      .withColumn("__total", sum(col("n_tokens")).over(all))
+      .withColumn("__pfx", coalesce(
+        sum(col("cap_tokens")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__budget", budgetCol)
+      .withColumn("__capped",
+        col("cap_tokens") * (col("__k") - col("__i") + lit(1L)) <=
+          col("__budget") - col("__pfx"))
+      .withColumn("__istar",
+        min(when(!col("__capped"), col("__i"))).over(all))
+      .withColumn("__sumcapped", coalesce(
+        sum(when(col("__i") < col("__istar"), col("cap_tokens")))
+          .over(all), lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("__istar").isNull || col("__i") < col("__istar"),
+            col("cap_tokens"))
+          .otherwise(expr("(__budget - __sumcapped + (__i - __istar))" +
+            " div (__k - __istar + 1)")))
+      .withColumn("epochs_milli",
+        when(col("n_tokens") > 0,
+            expr("(alloc_tokens * 1000) div n_tokens"))
+          .otherwise(lit(0L)))
+      .select(col(groupCol), col("n_tokens"), col("cap_tokens"),
+        col("alloc_tokens"), col("epochs_milli"))
+  }
 }

@@ -193,4 +193,75 @@ object Stats {
         col(s"__max_$c").as("max_val"))): _*)).as("__p"))
       .select("__p.*")
   }
+
+  /** Classifier calibration sweep (the PR-curve table): for every
+    * DISTINCT score value taken as the decision threshold "keep iff
+    * score ≥ t", the exact confusion counts and scaled-e9
+    * precision/recall/F1. This is how a quality-classifier gate's
+    * threshold is actually chosen before a 100 TB filtering run —
+    * sweep the scored+labeled calibration set, pick the knee.
+    *
+    * Inputs: `scoreE9Col` — the score as a scaled BIGINT (the
+    * repo-wide exact-edge convention, e.g. q172's `score_e9`);
+    * `labelCol` — BOOLEAN ground truth (NULL counts as negative).
+    * Output, one row per distinct score, descending-threshold
+    * cumulative: (threshold_e9, tp, fp, fn, tn, precision_e9,
+    * recall_e9, f1_e9) — every column an exact BIGINT. precision/
+    * recall are floor((tp·10⁹)/denominator) computed through a
+    * DECIMAL(20,0) widening so the product never overflows int64
+    * even at 100 TB doc counts (`div` on decimals is IntegralDivide
+    * → LONG); F1 is the standard harmonic mean RECOMPOSED from the
+    * already-floored e9 pair — deterministic in any engine because
+    * both stages are floor divisions of exact integers.
+    *
+    * Plan shape: one hash aggregation by score (map-side partials
+    * collapse the corpus to |distinct scores| rows) + window passes
+    * over that collapsed table. The window frame is global and
+    * single-task BY DESIGN — a calibration sweep's row count is the
+    * distinct-score count; for continuous float scores quantize to a
+    * grid first (the scaled-e9 input contract already is one). */
+  def thresholdSweep(df: DataFrame, scoreE9Col: String,
+      labelCol: String): DataFrame =
+    thresholdSweepCounts(df.withColumn("__one", lit(1L)),
+      scoreE9Col, labelCol, "__one")
+
+  /** [[thresholdSweep]] over PRE-AGGREGATED counts — rows are
+    * (score, truth, n) tuples instead of one row per example. This is
+    * the shape a streaming maintenance of the sweep folds to (q220:
+    * the online Update-mode (score, truth) count table), and both
+    * paths share this one derivation so the twins cannot drift. */
+  def thresholdSweepCounts(df: DataFrame, scoreE9Col: String,
+      labelCol: String, nCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df
+      .groupBy(col(scoreE9Col).cast("long").as("threshold_e9"))
+      .agg(
+        sum(when(coalesce(col(labelCol), lit(false)), col(nCol))
+          .otherwise(0L)).as("__pos"),
+        sum(when(coalesce(col(labelCol), lit(false)), lit(0L))
+          .otherwise(col(nCol))).as("__neg"))
+    val cum = Window.orderBy(col("threshold_e9").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    per
+      .withColumn("tp", sum(col("__pos")).over(cum))
+      .withColumn("fp", sum(col("__neg")).over(cum))
+      .withColumn("__tpos", sum(col("__pos")).over(all))
+      .withColumn("__tneg", sum(col("__neg")).over(all))
+      .withColumn("fn", col("__tpos") - col("tp"))
+      .withColumn("tn", col("__tneg") - col("fp"))
+      .withColumn("precision_e9",
+        expr("CAST(tp AS DECIMAL(20,0)) * 1000000000 div (tp + fp)"))
+      .withColumn("recall_e9",
+        when(col("__tpos") > 0,
+            expr("CAST(tp AS DECIMAL(20,0)) * 1000000000 div __tpos"))
+          .otherwise(lit(0L)))
+      .withColumn("f1_e9",
+        when(col("precision_e9") + col("recall_e9") > 0,
+            expr("(2 * precision_e9 * recall_e9)" +
+              " div (precision_e9 + recall_e9)"))
+          .otherwise(lit(0L)))
+      .select("threshold_e9", "tp", "fp", "fn", "tn",
+        "precision_e9", "recall_e9", "f1_e9")
+  }
 }

@@ -498,6 +498,37 @@ object EventStreams {
         sMap(rawLabel).cast("decimal(28,9)")).as("weight"))
   }
 
+  /** Online threshold-calibration maintenance — the streaming half of
+    * [[graft.ext.Stats.thresholdSweep]]: as labeled calibration docs
+    * arrive, ONE Update-mode aggregation keeps the per-(score, truth)
+    * example counts fresh (score = the pinned linear model's `label`
+    * score as a scaled BIGINT, the same stateless per-row fold as
+    * [[streamingClassifierGate]]). Counts are MONOTONE, so the
+    * exactly-once fold is MAX per key; the PR-curve itself (cumulative
+    * confusion counts, floor-e9 ratios) is an exact derivation over
+    * the folded table through the SAME shared code path —
+    * [[graft.ext.Stats.thresholdSweepCounts]] — the batch sweep uses,
+    * so the twins cannot drift. NULL truth counts as negative (the
+    * batch contract). State ∝ distinct scores × 2 — the collapsed
+    * calibration table, never the corpus. */
+  def streamingScoreCounts(docs: DataFrame, textCol: String,
+      truthCol: String, termWeights: DataFrame, priors: DataFrame,
+      label: String, maxModelRows: Int = 1 << 20): DataFrame = {
+    val (withT, scores) = linearScoreColumns(docs, textCol,
+      termWeights, priors, maxModelRows)
+    val sMap = scores.toMap
+    require(sMap.contains(label),
+      s"model priors must cover '$label' " +
+        s"(have ${scores.map(_._1).mkString(", ")})")
+    withT.select(
+        (sMap(label).cast("decimal(18,9)") *
+          lit(1000000000L).cast("decimal(10,0)"))
+          .cast("bigint").as("threshold_e9"),
+        coalesce(col(truthCol), lit(false)).as("is_pos"))
+      .groupBy("threshold_e9", "is_pos")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Sentinel "term" counted once per document by
     * [[streamingTermCounts]] (leading \u0001 control char — absent
     * from any realistic token stream). The fold's presence guard only

@@ -806,4 +806,66 @@ class CurationSpec extends SparkSpecBase {
       col("w"), 4, "st1").queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  /** The paper's own sequential loop (groups ascending by cap, each
+    * takes min(cap, remaining div m)) — the independent reference the
+    * closed-form window implementation must reproduce exactly. */
+  private def unimaxSequential(sizes: Seq[(String, Long)], cap: Long,
+      budget: Long): Map[String, Long] = {
+    val caps = sizes.map { case (g, n) => (n * cap, g) }.sorted
+    var r = budget
+    var m = caps.size.toLong
+    caps.map { case (c, g) =>
+      val a = math.min(c, r / m)
+      r -= a; m -= 1
+      g -> a
+    }.toMap
+  }
+
+  test("unimaxAllocation: hand case — capped prefix + even-split tail") {
+    val df = Seq(("g0", 10L), ("g1", 20L), ("g2", 100L))
+      .toDF("grp", "n")
+    val got = Curation.unimaxAllocation(df, "grp", "n",
+        epochCap = 2L, budget = 100L)
+      .orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    // caps 20/40/200; g0,g1 capped, g2 takes the leftover 40
+    assert(got.toSeq == Seq(("g0", 20L, 2000L), ("g1", 40L, 2000L),
+      ("g2", 40L, 400L)))
+  }
+
+  test("unimaxAllocation == sequential UniMax loop (randomized property)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val k = 1 + rnd.nextInt(8)
+      val sizes = (0 until k).map(i => s"g$i" -> rnd.nextInt(1000).toLong)
+      val cap = 1L + rnd.nextInt(4)
+      val sumCaps = sizes.map(_._2 * cap).sum
+      // budget 0 .. ~2x the cap ceiling, so all-capped, all-filled and
+      // mixed regimes all occur across the 25 trials
+      val budget = (rnd.nextDouble() * 2.0 * math.max(sumCaps, 1L)).toLong
+      // per-group tokens arrive as MULTIPLE doc rows (the agg is part
+      // of the operator under test)
+      val docRows = sizes.flatMap { case (g, n) =>
+        if (n <= 1) Seq((g, n)) else Seq((g, n / 2), (g, n - n / 2))
+      }
+      val got = Curation.unimaxAllocation(docRows.toDF("grp", "n"),
+          "grp", "n", cap, budget)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      val want = unimaxSequential(sizes, cap, budget)
+      assert(got == want, s"cap=$cap budget=$budget sizes=$sizes")
+      // full allocation invariant: everything is spent unless the
+      // epoch cap binds globally
+      assert(got.values.sum == math.min(budget, sumCaps))
+    }
+  }
+
+  test("unimaxAllocationOfTotal: budget is the fraction of the corpus") {
+    val df = Seq(("a", 30L), ("b", 70L)).toDF("grp", "n")
+    val got = Curation.unimaxAllocationOfTotal(df, "grp", "n",
+        epochCap = 2L, budgetNum = 3L, budgetDen = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // budget = 150: caps 60/140 — 'a' capped at 60, 'b' takes 90
+    assert(got == Map("a" -> 60L, "b" -> 90L))
+  }
 }

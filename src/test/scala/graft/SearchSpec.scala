@@ -211,4 +211,32 @@ class SearchSpec extends SparkSpecBase {
     assert(termFilterIdx > aggIdx,
       s"term filter must be below the doc aggregate:\n$plan")
   }
+
+  test("rrfFuse: exact integer RRF over the union of ranked lists") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(Seq("a" -> a, "b" -> b), "doc_id", "rank")
+      .orderBy(col("rrf_e9").desc, col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3)))
+    // contributions: 1e9//61=16393442, 1e9//62=16129032, 1e9//63=15873015
+    assert(got.toSeq == Seq(
+      (2L, 2L, 1L, 16129032L + 16393442L), // on both lists — fused top
+      (1L, 1L, -1L, 16393442L),
+      (4L, -1L, 2L, 16129032L),
+      (3L, 3L, -1L, 15873015L)))
+  }
+
+  test("rrfFuse: single system is a pure rank transform") {
+    import spark.implicits._
+    val a = Seq((7L, 1), (9L, 2)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(Seq("only" -> a), "doc_id", "rank", k0 = 0)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((7L, 1000000000L), (9L, 500000000L)))
+  }
 }

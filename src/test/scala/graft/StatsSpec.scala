@@ -472,4 +472,38 @@ class StatsSpec extends SparkSpecBase {
         coalesce(col("cnt2"), lit(0L))).count() == 0)
     cms.unpersist()
   }
+
+  test("thresholdSweep: exact confusion counts and floor-e9 ratios") {
+    // scores with a tie, a NULL truth (counts negative), 3 pos / 3 neg
+    val rows = Seq(
+      (5L, Some(true)), (5L, Some(false)), (3L, Some(true)),
+      (3L, None), (1L, Some(false)), (1L, Some(true)))
+    val df = rows.toDF("score_e9", "is_pos")
+    val got = Stats.thresholdSweep(df, "score_e9", "is_pos")
+      .orderBy(col("threshold_e9").desc)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // t=5: tp=1 fp=1 fn=2 tn=2; t=3: tp=2 fp=2; t=1: tp=3 fp=3
+    assert(got.toSeq == Seq(
+      (5L, 1L, 1L, 2L, 2L, 500000000L, 333333333L,
+        2L * 500000000L * 333333333L / (500000000L + 333333333L)),
+      (3L, 2L, 2L, 1L, 1L, 500000000L, 666666666L,
+        2L * 500000000L * 666666666L / (500000000L + 666666666L)),
+      (1L, 3L, 3L, 0L, 0L, 500000000L, 1000000000L,
+        2L * 500000000L * 1000000000L / 1500000000L)))
+    // invariants: recall monotone non-decreasing as threshold drops,
+    // tp+fn constant
+    val recalls = got.map(_._7).toSeq
+    assert(recalls == recalls.sorted, recalls)
+    assert(got.map(r => r._2 + r._4).distinct.length == 1)
+  }
+
+  test("thresholdSweep: all-negative truth never divides by zero") {
+    val df = Seq((2L, false), (1L, false)).toDF("score_e9", "is_pos")
+    val got = Stats.thresholdSweep(df, "score_e9", "is_pos")
+      .orderBy(col("threshold_e9").desc)
+      .collect().map(r => (r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.forall(_ == ((0L, 0L, 0L))))
+  }
 }

@@ -1212,4 +1212,71 @@ class StreamingSpec extends SparkSpecBase {
     assert(ooo == Set(("a", 98L, 1L, 0), ("a", 99L, 1L, 1),
       ("a", 100L, 1L, 0)), s"ooo=$ooo")
   }
+
+  test("streamingScoreCounts: Update re-emissions fold by MAX and sweep " +
+      "to the exact batch PR-curve through the shared derivation") {
+    import graft.ext.Stats
+    val m = Seq(("good", "tgt", "0.50"), ("clean", "tgt", "0.35"))
+      .toDF("term", "label", "w")
+      .select($"term", $"label", $"w".cast("decimal(18,9)").as("weight"))
+    val p = Seq(("tgt", "-0.20", "0"))
+      .toDF("label", "pr", "un")
+      .select($"label", $"pr".cast("decimal(18,9)").as("prior"),
+        $"un".cast("decimal(18,9)").as("unseen"))
+    // docs 0/5 share (score, truth) across batches (the MAX-fold key),
+    // doc 1 shares the score with opposite truth (splits the key), one
+    // null-truth doc (counts negative), one null-text doc (score =
+    // prior)
+    val docs = Seq(
+      (0L, "good clean", Some(true)),
+      (1L, "good clean", Some(false)),
+      (2L, "good", Some(true)),
+      (3L, "plain words", None),
+      (4L, null.asInstanceOf[String], Some(false)),
+      (5L, "clean good", Some(true)))
+    val docsDf = docs.toDF("doc_id", "text", "is_pos")
+    val batch = {
+      val scored = graft.ext.TextAnalysis.scoreLinear(
+          docsDf, "doc_id", "text", m, p)
+        .where($"label" === "tgt")
+        .select($"doc_id", ($"score".cast("decimal(18,9)") *
+          lit(1000000000L).cast("decimal(10,0)")).cast("bigint")
+          .as("score_e9"))
+        .join(docsDf.select($"doc_id", $"is_pos"), Seq("doc_id"))
+      Stats.thresholdSweep(scored, "score_e9", "is_pos")
+        .orderBy($"threshold_e9".desc).collect().toSeq
+    }
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Option[Boolean])]
+    val q = EventStreams.streamingScoreCounts(
+        mem.toDS().toDF("doc_id", "text", "is_pos"),
+        "text", "is_pos", m, p, label = "tgt")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("score_counts").start()
+    try {
+      // doc 0 and doc 5 land in DIFFERENT batches with the SAME
+      // (score, truth) key: Update re-emits the grown count — the
+      // fold must take MAX, not sum
+      mem.addData(docs(0), docs(3))
+      q.processAllAvailable()
+      mem.addData(docs(1), docs(2), docs(4), docs(5))
+      q.processAllAvailable()
+      val folded = spark.table("score_counts").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+        .map { case ((t9, pos), n) => (t9, pos, n) }
+      val online = Stats.thresholdSweepCounts(
+          folded.toDF("threshold_e9", "is_pos", "n"),
+          "threshold_e9", "is_pos", "n")
+        .orderBy($"threshold_e9".desc).collect().toSeq
+      assert(online == batch, s"online $online vs batch $batch")
+      // the re-emitted (score=0.65e9, pos) key folded to its FINAL
+      // count of 2 (docs 0 and 5), and the opposite-truth doc 1 split
+      // into its own key with count 1
+      assert(folded.contains((650000000L, true, 2L)), folded)
+      assert(folded.contains((650000000L, false, 1L)), folded)
+    } finally q.stop()
+  }
 }
