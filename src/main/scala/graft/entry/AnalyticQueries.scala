@@ -1413,6 +1413,49 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The TWENTY-SIXTH streaming twin: online eval-leakage facts — the
+    // decontamination REPORT direction (q223) at ingest time. Corpus
+    // docs stream in; each eval item's shingle-hash set rides as a
+    // plan literal and the per-(doc, eval) containment facts emit
+    // stateless in Append mode; the per-eval rollup (max containment,
+    // worst doc, τ count) is the fold's batch decision over the
+    // self-contained facts (exactly-once per doc). Faces q223's own
+    // oracle SQL row-for-row.
+    "q224_streaming_eval_leakage" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val evalT = d.filter(col("doc_id") < 10)
+      val raw = replayDocsThirds(s,
+        d.filter(col("doc_id") >= 10).select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingEvalLeakage(
+          df, "doc_id", "text",
+          evalT.select(col("doc_id").as("eval_id"), col("text")),
+          "eval_id", "text", n = 3),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      val facts = raw.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq // (doc_id, eval_id, containment_e9)
+      val spine = evalT.select(col("doc_id").as("eval_id"),
+          size(graft.functions.expressions.TextExpressions
+            .wordShingles(s, col("text"), 3)).cast("long")
+            .as("n_shingles"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val byEval = facts.groupBy(_._2)
+      spine.toSeq.map { case (eid, nsh) =>
+          val ps = byEval.getOrElse(eid, Seq.empty)
+          val worst: Option[Long] = ps
+            .sortWith((a, b) => a._3 > b._3 ||
+              (a._3 == b._3 && a._1 < b._1))
+            .headOption.map(_._1)
+          (eid, nsh,
+            if (ps.isEmpty) 0L else ps.map(_._3).max,
+            worst,
+            ps.count(_._3 >= 300000000L).toLong)
+        }
+        .toDF("eval_id", "n_shingles", "max_containment_e9",
+          "worst_doc_id", "n_docs_over")
+        .orderBy("eval_id")
+    }),
+
     // The TWENTY-FIFTH streaming twin: online threshold calibration —
     // the PR-curve sweep (q218) maintained as labeled docs arrive. One
     // Update-mode (score, truth) count aggregation (the stateless
@@ -2303,5 +2346,9 @@ object AnalyticQueries {
       // same oracle as q218
       ("q220_streaming_threshold_sweep" ->
         TextQueries.oracleSql("q218_threshold_sweep")) +
+      // the online leakage facts, rolled up by the fold, must
+      // reproduce the batch report row-for-row — same oracle as q223
+      ("q224_streaming_eval_leakage" ->
+        CurationQueries.oracleSql("q223_eval_leakage")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

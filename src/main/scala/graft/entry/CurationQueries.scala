@@ -53,6 +53,43 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // Temperature mixture weights (α = 0.5) over languages — the
+    // mBERT/XLM-R-style upsampling curve next to q217's UniMax. sqrt
+    // is correctly rounded IEEE so each numerator is bit-identical;
+    // the denominator folds in language order through the exact-fold
+    // device — the weights hash as doubles.
+    "q221_temperature_mixture" -> ((s, dir) => {
+      val d = TextAnalysis.withTokenCounts(docs(s, dir), "text")
+      Curation.temperatureMixture(d, "lang", "n_tokens", alpha = 0.5)
+        .orderBy("lang")
+    }),
+
+    // Per-source percentile-rank normalization of the q74 quality
+    // score: the cross-source score equalizer that makes one global
+    // threshold meaningful over heterogeneous sources. Exact integer
+    // PERCENT_RANK (floor-e9), ties share ranks.
+    "q222_percentile_normalize" -> ((s, dir) => {
+      val sig = TextAnalysis.withQualitySignals(docs(s, dir), "text")
+        .withColumn("q_score",
+          floor(col("alpha_ratio") * lit(1e9) + lit(0.5)).cast("long"))
+      graft.ext.Stats.groupPercentileRank(sig, Seq("source"), "q_score")
+        .select("doc_id", "source", "q_score", "pctl_e9")
+        .orderBy("doc_id")
+    }),
+
+    // Eval-side leakage report (q64's contamination transposed): per
+    // benchmark item (docs 0-9), its max containment over the corpus,
+    // the worst doc, and how many docs exceed τ=0.3 — the direction a
+    // decontamination run reports. Eval shingles broadcast; the only
+    // shuffle carries matched (eval, doc) pairs.
+    "q223_eval_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.evalLeakage(d.filter(col("doc_id") >= 10),
+          d.filter(col("doc_id") < 10), "doc_id", "text",
+          n = 3, tauE9 = 300000000L)
+        .orderBy("eval_id")
+    }),
+
     // DPO/RLHF preference-pair construction: per source, the best and
     // worst doc by alpha_ratio (an exact-division score) as a
     // (chosen, rejected) pair with margin. One hash agg of min/max
@@ -295,6 +332,65 @@ object CurationQueries {
         |  CASE WHEN n_tokens > 0 THEN (alloc_tokens*1000) // n_tokens
         |       ELSE 0 END AS epochs_milli
         |FROM o ORDER BY lang""".stripMargin,
+    // numerators are sqrt(BIGINT) — correctly rounded IEEE, identical
+    // across engines; the denominator is the SAME ordered fold the
+    // Spark side runs (list ORDER BY lang == sort_array on (g, s)
+    // structs), so the double weights hash bit-for-bit
+    "q221_temperature_mixture" ->
+      """WITH per AS (SELECT lang,
+        |  CAST(SUM(len(string_split_regex(text,'\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |s AS (SELECT lang, n_tokens,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) AS sv FROM per),
+        |d AS (SELECT list_reduce(list_prepend(0.0, list(sv ORDER BY lang)),
+        |  (a, b) -> a + b) AS denom FROM s)
+        |SELECT lang, n_tokens, sv/denom AS weight FROM s, d
+        |ORDER BY lang""".stripMargin,
+    // q74's q_score + exact PERCENT_RANK floored at e9: (rank-1)*1e9
+    // // (n-1), ties share ranks, single-row groups pin to 0
+    "q222_percentile_normalize" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |         ELSE CAST(FLOOR(CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END AS q_score
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, q_score,
+        |    CAST(RANK() OVER (PARTITION BY source ORDER BY q_score) AS BIGINT) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM s)
+        |SELECT doc_id, source, q_score,
+        |  CASE WHEN n > 1 THEN ((rk - 1) * 1000000000) // (n - 1)
+        |       ELSE 0 END AS pctl_e9
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q64's distinct-shingle CTE transposed to the eval side:
+    // containment = hits*1e9 // |eval shingles| per (eval, doc) pair;
+    // worst doc via the min-struct argmax (containment desc, doc asc);
+    // eval items matching nothing keep their row via the LEFT JOIN
+    "q223_eval_leakage" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') s
+        |       FROM toks, unnest(generate_series(1, len(t)-2)) u(i)
+        |       WHERE len(t) >= 3
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(t,' ') FROM toks WHERE len(t) < 3),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < 10),
+        |evn AS (SELECT eval_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
+        |pair AS (SELECT ev.eval_id, d.doc_id, COUNT(*) AS hits
+        |         FROM sh d JOIN ev ON d.s = ev.s WHERE d.doc_id >= 10
+        |         GROUP BY 1, 2),
+        |pc AS (SELECT p.eval_id, p.doc_id,
+        |         (p.hits * 1000000000) // e.n_shingles AS c_e9
+        |       FROM pair p JOIN evn e USING (eval_id)),
+        |roll AS (SELECT eval_id, MAX(c_e9) AS maxc,
+        |         (MIN({'negc': -c_e9, 'doc': doc_id})).doc AS worst,
+        |         CAST(SUM(CASE WHEN c_e9 >= 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+        |       FROM pc GROUP BY 1)
+        |SELECT e.eval_id, e.n_shingles,
+        |  COALESCE(r.maxc, 0) AS max_containment_e9,
+        |  r.worst AS worst_doc_id,
+        |  COALESCE(r.n_over, 0) AS n_docs_over
+        |FROM evn e LEFT JOIN roll r USING (eval_id)
+        |ORDER BY e.eval_id""".stripMargin,
     // chosen = row 1 of (score desc, id desc), rejected = row 1 of
     // (score asc, id asc) — the SQL mirror of max/min(struct(score,
     // id)); q33's exact-division alpha_ratio; NULL scores drop out of

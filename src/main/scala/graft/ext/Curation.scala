@@ -670,6 +670,95 @@ object Curation {
       expr(s"($budgetNum * __total) div $budgetDen"))
   }
 
+  /** Temperature-based mixture weights (the pre-UniMax standard from
+    * mBERT/XLM-R/mT5 multilingual sampling): per group,
+    * `w_i = n_i^α / Σ_j n_j^α` — α < 1 upsamples small groups. Pair
+    * with [[mixSources]] (feed `w_i / max_j w_j` as keep odds) or any
+    * per-group sampler.
+    *
+    * α is restricted to {1, 0.5, 0.25} ON PURPOSE: those powers
+    * evaluate as sqrt chains, and IEEE sqrt is correctly rounded in
+    * every engine, while pow(x, α) is NOT (libm-dependent final ulps
+    * — the same reason BM25 here drops its logarithm). The Σ in the
+    * denominator folds in group order through the exact-fold device
+    * (q140's): a plain float SUM would be partition-order-dependent
+    * and never hashable. The weights are therefore bit-reproducible
+    * across engines and runs.
+    *
+    * Scale shape: per-group agg with map-side partials, then the fold
+    * over |groups| collapsed rows broadcasts back — the corpus never
+    * shuffles twice. */
+  def temperatureMixture(df: DataFrame, groupCol: String,
+      tokensCol: String, alpha: Double = 0.5): DataFrame = {
+    val powered: Column => Column = alpha match {
+      case 1.0  => c => c
+      case 0.5  => c => sqrt(c)
+      case 0.25 => c => sqrt(sqrt(c))
+      case a => throw new IllegalArgumentException(
+        s"alpha $a not in {1, 0.5, 0.25}: only sqrt chains are " +
+          "correctly rounded IEEE ops — pow(x, a) differs across libm " +
+          "implementations and would break bit-reproducibility")
+    }
+    val per = df.groupBy(col(groupCol))
+      .agg(coalesce(sum(col(tokensCol)), lit(0L)).as("n_tokens"))
+      .withColumn("__s", powered(col("n_tokens").cast("double")))
+    val denom = per.agg(
+      aggregate(
+        transform(
+          sort_array(collect_list(
+            struct(col(groupCol).as("g"), col("__s").as("s")))),
+          x => x("s")),
+        lit(0.0), (acc, x) => acc + x).as("__denom"))
+    per.crossJoin(broadcast(denom))
+      .select(col(groupCol), col("n_tokens"),
+        (col("__s") / col("__denom")).as("weight"))
+  }
+
+  /** Eval-side leakage report — [[contamination]] transposed: q64 asks
+    * "how contaminated is each CORPUS doc"; this asks "which BENCHMARK
+    * items are compromised, how badly, and by which doc" — the
+    * direction a decontamination run actually reports. Per eval item:
+    * its distinct-shingle count, the MAX containment over corpus docs
+    * (containment = |shared shingles| / |eval item's shingles|, the
+    * asymmetric overlap that catches a short eval item quoted inside
+    * a long doc where Jaccard would dilute), the worst doc
+    * (containment desc, doc id asc tie-break; NULL when nothing
+    * matches), and how many docs exceed `tauE9`. All counts exact
+    * integers; containment is floor-e9.
+    *
+    * Scale shape: the eval shingle table broadcasts (a benchmark is
+    * KBs–MBs against a 100 TB corpus); the broadcast join FILTERS the
+    * corpus' shingle stream to eval-matching shingles BEFORE the only
+    * shuffle, which carries matched (eval, doc) pairs — bounded by
+    * hits, not corpus size. The final rollup is |eval| rows. */
+  def evalLeakage(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 3,
+      tauE9: Long = 500000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    def sh(c: Column) = explode(graft.functions.expressions.TextExpressions
+      .wordShingles(spark, c, n)).as("__sh")
+    val ev = evalSet.select(col(idCol).as("eval_id"), sh(col(textCol)))
+    val evn = ev.groupBy("eval_id").agg(count(lit(1)).as("n_shingles"))
+    val pairs = corpus.select(col(idCol).as("__doc"), sh(col(textCol)))
+      .join(broadcast(ev), Seq("__sh"))
+      .groupBy(col("eval_id"), col("__doc"))
+      .agg(count(lit(1)).as("__hits"))
+      .join(broadcast(evn), Seq("eval_id"))
+      .withColumn("__c", expr("(__hits * 1000000000) div n_shingles"))
+    evn.join(
+        pairs.groupBy("eval_id").agg(
+          max(col("__c")).as("__maxc"),
+          min(struct((lit(0L) - col("__c")).as("negc"),
+            col("__doc").as("doc"))).as("__w"),
+          sum(when(col("__c") >= tauE9, 1L).otherwise(0L))
+            .as("__over")),
+        Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_shingles"),
+        coalesce(col("__maxc"), lit(0L)).as("max_containment_e9"),
+        col("__w").getField("doc").as("worst_doc_id"),
+        coalesce(col("__over"), lit(0L)).as("n_docs_over"))
+  }
+
   private def unimaxCore(df: DataFrame, groupCol: String,
       tokensCol: String, epochCap: Long, budgetCol: Column): DataFrame = {
     require(epochCap > 0, s"epochCap must be positive (got $epochCap)")

@@ -264,4 +264,34 @@ object Stats {
       .select("threshold_e9", "tp", "fp", "fn", "tn",
         "precision_e9", "recall_e9", "f1_e9")
   }
+
+  /** Per-group percentile-rank score normalization: quality scores
+    * from different sources live on different scales, so mixing or
+    * thresholding them jointly first maps each to its WITHIN-GROUP
+    * percentile rank — `(rank − 1)/(n − 1)` (SQL PERCENT_RANK), here
+    * floored to e9 so the normalized score is an exact BIGINT (ties
+    * share a rank; a single-row group normalizes to 0). The
+    * DECIMAL(20,0) widening keeps (rank−1)·10⁹ exact past int64 group
+    * sizes. NULL scores sort FIRST in Spark and LAST in DuckDB —
+    * filter them out before calling if the score column is nullable.
+    *
+    * One shuffle by group + per-group sort — the standard window
+    * shape; groups are sources/domains, so the per-group frame is the
+    * natural unit of work. Output: input columns + `pctl_e9`. */
+  def groupPercentileRank(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "groupPercentileRank needs group columns")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).asc)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__r", rank().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("pctl_e9",
+        when(col("__n") > 1,
+            expr("CAST((__r - 1) AS DECIMAL(20,0)) * 1000000000" +
+              " div (__n - 1)"))
+          .otherwise(lit(0L)))
+      .drop("__r", "__n")
+  }
 }

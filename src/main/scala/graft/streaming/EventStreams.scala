@@ -398,6 +398,55 @@ object EventStreams {
         .as("contamination"))
   }
 
+  /** Online eval-side leakage facts — the streaming half of
+    * [[graft.ext.Curation.evalLeakage]]: per arriving corpus document,
+    * one (idCol, eval_id, containment_e9) fact for every eval item it
+    * shares a shingle with. STATELESS (Append-legal, no watermark):
+    * each eval item's distinct shingle set rides as an xxhash64
+    * plan-literal array and the per-item hit count is
+    * `size(array_intersect(doc hashes, item hashes))` — per document
+    * O(Σ|item|+|evals|·|doc|) array work, right for bounded benchmark
+    * suites (loud `maxEvalItems`/`maxEvalShingles` guards; a huge
+    * suite belongs in the batch join). Exactness rides on 64-bit hash
+    * equality — the [[streamingContamination]] caveat. The per-eval
+    * ROLLUP (max containment, worst doc, τ count) is the fold's batch
+    * decision downstream: what streams is the corpus-sized half.
+    * Null-text docs emit nothing (the batch contract). */
+  def streamingEvalLeakage(docs: DataFrame, idCol: String,
+      textCol: String, evalSet: DataFrame, evalIdCol: String,
+      evalTextCol: String, n: Int = 3, maxEvalItems: Int = 1 << 14,
+      maxEvalShingles: Int = 4 << 20): DataFrame = {
+    val spark = evalSet.sparkSession
+    val items = evalSet
+      .select(col(evalIdCol).cast("long").as("__eid"),
+        transform(graft.functions.expressions.TextExpressions
+          .wordShingles(spark, col(evalTextCol), n), s => xxhash64(s))
+          .as("__hs"))
+      .limit(maxEvalItems + 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(items.length <= maxEvalItems,
+      s"eval suite exceeds $maxEvalItems items — too large for plan " +
+        "literals; use the batch evalLeakage join")
+    require(items.map(_._2.length.toLong).sum <= maxEvalShingles,
+      s"eval suite exceeds $maxEvalShingles total shingles — too " +
+        "large for plan literals; use the batch evalLeakage join")
+    val probes = items.map { case (eid, hs) =>
+      struct(lit(eid).as("eval_id"),
+        size(array_intersect(col("__dh"), typedlit(hs))).cast("long")
+          .as("hits"),
+        lit(hs.length.toLong).as("n"))
+    }
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("__dh",
+        transform(graft.functions.expressions.TextExpressions
+          .wordShingles(spark, col(textCol), n), s => xxhash64(s)))
+      .select(col(idCol), explode(array(probes: _*)).as("__e"))
+      .where(col("__e").getField("hits") > 0)
+      .select(col(idCol),
+        col("__e").getField("eval_id").as("eval_id"),
+        expr("(__e.hits * 1000000000) div __e.n").as("containment_e9"))
+  }
+
   /** Online classifier gate — the streaming form of
     * [[graft.ext.TextAnalysis.classifyLinear]] (the model-based
     * filtering stage of a curation stack, applied at ingest time):

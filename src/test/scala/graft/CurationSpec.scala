@@ -868,4 +868,55 @@ class CurationSpec extends SparkSpecBase {
     // budget = 150: caps 60/140 — 'a' capped at 60, 'b' takes 90
     assert(got == Map("a" -> 60L, "b" -> 90L))
   }
+
+  test("temperatureMixture: bit-identical to the driver-side ordered " +
+      "fold; alpha outside the sqrt-chain set refused") {
+    val df = Seq(("de", 100L), ("en", 400L), ("zh", 25L))
+      .toDF("grp", "n")
+    val got = Curation.temperatureMixture(df, "grp", "n", alpha = 0.5)
+      .orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // the same fold the operator pins: sqrt terms added in group order
+    val denom = ((0.0 + math.sqrt(100.0)) + math.sqrt(400.0)) +
+      math.sqrt(25.0)
+    assert(got.toSeq == Seq(
+      ("de", 100L, math.sqrt(100.0) / denom),
+      ("en", 400L, math.sqrt(400.0) / denom),
+      ("zh", 25L, math.sqrt(25.0) / denom)))
+    // alpha = 1 is the identity mix
+    val flat = Curation.temperatureMixture(df, "grp", "n", alpha = 1.0)
+      .orderBy("grp").collect().map(_.getDouble(2))
+    assert(flat.toSeq == Seq(100.0 / 525.0, 400.0 / 525.0, 25.0 / 525.0))
+    val e = intercept[IllegalArgumentException] {
+      Curation.temperatureMixture(df, "grp", "n", alpha = 0.3)
+    }
+    assert(e.getMessage.contains("correctly rounded"))
+  }
+
+  test("evalLeakage: containment direction, worst-doc tie-break, " +
+      "unmatched eval items keep their row") {
+    val evalSet = Seq(
+      (0L, "alpha beta gamma delta"),     // 2 trigram shingles
+      (1L, "zz yy"),                      // < n: whole-text shingle
+      (2L, "nothing matches this text")   // matches nothing
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // full containment of 0
+      (11L, "alpha beta gamma unrelated"),     // half containment of 0
+      (12L, "zz yy and more"),                 // no 'zz yy' SHINGLE match
+      (13L, "alpha beta gamma delta")          // full containment, ties 10
+    ).toDF("doc_id", "text")
+    val got = Curation.evalLeakage(corpus, evalSet, "doc_id", "text",
+        n = 3, tauE9 = 600000000L)
+      .orderBy("eval_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      // eval 0: docs 10/13 at 1e9 (tie → doc 10), doc 11 at 0.5e9
+      (0L, 2L, 1000000000L, 10L, 2L),
+      // eval 1's shingle is the whole text 'zz yy'; doc 12's trigram
+      // shingles never equal it — no leak
+      (1L, 1L, 0L, -1L, 0L),
+      (2L, 2L, 0L, -1L, 0L)))
+  }
 }

@@ -506,4 +506,19 @@ class StatsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(5), r.getLong(6), r.getLong(7)))
     assert(got.forall(_ == ((0L, 0L, 0L))))
   }
+
+  test("groupPercentileRank: exact PERCENT_RANK with shared tie ranks " +
+      "and single-row groups pinned to 0") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L),
+      ("a", 5L, 50L),
+      ("b", 6L, 7L)).toDF("src", "id", "score")
+    val got = Stats.groupPercentileRank(df, Seq("src"), "score")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // group a, n=5: ranks 1,2,2,4,5 → (r-1)*1e9 // 4
+    assert(got.toSeq == Seq(
+      (1L, 0L), (2L, 250000000L), (3L, 250000000L), (4L, 750000000L),
+      (5L, 1000000000L), (6L, 0L)))
+  }
 }

@@ -1279,4 +1279,62 @@ class StreamingSpec extends SparkSpecBase {
       assert(folded.contains((650000000L, false, 1L)), folded)
     } finally q.stop()
   }
+
+  test("streamingEvalLeakage: per-doc facts roll up to the exact batch " +
+      "report; oversized suites refused") {
+    import graft.ext.Curation
+    val evalSet = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "zz yy"),
+      (2L, "nothing matches this text")).toDF("eval_id", "text")
+    val corpusRows = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma unrelated"),
+      (12L, "zz yy and more"),
+      (13L, "alpha beta gamma delta"),
+      (14L, null.asInstanceOf[String]))
+    val batch = Curation.evalLeakage(
+        corpusRows.toDF("doc_id", "text"),
+        evalSet.withColumnRenamed("eval_id", "doc_id"),
+        "doc_id", "text", n = 3, tauE9 = 600000000L)
+      .orderBy("eval_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSeq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingEvalLeakage(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        evalSet, "eval_id", "text", n = 3)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("leak_facts").start()
+    try {
+      mem.addData(corpusRows(0), corpusRows(4))
+      q.processAllAvailable()
+      mem.addData(corpusRows(1), corpusRows(2), corpusRows(3))
+      q.processAllAvailable()
+      val facts = spark.table("leak_facts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val byEval = facts.groupBy(_._2)
+      val online = Seq(0L, 1L, 2L).map { eid =>
+        val ps = byEval.getOrElse(eid, Seq.empty)
+        (eid,
+          if (ps.isEmpty) 0L else ps.map(_._3).max,
+          ps.sortWith((a, b) => a._3 > b._3 ||
+            (a._3 == b._3 && a._1 < b._1)).headOption.map(_._1)
+            .getOrElse(-1L),
+          ps.count(_._3 >= 600000000L).toLong)
+      }
+      assert(online == batch, s"online $online vs batch $batch")
+      // zero-hit pairs never emit (doc 12 matches nothing)
+      assert(!facts.exists(_._1 == 12L), facts)
+    } finally q.stop()
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.streamingEvalLeakage(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        evalSet, "eval_id", "text", n = 3, maxEvalItems = 2)
+    }
+    assert(e.getMessage.contains("too large"))
+  }
 }
