@@ -113,6 +113,8 @@ object ScaleProbe {
       "edit_distance_50k_vocab",
       "kmeans_train_16x2", "standardize", "mmr_rerank_k3",
       "length_batching", "repetition_signals",
+      "unimax_allocation", "temperature_mixture", "threshold_sweep",
+      "percentile_normalize", "eval_leakage", "rrf_hybrid",
       "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
       "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
@@ -246,6 +248,47 @@ object ScaleProbe {
     timeOrRun("repetition_signals")(TextAnalysis.repetitionSignals(
       docs, "doc_id", "text")
       .select(sum("dup_bigram_frac"), sum("top_word_frac")).head())
+    // round-15 batch 2: mixture/calibration/leakage/fusion. The
+    // corpus-sized half of each is a per-group (or per-score) agg with
+    // map-side partials — the windows run on the collapsed frames.
+    timeOrRun("unimax_allocation")(Curation.unimaxAllocationOfTotal(
+      TextAnalysis.withTokenCounts(docs, "text")
+        .withColumn("grp", pmod(col("doc_id"), lit(1000))),
+      "grp", "n_tokens", epochCap = 2L, budgetNum = 3L, budgetDen = 2L)
+      .select(sum("alloc_tokens")).head())
+    timeOrRun("temperature_mixture")(Curation.temperatureMixture(
+      TextAnalysis.withTokenCounts(docs, "text")
+        .withColumn("grp", pmod(col("doc_id"), lit(1000))),
+      "grp", "n_tokens", alpha = 0.5)
+      .select(sum("weight")).head())
+    timeOrRun("threshold_sweep")(graft.ext.Stats.thresholdSweep(
+      TextAnalysis.withTokenCounts(docs, "text")
+        .withColumn("is_pos", pmod(col("doc_id"), lit(2)) === 0),
+      "n_tokens", "is_pos")
+      .select(sum("f1_e9")).head())
+    timeOrRun("percentile_normalize")(graft.ext.Stats.groupPercentileRank(
+      TextAnalysis.withTokenCounts(docs, "text")
+        .withColumn("grp", pmod(col("doc_id"), lit(64))),
+      Seq("grp"), "n_tokens")
+      .select(sum("pctl_e9")).head())
+    timeOrRun("eval_leakage")(Curation.evalLeakage(
+      docs.filter($"doc_id" >= 10), docs.filter($"doc_id" < 10),
+      "doc_id", "text", n = 3, tauE9 = 300000000L)
+      .select(sum("max_containment_e9")).head())
+    timeOrRun("rrf_hybrid") {
+      import org.apache.spark.sql.expressions.Window
+      val lex = Search.bm25(docs, "doc_id", "text",
+          Seq("window", "customer", "scan"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"score".desc, $"doc_id".asc)))
+        .select("doc_id", "rank")
+      val den = Similarity.bruteForceTopK(emb,
+          emb.filter($"vec_id" === 0), "vec_id", "embedding", k = 50)
+        .select($"n_id".as("doc_id"), $"rank")
+      Search.rrfFuse(Seq("bm25" -> lex, "dense" -> den),
+        "doc_id", "rank").select(sum("rrf_e9")).head()
+    }
     // contrastive pair generation at replicated scale: both are one
     // corpus scan × broadcast anchors/positives — the corpus never
     // shuffles, so the cost axis is the scan, not an exchange
