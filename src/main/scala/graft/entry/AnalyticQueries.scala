@@ -1413,6 +1413,35 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The TWENTY-SEVENTH streaming twin: mixture execution at ingest —
+    // q217's UniMax allocation trains once in batch, rides as plan
+    // literals, and arriving docs expand stateless into their (doc,
+    // epoch) training instances (explode is Append-legal; the
+    // fractional-epoch hash is the batch operator's own md5
+    // threshold). Exactly-once per doc, fold = plain collect. Faces
+    // q225's own oracle SQL row-for-row.
+    "q226_streaming_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val alloc = graft.ext.Curation.unimaxAllocationOfTotal(
+          graft.ext.TextAnalysis.withTokenCounts(d, "text"),
+          "lang", "n_tokens", epochCap = 2L, budgetNum = 3L,
+          budgetDen = 2L)
+        .localCheckpoint(true) // the batch-trained allocation artifact
+      val feed = d.select(col("doc_id").cast("long").as("_1"),
+          col("lang").as("_2"))
+        .as[(Long, String)]
+      val raw = replayTypedThirds[(Long, String)](s, feed, Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingMixtureExecute(
+          ds.toDF("doc_id", "lang"), "doc_id", "lang", alloc,
+          seed = "um1"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+        .toDF("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // The TWENTY-SIXTH streaming twin: online eval-leakage facts — the
     // decontamination REPORT direction (q223) at ingest time. Corpus
     // docs stream in; each eval item's shingle-hash set rides as a
@@ -2350,5 +2379,9 @@ object AnalyticQueries {
       // reproduce the batch report row-for-row — same oracle as q223
       ("q224_streaming_eval_leakage" ->
         CurationQueries.oracleSql("q223_eval_leakage")) +
+      // the at-ingest epoch expansion must reproduce the batch
+      // mixture materialization row-for-row — same oracle as q225
+      ("q226_streaming_mixture" ->
+        CurationQueries.oracleSql("q225_mixture_execute")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -53,6 +53,31 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // MIXTURE EXECUTION: q217's UniMax allocation materialized into
+    // the epoch-expanded training stream — per (doc, epoch) instance,
+    // full epochs replicated, the fractional epoch hash-sampled with
+    // token-exact-in-expectation odds. One broadcast join + map-only
+    // explode; the corpus never shuffles.
+    "q225_mixture_execute" -> ((s, dir) => {
+      val d = TextAnalysis.withTokenCounts(docs(s, dir), "text")
+      val alloc = Curation.unimaxAllocationOfTotal(d, "lang", "n_tokens",
+        epochCap = 2L, budgetNum = 3L, budgetDen = 2L)
+      Curation.executeMixture(docs(s, dir).select("doc_id", "lang"),
+          "lang", "doc_id", alloc, seed = "um1")
+        .orderBy("doc_id", "epoch")
+    }),
+
+    // Fill-in-the-middle transform at FIM-rate 0.75: hash-selected
+    // docs split at two deterministic code-point positions into
+    // (prefix, middle, suffix) with a PSM/SPM mode draw; the rest pass
+    // through plain. Map-only, reproducible per (seed, id); CJK docs
+    // exercise the code-point unit system.
+    "q227_fim_transform" -> ((s, dir) => {
+      Curation.fimTransform(docs(s, dir), "doc_id", "text",
+          seed = "fim1", rate = 0.75)
+        .orderBy("doc_id")
+    }),
+
     // Temperature mixture weights (α = 0.5) over languages — the
     // mBERT/XLM-R-style upsampling curve next to q217's UniMax. sqrt
     // is correctly rounded IEEE so each numerator is bit-identical;
@@ -332,6 +357,68 @@ object CurationQueries {
         |  CASE WHEN n_tokens > 0 THEN (alloc_tokens*1000) // n_tokens
         |       ELSE 0 END AS epochs_milli
         |FROM o ORDER BY lang""".stripMargin,
+    // q217's closed form feeding the epoch expansion: full epochs via
+    // generate_series (inclusive upper bound = the fractional epoch),
+    // fractional docs by the md5-u32 threshold (q63's idiom); the
+    // threshold division exact BIGINT at test scale (Spark side
+    // decimal-widened for 100 TB counts)
+    "q225_mixture_execute" ->
+      """WITH per AS (SELECT lang,
+        |  CAST(SUM(len(string_split_regex(text,'\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |g AS (SELECT lang, n_tokens, n_tokens*2 AS cap_tokens,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_tokens*2, lang) AS BIGINT) AS i,
+        |  COUNT(*) OVER () AS k, SUM(n_tokens) OVER () AS total,
+        |  COALESCE(SUM(n_tokens*2) OVER (ORDER BY n_tokens*2, lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        | FROM per),
+        |b AS (SELECT *, (3*total)//2 AS budget,
+        |  CASE WHEN cap_tokens*(k-i+1) <= budget - pfx THEN 1 ELSE 0 END AS capped
+        | FROM g),
+        |s AS (SELECT *, MIN(CASE WHEN capped=0 THEN i END) OVER () AS istar FROM b),
+        |f AS (SELECT *,
+        |  COALESCE(SUM(CASE WHEN i < istar THEN cap_tokens ELSE 0 END) OVER (), 0) AS sumcapped
+        | FROM s),
+        |o AS (SELECT lang, n_tokens,
+        |  CASE WHEN istar IS NULL OR i < istar THEN cap_tokens
+        |       ELSE (budget - sumcapped + (i - istar)) // (k - istar + 1)
+        |  END AS alloc_tokens
+        | FROM f WHERE n_tokens > 0),
+        |aa AS (SELECT lang,
+        |  CAST(alloc_tokens // n_tokens AS BIGINT) AS efull,
+        |  CAST(((alloc_tokens % n_tokens) * 4294967296) // n_tokens AS BIGINT) AS thresh
+        | FROM o)
+        |SELECT d.doc_id, d.lang, CAST(u.e AS BIGINT) AS epoch
+        |FROM documents d JOIN aa USING (lang),
+        |  unnest(generate_series(0, aa.efull)) u(e)
+        |WHERE u.e < aa.efull
+        |  OR CAST(concat('0x', substr(md5(concat('um1','#',CAST(d.doc_id AS VARCHAR))),1,8)) AS BIGINT) < aa.thresh
+        |ORDER BY d.doc_id, epoch""".stripMargin,
+    // the same md5-u32 draws (selection, both cut points, mode bit);
+    // substr/length count code points in both engines — the CDC
+    // family's pinned unit system; 3221225472 = 0.75 * 2^32
+    "q227_fim_transform" ->
+      """WITH h AS (SELECT doc_id, text, length(text) AS len,
+        |  CAST(concat('0x', substr(md5(concat('fim1:sel','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) AS hsel,
+        |  CAST(concat('0x', substr(md5(concat('fim1:a','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) AS ha,
+        |  CAST(concat('0x', substr(md5(concat('fim1:b','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) AS hb,
+        |  CAST(concat('0x', substr(md5(concat('fim1:m','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) AS hm
+        | FROM documents),
+        |f AS (SELECT doc_id, text, len, hm,
+        |  (text IS NOT NULL AND len >= 2 AND hsel < 3221225472) AS sel,
+        |  least(1 + (ha % len), 1 + (hb % len)) AS lo,
+        |  greatest(1 + (ha % len), 1 + (hb % len)) AS hi
+        | FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN NOT sel THEN 'plain'
+        |       WHEN hm % 2 = 0 THEN 'psm' ELSE 'spm' END AS fim_mode,
+        |  CASE WHEN NOT sel THEN text
+        |       ELSE substr(text, 1, CAST(lo - 1 AS INTEGER)) END AS prefix,
+        |  CASE WHEN NOT sel THEN ''
+        |       ELSE substr(text, CAST(lo AS INTEGER), CAST(hi - lo AS INTEGER)) END AS middle,
+        |  CASE WHEN NOT sel THEN ''
+        |       ELSE substr(text, CAST(hi AS INTEGER), CAST(len - hi + 1 AS INTEGER)) END AS suffix
+        |FROM f ORDER BY doc_id""".stripMargin,
     // numerators are sqrt(BIGINT) — correctly rounded IEEE, identical
     // across engines; the denominator is the SAME ordered fold the
     // Spark side runs (list ORDER BY lang == sort_array on (g, s)

@@ -759,6 +759,85 @@ object Curation {
         coalesce(col("__over"), lit(0L)).as("n_docs_over"))
   }
 
+  /** Materialize a mixture allocation into the actual training stream:
+    * given per-group token allocations (the [[unimaxAllocation]]
+    * output shape — `groupCol`, `n_tokens`, `alloc_tokens`), emit one
+    * (row, epoch) instance per time each document is seen. Each group
+    * runs `alloc div n_tokens` FULL epochs (every doc repeated, epochs
+    * 0..e−1) plus one FRACTIONAL epoch (epoch = e) where docs are
+    * hash-sampled with probability `(alloc mod n_tokens) / n_tokens` —
+    * exact in expectation over tokens, deterministic per (seed, id)
+    * like every sampler here (md5 threshold, so any engine replays the
+    * same instance list).
+    *
+    * Plan shape: ONE broadcast join of the |groups|-row allocation
+    * table onto the corpus, then a map-only explode of
+    * `sequence(0, e)` + the threshold filter — the corpus never
+    * shuffles; the output is bigger than the input by design (it IS
+    * the epoch-expanded stream — feed it to [[deterministicShuffle]]
+    * / [[packSequences]]). The threshold arithmetic widens through
+    * DECIMAL(20,0) so `rem · 2³²` stays exact past int64. */
+  def executeMixture(df: DataFrame, groupCol: String, idCol: String,
+      alloc: DataFrame, seed: String): DataFrame = {
+    val a = alloc.select(col(groupCol),
+        col("n_tokens").as("__n"), col("alloc_tokens").as("__a"))
+      .where(col("__n") > 0)
+      .withColumn("__efull", expr("__a div __n"))
+      .withColumn("__thresh",
+        expr("CAST((__a % __n) AS DECIMAL(20,0)) * 4294967296 div __n"))
+    df.join(broadcast(a), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(0L), col("__efull"))).as("epoch"),
+        col("__efull"), col("__thresh"))
+      .where(col("epoch") < col("__efull") ||
+        hashU32(seed, col(idCol)) < col("__thresh"))
+      .select(col(idCol), col(groupCol), col("epoch"))
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): a
+    * hash-selected `rate` of documents is split at two deterministic
+    * code-point positions into (prefix, middle, suffix) with a PSM/SPM
+    * render mode; the rest pass through as `plain`. Everything is a
+    * pure function of (seed, id) — selection, both split points, and
+    * the mode — so the transform replays bit-for-bit in any engine and
+    * on any partitioning (the FIM-rate contract of the paper, made
+    * reproducible).
+    *
+    * Splits count CODE POINTS (Spark `substr`/`length` ≡ DuckDB
+    * `substr`/`length` — the unit system the CDC family pinned with
+    * astral fixtures), so multi-byte text splits identically
+    * everywhere. Docs with NULL text or < 2 code points stay `plain`.
+    * Map-only: one projection pass, no shuffle, no state — FIM at
+    * 100 TB is scan-bandwidth work.
+    *
+    * Output: idCol, fim_mode ('psm' | 'spm' | 'plain'), prefix,
+    * middle, suffix — with `prefix || middle || suffix == text` always
+    * (the reconstruction invariant, spec-pinned); the caller renders
+    * sentinel tokens around the pieces per its tokenizer. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      seed: String, rate: Double = 0.5): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    val c = col(textCol)
+    val len = length(c).cast("long")
+    val selected = c.isNotNull && len >= 2 &&
+      hashU32(s"$seed:sel", col(idCol)) < lit((rate * (1L << 32)).toLong)
+    val a = lit(1L) + hashU32(s"$seed:a", col(idCol)) % len
+    val b = lit(1L) + hashU32(s"$seed:b", col(idCol)) % len
+    val lo = least(a, b)
+    val hi = greatest(a, b)
+    df.select(col(idCol),
+      when(!selected, lit("plain"))
+        .otherwise(when(hashU32(s"$seed:m", col(idCol)) % 2 === 0,
+          lit("psm")).otherwise(lit("spm"))).as("fim_mode"),
+      when(!selected, c).otherwise(c.substr(lit(1L), lo - 1))
+        .as("prefix"),
+      when(!selected, lit("")).otherwise(c.substr(lo, hi - lo))
+        .as("middle"),
+      when(!selected, lit(""))
+        .otherwise(c.substr(hi, len - hi + 1)).as("suffix"))
+  }
+
   private def unimaxCore(df: DataFrame, groupCol: String,
       tokensCol: String, epochCap: Long, budgetCol: Column): DataFrame = {
     require(epochCap > 0, s"epochCap must be positive (got $epochCap)")

@@ -398,6 +398,48 @@ object EventStreams {
         .as("contamination"))
   }
 
+  /** Mixture execution at ingest — the streaming form of
+    * [[graft.ext.Curation.executeMixture]]: the |groups|-row
+    * allocation artifact (trained once in batch, e.g. UniMax q217)
+    * rides as plan-literal maps (group → full epochs, group →
+    * fractional threshold), and every arriving document expands
+    * stateless into its (doc, epoch) training instances — full epochs
+    * unconditionally, the fractional epoch by the same md5 threshold
+    * as the batch operator (per-(seed, id) hash, so the online stream
+    * and the batch expansion are the same instance list). explode is
+    * stateless, so the plan is Append-legal with no watermark. Groups
+    * absent from the allocation emit nothing (the batch inner-join
+    * contract). `element_at` on map literals is a linear probe — fine
+    * for mixture groups (languages/domains), guarded by
+    * `maxGroups`. */
+  def streamingMixtureExecute(docs: DataFrame, idCol: String,
+      groupCol: String, alloc: DataFrame, seed: String,
+      maxGroups: Int = 1 << 16): DataFrame = {
+    val rows = alloc.where(col("n_tokens") > 0)
+      .select(col(groupCol).cast("string").as("__g"),
+        expr("alloc_tokens div n_tokens").as("__ef"),
+        expr("CAST((alloc_tokens % n_tokens) AS DECIMAL(20,0))" +
+          " * 4294967296 div n_tokens").as("__th"))
+      .limit(maxGroups + 1).collect()
+    require(rows.length <= maxGroups,
+      s"allocation exceeds $maxGroups groups — too large for plan " +
+        "literals; use the batch executeMixture join")
+    val efullLit = typedlit(rows.map(r =>
+      r.getString(0) -> r.getLong(1)).toMap)
+    val threshLit = typedlit(rows.map(r =>
+      r.getString(0) -> r.getLong(2)).toMap)
+    docs
+      .withColumn("__ef", element_at(efullLit, col(groupCol)))
+      .withColumn("__th", element_at(threshLit, col(groupCol)))
+      .where(col("__ef").isNotNull)
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(0L), col("__ef"))).as("epoch"),
+        col("__ef"), col("__th"))
+      .where(col("epoch") < col("__ef") ||
+        graft.ext.Curation.hashU32(seed, col(idCol)) < col("__th"))
+      .select(col(idCol), col(groupCol), col("epoch"))
+  }
+
   /** Online eval-side leakage facts — the streaming half of
     * [[graft.ext.Curation.evalLeakage]]: per arriving corpus document,
     * one (idCol, eval_id, containment_e9) fact for every eval item it

@@ -115,6 +115,7 @@ object ScaleProbe {
       "length_batching", "repetition_signals",
       "unimax_allocation", "temperature_mixture", "threshold_sweep",
       "percentile_normalize", "eval_leakage", "rrf_hybrid",
+      "mixture_execute", "fim_transform",
       "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
       "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
@@ -275,6 +276,18 @@ object ScaleProbe {
       docs.filter($"doc_id" >= 10), docs.filter($"doc_id" < 10),
       "doc_id", "text", n = 3, tauE9 = 300000000L)
       .select(sum("max_containment_e9")).head())
+    timeOrRun("mixture_execute") {
+      val wt = TextAnalysis.withTokenCounts(docs, "text")
+        .withColumn("grp", pmod(col("doc_id"), lit(1000)))
+      val alloc = Curation.unimaxAllocationOfTotal(wt, "grp", "n_tokens",
+        epochCap = 2L, budgetNum = 3L, budgetDen = 2L)
+      Curation.executeMixture(wt.select("doc_id", "grp"), "grp",
+          "doc_id", alloc, seed = "um1")
+        .select(sum("epoch")).head()
+    }
+    timeOrRun("fim_transform")(Curation.fimTransform(docs, "doc_id",
+      "text", seed = "fim1", rate = 0.75)
+      .select(sum(length(col("middle")))).head())
     timeOrRun("rrf_hybrid") {
       import org.apache.spark.sql.expressions.Window
       val lex = Search.bm25(docs, "doc_id", "text",

@@ -893,6 +893,70 @@ class CurationSpec extends SparkSpecBase {
     assert(e.getMessage.contains("correctly rounded"))
   }
 
+  test("executeMixture: full epochs replicate, fractional epoch is the " +
+      "deterministic hash sample, zero-token groups drop") {
+    // g1: 3 docs x 10 tokens, alloc 45 -> 1 full epoch + half fractional
+    // g2: 2 docs x 10 tokens, alloc 40 -> exactly 2 full epochs
+    // g3: zero tokens -> dropped
+    val docs = Seq((1L, "g1"), (2L, "g1"), (3L, "g1"), (4L, "g2"),
+      (5L, "g2")).toDF("id", "grp")
+    val alloc = Seq(("g1", 30L, 45L), ("g2", 20L, 40L), ("g3", 0L, 0L))
+      .toDF("grp", "n_tokens", "alloc_tokens")
+    val got = Curation.executeMixture(docs, "grp", "id", alloc, "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    // every doc appears at its full epochs
+    assert(Seq(1L, 2L, 3L).forall(d => got.contains((d, 0L))))
+    assert(Seq(4L, 5L).forall(d =>
+      got.contains((d, 0L)) && got.contains((d, 1L))))
+    // g2 has NO fractional epoch (rem 0); g1's fractional epoch keeps
+    // exactly the docs whose hash clears the 50% threshold
+    assert(!got.exists { case (d, e) => d >= 4L && e >= 2L })
+    val thresh = (15L * 4294967296L) / 30L
+    val wantFrac = Seq(1L, 2L, 3L)
+      .filter(d => Curation.hashU32Jvm("s1", d.toString) < thresh)
+    assert(got.filter(_._2 == 1L).collect {
+      case (d, _) if d <= 3L => d
+    } == wantFrac)
+    // determinism: a re-run is byte-identical
+    val again = Curation.executeMixture(docs, "grp", "id", alloc, "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    assert(again == got)
+  }
+
+  test("fimTransform: reconstruction invariant (incl. CJK + astral), " +
+      "deterministic splits, rate 0 all plain") {
+    val docs = Seq(
+      (1L, "abcdefgh"),
+      (2L, "你好世界吧"),    // CJK, 5 code points
+      (3L, "a😀b😁c"),       // astral emoji mix
+      (4L, "x"),                                  // len 1: stays plain
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Curation.fimTransform(docs, "id", "text", "f1", rate = 1.0)
+      .orderBy("id").collect()
+    // prefix || middle || suffix == text, every row
+    got.foreach { r =>
+      val txt = docs.filter(col("id") === r.getLong(0))
+        .collect()(0).getString(1)
+      val rebuilt =
+        if (r.isNullAt(2)) null
+        else r.getString(2) + r.getString(3) + r.getString(4)
+      assert(rebuilt == txt, s"row $r")
+    }
+    // len >= 2 docs all split at rate 1 (mode psm/spm), short/null plain
+    val modes = got.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(d => modes(d) != "plain"))
+    assert(modes(4L) == "plain" && modes(5L) == "plain")
+    // the CJK doc's pieces are themselves well-formed code-point cuts
+    val cjk = got.find(_.getLong(0) == 2L).get
+    assert((cjk.getString(2) + cjk.getString(3) + cjk.getString(4))
+      .codePointCount(0, cjk.getString(2).length + cjk.getString(3).length
+        + cjk.getString(4).length) == 5)
+    // rate 0: everything plain and text untouched
+    val plain = Curation.fimTransform(docs, "id", "text", "f1", rate = 0.0)
+      .collect()
+    assert(plain.forall(_.getString(1) == "plain"))
+  }
+
   test("evalLeakage: containment direction, worst-doc tie-break, " +
       "unmatched eval items keep their row") {
     val evalSet = Seq(

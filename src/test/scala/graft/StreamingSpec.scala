@@ -1337,4 +1337,41 @@ class StreamingSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("too large"))
   }
+
+  test("streamingMixtureExecute: at-ingest epoch expansion matches the " +
+      "batch executeMixture instance list; oversized alloc refused") {
+    import graft.ext.Curation
+    val docs = Seq((1L, "g1"), (2L, "g1"), (3L, "g1"), (4L, "g2"),
+      (5L, "g2"))
+    val docsDf = docs.toDF("id", "grp")
+    val alloc = Seq(("g1", 30L, 45L), ("g2", 20L, 40L), ("g3", 0L, 0L))
+      .toDF("grp", "n_tokens", "alloc_tokens")
+    val batch = Curation.executeMixture(docsDf, "grp", "id", alloc, "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingMixtureExecute(
+        mem.toDS().toDF("id", "grp"), "id", "grp", alloc, "s1")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("mix_exec").start()
+    try {
+      mem.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      mem.addData(docs(2), docs(3), docs(4))
+      q.processAllAvailable()
+      val online = spark.table("mix_exec").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.streamingMixtureExecute(
+        mem.toDS().toDF("id", "grp"), "id", "grp", alloc, "s1",
+        maxGroups = 1)
+    }
+    assert(e.getMessage.contains("too large"))
+  }
 }
