@@ -1413,6 +1413,25 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The TWENTY-EIGHTH streaming twin: FIM at ingest — the batch
+    // transform is a pure per-row projection, so the streaming
+    // operator IS fimTransform verbatim (the q216 convention); the
+    // twin pins that the plan is Append-legal and the instance list
+    // identical. Faces q227's own oracle SQL row-for-row.
+    "q228_streaming_fim" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingFim(
+          df, "doc_id", "text", seed = "fim1", rate = 0.75),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4)))
+        .toSeq
+        .toDF("doc_id", "fim_mode", "prefix", "middle", "suffix")
+        .orderBy("doc_id")
+    }),
+
     // The TWENTY-SEVENTH streaming twin: mixture execution at ingest —
     // q217's UniMax allocation trains once in batch, rides as plan
     // literals, and arriving docs expand stateless into their (doc,
@@ -2383,5 +2402,9 @@ object AnalyticQueries {
       // mixture materialization row-for-row — same oracle as q225
       ("q226_streaming_mixture" ->
         CurationQueries.oracleSql("q225_mixture_execute")) +
+      // FIM at ingest is the batch projection verbatim — same oracle
+      // as q227
+      ("q228_streaming_fim" ->
+        CurationQueries.oracleSql("q227_fim_transform")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

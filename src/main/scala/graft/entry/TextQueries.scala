@@ -294,6 +294,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer fertility per language — the multilingual tokenizer
+    // diagnostic (subword tokens per word, chars per subword): exact
+    // BIGINT sums per lang, each ratio one IEEE division. zh's
+    // CJK-heavy text separates visibly from the latin languages.
+    "q229_tokenizer_fertility" -> ((s, dir) => {
+      TextAnalysis.tokenizerFertility(docs(s, dir), "lang", "text")
+        .orderBy("lang")
+    }),
+
+    // Distinct-bigram diversity per language (Li et al. distinct-n):
+    // distinct adjacent bigrams / total bigram instances — the
+    // template/boilerplate monitor. Exact counts; sub-n docs excluded
+    // from the distinct side (the whole-doc shingle fallback is not a
+    // bigram) but contribute 0 instances anyway.
+    "q230_distinct_ngrams" -> ((s, dir) => {
+      TextAnalysis.distinctNgramRatio(docs(s, dir), "lang", "text", n = 2)
+        .orderBy("lang")
+    }),
+
     // Classifier THRESHOLD CALIBRATION (the PR-curve sweep): before a
     // quality gate like q172 filters 100 TB, its threshold is chosen
     // by sweeping the scored calibration set against ground truth.
@@ -1015,6 +1034,36 @@ object TextQueries {
         |SELECT doc_id, label,
         |  CAST(sc * 1000000000 AS BIGINT) AS score_e9
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q31's two token counters summed per lang; both ratios divide
+    // the exact sums (not per-doc averages) — the Spark side divides
+    // the same BIGINTs
+    "q229_tokenizer_fertility" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(text,'\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        | FROM documents GROUP BY 1)
+        |SELECT lang, n_docs, n_tokens, n_bpe_tokens, n_chars,
+        |  CAST(n_bpe_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS fertility,
+        |  CAST(n_chars AS DOUBLE)/CAST(n_bpe_tokens AS DOUBLE) AS chars_per_bpe
+        |FROM s ORDER BY lang""".stripMargin,
+    // instances = Σ max(len-1, 0) per doc (no explode); distinct side
+    // is the q64 bigram-slice idiom over >= 2-token docs only
+    "q230_distinct_ngrams" ->
+      """WITH t AS (SELECT lang, string_split_regex(text,'\s+') tk FROM documents),
+        |tot AS (SELECT lang,
+        |  CAST(SUM(greatest(len(tk) - 1, 0)) AS BIGINT) AS n_grams
+        | FROM t GROUP BY 1),
+        |d AS (SELECT lang, COUNT(DISTINCT s) AS n_distinct FROM (
+        |   SELECT lang, array_to_string(tk[i:i+1],' ') AS s
+        |   FROM t, unnest(generate_series(1, len(tk)-1)) u(i)
+        |   WHERE len(tk) >= 2) GROUP BY 1)
+        |SELECT tot.lang, n_grams,
+        |  CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct,
+        |  CASE WHEN n_grams > 0
+        |       THEN CAST(COALESCE(n_distinct, 0) AS DOUBLE)/CAST(n_grams AS DOUBLE)
+        |       ELSE 0.0 END AS distinct_ratio
+        |FROM tot LEFT JOIN d USING (lang) ORDER BY lang""".stripMargin,
     // q172's en-score CTE + ground truth from documents.lang, then
     // cumulative confusion counts per distinct descending threshold;
     // precision/recall/F1 as floor-e9 integer divisions (// here,

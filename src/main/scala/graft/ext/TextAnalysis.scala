@@ -854,4 +854,61 @@ object TextAnalysis {
   def withRedaction(df: DataFrame, textCol: String,
       out: String = "text_redacted"): DataFrame =
     df.withColumn(out, redact(col(textCol)))
+
+  /** Tokenizer fertility report per group (the multilingual
+    * tokenizer-quality diagnostic): fertility = subword tokens per
+    * whitespace word — the number the tokenizer literature tracks per
+    * language (a high-fertility language pays more sequence length for
+    * the same text) — plus characters per subword token. Sums are
+    * exact BIGINTs (map-side partials, one |groups|-row shuffle); each
+    * ratio is ONE IEEE division of exact counts, so the doubles
+    * hash-replay. Output per group: n_docs, n_tokens, n_bpe_tokens,
+    * n_chars, fertility, chars_per_bpe. */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    withTokenCounts(df, textCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("chars_per_bpe",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+
+  /** Distinct-n diversity per group (the distinct-n-grams metric of
+    * Li et al. 2016, the standard corpus-diversity monitor): distinct
+    * adjacent word n-grams / total n-gram instances. A boilerplate-
+    * heavy or template-generated slice scores low. Both counts exact
+    * BIGINTs: total instances are a map-only per-doc size sum;
+    * distinct grams go through one (group, gram) dedup whose map-side
+    * partials collapse repeats before the exchange. The ratio is ONE
+    * IEEE division. Output per group: n_grams, n_distinct,
+    * distinct_ratio. */
+  def distinctNgramRatio(df: DataFrame, groupCol: String,
+      textCol: String, n: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    // total instances per group: max(tokens-n+1, 0) per doc, no explode
+    val totals = df
+      .select(col(groupCol),
+        greatest(size(toks) - lit(n - 1), lit(0)).cast("long").as("__g"))
+      .groupBy(col(groupCol)).agg(sum(col("__g")).as("n_grams"))
+    // docs below n tokens are excluded BEFORE shingling (wordShingles'
+    // whole-doc fallback is not an n-gram and must not count)
+    val distinctGrams = df
+      .where(size(toks) >= n)
+      .select(col(groupCol),
+        explode(graft.functions.expressions.TextExpressions
+          .wordShingles(df.sparkSession, col(textCol), n)).as("__sh"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col("__sh")).as("n_distinct"))
+    totals.join(distinctGrams, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        when(col("n_grams") > 0,
+          col("n_distinct").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

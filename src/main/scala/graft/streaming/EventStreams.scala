@@ -440,6 +440,17 @@ object EventStreams {
       .select(col(idCol), col(groupCol), col("epoch"))
   }
 
+  /** FIM at ingest — [[graft.ext.Curation.fimTransform]] VERBATIM on
+    * the streaming frame (the streamingStandardize convention: when
+    * the batch operator is a pure projection — hash selection, two
+    * code-point cuts, mode draw, zero state — the SAME method is the
+    * streaming operator, so the twins cannot drift by construction).
+    * Stateless, Append-legal with no watermark; exactly-once per doc
+    * because each row's transform is self-contained. */
+  def streamingFim(docs: DataFrame, idCol: String, textCol: String,
+      seed: String, rate: Double): DataFrame =
+    graft.ext.Curation.fimTransform(docs, idCol, textCol, seed, rate)
+
   /** Online eval-side leakage facts — the streaming half of
     * [[graft.ext.Curation.evalLeakage]]: per arriving corpus document,
     * one (idCol, eval_id, containment_e9) fact for every eval item it

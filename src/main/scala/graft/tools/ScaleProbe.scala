@@ -116,6 +116,7 @@ object ScaleProbe {
       "unimax_allocation", "temperature_mixture", "threshold_sweep",
       "percentile_normalize", "eval_leakage", "rrf_hybrid",
       "mixture_execute", "fim_transform",
+      "tokenizer_fertility", "distinct_ngrams",
       "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
       "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
@@ -288,6 +289,17 @@ object ScaleProbe {
     timeOrRun("fim_transform")(Curation.fimTransform(docs, "doc_id",
       "text", seed = "fim1", rate = 0.75)
       .select(sum(length(col("middle")))).head())
+    timeOrRun("tokenizer_fertility")(TextAnalysis.tokenizerFertility(
+      docs.withColumn("grp", pmod(col("doc_id"), lit(1000))),
+      "grp", "text")
+      .select(sum("fertility")).head())
+    // the scale axis is the (group, gram) dedup — replicated copies
+    // share grams, so distinct stays flat while instances grow: the
+    // map-side partial dedup is what the bytes measure
+    timeOrRun("distinct_ngrams")(TextAnalysis.distinctNgramRatio(
+      docs.withColumn("grp", pmod(col("doc_id"), lit(1000))),
+      "grp", "text", n = 2)
+      .select(sum("n_distinct"), sum("n_grams")).head())
     timeOrRun("rrf_hybrid") {
       import org.apache.spark.sql.expressions.Window
       val lex = Search.bm25(docs, "doc_id", "text",

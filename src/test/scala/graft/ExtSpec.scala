@@ -1741,4 +1741,35 @@ class ExtSpec extends SparkSpecBase {
       (0L, "para one line a\npara one line b\nshared para"),
       (1L, "unique para")))
   }
+
+  test("tokenizerFertility: exact sums per group, ratios divide the " +
+      "sums (not per-doc means)") {
+    val df = Seq(
+      ("en", "ab cd"),     // 2 words, 2 bpe tokens, 5 chars
+      ("en", "a,b"),       // 1 word, 3 bpe tokens (a , b), 3 chars
+      ("zh", "xy")).toDF("lang", "text")
+    val got = TextAnalysis.tokenizerFertility(df, "lang", "text")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("en", 2L, 3L, 5L, 8L, 5.0 / 3.0, 8.0 / 5.0),
+      ("zh", 1L, 1L, 1L, 2L, 1.0, 2.0)))
+  }
+
+  test("distinctNgramRatio: repeats collapse on the distinct side only; " +
+      "sub-n docs contribute zero instances and no fallback shingle") {
+    val df = Seq(
+      ("a", "x y x y x"),  // bigrams: xy yx xy yx -> 4 instances, 2 distinct
+      ("a", "x y"),        // 1 instance of xy (already seen)
+      ("a", "solo"),       // 1 token: no bigram, NO whole-doc fallback
+      ("b", "q")).toDF("grp", "text")
+    val got = TextAnalysis.distinctNgramRatio(df, "grp", "text", n = 2)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("a", 5L, 2L, 0.4),
+      ("b", 0L, 0L, 0.0)))
+  }
 }

@@ -1374,4 +1374,30 @@ class StreamingSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("too large"))
   }
+
+  test("streamingFim: the batch projection is Append-legal on a real " +
+      "stream and emits the identical instance rows") {
+    import graft.ext.Curation
+    val docs = Seq((1L, "abcdefgh"), (2L, "你好世界吧"), (3L, "x"))
+    val batch = Curation.fimTransform(docs.toDF("doc_id", "text"),
+        "doc_id", "text", "f1", rate = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq.sorted
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingFim(mem.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", "f1", rate = 1.0)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("fim_stream").start()
+    try {
+      mem.addData(docs(0)); q.processAllAvailable()
+      mem.addData(docs(1), docs(2)); q.processAllAvailable()
+      val online = spark.table("fim_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4))).toSeq.sorted
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
 }
