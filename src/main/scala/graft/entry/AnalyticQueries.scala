@@ -1413,6 +1413,36 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The TWENTY-NINTH streaming twin: online tokenizer-fertility
+    // maintenance — the q229 report kept fresh at ingest via ONE
+    // Update-mode per-lang sum aggregation; every sum is monotone so
+    // the fold is MAX per (lang, column), and the ratios derive from
+    // the folded sums through the SHARED fertilityRatios expressions.
+    // Faces q229's own oracle SQL row-for-row.
+    "q232_streaming_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val feed = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("_1"),
+          col("lang").as("_2"), col("text").as("_3"))
+        .as[(Long, String, String)]
+      val raw = replayTypedThirds[(Long, String, String)](s, feed,
+        Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingFertilityCounts(
+          ds.toDF("doc_id", "lang", "text"), "lang", "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max,
+          vs.map(_._2._3).max, vs.map(_._2._4).max))
+        .toSeq.map { case (l, (d, t0, b, c)) => (l, d, t0, b, c) }
+      graft.ext.TextAnalysis.fertilityRatios(
+          folded.toDF("lang", "n_docs", "n_tokens", "n_bpe_tokens",
+            "n_chars"))
+        .orderBy("lang")
+    }),
+
     // The TWENTY-EIGHTH streaming twin: FIM at ingest — the batch
     // transform is a pure per-row projection, so the streaming
     // operator IS fimTransform verbatim (the q216 convention); the
@@ -2406,5 +2436,10 @@ object AnalyticQueries {
       // as q227
       ("q228_streaming_fim" ->
         CurationQueries.oracleSql("q227_fim_transform")) +
+      // the folded online sums, derived through the shared ratio
+      // expressions, must reproduce the batch report — same oracle
+      // as q229
+      ("q232_streaming_fertility" ->
+        TextQueries.oracleSql("q229_tokenizer_fertility")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

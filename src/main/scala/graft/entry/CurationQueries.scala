@@ -53,6 +53,15 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // END-TO-END MIXTURE pipeline as ONE query: quality gate → UniMax
+    // allocation over the survivors → epoch expansion → per-INSTANCE
+    // deterministic order + shard (epoch:doc keyed, so repeated epochs
+    // spread across shards). Two corpus scans, zero corpus shuffles.
+    "q231_mixture_pipeline" -> ((s, dir) => {
+      Curation.mixturePipeline(docs(s, dir))
+        .orderBy("skey", "doc_id", "epoch")
+    }),
+
     // MIXTURE EXECUTION: q217's UniMax allocation materialized into
     // the epoch-expanded training stream — per (doc, epoch) instance,
     // full epochs replicated, the fractional epoch hash-sampled with
@@ -357,6 +366,54 @@ object CurationQueries {
         |  CASE WHEN n_tokens > 0 THEN (alloc_tokens*1000) // n_tokens
         |       ELSE 0 END AS epochs_milli
         |FROM o ORDER BY lang""".stripMargin,
+    // the q197-style one-chain oracle: the quality gate's formulas
+    // (q33/q31 idioms) feed the q217 closed form, the q225 expansion,
+    // and the md5 instance order/shard — every stage the Spark
+    // pipeline's own SQL twin, composed
+    "q231_mixture_pipeline" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE len(string_split_regex(text,'\s+')) >= 20
+        |    AND (CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END) >= 0.805),
+        |per AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM q GROUP BY 1),
+        |g AS (SELECT lang, n_tokens, n_tokens*2 AS cap_tokens,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_tokens*2, lang) AS BIGINT) AS i,
+        |  COUNT(*) OVER () AS k, SUM(n_tokens) OVER () AS total,
+        |  COALESCE(SUM(n_tokens*2) OVER (ORDER BY n_tokens*2, lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        | FROM per),
+        |b AS (SELECT *, (3*total)//2 AS budget,
+        |  CASE WHEN cap_tokens*(k-i+1) <= budget - pfx THEN 1 ELSE 0 END AS capped
+        | FROM g),
+        |s AS (SELECT *, MIN(CASE WHEN capped=0 THEN i END) OVER () AS istar FROM b),
+        |f AS (SELECT *,
+        |  COALESCE(SUM(CASE WHEN i < istar THEN cap_tokens ELSE 0 END) OVER (), 0) AS sumcapped
+        | FROM s),
+        |o AS (SELECT lang, n_tokens,
+        |  CASE WHEN istar IS NULL OR i < istar THEN cap_tokens
+        |       ELSE (budget - sumcapped + (i - istar)) // (k - istar + 1)
+        |  END AS alloc_tokens
+        | FROM f WHERE n_tokens > 0),
+        |aa AS (SELECT lang,
+        |  CAST(alloc_tokens // n_tokens AS BIGINT) AS efull,
+        |  CAST(((alloc_tokens % n_tokens) * 4294967296) // n_tokens AS BIGINT) AS thresh
+        | FROM o),
+        |inst AS (SELECT q.doc_id, q.lang, CAST(u.e AS BIGINT) AS epoch
+        |  FROM q JOIN aa USING (lang),
+        |    unnest(generate_series(0, aa.efull)) u(e)
+        |  WHERE u.e < aa.efull
+        |    OR CAST(concat('0x', substr(md5(concat('mx1','#',CAST(q.doc_id AS VARCHAR))),1,8)) AS BIGINT) < aa.thresh),
+        |ik AS (SELECT doc_id, lang, epoch,
+        |    concat(CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR)) AS key
+        |  FROM inst)
+        |SELECT doc_id, lang, epoch,
+        |  CAST(concat('0x', substr(md5(concat('mx1:shard','#',key)),1,8)) AS BIGINT) % 8 AS shard,
+        |  md5(concat('mx1:ord','#',key)) AS skey
+        |FROM ik ORDER BY skey, doc_id, epoch""".stripMargin,
     // q217's closed form feeding the epoch expansion: full epochs via
     // generate_series (inclusive upper bound = the fractional epoch),
     // fractional docs by the md5-u32 threshold (q63's idiom); the

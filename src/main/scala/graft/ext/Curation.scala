@@ -794,6 +794,53 @@ object Curation {
       .select(col(idCol), col(groupCol), col("epoch"))
   }
 
+  /** Every knob of [[mixturePipeline]]; q231 pins the defaults. */
+  final case class MixtureConfig(
+      minTokens: Long = 20L,
+      minAlphaRatio: Double = 0.805,
+      epochCap: Long = 2L,
+      budgetNum: Long = 3L,
+      budgetDen: Long = 2L,
+      seed: String = "mx1",
+      nShards: Int = 8)
+
+  /** The END-TO-END mixture pipeline over a (doc_id, lang, text)
+    * frame, as ONE query: quality gate (token count + alpha ratio) →
+    * [[unimaxAllocationOfTotal]] over the SURVIVORS (the allocation
+    * must see the post-gate sizes — allocating on raw counts would
+    * over-budget heavily-filtered languages) → [[executeMixture]] into
+    * (doc, epoch) training instances → per-INSTANCE deterministic
+    * shuffle key and export shard (keyed on `epoch:doc`, so two epochs
+    * of the same document land in different shards and positions — the
+    * repeated-data-spread every multi-epoch run wants).
+    *
+    * Plan shape: the corpus is scanned twice (once collapsing to the
+    * |langs|-row allocation, once expanding instances against the
+    * broadcast allocation) and SHUFFLED never — the shuffle key and
+    * shard are map-side md5 columns; the caller's
+    * `repartitionByRange(shard)` write is the only exchange, carrying
+    * the instance stream it exports. Output: doc_id, lang, epoch,
+    * shard, skey (order by skey = the reproducible epoch order). */
+  def mixturePipeline(d: DataFrame,
+      cfg: MixtureConfig = MixtureConfig()): DataFrame = {
+    require(cfg.nShards >= 1, "nShards must be >= 1")
+    val gated = TextAnalysis.withQualitySignals(d, "text")
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("alpha_ratio") >= cfg.minAlphaRatio)
+      .select(col("doc_id"), col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val alloc = unimaxAllocationOfTotal(gated, "lang", "n_tokens",
+      cfg.epochCap, cfg.budgetNum, cfg.budgetDen)
+    val instKey = concat_ws(":", col("epoch"), col("doc_id"))
+    executeMixture(gated.select("doc_id", "lang"), "lang", "doc_id",
+        alloc, cfg.seed)
+      .withColumn("skey", shuffleKey(cfg.seed + ":ord", instKey))
+      .withColumn("shard",
+        hashU32(cfg.seed + ":shard", instKey) % cfg.nShards)
+      .select(col("doc_id"), col("lang"), col("epoch"), col("shard"),
+        col("skey"))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): a
     * hash-selected `rate` of documents is split at two deterministic

@@ -866,12 +866,20 @@ object TextAnalysis {
     * n_chars, fertility, chars_per_bpe. */
   def tokenizerFertility(df: DataFrame, groupCol: String,
       textCol: String): DataFrame =
-    withTokenCounts(df, textCol)
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
-        sum(length(col(textCol)).cast("long")).as("n_chars"))
+    fertilityRatios(
+      withTokenCounts(df, textCol)
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(length(col(textCol)).cast("long")).as("n_chars")))
+
+  /** The ratio half of [[tokenizerFertility]], factored out so the
+    * streaming twin's folded sums derive through the SAME expressions
+    * (the shared-derivation convention): input any frame carrying
+    * n_tokens / n_bpe_tokens / n_chars sums. */
+  def fertilityRatios(sums: DataFrame): DataFrame =
+    sums
       .withColumn("fertility",
         col("n_bpe_tokens").cast("double") / col("n_tokens").cast("double"))
       .withColumn("chars_per_bpe",

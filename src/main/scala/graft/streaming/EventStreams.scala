@@ -440,6 +440,25 @@ object EventStreams {
       .select(col(idCol), col(groupCol), col("epoch"))
   }
 
+  /** Online tokenizer-fertility maintenance — the streaming half of
+    * [[graft.ext.TextAnalysis.tokenizerFertility]]: ONE Update-mode
+    * per-group aggregation keeps the exact count/token/subword/char
+    * sums fresh as documents arrive (all four ride in the single
+    * aggregation — a second agg in one streaming query is illegal).
+    * Every sum is MONOTONE non-decreasing, so the exactly-once fold is
+    * MAX per (group, column); the ratios derive from the folded sums
+    * through the SHARED [[graft.ext.TextAnalysis.fertilityRatios]]
+    * expressions, so the twins cannot drift. State ∝ |groups| — the
+    * report itself, never the corpus. */
+  def streamingFertilityCounts(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    graft.ext.TextAnalysis.withTokenCounts(docs, textCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+
   /** FIM at ingest — [[graft.ext.Curation.fimTransform]] VERBATIM on
     * the streaming frame (the streamingStandardize convention: when
     * the batch operator is a pure projection — hash selection, two

@@ -116,7 +116,7 @@ object ScaleProbe {
       "unimax_allocation", "temperature_mixture", "threshold_sweep",
       "percentile_normalize", "eval_leakage", "rrf_hybrid",
       "mixture_execute", "fim_transform",
-      "tokenizer_fertility", "distinct_ngrams",
+      "tokenizer_fertility", "distinct_ngrams", "mixture_pipeline",
       "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
       "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
@@ -300,6 +300,10 @@ object ScaleProbe {
       docs.withColumn("grp", pmod(col("doc_id"), lit(1000))),
       "grp", "text", n = 2)
       .select(sum("n_distinct"), sum("n_grams")).head())
+    timeOrRun("mixture_pipeline")(Curation.mixturePipeline(
+      docs.withColumn("lang",
+        concat(lit("l"), pmod(col("doc_id"), lit(100)))))
+      .select(sum("epoch"), count(lit(1))).head())
     timeOrRun("rrf_hybrid") {
       import org.apache.spark.sql.expressions.Window
       val lex = Search.bm25(docs, "doc_id", "text",

@@ -957,6 +957,42 @@ class CurationSpec extends SparkSpecBase {
     assert(plain.forall(_.getString(1) == "plain"))
   }
 
+  test("mixturePipeline: gate feeds the allocation, instances key the " +
+      "shard on (epoch, doc), re-runs are byte-identical") {
+    // lang a: two good docs; lang b: one good + one that FAILS the
+    // alpha gate (digits) and must not inflate b's allocation
+    val docs = Seq(
+      (1L, "a", Seq.fill(25)("aaaa").mkString(" ")),
+      (2L, "a", Seq.fill(25)("bbbb").mkString(" ")),
+      (3L, "b", Seq.fill(50)("ccccc").mkString(" ")),
+      (4L, "b", Seq.fill(50)("1234").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.mixturePipeline(docs,
+        Curation.MixtureConfig(nShards = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    // doc 4 never appears (gated out)
+    assert(!got.exists(_._1 == 4L), got)
+    // gated totals: a=50, b=50, budget=150, caps 100/100 -> each lang
+    // alloc 75 = 1 full epoch + fractional; epoch 0 has all 3 docs
+    assert(got.filter(_._2 == 0L).map(_._1) == Seq(1L, 2L, 3L))
+    // the shard key includes the epoch (epoch:doc): every emitted
+    // instance matches the JVM twin of the md5 shard draw
+    got.foreach { case (d, e, sh) =>
+      assert(sh == Curation.hashU32Jvm("mx1:shard", s"$e:$d") % 8,
+        s"instance ($d, $e)")
+    }
+    val again = Curation.mixturePipeline(docs,
+        Curation.MixtureConfig(nShards = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(again == got)
+    // config is live: a tighter gate drops everything
+    val strict = Curation.mixturePipeline(docs,
+      Curation.MixtureConfig(minTokens = 1000L))
+    assert(strict.count() == 0)
+  }
+
   test("evalLeakage: containment direction, worst-doc tie-break, " +
       "unmatched eval items keep their row") {
     val evalSet = Seq(

@@ -1375,6 +1375,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("too large"))
   }
 
+  test("streamingFertilityCounts: cross-batch MAX-fold of the monotone " +
+      "sums reproduces the batch report through the shared ratios") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (1L, "en", "ab cd"), (2L, "en", "a,b"), (3L, "zh", "xy"),
+      (4L, "en", "more words here"))
+    val batch = TextAnalysis.tokenizerFertility(
+        docs.toDF("doc_id", "lang", "text"), "lang", "text")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStreams.streamingFertilityCounts(
+        mem.toDS().toDF("doc_id", "lang", "text"), "lang", "text")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("fert_counts").start()
+    try {
+      // 'en' spans both batches: Update re-emits grown sums — MAX fold
+      mem.addData(docs(0), docs(2)); q.processAllAvailable()
+      mem.addData(docs(1), docs(3)); q.processAllAvailable()
+      val folded = spark.table("fert_counts").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max,
+          vs.map(_._2._3).max, vs.map(_._2._4).max))
+        .toSeq.map { case (l, (d, t, b, c)) => (l, d, t, b, c) }
+      val online = TextAnalysis.fertilityRatios(
+          folded.toDF("lang", "n_docs", "n_tokens", "n_bpe_tokens",
+            "n_chars"))
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+        .toSeq
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingFim: the batch projection is Append-legal on a real " +
       "stream and emits the identical instance rows") {
     import graft.ext.Curation
