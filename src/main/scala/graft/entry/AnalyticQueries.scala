@@ -1413,6 +1413,36 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The THIRTIETH streaming twin: online confusion-matrix
+    // maintenance — the q234 classification report kept fresh at
+    // ingest. Prediction is the stateless lang-ID projection per row;
+    // ONE Update-mode (truth, pred) count aggregation; counts
+    // monotone → MAX fold; the report derives through the SHARED
+    // classificationReportFromMatrix expressions. Faces q234's own
+    // oracle SQL row-for-row.
+    "q235_streaming_confusion" -> ((s, dir) => {
+      import s.implicits._
+      val feed = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("_1"),
+          col("lang").as("_2"), col("text").as("_3"))
+        .as[(Long, String, String)]
+      val raw = replayTypedThirds[(Long, String, String)](s, feed,
+        Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingConfusionCounts(
+          graft.ext.TextAnalysis.withLangId(
+            ds.toDF("doc_id", "lang", "text"), "text",
+            TextQueries.langMarkers),
+          "lang", "lang_guess"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max)
+        .toSeq.map { case ((tr, pr), n) => (tr, pr, n) }
+      graft.ext.Stats.classificationReportFromMatrix(
+          folded.toDF("truth", "pred", "n"))
+        .orderBy("cls")
+    }),
+
     // The TWENTY-NINTH streaming twin: online tokenizer-fertility
     // maintenance — the q229 report kept fresh at ingest via ONE
     // Update-mode per-lang sum aggregation; every sum is monotone so
@@ -2441,5 +2471,10 @@ object AnalyticQueries {
       // as q229
       ("q232_streaming_fertility" ->
         TextQueries.oracleSql("q229_tokenizer_fertility")) +
+      // the folded online confusion matrix, derived through the
+      // shared report expressions, must reproduce the batch report —
+      // same oracle as q234
+      ("q235_streaming_confusion" ->
+        TextQueries.oracleSql("q234_classification_report")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

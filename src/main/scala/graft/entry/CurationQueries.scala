@@ -53,6 +53,20 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // Token-budget corpus sampling: a reproducible quarter-of-the-
+    // corpus token slice via sharded hash-order prefixes (the
+    // packSequences cumsum idiom — no single-task global window).
+    // Budget = total/4 computed from the data, so the row is
+    // SF-invariant.
+    "q233_budget_sample" -> ((s, dir) => {
+      val d = TextAnalysis.withTokenCounts(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"))
+      val total = d.agg(sum(col("n_tokens"))).head().getLong(0)
+      Curation.budgetSample(d, "doc_id", "n_tokens",
+          budget = total / 4, seed = "bs1", nShards = 8)
+        .orderBy("doc_id")
+    }),
+
     // END-TO-END MIXTURE pipeline as ONE query: quality gate → UniMax
     // allocation over the survivors → epoch expansion → per-INSTANCE
     // deterministic order + shard (epoch:doc keyed, so repeated epochs
@@ -366,6 +380,27 @@ object CurationQueries {
         |  CASE WHEN n_tokens > 0 THEN (alloc_tokens*1000) // n_tokens
         |       ELSE 0 END AS epochs_milli
         |FROM o ORDER BY lang""".stripMargin,
+    // sharded cumsum prefixes under per-lane quotas: the md5 lane and
+    // order draws (q63's idiom), budget = total//4 from the data,
+    // remainder tokens to the low lanes — all integer floor arithmetic
+    "q233_budget_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM d),
+        |p AS (SELECT doc_id, n_tokens,
+        |    CAST(concat('0x', substr(md5(concat('bs1:sh','#',CAST(doc_id AS VARCHAR))),1,8)) AS BIGINT) % 8 AS shard,
+        |    md5(concat('bs1','#',CAST(doc_id AS VARCHAR))) AS sk
+        |  FROM d),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM p)
+        |SELECT doc_id, n_tokens, shard, cum_tokens
+        |FROM c, tot
+        |WHERE cum_tokens <= (t//4)//8
+        |  + CASE WHEN shard < (t//4) % 8 THEN 1 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
     // the q197-style one-chain oracle: the quality gate's formulas
     // (q33/q31 idioms) feed the q217 closed form, the q225 expansion,
     // and the md5 instance order/shard — every stage the Spark

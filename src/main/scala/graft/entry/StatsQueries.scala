@@ -30,6 +30,18 @@ object StatsQueries {
   private val SampleThreshold = (0.02 * 4294967296.0).toLong
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-sample χ² distribution drift, exactly in integers: the
+    // language mix of the second-wave sources (src10+) against the
+    // first wave's — the dataset-shift monitor a recurring ingest
+    // runs per batch. Cells are floor-e9 via divmod; one (bucket,
+    // side) aggregation collapses the corpus.
+    "q236_chi2_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), (length(col("source")) > 4).as("is_cur"))
+      Stats.chiSquareDrift(d, "lang", "is_cur")
+        .orderBy("bucket")
+    }),
+
     // Quantile discretizer (feature binning) the SCALABLE way: 9
     // decile cutpoints per key (one tiny aggregate, broadcast back) +
     // a map-side integer fold assigns buckets — no per-key ntile sort
@@ -427,6 +439,33 @@ object StatsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // (o·N − r·c)²/(N·r·c) through HUGEINT divmod — the identical
+    // floor-e9 rendering the Spark side computes in DECIMAL(38,0)
+    "q236_chi2_drift" ->
+      """WITH per AS (SELECT lang AS bucket,
+        |  CAST(SUM(CASE WHEN length(source) > 4 THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+        |  CAST(SUM(CASE WHEN length(source) > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT *,
+        |  CAST(SUM(n_ref + n_cur) OVER () AS HUGEINT) AS n,
+        |  CAST(SUM(n_ref) OVER () AS HUGEINT) AS cref,
+        |  CAST(SUM(n_cur) OVER () AS HUGEINT) AS ccur,
+        |  CAST(n_ref + n_cur AS HUGEINT) AS r FROM per),
+        |c AS (SELECT bucket, n_ref, n_cur,
+        |  CAST(
+        |    (CASE WHEN cref = 0 THEN 0 ELSE
+        |      ((n_ref*n - r*cref)*(n_ref*n - r*cref) // (n*r*cref)) * 1000000000
+        |      + (((n_ref*n - r*cref)*(n_ref*n - r*cref) % (n*r*cref)) * 1000000000) // (n*r*cref)
+        |     END)
+        |    + (CASE WHEN ccur = 0 THEN 0 ELSE
+        |      ((n_cur*n - r*ccur)*(n_cur*n - r*ccur) // (n*r*ccur)) * 1000000000
+        |      + (((n_cur*n - r*ccur)*(n_cur*n - r*ccur) % (n*r*ccur)) * 1000000000) // (n*r*ccur)
+        |     END) AS BIGINT) AS chi2_cell_e9
+        | FROM t)
+        |SELECT bucket, n_ref, n_cur, chi2_cell_e9,
+        |  CAST(SUM(chi2_cell_e9) OVER () AS BIGINT) AS total_chi2_e9,
+        |  COUNT(*) OVER () - 1 AS dof
+        |FROM c ORDER BY bucket""".stripMargin,
     // identical cutpoint semantics: quantile_cont list + ordered fold;
     // integer sum, order-irrelevant
     "q146_decile_bins" ->

@@ -41,10 +41,14 @@ object TextQueries {
   /** Marker-word table drawn from the synthetic corpus vocabulary (the
     * real-stopword table in TextAnalysis.DefaultMarkers would be constant
     * over this corpus). */
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[entry] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "key", "fast"),
     "es" -> Seq("data", "row", "table", "scan"),
     "fr" -> Seq("join", "merge", "sort", "agg"))
+
+  /** The q32 marker table under its cross-file name (q235's twin
+    * applies the same projection in-stream). */
+  private[entry] def langMarkers: Seq[(String, Seq[String])] = markers
 
   /** The DuckDB half of [[rebuiltLines]] — ONE definition of the
     * reconstruction CTE shared by every oracle that replays it
@@ -292,6 +296,17 @@ object TextQueries {
             lit(1000000000L).cast("decimal(10,0)"))
             .cast("bigint").as("score_e9"))
         .orderBy("doc_id")
+    }),
+
+    // Classification report for the q32 lang-ID heuristic against the
+    // table's own lang truth: per class (truths ∪ predictions — de/zh
+    // are never predicted and report zero F1), exact confusion counts
+    // + floor-e9 precision/recall/F1 + macro-F1. ONE (truth, pred)
+    // aggregation collapses the corpus.
+    "q234_classification_report" -> ((s, dir) => {
+      val pred = TextAnalysis.withLangId(docs(s, dir), "text", markers)
+      graft.ext.Stats.classificationReport(pred, "lang", "lang_guess")
+        .orderBy("cls")
     }),
 
     // Tokenizer fertility per language — the multilingual tokenizer
@@ -1034,6 +1049,38 @@ object TextQueries {
         |SELECT doc_id, label,
         |  CAST(sc * 1000000000 AS BIGINT) AS score_e9
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q32's argmax CTE vs the lang column: matrix -> truths∪preds
+    // spine -> floor-e9 ratios (q218's arithmetic) + integer macro-F1
+    "q234_classification_report" ->
+      """WITH c AS (SELECT doc_id, lang,
+        | len(list_intersect(string_split_regex(text,'\s+'), ['the','a','key','fast'])) c_en,
+        | len(list_intersect(string_split_regex(text,'\s+'), ['data','row','table','scan'])) c_es,
+        | len(list_intersect(string_split_regex(text,'\s+'), ['join','merge','sort','agg'])) c_fr
+        |FROM documents),
+        |pr AS (SELECT lang AS truth, CASE WHEN c_en>=c_es AND c_en>=c_fr THEN 'en'
+        |  WHEN c_es>=c_fr THEN 'es' ELSE 'fr' END AS pred FROM c),
+        |m AS (SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+        |cls AS (SELECT DISTINCT truth AS cls FROM m
+        |        UNION SELECT DISTINCT pred FROM m),
+        |tp AS (SELECT truth AS cls, n AS tp FROM m WHERE truth = pred),
+        |sup AS (SELECT truth AS cls, CAST(SUM(n) AS BIGINT) AS support FROM m GROUP BY 1),
+        |prd AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS predicted FROM m GROUP BY 1),
+        |j AS (SELECT c.cls, COALESCE(tp.tp, 0) AS tp,
+        |        COALESCE(sup.support, 0) AS support,
+        |        COALESCE(prd.predicted, 0) AS predicted
+        |      FROM cls c LEFT JOIN tp USING (cls)
+        |        LEFT JOIN sup USING (cls) LEFT JOIN prd USING (cls)),
+        |e AS (SELECT cls, support, tp,
+        |    predicted - tp AS fp, support - tp AS fn,
+        |    CASE WHEN predicted > 0 THEN (tp * 1000000000) // predicted ELSE 0 END AS precision_e9,
+        |    CASE WHEN support > 0 THEN (tp * 1000000000) // support ELSE 0 END AS recall_e9
+        |  FROM j),
+        |f AS (SELECT *, CASE WHEN precision_e9 + recall_e9 > 0
+        |    THEN (2 * precision_e9 * recall_e9) // (precision_e9 + recall_e9)
+        |    ELSE 0 END AS f1_e9 FROM e)
+        |SELECT cls, support, tp, fp, fn, precision_e9, recall_e9, f1_e9,
+        |  CAST(SUM(f1_e9) OVER () // COUNT(*) OVER () AS BIGINT) AS macro_f1_e9
+        |FROM f ORDER BY cls""".stripMargin,
     // q31's two token counters summed per lang; both ratios divide
     // the exact sums (not per-doc averages) — the Spark side divides
     // the same BIGINTs

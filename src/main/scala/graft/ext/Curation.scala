@@ -794,6 +794,43 @@ object Curation {
       .select(col(idCol), col(groupCol), col("epoch"))
   }
 
+  /** Token-budget corpus sampling: keep a reproducible ~`budget`-token
+    * slice of the corpus — the "train on exactly this many tokens of
+    * it" primitive. Docs hash-shard into `nShards` lanes, the budget
+    * floor-splits across lanes (remainder to the low lanes), and each
+    * lane keeps its (shuffle-key asc, id asc) PREFIX while the running
+    * token sum stays within quota — all integer arithmetic, pure
+    * function of (seed, id), so any engine and any partitioning select
+    * the same slice. The kept token count undershoots the budget by at
+    * most nShards·(max doc len) (strict-prefix semantics: the first
+    * overflowing doc in each lane is cut, nothing after it enters).
+    *
+    * Scale shape: one hash-shard shuffle + per-lane sort — the
+    * sharded-cumsum idiom of [[packSequences]]: no single-task global
+    * window; lane quotas keep every cumulative sum local to its lane.
+    * Output: input id + n_tokens, shard, cum_tokens (the lane-local
+    * running total including this doc). */
+  def budgetSample(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, seed: String, nShards: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0 (got $budget)")
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    import org.apache.spark.sql.expressions.Window
+    val base = budget / nShards
+    val rem = budget % nShards
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__sk").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("shard", hashU32(s"$seed:sh", col(idCol)) % nShards)
+      .withColumn("__sk", shuffleKey(seed, col(idCol)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("__quota",
+        lit(base) + when(col("shard") < rem, 1L).otherwise(0L))
+      .where(col("cum_tokens") <= col("__quota"))
+      .select(col(idCol), col("n_tokens"), col("shard"),
+        col("cum_tokens"))
+  }
+
   /** Every knob of [[mixturePipeline]]; q231 pins the defaults. */
   final case class MixtureConfig(
       minTokens: Long = 20L,

@@ -265,6 +265,121 @@ object Stats {
         "precision_e9", "recall_e9", "f1_e9")
   }
 
+  /** Multi-class classification report: per class — support, tp/fp/fn,
+    * floor-e9 precision/recall/F1, plus the macro-F1 (same constant on
+    * every row). The class spine is truths ∪ predictions, so a class
+    * the model never predicts (or never occurs) still reports its
+    * zeros. The corpus collapses in ONE (truth, pred) aggregation; the
+    * report derives from that ≤|classes|² matrix — the exact shape the
+    * streaming twin folds to, shared via
+    * [[classificationReportFromMatrix]]. */
+  def classificationReport(df: DataFrame, truthCol: String,
+      predCol: String): DataFrame =
+    classificationReportFromMatrix(
+      df.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
+        .agg(count(lit(1)).as("n")))
+
+  /** The derivation half of [[classificationReport]] over a
+    * pre-aggregated (truth, pred, n) confusion matrix — the streaming
+    * twin's folded counts derive through these SAME expressions. */
+  def classificationReportFromMatrix(m: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = m.select(col("truth").as("cls"))
+      .union(m.select(col("pred"))).distinct()
+    val tp = m.where(col("truth") === col("pred"))
+      .select(col("truth").as("cls"), col("n").as("__tp"))
+    val support = m.groupBy(col("truth").as("cls"))
+      .agg(sum(col("n")).as("__sup"))
+    val predicted = m.groupBy(col("pred").as("cls"))
+      .agg(sum(col("n")).as("__prd"))
+    val all = Window.partitionBy()
+    classes
+      .join(tp, Seq("cls"), "left")
+      .join(support, Seq("cls"), "left")
+      .join(predicted, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("__tp"), lit(0L)).as("tp"),
+        coalesce(col("__sup"), lit(0L)).as("support"),
+        coalesce(col("__prd"), lit(0L)).as("predicted"))
+      .withColumn("fp", col("predicted") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("precision_e9",
+        when(col("predicted") > 0,
+            expr("CAST(tp AS DECIMAL(20,0)) * 1000000000 div predicted"))
+          .otherwise(lit(0L)))
+      .withColumn("recall_e9",
+        when(col("support") > 0,
+            expr("CAST(tp AS DECIMAL(20,0)) * 1000000000 div support"))
+          .otherwise(lit(0L)))
+      .withColumn("f1_e9",
+        when(col("precision_e9") + col("recall_e9") > 0,
+            expr("(2 * precision_e9 * recall_e9)" +
+              " div (precision_e9 + recall_e9)"))
+          .otherwise(lit(0L)))
+      .withColumn("__sumf1", sum(col("f1_e9")).over(all))
+      .withColumn("__k", count(lit(1)).over(all))
+      .withColumn("macro_f1_e9", expr("__sumf1 div __k"))
+      .select("cls", "support", "tp", "fp", "fn",
+        "precision_e9", "recall_e9", "f1_e9", "macro_f1_e9")
+  }
+
+  /** Two-sample χ² distribution-drift report (the dataset-shift
+    * monitor): given per-row (bucket, isCurrent) observations —
+    * language mix, length decile, source share — compare the CURRENT
+    * slice's bucket distribution against the REFERENCE slice's with
+    * the classic contingency χ², computed EXACTLY in integers:
+    *
+    *   cell χ² = (o − e)²/e  with  e = rowTotal·colTotal/N
+    *           = (o·N − r·c)² / (N·r·c)
+    *
+    * rendered as floor-e9 via divmod so no float ever enters
+    * (`q·10⁹ + (rem·10⁹) div D`). Exactness bound (documented, not
+    * checked): |o·N − r·c| must stay under ~10¹⁸ (DECIMAL(38,0)
+    * squares; DuckDB HUGEINT has the same ceiling) — beyond ~10⁹-row
+    * contingency tables, feed a uniform sample. Output per bucket:
+    * n_ref, n_cur, chi2_cell_e9 (both sides' cells summed), plus the
+    * constant total_chi2_e9 and dof = buckets − 1; compare the total
+    * against the χ²(dof) critical value offline.
+    *
+    * ONE (bucket, side) aggregation collapses the corpus; everything
+    * after runs on ≤|buckets| rows. */
+  def chiSquareDrift(df: DataFrame, bucketCol: String,
+      currentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(bucketCol).as("bucket"))
+      .agg(
+        sum(when(coalesce(col(currentCol), lit(false)), 0L).otherwise(1L))
+          .as("n_ref"),
+        sum(when(coalesce(col(currentCol), lit(false)), 1L).otherwise(0L))
+          .as("n_cur"))
+    val all = Window.partitionBy()
+    // cell(o, r, c, n): exact floor-e9 of (o·n − r·c)²/(n·r·c)
+    def cell(o: String, c: String): String = {
+      val a = s"(CAST($o AS DECIMAL(38,0)) * __n - __r * $c)"
+      val d = s"(__n * __r * $c)"
+      s"(CASE WHEN $c = 0 THEN 0 ELSE " +
+        s"($a * $a div $d) * 1000000000 + " +
+        s"(($a * $a % $d) * 1000000000) div $d END)"
+    }
+    per
+      .withColumn("__n",
+        sum(col("n_ref") + col("n_cur")).over(all).cast("decimal(38,0)"))
+      .withColumn("__cref",
+        sum(col("n_ref")).over(all).cast("decimal(38,0)"))
+      .withColumn("__ccur",
+        sum(col("n_cur")).over(all).cast("decimal(38,0)"))
+      .withColumn("__r",
+        expr("CAST(n_ref + n_cur AS DECIMAL(38,0))"))
+      .withColumn("chi2_cell_e9",
+        expr(s"CAST(${cell("n_ref", "__cref")} + " +
+          s"${cell("n_cur", "__ccur")} AS BIGINT)"))
+      .withColumn("total_chi2_e9",
+        sum(col("chi2_cell_e9")).over(all))
+      .withColumn("dof", count(lit(1)).over(all) - lit(1L))
+      .select("bucket", "n_ref", "n_cur", "chi2_cell_e9",
+        "total_chi2_e9", "dof")
+  }
+
   /** Per-group percentile-rank score normalization: quality scores
     * from different sources live on different scales, so mixing or
     * thresholding them jointly first maps each to its WITHIN-GROUP

@@ -440,6 +440,20 @@ object EventStreams {
       .select(col(idCol), col(groupCol), col("epoch"))
   }
 
+  /** Online confusion-matrix maintenance — the streaming half of
+    * [[graft.ext.Stats.classificationReport]]: predictions are a
+    * stateless per-row projection upstream (lang-ID, a pinned
+    * classifier, any pure scoring column), and ONE Update-mode
+    * (truth, pred) count aggregation keeps the confusion matrix fresh
+    * as labeled examples arrive. Counts are MONOTONE → MAX fold; the
+    * per-class report derives from the folded matrix through the
+    * SHARED [[graft.ext.Stats.classificationReportFromMatrix]]
+    * expressions, so the twins cannot drift. State ∝ |classes|². */
+  def streamingConfusionCounts(docs: DataFrame, truthCol: String,
+      predCol: String): DataFrame =
+    docs.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+
   /** Online tokenizer-fertility maintenance — the streaming half of
     * [[graft.ext.TextAnalysis.tokenizerFertility]]: ONE Update-mode
     * per-group aggregation keeps the exact count/token/subword/char

@@ -117,6 +117,7 @@ object ScaleProbe {
       "percentile_normalize", "eval_leakage", "rrf_hybrid",
       "mixture_execute", "fim_transform",
       "tokenizer_fertility", "distinct_ngrams", "mixture_pipeline",
+      "budget_sample",
       "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
       "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
@@ -300,6 +301,12 @@ object ScaleProbe {
       docs.withColumn("grp", pmod(col("doc_id"), lit(1000))),
       "grp", "text", n = 2)
       .select(sum("n_distinct"), sum("n_grams")).head())
+    // the scale axis is the lane-sharded cumsum: one hash shuffle +
+    // per-lane sort, quotas keep every window local to its lane
+    timeOrRun("budget_sample")(Curation.budgetSample(
+      TextAnalysis.withTokenCounts(docs, "text"), "doc_id", "n_tokens",
+      budget = 400000L * copies, seed = "bs1", nShards = 64)
+      .select(sum("cum_tokens")).head())
     timeOrRun("mixture_pipeline")(Curation.mixturePipeline(
       docs.withColumn("lang",
         concat(lit("l"), pmod(col("doc_id"), lit(100)))))

@@ -957,6 +957,39 @@ class CurationSpec extends SparkSpecBase {
     assert(plain.forall(_.getString(1) == "plain"))
   }
 
+  test("budgetSample: per-lane prefix semantics, quota remainder to " +
+      "low lanes, deterministic across partitionings") {
+    val df = (1L to 200L).map(i => (i, 10L)).toDF("id", "n")
+    // budget 1005 over 4 lanes: quotas 252,251,251,251 -> 25 docs per
+    // lane at 10 tokens each (the 2-token remainders can't fit a doc)
+    val got = Curation.budgetSample(df, "id", "n",
+        budget = 1005L, seed = "b1", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val kept = got.map(_._1).toSet
+    // every lane keeps exactly floor(quota/10) docs
+    val perLane = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perLane.values.forall(_ == 25), perLane)
+    // prefix semantics: each lane's max cum <= its quota
+    got.groupBy(_._2).foreach { case (lane, rows) =>
+      val quota = 251L + (if (lane < 1) 1L else 0L)
+      assert(rows.map(_._3).max <= quota, s"lane $lane")
+    }
+    // selection is the hash-order prefix: the JVM twin agrees
+    val byLane = (1L to 200L).groupBy(i =>
+      Curation.hashU32Jvm("b1:sh", i.toString) % 4)
+    byLane.foreach { case (lane, ids) =>
+      val quota = 251L + (if (lane < 1) 1L else 0L)
+      val want = ids.sortBy(i => (Curation.shuffleKeyJvm("b1", i.toString), i))
+        .take((quota / 10L).toInt).toSet
+      assert(got.filter(_._2 == lane).map(_._1).toSet == want, s"lane $lane")
+    }
+    // partitioning-invariant
+    val again = Curation.budgetSample(df.repartition(7), "id", "n",
+        budget = 1005L, seed = "b1", nShards = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("mixturePipeline: gate feeds the allocation, instances key the " +
       "shard on (epoch, doc), re-runs are byte-identical") {
     // lang a: two good docs; lang b: one good + one that FAILS the

@@ -507,6 +507,53 @@ class StatsSpec extends SparkSpecBase {
     assert(got.forall(_ == ((0L, 0L, 0L))))
   }
 
+  test("classificationReport: truths∪preds spine, never-predicted and " +
+      "never-true classes report zeros, exact floor-e9 metrics") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),  // a: tp=2 fn=1
+      ("b", "a"), ("b", "b"),              // b: tp=1 fp(a)=1
+      ("c", "a")                           // c: never predicted
+    ).toDF("truth", "pred")
+    val got = Stats.classificationReport(df, "truth", "pred")
+      .orderBy("cls").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    // a: sup 3, tp 2, predicted 4 -> fp 2; P=2e9/4, R=2e9/3
+    val pA = 500000000L; val rA = 666666666L
+    val f1A = 2 * pA * rA / (pA + rA)
+    // b: sup 2, tp 1, predicted 2 -> fp 1; P=R=5e8, F1=5e8
+    val f1B = 500000000L
+    val macroF1 = (f1A + f1B + 0L) / 3
+    assert(got.toSeq == Seq(
+      ("a", 3L, 2L, 2L, 1L, pA, rA, f1A, macroF1),
+      ("b", 2L, 1L, 1L, 1L, f1B, f1B, f1B, macroF1),
+      ("c", 1L, 0L, 0L, 1L, 0L, 0L, 0L, macroF1)))
+  }
+
+  test("chiSquareDrift: identical distributions score 0; a hand 2x2 " +
+      "case matches the exact rational") {
+    val same = Seq(("x", false), ("x", true), ("y", false), ("y", true))
+      .toDF("b", "cur")
+    val gotSame = Stats.chiSquareDrift(same, "b", "cur")
+      .collect().map(_.getLong(3))
+    assert(gotSame.forall(_ == 0L))
+    // 2x2: ref (30, 10), cur (10, 30); N=80, r_x=40, r_y=40,
+    // c_ref=40, c_cur=40; every cell (o·N - r·c)² = (30·80-40·40)²
+    // = 800² = 640000; D = 80·40·40 = 128000 -> cell = 5 exactly
+    // -> chi2 per bucket = 2 cells = 10e9; total = 20e9
+    val df = (Seq.fill(30)(("x", false)) ++ Seq.fill(10)(("x", true)) ++
+      Seq.fill(10)(("y", false)) ++ Seq.fill(30)(("y", true)))
+      .toDF("b", "cur")
+    val got = Stats.chiSquareDrift(df, "b", "cur")
+      .orderBy("bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("x", 30L, 10L, 10000000000L, 20000000000L, 1L),
+      ("y", 10L, 30L, 10000000000L, 20000000000L, 1L)))
+  }
+
   test("groupPercentileRank: exact PERCENT_RANK with shared tie ranks " +
       "and single-row groups pinned to 0") {
     val df = Seq(

@@ -1416,6 +1416,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingConfusionCounts: cross-batch MAX-fold reproduces the " +
+      "batch classification report through the shared derivation") {
+    import graft.ext.Stats
+    val rows = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("a", "a"),
+      ("c", "a"))
+    val batch = Stats.classificationReport(
+        rows.toDF("truth", "pred"), "truth", "pred")
+      .orderBy("cls").collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = EventStreams.streamingConfusionCounts(
+        mem.toDS().toDF("truth", "pred"), "truth", "pred")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("conf_counts").start()
+    try {
+      // the (a, a) key spans both batches — MAX, not sum
+      mem.addData(rows(0), rows(1)); q.processAllAvailable()
+      mem.addData(rows(2), rows(3), rows(4)); q.processAllAvailable()
+      val folded = spark.table("conf_counts").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max)
+        .toSeq.map { case ((t, p), n) => (t, p, n) }
+      val online = Stats.classificationReportFromMatrix(
+          folded.toDF("truth", "pred", "n"))
+        .orderBy("cls").collect().map(_.toSeq).toSeq
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingFim: the batch projection is Append-legal on a real " +
       "stream and emits the identical instance rows") {
     import graft.ext.Curation
