@@ -1413,6 +1413,33 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The THIRTY-FIRST streaming twin: online drift-count maintenance
+    // — q236's χ² monitor kept fresh at ingest. ONE Update-mode
+    // per-bucket aggregation carries both sides' monotone counts; MAX
+    // fold; the χ² derives through the SHARED chiSquareFromCounts
+    // expressions. Faces q236's own oracle SQL row-for-row.
+    "q237_streaming_drift" -> ((s, dir) => {
+      import s.implicits._
+      val feed = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("_1"),
+          col("lang").as("_2"),
+          (length(col("source")) > 4).as("_3"))
+        .as[(Long, String, Boolean)]
+      val raw = replayTypedThirds[(Long, String, Boolean)](s, feed,
+        Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingDriftCounts(
+          ds.toDF("doc_id", "lang", "is_cur"), "lang", "is_cur"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max))
+        .toSeq.map { case (b, (nr, nc)) => (b, nr, nc) }
+      graft.ext.Stats.chiSquareFromCounts(
+          folded.toDF("bucket", "n_ref", "n_cur"))
+        .orderBy("bucket")
+    }),
+
     // The THIRTIETH streaming twin: online confusion-matrix
     // maintenance — the q234 classification report kept fresh at
     // ingest. Prediction is the stateless lang-ID projection per row;
@@ -2476,5 +2503,10 @@ object AnalyticQueries {
       // same oracle as q234
       ("q235_streaming_confusion" ->
         TextQueries.oracleSql("q234_classification_report")) +
+      // the folded online drift counts, derived through the shared χ²
+      // expressions, must reproduce the batch monitor — same oracle
+      // as q236
+      ("q237_streaming_drift" ->
+        StatsQueries.oracleSql("q236_chi2_drift")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

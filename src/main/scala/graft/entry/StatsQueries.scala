@@ -42,6 +42,17 @@ object StatsQueries {
         .orderBy("bucket")
     }),
 
+    // Two-sample KS drift on the token-count distribution (same
+    // ref/cur split as q236): exact integer numerator cleared of both
+    // denominators, one floor-e9 division at the end, argmax value by
+    // the min-struct device. The shape monitor χ² bucketing can miss.
+    "q238_ks_drift" -> ((s, dir) => {
+      val d = graft.ext.TextAnalysis.withTokenCounts(
+          t(s, dir, "documents"), "text")
+        .select(col("n_tokens"), (length(col("source")) > 4).as("is_cur"))
+      Stats.ksDrift(d, "n_tokens", "is_cur")
+    }),
+
     // Quantile discretizer (feature binning) the SCALABLE way: 9
     // decile cutpoints per key (one tiny aggregate, broadcast back) +
     // a map-side integer fold assigns buckets — no per-key ntile sort
@@ -439,6 +450,37 @@ object StatsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // cumulative-count numerator |cumRef·nCur − cumCur·nRef| in
+    // HUGEINT, max + smallest-attaining-value via the min-struct
+    // argmax, one floor-e9 division — the Spark DECIMAL(38,0) twin
+    "q238_ks_drift" ->
+      """WITH d AS (SELECT
+        |    CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS v,
+        |    (length(source) > 4) AS is_cur
+        |  FROM documents),
+        |per AS (SELECT v,
+        |    CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS r,
+        |    CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM d GROUP BY 1),
+        |cum AS (SELECT v,
+        |    CAST(SUM(r) OVER w AS HUGEINT) AS cr,
+        |    CAST(SUM(c) OVER w AS HUGEINT) AS cc,
+        |    CAST(SUM(r) OVER () AS HUGEINT) AS nr,
+        |    CAST(SUM(c) OVER () AS HUGEINT) AS nc
+        |  FROM per WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |num AS (SELECT v, nr, nc, abs(cr*nc - cc*nr) AS num FROM cum),
+        |best AS (SELECT CAST(MAX(nr) AS BIGINT) AS n_ref,
+        |    CAST(MAX(nc) AS BIGINT) AS n_cur,
+        |    MIN({'neg': -num, 'v': v}) AS b
+        |  FROM num)
+        |SELECT n_ref, n_cur,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0
+        |       THEN CAST(((0 - (b).neg) * 1000000000)
+        |            // (CAST(n_ref AS HUGEINT) * n_cur) AS BIGINT)
+        |       ELSE 0 END AS ks_e9,
+        |  (b).v AS ks_at_value
+        |FROM best""".stripMargin,
     // (o·N − r·c)²/(N·r·c) through HUGEINT divmod — the identical
     // floor-e9 rendering the Spark side computes in DECIMAL(38,0)
     "q236_chi2_drift" ->

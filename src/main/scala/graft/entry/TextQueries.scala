@@ -298,6 +298,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PII-prevalence governance report per source: docs containing an
+    // email / URL / long digit run, with floor-e9 rates — the SAME
+    // patterns q39's redaction scrubs (shared constants, so metric
+    // and scrubber can't drift). The word-soup corpus carries no
+    // digits at all, so the row plants deterministic PII into mod-
+    // selected docs (the q168 rebuilt-lines device: derive, never
+    // synthesize rows) — every counter is non-vacuous and the
+    // patterns really fire.
+    "q239_pii_prevalence" -> ((s, dir) => {
+      val aug = docs(s, dir).withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" u"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" id "), col("doc_id") * 1000000 + 123456))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit(" see https://example.com/x")).otherwise(lit(""))))
+      TextAnalysis.piiPrevalence(aug, "source", "text")
+        .orderBy("source")
+    }),
+
     // Classification report for the q32 lang-ID heuristic against the
     // table's own lang truth: per class (truths ∪ predictions — de/zh
     // are never predicted and report zero F1), exact confusion counts
@@ -1049,6 +1071,28 @@ object TextQueries {
         |SELECT doc_id, label,
         |  CAST(sc * 1000000000 AS BIGINT) AS score_e9
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // the same mod-selected PII planting, then regexp_matches with
+    // the redaction patterns verbatim; floor-e9 rates over exact
+    // counts
+    "q239_pii_prevalence" ->
+      """WITH aug AS (SELECT source, concat(text,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN concat(' u', CAST(doc_id AS VARCHAR), '@example.com')
+        |         ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN concat(' id ', CAST(doc_id * 1000000 + 123456 AS VARCHAR))
+        |         ELSE '' END,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN ' see https://example.com/x' ELSE '' END) AS text
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, 'https?://[^\s]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '[0-9]{6,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_longnum,
+        |  (CAST(SUM(CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) * 1000000000) // COUNT(*) AS email_rate_e9,
+        |  (CAST(SUM(CASE WHEN regexp_matches(text, 'https?://[^\s]+') THEN 1 ELSE 0 END) AS BIGINT) * 1000000000) // COUNT(*) AS url_rate_e9,
+        |  (CAST(SUM(CASE WHEN regexp_matches(text, '[0-9]{6,}') THEN 1 ELSE 0 END) AS BIGINT) * 1000000000) // COUNT(*) AS longnum_rate_e9
+        |FROM aug GROUP BY 1 ORDER BY 1""".stripMargin,
     // q32's argmax CTE vs the lang column: matrix -> truths∪preds
     // spine -> floor-e9 ratios (q218's arithmetic) + integer macro-F1
     "q234_classification_report" ->

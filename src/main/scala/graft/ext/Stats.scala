@@ -344,14 +344,21 @@ object Stats {
     * ONE (bucket, side) aggregation collapses the corpus; everything
     * after runs on ≤|buckets| rows. */
   def chiSquareDrift(df: DataFrame, bucketCol: String,
-      currentCol: String): DataFrame = {
+      currentCol: String): DataFrame =
+    chiSquareFromCounts(
+      df.groupBy(col(bucketCol).as("bucket"))
+        .agg(
+          sum(when(coalesce(col(currentCol), lit(false)), 0L)
+            .otherwise(1L)).as("n_ref"),
+          sum(when(coalesce(col(currentCol), lit(false)), 1L)
+            .otherwise(0L)).as("n_cur")))
+
+  /** The derivation half of [[chiSquareDrift]] over pre-aggregated
+    * (bucket, n_ref, n_cur) counts — the shape the streaming twin's
+    * folded Update-mode counts arrive in; both paths share these
+    * expressions. */
+  def chiSquareFromCounts(per: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val per = df.groupBy(col(bucketCol).as("bucket"))
-      .agg(
-        sum(when(coalesce(col(currentCol), lit(false)), 0L).otherwise(1L))
-          .as("n_ref"),
-        sum(when(coalesce(col(currentCol), lit(false)), 1L).otherwise(0L))
-          .as("n_cur"))
     val all = Window.partitionBy()
     // cell(o, r, c, n): exact floor-e9 of (o·n − r·c)²/(n·r·c)
     def cell(o: String, c: String): String = {
@@ -378,6 +385,52 @@ object Stats {
       .withColumn("dof", count(lit(1)).over(all) - lit(1L))
       .select("bucket", "n_ref", "n_cur", "chi2_cell_e9",
         "total_chi2_e9", "dof")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift on an INTEGER-valued column
+    * (lengths, token counts, quantized scores) — the distribution-
+    * shift monitor that catches shape changes χ² bucketing can miss.
+    * Computed EXACTLY: D = max_v |F_ref(v) − F_cur(v)| over the
+    * distinct values, with the fractions cleared to the integer
+    * numerator |cumRef·nCur − cumCur·nRef| (DECIMAL(38,0); exact while
+    * nRef·nCur < ~10²⁹ — beyond that, sample) and ONE floor-e9
+    * division at the end. Output one row: n_ref, n_cur, ks_e9,
+    * ks_at_value (the smallest value attaining D — min-struct argmax).
+    *
+    * Plan: one value-keyed aggregation collapses the corpus; the
+    * cumulative window runs single-task over the |distinct values|
+    * frame BY DESIGN (integer-valued monitoring columns are
+    * low-cardinality; quantize continuous scores first). */
+  def ksDrift(df: DataFrame, valueCol: String,
+      currentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(
+        sum(when(coalesce(col(currentCol), lit(false)), 0L)
+          .otherwise(1L)).as("r"),
+        sum(when(coalesce(col(currentCol), lit(false)), 1L)
+          .otherwise(0L)).as("c"))
+    val wCum = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    per
+      .withColumn("__cr", sum(col("r")).over(wCum))
+      .withColumn("__cc", sum(col("c")).over(wCum))
+      .withColumn("__nr", sum(col("r")).over(all))
+      .withColumn("__nc", sum(col("c")).over(all))
+      .withColumn("__num",
+        expr("abs(CAST(__cr AS DECIMAL(38,0)) * __nc" +
+          " - CAST(__cc AS DECIMAL(38,0)) * __nr)"))
+      .agg(max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"),
+        min(struct(
+          (lit(0).cast("decimal(38,0)") - col("__num")).as("neg"),
+          col("v").as("v"))).as("__b"))
+      .select(col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          expr("CAST(((0 - __b.neg) * 1000000000)" +
+            " div (CAST(n_ref AS DECIMAL(38,0)) * n_cur) AS BIGINT)"))
+          .otherwise(lit(0L)).as("ks_e9"),
+        col("__b").getField("v").as("ks_at_value"))
   }
 
   /** Per-group percentile-rank score normalization: quality scores

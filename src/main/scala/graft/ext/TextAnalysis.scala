@@ -845,15 +845,42 @@ object TextAnalysis {
   }
 
   def redact(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
-    regexp_replace(url, "[0-9]{6,}", "<NUM>")
+    val email = regexp_replace(text, EmailRe, "<EMAIL>")
+    val url = regexp_replace(email, UrlRe, "<URL>")
+    regexp_replace(url, LongNumRe, "<NUM>")
   }
 
   def withRedaction(df: DataFrame, textCol: String,
       out: String = "text_redacted"): DataFrame =
     df.withColumn(out, redact(col(textCol)))
+
+  /** The [[redact]] patterns, named — shared by the prevalence
+    * report so the governance metric and the scrubber can't drift. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** PII-prevalence report per group (the governance dashboard next
+    * to [[redact]]'s scrubber, same patterns): per group — doc count,
+    * docs containing an email / URL / long digit run, and floor-e9
+    * rates. ONE aggregation pass, rlike flags computed in-scan; the
+    * shuffle carries |groups| rows of counts. */
+  def piiPrevalence(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    def hit(re: String): Column =
+      coalesce(col(textCol).rlike(re), lit(false)).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(hit(EmailRe)).as("n_email"),
+        sum(hit(UrlRe)).as("n_url"),
+        sum(hit(LongNumRe)).as("n_longnum"))
+      .withColumn("email_rate_e9",
+        expr("CAST(n_email AS DECIMAL(20,0)) * 1000000000 div n_docs"))
+      .withColumn("url_rate_e9",
+        expr("CAST(n_url AS DECIMAL(20,0)) * 1000000000 div n_docs"))
+      .withColumn("longnum_rate_e9",
+        expr("CAST(n_longnum AS DECIMAL(20,0)) * 1000000000 div n_docs"))
+  }
 
   /** Tokenizer fertility report per group (the multilingual
     * tokenizer-quality diagnostic): fertility = subword tokens per

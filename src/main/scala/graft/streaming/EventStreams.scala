@@ -440,6 +440,22 @@ object EventStreams {
       .select(col(idCol), col(groupCol), col("epoch"))
   }
 
+  /** Online distribution-drift count maintenance — the streaming half
+    * of [[graft.ext.Stats.chiSquareDrift]]: ONE Update-mode per-bucket
+    * aggregation keeps both sides' counts fresh as rows arrive (both
+    * sums ride the single aggregation). Counts are MONOTONE → MAX
+    * fold; the χ² derives from the folded counts through the SHARED
+    * [[graft.ext.Stats.chiSquareFromCounts]] expressions. State ∝
+    * |buckets|. */
+  def streamingDriftCounts(rows: DataFrame, bucketCol: String,
+      currentCol: String): DataFrame =
+    rows.groupBy(col(bucketCol).as("bucket"))
+      .agg(
+        sum(when(coalesce(col(currentCol), lit(false)), 0L)
+          .otherwise(1L)).as("n_ref"),
+        sum(when(coalesce(col(currentCol), lit(false)), 1L)
+          .otherwise(0L)).as("n_cur"))
+
   /** Online confusion-matrix maintenance — the streaming half of
     * [[graft.ext.Stats.classificationReport]]: predictions are a
     * stateless per-row projection upstream (lang-ID, a pinned

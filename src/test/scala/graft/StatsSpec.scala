@@ -554,6 +554,44 @@ class StatsSpec extends SparkSpecBase {
       ("y", 10L, 30L, 10000000000L, 20000000000L, 1L)))
   }
 
+  test("ksDrift: identical distributions score 0; hand case matches " +
+      "the exact rational with the smallest attaining value") {
+    val same = Seq((1L, false), (1L, true), (2L, false), (2L, true))
+      .toDF("v", "cur")
+    val s0 = Stats.ksDrift(same, "v", "cur").head()
+    assert(s0.getLong(2) == 0L)
+    // ref: 1,1,2,3  cur: 2,3,3,4 -> D at v=1: |2*4-0*4|/16 = 0.5;
+    // v=2: |3*4-1*4|=8 -> 0.5; v=3: |4*4-3*4|=4; v=4: 0.
+    // max numerator 8 first attained at v=1 -> ks=0.5, at_value=1
+    val df = (Seq(1L, 1L, 2L, 3L).map((_, false)) ++
+      Seq(2L, 3L, 3L, 4L).map((_, true))).toDF("v", "cur")
+    val r = Stats.ksDrift(df, "v", "cur").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 4L, 500000000L, 1L)))
+  }
+
+  test("piiPrevalence: the redaction patterns fire and the rates are " +
+      "exact floors; report and scrubber share the patterns") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      ("s1", "write to a.b@c.io today"),
+      ("s1", "see https://x.y/z now"),
+      ("s1", "account 1234567 flagged"),
+      ("s1", "clean text only"),
+      ("s2", "all clean here")).toDF("source", "text")
+    val got = TextAnalysis.piiPrevalence(df, "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      ("s1", 4L, 1L, 1L, 1L, 250000000L, 250000000L, 250000000L),
+      ("s2", 1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // every doc the report counts is one the scrubber changes
+    val changed = TextAnalysis.withRedaction(df, "text")
+      .where(col("text") =!= col("text_redacted")).count()
+    assert(changed == 3L)
+  }
+
   test("groupPercentileRank: exact PERCENT_RANK with shared tie ranks " +
       "and single-row groups pinned to 0") {
     val df = Seq(

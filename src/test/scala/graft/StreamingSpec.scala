@@ -1447,6 +1447,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingDriftCounts: cross-batch MAX-fold reproduces the " +
+      "batch chi-square monitor through the shared derivation") {
+    import graft.ext.Stats
+    val rows = (Seq.fill(30)(("x", false)) ++ Seq.fill(10)(("x", true)) ++
+      Seq.fill(10)(("y", false)) ++ Seq.fill(30)(("y", true)))
+    val batch = Stats.chiSquareDrift(rows.toDF("b", "cur"), "b", "cur")
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Boolean)]
+    val q = EventStreams.streamingDriftCounts(
+        mem.toDS().toDF("b", "cur"), "b", "cur")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("drift_counts").start()
+    try {
+      val (h, t) = rows.splitAt(25) // 'x' keys span both batches
+      mem.addData(h: _*); q.processAllAvailable()
+      mem.addData(t: _*); q.processAllAvailable()
+      val folded = spark.table("drift_counts").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max))
+        .toSeq.map { case (b, (nr, nc)) => (b, nr, nc) }
+      val online = Stats.chiSquareFromCounts(
+          folded.toDF("bucket", "n_ref", "n_cur"))
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingFim: the batch projection is Append-legal on a real " +
       "stream and emits the identical instance rows") {
     import graft.ext.Curation
