@@ -1413,6 +1413,45 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The THIRTY-SECOND streaming twin: online PII-prevalence
+    // maintenance — q239's governance counters kept fresh at ingest
+    // (the same deterministic PII planting applied in the feed
+    // projection). piiCounts verbatim as ONE Update-mode aggregation;
+    // monotone sums → MAX fold; rates derive through the SHARED
+    // piiRates expressions. Faces q239's own oracle SQL row-for-row.
+    "q241_streaming_pii" -> ((s, dir) => {
+      import s.implicits._
+      val feed = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" u"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit(" id "), col("doc_id") * 1000000 + 123456))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            lit(" see https://example.com/x")).otherwise(lit(""))))
+        .select(col("doc_id").cast("long").as("_1"),
+          col("source").as("_2"), col("text").as("_3"))
+        .as[(Long, String, String)]
+      val raw = replayTypedThirds[(Long, String, String)](s, feed,
+        Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingPiiCounts(
+          ds.toDF("doc_id", "source", "text"), "source", "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max,
+          vs.map(_._2._3).max, vs.map(_._2._4).max))
+        .toSeq.map { case (src, (d, e, u, n)) => (src, d, e, u, n) }
+      graft.ext.TextAnalysis.piiRates(
+          folded.toDF("source", "n_docs", "n_email", "n_url",
+            "n_longnum"))
+        .orderBy("source")
+    }),
+
     // The THIRTY-FIRST streaming twin: online drift-count maintenance
     // — q236's χ² monitor kept fresh at ingest. ONE Update-mode
     // per-bucket aggregation carries both sides' monotone counts; MAX
@@ -2508,5 +2547,10 @@ object AnalyticQueries {
       // as q236
       ("q237_streaming_drift" ->
         StatsQueries.oracleSql("q236_chi2_drift")) +
+      // the folded online governance counters, derived through the
+      // shared rate expressions, must reproduce the batch report —
+      // same oracle as q239
+      ("q241_streaming_pii" ->
+        TextQueries.oracleSql("q239_pii_prevalence")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

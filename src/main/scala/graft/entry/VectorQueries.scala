@@ -237,6 +237,25 @@ object VectorQueries {
 
     // IVF ANN: coarse-quantize to the 8 lowest-id vectors as centroids,
     // single-probe top-3 within the query's own cell.
+    // Rank-biased overlap between the EXACT top-10 ranking (q40's
+    // brute force) and the IVF approximation (q43's pinned-centroid
+    // search) per query — the ranking-quality metric that weights the
+    // top of the list where recall@k is blind. p = 1/2 keeps every
+    // term one IEEE division by an exact d·2^d, so the doubles hash.
+    "q240_rbo_rankings" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, queries, "vec_id",
+        "embedding", k = 10)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val approx = Similarity.ivfTopK(e, "vec_id", "embedding", cents,
+        col("vec_id") < 10, k = 10)
+      graft.ext.Search.rboOverlap(exact, approx, "q_id", "n_id",
+          "rank", k = 10)
+        .orderBy("q_id")
+    }),
+
     "q43_ivf_ann" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") < 8)
@@ -708,6 +727,48 @@ object VectorQueries {
         |  ON a.label=b.label AND a.vec_id<b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // q40's exact ranks + q43's IVF ranks at k=10, inner-joined;
+    // depth terms x/(d·2^d) summed ascending-d via the list fold —
+    // the Spark sort_array/aggregate mirror
+    "q240_rbo_rankings" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id<10),
+        |esc AS (SELECT q_id, vec_id AS n_id,
+        |         list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
+        |       FROM embeddings, q WHERE vec_id <> q_id),
+        |ea AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS ra
+        |      FROM esc),
+        |cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        |              FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, embedding, cid FROM (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec), c.cid) AS rn
+        |  FROM embeddings e, cent c) WHERE rn = 1),
+        |iq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, cid
+        |      FROM asg WHERE vec_id < 10),
+        |isc AS (SELECT iq.q_id, a.vec_id AS n_id,
+        |        list_cosine_similarity(iq.qv, a.embedding::DOUBLE[]) AS cos
+        |       FROM iq JOIN asg a USING (cid) WHERE a.vec_id <> iq.q_id),
+        |ia AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rb
+        |      FROM isc),
+        |m AS (SELECT ea.q_id, greatest(ea.ra, ia.rb) AS m
+        |      FROM ea JOIN ia ON ea.q_id = ia.q_id AND ea.n_id = ia.n_id
+        |      WHERE ea.ra <= 10 AND ia.rb <= 10),
+        |x AS (SELECT q_id, CAST(u.d AS BIGINT) AS d,
+        |        CAST(COUNT(*) AS BIGINT) AS x
+        |      FROM m, unnest(generate_series(m.m, 10)) u(d)
+        |      WHERE m <= 10 GROUP BY 1, 2),
+        |tm AS (SELECT q_id, d,
+        |        CAST(x AS DOUBLE) / CAST(d * (CAST(1 AS BIGINT) << d) AS DOUBLE) AS t
+        |      FROM x),
+        |rb AS (SELECT q_id,
+        |        list_reduce(list_prepend(0.0, list(t ORDER BY d)),
+        |          (a, b) -> a + b) AS rbo
+        |      FROM tm GROUP BY 1)
+        |SELECT q.q_id, COALESCE(rb.rbo, 0.0) AS rbo
+        |FROM q LEFT JOIN rb USING (q_id) ORDER BY q.q_id""".stripMargin,
     "q43_ivf_ann" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
         |              FROM embeddings WHERE vec_id < 8),

@@ -229,6 +229,53 @@ object Search {
     * corpora), so the full-outer-join cascade is over tiny frames —
     * the corpus-sized work happened inside each system's own
     * zero-shuffle retrieval plan. */
+  /** Rank-biased overlap at depth k (Webber/Moffat/Zobel 2010) with
+    * persistence p = 1/2 — the ranking-similarity metric that, unlike
+    * recall@k, weights agreement at the TOP of the lists: how close is
+    * an ANN system's ranking to the exact one, per query?
+    *
+    *   RBO@k = Σ_{d=1..k} (1−p)·p^(d−1) · |top_d(A) ∩ top_d(B)| / d
+    *
+    * p is FIXED at 1/2 on purpose: every weight (1−p)p^(d−1) = 2^(−d)
+    * is then a dyadic rational, so each term is ONE correctly-rounded
+    * IEEE division `x / (d·2^d)` (the denominator an exact integer
+    * via shiftleft — never libm pow) and the sum folds in ascending-d
+    * order — the double RBO replays bit-for-bit in any engine.
+    *
+    * Inputs: two (qCol, idCol, rankCol) ranked lists with ranks 1..k.
+    * An item counts toward depth d iff BOTH its ranks are ≤ d (the
+    * intersection definition). Queries on either side with zero
+    * overlap report rbo = 0. Scale shape: one (q, id) equi-join of
+    * top-k lists + a bounded explode (≤ k rows per matched pair) —
+    * the corpora stayed inside each system's own retrieval plan. */
+  def rboOverlap(a: DataFrame, b: DataFrame, qCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1, 62] (got $k)")
+    val aa = a.select(col(qCol), col(idCol),
+      col(rankCol).cast("long").as("__ra"))
+    val bb = b.select(col(qCol), col(idCol),
+      col(rankCol).cast("long").as("__rb"))
+    val terms = aa.join(bb, Seq(qCol, idCol))
+      .select(col(qCol), greatest(col("__ra"), col("__rb")).as("__m"))
+      .where(col("__m") <= k)
+      .select(col(qCol),
+        explode(sequence(col("__m"), lit(k.toLong))).as("__d"))
+      .groupBy(col(qCol), col("__d")).agg(count(lit(1)).as("__x"))
+      .withColumn("__t", expr("CAST(__x AS DOUBLE)" +
+        " / CAST(__d * shiftleft(CAST(1 AS BIGINT), CAST(__d AS INT))" +
+        " AS DOUBLE)"))
+    val spine = a.select(col(qCol)).union(b.select(col(qCol))).distinct()
+    val rbo = terms.groupBy(col(qCol)).agg(
+      aggregate(
+        transform(
+          sort_array(collect_list(
+            struct(col("__d").as("d"), col("__t").as("t")))),
+          s => s("t")),
+        lit(0.0), (acc, v) => acc + v).as("rbo"))
+    spine.join(rbo, Seq(qCol), "left")
+      .select(col(qCol), coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+
   def rrfFuse(systems: Seq[(String, DataFrame)], idCol: String,
       rankCol: String, k0: Int = 60): DataFrame = {
     require(systems.nonEmpty, "rrfFuse needs at least one ranked system")

@@ -866,6 +866,13 @@ object TextAnalysis {
     * rates. ONE aggregation pass, rlike flags computed in-scan; the
     * shuffle carries |groups| rows of counts. */
   def piiPrevalence(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    piiRates(piiCounts(df, groupCol, textCol))
+
+  /** The aggregation half of [[piiPrevalence]] — ONE per-group pass
+    * with all four monotone sums, which is also what makes it legal
+    * as a streaming Update-mode aggregation (the twin's shape). */
+  def piiCounts(df: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
     def hit(re: String): Column =
       coalesce(col(textCol).rlike(re), lit(false)).cast("long")
@@ -874,13 +881,18 @@ object TextAnalysis {
         sum(hit(EmailRe)).as("n_email"),
         sum(hit(UrlRe)).as("n_url"),
         sum(hit(LongNumRe)).as("n_longnum"))
+  }
+
+  /** The rate half of [[piiPrevalence]] — shared with the streaming
+    * twin's folded counts so the two paths cannot drift. */
+  def piiRates(counts: DataFrame): DataFrame =
+    counts
       .withColumn("email_rate_e9",
         expr("CAST(n_email AS DECIMAL(20,0)) * 1000000000 div n_docs"))
       .withColumn("url_rate_e9",
         expr("CAST(n_url AS DECIMAL(20,0)) * 1000000000 div n_docs"))
       .withColumn("longnum_rate_e9",
         expr("CAST(n_longnum AS DECIMAL(20,0)) * 1000000000 div n_docs"))
-  }
 
   /** Tokenizer fertility report per group (the multilingual
     * tokenizer-quality diagnostic): fertility = subword tokens per

@@ -440,6 +440,18 @@ object EventStreams {
       .select(col(idCol), col(groupCol), col("epoch"))
   }
 
+  /** Online PII-prevalence maintenance — the streaming half of
+    * [[graft.ext.TextAnalysis.piiPrevalence]]: the governance counters
+    * kept fresh at ingest. [[graft.ext.TextAnalysis.piiCounts]]
+    * VERBATIM (one Update-mode per-group aggregation, rlike flags
+    * in-scan, all four sums MONOTONE → MAX fold); rates derive from
+    * the folded counts through the SHARED
+    * [[graft.ext.TextAnalysis.piiRates]] expressions. State ∝
+    * |groups|. */
+  def streamingPiiCounts(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    graft.ext.TextAnalysis.piiCounts(docs, groupCol, textCol)
+
   /** Online distribution-drift count maintenance — the streaming half
     * of [[graft.ext.Stats.chiSquareDrift]]: ONE Update-mode per-bucket
     * aggregation keeps both sides' counts fresh as rows arrive (both

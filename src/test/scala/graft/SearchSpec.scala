@@ -231,6 +231,26 @@ class SearchSpec extends SparkSpecBase {
       (3L, 3L, -1L, 15873015L)))
   }
 
+  test("rboOverlap: identical lists hit the exact dyadic ceiling, " +
+      "disjoint lists score 0, partial overlap matches the hand sum") {
+    import spark.implicits._
+    def ranked(q: Long, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (i, r) => (q, i, r + 1) }
+    // q1: identical; q2: disjoint; q3: same top-1, rank-2/3 swapped
+    val a = (ranked(1L, Seq(10, 11, 12)) ++ ranked(2L, Seq(20, 21, 22)) ++
+      ranked(3L, Seq(30, 31, 32))).toDF("q", "id", "rank")
+    val b = (ranked(1L, Seq(10, 11, 12)) ++ ranked(2L, Seq(40, 41, 42)) ++
+      ranked(3L, Seq(30, 32, 31))).toDF("q", "id", "rank")
+    val got = graft.ext.Search.rboOverlap(a, b, "q", "id", "rank", k = 3)
+      .orderBy("q").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // identical: sum 2^-d for d=1..3 = 1 - 2^-3 = 0.875 EXACT (dyadic)
+    assert(got(0) == ((1L, 0.875)))
+    assert(got(1) == ((2L, 0.0)))
+    // q3: X_1=1 (30), X_2=1 (31/32 swapped), X_3=3
+    // -> 1/(1·2) + 1/(2·4) + 3/(3·8) = 0.5 + 0.125 + 0.125 = 0.75
+    assert(got(2) == ((3L, 0.75)))
+  }
+
   test("rrfFuse: single system is a pure rank transform") {
     import spark.implicits._
     val a = Seq((7L, 1), (9L, 2)).toDF("doc_id", "rank")

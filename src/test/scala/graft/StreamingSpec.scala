@@ -1478,6 +1478,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingPiiCounts: cross-batch MAX-fold reproduces the batch " +
+      "governance report through the shared rates") {
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      (1L, "s1", "write to a.b@c.io today"),
+      (2L, "s1", "see https://x.y/z now"),
+      (3L, "s1", "account 1234567 flagged"),
+      (4L, "s1", "clean text only"),
+      (5L, "s2", "mail me x@y.zz"))
+    val batch = TextAnalysis.piiPrevalence(
+        rows.toDF("id", "source", "text"), "source", "text")
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStreams.streamingPiiCounts(
+        mem.toDS().toDF("id", "source", "text"), "source", "text")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("pii_counts").start()
+    try {
+      // s1 spans both batches: the re-emitted counts fold by MAX
+      mem.addData(rows(0), rows(1)); q.processAllAvailable()
+      mem.addData(rows(2), rows(3), rows(4)); q.processAllAvailable()
+      val folded = spark.table("pii_counts").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max,
+          vs.map(_._2._3).max, vs.map(_._2._4).max))
+        .toSeq.map { case (s0, (d, e, u, n)) => (s0, d, e, u, n) }
+      val online = TextAnalysis.piiRates(
+          folded.toDF("source", "n_docs", "n_email", "n_url",
+            "n_longnum"))
+        .orderBy("source").collect().map(_.toSeq).toSeq
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingFim: the batch projection is Append-legal on a real " +
       "stream and emits the identical instance rows") {
     import graft.ext.Curation
