@@ -1413,6 +1413,58 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The THIRTY-THIRD streaming twin: line-quality filtering at
+    // ingest — the batch HOF projection verbatim (stateless,
+    // Append-legal); the twin pins stream legality and instance
+    // parity. Faces q242's own oracle SQL row-for-row.
+    "q243_streaming_line_filter" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayDocsThirds(s,
+        TextQueries.rebuiltLines(s, dir, 4),
+        df => graft.streaming.EventStreams.streamingLineQualityFilter(
+          df, "doc_id", "text", minAlphaE9 = 860000000L),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getString(1)))
+        .toSeq
+        .toDF("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // The THIRTY-FOURTH streaming twin: online OOV-rate maintenance —
+    // the tokenizer-coverage diagnostic at ingest. The top-100
+    // vocabulary trains once in batch (materialized), rides as an
+    // xxhash64 plan-literal set probed in-scan; ONE Update-mode
+    // per-source aggregation of the monotone (tokens, oov) sums; MAX
+    // fold; rates through the SHARED oovRates expressions. Faces
+    // q244's own oracle SQL row-for-row.
+    "q245_streaming_oov" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val vocab = d.select(explode(filter(
+            graft.functions.TextFunctions.tokens(col("text")),
+            tk => length(tk) > 0)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("term")).limit(100)
+        .select("term")
+        .localCheckpoint(true) // the batch-trained vocabulary artifact
+      val feed = d.select(col("doc_id").cast("long").as("_1"),
+          col("source").as("_2"), col("text").as("_3"))
+        .as[(Long, String, String)]
+      val raw = replayTypedThirds[(Long, String, String)](s, feed,
+        Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingOovCounts(
+          ds.toDF("doc_id", "source", "text"), "source", "text", vocab),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max))
+        .toSeq.map { case (src, (nt, no)) => (src, nt, no) }
+      graft.ext.TextAnalysis.oovRates(
+          folded.toDF("source", "n_tokens", "n_oov"))
+        .orderBy("source")
+    }),
+
     // The THIRTY-SECOND streaming twin: online PII-prevalence
     // maintenance — q239's governance counters kept fresh at ingest
     // (the same deterministic PII planting applied in the feed
@@ -2552,5 +2604,14 @@ object AnalyticQueries {
       // same oracle as q239
       ("q241_streaming_pii" ->
         TextQueries.oracleSql("q239_pii_prevalence")) +
+      // line filtering at ingest is the batch projection verbatim —
+      // same oracle as q242
+      ("q243_streaming_line_filter" ->
+        TextQueries.oracleSql("q242_line_quality_filter")) +
+      // the folded online coverage counts, derived through the shared
+      // rate expressions, must reproduce the batch diagnostic — same
+      // oracle as q244
+      ("q245_streaming_oov" ->
+        TextQueries.oracleSql("q244_oov_rate")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -298,6 +298,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // C4-style LINE-level quality filter: drop every (rebuilt, w=4)
+    // line whose alpha ratio falls below 0.86 — exact integer rational
+    // compare inside a HOF filter, zero shuffle. 45% of lines survive
+    // at sf0.001, splitting within latin docs (non-vacuous both ways).
+    "q242_line_quality_filter" -> ((s, dir) => {
+      graft.ext.Curation.lineQualityFilter(rebuiltLines(s, dir, 4),
+          "doc_id", "text", minAlphaE9 = 860000000L)
+        .orderBy("doc_id")
+    }),
+
+    // Out-of-vocabulary rate per source against the corpus' own
+    // top-100 term vocabulary (count desc, term asc — deterministic
+    // cut): the tokenizer-coverage diagnostic. Vocabulary broadcasts;
+    // the only shuffle carries per-source count rows.
+    "q244_oov_rate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = d.select(explode(filter(
+            graft.functions.TextFunctions.tokens(col("text")),
+            t => length(t) > 0)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("term")).limit(100)
+        .select("term")
+      TextAnalysis.oovRate(d, "source", "text", vocab)
+        .orderBy("source")
+    }),
+
     // PII-prevalence governance report per source: docs containing an
     // email / URL / long digit run, with floor-e9 rates — the SAME
     // patterns q39's redaction scrubs (shared constants, so metric
@@ -1071,6 +1097,34 @@ object TextQueries {
         |SELECT doc_id, label,
         |  CAST(sc * 1000000000 AS BIGINT) AS score_e9
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // the rebuilt-lines CTE + list_filter with the SAME integer
+    // rational predicate (alpha*1e9 >= tau*len — no division);
+    // COALESCE because DuckDB array_to_string([]) is NULL where Spark
+    // array_join([]) is '' (fully-filtered docs keep empty text)
+    "q242_line_quality_filter" -> (rebuiltSqlCte(4) +
+      """
+        |SELECT doc_id, COALESCE(array_to_string(list_filter(
+        |    string_split(text, chr(10)),
+        |    l -> length(l) > 0 AND
+        |      length(regexp_replace(l,'[^A-Za-z]','','g')) * 1000000000
+        |        >= 860000000 * length(l)), chr(10)), '') AS text
+        |FROM rebuilt ORDER BY doc_id""".stripMargin),
+    // top-100 vocabulary by (count desc, term asc), then a left join
+    // marks OOV instances; floor-e9 rate over exact counts
+    "q244_oov_rate" ->
+      """WITH tok AS (SELECT source, u.t FROM documents,
+        |    unnest(string_split_regex(text,'\s+')) u(t)
+        |    WHERE length(u.t) > 0),
+        |v AS (SELECT t AS term FROM (
+        |    SELECT t, COUNT(*) AS n FROM tok GROUP BY 1
+        |    ORDER BY n DESC, t LIMIT 100)),
+        |j AS (SELECT source,
+        |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok LEFT JOIN v ON tok.t = v.term)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  (CAST(SUM(oov) AS BIGINT) * 1000000000) // COUNT(*) AS oov_rate_e9
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same mod-selected PII planting, then regexp_matches with
     // the redaction patterns verbatim; floor-e9 rates over exact
     // counts

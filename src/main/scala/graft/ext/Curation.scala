@@ -831,6 +831,32 @@ object Curation {
         col("cum_tokens"))
   }
 
+  /** LINE-level quality filter (the C4-family per-line rules next to
+    * the corpus-level boilerplate removal): drop every line whose
+    * alphabetic ratio falls below `minAlphaE9`/10⁹, keep the document
+    * with its surviving lines rejoined. The predicate is the EXACT
+    * rational compare `alphaChars(line)·10⁹ ≥ minAlphaE9·length(line)`
+    * — pure integer arithmetic inside a HOF filter, no division, no
+    * floats. Empty lines always drop; a document whose every line
+    * drops keeps an empty text (count survivors downstream, the
+    * boilerplate-removal contract).
+    *
+    * ENTIRELY map-only — split, filter, rejoin happen inside one scan
+    * projection; at 100 TB this is storage-bandwidth work with zero
+    * shuffle (same class as [[fimTransform]]). */
+  def lineQualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minAlphaE9: Long): DataFrame = {
+    require(minAlphaE9 >= 0 && minAlphaE9 <= 1000000000L,
+      s"minAlphaE9 must be in [0, 1e9] (got $minAlphaE9)")
+    val kept = filter(split(col(textCol), "\n"), l =>
+      length(l) > 0 &&
+        graft.functions.TextFunctions.alphaChars(l).cast("long") *
+          lit(1000000000L) >=
+          lit(minAlphaE9) * length(l).cast("long"))
+    df.withColumn(textCol, when(col(textCol).isNull, col(textCol))
+      .otherwise(array_join(kept, "\n")))
+  }
+
   /** Every knob of [[mixturePipeline]]; q231 pins the defaults. */
   final case class MixtureConfig(
       minTokens: Long = 20L,

@@ -854,6 +854,34 @@ object TextAnalysis {
       out: String = "text_redacted"): DataFrame =
     df.withColumn(out, redact(col(textCol)))
 
+  /** Out-of-vocabulary rate per group against a tokenizer vocabulary
+    * table (`term` column): per group — token instances, OOV
+    * instances, floor-e9 OOV rate. The tokenizer-coverage diagnostic
+    * a multilingual corpus is screened with before training (high OOV
+    * → the tokenizer fragments that slice). The vocabulary BROADCASTS
+    * (vocabularies are 10⁴–10⁶ rows against a 100 TB corpus); the
+    * only shuffle carries |groups| count rows. Empty tokens are
+    * excluded (the scoreLinear convention). */
+  def oovRate(df: DataFrame, groupCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    oovRates(
+      df.select(col(groupCol),
+          explode(filter(tokens(col(textCol)), t => length(t) > 0))
+            .as("term"))
+        .join(broadcast(vocab.select(col("term")).distinct()
+          .withColumn("__in", lit(1L))), Seq("term"), "left")
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov")))
+
+  /** The rate half of [[oovRate]], shared with the streaming twin's
+    * folded counts. */
+  def oovRates(counts: DataFrame): DataFrame =
+    counts.withColumn("oov_rate_e9",
+      when(col("n_tokens") > 0,
+        expr("CAST(n_oov AS DECIMAL(20,0)) * 1000000000 div n_tokens"))
+        .otherwise(lit(0L)))
+
   /** The [[redact]] patterns, named — shared by the prevalence
     * report so the governance metric and the scrubber can't drift. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -440,6 +440,50 @@ object EventStreams {
       .select(col(idCol), col(groupCol), col("epoch"))
   }
 
+  /** Line-quality filtering at ingest —
+    * [[graft.ext.Curation.lineQualityFilter]] VERBATIM on the
+    * streaming frame (pure projection: split, integer-rational HOF
+    * filter, rejoin — zero state, Append-legal; the
+    * [[streamingFim]]/[[streamingStandardize]] convention, twins
+    * cannot drift by construction). */
+  def streamingLineQualityFilter(docs: DataFrame, idCol: String,
+      textCol: String, minAlphaE9: Long): DataFrame =
+    graft.ext.Curation.lineQualityFilter(docs, idCol, textCol,
+      minAlphaE9)
+
+  /** Online OOV-rate maintenance — the streaming half of
+    * [[graft.ext.TextAnalysis.oovRate]]: the vocabulary collapses to
+    * an xxhash64 plan-literal long set (the [[streamingContamination]]
+    * device, loud `maxVocab` guard) probed per token IN-SCAN, so the
+    * per-row (tokens, oov) counts are map-only and ONE Update-mode
+    * per-group aggregation carries the monotone sums → MAX fold; the
+    * rate derives through the SHARED
+    * [[graft.ext.TextAnalysis.oovRates]] expressions. Exactness rides
+    * on 64-bit hash equality — the batch join is the collision-free
+    * form. State ∝ |groups|. */
+  def streamingOovCounts(docs: DataFrame, groupCol: String,
+      textCol: String, vocab: DataFrame,
+      maxVocab: Int = 4 << 20): DataFrame = {
+    val spark = vocab.sparkSession
+    val hs = vocab.select(xxhash64(col("term")).as("__h")).distinct()
+      .limit(maxVocab + 1).collect().map(_.getLong(0))
+    require(hs.length <= maxVocab,
+      s"vocabulary exceeds $maxVocab distinct terms — too large for a " +
+        "plan literal; use the batch oovRate join")
+    val setLit = typedlit(hs)
+    val toks = filter(graft.functions.TextFunctions.tokens(
+      coalesce(col(textCol), lit(""))), t => length(t) > 0)
+    docs
+      .withColumn("__nt", size(toks).cast("long"))
+      .withColumn("__oov",
+        size(filter(toks, t => !graft.functions.expressions
+          .SketchExpressions.inLongSet(spark, xxhash64(t), setLit)))
+          .cast("long"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__nt")).as("n_tokens"),
+        sum(col("__oov")).as("n_oov"))
+  }
+
   /** Online PII-prevalence maintenance — the streaming half of
     * [[graft.ext.TextAnalysis.piiPrevalence]]: the governance counters
     * kept fresh at ingest. [[graft.ext.TextAnalysis.piiCounts]]

@@ -990,6 +990,22 @@ class CurationSpec extends SparkSpecBase {
     assert(again == kept)
   }
 
+  test("lineQualityFilter: exact rational boundary, empty lines drop, " +
+      "all-dropped docs keep empty text, null passes through") {
+    val df = Seq(
+      // 'abcde fgh' = 8 alpha / 9 chars = 0.888...; 'ab 12' = 2/5
+      (1L, "abcde fgh\nab 12\nxyz"),
+      // boundary: 'abcd!' = 4/5 = 0.8 EXACTLY — kept at tau = 0.8
+      (2L, "abcd!\n!!!!"),
+      (3L, "12 34\n!!"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Curation.lineQualityFilter(df, "id", "text",
+        minAlphaE9 = 800000000L)
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(got.toSeq == Seq("abcde fgh\nxyz", "abcd!", "", "", null))
+  }
   test("mixturePipeline: gate feeds the allocation, instances key the " +
       "shard on (epoch, doc), re-runs are byte-identical") {
     // lang a: two good docs; lang b: one good + one that FAILS the

@@ -1742,6 +1742,22 @@ class ExtSpec extends SparkSpecBase {
       (1L, "unique para")))
   }
 
+  test("oovRate: exact instance counts against the vocab, duplicate " +
+      "vocab rows harmless, all-OOV group rates 1e9") {
+    val vocab = Seq("the", "fox", "the").toDF("term") // dup collapses
+    val df = Seq(
+      ("a", "the fox the dog"),   // 4 tokens, 1 oov (dog)
+      ("a", "cat"),               // 1 token, 1 oov
+      ("b", "zz yy")).toDF("grp", "text")
+    val got = TextAnalysis.oovRate(df, "grp", "text", vocab)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", 5L, 2L, 400000000L),
+      ("b", 2L, 2L, 1000000000L)))
+  }
+
   test("tokenizerFertility: exact sums per group, ratios divide the " +
       "sums (not per-doc means)") {
     val df = Seq(

@@ -1517,6 +1517,61 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingOovCounts: plan-literal vocab probe folds to the " +
+      "batch join's exact counts through the shared rates") {
+    import graft.ext.TextAnalysis
+    val vocab = Seq("the", "fox").toDF("term")
+    val rows = Seq((1L, "a", "the fox the dog"), (2L, "a", "cat"),
+      (3L, "b", "zz yy"))
+    val batch = TextAnalysis.oovRate(
+        rows.toDF("id", "grp", "text"), "grp", "text", vocab)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStreams.streamingOovCounts(
+        mem.toDS().toDF("id", "grp", "text"), "grp", "text", vocab)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("oov_counts").start()
+    try {
+      mem.addData(rows(0)); q.processAllAvailable()
+      mem.addData(rows(1), rows(2)); q.processAllAvailable()
+      val folded = spark.table("oov_counts").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).max, vs.map(_._2._2).max))
+        .toSeq.map { case (g, (nt, no)) => (g, nt, no) }
+      val online = TextAnalysis.oovRates(
+          folded.toDF("grp", "n_tokens", "n_oov"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("streamingLineQualityFilter: Append-legal, instance-identical " +
+      "to the batch projection") {
+    import graft.ext.Curation
+    val docs = Seq((1L, "abcde fgh\nab 12"), (2L, "!!\n??"))
+    val batch = Curation.lineQualityFilter(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 800000000L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingLineQualityFilter(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", 800000000L)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("line_filter").start()
+    try {
+      mem.addData(docs: _*); q.processAllAvailable()
+      val online = spark.table("line_filter").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingFim: the batch projection is Append-legal on a real " +
       "stream and emits the identical instance rows") {
     import graft.ext.Curation
