@@ -1413,6 +1413,28 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The THIRTY-FIFTH streaming twin: online Kneser-Ney count
+    // maintenance — LM TRAINING kept fresh at ingest (the q200 shape
+    // for n-gram LMs): knBigramCounts verbatim as the ONE Update-mode
+    // aggregation, MAX fold, continuation statistics through the
+    // SHARED knTable expressions, the same top-200 cut. Faces q246's
+    // own oracle SQL row-for-row.
+    "q247_streaming_kn_counts" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingKnCounts(
+          df, "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max)
+        .toSeq.map { case ((w1, w2), n) => (w1, w2, n) }
+      graft.ext.TextAnalysis.knTable(folded.toDF("w1", "w2", "n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(200)
+    }),
+
     // The THIRTY-THIRD streaming twin: line-quality filtering at
     // ingest — the batch HOF projection verbatim (stateless,
     // Append-legal); the twin pins stream legality and instance
@@ -1431,7 +1453,7 @@ object AnalyticQueries {
     }),
 
     // The THIRTY-FOURTH streaming twin: online OOV-rate maintenance —
-    // the tokenizer-coverage diagnostic at ingest. The top-100
+    // the tokenizer-coverage diagnostic at ingest. The top-20
     // vocabulary trains once in batch (materialized), rides as an
     // xxhash64 plan-literal set probed in-scan; ONE Update-mode
     // per-source aggregation of the monotone (tokens, oov) sums; MAX
@@ -1444,7 +1466,7 @@ object AnalyticQueries {
             graft.functions.TextFunctions.tokens(col("text")),
             tk => length(tk) > 0)).as("term"))
         .groupBy("term").agg(count(lit(1)).as("__n"))
-        .orderBy(col("__n").desc, col("term")).limit(100)
+        .orderBy(col("__n").desc, col("term")).limit(20)
         .select("term")
         .localCheckpoint(true) // the batch-trained vocabulary artifact
       val feed = d.select(col("doc_id").cast("long").as("_1"),
@@ -2613,5 +2635,9 @@ object AnalyticQueries {
       // oracle as q244
       ("q245_streaming_oov" ->
         TextQueries.oracleSql("q244_oov_rate")) +
+      // online LM-count maintenance must converge to the batch
+      // trainer's exact table — same oracle as q246
+      ("q247_streaming_kn_counts" ->
+        TextQueries.oracleSql("q246_kn_counts")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -298,6 +298,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Kneser-Ney LM-training core under the gate (the q196 device for
+    // n-gram LMs): bigram counts + both continuation statistics —
+    // everything the smoother needs except the final division — as
+    // exact BIGINTs; top-200 by the total (n desc, w1, w2) order.
+    "q246_kn_counts" -> ((s, dir) => {
+      TextAnalysis.knTable(
+          TextAnalysis.knBigramCounts(docs(s, dir), "text"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(200)
+    }),
+
     // C4-style LINE-level quality filter: drop every (rebuilt, w=4)
     // line whose alpha ratio falls below 0.86 — exact integer rational
     // compare inside a HOF filter, zero shuffle. 45% of lines survive
@@ -309,7 +320,7 @@ object TextQueries {
     }),
 
     // Out-of-vocabulary rate per source against the corpus' own
-    // top-100 term vocabulary (count desc, term asc — deterministic
+    // top-20 term vocabulary (the corpus has 31 distinct terms, so 11 are genuinely OOV) (count desc, term asc — deterministic
     // cut): the tokenizer-coverage diagnostic. Vocabulary broadcasts;
     // the only shuffle carries per-source count rows.
     "q244_oov_rate" -> ((s, dir) => {
@@ -318,7 +329,7 @@ object TextQueries {
             graft.functions.TextFunctions.tokens(col("text")),
             t => length(t) > 0)).as("term"))
         .groupBy("term").agg(count(lit(1)).as("__n"))
-        .orderBy(col("__n").desc, col("term")).limit(100)
+        .orderBy(col("__n").desc, col("term")).limit(20)
         .select("term")
       TextAnalysis.oovRate(d, "source", "text", vocab)
         .orderBy("source")
@@ -1097,6 +1108,24 @@ object TextQueries {
         |SELECT doc_id, label,
         |  CAST(sc * 1000000000 AS BIGINT) AS score_e9
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // adjacent pairs via generate_series over the filtered token
+    // array; continuation counts = per-side distinct-partner counts
+    // over the COLLAPSED bigram table
+    "q246_kn_counts" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text,'\s+'),
+        |    x -> length(x) > 0) AS tk FROM documents),
+        |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY 1, 2),
+        |pre AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1plus_pre
+        |  FROM c GROUP BY 1),
+        |post AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1plus_post
+        |  FROM c GROUP BY 1)
+        |SELECT c.w1, c.w2, c.n, pre.n1plus_pre, post.n1plus_post
+        |FROM c JOIN pre USING (w2) JOIN post USING (w1)
+        |ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""".stripMargin,
     // the rebuilt-lines CTE + list_filter with the SAME integer
     // rational predicate (alpha*1e9 >= tau*len — no division);
     // COALESCE because DuckDB array_to_string([]) is NULL where Spark
@@ -1109,7 +1138,7 @@ object TextQueries {
         |      length(regexp_replace(l,'[^A-Za-z]','','g')) * 1000000000
         |        >= 860000000 * length(l)), chr(10)), '') AS text
         |FROM rebuilt ORDER BY doc_id""".stripMargin),
-    // top-100 vocabulary by (count desc, term asc), then a left join
+    // top-20 vocabulary by (count desc, term asc), then a left join
     // marks OOV instances; floor-e9 rate over exact counts
     "q244_oov_rate" ->
       """WITH tok AS (SELECT source, u.t FROM documents,
@@ -1117,7 +1146,7 @@ object TextQueries {
         |    WHERE length(u.t) > 0),
         |v AS (SELECT t AS term FROM (
         |    SELECT t, COUNT(*) AS n FROM tok GROUP BY 1
-        |    ORDER BY n DESC, t LIMIT 100)),
+        |    ORDER BY n DESC, t LIMIT 20)),
         |j AS (SELECT source,
         |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
         |  FROM tok LEFT JOIN v ON tok.t = v.term)

@@ -854,6 +854,47 @@ object TextAnalysis {
       out: String = "text_redacted"): DataFrame =
     df.withColumn(out, redact(col(textCol)))
 
+  /** Adjacent-bigram counts over the corpus — the exact-integer CORE
+    * of a Kneser–Ney n-gram LM (the q196 NB-trainer device applied to
+    * LM training: everything the smoother needs EXCEPT the final
+    * division/log lives in exact BIGINTs, so training is
+    * oracle-checkable). One in-scan bigram explode + ONE (w1, w2)
+    * aggregation whose map-side partials collapse repeats — the
+    * shuffle carries collapsed bigram tuples, never the corpus. */
+  def knBigramCounts(df: DataFrame, textCol: String): DataFrame =
+    // adjacent pairs as a zip of offset slices — slice(_, 1, 0) is []
+    // so sub-2-token docs emit nothing (sequence(1, 0) would generate
+    // a DESCENDING range and fabricate a bogus pair — the trap this
+    // spelling avoids)
+    df.select(filter(tokens(col(textCol)), t => length(t) > 0)
+        .as("__t"))
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1),
+          greatest(size(col("__t")) - 1, lit(0))).as("w1"),
+        slice(col("__t"), lit(2),
+          greatest(size(col("__t")) - 1, lit(0))).as("w2")))
+        .as("__b"))
+      .select(col("__b").getField("w1").as("w1"),
+        col("__b").getField("w2").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n"))
+
+  /** The Kneser–Ney continuation statistics over a (w1, w2, n) bigram
+    * table — `n1plus_pre` = |{w : c(w, w2) > 0}| (how many distinct
+    * LEFT contexts w2 follows — the KN unigram numerator) and
+    * `n1plus_post` = |{w : c(w1, w) > 0}| (distinct continuations of
+    * w1 — the normalizer). Shared by the batch row and the streaming
+    * twin's folded counts, so the derivations cannot drift. All
+    * exact BIGINTs. */
+  def knTable(counts: DataFrame): DataFrame = {
+    val pre = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1plus_pre"))
+    val post = counts.groupBy(col("w1"))
+      .agg(count(lit(1)).as("n1plus_post"))
+    counts.join(pre, Seq("w2")).join(post, Seq("w1"))
+      .select("w1", "w2", "n", "n1plus_pre", "n1plus_post")
+  }
+
   /** Out-of-vocabulary rate per group against a tokenizer vocabulary
     * table (`term` column): per group — token instances, OOV
     * instances, floor-e9 OOV rate. The tokenizer-coverage diagnostic

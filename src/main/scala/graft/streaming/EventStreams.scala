@@ -440,6 +440,17 @@ object EventStreams {
       .select(col(idCol), col(groupCol), col("epoch"))
   }
 
+  /** Online Kneser–Ney count maintenance — the LM-training analogue
+    * of [[streamingTermCounts]]:
+    * [[graft.ext.TextAnalysis.knBigramCounts]] VERBATIM as the ONE
+    * Update-mode (w1, w2) aggregation (the bigram explode is
+    * stateless, the counts MONOTONE → MAX fold); the continuation
+    * statistics derive from the folded table through the SHARED
+    * [[graft.ext.TextAnalysis.knTable]] expressions. State ∝ distinct
+    * bigrams — the LM artifact, never the corpus. */
+  def streamingKnCounts(docs: DataFrame, textCol: String): DataFrame =
+    graft.ext.TextAnalysis.knBigramCounts(docs, textCol)
+
   /** Line-quality filtering at ingest —
     * [[graft.ext.Curation.lineQualityFilter]] VERBATIM on the
     * streaming frame (pure projection: split, integer-rational HOF

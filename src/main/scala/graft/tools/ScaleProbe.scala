@@ -117,7 +117,7 @@ object ScaleProbe {
       "percentile_normalize", "eval_leakage", "rrf_hybrid",
       "mixture_execute", "fim_transform",
       "tokenizer_fertility", "distinct_ngrams", "mixture_pipeline",
-      "budget_sample",
+      "budget_sample", "line_filter", "oov_rate", "kn_counts",
       "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
       "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
@@ -307,6 +307,26 @@ object ScaleProbe {
       TextAnalysis.withTokenCounts(docs, "text"), "doc_id", "n_tokens",
       budget = 400000L * copies, seed = "bs1", nShards = 64)
       .select(sum("cum_tokens")).head())
+    timeOrRun("line_filter")(Curation.lineQualityFilter(
+      docs, "doc_id", "text", minAlphaE9 = 860000000L)
+      .select(sum(length(col("text")))).head())
+    timeOrRun("oov_rate") {
+      val vocab = docs.select(explode(filter(
+            graft.functions.TextFunctions.tokens(col("text")),
+            t => length(t) > 0)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("term")).limit(20).select("term")
+      TextAnalysis.oovRate(
+          docs.withColumn("grp", pmod(col("doc_id"), lit(64))),
+          "grp", "text", vocab)
+        .select(sum("oov_rate_e9")).head()
+    }
+    // replicated copies repeat the same bigrams: distinct stays flat
+    // while instances grow — the map-side partial collapse is what
+    // the bytes measure (the distinct_ngrams axis)
+    timeOrRun("kn_counts")(TextAnalysis.knTable(
+      TextAnalysis.knBigramCounts(docs, "text"))
+      .select(sum("n"), sum("n1plus_pre")).head())
     timeOrRun("mixture_pipeline")(Curation.mixturePipeline(
       docs.withColumn("lang",
         concat(lit("l"), pmod(col("doc_id"), lit(100)))))

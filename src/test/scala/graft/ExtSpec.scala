@@ -1742,6 +1742,27 @@ class ExtSpec extends SparkSpecBase {
       (1L, "unique para")))
   }
 
+  test("knBigramCounts/knTable: exact bigram and continuation counts; " +
+      "sub-2-token docs emit nothing") {
+    val df = Seq(
+      "the cat sat",        // the-cat, cat-sat
+      "the cat ran",        // the-cat, cat-ran
+      "cat",                // nothing
+      "").toDF("text")
+    val got = TextAnalysis.knTable(
+        TextAnalysis.knBigramCounts(df, "text"))
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // c: (the,cat)=2, (cat,sat)=1, (cat,ran)=1
+    // pre(cat)=1 {the}; pre(sat)=1 {cat}; pre(ran)=1
+    // post(the)=1 {cat}; post(cat)=2 {sat,ran}
+    assert(got.toSeq == Seq(
+      ("cat", "ran", 1L, 1L, 2L),
+      ("cat", "sat", 1L, 1L, 2L),
+      ("the", "cat", 2L, 1L, 1L)))
+  }
+
   test("oovRate: exact instance counts against the vocab, duplicate " +
       "vocab rows harmless, all-OOV group rates 1e9") {
     val vocab = Seq("the", "fox", "the").toDF("term") // dup collapses

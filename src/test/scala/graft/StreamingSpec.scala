@@ -1549,6 +1549,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingKnCounts: cross-batch MAX-fold converges to the batch " +
+      "LM table through the shared continuation derivation") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "cat"))
+    val batch = TextAnalysis.knTable(TextAnalysis.knBigramCounts(
+        docs.toDF("id", "text"), "text"))
+      .orderBy("w1", "w2").collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingKnCounts(
+        mem.toDS().toDF("id", "text"), "text")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("kn_counts").start()
+    try {
+      // (the, cat) spans both batches — MAX, not sum
+      mem.addData(docs(0)); q.processAllAvailable()
+      mem.addData(docs(1), docs(2)); q.processAllAvailable()
+      val folded = spark.table("kn_counts").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max)
+        .toSeq.map { case ((w1, w2), n) => (w1, w2, n) }
+      val online = TextAnalysis.knTable(folded.toDF("w1", "w2", "n"))
+        .orderBy("w1", "w2").collect().map(_.toSeq).toSeq
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingLineQualityFilter: Append-legal, instance-identical " +
       "to the batch projection") {
     import graft.ext.Curation
