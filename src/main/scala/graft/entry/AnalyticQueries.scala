@@ -1413,6 +1413,35 @@ object AnalyticQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // The THIRTY-SIXTH streaming twin: online corpus-diversity
+    // maintenance — q230's distinct-bigram monitor kept fresh at
+    // ingest. groupedBigramCounts verbatim as ONE Update-mode
+    // aggregation; MAX fold; per group Σ counts = instances and
+    // |keys| = distinct, derived through the SHARED diversityRatios.
+    // Faces q230's own oracle SQL row-for-row.
+    "q248_streaming_diversity" -> ((s, dir) => {
+      import s.implicits._
+      val feed = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("_1"),
+          col("lang").as("_2"), col("text").as("_3"))
+        .as[(Long, String, String)]
+      val raw = replayTypedThirds[(Long, String, String)](s, feed,
+        Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingDiversityCounts(
+          ds.toDF("doc_id", "lang", "text"), "lang", "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+      val perGroup = folded.groupBy(_._1._1).toSeq
+        .map { case (g, vs) =>
+          (g, vs.map(_._2).sum, vs.length.toLong)
+        }
+      graft.ext.TextAnalysis.diversityRatios(
+          perGroup.toDF("lang", "n_grams", "n_distinct"))
+        .orderBy("lang")
+    }),
+
     // The THIRTY-FIFTH streaming twin: online Kneser-Ney count
     // maintenance — LM TRAINING kept fresh at ingest (the q200 shape
     // for n-gram LMs): knBigramCounts verbatim as the ONE Update-mode
@@ -2639,5 +2668,10 @@ object AnalyticQueries {
       // trainer's exact table — same oracle as q246
       ("q247_streaming_kn_counts" ->
         TextQueries.oracleSql("q246_kn_counts")) +
+      // the folded online gram counts, derived through the shared
+      // ratio expressions, must reproduce the batch diversity monitor
+      // — same oracle as q230
+      ("q248_streaming_diversity" ->
+        TextQueries.oracleSql("q230_distinct_ngrams")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -1019,12 +1019,39 @@ object TextAnalysis {
           .wordShingles(df.sparkSession, col(textCol), n)).as("__sh"))
       .groupBy(col(groupCol))
       .agg(countDistinct(col("__sh")).as("n_distinct"))
-    totals.join(distinctGrams, Seq(groupCol), "left")
-      .select(col(groupCol), col("n_grams"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
-      .withColumn("distinct_ratio",
-        when(col("n_grams") > 0,
-          col("n_distinct").cast("double") / col("n_grams").cast("double"))
-          .otherwise(lit(0.0)))
+    diversityRatios(
+      totals.join(distinctGrams, Seq(groupCol), "left")
+        .select(col(groupCol), col("n_grams"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct")))
   }
+
+  /** The ratio half of [[distinctNgramRatio]], shared with the
+    * streaming twin's folded per-gram counts (Σ counts = instances,
+    * |keys| = distinct — the same two integers, one IEEE division). */
+  def diversityRatios(counts: DataFrame): DataFrame =
+    counts.withColumn("distinct_ratio",
+      when(col("n_grams") > 0,
+        col("n_distinct").cast("double") / col("n_grams").cast("double"))
+        .otherwise(lit(0.0)))
+
+  /** Per-(group, gram) adjacent-bigram INSTANCE counts — the state
+    * table the online diversity monitor maintains (a grouped
+    * [[knBigramCounts]]); Σ n per group is the instance total and the
+    * key count the distinct total, so [[diversityRatios]] over the
+    * fold reproduces [[distinctNgramRatio]] exactly. */
+  def groupedBigramCounts(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    df.select(col(groupCol),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
+      .select(col(groupCol), explode(arrays_zip(
+        slice(col("__t"), lit(1),
+          greatest(size(col("__t")) - 1, lit(0))).as("w1"),
+        slice(col("__t"), lit(2),
+          greatest(size(col("__t")) - 1, lit(0))).as("w2")))
+        .as("__b"))
+      .select(col(groupCol),
+        concat_ws(" ", col("__b").getField("w1"),
+          col("__b").getField("w2")).as("gram"))
+      .groupBy(col(groupCol), col("gram"))
+      .agg(count(lit(1)).as("n"))
 }

@@ -440,6 +440,19 @@ object EventStreams {
       .select(col(idCol), col(groupCol), col("epoch"))
   }
 
+  /** Online corpus-diversity maintenance — the streaming half of
+    * [[graft.ext.TextAnalysis.distinctNgramRatio]] (n = 2):
+    * [[graft.ext.TextAnalysis.groupedBigramCounts]] VERBATIM as the
+    * ONE Update-mode (group, gram) aggregation; counts MONOTONE → MAX
+    * fold; per group, Σ folded counts IS the instance total and the
+    * key count the distinct total, so
+    * [[graft.ext.TextAnalysis.diversityRatios]] over the fold
+    * reproduces the batch monitor exactly. State ∝ distinct (group,
+    * gram) pairs — the diversity artifact itself. */
+  def streamingDiversityCounts(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    graft.ext.TextAnalysis.groupedBigramCounts(docs, groupCol, textCol)
+
   /** Online Kneser–Ney count maintenance — the LM-training analogue
     * of [[streamingTermCounts]]:
     * [[graft.ext.TextAnalysis.knBigramCounts]] VERBATIM as the ONE

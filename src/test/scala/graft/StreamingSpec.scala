@@ -1549,6 +1549,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingDiversityCounts: folded gram counts reproduce the " +
+      "batch distinct-n monitor through the shared ratios") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "a", "x y x y x"), (2L, "a", "x y"),
+      (3L, "a", "solo"), (4L, "b", "q w"))
+    val batch = TextAnalysis.distinctNgramRatio(
+        docs.toDF("id", "grp", "text"), "grp", "text", n = 2)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStreams.streamingDiversityCounts(
+        mem.toDS().toDF("id", "grp", "text"), "grp", "text")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("div_counts").start()
+    try {
+      // the ('a', 'x y') key spans both batches — MAX, not sum
+      mem.addData(docs(0)); q.processAllAvailable()
+      mem.addData(docs(1), docs(2), docs(3)); q.processAllAvailable()
+      val folded = spark.table("div_counts").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+      val perGroup = folded.groupBy(_._1._1).toSeq
+        .map { case (g, vs) => (g, vs.map(_._2).sum, vs.length.toLong) }
+      val online = TextAnalysis.diversityRatios(
+          perGroup.toDF("grp", "n_grams", "n_distinct"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingKnCounts: cross-batch MAX-fold converges to the batch " +
       "LM table through the shared continuation derivation") {
     import graft.ext.TextAnalysis
