@@ -43,6 +43,22 @@ object Bench {
       (v > wire * prev || prev > wire * v)
   }
 
+  /** Sub-wire drift watch (round-15 verdict: five rows drifted
+    * 1.5–1.8× driver-to-driver without tripping [[isMover]] and were
+    * never re-timed — two rounds of that compounds into a silent 3×).
+    * Rows over 1 s that moved ≥1.5× but stayed under the wire get a
+    * min-of-3 warm re-time recorded in the durable `drift` block —
+    * NO recording change (the capture keeps its first value; the
+    * block exists so the next round reads an adjudicated min instead
+    * of guessing "environment, probably"). Sub-second rows are
+    * excluded for the same reason they keep the 2× wire: their
+    * relative noise is wider than 1.5×. */
+  private[graft] def isDriftWatch(prev: Double, v: Double): Boolean = {
+    val hi = math.max(v, prev)
+    v >= 0 && prev >= 0 && hi > 1.0 && !isMover(prev, v) &&
+      (v >= 1.5 * prev || prev >= 1.5 * v)
+  }
+
   /** The value RECORDED for an adjudicated mover — the capture value
     * the NEXT round's pin inherits. Round-14 verdict: recording
     * median5 unconditionally is an upward ratchet — when the warm
@@ -199,6 +215,18 @@ object Bench {
         recordValue(p, f, mn, med)
       }.getOrElse(v)
     }
+    // sub-wire drift tier: min-of-3 re-time, logged only (no recording
+    // change) — closes the 1.5–1.8× blind band at ~3 runs per flagged
+    // row (round-15 verdict item #6)
+    val drift = results.flatMap { case (name, v) =>
+      if (!prevQ.get(name).exists(p => isDriftWatch(p, v))) None
+      else {
+        timeRuns(name, 1) // untimed warm pass
+        val ts = timeRuns(name, 3)
+        if (ts.isEmpty) None
+        else Some(name -> (prevQ(name), v, ts.min))
+      }
+    }.toMap
     def rd(v: Double, s: Int) =
       BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP)
     val qs = fin.map { case (k, v) => s"\"" + k + "\":" + rd(v, 3) }
@@ -220,9 +248,19 @@ object Bench {
         s"\"$k\":{\"prev\":${rd(p, 3)},\"first\":${rd(f, 3)}," +
           s"\"min5\":${rd(mn, 3)},\"median5\":${rd(med, 3)}$still$env}"
       }.mkString(",\"adjudicated\":{", ",", "}")
+    val driftJson =
+      if (drift.isEmpty) ""
+      else drift.toSeq.sortBy(_._1).map { case (k, (p, f, mn)) =>
+        // min3 at/below prev = environment confirmed; min3 still over
+        // the drift line = real movement accumulating under the wire
+        val conf = if (mn <= p) ",\"env_confirmed\":true"
+          else if (mn >= 1.5 * p) ",\"still_drifting\":true" else ""
+        s"\"$k\":{\"prev\":${rd(p, 3)},\"first\":${rd(f, 3)}," +
+          s"\"min3\":${rd(mn, 3)}$conf}"
+      }.mkString(",\"drift\":{", ",", "}")
     val total = fin.collect { case (_, v) if v >= 0 => v }.sum
     val totalR = rd(total, 3)
-    val line = s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$runs,"sf":"$sfDir"$adjJson,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$totalR,"unit":"sec","runs":$runs,"sf":"$sfDir"$adjJson$driftJson,"queries":$qs}"""
     // Durable copy first: the driver's stdout capture is a truncated
     // 2000-char tail, so the full per-query map + adjudication detail
     // land in a file in the repo root that survives any truncation.

@@ -1442,6 +1442,54 @@ object AnalyticQueries {
         .orderBy("lang")
     }),
 
+    // The THIRTY-SEVENTH streaming twin: CELL-KEYED online ANN
+    // serving — the sublinear upgrade of q205's brute serve: the
+    // corpus is trained (learned centroids), cell-assigned, and
+    // SQ8-encoded ONCE in batch (the at-ingest artifacts,
+    // materialized so micro-batches never re-run them); arriving
+    // query vectors encode + probe MAP-ONLY against the plan-literal
+    // artifacts and stream-static EQUI-join their own cell's
+    // candidates — per-batch work ∝ cell population, not corpus.
+    // Emits integer candidate facts; the top-3 cut is the fold's
+    // batch decision. Faces q209's own oracle SQL row-for-row: the
+    // online cell-keyed path must reproduce the batch trained-IVF-SQ8
+    // train+assign+encode+rank pipeline bit-for-bit.
+    "q251_streaming_ivf_serve" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = graft.ext.Similarity.trainCentroids(
+          e, "vec_id", "embedding", k = 4, iters = 2)
+        .localCheckpoint(true) // the trained coarse quantizer
+      val mm = graft.ext.Similarity.sq8MinMax(e, "embedding")
+        .localCheckpoint(true) // the trained scalar quantizer
+      val coded = graft.ext.Similarity.sq8Encode(
+          graft.ext.Similarity.ivfAssign(
+            e.select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", cents),
+          "embedding", mm)
+        .select(col("vec_id"), col("cid"), col("sq8_code"))
+        .localCheckpoint(true) // the persisted at-ingest code table
+      val feed = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("long").as("_1"),
+          col("embedding").as("_2"))
+        .as[(Long, Array[Float])]
+      val raw = replayTypedThirds[(Long, Array[Float])](s, feed,
+        Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingIvfSq8Serve(
+          ds.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          coded, "vec_id", "cid", "sq8_code", mm, cents),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          rows.sortWith((a, b) => a._3 < b._3 ||
+              (a._3 == b._3 && a._2 < b._2))
+            .take(3).zipWithIndex
+            .map { case ((q, n, d), i) => (q, n, i + 1, d) }
+        }
+        .toDF("q_id", "n_id", "rank", "sqdist")
+        .orderBy("q_id", "rank")
+    }),
+
     // The THIRTY-FIFTH streaming twin: online Kneser-Ney count
     // maintenance — LM TRAINING kept fresh at ingest (the q200 shape
     // for n-gram LMs): knBigramCounts verbatim as the ONE Update-mode
@@ -2673,5 +2721,9 @@ object AnalyticQueries {
       // — same oracle as q230
       ("q248_streaming_diversity" ->
         TextQueries.oracleSql("q230_distinct_ngrams")) +
+      // the online cell-keyed serve must reproduce the batch
+      // trained-IVF-SQ8 pipeline row-for-row — same oracle as q209
+      ("q251_streaming_ivf_serve" ->
+        VectorQueries.oracleSql("q209_ivf_sq8_trained_topk")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

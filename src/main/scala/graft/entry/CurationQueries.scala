@@ -376,9 +376,10 @@ object CurationQueries {
         |       ELSE (budget - sumcapped + (i - istar)) // (k - istar + 1)
         |  END AS alloc_tokens
         | FROM f)
-        |SELECT lang, n_tokens, cap_tokens, alloc_tokens,
-        |  CASE WHEN n_tokens > 0 THEN (alloc_tokens*1000) // n_tokens
-        |       ELSE 0 END AS epochs_milli
+        |SELECT lang, n_tokens, cap_tokens,
+        |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+        |  CAST(CASE WHEN n_tokens > 0 THEN (alloc_tokens*1000) // n_tokens
+        |       ELSE 0 END AS BIGINT) AS epochs_milli
         |FROM o ORDER BY lang""".stripMargin,
     // sharded cumsum prefixes under per-lane quotas: the md5 lane and
     // order draws (q63's idiom), budget = total//4 from the data,

@@ -309,6 +309,33 @@ object TextQueries {
         .limit(200)
     }),
 
+    // The SMOOTHED model q246's statistics exist for: interpolated
+    // Kneser-Ney bigram probabilities with D = 3/4 — every p an exact
+    // rational emitted floor-e9 through DECIMAL(38,0) integer
+    // arithmetic, so the trained LM table hash-replays. Same top-200
+    // cut as q246.
+    "q249_kn_probabilities" -> ((s, dir) => {
+      TextAnalysis.knProbabilities(
+          TextAnalysis.knBigramCounts(docs(s, dir), "text"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(200)
+    }),
+
+    // The "perplexity filter with a real LM" (q80's trained upgrade):
+    // the KN model trains on the 'en' slice ONLY, then scores EVERY
+    // doc — non-en docs exercise all three back-off branches (seen,
+    // context-backoff, continuation-fallback, zero). Mean bigram
+    // probability per doc as exact floor-e9; no log on purpose
+    // (libm-dependent — the ranking direction is what the gate
+    // needs).
+    "q250_kn_doc_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.knScoreDocs(d, "doc_id", "text",
+          TextAnalysis.knBigramCounts(
+            d.where(col("lang") === "en"), "text"))
+        .orderBy("doc_id")
+    }),
+
     // C4-style LINE-level quality filter: drop every (rebuilt, w=4)
     // line whose alpha ratio falls below 0.86 — exact integer rational
     // compare inside a HOF filter, zero shuffle. 45% of lines survive
@@ -1126,6 +1153,72 @@ object TextQueries {
         |SELECT c.w1, c.w2, c.n, pre.n1plus_pre, post.n1plus_post
         |FROM c JOIN pre USING (w2) JOIN post USING (w1)
         |ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""".stripMargin,
+    // q246's count CTEs + the closed-form rational
+    // ((4n-3)B + 3 post pre) / (4 c1 B) as HUGEINT floor arithmetic,
+    // CAST to BIGINT at the output edge (the q217 lint class)
+    "q249_kn_probabilities" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text,'\s+'),
+        |    x -> length(x) > 0) AS tk FROM documents),
+        |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS post FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM c)
+        |SELECT c.w1, c.w2, c.n,
+        |  CAST((1000000000 * ((4*c.n - 3)*b + 3*ctx.post*cont.pre))
+        |       // (4*ctx.c1*b) AS BIGINT) AS p_e9
+        |FROM c JOIN ctx USING (w1) JOIN cont USING (w2), tot
+        |ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""".stripMargin,
+    // en-trained model CTEs, then every doc's bigram instances left-
+    // join the model and its marginals; the back-off CASE mirrors the
+    // Scala branch-for-branch; HUGEINT sums CAST at the output edge
+    "q250_kn_doc_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |bg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS post FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM c),
+        |p AS (SELECT c.w1, c.w2,
+        |    CAST((1000000000 * ((4*c.n - 3)*b + 3*ctx.post*cont.pre))
+        |         // (4*ctx.c1*b) AS BIGINT) AS p_e9
+        |  FROM c JOIN ctx USING (w1) JOIN cont USING (w2), tot),
+        |sc AS (SELECT bg.doc_id,
+        |    COALESCE(p.p_e9,
+        |      CASE WHEN ctx.c1 IS NOT NULL AND cont.pre IS NOT NULL
+        |           THEN CAST((CAST(1000000000 AS HUGEINT) * 3
+        |                      * ctx.post * cont.pre)
+        |                     // (4*ctx.c1*b) AS BIGINT)
+        |           WHEN ctx.c1 IS NULL AND cont.pre IS NOT NULL
+        |           THEN CAST((CAST(1000000000 AS HUGEINT) * cont.pre)
+        |                     // b AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM bg
+        |  LEFT JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+        |  LEFT JOIN ctx ON bg.w1 = ctx.w1
+        |  LEFT JOIN cont ON bg.w2 = cont.w2, tot),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(pp) AS BIGINT) AS sum_p_e9 FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(agg.sum_p_e9, 0) AS sum_p_e9,
+        |  CAST(CASE WHEN agg.n_bigrams > 0
+        |       THEN agg.sum_p_e9 // agg.n_bigrams
+        |       ELSE 0 END AS BIGINT) AS mean_p_e9
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // the rebuilt-lines CTE + list_filter with the SAME integer
     // rational predicate (alpha*1e9 >= tau*len — no division);
     // COALESCE because DuckDB array_to_string([]) is NULL where Spark

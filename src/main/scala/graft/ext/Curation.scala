@@ -654,8 +654,11 @@ object Curation {
     * at 100 TB (~2.5·10¹³ tokens), epochCap 4 and 10⁴ groups is
     * ~10¹⁸, inside the bound. */
   def unimaxAllocation(df: DataFrame, groupCol: String,
-      tokensCol: String, epochCap: Long, budget: Long): DataFrame =
+      tokensCol: String, epochCap: Long, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0 (got $budget): the " +
+      "even-split tail would silently yield negative alloc_tokens")
     unimaxCore(df, groupCol, tokensCol, epochCap, lit(budget))
+  }
 
   /** [[unimaxAllocation]] with the budget expressed as a FRACTION
     * `budgetNum/budgetDen` of the corpus' own total token count — the

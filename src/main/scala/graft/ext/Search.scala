@@ -205,30 +205,6 @@ object Search {
       .select(col("doc_id"), col("total_tf"))
   }
 
-  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) —
-    * the standard hybrid-retrieval combiner: merge the ranked lists of
-    * N systems (lexical BM25 + dense ANN is the classic RAG pair) by
-    * `score(d) = Σ_systems 1/(k0 + rank_s(d))`, documents missing from
-    * a system's list contributing 0. RRF needs no score calibration
-    * across systems — only ranks — which is exactly why it is the
-    * default fusion in hybrid search engines.
-    *
-    * Each contribution is computed as `floor(10⁹ / (k0 + rank))` —
-    * EXACT integer arithmetic (the e9 fixed-point of the reciprocal),
-    * so the fused ordering replays bit-for-bit in any engine; with
-    * k0 = 60 (the paper's constant) adjacent ranks differ by ≥ ~2500
-    * units at rank ≤ 600, so the integer truncation cannot reorder
-    * any pair the true reciprocal sum wouldn't.
-    *
-    * `systems` maps a system name to its ranked candidates
-    * (idCol, rankCol with ranks 1..topK). Output: idCol,
-    * rank_<name> per system (NULL where the system didn't return the
-    * doc), rrf_e9 — the caller cuts top-N.
-    *
-    * Scale shape: the inputs are top-K lists (K docs per system, not
-    * corpora), so the full-outer-join cascade is over tiny frames —
-    * the corpus-sized work happened inside each system's own
-    * zero-shuffle retrieval plan. */
   /** Rank-biased overlap at depth k (Webber/Moffat/Zobel 2010) with
     * persistence p = 1/2 — the ranking-similarity metric that, unlike
     * recall@k, weights agreement at the TOP of the lists: how close is
@@ -276,6 +252,30 @@ object Search {
       .select(col(qCol), coalesce(col("rbo"), lit(0.0)).as("rbo"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: merge the ranked lists of
+    * N systems (lexical BM25 + dense ANN is the classic RAG pair) by
+    * `score(d) = Σ_systems 1/(k0 + rank_s(d))`, documents missing from
+    * a system's list contributing 0. RRF needs no score calibration
+    * across systems — only ranks — which is exactly why it is the
+    * default fusion in hybrid search engines.
+    *
+    * Each contribution is computed as `floor(10⁹ / (k0 + rank))` —
+    * EXACT integer arithmetic (the e9 fixed-point of the reciprocal),
+    * so the fused ordering replays bit-for-bit in any engine; with
+    * k0 = 60 (the paper's constant) adjacent ranks differ by ≥ ~2500
+    * units at rank ≤ 600, so the integer truncation cannot reorder
+    * any pair the true reciprocal sum wouldn't.
+    *
+    * `systems` maps a system name to its ranked candidates
+    * (idCol, rankCol with ranks 1..topK). Output: idCol,
+    * rank_<name> per system (NULL where the system didn't return the
+    * doc), rrf_e9 — the caller cuts top-N.
+    *
+    * Scale shape: the inputs are top-K lists (K docs per system, not
+    * corpora), so the full-outer-join cascade is over tiny frames —
+    * the corpus-sized work happened inside each system's own
+    * zero-shuffle retrieval plan. */
   def rrfFuse(systems: Seq[(String, DataFrame)], idCol: String,
       rankCol: String, k0: Int = 60): DataFrame = {
     require(systems.nonEmpty, "rrfFuse needs at least one ranked system")

@@ -481,6 +481,22 @@ object Similarity {
     transform(slice(array_sort(scored), 1, nProbe), s => s.getField("cid"))
   }
 
+  /** The QUERY-side cell fan-out of [[ivfTopKProbed]] as a public
+    * building block (the streaming serve path needs it against a
+    * saved centroid artifact): each row gains an exploded `cid`
+    * column with its `nProbe` nearest cells — same L2 metric and cid
+    * tiebreak as [[ivfAssign]], so `nProbe = 1` reproduces the
+    * corpus-side assignment exactly. Map-only: the centroid table
+    * collects once (driver-sized by the IVF contract) and rides as a
+    * plan literal; meant for the query side, which is small. */
+  def probeAssign(queries: DataFrame, vecCol: String,
+      centroids: DataFrame, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val (cids, matrix) = collectCentroids(centroids)
+    queries.withColumn("cid",
+      explode(probeCells(col(vecCol), cids, matrix, nProbe)))
+  }
+
   /** Multi-probe IVF top-k: the corpus stays single-cell (one map-only
     * codegen assign, exactly [[ivfAssign]]); each QUERY fans out to its
     * `nProbe` nearest cells — the standard IVF recall lever: candidates

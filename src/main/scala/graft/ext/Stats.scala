@@ -251,7 +251,12 @@ object Stats {
       .withColumn("fn", col("__tpos") - col("tp"))
       .withColumn("tn", col("__tneg") - col("fp"))
       .withColumn("precision_e9",
-        expr("CAST(tp AS DECIMAL(20,0)) * 1000000000 div (tp + fp)"))
+        // guard tp+fp=0 like recall/F1: unreachable via thresholdSweep
+        // (every score row has n>=1) but the pre-aggregated entry
+        // point — the streaming-twin shape — can see zero-count rows
+        when(col("tp") + col("fp") > 0,
+            expr("CAST(tp AS DECIMAL(20,0)) * 1000000000 div (tp + fp)"))
+          .otherwise(lit(0L)))
       .withColumn("recall_e9",
         when(col("__tpos") > 0,
             expr("CAST(tp AS DECIMAL(20,0)) * 1000000000 div __tpos"))

@@ -895,6 +895,124 @@ object TextAnalysis {
       .select("w1", "w2", "n", "n1plus_pre", "n1plus_post")
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities over a (w1, w2, n)
+    * count table — the SMOOTHED model the [[knTable]] statistics
+    * exist for (Kneser/Ney 1995; Chen/Goodman 1999's interpolated
+    * form), with the discount FIXED at D = 3/4 so every probability
+    * is an exact rational:
+    *
+    *   P(w2|w1) = (n − D)/c1 + (D·post(w1)/c1) · (pre(w2)/B)
+    *            = ((4n − 3)·B + 3·post·pre) / (4·c1·B)
+    *
+    * where c1 = Σ_w n(w1, w), post/pre are [[knTable]]'s continuation
+    * counts, and B = |distinct bigrams| (the continuation-unigram
+    * normalizer). Emitted as floor-e9 (`p_e9`) through DECIMAL(38,0)
+    * integer arithmetic — numerator ≤ 4·10⁹·n·B stays inside 38
+    * digits at 100 TB (n ~ 10¹², B ~ 10¹⁰ → ~4·10³¹), and floor `div`
+    * agrees with any engine's `//` on non-negatives, so the trained
+    * table hash-replays. n ≥ 1 in a count table, so the max(n − D, 0)
+    * clip is never active on seen bigrams.
+    *
+    * Scale shape: two aggregations over the COLLAPSED bigram table
+    * (per-w1 totals+fanout, per-w2 fanout) joined back on their keys;
+    * the 1-row B total broadcasts. The corpus itself was collapsed by
+    * [[knBigramCounts]] — nothing here touches it again. */
+  def knProbabilities(counts: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("c1"), count(lit(1)).as("post"))
+    val cont = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("pre"))
+    counts
+      .join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(counts.agg(count(lit(1)).as("b"))))
+      .withColumn("__num",
+        dec(lit(1000000000L)) *
+          ((dec(lit(4L)) * dec(col("n")) - dec(lit(3L))) * dec(col("b"))
+            + dec(lit(3L)) * dec(col("post")) * dec(col("pre"))))
+      .withColumn("__den", dec(lit(4L)) * dec(col("c1")) * dec(col("b")))
+      .withColumn("p_e9", expr("__num div __den"))
+      .select("w1", "w2", "n", "p_e9")
+  }
+
+  /** Score documents against a TRAINED Kneser–Ney bigram table — the
+    * "perplexity filter with a real LM" (the trained upgrade of the
+    * corpus-conditional bigram familiarity): per document, the mean
+    * interpolated-KN probability of its adjacent bigrams under the
+    * `counts` model, as exact floor-e9 integers. No logarithm ON
+    * PURPOSE — log is libm-dependent and would break hash replay; the
+    * mean probability ranks fluent-vs-scrambled text the same
+    * direction, which is all a curation gate needs.
+    *
+    * Back-off for bigrams the model never saw, all from the same
+    * closed form ([[knProbabilities]]'s terms with the seen numerator
+    * dropped):
+    *   - context w1 known, w2 has continuation mass:
+    *     λ(w1)·Pcont(w2) = 3·post(w1)·pre(w2) / (4·c1(w1)·B)
+    *   - context w1 unknown, w2 known: Pcont(w2) = pre(w2)/B
+    *     (the standard unigram fallback)
+    *   - w2 unknown: 0 (zero continuation mass — the score, not the
+    *     smoother, absorbs it; a true OOV model would interpolate a
+    *     character LM, out of scope here)
+    *
+    * Output per doc: `n_bigrams`, `sum_p_e9`, `mean_p_e9` (floor).
+    * Docs with < 2 tokens keep a zero row (the spine is `docs`).
+    *
+    * Scale shape: doc bigram INSTANCES equi-join the model on
+    * (w1, w2) and its two marginals on w1 / w2 — hash joins keyed by
+    * the model tables (broadcast when the trained model is small);
+    * one per-doc aggregation collapses the instances. The model
+    * tables derive once from the collapsed count table. */
+  def knScoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val probs = knProbabilities(counts)
+      .select(col("w1"), col("w2"), col("p_e9"))
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("__c1"), count(lit(1)).as("__post"))
+    val cont = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("__pre"))
+    val b = counts.agg(count(lit(1)).as("__b"))
+    val pairs = docs
+      .select(col(idCol),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1),
+          greatest(size(col("__t")) - 1, lit(0))).as("w1"),
+        slice(col("__t"), lit(2),
+          greatest(size(col("__t")) - 1, lit(0))).as("w2")))
+        .as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"),
+        col("__bg.w2").as("w2"))
+    val scored = pairs
+      .join(probs, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(b))
+      .withColumn("__bn",
+        dec(lit(1000000000L)) * dec(lit(3L)) * dec(col("__post"))
+          * dec(col("__pre")))
+      .withColumn("__bd",
+        dec(lit(4L)) * dec(col("__c1")) * dec(col("__b")))
+      .withColumn("__cn", dec(lit(1000000000L)) * dec(col("__pre")))
+      .withColumn("__p", coalesce(col("p_e9"),
+        when(col("__c1").isNotNull && col("__pre").isNotNull,
+          expr("__bn div __bd")),
+        when(col("__c1").isNull && col("__pre").isNotNull,
+          expr("__cn div CAST(__b AS DECIMAL(38,0))")),
+        lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nb"), sum(col("__p")).as("__sp"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__sp"), lit(0L)).as("sum_p_e9"))
+      .withColumn("mean_p_e9",
+        when(col("n_bigrams") > 0,
+          expr("sum_p_e9 div n_bigrams")).otherwise(lit(0L)))
+  }
+
   /** Out-of-vocabulary rate per group against a tokenizer vocabulary
     * table (`term` column): per group — token instances, OOV
     * instances, floor-e9 OOV rate. The tokenizer-coverage diagnostic
@@ -1038,11 +1156,15 @@ object TextAnalysis {
     * table the online diversity monitor maintains (a grouped
     * [[knBigramCounts]]); Σ n per group is the instance total and the
     * key count the distinct total, so [[diversityRatios]] over the
-    * fold reproduces [[distinctNgramRatio]] exactly. */
+    * fold reproduces [[distinctNgramRatio]] exactly. Uses the RAW
+    * `split(text, "\\s+")` stream — leading/trailing whitespace keeps
+    * its empty token, exactly as [[distinctNgramRatio]]'s totals
+    * (`size(tokens)`) and distinct side (wordShingles) count it; a
+    * filtered stream here would diverge from the batch monitor on
+    * such text. */
   def groupedBigramCounts(df: DataFrame, groupCol: String,
       textCol: String): DataFrame =
-    df.select(col(groupCol),
-        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
+    df.select(col(groupCol), tokens(col(textCol)).as("__t"))
       .select(col(groupCol), explode(arrays_zip(
         slice(col("__t"), lit(1),
           greatest(size(col("__t")) - 1, lit(0))).as("w1"),

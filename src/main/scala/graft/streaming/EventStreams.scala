@@ -938,6 +938,49 @@ object EventStreams {
       .select("q_id", "n_id", "sqdist")
   }
 
+  /** Cell-keyed streaming ANN serving — the SUBLINEAR upgrade of
+    * [[streamingSq8Serve]] (which scans every code per micro-batch):
+    * arriving query vectors SQ8-encode map-only against the saved
+    * [[graft.ext.Similarity.sq8MinMax]] artifact, fan out to their
+    * `nProbe` nearest coarse cells against the saved centroid table
+    * (both plan literals — [[graft.ext.Similarity.probeAssign]], the
+    * exact query-side assignment of the batch trained-IVF path), and
+    * stream-static EQUI-join on the cell id against the materialized
+    * coded corpus — per-batch candidates are ∝ the probed cells'
+    * population, not the corpus. Emits (q_id, n_id, sqdist) integer
+    * candidate facts; the top-k cut is the consumer fold's decision
+    * (append mode has no window — the q205 convention). Entirely
+    * stateless: no state store, no watermark; value-parity with the
+    * batch [[graft.ext.Similarity.ivfSq8TopK]] is exact because both
+    * sides share the encode, the assignment tiebreak, and the
+    * all-integer symmetric distance.
+    *
+    * `codes` must carry (codeIdCol, cellCol, codeCol) — the at-ingest
+    * assign+encode artifact (materialize it: static sides of
+    * stream-static joins re-evaluate per micro-batch). */
+  def streamingIvfSq8Serve(queries: DataFrame, idCol: String,
+      vecCol: String, codes: DataFrame, codeIdCol: String,
+      cellCol: String, codeCol: String, minMax: DataFrame,
+      centroids: DataFrame, nProbe: Int = 1): DataFrame = {
+    val enc = graft.ext.Similarity.sq8Encode(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")),
+      "__qv", minMax, out = "__qc")
+    val q = graft.ext.Similarity.probeAssign(enc, "__qv",
+        centroids, nProbe)
+      .select(col("q_id"), col("cid"), col("__qc"))
+    val c = codes.select(col(codeIdCol).as("n_id"),
+      col(cellCol).as("cid"), col(codeCol).as("__nc"))
+    q.join(c, Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      // per-pair deltas projected BEFORE the fold references them (the
+      // HOF multi-reference rule; mirrors sq8TopKOnCodes exactly)
+      .withColumn("__d", zip_with(col("__qc"), col("__nc"),
+        (a, b) => ((a - b) * (a - b)).cast("long")))
+      .withColumn("sqdist",
+        aggregate(col("__d"), lit(0L), (acc, x) => acc + x))
+      .select("q_id", "n_id", "sqdist")
+  }
+
   /** Streaming minhash near-dup vs a static snapshot — the online form
     * of [[graft.ext.Dedup.minhashNearDupDelta]]: arriving documents
     * emit (a_id, b_id, jaccard) pairs against the snapshot corpus,

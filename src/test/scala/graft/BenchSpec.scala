@@ -45,6 +45,19 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isMover(-1.0, -1.0))
   }
 
+  test("isDriftWatch: the round-15 blind band (1.5-1.8x at >1 s) " +
+      "re-times; wire movers and sub-second rows stay out") {
+    assert(Bench.isDriftWatch(1.66, 2.96))   // q90: 1.78x — flagged
+    assert(Bench.isDriftWatch(1.81, 2.93))   // q141: 1.62x — flagged
+    assert(Bench.isDriftWatch(2.96, 1.66))   // symmetric (improvement)
+    assert(!Bench.isDriftWatch(1.426, 2.78)) // 1.95x: isMover takes it
+    assert(!Bench.isDriftWatch(1.0, 1.4))    // 1.4x: inside noise
+    assert(!Bench.isDriftWatch(0.40, 0.70))  // sub-second: excluded
+    assert(Bench.isDriftWatch(0.8, 1.25))    // hi>1 s, exactly 1.5x+:
+    assert(!Bench.isDriftWatch(-1.0, 2.0))   // errored never flagged
+    assert(!Bench.isDriftWatch(2.0, -1.0))
+  }
+
   test("parseBaseline: per-query map, cross-SF record rejected") {
     val rec = """{"metric":"total","value":1.5,"unit":"sec","sf":"/d/sf0.1","queries":{"q01_a":0.625,"q02_b":0.875}}"""
     assert(Bench.parseBaseline(rec, "/d/sf0.1") ===

@@ -1763,6 +1763,41 @@ class ExtSpec extends SparkSpecBase {
       ("the", "cat", 2L, 1L, 1L)))
   }
 
+  test("knProbabilities: D=3/4 closed form by hand; knScoreDocs hits " +
+      "all four back-off branches and keeps sub-2-token docs as zeros") {
+    val train = Seq("the cat sat", "the cat ran").toDF("text")
+    // counts: (the,cat,2) (cat,sat,1) (cat,ran,1); B=3
+    // ctx: the(c1=2,post=1) cat(c1=2,post=2); pre: cat=1 sat=1 ran=1
+    val counts = TextAnalysis.knBigramCounts(train, "text")
+    val probs = TextAnalysis.knProbabilities(counts)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // p(cat|the) = ((8-3)*3 + 3*1*1)/(4*2*3) = 18/24 = 0.75
+    // p(sat|cat) = ((4-3)*3 + 3*2*1)/24 = 9/24 = 0.375 (ran ditto)
+    assert(probs.toSeq == Seq(
+      ("cat", "ran", 1L, 375000000L),
+      ("cat", "sat", 1L, 375000000L),
+      ("the", "cat", 2L, 750000000L)))
+    val docs = Seq(
+      (1L, "the cat sat"), // seen+seen: (750000000+375000000)/2
+      (2L, "dog cat"),     // w1 unseen, w2 pre=1: 1e9 // 3
+      (3L, "the zzz"),     // w1 seen, w2 unseen: 0
+      (4L, "the ran"),     // backoff: 3*post(the)*pre(ran) /(4*2*3)
+      (5L, "solo")         // < 2 tokens: zero row via the spine
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knScoreDocs(docs, "doc_id", "text", counts)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1125000000L, 562500000L),
+      (2L, 1L, 333333333L, 333333333L),
+      (3L, 1L, 0L, 0L),
+      (4L, 1L, 125000000L, 125000000L),
+      (5L, 0L, 0L, 0L)))
+  }
+
   test("oovRate: exact instance counts against the vocab, duplicate " +
       "vocab rows harmless, all-OOV group rates 1e9") {
     val vocab = Seq("the", "fox", "the").toDF("term") // dup collapses

@@ -999,6 +999,56 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingIvfSq8Serve: cell-keyed stream-static join + integer " +
+      "fold == batch trained ivfSq8TopK") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val corpus = (0L until 30L).map { id =>
+      (id, (0 until 8).map(d =>
+        (((id * 31 + d * 17) % 23).toFloat - 11f) / 3f).toArray)
+    }.toDF("id", "vec")
+    val cents = Similarity.trainCentroids(corpus, "id", "vec",
+        k = 3, iters = 2)
+      .localCheckpoint(true)
+    val mm = Similarity.sq8MinMax(corpus, "vec").localCheckpoint(true)
+    val coded = Similarity.sq8Encode(
+        Similarity.ivfAssign(corpus, "id", "vec", cents), "vec", mm)
+      .select(col("id"), col("cid"), col("sq8_code"))
+      .localCheckpoint(true)
+    val batch = Similarity.ivfSq8TopK(corpus, "id", "vec", cents,
+        col("id") < 5, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.streamingIvfSq8Serve(
+        mem.toDS().toDF("id", "vec"), "id", "vec",
+        coded, "id", "cid", "sq8_code", mm, cents)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ivf_serve").start()
+    val qs = corpus.filter(col("id") < 5)
+      .as[(Long, Array[Float])].collect()
+    try {
+      // arrival order must not matter: stateless per-pair facts
+      mem.addData(qs.filter(_._1 >= 3).toSeq: _*); q.processAllAvailable()
+      mem.addData(qs.filter(_._1 < 3).toSeq: _*); q.processAllAvailable()
+      val raw = spark.table("ivf_serve").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // cell-keyed: candidates are the query's OWN cell only — far
+      // fewer than the brute serve's 5×29 all-pairs
+      assert(raw.length < 5 * 29)
+      val folded = raw.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortWith((a, b) => a._3 < b._3 ||
+            (a._3 == b._3 && a._2 < b._2))
+          .take(3).zipWithIndex
+          .map { case ((qq, n, d), i) => (qq, n, i + 1, d) }
+      }.toSet
+      assert(folded == batch)
+    } finally q.stop()
+  }
+
   test("classifierGateForeachBatch: large-vocab broadcast-join form == " +
       "batch classifyLinear bit-for-bit; map-literal gate refuses loudly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1552,8 +1602,10 @@ class StreamingSpec extends SparkSpecBase {
   test("streamingDiversityCounts: folded gram counts reproduce the " +
       "batch distinct-n monitor through the shared ratios") {
     import graft.ext.TextAnalysis
+    // (5,'b') has leading+trailing whitespace: split(-1) keeps the
+    // empty tokens, and BOTH sides must count them identically
     val docs = Seq((1L, "a", "x y x y x"), (2L, "a", "x y"),
-      (3L, "a", "solo"), (4L, "b", "q w"))
+      (3L, "a", "solo"), (4L, "b", "q w"), (5L, "b", " q w "))
     val batch = TextAnalysis.distinctNgramRatio(
         docs.toDF("id", "grp", "text"), "grp", "text", n = 2)
       .orderBy("grp").collect().map(_.toSeq).toSeq
@@ -1568,7 +1620,8 @@ class StreamingSpec extends SparkSpecBase {
     try {
       // the ('a', 'x y') key spans both batches — MAX, not sum
       mem.addData(docs(0)); q.processAllAvailable()
-      mem.addData(docs(1), docs(2), docs(3)); q.processAllAvailable()
+      mem.addData(docs(1), docs(2), docs(3), docs(4))
+      q.processAllAvailable()
       val folded = spark.table("div_counts").collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
         .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
