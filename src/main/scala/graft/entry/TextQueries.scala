@@ -330,9 +330,14 @@ object TextQueries {
     // needs).
     "q250_kn_doc_score" -> ((s, dir) => {
       val d = docs(s, dir)
-      TextAnalysis.knScoreDocs(d, "doc_id", "text",
-          TextAnalysis.knBigramCounts(
-            d.where(col("lang") === "en"), "text"))
+      // the trained model materializes ONCE: knScoreDocs references
+      // the count table four times (probs, both marginals, B) and
+      // Spark has no common-subplan dedup — left lazy, the en-slice
+      // bigram agg would re-run per reference (4 corpus scans)
+      val model = TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocs(d, "doc_id", "text", model)
         .orderBy("doc_id")
     }),
 

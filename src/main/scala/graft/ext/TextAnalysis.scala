@@ -961,8 +961,11 @@ object TextAnalysis {
     * Scale shape: doc bigram INSTANCES equi-join the model on
     * (w1, w2) and its two marginals on w1 / w2 — hash joins keyed by
     * the model tables (broadcast when the trained model is small);
-    * one per-doc aggregation collapses the instances. The model
-    * tables derive once from the collapsed count table. */
+    * one per-doc aggregation collapses the instances. `counts` is
+    * referenced FOUR times (probs, both marginals, B) and Spark has
+    * no common-subplan dedup — pass a MATERIALIZED table (the saved
+    * artifact, or `.localCheckpoint(true)` an in-session one) or the
+    * training aggregation re-runs per reference. */
   def knScoreDocs(docs: DataFrame, idCol: String, textCol: String,
       counts: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")

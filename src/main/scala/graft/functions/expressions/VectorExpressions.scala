@@ -43,16 +43,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName locals: fixed names collide with sibling expressions
+      // in the same generated scope → janino rejects → interpreter
+      val n = ctx.freshName("cosN")
+      val dot = ctx.freshName("cosDot")
+      val nx = ctx.freshName("cosNx")
+      val ny = ctx.freshName("cosNy")
+      val i = ctx.freshName("cosI")
+      val xi = ctx.freshName("cosXi")
+      val yi = ctx.freshName("cosYi")
+      val den = ctx.freshName("cosDen")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getDouble(i); double yi = $b.getDouble(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |double den = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-         |if (den == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = dot / den; }
+         |double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |if ($den == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $den; }
        """.stripMargin
     })
 
@@ -78,11 +88,14 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val dot = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0;
-         |for (int i = 0; i < n; i++) { dot += $a.getDouble(i) * $b.getDouble(i); }
-         |${ev.value} = dot;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -184,23 +197,36 @@ case class NearestCentroid(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local via freshName: fixed names (`i`, `k`, …) collide
+      // with siblings in the same generated scope (e.g. a transform
+      // lambda in the same projection) — janino then rejects the whole
+      // method and the projection silently falls back to interpreted
+      val k = ctx.freshName("k")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
       s"""
-         |int k = $b.numElements();
-         |if (k == 0) { ${ev.isNull} = true; }
+         |int $k = $b.numElements();
+         |if ($k == 0) { ${ev.isNull} = true; }
          |else {
-         |  int best = 0;
-         |  double bestD = Double.POSITIVE_INFINITY;
-         |  for (int j = 0; j < k; j++) {
-         |    org.apache.spark.sql.catalyst.util.ArrayData c = $b.getArray(j);
-         |    int n = java.lang.Math.min($a.numElements(), c.numElements());
-         |    double d = 0.0;
-         |    for (int i = 0; i < n; i++) {
-         |      double t = $a.getDouble(i) - c.getDouble(i);
-         |      d += t * t;
+         |  int $best = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $c = $b.getArray($j);
+         |    int $n = java.lang.Math.min($a.numElements(), $c.numElements());
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $t = $a.getDouble($i) - $c.getDouble($i);
+         |      $d += $t * $t;
          |    }
-         |    if (d < bestD) { bestD = d; best = j; }
+         |    if ($d < $bestD) { $bestD = $d; $best = $j; }
          |  }
-         |  ${ev.value} = best;
+         |  ${ev.value} = $best;
          |}
        """.stripMargin
     })

@@ -14,7 +14,9 @@ text = sys.stdin.read()
 sections = re.split(r"===== (\S+) =====", text)[1:]
 for name, body in zip(sections[::2], sections[1::2]):
     # detail blocks look like "(12) Exchange"; count those, not the tree
-    details = re.findall(r"^\[info\] \((\d+)\) (\w+)", body, re.M)
+    # the "[info] " prefix is optional: run/outputStrategy :=
+    # StdoutOutput emits bare lines, plain `sbt run` prefixes them
+    details = re.findall(r"^(?:\[info\] )?\((\d+)\) (\w+)", body, re.M)
     nodes = [n for _, n in details]
     joins = sorted({n for n in nodes if n.endswith("Join")})
     hash_ex = len(re.findall(r"Arguments: hashpartitioning\(", body))
