@@ -1709,6 +1709,56 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
+    // The THIRTY-EIGHTH streaming twin: span corruption at ingest —
+    // the q228 convention (the batch operator is a pure zero-shuffle
+    // per-row projection, so the SAME method streams verbatim;
+    // stateless Append, no state store). Faces q252's own oracle SQL
+    // row-for-row.
+    "q253_streaming_span_corrupt" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingSpanCorrupt(
+          df, "doc_id", "text", seed = "sc1", startDenom = 8,
+          spanLen = 2),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+        .toSeq
+        .toDF("doc_id", "input_text", "target_text", "n_spans")
+        .orderBy("doc_id")
+    }),
+
+    // The THIRTY-NINTH streaming twin: online mixture-WEIGHT
+    // maintenance — q221's temperature weights kept fresh at ingest:
+    // the state is the per-language token-count table (the q232
+    // fertility state re-grouped by lang — same withTokenCounts
+    // n_tokens definition, ONE Update-mode agg, monotone counts, MAX
+    // fold), and the folded counts derive through the SHARED
+    // temperatureMixture method (sqrt-chain numerators, exact-fold
+    // denominator), so the online weights cannot drift from the
+    // batch planner's. Faces q221's own oracle SQL row-for-row.
+    "q254_streaming_mixture_weights" -> ((s, dir) => {
+      import s.implicits._
+      val feed = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("_1"),
+          col("lang").as("_2"), col("text").as("_3"))
+        .as[(Long, String, String)]
+      val raw = replayTypedThirds[(Long, String, String)](s, feed,
+        Seq("_1"),
+        ds => graft.streaming.EventStreams.streamingFertilityCounts(
+            ds.toDF("doc_id", "lang", "text"), "lang", "text")
+          .select(col("lang"), col("n_tokens")),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw.map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+        .map { case (g, n) => (g, n) }
+      graft.ext.Curation.temperatureMixture(
+          folded.toDF("lang", "n_tokens"), "lang", "n_tokens",
+          alpha = 0.5)
+        .orderBy("lang")
+    }),
+
     // The TWENTY-SEVENTH streaming twin: mixture execution at ingest —
     // q217's UniMax allocation trains once in batch, rides as plan
     // literals, and arriving docs expand stateless into their (doc,
@@ -2725,5 +2775,14 @@ object AnalyticQueries {
       // trained-IVF-SQ8 pipeline row-for-row — same oracle as q209
       ("q251_streaming_ivf_serve" ->
         VectorQueries.oracleSql("q209_ivf_sq8_trained_topk")) +
+      // span corruption at ingest is the batch projection verbatim —
+      // same oracle as q252
+      ("q253_streaming_span_corrupt" ->
+        CurationQueries.oracleSql("q252_span_corrupt")) +
+      // the folded online token counts, derived through the shared
+      // sqrt-chain/exact-fold expressions, must reproduce the batch
+      // mixture weights row-for-row — same oracle as q221
+      ("q254_streaming_mixture_weights" ->
+        CurationQueries.oracleSql("q221_temperature_mixture")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

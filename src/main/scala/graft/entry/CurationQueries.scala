@@ -101,6 +101,19 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // T5 span corruption (the denoising objective next to q227's
+    // FIM): deterministic hash-drawn spans → numbered sentinels in
+    // the input, sentinel+span pairs in the target. ZERO shuffle —
+    // masks, run merging, sentinel numbering (the transform INDEX
+    // over the run-start array, no cumsum) and both reassemblies are
+    // array HOFs in the scan projection; the oracle derives the same
+    // rows through the explode+window spelling.
+    "q252_span_corrupt" -> ((s, dir) => {
+      Curation.spanCorrupt(docs(s, dir), "doc_id", "text",
+          seed = "sc1", startDenom = 8, spanLen = 2)
+        .orderBy("doc_id")
+    }),
+
     // Temperature mixture weights (α = 0.5) over languages — the
     // mBERT/XLM-R-style upsampling curve next to q217's UniMax. sqrt
     // is correctly rounded IEEE so each numerator is bit-identical;
@@ -512,6 +525,55 @@ object CurationQueries {
         |  CASE WHEN NOT sel THEN ''
         |       ELSE substr(text, CAST(hi AS INTEGER), CAST(len - hi + 1 AS INTEGER)) END AS suffix
         |FROM f ORDER BY doc_id""".stripMargin,
+    // independent derivation of the span-corruption rows through the
+    // explode+window spelling: per-position md5-u32 start draws, the
+    // spanLen-window mask merge, LAG run starts, sentinel numbers as
+    // the cumulative run count, string_agg reassembly ORDER BY the
+    // same interleave keys (2p-1 sentinel / 2p token)
+    "q252_span_corrupt" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text,'\s+'),
+        |    x -> length(x) > 0) AS tk FROM documents),
+        |tok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+        |  FROM t, unnest(generate_series(1, len(tk))) u(i)
+        |  WHERE len(tk) >= 1),
+        |m AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN CAST(concat('0x', substr(md5(concat('sc1:st','#',
+        |      CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR))),1,8))
+        |      AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS st
+        | FROM tok),
+        |mm AS (SELECT *, MAX(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) = 1 AS masked
+        | FROM m),
+        |rs AS (SELECT *, masked AND NOT COALESCE(
+        |    LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+        |    AS run_start FROM mm),
+        |sd AS (SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM rs),
+        |inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos)
+        |    AS input_text FROM (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN NOT masked THEN tok
+        |         WHEN run_start THEN concat('<extra_id_',
+        |           CAST(sid - 1 AS VARCHAR), '>') END AS piece
+        |  FROM sd) WHERE piece IS NOT NULL GROUP BY 1),
+        |tgt AS (SELECT doc_id, string_agg(p, ' ' ORDER BY k)
+        |    AS target_text FROM (
+        |  SELECT doc_id, pos*2 - 1 AS k, concat('<extra_id_',
+        |      CAST(sid - 1 AS VARCHAR), '>') AS p
+        |    FROM sd WHERE run_start
+        |  UNION ALL
+        |  SELECT doc_id, pos*2, tok FROM sd WHERE masked) GROUP BY 1),
+        |ns AS (SELECT doc_id, CAST(SUM(CASE WHEN run_start THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_spans FROM sd GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(inp.input_text, '') AS input_text,
+        |  COALESCE(tgt.target_text, '') AS target_text,
+        |  COALESCE(ns.n_spans, 0) AS n_spans
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN inp USING (doc_id) LEFT JOIN tgt USING (doc_id)
+        |LEFT JOIN ns USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // numerators are sqrt(BIGINT) — correctly rounded IEEE, identical
     // across engines; the denominator is the SAME ordered fold the
     // Spark side runs (list ORDER BY lang == sort_array on (g, s)

@@ -951,6 +951,86 @@ object Curation {
         .otherwise(c.substr(hi, len - hi + 1)).as("suffix"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4, the
+    * denoising objective): deterministic token spans are replaced by
+    * numbered sentinels in the input and emitted after their sentinel
+    * in the target —
+    *
+    *   tokens:  the cat sat on the mat
+    *   input:   the <extra_id_0> sat on <extra_id_1> mat
+    *   target:  <extra_id_0> cat <extra_id_1> on the
+    *
+    * Span selection is a pure function of (seed, doc, position): a
+    * position STARTS a span iff hashU32(seed:st, "doc:pos") ≡ 0
+    * (mod `startDenom`); a start masks `spanLen` consecutive
+    * positions; overlapping/adjacent masks merge into one run, one
+    * sentinel per run numbered left to right. Expected mask fraction
+    * ≈ spanLen/startDenom (defaults ≈ 22%, the T5 ballpark). The
+    * whole transform REPLAYS bit-for-bit in any engine (md5 draws,
+    * integer compares, deterministic reassembly).
+    *
+    * Scale shape: ZERO SHUFFLE — a document's tokens are already
+    * colocated in its row, so masks, run starts, sentinel numbers
+    * (the transform index over the run-start array — no cumulative
+    * sum anywhere), and both reassemblies are one fused chain of
+    * array HOFs in the scan projection; per-doc cost O(n·spanLen +
+    * n log n). The window spelling (explode + per-doc windows) would
+    * shuffle every token of the corpus to group what was never
+    * apart — the oracle uses it as an independent derivation.
+    *
+    * Output: idCol, `input_text`, `target_text`, `n_spans` (tokens
+    * space-rejoined — the token-level contract; docs with no tokens
+    * keep an empty row). */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      seed: String, startDenom: Int = 8, spanLen: Int = 2): DataFrame = {
+    require(startDenom >= 1, s"startDenom must be >= 1 (got $startDenom)")
+    require(spanLen >= 1 && spanLen <= 16,
+      s"spanLen must be in [1, 16] (got $spanLen)")
+    val toks = filter(graft.functions.TextFunctions.tokens(col(textCol)),
+      t => length(t) > 0)
+    val sentinel = (k: Column) =>
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    def joined(arr: Column) =
+      concat_ws(" ", transform(sort_array(arr), s => s.getField("p")))
+    df.withColumn("__t", toks)
+      .withColumn("__n", size(col("__t")))
+      .withColumn("__pos",
+        when(col("__n") > 0, sequence(lit(0), col("__n") - 1))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__st", transform(col("__pos"), p =>
+        (hashU32(s"$seed:st",
+          concat_ws(":", col(idCol).cast("string"), p.cast("string")))
+          % startDenom === 0)))
+      // masked(i) = OR of the spanLen start draws ending at i —
+      // spanLen is a literal, so this is a fixed element_at probe
+      // chain, not a window
+      .withColumn("__m", transform(col("__pos"), i =>
+        (0 until spanLen).map(d =>
+            when(i - d >= 0, element_at(col("__st"), i - d + 1))
+              .otherwise(lit(false)))
+          .reduce(_ || _)))
+      .withColumn("__rs", filter(col("__pos"), i =>
+        element_at(col("__m"), i + 1) &&
+          (i === 0 || !element_at(col("__m"), i))))
+      .withColumn("input_text", joined(concat(
+        transform(filter(col("__pos"), i =>
+            !element_at(col("__m"), i + 1)),
+          i => struct((i * 2).as("k"),
+            element_at(col("__t"), i + 1).as("p"))),
+        transform(col("__rs"), (p, k) =>
+          struct((p * 2).as("k"), sentinel(k).as("p"))))))
+      .withColumn("target_text", joined(concat(
+        transform(col("__rs"), (p, k) =>
+          struct((p * 2 - 1).as("k"), sentinel(k).as("p"))),
+        transform(filter(col("__pos"), i =>
+            element_at(col("__m"), i + 1)),
+          i => struct((i * 2).as("k"),
+            element_at(col("__t"), i + 1).as("p"))))))
+      .withColumn("n_spans", size(col("__rs")).cast("long"))
+      .select(col(idCol), col("input_text"), col("target_text"),
+        col("n_spans"))
+  }
+
   private def unimaxCore(df: DataFrame, groupCol: String,
       tokensCol: String, epochCap: Long, budgetCol: Column): DataFrame = {
     require(epochCap > 0, s"epochCap must be positive (got $epochCap)")

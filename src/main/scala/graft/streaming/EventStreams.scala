@@ -580,6 +580,18 @@ object EventStreams {
       seed: String, rate: Double): DataFrame =
     graft.ext.Curation.fimTransform(docs, idCol, textCol, seed, rate)
 
+  /** Span corruption at ingest — [[graft.ext.Curation.spanCorrupt]]
+    * VERBATIM on the streaming frame (the [[streamingFim]] convention:
+    * the batch operator is a pure zero-shuffle projection — per-row
+    * array HOFs over the document's own tokens, zero state — so the
+    * SAME method is the streaming operator and the twins cannot drift
+    * by construction). Stateless, Append-legal, no watermark. */
+  def streamingSpanCorrupt(docs: DataFrame, idCol: String,
+      textCol: String, seed: String, startDenom: Int = 8,
+      spanLen: Int = 2): DataFrame =
+    graft.ext.Curation.spanCorrupt(docs, idCol, textCol, seed,
+      startDenom, spanLen)
+
   /** Online eval-side leakage facts — the streaming half of
     * [[graft.ext.Curation.evalLeakage]]: per arriving corpus document,
     * one (idCol, eval_id, containment_e9) fact for every eval item it

@@ -957,6 +957,65 @@ class CurationSpec extends SparkSpecBase {
     assert(plain.forall(_.getString(1) == "plain"))
   }
 
+  test("spanCorrupt: matches an independent JVM reference on every " +
+      "doc (masks, run merge, sentinel numbers, both reassemblies)") {
+    val denom = 4 // dense masking so merges actually happen
+    val spanLen = 2
+    def ref(id: Long, text: String): (String, String, Long) = {
+      val toks = Option(text).getOrElse("")
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val st = toks.indices.map(i =>
+        Curation.hashU32Jvm("sc1:st", s"$id:$i") % denom == 0)
+      val masked = toks.indices.map(i =>
+        (math.max(0, i - spanLen + 1) to i).exists(st))
+      val runStarts = toks.indices
+        .filter(i => masked(i) && (i == 0 || !masked(i - 1)))
+      val sentOf = runStarts.zipWithIndex.toMap
+      val input = toks.indices.flatMap { i =>
+        if (!masked(i)) Some(toks(i))
+        else sentOf.get(i).map(k => s"<extra_id_$k>")
+      }.mkString(" ")
+      val target = runStarts.zipWithIndex.map { case (p, k) =>
+        val run = Iterator.from(p)
+          .takeWhile(i => i < toks.length && masked(i))
+          .map(toks).toSeq
+        (s"<extra_id_$k>" +: run).mkString(" ")
+      }.mkString(" ")
+      (input, target, runStarts.length.toLong)
+    }
+    val docs = Seq(
+      (1L, "the cat sat on the mat and then the dog ran far away"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two"),
+      (4L, "solo"),
+      (5L, ""),
+      (6L, "   "),
+      (7L, null.asInstanceOf[String]),
+      (8L, " leading and trailing ")).toDF("id", "text")
+    val got = Curation.spanCorrupt(docs, "id", "text", "sc1",
+        startDenom = denom, spanLen = spanLen)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val texts = docs.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    got.foreach { case (id, inp, tgt, ns) =>
+      val (ri, rt, rn) = ref(id, texts(id))
+      assert((inp, tgt, ns) == ((ri, rt, rn)), s"doc $id")
+    }
+    // the masking is live: some doc has spans, some doc has none
+    assert(got.exists(_._4 > 0) && got.exists(_._4 == 0))
+    // token conservation: stripping sentinels, |input|+|target| tokens
+    // == original tokens for every doc
+    got.foreach { case (id, inp, tgt, _) =>
+      val orig = Option(texts(id)).getOrElse("")
+        .split("\\s+").count(_.nonEmpty)
+      def realToks(s: String) = s.split("\\s+")
+        .count(t => t.nonEmpty && !t.startsWith("<extra_id_"))
+      assert(realToks(inp) + realToks(tgt) == orig, s"doc $id")
+    }
+  }
+
   test("budgetSample: per-lane prefix semantics, quota remainder to " +
       "low lanes, deterministic across partitionings") {
     val df = (1L to 200L).map(i => (i, 10L)).toDF("id", "n")

@@ -1634,6 +1634,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingFertilityCounts folded through temperatureMixture == " +
+      "batch mixture weights (twin #39's derivation)") {
+    import graft.ext.{Curation, TextAnalysis}
+    val docs = Seq((1L, "en", "a b c d"), (2L, "en", "e f"),
+      (3L, "fr", "x y z"), (4L, "de", "q"))
+    val batch = Curation.temperatureMixture(
+        TextAnalysis.withTokenCounts(
+          docs.toDF("id", "grp", "text"), "text"),
+        "grp", "n_tokens", alpha = 0.5)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStreams.streamingFertilityCounts(
+        mem.toDS().toDF("id", "grp", "text"), "grp", "text")
+      .select(col("grp"), col("n_tokens"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("mix_counts").start()
+    try {
+      // 'en' spans both batches — MAX fold, monotone counts
+      mem.addData(docs(0)); q.processAllAvailable()
+      mem.addData(docs(1), docs(2), docs(3)); q.processAllAvailable()
+      val folded = spark.table("mix_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+        .map { case (g, n) => (g, n) }
+      val online = Curation.temperatureMixture(
+          folded.toDF("grp", "n_tokens"), "grp", "n_tokens", 0.5)
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingKnCounts: cross-batch MAX-fold converges to the batch " +
       "LM table through the shared continuation derivation") {
     import graft.ext.TextAnalysis
