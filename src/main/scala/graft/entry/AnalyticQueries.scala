@@ -1512,6 +1512,28 @@ object AnalyticQueries {
         .limit(200)
     }),
 
+    // The FORTIETH streaming twin: online SMOOTHED-LM maintenance —
+    // q247's folded count state derived through the SHARED
+    // knProbabilities closed form (D = 3/4, DECIMAL(38,0) integer
+    // arithmetic), so the online probability table cannot drift from
+    // the batch trainer's. Faces q249's own oracle SQL row-for-row.
+    "q257_streaming_kn_probabilities" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingKnCounts(
+          df, "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max)
+        .toSeq.map { case ((w1, w2), n) => (w1, w2, n) }
+      graft.ext.TextAnalysis.knProbabilities(
+          folded.toDF("w1", "w2", "n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(200)
+    }),
+
     // The THIRTY-THIRD streaming twin: line-quality filtering at
     // ingest — the batch HOF projection verbatim (stateless,
     // Append-legal); the twin pins stream legality and instance
@@ -2784,5 +2806,10 @@ object AnalyticQueries {
       // mixture weights row-for-row — same oracle as q221
       ("q254_streaming_mixture_weights" ->
         CurationQueries.oracleSql("q221_temperature_mixture")) +
+      // the folded online counts, derived through the shared KN
+      // closed form, must reproduce the batch smoothed table — same
+      // oracle as q249
+      ("q257_streaming_kn_probabilities" ->
+        TextQueries.oracleSql("q249_kn_probabilities")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -265,6 +265,44 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Recall@5 of the pinned-centroid IVF against the exact ranking
+    // (q240's pair through the set-membership metric instead of RBO):
+    // the per-query ANN quality number a cell-count/nProbe sweep is
+    // tuned on. Exact integers, zero-overlap queries keep a 0 row.
+    "q258_ivf_recall_at_k" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val exact = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val approx = Similarity.ivfTopK(e, "vec_id", "embedding", cents,
+        col("vec_id") < 10, k = 5)
+      graft.ext.Search.recallAtK(exact, approx, "q_id", "n_id",
+          "rank", k = 5)
+        .orderBy("q_id")
+    }),
+
+    // Matryoshka truncation evaluation (Kusupati et al. 2022, MRL —
+    // the "can I serve the first 16 of 64 dims?" question): per-query
+    // RBO between the full-dim exact ranking and the ranking under a
+    // PREFIX-truncated embedding — the dimension-cut quality curve's
+    // measurement at one cut. Truncation is a map-only slice in the
+    // scan projection; both rankings use the q40 brute plan (queries
+    // broadcast, map-side WindowGroupLimit rank cut), RBO joins two
+    // ≤k-row frames per query.
+    "q255_matryoshka_eval" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val exact = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+      val tr = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val approx = Similarity.bruteForceTopK(tr,
+        tr.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+      graft.ext.Search.rboOverlap(exact, approx, "q_id", "n_id",
+          "rank", k = 10)
+        .orderBy("q_id")
+    }),
+
     // Product-quantization encode: 8 subspaces x 8 dims, codewords = the
     // 16 lowest-id vectors' subvectors (deterministic, so the oracle can
     // rebuild the exact codebooks). Map-only: one codegen argmin per
@@ -600,6 +638,20 @@ object VectorQueries {
     // distance — train, assign, encode, and rank all in one certified
     // pipeline. With q206 this puts every IVF family member on
     // LEARNED centroids under the gate.
+    // MULTI-PROBE trained IVF (the recall lever under the gate):
+    // q206's learned-centroid search with each query fanned to its 2
+    // nearest cells — candidates grow ×nProbe while the corpus keeps
+    // its single map-only cell assign and is never re-bucketed. The
+    // oracle replays training AND the per-query 2-cell probe rank.
+    "q256_ivf_probed_trained_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      Similarity.ivfTopKProbed(e, "vec_id", "embedding", cents,
+          col("vec_id") < 10, k = 3, nProbe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
     "q209_ivf_sq8_trained_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
@@ -756,6 +808,73 @@ object VectorQueries {
         |m AS (SELECT ea.q_id, greatest(ea.ra, ia.rb) AS m
         |      FROM ea JOIN ia ON ea.q_id = ia.q_id AND ea.n_id = ia.n_id
         |      WHERE ea.ra <= 10 AND ia.rb <= 10),
+        |x AS (SELECT q_id, CAST(u.d AS BIGINT) AS d,
+        |        CAST(COUNT(*) AS BIGINT) AS x
+        |      FROM m, unnest(generate_series(m.m, 10)) u(d)
+        |      WHERE m <= 10 GROUP BY 1, 2),
+        |tm AS (SELECT q_id, d,
+        |        CAST(x AS DOUBLE) / CAST(d * (CAST(1 AS BIGINT) << d) AS DOUBLE) AS t
+        |      FROM x),
+        |rb AS (SELECT q_id,
+        |        list_reduce(list_prepend(0.0, list(t ORDER BY d)),
+        |          (a, b) -> a + b) AS rbo
+        |      FROM tm GROUP BY 1)
+        |SELECT q.q_id, COALESCE(rb.rbo, 0.0) AS rbo
+        |FROM q LEFT JOIN rb USING (q_id) ORDER BY q.q_id""".stripMargin,
+    // q240's two ranking CTEs joined at rank <= 5 and counted per
+    // query; floor-e9 recall over exact integers
+    "q258_ivf_recall_at_k" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id<10),
+        |esc AS (SELECT q_id, vec_id AS n_id,
+        |         list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
+        |       FROM embeddings, q WHERE vec_id <> q_id),
+        |ea AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS ra
+        |      FROM esc),
+        |cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        |              FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, embedding, cid FROM (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec), c.cid) AS rn
+        |  FROM embeddings e, cent c) WHERE rn = 1),
+        |iq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, cid
+        |      FROM asg WHERE vec_id < 10),
+        |isc AS (SELECT iq.q_id, a.vec_id AS n_id,
+        |        list_cosine_similarity(iq.qv, a.embedding::DOUBLE[]) AS cos
+        |       FROM iq JOIN asg a USING (cid) WHERE a.vec_id <> iq.q_id),
+        |ia AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rb
+        |      FROM isc),
+        |h AS (SELECT ea.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |      FROM ea JOIN ia ON ea.q_id = ia.q_id AND ea.n_id = ia.n_id
+        |      WHERE ea.ra <= 5 AND ia.rb <= 5 GROUP BY 1)
+        |SELECT q.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) * 1000000000 // 5 AS BIGINT)
+        |    AS recall_e9
+        |FROM q LEFT JOIN h USING (q_id) ORDER BY q.q_id""".stripMargin,
+    // q240's RBO chain with the approximate side swapped for the
+    // PREFIX-truncated (first 16 dims) exact ranking; double-cast
+    // then slice == slice then double-cast (elementwise)
+    "q255_matryoshka_eval" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id<10),
+        |esc AS (SELECT q_id, vec_id AS n_id,
+        |         list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
+        |       FROM embeddings, q WHERE vec_id <> q_id),
+        |ea AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS ra
+        |      FROM esc),
+        |tq AS (SELECT vec_id AS q_id, (embedding::DOUBLE[])[1:16] AS qv
+        |      FROM embeddings WHERE vec_id<10),
+        |tsc AS (SELECT tq.q_id, e.vec_id AS n_id,
+        |        list_cosine_similarity(tq.qv, (e.embedding::DOUBLE[])[1:16]) AS cos
+        |       FROM embeddings e, tq WHERE e.vec_id <> tq.q_id),
+        |ta AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rb
+        |      FROM tsc),
+        |m AS (SELECT ea.q_id, greatest(ea.ra, ta.rb) AS m
+        |      FROM ea JOIN ta ON ea.q_id = ta.q_id AND ea.n_id = ta.n_id
+        |      WHERE ea.ra <= 10 AND ta.rb <= 10),
         |x AS (SELECT q_id, CAST(u.d AS BIGINT) AS d,
         |        CAST(COUNT(*) AS BIGINT) AS x
         |      FROM m, unnest(generate_series(m.m, 10)) u(d)
@@ -1246,6 +1365,38 @@ object VectorQueries {
     head + seeds + c0 + rounds
   }
 
+  /** q256: [[ivfTrainedSql]] with the query side fanned to its
+    * `nProbe` nearest cells (rn <= nProbe over the same (d2, cid)
+    * order the probeCells kernel sorts by). Each candidate lives in
+    * exactly ONE cell, so the cell join yields each (query,
+    * candidate) pair at most once — no dedup stage needed. */
+  private def ivfTrainedProbedSql(k: Int, iters: Int,
+      nProbe: Int): String =
+    kmeansCte(k, iters) +
+      s""",
+         |asgt AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${kmD2("(e.embedding::DOUBLE[])", "c.cv")},
+         |      c.cid) AS rn
+         |  FROM embeddings e, c$iters c) WHERE rn = 1),
+         |qp AS (SELECT vec_id AS q_id, qv, cid FROM (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS qv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${kmD2("(e.embedding::DOUBLE[])", "c.cv")},
+         |        c.cid) AS rn
+         |  FROM embeddings e, c$iters c WHERE e.vec_id < 10)
+         | WHERE rn <= $nProbe),
+         |scx AS (SELECT qp.q_id, a.vec_id AS n_id,
+         |         list_cosine_similarity(qp.qv, a.embedding::DOUBLE[]) AS cos
+         |        FROM qp JOIN asgt a USING (cid)
+         |        WHERE a.vec_id <> qp.q_id),
+         |rx AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER)
+         |        AS rank FROM scx)
+         |SELECT q_id, n_id, rank FROM rx WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+
   /** q206: the trained quantizer COMPOSED into the search — the
     * [[kmeansCte]] centroids feed q43's cell-assign + same-cell cosine
     * rank. Assignment ordering uses the exact in-order fold (the
@@ -1468,6 +1619,7 @@ object VectorQueries {
       ("q189_label_propagation" -> lpaSql(4)) +
       ("q204_kmeans_train" -> kmeansSql(4, 2)) +
       ("q206_ivf_trained_topk" -> ivfTrainedSql(4, 2)) +
+      ("q256_ivf_probed_trained_topk" -> ivfTrainedProbedSql(4, 2, 2)) +
       // serving on saved codes must equal the inline pipelines —
       // same oracles as q78/q82 (two implementations, one ground truth)
       ("q207_pq_serve_on_codes" -> oracleSqlBase("q78_pq_adc_topk")) +

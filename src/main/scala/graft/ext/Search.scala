@@ -252,6 +252,34 @@ object Search {
       .select(col(qCol), coalesce(col("rbo"), lit(0.0)).as("rbo"))
   }
 
+  /** Recall@k — the standard ANN quality metric next to
+    * [[rboOverlap]] (RBO weights the TOP of the lists; recall@k
+    * counts set membership only): per query, how many of the truth
+    * ranking's top k the approximate ranking's top k recovered.
+    * Exact integers — `n_hits` and floor-e9 `recall_e9` = n·10⁹ div k
+    * — so the eval hash-replays. Queries present in `truth` with zero
+    * overlap report 0 (the spine is truth's query set).
+    *
+    * Scale shape: two rank-filtered top-k lists (≤ k rows per query,
+    * not corpora) equi-join on (query, id); one per-query count. The
+    * corpus-sized work happened inside each system's own retrieval
+    * plan. */
+  def recallAtK(truth: DataFrame, approx: DataFrame, qCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val tt = truth.where(col(rankCol) <= k)
+      .select(col(qCol), col(idCol))
+    val aa = approx.where(col(rankCol) <= k)
+      .select(col(qCol), col(idCol))
+    val hits = tt.join(aa, Seq(qCol, idCol))
+      .groupBy(col(qCol)).agg(count(lit(1)).as("n_hits"))
+    truth.select(col(qCol)).distinct()
+      .join(hits, Seq(qCol), "left")
+      .select(col(qCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_e9",
+        expr(s"n_hits * 1000000000 div $k"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: merge the ranked lists of
     * N systems (lexical BM25 + dense ANN is the classic RAG pair) by

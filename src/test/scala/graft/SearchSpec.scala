@@ -251,6 +251,35 @@ class SearchSpec extends SparkSpecBase {
     assert(got(2) == ((3L, 0.75)))
   }
 
+  test("recallAtK: exact hit counts, zero-overlap spine row, ranks " +
+      "beyond k ignored, floor-e9 rational") {
+    import spark.implicits._
+    def ranked(q: Long, ids: Seq[Int]) =
+      ids.zipWithIndex.map { case (id, i) => (q, id.toLong, i + 1L) }
+    val truth = (ranked(1L, Seq(10, 11, 12)) ++
+      ranked(2L, Seq(20, 21, 22)) ++
+      ranked(3L, Seq(30, 31, 32))).toDF("q", "id", "rank")
+    val approx = (ranked(1L, Seq(10, 11, 12)) ++ // all 3 hit
+      ranked(2L, Seq(99, 98, 20)) ++             // 1 hit at rank 3
+      ranked(3L, Seq(31, 97, 96, 30))            // rank-4 '30' ignored
+      ).toDF("q", "id", "rank")
+    val got = graft.ext.Search.recallAtK(truth, approx, "q", "id",
+        "rank", k = 3)
+      .orderBy("q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1000000000L),
+      (2L, 1L, 333333333L),
+      (3L, 1L, 333333333L)))
+    // a truth query the approx never saw keeps a 0 row
+    val t2 = (ranked(1L, Seq(10)) ++ ranked(9L, Seq(90)))
+      .toDF("q", "id", "rank")
+    val a2 = ranked(1L, Seq(10)).toDF("q", "id", "rank")
+    val g2 = graft.ext.Search.recallAtK(t2, a2, "q", "id", "rank", 1)
+      .orderBy("q").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g2.toSeq == Seq((1L, 1L), (9L, 0L)))
+  }
+
   test("rrfFuse: single system is a pure rank transform") {
     import spark.implicits._
     val a = Seq((7L, 1), (9L, 2)).toDF("doc_id", "rank")
