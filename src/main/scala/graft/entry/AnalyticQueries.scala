@@ -1442,6 +1442,37 @@ object AnalyticQueries {
         .orderBy("lang")
     }),
 
+    // The FORTY-FIRST streaming twin: online trained-LM document
+    // scoring — the SERVING half of the KN family (train online:
+    // q247/q257; serve online: this): the en-slice model trains once
+    // in batch (materialized — static sides re-evaluate per batch),
+    // arriving docs explode + stream-static-join the model tables +
+    // aggregate per doc in ONE Update-mode agg (knScoreFacts, the
+    // SHARED derivation); the fold adds the zero-row spine through
+    // the SHARED knScoreFinish. Faces q250's own oracle SQL
+    // row-for-row.
+    "q260_streaming_kn_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val model = graft.ext.TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en").select("doc_id", "text"),
+          "text")
+        .localCheckpoint(true) // the trained artifact, built once
+      val raw = replayDocsThirds(s, d.select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingKnScore(
+          df, "doc_id", "text", model),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => vs.maxBy(v => (v._2, v._3))).toSeq
+        .map(_._2)
+      graft.ext.TextAnalysis.knScoreFinish(
+          d.select("doc_id").distinct(),
+          folded.toDF("doc_id", "n_bigrams", "sum_p_e9"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // The THIRTY-SEVENTH streaming twin: CELL-KEYED online ANN
     // serving — the sublinear upgrade of q205's brute serve: the
     // corpus is trained (learned centroids), cell-assigned, and
@@ -2811,5 +2842,9 @@ object AnalyticQueries {
       // oracle as q249
       ("q257_streaming_kn_probabilities" ->
         TextQueries.oracleSql("q249_kn_probabilities")) +
+      // online serving against the saved LM must reproduce the batch
+      // scorer row-for-row — same oracle as q250
+      ("q260_streaming_kn_score" ->
+        TextQueries.oracleSql("q250_kn_doc_score")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

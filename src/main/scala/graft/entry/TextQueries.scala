@@ -309,6 +309,19 @@ object TextQueries {
         .limit(200)
     }),
 
+    // Collocation mining (Church/Hanks PMI as the exact-rational
+    // LIFT — log is monotone, so the ranking is PMI's): which
+    // adjacent word pairs are phrases, from the same collapsed bigram
+    // table as q246. minCount=2 cuts hapax noise; top-200 by
+    // (lift desc, w1, w2).
+    "q259_collocations" -> ((s, dir) => {
+      TextAnalysis.collocationLift(
+          TextAnalysis.knBigramCounts(docs(s, dir), "text"),
+          minCount = 2)
+        .orderBy(col("lift_e9").desc, col("w1"), col("w2"))
+        .limit(200)
+    }),
+
     // The SMOOTHED model q246's statistics exist for: interpolated
     // Kneser-Ney bigram probabilities with D = 3/4 — every p an exact
     // rational emitted floor-e9 through DECIMAL(38,0) integer
@@ -1158,6 +1171,25 @@ object TextQueries {
         |SELECT c.w1, c.w2, c.n, pre.n1plus_pre, post.n1plus_post
         |FROM c JOIN pre USING (w2) JOIN post USING (w1)
         |ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""".stripMargin,
+    // q246's count CTE + marginal instance totals; n·B·1e9 // (lt·rt)
+    // in HUGEINT, CAST at the output edge
+    "q259_collocations" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text,'\s+'),
+        |    x -> length(x) > 0) AS tk FROM documents),
+        |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY 1, 2),
+        |lt AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS lt FROM c GROUP BY 1),
+        |rt AS (SELECT w2, CAST(SUM(n) AS HUGEINT) AS rt FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS b FROM c)
+        |SELECT c.w1, c.w2, c.n,
+        |  CAST((c.n * b * 1000000000) // (lt.lt * rt.rt) AS BIGINT)
+        |    AS lift_e9
+        |FROM c JOIN lt USING (w1) JOIN rt USING (w2), tot
+        |WHERE c.n >= 2
+        |ORDER BY lift_e9 DESC, c.w1, c.w2 LIMIT 200""".stripMargin,
     // q246's count CTEs + the closed-form rational
     // ((4n-3)B + 3 post pre) / (4 c1 B) as HUGEINT floor arithmetic,
     // CAST to BIGINT at the output edge (the q217 lint class)

@@ -935,6 +935,42 @@ object TextAnalysis {
       .select("w1", "w2", "n", "p_e9")
   }
 
+  /** Collocation mining over a (w1, w2, n) adjacent-bigram count
+    * table — the PMI-family "are these two words a phrase?" signal
+    * (Church/Hanks 1990), emitted as the LIFT on the bigram event
+    * space so it stays an exact rational (PMI itself is log(lift) —
+    * log is libm-dependent and monotone, so ranking by lift ranks by
+    * PMI):
+    *
+    *   lift(w1, w2) = p(w1 w2) / (p(w1 ·)·p(· w2))
+    *                = n·B / (left(w1)·right(w2))
+    *
+    * where B = Σn (total bigram instances), left/right the marginal
+    * instance totals. Floor-e9 through DECIMAL(38,0) — `n·B·10⁹`
+    * stays inside 38 digits up to B ~ 10¹⁴ instances (≫ 100 TB).
+    * Rare-pair noise is cut by `minCount` (lift is unstable at n=1 —
+    * two hapax words adjacent once score B). Output: w1, w2, n,
+    * lift_e9.
+    *
+    * Scale shape: two aggregations over the COLLAPSED bigram table
+    * joined back on their keys; the 1-row B broadcasts — the corpus
+    * was collapsed once by [[knBigramCounts]], which also makes this
+    * derivable from the streaming count state (the q247 fold). */
+  def collocationLift(counts: DataFrame, minCount: Long = 2): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lt = counts.groupBy(col("w1")).agg(sum(col("n")).as("__lt"))
+    val rt = counts.groupBy(col("w2")).agg(sum(col("n")).as("__rt"))
+    counts.where(col("n") >= minCount)
+      .join(lt, Seq("w1")).join(rt, Seq("w2"))
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__b"))))
+      .withColumn("__num",
+        dec(col("n")) * dec(col("__b")) * dec(lit(1000000000L)))
+      .withColumn("__den", dec(col("__lt")) * dec(col("__rt")))
+      .withColumn("lift_e9", expr("__num div __den"))
+      .select("w1", "w2", "n", "lift_e9")
+  }
+
   /** Score documents against a TRAINED Kneser–Ney bigram table — the
     * "perplexity filter with a real LM" (the trained upgrade of the
     * corpus-conditional bigram familiarity): per document, the mean
@@ -967,6 +1003,17 @@ object TextAnalysis {
     * artifact, or `.localCheckpoint(true)` an in-session one) or the
     * training aggregation re-runs per reference. */
   def knScoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame): DataFrame =
+    knScoreFinish(docs.select(col(idCol)).distinct(),
+      knScoreFacts(docs, idCol, textCol, counts), idCol)
+
+  /** The per-doc aggregated half of [[knScoreDocs]] — (idCol,
+    * n_bigrams, sum_p_e9) WITHOUT the zero-row spine: exactly the
+    * shape that streams (explode + stream-static model joins + ONE
+    * Update-mode per-doc agg; the spine is the fold's decision
+    * downstream, [[knScoreFinish]]). Shared by the batch operator and
+    * the streaming twin so the derivations cannot drift. */
+  def knScoreFacts(docs: DataFrame, idCol: String, textCol: String,
       counts: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val probs = knProbabilities(counts)
@@ -1005,16 +1052,24 @@ object TextAnalysis {
           expr("__cn div CAST(__b AS DECIMAL(38,0))")),
         lit(0L)))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__nb"), sum(col("__p")).as("__sp"))
-    docs.select(col(idCol)).distinct()
-      .join(scored, Seq(idCol), "left")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("sum_p_e9"))
+    scored
+  }
+
+  /** The spine-and-ratio half of [[knScoreDocs]]: left-join the facts
+    * onto the full id spine (sub-2-token docs keep a zero row) and
+    * derive the floor mean. The streaming twin's folded facts derive
+    * through this SAME method. */
+  def knScoreFinish(spine: DataFrame, facts: DataFrame,
+      idCol: String): DataFrame =
+    spine
+      .join(facts, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
-        coalesce(col("__sp"), lit(0L)).as("sum_p_e9"))
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_p_e9"), lit(0L)).as("sum_p_e9"))
       .withColumn("mean_p_e9",
         when(col("n_bigrams") > 0,
           expr("sum_p_e9 div n_bigrams")).otherwise(lit(0L)))
-  }
 
   /** Out-of-vocabulary rate per group against a tokenizer vocabulary
     * table (`term` column): per group — token instances, OOV

@@ -580,6 +580,21 @@ object EventStreams {
       seed: String, rate: Double): DataFrame =
     graft.ext.Curation.fimTransform(docs, idCol, textCol, seed, rate)
 
+  /** Online trained-LM document scoring — the serving half of the
+    * Kneser–Ney family: arriving documents score against a SAVED
+    * bigram model ([[graft.ext.TextAnalysis.knScoreFacts]] VERBATIM —
+    * the shared derivation): bigram explode, three stream-static
+    * joins against the model tables (probabilities + both back-off
+    * marginals, all derived from `counts` — materialize it: static
+    * sides re-evaluate per micro-batch), the 1-row B broadcast, then
+    * ONE Update-mode per-doc aggregation. Each doc's state is
+    * write-once (a doc arrives in one batch); the zero-row spine for
+    * sub-2-token docs is the fold's decision downstream
+    * ([[graft.ext.TextAnalysis.knScoreFinish]]). */
+  def streamingKnScore(docs: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.knScoreFacts(docs, idCol, textCol, counts)
+
   /** Span corruption at ingest — [[graft.ext.Curation.spanCorrupt]]
     * VERBATIM on the streaming frame (the [[streamingFim]] convention:
     * the batch operator is a pure zero-shuffle projection — per-row

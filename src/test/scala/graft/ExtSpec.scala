@@ -1763,6 +1763,26 @@ class ExtSpec extends SparkSpecBase {
       ("the", "cat", 2L, 1L, 1L)))
   }
 
+  test("collocationLift: exact lift by hand, minCount cuts hapax " +
+      "pairs, B and the marginals are instance totals") {
+    val train = Seq("the cat sat", "the cat ran").toDF("text")
+    // counts: (the,cat,2) (cat,sat,1) (cat,ran,1); B=4 instances
+    // lt: the=2 cat=2; rt: cat=2 sat=1 ran=1
+    val counts = TextAnalysis.knBigramCounts(train, "text")
+    val all = TextAnalysis.collocationLift(counts, minCount = 1)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // (the,cat): 2*4e9/(2*2)=2e9; (cat,sat): 1*4e9/(2*1)=2e9; ditto ran
+    assert(all.toSeq == Seq(
+      ("cat", "ran", 1L, 2000000000L),
+      ("cat", "sat", 1L, 2000000000L),
+      ("the", "cat", 2L, 2000000000L)))
+    val cut = TextAnalysis.collocationLift(counts, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(cut.toSeq == Seq(("the", "cat")))
+  }
+
   test("knProbabilities: D=3/4 closed form by hand; knScoreDocs hits " +
       "all four back-off branches and keeps sub-2-token docs as zeros") {
     val train = Seq("the cat sat", "the cat ran").toDF("text")
