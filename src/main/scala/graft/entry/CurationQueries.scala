@@ -284,6 +284,28 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // End-to-end INGEST pipeline in ONE query (the q197/q231
+    // convention for the chunked-pretrain/RAG path): quality gate →
+    // fixed-stride overlapping chunking → deterministic sequence
+    // packing of the SURVIVING CHUNKS (pack identity = "doc:chunk").
+    // One linear frame: the gate and chunk stages fuse into the scan
+    // side, packing adds the single shard-keyed exchange — the corpus
+    // is never re-read between stages.
+    "q261_ingest_pipeline" -> ((s, dir) => {
+      val kept = TextAnalysis.qualityVerdict(docs(s, dir), "text")
+        .where(col("verdict") === "keep")
+        .select("doc_id", "text")
+      val chunks = TextAnalysis.chunkTokens(kept, "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .withColumn("chunk_key",
+          concat_ws(":", col("doc_id"), col("chunk_id")))
+      Curation.packSequences(chunks, "chunk_key", "n_tokens",
+          budget = 256L, seed = "ing1", nShards = 8)
+        .select("doc_id", "chunk_id", "start_token", "n_tokens",
+          "chunk_hash", "shard", "pack", "pack_offset")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // First-failing-rule quality verdict: keep, or the name of the
     // first gate failed (too_short -> low_alpha -> high_punct ->
     // repetitive). Map-only; the verdict histogram is the filter-tuning
@@ -818,6 +840,53 @@ object CurationQueries {
         |      WHEN dup_gram_ratio > 0.2 THEN 'repetitive'
         |      ELSE 'keep' END AS verdict
         |FROM sig ORDER BY doc_id""".stripMargin,
+    // q72's gate CTEs → q91's chunk CTEs over survivors → q71's pack
+    // CTEs keyed on the "doc:chunk" identity — the three certified
+    // fragments composed verbatim
+    "q261_ingest_pipeline" ->
+      """WITH toks AS (SELECT doc_id, text, string_split_regex(text,'\s+') t FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(t[i:i+1],' ') s
+        |       FROM toks, unnest(generate_series(1, len(t)-1)) u(i)
+        |       WHERE len(t) >= 2),
+        |rep AS (SELECT doc_id,
+        |         1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        |        FROM sh GROUP BY 1),
+        |sig AS (SELECT k.doc_id, k.text,
+        |   len(k.t) AS n_tokens,
+        |   CASE WHEN length(k.text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(k.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |             / CAST(length(k.text) AS DOUBLE) END AS alpha_ratio,
+        |   CASE WHEN length(k.text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(k.text,'[A-Za-z0-9\s]','','g')) AS DOUBLE)
+        |             / CAST(length(k.text) AS DOUBLE) END AS punct_ratio,
+        |   COALESCE(r.dup_ratio, 0.0) AS dup_gram_ratio
+        | FROM toks k LEFT JOIN rep r ON k.doc_id = r.doc_id),
+        |kd AS (SELECT doc_id, text FROM sig
+        |       WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
+        |         AND punct_ratio <= 0.2 AND dup_gram_ratio <= 0.2),
+        |t2 AS (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM kd),
+        |st AS (SELECT doc_id, tk, CAST(u.s AS INTEGER) AS s
+        |       FROM t2, unnest(generate_series(1, len(tk), 24)) u(s)
+        |       WHERE u.s = 1 OR u.s + 8 <= len(tk)),
+        |ch AS (SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INTEGER) AS chunk_id,
+        |  s AS start_token,
+        |  len(tk[s:s+31]) AS n_tokens,
+        |  md5(array_to_string(tk[s:s+31],' ')) AS chunk_hash
+        | FROM st),
+        |pk AS (SELECT *, concat(CAST(doc_id AS VARCHAR), ':',
+        |         CAST(chunk_id AS VARCHAR)) AS ck FROM ch),
+        |h AS (SELECT *, md5(concat('ing1','#',ck)) AS skey,
+        |   CAST(concat('0x', substr(md5(concat('ing1','#',ck)),1,8)) AS BIGINT) % 8 AS shard
+        | FROM pk),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+        |        ORDER BY skey, ck ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - n_tokens AS strt
+        | FROM h)
+        |SELECT doc_id, chunk_id, start_token, n_tokens, chunk_hash,
+        |  shard, strt // 256 AS pack, strt % 256 AS pack_offset
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // same (1e9*c)/cp double op order as the Spark column, quantized to
     // BIGINT per bigram BEFORE the per-doc sum (integer summation is
     // order-free; a double sum would not hash-match)
