@@ -309,6 +309,23 @@ object TextQueries {
         .limit(200)
     }),
 
+    // Unicode cleanup (NFC + control strip + whitespace collapse) —
+    // the planted-defect device (q239's): mod-7 docs get a decomposed
+    // e+U+0301, a BEL, and a double space appended, so composition,
+    // stripping, and collapsing each provably fire (n_before 9 >
+    // n_after 8 on planted rows). NFC parity is by Unicode spec: JVM
+    // Normalizer == DuckDB nfc_normalize.
+    "q262_unicode_clean" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" cafe\u0301\u0007  end")))
+          .otherwise(col("text")))
+      TextAnalysis.unicodeClean(planted, "text")
+        .select(col("doc_id"), length(col("text")).as("n_before"),
+          length(col("clean_text")).as("n_after"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // Collocation mining (Church/Hanks PMI as the exact-rational
     // LIFT — log is monotone, so the ranking is PMI's): which
     // adjacent word pairs are phrases, from the same collapsed bigram
@@ -1171,6 +1188,23 @@ object TextQueries {
         |SELECT c.w1, c.w2, c.n, pre.n1plus_pre, post.n1plus_post
         |FROM c JOIN pre USING (w2) JOIN post USING (w1)
         |ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""".stripMargin,
+    // same plant via chr(); nfc_normalize is DuckDB's NFC (same
+    // Unicode spec as the JVM Normalizer), regex steps are plain
+    // character classes with the 'g' flag
+    "q262_unicode_clean" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN text || ' cafe' || chr(769) || chr(7) || '  end'
+        |       ELSE text END AS text
+        | FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS clean_text
+        | FROM p)
+        |SELECT doc_id, length(text) AS n_before,
+        |  length(clean_text) AS n_after, clean_text
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q246's count CTE + marginal instance totals; n·B·1e9 // (lt·rt)
     // in HUGEINT, CAST at the output edge
     "q259_collocations" ->

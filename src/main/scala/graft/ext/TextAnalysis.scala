@@ -935,6 +935,27 @@ object TextAnalysis {
       .select("w1", "w2", "n", "p_e9")
   }
 
+  /** Unicode cleanup for corpus text — the normalization pass every
+    * web-scraped corpus gets before hashing/dedup/tokenization (the
+    * C4/Gopher convention): (1) NFC canonical composition (decomposed
+    * e + U+0301 → é — one spelling per grapheme, via the codegen'd
+    * [[graft.functions.expressions.NfcNormalize]]); (2) control
+    * characters stripped (C0 except \n and \t, plus DEL); (3)
+    * horizontal whitespace runs collapsed to one space; (4) trimmed.
+    * ZERO shuffle — one fused projection in the scan. Engine parity:
+    * NFC is a pure function of the code-point sequence (JVM
+    * Normalizer == DuckDB nfc_normalize by spec), and the regex
+    * steps are plain character classes. */
+  def unicodeClean(df: DataFrame, textCol: String,
+      out: String = "clean_text"): DataFrame = {
+    val nfc = graft.functions.expressions.TextExpressions
+      .nfcNormalize(df.sparkSession, col(textCol))
+    df.withColumn(out,
+      trim(regexp_replace(regexp_replace(nfc,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+        "[ \\t]+", " ")))
+  }
+
   /** Collocation mining over a (w1, w2, n) adjacent-bigram count
     * table — the PMI-family "are these two words a phrase?" signal
     * (Church/Hanks 1990), emitted as the LIFT on the bigram event

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.expressions.{BloomMightContain, CdcBoundaries, CharUnitLength, CharUnitSubstr, CosineSimilarity, DotProduct, L2Squared, LongSetContains, MatVec, NearestCentroid, PqAdcDistance, TfNormSq, WinnowedGrams, WordShingles}
+import graft.functions.expressions.{BloomMightContain, CdcBoundaries, CharUnitLength, CharUnitSubstr, CosineSimilarity, DotProduct, L2Squared, LongSetContains, MatVec, NearestCentroid, NfcNormalize, PqAdcDistance, TfNormSq, WinnowedGrams, WordShingles}
 
 /** The engine's SQL function surface, one list consumed two ways:
   *
@@ -75,6 +75,9 @@ object GraftFunctions {
       "graft_shingles(text STRING, n INT) - distinct word n-gram shingles",
       arity("graft_shingles", 2)(e =>
         WordShingles(e(0), intLiteral("graft_shingles", e(1))))),
+    entry("graft_nfc",
+      "graft_nfc(text STRING) - Unicode NFC canonical composition",
+      arity("graft_nfc", 1)(e => NfcNormalize(e(0)))),
     entry("graft_mat_vec",
       "graft_mat_vec(m ARRAY<ARRAY<DOUBLE>>, v ARRAY<DOUBLE>) - row-major" +
         " matrix-vector product (the OPQ rotation kernel)",

@@ -47,6 +47,30 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (canonical composition) — the first
+  * step of corpus text cleaning: decomposed sequences (e + U+0301)
+  * compose to their canonical form (é), so downstream hashing,
+  * dedup, and tokenization see ONE spelling per grapheme. Engine
+  * parity is by spec: the JVM (`java.text.Normalizer`) and DuckDB
+  * (`nfc_normalize`) both implement Unicode NFC, which is a pure
+  * function of the code-point sequence. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    TextExprHelpers.nfc(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExprHelpers" +
+        s".nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowed char-gram stream for substring-level dedup
   * ([[graft.ext.Dedup.duplicateSpans]]): every char `gramLen`-gram of
   * the text is hashed, and the minimum (hash, pos) of every trailing
@@ -199,6 +223,17 @@ case class CharUnitSubstr(str: Expression, startPos: Expression,
 
 /** Static helpers callable from generated code. */
 object TextExprHelpers {
+
+  /** Unicode NFC of `s` — callable from generated code. Fast path:
+    * `Normalizer.isNormalized` avoids the copy for the (dominant)
+    * already-composed case. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
 
   /** Polynomial-rolling-hash base/modulus for [[cdcBoundaries]] — the
     * SAME constants the DuckDB oracle embeds as literals, so boundary
@@ -378,6 +413,11 @@ object TextExpressions {
   def wordShingles(spark: SparkSession, text: Column, n: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def nfcNormalize(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_nfc", text)
   }
 
   def winnowedGrams(spark: SparkSession, text: Column, gramLen: Int,

@@ -118,6 +118,8 @@ object ScaleProbe {
       "mixture_execute", "fim_transform",
       "tokenizer_fertility", "distinct_ngrams", "mixture_pipeline",
       "budget_sample", "line_filter", "oov_rate", "kn_counts",
+      "kn_probabilities", "kn_doc_score", "span_corrupt",
+      "collocations", "ingest_pipeline",
       "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
       "dup_spans_w1", "dup_spans_w4", "dup_spans_w8",
@@ -327,6 +329,42 @@ object ScaleProbe {
     timeOrRun("kn_counts")(TextAnalysis.knTable(
       TextAnalysis.knBigramCounts(docs, "text"))
       .select(sum("n"), sum("n1plus_pre")).head())
+    // the smoothed derivation: two more aggs over the COLLAPSED
+    // table + the 1-row B broadcast — same flat-distinct axis as
+    // kn_counts
+    timeOrRun("kn_probabilities")(TextAnalysis.knProbabilities(
+      TextAnalysis.knBigramCounts(docs, "text"))
+      .select(sum("p_e9")).head())
+    // the serving axis: doc bigram INSTANCES (grow with copies) join
+    // the materialized model + two marginals (flat — replicated
+    // copies share bigrams), then ONE per-doc agg
+    timeOrRun("kn_doc_score") {
+      val model = TextAnalysis.knBigramCounts(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text")
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocs(docs, "doc_id", "text", model)
+        .select(sum("sum_p_e9"), sum("n_bigrams")).head()
+    }
+    // zero-shuffle map-only: the cost axis is pure scan+project CPU
+    timeOrRun("span_corrupt")(Curation.spanCorrupt(docs, "doc_id",
+      "text", seed = "sc1")
+      .select(sum("n_spans"), sum(length(col("input_text")))).head())
+    timeOrRun("collocations")(TextAnalysis.collocationLift(
+      TextAnalysis.knBigramCounts(docs, "text"), minCount = 2)
+      .select(sum("lift_e9")).head())
+    // gate -> chunk -> pack in one frame: the only corpus-sized
+    // exchange is the pack cumsum on the shard key
+    timeOrRun("ingest_pipeline") {
+      val kept = TextAnalysis.qualityVerdict(docs, "text")
+        .where(col("verdict") === "keep").select("doc_id", "text")
+      val chunks = TextAnalysis.chunkTokens(kept, "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .withColumn("chunk_key",
+          concat_ws(":", col("doc_id"), col("chunk_id")))
+      Curation.packSequences(chunks, "chunk_key", "n_tokens",
+          budget = 256L, seed = "ing1", nShards = 64)
+        .select(sum("pack"), count(lit(1))).head()
+    }
     timeOrRun("mixture_pipeline")(Curation.mixturePipeline(
       docs.withColumn("lang",
         concat(lit("l"), pmod(col("doc_id"), lit(100)))))

@@ -101,6 +101,30 @@ class TextExprSpec extends SparkSpecBase {
     assert(sp.getString(4) == "")
   }
 
+  test("NfcNormalize composes decomposed sequences; unicodeClean " +
+      "strips controls, collapses runs, preserves CJK/astral/newlines") {
+    val df = Seq(
+      (1L, "cafe\u0301"),            // decomposed -> café (4 cps)
+      (2L, "café"),             // already NFC: identity
+      (3L, "a\u0007b\tc  d"),        // BEL out, tab+spaces collapse
+      (4L, "你 好\n\n𝄞 x "),     // CJK + newline + astral kept
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    import graft.functions.expressions.TextExpressions
+    val nfc = df.select(col("id"),
+        TextExpressions.nfcNormalize(spark, col("text")).as("n"))
+      .orderBy("id").collect()
+    assert(nfc(0).getString(1) == "café")
+    assert(nfc(1).getString(1) == "café")
+    assert(nfc(4).isNullAt(1))
+    val got = graft.ext.TextAnalysis.unicodeClean(df, "text")
+      .orderBy("id").collect().map(r =>
+        if (r.isNullAt(2)) null else r.getString(2))
+    assert(got(0) == "café")
+    assert(got(2) == "ab c d")
+    assert(got(3) == "你 好\n\n𝄞 x")
+    assert(got(4) == null)
+  }
+
   test("Dedup.shingled emits one row per distinct shingle") {
     val df = Seq(("d1", "a b c d"), ("d2", "a b")).toDF("doc_id", "text")
     val got = graft.ext.Dedup.shingled(df, "doc_id", "text", 3)
