@@ -1473,6 +1473,30 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
+    // The FORTY-SECOND streaming twin: Unicode cleanup at ingest —
+    // the batch projection verbatim (stateless Append; the planted
+    // decomposed-accent/BEL/double-space device rides in the feed, so
+    // every cleanup stage provably fires online too). Faces q262's
+    // own oracle SQL row-for-row.
+    "q263_streaming_unicode_clean" -> ((s, dir) => {
+      import s.implicits._
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" cafe\u0301\u0007  end")))
+          .otherwise(col("text")))
+      val raw = replayDocsThirds(s, planted.select("doc_id", "text"),
+        df => graft.streaming.EventStreams
+          .streamingUnicodeClean(df, "text")
+          .select(col("doc_id"), length(col("text")).as("n_before"),
+            length(col("clean_text")).as("n_after"), col("clean_text")),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getString(3)))
+        .toSeq
+        .toDF("doc_id", "n_before", "n_after", "clean_text")
+        .orderBy("doc_id")
+    }),
+
     // The THIRTY-SEVENTH streaming twin: CELL-KEYED online ANN
     // serving — the sublinear upgrade of q205's brute serve: the
     // corpus is trained (learned centroids), cell-assigned, and
@@ -2846,5 +2870,9 @@ object AnalyticQueries {
       // scorer row-for-row — same oracle as q250
       ("q260_streaming_kn_score" ->
         TextQueries.oracleSql("q250_kn_doc_score")) +
+      // cleanup at ingest is the batch projection verbatim — same
+      // oracle as q262
+      ("q263_streaming_unicode_clean" ->
+        TextQueries.oracleSql("q262_unicode_clean")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

@@ -284,6 +284,29 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Two-phase ANNEALING mixture plan (the Llama-3-style
+    // end-of-training quality anneal): phase 'pretrain' samples
+    // proportionally (α = 1) over the WHOLE corpus; phase 'anneal'
+    // re-weights with strong small-group upsampling (α = 0.25, the
+    // sqrt-sqrt chain) over the QUALITY-GATED slice only. Both
+    // phases are the SAME temperatureMixture derivation (exact-fold
+    // denominators), so the whole plan hashes.
+    "q264_annealing_plan" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pre = Curation.temperatureMixture(
+          TextAnalysis.withTokenCounts(d, "text"), "lang", "n_tokens",
+          alpha = 1.0)
+        .withColumn("phase", lit("pretrain"))
+      val ann = Curation.temperatureMixture(
+          TextAnalysis.qualityVerdict(d, "text")
+            .where(col("verdict") === "keep"),
+          "lang", "n_tokens", alpha = 0.25)
+        .withColumn("phase", lit("anneal"))
+      pre.unionByName(ann)
+        .select("phase", "lang", "n_tokens", "weight")
+        .orderBy("phase", "lang")
+    }),
+
     // End-to-end INGEST pipeline in ONE query (the q197/q231
     // convention for the chunked-pretrain/RAG path): quality gate →
     // fixed-stride overlapping chunking → deterministic sequence
@@ -840,6 +863,50 @@ object CurationQueries {
         |      WHEN dup_gram_ratio > 0.2 THEN 'repetitive'
         |      ELSE 'keep' END AS verdict
         |FROM sig ORDER BY doc_id""".stripMargin,
+    // both phases through q221's exact-fold spelling (α=1 identity,
+    // α=0.25 sqrt·sqrt — correctly rounded IEEE in any engine); the
+    // anneal phase's corpus is q72's gate CTE chain
+    "q264_annealing_plan" ->
+      """WITH toks AS (SELECT doc_id, lang, text,
+        |    string_split_regex(text,'\s+') t FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(t[i:i+1],' ') s
+        |       FROM toks, unnest(generate_series(1, len(t)-1)) u(i)
+        |       WHERE len(t) >= 2),
+        |rep AS (SELECT doc_id,
+        |         1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        |        FROM sh GROUP BY 1),
+        |sig AS (SELECT k.doc_id, k.lang,
+        |   len(k.t) AS n_tokens,
+        |   CASE WHEN length(k.text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(k.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |             / CAST(length(k.text) AS DOUBLE) END AS alpha_ratio,
+        |   CASE WHEN length(k.text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(k.text,'[A-Za-z0-9\s]','','g')) AS DOUBLE)
+        |             / CAST(length(k.text) AS DOUBLE) END AS punct_ratio,
+        |   COALESCE(r.dup_ratio, 0.0) AS dup_gram_ratio
+        | FROM toks k LEFT JOIN rep r ON k.doc_id = r.doc_id),
+        |kd AS (SELECT lang, n_tokens FROM sig
+        |       WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
+        |         AND punct_ratio <= 0.2 AND dup_gram_ratio <= 0.2),
+        |pre_per AS (SELECT lang, CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+        |  FROM toks GROUP BY 1),
+        |pre_s AS (SELECT lang, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) AS sv FROM pre_per),
+        |pre_d AS (SELECT list_reduce(list_prepend(0.0,
+        |  list(sv ORDER BY lang)), (a, b) -> a + b) AS denom FROM pre_s),
+        |ann_per AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM kd GROUP BY 1),
+        |ann_s AS (SELECT lang, n_tokens,
+        |  sqrt(sqrt(CAST(n_tokens AS DOUBLE))) AS sv FROM ann_per),
+        |ann_d AS (SELECT list_reduce(list_prepend(0.0,
+        |  list(sv ORDER BY lang)), (a, b) -> a + b) AS denom FROM ann_s)
+        |SELECT * FROM (
+        |  SELECT 'pretrain' AS phase, lang, n_tokens,
+        |    sv/denom AS weight FROM pre_s, pre_d
+        |  UNION ALL
+        |  SELECT 'anneal', lang, n_tokens, sv/denom FROM ann_s, ann_d)
+        |ORDER BY phase, lang""".stripMargin,
     // q72's gate CTEs → q91's chunk CTEs over survivors → q71's pack
     // CTEs keyed on the "doc:chunk" identity — the three certified
     // fragments composed verbatim

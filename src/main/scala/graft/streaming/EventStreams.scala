@@ -595,6 +595,15 @@ object EventStreams {
       counts: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knScoreFacts(docs, idCol, textCol, counts)
 
+  /** Unicode cleanup at ingest — [[graft.ext.TextAnalysis.unicodeClean]]
+    * VERBATIM on the streaming frame (the [[streamingFim]] convention:
+    * a pure zero-shuffle projection — NFC + control strip + collapse +
+    * trim — is its own streaming operator). Stateless, Append-legal,
+    * no watermark. */
+  def streamingUnicodeClean(docs: DataFrame, textCol: String,
+      out: String = "clean_text"): DataFrame =
+    graft.ext.TextAnalysis.unicodeClean(docs, textCol, out)
+
   /** Span corruption at ingest — [[graft.ext.Curation.spanCorrupt]]
     * VERBATIM on the streaming frame (the [[streamingFim]] convention:
     * the batch operator is a pure zero-shuffle projection — per-row
