@@ -1473,6 +1473,33 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
+    // The FORTY-THIRD streaming twin — STREAM×STREAM near-dup: both
+    // sides of every pair arrive on the SAME stream (the case the
+    // stream-static twins document as out of scope): a watermarked
+    // self-join on the LSH band keys, state matched ACROSS
+    // micro-batches, the batch operator's own exact jaccard verify
+    // carried through the join. The fold dedups band collisions
+    // (at-least-once per band → once per pair, the batch contract).
+    // Faces q35's own oracle SQL row-for-row.
+    "q265_stream_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val feed = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("_1"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+            .as("_2"),
+          col("text").as("_3"))
+        .as[(Long, java.sql.Timestamp, String)]
+      val raw = replayTypedThirds[(Long, java.sql.Timestamp, String)](
+        s, feed, Seq("_1"),
+        ds => graft.streaming.EventStreams.streamStreamMinhashPairs(
+          ds.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      raw.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.distinct
+        .toDF("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    }),
+
     // The FORTY-SECOND streaming twin: Unicode cleanup at ingest —
     // the batch projection verbatim (stateless Append; the planted
     // decomposed-accent/BEL/double-space device rides in the feed, so
@@ -2874,5 +2901,9 @@ object AnalyticQueries {
       // oracle as q262
       ("q263_streaming_unicode_clean" ->
         TextQueries.oracleSql("q262_unicode_clean")) +
+      // stream×stream pairing must reproduce the batch LSH near-dup
+      // scan row-for-row — same oracle as q35
+      ("q265_stream_stream_neardup" ->
+        TextQueries.oracleSql("q35_minhash_lsh")) +
       ("q140_pagerank" -> pageRankOracle(10))
 }

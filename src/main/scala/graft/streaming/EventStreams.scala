@@ -1086,6 +1086,71 @@ object EventStreams {
         greatest(col("__sid"), col("__oid")).as("b_id"), col("jaccard"))
   }
 
+  /** STREAM×STREAM near-duplicate pairs — the case
+    * [[streamMinhashNearDup]] documents as out of scope (two new docs
+    * arriving near in time): a WATERMARKED SELF-JOIN of the arriving
+    * stream on its LSH band keys. Each arriving doc computes its
+    * k-minhash signature and band keys map-only (the SAME
+    * minhashSignature/bandKeys columns as the batch operator, so the
+    * candidate sets agree); the stream joins ITSELF on (band, bkey)
+    * with `a_id < b_id` and a ±`window` event-time range — Spark
+    * buffers each side's rows in the state store and matches ACROSS
+    * micro-batches, so a pair split over two batches still pairs up;
+    * the watermark bounds the state to `window` of event time (the
+    * honest stream-stream cost: state ∝ docs per window × bands).
+    * Verification is the batch operator's own exact jaccard over the
+    * two distinct-shingle arrays, carried through the join.
+    *
+    * Contracts: (1) at-least-once per pair — a pair colliding in
+    * several bands emits once per colliding band; dedupe downstream
+    * (the batch twin emits each pair once). (2) pairs farther apart
+    * than `window` in event time do NOT pair here — they are the
+    * snapshot compaction's job ([[streamMinhashNearDup]] /
+    * [[graft.ext.Dedup.minhashNearDupDelta]]). Append-legal. */
+  def streamStreamMinhashPairs(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, shingleN: Int = 3, k: Int = 12,
+      bands: Int = 4, threshold: Double = 0.5,
+      window: String = "1 hour"): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val spark = docs.sparkSession
+    import graft.functions.TextFunctions.{bandKeys, minhashSignature}
+    def shArr(c: org.apache.spark.sql.Column) =
+      graft.functions.expressions.TextExpressions.wordShingles(
+        spark, c, shingleN)
+    val withBands = docs
+      .select(col(idCol).as("__sid"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        shArr(col(textCol)).as("__sharr"))
+      // signature projected BEFORE bandKeys slices it (the q187 4x
+      // lesson)
+      .select(col("__sid"), col("__ts"), col("__sharr"),
+        minhashSignature(col("__sharr"), k).as("__sig"))
+      .select(col("__sid"), col("__ts"), col("__sharr"),
+        explode(bandKeys(col("__sig"), bands, rows)).as("__b"))
+      .select(col("__sid"), col("__ts"), col("__sharr"),
+        col("__b.band").as("band"), col("__b.bkey").as("bkey"))
+      .withWatermark("__ts", window)
+    val l = withBands.select(col("__sid").as("a_sid"),
+      col("__ts").as("a_ts"), col("__sharr").as("a_sh"),
+      col("band"), col("bkey"))
+    val r = withBands.select(col("__sid").as("b_sid"),
+      col("__ts").as("b_ts"), col("__sharr").as("b_sh"),
+      col("band").as("band2"), col("bkey").as("bkey2"))
+    l.join(r,
+        col("band") === col("band2") && col("bkey") === col("bkey2") &&
+          col("a_sid") < col("b_sid") &&
+          expr(s"b_ts BETWEEN a_ts - INTERVAL $window" +
+            s" AND a_ts + INTERVAL $window"))
+      .withColumn("__inter",
+        size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_sid").as("a_id"), col("b_sid").as("b_id"),
+        col("jaccard"))
+  }
+
   final case class QuotaState(ver: Long, top: Seq[(Long, Long)])
 
   /** Online per-group quota maintenance — the streaming twin of
