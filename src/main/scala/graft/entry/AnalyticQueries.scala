@@ -1473,6 +1473,37 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
+    // The FORTY-FOURTH streaming twin: online trained-LM scoring at
+    // n=3 — q260's serving shape one order up: the en-slice TRIGRAM
+    // model trains once in batch (materialized), arriving docs
+    // explode + stream-static-join the model and its four marginal
+    // tables + aggregate per doc in ONE Update-mode agg
+    // (knTrigramScoreFacts, the SHARED derivation); the fold adds
+    // the zero-row spine through the SHARED knScoreFinish. Faces
+    // q267's own oracle SQL row-for-row.
+    "q268_streaming_kn_trigram_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val model = graft.ext.TextAnalysis.knTrigramCounts(
+          d.where(col("lang") === "en").select("doc_id", "text"),
+          "text")
+        .localCheckpoint(true) // the trained artifact, built once
+      val raw = replayDocsThirds(s, d.select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingKnTrigramScore(
+          df, "doc_id", "text", model),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => vs.maxBy(v => (v._2, v._3))).toSeq
+        .map(_._2)
+      graft.ext.TextAnalysis.knScoreFinish(
+          d.select("doc_id").distinct(),
+          folded.toDF("doc_id", "n_trigrams", "sum_p_e9"), "doc_id",
+          nCol = "n_trigrams")
+        .orderBy("doc_id")
+    }),
+
     // The FORTY-THIRD streaming twin — STREAM×STREAM near-dup: both
     // sides of every pair arrive on the SAME stream (the case the
     // stream-static twins document as out of scope): a watermarked
@@ -2897,6 +2928,10 @@ object AnalyticQueries {
       // scorer row-for-row — same oracle as q250
       ("q260_streaming_kn_score" ->
         TextQueries.oracleSql("q250_kn_doc_score")) +
+      // online serving against the saved TRIGRAM LM must reproduce
+      // the batch scorer row-for-row — same oracle as q267
+      ("q268_streaming_kn_trigram_score" ->
+        TextQueries.oracleSql("q267_kn_trigram_doc_score")) +
       // cleanup at ingest is the batch projection verbatim — same
       // oracle as q262
       ("q263_streaming_unicode_clean" ->

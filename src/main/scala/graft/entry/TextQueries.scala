@@ -351,6 +351,39 @@ object TextQueries {
         .limit(200)
     }),
 
+    // The n=3 order of q249 (verdict r16 item #3 — production
+    // perplexity filters run n>=3): interpolated Kneser-Ney TRIGRAM
+    // probabilities with every lower-order statistic derived from the
+    // trigram table via continuation counts, D = 3/4, two-stage
+    // floor-e9 composition (p2 then p3) so every intermediate stays
+    // inside DECIMAL(38,0) at 100 TB counts. Top-200 by (n desc,
+    // w1, w2, w3).
+    "q266_kn_trigram_probabilities" -> ((s, dir) => {
+      TextAnalysis.knTrigramProbabilities(
+          TextAnalysis.knTrigramCounts(docs(s, dir), "text"))
+        .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+        .limit(200)
+    }),
+
+    // q250's trained-LM doc scoring at n=3: the trigram KN model
+    // trains on the 'en' slice, then scores EVERY doc through the
+    // full back-off recursion (seen trigram / context-backoff /
+    // continuation-level cascade). The 31-word shared vocabulary
+    // makes unseen-trigram-with-seen-context the COMMON case on
+    // non-en docs, so the recursion's middle branches carry real
+    // weight here (the unigram-fallback and zero branches are pinned
+    // by hand in KnTrigramSpec). Model materializes ONCE - it is
+    // referenced six times (probs + four marginals + B) and Spark has
+    // no common-subplan dedup.
+    "q267_kn_trigram_doc_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knTrigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocsTrigram(d, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // The "perplexity filter with a real LM" (q80's trained upgrade):
     // the KN model trains on the 'en' slice ONLY, then scores EVERY
     // doc — non-en docs exercise all three back-off branches (seen,
@@ -544,6 +577,26 @@ object TextQueries {
     // boilerplate pass-1 collect job).
     "q197_curation_pipeline" -> ((s, dir) =>
       curationPipeline(docs(s, dir)).orderBy("doc_id")),
+
+    // q197's composition with the CCNet-style LM-scored gate LIVE
+    // (verdict r16 item #4): the en-trained KN bigram model (q250's
+    // trained artifact, materialized once) scores every doc FIRST;
+    // only docs with floor-e9 mean bigram probability >= 34e6 enter
+    // the pipeline (284/500 at sf0.001, 306/500 at sf0.01, 516/5000
+    // at sf0.1 — non-vacuous both ways at every SF), so boilerplate
+    // frequencies, quota ranks and splits are all computed over the
+    // LM-gated corpus. The gate compare is exact-integer
+    // (sum >= n·tau — no division).
+    "q269_lm_gated_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      graft.ext.Curation.curationPipeline(d,
+          graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 34000000L),
+          Some(model))
+        .orderBy("doc_id")
+    }),
 
     // Length-grouped micro-batching (the padding-waste minimizer of
     // training dataloaders, deterministic): per hash shard, docs rank
@@ -1245,6 +1298,100 @@ object TextQueries {
         |       // (4*ctx.c1*b) AS BIGINT) AS p_e9
         |FROM c JOIN ctx USING (w1) JOIN cont USING (w2), tot
         |ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""".stripMargin,
+    // the trigram count CTEs + the two-stage floor-e9 composition
+    // (p2 from the continuation table, p3 through the FLOORED p2 —
+    // both sides compose through the same intermediate, so the
+    // parity is exact by construction); HUGEINT arithmetic CAST to
+    // BIGINT at the output edge (the q217 lint class)
+    "q266_kn_trigram_probabilities" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text,'\s+'),
+        |    x -> length(x) > 0) AS tk FROM documents),
+        |tg AS (SELECT tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+        |  FROM t, unnest(generate_series(1, len(tk)-2)) u(i)
+        |  WHERE len(tk) >= 3),
+        |c AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tg GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, CAST(SUM(n) AS HUGEINT) AS c12,
+        |    CAST(COUNT(*) AS HUGEINT) AS t12 FROM c GROUP BY 1, 2),
+        |cont AS (SELECT w2, w3, CAST(COUNT(*) AS HUGEINT) AS pre23
+        |  FROM c GROUP BY 1, 2),
+        |mid AS (SELECT w2, CAST(SUM(pre23) AS HUGEINT) AS nmid2,
+        |    CAST(COUNT(*) AS HUGEINT) AS post2 FROM cont GROUP BY 1),
+        |pre AS (SELECT w3, CAST(COUNT(*) AS HUGEINT) AS pre3
+        |  FROM cont GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM cont),
+        |p2 AS (SELECT c.w1, c.w2, c.w3, c.n, ctx.c12, ctx.t12,
+        |    CAST((1000000000 * ((4*cont.pre23 - 3)*b
+        |                        + 3*mid.post2*pre.pre3))
+        |         // (4*mid.nmid2*b) AS BIGINT) AS p2_e9
+        |  FROM c JOIN ctx USING (w1, w2) JOIN cont USING (w2, w3)
+        |    JOIN mid USING (w2) JOIN pre USING (w3), tot)
+        |SELECT w1, w2, w3, n, p2_e9,
+        |  CAST(((4*CAST(n AS HUGEINT) - 3)*1000000000
+        |        + 3*t12*p2_e9) // (4*c12) AS BIGINT) AS p3_e9
+        |FROM p2 ORDER BY n DESC, w1, w2, w3 LIMIT 200""".stripMargin,
+    // en-trained trigram model CTEs, then every doc's trigram
+    // instances left-join the model and its four marginals; the
+    // two-level back-off CASE mirrors the Scala cascade
+    // branch-for-branch through the SAME floored p2 intermediate
+    "q267_kn_trigram_doc_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |tg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2,
+        |    tk[i+2] AS w3
+        |  FROM t, unnest(generate_series(1, len(tk)-2)) u(i)
+        |  WHERE len(tk) >= 3),
+        |c AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, CAST(SUM(n) AS HUGEINT) AS c12,
+        |    CAST(COUNT(*) AS HUGEINT) AS t12 FROM c GROUP BY 1, 2),
+        |cont AS (SELECT w2, w3, CAST(COUNT(*) AS HUGEINT) AS pre23
+        |  FROM c GROUP BY 1, 2),
+        |mid AS (SELECT w2, CAST(SUM(pre23) AS HUGEINT) AS nmid2,
+        |    CAST(COUNT(*) AS HUGEINT) AS post2 FROM cont GROUP BY 1),
+        |pre AS (SELECT w3, CAST(COUNT(*) AS HUGEINT) AS pre3
+        |  FROM cont GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM cont),
+        |j AS (SELECT tg.doc_id, c.n, ctx.c12, ctx.t12,
+        |    CASE WHEN cont.pre23 IS NOT NULL
+        |         THEN CAST((1000000000 * ((4*cont.pre23 - 3)*b
+        |                + 3*mid.post2*pre.pre3))
+        |              // (4*mid.nmid2*b) AS BIGINT)
+        |         WHEN mid.nmid2 IS NOT NULL
+        |              AND pre.pre3 IS NOT NULL
+        |         THEN CAST((CAST(1000000000 AS HUGEINT) * 3
+        |                * mid.post2 * pre.pre3)
+        |              // (4*mid.nmid2*b) AS BIGINT)
+        |         WHEN pre.pre3 IS NOT NULL
+        |         THEN CAST((CAST(1000000000 AS HUGEINT) * pre.pre3)
+        |              // b AS BIGINT)
+        |         ELSE 0 END AS p2
+        |  FROM tg
+        |  LEFT JOIN c ON tg.w1 = c.w1 AND tg.w2 = c.w2
+        |    AND tg.w3 = c.w3
+        |  LEFT JOIN ctx ON tg.w1 = ctx.w1 AND tg.w2 = ctx.w2
+        |  LEFT JOIN cont ON tg.w2 = cont.w2 AND tg.w3 = cont.w3
+        |  LEFT JOIN mid ON tg.w2 = mid.w2
+        |  LEFT JOIN pre ON tg.w3 = pre.w3, tot),
+        |sc AS (SELECT doc_id,
+        |    CASE WHEN n IS NOT NULL
+        |         THEN CAST(((4*CAST(n AS HUGEINT) - 3)*1000000000
+        |                + 3*t12*p2) // (4*c12) AS BIGINT)
+        |         WHEN c12 IS NOT NULL
+        |         THEN CAST((3*t12*p2) // (4*c12) AS BIGINT)
+        |         ELSE p2 END AS pp
+        |  FROM j),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(pp) AS BIGINT) AS sum_p_e9 FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+        |  COALESCE(agg.sum_p_e9, 0) AS sum_p_e9,
+        |  CAST(CASE WHEN agg.n_trigrams > 0
+        |       THEN agg.sum_p_e9 // agg.n_trigrams
+        |       ELSE 0 END AS BIGINT) AS mean_p_e9
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // en-trained model CTEs, then every doc's bigram instances left-
     // join the model and its marginals; the back-off CASE mirrors the
     // Scala branch-for-branch; HUGEINT sums CAST at the output edge
@@ -1481,6 +1628,101 @@ object TextQueries {
     // its per-operator oracle uses (q33 gate, q169 freq list, q170
     // keep-first ranking, q34 min-shingle fingerprint, q185 rank
     // window, q87 hash intervals keyed on the cluster)
+    // q197's chain with the LM gate CTE-chained in front: q250's
+    // scoring CTEs (l-prefixed against name collisions) -> lmkeep
+    // (exact-integer sum >= n*tau) -> the q CTE additionally
+    // restricted to lmkeep; everything downstream is q197 verbatim,
+    // so boilerplate frequencies/quota ranks/splits recompute over
+    // the gated corpus exactly like the Scala composition
+    "q269_lm_gated_pipeline" -> (rebuiltSqlCte(4) +
+      """,
+        |lt AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |lbg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM lt, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |lc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lbg WHERE lang = 'en' GROUP BY 1, 2),
+        |lctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS post FROM lc GROUP BY 1),
+        |lcont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM lc GROUP BY 1),
+        |ltot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM lc),
+        |lp AS (SELECT lc.w1, lc.w2,
+        |    CAST((1000000000 * ((4*lc.n - 3)*b + 3*lctx.post*lcont.pre))
+        |         // (4*lctx.c1*b) AS BIGINT) AS p_e9
+        |  FROM lc JOIN lctx USING (w1) JOIN lcont USING (w2), ltot),
+        |lsc AS (SELECT lbg.doc_id,
+        |    COALESCE(lp.p_e9,
+        |      CASE WHEN lctx.c1 IS NOT NULL AND lcont.pre IS NOT NULL
+        |           THEN CAST((CAST(1000000000 AS HUGEINT) * 3
+        |                      * lctx.post * lcont.pre)
+        |                     // (4*lctx.c1*b) AS BIGINT)
+        |           WHEN lctx.c1 IS NULL AND lcont.pre IS NOT NULL
+        |           THEN CAST((CAST(1000000000 AS HUGEINT) * lcont.pre)
+        |                     // b AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM lbg
+        |  LEFT JOIN lp ON lbg.w1 = lp.w1 AND lbg.w2 = lp.w2
+        |  LEFT JOIN lctx ON lbg.w1 = lctx.w1
+        |  LEFT JOIN lcont ON lbg.w2 = lcont.w2, ltot),
+        |lmkeep AS (SELECT doc_id FROM
+        |  (SELECT doc_id, COUNT(*) AS nb,
+        |      CAST(SUM(pp) AS HUGEINT) AS sp
+        |   FROM lsc GROUP BY 1)
+        |  WHERE sp >= 34000000 * nb),
+        |q AS (SELECT d.doc_id, d.source, r.text
+        |  FROM documents d JOIN rebuilt r USING (doc_id)
+        |  WHERE d.doc_id IN (SELECT doc_id FROM lmkeep)
+        |    AND len(string_split_regex(d.text,'\s+')) >= 20
+        |    AND (CASE WHEN length(d.text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(d.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |              / CAST(length(d.text) AS DOUBLE) END) >= 0.805),
+        |lines AS (SELECT doc_id, l
+        |  FROM q, unnest(string_split(text, chr(10))) u(l)
+        |  WHERE length(l) > 0),
+        |freq AS (SELECT COALESCE(list(l), []) fl FROM
+        |  (SELECT l FROM lines GROUP BY l HAVING COUNT(DISTINCT doc_id) > 2)),
+        |bp AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> length(x) > 0 AND NOT list_contains(fl, x)) kl
+        |  FROM q, freq),
+        |ex AS (SELECT doc_id, kl[i] AS l, i
+        |  FROM bp, unnest(generate_series(1, len(kl))) u(i)),
+        |rk AS (SELECT doc_id, l, i,
+        |    row_number() OVER (PARTITION BY l ORDER BY doc_id, i) rn
+        |  FROM ex),
+        |cln AS (SELECT q.doc_id,
+        |    length(COALESCE(k.txt, '')) AS n_chars_clean
+        |  FROM q LEFT JOIN
+        |    (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) txt
+        |     FROM rk WHERE rn = 1 GROUP BY 1) k USING (doc_id)),
+        |ftoks AS (SELECT doc_id, string_split_regex(text,'\s+') t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') s
+        |       FROM ftoks, unnest(generate_series(1, len(t)-7)) u(i)
+        |       WHERE len(t) >= 8
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(t,' ') FROM ftoks
+        |       WHERE len(t) < 8),
+        |fp AS (SELECT doc_id, min(md5(s)) AS f FROM sh GROUP BY 1),
+        |cl AS (SELECT fp.doc_id, MIN(f2.doc_id) AS cluster
+        |  FROM fp JOIN fp f2 USING (f) GROUP BY 1),
+        |qt AS (SELECT c.doc_id,
+        |    CAST(row_number() OVER (PARTITION BY q.source
+        |      ORDER BY c.n_chars_clean DESC, c.doc_id) AS BIGINT)
+        |      AS quota_rank
+        |  FROM cln c JOIN q USING (doc_id)),
+        |kept AS (SELECT doc_id, quota_rank FROM qt WHERE quota_rank <= 10)
+        |SELECT q.doc_id, q.source, c.n_chars_clean, kept.quota_rank,
+        |  cl.cluster, CASE
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3435973836 THEN 'train'
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3865470565 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM q JOIN cln c USING (doc_id) JOIN cl USING (doc_id)
+        |LEFT JOIN kept USING (doc_id)
+        |ORDER BY q.doc_id""".stripMargin),
     "q197_curation_pipeline" -> (rebuiltSqlCte(4) +
       """,
         |q AS (SELECT d.doc_id, d.source, r.text

@@ -203,7 +203,10 @@ object Curation {
       quotaK: Long = 10L,
       splitSeed: String = "cp1",
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      // LM-gate threshold (floor-e9 mean bigram probability), live
+      // only when curationPipeline receives an lmModel
+      lmMinMeanPE9: Long = 0L)
 
   /** The END-TO-END curation pipeline over a (doc_id, source, text)
     * frame, as ONE query: quality gate (token count + alpha ratio) →
@@ -228,13 +231,39 @@ object Curation {
     * join itself; quota rank and split are two slim-row windows at the
     * tail. The naive composition that re-joined the gated corpus per
     * stage planned 36 parquet scans; this shape plans 4 (+1 in the
-    * boilerplate pass-1 collect job). */
+    * boilerplate pass-1 collect job).
+    *
+    * `lmModel`: an optional TRAINED Kneser–Ney bigram count table
+    * ([[TextAnalysis.knBigramCounts]] output, MATERIALIZED — it is
+    * referenced four times by the scorer). When provided, a
+    * CCNet-style LM-scored quality gate runs FIRST: every document
+    * scores through [[TextAnalysis.knScoreFacts]] (the q250
+    * derivation verbatim) and only docs with floor-e9 mean bigram
+    * probability >= `cfg.lmMinMeanPE9` enter the pipeline. The
+    * compare is exact-integer (`sum_p_e9 >= n_bigrams·τ` ⇔
+    * `mean_p_e9 >= τ` for integer τ — no division); sub-2-token docs
+    * have no facts row and are cut by an active gate (the heuristic
+    * token gate would cut them anyway). Scale: the scorer's instance
+    * joins + ONE delta-slim semi-join back on doc_id; everything
+    * downstream sees only survivors, so the boilerplate line
+    * frequencies and quota ranks are computed over the LM-gated
+    * corpus (the composition order the CCNet recipe uses). */
   def curationPipeline(d: DataFrame,
-      cfg: CurationConfig = CurationConfig()): DataFrame = {
+      cfg: CurationConfig = CurationConfig(),
+      lmModel: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cfg.quotaK >= 1, "quotaK must be >= 1")
     require(cfg.lineWidth >= 1, "lineWidth must be >= 1")
-    val perDoc = TextAnalysis.withQualitySignals(d, "text")
+    val gated = lmModel match {
+      case Some(m) =>
+        val keep = TextAnalysis.knScoreFacts(d, "doc_id", "text", m)
+          .filter(col("sum_p_e9") >=
+            col("n_bigrams") * lit(cfg.lmMinMeanPE9))
+          .select(col("doc_id"))
+        d.join(keep, Seq("doc_id"), "leftsemi")
+      case None => d
+    }
+    val perDoc = TextAnalysis.withQualitySignals(gated, "text")
       .filter(col("n_tokens") >= cfg.minTokens &&
         col("alpha_ratio") >= cfg.minAlphaRatio)
       .select(col("doc_id"), col("source"),

@@ -1082,15 +1082,201 @@ object TextAnalysis {
     * derive the floor mean. The streaming twin's folded facts derive
     * through this SAME method. */
   def knScoreFinish(spine: DataFrame, facts: DataFrame,
-      idCol: String): DataFrame =
+      idCol: String, nCol: String = "n_bigrams"): DataFrame =
     spine
       .join(facts, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col(nCol), lit(0L)).as(nCol),
         coalesce(col("sum_p_e9"), lit(0L)).as("sum_p_e9"))
       .withColumn("mean_p_e9",
-        when(col("n_bigrams") > 0,
-          expr("sum_p_e9 div n_bigrams")).otherwise(lit(0L)))
+        when(col(nCol) > 0,
+          expr(s"sum_p_e9 div $nCol")).otherwise(lit(0L)))
+
+  /** Adjacent-trigram counts over the corpus — the n=3 order of
+    * [[knBigramCounts]] (same zip-of-offset-slices device, three
+    * slices; sub-3-token docs emit nothing). One in-scan explode +
+    * ONE (w1, w2, w3) aggregation with map-side partials — the
+    * shuffle carries collapsed trigram tuples, never the corpus. */
+  def knTrigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(filter(tokens(col(textCol)), t => length(t) > 0)
+        .as("__t"))
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1),
+          greatest(size(col("__t")) - 2, lit(0))).as("w1"),
+        slice(col("__t"), lit(2),
+          greatest(size(col("__t")) - 2, lit(0))).as("w2"),
+        slice(col("__t"), lit(3),
+          greatest(size(col("__t")) - 2, lit(0))).as("w3")))
+        .as("__g"))
+      .select(col("__g").getField("w1").as("w1"),
+        col("__g").getField("w2").as("w2"),
+        col("__g").getField("w3").as("w3"))
+      .groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("n"))
+
+  /** Interpolated Kneser–Ney TRIGRAM probabilities over a
+    * (w1, w2, w3, n) count table — the n=3 recursion of
+    * [[knProbabilities]] (Chen/Goodman 1999), with EVERY lower-order
+    * statistic derived from the trigram table itself via continuation
+    * counts (the canonical estimator — the bigram level of a KN
+    * trigram model is NOT the raw bigram LM):
+    *
+    *   P(w3|w1w2) = (n − D)/c12 + (D·t12/c12) · P(w3|w2)
+    *   P(w3|w2)   = (pre23 − D)/nmid2 + (D·post2/nmid2) · pre3/B
+    *
+    * where c12 = Σ_w n(w1,w2,w) and t12 = |{w : n(w1,w2,w) > 0}| are
+    * the context totals, pre23 = N1+(·w2w3) (distinct w1 before the
+    * bigram — the continuation count), nmid2 = N1+(·w2·) = Σ_w3
+    * pre23, post2 = |{w3 : pre23 > 0}|, pre3 = |{w2 : pre23 > 0}|,
+    * and B = |distinct (w2,w3) continuation types|. D fixed at 3/4 as
+    * in the bigram model.
+    *
+    * Emitted floor-e9 in TWO documented stages so every intermediate
+    * stays inside DECIMAL(38,0) (the single-fraction numerator
+    * n·nmid2·B overflows 38 digits at 100 TB counts):
+    *
+    *   p2_e9 = ((4·pre23 − 3)·B + 3·post2·pre3)·10⁹ div (4·nmid2·B)
+    *   p3_e9 = ((4·n − 3)·10⁹ + 3·t12·p2_e9) div (4·c12)
+    *
+    * The composition through the FLOORED p2_e9 differs from the true
+    * rational by < 3·t12/(4·c12)·10⁻⁹ ≤ 0.75 ulp — deterministic on
+    * any engine with integer floor division, which is what the oracle
+    * needs; the model it encodes is the same LM to 1e-9. Headroom:
+    * the p2 numerator ≤ 4·pre23·B·10⁹ ~ 4·10³¹ at pre23 ~ 10¹²,
+    * B ~ 10¹⁰; the p3 numerator ≤ 4·n·10⁹ + 3·t12·10⁹ ~ 10²² — both
+    * inside 38 digits with room.
+    *
+    * Scale shape: three aggregations over the COLLAPSED trigram table
+    * (per-(w1,w2) totals+fanout; per-(w2,w3) continuation counts;
+    * the (w2,w3) table re-aggregated per-w2 and per-w3) joined back
+    * on their keys; the 1-row B total broadcasts. The corpus itself
+    * was collapsed once by [[knTrigramCounts]]. */
+  def knTrigramProbabilities(tri: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ctx = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("c12"), count(lit(1)).as("t12"))
+    val cont = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("pre23"))
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("pre23")).as("nmid2"), count(lit(1)).as("post2"))
+    val pre = cont.groupBy(col("w3"))
+      .agg(count(lit(1)).as("pre3"))
+    tri
+      .join(ctx, Seq("w1", "w2")).join(cont, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(pre, Seq("w3"))
+      .crossJoin(broadcast(cont.agg(count(lit(1)).as("b"))))
+      .withColumn("p2_e9", expr(
+        "(CAST(1000000000 AS DECIMAL(38,0)) * ((4*CAST(pre23 AS DECIMAL(38,0)) - 3) * b" +
+          " + 3 * CAST(post2 AS DECIMAL(38,0)) * pre3))" +
+          " div (4 * CAST(nmid2 AS DECIMAL(38,0)) * b)"))
+      .withColumn("p3_e9", expr(
+        "((4*CAST(n AS DECIMAL(38,0)) - 3) * 1000000000" +
+          " + 3 * CAST(t12 AS DECIMAL(38,0)) * p2_e9)" +
+          " div (4 * CAST(c12 AS DECIMAL(38,0)))"))
+      .select("w1", "w2", "w3", "n", "p2_e9", "p3_e9")
+  }
+
+  /** Score documents against a TRAINED KN trigram table — the n=3
+    * upgrade of [[knScoreDocs]]: per document, the mean interpolated
+    * trigram probability of its adjacent trigrams, exact floor-e9
+    * through the same two-stage composition as
+    * [[knTrigramProbabilities]]. Back-off, all branches from the same
+    * closed forms (the standard KN cascade — when a level's context
+    * is unseen, its interpolation weight is undefined and the score
+    * IS the lower level):
+    *
+    *   top level (w1,w2) context:
+    *     - trigram seen:   ((4n−3)·10⁹ + 3·t12·p2) div (4·c12)
+    *     - ctx12 seen only: (3·t12·p2) div (4·c12)   (λ·P(w3|w2))
+    *     - ctx12 unseen:   p2
+    *   continuation level (w2 middle context):
+    *     - (w2,w3) seen:   ((4·pre23−3)·B + 3·post2·pre3)·10⁹
+    *                         div (4·nmid2·B)
+    *     - w2 seen only:   (3·post2·pre3·10⁹) div (4·nmid2·B)
+    *     - w2 unseen, w3 known: pre3·10⁹ div B  (unigram fallback)
+    *     - w3 unknown:     0 (zero continuation mass — the q250
+    *                       convention; a true OOV model would
+    *                       interpolate a character LM)
+    *
+    * Output per doc: `n_trigrams`, `sum_p_e9`, `mean_p_e9` (floor).
+    * Docs with < 3 tokens keep a zero row (the spine is `docs`).
+    *
+    * Scale shape: doc trigram INSTANCES equi-join the model and its
+    * four marginal tables on their keys — hash joins keyed by the
+    * model (broadcast when the trained model is small); one per-doc
+    * aggregation collapses the instances. `tri` is referenced SIX
+    * times and Spark has no common-subplan dedup across differently-
+    * keyed aggregations — pass a MATERIALIZED table (the saved
+    * artifact, or `.localCheckpoint(true)`) or the training
+    * aggregation re-runs per reference. */
+  def knScoreDocsTrigram(docs: DataFrame, idCol: String,
+      textCol: String, tri: DataFrame): DataFrame =
+    knScoreFinish(docs.select(col(idCol)).distinct(),
+      knTrigramScoreFacts(docs, idCol, textCol, tri), idCol,
+      nCol = "n_trigrams")
+
+  /** The per-doc aggregated half of [[knScoreDocsTrigram]] — (idCol,
+    * n_trigrams, sum_p_e9) WITHOUT the zero-row spine: the shape that
+    * streams (explode + stream-static model joins + ONE Update-mode
+    * per-doc agg). Shared by the batch operator and the streaming
+    * twin so the derivations cannot drift. */
+  def knTrigramScoreFacts(docs: DataFrame, idCol: String,
+      textCol: String, tri: DataFrame): DataFrame = {
+    val probs = knTrigramProbabilities(tri)
+      .select(col("w1"), col("w2"), col("w3"), col("p3_e9"))
+    val ctx = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("__c12"), count(lit(1)).as("__t12"))
+    val cont = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__pre23"))
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("__pre23")).as("__nmid2"),
+        count(lit(1)).as("__post2"))
+    val pre = cont.groupBy(col("w3")).agg(count(lit(1)).as("__pre3"))
+    val b = cont.agg(count(lit(1)).as("__b"))
+    val inst = docs
+      .select(col(idCol),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1),
+          greatest(size(col("__t")) - 2, lit(0))).as("w1"),
+        slice(col("__t"), lit(2),
+          greatest(size(col("__t")) - 2, lit(0))).as("w2"),
+        slice(col("__t"), lit(3),
+          greatest(size(col("__t")) - 2, lit(0))).as("w3")))
+        .as("__g"))
+      .select(col(idCol), col("__g.w1").as("w1"),
+        col("__g.w2").as("w2"), col("__g.w3").as("w3"))
+    inst
+      .join(probs, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(cont, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(pre, Seq("w3"), "left")
+      .crossJoin(broadcast(b))
+      // continuation level: the four-branch cascade (seen / middle-
+      // backoff / unigram fallback / unknown w3)
+      .withColumn("__p2", coalesce(
+        when(col("__pre23").isNotNull, expr(
+          "(CAST(1000000000 AS DECIMAL(38,0)) * ((4*CAST(__pre23 AS DECIMAL(38,0)) - 3) * __b" +
+            " + 3 * CAST(__post2 AS DECIMAL(38,0)) * __pre3))" +
+            " div (4 * CAST(__nmid2 AS DECIMAL(38,0)) * __b)")),
+        when(col("__nmid2").isNotNull && col("__pre3").isNotNull, expr(
+          "(CAST(1000000000 AS DECIMAL(38,0)) * 3 * CAST(__post2 AS DECIMAL(38,0)) * __pre3)" +
+            " div (4 * CAST(__nmid2 AS DECIMAL(38,0)) * __b)")),
+        when(col("__pre3").isNotNull, expr(
+          "(CAST(1000000000 AS DECIMAL(38,0)) * __pre3)" +
+            " div CAST(__b AS DECIMAL(38,0))")),
+        lit(0L)))
+      // top level: seen trigram / seen context / context-unseen
+      .withColumn("__p", coalesce(col("p3_e9"),
+        when(col("__c12").isNotNull, expr(
+          "(3 * CAST(__t12 AS DECIMAL(38,0)) * __p2)" +
+            " div (4 * CAST(__c12 AS DECIMAL(38,0)))")),
+        col("__p2")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("__p")).as("sum_p_e9"))
+  }
 
   /** Out-of-vocabulary rate per group against a tokenizer vocabulary
     * table (`term` column): per group — token instances, OOV

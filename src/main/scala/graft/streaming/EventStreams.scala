@@ -595,6 +595,21 @@ object EventStreams {
       counts: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knScoreFacts(docs, idCol, textCol, counts)
 
+  /** Online trained-LM document scoring at n=3 — the trigram order of
+    * [[streamingKnScore]]: arriving documents score against a SAVED
+    * trigram model through
+    * [[graft.ext.TextAnalysis.knTrigramScoreFacts]] VERBATIM (the
+    * shared derivation): trigram explode, five stream-static joins
+    * against the model and its marginal tables (materialize `tri`:
+    * static sides re-evaluate per micro-batch), the 1-row B
+    * broadcast, then ONE Update-mode per-doc aggregation. The
+    * zero-row spine for sub-3-token docs is the fold's decision
+    * downstream ([[graft.ext.TextAnalysis.knScoreFinish]]). */
+  def streamingKnTrigramScore(docs: DataFrame, idCol: String,
+      textCol: String, tri: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.knTrigramScoreFacts(docs, idCol, textCol,
+      tri)
+
   /** Unicode cleanup at ingest — [[graft.ext.TextAnalysis.unicodeClean]]
     * VERBATIM on the streaming frame (the [[streamingFim]] convention:
     * a pure zero-shuffle projection — NFC + control strip + collapse +

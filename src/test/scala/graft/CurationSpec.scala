@@ -81,6 +81,53 @@ class CurationSpec extends SparkSpecBase {
       base.select(sum("n_chars_clean")).as[Long].head)
   }
 
+  test("curationPipeline LM gate: the lmModel/lmMinMeanPE9 knob is " +
+      "live — gate cuts low-scoring docs before every later stage") {
+    import Curation.CurationConfig
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "source", "text")
+    val model = graft.ext.TextAnalysis.knBigramCounts(
+        docs.where(col("doc_id") % 2 === 0), "text")
+      .localCheckpoint(true)
+    val base = Curation.curationPipeline(docs)
+    // tau = 0 with a model: only docs with >= 1 bigram survive the
+    // gate; the heuristic minTokens gate subsumes that here, so the
+    // output matches the ungated run row-for-row
+    val tau0 = Curation.curationPipeline(docs,
+      CurationConfig(lmMinMeanPE9 = 0L), Some(model))
+    assert(tau0.select("doc_id").exceptAll(base.select("doc_id"))
+      .count() === 0)
+    assert(base.count() === tau0.count())
+    // a median-ish tau cuts SOME docs but not all, and the survivors
+    // are exactly the score-gated subset (exact-integer compare)
+    val facts = graft.ext.TextAnalysis.knScoreFacts(
+      docs, "doc_id", "text", model)
+    val tau = 34000000L
+    val expectKeep = facts
+      .filter(col("sum_p_e9") >= col("n_bigrams") * tau)
+      .select("doc_id")
+    val gated = Curation.curationPipeline(docs,
+      CurationConfig(lmMinMeanPE9 = tau), Some(model))
+    assert(gated.count() > 0)
+    assert(gated.count() < base.count())
+    assert(gated.select("doc_id").exceptAll(expectKeep).count() === 0)
+    // an impossible tau empties the pipeline
+    assert(Curation.curationPipeline(docs,
+      CurationConfig(lmMinMeanPE9 = 2000000000L), Some(model))
+      .count() === 0)
+    // the gate recomputes DOWNSTREAM stages over survivors: some doc
+    // present in both runs must change quota_rank or split source
+    // ranking (boilerplate/quota are corpus-level)
+    val joined = base.select(col("doc_id"),
+        col("quota_rank").as("r0"))
+      .join(gated.select(col("doc_id"), col("quota_rank").as("r1")),
+        "doc_id")
+    assert(joined.filter(
+      (col("r0").isNull =!= col("r1").isNull) ||
+        (col("r0").isNotNull && col("r1").isNotNull &&
+          col("r0") =!= col("r1"))).count() > 0)
+  }
+
   test("lengthGroupedBatches: layout is a pure function of (seed, id, " +
       "len); grouping beats id-order batching on total padding") {
     val docs = (1L to 400L).map(i => (i, (i * 37 % 211) + 5))

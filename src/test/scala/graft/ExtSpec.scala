@@ -1818,6 +1818,66 @@ class ExtSpec extends SparkSpecBase {
       (5L, 0L, 0L, 0L)))
   }
 
+  test("knTrigramCounts/knTrigramProbabilities: two-stage floor-e9 " +
+      "closed form by hand; sub-3-token docs emit nothing") {
+    val train = Seq("a b c a b d", "x b c", "a b", "").toDF("text")
+    // tri: (a,b,c)1 (b,c,a)1 (c,a,b)1 (a,b,d)1 (x,b,c)1
+    // ctx: (a,b) c12=2 t12=2; (b,c)/(c,a)/(x,b) all 1/1
+    // cont: (b,c) pre23=2; (c,a)/(a,b)/(b,d) all 1 — B=4
+    // mid: b nmid2=3 post2=2; a/c nmid2=1 post2=1
+    // pre: a=b=c=d=1
+    val probs = TextAnalysis.knTrigramProbabilities(
+        TextAnalysis.knTrigramCounts(train, "text"))
+      .orderBy("w1", "w2", "w3").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // p2(b,c) = ((8-3)*4 + 3*2*1)e9 / 48 = 26e9//48 = 541666666
+    // p2(c,a) = p2(a,b) = ((4-3)*4 + 3)e9 / 16 = 437500000
+    // p2(b,d) = (4 + 3*2)e9 / 48 = 208333333
+    // p3(a,b,c) = (1e9 + 3*2*541666666) // 8 = 531249999
+    // p3(a,b,d) = (1e9 + 3*2*208333333) // 8 = 281249999
+    // p3(b,c,a) = (1e9 + 3*437500000) // 4 = 578125000
+    // p3(c,a,b) = 578125000; p3(x,b,c) = (1e9+3*541666666)//4
+    assert(probs.toSeq == Seq(
+      ("a", "b", "c", 1L, 541666666L, 531249999L),
+      ("a", "b", "d", 1L, 208333333L, 281249999L),
+      ("b", "c", "a", 1L, 437500000L, 578125000L),
+      ("c", "a", "b", 1L, 437500000L, 578125000L),
+      ("x", "b", "c", 1L, 541666666L, 656249999L)))
+  }
+
+  test("knScoreDocsTrigram: every back-off branch of the two-level " +
+      "cascade by hand; sub-3-token docs keep zero rows; floor mean") {
+    val train = Seq("a b c a b d", "x b c").toDF("text")
+    val model = TextAnalysis.knTrigramCounts(train, "text")
+    val docs = Seq(
+      (1L, "a b c"),   // seen trigram: 531249999
+      (2L, "a b b"),   // ctx (a,b) seen, tri unseen; p2 middle-
+                       // backoff (b,b): 3*2*1e9/48=125000000 ->
+                       // p3 = 3*2*125000000 // 8 = 93750000
+      (3L, "z b c"),   // ctx unseen -> p3 = p2(b,c) = 541666666
+      (4L, "z z c"),   // ctx unseen, w2 unseen, w3 known:
+                       // unigram fallback 1e9//4 = 250000000
+      (5L, "z z q"),   // w3 unknown: 0
+      (6L, "a b"),     // < 3 tokens: zero row via the spine
+      (7L, "a b c a")  // two tri: 531249999 + 578125000 = 1109374999
+                       // floor mean 554687499
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knScoreDocsTrigram(docs, "doc_id", "text",
+        model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 531249999L, 531249999L),
+      (2L, 1L, 93750000L, 93750000L),
+      (3L, 1L, 541666666L, 541666666L),
+      (4L, 1L, 250000000L, 250000000L),
+      (5L, 1L, 0L, 0L),
+      (6L, 0L, 0L, 0L),
+      (7L, 2L, 1109374999L, 554687499L)))
+  }
+
   test("oovRate: exact instance counts against the vocab, duplicate " +
       "vocab rows harmless, all-OOV group rates 1e9") {
     val vocab = Seq("the", "fox", "the").toDF("term") // dup collapses
