@@ -1504,29 +1504,39 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
-    // The FORTY-THIRD streaming twin — STREAM×STREAM near-dup: both
-    // sides of every pair arrive on the SAME stream (the case the
-    // stream-static twins document as out of scope): a watermarked
-    // self-join on the LSH band keys, state matched ACROSS
-    // micro-batches, the batch operator's own exact jaccard verify
-    // carried through the join. The fold dedups band collisions
-    // (at-least-once per band → once per pair, the batch contract).
-    // Faces q35's own oracle SQL row-for-row.
+    // The FORTY-THIRD streaming twin — STREAM×STREAM near-dup in the
+    // LEAN two-phase shape (verdict r16 items #6/#7): both sides of
+    // every pair arrive on the SAME stream, the watermarked band-key
+    // self-join carries ONLY (id, ts, band, bkey) in state (no
+    // shingle payload), candidate pairs dedup IN-STREAM to
+    // once-per-pair (dropDuplicatesWithinWatermark), and the exact
+    // jaccard verify runs downstream as stateless stream-static joins
+    // against the materialized doc-shingle store. Event times SPREAD
+    // deterministically (ts + doc_id%600 s, all inside the 1-hour
+    // window) so the ±window predicate and watermark eviction are
+    // genuinely exercised. NO driver-side dedup: the streaming output
+    // IS the batch output. Faces q35's own oracle SQL row-for-row.
     "q265_stream_stream_neardup" -> ((s, dir) => {
       import s.implicits._
-      val feed = t(s, dir, "documents")
+      val d = t(s, dir, "documents")
+      val store = d.select(col("doc_id").cast("long").as("__id"),
+          graft.functions.expressions.TextExpressions.wordShingles(
+            s, col("text"), 3).as("__sharr"))
+        .localCheckpoint(true) // the at-ingest doc-shingle sink
+      val feed = d
         .select(col("doc_id").cast("long").as("_1"),
-          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
-            .as("_2"),
+          expr("timestampadd(SECOND, CAST(doc_id % 600 AS INT)," +
+            " TIMESTAMP'2026-01-01 00:00:00')").as("_2"),
           col("text").as("_3"))
         .as[(Long, java.sql.Timestamp, String)]
       val raw = replayTypedThirds[(Long, java.sql.Timestamp, String)](
         s, feed, Seq("_1"),
         ds => graft.streaming.EventStreams.streamStreamMinhashPairs(
-          ds.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts"),
+          ds.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+          docShingles = Some(store)),
         mode = org.apache.spark.sql.streaming.OutputMode.Append())
       raw.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .toSeq.distinct
+        .toSeq
         .toDF("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")
     }),

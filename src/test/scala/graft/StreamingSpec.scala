@@ -1067,7 +1067,10 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
     assert(batch.nonEmpty) // planted dups are live
-    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // event times SPREAD inside the 1-hour window (ADVICE r16: one
+    // shared literal never exercised the ±window predicate)
+    def ts(minutes: Int) = java.sql.Timestamp.valueOf(
+      s"2026-01-01 00:${"%02d".format(minutes)}:00")
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
     val q = EventStreams.streamStreamMinhashPairs(
         mem.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
@@ -1076,16 +1079,72 @@ class StreamingSpec extends SparkSpecBase {
     try {
       // the (1,2) and (2,4) pairs SPAN batches — the state store must
       // match across them, not just within one micro-batch
-      mem.addData((1L, ts, docs(0)._2), (3L, ts, docs(2)._2))
+      mem.addData((1L, ts(0), docs(0)._2), (3L, ts(5), docs(2)._2))
       q.processAllAvailable()
-      mem.addData((2L, ts, docs(1)._2), (5L, ts, docs(4)._2))
+      mem.addData((2L, ts(10), docs(1)._2), (5L, ts(15), docs(4)._2))
       q.processAllAvailable()
-      mem.addData((4L, ts, docs(3)._2))
+      mem.addData((4L, ts(20), docs(3)._2))
       q.processAllAvailable()
       val got = spark.table("ss_pairs").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .toSet // band-collision dedup: the fold's contract
+        .toSet // band-collision dedup: the self-contained contract
       assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("streamStreamMinhashPairs lean store path: signature-only " +
+      "state, EXACTLY-once per pair, out-of-window pair never emits") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),                        // near-dup of 1
+      (3L, "completely different words in this one entirely"),
+      (4L, base + " tail"),                        // exact dup of 2
+      (5L, "another unrelated document about nothing at all"),
+      (6L, base + " tail"))                        // dup — but 3h LATE
+    val inWindow = docs.filter(_._1 != 6L)
+    val batch = Dedup.minhashNearDup(inWindow.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, k = 12, bands = 4,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(batch.nonEmpty)
+    val store = docs.toDF("doc_id", "text")
+      .select(col("doc_id").as("__id"),
+        graft.functions.expressions.TextExpressions.wordShingles(
+          spark, col("text"), 3).as("__sharr"))
+      .localCheckpoint(true)
+    def ts(minutes: Int) = java.sql.Timestamp.valueOf(
+      "2026-01-01 0%d:%02d:00".format(minutes / 60, minutes % 60))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.streamStreamMinhashPairs(
+        mem.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text",
+        "ts", docShingles = Some(store))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_pairs_lean").start()
+    try {
+      mem.addData((1L, ts(0), docs(0)._2), (3L, ts(5), docs(2)._2))
+      q.processAllAvailable()
+      mem.addData((2L, ts(10), docs(1)._2), (5L, ts(15), docs(4)._2))
+      q.processAllAvailable()
+      mem.addData((4L, ts(20), docs(3)._2))
+      q.processAllAvailable()
+      // doc 6 is an exact dup of 2/4 but arrives 3 h after them —
+      // outside the ±1 h join window: it must pair with NOTHING
+      mem.addData((6L, ts(200), docs(5)._2))
+      q.processAllAvailable()
+      val rows = spark.table("ss_pairs_lean").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // exactly-once: the raw Append output has NO band-collision
+      // duplicates (the in-stream dropDuplicatesWithinWatermark)
+      assert(rows.size == rows.distinct.size,
+        s"per-band duplicates leaked: $rows")
+      assert(!rows.exists(p => p._1 == 6L || p._2 == 6L),
+        s"out-of-window pair emitted: $rows")
+      assert(rows.toSet == batch, s"stream ${rows.toSet} vs $batch")
     } finally q.stop()
   }
 
