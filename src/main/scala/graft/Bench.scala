@@ -216,12 +216,14 @@ object Bench {
       }.getOrElse(v)
     }
     // sub-wire drift tier: min-of-3 re-time, logged only (no recording
-    // change) — closes the 1.5–1.8× blind band at ~3 runs per flagged
-    // row (round-15 verdict item #6)
+    // change) — closes the 1.5–1.8× blind band at ~4 runs per flagged
+    // row (round-15 verdict item #6); the extra runs are declared in
+    // the drift block's own "runs" field so the record says how its
+    // numbers were produced (ADVICE r16)
     val drift = results.flatMap { case (name, v) =>
       if (!prevQ.get(name).exists(p => isDriftWatch(p, v))) None
       else {
-        timeRuns(name, 1) // untimed warm pass
+        timeRuns(name, 1) // warm pass, result discarded
         val ts = timeRuns(name, 3)
         if (ts.isEmpty) None
         else Some(name -> (prevQ(name), v, ts.min))
@@ -255,8 +257,10 @@ object Bench {
         // the drift line = real movement accumulating under the wire
         val conf = if (mn <= p) ",\"env_confirmed\":true"
           else if (mn >= 1.5 * p) ",\"still_drifting\":true" else ""
+        // runs:4 = 1 warm (discarded) + 3 timed, on top of the
+        // capture's own `runs` — the record declares its extra work
         s"\"$k\":{\"prev\":${rd(p, 3)},\"first\":${rd(f, 3)}," +
-          s"\"min3\":${rd(mn, 3)}$conf}"
+          s"\"min3\":${rd(mn, 3)},\"runs\":4$conf}"
       }.mkString(",\"drift\":{", ",", "}")
     val total = fin.collect { case (_, v) if v >= 0 => v }.sum
     val totalR = rd(total, 3)

@@ -1583,7 +1583,9 @@ object TextQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |pr AS (SELECT threshold_e9, tp, fp,
         |    (tpos - tp) AS fn, (tneg - fp) AS tn,
-        |    (tp * 1000000000) // (tp + fp) AS precision_e9,
+        |    CASE WHEN tp + fp > 0
+        |         THEN (tp * 1000000000) // (tp + fp)
+        |         ELSE 0 END AS precision_e9,
         |    CASE WHEN tpos > 0 THEN (tp * 1000000000) // tpos
         |         ELSE 0 END AS recall_e9
         |  FROM cum)

@@ -277,8 +277,13 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val approx = Similarity.ivfTopK(e, "vec_id", "embedding", cents,
         col("vec_id") < 10, k = 5)
+      // explicit spine = the evaluation's own query set (ADVICE r16:
+      // the oracle's spine is all queries vec_id<10 — pin the Spark
+      // side to the same definition instead of truth's distinct set)
       graft.ext.Search.recallAtK(exact, approx, "q_id", "n_id",
-          "rank", k = 5)
+          "rank", k = 5,
+          querySpine = Some(e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"))))
         .orderBy("q_id")
     }),
 

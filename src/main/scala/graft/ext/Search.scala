@@ -257,15 +257,23 @@ object Search {
     * counts set membership only): per query, how many of the truth
     * ranking's top k the approximate ranking's top k recovered.
     * Exact integers — `n_hits` and floor-e9 `recall_e9` = n·10⁹ div k
-    * — so the eval hash-replays. Queries present in `truth` with zero
-    * overlap report 0 (the spine is truth's query set).
+    * — so the eval hash-replays.
+    *
+    * The zero-row SPINE is `querySpine` when given (one row per qCol
+    * value — pass the evaluation's own query set), else truth's
+    * distinct query set. The default means a query whose truth list
+    * is EMPTY is dropped, not reported 0 — fine when truth covers
+    * every query (any top-k retrieval over a non-empty corpus), wrong
+    * for filtered truths; pass the explicit spine there (ADVICE r16:
+    * the two spellings must not diverge silently).
     *
     * Scale shape: two rank-filtered top-k lists (≤ k rows per query,
     * not corpora) equi-join on (query, id); one per-query count. The
     * corpus-sized work happened inside each system's own retrieval
     * plan. */
   def recallAtK(truth: DataFrame, approx: DataFrame, qCol: String,
-      idCol: String, rankCol: String, k: Int): DataFrame = {
+      idCol: String, rankCol: String, k: Int,
+      querySpine: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val tt = truth.where(col(rankCol) <= k)
       .select(col(qCol), col(idCol))
@@ -273,7 +281,9 @@ object Search {
       .select(col(qCol), col(idCol))
     val hits = tt.join(aa, Seq(qCol, idCol))
       .groupBy(col(qCol)).agg(count(lit(1)).as("n_hits"))
-    truth.select(col(qCol)).distinct()
+    querySpine
+      .map(_.select(col(qCol)).distinct())
+      .getOrElse(truth.select(col(qCol)).distinct())
       .join(hits, Seq(qCol), "left")
       .select(col(qCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall_e9",
