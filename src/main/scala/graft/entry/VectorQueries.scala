@@ -579,6 +579,36 @@ object VectorQueries {
         .orderBy("cid", "dim")
     }),
 
+    // OPQ ROTATION TRAINING under the gate (VERDICT r16 Next #5 —
+    // the last trained artifact that stayed spec-pinned): the REAL
+    // Similarity.opqRotation API on a dims=4 slice, m=2 subspaces,
+    // maxSweeps=2. Every float-dependent step replays bit-for-bit:
+    // the covariance is built from 1e7-quantized EXACT integer raw
+    // moments (order-free sums — the trainCentroids device) with ONE
+    // shared IEEE tree per cell; the cyclic-Jacobi sweeps are pure
+    // IEEE +,-,x,/,abs,sqrt (sqrt is correctly rounded by spec) in a
+    // fixed (p,q) order, which the oracle unrolls rotation by
+    // rotation — two-phase column/row updates, the per-rotation
+    // |apq|>1e-300 skip, the per-sweep off accumulator and the
+    // off>1e-12 sweep-2 guard all CASE-replicated; the count-first
+    // subspace deal's log-sum tiebreak reduces at d=4/m=2 to ONE
+    // monotone eigenvalue compare (after the 1e-300 clamp), so the
+    // oracle needs no libm log. Sample = whole corpus at every test
+    // SF (<= 4096). Output: the trained 4x4 rotation exploded to
+    // (ri, ci, r) DOUBLE rows — hash-compared bit-exact.
+    "q270_opq_rotation_trained" -> ((s, dir) => {
+      import s.implicits._
+      val e4 = emb(s, dir).select(col("vec_id"),
+        slice(col("embedding"), 1, 4).as("embedding"))
+      val rot = Similarity.opqRotation(e4, "vec_id", "embedding",
+        m = 2, maxSweeps = 2)
+      rot.zipWithIndex.flatMap { case (row, i) =>
+        row.zipWithIndex.map { case (x, j) =>
+          (i.toLong, j.toLong, x)
+        }
+      }.toDF("ri", "ci", "r").orderBy("ri", "ci")
+    }),
+
     // TRAINED-quantizer IVF ANN end-to-end (q204's training COMPOSED
     // into q43's search): trainCentroids(k=4, iters=2) builds the
     // cells, ivfTopK searches them — the first ANN row whose coarse
@@ -1304,6 +1334,161 @@ object VectorQueries {
     s"list_sum(list_transform(generate_series(1, len($a)), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
 
+  /** Unrolled oracle for q270 — the full [[Similarity.opqRotation]]
+    * pipeline at d=4, m=2, maxSweeps=2 as ONE CTE chain (the
+    * kmeansSql/q188 unrolled-training device): 1e7-quantized exact
+    * integer covariance moments → 12 cyclic-Jacobi rotations, each as
+    * five CTE stages (off/live/theta → t → c → s → the two-phase
+    * column/row cell updates), the per-sweep off accumulator and the
+    * off>1e-12 sweep-2 guard CASE-replicated, eigen sort by
+    * (λ desc, idx), and the count-first subspace deal reduced to the
+    * monotone top-2 eigenvalue compare (at d=4/m=2 each bucket holds
+    * one eigenvalue when the log-sum tiebreak first fires, and
+    * log(max(λ,1e-300)) is strictly monotone in λ — so comparing the
+    * clamped eigenvalues IS comparing the log products, no libm log
+    * needed). Every float op is IEEE +,-,x,/,abs,sqrt on identical
+    * trees, so the 4x4 rotation hash-replays bit-for-bit. */
+  private def opqRotationSql(): String = {
+    val d = 4
+    val pairs = for { p <- 0 until d - 1; q <- p + 1 until d } yield (p, q)
+    def aN(i: Int, j: Int) = s"a$i$j"
+    def vN(i: Int, j: Int) = s"v$i$j"
+    val allA = for { i <- 0 until d; j <- 0 until d } yield aN(i, j)
+    val allV = for { i <- 0 until d; j <- 0 until d } yield vN(i, j)
+    val sums = (1 to d).map(i => s"SUM(qv[$i]) AS s$i").mkString(", ")
+    val prods = (for { i <- 1 to d; j <- i to d }
+      yield s"SUM(qv[$i]*qv[$j]) AS p$i$j").mkString(", ")
+    val numCells = (for { i <- 1 to d; j <- i to d }
+      yield s"n*p$i$j - s$i*s$j AS num$i$j").mkString(", ")
+    val covCells = (for { i <- 0 until d; j <- 0 until d } yield {
+      val (lo, hi) = (math.min(i, j) + 1, math.max(i, j) + 1)
+      val nm = s"num$lo$hi"
+      // correctly-rounded HUGEINT->DOUBLE by construction: DuckDB's
+      // native int128 cast composes upper*2^64+lower in doubles and
+      // DOUBLE-ROUNDS (1-ulp off the JVM's BigInt.toDouble on
+      // boundary values — caught live at sf0.001). Splitting at 2^32
+      // makes hi*2^32 an EXACT exponent shift and lo exact, so the
+      // single IEEE add performs the one correct rounding.
+      s"(CASE WHEN $nm < 0 THEN -1.0 ELSE 1.0 END) * " +
+        s"(CAST(abs($nm) // 4294967296 AS DOUBLE) * 4294967296.0 + " +
+        s"CAST(abs($nm) % 4294967296 AS DOUBLE)) / " +
+        s"(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*100000000000000.0)" +
+        s" AS ${aN(i, j)}"
+    }).mkString(",\n  ")
+    val idV = (for { i <- 0 until d; j <- 0 until d }
+      yield s"CAST(${if (i == j) "1.0" else "0.0"} AS DOUBLE)" +
+        s" AS ${vN(i, j)}").mkString(", ")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH qq AS (SELECT list_transform(embedding[1:$d]::DOUBLE[],
+         |    x -> CAST(floor(x * 10000000.0 + 0.5) AS HUGEINT)) AS qv
+         |  FROM embeddings),
+         |mom AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, $sums,
+         |  $prods FROM qq),
+         |nums AS (SELECT n, $numCells FROM mom),
+         |st0 AS (SELECT
+         |  $covCells,
+         |  $idV,
+         |  CAST(0.0 AS DOUBLE) AS off FROM nums)""".stripMargin)
+    var cur = "st0"
+    var t = 0
+    var lastOfSweep = Map.empty[Int, String]
+    for (sweep <- 1 to 2; ((p, q), k) <- pairs.zipWithIndex) {
+      t += 1
+      val apq = aN(p, q)
+      val passCells = (allA ++ allV).mkString(", ")
+      val off1Sel =
+        if (sweep == 2 && k == 0) ", off AS off1"
+        else if (sweep == 2) ", off1" else ""
+      // the off accumulator RESETS at each sweep start (the Scala
+      // `off = 0.0` at the top of the while body)
+      val offExpr = if (k == 0) s"$apq*$apq" else s"off + $apq*$apq"
+      sb.append(s""",
+        |t${t}a AS (SELECT $passCells$off1Sel,
+        |  $offExpr AS off,
+        |  abs($apq) > 1e-300 AS live,
+        |  (${aN(q, q)} - ${aN(p, p)}) / (2.0 *
+        |    (CASE WHEN abs($apq) > 1e-300 THEN $apq ELSE 1.0 END))
+        |    AS th
+        |  FROM $cur)""".stripMargin)
+      sb.append(s""",
+        |t${t}b AS (SELECT *,
+        |  CASE WHEN th = 0.0 THEN 1.0
+        |       ELSE (CASE WHEN th < 0.0 THEN -1.0 ELSE 1.0 END) /
+        |            (abs(th) + sqrt(th*th + 1.0)) END AS tt
+        |  FROM t${t}a)""".stripMargin)
+      sb.append(s""",
+        |t${t}c AS (SELECT *, 1.0/sqrt(tt*tt + 1.0) AS cc
+        |  FROM t${t}b)""".stripMargin)
+      sb.append(s""",
+        |t${t}d AS (SELECT *, tt*cc AS ss FROM t${t}c)""".stripMargin)
+      def colVal(i: Int, j: Int): String =
+        if (j == p) s"(CASE WHEN live THEN cc*${aN(i, p)} - " +
+          s"ss*${aN(i, q)} ELSE ${aN(i, p)} END)"
+        else if (j == q) s"(CASE WHEN live THEN ss*${aN(i, p)} + " +
+          s"cc*${aN(i, q)} ELSE ${aN(i, q)} END)"
+        else aN(i, j)
+      def finVal(r: Int, c: Int): String =
+        if (r == p) s"CASE WHEN live THEN cc*${colVal(p, c)} - " +
+          s"ss*${colVal(q, c)} ELSE ${colVal(p, c)} END"
+        else if (r == q) s"CASE WHEN live THEN ss*${colVal(p, c)} + " +
+          s"cc*${colVal(q, c)} ELSE ${colVal(q, c)} END"
+        else colVal(r, c)
+      def vFin(r: Int, c: Int): String =
+        if (r == p) s"CASE WHEN live THEN cc*${vN(p, c)} - " +
+          s"ss*${vN(q, c)} ELSE ${vN(p, c)} END"
+        else if (r == q) s"CASE WHEN live THEN ss*${vN(p, c)} + " +
+          s"cc*${vN(q, c)} ELSE ${vN(q, c)} END"
+        else vN(r, c)
+      val newCells =
+        (for { i <- 0 until d; j <- 0 until d }
+          yield s"${finVal(i, j)} AS ${aN(i, j)}").mkString(",\n  ") +
+        ",\n  " +
+        (for { i <- 0 until d; j <- 0 until d }
+          yield s"${vFin(i, j)} AS ${vN(i, j)}").mkString(",\n  ")
+      sb.append(s""",
+        |t${t}e AS (SELECT $newCells,
+        |  off${if (sweep == 2) ", off1" else ""} FROM t${t}d)"""
+        .stripMargin)
+      cur = s"t${t}e"
+      if (k == pairs.size - 1) lastOfSweep += (sweep -> cur)
+    }
+    val s1e = lastOfSweep(1)
+    val s2e = lastOfSweep(2)
+    val finDiag = (0 until d).map(i =>
+      s"CASE WHEN s2x.off1 > 1e-12 THEN s2x.${aN(i, i)} " +
+        s"ELSE s1x.${aN(i, i)} END AS fa$i").mkString(",\n  ")
+    val finV = (for { i <- 0 until d; j <- 0 until d }
+      yield s"CASE WHEN s2x.off1 > 1e-12 THEN s2x.${vN(i, j)} " +
+        s"ELSE s1x.${vN(i, j)} END AS f${vN(i, j)}").mkString(",\n  ")
+    val eigRows = (0 until d).map(i =>
+      s"SELECT $i AS idx, fa$i AS lam, " +
+        (0 until d).map(j => s"f${vN(i, j)} AS e${j + 1}")
+          .mkString(", ") + " FROM fin").mkString("\n  UNION ALL ")
+    sb.append(s""",
+      |fin AS (SELECT
+      |  $finDiag,
+      |  $finV
+      |  FROM $s1e s1x, $s2e s2x),
+      |eig AS ($eigRows),
+      |ordd AS (SELECT *, row_number() OVER (ORDER BY lam DESC, idx)
+      |  AS o FROM eig),
+      |flg AS (SELECT
+      |  greatest((SELECT lam FROM ordd WHERE o = 1), 1e-300) >
+      |  greatest((SELECT lam FROM ordd WHERE o = 2), 1e-300) AS ca),
+      |posd AS (SELECT ordd.*, CASE o WHEN 1 THEN 1 WHEN 2 THEN 3
+      |    WHEN 3 THEN (CASE WHEN ca THEN 4 ELSE 2 END)
+      |    ELSE (CASE WHEN ca THEN 2 ELSE 4 END) END AS outp
+      |  FROM ordd, flg)
+      |SELECT CAST(outp - 1 AS BIGINT) AS ri,
+      |  CAST(u.i - 1 AS BIGINT) AS ci,
+      |  (CASE u.i WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3
+      |   ELSE e4 END) AS r
+      |FROM posd, unnest(generate_series(1, $d)) u(i)
+      |ORDER BY ri, ci""".stripMargin)
+    sb.toString
+  }
+
   private def kmeansSql(k: Int, iters: Int): String =
     kmeansCte(k, iters) +
       s"""
@@ -1623,6 +1808,7 @@ object VectorQueries {
       ("q159_kcore" -> kcoreSql) +
       ("q189_label_propagation" -> lpaSql(4)) +
       ("q204_kmeans_train" -> kmeansSql(4, 2)) +
+      ("q270_opq_rotation_trained" -> opqRotationSql()) +
       ("q206_ivf_trained_topk" -> ivfTrainedSql(4, 2)) +
       ("q256_ivf_probed_trained_topk" -> ivfTrainedProbedSql(4, 2, 2)) +
       // serving on saved codes must equal the inline pipelines —

@@ -1089,7 +1089,14 @@ object Similarity {
     *  - PCA over the deterministic hash sample (same one-scan sample as
     *    [[pqTrain]]): covariance → cyclic-Jacobi eigendecomposition
     *    (fixed sweep order, so the rotation is a pure function of the
-    *    sample);
+    *    sample). The covariance accumulates 1e7-QUANTIZED components
+    *    in exact integers (the [[trainCentroids]] replay contract):
+    *    raw moments S_i = Σq_i and P_ij = Σq_i·q_j are order-free
+    *    BigInt sums, and each cell is ONE shared IEEE tree
+    *    `(n·P_ij − S_i·S_j) → double / (n·n·1e14)` — so the trained
+    *    rotation replays bit-for-bit in any IEEE-double engine (the
+    *    q270 oracle unrolls the full pipeline). Quantization ignores
+    *    sub-1e-7 component information — far below embedding noise;
     *  - eigenvalue ALLOCATION: principal directions are dealt to the m
     *    subspaces greedily, each to the subspace with the smallest
     *    running variance product — the OPQ-P balance criterion. Without
@@ -1102,9 +1109,15 @@ object Similarity {
     * [[pqTrain]]/[[pqEncode]]/[[pqTopKAdc]]/[[pqTopKRerank]]. Gains are
     * data-dependent: large when dimensions are correlated or variance
     * is skewed, nil on isotropic data (see ExtSpec's anisotropic
-    * construction). */
+    * construction).
+    *
+    * `maxSweeps` caps the Jacobi sweeps (64 default converges any
+    * practical covariance; the oracle-gated q270 instance pins 2 so
+    * the unrolled SQL replay is bounded — the convergence early-exit
+    * stays live and is itself a deterministic function of the
+    * matrix). */
   def opqRotation(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
-      sampleSize: Int = 4096): Seq[Seq[Double]] = {
+      sampleSize: Int = 4096, maxSweeps: Int = 64): Seq[Seq[Double]] = {
     require(m >= 1, "need m >= 1 subspaces")
     val rawSample: Array[Seq[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("__v"),
@@ -1120,30 +1133,42 @@ object Similarity {
     require(sample.length >= 2,
       s"need >= 2 sampled vectors of dims=$d to estimate covariance")
     require(d % m == 0, s"dims=$d not divisible by m=$m subspaces")
-    // covariance of the sample (fixed accumulation order)
-    val mean = new Array[Double](d)
-    sample.foreach { v => var i = 0; while (i < d) { mean(i) += v(i); i += 1 } }
-    var mi = 0
-    while (mi < d) { mean(mi) /= sample.length; mi += 1 }
-    val cov = Array.fill(d)(new Array[Double](d))
-    sample.foreach { v =>
+    // covariance from 1e7-quantized EXACT integer raw moments — sums
+    // are order-free (commutative integer addition), so the result is
+    // independent of sample iteration order AND replicable by any
+    // engine's integer aggregation; the only float ops are the final
+    // shared IEEE tree per cell (floor/quantize mirrors DuckDB's
+    // floor(x*1e7 + 0.5) exactly — same multiply/add/floor tree)
+    val n = sample.length
+    val quant: Array[Array[Long]] = sample.map(v =>
+      v.map(x => math.floor(x * 1e7 + 0.5).toLong).toArray).toArray
+    val s1 = Array.fill(d)(BigInt(0))
+    val p2 = Array.fill(d, d)(BigInt(0))
+    quant.foreach { row =>
       var i = 0
       while (i < d) {
-        val xi = v(i) - mean(i)
+        s1(i) += row(i)
         var j = i
-        while (j < d) { cov(i)(j) += xi * (v(j) - mean(j)); j += 1 }
+        while (j < d) {
+          p2(i)(j) += BigInt(row(i)) * BigInt(row(j)); j += 1
+        }
         i += 1
       }
     }
+    val den = n.toDouble * n.toDouble * 1e14
+    val cov = Array.fill(d)(new Array[Double](d))
     var ci = 0
     while (ci < d) {
       var j = ci
       while (j < d) {
-        cov(ci)(j) /= sample.length; cov(j)(ci) = cov(ci)(j); j += 1
+        cov(ci)(j) =
+          (BigInt(n) * p2(ci)(j) - s1(ci) * s1(j)).toDouble / den
+        cov(j)(ci) = cov(ci)(j)
+        j += 1
       }
       ci += 1
     }
-    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val (eigVals, eigVecs) = jacobiEigen(cov, maxSweeps)
     // deal principal directions (variance desc) round-robin by FILL
     // COUNT first, breaking ties by smallest running log-variance
     // product (then lowest subspace). Count-first keeps the deal
@@ -1178,14 +1203,15 @@ object Similarity {
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
     * deterministic (fixed (p,q) sweep order, fixed iteration cap).
     * Returns (eigenvalues, eigenvectors as rows), unsorted. */
-  private def jacobiEigen(a0: Array[Array[Double]])
+  private def jacobiEigen(a0: Array[Array[Double]],
+      maxSweeps: Int = 64)
       : (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
     var off = Double.MaxValue
-    while (sweep < 64 && off > 1e-12) {
+    while (sweep < maxSweeps && off > 1e-12) {
       off = 0.0
       var p = 0
       while (p < d - 1) {
