@@ -59,10 +59,14 @@ object VectorQueries {
 
   /** Pinned OPQ-style rotation for the oracle-checked q97 — the
     * pinned-centroid device applied to [[Similarity.opqRotation]]'s
-    * output position: a trained rotation is not SQL-replicable (driver
-    * Jacobi eigendecomposition), so the hash-checked query pins an
-    * exactly-orthogonal literal instead and certifies the COMPOSITION
-    * rotate → encode → ADC end-to-end. Dim i pairs with dim i+32
+    * output position. (The original rationale here — "a trained
+    * rotation is not SQL-replicable (driver Jacobi eigendecomposition)"
+    * — was DISPROVEN in round 17: q270 gates the real trainer against
+    * a fully unrolled Jacobi oracle, and q271 composes the TRAINED
+    * rotation into this same ADC pipeline. q97 stays as the
+    * full-width 64-dim composition certificate — the trained gate
+    * runs at d=4, where the unroll is tractable.) The pinned literal
+    * certifies the COMPOSITION rotate → encode → ADC end-to-end. Dim i pairs with dim i+32
     * through a 2×2 Givens block [[0.6, 0.8], [-0.8, 0.6]] (rows
     * orthonormal: 0.36+0.64=1): a genuine dimension-mixing rotation,
     * yet each output dim is a two-term product sum the oracle can
@@ -129,6 +133,30 @@ object VectorQueries {
         "rvec")
       Similarity.pqTopKAdc(r, "vec_id", "rvec",
           rotatedCodebooks(r, "rvec"), col("vec_id") < 10, k = 3)
+        .orderBy("q_id", "rank")
+    }),
+
+    // OPQ end-to-end with the TRAINED rotation (q270's trainer
+    // composed into the ADC search the way q206 composes q204's
+    // k-means into IVF): train the rotation on the 4-dim slice
+    // (m=2, 2 sweeps — the gated instance), rotate map-only, build
+    // the pinned-sample codebooks in the ROTATED space, ADC top-3.
+    // The oracle chains the full unrolled trainer CTEs in front of
+    // the q78 ADC pipeline at subdim 2 — train AND serve under one
+    // hash.
+    "q271_opq_trained_adc" -> ((s, dir) => {
+      val e4 = emb(s, dir).select(col("vec_id"),
+        slice(col("embedding"), 1, 4).as("embedding"))
+      val rot = Similarity.opqRotation(e4, "vec_id", "embedding",
+        m = 2, maxSweeps = 2)
+      val r = Similarity.rotate(e4, "embedding", rot, "rvec")
+      val cb = r.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"),
+          posexplode(array((0 until 2).map(sb =>
+            slice(col("rvec"), sb * 2 + 1, 2)): _*)))
+        .select(col("pos").as("sub"), col("cid"), col("col").as("cvec"))
+      Similarity.pqTopKAdc(r, "vec_id", "rvec", cb,
+          col("vec_id") < 10, k = 3)
         .orderBy("q_id", "rank")
     }),
     // Exact ANN baseline: top-5 cosine neighbors for 10 query vectors.
@@ -1347,8 +1375,21 @@ object VectorQueries {
     * log(max(λ,1e-300)) is strictly monotone in λ — so comparing the
     * clamped eigenvalues IS comparing the log products, no libm log
     * needed). Every float op is IEEE +,-,x,/,abs,sqrt on identical
-    * trees, so the 4x4 rotation hash-replays bit-for-bit. */
-  private def opqRotationSql(): String = {
+    * trees, so the 4x4 rotation hash-replays bit-for-bit.
+    *
+    * [[opqRotationCte]] is the reusable prefix (`WITH qq …, posd`) for
+    * oracles that COMPOSE the trained rotation into a search (q271 —
+    * the kmeansCte device). */
+  private def opqRotationSql(): String =
+    opqRotationCte() + s"""
+      |SELECT CAST(outp - 1 AS BIGINT) AS ri,
+      |  CAST(u.i - 1 AS BIGINT) AS ci,
+      |  (CASE u.i WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3
+      |   ELSE e4 END) AS r
+      |FROM posd, unnest(generate_series(1, 4)) u(i)
+      |ORDER BY ri, ci""".stripMargin
+
+  private def opqRotationCte(): String = {
     val d = 4
     val pairs = for { p <- 0 until d - 1; q <- p + 1 until d } yield (p, q)
     def aN(i: Int, j: Int) = s"a$i$j"
@@ -1479,13 +1520,7 @@ object VectorQueries {
       |posd AS (SELECT ordd.*, CASE o WHEN 1 THEN 1 WHEN 2 THEN 3
       |    WHEN 3 THEN (CASE WHEN ca THEN 4 ELSE 2 END)
       |    ELSE (CASE WHEN ca THEN 2 ELSE 4 END) END AS outp
-      |  FROM ordd, flg)
-      |SELECT CAST(outp - 1 AS BIGINT) AS ri,
-      |  CAST(u.i - 1 AS BIGINT) AS ci,
-      |  (CASE u.i WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3
-      |   ELSE e4 END) AS r
-      |FROM posd, unnest(generate_series(1, $d)) u(i)
-      |ORDER BY ri, ci""".stripMargin)
+      |  FROM ordd, flg)""".stripMargin)
     sb.toString
   }
 
@@ -1809,6 +1844,84 @@ object VectorQueries {
       ("q189_label_propagation" -> lpaSql(4)) +
       ("q204_kmeans_train" -> kmeansSql(4, 2)) +
       ("q270_opq_rotation_trained" -> opqRotationSql()) +
+      // the trained rotation's CTE chain feeds the q78 ADC pipeline
+      // at subdim 2: rotated vectors via the same left-associated
+      // 4-term MatVec sum, codebooks from the rotated vec_id<16
+      // sample, encode argmin + per-query LUT distances + rank cut —
+      // train and serve certified under ONE hash
+      ("q271_opq_trained_adc" -> (opqRotationCte() + """,
+        |rotm AS (SELECT CAST(outp - 1 AS BIGINT) AS ri,
+        |    CAST(u.i - 1 AS BIGINT) AS ci,
+        |    (CASE u.i WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3
+        |     ELSE e4 END) AS r
+        |  FROM posd, unnest(generate_series(1, 4)) u(i)),
+        |rotw AS (SELECT
+        |    MAX(CASE WHEN ri=0 AND ci=0 THEN r END) AS r00,
+        |    MAX(CASE WHEN ri=0 AND ci=1 THEN r END) AS r01,
+        |    MAX(CASE WHEN ri=0 AND ci=2 THEN r END) AS r02,
+        |    MAX(CASE WHEN ri=0 AND ci=3 THEN r END) AS r03,
+        |    MAX(CASE WHEN ri=1 AND ci=0 THEN r END) AS r10,
+        |    MAX(CASE WHEN ri=1 AND ci=1 THEN r END) AS r11,
+        |    MAX(CASE WHEN ri=1 AND ci=2 THEN r END) AS r12,
+        |    MAX(CASE WHEN ri=1 AND ci=3 THEN r END) AS r13,
+        |    MAX(CASE WHEN ri=2 AND ci=0 THEN r END) AS r20,
+        |    MAX(CASE WHEN ri=2 AND ci=1 THEN r END) AS r21,
+        |    MAX(CASE WHEN ri=2 AND ci=2 THEN r END) AS r22,
+        |    MAX(CASE WHEN ri=2 AND ci=3 THEN r END) AS r23,
+        |    MAX(CASE WHEN ri=3 AND ci=0 THEN r END) AS r30,
+        |    MAX(CASE WHEN ri=3 AND ci=1 THEN r END) AS r31,
+        |    MAX(CASE WHEN ri=3 AND ci=2 THEN r END) AS r32,
+        |    MAX(CASE WHEN ri=3 AND ci=3 THEN r END) AS r33
+        |  FROM rotm),
+        |rv AS (SELECT vec_id, [
+        |    r00*CAST(embedding[1] AS DOUBLE)
+        |    + r01*CAST(embedding[2] AS DOUBLE)
+        |    + r02*CAST(embedding[3] AS DOUBLE)
+        |    + r03*CAST(embedding[4] AS DOUBLE),
+        |    r10*CAST(embedding[1] AS DOUBLE)
+        |    + r11*CAST(embedding[2] AS DOUBLE)
+        |    + r12*CAST(embedding[3] AS DOUBLE)
+        |    + r13*CAST(embedding[4] AS DOUBLE),
+        |    r20*CAST(embedding[1] AS DOUBLE)
+        |    + r21*CAST(embedding[2] AS DOUBLE)
+        |    + r22*CAST(embedding[3] AS DOUBLE)
+        |    + r23*CAST(embedding[4] AS DOUBLE),
+        |    r30*CAST(embedding[1] AS DOUBLE)
+        |    + r31*CAST(embedding[2] AS DOUBLE)
+        |    + r32*CAST(embedding[3] AS DOUBLE)
+        |    + r33*CAST(embedding[4] AS DOUBLE)
+        |  ] AS rv FROM embeddings, rotw),
+        |subq AS (SELECT UNNEST(generate_series(0, 1)) AS s),
+        |cw AS (SELECT subq.s, r.vec_id AS cid,
+        |        list_transform(generate_series(1, 2),
+        |          i -> r.rv[subq.s*2+i]) AS cv
+        |       FROM rv r, subq WHERE r.vec_id < 16),
+        |evv AS (SELECT r.vec_id, subq.s,
+        |        list_transform(generate_series(1, 2),
+        |          i -> r.rv[subq.s*2+i]) AS sv
+        |       FROM rv r, subq),
+        |asg AS (SELECT vec_id, s, cid FROM (
+        |   SELECT evv.vec_id, evv.s, cw.cid,
+        |     ROW_NUMBER() OVER (PARTITION BY evv.vec_id, evv.s ORDER BY
+        |       list_sum(list_transform(generate_series(1, 2),
+        |         i -> (evv.sv[i]-cw.cv[i])*(evv.sv[i]-cw.cv[i]))), cw.cid)
+        |       AS rn
+        |   FROM evv JOIN cw ON evv.s = cw.s) WHERE rn = 1),
+        |ncv AS (SELECT a.vec_id, a.s, cw.cv FROM asg a
+        |        JOIN cw ON a.s = cw.s AND a.cid = cw.cid),
+        |qv AS (SELECT vec_id AS q_id, s, sv FROM evv WHERE vec_id < 10),
+        |ps AS (SELECT qv.q_id, n.vec_id AS n_id, qv.s,
+        |        list_sum(list_transform(generate_series(1, 2),
+        |          i -> (qv.sv[i]-n.cv[i])*(qv.sv[i]-n.cv[i]))) AS d
+        |       FROM qv JOIN ncv n ON qv.s = n.s
+        |       WHERE n.vec_id <> qv.q_id),
+        |dist AS (SELECT q_id, n_id, list_sum(list(d ORDER BY s)) AS dist
+        |         FROM ps GROUP BY 1, 2),
+        |rr AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY q_id ORDER BY dist ASC, n_id ASC)
+        |        AS INTEGER) AS rank FROM dist)
+        |SELECT q_id, n_id, rank FROM rr WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin)) +
       ("q206_ivf_trained_topk" -> ivfTrainedSql(4, 2)) +
       ("q256_ivf_probed_trained_topk" -> ivfTrainedProbedSql(4, 2, 2)) +
       // serving on saved codes must equal the inline pipelines —

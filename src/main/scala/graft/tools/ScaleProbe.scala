@@ -119,6 +119,7 @@ object ScaleProbe {
       "tokenizer_fertility", "distinct_ngrams", "mixture_pipeline",
       "budget_sample", "line_filter", "oov_rate", "kn_counts",
       "kn_probabilities", "kn_doc_score", "span_corrupt",
+      "kn3_probabilities", "kn3_doc_score", "lm_gated_pipeline",
       "collocations", "ingest_pipeline",
       "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
@@ -349,6 +350,34 @@ object ScaleProbe {
     timeOrRun("span_corrupt")(Curation.spanCorrupt(docs, "doc_id",
       "text", seed = "sc1")
       .select(sum("n_spans"), sum(length(col("input_text")))).head())
+    // trigram order: THREE aggs over the collapsed trigram table
+    // (ctx pairs, continuation pairs, the (w2,w3) re-aggs) — distinct
+    // trigrams stay flat under replication like the bigram axis, but
+    // the collapsed table itself is ~|V| larger
+    timeOrRun("kn3_probabilities")(TextAnalysis.knTrigramProbabilities(
+      TextAnalysis.knTrigramCounts(docs, "text"))
+      .select(sum("p3_e9")).head())
+    // trigram serving: doc trigram INSTANCES join the materialized
+    // model + FOUR marginal tables + B — the n=3 cost over q250's
+    // three-join shape
+    timeOrRun("kn3_doc_score") {
+      val model = TextAnalysis.knTrigramCounts(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text")
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocsTrigram(docs, "doc_id", "text", model)
+        .select(sum("sum_p_e9"), sum("n_trigrams")).head()
+    }
+    // the q269 composition: LM score+gate (instance joins + slim
+    // semi-join) in FRONT of the full curation pipeline
+    timeOrRun("lm_gated_pipeline") {
+      val model = TextAnalysis.knBigramCounts(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text")
+        .localCheckpoint(true)
+      Curation.curationPipeline(docs,
+          Curation.CurationConfig(lmMinMeanPE9 = 34000000L),
+          Some(model))
+        .select(sum("n_chars_clean"), count(lit(1))).head()
+    }
     timeOrRun("collocations")(TextAnalysis.collocationLift(
       TextAnalysis.knBigramCounts(docs, "text"), minCount = 2)
       .select(sum("lift_e9")).head())
