@@ -359,8 +359,14 @@ object TextQueries {
     // inside DECIMAL(38,0) at 100 TB counts. Top-200 by (n desc,
     // w1, w2, w3).
     "q266_kn_trigram_probabilities" -> ((s, dir) => {
+      // the count table materializes once: knTrigramProbabilities
+      // references it six ways (base + ctx + cont->mid/pre/B) and
+      // left lazy the corpus trigram agg re-derives per reference
+      // (6 Generate nodes in the first Explain — the q250 lesson at
+      // n=3)
       TextAnalysis.knTrigramProbabilities(
-          TextAnalysis.knTrigramCounts(docs(s, dir), "text"))
+          TextAnalysis.knTrigramCounts(docs(s, dir), "text")
+            .localCheckpoint(true))
         .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
         .limit(200)
     }),

@@ -373,7 +373,11 @@ object ScaleProbe {
       val model = TextAnalysis.knBigramCounts(
           docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text")
         .localCheckpoint(true)
-      Curation.curationPipeline(docs,
+      // the replicated probe frame carries (doc_id, text) only — give
+      // the pipeline its source column from the id hash
+      val d3 = docs.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(7))))
+      Curation.curationPipeline(d3,
           Curation.CurationConfig(lmMinMeanPE9 = 34000000L),
           Some(model))
         .select(sum("n_chars_clean"), count(lit(1))).head()
