@@ -1657,6 +1657,31 @@ object AnalyticQueries {
         .limit(200)
     }),
 
+    // The FORTY-FIFTH streaming twin: online TRIGRAM smoothed-table
+    // maintenance — q257 one order up (train online at n=3; serve
+    // online: q268): the trigram explode is stateless, the counts
+    // MONOTONE (ONE Update-mode agg, MAX fold), and the interpolated
+    // model derives from the folded table through the SHARED
+    // knTrigramProbabilities. Faces q266's own oracle SQL
+    // row-for-row.
+    "q272_streaming_kn_trigram_probabilities" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingKnTrigramCounts(
+          df, "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))
+          -> r.getLong(3))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max)
+        .toSeq.map { case ((w1, w2, w3), n) => (w1, w2, w3, n) }
+      graft.ext.TextAnalysis.knTrigramProbabilities(
+          folded.toDF("w1", "w2", "w3", "n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+        .limit(200)
+    }),
+
     // The THIRTY-THIRD streaming twin: line-quality filtering at
     // ingest — the batch HOF projection verbatim (stateless,
     // Append-legal); the twin pins stream legality and instance
@@ -2942,6 +2967,11 @@ object AnalyticQueries {
       // the batch scorer row-for-row — same oracle as q267
       ("q268_streaming_kn_trigram_score" ->
         TextQueries.oracleSql("q267_kn_trigram_doc_score")) +
+      // the folded online trigram counts, derived through the shared
+      // closed form, must reproduce the batch smoothed table — same
+      // oracle as q266
+      ("q272_streaming_kn_trigram_probabilities" ->
+        TextQueries.oracleSql("q266_kn_trigram_probabilities")) +
       // cleanup at ingest is the batch projection verbatim — same
       // oracle as q262
       ("q263_streaming_unicode_clean" ->

@@ -464,6 +464,17 @@ object EventStreams {
   def streamingKnCounts(docs: DataFrame, textCol: String): DataFrame =
     graft.ext.TextAnalysis.knBigramCounts(docs, textCol)
 
+  /** Online Kneser–Ney TRIGRAM count maintenance — [[streamingKnCounts]]
+    * one order up: [[graft.ext.TextAnalysis.knTrigramCounts]] VERBATIM
+    * as the ONE Update-mode (w1, w2, w3) aggregation (stateless
+    * explode, MONOTONE counts → MAX fold); the smoothed model derives
+    * from the folded table through the SHARED
+    * [[graft.ext.TextAnalysis.knTrigramProbabilities]]. State ∝
+    * distinct trigrams — the LM artifact, never the corpus. */
+  def streamingKnTrigramCounts(docs: DataFrame,
+      textCol: String): DataFrame =
+    graft.ext.TextAnalysis.knTrigramCounts(docs, textCol)
+
   /** Line-quality filtering at ingest —
     * [[graft.ext.Curation.lineQualityFilter]] VERBATIM on the
     * streaming frame (pure projection: split, integer-rational HOF
