@@ -351,6 +351,20 @@ object TextQueries {
         .limit(200)
     }),
 
+    // q249 with the PRODUCTION discount: D estimated from the
+    // count-of-counts (Ney's D = n1/(n1+2n2), the Chen-Goodman
+    // recommendation) instead of the pinned 3/4 — D stays a rational
+    // of corpus integers, so the model still hash-replays; two-stage
+    // floor-e9 (the trigram device) keeps every intermediate inside
+    // DECIMAL(38,0) at 100 TB counts. Same top-200 cut as q249.
+    "q273_kn_estimated_discount" -> ((s, dir) => {
+      TextAnalysis.knProbabilitiesEstimatedD(
+          TextAnalysis.knBigramCounts(docs(s, dir), "text")
+            .localCheckpoint(true))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(200)
+    }),
+
     // The n=3 order of q249 (verdict r16 item #3 — production
     // perplexity filters run n>=3): interpolated Kneser-Ney TRIGRAM
     // probabilities with every lower-order statistic derived from the
@@ -1304,6 +1318,39 @@ object TextQueries {
         |       // (4*ctx.c1*b) AS BIGINT) AS p_e9
         |FROM c JOIN ctx USING (w1) JOIN cont USING (w2), tot
         |ORDER BY c.n DESC, c.w1, c.w2 LIMIT 200""".stripMargin,
+    // q249's count CTEs + the count-of-counts discount: D = n1/(n1+2n2)
+    // as exact integers riding the same 1-row cross join as B; the
+    // two-stage floor (pc then p) mirrors the Scala composition, with
+    // the M=0 degenerate falling back to the unsmoothed ML estimate
+    "q273_kn_estimated_discount" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text,'\s+'),
+        |    x -> length(x) > 0) AS tk FROM documents),
+        |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS post FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n2 FROM c),
+        |w AS (SELECT c.w1, c.w2, c.n, ctx.c1, ctx.post, cont.pre,
+        |    b, n1, (n1 + 2*n2) AS m,
+        |    (pre * 1000000000) // b AS pc
+        |  FROM c JOIN ctx USING (w1) JOIN cont USING (w2), tot)
+        |SELECT w1, w2, n,
+        |  CAST(CASE WHEN m > 0 THEN (n1 * 1000000000) // m
+        |       ELSE 0 END AS BIGINT) AS d_e9,
+        |  CAST(CASE WHEN m > 0
+        |       THEN ((n*m - n1) * 1000000000 + n1*post*pc)
+        |            // (c1*m)
+        |       ELSE (n * 1000000000) // c1 END AS BIGINT) AS p_e9
+        |FROM w ORDER BY n DESC, w1, w2 LIMIT 200""".stripMargin,
     // the trigram count CTEs + the two-stage floor-e9 composition
     // (p2 from the continuation table, p3 through the FLOORED p2 —
     // both sides compose through the same intermediate, so the

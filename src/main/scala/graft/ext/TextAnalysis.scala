@@ -935,6 +935,71 @@ object TextAnalysis {
       .select("w1", "w2", "n", "p_e9")
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities with NEY'S ESTIMATED
+    * discount — the production form of [[knProbabilities]]: instead of
+    * pinning D = 3/4, estimate it from the count-of-counts
+    * (Ney/Essen/Kneser 1994; Chen/Goodman 1999's recommendation)
+    *
+    *   D = n₁ / (n₁ + 2·n₂)
+    *
+    * where n₁/n₂ = the number of bigram types occurring exactly
+    * once/twice. D stays a RATIONAL of corpus integers, so the whole
+    * model remains exactly replayable. With M = n₁ + 2·n₂:
+    *
+    *   P(w2|w1) = (n − D)/c1 + (D·post/c1)·(pre/B)
+    *            = ((n·M − n₁)·B + n₁·post·pre) / (c1·M·B)
+    *
+    * emitted floor-e9 in TWO documented stages (the trigram device —
+    * the single-fraction numerator n·M·B·10⁹ ~ 10⁴¹ overflows
+    * DECIMAL(38,0) at 100 TB counts):
+    *
+    *   pc_e9 = pre·10⁹ div B                      (continuation prob)
+    *   p_e9  = ((n·M − n₁)·10⁹ + n₁·post·pc_e9) div (c1·M)
+    *
+    * Headroom: n·M·10⁹ ~ 10¹²·10¹⁰·10⁹ = 10³¹ and n₁·post·pc_e9 ≤
+    * 10¹⁰·10⁶·10⁹ = 10²⁵ — inside 38 digits with room. Composition
+    * through the floored pc_e9 differs from the true rational by
+    * < D·post/c1·10⁻⁹ ≤ 1 ulp. n·M − n₁ ≥ M − n₁ = 2n₂ ≥ 0, so the
+    * top term is non-negative for every seen bigram WITHOUT a clip
+    * (D ≤ 1 by construction). Degenerate corpus with no singletons
+    * and no doubletons (M = 0): D is 0/0 — the convention here is
+    * D = 0, i.e. the unsmoothed ML estimate n·10⁹ div c1.
+    *
+    * Output: w1, w2, n, d_e9 (the global discount, for the training
+    * report), p_e9. Same collapsed-table scale shape as
+    * [[knProbabilities]] — the count-of-counts ride the SAME 1-row
+    * broadcast as B. */
+  def knProbabilitiesEstimatedD(counts: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("c1"), count(lit(1)).as("post"))
+    val cont = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("pre"))
+    val tot = counts.agg(count(lit(1)).as("b"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("n2"))
+    counts
+      .join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__m", col("n1") + lit(2L) * col("n2"))
+      .withColumn("d_e9",
+        when(col("__m") > 0,
+          expr("(CAST(n1 AS DECIMAL(38,0)) * 1000000000) div " +
+            "CAST(__m AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("__pc",
+        expr("(CAST(pre AS DECIMAL(38,0)) * 1000000000) div " +
+          "CAST(b AS DECIMAL(38,0))"))
+      .withColumn("p_e9",
+        when(col("__m") > 0, expr(
+          "((CAST(n AS DECIMAL(38,0)) * __m - n1) * 1000000000" +
+            " + CAST(n1 AS DECIMAL(38,0)) * post * __pc)" +
+            " div (CAST(c1 AS DECIMAL(38,0)) * __m)"))
+          .otherwise(expr(
+            "(CAST(n AS DECIMAL(38,0)) * 1000000000)" +
+              " div CAST(c1 AS DECIMAL(38,0))")))
+      .select("w1", "w2", "n", "d_e9", "p_e9")
+  }
+
   /** Unicode cleanup for corpus text — the normalization pass every
     * web-scraped corpus gets before hashing/dedup/tokenization (the
     * C4/Gopher convention): (1) NFC canonical composition (decomposed

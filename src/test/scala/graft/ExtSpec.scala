@@ -1818,6 +1818,31 @@ class ExtSpec extends SparkSpecBase {
       (5L, 0L, 0L, 0L)))
   }
 
+  test("knProbabilitiesEstimatedD: Ney count-of-counts discount by " +
+      "hand; M=0 degenerate falls back to the ML estimate") {
+    val train = Seq("the cat sat", "the cat ran").toDF("text")
+    // counts: (the,cat,2) (cat,sat,1) (cat,ran,1); n1=2 n2=1 M=4
+    // D = 2/4 -> d_e9 = 500000000; B=3, pc = 1e9//3 = 333333333
+    val got = TextAnalysis.knProbabilitiesEstimatedD(
+        TextAnalysis.knBigramCounts(train, "text"))
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // p(sat|cat) = ((4-2)e9 + 2*2*333333333) // 8 = 416666666
+    // p(cat|the) = ((8-2)e9 + 2*1*333333333) // 8 = 833333333
+    assert(got.toSeq == Seq(
+      ("cat", "ran", 1L, 500000000L, 416666666L),
+      ("cat", "sat", 1L, 500000000L, 416666666L),
+      ("the", "cat", 2L, 500000000L, 833333333L)))
+    // every count >= 3: n1 = n2 = 0, M = 0 -> D=0, pure ML n/c1
+    val deg = TextAnalysis.knProbabilitiesEstimatedD(
+        Seq(("a", "b", 3L), ("a", "c", 6L)).toDF("w1", "w2", "n"))
+      .orderBy("w2").collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(deg.toSeq == Seq(
+      ("b", 0L, 333333333L), ("c", 0L, 666666666L)))
+  }
+
   test("knTrigramCounts/knTrigramProbabilities: two-stage floor-e9 " +
       "closed form by hand; sub-3-token docs emit nothing") {
     val train = Seq("a b c a b d", "x b c", "a b", "").toDF("text")
