@@ -385,6 +385,19 @@ object TextQueries {
         .limit(200)
     }),
 
+    // q266 with the PRODUCTION discounts: D estimated per level from
+    // that level's own count-of-counts (D3 from trigram types, D2
+    // from the continuation table's — Chen-Goodman's prescription),
+    // three-stage floor-e9 so the wider estimated-D fractions stay
+    // inside DECIMAL(38,0). Same top-200 cut as q266.
+    "q274_kn_trigram_estimated_discount" -> ((s, dir) => {
+      TextAnalysis.knTrigramProbabilitiesEstimatedD(
+          TextAnalysis.knTrigramCounts(docs(s, dir), "text")
+            .localCheckpoint(true))
+        .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+        .limit(200)
+    }),
+
     // q250's trained-LM doc scoring at n=3: the trigram KN model
     // trains on the 'en' slice, then scores EVERY doc through the
     // full back-off recursion (seen trigram / context-backoff /
@@ -1383,6 +1396,59 @@ object TextQueries {
         |  CAST(((4*CAST(n AS HUGEINT) - 3)*1000000000
         |        + 3*t12*p2_e9) // (4*c12) AS BIGINT) AS p3_e9
         |FROM p2 ORDER BY n DESC, w1, w2, w3 LIMIT 200""".stripMargin,
+    // q266's trigram CTEs + per-level count-of-counts discounts; the
+    // three-stage floor (pc -> p2 -> p3) mirrors the Scala
+    // composition, degenerate levels falling back to that level's
+    // ML estimate
+    "q274_kn_trigram_estimated_discount" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text,'\s+'),
+        |    x -> length(x) > 0) AS tk FROM documents),
+        |tg AS (SELECT tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+        |  FROM t, unnest(generate_series(1, len(tk)-2)) u(i)
+        |  WHERE len(tk) >= 3),
+        |c AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tg GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, CAST(SUM(n) AS HUGEINT) AS c12,
+        |    CAST(COUNT(*) AS HUGEINT) AS t12 FROM c GROUP BY 1, 2),
+        |cont AS (SELECT w2, w3, CAST(COUNT(*) AS HUGEINT) AS pre23
+        |  FROM c GROUP BY 1, 2),
+        |mid AS (SELECT w2, CAST(SUM(pre23) AS HUGEINT) AS nmid2,
+        |    CAST(COUNT(*) AS HUGEINT) AS post2 FROM cont GROUP BY 1),
+        |pre AS (SELECT w3, CAST(COUNT(*) AS HUGEINT) AS pre3
+        |  FROM cont GROUP BY 1),
+        |tcc AS (SELECT
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t2 FROM c),
+        |ccc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN pre23 = 1 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc1,
+        |    CAST(SUM(CASE WHEN pre23 = 2 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc2 FROM cont),
+        |w AS (SELECT c.w1, c.w2, c.w3, c.n, ctx.c12, ctx.t12,
+        |    cont.pre23, mid.nmid2, mid.post2, b, t1, cc1,
+        |    (t1 + 2*t2) AS m3, (cc1 + 2*cc2) AS m2,
+        |    (pre.pre3 * 1000000000) // b AS pc
+        |  FROM c JOIN ctx USING (w1, w2) JOIN cont USING (w2, w3)
+        |    JOIN mid USING (w2) JOIN pre USING (w3), tcc, ccc),
+        |p2s AS (SELECT *,
+        |    CASE WHEN m2 > 0
+        |         THEN ((pre23*m2 - cc1) * 1000000000
+        |               + cc1*post2*pc) // (nmid2*m2)
+        |         ELSE (pre23 * 1000000000) // nmid2 END AS p2
+        |  FROM w)
+        |SELECT w1, w2, w3, n,
+        |  CAST(CASE WHEN m3 > 0 THEN (t1 * 1000000000) // m3
+        |       ELSE 0 END AS BIGINT) AS d3_e9,
+        |  CAST(CASE WHEN m2 > 0 THEN (cc1 * 1000000000) // m2
+        |       ELSE 0 END AS BIGINT) AS d2_e9,
+        |  CAST(p2 AS BIGINT) AS p2_e9,
+        |  CAST(CASE WHEN m3 > 0
+        |       THEN ((n*m3 - t1) * 1000000000 + t1*t12*p2)
+        |            // (c12*m3)
+        |       ELSE (n * 1000000000) // c12 END AS BIGINT) AS p3_e9
+        |FROM p2s ORDER BY n DESC, w1, w2, w3 LIMIT 200""".stripMargin,
     // en-trained trigram model CTEs, then every doc's trigram
     // instances left-join the model and its four marginals; the
     // two-level back-off CASE mirrors the Scala cascade

@@ -1241,6 +1241,82 @@ object TextAnalysis {
       .select("w1", "w2", "w3", "n", "p2_e9", "p3_e9")
   }
 
+  /** Interpolated KN TRIGRAM probabilities with NEY'S ESTIMATED
+    * discounts — [[knTrigramProbabilities]] with the production
+    * smoother at BOTH levels ([[knProbabilitiesEstimatedD]]'s
+    * estimator, applied per level as Chen/Goodman prescribe): the top
+    * level estimates D₃ = t₁/(t₁+2t₂) from the trigram
+    * count-of-counts, the continuation level D₂ = c₁/(c₁+2c₂) from
+    * the CONTINUATION table's count-of-counts (the pre23 values ARE
+    * that level's counts). With M₃ = t₁+2t₂ and M₂ = c₁+2c₂, the
+    * THREE-stage floor-e9 composition (one more stage than the
+    * pinned-D trigram — the estimated-D fractions are a factor M
+    * wider):
+    *
+    *   pc_e9 = pre3·10⁹ div B
+    *   p2_e9 = ((pre23·M₂ − c₁)·10⁹ + c₁·post2·pc_e9)
+    *             div (nmid2·M₂)
+    *   p3_e9 = ((n·M₃ − t₁)·10⁹ + t₁·t12·p2_e9) div (c12·M₃)
+    *
+    * Headroom: pre23·M₂·10⁹ ~ 10¹⁰·10¹⁰·10⁹ = 10²⁹ and n·M₃·10⁹ ~
+    * 10¹²·10¹⁰·10⁹ = 10³¹ — inside DECIMAL(38,0). Non-negativity is
+    * structural at both levels (n·M − n₁ ≥ 2n₂ ≥ 0). Degenerate
+    * levels (M = 0: no singletons or doubletons at that level) fall
+    * back to that level's unsmoothed ML estimate, matching
+    * [[knProbabilitiesEstimatedD]]'s convention. Output adds the two
+    * global discounts (d3_e9, d2_e9) for the training report. */
+  def knTrigramProbabilitiesEstimatedD(tri: DataFrame): DataFrame = {
+    val ctx = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("c12"), count(lit(1)).as("t12"))
+    val cont = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("pre23"))
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("pre23")).as("nmid2"), count(lit(1)).as("post2"))
+    val pre = cont.groupBy(col("w3"))
+      .agg(count(lit(1)).as("pre3"))
+    val topCc = tri.agg(
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("t1"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("t2"))
+    val contCc = cont.agg(count(lit(1)).as("b"),
+      sum(when(col("pre23") === 1, 1L).otherwise(0L)).as("cc1"),
+      sum(when(col("pre23") === 2, 1L).otherwise(0L)).as("cc2"))
+    tri
+      .join(ctx, Seq("w1", "w2")).join(cont, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(pre, Seq("w3"))
+      .crossJoin(broadcast(topCc)).crossJoin(broadcast(contCc))
+      .withColumn("__m3", col("t1") + lit(2L) * col("t2"))
+      .withColumn("__m2", col("cc1") + lit(2L) * col("cc2"))
+      .withColumn("d3_e9",
+        when(col("__m3") > 0,
+          expr("(CAST(t1 AS DECIMAL(38,0)) * 1000000000) div " +
+            "CAST(__m3 AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("d2_e9",
+        when(col("__m2") > 0,
+          expr("(CAST(cc1 AS DECIMAL(38,0)) * 1000000000) div " +
+            "CAST(__m2 AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("__pc",
+        expr("(CAST(pre3 AS DECIMAL(38,0)) * 1000000000) div " +
+          "CAST(b AS DECIMAL(38,0))"))
+      .withColumn("p2_e9",
+        when(col("__m2") > 0, expr(
+          "((CAST(pre23 AS DECIMAL(38,0)) * __m2 - cc1) * 1000000000" +
+            " + CAST(cc1 AS DECIMAL(38,0)) * post2 * __pc)" +
+            " div (CAST(nmid2 AS DECIMAL(38,0)) * __m2)"))
+          .otherwise(expr(
+            "(CAST(pre23 AS DECIMAL(38,0)) * 1000000000)" +
+              " div CAST(nmid2 AS DECIMAL(38,0))")))
+      .withColumn("p3_e9",
+        when(col("__m3") > 0, expr(
+          "((CAST(n AS DECIMAL(38,0)) * __m3 - t1) * 1000000000" +
+            " + CAST(t1 AS DECIMAL(38,0)) * t12 * p2_e9)" +
+            " div (CAST(c12 AS DECIMAL(38,0)) * __m3)"))
+          .otherwise(expr(
+            "(CAST(n AS DECIMAL(38,0)) * 1000000000)" +
+              " div CAST(c12 AS DECIMAL(38,0))")))
+      .select("w1", "w2", "w3", "n", "d3_e9", "d2_e9", "p2_e9",
+        "p3_e9")
+  }
+
   /** Score documents against a TRAINED KN trigram table — the n=3
     * upgrade of [[knScoreDocs]]: per document, the mean interpolated
     * trigram probability of its adjacent trigrams, exact floor-e9

@@ -1871,6 +1871,36 @@ class ExtSpec extends SparkSpecBase {
       ("x", "b", "c", 1L, 541666666L, 656249999L)))
   }
 
+  test("knTrigramProbabilitiesEstimatedD: per-level count-of-counts " +
+      "discounts by hand (D3=1 zeroes every singleton's top term)") {
+    val train = Seq("a b c a b d", "x b c", "a b", "").toDF("text")
+    // tri all n=1: t1=5 t2=0 -> M3=5, D3=1 (d3_e9=1000000000)
+    // cont pre23: (b,c)=2 others=1 -> cc1=3 cc2=1 -> M2=5, D2=3/5
+    // B=4, pc = 1e9//4 = 250000000 for every w3
+    // p2(b,c) = ((2*5-3)e9 + 3*2*250000000) // 15 = 566666666
+    // p2(c,a) = p2(a,b) = ((5-3)e9 + 750000000) // 5 = 550000000
+    // p2(b,d) = (2e9 + 1500000000) // 15 = 233333333
+    // p3 = (0 + 5*t12*p2) // (c12*5): (a,b,*) t12=2 c12=2;
+    //      single-context rows collapse to their p2
+    val got = TextAnalysis.knTrigramProbabilitiesEstimatedD(
+        TextAnalysis.knTrigramCounts(train, "text"))
+      .orderBy("w1", "w2", "w3").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(got.toSeq == Seq(
+      ("a", "b", "c", 1L, 1000000000L, 600000000L, 566666666L,
+        566666666L),
+      ("a", "b", "d", 1L, 1000000000L, 600000000L, 233333333L,
+        233333333L),
+      ("b", "c", "a", 1L, 1000000000L, 600000000L, 550000000L,
+        550000000L),
+      ("c", "a", "b", 1L, 1000000000L, 600000000L, 550000000L,
+        550000000L),
+      ("x", "b", "c", 1L, 1000000000L, 600000000L, 566666666L,
+        566666666L)))
+  }
+
   test("knScoreDocsTrigram: every back-off branch of the two-level " +
       "cascade by hand; sub-3-token docs keep zero rows; floor mean") {
     val train = Seq("a b c a b d", "x b c").toDF("text")
