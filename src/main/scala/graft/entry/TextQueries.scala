@@ -398,6 +398,84 @@ object TextQueries {
         .limit(200)
     }),
 
+    // q250's doc scoring under the PRODUCTION discount (verdict r17
+    // item #1 — q273 trained the estimated-D model but nothing
+    // SCORED with it): the en-trained bigram model scores every doc
+    // through the SAME cascade re-derived at D = n1/(n1+2n2), seen
+    // probabilities replayed from the q273 model table, unseen mass
+    // (n1·post·pc)/(c1·M) through the model's own floored pc.
+    "q275_kn_estd_doc_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocsEstimatedD(d, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+    // q267's trigram doc scoring under the PRODUCTION discounts —
+    // the n=3 estimated-D serve (verdict r17 item #1): the full
+    // two-level cascade at D3 = t1/(t1+2t2), D2 = cc1/(cc1+2cc2),
+    // every branch composing through the model's own floored
+    // intermediates (pc -> p2 -> p3). The 31-word shared vocab keeps
+    // all six branches live on non-en docs.
+    "q276_kn_trigram_estd_doc_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knTrigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocsTrigramEstimatedD(
+          d, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+    // MODIFIED Kneser-Ney (verdict r17 item #2 — Chen-Goodman's
+    // three-discount estimator, what SRILM/KenLM ship): D1/D2/D3+
+    // estimated from the count-of-counts n1..n4, the discount picked
+    // by CASE on the count itself, gamma = D1·K1 + D2·K2 + D3·K3p
+    // per context. All exact rationals pre-floored e9; same top-200
+    // cut as q249. Trains on the EN slice — the only slice whose
+    // count-of-counts buckets n1..n4 are ALL non-empty at every SF
+    // (the full corpus saturates every bigram type by sf0.1:
+    // n1 = n2 = 0 there, which would degenerate to the ML fallback
+    // and leave the count-indexed pick unexercised). ASCENDING cut
+    // (unlike the q249 family): the n=1 / n=2 / n>=3 rows all land
+    // in the emitted window, so all three discount PICKS are visible
+    // in the oracle-checked table at every SF.
+    "q277_kn_modified" -> ((s, dir) => {
+      TextAnalysis.knProbabilitiesModified(
+          TextAnalysis.knBigramCounts(
+              docs(s, dir).where(col("lang") === "en"), "text")
+            .localCheckpoint(true))
+        .orderBy(col("n"), col("w1"), col("w2"))
+        .limit(200)
+    }),
+
+    // Modified KN at n=3 — the three-discount estimator applied at
+    // BOTH levels (top from trigram count-of-counts t1..t4,
+    // continuation from the continuation table's cc1..cc4, discounts
+    // indexed by pre23 there), gammas from per-context type counts.
+    // En slice for the same reason as q277 (all eight count-of-counts
+    // buckets non-empty at every SF, so all six discounts are live).
+    // The cut is 67 rows PER COUNT BUCKET (n=1 / n=2 / n>=3, a
+    // least(n,3)-partitioned rank) instead of a global top-200 — a
+    // global cut at either end would emit only one bucket (thousands
+    // of singleton trigrams ascending; saturated types descending)
+    // and leave two of the three discount PICKS outside the
+    // oracle-checked window.
+    "q278_kn_trigram_modified" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(least(col("n"), lit(3L)))
+        .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+      TextAnalysis.knTrigramProbabilitiesModified(
+          TextAnalysis.knTrigramCounts(
+              docs(s, dir).where(col("lang") === "en"), "text")
+            .localCheckpoint(true))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= 67).drop("__rk")
+        .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+    }),
+
     // q250's trained-LM doc scoring at n=3: the trigram KN model
     // trains on the 'en' slice, then scores EVERY doc through the
     // full back-off recursion (seen trigram / context-backoff /
@@ -1449,6 +1527,306 @@ object TextQueries {
         |            // (c12*m3)
         |       ELSE (n * 1000000000) // c12 END AS BIGINT) AS p3_e9
         |FROM p2s ORDER BY n DESC, w1, w2, w3 LIMIT 200""".stripMargin,
+    // q250's scoring CTEs with q273's estimated-D model: the seen
+    // branch is the two-stage (pc -> p) floor composition verbatim,
+    // the unseen-mass branch drops the (n*m - n1) numerator, both
+    // through the SAME floored pc; the M=0 degenerate scores zero
+    // interpolation mass (strict ML)
+    "q275_kn_estd_doc_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |bg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS post FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    (CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |     + 2*CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+        |       AS HUGEINT)) AS m FROM c),
+        |p AS (SELECT c.w1, c.w2,
+        |    CASE WHEN m > 0
+        |         THEN CAST(((c.n*m - n1) * 1000000000
+        |              + n1*ctx.post*((cont.pre * 1000000000) // b))
+        |              // (ctx.c1*m) AS BIGINT)
+        |         ELSE CAST((c.n * 1000000000) // ctx.c1 AS BIGINT)
+        |         END AS p_e9
+        |  FROM c JOIN ctx USING (w1) JOIN cont USING (w2), tot),
+        |sc AS (SELECT bg.doc_id,
+        |    COALESCE(p.p_e9,
+        |      CASE WHEN ctx.c1 IS NOT NULL AND cont.pre IS NOT NULL
+        |           THEN CASE WHEN m > 0
+        |                THEN CAST((n1*ctx.post
+        |                     *((cont.pre*1000000000) // b))
+        |                     // (ctx.c1*m) AS BIGINT)
+        |                ELSE 0 END
+        |           WHEN ctx.c1 IS NULL AND cont.pre IS NOT NULL
+        |           THEN CAST((cont.pre*1000000000) // b AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM bg
+        |  LEFT JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+        |  LEFT JOIN ctx ON bg.w1 = ctx.w1
+        |  LEFT JOIN cont ON bg.w2 = cont.w2, tot),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(pp) AS BIGINT) AS sum_p_e9 FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(agg.sum_p_e9, 0) AS sum_p_e9,
+        |  CAST(CASE WHEN agg.n_bigrams > 0
+        |       THEN agg.sum_p_e9 // agg.n_bigrams
+        |       ELSE 0 END AS BIGINT) AS mean_p_e9
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q267's scoring CTEs with q274's per-level estimated discounts:
+    // the cascade composes through the SAME floored pc -> p2 -> p3
+    // intermediates as the model, unseen-mass branches dropping the
+    // seen numerator at each level; M=0 degenerates score zero
+    // interpolation mass
+    "q276_kn_trigram_estd_doc_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |tg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2,
+        |    tk[i+2] AS w3
+        |  FROM t, unnest(generate_series(1, len(tk)-2)) u(i)
+        |  WHERE len(tk) >= 3),
+        |c AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, CAST(SUM(n) AS HUGEINT) AS c12,
+        |    CAST(COUNT(*) AS HUGEINT) AS t12 FROM c GROUP BY 1, 2),
+        |cont AS (SELECT w2, w3, CAST(COUNT(*) AS HUGEINT) AS pre23
+        |  FROM c GROUP BY 1, 2),
+        |mid AS (SELECT w2, CAST(SUM(pre23) AS HUGEINT) AS nmid2,
+        |    CAST(COUNT(*) AS HUGEINT) AS post2 FROM cont GROUP BY 1),
+        |pre AS (SELECT w3, CAST(COUNT(*) AS HUGEINT) AS pre3
+        |  FROM cont GROUP BY 1),
+        |tcc AS (SELECT
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t1,
+        |    (CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |     + 2*CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+        |       AS HUGEINT)) AS m3 FROM c),
+        |ccc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN pre23 = 1 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc1,
+        |    (CAST(SUM(CASE WHEN pre23 = 1 THEN 1 ELSE 0 END)
+        |      AS HUGEINT)
+        |     + 2*CAST(SUM(CASE WHEN pre23 = 2 THEN 1 ELSE 0 END)
+        |       AS HUGEINT)) AS m2 FROM cont),
+        |j AS (SELECT tg.doc_id, c.n, ctx.c12, ctx.t12, cont.pre23,
+        |    mid.nmid2, mid.post2, pre.pre3, b, cc1, m2, t1, m3,
+        |    (pre.pre3 * 1000000000) // b AS pc
+        |  FROM tg
+        |  LEFT JOIN c ON tg.w1 = c.w1 AND tg.w2 = c.w2
+        |    AND tg.w3 = c.w3
+        |  LEFT JOIN ctx ON tg.w1 = ctx.w1 AND tg.w2 = ctx.w2
+        |  LEFT JOIN cont ON tg.w2 = cont.w2 AND tg.w3 = cont.w3
+        |  LEFT JOIN mid ON tg.w2 = mid.w2
+        |  LEFT JOIN pre ON tg.w3 = pre.w3, tcc, ccc),
+        |p2s AS (SELECT *,
+        |    CASE WHEN pre23 IS NOT NULL
+        |         THEN CASE WHEN m2 > 0
+        |              THEN CAST(((pre23*m2 - cc1) * 1000000000
+        |                   + cc1*post2*pc) // (nmid2*m2) AS BIGINT)
+        |              ELSE CAST((pre23 * 1000000000) // nmid2
+        |                   AS BIGINT) END
+        |         WHEN nmid2 IS NOT NULL AND pre3 IS NOT NULL
+        |         THEN CASE WHEN m2 > 0
+        |              THEN CAST((cc1*post2*pc) // (nmid2*m2)
+        |                   AS BIGINT)
+        |              ELSE 0 END
+        |         WHEN pre3 IS NOT NULL THEN CAST(pc AS BIGINT)
+        |         ELSE 0 END AS p2
+        |  FROM j),
+        |sc AS (SELECT doc_id,
+        |    CASE WHEN n IS NOT NULL
+        |         THEN CASE WHEN m3 > 0
+        |              THEN CAST(((n*m3 - t1) * 1000000000
+        |                   + t1*t12*p2) // (c12*m3) AS BIGINT)
+        |              ELSE CAST((n * 1000000000) // c12 AS BIGINT)
+        |              END
+        |         WHEN c12 IS NOT NULL
+        |         THEN CASE WHEN m3 > 0
+        |              THEN CAST((t1*t12*p2) // (c12*m3) AS BIGINT)
+        |              ELSE 0 END
+        |         ELSE p2 END AS pp
+        |  FROM p2s),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(pp) AS BIGINT) AS sum_p_e9 FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+        |  COALESCE(agg.sum_p_e9, 0) AS sum_p_e9,
+        |  CAST(CASE WHEN agg.n_trigrams > 0
+        |       THEN agg.sum_p_e9 // agg.n_trigrams
+        |       ELSE 0 END AS BIGINT) AS mean_p_e9
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q249's count CTEs + Chen-Goodman's three discounts from the
+    // count-of-counts n1..n4 (numerators GREATEST-clipped at 0 BEFORE
+    // the division so floor = truncate on both engines), per-context
+    // type counts k1/k2/k3p, the discount picked by CASE on the
+    // count; empty bucket (n2=0 / n3=0) falls back to d1, M=0 to the
+    // all-zero-discount ML model
+    "q277_kn_modified" ->
+      """WITH t AS (SELECT lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |bg AS (SELECT lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k2,
+        |    CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k3p FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |cc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n3,
+        |    CAST(SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n4 FROM c),
+        |d0 AS (SELECT b, n1, n2, n3, n4, (n1 + 2*n2) AS m,
+        |    CASE WHEN (n1 + 2*n2) > 0
+        |         THEN (n1 * 1000000000) // (n1 + 2*n2)
+        |         ELSE 0 END AS d1 FROM cc),
+        |dd AS (SELECT b, m, d1,
+        |    CASE WHEN m > 0 AND n2 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                2*n2*m - 3*n1*n3) * 1000000000) // (n2*m)
+        |         ELSE d1 END AS d2,
+        |    CASE WHEN m > 0 AND n3 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                3*n3*m - 4*n1*n4) * 1000000000) // (n3*m)
+        |         ELSE d1 END AS d3 FROM d0)
+        |SELECT c.w1, c.w2, c.n,
+        |  CAST(d1 AS BIGINT) AS d1_e9, CAST(d2 AS BIGINT) AS d2_e9,
+        |  CAST(d3 AS BIGINT) AS d3_e9,
+        |  CAST(((CAST(c.n AS HUGEINT) * 1000000000
+        |         - CASE WHEN c.n = 1 THEN d1 WHEN c.n = 2 THEN d2
+        |           ELSE d3 END) * b
+        |        + (d1*ctx.k1 + d2*ctx.k2 + d3*ctx.k3p) * cont.pre)
+        |       // (ctx.c1 * b) AS BIGINT) AS p_e9
+        |FROM c JOIN ctx USING (w1) JOIN cont USING (w2), dd
+        |ORDER BY c.n, c.w1, c.w2 LIMIT 200""".stripMargin,
+    // q266's trigram CTEs + the three-discount estimator at BOTH
+    // levels (top from t1..t4, continuation from cc1..cc4 with the
+    // discount indexed by pre23), per-context gammas, the two-stage
+    // floor through the pre-floored discounts
+    "q278_kn_trigram_modified" ->
+      """WITH t AS (SELECT lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |tg AS (SELECT lang, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+        |  FROM t, unnest(generate_series(1, len(tk)-2)) u(i)
+        |  WHERE len(tk) >= 3),
+        |c AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, CAST(SUM(n) AS HUGEINT) AS c12,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k2,
+        |    CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k3p FROM c GROUP BY 1, 2),
+        |cont AS (SELECT w2, w3, CAST(COUNT(*) AS HUGEINT) AS pre23
+        |  FROM c GROUP BY 1, 2),
+        |mid AS (SELECT w2, CAST(SUM(pre23) AS HUGEINT) AS nmid2,
+        |    CAST(SUM(CASE WHEN pre23 = 1 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS l1,
+        |    CAST(SUM(CASE WHEN pre23 = 2 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS l2,
+        |    CAST(SUM(CASE WHEN pre23 >= 3 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS l3p FROM cont GROUP BY 1),
+        |pre AS (SELECT w3, CAST(COUNT(*) AS HUGEINT) AS pre3
+        |  FROM cont GROUP BY 1),
+        |tcc AS (SELECT
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t2,
+        |    CAST(SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t3,
+        |    CAST(SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t4 FROM c),
+        |ccc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN pre23 = 1 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc1,
+        |    CAST(SUM(CASE WHEN pre23 = 2 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc2,
+        |    CAST(SUM(CASE WHEN pre23 = 3 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc3,
+        |    CAST(SUM(CASE WHEN pre23 = 4 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc4 FROM cont),
+        |d30 AS (SELECT t1, t2, t3, t4, (t1 + 2*t2) AS m3,
+        |    CASE WHEN (t1 + 2*t2) > 0
+        |         THEN (t1 * 1000000000) // (t1 + 2*t2)
+        |         ELSE 0 END AS d31 FROM tcc),
+        |d3s AS (SELECT m3, d31,
+        |    CASE WHEN m3 > 0 AND t2 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                2*t2*m3 - 3*t1*t3) * 1000000000) // (t2*m3)
+        |         ELSE d31 END AS d32,
+        |    CASE WHEN m3 > 0 AND t3 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                3*t3*m3 - 4*t1*t4) * 1000000000) // (t3*m3)
+        |         ELSE d31 END AS d33 FROM d30),
+        |d20 AS (SELECT b, cc1, cc2, cc3, cc4, (cc1 + 2*cc2) AS m2,
+        |    CASE WHEN (cc1 + 2*cc2) > 0
+        |         THEN (cc1 * 1000000000) // (cc1 + 2*cc2)
+        |         ELSE 0 END AS d21 FROM ccc),
+        |d2s AS (SELECT b, m2, d21,
+        |    CASE WHEN m2 > 0 AND cc2 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                2*cc2*m2 - 3*cc1*cc3) * 1000000000)
+        |              // (cc2*m2)
+        |         ELSE d21 END AS d22,
+        |    CASE WHEN m2 > 0 AND cc3 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                3*cc3*m2 - 4*cc1*cc4) * 1000000000)
+        |              // (cc3*m2)
+        |         ELSE d21 END AS d23 FROM d20),
+        |p2c AS (SELECT c.w1, c.w2, c.w3, c.n, ctx.c12, ctx.k1,
+        |    ctx.k2, ctx.k3p, d31, d32, d33, d21, d22, d23,
+        |    ((cont.pre23 * 1000000000
+        |      - CASE WHEN cont.pre23 = 1 THEN d21
+        |        WHEN cont.pre23 = 2 THEN d22 ELSE d23 END) * b
+        |     + (d21*mid.l1 + d22*mid.l2 + d23*mid.l3p) * pre.pre3)
+        |    // (mid.nmid2 * b) AS p2
+        |  FROM c JOIN ctx USING (w1, w2) JOIN cont USING (w2, w3)
+        |    JOIN mid USING (w2) JOIN pre USING (w3), d3s, d2s),
+        |fin AS (SELECT w1, w2, w3, n,
+        |  CAST(d31 AS BIGINT) AS d31_e9, CAST(d32 AS BIGINT) AS d32_e9,
+        |  CAST(d33 AS BIGINT) AS d33_e9, CAST(d21 AS BIGINT) AS d21_e9,
+        |  CAST(d22 AS BIGINT) AS d22_e9, CAST(d23 AS BIGINT) AS d23_e9,
+        |  CAST(p2 AS BIGINT) AS p2_e9,
+        |  CAST(((CAST(n AS HUGEINT) * 1000000000
+        |         - CASE WHEN n = 1 THEN d31 WHEN n = 2 THEN d32
+        |           ELSE d33 END) * 1000000000
+        |        + (d31*k1 + d32*k2 + d33*k3p) * p2)
+        |       // (c12 * 1000000000) AS BIGINT) AS p3_e9,
+        |  row_number() OVER (PARTITION BY LEAST(n, 3)
+        |    ORDER BY n DESC, w1, w2, w3) AS rk
+        |  FROM p2c)
+        |SELECT w1, w2, w3, n, d31_e9, d32_e9, d33_e9, d21_e9,
+        |  d22_e9, d23_e9, p2_e9, p3_e9
+        |FROM fin WHERE rk <= 67
+        |ORDER BY n DESC, w1, w2, w3""".stripMargin,
     // en-trained trigram model CTEs, then every doc's trigram
     // instances left-join the model and its four marginals; the
     // two-level back-off CASE mirrors the Scala cascade

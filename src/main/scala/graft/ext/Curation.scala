@@ -250,15 +250,27 @@ object Curation {
     * corpus (the composition order the CCNet recipe uses). */
   def curationPipeline(d: DataFrame,
       cfg: CurationConfig = CurationConfig(),
-      lmModel: Option[DataFrame] = None): DataFrame = {
+      lmModel: Option[DataFrame] = None,
+      lmScorer: (DataFrame, String, String, DataFrame) => DataFrame =
+        TextAnalysis.knScoreFacts): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cfg.quotaK >= 1, "quotaK must be >= 1")
     require(cfg.lineWidth >= 1, "lineWidth must be >= 1")
     val gated = lmModel match {
       case Some(m) =>
-        val keep = TextAnalysis.knScoreFacts(d, "doc_id", "text", m)
-          .filter(col("sum_p_e9") >=
-            col("n_bigrams") * lit(cfg.lmMinMeanPE9))
+        // the scorer is pluggable (bigram/trigram × pinned/estimated
+        // discount — any of the knScoreFacts family): a facts frame is
+        // (doc_id, <instance count>, sum_p_e9), so the gate reads the
+        // count column by elimination. The compare is exact-integer
+        // (sum ≥ n·τ ⇔ mean ≥ τ — no division), widened to
+        // DECIMAL(38,0) so it cannot wrap at 100 TB instance counts.
+        val facts = lmScorer(d, "doc_id", "text", m)
+        val nCol = facts.columns
+          .filterNot(Set("doc_id", "sum_p_e9")).head
+        val dec38 = (c: Column) => c.cast("decimal(38,0)")
+        val keep = facts
+          .filter(dec38(col("sum_p_e9")) >=
+            dec38(col(nCol)) * dec38(lit(cfg.lmMinMeanPE9)))
           .select(col("doc_id"))
         d.join(keep, Seq("doc_id"), "leftsemi")
       case None => d

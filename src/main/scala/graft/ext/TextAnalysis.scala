@@ -970,7 +970,6 @@ object TextAnalysis {
     * [[knProbabilities]] — the count-of-counts ride the SAME 1-row
     * broadcast as B. */
   def knProbabilitiesEstimatedD(counts: DataFrame): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(38,0)")
     val ctx = counts.groupBy(col("w1"))
       .agg(sum(col("n")).as("c1"), count(lit(1)).as("post"))
     val cont = counts.groupBy(col("w2"))
@@ -998,6 +997,89 @@ object TextAnalysis {
             "(CAST(n AS DECIMAL(38,0)) * 1000000000)" +
               " div CAST(c1 AS DECIMAL(38,0))")))
       .select("w1", "w2", "n", "d_e9", "p_e9")
+  }
+
+  /** MODIFIED Kneser–Ney bigram probabilities — Chen/Goodman 1999's
+    * three-discount estimator, the smoother production toolkits
+    * (SRILM, KenLM) actually ship: instead of one discount for every
+    * count, three discounts indexed by the count itself, each
+    * estimated from the count-of-counts n₁..n₄ (types seen exactly
+    * 1..4 times). With Y = n₁/(n₁+2n₂) = n₁/M:
+    *
+    *   D₁ = 1 − 2Y·n₂/n₁ = n₁/M          (algebraically = Y)
+    *   D₂ = 2 − 3Y·n₃/n₂ = (2n₂M − 3n₁n₃)/(n₂M)
+    *   D₃₊ = 3 − 4Y·n₄/n₃ = (3n₃M − 4n₁n₄)/(n₃M)
+    *
+    *   P(w2|w1) = (n − D(n))/c1 + γ(w1)/c1 · pre(w2)/B
+    *   γ(w1) = D₁·K₁(w1) + D₂·K₂(w1) + D₃₊·K₃₊(w1)
+    *
+    * where D(n) picks by CASE on the count (n=1 → D₁, n=2 → D₂,
+    * else D₃₊), Kₖ(w1) = |{w2 : c(w1,w2) = k}| (K₃₊ for ≥ 3) are the
+    * per-context type counts, and pre/B the usual continuation
+    * unigram. Each discount is pre-floored to e9 (d₁/d₂/d₃ _e9) and
+    * the probability composes through those floored discounts in ONE
+    * stage:
+    *
+    *   p_e9 = ((n·10⁹ − dsel_e9)·B + γ_e9·pre) div (c1·B)
+    *
+    * Headroom: n·10⁹·B ~ 10¹²·10⁹·10¹⁰ = 10³¹ and γ_e9·pre ≤
+    * 3·10⁹·post·pre ~ 10²⁵ — inside DECIMAL(38,0). Non-negativity:
+    * D₁ ≤ 1 ≤ n on its rows; D₂ ≤ 2, D₃₊ ≤ 3 structurally (the
+    * subtracted terms are ≥ 0) and each is clipped at 0 BEFORE the
+    * division (GREATEST on the numerator — keeps floor = truncate on
+    * both engines), so n·10⁹ − dsel_e9 ≥ 0 always. Conventions,
+    * deterministic for the oracle: M = 0 → all discounts 0 (the
+    * unsmoothed ML model, γ = 0 — [[knProbabilitiesEstimatedD]]'s
+    * convention); an EMPTY count-of-counts bucket (n₂ = 0 for D₂,
+    * n₃ = 0 for D₃₊ — the formula's denominator) falls back to D₁
+    * (≤ 1, so non-negativity is preserved on every row it can
+    * select). Output: w1, w2, n, d1_e9, d2_e9, d3_e9, p_e9.
+    *
+    * Scale shape identical to [[knProbabilities]]: two aggregations
+    * over the COLLAPSED bigram table (the per-w1 agg carries three
+    * extra conditional counts), count-of-counts ride the 1-row B
+    * broadcast. */
+  def knProbabilitiesModified(counts: DataFrame): DataFrame = {
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("c1"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("k1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("k2"),
+        sum(when(col("n") >= 3, 1L).otherwise(0L)).as("k3p"))
+    val cont = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("pre"))
+    val tot = counts.agg(count(lit(1)).as("b"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("n") === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("n") === 4, 1L).otherwise(0L)).as("n4"))
+    counts.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__m", col("n1") + lit(2L) * col("n2"))
+      .withColumn("d1_e9", when(col("__m") > 0,
+        expr("(CAST(n1 AS DECIMAL(38,0)) * 1000000000)" +
+          " div CAST(__m AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("d2_e9", when(col("__m") > 0 && col("n2") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 2*CAST(n2 AS DECIMAL(38,0))*__m" +
+          " - 3*CAST(n1 AS DECIMAL(38,0))*n3) * 1000000000)" +
+          " div (CAST(n2 AS DECIMAL(38,0)) * __m)"))
+        .otherwise(col("d1_e9")))
+      .withColumn("d3_e9", when(col("__m") > 0 && col("n3") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 3*CAST(n3 AS DECIMAL(38,0))*__m" +
+          " - 4*CAST(n1 AS DECIMAL(38,0))*n4) * 1000000000)" +
+          " div (CAST(n3 AS DECIMAL(38,0)) * __m)"))
+        .otherwise(col("d1_e9")))
+      .withColumn("__dsel", when(col("n") === 1, col("d1_e9"))
+        .when(col("n") === 2, col("d2_e9")).otherwise(col("d3_e9")))
+      .withColumn("__gam", expr(
+        "CAST(d1_e9 AS DECIMAL(38,0))*k1" +
+          " + CAST(d2_e9 AS DECIMAL(38,0))*k2" +
+          " + CAST(d3_e9 AS DECIMAL(38,0))*k3p"))
+      .withColumn("p_e9", expr(
+        "((CAST(n AS DECIMAL(38,0)) * 1000000000 - __dsel) * b" +
+          " + __gam * pre) div (CAST(c1 AS DECIMAL(38,0)) * b)"))
+      .select("w1", "w2", "n", "d1_e9", "d2_e9", "d3_e9", "p_e9")
   }
 
   /** Unicode cleanup for corpus text — the normalization pass every
@@ -1093,6 +1175,44 @@ object TextAnalysis {
     knScoreFinish(docs.select(col(idCol)).distinct(),
       knScoreFacts(docs, idCol, textCol, counts), idCol)
 
+  /** Per-doc adjacent-bigram INSTANCES — [[knBigramCounts]]'s explode
+    * with the doc id kept (the scoring side of the LM family: every
+    * scorer joins these against a trained model). Shared by the
+    * pinned-D and estimated-D scorers so the instance derivation
+    * cannot drift. */
+  private def bigramInstances(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1),
+          greatest(size(col("__t")) - 1, lit(0))).as("w1"),
+        slice(col("__t"), lit(2),
+          greatest(size(col("__t")) - 1, lit(0))).as("w2")))
+        .as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"),
+        col("__bg.w2").as("w2"))
+
+  /** Per-doc adjacent-trigram INSTANCES — [[knTrigramCounts]]'s
+    * explode with the doc id kept. Shared by the pinned-D and
+    * estimated-D trigram scorers. */
+  private def trigramInstances(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1),
+          greatest(size(col("__t")) - 2, lit(0))).as("w1"),
+        slice(col("__t"), lit(2),
+          greatest(size(col("__t")) - 2, lit(0))).as("w2"),
+        slice(col("__t"), lit(3),
+          greatest(size(col("__t")) - 2, lit(0))).as("w3")))
+        .as("__g"))
+      .select(col(idCol), col("__g.w1").as("w1"),
+        col("__g.w2").as("w2"), col("__g.w3").as("w3"))
+
   /** The per-doc aggregated half of [[knScoreDocs]] — (idCol,
     * n_bigrams, sum_p_e9) WITHOUT the zero-row spine: exactly the
     * shape that streams (explode + stream-static model joins + ONE
@@ -1109,17 +1229,7 @@ object TextAnalysis {
     val cont = counts.groupBy(col("w2"))
       .agg(count(lit(1)).as("__pre"))
     val b = counts.agg(count(lit(1)).as("__b"))
-    val pairs = docs
-      .select(col(idCol),
-        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
-      .select(col(idCol), explode(arrays_zip(
-        slice(col("__t"), lit(1),
-          greatest(size(col("__t")) - 1, lit(0))).as("w1"),
-        slice(col("__t"), lit(2),
-          greatest(size(col("__t")) - 1, lit(0))).as("w2")))
-        .as("__bg"))
-      .select(col(idCol), col("__bg.w1").as("w1"),
-        col("__bg.w2").as("w2"))
+    val pairs = bigramInstances(docs, idCol, textCol)
     val scored = pairs
       .join(probs, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -1155,7 +1265,158 @@ object TextAnalysis {
         coalesce(col("sum_p_e9"), lit(0L)).as("sum_p_e9"))
       .withColumn("mean_p_e9",
         when(col(nCol) > 0,
-          expr(s"sum_p_e9 div $nCol")).otherwise(lit(0L)))
+          expr(s"sum_p_e9 div `$nCol`")).otherwise(lit(0L)))
+
+  /** [[knScoreDocs]] under NEY'S ESTIMATED discount — the scoring
+    * half the q273 trainer was missing: documents score against the
+    * [[knProbabilitiesEstimatedD]] model (D = n₁/(n₁+2n₂) instead of
+    * the pinned 3/4), with the SAME back-off cascade re-derived at
+    * the estimated discount. With M = n₁+2n₂ and pc_e9 = pre·10⁹
+    * div B (the model's own floored continuation prob — seen and
+    * unseen branches compose through the SAME intermediate):
+    *   - seen bigram: the model's p_e9 (exact replay, joined)
+    *   - ctx w1 known, w2 has continuation mass:
+    *     λ(w1)·Pcont(w2) = (n₁·post·pc_e9) div (c1·M) — the model
+    *     formula with the seen numerator (n·M − n₁) dropped
+    *   - ctx unknown, w2 known: pc_e9 (the unigram fallback —
+    *     model-independent, same as the pinned cascade)
+    *   - w2 unknown: 0 (the q250 zero-continuation convention)
+    * Degenerate M = 0 (no singletons or doubletons): D = 0, so the
+    * interpolation mass λ is zero and the ctx-known branch scores 0
+    * (strict ML — matching [[knProbabilitiesEstimatedD]]'s
+    * convention). Same instance-join scale shape as [[knScoreFacts]];
+    * `counts` is referenced four times — pass a MATERIALIZED table. */
+  def knScoreDocsEstimatedD(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame): DataFrame =
+    knScoreFinish(docs.select(col(idCol)).distinct(),
+      knScoreFactsEstimatedD(docs, idCol, textCol, counts), idCol)
+
+  /** The per-doc aggregated half of [[knScoreDocsEstimatedD]] —
+    * (idCol, n_bigrams, sum_p_e9) without the zero-row spine, the
+    * shape that streams (the [[knScoreFacts]] convention). Shared by
+    * the batch operator and the streaming serve twin. */
+  def knScoreFactsEstimatedD(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame): DataFrame = {
+    val probs = knProbabilitiesEstimatedD(counts)
+      .select(col("w1"), col("w2"), col("p_e9"))
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("__c1"), count(lit(1)).as("__post"))
+    val cont = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("__pre"))
+    val tot = counts.agg(count(lit(1)).as("__b"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("__n1"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("__n2"))
+    bigramInstances(docs, idCol, textCol)
+      .join(probs, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__m", col("__n1") + lit(2L) * col("__n2"))
+      .withColumn("__pc",
+        expr("(CAST(__pre AS DECIMAL(38,0)) * 1000000000)" +
+          " div CAST(__b AS DECIMAL(38,0))"))
+      .withColumn("__p", coalesce(col("p_e9"),
+        when(col("__c1").isNotNull && col("__pre").isNotNull,
+          when(col("__m") > 0, expr(
+            "(CAST(__n1 AS DECIMAL(38,0)) * __post * __pc)" +
+              " div (CAST(__c1 AS DECIMAL(38,0)) * __m)"))
+            .otherwise(lit(0L))),
+        when(col("__pre").isNotNull, col("__pc")),
+        lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__p")).as("sum_p_e9"))
+  }
+
+  /** [[knScoreDocsTrigram]] under NEY'S ESTIMATED discounts — the
+    * scoring half of the q274 trainer: documents score against the
+    * [[knTrigramProbabilitiesEstimatedD]] model (per-level D₃ =
+    * t₁/(t₁+2t₂), D₂ = c₁/(c₁+2c₂)), the full two-level cascade
+    * re-derived at the estimated discounts through the SAME floored
+    * intermediates (pc_e9 → p2 → p3). Branches:
+    *   continuation level (M₂ = cc₁+2cc₂):
+    *     - (w2,w3) seen: the model's p2 form (exact replay)
+    *     - w2 seen only: λ₂·pc = (cc₁·post2·pc_e9) div (nmid2·M₂)
+    *     - w2 unseen, w3 known: pc_e9 (unigram fallback)
+    *     - w3 unknown: 0
+    *   top level (M₃ = t₁+2t₂):
+    *     - seen trigram: the model's p3_e9 (joined)
+    *     - ctx12 seen: λ₃·p2 = (t₁·t12·p2) div (c12·M₃)
+    *     - ctx12 unseen: p2
+    * Degenerate levels (M = 0) score 0 interpolation mass at that
+    * level — strict ML, the trainer's convention. `tri` is referenced
+    * six times — pass a MATERIALIZED table. */
+  def knScoreDocsTrigramEstimatedD(docs: DataFrame, idCol: String,
+      textCol: String, tri: DataFrame): DataFrame =
+    knScoreFinish(docs.select(col(idCol)).distinct(),
+      knTrigramScoreFactsEstimatedD(docs, idCol, textCol, tri), idCol,
+      nCol = "n_trigrams")
+
+  /** The per-doc aggregated half of [[knScoreDocsTrigramEstimatedD]]
+    * — the shape that streams; shared with the streaming serve twin
+    * so the derivations cannot drift. */
+  def knTrigramScoreFactsEstimatedD(docs: DataFrame, idCol: String,
+      textCol: String, tri: DataFrame): DataFrame = {
+    val probs = knTrigramProbabilitiesEstimatedD(tri)
+      .select(col("w1"), col("w2"), col("w3"), col("p3_e9"))
+    val ctx = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("__c12"), count(lit(1)).as("__t12"))
+    val cont = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__pre23"))
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("__pre23")).as("__nmid2"),
+        count(lit(1)).as("__post2"))
+    val pre = cont.groupBy(col("w3")).agg(count(lit(1)).as("__pre3"))
+    val topCc = tri.agg(
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("__t1"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("__t2"))
+    val contCc = cont.agg(count(lit(1)).as("__b"),
+      sum(when(col("__pre23") === 1, 1L).otherwise(0L)).as("__cc1"),
+      sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__cc2"))
+    trigramInstances(docs, idCol, textCol)
+      .join(probs, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(cont, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(pre, Seq("w3"), "left")
+      .crossJoin(broadcast(topCc)).crossJoin(broadcast(contCc))
+      .withColumn("__m3", col("__t1") + lit(2L) * col("__t2"))
+      .withColumn("__m2", col("__cc1") + lit(2L) * col("__cc2"))
+      .withColumn("__pc",
+        expr("(CAST(__pre3 AS DECIMAL(38,0)) * 1000000000)" +
+          " div CAST(__b AS DECIMAL(38,0))"))
+      // continuation level: seen / middle-backoff / unigram fallback
+      // / unknown w3 — the seen branch IS the model's p2 expression,
+      // so both levels compose through the same floored intermediate
+      .withColumn("__p2", coalesce(
+        when(col("__pre23").isNotNull,
+          when(col("__m2") > 0, expr(
+            "((CAST(__pre23 AS DECIMAL(38,0)) * __m2 - __cc1)" +
+              " * 1000000000" +
+              " + CAST(__cc1 AS DECIMAL(38,0)) * __post2 * __pc)" +
+              " div (CAST(__nmid2 AS DECIMAL(38,0)) * __m2)"))
+            .otherwise(expr(
+              "(CAST(__pre23 AS DECIMAL(38,0)) * 1000000000)" +
+                " div CAST(__nmid2 AS DECIMAL(38,0))"))),
+        when(col("__nmid2").isNotNull && col("__pre3").isNotNull,
+          when(col("__m2") > 0, expr(
+            "(CAST(__cc1 AS DECIMAL(38,0)) * __post2 * __pc)" +
+              " div (CAST(__nmid2 AS DECIMAL(38,0)) * __m2)"))
+            .otherwise(lit(0L))),
+        when(col("__pre3").isNotNull, col("__pc")),
+        lit(0L)))
+      // top level: seen trigram / seen context / context-unseen
+      .withColumn("__p", coalesce(col("p3_e9"),
+        when(col("__c12").isNotNull,
+          when(col("__m3") > 0, expr(
+            "(CAST(__t1 AS DECIMAL(38,0)) * __t12 * __p2)" +
+              " div (CAST(__c12 AS DECIMAL(38,0)) * __m3)"))
+            .otherwise(lit(0L))),
+        col("__p2")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("__p")).as("sum_p_e9"))
+  }
 
   /** Adjacent-trigram counts over the corpus — the n=3 order of
     * [[knBigramCounts]] (same zip-of-offset-slices device, three
@@ -1217,7 +1478,6 @@ object TextAnalysis {
     * on their keys; the 1-row B total broadcasts. The corpus itself
     * was collapsed once by [[knTrigramCounts]]. */
   def knTrigramProbabilities(tri: DataFrame): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(38,0)")
     val ctx = tri.groupBy(col("w1"), col("w2"))
       .agg(sum(col("n")).as("c12"), count(lit(1)).as("t12"))
     val cont = tri.groupBy(col("w2"), col("w3"))
@@ -1317,6 +1577,126 @@ object TextAnalysis {
         "p3_e9")
   }
 
+  /** MODIFIED Kneser–Ney TRIGRAM probabilities —
+    * [[knProbabilitiesModified]]'s three-discount estimator applied
+    * at BOTH levels of the trigram recursion (Chen/Goodman 1999's
+    * full prescription, the SRILM/KenLM production smoother): the top
+    * level estimates D₁/D₂/D₃₊ from the trigram count-of-counts
+    * t₁..t₄; the continuation level from the continuation table's own
+    * count-of-counts cc₁..cc₄ (the pre23 values ARE that level's
+    * counts — the discounts there are indexed by pre23). Per level,
+    * the discount backing-off mass is
+    *
+    *   γ(ctx) = D₁·K₁(ctx) + D₂·K₂(ctx) + D₃₊·K₃₊(ctx)
+    *
+    * with Kₖ the per-context type counts at that level (per (w1,w2)
+    * over n at the top; per w2 over pre23 at the continuation level).
+    * Discounts pre-floored to e9, then the two-stage composition
+    * through the floored intermediates:
+    *
+    *   p2_e9 = ((pre23·10⁹ − d2sel_e9)·B + γ₂_e9·pre3)
+    *             div (nmid2·B)
+    *   p3_e9 = ((n·10⁹ − d3sel_e9)·10⁹ + γ₃_e9·p2_e9)
+    *             div (c12·10⁹)
+    *
+    * Headroom: pre23·10⁹·B ~ 10²⁹; n·10¹⁸ ~ 10³⁰; γ₃_e9·p2_e9 ≤
+    * 3·10⁹·t12·10⁹ ~ 10²⁵ — inside DECIMAL(38,0). Non-negativity and
+    * the degenerate conventions (M = 0 → all-zero discounts = ML;
+    * empty count-of-counts bucket → fall back to that level's D₁)
+    * are [[knProbabilitiesModified]]'s, applied per level. Output:
+    * the six discounts (d31/d32/d33 top, d21/d22/d23 continuation)
+    * plus p2_e9, p3_e9 — the count-indexed pick is visible in the
+    * emitted table.
+    *
+    * Scale shape identical to [[knTrigramProbabilities]]: three
+    * aggregations over the COLLAPSED trigram table, count-of-counts
+    * on the 1-row broadcasts. */
+  def knTrigramProbabilitiesModified(tri: DataFrame): DataFrame = {
+    val ctx = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("c12"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("k1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("k2"),
+        sum(when(col("n") >= 3, 1L).otherwise(0L)).as("k3p"))
+    val cont = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("pre23"))
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("pre23")).as("nmid2"),
+        sum(when(col("pre23") === 1, 1L).otherwise(0L)).as("l1"),
+        sum(when(col("pre23") === 2, 1L).otherwise(0L)).as("l2"),
+        sum(when(col("pre23") >= 3, 1L).otherwise(0L)).as("l3p"))
+    val pre = cont.groupBy(col("w3"))
+      .agg(count(lit(1)).as("pre3"))
+    val topCc = tri.agg(
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("t1"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("t2"),
+      sum(when(col("n") === 3, 1L).otherwise(0L)).as("t3"),
+      sum(when(col("n") === 4, 1L).otherwise(0L)).as("t4"))
+    val contCc = cont.agg(count(lit(1)).as("b"),
+      sum(when(col("pre23") === 1, 1L).otherwise(0L)).as("cc1"),
+      sum(when(col("pre23") === 2, 1L).otherwise(0L)).as("cc2"),
+      sum(when(col("pre23") === 3, 1L).otherwise(0L)).as("cc3"),
+      sum(when(col("pre23") === 4, 1L).otherwise(0L)).as("cc4"))
+    tri
+      .join(ctx, Seq("w1", "w2")).join(cont, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(pre, Seq("w3"))
+      .crossJoin(broadcast(topCc)).crossJoin(broadcast(contCc))
+      .withColumn("__m3", col("t1") + lit(2L) * col("t2"))
+      .withColumn("__m2", col("cc1") + lit(2L) * col("cc2"))
+      .withColumn("d31_e9", when(col("__m3") > 0,
+        expr("(CAST(t1 AS DECIMAL(38,0)) * 1000000000)" +
+          " div CAST(__m3 AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("d32_e9", when(col("__m3") > 0 && col("t2") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 2*CAST(t2 AS DECIMAL(38,0))*__m3" +
+          " - 3*CAST(t1 AS DECIMAL(38,0))*t3) * 1000000000)" +
+          " div (CAST(t2 AS DECIMAL(38,0)) * __m3)"))
+        .otherwise(col("d31_e9")))
+      .withColumn("d33_e9", when(col("__m3") > 0 && col("t3") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 3*CAST(t3 AS DECIMAL(38,0))*__m3" +
+          " - 4*CAST(t1 AS DECIMAL(38,0))*t4) * 1000000000)" +
+          " div (CAST(t3 AS DECIMAL(38,0)) * __m3)"))
+        .otherwise(col("d31_e9")))
+      .withColumn("d21_e9", when(col("__m2") > 0,
+        expr("(CAST(cc1 AS DECIMAL(38,0)) * 1000000000)" +
+          " div CAST(__m2 AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("d22_e9", when(col("__m2") > 0 && col("cc2") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 2*CAST(cc2 AS DECIMAL(38,0))*__m2" +
+          " - 3*CAST(cc1 AS DECIMAL(38,0))*cc3) * 1000000000)" +
+          " div (CAST(cc2 AS DECIMAL(38,0)) * __m2)"))
+        .otherwise(col("d21_e9")))
+      .withColumn("d23_e9", when(col("__m2") > 0 && col("cc3") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 3*CAST(cc3 AS DECIMAL(38,0))*__m2" +
+          " - 4*CAST(cc1 AS DECIMAL(38,0))*cc4) * 1000000000)" +
+          " div (CAST(cc3 AS DECIMAL(38,0)) * __m2)"))
+        .otherwise(col("d21_e9")))
+      .withColumn("__d2sel", when(col("pre23") === 1, col("d21_e9"))
+        .when(col("pre23") === 2, col("d22_e9"))
+        .otherwise(col("d23_e9")))
+      .withColumn("__d3sel", when(col("n") === 1, col("d31_e9"))
+        .when(col("n") === 2, col("d32_e9")).otherwise(col("d33_e9")))
+      .withColumn("__gam2", expr(
+        "CAST(d21_e9 AS DECIMAL(38,0))*l1" +
+          " + CAST(d22_e9 AS DECIMAL(38,0))*l2" +
+          " + CAST(d23_e9 AS DECIMAL(38,0))*l3p"))
+      .withColumn("__gam3", expr(
+        "CAST(d31_e9 AS DECIMAL(38,0))*k1" +
+          " + CAST(d32_e9 AS DECIMAL(38,0))*k2" +
+          " + CAST(d33_e9 AS DECIMAL(38,0))*k3p"))
+      .withColumn("p2_e9", expr(
+        "((CAST(pre23 AS DECIMAL(38,0)) * 1000000000 - __d2sel) * b" +
+          " + __gam2 * pre3)" +
+          " div (CAST(nmid2 AS DECIMAL(38,0)) * b)"))
+      .withColumn("p3_e9", expr(
+        "((CAST(n AS DECIMAL(38,0)) * 1000000000 - __d3sel)" +
+          " * 1000000000 + __gam3 * p2_e9)" +
+          " div (CAST(c12 AS DECIMAL(38,0)) * 1000000000)"))
+      .select("w1", "w2", "w3", "n", "d31_e9", "d32_e9", "d33_e9",
+        "d21_e9", "d22_e9", "d23_e9", "p2_e9", "p3_e9")
+  }
+
   /** Score documents against a TRAINED KN trigram table — the n=3
     * upgrade of [[knScoreDocs]]: per document, the mean interpolated
     * trigram probability of its adjacent trigrams, exact floor-e9
@@ -1374,19 +1754,7 @@ object TextAnalysis {
         count(lit(1)).as("__post2"))
     val pre = cont.groupBy(col("w3")).agg(count(lit(1)).as("__pre3"))
     val b = cont.agg(count(lit(1)).as("__b"))
-    val inst = docs
-      .select(col(idCol),
-        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
-      .select(col(idCol), explode(arrays_zip(
-        slice(col("__t"), lit(1),
-          greatest(size(col("__t")) - 2, lit(0))).as("w1"),
-        slice(col("__t"), lit(2),
-          greatest(size(col("__t")) - 2, lit(0))).as("w2"),
-        slice(col("__t"), lit(3),
-          greatest(size(col("__t")) - 2, lit(0))).as("w3")))
-        .as("__g"))
-      .select(col(idCol), col("__g.w1").as("w1"),
-        col("__g.w2").as("w2"), col("__g.w3").as("w3"))
+    val inst = trigramInstances(docs, idCol, textCol)
     inst
       .join(probs, Seq("w1", "w2", "w3"), "left")
       .join(ctx, Seq("w1", "w2"), "left")

@@ -1933,6 +1933,161 @@ class ExtSpec extends SparkSpecBase {
       (7L, 2L, 1109374999L, 554687499L)))
   }
 
+  test("knScoreDocsEstimatedD: every back-off branch at the estimated " +
+      "discount by hand; M=0 degenerate scores zero backoff mass") {
+    val train = Seq("the cat sat", "the cat ran").toDF("text")
+    // counts: (the,cat,2) (cat,sat,1) (cat,ran,1); n1=2 n2=1 M=4
+    // model (from the q273 spec): p(cat|the)=833333333,
+    // p(sat|cat)=p(ran|cat)=416666666; B=3, pc=333333333
+    val counts = TextAnalysis.knBigramCounts(train, "text")
+    val docs = Seq(
+      (1L, "the cat sat"), // seen+seen: 833333333+416666666
+      (2L, "dog cat"),     // w1 unseen, w2 known: pc = 333333333
+      (3L, "the zzz"),     // w2 unknown: 0
+      (4L, "the ran"),     // backoff: (n1*post*pc)//(c1*M)
+                           // = (2*1*333333333)//8 = 83333333
+      (5L, "solo")         // < 2 tokens: zero row via the spine
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knScoreDocsEstimatedD(docs, "doc_id",
+        "text", counts)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1249999999L, 624999999L),
+      (2L, 1L, 333333333L, 333333333L),
+      (3L, 1L, 0L, 0L),
+      (4L, 1L, 83333333L, 83333333L),
+      (5L, 0L, 0L, 0L)))
+    // M=0 model (every count >= 3): seen bigram scores ML; unseen
+    // bigram with a KNOWN context gets ZERO interpolation mass
+    val deg = Seq(("a", "b", 3L), ("a", "c", 6L)).toDF("w1", "w2", "n")
+    val got2 = TextAnalysis.knScoreDocsEstimatedD(
+        Seq((1L, "a b"), (2L, "a z")).toDF("doc_id", "text"),
+        "doc_id", "text", deg)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got2.toSeq == Seq((1L, 333333333L), (2L, 0L)))
+  }
+
+  test("knScoreDocsTrigramEstimatedD: the two-level cascade at the " +
+      "estimated discounts by hand; sub-3-token docs keep zero rows") {
+    val train = Seq("a b c a b d", "x b c").toDF("text")
+    // t1=5 t2=0 M3=5; cc1=3 cc2=1 M2=5; B=4, pc=250000000
+    // model p2: (b,c)=566666666 (c,a)=(a,b)=550000000 (b,d)=233333333
+    // seen p3: (a,b,*) = p2 (top term zero at n=1, M3=5 -> n*M3=t1)
+    val model = TextAnalysis.knTrigramCounts(train, "text")
+    val docs = Seq(
+      (1L, "a b c"),   // seen trigram: p3 = p2(b,c) = 566666666
+      (2L, "a b b"),   // ctx seen, tri unseen: λ3 = t1*t12/(c12*M3)
+                       // = 1 -> p2(b,b) middle-backoff:
+                       // (3*2*250000000)//15 = 100000000
+      (3L, "z b c"),   // ctx unseen -> p2(b,c) = 566666666
+      (4L, "z z c"),   // w2 unseen, w3 known: pc = 250000000
+      (5L, "z z q"),   // w3 unknown: 0
+      (6L, "a b"),     // < 3 tokens: zero row via the spine
+      (7L, "a b c a")  // 566666666 + p3(b,c,a)=p2(c,a)=550000000
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knScoreDocsTrigramEstimatedD(docs,
+        "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 566666666L, 566666666L),
+      (2L, 1L, 100000000L, 100000000L),
+      (3L, 1L, 566666666L, 566666666L),
+      (4L, 1L, 250000000L, 250000000L),
+      (5L, 1L, 0L, 0L),
+      (6L, 0L, 0L, 0L),
+      (7L, 2L, 1116666666L, 558333333L)))
+  }
+
+  test("knProbabilitiesModified: Chen-Goodman three discounts by " +
+      "hand, count-indexed pick live on all buckets; empty-bucket " +
+      "fallback, GREATEST clip and M=0 degenerate") {
+    // counts: a->(p,1)(q,2)(r,3), b->(p,4)(q,1)
+    // n1=2 n2=1 n3=1 n4=1 M=4: D1=1/2 D2=(8-6)/4=1/2 D3=(12-8)/4=1
+    // ctx a: c1=6 k=(1,1,1) gamma=2e9; b: c1=5 k=(1,0,1) gamma=1.5e9
+    // pre: p=2 q=2 r=1; B=5
+    val counts = Seq(("a", "p", 1L), ("a", "q", 2L), ("a", "r", 3L),
+      ("b", "p", 4L), ("b", "q", 1L)).toDF("w1", "w2", "n")
+    val got = TextAnalysis.knProbabilitiesModified(counts)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("a", "p", 1L, 500000000L, 500000000L, 1000000000L, 216666666L),
+      ("a", "q", 2L, 500000000L, 500000000L, 1000000000L, 383333333L),
+      ("a", "r", 3L, 500000000L, 500000000L, 1000000000L, 400000000L),
+      ("b", "p", 4L, 500000000L, 500000000L, 1000000000L, 720000000L),
+      ("b", "q", 1L, 500000000L, 500000000L, 1000000000L, 220000000L)))
+    // n2=0: D2 falls back to D1; n4=0 leaves D3 = 3n3M/(n3M) = 3
+    val fb = TextAnalysis.knProbabilitiesModified(
+        Seq(("a", "p", 1L), ("a", "q", 3L)).toDF("w1", "w2", "n"))
+      .orderBy("w2").collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // M=1, D1=1: gamma = 1e9+3e9*1 = 4e9, B=2, c1=4
+    // p(a,p) = ((1e9-1e9)*2 + 4e9*1)//8 = 500000000 = p(a,q)
+    assert(fb.toSeq == Seq(
+      ("p", 1000000000L, 1000000000L, 3000000000L, 500000000L),
+      ("q", 1000000000L, 1000000000L, 3000000000L, 500000000L)))
+    // 2*n2*M < 3*n1*n3 clips D2 at 0 (n1=4 n2=1 n3=4 n4=0 M=6)
+    val clip = TextAnalysis.knProbabilitiesModified(
+        Seq(("a", "p", 1L), ("a", "q", 1L), ("b", "p", 1L),
+          ("b", "q", 1L), ("c", "p", 2L), ("c", "q", 3L),
+          ("d", "p", 3L), ("d", "q", 3L), ("e", "p", 3L))
+          .toDF("w1", "w2", "n"))
+      .select("d1_e9", "d2_e9", "d3_e9").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clip.toSeq == Seq((666666666L, 0L, 3000000000L)))
+    // M=0: all discounts zero, pure ML
+    val deg = TextAnalysis.knProbabilitiesModified(
+        Seq(("a", "b", 3L), ("a", "c", 6L)).toDF("w1", "w2", "n"))
+      .orderBy("w2").collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(6)))
+    assert(deg.toSeq == Seq(
+      ("b", 0L, 333333333L), ("c", 0L, 666666666L)))
+  }
+
+  test("knTrigramProbabilitiesModified: three discounts per LEVEL by " +
+      "hand — top from t1..t4, continuation from cc1..cc4 indexed " +
+      "by pre23, per-context gammas, two-stage floor") {
+    // tri: (a,b,x,1)(a,b,y,2)(a,b,z,3)(c,b,x,4)(c,b,w,1)
+    // top: t1=2 t2=1 t3=1 t4=1 M3=4 -> D31=1/2 D32=1/2 D33=1
+    // cont: (b,x)=2 (b,y)=(b,z)=(b,w)=1 -> cc1=3 cc2=1 M2=5, B=4
+    //   D21=3/5 D22=(10-0)/5=2 D23->fallback d21 (cc3=0)
+    // mid b: nmid2=5 l=(3,1,0) gamma2=3.8e9
+    // ctx (a,b): c12=6 k=(1,1,1) gamma3=2e9; (c,b): c12=5 gamma3=1.5e9
+    val tri = Seq(("a", "b", "x", 1L), ("a", "b", "y", 2L),
+      ("a", "b", "z", 3L), ("c", "b", "x", 4L), ("c", "b", "w", 1L))
+      .toDF("w1", "w2", "w3", "n")
+    val got = TextAnalysis.knTrigramProbabilitiesModified(tri)
+      .orderBy("w1", "w2", "w3").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11)))
+    // p2(b,x) = ((2e9-2e9)*4 + 3.8e9)//20 = 190000000
+    // p2(b,y/z/w) = ((1e9-6e8)*4 + 3.8e9)//20 = 270000000
+    // p3(a,b,x) = (5e17 + 2e9*1.9e8)//6e9 = 146666666
+    // p3(a,b,y) = (1.5e18 + 2e9*2.7e8)//6e9 = 340000000
+    // p3(a,b,z) = (2e18 + 5.4e17)//6e9 = 423333333
+    // p3(c,b,w) = (5e17 + 1.5e9*2.7e8)//5e9 = 181000000
+    // p3(c,b,x) = (3e18 + 1.5e9*1.9e8)//5e9 = 657000000
+    assert(got.toSeq == Seq(
+      ("a", "x", 1L, 500000000L, 500000000L, 1000000000L,
+        600000000L, 2000000000L, 600000000L, 190000000L, 146666666L),
+      ("a", "y", 2L, 500000000L, 500000000L, 1000000000L,
+        600000000L, 2000000000L, 600000000L, 270000000L, 340000000L),
+      ("a", "z", 3L, 500000000L, 500000000L, 1000000000L,
+        600000000L, 2000000000L, 600000000L, 270000000L, 423333333L),
+      ("c", "w", 1L, 500000000L, 500000000L, 1000000000L,
+        600000000L, 2000000000L, 600000000L, 270000000L, 181000000L),
+      ("c", "x", 4L, 500000000L, 500000000L, 1000000000L,
+        600000000L, 2000000000L, 600000000L, 190000000L, 657000000L)))
+  }
+
   test("oovRate: exact instance counts against the vocab, duplicate " +
       "vocab rows harmless, all-OOV group rates 1e9") {
     val vocab = Seq("the", "fox", "the").toDF("term") // dup collapses
