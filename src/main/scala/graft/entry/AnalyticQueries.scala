@@ -1682,6 +1682,89 @@ object AnalyticQueries {
         .limit(200)
     }),
 
+    // The FORTY-SIXTH streaming twin: online trigram maintenance at
+    // the PRODUCTION discount (verdict r17 item #5) — q272's folded
+    // count state derived through the SHARED
+    // knTrigramProbabilitiesEstimatedD closed form (per-level
+    // count-of-counts D, three-stage floor), closing the online
+    // family at the production smoother. Faces q274's own oracle SQL
+    // row-for-row.
+    "q280_streaming_kn_trigram_estd" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingKnTrigramCounts(
+          df, "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))
+          -> r.getLong(3))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max)
+        .toSeq.map { case ((w1, w2, w3), n) => (w1, w2, w3, n) }
+      graft.ext.TextAnalysis.knTrigramProbabilitiesEstimatedD(
+          folded.toDF("w1", "w2", "w3", "n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+        .limit(200)
+    }),
+
+    // The FORTY-SEVENTH streaming twin: online trained-LM serving at
+    // the PRODUCTION discount (verdict r17 item #1's serve twin) —
+    // q260's shape with the estimated-D facts (knScoreFactsEstimatedD,
+    // the SHARED derivation; the estimated D rides the 1-row
+    // count-of-counts broadcast); the fold adds the zero-row spine
+    // through the SHARED knScoreFinish. Faces q275's own oracle SQL
+    // row-for-row.
+    "q281_streaming_kn_estd_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val model = graft.ext.TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en").select("doc_id", "text"),
+          "text")
+        .localCheckpoint(true)
+      val raw = replayDocsThirds(s, d.select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingKnScoreEstimatedD(
+          df, "doc_id", "text", model),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => vs.maxBy(v => (v._2, v._3))).toSeq
+        .map(_._2)
+      graft.ext.TextAnalysis.knScoreFinish(
+          d.select("doc_id").distinct(),
+          folded.toDF("doc_id", "n_bigrams", "sum_p_e9"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // The FORTY-EIGHTH streaming twin: online TRIGRAM serving at the
+    // PRODUCTION discounts — q268's shape with the estimated-D facts
+    // (knTrigramScoreFactsEstimatedD, the SHARED derivation; both
+    // per-level discounts ride the two 1-row count-of-counts
+    // broadcasts). Faces q276's own oracle SQL row-for-row.
+    "q282_streaming_kn_trigram_estd_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val model = graft.ext.TextAnalysis.knTrigramCounts(
+          d.where(col("lang") === "en").select("doc_id", "text"),
+          "text")
+        .localCheckpoint(true)
+      val raw = replayDocsThirds(s, d.select("doc_id", "text"),
+        df => graft.streaming.EventStreams
+          .streamingKnTrigramScoreEstimatedD(
+            df, "doc_id", "text", model),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => vs.maxBy(v => (v._2, v._3))).toSeq
+        .map(_._2)
+      graft.ext.TextAnalysis.knScoreFinish(
+          d.select("doc_id").distinct(),
+          folded.toDF("doc_id", "n_trigrams", "sum_p_e9"), "doc_id",
+          nCol = "n_trigrams")
+        .orderBy("doc_id")
+    }),
+
     // The THIRTY-THIRD streaming twin: line-quality filtering at
     // ingest — the batch HOF projection verbatim (stateless,
     // Append-legal); the twin pins stream legality and instance
@@ -2972,6 +3055,19 @@ object AnalyticQueries {
       // oracle as q266
       ("q272_streaming_kn_trigram_probabilities" ->
         TextQueries.oracleSql("q266_kn_trigram_probabilities")) +
+      // the folded online trigram counts derived through the shared
+      // estimated-D closed form must reproduce the batch production
+      // smoother — same oracle as q274
+      ("q280_streaming_kn_trigram_estd" ->
+        TextQueries.oracleSql("q274_kn_trigram_estimated_discount")) +
+      // online serving at the estimated discount must reproduce the
+      // batch estimated-D scorer row-for-row — same oracle as q275
+      ("q281_streaming_kn_estd_score" ->
+        TextQueries.oracleSql("q275_kn_estd_doc_score")) +
+      // online trigram serving at the per-level estimated discounts
+      // must reproduce the batch scorer — same oracle as q276
+      ("q282_streaming_kn_trigram_estd_score" ->
+        TextQueries.oracleSql("q276_kn_trigram_estd_doc_score")) +
       // cleanup at ingest is the batch projection verbatim — same
       // oracle as q262
       ("q263_streaming_unicode_clean" ->

@@ -709,6 +709,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q269 with the TRIGRAM scorer plugged into the gate (verdict r17
+    // item #3 — the gate was hard-wired to the bigram knScoreFacts):
+    // curationPipeline's lmScorer knob takes q267's
+    // knTrigramScoreFacts, so only docs with floor-e9 mean TRIGRAM
+    // probability >= 40e6 enter the pipeline (232/500, 251/500,
+    // 1601/5000 pass at the three SFs — non-vacuous both ways).
+    // Sub-3-token docs have no facts row and are cut by the active
+    // gate, same convention as the bigram gate at n=2.
+    "q279_lm_gated_pipeline_trigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knTrigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      graft.ext.Curation.curationPipeline(d,
+          graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 40000000L),
+          Some(model),
+          lmScorer = TextAnalysis.knTrigramScoreFacts)
+        .orderBy("doc_id")
+    }),
+
     // Length-grouped micro-batching (the padding-waste minimizer of
     // training dataloaders, deterministic): per hash shard, docs rank
     // by (n_tokens asc, id asc) into batches of 8; batch max and
@@ -2171,6 +2191,115 @@ object TextQueries {
         |      CAST(SUM(pp) AS HUGEINT) AS sp
         |   FROM lsc GROUP BY 1)
         |  WHERE sp >= 34000000 * nb),
+        |q AS (SELECT d.doc_id, d.source, r.text
+        |  FROM documents d JOIN rebuilt r USING (doc_id)
+        |  WHERE d.doc_id IN (SELECT doc_id FROM lmkeep)
+        |    AND len(string_split_regex(d.text,'\s+')) >= 20
+        |    AND (CASE WHEN length(d.text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(d.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |              / CAST(length(d.text) AS DOUBLE) END) >= 0.805),
+        |lines AS (SELECT doc_id, l
+        |  FROM q, unnest(string_split(text, chr(10))) u(l)
+        |  WHERE length(l) > 0),
+        |freq AS (SELECT COALESCE(list(l), []) fl FROM
+        |  (SELECT l FROM lines GROUP BY l HAVING COUNT(DISTINCT doc_id) > 2)),
+        |bp AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> length(x) > 0 AND NOT list_contains(fl, x)) kl
+        |  FROM q, freq),
+        |ex AS (SELECT doc_id, kl[i] AS l, i
+        |  FROM bp, unnest(generate_series(1, len(kl))) u(i)),
+        |rk AS (SELECT doc_id, l, i,
+        |    row_number() OVER (PARTITION BY l ORDER BY doc_id, i) rn
+        |  FROM ex),
+        |cln AS (SELECT q.doc_id,
+        |    length(COALESCE(k.txt, '')) AS n_chars_clean
+        |  FROM q LEFT JOIN
+        |    (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) txt
+        |     FROM rk WHERE rn = 1 GROUP BY 1) k USING (doc_id)),
+        |ftoks AS (SELECT doc_id, string_split_regex(text,'\s+') t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') s
+        |       FROM ftoks, unnest(generate_series(1, len(t)-7)) u(i)
+        |       WHERE len(t) >= 8
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(t,' ') FROM ftoks
+        |       WHERE len(t) < 8),
+        |fp AS (SELECT doc_id, min(md5(s)) AS f FROM sh GROUP BY 1),
+        |cl AS (SELECT fp.doc_id, MIN(f2.doc_id) AS cluster
+        |  FROM fp JOIN fp f2 USING (f) GROUP BY 1),
+        |qt AS (SELECT c.doc_id,
+        |    CAST(row_number() OVER (PARTITION BY q.source
+        |      ORDER BY c.n_chars_clean DESC, c.doc_id) AS BIGINT)
+        |      AS quota_rank
+        |  FROM cln c JOIN q USING (doc_id)),
+        |kept AS (SELECT doc_id, quota_rank FROM qt WHERE quota_rank <= 10)
+        |SELECT q.doc_id, q.source, c.n_chars_clean, kept.quota_rank,
+        |  cl.cluster, CASE
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3435973836 THEN 'train'
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3865470565 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM q JOIN cln c USING (doc_id) JOIN cl USING (doc_id)
+        |LEFT JOIN kept USING (doc_id)
+        |ORDER BY q.doc_id""".stripMargin),
+    // q269's chain with the TRIGRAM gate CTEs in front: q267's
+    // scoring CTEs (l-prefixed), the full two-level back-off CASE,
+    // then lmkeep at sum >= n*40e6 and the q197 chain verbatim
+    "q279_lm_gated_pipeline_trigram" -> (rebuiltSqlCte(4) +
+      """,
+        |lt AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |ltg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2,
+        |    tk[i+2] AS w3
+        |  FROM lt, unnest(generate_series(1, len(tk)-2)) u(i)
+        |  WHERE len(tk) >= 3),
+        |lc AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ltg WHERE lang = 'en' GROUP BY 1, 2, 3),
+        |lctx AS (SELECT w1, w2, CAST(SUM(n) AS HUGEINT) AS c12,
+        |    CAST(COUNT(*) AS HUGEINT) AS t12 FROM lc GROUP BY 1, 2),
+        |lcont AS (SELECT w2, w3, CAST(COUNT(*) AS HUGEINT) AS pre23
+        |  FROM lc GROUP BY 1, 2),
+        |lmid AS (SELECT w2, CAST(SUM(pre23) AS HUGEINT) AS nmid2,
+        |    CAST(COUNT(*) AS HUGEINT) AS post2
+        |  FROM lcont GROUP BY 1),
+        |lpre AS (SELECT w3, CAST(COUNT(*) AS HUGEINT) AS pre3
+        |  FROM lcont GROUP BY 1),
+        |ltot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM lcont),
+        |lj AS (SELECT ltg.doc_id, lc.n, lctx.c12, lctx.t12,
+        |    CASE WHEN lcont.pre23 IS NOT NULL
+        |         THEN CAST((1000000000 * ((4*lcont.pre23 - 3)*b
+        |                + 3*lmid.post2*lpre.pre3))
+        |              // (4*lmid.nmid2*b) AS BIGINT)
+        |         WHEN lmid.nmid2 IS NOT NULL
+        |              AND lpre.pre3 IS NOT NULL
+        |         THEN CAST((CAST(1000000000 AS HUGEINT) * 3
+        |                * lmid.post2 * lpre.pre3)
+        |              // (4*lmid.nmid2*b) AS BIGINT)
+        |         WHEN lpre.pre3 IS NOT NULL
+        |         THEN CAST((CAST(1000000000 AS HUGEINT) * lpre.pre3)
+        |              // b AS BIGINT)
+        |         ELSE 0 END AS p2
+        |  FROM ltg
+        |  LEFT JOIN lc ON ltg.w1 = lc.w1 AND ltg.w2 = lc.w2
+        |    AND ltg.w3 = lc.w3
+        |  LEFT JOIN lctx ON ltg.w1 = lctx.w1 AND ltg.w2 = lctx.w2
+        |  LEFT JOIN lcont ON ltg.w2 = lcont.w2 AND ltg.w3 = lcont.w3
+        |  LEFT JOIN lmid ON ltg.w2 = lmid.w2
+        |  LEFT JOIN lpre ON ltg.w3 = lpre.w3, ltot),
+        |lsc AS (SELECT doc_id,
+        |    CASE WHEN n IS NOT NULL
+        |         THEN CAST(((4*CAST(n AS HUGEINT) - 3)*1000000000
+        |                + 3*t12*p2) // (4*c12) AS BIGINT)
+        |         WHEN c12 IS NOT NULL
+        |         THEN CAST((3*t12*p2) // (4*c12) AS BIGINT)
+        |         ELSE p2 END AS pp
+        |  FROM lj),
+        |lmkeep AS (SELECT doc_id FROM
+        |  (SELECT doc_id, COUNT(*) AS nb,
+        |      CAST(SUM(pp) AS HUGEINT) AS sp
+        |   FROM lsc GROUP BY 1)
+        |  WHERE sp >= 40000000 * nb),
         |q AS (SELECT d.doc_id, d.source, r.text
         |  FROM documents d JOIN rebuilt r USING (doc_id)
         |  WHERE d.doc_id IN (SELECT doc_id FROM lmkeep)

@@ -621,6 +621,28 @@ object EventStreams {
     graft.ext.TextAnalysis.knTrigramScoreFacts(docs, idCol, textCol,
       tri)
 
+  /** Online trained-LM scoring at the PRODUCTION (estimated)
+    * discount — [[streamingKnScore]] with
+    * [[graft.ext.TextAnalysis.knScoreFactsEstimatedD]] VERBATIM (the
+    * shared derivation): same explode + stream-static model joins +
+    * ONE Update-mode per-doc agg; the estimated D rides the 1-row
+    * count-of-counts broadcast. Materialize `counts` — static sides
+    * re-evaluate per micro-batch. */
+  def streamingKnScoreEstimatedD(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.knScoreFactsEstimatedD(docs, idCol,
+      textCol, counts)
+
+  /** Online trigram trained-LM scoring at the PRODUCTION discounts —
+    * [[streamingKnTrigramScore]] with
+    * [[graft.ext.TextAnalysis.knTrigramScoreFactsEstimatedD]]
+    * VERBATIM; both per-level estimated discounts ride the two 1-row
+    * count-of-counts broadcasts. Materialize `tri`. */
+  def streamingKnTrigramScoreEstimatedD(docs: DataFrame,
+      idCol: String, textCol: String, tri: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.knTrigramScoreFactsEstimatedD(docs, idCol,
+      textCol, tri)
+
   /** Unicode cleanup at ingest — [[graft.ext.TextAnalysis.unicodeClean]]
     * VERBATIM on the streaming frame (the [[streamingFim]] convention:
     * a pure zero-shuffle projection — NFC + control strip + collapse +

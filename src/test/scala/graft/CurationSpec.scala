@@ -128,6 +128,45 @@ class CurationSpec extends SparkSpecBase {
           col("r0") =!= col("r1"))).count() > 0)
   }
 
+  test("curationPipeline lmScorer knob: the trigram scorer plugs in " +
+      "and gates on n_trigrams, diverging from the bigram gate") {
+    import Curation.CurationConfig
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "source", "text", "lang")
+    val en = docs.where(col("lang") === "en")
+      .select("doc_id", "source", "text")
+    val d = docs.select("doc_id", "source", "text")
+    val bi = graft.ext.TextAnalysis.knBigramCounts(en, "text")
+      .localCheckpoint(true)
+    val tri = graft.ext.TextAnalysis.knTrigramCounts(en, "text")
+      .localCheckpoint(true)
+    val tau = 40000000L
+    val triGated = Curation.curationPipeline(d,
+      CurationConfig(lmMinMeanPE9 = tau), Some(tri),
+      lmScorer = graft.ext.TextAnalysis.knTrigramScoreFacts)
+    val biGated = Curation.curationPipeline(d,
+      CurationConfig(lmMinMeanPE9 = tau), Some(bi))
+    // the trigram gate keeps exactly the trigram-score-gated subset
+    val expectKeep = graft.ext.TextAnalysis.knTrigramScoreFacts(
+        d, "doc_id", "text", tri)
+      .filter(col("sum_p_e9") >= col("n_trigrams") * tau)
+      .select("doc_id")
+    assert(triGated.count() > 0)
+    assert(triGated.select("doc_id").exceptAll(expectKeep)
+      .count() === 0)
+    // the knob is LIVE: bigram and trigram gates at the same tau keep
+    // different doc sets (different models, different instance counts)
+    assert(triGated.select("doc_id")
+      .exceptAll(biGated.select("doc_id")).count() > 0 ||
+      biGated.select("doc_id")
+        .exceptAll(triGated.select("doc_id")).count() > 0)
+    // estimated-D scorers also satisfy the facts contract
+    val estGated = Curation.curationPipeline(d,
+      CurationConfig(lmMinMeanPE9 = tau), Some(bi),
+      lmScorer = graft.ext.TextAnalysis.knScoreFactsEstimatedD)
+    assert(estGated.count() > 0)
+  }
+
   test("lengthGroupedBatches: layout is a pure function of (seed, id, " +
       "len); grouping beats id-order batching on total padding") {
     val docs = (1L to 400L).map(i => (i, (i * 37 % 211) + 5))

@@ -1796,6 +1796,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingKnScoreEstimatedD: Update-mode serving at the " +
+      "estimated discount converges to the batch scorer through the " +
+      "shared facts/finish halves") {
+    import graft.ext.TextAnalysis
+    val train = Seq("the cat sat", "the cat ran").toDF("text")
+    val model = TextAnalysis.knBigramCounts(train, "text")
+      .localCheckpoint(true)
+    val docs = Seq((1L, "the cat sat"), (2L, "dog cat"),
+      (3L, "the ran"), (4L, "solo"))
+    val batch = TextAnalysis.knScoreDocsEstimatedD(
+        docs.toDF("doc_id", "text"), "doc_id", "text", model)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingKnScoreEstimatedD(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("kn_estd_score").start()
+    try {
+      mem.addData(docs(0), docs(1)); q.processAllAvailable()
+      mem.addData(docs(2), docs(3)); q.processAllAvailable()
+      val folded = spark.table("kn_estd_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => vs.maxBy(v => (v._2, v._3))).toSeq
+        .map(_._2)
+      val online = TextAnalysis.knScoreFinish(
+          docs.map(_._1).toDF("doc_id"),
+          folded.toDF("doc_id", "n_bigrams", "sum_p_e9"), "doc_id")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(online == batch, s"online $online vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingLineQualityFilter: Append-legal, instance-identical " +
       "to the batch projection") {
     import graft.ext.Curation
