@@ -1231,9 +1231,19 @@ object EventStreams {
           .select(col("a_sid"), col("b_sid"), col("a_ts"))
           .dropDuplicatesWithinWatermark("a_sid", "b_sid")
           .join(sh.select(col("__id").as("a_sid"),
-            col("__sharr").as("a_sh")), Seq("a_sid"))
+            col("__sharr").as("a_sh")), Seq("a_sid"), "left")
           .join(sh.select(col("__id").as("b_sid"),
-            col("__sharr").as("b_sh")), Seq("b_sid"))
+            col("__sharr").as("b_sh")), Seq("b_sid"), "left")
+          // a candidate pair whose doc is MISSING from the store is a
+          // stale/lagging sink, not a non-pair — fail the query loudly
+          // instead of silently dropping it (the exactly-once batch
+          // contract would break with no error signal otherwise)
+          .filter(when(col("a_sh").isNull || col("b_sh").isNull,
+            raise_error(format_string(
+              "doc-shingle store is missing doc(s) for candidate " +
+                "pair (%s, %s) — stale or lagging store sink",
+              col("a_sid"), col("b_sid"))))
+            .otherwise(lit(true)))
           .withColumn("__inter",
             size(array_intersect(col("a_sh"), col("b_sh"))))
           .withColumn("jaccard", col("__inter").cast("double") /

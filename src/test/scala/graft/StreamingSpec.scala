@@ -1148,6 +1148,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamStreamMinhashPairs lean path: a STALE store (candidate " +
+      "doc missing) fails the query loudly instead of dropping pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // the store KNOWS doc 1 but NOT doc 2 — a lagging store sink
+    val store = Seq((1L, base)).toDF("doc_id", "text")
+      .select(col("doc_id").as("__id"),
+        graft.functions.expressions.TextExpressions.wordShingles(
+          spark, col("text"), 3).as("__sharr"))
+      .localCheckpoint(true)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      "2026-01-01 00:%02d:00".format(m))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.streamStreamMinhashPairs(
+        mem.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text",
+        "ts", docShingles = Some(store))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_pairs_stale").start()
+    val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+      mem.addData((1L, ts(0), base), (2L, ts(5), base + " tail"))
+      q.processAllAvailable()
+    }
+    try {
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("doc-shingle store")),
+        s"unexpected failure: ${msgs(ex)}")
+    } finally q.stop()
+  }
+
   test("classifierGateForeachBatch: large-vocab broadcast-join form == " +
       "batch classifyLinear bit-for-bit; map-literal gate refuses loudly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
