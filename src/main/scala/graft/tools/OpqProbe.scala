@@ -64,6 +64,47 @@ object OpqProbe {
       m = m, ksub = ksub, iters = 2)
     val dOpq = distortion(rotated, "rvec", cbR, d, m)
     println(f"[opq] distortion pq=$dPq%.5f opq=$dOpq%.5f ratio=${dOpq / dPq}%.3f")
+
+    // FULL-WIDTH probe (verdict r17 item #6): the d=64 rotation —
+    // the real embedding width — trained at the production sample
+    // size (4096, the q270 trainer default), recording train
+    // wall-time and the ADC recall gain trained-vs-pinned (pinned =
+    // identity rotation, i.e. plain PQ) on the same anisotropic
+    // fixture. decay=0.85 keeps the spectrum spread over 64 dims
+    // (0.4^63 would denormalize the tail).
+    val d64 = 64; val m64 = 8; val k64 = 16
+    val v64 = anisotropicVecs(4096, d64, decay = 0.85)
+      .toDF("vec_id", "embedding").cache()
+    v64.count()
+    val t0 = System.nanoTime()
+    val rot64 = Similarity.opqRotation(v64, "vec_id", "embedding",
+      m = m64, sampleSize = 4096)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    val r64 = Similarity.rotate(v64, "embedding", rot64, "rvec").cache()
+    val cb64 = Similarity.pqTrain(v64, "vec_id", "embedding",
+      m = m64, ksub = k64, iters = 2)
+    val cb64R = Similarity.pqTrain(r64, "vec_id", "rvec",
+      m = m64, ksub = k64, iters = 2)
+    val dPq64 = distortion(v64, "embedding", cb64, d64, m64)
+    val dOpq64 = distortion(r64, "rvec", cb64R, d64, m64)
+    val isQuery = col("vec_id") < 64
+    def topSets(df: DataFrame): Map[Long, Set[Long]] = df
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.bruteForceTopK(v64,
+      v64.filter(isQuery), "vec_id", "embedding", 5))
+    def recall(got: Map[Long, Set[Long]]): Double = brute.map {
+      case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / brute.size
+    val rPq = recall(topSets(Similarity.pqTopKAdc(v64, "vec_id",
+      "embedding", cb64, isQuery, k = 5)))
+    val rOpq = recall(topSets(Similarity.pqTopKAdc(r64, "vec_id",
+      "rvec", cb64R, isQuery, k = 5)))
+    println(f"[opq64] d=$d64 m=$m64 sample=4096 train=$trainSec%.2f s " +
+      f"distortion pq=$dPq64%.5f opq=$dOpq64%.5f " +
+      f"ratio=${dOpq64 / dPq64}%.3f recall@5 pq=$rPq%.3f opq=$rOpq%.3f")
     spark.stop()
   }
 }
