@@ -1736,6 +1736,91 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
+    // The FORTY-NINTH streaming twin: online serving under MODIFIED
+    // KN — q260's shape with the three-discount facts
+    // (knScoreFactsModified, the SHARED derivation). Faces q283's own
+    // oracle SQL row-for-row.
+    "q285_streaming_kn_mkn_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val model = graft.ext.TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en").select("doc_id", "text"),
+          "text")
+        .localCheckpoint(true)
+      val raw = replayDocsThirds(s, d.select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingKnScoreModified(
+          df, "doc_id", "text", model),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => vs.maxBy(v => (v._2, v._3))).toSeq
+        .map(_._2)
+      graft.ext.TextAnalysis.knScoreFinish(
+          d.select("doc_id").distinct(),
+          folded.toDF("doc_id", "n_bigrams", "sum_p_e9"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // The FIFTIETH streaming twin: online TRIGRAM serving under
+    // MODIFIED KN — q268's shape with the per-level three-discount
+    // facts (knTrigramScoreFactsModified, the SHARED derivation).
+    // Faces q284's own oracle SQL row-for-row.
+    "q286_streaming_kn_trigram_mkn_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val model = graft.ext.TextAnalysis.knTrigramCounts(
+          d.where(col("lang") === "en").select("doc_id", "text"),
+          "text")
+        .localCheckpoint(true)
+      val raw = replayDocsThirds(s, d.select("doc_id", "text"),
+        df => graft.streaming.EventStreams
+          .streamingKnTrigramScoreModified(
+            df, "doc_id", "text", model),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => vs.maxBy(v => (v._2, v._3))).toSeq
+        .map(_._2)
+      graft.ext.TextAnalysis.knScoreFinish(
+          d.select("doc_id").distinct(),
+          folded.toDF("doc_id", "n_trigrams", "sum_p_e9"), "doc_id",
+          nCol = "n_trigrams")
+        .orderBy("doc_id")
+    }),
+
+    // The FIFTY-FIRST streaming twin: online trigram maintenance
+    // under MODIFIED KN — q272's folded count state (here on the 'en'
+    // slice, q278's training set) derived through the SHARED
+    // knTrigramProbabilitiesModified closed form (three count-indexed
+    // discounts per level from the folded counts' own count-of-counts)
+    // and q278's per-bucket rank-67 finish. Closes the online model
+    // family at the smoother production toolkits ship. Faces q278's
+    // own oracle SQL row-for-row.
+    "q287_streaming_kn_trigram_mkn" -> ((s, dir) => {
+      import s.implicits._
+      val raw = replayDocsThirds(s,
+        t(s, dir, "documents").where(col("lang") === "en")
+          .select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingKnTrigramCounts(
+          df, "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))
+          -> r.getLong(3))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max)
+        .toSeq.map { case ((w1, w2, w3), n) => (w1, w2, w3, n) }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(least(col("n"), lit(3L)))
+        .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+      graft.ext.TextAnalysis.knTrigramProbabilitiesModified(
+          folded.toDF("w1", "w2", "w3", "n"))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= 67).drop("__rk")
+        .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+    }),
+
     // The FORTY-EIGHTH streaming twin: online TRIGRAM serving at the
     // PRODUCTION discounts — q268's shape with the estimated-D facts
     // (knTrigramScoreFactsEstimatedD, the SHARED derivation; both
@@ -3068,6 +3153,17 @@ object AnalyticQueries {
       // must reproduce the batch scorer — same oracle as q276
       ("q282_streaming_kn_trigram_estd_score" ->
         TextQueries.oracleSql("q276_kn_trigram_estd_doc_score")) +
+      // online serving under modified KN must reproduce the batch
+      // three-discount scorers row-for-row — same oracles as q283/q284
+      ("q285_streaming_kn_mkn_score" ->
+        TextQueries.oracleSql("q283_kn_mkn_doc_score")) +
+      ("q286_streaming_kn_trigram_mkn_score" ->
+        TextQueries.oracleSql("q284_kn_trigram_mkn_doc_score")) +
+      // online trigram count maintenance derived through the modified-
+      // KN closed form must reproduce the batch model — same oracle
+      // as q278
+      ("q287_streaming_kn_trigram_mkn" ->
+        TextQueries.oracleSql("q278_kn_trigram_modified")) +
       // cleanup at ingest is the batch projection verbatim — same
       // oracle as q262
       ("q263_streaming_unicode_clean" ->

@@ -429,6 +429,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Doc scoring under MODIFIED KN — the serve for q277 (landed in
+    // the same round as its trainer, so "the model trains but nothing
+    // scores with it" never opens at this order): the en-trained mKN
+    // bigram model scores every doc, backoff mass γ(w1)/c1·Pcont
+    // through the model's own floored three-discount γ.
+    "q283_kn_mkn_doc_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocsModified(d, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+    // q283 at n=3 — the serve for q278: both cascade levels
+    // interpolate with that level's three-discount γ mass (top over
+    // the context's K counts, continuation over the middle L counts
+    // indexed by pre23), composing through the model's single-stage
+    // floors.
+    "q284_kn_trigram_mkn_doc_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knTrigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocsTrigramModified(
+          d, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // MODIFIED Kneser-Ney (verdict r17 item #2 — Chen-Goodman's
     // three-discount estimator, what SRILM/KenLM ship): D1/D2/D3+
     // estimated from the count-of-counts n1..n4, the discount picked
@@ -726,6 +755,26 @@ object TextQueries {
           graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 40000000L),
           Some(model),
           lmScorer = TextAnalysis.knTrigramScoreFacts)
+        .orderBy("doc_id")
+    }),
+
+    // q269 with the MODIFIED-KN scorer plugged into the gate — the
+    // production smoother (q283's three count-indexed discounts)
+    // actually gating a corpus: only docs with floor-e9 mean mKN
+    // bigram probability >= 33.5e6 enter the pipeline (327/500,
+    // 347/500, 2020/5000 pass at the three SFs — non-vacuous both
+    // ways). Same pluggable-scorer knob as q279; the gate reads the
+    // facts frame's count column by elimination, so the mKN facts
+    // drop in unchanged.
+    "q288_lm_gated_pipeline_mkn" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      graft.ext.Curation.curationPipeline(d,
+          graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 33500000L),
+          Some(model),
+          lmScorer = TextAnalysis.knScoreFactsModified)
         .orderBy("doc_id")
     }),
 
@@ -1847,6 +1896,202 @@ object TextQueries {
         |  d22_e9, d23_e9, p2_e9, p3_e9
         |FROM fin WHERE rk <= 67
         |ORDER BY n DESC, w1, w2, w3""".stripMargin,
+    // q275's scoring shape with q277's three-discount CTEs: the seen
+    // branch is the mKN closed form verbatim, the unseen-mass branch
+    // keeps only the gamma term, both through the same pre-floored
+    // discounts
+    "q283_kn_mkn_doc_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |bg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k2,
+        |    CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k3p FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |cc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n3,
+        |    CAST(SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n4 FROM c),
+        |d0 AS (SELECT b, n1, n2, n3, n4, (n1 + 2*n2) AS m,
+        |    CASE WHEN (n1 + 2*n2) > 0
+        |         THEN (n1 * 1000000000) // (n1 + 2*n2)
+        |         ELSE 0 END AS d1 FROM cc),
+        |dd AS (SELECT b, m, d1,
+        |    CASE WHEN m > 0 AND n2 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                2*n2*m - 3*n1*n3) * 1000000000) // (n2*m)
+        |         ELSE d1 END AS d2,
+        |    CASE WHEN m > 0 AND n3 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                3*n3*m - 4*n1*n4) * 1000000000) // (n3*m)
+        |         ELSE d1 END AS d3 FROM d0),
+        |p AS (SELECT c.w1, c.w2,
+        |    CAST(((CAST(c.n AS HUGEINT) * 1000000000
+        |           - CASE WHEN c.n = 1 THEN d1 WHEN c.n = 2 THEN d2
+        |             ELSE d3 END) * b
+        |          + (d1*ctx.k1 + d2*ctx.k2 + d3*ctx.k3p) * cont.pre)
+        |         // (ctx.c1 * b) AS BIGINT) AS p_e9
+        |  FROM c JOIN ctx USING (w1) JOIN cont USING (w2), dd),
+        |sc AS (SELECT bg.doc_id,
+        |    COALESCE(p.p_e9,
+        |      CASE WHEN ctx.c1 IS NOT NULL AND cont.pre IS NOT NULL
+        |           THEN CAST(((d1*ctx.k1 + d2*ctx.k2 + d3*ctx.k3p)
+        |                * cont.pre) // (ctx.c1 * b) AS BIGINT)
+        |           WHEN ctx.c1 IS NULL AND cont.pre IS NOT NULL
+        |           THEN CAST((cont.pre*1000000000) // b AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM bg
+        |  LEFT JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+        |  LEFT JOIN ctx ON bg.w1 = ctx.w1
+        |  LEFT JOIN cont ON bg.w2 = cont.w2, dd),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(pp) AS BIGINT) AS sum_p_e9 FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(agg.sum_p_e9, 0) AS sum_p_e9,
+        |  CAST(CASE WHEN agg.n_bigrams > 0
+        |       THEN agg.sum_p_e9 // agg.n_bigrams
+        |       ELSE 0 END AS BIGINT) AS mean_p_e9
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q276's scoring shape with q278's per-level three-discount CTEs;
+    // both levels' unseen-mass branches keep only that level's gamma
+    // term through the same pre-floored discounts
+    "q284_kn_trigram_mkn_doc_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |tg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2,
+        |    tk[i+2] AS w3
+        |  FROM t, unnest(generate_series(1, len(tk)-2)) u(i)
+        |  WHERE len(tk) >= 3),
+        |c AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, CAST(SUM(n) AS HUGEINT) AS c12,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k2,
+        |    CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k3p FROM c GROUP BY 1, 2),
+        |cont AS (SELECT w2, w3, CAST(COUNT(*) AS HUGEINT) AS pre23
+        |  FROM c GROUP BY 1, 2),
+        |mid AS (SELECT w2, CAST(SUM(pre23) AS HUGEINT) AS nmid2,
+        |    CAST(SUM(CASE WHEN pre23 = 1 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS l1,
+        |    CAST(SUM(CASE WHEN pre23 = 2 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS l2,
+        |    CAST(SUM(CASE WHEN pre23 >= 3 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS l3p FROM cont GROUP BY 1),
+        |pre AS (SELECT w3, CAST(COUNT(*) AS HUGEINT) AS pre3
+        |  FROM cont GROUP BY 1),
+        |tcc AS (SELECT
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t2,
+        |    CAST(SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t3,
+        |    CAST(SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS t4 FROM c),
+        |ccc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN pre23 = 1 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc1,
+        |    CAST(SUM(CASE WHEN pre23 = 2 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc2,
+        |    CAST(SUM(CASE WHEN pre23 = 3 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc3,
+        |    CAST(SUM(CASE WHEN pre23 = 4 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS cc4 FROM cont),
+        |d30 AS (SELECT t1, t2, t3, t4, (t1 + 2*t2) AS m3,
+        |    CASE WHEN (t1 + 2*t2) > 0
+        |         THEN (t1 * 1000000000) // (t1 + 2*t2)
+        |         ELSE 0 END AS d31 FROM tcc),
+        |d3s AS (SELECT m3, d31,
+        |    CASE WHEN m3 > 0 AND t2 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                2*t2*m3 - 3*t1*t3) * 1000000000) // (t2*m3)
+        |         ELSE d31 END AS d32,
+        |    CASE WHEN m3 > 0 AND t3 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                3*t3*m3 - 4*t1*t4) * 1000000000) // (t3*m3)
+        |         ELSE d31 END AS d33 FROM d30),
+        |d20 AS (SELECT b, cc1, cc2, cc3, cc4, (cc1 + 2*cc2) AS m2,
+        |    CASE WHEN (cc1 + 2*cc2) > 0
+        |         THEN (cc1 * 1000000000) // (cc1 + 2*cc2)
+        |         ELSE 0 END AS d21 FROM ccc),
+        |d2s AS (SELECT b, m2, d21,
+        |    CASE WHEN m2 > 0 AND cc2 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                2*cc2*m2 - 3*cc1*cc3) * 1000000000)
+        |              // (cc2*m2)
+        |         ELSE d21 END AS d22,
+        |    CASE WHEN m2 > 0 AND cc3 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                3*cc3*m2 - 4*cc1*cc4) * 1000000000)
+        |              // (cc3*m2)
+        |         ELSE d21 END AS d23 FROM d20),
+        |j AS (SELECT tg.doc_id, c.n, ctx.c12, ctx.k1, ctx.k2,
+        |    ctx.k3p, cont.pre23, mid.nmid2, mid.l1, mid.l2, mid.l3p,
+        |    pre.pre3, b, m2, d21, d22, d23, m3, d31, d32, d33
+        |  FROM tg
+        |  LEFT JOIN c ON tg.w1 = c.w1 AND tg.w2 = c.w2
+        |    AND tg.w3 = c.w3
+        |  LEFT JOIN ctx ON tg.w1 = ctx.w1 AND tg.w2 = ctx.w2
+        |  LEFT JOIN cont ON tg.w2 = cont.w2 AND tg.w3 = cont.w3
+        |  LEFT JOIN mid ON tg.w2 = mid.w2
+        |  LEFT JOIN pre ON tg.w3 = pre.w3, d3s, d2s),
+        |p2s AS (SELECT *,
+        |    CASE WHEN pre23 IS NOT NULL
+        |         THEN CAST(((pre23 * 1000000000
+        |                - CASE WHEN pre23 = 1 THEN d21
+        |                  WHEN pre23 = 2 THEN d22 ELSE d23 END) * b
+        |               + (d21*l1 + d22*l2 + d23*l3p) * pre3)
+        |              // (nmid2*b) AS BIGINT)
+        |         WHEN nmid2 IS NOT NULL AND pre3 IS NOT NULL
+        |         THEN CAST(((d21*l1 + d22*l2 + d23*l3p) * pre3)
+        |              // (nmid2*b) AS BIGINT)
+        |         WHEN pre3 IS NOT NULL
+        |         THEN CAST((pre3 * 1000000000) // b AS BIGINT)
+        |         ELSE 0 END AS p2
+        |  FROM j),
+        |sc AS (SELECT doc_id,
+        |    CASE WHEN n IS NOT NULL
+        |         THEN CAST(((CAST(n AS HUGEINT) * 1000000000
+        |                - CASE WHEN n = 1 THEN d31 WHEN n = 2 THEN d32
+        |                  ELSE d33 END) * 1000000000
+        |               + (d31*k1 + d32*k2 + d33*k3p) * p2)
+        |              // (c12 * 1000000000) AS BIGINT)
+        |         WHEN c12 IS NOT NULL
+        |         THEN CAST(((d31*k1 + d32*k2 + d33*k3p) * p2)
+        |              // (c12 * 1000000000) AS BIGINT)
+        |         ELSE p2 END AS pp
+        |  FROM p2s),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(pp) AS BIGINT) AS sum_p_e9 FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+        |  COALESCE(agg.sum_p_e9, 0) AS sum_p_e9,
+        |  CAST(CASE WHEN agg.n_trigrams > 0
+        |       THEN agg.sum_p_e9 // agg.n_trigrams
+        |       ELSE 0 END AS BIGINT) AS mean_p_e9
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // en-trained trigram model CTEs, then every doc's trigram
     // instances left-join the model and its four marginals; the
     // two-level back-off CASE mirrors the Scala cascade
@@ -2300,6 +2545,127 @@ object TextQueries {
         |      CAST(SUM(pp) AS HUGEINT) AS sp
         |   FROM lsc GROUP BY 1)
         |  WHERE sp >= 40000000 * nb),
+        |q AS (SELECT d.doc_id, d.source, r.text
+        |  FROM documents d JOIN rebuilt r USING (doc_id)
+        |  WHERE d.doc_id IN (SELECT doc_id FROM lmkeep)
+        |    AND len(string_split_regex(d.text,'\s+')) >= 20
+        |    AND (CASE WHEN length(d.text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(d.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |              / CAST(length(d.text) AS DOUBLE) END) >= 0.805),
+        |lines AS (SELECT doc_id, l
+        |  FROM q, unnest(string_split(text, chr(10))) u(l)
+        |  WHERE length(l) > 0),
+        |freq AS (SELECT COALESCE(list(l), []) fl FROM
+        |  (SELECT l FROM lines GROUP BY l HAVING COUNT(DISTINCT doc_id) > 2)),
+        |bp AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> length(x) > 0 AND NOT list_contains(fl, x)) kl
+        |  FROM q, freq),
+        |ex AS (SELECT doc_id, kl[i] AS l, i
+        |  FROM bp, unnest(generate_series(1, len(kl))) u(i)),
+        |rk AS (SELECT doc_id, l, i,
+        |    row_number() OVER (PARTITION BY l ORDER BY doc_id, i) rn
+        |  FROM ex),
+        |cln AS (SELECT q.doc_id,
+        |    length(COALESCE(k.txt, '')) AS n_chars_clean
+        |  FROM q LEFT JOIN
+        |    (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) txt
+        |     FROM rk WHERE rn = 1 GROUP BY 1) k USING (doc_id)),
+        |ftoks AS (SELECT doc_id, string_split_regex(text,'\s+') t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') s
+        |       FROM ftoks, unnest(generate_series(1, len(t)-7)) u(i)
+        |       WHERE len(t) >= 8
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(t,' ') FROM ftoks
+        |       WHERE len(t) < 8),
+        |fp AS (SELECT doc_id, min(md5(s)) AS f FROM sh GROUP BY 1),
+        |cl AS (SELECT fp.doc_id, MIN(f2.doc_id) AS cluster
+        |  FROM fp JOIN fp f2 USING (f) GROUP BY 1),
+        |qt AS (SELECT c.doc_id,
+        |    CAST(row_number() OVER (PARTITION BY q.source
+        |      ORDER BY c.n_chars_clean DESC, c.doc_id) AS BIGINT)
+        |      AS quota_rank
+        |  FROM cln c JOIN q USING (doc_id)),
+        |kept AS (SELECT doc_id, quota_rank FROM qt WHERE quota_rank <= 10)
+        |SELECT q.doc_id, q.source, c.n_chars_clean, kept.quota_rank,
+        |  cl.cluster, CASE
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3435973836 THEN 'train'
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3865470565 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM q JOIN cln c USING (doc_id) JOIN cl USING (doc_id)
+        |LEFT JOIN kept USING (doc_id)
+        |ORDER BY q.doc_id""".stripMargin),
+    // q269's chain with q283's MODIFIED-KN gate CTEs in front: the
+    // three-discount estimator (ld0/ldd), the count-indexed seen
+    // branch and gamma backoff, then lmkeep at sum >= n*33.5e6 and
+    // the q197 chain verbatim
+    "q288_lm_gated_pipeline_mkn" -> (rebuiltSqlCte(4) +
+      """,
+        |lt AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |lbg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM lt, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |lc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lbg WHERE lang = 'en' GROUP BY 1, 2),
+        |lctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k2,
+        |    CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k3p FROM lc GROUP BY 1),
+        |lcont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM lc GROUP BY 1),
+        |lcc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n3,
+        |    CAST(SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n4 FROM lc),
+        |ld0 AS (SELECT b, n1, n2, n3, n4, (n1 + 2*n2) AS m,
+        |    CASE WHEN (n1 + 2*n2) > 0
+        |         THEN (n1 * 1000000000) // (n1 + 2*n2)
+        |         ELSE 0 END AS d1 FROM lcc),
+        |ldd AS (SELECT b, m, d1,
+        |    CASE WHEN m > 0 AND n2 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                2*n2*m - 3*n1*n3) * 1000000000) // (n2*m)
+        |         ELSE d1 END AS d2,
+        |    CASE WHEN m > 0 AND n3 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                3*n3*m - 4*n1*n4) * 1000000000) // (n3*m)
+        |         ELSE d1 END AS d3 FROM ld0),
+        |lp AS (SELECT lc.w1, lc.w2,
+        |    CAST(((CAST(lc.n AS HUGEINT) * 1000000000
+        |           - CASE WHEN lc.n = 1 THEN d1 WHEN lc.n = 2 THEN d2
+        |             ELSE d3 END) * b
+        |          + (d1*lctx.k1 + d2*lctx.k2 + d3*lctx.k3p)
+        |            * lcont.pre)
+        |         // (lctx.c1 * b) AS BIGINT) AS p_e9
+        |  FROM lc JOIN lctx USING (w1) JOIN lcont USING (w2), ldd),
+        |lsc AS (SELECT lbg.doc_id,
+        |    COALESCE(lp.p_e9,
+        |      CASE WHEN lctx.c1 IS NOT NULL AND lcont.pre IS NOT NULL
+        |           THEN CAST(((d1*lctx.k1 + d2*lctx.k2 + d3*lctx.k3p)
+        |                * lcont.pre) // (lctx.c1 * b) AS BIGINT)
+        |           WHEN lctx.c1 IS NULL AND lcont.pre IS NOT NULL
+        |           THEN CAST((lcont.pre*1000000000) // b AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM lbg
+        |  LEFT JOIN lp ON lbg.w1 = lp.w1 AND lbg.w2 = lp.w2
+        |  LEFT JOIN lctx ON lbg.w1 = lctx.w1
+        |  LEFT JOIN lcont ON lbg.w2 = lcont.w2, ldd),
+        |lmkeep AS (SELECT doc_id FROM
+        |  (SELECT doc_id, COUNT(*) AS nb,
+        |      CAST(SUM(pp) AS HUGEINT) AS sp
+        |   FROM lsc GROUP BY 1)
+        |  WHERE sp >= 33500000 * nb),
         |q AS (SELECT d.doc_id, d.source, r.text
         |  FROM documents d JOIN rebuilt r USING (doc_id)
         |  WHERE d.doc_id IN (SELECT doc_id FROM lmkeep)

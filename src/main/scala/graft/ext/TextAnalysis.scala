@@ -1787,6 +1787,199 @@ object TextAnalysis {
         sum(col("__p")).as("sum_p_e9"))
   }
 
+  /** [[knScoreDocs]] under MODIFIED Kneser–Ney — documents score
+    * against the [[knProbabilitiesModified]] model (Chen/Goodman's
+    * three count-indexed discounts), with the back-off cascade at the
+    * model's own discount mass:
+    *   - seen bigram: the model's p_e9 (exact replay, joined)
+    *   - ctx w1 known, w2 has continuation mass:
+    *     γ(w1)/c1 · Pcont(w2) = (γ_e9·pre) div (c1·B) — the model
+    *     formula with the seen numerator dropped; γ_e9 =
+    *     d₁·K₁ + d₂·K₂ + d₃₊·K₃₊ over the context's type counts
+    *   - ctx unknown, w2 known: pre·10⁹ div B (unigram fallback)
+    *   - w2 unknown: 0
+    * Degenerate M = 0: all discounts are 0, so γ = 0 and the
+    * ctx-known branch scores 0 (strict ML — the trainer's
+    * convention, no special case needed). Same instance-join scale
+    * shape as [[knScoreFacts]]; pass a MATERIALIZED `counts`. */
+  def knScoreDocsModified(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame): DataFrame =
+    knScoreFinish(docs.select(col(idCol)).distinct(),
+      knScoreFactsModified(docs, idCol, textCol, counts), idCol)
+
+  /** The per-doc aggregated half of [[knScoreDocsModified]] — the
+    * shape that streams; shared with the streaming serve twin. */
+  def knScoreFactsModified(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame): DataFrame = {
+    val probs = knProbabilitiesModified(counts)
+      .select(col("w1"), col("w2"), col("p_e9"))
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("__c1"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("__k1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("__k2"),
+        sum(when(col("n") >= 3, 1L).otherwise(0L)).as("__k3p"))
+    val cont = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("__pre"))
+    val tot = counts.agg(count(lit(1)).as("__b"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("__n1"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("__n2"),
+      sum(when(col("n") === 3, 1L).otherwise(0L)).as("__n3"),
+      sum(when(col("n") === 4, 1L).otherwise(0L)).as("__n4"))
+    bigramInstances(docs, idCol, textCol)
+      .join(probs, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__m", col("__n1") + lit(2L) * col("__n2"))
+      .withColumn("__d1", when(col("__m") > 0,
+        expr("(CAST(__n1 AS DECIMAL(38,0)) * 1000000000)" +
+          " div CAST(__m AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("__d2", when(col("__m") > 0 && col("__n2") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 2*CAST(__n2 AS DECIMAL(38,0))*__m" +
+          " - 3*CAST(__n1 AS DECIMAL(38,0))*__n3) * 1000000000)" +
+          " div (CAST(__n2 AS DECIMAL(38,0)) * __m)"))
+        .otherwise(col("__d1")))
+      .withColumn("__d3", when(col("__m") > 0 && col("__n3") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 3*CAST(__n3 AS DECIMAL(38,0))*__m" +
+          " - 4*CAST(__n1 AS DECIMAL(38,0))*__n4) * 1000000000)" +
+          " div (CAST(__n3 AS DECIMAL(38,0)) * __m)"))
+        .otherwise(col("__d1")))
+      .withColumn("__gam", expr(
+        "CAST(__d1 AS DECIMAL(38,0))*__k1" +
+          " + CAST(__d2 AS DECIMAL(38,0))*__k2" +
+          " + CAST(__d3 AS DECIMAL(38,0))*__k3p"))
+      .withColumn("__p", coalesce(col("p_e9"),
+        when(col("__c1").isNotNull && col("__pre").isNotNull, expr(
+          "(__gam * __pre)" +
+            " div (CAST(__c1 AS DECIMAL(38,0)) * __b)")),
+        when(col("__pre").isNotNull, expr(
+          "(CAST(__pre AS DECIMAL(38,0)) * 1000000000)" +
+            " div CAST(__b AS DECIMAL(38,0))")),
+        lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__p")).as("sum_p_e9"))
+  }
+
+  /** [[knScoreDocsTrigram]] under MODIFIED Kneser–Ney — the n=3
+    * serve for [[knTrigramProbabilitiesModified]]: both levels of the
+    * cascade interpolate with that level's three-discount γ mass
+    * (top over the context's type counts K, continuation over the
+    * middle context's L counts indexed by pre23), composing through
+    * the model's own single-stage floors. Branch structure is
+    * [[knTrigramScoreFacts]]'s (seen / backoff / fallback / zero at
+    * each level) with λ·lower replaced by γ/total·lower. Degenerate
+    * M = 0 levels contribute zero γ naturally. Pass a MATERIALIZED
+    * `tri`. */
+  def knScoreDocsTrigramModified(docs: DataFrame, idCol: String,
+      textCol: String, tri: DataFrame): DataFrame =
+    knScoreFinish(docs.select(col(idCol)).distinct(),
+      knTrigramScoreFactsModified(docs, idCol, textCol, tri), idCol,
+      nCol = "n_trigrams")
+
+  /** The per-doc aggregated half of [[knScoreDocsTrigramModified]] —
+    * the shape that streams; shared with the streaming serve twin. */
+  def knTrigramScoreFactsModified(docs: DataFrame, idCol: String,
+      textCol: String, tri: DataFrame): DataFrame = {
+    val probs = knTrigramProbabilitiesModified(tri)
+      .select(col("w1"), col("w2"), col("w3"), col("p3_e9"))
+    val ctx = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("__c12"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("__kk1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("__kk2"),
+        sum(when(col("n") >= 3, 1L).otherwise(0L)).as("__kk3p"))
+    val cont = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__pre23"))
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("__pre23")).as("__nmid2"),
+        sum(when(col("__pre23") === 1, 1L).otherwise(0L)).as("__l1"),
+        sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__l2"),
+        sum(when(col("__pre23") >= 3, 1L).otherwise(0L)).as("__l3p"))
+    val pre = cont.groupBy(col("w3")).agg(count(lit(1)).as("__pre3"))
+    val topCc = tri.agg(
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("__t1"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("__t2"),
+      sum(when(col("n") === 3, 1L).otherwise(0L)).as("__t3"),
+      sum(when(col("n") === 4, 1L).otherwise(0L)).as("__t4"))
+    val contCc = cont.agg(count(lit(1)).as("__b"),
+      sum(when(col("__pre23") === 1, 1L).otherwise(0L)).as("__cc1"),
+      sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__cc2"),
+      sum(when(col("__pre23") === 3, 1L).otherwise(0L)).as("__cc3"),
+      sum(when(col("__pre23") === 4, 1L).otherwise(0L)).as("__cc4"))
+    trigramInstances(docs, idCol, textCol)
+      .join(probs, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(cont, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(pre, Seq("w3"), "left")
+      .crossJoin(broadcast(topCc)).crossJoin(broadcast(contCc))
+      .withColumn("__m3", col("__t1") + lit(2L) * col("__t2"))
+      .withColumn("__m2", col("__cc1") + lit(2L) * col("__cc2"))
+      .withColumn("__d31", when(col("__m3") > 0,
+        expr("(CAST(__t1 AS DECIMAL(38,0)) * 1000000000)" +
+          " div CAST(__m3 AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("__d32", when(col("__m3") > 0 && col("__t2") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 2*CAST(__t2 AS DECIMAL(38,0))*__m3" +
+          " - 3*CAST(__t1 AS DECIMAL(38,0))*__t3) * 1000000000)" +
+          " div (CAST(__t2 AS DECIMAL(38,0)) * __m3)"))
+        .otherwise(col("__d31")))
+      .withColumn("__d33", when(col("__m3") > 0 && col("__t3") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 3*CAST(__t3 AS DECIMAL(38,0))*__m3" +
+          " - 4*CAST(__t1 AS DECIMAL(38,0))*__t4) * 1000000000)" +
+          " div (CAST(__t3 AS DECIMAL(38,0)) * __m3)"))
+        .otherwise(col("__d31")))
+      .withColumn("__d21", when(col("__m2") > 0,
+        expr("(CAST(__cc1 AS DECIMAL(38,0)) * 1000000000)" +
+          " div CAST(__m2 AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("__d22", when(col("__m2") > 0 && col("__cc2") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 2*CAST(__cc2 AS DECIMAL(38,0))*__m2" +
+          " - 3*CAST(__cc1 AS DECIMAL(38,0))*__cc3) * 1000000000)" +
+          " div (CAST(__cc2 AS DECIMAL(38,0)) * __m2)"))
+        .otherwise(col("__d21")))
+      .withColumn("__d23", when(col("__m2") > 0 && col("__cc3") > 0,
+        expr("(GREATEST(CAST(0 AS DECIMAL(38,0))," +
+          " 3*CAST(__cc3 AS DECIMAL(38,0))*__m2" +
+          " - 4*CAST(__cc1 AS DECIMAL(38,0))*__cc4) * 1000000000)" +
+          " div (CAST(__cc3 AS DECIMAL(38,0)) * __m2)"))
+        .otherwise(col("__d21")))
+      .withColumn("__g2", expr(
+        "CAST(__d21 AS DECIMAL(38,0))*__l1" +
+          " + CAST(__d22 AS DECIMAL(38,0))*__l2" +
+          " + CAST(__d23 AS DECIMAL(38,0))*__l3p"))
+      .withColumn("__g3", expr(
+        "CAST(__d31 AS DECIMAL(38,0))*__kk1" +
+          " + CAST(__d32 AS DECIMAL(38,0))*__kk2" +
+          " + CAST(__d33 AS DECIMAL(38,0))*__kk3p"))
+      .withColumn("__d2sel", when(col("__pre23") === 1, col("__d21"))
+        .when(col("__pre23") === 2, col("__d22"))
+        .otherwise(col("__d23")))
+      .withColumn("__p2", coalesce(
+        when(col("__pre23").isNotNull, expr(
+          "((CAST(__pre23 AS DECIMAL(38,0)) * 1000000000 - __d2sel)" +
+            " * __b + __g2 * __pre3)" +
+            " div (CAST(__nmid2 AS DECIMAL(38,0)) * __b)")),
+        when(col("__nmid2").isNotNull && col("__pre3").isNotNull,
+          expr("(__g2 * __pre3)" +
+            " div (CAST(__nmid2 AS DECIMAL(38,0)) * __b)")),
+        when(col("__pre3").isNotNull, expr(
+          "(CAST(__pre3 AS DECIMAL(38,0)) * 1000000000)" +
+            " div CAST(__b AS DECIMAL(38,0))")),
+        lit(0L)))
+      .withColumn("__p", coalesce(col("p3_e9"),
+        when(col("__c12").isNotNull, expr(
+          "(__g3 * __p2)" +
+            " div (CAST(__c12 AS DECIMAL(38,0)) * 1000000000)")),
+        col("__p2")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("__p")).as("sum_p_e9"))
+  }
+
   /** Out-of-vocabulary rate per group against a tokenizer vocabulary
     * table (`term` column): per group — token instances, OOV
     * instances, floor-e9 OOV rate. The tokenizer-coverage diagnostic

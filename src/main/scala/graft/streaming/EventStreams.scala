@@ -643,6 +643,26 @@ object EventStreams {
     graft.ext.TextAnalysis.knTrigramScoreFactsEstimatedD(docs, idCol,
       textCol, tri)
 
+  /** Online trained-LM scoring under MODIFIED Kneser–Ney —
+    * [[streamingKnScore]] with
+    * [[graft.ext.TextAnalysis.knScoreFactsModified]] VERBATIM; the
+    * three count-indexed discounts ride the 1-row count-of-counts
+    * broadcast. Materialize `counts`. */
+  def streamingKnScoreModified(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.knScoreFactsModified(docs, idCol,
+      textCol, counts)
+
+  /** Online trigram trained-LM scoring under MODIFIED KN —
+    * [[streamingKnTrigramScore]] with
+    * [[graft.ext.TextAnalysis.knTrigramScoreFactsModified]] VERBATIM;
+    * both levels' three discounts ride the two 1-row count-of-counts
+    * broadcasts. Materialize `tri`. */
+  def streamingKnTrigramScoreModified(docs: DataFrame,
+      idCol: String, textCol: String, tri: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.knTrigramScoreFactsModified(docs, idCol,
+      textCol, tri)
+
   /** Unicode cleanup at ingest — [[graft.ext.TextAnalysis.unicodeClean]]
     * VERBATIM on the streaming frame (the [[streamingFim]] convention:
     * a pure zero-shuffle projection — NFC + control strip + collapse +

@@ -2003,6 +2003,91 @@ class ExtSpec extends SparkSpecBase {
       (7L, 2L, 1116666666L, 558333333L)))
   }
 
+  test("knScoreDocsModified: every back-off branch at the three " +
+      "count-indexed discounts by hand; M=0 degenerate scores ML " +
+      "seen and zero backoff mass") {
+    val train = Seq("the cat sat", "the cat ran").toDF("text")
+    // counts: (the,cat,2) (cat,sat,1) (cat,ran,1); n1=2 n2=1 n3=n4=0
+    // M=4 -> d1=5e8; d2=(2*1*4-0)*1e9//(1*4)=2e9 (the degenerate
+    // full-discount D2 at n3=0); d3=d1 fallback. B=3, all pre=1.
+    // gam(the)=d2*1=2e9 (k2=1); gam(cat)=d1*2=1e9 (k1=2).
+    // p(cat|the): n=2 -> dsel=d2: ((2e9-2e9)*3 + 2e9*1)//(2*3)
+    //   = 333333333 (pure discount mass — the clip branch live)
+    // p(sat|cat)=p(ran|cat): ((1e9-5e8)*3 + 1e9*1)//(2*3) = 416666666
+    val counts = TextAnalysis.knBigramCounts(train, "text")
+    val docs = Seq(
+      (1L, "the cat sat"), // seen+seen: 333333333+416666666
+      (2L, "dog cat"),     // w1 unseen, w2 known: 1e9//3 = 333333333
+      (3L, "the zzz"),     // w2 unknown: 0
+      (4L, "the ran"),     // backoff: (gam(the)*pre)//(c1*B)
+                           // = 2e9//6 = 333333333
+      (5L, "solo")         // < 2 tokens: zero row via the spine
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knScoreDocsModified(docs, "doc_id",
+        "text", counts)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 749999999L, 374999999L),
+      (2L, 1L, 333333333L, 333333333L),
+      (3L, 1L, 0L, 0L),
+      (4L, 1L, 333333333L, 333333333L),
+      (5L, 0L, 0L, 0L)))
+    // M=0 model (every count >= 3): all three discounts are 0, so a
+    // seen bigram scores ML and unseen-with-known-context gets ZERO
+    val deg = Seq(("a", "b", 3L), ("a", "c", 6L)).toDF("w1", "w2", "n")
+    val got2 = TextAnalysis.knScoreDocsModified(
+        Seq((1L, "a b"), (2L, "a z")).toDF("doc_id", "text"),
+        "doc_id", "text", deg)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got2.toSeq == Seq((1L, 333333333L), (2L, 0L)))
+  }
+
+  test("knScoreDocsTrigramModified: the two-level cascade at each " +
+      "level's three discounts by hand; sub-3-token docs keep zero " +
+      "rows") {
+    val train = Seq("a b c a b d", "x b c").toDF("text")
+    // tri all n=1: t1=5 t2..t4=0 -> M3=5, d31=d32=d33=1e9
+    // cont pre23: (b,c)=2 (c,a)=(a,b)=(b,d)=1 -> B=4, cc1=3 cc2=1
+    //   M2=5 -> d21=6e8; d22=(2*1*5-0)*1e9//5=2e9; d23=d21
+    // gam2(b)=d21*1+d22*1=2.6e9 (l1=(b,d), l2=(b,c));
+    //   gam2(a)=gam2(c)=6e8
+    // gam3(a,b)=d31*2=2e9; others 1e9
+    // p2(b,c): ((2e9-d22)*4 + 2.6e9*1)//(3*4) = 216666666
+    // p2(c,a)=p2(a,b): ((1e9-6e8)*4 + 6e8*1)//(1*4) = 550000000
+    // seen p3 all n=1 -> top term (1e9-d31)=0: p3 = gam3*p2//(c12*1e9)
+    //   p3(a,b,c)=2e9*216666666//2e9 = 216666666
+    //   p3(b,c,a)=550000000
+    val model = TextAnalysis.knTrigramCounts(train, "text")
+    val docs = Seq(
+      (1L, "a b c"),   // seen trigram: 216666666
+      (2L, "a b b"),   // ctx seen, tri unseen: (w2,w3)=(b,b) unseen,
+                       // w2=b/w3=b known -> p2=(2.6e9*1)//(3*4)
+                       // = 216666666; then gam3(a,b)*p2//(2*1e9)
+                       // = 216666666
+      (3L, "z b c"),   // ctx unseen -> p2(b,c) = 216666666
+      (4L, "z z c"),   // w2 unseen, w3 known: 1e9//4 = 250000000
+      (5L, "z z q"),   // w3 unknown: 0
+      (6L, "a b"),     // < 3 tokens: zero row via the spine
+      (7L, "a b c a")  // 216666666 + p3(b,c,a)=550000000
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knScoreDocsTrigramModified(docs,
+        "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 216666666L, 216666666L),
+      (2L, 1L, 216666666L, 216666666L),
+      (3L, 1L, 216666666L, 216666666L),
+      (4L, 1L, 250000000L, 250000000L),
+      (5L, 1L, 0L, 0L),
+      (6L, 0L, 0L, 0L),
+      (7L, 2L, 766666666L, 383333333L)))
+  }
+
   test("knProbabilitiesModified: Chen-Goodman three discounts by " +
       "hand, count-indexed pick live on all buckets; empty-bucket " +
       "fallback, GREATEST clip and M=0 degenerate") {
