@@ -1808,28 +1808,23 @@ object TextAnalysis {
       knScoreFactsModified(docs, idCol, textCol, counts), idCol)
 
   /** The per-doc aggregated half of [[knScoreDocsModified]] — the
-    * shape that streams; shared with the streaming serve twin. */
+    * shape that streams; shared with the streaming serve twin.
+    *
+    * Plan note: the three discounts are a pure function of the 1-row
+    * count-of-counts, so they are computed ON that 1-row aggregate
+    * (once, before broadcast), and the per-context γ on the
+    * MODEL-sized ctx table — the instance rows (the corpus-scale
+    * axis) carry only the branch pick and its single division, the
+    * same per-row cost as the pinned-D [[knScoreFacts]]. */
   def knScoreFactsModified(docs: DataFrame, idCol: String,
       textCol: String, counts: DataFrame): DataFrame = {
     val probs = knProbabilitiesModified(counts)
       .select(col("w1"), col("w2"), col("p_e9"))
-    val ctx = counts.groupBy(col("w1"))
-      .agg(sum(col("n")).as("__c1"),
-        sum(when(col("n") === 1, 1L).otherwise(0L)).as("__k1"),
-        sum(when(col("n") === 2, 1L).otherwise(0L)).as("__k2"),
-        sum(when(col("n") >= 3, 1L).otherwise(0L)).as("__k3p"))
-    val cont = counts.groupBy(col("w2"))
-      .agg(count(lit(1)).as("__pre"))
-    val tot = counts.agg(count(lit(1)).as("__b"),
-      sum(when(col("n") === 1, 1L).otherwise(0L)).as("__n1"),
-      sum(when(col("n") === 2, 1L).otherwise(0L)).as("__n2"),
-      sum(when(col("n") === 3, 1L).otherwise(0L)).as("__n3"),
-      sum(when(col("n") === 4, 1L).otherwise(0L)).as("__n4"))
-    bigramInstances(docs, idCol, textCol)
-      .join(probs, Seq("w1", "w2"), "left")
-      .join(ctx, Seq("w1"), "left")
-      .join(cont, Seq("w2"), "left")
-      .crossJoin(broadcast(tot))
+    val totD = counts.agg(count(lit(1)).as("__b"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("__n2"),
+        sum(when(col("n") === 3, 1L).otherwise(0L)).as("__n3"),
+        sum(when(col("n") === 4, 1L).otherwise(0L)).as("__n4"))
       .withColumn("__m", col("__n1") + lit(2L) * col("__n2"))
       .withColumn("__d1", when(col("__m") > 0,
         expr("(CAST(__n1 AS DECIMAL(38,0)) * 1000000000)" +
@@ -1846,10 +1841,25 @@ object TextAnalysis {
           " - 4*CAST(__n1 AS DECIMAL(38,0))*__n4) * 1000000000)" +
           " div (CAST(__n3 AS DECIMAL(38,0)) * __m)"))
         .otherwise(col("__d1")))
+      .select("__b", "__d1", "__d2", "__d3")
+    val ctxG = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("__c1"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("__k1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("__k2"),
+        sum(when(col("n") >= 3, 1L).otherwise(0L)).as("__k3p"))
+      .crossJoin(broadcast(totD.select("__d1", "__d2", "__d3")))
       .withColumn("__gam", expr(
         "CAST(__d1 AS DECIMAL(38,0))*__k1" +
           " + CAST(__d2 AS DECIMAL(38,0))*__k2" +
           " + CAST(__d3 AS DECIMAL(38,0))*__k3p"))
+      .select("w1", "__c1", "__gam")
+    val cont = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("__pre"))
+    bigramInstances(docs, idCol, textCol)
+      .join(probs, Seq("w1", "w2"), "left")
+      .join(ctxG, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totD.select("__b")))
       .withColumn("__p", coalesce(col("p_e9"),
         when(col("__c1").isNotNull && col("__pre").isNotNull, expr(
           "(__gam * __pre)" +
@@ -1880,43 +1890,26 @@ object TextAnalysis {
       nCol = "n_trigrams")
 
   /** The per-doc aggregated half of [[knScoreDocsTrigramModified]] —
-    * the shape that streams; shared with the streaming serve twin. */
+    * the shape that streams; shared with the streaming serve twin.
+    *
+    * Plan note (same as [[knScoreFactsModified]]): both levels'
+    * discounts are computed ONCE on their 1-row count-of-counts
+    * aggregates, the per-context γ₃ on the MODEL-sized ctx table and
+    * the per-middle γ₂ on the mid table — instance rows carry only
+    * the branch CASEs and their single divisions, the per-row cost of
+    * the pinned-D [[knTrigramScoreFacts]]. */
   def knTrigramScoreFactsModified(docs: DataFrame, idCol: String,
       textCol: String, tri: DataFrame): DataFrame = {
     val probs = knTrigramProbabilitiesModified(tri)
       .select(col("w1"), col("w2"), col("w3"), col("p3_e9"))
-    val ctx = tri.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("n")).as("__c12"),
-        sum(when(col("n") === 1, 1L).otherwise(0L)).as("__kk1"),
-        sum(when(col("n") === 2, 1L).otherwise(0L)).as("__kk2"),
-        sum(when(col("n") >= 3, 1L).otherwise(0L)).as("__kk3p"))
     val cont = tri.groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).as("__pre23"))
-    val mid = cont.groupBy(col("w2"))
-      .agg(sum(col("__pre23")).as("__nmid2"),
-        sum(when(col("__pre23") === 1, 1L).otherwise(0L)).as("__l1"),
-        sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__l2"),
-        sum(when(col("__pre23") >= 3, 1L).otherwise(0L)).as("__l3p"))
-    val pre = cont.groupBy(col("w3")).agg(count(lit(1)).as("__pre3"))
-    val topCc = tri.agg(
-      sum(when(col("n") === 1, 1L).otherwise(0L)).as("__t1"),
-      sum(when(col("n") === 2, 1L).otherwise(0L)).as("__t2"),
-      sum(when(col("n") === 3, 1L).otherwise(0L)).as("__t3"),
-      sum(when(col("n") === 4, 1L).otherwise(0L)).as("__t4"))
-    val contCc = cont.agg(count(lit(1)).as("__b"),
-      sum(when(col("__pre23") === 1, 1L).otherwise(0L)).as("__cc1"),
-      sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__cc2"),
-      sum(when(col("__pre23") === 3, 1L).otherwise(0L)).as("__cc3"),
-      sum(when(col("__pre23") === 4, 1L).otherwise(0L)).as("__cc4"))
-    trigramInstances(docs, idCol, textCol)
-      .join(probs, Seq("w1", "w2", "w3"), "left")
-      .join(ctx, Seq("w1", "w2"), "left")
-      .join(cont, Seq("w2", "w3"), "left")
-      .join(mid, Seq("w2"), "left")
-      .join(pre, Seq("w3"), "left")
-      .crossJoin(broadcast(topCc)).crossJoin(broadcast(contCc))
+    val topD = tri.agg(
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("__t1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("__t2"),
+        sum(when(col("n") === 3, 1L).otherwise(0L)).as("__t3"),
+        sum(when(col("n") === 4, 1L).otherwise(0L)).as("__t4"))
       .withColumn("__m3", col("__t1") + lit(2L) * col("__t2"))
-      .withColumn("__m2", col("__cc1") + lit(2L) * col("__cc2"))
       .withColumn("__d31", when(col("__m3") > 0,
         expr("(CAST(__t1 AS DECIMAL(38,0)) * 1000000000)" +
           " div CAST(__m3 AS DECIMAL(38,0))")).otherwise(lit(0L)))
@@ -1932,6 +1925,13 @@ object TextAnalysis {
           " - 4*CAST(__t1 AS DECIMAL(38,0))*__t4) * 1000000000)" +
           " div (CAST(__t3 AS DECIMAL(38,0)) * __m3)"))
         .otherwise(col("__d31")))
+      .select("__d31", "__d32", "__d33")
+    val contD = cont.agg(count(lit(1)).as("__b"),
+        sum(when(col("__pre23") === 1, 1L).otherwise(0L)).as("__cc1"),
+        sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__cc2"),
+        sum(when(col("__pre23") === 3, 1L).otherwise(0L)).as("__cc3"),
+        sum(when(col("__pre23") === 4, 1L).otherwise(0L)).as("__cc4"))
+      .withColumn("__m2", col("__cc1") + lit(2L) * col("__cc2"))
       .withColumn("__d21", when(col("__m2") > 0,
         expr("(CAST(__cc1 AS DECIMAL(38,0)) * 1000000000)" +
           " div CAST(__m2 AS DECIMAL(38,0))")).otherwise(lit(0L)))
@@ -1947,14 +1947,37 @@ object TextAnalysis {
           " - 4*CAST(__cc1 AS DECIMAL(38,0))*__cc4) * 1000000000)" +
           " div (CAST(__cc3 AS DECIMAL(38,0)) * __m2)"))
         .otherwise(col("__d21")))
-      .withColumn("__g2", expr(
-        "CAST(__d21 AS DECIMAL(38,0))*__l1" +
-          " + CAST(__d22 AS DECIMAL(38,0))*__l2" +
-          " + CAST(__d23 AS DECIMAL(38,0))*__l3p"))
+      .select("__b", "__d21", "__d22", "__d23")
+    val ctxG = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("__c12"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("__kk1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("__kk2"),
+        sum(when(col("n") >= 3, 1L).otherwise(0L)).as("__kk3p"))
+      .crossJoin(broadcast(topD))
       .withColumn("__g3", expr(
         "CAST(__d31 AS DECIMAL(38,0))*__kk1" +
           " + CAST(__d32 AS DECIMAL(38,0))*__kk2" +
           " + CAST(__d33 AS DECIMAL(38,0))*__kk3p"))
+      .select("w1", "w2", "__c12", "__g3")
+    val midG = cont.groupBy(col("w2"))
+      .agg(sum(col("__pre23")).as("__nmid2"),
+        sum(when(col("__pre23") === 1, 1L).otherwise(0L)).as("__l1"),
+        sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__l2"),
+        sum(when(col("__pre23") >= 3, 1L).otherwise(0L)).as("__l3p"))
+      .crossJoin(broadcast(contD.select("__d21", "__d22", "__d23")))
+      .withColumn("__g2", expr(
+        "CAST(__d21 AS DECIMAL(38,0))*__l1" +
+          " + CAST(__d22 AS DECIMAL(38,0))*__l2" +
+          " + CAST(__d23 AS DECIMAL(38,0))*__l3p"))
+      .select("w2", "__nmid2", "__g2")
+    val pre = cont.groupBy(col("w3")).agg(count(lit(1)).as("__pre3"))
+    trigramInstances(docs, idCol, textCol)
+      .join(probs, Seq("w1", "w2", "w3"), "left")
+      .join(ctxG, Seq("w1", "w2"), "left")
+      .join(cont, Seq("w2", "w3"), "left")
+      .join(midG, Seq("w2"), "left")
+      .join(pre, Seq("w3"), "left")
+      .crossJoin(broadcast(contD))
       .withColumn("__d2sel", when(col("__pre23") === 1, col("__d21"))
         .when(col("__pre23") === 2, col("__d22"))
         .otherwise(col("__d23")))

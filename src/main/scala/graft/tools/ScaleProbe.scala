@@ -120,6 +120,7 @@ object ScaleProbe {
       "budget_sample", "line_filter", "oov_rate", "kn_counts",
       "kn_probabilities", "kn_doc_score", "span_corrupt",
       "kn3_probabilities", "kn3_doc_score", "lm_gated_pipeline",
+      "mkn_probabilities", "mkn_doc_score", "mkn3_doc_score",
       "collocations", "ingest_pipeline",
       "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
@@ -365,6 +366,33 @@ object ScaleProbe {
           docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text")
         .localCheckpoint(true)
       TextAnalysis.knScoreDocsTrigram(docs, "doc_id", "text", model)
+        .select(sum("sum_p_e9"), sum("n_trigrams")).head()
+    }
+    // modified-KN derivation: the pinned-D shape plus ONE more 1-row
+    // count-of-counts broadcast (n1..n4) and per-context K-counts
+    // folded into the same ctx agg — distinct-bigram axis, flat
+    // under replication like kn_probabilities
+    timeOrRun("mkn_probabilities")(TextAnalysis.knProbabilitiesModified(
+      TextAnalysis.knBigramCounts(docs, "text"))
+      .select(sum("p_e9")).head())
+    // mKN serving: identical join shape to kn_doc_score (instances ×
+    // model + 2 marginals) — the three discounts ride the 1-row
+    // broadcast, so the serving cost should read AT the pinned-D axis
+    timeOrRun("mkn_doc_score") {
+      val model = TextAnalysis.knBigramCounts(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text")
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocsModified(docs, "doc_id", "text", model)
+        .select(sum("sum_p_e9"), sum("n_bigrams")).head()
+    }
+    // mKN trigram serving: kn3_doc_score's five-join shape with both
+    // levels' count-of-counts on 1-row broadcasts
+    timeOrRun("mkn3_doc_score") {
+      val model = TextAnalysis.knTrigramCounts(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text")
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocsTrigramModified(docs, "doc_id", "text",
+          model)
         .select(sum("sum_p_e9"), sum("n_trigrams")).head()
     }
     // the q269 composition: LM score+gate (instance joins + slim

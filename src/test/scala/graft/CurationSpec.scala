@@ -165,6 +165,27 @@ class CurationSpec extends SparkSpecBase {
       CurationConfig(lmMinMeanPE9 = tau), Some(bi),
       lmScorer = graft.ext.TextAnalysis.knScoreFactsEstimatedD)
     assert(estGated.count() > 0)
+    // the modified-KN scorer plugs in and keeps exactly the
+    // mKN-score-gated subset (the q288 composition); at the same tau
+    // it diverges from the pinned-D bigram gate (different discounts,
+    // same instances)
+    val mknTau = 33500000L
+    val mknGated = Curation.curationPipeline(d,
+      CurationConfig(lmMinMeanPE9 = mknTau), Some(bi),
+      lmScorer = graft.ext.TextAnalysis.knScoreFactsModified)
+    val mknKeep = graft.ext.TextAnalysis.knScoreFactsModified(
+        d, "doc_id", "text", bi)
+      .filter(col("sum_p_e9") >= col("n_bigrams") * mknTau)
+      .select("doc_id")
+    assert(mknGated.count() > 0)
+    assert(mknGated.select("doc_id").exceptAll(mknKeep)
+      .count() === 0)
+    val pinGated = Curation.curationPipeline(d,
+      CurationConfig(lmMinMeanPE9 = mknTau), Some(bi))
+    assert(mknGated.select("doc_id")
+      .exceptAll(pinGated.select("doc_id")).count() > 0 ||
+      pinGated.select("doc_id")
+        .exceptAll(mknGated.select("doc_id")).count() > 0)
   }
 
   test("lengthGroupedBatches: layout is a pure function of (seed, id, " +
