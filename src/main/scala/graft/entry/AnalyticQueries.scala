@@ -1790,6 +1790,35 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
+    // The FIFTY-SECOND streaming twin: OPEN-VOCABULARY online serving
+    // — q260's shape with the <unk>-mapped facts (knScoreFactsUnk,
+    // the SHARED derivation: broadcast vocab dim joins in front of
+    // the cascade). Faces q290's own oracle SQL row-for-row.
+    "q291_streaming_kn_unk_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val en = d.where(col("lang") === "en")
+      val counts = graft.ext.TextAnalysis.knBigramCounts(
+          en.select("doc_id", "text"), "text")
+        .localCheckpoint(true)
+      val vocab = graft.ext.TextAnalysis.knVocabTopK(
+          en.select("doc_id", "text"), "text", 24)
+        .localCheckpoint(true)
+      val raw = replayDocsThirds(s, d.select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingKnScoreUnk(
+          df, "doc_id", "text", counts, vocab),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => vs.maxBy(v => (v._2, v._3))).toSeq
+        .map(_._2)
+      graft.ext.TextAnalysis.knScoreFinish(
+          d.select("doc_id").distinct(),
+          folded.toDF("doc_id", "n_bigrams", "sum_p_e9"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // The FIFTY-FIRST streaming twin: online trigram maintenance
     // under MODIFIED KN — q272's folded count state (here on the 'en'
     // slice, q278's training set) derived through the SHARED
@@ -3164,6 +3193,10 @@ object AnalyticQueries {
       // as q278
       ("q287_streaming_kn_trigram_mkn" ->
         TextQueries.oracleSql("q278_kn_trigram_modified")) +
+      // open-vocabulary online serving must reproduce the batch
+      // <unk>-mapped scorer — same oracle as q290
+      ("q291_streaming_kn_unk_score" ->
+        TextQueries.oracleSql("q290_kn_unk_doc_score")) +
       // cleanup at ingest is the batch projection verbatim — same
       // oracle as q262
       ("q263_streaming_unicode_clean" ->

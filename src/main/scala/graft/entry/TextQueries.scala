@@ -458,6 +458,42 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // OPEN-VOCABULARY KN model (the SRILM/KenLM <unk> convention —
+    // the vocabulary-truncation step every production n-gram LM
+    // applies): top-24 words by (count desc, word asc) stay, the
+    // rest fold to <unk> ON THE COLLAPSED count table (model-sized
+    // re-agg — the corpus is never re-read), then the pinned-D
+    // derivation over the folded table. The en corpus holds 31 words
+    // at every SF, so 7 fold at every SF — the truncation is live.
+    "q289_kn_unk_model" -> ((s, dir) => {
+      val en = docs(s, dir).where(col("lang") === "en")
+      val counts = TextAnalysis.knBigramCounts(en, "text")
+        .localCheckpoint(true)
+      val vocab = TextAnalysis.knVocabTopK(en, "text", 24)
+        .localCheckpoint(true)
+      TextAnalysis.knProbabilities(
+          TextAnalysis.knCountsWithUnk(counts, vocab)
+            .localCheckpoint(true))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+    }),
+
+    // q250's doc scoring OPEN-VOCABULARY: serve-time tokens outside
+    // the training vocabulary map to <unk> before the cascade, so an
+    // unseen word scores the model's real p(<unk>|ctx) instead of 0
+    // — the q250 zero-continuation caveat closed the way production
+    // toolkits close it. Non-en docs (whose words are mostly OOV to
+    // the en vocab) exercise the mapping heavily at every SF.
+    "q290_kn_unk_doc_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val en = d.where(col("lang") === "en")
+      val counts = TextAnalysis.knBigramCounts(en, "text")
+        .localCheckpoint(true)
+      val vocab = TextAnalysis.knVocabTopK(en, "text", 24)
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocsUnk(d, "doc_id", "text", counts, vocab)
+        .orderBy("doc_id")
+    }),
+
     // MODIFIED Kneser-Ney (verdict r17 item #2 — Chen-Goodman's
     // three-discount estimator, what SRILM/KenLM ship): D1/D2/D3+
     // estimated from the count-of-counts n1..n4, the discount picked
@@ -1896,6 +1932,96 @@ object TextQueries {
         |  d22_e9, d23_e9, p2_e9, p3_e9
         |FROM fin WHERE rk <= 67
         |ORDER BY n DESC, w1, w2, w3""".stripMargin,
+    // top-24 vocabulary by (unigram count desc, word asc), raw en
+    // bigram counts folded through the CASE-IN-voc map and
+    // re-aggregated, then q250's pinned-D model forms over the
+    // folded table
+    "q289_kn_unk_model" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |u AS (SELECT tk[i] AS w, COUNT(*) AS n
+        |  FROM t, unnest(generate_series(1, len(tk))) q(i)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |voc AS (SELECT w FROM u ORDER BY n DESC, w LIMIT 24),
+        |bg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) q(i)
+        |  WHERE len(tk) >= 2),
+        |c0 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |c AS (SELECT
+        |    CASE WHEN w1 IN (SELECT w FROM voc) THEN w1
+        |         ELSE '<unk>' END AS w1,
+        |    CASE WHEN w2 IN (SELECT w FROM voc) THEN w2
+        |         ELSE '<unk>' END AS w2,
+        |    CAST(SUM(n) AS BIGINT) AS n
+        |  FROM c0 GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS post FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM c)
+        |SELECT c.w1, c.w2, c.n,
+        |  CAST((1000000000 * ((4*c.n - 3)*b + 3*ctx.post*cont.pre))
+        |       // (4*ctx.c1*b) AS BIGINT) AS p_e9
+        |FROM c JOIN ctx USING (w1) JOIN cont USING (w2), tot
+        |ORDER BY c.n DESC, c.w1, c.w2""".stripMargin,
+    // q250's scoring SQL with the vocabulary fold applied to BOTH the
+    // count table and the serve-time instances (the same CASE-IN-voc
+    // map); the ELSE-0 branch stays spelled but is dead — <unk> is a
+    // regular model word with continuation mass
+    "q290_kn_unk_doc_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |u AS (SELECT tk[i] AS w, COUNT(*) AS n
+        |  FROM t, unnest(generate_series(1, len(tk))) q(i)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |voc AS (SELECT w FROM u ORDER BY n DESC, w LIMIT 24),
+        |bg0 AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) q(i)
+        |  WHERE len(tk) >= 2),
+        |bg AS (SELECT doc_id, lang,
+        |    CASE WHEN w1 IN (SELECT w FROM voc) THEN w1
+        |         ELSE '<unk>' END AS w1,
+        |    CASE WHEN w2 IN (SELECT w FROM voc) THEN w2
+        |         ELSE '<unk>' END AS w2
+        |  FROM bg0),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS post FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM c),
+        |p AS (SELECT c.w1, c.w2,
+        |    CAST((1000000000 * ((4*c.n - 3)*b + 3*ctx.post*cont.pre))
+        |         // (4*ctx.c1*b) AS BIGINT) AS p_e9
+        |  FROM c JOIN ctx USING (w1) JOIN cont USING (w2), tot),
+        |sc AS (SELECT bg.doc_id,
+        |    COALESCE(p.p_e9,
+        |      CASE WHEN ctx.c1 IS NOT NULL AND cont.pre IS NOT NULL
+        |           THEN CAST((CAST(1000000000 AS HUGEINT) * 3
+        |                      * ctx.post * cont.pre)
+        |                     // (4*ctx.c1*b) AS BIGINT)
+        |           WHEN ctx.c1 IS NULL AND cont.pre IS NOT NULL
+        |           THEN CAST((CAST(1000000000 AS HUGEINT) * cont.pre)
+        |                     // b AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM bg
+        |  LEFT JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+        |  LEFT JOIN ctx ON bg.w1 = ctx.w1
+        |  LEFT JOIN cont ON bg.w2 = cont.w2, tot),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(pp) AS BIGINT) AS sum_p_e9 FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(agg.sum_p_e9, 0) AS sum_p_e9,
+        |  CAST(CASE WHEN agg.n_bigrams > 0
+        |       THEN agg.sum_p_e9 // agg.n_bigrams
+        |       ELSE 0 END AS BIGINT) AS mean_p_e9
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // q275's scoring shape with q277's three-discount CTEs: the seen
     // branch is the mKN closed form verbatim, the unseen-mass branch
     // keeps only the gamma term, both through the same pre-floored

@@ -1220,6 +1220,15 @@ object TextAnalysis {
     * downstream, [[knScoreFinish]]). Shared by the batch operator and
     * the streaming twin so the derivations cannot drift. */
   def knScoreFacts(docs: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame): DataFrame =
+    knScoreFactsFromPairs(bigramInstances(docs, idCol, textCol),
+      idCol, counts)
+
+  /** [[knScoreFacts]]'s join-and-cascade body over an explicit
+    * per-doc (id, w1, w2) instance frame — shared with the
+    * open-vocabulary serve, whose instances are vocabulary-mapped
+    * before they reach the cascade. */
+  private def knScoreFactsFromPairs(pairs: DataFrame, idCol: String,
       counts: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val probs = knProbabilities(counts)
@@ -1229,7 +1238,6 @@ object TextAnalysis {
     val cont = counts.groupBy(col("w2"))
       .agg(count(lit(1)).as("__pre"))
     val b = counts.agg(count(lit(1)).as("__b"))
-    val pairs = bigramInstances(docs, idCol, textCol)
     val scored = pairs
       .join(probs, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -1266,6 +1274,91 @@ object TextAnalysis {
       .withColumn("mean_p_e9",
         when(col(nCol) > 0,
           expr(s"sum_p_e9 div `$nCol`")).otherwise(lit(0L)))
+
+  /** The reserved out-of-vocabulary token of the open-vocabulary LM
+    * family (the SRILM/KenLM `<unk>` convention). Whitespace
+    * tokenization cannot emit it from clean text; corpora that could
+    * contain the literal should [[unicodeClean]]/escape first — the
+    * standard caveat, documented rather than hidden. */
+  val UnkToken = "<unk>"
+
+  /** Top-K training vocabulary by (unigram count desc, word asc) —
+    * the vocabulary-truncation step every production n-gram LM
+    * applies before training (SRILM's sorted-vocab cutoff): the K
+    * most frequent words stay, everything else maps to [[UnkToken]].
+    * Rank-based (not absolute-count) so the SAME K is meaningful at
+    * every corpus scale. One in-scan token explode + one word agg +
+    * a global top-K (TakeOrderedAndProject — no full sort
+    * materializes). Deterministic: ties break on the word itself. */
+  def knVocabTopK(train: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    train
+      .select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(k)
+      .select("word")
+  }
+
+  /** Fold a collapsed (w1, w2, n) bigram count table into a
+    * vocabulary: out-of-vocab words on either side become
+    * [[UnkToken]] and the collapsed rows RE-aggregate. The corpus is
+    * never re-read — vocabulary truncation is a pure function of the
+    * word, so it distributes over the count table (model-sized work,
+    * two broadcast dim joins + one model-sized re-agg, regardless of
+    * corpus scale). */
+  def knCountsWithUnk(counts: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val v1 = vocab.select(col("word").as("w1"), lit(1).as("__v1"))
+    val v2 = vocab.select(col("word").as("w2"), lit(1).as("__v2"))
+    counts
+      .join(broadcast(v1), Seq("w1"), "left")
+      .join(broadcast(v2), Seq("w2"), "left")
+      .select(
+        when(col("__v1").isNotNull, col("w1"))
+          .otherwise(lit(UnkToken)).as("w1"),
+        when(col("__v2").isNotNull, col("w2"))
+          .otherwise(lit(UnkToken)).as("w2"),
+        col("n"))
+      .groupBy("w1", "w2").agg(sum(col("n")).as("n"))
+  }
+
+  /** OPEN-VOCABULARY doc scoring — [[knScoreDocs]] with the
+    * [[UnkToken]] convention closing the q250 zero-continuation
+    * caveat: serve-time tokens outside the training vocabulary map
+    * to `<unk>` BEFORE the cascade, so an unseen word scores the
+    * model's real p(`<unk>`|ctx) mass instead of 0 (as long as the
+    * training corpus had at least one out-of-vocab word, `<unk>` is
+    * a regular model word with continuation mass — the zero branch
+    * never fires). `counts` is the RAW [[knBigramCounts]] table;
+    * the vocabulary fold happens here via [[knCountsWithUnk]]
+    * (model-sized), and instance mapping is two broadcast dim joins
+    * on the exploded pairs. Same cascade, same floors, same scale
+    * shape as the closed-vocab serve. */
+  def knScoreDocsUnk(docs: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame, vocab: DataFrame): DataFrame =
+    knScoreFinish(docs.select(col(idCol)).distinct(),
+      knScoreFactsUnk(docs, idCol, textCol, counts, vocab), idCol)
+
+  /** The per-doc aggregated half of [[knScoreDocsUnk]] — the shape
+    * that streams; shared with the streaming serve twin. */
+  def knScoreFactsUnk(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val v1 = vocab.select(col("word").as("w1"), lit(1).as("__v1"))
+    val v2 = vocab.select(col("word").as("w2"), lit(1).as("__v2"))
+    val mapped = bigramInstances(docs, idCol, textCol)
+      .join(broadcast(v1), Seq("w1"), "left")
+      .join(broadcast(v2), Seq("w2"), "left")
+      .select(col(idCol),
+        when(col("__v1").isNotNull, col("w1"))
+          .otherwise(lit(UnkToken)).as("w1"),
+        when(col("__v2").isNotNull, col("w2"))
+          .otherwise(lit(UnkToken)).as("w2"))
+    knScoreFactsFromPairs(mapped, idCol,
+      knCountsWithUnk(counts, vocab))
+  }
 
   /** [[knScoreDocs]] under NEY'S ESTIMATED discount — the scoring
     * half the q273 trainer was missing: documents score against the

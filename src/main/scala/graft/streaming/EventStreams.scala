@@ -643,6 +643,18 @@ object EventStreams {
     graft.ext.TextAnalysis.knTrigramScoreFactsEstimatedD(docs, idCol,
       textCol, tri)
 
+  /** OPEN-VOCABULARY online scoring — [[streamingKnScore]] with
+    * [[graft.ext.TextAnalysis.knScoreFactsUnk]] VERBATIM: arriving
+    * tokens map through the broadcast vocabulary (stream-static dim
+    * joins) before the cascade, so unseen words score the model's
+    * real p(`<unk>`|ctx) online too. Materialize `counts` and
+    * `vocab`. */
+  def streamingKnScoreUnk(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame,
+      vocab: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.knScoreFactsUnk(docs, idCol, textCol,
+      counts, vocab)
+
   /** Online trained-LM scoring under MODIFIED Kneser–Ney —
     * [[streamingKnScore]] with
     * [[graft.ext.TextAnalysis.knScoreFactsModified]] VERBATIM; the

@@ -2088,6 +2088,51 @@ class ExtSpec extends SparkSpecBase {
       (7L, 2L, 766666666L, 383333333L)))
   }
 
+  test("knVocabTopK + knCountsWithUnk + knScoreDocsUnk: rank-based " +
+      "vocabulary truncation by hand; OOV serve-time words score " +
+      "real <unk> mass, never zero") {
+    val train = Seq("the cat sat", "the cat ran").toDF("text")
+    // unigrams: the=2 cat=2 sat=1 ran=1; top-3 by (n desc, word asc)
+    // = {cat, the, ran}; sat -> <unk>
+    val vocab = TextAnalysis.knVocabTopK(train, "text", 3)
+    assert(vocab.orderBy("word").as[String].collect().toSeq ==
+      Seq("cat", "ran", "the"))
+    // raw counts (the,cat,2)(cat,sat,1)(cat,ran,1) fold to
+    // (the,cat,2)(cat,<unk>,1)(cat,ran,1) — model-sized re-agg
+    val counts = TextAnalysis.knBigramCounts(train, "text")
+    val folded = TextAnalysis.knCountsWithUnk(counts, vocab)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(folded.toSeq == Seq(
+      ("cat", "<unk>", 1L), ("cat", "ran", 1L), ("the", "cat", 2L)))
+    // pinned-D model over the folded table: b=3;
+    // p(cat|the) = 1e9*((4*2-3)*3 + 3*1*1)//(4*2*3) = 750000000
+    // p(<unk>|cat) = p(ran|cat) = 1e9*(3 + 3*2*1)//24 = 375000000
+    val docs = Seq(
+      (1L, "the cat sat"),   // seen + (cat,sat)->(cat,<unk>) seen:
+                             // 750000000 + 375000000
+      (2L, "the cat zebra"), // OOV zebra -> <unk>: SAME mass as doc 1
+                             // (the open-vocab point: no zero)
+      (3L, "zebra cat"),     // ctx <unk> unseen -> unigram fallback:
+                             // 1e9*pre(cat)//3 = 333333333
+      (4L, "the ran"),       // unseen bigram, both known: backoff
+                             // 1e9*3*post(the)*pre(ran)//(4*2*3)
+                             // = 125000000
+      (5L, "solo")           // < 2 tokens: zero row via the spine
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knScoreDocsUnk(docs, "doc_id", "text",
+        counts, vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1125000000L, 562500000L),
+      (2L, 2L, 1125000000L, 562500000L),
+      (3L, 1L, 333333333L, 333333333L),
+      (4L, 1L, 125000000L, 125000000L),
+      (5L, 0L, 0L, 0L)))
+  }
+
   test("knProbabilitiesModified: Chen-Goodman three discounts by " +
       "hand, count-indexed pick live on all buckets; empty-bucket " +
       "fallback, GREATEST clip and M=0 degenerate") {
