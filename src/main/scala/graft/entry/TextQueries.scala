@@ -814,6 +814,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The last cell of the gate × scorer matrix (q269 pinned / q279
+    // trigram / q288 mKN / here estimated-D): the q273-trained
+    // production discount gates the corpus. At the SAME τ=33.5e6 the
+    // three bigram gates keep DIFFERENT doc sets (325/348/2033 here
+    // vs 327/347/2020 mKN at the three SFs) — the smoother choice is
+    // visible through the gate, not just the model table.
+    "q292_lm_gated_pipeline_estd" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      graft.ext.Curation.curationPipeline(d,
+          graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 33500000L),
+          Some(model),
+          lmScorer = TextAnalysis.knScoreFactsEstimatedD)
+        .orderBy("doc_id")
+    }),
+
     // Length-grouped micro-batching (the padding-waste minimizer of
     // training dataloaders, deterministic): per hash shard, docs rank
     // by (n_tokens asc, id asc) into batches of 8; batch max and
@@ -2022,6 +2040,110 @@ object TextQueries {
         |       ELSE 0 END AS BIGINT) AS mean_p_e9
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q269's chain with q275's ESTIMATED-DISCOUNT gate CTEs in front
+    // (the last gate × scorer cell): the seen branch is the estd
+    // closed form verbatim, the unseen-mass branch drops the seen
+    // numerator, then lmkeep at sum >= n*33.5e6 and the q197 chain
+    // verbatim
+    "q292_lm_gated_pipeline_estd" -> (rebuiltSqlCte(4) +
+      """,
+        |lt AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |lbg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM lt, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |lc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lbg WHERE lang = 'en' GROUP BY 1, 2),
+        |lctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS post FROM lc GROUP BY 1),
+        |lcont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM lc GROUP BY 1),
+        |ltot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    (CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |     + 2*CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+        |       AS HUGEINT)) AS m FROM lc),
+        |lp AS (SELECT lc.w1, lc.w2,
+        |    CASE WHEN m > 0
+        |         THEN CAST(((lc.n*m - n1) * 1000000000
+        |              + n1*lctx.post*((lcont.pre * 1000000000) // b))
+        |              // (lctx.c1*m) AS BIGINT)
+        |         ELSE CAST((lc.n * 1000000000) // lctx.c1 AS BIGINT)
+        |         END AS p_e9
+        |  FROM lc JOIN lctx USING (w1) JOIN lcont USING (w2), ltot),
+        |lsc AS (SELECT lbg.doc_id,
+        |    COALESCE(lp.p_e9,
+        |      CASE WHEN lctx.c1 IS NOT NULL AND lcont.pre IS NOT NULL
+        |           THEN CASE WHEN m > 0
+        |                THEN CAST((n1*lctx.post
+        |                     *((lcont.pre*1000000000) // b))
+        |                     // (lctx.c1*m) AS BIGINT)
+        |                ELSE 0 END
+        |           WHEN lctx.c1 IS NULL AND lcont.pre IS NOT NULL
+        |           THEN CAST((lcont.pre*1000000000) // b AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM lbg
+        |  LEFT JOIN lp ON lbg.w1 = lp.w1 AND lbg.w2 = lp.w2
+        |  LEFT JOIN lctx ON lbg.w1 = lctx.w1
+        |  LEFT JOIN lcont ON lbg.w2 = lcont.w2, ltot),
+        |lmkeep AS (SELECT doc_id FROM
+        |  (SELECT doc_id, COUNT(*) AS nb,
+        |      CAST(SUM(pp) AS HUGEINT) AS sp
+        |   FROM lsc GROUP BY 1)
+        |  WHERE sp >= 33500000 * nb),
+        |q AS (SELECT d.doc_id, d.source, r.text
+        |  FROM documents d JOIN rebuilt r USING (doc_id)
+        |  WHERE d.doc_id IN (SELECT doc_id FROM lmkeep)
+        |    AND len(string_split_regex(d.text,'\s+')) >= 20
+        |    AND (CASE WHEN length(d.text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(d.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |              / CAST(length(d.text) AS DOUBLE) END) >= 0.805),
+        |lines AS (SELECT doc_id, l
+        |  FROM q, unnest(string_split(text, chr(10))) u(l)
+        |  WHERE length(l) > 0),
+        |freq AS (SELECT COALESCE(list(l), []) fl FROM
+        |  (SELECT l FROM lines GROUP BY l HAVING COUNT(DISTINCT doc_id) > 2)),
+        |bp AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> length(x) > 0 AND NOT list_contains(fl, x)) kl
+        |  FROM q, freq),
+        |ex AS (SELECT doc_id, kl[i] AS l, i
+        |  FROM bp, unnest(generate_series(1, len(kl))) u(i)),
+        |rk AS (SELECT doc_id, l, i,
+        |    row_number() OVER (PARTITION BY l ORDER BY doc_id, i) rn
+        |  FROM ex),
+        |cln AS (SELECT q.doc_id,
+        |    length(COALESCE(k.txt, '')) AS n_chars_clean
+        |  FROM q LEFT JOIN
+        |    (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) txt
+        |     FROM rk WHERE rn = 1 GROUP BY 1) k USING (doc_id)),
+        |ftoks AS (SELECT doc_id, string_split_regex(text,'\s+') t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') s
+        |       FROM ftoks, unnest(generate_series(1, len(t)-7)) u(i)
+        |       WHERE len(t) >= 8
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(t,' ') FROM ftoks
+        |       WHERE len(t) < 8),
+        |fp AS (SELECT doc_id, min(md5(s)) AS f FROM sh GROUP BY 1),
+        |cl AS (SELECT fp.doc_id, MIN(f2.doc_id) AS cluster
+        |  FROM fp JOIN fp f2 USING (f) GROUP BY 1),
+        |qt AS (SELECT c.doc_id,
+        |    CAST(row_number() OVER (PARTITION BY q.source
+        |      ORDER BY c.n_chars_clean DESC, c.doc_id) AS BIGINT)
+        |      AS quota_rank
+        |  FROM cln c JOIN q USING (doc_id)),
+        |kept AS (SELECT doc_id, quota_rank FROM qt WHERE quota_rank <= 10)
+        |SELECT q.doc_id, q.source, c.n_chars_clean, kept.quota_rank,
+        |  cl.cluster, CASE
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3435973836 THEN 'train'
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3865470565 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM q JOIN cln c USING (doc_id) JOIN cl USING (doc_id)
+        |LEFT JOIN kept USING (doc_id)
+        |ORDER BY q.doc_id""".stripMargin),
     // q275's scoring shape with q277's three-discount CTEs: the seen
     // branch is the mKN closed form verbatim, the unseen-mass branch
     // keeps only the gamma term, both through the same pre-floored
