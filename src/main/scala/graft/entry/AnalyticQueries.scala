@@ -1790,6 +1790,39 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
+    // The FIFTY-THIRD streaming twin: online STUPID BACKOFF serving
+    // — q268's shape with the Brants facts (stupidBackoffScoreFacts,
+    // the SHARED derivation: five stream-static count joins, no
+    // continuation marginals). Faces q293's own oracle SQL
+    // row-for-row.
+    "q296_streaming_stupid_backoff_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val en = d.where(col("lang") === "en")
+        .select("doc_id", "text")
+      val uni = graft.ext.TextAnalysis.unigramTable(en, "text")
+        .localCheckpoint(true)
+      val bi = graft.ext.TextAnalysis.knBigramCounts(en, "text")
+        .localCheckpoint(true)
+      val tri = graft.ext.TextAnalysis.knTrigramCounts(en, "text")
+        .localCheckpoint(true)
+      val raw = replayDocsThirds(s, d.select("doc_id", "text"),
+        df => graft.streaming.EventStreams
+          .streamingStupidBackoffScore(
+            df, "doc_id", "text", uni, bi, tri),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => vs.maxBy(v => (v._2, v._3))).toSeq
+        .map(_._2)
+      graft.ext.TextAnalysis.knScoreFinish(
+          d.select("doc_id").distinct(),
+          folded.toDF("doc_id", "n_trigrams", "sum_p_e9"), "doc_id",
+          nCol = "n_trigrams")
+        .orderBy("doc_id")
+    }),
+
     // The FIFTY-SECOND streaming twin: OPEN-VOCABULARY online serving
     // — q260's shape with the <unk>-mapped facts (knScoreFactsUnk,
     // the SHARED derivation: broadcast vocab dim joins in front of
@@ -3197,6 +3230,10 @@ object AnalyticQueries {
       // <unk>-mapped scorer — same oracle as q290
       ("q291_streaming_kn_unk_score" ->
         TextQueries.oracleSql("q290_kn_unk_doc_score")) +
+      // online stupid-backoff serving must reproduce the batch
+      // cascade — same oracle as q293
+      ("q296_streaming_stupid_backoff_score" ->
+        TextQueries.oracleSql("q293_stupid_backoff_doc_score")) +
       // cleanup at ingest is the batch projection verbatim — same
       // oracle as q262
       ("q263_streaming_unicode_clean" ->

@@ -494,6 +494,54 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // STUPID BACKOFF doc scoring (Brants et al. 2007 — the smoother
+    // Google built FOR corpus scale: no continuation statistics, no
+    // normalization, three independent count passes; alpha = 2/5
+    // exact so every branch floors exactly). The canonical web-scale
+    // baseline next to the KN family.
+    "q293_stupid_backoff_doc_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val en = d.where(col("lang") === "en")
+      val uni = TextAnalysis.unigramTable(en, "text")
+        .localCheckpoint(true)
+      val bi = TextAnalysis.knBigramCounts(en, "text")
+        .localCheckpoint(true)
+      val tri = TextAnalysis.knTrigramCounts(en, "text")
+        .localCheckpoint(true)
+      TextAnalysis.stupidBackoffScoreDocs(d, "doc_id", "text",
+          uni, bi, tri)
+        .orderBy("doc_id")
+    }),
+
+    // WITTEN-BELL interpolated bigram model (Witten/Bell 1991 method
+    // C — Chen-Goodman's baseline): lambda = c1/(c1+T1) against the
+    // UNIGRAM MLE (the defining contrast with KN's continuation
+    // distribution), the whole estimate ONE fraction of corpus
+    // integers so a single floor loses < 1 ulp.
+    "q294_witten_bell_model" -> ((s, dir) => {
+      val en = docs(s, dir).where(col("lang") === "en")
+      val uni = TextAnalysis.unigramTable(en, "text")
+        .localCheckpoint(true)
+      val counts = TextAnalysis.knBigramCounts(en, "text")
+        .localCheckpoint(true)
+      TextAnalysis.wittenBellProbabilities(counts, uni)
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+    }),
+
+    // q294's model scoring every doc through the WB cascade (seen /
+    // escape-mass / unigram-fallback / unknown-zero).
+    "q295_witten_bell_doc_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val en = d.where(col("lang") === "en")
+      val uni = TextAnalysis.unigramTable(en, "text")
+        .localCheckpoint(true)
+      val counts = TextAnalysis.knBigramCounts(en, "text")
+        .localCheckpoint(true)
+      TextAnalysis.wittenBellScoreDocs(d, "doc_id", "text",
+          counts, uni)
+        .orderBy("doc_id")
+    }),
+
     // MODIFIED Kneser-Ney (verdict r17 item #2 — Chen-Goodman's
     // three-discount estimator, what SRILM/KenLM ship): D1/D2/D3+
     // estimated from the count-of-counts n1..n4, the discount picked
@@ -1950,6 +1998,124 @@ object TextQueries {
         |  d22_e9, d23_e9, p2_e9, p3_e9
         |FROM fin WHERE rk <= 67
         |ORDER BY n DESC, w1, w2, w3""".stripMargin,
+    // true per-order counts (uni/bi/tri each from the corpus), then
+    // the alpha=2/5 cascade as exact-integer CASE branches; scores,
+    // not probabilities (Brants' deliberate trade)
+    "q293_stupid_backoff_doc_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |uni AS (SELECT tk[i] AS w, CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM t, unnest(generate_series(1, len(tk))) q(i)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n) AS HUGEINT) AS n FROM uni),
+        |bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2,
+        |    CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) q(i)
+        |  WHERE lang = 'en' AND len(tk) >= 2 GROUP BY 1, 2),
+        |tri AS (SELECT tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3,
+        |    CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM t, unnest(generate_series(1, len(tk)-2)) q(i)
+        |  WHERE lang = 'en' AND len(tk) >= 3 GROUP BY 1, 2, 3),
+        |inst AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2,
+        |    tk[i+2] AS w3
+        |  FROM t, unnest(generate_series(1, len(tk)-2)) q(i)
+        |  WHERE len(tk) >= 3),
+        |sc AS (SELECT inst.doc_id,
+        |    COALESCE(
+        |      CASE WHEN tri.n IS NOT NULL
+        |           THEN CAST((tri.n * 1000000000) // b12.n AS BIGINT)
+        |           WHEN b23.n IS NOT NULL
+        |           THEN CAST((2 * b23.n * 1000000000) // (5 * u2.n)
+        |                AS BIGINT)
+        |           WHEN u3.n IS NOT NULL
+        |           THEN CAST((4 * u3.n * 1000000000)
+        |                // (25 * nn.n) AS BIGINT)
+        |           ELSE 0 END, 0) AS s
+        |  FROM inst
+        |  LEFT JOIN tri ON inst.w1 = tri.w1 AND inst.w2 = tri.w2
+        |    AND inst.w3 = tri.w3
+        |  LEFT JOIN bi b12 ON inst.w1 = b12.w1 AND inst.w2 = b12.w2
+        |  LEFT JOIN bi b23 ON inst.w2 = b23.w1 AND inst.w3 = b23.w2
+        |  LEFT JOIN uni u2 ON inst.w2 = u2.w
+        |  LEFT JOIN uni u3 ON inst.w3 = u3.w, nn),
+        |agg AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(s) AS BIGINT) AS sum_p_e9 FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+        |  COALESCE(agg.sum_p_e9, 0) AS sum_p_e9,
+        |  CAST(CASE WHEN agg.n_trigrams > 0
+        |       THEN agg.sum_p_e9 // agg.n_trigrams
+        |       ELSE 0 END AS BIGINT) AS mean_p_e9
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // the single-fraction WB estimate: (c12*N + T1*c2)*1e9 //
+    // ((c1+T1)*N) over true per-order counts
+    "q294_witten_bell_model" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |uni AS (SELECT tk[i] AS w, CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM t, unnest(generate_series(1, len(tk))) q(i)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n) AS HUGEINT) AS n FROM uni),
+        |c AS (SELECT tk[i] AS w1, tk[i+1] AS w2,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) q(i)
+        |  WHERE lang = 'en' AND len(tk) >= 2 GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS t1 FROM c GROUP BY 1)
+        |SELECT c.w1, c.w2, c.n,
+        |  CAST(((CAST(c.n AS HUGEINT) * nn.n + ctx.t1 * u2.n)
+        |        * 1000000000)
+        |       // ((ctx.c1 + ctx.t1) * nn.n) AS BIGINT) AS p_e9
+        |FROM c JOIN ctx USING (w1) JOIN uni u2 ON c.w2 = u2.w, nn
+        |ORDER BY c.n DESC, c.w1, c.w2""".stripMargin,
+    // q294's model + the WB cascade branches (seen / escape /
+    // unigram fallback / zero)
+    "q295_witten_bell_doc_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |uni AS (SELECT tk[i] AS w, CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM t, unnest(generate_series(1, len(tk))) q(i)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n) AS HUGEINT) AS n FROM uni),
+        |bg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) q(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS t1 FROM c GROUP BY 1),
+        |p AS (SELECT c.w1, c.w2,
+        |    CAST(((CAST(c.n AS HUGEINT) * nn.n + ctx.t1 * u2.n)
+        |          * 1000000000)
+        |         // ((ctx.c1 + ctx.t1) * nn.n) AS BIGINT) AS p_e9
+        |  FROM c JOIN ctx USING (w1) JOIN uni u2 ON c.w2 = u2.w, nn),
+        |sc AS (SELECT bg.doc_id,
+        |    COALESCE(p.p_e9,
+        |      CASE WHEN ctx.c1 IS NOT NULL AND u2.n IS NOT NULL
+        |           THEN CAST((ctx.t1 * u2.n * 1000000000)
+        |                // ((ctx.c1 + ctx.t1) * nn.n) AS BIGINT)
+        |           WHEN u2.n IS NOT NULL
+        |           THEN CAST((u2.n * 1000000000) // nn.n AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM bg
+        |  LEFT JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+        |  LEFT JOIN ctx ON bg.w1 = ctx.w1
+        |  LEFT JOIN uni u2 ON bg.w2 = u2.w, nn),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(pp) AS BIGINT) AS sum_p_e9 FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(agg.sum_p_e9, 0) AS sum_p_e9,
+        |  CAST(CASE WHEN agg.n_bigrams > 0
+        |       THEN agg.sum_p_e9 // agg.n_bigrams
+        |       ELSE 0 END AS BIGINT) AS mean_p_e9
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // top-24 vocabulary by (unigram count desc, word asc), raw en
     // bigram counts folded through the CASE-IN-voc map and
     // re-aggregated, then q250's pinned-D model forms over the

@@ -1360,6 +1360,155 @@ object TextAnalysis {
       knCountsWithUnk(counts, vocab))
   }
 
+  /** Corpus unigram counts — the per-order count table the
+    * non-continuation smoothers ([[stupidBackoffScoreFacts]],
+    * [[wittenBellProbabilities]]) take alongside the bigram/trigram
+    * tables (each order counted from the corpus directly, the
+    * Brants et al. 2007 convention — NOT derived from a higher
+    * order, which would drop each document's tail tokens). One
+    * in-scan explode + ONE word agg with map-side partials. */
+  def unigramTable(train: DataFrame, textCol: String): DataFrame =
+    train
+      .select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** STUPID BACKOFF doc scoring (Brants/Popat/Xu/Och/Dean 2007 —
+    * "Large Language Models in Machine Translation", §4): the
+    * smoother Google built FOR corpus scale, chosen here for exactly
+    * the reason the paper gives — no continuation statistics, no
+    * normalization pass, each order trains in one counting pass, so
+    * the 100 TB training cost is three independent count-collapse
+    * aggregations. The score cascade (α = 0.4 = 2/5, an exact
+    * rational, so every branch floors exactly):
+    *   - seen trigram:        c₁₂₃·10⁹ div c₁₂
+    *   - else seen (w2,w3):   2·c₂₃·10⁹ div (5·c₂)
+    *   - else seen w3:        4·c₃·10⁹ div (25·N)
+    *   - w3 unknown:          0  (compose with [[knVocabTopK]] /
+    *                          [[knCountsWithUnk]]-style mapping for
+    *                          an open-vocab variant)
+    * S is a SCORE, not a probability (it does not sum to 1 — the
+    * paper's deliberate trade); the output keeps the facts-frame
+    * column contract (`sum_p_e9`) so it plugs into the gate and
+    * [[knScoreFinish]] unchanged. Seen-trigram implies c₁₂ ≥ c₁₂₃ > 0
+    * and seen-(w2,w3) implies c₂ ≥ c₂₃ > 0 (each order counted from
+    * the SAME corpus), so no branch divides by zero. Pass
+    * MATERIALIZED count tables. */
+  def stupidBackoffScoreDocs(docs: DataFrame, idCol: String,
+      textCol: String, uni: DataFrame, bi: DataFrame,
+      tri: DataFrame): DataFrame =
+    knScoreFinish(docs.select(col(idCol)).distinct(),
+      stupidBackoffScoreFacts(docs, idCol, textCol, uni, bi, tri),
+      idCol, nCol = "n_trigrams")
+
+  /** The per-doc aggregated half of [[stupidBackoffScoreDocs]] — the
+    * shape that streams; shared with the streaming serve twin. */
+  def stupidBackoffScoreFacts(docs: DataFrame, idCol: String,
+      textCol: String, uni: DataFrame, bi: DataFrame,
+      tri: DataFrame): DataFrame = {
+    val t3 = tri.select(col("w1"), col("w2"), col("w3"),
+      col("n").as("__c123"))
+    val ctx = bi.select(col("w1"), col("w2"), col("n").as("__c12"))
+    val b23 = bi.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("n").as("__c23"))
+    val u2 = uni.select(col("word").as("w2"), col("n").as("__c2"))
+    val u3 = uni.select(col("word").as("w3"), col("n").as("__c3"))
+    val tot = uni.agg(sum(col("n")).as("__nn"))
+    trigramInstances(docs, idCol, textCol)
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(b23, Seq("w2", "w3"), "left")
+      .join(u2, Seq("w2"), "left")
+      .join(u3, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__s", coalesce(
+        when(col("__c123").isNotNull, expr(
+          "(CAST(__c123 AS DECIMAL(38,0)) * 1000000000)" +
+            " div CAST(__c12 AS DECIMAL(38,0))")),
+        when(col("__c23").isNotNull, expr(
+          "(2 * CAST(__c23 AS DECIMAL(38,0)) * 1000000000)" +
+            " div (5 * CAST(__c2 AS DECIMAL(38,0)))")),
+        when(col("__c3").isNotNull, expr(
+          "(4 * CAST(__c3 AS DECIMAL(38,0)) * 1000000000)" +
+            " div (25 * CAST(__nn AS DECIMAL(38,0)))")),
+        lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("__s")).as("sum_p_e9"))
+  }
+
+  /** WITTEN–BELL interpolated bigram probabilities (Witten/Bell 1991
+    * method C, the PPM escape — Chen/Goodman's baseline smoother):
+    * λ(w1) = c₁/(c₁+T₁) with T₁ = |distinct continuations of w1|,
+    * interpolating the ML bigram with the UNIGRAM MLE (not the KN
+    * continuation distribution — the defining difference from
+    * [[knProbabilities]]). The whole estimate is ONE fraction of
+    * corpus integers,
+    *   p_e9 = (c₁₂·N + T₁·c₂)·10⁹ div ((c₁+T₁)·N),
+    * so a single floor loses < 1 ulp (no staged composition error).
+    * Headroom: c₁₂·N·10⁹ < 10³⁸ holds through ~10¹⁴ corpus tokens —
+    * the 100 TB envelope, documented not assumed. Takes the bigram
+    * count table plus [[unigramTable]] (true per-order counts). */
+  def wittenBellProbabilities(counts: DataFrame,
+      uni: DataFrame): DataFrame = {
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("c1"), count(lit(1)).as("t1"))
+    val u2 = uni.select(col("word").as("w2"), col("n").as("c2"))
+    val tot = uni.agg(sum(col("n")).as("nn"))
+    counts.join(ctx, Seq("w1")).join(u2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_e9", expr(
+        "((CAST(n AS DECIMAL(38,0)) * nn + CAST(t1 AS DECIMAL(38,0))" +
+          " * c2) * 1000000000)" +
+          " div ((CAST(c1 AS DECIMAL(38,0)) + t1) * nn)"))
+      .select("w1", "w2", "n", "p_e9")
+  }
+
+  /** Doc scoring against the [[wittenBellProbabilities]] model — the
+    * same instance-join serve shape as [[knScoreDocs]] with the WB
+    * cascade:
+    *   - seen bigram: the model's p_e9 (exact replay, joined)
+    *   - ctx known, w2 known: the model formula at c₁₂ = 0 —
+    *     T₁·c₂·10⁹ div ((c₁+T₁)·N)  (the escape mass times the
+    *     unigram MLE, one floor)
+    *   - ctx unknown, w2 known: c₂·10⁹ div N  (unigram fallback)
+    *   - w2 unknown: 0
+    * Pass MATERIALIZED `counts` and `uni`. */
+  def wittenBellScoreDocs(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame,
+      uni: DataFrame): DataFrame =
+    knScoreFinish(docs.select(col(idCol)).distinct(),
+      wittenBellScoreFacts(docs, idCol, textCol, counts, uni), idCol)
+
+  /** The per-doc aggregated half of [[wittenBellScoreDocs]] — the
+    * shape that streams; shared with the streaming serve twin. */
+  def wittenBellScoreFacts(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame,
+      uni: DataFrame): DataFrame = {
+    val probs = wittenBellProbabilities(counts, uni)
+      .select(col("w1"), col("w2"), col("p_e9"))
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("__c1"), count(lit(1)).as("__t1"))
+    val u2 = uni.select(col("word").as("w2"), col("n").as("__c2"))
+    val tot = uni.agg(sum(col("n")).as("__nn"))
+    bigramInstances(docs, idCol, textCol)
+      .join(probs, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(u2, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__p", coalesce(col("p_e9"),
+        when(col("__c1").isNotNull && col("__c2").isNotNull, expr(
+          "(CAST(__t1 AS DECIMAL(38,0)) * __c2 * 1000000000)" +
+            " div ((CAST(__c1 AS DECIMAL(38,0)) + __t1) * __nn)")),
+        when(col("__c2").isNotNull, expr(
+          "(CAST(__c2 AS DECIMAL(38,0)) * 1000000000)" +
+            " div CAST(__nn AS DECIMAL(38,0))")),
+        lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__p")).as("sum_p_e9"))
+  }
+
   /** [[knScoreDocs]] under NEY'S ESTIMATED discount — the scoring
     * half the q273 trainer was missing: documents score against the
     * [[knProbabilitiesEstimatedD]] model (D = n₁/(n₁+2n₂) instead of

@@ -655,6 +655,18 @@ object EventStreams {
     graft.ext.TextAnalysis.knScoreFactsUnk(docs, idCol, textCol,
       counts, vocab)
 
+  /** Online STUPID BACKOFF scoring — [[streamingKnTrigramScore]]'s
+    * shape with [[graft.ext.TextAnalysis.stupidBackoffScoreFacts]]
+    * VERBATIM: five stream-static count-table joins (no continuation
+    * marginals — the Brants trade shows up as a SHALLOWER serve than
+    * KN's) + ONE Update-mode per-doc agg. Materialize all three
+    * count tables. */
+  def streamingStupidBackoffScore(docs: DataFrame, idCol: String,
+      textCol: String, uni: DataFrame, bi: DataFrame,
+      tri: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.stupidBackoffScoreFacts(docs, idCol,
+      textCol, uni, bi, tri)
+
   /** Online trained-LM scoring under MODIFIED Kneser–Ney —
     * [[streamingKnScore]] with
     * [[graft.ext.TextAnalysis.knScoreFactsModified]] VERBATIM; the

@@ -2133,6 +2133,80 @@ class ExtSpec extends SparkSpecBase {
       (5L, 0L, 0L, 0L)))
   }
 
+  test("stupidBackoffScoreDocs: the Brants alpha=2/5 cascade by " +
+      "hand over true per-order counts; unknown w3 zero; short docs " +
+      "keep zero rows") {
+    val train = Seq("a b c a b d", "x b c").toDF("text")
+    // uni: a=2 b=3 c=2 d=1 x=1, N=9; bi: (a,b)2 (b,c)2 (c,a)1 (b,d)1
+    // (x,b)1; tri all 1
+    val uni = TextAnalysis.unigramTable(train, "text")
+    val bi = TextAnalysis.knBigramCounts(train, "text")
+    val tri = TextAnalysis.knTrigramCounts(train, "text")
+    assert(uni.agg(sum("n")).head().getLong(0) == 9L)
+    val docs = Seq(
+      (1L, "a b c"),   // seen tri: c123/c12 = 1e9//2 = 500000000
+      (2L, "a b b"),   // (b,b) unseen, b known:
+                       // 4*c3*1e9//(25*N) = 12e9//225 = 53333333
+      (3L, "z b c"),   // (b,c) seen: 2*2*1e9//(5*3) = 266666666
+      (4L, "z z q"),   // w3 unknown: 0
+      (5L, "a b"),     // < 3 tokens: zero row via the spine
+      (6L, "a b c a")  // 500000000 + (b,c,a): 1e9//c12(b,c)=2
+                       // = 500000000
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScoreDocs(docs, "doc_id",
+        "text", uni, bi, tri)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 500000000L, 500000000L),
+      (2L, 1L, 53333333L, 53333333L),
+      (3L, 1L, 266666666L, 266666666L),
+      (4L, 1L, 0L, 0L),
+      (5L, 0L, 0L, 0L),
+      (6L, 2L, 1000000000L, 500000000L)))
+  }
+
+  test("wittenBellProbabilities + wittenBellScoreDocs: the " +
+      "single-fraction WB estimate by hand (lambda = c1/(c1+T1) " +
+      "against the UNIGRAM MLE); every cascade branch") {
+    val train = Seq("the cat sat", "the cat ran").toDF("text")
+    // uni: the=2 cat=2 sat=1 ran=1, N=6
+    // bi: (the,cat)2 (cat,sat)1 (cat,ran)1
+    // ctx: the c1=2 T1=1; cat c1=2 T1=2
+    val uni = TextAnalysis.unigramTable(train, "text")
+    val counts = TextAnalysis.knBigramCounts(train, "text")
+    val model = TextAnalysis.wittenBellProbabilities(counts, uni)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    // p(cat|the) = (2*6+1*2)*1e9//(3*6) = 777777777
+    //   (= 2/3*ML + 1/3*uni = 2/3 + 1/3*(2/6) = 7/9 — sums to 1
+    //   with the escape, the WB invariant)
+    // p(sat|cat) = p(ran|cat) = (1*6+2*1)*1e9//(4*6) = 333333333
+    assert(model.toSeq == Seq(
+      ("cat", "ran", 333333333L), ("cat", "sat", 333333333L),
+      ("the", "cat", 777777777L)))
+    val docs = Seq(
+      (1L, "the cat sat"), // 777777777 + 333333333
+      (2L, "dog cat"),     // ctx unknown, cat known: 2e9//6
+      (3L, "the zzz"),     // w2 unknown: 0
+      (4L, "the ran"),     // escape: T1*c2*1e9//((c1+T1)*N)
+                           // = 1e9//18 = 55555555
+      (5L, "solo")         // < 2 tokens: zero row via the spine
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.wittenBellScoreDocs(docs, "doc_id",
+        "text", counts, uni)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1111111110L, 555555555L),
+      (2L, 1L, 333333333L, 333333333L),
+      (3L, 1L, 0L, 0L),
+      (4L, 1L, 55555555L, 55555555L),
+      (5L, 0L, 0L, 0L)))
+  }
+
   test("knProbabilitiesModified: Chen-Goodman three discounts by " +
       "hand, count-indexed pick live on all buckets; empty-bucket " +
       "fallback, GREATEST clip and M=0 degenerate") {
