@@ -121,6 +121,7 @@ object ScaleProbe {
       "kn_probabilities", "kn_doc_score", "span_corrupt",
       "kn3_probabilities", "kn3_doc_score", "lm_gated_pipeline",
       "mkn_probabilities", "mkn_doc_score", "mkn3_doc_score",
+      "sb_doc_score",
       "collocations", "ingest_pipeline",
       "hard_negatives", "random_negatives",
       "hard_negatives_batched4",
@@ -393,6 +394,22 @@ object ScaleProbe {
         .localCheckpoint(true)
       TextAnalysis.knScoreDocsTrigramModified(docs, "doc_id", "text",
           model)
+        .select(sum("sum_p_e9"), sum("n_trigrams")).head()
+    }
+    // stupid-backoff serving: the Brants trade measured — five count
+    // joins, NO continuation marginals; should read BELOW the kn3
+    // serve at the same instance count (the paper's point, as a
+    // number)
+    timeOrRun("sb_doc_score") {
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val uni = TextAnalysis.unigramTable(train, "text")
+        .localCheckpoint(true)
+      val bi = TextAnalysis.knBigramCounts(train, "text")
+        .localCheckpoint(true)
+      val tri = TextAnalysis.knTrigramCounts(train, "text")
+        .localCheckpoint(true)
+      TextAnalysis.stupidBackoffScoreDocs(docs, "doc_id", "text",
+          uni, bi, tri)
         .select(sum("sum_p_e9"), sum("n_trigrams")).head()
     }
     // the q269 composition: LM score+gate (instance joins + slim
