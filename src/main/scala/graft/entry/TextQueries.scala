@@ -494,6 +494,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The smoother families COMPOSE: modified Kneser-Ney trained on
+    // the <unk>-folded vocabulary — q277's three-discount estimator
+    // over q289's truncated count table, a pure composition of
+    // knProbabilitiesModified with knCountsWithUnk (zero new operator
+    // code; the fold changes the count-of-counts, so all three
+    // discounts shift with it — that coupling is exactly what the
+    // hash gate certifies end-to-end).
+    "q298_kn_unk_mkn_model" -> ((s, dir) => {
+      val en = docs(s, dir).where(col("lang") === "en")
+      val counts = TextAnalysis.knBigramCounts(en, "text")
+        .localCheckpoint(true)
+      val vocab = TextAnalysis.knVocabTopK(en, "text", 24)
+        .localCheckpoint(true)
+      TextAnalysis.knProbabilitiesModified(
+          TextAnalysis.knCountsWithUnk(counts, vocab)
+            .localCheckpoint(true))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+    }),
+
+    // CCNet head/middle/tail (Wenzek et al. 2020 §4.3 — the
+    // perplexity tertiles CCNet publishes and the LLaMA data recipe
+    // selects on): per language, docs rank by trained-LM mean score
+    // (higher = lower perplexity = head) and split by ntile(3). One
+    // language-keyed window after the linear scorer — no global sort.
+    "q297_ccnet_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      graft.ext.Curation.ccnetBuckets(d, "doc_id", "lang", "text",
+          model)
+        .orderBy("doc_id")
+    }),
+
     // STUPID BACKOFF doc scoring (Brants et al. 2007 — the smoother
     // Google built FOR corpus scale: no continuation statistics, no
     // normalization, three independent count passes; alpha = 2/5
@@ -1998,6 +2032,120 @@ object TextQueries {
         |  d22_e9, d23_e9, p2_e9, p3_e9
         |FROM fin WHERE rk <= 67
         |ORDER BY n DESC, w1, w2, w3""".stripMargin,
+    // q289's vocabulary-fold CTEs feeding q277's three-discount
+    // estimator — the composed model, every folded row checked (no
+    // cut: the folded table is at most (K+1)^2 rows)
+    "q298_kn_unk_mkn_model" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |u AS (SELECT tk[i] AS w, COUNT(*) AS n
+        |  FROM t, unnest(generate_series(1, len(tk))) q(i)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |voc AS (SELECT w FROM u ORDER BY n DESC, w LIMIT 24),
+        |bg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) q(i)
+        |  WHERE len(tk) >= 2),
+        |c0 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |c AS (SELECT
+        |    CASE WHEN w1 IN (SELECT w FROM voc) THEN w1
+        |         ELSE '<unk>' END AS w1,
+        |    CASE WHEN w2 IN (SELECT w FROM voc) THEN w2
+        |         ELSE '<unk>' END AS w2,
+        |    CAST(SUM(n) AS BIGINT) AS n
+        |  FROM c0 GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k2,
+        |    CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k3p FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |cc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n3,
+        |    CAST(SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n4 FROM c),
+        |d0 AS (SELECT b, n1, n2, n3, n4, (n1 + 2*n2) AS m,
+        |    CASE WHEN (n1 + 2*n2) > 0
+        |         THEN (n1 * 1000000000) // (n1 + 2*n2)
+        |         ELSE 0 END AS d1 FROM cc),
+        |dd AS (SELECT b, m, d1,
+        |    CASE WHEN m > 0 AND n2 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                2*n2*m - 3*n1*n3) * 1000000000) // (n2*m)
+        |         ELSE d1 END AS d2,
+        |    CASE WHEN m > 0 AND n3 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                3*n3*m - 4*n1*n4) * 1000000000) // (n3*m)
+        |         ELSE d1 END AS d3 FROM d0)
+        |SELECT c.w1, c.w2, c.n,
+        |  CAST(d1 AS BIGINT) AS d1_e9, CAST(d2 AS BIGINT) AS d2_e9,
+        |  CAST(d3 AS BIGINT) AS d3_e9,
+        |  CAST(((CAST(c.n AS HUGEINT) * 1000000000
+        |         - CASE WHEN c.n = 1 THEN d1 WHEN c.n = 2 THEN d2
+        |           ELSE d3 END) * b
+        |        + (d1*ctx.k1 + d2*ctx.k2 + d3*ctx.k3p) * cont.pre)
+        |       // (ctx.c1 * b) AS BIGINT) AS p_e9
+        |FROM c JOIN ctx USING (w1) JOIN cont USING (w2), dd
+        |ORDER BY c.n DESC, c.w1, c.w2""".stripMargin,
+    // q250's scoring CTEs -> per-doc mean -> language-keyed ntile(3)
+    // with the (mean DESC, doc_id) total order; bucket labels by CASE
+    "q297_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |bg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS post FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM c),
+        |p AS (SELECT c.w1, c.w2,
+        |    CAST((1000000000 * ((4*c.n - 3)*b + 3*ctx.post*cont.pre))
+        |         // (4*ctx.c1*b) AS BIGINT) AS p_e9
+        |  FROM c JOIN ctx USING (w1) JOIN cont USING (w2), tot),
+        |sc AS (SELECT bg.doc_id,
+        |    COALESCE(p.p_e9,
+        |      CASE WHEN ctx.c1 IS NOT NULL AND cont.pre IS NOT NULL
+        |           THEN CAST((CAST(1000000000 AS HUGEINT) * 3
+        |                      * ctx.post * cont.pre)
+        |                     // (4*ctx.c1*b) AS BIGINT)
+        |           WHEN ctx.c1 IS NULL AND cont.pre IS NOT NULL
+        |           THEN CAST((CAST(1000000000 AS HUGEINT) * cont.pre)
+        |                     // b AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM bg
+        |  LEFT JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+        |  LEFT JOIN ctx ON bg.w1 = ctx.w1
+        |  LEFT JOIN cont ON bg.w2 = cont.w2, tot),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(pp) AS BIGINT) AS sp FROM sc GROUP BY 1),
+        |m AS (SELECT d.doc_id,
+        |    CAST(CASE WHEN agg.nb > 0 THEN agg.sp // agg.nb
+        |         ELSE 0 END AS BIGINT) AS mean_p_e9
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  LEFT JOIN agg USING (doc_id)),
+        |bkt AS (SELECT dd.doc_id, dd.lang, m.mean_p_e9,
+        |    ntile(3) OVER (PARTITION BY dd.lang
+        |      ORDER BY m.mean_p_e9 DESC, dd.doc_id) AS tl
+        |  FROM (SELECT DISTINCT doc_id, lang FROM documents) dd
+        |  JOIN m USING (doc_id))
+        |SELECT doc_id, lang, mean_p_e9,
+        |  CASE WHEN tl = 1 THEN 'head' WHEN tl = 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM bkt ORDER BY doc_id""".stripMargin,
     // true per-order counts (uni/bi/tri each from the corpus), then
     // the alpha=2/5 cascade as exact-integer CASE branches; scores,
     // not probabilities (Brants' deliberate trade)

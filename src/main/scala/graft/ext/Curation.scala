@@ -660,6 +660,41 @@ object Curation {
         col("__r.__s").as("rejected_score"),
         (col("__c.__s") - col("__r.__s")).as("margin"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" §4.3): per language, rank documents by trained-LM score
+    * and split into HEAD / MIDDLE / TAIL tertiles — the partition
+    * CCNet publishes and downstream corpora (e.g. the LLaMA recipe)
+    * select on. Higher mean probability = lower perplexity = head,
+    * so the rank is (mean_p_e9 DESC, id) — fully deterministic, and
+    * `ntile(3)` is engine-portable (same fencepost rule in Spark and
+    * DuckDB, pinned by q55's quartiles). The scorer is pluggable
+    * like the LM gate's ([[TextAnalysis.knScoreFacts]] family —
+    * pinned/estimated/modified discounts all satisfy the facts
+    * contract). Scale: the scorer's instance joins (linear), then
+    * ONE window keyed by language — the corpus shuffles once on the
+    * language key; no global sort. */
+  def ccnetBuckets(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String, lmModel: DataFrame,
+      lmScorer: (DataFrame, String, String, DataFrame) => DataFrame =
+        TextAnalysis.knScoreFacts): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val facts = lmScorer(docs, idCol, textCol, lmModel)
+    val nCol = facts.columns
+      .filterNot(Set(idCol, "sum_p_e9")).head
+    val scored = TextAnalysis.knScoreFinish(
+      docs.select(col(idCol)).distinct(), facts, idCol, nCol = nCol)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("mean_p_e9").desc, col(idCol))
+    docs.select(col(idCol), col(langCol))
+      .join(scored.select(col(idCol), col("mean_p_e9")), Seq(idCol))
+      .withColumn("__t", ntile(3).over(w))
+      .select(col(idCol), col(langCol), col("mean_p_e9"),
+        when(col("__t") === 1, lit("head"))
+          .when(col("__t") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** UniMax mixture allocation (Chung et al., "UniMax: Fairer and More
     * Effective Language Sampling for Large-Scale Multilingual
     * Pretraining", ICLR 2023): split a total training-token `budget`

@@ -188,6 +188,39 @@ class CurationSpec extends SparkSpecBase {
         .exceptAll(mknGated.select("doc_id")).count() > 0)
   }
 
+  test("ccnetBuckets: per-language tertiles by trained-LM score, " +
+      "head = highest mean probability; deterministic ranks; the " +
+      "scorer knob is live") {
+    import Curation._
+    // model: "the cat sat"/"the cat ran" (the knScoreDocs fixture) —
+    // pinned D=3/4: p(cat|the)=750000000, p(sat|cat)=p(ran|cat)
+    // = 375000000
+    val model = graft.ext.TextAnalysis.knBigramCounts(
+      Seq("the cat sat", "the cat ran").toDF("text"), "text")
+    val docs = Seq(
+      (1L, "aa", "the cat sat"), // mean 562500000 -> head
+      (2L, "aa", "the cat"),     // mean 750000000 -> head
+      (3L, "aa", "cat sat"),     // mean 375000000 -> middle
+      (4L, "aa", "cat ran"),     // mean 375000000 -> middle (id tie)
+      (5L, "aa", "zzz yyy"),     // mean 0 -> tail
+      (6L, "aa", "solo"),        // zero row -> tail
+      (7L, "bb", "the cat")      // own language: single doc -> head
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.ccnetBuckets(docs, "doc_id", "lang", "text",
+        model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(got.toSeq == Seq((1L, "head"), (2L, "head"),
+      (3L, "middle"), (4L, "middle"), (5L, "tail"), (6L, "tail"),
+      (7L, "head")))
+    // scorer knob live: an impossible scorer ranking flips buckets
+    val got2 = Curation.ccnetBuckets(docs, "doc_id", "lang", "text",
+        model,
+        lmScorer = graft.ext.TextAnalysis.knScoreFactsModified)
+      .orderBy("doc_id").collect().map(_.getString(3))
+    assert(got2.length == 7)
+  }
+
   test("lengthGroupedBatches: layout is a pure function of (seed, id, " +
       "len); grouping beats id-order batching on total padding") {
     val docs = (1L to 400L).map(i => (i, (i * 37 % 211) + 5))
