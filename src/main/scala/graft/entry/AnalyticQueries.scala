@@ -1790,6 +1790,34 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
+    // The FIFTY-FOURTH streaming twin: online WITTEN-BELL serving —
+    // q260's shape with the WB facts (wittenBellScoreFacts, the
+    // SHARED derivation; the unigram table replaces the continuation
+    // marginal). Faces q295's own oracle SQL row-for-row.
+    "q300_streaming_witten_bell_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val en = d.where(col("lang") === "en")
+        .select("doc_id", "text")
+      val uni = graft.ext.TextAnalysis.unigramTable(en, "text")
+        .localCheckpoint(true)
+      val counts = graft.ext.TextAnalysis.knBigramCounts(en, "text")
+        .localCheckpoint(true)
+      val raw = replayDocsThirds(s, d.select("doc_id", "text"),
+        df => graft.streaming.EventStreams.streamingWittenBellScore(
+          df, "doc_id", "text", counts, uni),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val folded = raw
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(vs => vs.maxBy(v => (v._2, v._3))).toSeq
+        .map(_._2)
+      graft.ext.TextAnalysis.knScoreFinish(
+          d.select("doc_id").distinct(),
+          folded.toDF("doc_id", "n_bigrams", "sum_p_e9"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // The FIFTY-THIRD streaming twin: online STUPID BACKOFF serving
     // — q268's shape with the Brants facts (stupidBackoffScoreFacts,
     // the SHARED derivation: five stream-static count joins, no
@@ -3234,6 +3262,10 @@ object AnalyticQueries {
       // cascade — same oracle as q293
       ("q296_streaming_stupid_backoff_score" ->
         TextQueries.oracleSql("q293_stupid_backoff_doc_score")) +
+      // online Witten-Bell serving must reproduce the batch cascade
+      // — same oracle as q295
+      ("q300_streaming_witten_bell_score" ->
+        TextQueries.oracleSql("q295_witten_bell_doc_score")) +
       // cleanup at ingest is the batch projection verbatim — same
       // oracle as q262
       ("q263_streaming_unicode_clean" ->

@@ -513,6 +513,23 @@ object TextQueries {
         .orderBy(col("n").desc, col("w1"), col("w2"))
     }),
 
+    // The serve for q298 (landed in the same session as its trainer,
+    // so "the composed model trains but nothing scores" never
+    // opens): open-vocab mKN doc scoring — instances map through the
+    // vocab, the three-discount cascade runs against the FOLDED
+    // table whose own count-of-counts set the discounts.
+    "q299_kn_unk_mkn_doc_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val en = d.where(col("lang") === "en")
+      val counts = TextAnalysis.knBigramCounts(en, "text")
+        .localCheckpoint(true)
+      val vocab = TextAnalysis.knVocabTopK(en, "text", 24)
+        .localCheckpoint(true)
+      TextAnalysis.knScoreDocsUnkModified(d, "doc_id", "text",
+          counts, vocab)
+        .orderBy("doc_id")
+    }),
+
     // CCNet head/middle/tail (Wenzek et al. 2020 §4.3 — the
     // perplexity tertiles CCNet publishes and the LLaMA data recipe
     // selects on): per language, docs rank by trained-LM mean score
@@ -2032,6 +2049,88 @@ object TextQueries {
         |  d22_e9, d23_e9, p2_e9, p3_e9
         |FROM fin WHERE rk <= 67
         |ORDER BY n DESC, w1, w2, w3""".stripMargin,
+    // q290's mapped-instance scoring frame with q283's three-discount
+    // CTEs over the FOLDED count table — the composed serve
+    "q299_kn_unk_mkn_doc_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |u AS (SELECT tk[i] AS w, COUNT(*) AS n
+        |  FROM t, unnest(generate_series(1, len(tk))) q(i)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |voc AS (SELECT w FROM u ORDER BY n DESC, w LIMIT 24),
+        |bg0 AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk)-1)) q(i)
+        |  WHERE len(tk) >= 2),
+        |bg AS (SELECT doc_id, lang,
+        |    CASE WHEN w1 IN (SELECT w FROM voc) THEN w1
+        |         ELSE '<unk>' END AS w1,
+        |    CASE WHEN w2 IN (SELECT w FROM voc) THEN w2
+        |         ELSE '<unk>' END AS w2
+        |  FROM bg0),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k2,
+        |    CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS k3p FROM c GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM c GROUP BY 1),
+        |cc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n3,
+        |    CAST(SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n4 FROM c),
+        |d0 AS (SELECT b, n1, n2, n3, n4, (n1 + 2*n2) AS m,
+        |    CASE WHEN (n1 + 2*n2) > 0
+        |         THEN (n1 * 1000000000) // (n1 + 2*n2)
+        |         ELSE 0 END AS d1 FROM cc),
+        |dd AS (SELECT b, m, d1,
+        |    CASE WHEN m > 0 AND n2 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                2*n2*m - 3*n1*n3) * 1000000000) // (n2*m)
+        |         ELSE d1 END AS d2,
+        |    CASE WHEN m > 0 AND n3 > 0
+        |         THEN (GREATEST(CAST(0 AS HUGEINT),
+        |                3*n3*m - 4*n1*n4) * 1000000000) // (n3*m)
+        |         ELSE d1 END AS d3 FROM d0),
+        |p AS (SELECT c.w1, c.w2,
+        |    CAST(((CAST(c.n AS HUGEINT) * 1000000000
+        |           - CASE WHEN c.n = 1 THEN d1 WHEN c.n = 2 THEN d2
+        |             ELSE d3 END) * b
+        |          + (d1*ctx.k1 + d2*ctx.k2 + d3*ctx.k3p)
+        |            * cont.pre)
+        |         // (ctx.c1 * b) AS BIGINT) AS p_e9
+        |  FROM c JOIN ctx USING (w1) JOIN cont USING (w2), dd),
+        |sc AS (SELECT bg.doc_id,
+        |    COALESCE(p.p_e9,
+        |      CASE WHEN ctx.c1 IS NOT NULL AND cont.pre IS NOT NULL
+        |           THEN CAST(((d1*ctx.k1 + d2*ctx.k2 + d3*ctx.k3p)
+        |                * cont.pre) // (ctx.c1 * b) AS BIGINT)
+        |           WHEN ctx.c1 IS NULL AND cont.pre IS NOT NULL
+        |           THEN CAST((cont.pre*1000000000) // b AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM bg
+        |  LEFT JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+        |  LEFT JOIN ctx ON bg.w1 = ctx.w1
+        |  LEFT JOIN cont ON bg.w2 = cont.w2, dd),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(pp) AS BIGINT) AS sum_p_e9 FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(agg.sum_p_e9, 0) AS sum_p_e9,
+        |  CAST(CASE WHEN agg.n_bigrams > 0
+        |       THEN agg.sum_p_e9 // agg.n_bigrams
+        |       ELSE 0 END AS BIGINT) AS mean_p_e9
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // q289's vocabulary-fold CTEs feeding q277's three-discount
     // estimator — the composed model, every folded row checked (no
     // cut: the folded table is at most (K+1)^2 rows)

@@ -1345,10 +1345,20 @@ object TextAnalysis {
     * that streams; shared with the streaming serve twin. */
   def knScoreFactsUnk(docs: DataFrame, idCol: String,
       textCol: String, counts: DataFrame,
+      vocab: DataFrame): DataFrame =
+    knScoreFactsFromPairs(
+      mapPairsVocab(bigramInstances(docs, idCol, textCol), idCol,
+        vocab),
+      idCol, knCountsWithUnk(counts, vocab))
+
+  /** Map an (id, w1, w2) instance frame into a vocabulary — OOV
+    * words on either side become [[UnkToken]]; two broadcast dim
+    * joins, map-side. Shared by the open-vocab serves. */
+  private def mapPairsVocab(pairs: DataFrame, idCol: String,
       vocab: DataFrame): DataFrame = {
     val v1 = vocab.select(col("word").as("w1"), lit(1).as("__v1"))
     val v2 = vocab.select(col("word").as("w2"), lit(1).as("__v2"))
-    val mapped = bigramInstances(docs, idCol, textCol)
+    pairs
       .join(broadcast(v1), Seq("w1"), "left")
       .join(broadcast(v2), Seq("w2"), "left")
       .select(col(idCol),
@@ -1356,9 +1366,31 @@ object TextAnalysis {
           .otherwise(lit(UnkToken)).as("w1"),
         when(col("__v2").isNotNull, col("w2"))
           .otherwise(lit(UnkToken)).as("w2"))
-    knScoreFactsFromPairs(mapped, idCol,
-      knCountsWithUnk(counts, vocab))
   }
+
+  /** OPEN-VOCABULARY doc scoring under MODIFIED Kneser–Ney — the
+    * serve for the [[knProbabilitiesModified]]∘[[knCountsWithUnk]]
+    * composition (q298's model): instances map through the broadcast
+    * vocabulary, then the three-count-indexed-discount cascade runs
+    * against the FOLDED count table — its discounts derive from the
+    * folded table's own count-of-counts, so the vocabulary choice
+    * moves the smoother and the serve replays it exactly. */
+  def knScoreDocsUnkModified(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame,
+      vocab: DataFrame): DataFrame =
+    knScoreFinish(docs.select(col(idCol)).distinct(),
+      knScoreFactsUnkModified(docs, idCol, textCol, counts, vocab),
+      idCol)
+
+  /** The per-doc aggregated half of [[knScoreDocsUnkModified]] — the
+    * shape that streams. */
+  def knScoreFactsUnkModified(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame,
+      vocab: DataFrame): DataFrame =
+    knScoreFactsModifiedFromPairs(
+      mapPairsVocab(bigramInstances(docs, idCol, textCol), idCol,
+        vocab),
+      idCol, knCountsWithUnk(counts, vocab))
 
   /** Corpus unigram counts — the per-order count table the
     * non-continuation smoothers ([[stupidBackoffScoreFacts]],
@@ -2059,7 +2091,16 @@ object TextAnalysis {
     * axis) carry only the branch pick and its single division, the
     * same per-row cost as the pinned-D [[knScoreFacts]]. */
   def knScoreFactsModified(docs: DataFrame, idCol: String,
-      textCol: String, counts: DataFrame): DataFrame = {
+      textCol: String, counts: DataFrame): DataFrame =
+    knScoreFactsModifiedFromPairs(
+      bigramInstances(docs, idCol, textCol), idCol, counts)
+
+  /** [[knScoreFactsModified]]'s join-and-cascade body over an
+    * explicit (id, w1, w2) instance frame — shared with the
+    * open-vocabulary mKN serve, whose instances are
+    * vocabulary-mapped before the cascade. */
+  private def knScoreFactsModifiedFromPairs(pairs: DataFrame,
+      idCol: String, counts: DataFrame): DataFrame = {
     val probs = knProbabilitiesModified(counts)
       .select(col("w1"), col("w2"), col("p_e9"))
     val totD = counts.agg(count(lit(1)).as("__b"),
@@ -2097,7 +2138,7 @@ object TextAnalysis {
       .select("w1", "__c1", "__gam")
     val cont = counts.groupBy(col("w2"))
       .agg(count(lit(1)).as("__pre"))
-    bigramInstances(docs, idCol, textCol)
+    pairs
       .join(probs, Seq("w1", "w2"), "left")
       .join(ctxG, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")

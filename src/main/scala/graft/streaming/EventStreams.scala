@@ -667,6 +667,16 @@ object EventStreams {
     graft.ext.TextAnalysis.stupidBackoffScoreFacts(docs, idCol,
       textCol, uni, bi, tri)
 
+  /** Online WITTEN–BELL scoring — [[streamingKnScore]]'s shape with
+    * [[graft.ext.TextAnalysis.wittenBellScoreFacts]] VERBATIM: the
+    * unigram table replaces KN's continuation marginal in the
+    * stream-static joins. Materialize `counts` and `uni`. */
+  def streamingWittenBellScore(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame,
+      uni: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.wittenBellScoreFacts(docs, idCol,
+      textCol, counts, uni)
+
   /** Online trained-LM scoring under MODIFIED Kneser–Ney —
     * [[streamingKnScore]] with
     * [[graft.ext.TextAnalysis.knScoreFactsModified]] VERBATIM; the

@@ -2133,6 +2133,40 @@ class ExtSpec extends SparkSpecBase {
       (5L, 0L, 0L, 0L)))
   }
 
+  test("knScoreDocsUnkModified: the composed open-vocab mKN serve " +
+      "by hand — the fold shifts the count-of-counts and the " +
+      "discounts follow; OOV words score real mass") {
+    val train = Seq("the cat sat", "the cat ran").toDF("text")
+    // vocab top-3 = {cat, the, ran}; folded counts
+    // (the,cat,2)(cat,<unk>,1)(cat,ran,1) -> n1=2 n2=1 n3=n4=0, M=4:
+    // d1=5e8, d2=(2*1*4)*1e9//(1*4)=2e9 (clip-degenerate), d3=d1.
+    // B=3; gam(the)=d2=2e9 (k2=1); gam(cat)=2*d1=1e9 (k1=2).
+    // p(cat|the): n=2 -> d2: ((2e9-2e9)*3 + 2e9*1)//(2*3) = 333333333
+    // p(<unk>|cat) = p(ran|cat): ((1e9-5e8)*3 + 1e9*1)//6 = 416666666
+    val vocab = TextAnalysis.knVocabTopK(train, "text", 3)
+    val counts = TextAnalysis.knBigramCounts(train, "text")
+    val docs = Seq(
+      (1L, "the cat sat"),   // 333333333 + (cat,<unk>) 416666666
+      (2L, "the cat zebra"), // OOV zebra -> <unk>: SAME as doc 1
+      (3L, "zebra cat"),     // ctx <unk> unseen -> unigram fallback
+                             // pre(cat)*1e9//3 = 333333333
+      (4L, "the ran"),       // unseen pair: gam(the)*pre(ran)//(2*3)
+                             // = 333333333
+      (5L, "solo")           // < 2 tokens: zero row via the spine
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knScoreDocsUnkModified(docs, "doc_id",
+        "text", counts, vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 749999999L, 374999999L),
+      (2L, 2L, 749999999L, 374999999L),
+      (3L, 1L, 333333333L, 333333333L),
+      (4L, 1L, 333333333L, 333333333L),
+      (5L, 0L, 0L, 0L)))
+  }
+
   test("stupidBackoffScoreDocs: the Brants alpha=2/5 cascade by " +
       "hand over true per-order counts; unknown w3 zero; short docs " +
       "keep zero rows") {
