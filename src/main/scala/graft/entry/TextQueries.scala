@@ -545,6 +545,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet's SELECTION composed into the pipeline (what the LLaMA
+    // recipe actually did with CCNet: keep head+middle, drop tail):
+    // the rank-based gate contrasts with the threshold gates
+    // (q269/q279/q288/q292) — it keeps exactly ⌈2n/3⌉ docs per
+    // language regardless of the score distribution, the production
+    // property that makes corpus size predictable. The semi-join in
+    // front of curationPipeline is the same delta-slim shape as the
+    // internal LM gate's.
+    "q301_ccnet_selected_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.knBigramCounts(
+          d.where(col("lang") === "en"), "text")
+        .localCheckpoint(true)
+      val keep = graft.ext.Curation.ccnetBuckets(
+          d, "doc_id", "lang", "text", model)
+        .where(col("bucket") =!= "tail").select("doc_id")
+      graft.ext.Curation.curationPipeline(
+          d.join(keep, Seq("doc_id"), "semi"),
+          graft.ext.Curation.CurationConfig())
+        .orderBy("doc_id")
+    }),
+
     // STUPID BACKOFF doc scoring (Brants et al. 2007 — the smoother
     // Google built FOR corpus scale: no continuation statistics, no
     // normalization, three independent count passes; alpha = 2/5
@@ -2049,6 +2071,105 @@ object TextQueries {
         |  d22_e9, d23_e9, p2_e9, p3_e9
         |FROM fin WHERE rk <= 67
         |ORDER BY n DESC, w1, w2, w3""".stripMargin,
+    // q297's tertile CTEs in front of the q197 chain: the rank-based
+    // keep (tl <= 2 per language) replaces the threshold lmkeep —
+    // the CCNet selection, then the pipeline verbatim
+    "q301_ccnet_selected_pipeline" -> (rebuiltSqlCte(4) +
+      """,
+        |lt AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text,'\s+'),
+        |      x -> length(x) > 0) AS tk FROM documents),
+        |lbg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM lt, unnest(generate_series(1, len(tk)-1)) u(i)
+        |  WHERE len(tk) >= 2),
+        |lc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lbg WHERE lang = 'en' GROUP BY 1, 2),
+        |lctx AS (SELECT w1, CAST(SUM(n) AS HUGEINT) AS c1,
+        |    CAST(COUNT(*) AS HUGEINT) AS post FROM lc GROUP BY 1),
+        |lcont AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS pre
+        |  FROM lc GROUP BY 1),
+        |ltot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM lc),
+        |lp AS (SELECT lc.w1, lc.w2,
+        |    CAST((1000000000 * ((4*lc.n - 3)*b + 3*lctx.post*lcont.pre))
+        |         // (4*lctx.c1*b) AS BIGINT) AS p_e9
+        |  FROM lc JOIN lctx USING (w1) JOIN lcont USING (w2), ltot),
+        |lsc AS (SELECT lbg.doc_id,
+        |    COALESCE(lp.p_e9,
+        |      CASE WHEN lctx.c1 IS NOT NULL AND lcont.pre IS NOT NULL
+        |           THEN CAST((CAST(1000000000 AS HUGEINT) * 3
+        |                      * lctx.post * lcont.pre)
+        |                     // (4*lctx.c1*b) AS BIGINT)
+        |           WHEN lctx.c1 IS NULL AND lcont.pre IS NOT NULL
+        |           THEN CAST((CAST(1000000000 AS HUGEINT) * lcont.pre)
+        |                     // b AS BIGINT)
+        |           ELSE 0 END) AS pp
+        |  FROM lbg
+        |  LEFT JOIN lp ON lbg.w1 = lp.w1 AND lbg.w2 = lp.w2
+        |  LEFT JOIN lctx ON lbg.w1 = lctx.w1
+        |  LEFT JOIN lcont ON lbg.w2 = lcont.w2, ltot),
+        |lagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(pp) AS BIGINT) AS sp FROM lsc GROUP BY 1),
+        |lm AS (SELECT d.doc_id,
+        |    CAST(CASE WHEN lagg.nb > 0 THEN lagg.sp // lagg.nb
+        |         ELSE 0 END AS BIGINT) AS mean_p_e9
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  LEFT JOIN lagg USING (doc_id)),
+        |lbkt AS (SELECT dd.doc_id,
+        |    ntile(3) OVER (PARTITION BY dd.lang
+        |      ORDER BY lm.mean_p_e9 DESC, dd.doc_id) AS tl
+        |  FROM (SELECT DISTINCT doc_id, lang FROM documents) dd
+        |  JOIN lm USING (doc_id)),
+        |q AS (SELECT d.doc_id, d.source, r.text
+        |  FROM documents d JOIN rebuilt r USING (doc_id)
+        |  WHERE d.doc_id IN (SELECT doc_id FROM lbkt WHERE tl <= 2)
+        |    AND len(string_split_regex(d.text,'\s+')) >= 20
+        |    AND (CASE WHEN length(d.text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(d.text,'[^A-Za-z]','','g')) AS DOUBLE)
+        |              / CAST(length(d.text) AS DOUBLE) END) >= 0.805),
+        |lines AS (SELECT doc_id, l
+        |  FROM q, unnest(string_split(text, chr(10))) u(l)
+        |  WHERE length(l) > 0),
+        |freq AS (SELECT COALESCE(list(l), []) fl FROM
+        |  (SELECT l FROM lines GROUP BY l HAVING COUNT(DISTINCT doc_id) > 2)),
+        |bp AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> length(x) > 0 AND NOT list_contains(fl, x)) kl
+        |  FROM q, freq),
+        |ex AS (SELECT doc_id, kl[i] AS l, i
+        |  FROM bp, unnest(generate_series(1, len(kl))) u(i)),
+        |rk AS (SELECT doc_id, l, i,
+        |    row_number() OVER (PARTITION BY l ORDER BY doc_id, i) rn
+        |  FROM ex),
+        |cln AS (SELECT q.doc_id,
+        |    length(COALESCE(k.txt, '')) AS n_chars_clean
+        |  FROM q LEFT JOIN
+        |    (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) txt
+        |     FROM rk WHERE rn = 1 GROUP BY 1) k USING (doc_id)),
+        |ftoks AS (SELECT doc_id, string_split_regex(text,'\s+') t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7],' ') s
+        |       FROM ftoks, unnest(generate_series(1, len(t)-7)) u(i)
+        |       WHERE len(t) >= 8
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(t,' ') FROM ftoks
+        |       WHERE len(t) < 8),
+        |fp AS (SELECT doc_id, min(md5(s)) AS f FROM sh GROUP BY 1),
+        |cl AS (SELECT fp.doc_id, MIN(f2.doc_id) AS cluster
+        |  FROM fp JOIN fp f2 USING (f) GROUP BY 1),
+        |qt AS (SELECT c.doc_id,
+        |    CAST(row_number() OVER (PARTITION BY q.source
+        |      ORDER BY c.n_chars_clean DESC, c.doc_id) AS BIGINT)
+        |      AS quota_rank
+        |  FROM cln c JOIN q USING (doc_id)),
+        |kept AS (SELECT doc_id, quota_rank FROM qt WHERE quota_rank <= 10)
+        |SELECT q.doc_id, q.source, c.n_chars_clean, kept.quota_rank,
+        |  cl.cluster, CASE
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3435973836 THEN 'train'
+        |  WHEN CAST(concat('0x', substr(md5(concat('cp1','#',CAST(cl.cluster AS VARCHAR))),1,8)) AS BIGINT) < 3865470565 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM q JOIN cln c USING (doc_id) JOIN cl USING (doc_id)
+        |LEFT JOIN kept USING (doc_id)
+        |ORDER BY q.doc_id""".stripMargin),
     // q290's mapped-instance scoring frame with q283's three-discount
     // CTEs over the FOLDED count table — the composed serve
     "q299_kn_unk_mkn_doc_score" ->
