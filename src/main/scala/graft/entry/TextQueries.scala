@@ -911,7 +911,7 @@ object TextQueries {
       graft.ext.Curation.curationPipeline(d,
           graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 40000000L),
           Some(model),
-          lmScorer = TextAnalysis.knTrigramScoreFacts)
+          lmScorer = TextAnalysis.knTrigramScoreFacts(_, _, _, _))
         .orderBy("doc_id")
     }),
 
@@ -931,7 +931,7 @@ object TextQueries {
       graft.ext.Curation.curationPipeline(d,
           graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 33500000L),
           Some(model),
-          lmScorer = TextAnalysis.knScoreFactsModified)
+          lmScorer = TextAnalysis.knScoreFactsModified(_, _, _, _))
         .orderBy("doc_id")
     }),
 
@@ -949,7 +949,7 @@ object TextQueries {
       graft.ext.Curation.curationPipeline(d,
           graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 33500000L),
           Some(model),
-          lmScorer = TextAnalysis.knScoreFactsEstimatedD)
+          lmScorer = TextAnalysis.knScoreFactsEstimatedD(_, _, _, _))
         .orderBy("doc_id")
     }),
 

@@ -1213,31 +1213,51 @@ object TextAnalysis {
       .select(col(idCol), col("__g.w1").as("w1"),
         col("__g.w2").as("w2"), col("__g.w3").as("w3"))
 
+  /** Model-side materialization hook for the score-facts family.
+    *
+    * Every `*ScoreFacts*` derives its model tables (probabilities +
+    * marginals + the 1-row totals) from the count table INSIDE the
+    * join tree. In batch that is right: Catalyst sees one tree,
+    * evaluates each derivation once. As the STATIC side of a
+    * stream-static join the same sub-plans re-optimize and re-execute
+    * on EVERY micro-batch (and AQE is off in streaming, so they run
+    * at the stream's state-partition count) — measured as the
+    * dominant cost of the streaming serve twins. The streaming
+    * wrappers pass an eager `localCheckpoint`, so training runs once
+    * before the stream starts and each micro-batch joins against the
+    * cached model — the production n-gram serving posture (train
+    * once, ship the model). Value-neutral by construction:
+    * `localCheckpoint` only cuts lineage, it cannot change a row. */
+  val MatIdentity: DataFrame => DataFrame = df => df
+
   /** The per-doc aggregated half of [[knScoreDocs]] — (idCol,
     * n_bigrams, sum_p_e9) WITHOUT the zero-row spine: exactly the
     * shape that streams (explode + stream-static model joins + ONE
     * Update-mode per-doc agg; the spine is the fold's decision
     * downstream, [[knScoreFinish]]). Shared by the batch operator and
-    * the streaming twin so the derivations cannot drift. */
+    * the streaming twin so the derivations cannot drift; the twin
+    * materializes the model sub-plans via `mat` ([[MatIdentity]]). */
   def knScoreFacts(docs: DataFrame, idCol: String, textCol: String,
-      counts: DataFrame): DataFrame =
+      counts: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame =
     knScoreFactsFromPairs(bigramInstances(docs, idCol, textCol),
-      idCol, counts)
+      idCol, counts, mat)
 
   /** [[knScoreFacts]]'s join-and-cascade body over an explicit
     * per-doc (id, w1, w2) instance frame — shared with the
     * open-vocabulary serve, whose instances are vocabulary-mapped
     * before they reach the cascade. */
   private def knScoreFactsFromPairs(pairs: DataFrame, idCol: String,
-      counts: DataFrame): DataFrame = {
+      counts: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val probs = knProbabilities(counts)
-      .select(col("w1"), col("w2"), col("p_e9"))
-    val ctx = counts.groupBy(col("w1"))
-      .agg(sum(col("n")).as("__c1"), count(lit(1)).as("__post"))
-    val cont = counts.groupBy(col("w2"))
-      .agg(count(lit(1)).as("__pre"))
-    val b = counts.agg(count(lit(1)).as("__b"))
+    val probs = mat(knProbabilities(counts)
+      .select(col("w1"), col("w2"), col("p_e9")))
+    val ctx = mat(counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("__c1"), count(lit(1)).as("__post")))
+    val cont = mat(counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("__pre")))
+    val b = mat(counts.agg(count(lit(1)).as("__b")))
     val scored = pairs
       .join(probs, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -1344,12 +1364,12 @@ object TextAnalysis {
   /** The per-doc aggregated half of [[knScoreDocsUnk]] — the shape
     * that streams; shared with the streaming serve twin. */
   def knScoreFactsUnk(docs: DataFrame, idCol: String,
-      textCol: String, counts: DataFrame,
-      vocab: DataFrame): DataFrame =
+      textCol: String, counts: DataFrame, vocab: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame =
     knScoreFactsFromPairs(
       mapPairsVocab(bigramInstances(docs, idCol, textCol), idCol,
         vocab),
-      idCol, knCountsWithUnk(counts, vocab))
+      idCol, mat(knCountsWithUnk(counts, vocab)), mat)
 
   /** Map an (id, w1, w2) instance frame into a vocabulary — OOV
     * words on either side become [[UnkToken]]; two broadcast dim
@@ -1385,12 +1405,12 @@ object TextAnalysis {
   /** The per-doc aggregated half of [[knScoreDocsUnkModified]] — the
     * shape that streams. */
   def knScoreFactsUnkModified(docs: DataFrame, idCol: String,
-      textCol: String, counts: DataFrame,
-      vocab: DataFrame): DataFrame =
+      textCol: String, counts: DataFrame, vocab: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame =
     knScoreFactsModifiedFromPairs(
       mapPairsVocab(bigramInstances(docs, idCol, textCol), idCol,
         vocab),
-      idCol, knCountsWithUnk(counts, vocab))
+      idCol, mat(knCountsWithUnk(counts, vocab)), mat)
 
   /** Corpus unigram counts — the per-order count table the
     * non-continuation smoothers ([[stupidBackoffScoreFacts]],
@@ -1437,7 +1457,8 @@ object TextAnalysis {
     * shape that streams; shared with the streaming serve twin. */
   def stupidBackoffScoreFacts(docs: DataFrame, idCol: String,
       textCol: String, uni: DataFrame, bi: DataFrame,
-      tri: DataFrame): DataFrame = {
+      tri: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame = {
     val t3 = tri.select(col("w1"), col("w2"), col("w3"),
       col("n").as("__c123"))
     val ctx = bi.select(col("w1"), col("w2"), col("n").as("__c12"))
@@ -1445,7 +1466,7 @@ object TextAnalysis {
       col("n").as("__c23"))
     val u2 = uni.select(col("word").as("w2"), col("n").as("__c2"))
     val u3 = uni.select(col("word").as("w3"), col("n").as("__c3"))
-    val tot = uni.agg(sum(col("n")).as("__nn"))
+    val tot = mat(uni.agg(sum(col("n")).as("__nn")))
     trigramInstances(docs, idCol, textCol)
       .join(t3, Seq("w1", "w2", "w3"), "left")
       .join(ctx, Seq("w1", "w2"), "left")
@@ -1515,14 +1536,14 @@ object TextAnalysis {
   /** The per-doc aggregated half of [[wittenBellScoreDocs]] — the
     * shape that streams; shared with the streaming serve twin. */
   def wittenBellScoreFacts(docs: DataFrame, idCol: String,
-      textCol: String, counts: DataFrame,
-      uni: DataFrame): DataFrame = {
-    val probs = wittenBellProbabilities(counts, uni)
-      .select(col("w1"), col("w2"), col("p_e9"))
-    val ctx = counts.groupBy(col("w1"))
-      .agg(sum(col("n")).as("__c1"), count(lit(1)).as("__t1"))
+      textCol: String, counts: DataFrame, uni: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame = {
+    val probs = mat(wittenBellProbabilities(counts, uni)
+      .select(col("w1"), col("w2"), col("p_e9")))
+    val ctx = mat(counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("__c1"), count(lit(1)).as("__t1")))
     val u2 = uni.select(col("word").as("w2"), col("n").as("__c2"))
-    val tot = uni.agg(sum(col("n")).as("__nn"))
+    val tot = mat(uni.agg(sum(col("n")).as("__nn")))
     bigramInstances(docs, idCol, textCol)
       .join(probs, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -1570,16 +1591,17 @@ object TextAnalysis {
     * shape that streams (the [[knScoreFacts]] convention). Shared by
     * the batch operator and the streaming serve twin. */
   def knScoreFactsEstimatedD(docs: DataFrame, idCol: String,
-      textCol: String, counts: DataFrame): DataFrame = {
-    val probs = knProbabilitiesEstimatedD(counts)
-      .select(col("w1"), col("w2"), col("p_e9"))
-    val ctx = counts.groupBy(col("w1"))
-      .agg(sum(col("n")).as("__c1"), count(lit(1)).as("__post"))
-    val cont = counts.groupBy(col("w2"))
-      .agg(count(lit(1)).as("__pre"))
-    val tot = counts.agg(count(lit(1)).as("__b"),
+      textCol: String, counts: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame = {
+    val probs = mat(knProbabilitiesEstimatedD(counts)
+      .select(col("w1"), col("w2"), col("p_e9")))
+    val ctx = mat(counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("__c1"), count(lit(1)).as("__post")))
+    val cont = mat(counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("__pre")))
+    val tot = mat(counts.agg(count(lit(1)).as("__b"),
       sum(when(col("n") === 1, 1L).otherwise(0L)).as("__n1"),
-      sum(when(col("n") === 2, 1L).otherwise(0L)).as("__n2"))
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("__n2")))
     bigramInstances(docs, idCol, textCol)
       .join(probs, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -1630,23 +1652,27 @@ object TextAnalysis {
     * — the shape that streams; shared with the streaming serve twin
     * so the derivations cannot drift. */
   def knTrigramScoreFactsEstimatedD(docs: DataFrame, idCol: String,
-      textCol: String, tri: DataFrame): DataFrame = {
-    val probs = knTrigramProbabilitiesEstimatedD(tri)
-      .select(col("w1"), col("w2"), col("w3"), col("p3_e9"))
-    val ctx = tri.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("n")).as("__c12"), count(lit(1)).as("__t12"))
-    val cont = tri.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("__pre23"))
-    val mid = cont.groupBy(col("w2"))
+      textCol: String, tri: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame = {
+    val probs = mat(knTrigramProbabilitiesEstimatedD(tri)
+      .select(col("w1"), col("w2"), col("w3"), col("p3_e9")))
+    val ctx = mat(tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("__c12"), count(lit(1)).as("__t12")))
+    // cont is materialized FIRST so mid/pre/contCc derive from the
+    // cached table, not three more re-derivations of it
+    val cont = mat(tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__pre23")))
+    val mid = mat(cont.groupBy(col("w2"))
       .agg(sum(col("__pre23")).as("__nmid2"),
-        count(lit(1)).as("__post2"))
-    val pre = cont.groupBy(col("w3")).agg(count(lit(1)).as("__pre3"))
-    val topCc = tri.agg(
+        count(lit(1)).as("__post2")))
+    val pre = mat(cont.groupBy(col("w3"))
+      .agg(count(lit(1)).as("__pre3")))
+    val topCc = mat(tri.agg(
       sum(when(col("n") === 1, 1L).otherwise(0L)).as("__t1"),
-      sum(when(col("n") === 2, 1L).otherwise(0L)).as("__t2"))
-    val contCc = cont.agg(count(lit(1)).as("__b"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("__t2")))
+    val contCc = mat(cont.agg(count(lit(1)).as("__b"),
       sum(when(col("__pre23") === 1, 1L).otherwise(0L)).as("__cc1"),
-      sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__cc2"))
+      sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__cc2")))
     trigramInstances(docs, idCol, textCol)
       .join(probs, Seq("w1", "w2", "w3"), "left")
       .join(ctx, Seq("w1", "w2"), "left")
@@ -2016,18 +2042,22 @@ object TextAnalysis {
     * per-doc agg). Shared by the batch operator and the streaming
     * twin so the derivations cannot drift. */
   def knTrigramScoreFacts(docs: DataFrame, idCol: String,
-      textCol: String, tri: DataFrame): DataFrame = {
-    val probs = knTrigramProbabilities(tri)
-      .select(col("w1"), col("w2"), col("w3"), col("p3_e9"))
-    val ctx = tri.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("n")).as("__c12"), count(lit(1)).as("__t12"))
-    val cont = tri.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("__pre23"))
-    val mid = cont.groupBy(col("w2"))
+      textCol: String, tri: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame = {
+    val probs = mat(knTrigramProbabilities(tri)
+      .select(col("w1"), col("w2"), col("w3"), col("p3_e9")))
+    val ctx = mat(tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("__c12"), count(lit(1)).as("__t12")))
+    // cont is materialized FIRST so mid/pre/b derive from the cached
+    // table, not three more re-derivations of it
+    val cont = mat(tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__pre23")))
+    val mid = mat(cont.groupBy(col("w2"))
       .agg(sum(col("__pre23")).as("__nmid2"),
-        count(lit(1)).as("__post2"))
-    val pre = cont.groupBy(col("w3")).agg(count(lit(1)).as("__pre3"))
-    val b = cont.agg(count(lit(1)).as("__b"))
+        count(lit(1)).as("__post2")))
+    val pre = mat(cont.groupBy(col("w3"))
+      .agg(count(lit(1)).as("__pre3")))
+    val b = mat(cont.agg(count(lit(1)).as("__b")))
     val inst = trigramInstances(docs, idCol, textCol)
     inst
       .join(probs, Seq("w1", "w2", "w3"), "left")
@@ -2091,19 +2121,21 @@ object TextAnalysis {
     * axis) carry only the branch pick and its single division, the
     * same per-row cost as the pinned-D [[knScoreFacts]]. */
   def knScoreFactsModified(docs: DataFrame, idCol: String,
-      textCol: String, counts: DataFrame): DataFrame =
+      textCol: String, counts: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame =
     knScoreFactsModifiedFromPairs(
-      bigramInstances(docs, idCol, textCol), idCol, counts)
+      bigramInstances(docs, idCol, textCol), idCol, counts, mat)
 
   /** [[knScoreFactsModified]]'s join-and-cascade body over an
     * explicit (id, w1, w2) instance frame — shared with the
     * open-vocabulary mKN serve, whose instances are
     * vocabulary-mapped before the cascade. */
   private def knScoreFactsModifiedFromPairs(pairs: DataFrame,
-      idCol: String, counts: DataFrame): DataFrame = {
-    val probs = knProbabilitiesModified(counts)
-      .select(col("w1"), col("w2"), col("p_e9"))
-    val totD = counts.agg(count(lit(1)).as("__b"),
+      idCol: String, counts: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame = {
+    val probs = mat(knProbabilitiesModified(counts)
+      .select(col("w1"), col("w2"), col("p_e9")))
+    val totD = mat(counts.agg(count(lit(1)).as("__b"),
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("__n1"),
         sum(when(col("n") === 2, 1L).otherwise(0L)).as("__n2"),
         sum(when(col("n") === 3, 1L).otherwise(0L)).as("__n3"),
@@ -2124,8 +2156,8 @@ object TextAnalysis {
           " - 4*CAST(__n1 AS DECIMAL(38,0))*__n4) * 1000000000)" +
           " div (CAST(__n3 AS DECIMAL(38,0)) * __m)"))
         .otherwise(col("__d1")))
-      .select("__b", "__d1", "__d2", "__d3")
-    val ctxG = counts.groupBy(col("w1"))
+      .select("__b", "__d1", "__d2", "__d3"))
+    val ctxG = mat(counts.groupBy(col("w1"))
       .agg(sum(col("n")).as("__c1"),
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("__k1"),
         sum(when(col("n") === 2, 1L).otherwise(0L)).as("__k2"),
@@ -2135,9 +2167,9 @@ object TextAnalysis {
         "CAST(__d1 AS DECIMAL(38,0))*__k1" +
           " + CAST(__d2 AS DECIMAL(38,0))*__k2" +
           " + CAST(__d3 AS DECIMAL(38,0))*__k3p"))
-      .select("w1", "__c1", "__gam")
-    val cont = counts.groupBy(col("w2"))
-      .agg(count(lit(1)).as("__pre"))
+      .select("w1", "__c1", "__gam"))
+    val cont = mat(counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("__pre")))
     pairs
       .join(probs, Seq("w1", "w2"), "left")
       .join(ctxG, Seq("w1"), "left")
@@ -2182,12 +2214,15 @@ object TextAnalysis {
     * the branch CASEs and their single divisions, the per-row cost of
     * the pinned-D [[knTrigramScoreFacts]]. */
   def knTrigramScoreFactsModified(docs: DataFrame, idCol: String,
-      textCol: String, tri: DataFrame): DataFrame = {
-    val probs = knTrigramProbabilitiesModified(tri)
-      .select(col("w1"), col("w2"), col("w3"), col("p3_e9"))
-    val cont = tri.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("__pre23"))
-    val topD = tri.agg(
+      textCol: String, tri: DataFrame,
+      mat: DataFrame => DataFrame = MatIdentity): DataFrame = {
+    val probs = mat(knTrigramProbabilitiesModified(tri)
+      .select(col("w1"), col("w2"), col("w3"), col("p3_e9")))
+    // cont is materialized FIRST so contD/midG/pre derive from the
+    // cached table, not three more re-derivations of it
+    val cont = mat(tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__pre23")))
+    val topD = mat(tri.agg(
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("__t1"),
         sum(when(col("n") === 2, 1L).otherwise(0L)).as("__t2"),
         sum(when(col("n") === 3, 1L).otherwise(0L)).as("__t3"),
@@ -2208,8 +2243,8 @@ object TextAnalysis {
           " - 4*CAST(__t1 AS DECIMAL(38,0))*__t4) * 1000000000)" +
           " div (CAST(__t3 AS DECIMAL(38,0)) * __m3)"))
         .otherwise(col("__d31")))
-      .select("__d31", "__d32", "__d33")
-    val contD = cont.agg(count(lit(1)).as("__b"),
+      .select("__d31", "__d32", "__d33"))
+    val contD = mat(cont.agg(count(lit(1)).as("__b"),
         sum(when(col("__pre23") === 1, 1L).otherwise(0L)).as("__cc1"),
         sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__cc2"),
         sum(when(col("__pre23") === 3, 1L).otherwise(0L)).as("__cc3"),
@@ -2230,8 +2265,8 @@ object TextAnalysis {
           " - 4*CAST(__cc1 AS DECIMAL(38,0))*__cc4) * 1000000000)" +
           " div (CAST(__cc3 AS DECIMAL(38,0)) * __m2)"))
         .otherwise(col("__d21")))
-      .select("__b", "__d21", "__d22", "__d23")
-    val ctxG = tri.groupBy(col("w1"), col("w2"))
+      .select("__b", "__d21", "__d22", "__d23"))
+    val ctxG = mat(tri.groupBy(col("w1"), col("w2"))
       .agg(sum(col("n")).as("__c12"),
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("__kk1"),
         sum(when(col("n") === 2, 1L).otherwise(0L)).as("__kk2"),
@@ -2241,8 +2276,8 @@ object TextAnalysis {
         "CAST(__d31 AS DECIMAL(38,0))*__kk1" +
           " + CAST(__d32 AS DECIMAL(38,0))*__kk2" +
           " + CAST(__d33 AS DECIMAL(38,0))*__kk3p"))
-      .select("w1", "w2", "__c12", "__g3")
-    val midG = cont.groupBy(col("w2"))
+      .select("w1", "w2", "__c12", "__g3"))
+    val midG = mat(cont.groupBy(col("w2"))
       .agg(sum(col("__pre23")).as("__nmid2"),
         sum(when(col("__pre23") === 1, 1L).otherwise(0L)).as("__l1"),
         sum(when(col("__pre23") === 2, 1L).otherwise(0L)).as("__l2"),
@@ -2252,8 +2287,9 @@ object TextAnalysis {
         "CAST(__d21 AS DECIMAL(38,0))*__l1" +
           " + CAST(__d22 AS DECIMAL(38,0))*__l2" +
           " + CAST(__d23 AS DECIMAL(38,0))*__l3p"))
-      .select("w2", "__nmid2", "__g2")
-    val pre = cont.groupBy(col("w3")).agg(count(lit(1)).as("__pre3"))
+      .select("w2", "__nmid2", "__g2"))
+    val pre = mat(cont.groupBy(col("w3"))
+      .agg(count(lit(1)).as("__pre3")))
     trigramInstances(docs, idCol, textCol)
       .join(probs, Seq("w1", "w2", "w3"), "left")
       .join(ctxG, Seq("w1", "w2"), "left")

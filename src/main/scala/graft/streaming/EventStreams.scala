@@ -602,9 +602,22 @@ object EventStreams {
     * write-once (a doc arrives in one batch); the zero-row spine for
     * sub-2-token docs is the fold's decision downstream
     * ([[graft.ext.TextAnalysis.knScoreFinish]]). */
+  /** Serve-twin model materialization: the static side of every
+    * stream-static model join re-optimizes and re-executes on EVERY
+    * micro-batch (AQE off, state-partition parallelism), so the serve
+    * twins pass this hook to the shared score-facts derivation — each
+    * derived model table (probabilities, marginals, 1-row totals) is
+    * localCheckpoint'ed ONCE before the stream starts, and micro-
+    * batches join against the cached tables. Train-once/serve-many:
+    * the production n-gram posture. Value-neutral (lineage cut only),
+    * so the twins still face their batch operator's own oracle. */
+  private val serveMat: DataFrame => DataFrame =
+    df => broadcast(df.localCheckpoint(true))
+
   def streamingKnScore(docs: DataFrame, idCol: String, textCol: String,
       counts: DataFrame): DataFrame =
-    graft.ext.TextAnalysis.knScoreFacts(docs, idCol, textCol, counts)
+    graft.ext.TextAnalysis.knScoreFacts(docs, idCol, textCol, counts,
+      serveMat)
 
   /** Online trained-LM document scoring at n=3 — the trigram order of
     * [[streamingKnScore]]: arriving documents score against a SAVED
@@ -619,7 +632,7 @@ object EventStreams {
   def streamingKnTrigramScore(docs: DataFrame, idCol: String,
       textCol: String, tri: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knTrigramScoreFacts(docs, idCol, textCol,
-      tri)
+      tri, serveMat)
 
   /** Online trained-LM scoring at the PRODUCTION (estimated)
     * discount — [[streamingKnScore]] with
@@ -631,7 +644,7 @@ object EventStreams {
   def streamingKnScoreEstimatedD(docs: DataFrame, idCol: String,
       textCol: String, counts: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knScoreFactsEstimatedD(docs, idCol,
-      textCol, counts)
+      textCol, counts, serveMat)
 
   /** Online trigram trained-LM scoring at the PRODUCTION discounts —
     * [[streamingKnTrigramScore]] with
@@ -641,7 +654,7 @@ object EventStreams {
   def streamingKnTrigramScoreEstimatedD(docs: DataFrame,
       idCol: String, textCol: String, tri: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knTrigramScoreFactsEstimatedD(docs, idCol,
-      textCol, tri)
+      textCol, tri, serveMat)
 
   /** OPEN-VOCABULARY online scoring — [[streamingKnScore]] with
     * [[graft.ext.TextAnalysis.knScoreFactsUnk]] VERBATIM: arriving
@@ -653,7 +666,7 @@ object EventStreams {
       textCol: String, counts: DataFrame,
       vocab: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knScoreFactsUnk(docs, idCol, textCol,
-      counts, vocab)
+      counts, vocab, serveMat)
 
   /** Online STUPID BACKOFF scoring — [[streamingKnTrigramScore]]'s
     * shape with [[graft.ext.TextAnalysis.stupidBackoffScoreFacts]]
@@ -665,7 +678,7 @@ object EventStreams {
       textCol: String, uni: DataFrame, bi: DataFrame,
       tri: DataFrame): DataFrame =
     graft.ext.TextAnalysis.stupidBackoffScoreFacts(docs, idCol,
-      textCol, uni, bi, tri)
+      textCol, uni, bi, tri, serveMat)
 
   /** Online WITTEN–BELL scoring — [[streamingKnScore]]'s shape with
     * [[graft.ext.TextAnalysis.wittenBellScoreFacts]] VERBATIM: the
@@ -675,7 +688,7 @@ object EventStreams {
       textCol: String, counts: DataFrame,
       uni: DataFrame): DataFrame =
     graft.ext.TextAnalysis.wittenBellScoreFacts(docs, idCol,
-      textCol, counts, uni)
+      textCol, counts, uni, serveMat)
 
   /** Online trained-LM scoring under MODIFIED Kneser–Ney —
     * [[streamingKnScore]] with
@@ -685,7 +698,7 @@ object EventStreams {
   def streamingKnScoreModified(docs: DataFrame, idCol: String,
       textCol: String, counts: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knScoreFactsModified(docs, idCol,
-      textCol, counts)
+      textCol, counts, serveMat)
 
   /** Online trigram trained-LM scoring under MODIFIED KN —
     * [[streamingKnTrigramScore]] with
@@ -695,7 +708,7 @@ object EventStreams {
   def streamingKnTrigramScoreModified(docs: DataFrame,
       idCol: String, textCol: String, tri: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knTrigramScoreFactsModified(docs, idCol,
-      textCol, tri)
+      textCol, tri, serveMat)
 
   /** Unicode cleanup at ingest — [[graft.ext.TextAnalysis.unicodeClean]]
     * VERBATIM on the streaming frame (the [[streamingFim]] convention:
