@@ -558,9 +558,13 @@ object TextQueries {
       val model = TextAnalysis.knBigramCounts(
           d.where(col("lang") === "en"), "text")
         .localCheckpoint(true)
+      // materialized keep set: the pipeline plans against a leaf
+      // instead of re-carrying the scorer + ntile window tree
+      // (corpus-bounded, so checkpoint only — no broadcast hint)
       val keep = graft.ext.Curation.ccnetBuckets(
           d, "doc_id", "lang", "text", model)
         .where(col("bucket") =!= "tail").select("doc_id")
+        .localCheckpoint(true)
       graft.ext.Curation.curationPipeline(
           d.join(keep, Seq("doc_id"), "semi"),
           graft.ext.Curation.CurationConfig())
@@ -911,7 +915,8 @@ object TextQueries {
       graft.ext.Curation.curationPipeline(d,
           graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 40000000L),
           Some(model),
-          lmScorer = TextAnalysis.knTrigramScoreFacts(_, _, _, _))
+          lmScorer = TextAnalysis.knTrigramScoreFacts(_, _, _, _,
+            TextAnalysis.modelMat))
         .orderBy("doc_id")
     }),
 
@@ -931,7 +936,8 @@ object TextQueries {
       graft.ext.Curation.curationPipeline(d,
           graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 33500000L),
           Some(model),
-          lmScorer = TextAnalysis.knScoreFactsModified(_, _, _, _))
+          lmScorer = TextAnalysis.knScoreFactsModified(_, _, _, _,
+            TextAnalysis.modelMat))
         .orderBy("doc_id")
     }),
 
@@ -949,7 +955,8 @@ object TextQueries {
       graft.ext.Curation.curationPipeline(d,
           graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 33500000L),
           Some(model),
-          lmScorer = TextAnalysis.knScoreFactsEstimatedD(_, _, _, _))
+          lmScorer = TextAnalysis.knScoreFactsEstimatedD(_, _, _, _,
+            TextAnalysis.modelMat))
         .orderBy("doc_id")
     }),
 

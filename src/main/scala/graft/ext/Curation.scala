@@ -252,7 +252,8 @@ object Curation {
       cfg: CurationConfig = CurationConfig(),
       lmModel: Option[DataFrame] = None,
       lmScorer: (DataFrame, String, String, DataFrame) => DataFrame =
-        TextAnalysis.knScoreFacts(_, _, _, _)): DataFrame = {
+        TextAnalysis.knScoreFacts(_, _, _, _,
+          TextAnalysis.modelMat)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cfg.quotaK >= 1, "quotaK must be >= 1")
     require(cfg.lineWidth >= 1, "lineWidth must be >= 1")
@@ -268,10 +269,16 @@ object Curation {
         val nCol = facts.columns
           .filterNot(Set("doc_id", "sum_p_e9")).head
         val dec38 = (c: Column) => c.cast("decimal(38,0)")
+        // the keep set is materialized so the pipeline below plans
+        // against a leaf instead of re-carrying the whole scorer tree
+        // (Catalyst planning over the composed plan was the measured
+        // cost, guide 7.3); corpus-bounded, so NO broadcast hint —
+        // AQE picks the strategy from the real size at runtime
         val keep = facts
           .filter(dec38(col("sum_p_e9")) >=
             dec38(col(nCol)) * dec38(lit(cfg.lmMinMeanPE9)))
           .select(col("doc_id"))
+          .localCheckpoint(true)
         d.join(keep, Seq("doc_id"), "leftsemi")
       case None => d
     }
@@ -677,7 +684,8 @@ object Curation {
   def ccnetBuckets(docs: DataFrame, idCol: String, langCol: String,
       textCol: String, lmModel: DataFrame,
       lmScorer: (DataFrame, String, String, DataFrame) => DataFrame =
-        TextAnalysis.knScoreFacts(_, _, _, _)): DataFrame = {
+        TextAnalysis.knScoreFacts(_, _, _, _,
+          TextAnalysis.modelMat)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val facts = lmScorer(docs, idCol, textCol, lmModel)
     val nCol = facts.columns

@@ -612,7 +612,7 @@ object EventStreams {
     * the production n-gram posture. Value-neutral (lineage cut only),
     * so the twins still face their batch operator's own oracle. */
   private val serveMat: DataFrame => DataFrame =
-    df => broadcast(df.localCheckpoint(true))
+    graft.ext.TextAnalysis.modelMat
 
   def streamingKnScore(docs: DataFrame, idCol: String, textCol: String,
       counts: DataFrame): DataFrame =
