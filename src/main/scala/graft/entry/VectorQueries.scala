@@ -439,8 +439,14 @@ object VectorQueries {
     // oracle IS q73's SQL (two implementations, one ground truth).
     "q139_cc_delta" -> ((s, dir) => {
       import graft.ext.Dedup
+      // the near-dup pair join is referenced by BOTH the history side
+      // (full CC) and the delta side (which reads it three more times
+      // inside connectedComponentsDelta): a lazy persist shares the
+      // one evaluation instead of re-running the similarity join per
+      // reference
       val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
-        "embedding", "label", threshold = 0.4)
+          "embedding", "label", threshold = 0.4)
+        .persist()
       val oldEdges = pairs.filter(col("a_id") < 400 && col("b_id") < 400)
       val delta = pairs.filter(!(col("a_id") < 400 && col("b_id") < 400))
       val prev = Dedup.connectedComponents(oldEdges, "a_id", "b_id")
@@ -521,8 +527,11 @@ object VectorQueries {
     // coefficient one exact-integer division per vertex.
     "q153_clustering_coeff" -> ((s, dir) => {
       import graft.ext.{Dedup, Graph}
+      // referenced by the degree union (twice) AND the triangle pass:
+      // lazy persist = one similarity-join evaluation
       val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
-        "embedding", "label", threshold = 0.2)
+          "embedding", "label", threshold = 0.2)
+        .persist()
       val deg = pairs.select(col("a_id").as("v"))
         .unionByName(pairs.select(col("b_id").as("v")))
         .groupBy("v").agg(count(lit(1)).as("degree"))
@@ -546,8 +555,11 @@ object VectorQueries {
       import graft.ext.{Dedup, Graph}
       // 0.2 graph: seeds reach 128 vertices across the full 8-hop
       // horizon at sf0.01 — the frontier rounds actually run
+      // the flipped union reads pairs twice: lazy persist = one
+      // similarity-join evaluation
       val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
-        "embedding", "label", threshold = 0.2)
+          "embedding", "label", threshold = 0.2)
+        .persist()
       val sym = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
         .unionByName(
           pairs.select(col("b_id").as("u"), col("a_id").as("v")))

@@ -239,13 +239,15 @@ object Dedup {
     // sort gives the total order, then project the tokens back out.
     // The frame is referenced FOUR times below (prefix self-join +
     // both verify sides) and Spark has no common-subplan dedup, so the
-    // scan → shingle explode → frequency join chain re-runs per
-    // reference. At small/medium corpora the parallel recomputes are
-    // cheaper than a materialization barrier (measured at sf0.1:
-    // lazy 3.3 s vs eager localCheckpoint 6.5 s); at corpus scale the
-    // trade flips — pass materializeSets = true and the chain runs
-    // once (one corpus-sized checkpoint, blocks ContextCleaner-
-    // collected with the RDD).
+    // scan → shingle explode → frequency join chain would re-run per
+    // reference. A LAZY persist shares it without a barrier job: the
+    // first evaluation populates the cache inside the same action
+    // (measured at sf0.1: recompute 3.7 s, eager localCheckpoint
+    // 6.5 s, lazy persist 1.8 s — the r4 "lazy beats materialize"
+    // conclusion was an artifact of the checkpoint BARRIER, not of
+    // materialization). MEMORY_AND_DISK, so at corpus scale the set
+    // table spills rather than OOMs; materializeSets = true remains
+    // the eager lineage-cut variant for iterative callers.
     val orderedLazy = tok.join(tf, "__tok")
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__tok"))))
@@ -254,7 +256,8 @@ object Dedup {
         transform(col("__st"), s => s.getField("__tok")).as("__toks"),
         size(col("__st")).cast("long").as("__n"))
     val ordered =
-      if (materializeSets) orderedLazy.localCheckpoint(true) else orderedLazy
+      if (materializeSets) orderedLazy.localCheckpoint(true)
+      else orderedLazy.persist()
     val prefixLen = (col("__n") -
       floor(lit(threshold) * col("__n").cast("double")).cast("long") +
       lit(1L)).cast("int")
@@ -852,9 +855,14 @@ object Dedup {
     // neither may seed a singleton here (delta == recompute is the
     // contract; a self-loop on a brand-new vertex was the one case
     // that broke it)
+    // referenced three times below (both deltaIds halves + the
+    // contracted edge list): a lazy persist keeps an expensive caller
+    // plan (e.g. q139's inline near-dup join) from re-running per
+    // reference; released with the other working caches at the end
     val validEdges = newEdges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .filter(col(srcCol) =!= col(dstCol))
+      .persist()
     val deltaIds = validEdges.select(col(srcCol).as("__did"))
       .unionByName(validEdges.select(col(dstCol).as("__did")))
       .distinct()
@@ -892,6 +900,7 @@ object Dedup {
     // connectedComponents' output)
     val (result, _) = materialize(updatedPrev.unionByName(newLabeled))
     touched.unpersist()
+    validEdges.unpersist()
     result
   }
 

@@ -46,10 +46,13 @@ object Graph {
     require(iters >= 0, "iters must be >= 0")
     require(damping >= 0.0 && damping <= 1.0, "damping must be in [0,1]")
     val w0 = weightCol.map(col).getOrElse(lit(1L))
+    // e0 feeds BOTH the out-weight agg and the normalized join — a
+    // lazy persist keeps the caller's edge plan from running twice
     val e0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .groupBy(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .agg(sum(w0).as("__w"))
+      .persist()
     val out = e0.groupBy("__src").agg(sum(col("__w")).as("__wout"))
     val eNorm = e0.join(out, "__src")
       .select(col("__src"), col("__dst"),
@@ -60,6 +63,7 @@ object Graph {
       .unionByName(eNorm.select(col("__dst").as("id")))
       .distinct().cache()
     val n = nodes.count()
+    e0.unpersist() // eNorm + nodes are cache-populated by the count
     require(n > 0, "pageRank needs at least one non-null edge " +
       "(empty graph would make base/init ranks divide by zero)")
     val base = (1.0 - damping) / n.toDouble
@@ -133,12 +137,17 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int = 5): DataFrame = {
     require(iters >= 1, "labelPropagation needs iters >= 1")
-    val und = edges
+    // symmetrize in ONE scan (the connectedComponents device): the
+    // union-of-flipped form evaluated the caller's edge plan — often
+    // a whole near-dup join (q189) — once per branch
+    val adj = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
-      .select(col(srcCol).cast("long").as("u"),
-        col(dstCol).cast("long").as("v"))
-    val adj = und
-      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .select(col(srcCol).cast("long").as("__su"),
+        col(dstCol).cast("long").as("__sv"))
+      .select(explode(array(
+        struct(col("__su").as("u"), col("__sv").as("v")),
+        struct(col("__sv").as("u"), col("__su").as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
       .filter(col("u") =!= col("v")) // self-loops vote for nobody
       .distinct() // simple graph: a multi-edge is one neighbor
       .cache()
