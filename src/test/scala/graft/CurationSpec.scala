@@ -143,7 +143,7 @@ class CurationSpec extends SparkSpecBase {
     val tau = 40000000L
     val triGated = Curation.curationPipeline(d,
       CurationConfig(lmMinMeanPE9 = tau), Some(tri),
-      lmScorer = graft.ext.TextAnalysis.knTrigramScoreFacts)
+      lmScorer = graft.ext.TextAnalysis.knTrigramScoreFacts(_, _, _, _))
     val biGated = Curation.curationPipeline(d,
       CurationConfig(lmMinMeanPE9 = tau), Some(bi))
     // the trigram gate keeps exactly the trigram-score-gated subset
@@ -163,7 +163,7 @@ class CurationSpec extends SparkSpecBase {
     // estimated-D scorers also satisfy the facts contract
     val estGated = Curation.curationPipeline(d,
       CurationConfig(lmMinMeanPE9 = tau), Some(bi),
-      lmScorer = graft.ext.TextAnalysis.knScoreFactsEstimatedD)
+      lmScorer = graft.ext.TextAnalysis.knScoreFactsEstimatedD(_, _, _, _))
     assert(estGated.count() > 0)
     // the modified-KN scorer plugs in and keeps exactly the
     // mKN-score-gated subset (the q288 composition); at the same tau
@@ -172,7 +172,7 @@ class CurationSpec extends SparkSpecBase {
     val mknTau = 33500000L
     val mknGated = Curation.curationPipeline(d,
       CurationConfig(lmMinMeanPE9 = mknTau), Some(bi),
-      lmScorer = graft.ext.TextAnalysis.knScoreFactsModified)
+      lmScorer = graft.ext.TextAnalysis.knScoreFactsModified(_, _, _, _))
     val mknKeep = graft.ext.TextAnalysis.knScoreFactsModified(
         d, "doc_id", "text", bi)
       .filter(col("sum_p_e9") >= col("n_bigrams") * mknTau)
@@ -216,7 +216,7 @@ class CurationSpec extends SparkSpecBase {
     // scorer knob live: an impossible scorer ranking flips buckets
     val got2 = Curation.ccnetBuckets(docs, "doc_id", "lang", "text",
         model,
-        lmScorer = graft.ext.TextAnalysis.knScoreFactsModified)
+        lmScorer = graft.ext.TextAnalysis.knScoreFactsModified(_, _, _, _))
       .orderBy("doc_id").collect().map(_.getString(3))
     assert(got2.length == 7)
   }
