@@ -602,22 +602,30 @@ object EventStreams {
     * write-once (a doc arrives in one batch); the zero-row spine for
     * sub-2-token docs is the fold's decision downstream
     * ([[graft.ext.TextAnalysis.knScoreFinish]]). */
-  /** Serve-twin model materialization: the static side of every
-    * stream-static model join re-optimizes and re-executes on EVERY
-    * micro-batch (AQE off, state-partition parallelism), so the serve
-    * twins pass this hook to the shared score-facts derivation — each
-    * derived model table (probabilities, marginals, 1-row totals) is
-    * localCheckpoint'ed ONCE before the stream starts, and micro-
-    * batches join against the cached tables. Train-once/serve-many:
-    * the production n-gram posture. Value-neutral (lineage cut only),
-    * so the twins still face their batch operator's own oracle. */
+  /** Serve-twin model materialization — used ONLY where measured to
+    * win. The static side of a stream-static model join re-optimizes
+    * and re-executes on every micro-batch, so eagerly
+    * localCheckpoint+broadcast-ing the derived model tables trades N
+    * upfront driver-sequential jobs against per-batch recompute. A
+    * same-window min5 A/B at sf0.1 (r18 optimization round) showed
+    * the trade only pays when the static-side derivation is DEEP —
+    * the open-vocabulary serve (vocab fold + `<unk>` re-aggregation
+    * before the cascade: 4.22 → 2.84–3.18 s across two windows). For
+    * Witten–Bell the A/B was inconsistent across windows (2.70 vs
+    * 4.07 against identity 3.00) — kept in-tree. For the plain
+    * KN/estd/mKN/stupid-backoff families the model tables are one
+    * aggregation off the already-checkpointed count table and the
+    * eager materialization LOST 0.5–1.1 s/row (q260 2.48→3.02, q268
+    * 3.96→4.71, q282 4.22→5.25, q286 4.72→5.77), so those wrappers
+    * keep the in-tree derivation (MatIdentity default). Value-neutral
+    * either way (lineage cut only), so every twin still faces its
+    * batch operator's own oracle. */
   private val serveMat: DataFrame => DataFrame =
     graft.ext.TextAnalysis.modelMat
 
   def streamingKnScore(docs: DataFrame, idCol: String, textCol: String,
       counts: DataFrame): DataFrame =
-    graft.ext.TextAnalysis.knScoreFacts(docs, idCol, textCol, counts,
-      serveMat)
+    graft.ext.TextAnalysis.knScoreFacts(docs, idCol, textCol, counts)
 
   /** Online trained-LM document scoring at n=3 — the trigram order of
     * [[streamingKnScore]]: arriving documents score against a SAVED
@@ -632,7 +640,7 @@ object EventStreams {
   def streamingKnTrigramScore(docs: DataFrame, idCol: String,
       textCol: String, tri: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knTrigramScoreFacts(docs, idCol, textCol,
-      tri, serveMat)
+      tri)
 
   /** Online trained-LM scoring at the PRODUCTION (estimated)
     * discount — [[streamingKnScore]] with
@@ -644,7 +652,7 @@ object EventStreams {
   def streamingKnScoreEstimatedD(docs: DataFrame, idCol: String,
       textCol: String, counts: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knScoreFactsEstimatedD(docs, idCol,
-      textCol, counts, serveMat)
+      textCol, counts)
 
   /** Online trigram trained-LM scoring at the PRODUCTION discounts —
     * [[streamingKnTrigramScore]] with
@@ -654,7 +662,7 @@ object EventStreams {
   def streamingKnTrigramScoreEstimatedD(docs: DataFrame,
       idCol: String, textCol: String, tri: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knTrigramScoreFactsEstimatedD(docs, idCol,
-      textCol, tri, serveMat)
+      textCol, tri)
 
   /** OPEN-VOCABULARY online scoring — [[streamingKnScore]] with
     * [[graft.ext.TextAnalysis.knScoreFactsUnk]] VERBATIM: arriving
@@ -678,7 +686,7 @@ object EventStreams {
       textCol: String, uni: DataFrame, bi: DataFrame,
       tri: DataFrame): DataFrame =
     graft.ext.TextAnalysis.stupidBackoffScoreFacts(docs, idCol,
-      textCol, uni, bi, tri, serveMat)
+      textCol, uni, bi, tri)
 
   /** Online WITTEN–BELL scoring — [[streamingKnScore]]'s shape with
     * [[graft.ext.TextAnalysis.wittenBellScoreFacts]] VERBATIM: the
@@ -688,7 +696,7 @@ object EventStreams {
       textCol: String, counts: DataFrame,
       uni: DataFrame): DataFrame =
     graft.ext.TextAnalysis.wittenBellScoreFacts(docs, idCol,
-      textCol, counts, uni, serveMat)
+      textCol, counts, uni)
 
   /** Online trained-LM scoring under MODIFIED Kneser–Ney —
     * [[streamingKnScore]] with
@@ -698,7 +706,7 @@ object EventStreams {
   def streamingKnScoreModified(docs: DataFrame, idCol: String,
       textCol: String, counts: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knScoreFactsModified(docs, idCol,
-      textCol, counts, serveMat)
+      textCol, counts)
 
   /** Online trigram trained-LM scoring under MODIFIED KN —
     * [[streamingKnTrigramScore]] with
@@ -708,7 +716,7 @@ object EventStreams {
   def streamingKnTrigramScoreModified(docs: DataFrame,
       idCol: String, textCol: String, tri: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knTrigramScoreFactsModified(docs, idCol,
-      textCol, tri, serveMat)
+      textCol, tri)
 
   /** Unicode cleanup at ingest — [[graft.ext.TextAnalysis.unicodeClean]]
     * VERBATIM on the streaming frame (the [[streamingFim]] convention:
