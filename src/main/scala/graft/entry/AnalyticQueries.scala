@@ -117,12 +117,31 @@ object AnalyticQueries {
     val parts = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
       .map(_.trim.toInt).getOrElse(stateParts)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    // No-data micro-batches exist so watermark-driven work (Append
+    // emissions, event-time timers, eviction) can run without new
+    // input. Every UPDATE-mode replay row here is a plain streaming
+    // aggregation or a NoTimeout flatMapGroupsWithState — a no-data
+    // batch can produce NO sink rows for them (updates only emit on
+    // data; eviction timing is unobservable because the next data
+    // batch runs at the same watermark) — yet each one costs a full
+    // empty plan execution + state commit (measured 0.4–0.9 s/batch
+    // at sf0.1, ~35% of a replay row). Skip them for Update mode;
+    // Append rows keep the default (their final watermark emissions
+    // happen IN the trailing no-data batches). The conf is frozen
+    // into the stream at start() and restored for batch plans.
+    val ndbKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndb = mode != org.apache.spark.sql.streaming.OutputMode.Update()
+    val prevNdb = s.conf.get(ndbKey)
+    s.conf.set(ndbKey, ndb.toString)
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val q =
       try op(mem.toDS()).writeStream
         .outputMode(mode)
         .format("memory").queryName(sink).start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set(ndbKey, prevNdb)
+      }
     try {
       val it = sorted.rdd
         .mapPartitionsWithIndex((i, rows) => rows.map(e => (i, e)))
@@ -180,12 +199,21 @@ object AnalyticQueries {
     val parts = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
       .map(_.trim.toInt).getOrElse(stateParts)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    // Update-mode rows skip no-data micro-batches — same reasoning
+    // and measurement as [[replayThirds]].
+    val ndbKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndb = mode != org.apache.spark.sql.streaming.OutputMode.Update()
+    val prevNdb = s.conf.get(ndbKey)
+    s.conf.set(ndbKey, ndb.toString)
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val q =
       try op(mem.toDS()).writeStream
         .outputMode(mode)
         .format("memory").queryName(sink).start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set(ndbKey, prevNdb)
+      }
     try {
       val sorted = rows
         .repartitionByRange(3, ordCols.map(col): _*)

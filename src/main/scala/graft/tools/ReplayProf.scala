@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Scratch decomposition of the streaming replay harness floor (r18
+  * optimization round): where does a ~3.6 s streaming twin actually
+  * spend its time? Phases timed: sorted-feed prep (paid once per
+  * session by the memoized harness), stream start (planning the first
+  * IncrementalExecution), each addData+processAllAvailable round, and
+  * stop. Not part of the driver contract. */
+object ReplayProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val s = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    s.sparkContext.setLogLevel("WARN")
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[rp] $label%-32s ${(System.nanoTime - t0) / 1e9}%8.3f s")
+      r
+    }
+    graft.SparkEntry.queries("q01_pricing_summary")(s, sfDir).count()
+    val ev = graft.core.GraftSession.table(s, sfDir, "events")
+    val key = unix_micros(col("ts"))
+    (1 to 2).foreach { round =>
+      println(s"== round $round ==")
+      val sorted = time("feed sort+persist") {
+        val d = graft.core.GraftSession.tsTimestamp(ev)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartitionByRange(3, key.asc, col("event_id").asc)
+          .sortWithinPartitions(key.asc, col("event_id").asc)
+          .as[graft.streaming.EventStreams.Event]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count(); d
+      }
+      val mem = MemoryStream[graft.streaming.EventStreams.Event]
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      val q = time("stream start") {
+        try graft.streaming.EventStreams.streamingValueHistogram(
+            mem.toDS()).as[(Long, String, Long, Long)]
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(s"rp_sink_$round").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      val parts = time("collect partitions") {
+        sorted.rdd.mapPartitionsWithIndex((i, rows) =>
+          Iterator.single(i -> rows.toArray)).collect().sortBy(_._1)
+      }
+      parts.foreach { case (i, batch) =>
+        time(s"batch $i (${batch.length} rows)") {
+          mem.addData(batch.toSeq: _*); q.processAllAvailable()
+        }
+      }
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        println(s"[rp]   progress batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${new java.util.TreeMap[String, java.lang.Long](d)}")
+      }
+      time("stop")(q.stop())
+      s.catalog.dropTempView(s"rp_sink_$round")
+      sorted.unpersist()
+    }
+    s.stop()
+  }
+}
