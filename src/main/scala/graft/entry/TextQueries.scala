@@ -915,8 +915,7 @@ object TextQueries {
       graft.ext.Curation.curationPipeline(d,
           graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 40000000L),
           Some(model),
-          lmScorer = TextAnalysis.knTrigramScoreFacts(_, _, _, _,
-            TextAnalysis.modelMat))
+          lmScorer = TextAnalysis.knTrigramScoreFacts(_, _, _, _))
         .orderBy("doc_id")
     }),
 
@@ -936,8 +935,7 @@ object TextQueries {
       graft.ext.Curation.curationPipeline(d,
           graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 33500000L),
           Some(model),
-          lmScorer = TextAnalysis.knScoreFactsModified(_, _, _, _,
-            TextAnalysis.modelMat))
+          lmScorer = TextAnalysis.knScoreFactsModified(_, _, _, _))
         .orderBy("doc_id")
     }),
 
@@ -955,8 +953,7 @@ object TextQueries {
       graft.ext.Curation.curationPipeline(d,
           graft.ext.Curation.CurationConfig(lmMinMeanPE9 = 33500000L),
           Some(model),
-          lmScorer = TextAnalysis.knScoreFactsEstimatedD(_, _, _, _,
-            TextAnalysis.modelMat))
+          lmScorer = TextAnalysis.knScoreFactsEstimatedD(_, _, _, _))
         .orderBy("doc_id")
     }),
 

@@ -252,8 +252,7 @@ object Curation {
       cfg: CurationConfig = CurationConfig(),
       lmModel: Option[DataFrame] = None,
       lmScorer: (DataFrame, String, String, DataFrame) => DataFrame =
-        TextAnalysis.knScoreFacts(_, _, _, _,
-          TextAnalysis.modelMat)): DataFrame = {
+        TextAnalysis.knScoreFacts(_, _, _, _)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cfg.quotaK >= 1, "quotaK must be >= 1")
     require(cfg.lineWidth >= 1, "lineWidth must be >= 1")
@@ -684,8 +683,7 @@ object Curation {
   def ccnetBuckets(docs: DataFrame, idCol: String, langCol: String,
       textCol: String, lmModel: DataFrame,
       lmScorer: (DataFrame, String, String, DataFrame) => DataFrame =
-        TextAnalysis.knScoreFacts(_, _, _, _,
-          TextAnalysis.modelMat)): DataFrame = {
+        TextAnalysis.knScoreFacts(_, _, _, _)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val facts = lmScorer(docs, idCol, textCol, lmModel)
     val nCol = facts.columns

@@ -1230,14 +1230,21 @@ object TextAnalysis {
     * `localCheckpoint` only cuts lineage, it cannot change a row. */
   val MatIdentity: DataFrame => DataFrame = df => df
 
-  /** The standard model-side `mat` for SERVING compositions: eager
-    * localCheckpoint (train once, cut the derivation out of the
-    * serving plan — Catalyst planning time over the composed gate
-    * pipelines was measured at ~3 s/query before the cut) plus a
-    * broadcast hint (model tables are vocabulary-bounded — the
-    * n-gram serving convention is the model ships to the workers; a
-    * corpus-bounded frame must NOT use this, localCheckpoint alone
-    * there). */
+  /** Eager model-side `mat`: localCheckpoint each derived model
+    * table plus a broadcast hint (model tables are
+    * vocabulary-bounded; a corpus-bounded frame must NOT use this).
+    *
+    * Scope after the r18 optimization-round A/Bs: used ONLY by the
+    * open-vocabulary streaming serve, whose static side re-derives a
+    * DEEP tree (vocab fold + `<unk>` re-aggregation) per micro-batch
+    * (q291 4.22 → 2.84–3.18 s). Everywhere else — every batch gate
+    * pipeline and the shallow serve twins — the N upfront
+    * driver-sequential checkpoint jobs cost MORE than the in-tree
+    * derivation they replace (q269 1.66 → 1.42, q288 2.10 → 1.85,
+    * q292 1.95 → 1.60, q301 2.51 → 2.14, and even the trigram gate
+    * q279 2.98 → 2.37 once the keep-set checkpoint — the change that
+    * actually cut its planning cost — is in place), so those paths
+    * take the [[MatIdentity]] default. */
   val modelMat: DataFrame => DataFrame =
     df => broadcast(df.localCheckpoint(true))
 

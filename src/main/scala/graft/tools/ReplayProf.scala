@@ -42,10 +42,15 @@ object ReplayProf {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
       val q = time("stream start") {
-        try graft.streaming.EventStreams.streamingValueHistogram(
+        val w = graft.streaming.EventStreams.streamingValueHistogram(
             mem.toDS()).as[(Long, String, Long, Long)]
           .writeStream.outputMode(OutputMode.Update())
-          .format("memory").queryName(s"rp_sink_$round").start()
+          .format("memory").queryName(s"rp_sink_$round")
+        val w2 = sys.env.get("RP_CKPT_DIR").fold(w) { base =>
+          w.option("checkpointLocation",
+            s"$base/rp_${round}_${java.util.UUID.randomUUID}")
+        }
+        try w2.start()
         finally s.conf.set("spark.sql.shuffle.partitions", prev)
       }
       val parts = time("collect partitions") {
