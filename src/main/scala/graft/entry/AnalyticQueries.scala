@@ -1557,12 +1557,17 @@ object AnalyticQueries {
             " TIMESTAMP'2026-01-01 00:00:00')").as("_2"),
           col("text").as("_3"))
         .as[(Long, java.sql.Timestamp, String)]
+      // stateParts=2: per-row knee (r18 optimization sweep at n=3:
+      // 1→6.73, 2→6.57, 4→7.00, 8→7.72 s) — the symmetric-hash join
+      // carries 4 state stores per side per partition, so fewer,
+      // fuller state partitions win at this replay size
       val raw = replayTypedThirds[(Long, java.sql.Timestamp, String)](
         s, feed, Seq("_1"),
         ds => graft.streaming.EventStreams.streamStreamMinhashPairs(
           ds.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
           docShingles = Some(store)),
-        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        stateParts = 2)
       raw.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSeq
         .toDF("a_id", "b_id", "jaccard")

@@ -450,7 +450,13 @@ object VectorQueries {
       val oldEdges = pairs.filter(col("a_id") < 400 && col("b_id") < 400)
       val delta = pairs.filter(!(col("a_id") < 400 && col("b_id") < 400))
       val prev = Dedup.connectedComponents(oldEdges, "a_id", "b_id")
-      Dedup.connectedComponentsDelta(prev, delta, "a_id", "b_id")
+      val res = Dedup.connectedComponentsDelta(prev, delta, "a_id", "b_id")
+      // both CC passes are eager (materialized internally), so the
+      // pair cache is fully consumed here — release it, otherwise the
+      // CacheManager would dedup the identical plan on the next
+      // invocation and a repeat run would read this run's cache
+      pairs.unpersist()
+      res
         .select(col("id").as("vec_id"), col("comp").as("cluster"),
           (col("id") === col("comp")).cast("int").as("is_rep"))
         .orderBy("vec_id")
@@ -527,11 +533,14 @@ object VectorQueries {
     // coefficient one exact-integer division per vertex.
     "q153_clustering_coeff" -> ((s, dir) => {
       import graft.ext.{Dedup, Graph}
-      // referenced by the degree union (twice) AND the triangle pass:
-      // lazy persist = one similarity-join evaluation
+      // NO pair-join sharing here, measured deliberately: a lazy
+      // persist must be released within the invocation (a live cache
+      // is plan-deduped into the next run — cross-run reuse), and the
+      // eager result checkpoint that release requires costs more than
+      // the one extra similarity-join evaluation (honest min5 at
+      // sf0.1: persist+ckpt 2.04 s vs plain recompute ~0.7 s)
       val pairs = Dedup.embeddingNearDup(emb(s, dir), "vec_id",
-          "embedding", "label", threshold = 0.2)
-        .persist()
+        "embedding", "label", threshold = 0.2)
       val deg = pairs.select(col("a_id").as("v"))
         .unionByName(pairs.select(col("b_id").as("v")))
         .groupBy("v").agg(count(lit(1)).as("degree"))
@@ -564,7 +573,12 @@ object VectorQueries {
         .unionByName(
           pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       val sources = emb(s, dir).select("vec_id").filter(col("vec_id") < 3)
-      Graph.shortestPaths(sym, "u", "v", sources, maxHops = 8)
+      val res = Graph.shortestPaths(sym, "u", "v", sources, maxHops = 8)
+      // shortestPaths materializes its result internally — release the
+      // pair cache so the next invocation recomputes (CacheManager
+      // would otherwise dedup the identical plan across runs)
+      pairs.unpersist()
+      res
         .select(col("id").as("vec_id"), col("dist"))
         .orderBy("vec_id")
     }),

@@ -258,6 +258,14 @@ object Dedup {
     val ordered =
       if (materializeSets) orderedLazy.localCheckpoint(true)
       else orderedLazy.persist()
+    // The lazy-persist path makes THIS OPERATOR eager overall (the
+    // small pair result is localCheckpoint'ed at the end) so `ordered`
+    // can be unpersisted before returning. Leaving the cache live
+    // would let Spark's CacheManager dedup the identical plan on a
+    // LATER invocation over the same input — a repeat caller (or a
+    // min-of-N bench run) would silently read the previous run's
+    // cached set table instead of computing it. Sharing is scoped to
+    // one invocation; every call computes from its inputs.
     val prefixLen = (col("__n") -
       floor(lit(threshold) * col("__n").cast("double")).cast("long") +
       lit(1L)).cast("int")
@@ -274,7 +282,7 @@ object Dedup {
         lit(threshold) * greatest(col("__na"), col("__nb")).cast("double")
           - lit(1e-9))
       .select("a_id", "b_id").distinct()
-    cand
+    val result = cand
       .join(ordered.select(col("__id").as("a_id"),
         col("__toks").as("__ta"), col("__n").as("n_a")), "a_id")
       .join(ordered.select(col("__id").as("b_id"),
@@ -285,6 +293,12 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "n_a", "n_b", "n_shared", "jaccard")
+    if (materializeSets) result
+    else {
+      val out = result.localCheckpoint(true)
+      ordered.unpersist()
+      out
+    }
   }
 
   /** SimHash near-duplicate pairs: 60-bit signatures, candidates via

@@ -107,7 +107,9 @@ object Graph {
       if (iters == 0)
         org.apache.spark.sql.graftshim.CheckpointShim.materialize(ranks)._1
       else ranks
-    eNorm.unpersist(); nodes.unpersist()
+    // release e0 too: a live cache would be plan-deduped into the
+    // next invocation's evaluation (cross-run reuse), not just leak
+    eNorm.unpersist(); nodes.unpersist(); e0.unpersist()
     result
   }
 

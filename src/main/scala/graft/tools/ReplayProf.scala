@@ -10,6 +10,66 @@ import org.apache.spark.sql.streaming.OutputMode
   * IncrementalExecution), each addData+processAllAvailable round, and
   * stop. Not part of the driver contract. */
 object ReplayProf {
+
+  /** Phase decomposition of q265 (stream-stream near-dup), mirroring
+    * its entry: store checkpoint, feed sort, stream batches. */
+  def profQ265(s: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[rp] $label%-32s ${(System.nanoTime - t0) / 1e9}%8.3f s")
+      r
+    }
+    (1 to 2).foreach { round =>
+      println(s"== q265 round $round ==")
+      val d = graft.core.GraftSession.table(s, sfDir, "documents")
+      val store = time("store shingles ckpt") {
+        d.select(col("doc_id").cast("long").as("__id"),
+            graft.functions.expressions.TextExpressions.wordShingles(
+              s, col("text"), 3).as("__sharr"))
+          .localCheckpoint(true)
+      }
+      val feed = d
+        .select(col("doc_id").cast("long").as("_1"),
+          expr("timestampadd(SECOND, CAST(doc_id % 600 AS INT)," +
+            " TIMESTAMP'2026-01-01 00:00:00')").as("_2"),
+          col("text").as("_3"))
+        .as[(Long, java.sql.Timestamp, String)]
+      val sorted = time("feed sort") {
+        val x = feed.repartitionByRange(3, col("_1"))
+          .sortWithinPartitions(col("_1"))
+        x.count(); x
+      }
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = time("stream start") {
+        try graft.streaming.EventStreams.streamStreamMinhashPairs(
+            mem.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text",
+            "ts", docShingles = Some(store))
+          .writeStream.outputMode(org.apache.spark.sql.streaming
+            .OutputMode.Append())
+          .format("memory").queryName(s"rp265_$round").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      val parts = sorted.rdd.mapPartitionsWithIndex((i, rows) =>
+        Iterator.single(i -> rows.toArray)).collect().sortBy(_._1)
+      parts.foreach { case (i, batch) =>
+        time(s"batch $i (${batch.length} rows)") {
+          mem.addData(batch.toSeq: _*); q.processAllAvailable()
+        }
+      }
+      q.recentProgress.foreach { p =>
+        println(s"[rp]   batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${new java.util.TreeMap[String, java.lang.Long](p.durationMs)}")
+      }
+      time("stop")(q.stop())
+      s.catalog.dropTempView(s"rp265_$round")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val s = graft.core.GraftSession.local(
@@ -24,6 +84,7 @@ object ReplayProf {
       r
     }
     graft.SparkEntry.queries("q01_pricing_summary")(s, sfDir).count()
+    if (sys.env.contains("RP_Q265")) { profQ265(s, sfDir); s.stop(); return }
     val ev = graft.core.GraftSession.table(s, sfDir, "events")
     val key = unix_micros(col("ts"))
     (1 to 2).foreach { round =>
