@@ -225,29 +225,41 @@ object Dedup {
     * rounding can shrink a prefix below the exactness bound — at most
     * one extra element per doc. Returns
     * (a_id, b_id, n_a, n_b, n_shared, jaccard) with a_id < b_id;
-    * jaccard is ONE IEEE division of exact longs. */
+    * jaccard is ONE IEEE division of exact longs.
+    *
+    * Execution shape (r19): the ordered set table — referenced by
+    * THREE downstream subtrees (prefix self-join + both verify sides)
+    * — is localCheckpoint-materialized ONCE at call time (Spark has no
+    * common-subplan dedup, so a lazy form re-runs the scan → shingle
+    * explode → frequency join chain per reference; the r18 lazy-persist
+    * + eager-result-checkpoint form shared it too, but raced
+    * stage-parallel cache population under load — the driver read
+    * 7.5 s at 32 cores vs 2.3 s at 8 — and returned an opaque
+    * checkpointed result). Everything downstream of the set table is
+    * LAZY — the returned plan shows the whole candidate/verify shape —
+    * and per-invocation: the checkpoint RDD is private to this call
+    * (no CacheManager entry, so no cross-invocation plan dedup) and its
+    * blocks are released by the ContextCleaner when the result is
+    * dropped. `materializeSets` is retained for API stability; both
+    * paths now materialize the set table exactly once. */
   def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       materializeSets: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val tok = shingled(df, idCol, textCol, shingleN)
-      .select(col("__id"), col("__shingle").as("__tok"))
-      .distinct()
+    // per-doc DISTINCT shingles MAP-SIDE (array_distinct before the
+    // explode): value-identical to exploding then .distinct() — the
+    // dedup key is (doc, shingle) and array_distinct dedups exactly
+    // within each doc — but removes the corpus-wide distinct EXCHANGE
+    // of the full shingle fanout (guide §2.4 remove shuffles outright;
+    // sf0.1 warm: the ordered-set job 1.4 → 1.0 s)
+    val tok = df.select(col(idCol).as("__id"),
+      explode(array_distinct(
+        graft.functions.expressions.TextExpressions.wordShingles(
+          df.sparkSession, col(textCol), shingleN))).as("__tok"))
     val tf = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // per-doc token array in (df asc, token asc) global order; struct
-    // sort gives the total order, then project the tokens back out.
-    // The frame is referenced FOUR times below (prefix self-join +
-    // both verify sides) and Spark has no common-subplan dedup, so the
-    // scan → shingle explode → frequency join chain would re-run per
-    // reference. A LAZY persist shares it without a barrier job: the
-    // first evaluation populates the cache inside the same action
-    // (measured at sf0.1: recompute 3.7 s, eager localCheckpoint
-    // 6.5 s, lazy persist 1.8 s — the r4 "lazy beats materialize"
-    // conclusion was an artifact of the checkpoint BARRIER, not of
-    // materialization). MEMORY_AND_DISK, so at corpus scale the set
-    // table spills rather than OOMs; materializeSets = true remains
-    // the eager lineage-cut variant for iterative callers.
+    // sort gives the total order, then project the tokens back out
     val orderedLazy = tok.join(tf, "__tok")
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__tok"))))
@@ -255,9 +267,7 @@ object Dedup {
       .select(col("__id"),
         transform(col("__st"), s => s.getField("__tok")).as("__toks"),
         size(col("__st")).cast("long").as("__n"))
-    val ordered =
-      if (materializeSets) orderedLazy.localCheckpoint(true)
-      else orderedLazy.persist()
+    val ordered = orderedLazy.localCheckpoint(true)
     // The lazy-persist path makes THIS OPERATOR eager overall (the
     // small pair result is localCheckpoint'ed at the end) so `ordered`
     // can be unpersisted before returning. Leaving the cache live
@@ -282,23 +292,38 @@ object Dedup {
         lit(threshold) * greatest(col("__na"), col("__nb")).cast("double")
           - lit(1e-9))
       .select("a_id", "b_id").distinct()
+      // pin the verify's parallelism: candidate rows are ~16 bytes but
+      // each costs an array_intersect over the two full shingle sets,
+      // so AQE's BYTE-based partition coalescing shrinks the verify
+      // stage to 1-2 tasks and serializes the real work (measured
+      // sf0.1: 5.7 s on 2 tasks vs 0.6 s spread). An explicit-N user
+      // repartition is exempt from coalescing; N is the session's
+      // configured shuffle parallelism, not a local constant.
+      .repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("a_id"))
     val result = cand
       .join(ordered.select(col("__id").as("a_id"),
         col("__toks").as("__ta"), col("__n").as("n_a")), "a_id")
       .join(ordered.select(col("__id").as("b_id"),
         col("__toks").as("__tb"), col("__n").as("n_b")), "b_id")
+      // the when(monotonically_increasing_id() >= Long.MinValue, …)
+      // guard is an optimizer FENCE, not logic: the condition is
+      // always true, so the VALUE is exactly size(array_intersect(…))
+      // — but marking the projection non-deterministic stops
+      // PushPredicateThroughJoin from inlining the jaccard filter into
+      // the b-side join condition, which re-evaluated the
+      // array_intersect a SECOND time per candidate (2× the verify
+      // work; both evaluations visible in the r18 plan capture).
+      // rand() >= 0 does not work as the guard — Spark 4 simplifies it
+      // away; the mono-id comparison survives optimization.
       .withColumn("n_shared",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+        when(monotonically_increasing_id() >= Long.MinValue,
+          size(array_intersect(col("__ta"), col("__tb"))).cast("long")))
       .withColumn("jaccard", col("n_shared").cast("double") /
         (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "n_a", "n_b", "n_shared", "jaccard")
-    if (materializeSets) result
-    else {
-      val out = result.localCheckpoint(true)
-      ordered.unpersist()
-      out
-    }
+    result
   }
 
   /** SimHash near-duplicate pairs: 60-bit signatures, candidates via

@@ -14,8 +14,11 @@ object QTimer {
     val sfDir = args(0)
     val n = args(1).toInt
     val names = args.drop(2).toSeq
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // core count from the driver-contract env var (default 32) so the
+    // 8-vs-32 scaling adjudications run through the same instrument
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
