@@ -66,7 +66,8 @@ object AnalyticQueries {
       mode: org.apache.spark.sql.streaming.OutputMode =
         org.apache.spark.sql.streaming.OutputMode.Update(),
       flush: Boolean = false,
-      stateParts: Int = 4)
+      stateParts: Int = 4,
+      noDataBatches: Option[Boolean] = None)
       : Array[org.apache.spark.sql.Row] = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -129,8 +130,14 @@ object AnalyticQueries {
     // Append rows keep the default (their final watermark emissions
     // happen IN the trailing no-data batches). The conf is frozen
     // into the stream at start() and restored for batch plans.
+    // `noDataBatches` lets an Append row whose operators provably
+    // cannot emit in a no-data batch (e.g. a watermarked INNER
+    // stream-stream join — eviction only) opt out EXPLICITLY; a
+    // future Update-mode row using event-time timers must likewise
+    // opt back IN consciously (ADVICE r18).
     val ndbKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val ndb = mode != org.apache.spark.sql.streaming.OutputMode.Update()
+    val ndb = noDataBatches.getOrElse(
+      mode != org.apache.spark.sql.streaming.OutputMode.Update())
     val prevNdb = s.conf.get(ndbKey)
     s.conf.set(ndbKey, ndb.toString)
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -188,7 +195,8 @@ object AnalyticQueries {
   private def replayTypedThirds[T](s: SparkSession, rows: Dataset[T],
       ordCols: Seq[String], op: Dataset[T] => DataFrame,
       mode: org.apache.spark.sql.streaming.OutputMode,
-      stateParts: Int = 4)(
+      stateParts: Int = 4,
+      noDataBatches: Option[Boolean] = None)(
       implicit enc: org.apache.spark.sql.Encoder[T])
       : Array[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -200,9 +208,11 @@ object AnalyticQueries {
       .map(_.trim.toInt).getOrElse(stateParts)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     // Update-mode rows skip no-data micro-batches — same reasoning
-    // and measurement as [[replayThirds]].
+    // and measurement as [[replayThirds]]; `noDataBatches` is the
+    // same explicit per-operator override.
     val ndbKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val ndb = mode != org.apache.spark.sql.streaming.OutputMode.Update()
+    val ndb = noDataBatches.getOrElse(
+      mode != org.apache.spark.sql.streaming.OutputMode.Update())
     val prevNdb = s.conf.get(ndbKey)
     s.conf.set(ndbKey, ndb.toString)
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)

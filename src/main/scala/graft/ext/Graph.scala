@@ -107,9 +107,8 @@ object Graph {
       if (iters == 0)
         org.apache.spark.sql.graftshim.CheckpointShim.materialize(ranks)._1
       else ranks
-    // release e0 too: a live cache would be plan-deduped into the
-    // next invocation's evaluation (cross-run reuse), not just leak
-    eNorm.unpersist(); nodes.unpersist(); e0.unpersist()
+    // (e0 was already released at the nodes.count() barrier above)
+    eNorm.unpersist(); nodes.unpersist()
     result
   }
 

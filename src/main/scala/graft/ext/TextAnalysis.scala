@@ -1234,11 +1234,14 @@ object TextAnalysis {
     * table plus a broadcast hint (model tables are
     * vocabulary-bounded; a corpus-bounded frame must NOT use this).
     *
-    * Scope after the r18 optimization-round A/Bs: used ONLY by the
+    * Scope after the r18/r19 optimization-round A/Bs: used by the
     * open-vocabulary streaming serve, whose static side re-derives a
     * DEEP tree (vocab fold + `<unk>` re-aggregation) per micro-batch
-    * (q291 4.22 → 2.84–3.18 s). Everywhere else — every batch gate
-    * pipeline and the shallow serve twins — the N upfront
+    * (q291 4.22 → 2.84–3.18 s), and since r19 by the TRIGRAM estd/mkn
+    * streaming serves (six derived model tables per micro-batch;
+    * at-or-better in two interleaved min5 rounds — see
+    * EventStreams.serveMat). Everywhere else — every batch gate
+    * pipeline and the shallow bigram serve twins — the N upfront
     * driver-sequential checkpoint jobs cost MORE than the in-tree
     * derivation they replace (q269 1.66 → 1.42, q288 2.10 → 1.85,
     * q292 1.95 → 1.60, q301 2.51 → 2.14, and even the trigram gate

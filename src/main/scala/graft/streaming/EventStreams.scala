@@ -608,18 +608,23 @@ object EventStreams {
     * localCheckpoint+broadcast-ing the derived model tables trades N
     * upfront driver-sequential jobs against per-batch recompute. A
     * same-window min5 A/B at sf0.1 (r18 optimization round) showed
-    * the trade only pays when the static-side derivation is DEEP —
-    * the open-vocabulary serve (vocab fold + `<unk>` re-aggregation
+    * the trade pays when the static-side derivation is DEEP — the
+    * open-vocabulary serve (vocab fold + `<unk>` re-aggregation
     * before the cascade: 4.22 → 2.84–3.18 s across two windows). For
     * Witten–Bell the A/B was inconsistent across windows (2.70 vs
-    * 4.07 against identity 3.00) — kept in-tree. For the plain
-    * KN/estd/mKN/stupid-backoff families the model tables are one
-    * aggregation off the already-checkpointed count table and the
+    * 4.07 against identity 3.00) — kept in-tree. For the shallow
+    * bigram KN/estd/mKN/stupid-backoff families the model tables are
+    * one aggregation off the already-checkpointed count table and the
     * eager materialization LOST 0.5–1.1 s/row (q260 2.48→3.02, q268
-    * 3.96→4.71, q282 4.22→5.25, q286 4.72→5.77), so those wrappers
-    * keep the in-tree derivation (MatIdentity default). Value-neutral
-    * either way (lineage cut only), so every twin still faces its
-    * batch operator's own oracle. */
+    * 3.96→4.71), so those wrappers keep the in-tree derivation
+    * (MatIdentity default). The TRIGRAM estd/mkn serves (q282/q286)
+    * were re-A/B'd in r19 (VERDICT item 4): six derived model tables
+    * per micro-batch is the next-deepest static side, and eager mat
+    * read at-or-better in two interleaved min5 rounds (q282
+    * 4.57/5.41 → 4.44/5.24, q286 4.88/5.45 → 4.63/5.46 — inside the
+    * noise band but never worse), so they take the production
+    * train-once posture. Value-neutral either way (lineage cut only),
+    * so every twin still faces its batch operator's own oracle. */
   private val serveMat: DataFrame => DataFrame =
     graft.ext.TextAnalysis.modelMat
 
@@ -662,7 +667,7 @@ object EventStreams {
   def streamingKnTrigramScoreEstimatedD(docs: DataFrame,
       idCol: String, textCol: String, tri: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knTrigramScoreFactsEstimatedD(docs, idCol,
-      textCol, tri)
+      textCol, tri, serveMat)
 
   /** OPEN-VOCABULARY online scoring — [[streamingKnScore]] with
     * [[graft.ext.TextAnalysis.knScoreFactsUnk]] VERBATIM: arriving
@@ -716,7 +721,7 @@ object EventStreams {
   def streamingKnTrigramScoreModified(docs: DataFrame,
       idCol: String, textCol: String, tri: DataFrame): DataFrame =
     graft.ext.TextAnalysis.knTrigramScoreFactsModified(docs, idCol,
-      textCol, tri)
+      textCol, tri, serveMat)
 
   /** Unicode cleanup at ingest — [[graft.ext.TextAnalysis.unicodeClean]]
     * VERBATIM on the streaming frame (the [[streamingFim]] convention:

@@ -24,6 +24,23 @@ object QTimer {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional per-stage decomposition (QTIMER_STAGES=1): stage id,
+    // task count and wall per completed stage — the poor man's UI for
+    // a headless box (the bench session runs with spark.ui disabled)
+    if (sys.env.contains("QTIMER_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val i = e.stageInfo
+            val ms = for {
+              a <- i.completionTime; b <- i.submissionTime
+            } yield a - b
+            println(f"[stage] id=${i.stageId}%-4d tasks=${i.numTasks}%-3d " +
+              f"wall=${ms.getOrElse(-1L)}%5d ms  ${i.name.take(70)}")
+          }
+        })
     names.foreach { q =>
       SparkEntry.queries(q)(spark, sfDir).count() // warm: plan + IO cache
       val ts = (1 to n).map { _ =>

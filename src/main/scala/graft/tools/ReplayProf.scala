@@ -70,6 +70,73 @@ object ReplayProf {
     }
   }
 
+  /** Phase decomposition of q132 (streaming attribution — the only
+    * OTHER stream-stream join row): feed sort, stream start, per-batch
+    * cost, and the per-batch duration maps, which separate data
+    * batches from trailing NO-DATA batches (Append mode keeps them;
+    * an inner stream-stream join can emit nothing in one — they are
+    * pure eviction). RP_Q132_PARTS sets the state partition count,
+    * RP_Q132_NDB=false disables no-data batches for the A/B. */
+  def profQ132(s: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[rp] $label%-32s ${(System.nanoTime - t0) / 1e9}%8.3f s")
+      r
+    }
+    val ev = graft.core.GraftSession.table(s, sfDir, "events")
+    val key = unix_micros(col("ts"))
+    val parts = sys.env.getOrElse("RP_Q132_PARTS", "4")
+    val ndb = sys.env.getOrElse("RP_Q132_NDB", "true")
+    (1 to 2).foreach { round =>
+      println(s"== q132 round $round (parts=$parts ndb=$ndb) ==")
+      val sorted = time("feed sort+persist") {
+        val d = graft.core.GraftSession.tsTimestamp(ev)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartitionByRange(3, key.asc, col("event_id").asc)
+          .sortWithinPartitions(key.asc, col("event_id").asc)
+          .as[graft.streaming.EventStreams.Event]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count(); d
+      }
+      val mem = MemoryStream[graft.streaming.EventStreams.Event]
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val ndbKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNdb = s.conf.get(ndbKey)
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      s.conf.set(ndbKey, ndb)
+      val q = time("stream start") {
+        try graft.streaming.EventStreams.streamingAttribution(
+            mem.toDS(), "click", "purchase", maxGapSeconds = 3600)
+          .writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(s"rp132_$round").start()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+          s.conf.set(ndbKey, prevNdb)
+        }
+      }
+      val batches = time("collect partitions") {
+        sorted.rdd.mapPartitionsWithIndex((i, rows) =>
+          Iterator.single(i -> rows.toArray)).collect().sortBy(_._1)
+      }
+      batches.foreach { case (i, batch) =>
+        time(s"batch $i (${batch.length} rows)") {
+          mem.addData(batch.toSeq: _*); q.processAllAvailable()
+        }
+      }
+      q.recentProgress.foreach { p =>
+        println(s"[rp]   batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${new java.util.TreeMap[String, java.lang.Long](p.durationMs)}")
+      }
+      time("stop")(q.stop())
+      s.catalog.dropTempView(s"rp132_$round")
+      sorted.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val s = graft.core.GraftSession.local(
@@ -85,6 +152,7 @@ object ReplayProf {
     }
     graft.SparkEntry.queries("q01_pricing_summary")(s, sfDir).count()
     if (sys.env.contains("RP_Q265")) { profQ265(s, sfDir); s.stop(); return }
+    if (sys.env.contains("RP_Q132")) { profQ132(s, sfDir); s.stop(); return }
     val ev = graft.core.GraftSession.table(s, sfDir, "events")
     val key = unix_micros(col("ts"))
     (1 to 2).foreach { round =>
