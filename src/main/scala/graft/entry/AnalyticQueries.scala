@@ -692,10 +692,19 @@ object AnalyticQueries {
     // 1 h gap and watermark).
     "q132_streaming_attribution" -> ((s, dir) => {
       import s.implicits._
+      // noDataBatches = false: the operator is ONE watermarked INNER
+      // stream-stream join — matches emit in the data batch that
+      // completes them; a no-data batch can only advance the watermark
+      // and EVICT buffered state, never produce a row (outer joins and
+      // timer operators, which do emit on watermark advance, are not
+      // in this plan). ReplayProf r19: the three trailing no-data
+      // batches cost 0.51-0.58 s each, ~38% of the stream wall; rows=0
+      // in every one. Oracle stays green at sf0.01 + sf0.001.
       val rows = replayThirds(s, dir, ds =>
         graft.streaming.EventStreams.streamingAttribution(ds, "click",
           "purchase", maxGapSeconds = 3600),
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        noDataBatches = Some(false))
       val folded = rows
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4)))

@@ -371,13 +371,17 @@ object IntervalSets {
     val lOrd = Window.partitionBy((kc :+ col("__b")): _*)
       .orderBy(col("l_start").asc)
     // rooted likewise feeds two consumers (per-bucket root counts +
-    // the final gid join) — same materialization, same reasoning
-    val (rooted, _) = org.apache.spark.sql.graftshim.CheckpointShim
-      .materialize(locals.join(summary, keys :+ "__b")
-        .withColumn("__root", when(col("__enter").isNull ||
-          (col("l_start") - lit(gap)) > col("__enter"), 1L).otherwise(0L))
-        .withColumn("__rIn", sum(col("__root")).over(
-          lOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    // the final gid join) — but unlike the ISLAND table, recomputing
+    // it costs one join + one window over the already-materialized
+    // locals (island-sized, far below the input), while materializing
+    // it costs a full driver-sequential job barrier. r19 A/B at sf0.1,
+    // 32 cores: q101 loses ~0.3-0.5 s per invocation to the barrier;
+    // lazy recompute is the win at every scale where islands ≪ input
+    val rooted = locals.join(summary, keys :+ "__b")
+      .withColumn("__root", when(col("__enter").isNull ||
+        (col("l_start") - lit(gap)) > col("__enter"), 1L).otherwise(0L))
+      .withColumn("__rIn", sum(col("__root")).over(
+        lOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val bRoots = rooted.groupBy((kc :+ col("__b")): _*)
       .agg(sum(col("__root")).as("__nr"))
       .withColumn("__rBefore", coalesce(sum(col("__nr")).over(
@@ -394,18 +398,59 @@ object IntervalSets {
       .drop("__gid")
   }
 
-  /** [[subtractBucketed]] with [[deriveBucketWidth]]'s width, derived
-    * over BOTH sides' coordinates (b's events land in buckets too, and
-    * may extend past a's domain). */
+  /** [[subtractBucketed]] with a width derived like
+    * [[deriveBucketWidth]]'s, over BOTH sides' coordinates (b's events
+    * land in buckets too, and may extend past a's domain) — but folded
+    * INTO the delta-collapse materialization (r19): the old form paid
+    * a separate aggregate scan over both full sources just for
+    * (min, max, count) before the pipeline scanned them again; here
+    * the one materializing pass also folds min/max event position and
+    * the interval count (the +1 events), so the sources are read
+    * exactly once. The statistics differ immaterially (max end+1
+    * instead of max end, i.e. domain+1) and width only affects
+    * performance, never results (the bucketed specs prove ≡ at widths
+    * 1..10000). The bucket column is assigned ABOVE the checkpoint, so
+    * the two consumers re-cluster the collapsed table — far smaller
+    * than the raw sources the removed scan read. */
   def subtractBucketed(a: DataFrame, b: DataFrame, keys: Seq[String],
       aStart: String, aEnd: String, bStart: String,
-      bEnd: String): DataFrame =
-    subtractBucketed(a, b, keys, aStart, aEnd, bStart, bEnd,
-      deriveBucketWidth(
-        a.select(col(aStart).cast("long").as("s"),
-          col(aEnd).cast("long").as("e"))
-          .unionByName(b.select(col(bStart).cast("long").as("s"),
-            col(bEnd).cast("long").as("e"))), "s", "e"))
+      bEnd: String): DataFrame = {
+    val kc = keys.map(col)
+    val events = subtractEvents(a, b, keys, aStart, aEnd, bStart, bEnd)
+    // opens at a position = the +1 components only: their grand total
+    // is exactly the a∪b interval-row count deriveBucketWidth used
+    val collapsed0 = events.groupBy((kc :+ col("pos")): _*)
+      .agg(sum(col("da")).as("dA"), sum(col("db")).as("dB"),
+        sum(greatest(col("da"), lit(0L)) +
+          greatest(col("db"), lit(0L))).as("__opens"))
+    val (collapsed, _, bounds, nIntervals) =
+      org.apache.spark.sql.graftshim.CheckpointShim
+        .materializeWithLongStats(collapsed0, "pos", "__opens")
+    val bucketWidth = bounds match {
+      case None => 1L
+      case Some((lo, hi)) =>
+        val domain = math.max(1L, hi - lo + 1)
+        val nBuckets = math.max(256L, nIntervals / 32768L)
+        math.max(1L, domain / nBuckets)
+    }
+    subtractDeltaTail(
+      collapsed.withColumn("__b", floor(col("pos") / bucketWidth))
+        .drop("__opens"),
+      keys, bucketWidth)
+  }
+
+  /** The a/b-tagged endpoint event stream shared by both
+    * [[subtractBucketed]] overloads. */
+  private def subtractEvents(a: DataFrame, b: DataFrame,
+      keys: Seq[String], aStart: String, aEnd: String, bStart: String,
+      bEnd: String): DataFrame = {
+    val kc = keys.map(col)
+    endpointEvents(a, keys, aStart, aEnd)
+      .select((kc :+ col("pos") :+ col("d").as("da") :+ lit(0L).as("db")): _*)
+      .unionByName(endpointEvents(b, keys, bStart, bEnd)
+        .select((kc :+ col("pos") :+ lit(0L).as("da") :+
+          col("d").as("db")): _*))
+  }
 
   /** [[subtract]] for FEW keys at extreme scale: the
     * [[coverageDepthBucketed]] two-pass sweep carrying BOTH running
@@ -427,11 +472,7 @@ object IntervalSets {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
     val kc = keys.map(col)
-    val events = endpointEvents(a, keys, aStart, aEnd)
-      .select((kc :+ col("pos") :+ col("d").as("da") :+ lit(0L).as("db")): _*)
-      .unionByName(endpointEvents(b, keys, bStart, bEnd)
-        .select((kc :+ col("pos") :+ lit(0L).as("da") :+
-          col("d").as("db")): _*))
+    val events = subtractEvents(a, b, keys, aStart, aEnd, bStart, bEnd)
     // pin the delta table to (key, bucket) partitioning and MATERIALIZE
     // it (Tungsten-format localCheckpoint): both consumers (the bucket
     // summary and the per-bucket window join) then read the collapsed
@@ -442,6 +483,15 @@ object IntervalSets {
         .agg(sum(col("da")).as("dA"), sum(col("db")).as("dB"))
         .withColumn("__b", floor(col("pos") / bucketWidth))
         .repartition((kc :+ col("__b")): _*))
+    subtractDeltaTail(deltas, keys, bucketWidth)
+  }
+
+  /** The shared sweep-and-weld tail of both [[subtractBucketed]]
+    * overloads, over a MATERIALIZED collapsed delta table carrying
+    * (keys, pos, dA, dB, __b). */
+  private def subtractDeltaTail(deltas: DataFrame, keys: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    val kc = keys.map(col)
     val bOrd = Window.partitionBy(kc: _*).orderBy(col("__b").asc)
     val buckets = deltas.groupBy((kc :+ col("__b")): _*)
       .agg(sum(col("dA")).as("__sa"), sum(col("dB")).as("__sb"),

@@ -40,6 +40,38 @@ object CheckpointShim {
     (CDataset.ofRows(ds.sparkSession, plan), rdd)
   }
 
+  /** [[materialize]], but the single materializing action also folds
+    * (min, max) of one LONG column and the sum of another — so a
+    * caller can derive data-dependent tuning (e.g. a bucket width)
+    * from the materialized table's own statistics without paying a
+    * SECOND full pass over the sources. min/max skip NULLs (None when
+    * every row is NULL/empty); the sum counts NULLs as 0. */
+  def materializeWithLongStats(df: DataFrame, minMaxCol: String,
+      sumCol: String)
+      : (DataFrame, RDD[InternalRow], Option[(Long, Long)], Long) = {
+    val ds = df.asInstanceOf[CDataset[Row]]
+    val mmIdx = ds.schema.fieldIndex(minMaxCol)
+    val sIdx = ds.schema.fieldIndex(sumCol)
+    val rdd = ds.queryExecution.executedPlan.execute().map(_.copy())
+    rdd.localCheckpoint()
+    // (min, max, sum, seenAny) folded in the one materializing pass
+    val (lo, hi, sum, seen) = rdd.aggregate(
+      (Long.MaxValue, Long.MinValue, 0L, false))(
+      (acc, r) => {
+        val s2 = acc._3 + (if (r.isNullAt(sIdx)) 0L else r.getLong(sIdx))
+        if (r.isNullAt(mmIdx)) (acc._1, acc._2, s2, acc._4)
+        else {
+          val v = r.getLong(mmIdx)
+          (math.min(acc._1, v), math.max(acc._2, v), s2, true)
+        }
+      },
+      (a, b) => (math.min(a._1, b._1), math.max(a._2, b._2),
+        a._3 + b._3, a._4 || b._4))
+    val plan = LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
+    (CDataset.ofRows(ds.sparkSession, plan), rdd,
+      if (seen) Some((lo, hi)) else None, sum)
+  }
+
   /** [[materialize]], but the single materializing action also sums an
     * INT column — so an iterative algorithm gets its convergence signal
     * for free instead of running a second probe job (and its shuffle)
